@@ -1,13 +1,519 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.io.Sources
+import graft.marts.DailyStoreMetrics
+import graft.staging.Staging
+import graft.lake.MergeWriter
+import graft.quality.Expectations
+import graft.quality.Expectations._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity, Multimodal}
+import graft.streaming.Streams
+
+/** Driver contract — one named query per implemented operator
+  * (SURVEY.md §2), each with DuckDB oracle SQL where SQL-expressible.
+  *
+  * Determinism discipline (SURVEY §7.4): every query ends in a stable
+  * `orderBy` on a key prefix; every double aggregate is `round`ed; every
+  * int that DuckDB widens to BIGINT is cast to bigint on the Spark side;
+  * dates are compared as pushdown-friendly timestamp bounds.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    DailyStoreMetrics.build(t(spark, dir, "orders"), t(spark, dir, "events"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- A1-A4 + P6: grouped aggregates over the big fact table ----
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("2000-06-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- The reference's fact build: FOJ of daily aggregates ----
+    "q02_daily_store_metrics" -> ((s, dir) =>
+      DailyStoreMetrics.build(t(s, dir, "orders"), t(s, dir, "events"))),
+
+    // ---- Join + agg + top-k ----
+    "q03_top_orders" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      rev.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("dt"), col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- Multi-way broadcast dim join (star-schema rollup) ----
+    "q04_region_revenue" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy("r_name")
+    }),
+
+    // ---- Filtered counts (A4) over events ----
+    "q05_event_type_stats" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(when(col("value") > 100.0, 1)).as("n_big"),
+          round(sum("value"), 2).as("total_value"),
+          round(avg("value"), 2).as("avg_value"))
+        .orderBy("event_type")
+    }),
+
+    // ---- Window functions (O4): rank + running total per customer ----
+    "q06_window_rank" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("dt"),
+        round(col("o_totalprice"), 2).as("order_value"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("dt"), col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w).cast("bigint"))
+        .withColumn("cum_value", round(sum(col("order_value"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // ---- Set operations (O3): intersect / except / union ----
+    "q07_setops" -> ((s, dir) => {
+      val building = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val big = t(s, dir, "orders")
+        .groupBy("o_custkey").agg(sum("o_totalprice").as("spend"))
+        .filter(col("spend") > 3000000.0)
+        .select(col("o_custkey").as("custkey"))
+      building.intersect(big).withColumn("tag", lit("building_big"))
+        .unionByName(building.except(big).withColumn("tag", lit("building_small")))
+        .select("custkey", "tag")
+        .orderBy("tag", "custkey")
+    }),
+
+    // ---- Exact distinct counts per day ----
+    "q08_daily_users" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("dt"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("dt")
+    }),
+
+    // ---- JSON field access (F8) on the props payload ----
+    "q09_json_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+          count(col("k")).as("n"),
+          sum(col("k")).cast("bigint").as("sum_k"),
+          round(avg(col("k")), 2).as("avg_k"))
+        .orderBy("event_type")
+    }),
+
+    // ---- Incremental MERGE upsert (S8) rebuilt from primitives ----
+    "q10_merge_upsert" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cutoff = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+      val winStart = java.sql.Timestamp.valueOf("1999-12-25 00:00:00")
+      val target = DailyStoreMetrics.ordersDaily(
+        orders.filter(col("o_orderdate") < lit(cutoff)))
+      val updates = DailyStoreMetrics.ordersDaily(
+        orders.filter(col("o_orderdate") >= lit(winStart)))
+      MergeWriter.upsert(target, updates, Seq("store_id", "dt"))
+        .orderBy("store_id", "dt")
+    }),
+
+    // ---- Typed staging projection (P1-P4) with pushdown filter ----
+    "q11_staging_orders" -> ((s, dir) => {
+      Staging.stgOrders(t(s, dir, "orders"))
+        .filter(col("dt") >= lit(java.sql.Date.valueOf("2000-01-01")))
+        .orderBy("order_id")
+    }),
+
+    // ---- Expectation suite (V1-V4) compiled to one aggregate pass ----
+    "q12_expectations" -> ((s, dir) => {
+      Expectations.evaluate(
+        t(s, dir, "orders"),
+        Suite("orders",
+          Some(ColumnsOrdered(Seq("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority"))),
+          Seq(
+            NotNull("o_orderkey"),
+            MinBound("o_totalprice", 0.0),
+            RegexMatch("o_orderstatus", "[A-Z]"))))
+    }),
+
+    // ---- Structured Streaming: watermarked tumbling-window agg ----
+    "q13_stream_daily" -> ((s, dir) => Streams.dailyEventMetrics(s, dir)),
+
+    // ---- Dedup: exact ----
+    "q14_dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+
+    // ---- Text analysis: token counts + quality scoring ----
+    "q15_text_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val txt = col("text")
+      d.select(
+        col("doc_id"),
+        TextFunctions.tokenCount(txt).cast("bigint").as("n_tokens"),
+        TextFunctions.sumTokenLen(txt).cast("bigint").as("sum_tok_len"),
+        TextFunctions.wordHits(txt, TextFunctions.StopwordsByLang.head._2)
+          .cast("bigint").as("stop_hits"),
+        round(TextFunctions.sumTokenLen(txt).cast("double") /
+          TextFunctions.tokenCount(txt).cast("double"), 4).as("mean_tok_len"),
+        TextFunctions.qualityScore(txt).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Text analysis: stopword-based language ID ----
+    "q16_lang_id" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val txt = col("text")
+      val scoreCols = TextFunctions.StopwordsByLang.map { case (lang, words) =>
+        TextFunctions.wordHits(txt, words).cast("bigint").as(s"s_$lang")
+      }
+      d.select((col("doc_id") +: scoreCols :+
+        TextFunctions.langId(txt).as("lang_pred")): _*)
+        .orderBy("doc_id")
+    }),
+
+    // ---- Dedup: MinHash + LSH candidate pairs (hash-based; rows-only) ----
+    "q17_minhash_pairs" -> ((s, dir) =>
+      Dedup.minHashCandidates(t(s, dir, "documents"),
+        k = 3, numHashes = 32, bands = 8, maxBucket = 200)
+        .withColumn("est_jaccard", round(col("est_jaccard"), 4))),
+
+    // ---- Dedup: SimHash fingerprints (hash-based; rows-only) ----
+    "q18_simhash" -> ((s, dir) => Dedup.simHash(t(s, dir, "documents"))),
+
+    // ---- Dedup: exact n-gram Jaccard over a bounded block ----
+    "q19_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val ids = docs.select(col("doc_id"))
+      val cands = ids.select(col("doc_id").as("id_a"))
+        .crossJoin(ids.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      Dedup.jaccardVerify(docs, cands, k = 3, threshold = 0.2)
+    }),
+
+    // ---- Similarity: exact brute-force cosine top-k ----
+    "q20_embedding_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
+        .withColumn("rank", col("rank").cast("bigint"))
+    }),
+
+    // ---- Similarity: IVF-bucketed ANN (approximate; rows-only) ----
+    "q21_ivf_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5)
+        .withColumn("rank", col("rank").cast("bigint"))
+    }),
+
+    // ---- Dedup: embedding-cosine near-duplicate pairs ----
+    "q22_embedding_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("cos_sim",
+          round(graft.functions.VectorFunctions.cosine(col("v_a"), col("v_b")), 6))
+        .filter(col("cos_sim") >= 0.4)
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- Text: winnowing-style document fingerprint (rows-only) ----
+    "q23_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Multimodal: binary payload + stubbed decode plumbing ----
+    "q24_multimodal_features" -> ((s, dir) => Multimodal.featureTable(s, dir)),
+
+    // ---- Approximate distinct (HLL; impl-specific → rows-only) ----
+    "q25_approx_users" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")
+    }),
+  )
+
+  /** DuckDB oracle SQL per query (same tables, same column names). */
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '2000-06-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_daily_store_metrics" ->
+      """WITH o AS (
+        |  SELECT o_custkey % 10 AS store_id, CAST(o_orderdate AS DATE) AS dt,
+        |    ROUND(SUM(o_totalprice), 2) AS revenue,
+        |    COUNT(*) AS order_count,
+        |    COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS fulfilled_orders
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (
+        |  SELECT user_id % 10 AS store_id, CAST(ts AS DATE) AS dt,
+        |    COUNT(*) AS sessions, COUNT(DISTINCT user_id) AS visitors
+        |  FROM events GROUP BY 1, 2)
+        |SELECT store_id, dt,
+        |  COALESCE(revenue, 0) AS revenue,
+        |  COALESCE(order_count, 0) AS order_count,
+        |  COALESCE(fulfilled_orders, 0) AS fulfilled_orders,
+        |  COALESCE(sessions, 0) AS sessions,
+        |  COALESCE(visitors, 0) AS visitors
+        |FROM o FULL JOIN e USING (store_id, dt)
+        |ORDER BY store_id, dt""".stripMargin,
+
+    "q03_top_orders" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS dt, revenue
+        |FROM (SELECT l_orderkey,
+        |        ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |      FROM lineitem GROUP BY 1) r
+        |JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q04_region_revenue" ->
+      """SELECT r_name,
+        |  ROUND(SUM(o_totalprice), 2) AS revenue,
+        |  COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
+
+    "q05_event_type_stats" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  COUNT(*) FILTER (WHERE value > 100.0) AS n_big,
+        |  ROUND(SUM(value), 2) AS total_value,
+        |  ROUND(AVG(value), 2) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q06_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS dt,
+        |    ROUND(o_totalprice, 2) AS order_value,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    ROUND(SUM(ROUND(o_totalprice, 2)) OVER
+        |      (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_value
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY CAST(o_orderdate AS DATE), o_orderkey))
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q07_setops" ->
+      """WITH building AS (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |big AS (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  GROUP BY 1 HAVING SUM(o_totalprice) > 3000000.0)
+        |SELECT custkey, 'building_big' AS tag
+        |FROM (SELECT custkey FROM building INTERSECT SELECT custkey FROM big)
+        |UNION ALL
+        |SELECT custkey, 'building_small' AS tag
+        |FROM (SELECT custkey FROM building EXCEPT SELECT custkey FROM big)
+        |ORDER BY tag, custkey""".stripMargin,
+
+    "q08_daily_users" ->
+      """SELECT CAST(ts AS DATE) AS dt, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY dt""".stripMargin,
+
+    "q09_json_props" ->
+      """SELECT event_type, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  ROUND(AVG(k), 2) AS avg_k
+        |FROM (SELECT event_type, CAST(props->>'k' AS INTEGER) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q10_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_custkey % 10 AS store_id, CAST(o_orderdate AS DATE) AS dt,
+        |    ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS order_count,
+        |    COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS fulfilled_orders
+        |  FROM orders GROUP BY 1, 2),
+        |tgt AS (SELECT * FROM base WHERE dt < DATE '2000-01-01'),
+        |upd AS (SELECT * FROM base WHERE dt >= DATE '1999-12-25')
+        |SELECT * FROM (
+        |  SELECT * FROM tgt t
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd u
+        |                    WHERE u.store_id = t.store_id AND u.dt = t.dt)
+        |  UNION ALL SELECT * FROM upd)
+        |ORDER BY store_id, dt""".stripMargin,
+
+    "q11_staging_orders" ->
+      """SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+        |  o_orderstatus AS status, ROUND(o_totalprice, 2) AS order_value,
+        |  CAST(o_orderdate AS DATE) AS dt,
+        |  split_part(o_orderpriority, '-', 1) AS priority_code
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |ORDER BY order_id""".stripMargin,
+
+    "q12_expectations" ->
+      """SELECT * FROM (
+        |  SELECT 'columns_ordered' AS check_name, CAST(0 AS BIGINT) AS violations
+        |  UNION ALL
+        |  SELECT 'o_orderkey_not_null',
+        |    COUNT(*) FILTER (WHERE o_orderkey IS NULL) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice_min',
+        |    COUNT(*) FILTER (WHERE o_totalprice < 0.0) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus_regex',
+        |    COUNT(*) FILTER (WHERE NOT regexp_matches(CAST(o_orderstatus AS VARCHAR), '^[A-Z]'))
+        |    FROM orders)
+        |ORDER BY check_name""".stripMargin,
+
+    "q13_stream_daily" ->
+      """SELECT CAST(ts AS DATE) AS dt, event_type, COUNT(*) AS n_events,
+        |  ROUND(SUM(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY dt, event_type""".stripMargin,
+
+    "q14_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q15_text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_tok_len,
+        |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+        |      ('the','a','of','and','to','in','is','on') THEN 1 ELSE 0 END))
+        |      AS BIGINT) AS stop_hits,
+        |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+        |      ('the','a','of','and','to','in','is','on',
+        |       'der','die','das','und','ist','nicht','ein','zu',
+        |       'el','la','de','que','y','en','un','es',
+        |       'le','et','les','des','est','une') THEN 1 ELSE 0 END))
+        |      AS BIGINT) AS stop_all
+        |  FROM t)
+        |SELECT doc_id, n_tokens, sum_tok_len, stop_hits,
+        |  ROUND(CAST(sum_tok_len AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS mean_tok_len,
+        |  ROUND(
+        |    LEAST(CAST(n_tokens AS DOUBLE) / 16.0, 1.0) * 0.4 +
+        |    (CASE WHEN CAST(sum_tok_len AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |          BETWEEN 2.0 AND 9.0 THEN 1.0 ELSE 0.5 END) * 0.4 +
+        |    LEAST(CAST(stop_all AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 4.0, 1.0) * 0.2,
+        |  4) AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q16_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+        |      ('the','a','of','and','to','in','is','on') THEN 1 ELSE 0 END)) AS BIGINT) AS s_en,
+        |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+        |      ('der','die','das','und','ist','nicht','ein','zu') THEN 1 ELSE 0 END)) AS BIGINT) AS s_de,
+        |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+        |      ('el','la','de','que','y','en','un','es') THEN 1 ELSE 0 END)) AS BIGINT) AS s_es,
+        |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+        |      ('le','la','et','les','des','est','un','une') THEN 1 ELSE 0 END)) AS BIGINT) AS s_fr
+        |  FROM t)
+        |SELECT doc_id, s_en, s_de, s_es, s_fr,
+        |  CASE WHEN GREATEST(s_en, s_de, s_es, s_fr) <= 0 THEN 'und'
+        |       WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr) THEN 'en'
+        |       WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr) THEN 'de'
+        |       WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr) THEN 'es'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q19_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 200),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+        |  FROM d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q20_embedding_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT * FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id)
+        |      AS rank
+        |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 8)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q22_embedding_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 500)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+  )
 }

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a training-data pipeline, built entirely
+  * from codegen'd Spark built-ins (split / transform / aggregate /
+  * xxhash64) — no UDFs, so every column here stays inside whole-stage
+  * codegen and scales linearly with input bytes.
+  *
+  * Capability extension beyond the reference (which only does regex
+  * validation of a column, `local_runner.py:94-99`); required by the
+  * north-star: language-ID, quality scoring, token counting, document
+  * fingerprinting over the `documents` table.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Sum of token lengths (for mean-word-length style quality features). */
+  def sumTokenLen(text: Column): Column =
+    aggregate(tokens(text), lit(0), (acc, t) => acc + length(t))
+
+  /** How many tokens appear in `words` (NOT deduplicated — each
+    * occurrence counts, matching a stopword-ratio definition). */
+  def wordHits(text: Column, words: Seq[String]): Column = {
+    val dict = array(words.map(lit): _*)
+    aggregate(tokens(text), lit(0),
+      (acc, t) => acc + when(array_contains(dict, t), 1).otherwise(0))
+  }
+
+  /** Tiny per-language stopword tables for the n-gram/stopword
+    * language-ID heuristic. */
+  val StopwordsByLang: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une"))
+
+  /** Predicted language = argmax of stopword hits, ties broken by list
+    * order, zero hits ⇒ "und" (undetermined). Deterministic, and simple
+    * enough to mirror in the DuckDB oracle. */
+  def langId(text: Column): Column = {
+    val scores = StopwordsByLang.map { case (lang, words) =>
+      lang -> wordHits(text, words)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0, "und")) { case (acc, (lang, score)) =>
+      acc.when(score === best, lang)
+    }
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, plausible
+    * mean word length, and some stopword presence. Heuristic, but every
+    * term is a plain arithmetic expression (oracle-mirrorable). */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val meanLen = sumTokenLen(text).cast("double") / n
+    val stopRatio = wordHits(text, StopwordsByLang.flatMap(_._2)).cast("double") / n
+    val lengthTerm = least(n / lit(16.0), lit(1.0))
+    val wordLenTerm = when(meanLen.between(2.0, 9.0), 1.0).otherwise(0.5)
+    val stopTerm = least(stopRatio * 4.0, lit(1.0))
+    round(lengthTerm * 0.4 + wordLenTerm * 0.4 + stopTerm * 0.2, 4)
+  }
+
+  /** Word k-shingles: overlapping k-token windows joined by a space
+    * (input to MinHash). Empty array when the doc has < k tokens. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** Winnowing-style document fingerprint: min of a 64-bit hash over all
+    * `w`-token windows. Two documents sharing any minimal window collide
+    * — a cheap near-dup prefilter and a stable content fingerprint. */
+  def fingerprint(text: Column, w: Int = 8): Column = {
+    val sh = shingles(text, w)
+    when(size(sh) === 0, xxhash64(trim(text)))
+      .otherwise(array_min(transform(sh, s => xxhash64(s))))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental MERGE upsert without a transactional table format.
+  *
+  * The reference merges on `unique_key=['store_id','dt']` into a
+  * partitioned curated layer (reference
+  * `dbt/models/marts/fct_daily_store_metrics.sql:1-5`,
+  * `dbt/dbt_project.yml:13-15`). There is no Delta/Iceberg jar in this
+  * environment, so MERGE INTO is rebuilt from relational primitives:
+  * keep target rows whose key has no update (`left_anti`), then union the
+  * updates. For the on-disk path, merge keys ⊇ partition keys, so
+  * dynamic partition overwrite rewrites ONLY the partitions an update
+  * touches — at 100 TB an incremental run with a 7-day window rewrites
+  * 7 days of partitions, not the table.
+  */
+object MergeWriter {
+
+  /** Pure upsert: rows of `updates` win on key collision.
+    * Idempotent: upsert(upsert(t,u),u) == upsert(t,u). */
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(updates, keys, "left_anti").unionByName(updates)
+
+  /** Merge `updates` into the partitioned parquet table at `path`.
+    * Requires `partitionCols ⊆ keys` so overwritten partitions are
+    * exactly the ones whose keys appear in `updates`. First call
+    * bootstraps the table. */
+  def mergeWrite(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.forall(keys.contains),
+      s"partition cols $partitionCols must be a subset of merge keys $keys")
+    val exists = new java.io.File(path).exists() ||
+      scala.util.Try(spark.read.parquet(path).schema.nonEmpty).getOrElse(false)
+    val toWrite =
+      if (!exists) updates
+      else {
+        // Only the touched partitions need the anti-join: restrict the
+        // target scan to partitions present in `updates` (partition
+        // pruning via an IN filter on the partition columns), then merge.
+        val touched = updates.select(partitionCols.map(col): _*).distinct()
+        val target = spark.read.parquet(path)
+          .join(broadcast(touched), partitionCols, "left_semi")
+        upsert(target, updates, keys)
+      }
+    val writer = toWrite.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(path)
+  }
+}

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for a training-data pipeline: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design: every variant is candidate-generation-by-key (groupBy /
+  * equi-join on a hash-derived bucket) followed by verification WITHIN
+  * buckets only — never an all-pairs comparison. At 100 TB the bucket
+  * join shuffles on band hashes (uniformly distributed by construction),
+  * and pathological buckets are capped (`maxBucket`) the way production
+  * LSH dedup pipelines cap hot shingle buckets.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical normalized text, keep the smallest id
+    * as canonical. Map-side partial agg makes this one shuffle of
+    * (hash(text) → id) pairs. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(col(textCol))
+      .agg(
+        min(col(idCol)).as(idCol),
+        count(lit(1)).as("dup_count"))
+      .select(col(idCol), col("dup_count"))
+      .orderBy(idCol)
+
+  /** MinHash signature: `numHashes` permutations approximated by seeded
+    * xxhash64 over word `k`-shingles; signature i = min over shingles of
+    * hash_i(shingle). Pure built-ins: array_min ∘ transform ∘ xxhash64.
+    *
+    * The shingle array is staged as its own projection first, then the
+    * per-shingle base hash: each signature lambda references a bound
+    * column, not the shingle-building expression tree. Inlining it
+    * makes every one of the `numHashes` lambdas rebuild all shingles
+    * (no CSE across lambda trees) — a ~numHashes× slowdown measured at
+    * sf0.1. Hashing a precomputed long per permutation instead of
+    * re-hashing the shingle string cuts another ~4× of string work. */
+  def withMinHashSignature(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
+      textCol: String = "text"): DataFrame = {
+    val staged = docs
+      .withColumn("__shingle_hashes",
+        transform(shingles(col(textCol), k), s => xxhash64(s)))
+    val sig = array((0 until numHashes).map { i =>
+      array_min(transform(col("__shingle_hashes"), h => xxhash64(lit(i), h)))
+    }: _*)
+    staged.withColumn("minhash_sig", sig).drop("__shingle_hashes")
+  }
+
+  /** LSH banding: split the signature into `bands` bands of
+    * `numHashes/bands` rows, hash each band, and emit candidate pairs
+    * that share ANY band bucket. Returns distinct (id_a, id_b) with
+    * id_a < id_b, plus the MinHash-estimated Jaccard (fraction of equal
+    * signature positions).
+    *
+    * Scale shape (the expensive part of dedup at 100 TB):
+    *  - candidate generation self-joins ONLY (band_hash → id) pairs —
+    *    two ints per row — never the signatures;
+    *  - pairs are distinct-ed BEFORE signatures are re-attached, so the
+    *    estimate join is per unique pair, not per shared bucket;
+    *  - hot buckets (a shingle pattern shared by thousands of docs) are
+    *    capped at `maxBucket` members, the standard skew defense — a
+    *    bucket that big is a common-boilerplate cluster, not a dup pair
+    *    candidate set worth quadratic work;
+    *  - default 8 rows/band drives the false-candidate rate to j^8 per
+    *    band, which is what keeps vocabulary-heavy corpora (where
+    *    random-pair Jaccard is high) from exploding. */
+  def minHashCandidates(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
+      bands: Int = 4, maxBucket: Int = 200,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    // The signature table is referenced three times below (banding +
+    // both sides of the pair estimate); persist so the shingle/hash
+    // work runs once, not three times.
+    val signed = withMinHashSignature(docs, k, numHashes, textCol)
+      .select(col(idCol), col("minhash_sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (band_id, band_hash, id) — band hash over the slice of the signature
+    val banded = signed.select(
+      col(idCol),
+      explode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => struct(
+          b.as("band_id"),
+          xxhash64(b, slice(col("minhash_sig"), b * rows + 1, lit(rows)).cast("string"))
+            .as("band_hash")))).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_hash"))
+    // Cap pathological buckets (hot-key defense for the self-join).
+    val bucketSizes = banded.groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n").between(2, maxBucket))
+    val inBuckets = banded.join(bucketSizes, Seq("band_id", "band_hash"), "left_semi")
+    val a = inBuckets.select(col("band_id"), col("band_hash"), col(idCol).as("id_a"))
+    val b = inBuckets.select(col("band_id"), col("band_hash"), col(idCol).as("id_b"))
+    val pairs = a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    // Re-attach signatures once per unique pair for the estimate.
+    val sigA = signed.select(col(idCol).as("id_a"), col("minhash_sig").as("sig_a"))
+    val sigB = signed.select(col(idCol).as("id_b"), col("minhash_sig").as("sig_b"))
+    pairs.join(sigA, "id_a").join(sigB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+          .as("est_jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact n-gram Jaccard verification over candidate pairs: joins token
+    * shingle SETS back and computes |∩|/|∪|. Only candidates pay the
+    * set-intersection cost. */
+  def jaccardVerify(docs: DataFrame, candidates: DataFrame, k: Int = 3,
+      threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sets = docs.select(col(idCol),
+      array_distinct(shingles(col(textCol), k)).as("sh"))
+    candidates
+      .join(sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        when(col("uni") === 0, 0.0d)
+          .otherwise(round(col("inter").cast("double") / col("uni"), 4)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 64-bit SimHash per document: per-token 64-bit hash, each bit votes
+    * ±1, sign of the vote sum sets the fingerprint bit. Near-dups have
+    * small Hamming distance. Implemented as explode → 64 conditional
+    * counts → bit reassembly (all codegen'd aggregates). */
+  def simHash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitVotes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val voted = tok.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
+    val fp = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
+      acc.bitwiseOR(shiftleft(
+        when(col(s"b$j") > 0, 1L).otherwise(0L), j))
+    }
+    voted.select(col(idCol), fp.as("simhash")).orderBy(idCol)
+  }
+
+  /** SimHash near-dup candidates: bucket by 16-bit fingerprint chunks
+    * (documents within Hamming distance 3 of each other share at least
+    * one of 4 chunks, pigeonhole) then verify Hamming ≤ `maxHamming`. */
+  def simHashCandidates(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = simHash(docs, idCol, textCol)
+    val chunked = fp.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk_id"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))
+      }: _*)).as("c"))
+      .select(col(idCol), col("simhash"), col("c.chunk_id"), col("c.chunk"))
+    val a = chunked.select(col("chunk_id"), col("chunk"),
+      col(idCol).as("id_a"), col("simhash").as("fp_a"))
+    val b = chunked.select(col("chunk_id"), col("chunk"),
+      col(idCol).as("id_b"), col("simhash").as("fp_b"))
+    a.join(b, Seq("chunk_id", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming surface.
+  *
+  * The reference has no true streaming — ingestion is a 6-hourly cron
+  * with a 7-day late-data re-merge window (reference
+  * `airflow/dags/lakehouse_pipelines.py:105`,
+  * `dbt/models/marts/fct_daily_store_metrics.sql:34-36`). The idiomatic
+  * Spark upgrade is a watermarked windowed aggregation: the watermark IS
+  * the reference's bounded-lateness contract, expressed to the engine so
+  * state is bounded instead of re-aggregated.
+  *
+  * On a cluster this runs continuously against arriving files/Kafka; for
+  * verification we drive it with `Trigger.AvailableNow` + a memory sink,
+  * which executes the same incremental state machine over the backlog.
+  */
+object Streams {
+
+  private val counter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Tumbling 1-day windows over the event stream: per (day, event_type)
+    * counts and value sums, with a 7-day watermark mirroring the
+    * reference's late-data window. Runs the stream to completion and
+    * returns the result table (batch-equivalent semantics → DuckDB
+    * oracle-checkable). */
+  def dailyEventMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    // ts is parquet TIMESTAMP(NANOS): read as long, rebuild (see Sources).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    // FileStreamSource needs a directory basePath; select the one table
+    // file via pathGlobFilter.
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val agg = stream
+      .withWatermark("ts", "7 days")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+    val sinkName = s"graft_stream_daily_${counter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .select(
+        to_date(col("w.start")).as("dt"),
+        col("event_type"),
+        col("n_events"),
+        col("total_value"))
+      .orderBy("dt", "event_type")
+  }
+}

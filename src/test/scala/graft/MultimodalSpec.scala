@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaRow
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("featurize is deterministic and batch-shape independent") {
+    val media = spark.createDataset(Seq(
+      MediaRow(1L, "image/png", 4, 4, Array[Byte](1, 2, 3, 4)),
+      MediaRow(2L, "audio/wav", 0, 0, Array[Byte](9, 8, 7))))
+    val a = Multimodal.featurize(media, batchSize = 1)
+      .collect().map(f => (f.media_id, f.checksum)).toMap
+    val b = Multimodal.featurize(media, batchSize = 64)
+      .collect().map(f => (f.media_id, f.checksum)).toMap
+    assert(a == b)
+    assert(a(1L) != a(2L))
+  }
+
+  test("feature schema carries typed metadata through") {
+    val media = spark.createDataset(Seq(
+      MediaRow(1L, "image/png", 4, 4, Array[Byte](1, 2, 3, 4))))
+    val f = Multimodal.featurize(media).collect()(0)
+    assert(f.mime == "image/png" && f.n_bytes == 4L && f.features.length == 8)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.99f, 0.1f, 0.0f)),   // near-dup of 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f)),
+    (50L, Array(0.7f, 0.7f, 0.0f)))   // centroid-eligible (id % 50 == 0... id 0 too)
+    .toDF("vec_id", "embedding")
+
+  test("cosine in double precision") {
+    val r = spark.range(1).select(
+      round(VectorFunctions.cosine(
+        array(lit(1.0f), lit(2.0f)), array(lit(2.0f), lit(1.0f))), 4))
+      .collect()(0).getDouble(0)
+    assert(r == 0.8)
+  }
+
+  test("brute-force top-k finds the planted neighbor first") {
+    val got = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.head._2 == 1L)                 // nearest neighbor of 0 is 1
+    assert(got.head._3 > 0.99)
+    assert(got.map(_._4).toSeq == Seq(1, 2))  // ranks are dense
+  }
+
+  test("IVF assignment puts near-dups in the same cluster") {
+    val centroids = Similarity.sampleCentroids(vecs, stride = 50)
+    val assigned = Similarity.assignToCentroids(vecs, centroids)
+      .select("vec_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(assigned(0L) == assigned(1L))
+  }
+
+  test("embeddingNearDups finds the planted pair at high threshold") {
+    val got = Similarity.embeddingNearDups(vecs, threshold = 0.95, stride = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 1L)))
+  }
+}

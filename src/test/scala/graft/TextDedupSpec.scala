@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+class TextDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog near the old river bank today"
+  private val docANear = "the quick brown fox jumps over the lazy dog near the old river bank tomorrow"
+  private val docB = "completely different words describing unrelated machinery parts and spare tooling inventory lists"
+
+  private val docs = Seq(
+    (0L, docA), (1L, docANear), (2L, docB), (3L, docA))
+    .toDF("doc_id", "text")
+
+  test("token count / shingles") {
+    val r = spark.range(1).select(
+      TextFunctions.tokenCount(lit("  a b  c ")).as("n"),
+      TextFunctions.shingles(lit("a b c d"), 3).as("sh"))
+      .collect()(0)
+    assert(r.getInt(0) == 3)
+    assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val r = spark.range(1).select(
+      TextFunctions.langId(lit("the cat is on the mat")).as("en"),
+      TextFunctions.langId(lit("der hund ist nicht ein katze")).as("de"),
+      TextFunctions.langId(lit("zzz qqq www")).as("und"))
+      .collect()(0)
+    assert((r.getString(0), r.getString(1), r.getString(2)) == ("en", "de", "und"))
+  }
+
+  test("exact dedup groups identical texts") {
+    val got = Dedup.exact(docs).as[(Long, Long)].collect().toSeq
+    assert(got.contains((0L, 2L)))   // docA appears twice, canonical id 0
+    assert(got.length == 3)          // 3 distinct texts
+  }
+
+  test("minhash LSH surfaces the planted near-duplicate pair") {
+    val cands = Dedup.minHashCandidates(docs, k = 3, numHashes = 32, bands = 16)
+    val pairs = cands.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))   // near-dup
+    assert(pairs.contains((0L, 3L)))   // exact dup
+    assert(!pairs.contains((0L, 2L)))  // unrelated
+  }
+
+  test("jaccard verification scores the near-dup high and is symmetric-safe") {
+    val cands = Seq((0L, 1L), (0L, 2L)).toDF("id_a", "id_b")
+    val got = Dedup.jaccardVerify(docs, cands, k = 3, threshold = 0.0)
+      .as[(Long, Long, Double)].collect().toSeq
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got((0L, 1L)) > 0.7)
+    assert(got((0L, 2L)) == 0.0)
+  }
+
+  test("simhash: identical docs share fingerprint; near-dups are close") {
+    val fps = Dedup.simHash(docs).as[(Long, Long)].collect().toMap
+    assert(fps(0L) == fps(3L))
+    val hamming = java.lang.Long.bitCount(fps(0L) ^ fps(1L))
+    assert(hamming <= 8, s"near-dup hamming was $hamming")
+    val hammingFar = java.lang.Long.bitCount(fps(0L) ^ fps(2L))
+    assert(hammingFar > hamming)
+  }
+
+  test("fingerprint is content-determined") {
+    val fp = docs.select(col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(0L) == fp(3L))
+    assert(fp(0L) != fp(2L))
+  }
+}
