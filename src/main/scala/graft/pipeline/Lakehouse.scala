@@ -1,0 +1,190 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Sources
+import graft.quality.Expectations
+import graft.quality.Expectations._
+
+/** The reference-faithful lakehouse pipeline: the four sample domains,
+  * their schemas, expectation suites, staging projections, the fact
+  * build, and the per-domain orchestration.
+  *
+  * Shape mirrors the reference end to end —
+  * domains/registry: `local_runner.py:19-40`; staging casts:
+  * `dbt/models/staging/stg_<domain>.sql:3-11`; suites:
+  * `great_expectations/expectations/<domain>.json`; fact:
+  * `dbt/models/marts/fct_daily_store_metrics.sql:6-32`; DAG stages
+  * ingest→validate→transform→publish with retries:
+  * `airflow/dags/lakehouse_pipelines.py:98-144` — but each stage is a
+  * lazy DataFrame transform, so the whole pipeline is ONE Catalyst plan
+  * per output and staging views inline into the fact scan.
+  */
+object Lakehouse {
+
+  // ---- Schemas (explicit; the reference lets pandas/Glue infer, we
+  // pin them so the scan is typed from the start) ----
+
+  val erpOrdersSchema: StructType = StructType(Seq(
+    StructField("order_id", IntegerType),
+    StructField("customer_id", StringType),
+    StructField("store_id", StringType),
+    StructField("dt", StringType),
+    StructField("order_value", DoubleType),
+    StructField("status", StringType)))
+
+  val crmLeadsSchema: StructType = StructType(Seq(
+    StructField("lead_id", StringType),
+    StructField("name", StringType),
+    StructField("email", StringType),
+    StructField("source", StringType),
+    StructField("status", StringType),
+    StructField("store_id", StringType),
+    StructField("dt", StringType)))
+
+  val productsSchema: StructType = StructType(Seq(
+    StructField("product_id", StringType),
+    StructField("name", StringType),
+    StructField("category", StringType),
+    StructField("price", DoubleType),
+    StructField("active", BooleanType),
+    StructField("store_id", StringType),
+    StructField("dt", StringType)))
+
+  /** web_events.metadata has heterogeneous keys per row (utm_source /
+    * cta / query / empty) ⇒ a map, not a sparse struct (SURVEY §1.2). */
+  val webEventsSchema: StructType = StructType(Seq(
+    StructField("event_id", StringType),
+    StructField("visitor_id", StringType),
+    StructField("store_id", StringType),
+    StructField("dt", StringType),
+    StructField("page", StringType),
+    StructField("event_type", StringType),
+    StructField("metadata", MapType(StringType, StringType))))
+
+  // ---- Expectation suites (reference great_expectations/expectations) ----
+
+  val suites: Map[String, Suite] = Map(
+    "erp_orders" -> Suite("erp_orders",
+      Some(ColumnsOrdered(erpOrdersSchema.fieldNames.toSeq)),
+      Seq(NotNull("order_id"), MinBound("order_value", 0.0))),
+    "crm_leads" -> Suite("crm_leads",
+      Some(ColumnsOrdered(crmLeadsSchema.fieldNames.toSeq)),
+      Seq(RegexMatch("email", ".+@.+\\..+"))),
+    "products" -> Suite("products",
+      Some(ColumnsOrdered(productsSchema.fieldNames.toSeq)),
+      Seq(MinBound("price", 0.0))),
+    "web_events" -> Suite("web_events",
+      Some(ColumnsOrdered(webEventsSchema.fieldNames.toSeq)),
+      Seq(NotNull("event_id"), NotNull("store_id"))))
+
+  // ---- Ingestion (S1/S2: suffix-dispatched, like local_runner._load_df) ----
+
+  def ingest(spark: SparkSession, rawDir: String, domain: String): DataFrame =
+    domain match {
+      case "erp_orders" => Sources.csv(spark, s"$rawDir/erp_orders.csv", erpOrdersSchema)
+      case "crm_leads"  => Sources.csv(spark, s"$rawDir/crm_leads.csv", crmLeadsSchema)
+      case "products"   => Sources.csv(spark, s"$rawDir/products.csv", productsSchema)
+      case "web_events" => Sources.jsonLines(spark, s"$rawDir/web_events.json", webEventsSchema)
+      case other => throw new IllegalArgumentException(s"unknown domain: $other")
+    }
+
+  // ---- Staging projections (stg_<domain>.sql casts) ----
+
+  def stgErpOrders(raw: DataFrame): DataFrame = raw.select(
+    col("order_id").cast(IntegerType).as("order_id"),
+    col("customer_id"), col("store_id"),
+    to_date(col("dt")).as("dt"),
+    col("order_value").cast(DecimalType(12, 2)).as("order_value"),
+    col("status"))
+
+  def stgCrmLeads(raw: DataFrame): DataFrame = raw.select(
+    col("lead_id"), col("name"), col("email"), col("source"), col("status"),
+    col("store_id"), to_date(col("dt")).as("dt"))
+
+  def stgProducts(raw: DataFrame): DataFrame = raw.select(
+    col("product_id"), col("name"), col("category"),
+    col("price").cast(DecimalType(12, 2)).as("price"),
+    col("active"), col("store_id"), to_date(col("dt")).as("dt"))
+
+  def stgWebEvents(raw: DataFrame): DataFrame = raw.select(
+    col("event_id"), col("visitor_id"), col("store_id"),
+    to_date(col("dt")).as("dt"),
+    col("page"), col("event_type"), col("metadata"))
+
+  def stage(domain: String, raw: DataFrame): DataFrame = domain match {
+    case "erp_orders" => stgErpOrders(raw)
+    case "crm_leads"  => stgCrmLeads(raw)
+    case "products"   => stgProducts(raw)
+    case "web_events" => stgWebEvents(raw)
+  }
+
+  // ---- Fact build (fct_daily_store_metrics.sql:6-32) ----
+
+  /** Chained FOJ of three daily aggregates on (store_id, dt). The
+    * Seq-key join coalesces keys like SQL USING (fct:24-25); aggregates
+    * run BEFORE the join so the shuffle carries |stores|×|days| rows.
+    * `incrementalDays` compiles the is_incremental() 7-day branch
+    * (fct:34-36). */
+  def buildFact(stgOrders: DataFrame, stgLeads: DataFrame, stgWeb: DataFrame,
+      incrementalDays: Option[Int] = None): DataFrame = {
+    val orders = stgOrders.groupBy("store_id", "dt").agg(
+      sum("order_value").as("revenue"),
+      count(lit(1)).as("order_count"))
+    val leads = stgLeads.groupBy("store_id", "dt").agg(
+      count(when(col("status") === "converted", 1)).as("converted_leads"))
+    val web = stgWeb.groupBy("store_id", "dt").agg(
+      count(lit(1)).as("sessions"))
+    val joined = orders
+      .join(leads, Seq("store_id", "dt"), "full_outer")
+      .join(web, Seq("store_id", "dt"), "full_outer")
+      .na.fill(0, Seq("order_count", "converted_leads", "sessions"))
+      .withColumn("revenue", coalesce(col("revenue"), lit(0).cast(DecimalType(12, 2))))
+    val windowed = incrementalDays match {
+      case Some(d) => joined.filter(col("dt") >= date_sub(current_date(), d))
+      case None => joined
+    }
+    windowed.orderBy("store_id", "dt")
+  }
+
+  // ---- Sinks (S5 CSV outputs like write_outputs; S9 view publication) ----
+
+  /** CSV sink; complex columns (the web_events metadata map) are
+    * JSON-encoded at the boundary, matching how the reference's pandas
+    * writer stringifies dicts. */
+  def writeCsv(df: DataFrame, path: String): Unit = {
+    val flat = df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case _: MapType | _: StructType | _: ArrayType =>
+          acc.withColumn(f.name, to_json(col(f.name)))
+        case _ => acc
+      }
+    }
+    flat.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+  }
+
+  /** Full run over a raw directory: per-domain ingest → validate (fail
+    * fast, local_runner.py:76-102) → stage → publish temp views; then
+    * the cross-domain fact. Returns the fact. */
+  def run(spark: SparkSession, rawDir: String,
+      outDir: Option[String] = None,
+      incrementalDays: Option[Int] = None): DataFrame = {
+    val staged = Seq("erp_orders", "crm_leads", "products", "web_events").map { d =>
+      val raw = ingest(spark, rawDir, d)
+      Expectations.validateOrThrow(raw, suites(d))
+      val s = stage(d, raw)
+      s.createOrReplaceTempView(s"stg_$d")   // S9: view publication
+      d -> s
+    }.toMap
+    val fact = buildFact(
+      staged("erp_orders"), staged("crm_leads"), staged("web_events"),
+      incrementalDays)
+    outDir.foreach { dir =>
+      staged.foreach { case (d, s) => writeCsv(s, s"$dir/stg_$d") }
+      writeCsv(fact, s"$dir/fct_daily_store_metrics")
+    }
+    fact
+  }
+}
