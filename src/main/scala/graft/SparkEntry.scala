@@ -11,7 +11,7 @@ import graft.lake.MergeWriter
 import graft.quality.Expectations
 import graft.quality.Expectations._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity, Multimodal}
+import graft.operators.{Dedup, Similarity, Multimodal, AsOfJoin, Sessionize}
 import graft.streaming.Streams
 
 /** Driver contract — one named query per implemented operator
@@ -275,6 +275,90 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy("event_type")
     }),
+
+    // ---- As-of join (operator Spark lacks; union-window form) ----
+    "q26_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value"), 2).as("purchase_value"))
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy("user_id", "ts")
+        .agg(round(max("value"), 2).as("err_value"))
+      AsOfJoin.asofBackward(purchases, errors, "user_id", "ts", "ts",
+        Seq("err_value"))
+        .select("event_id", "user_id", "purchase_value", "err_value")
+        .orderBy("event_id")
+    }),
+
+    // ---- Rollup with grouping id ----
+    "q27_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"),
+          grouping_id().cast("bigint").as("gid"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("revenue"), col("n_orders"), col("gid"))
+        .orderBy("gid", "status", "priority")
+    }),
+
+    // ---- Rolling 7-day window (range frame over day index) ----
+    "q28_rolling_revenue" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(
+          (col("o_custkey") % 10).as("store_id"),
+          to_date(col("o_orderdate")).as("dt"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      val w = Window.partitionBy("store_id")
+        .orderBy(datediff(col("dt"), lit(java.sql.Date.valueOf("1970-01-01"))))
+        .rangeBetween(-6, Window.currentRow)
+      daily
+        .withColumn("rolling_7d", round(sum(col("revenue")).over(w), 2))
+        .orderBy("store_id", "dt")
+    }),
+
+    // ---- Exact percentiles ----
+    "q29_percentiles" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          expr("round(percentile(value, 0.5), 4)").as("p50"),
+          expr("round(percentile(value, 0.9), 4)").as("p90"))
+        .orderBy("event_type")
+    }),
+
+    // ---- Top-k per group ----
+    "q30_topk_per_store" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        (col("o_custkey") % 10).as("store_id"),
+        col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("order_value"))
+      val w = Window.partitionBy("store_id")
+        .orderBy(col("order_value").desc, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 3)
+        .orderBy("store_id", "rn")
+    }),
+
+    // ---- lag(): per-customer order gaps ----
+    "q31_order_gaps" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("dt"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("dt"), col("o_orderkey"))
+      o.withColumn("days_since_prev",
+        datediff(col("dt"), lag(col("dt"), 1).over(w)).cast("bigint"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- Gap-based sessionization ----
+    "q32_sessionize" -> ((s, dir) =>
+      Sessionize.sessionStats(t(s, dir, "events"),
+        key = "user_id", ts = "ts", gapSeconds = 1800, valueCol = "value")),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -505,6 +589,83 @@ object SparkEntry {
         |  WHERE q.vec_id < 8)
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q26_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, ROUND(value, 2) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT user_id, ts, ROUND(MAX(value), 2) AS err_value
+        |  FROM events WHERE event_type = 'error' GROUP BY user_id, ts)
+        |SELECT p.event_id, p.user_id, p.purchase_value, e.err_value
+        |FROM p ASOF JOIN e ON p.user_id = e.user_id AND p.ts >= e.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q27_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  ROUND(SUM(o_totalprice), 2) AS revenue,
+        |  COUNT(*) AS n_orders,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
+
+    "q28_rolling_revenue" ->
+      """WITH d AS (
+        |  SELECT o_custkey % 10 AS store_id, CAST(o_orderdate AS DATE) AS dt,
+        |    ROUND(SUM(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT store_id, dt, revenue,
+        |  ROUND(SUM(revenue) OVER (
+        |    PARTITION BY store_id ORDER BY (dt - DATE '1970-01-01')
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rolling_7d
+        |FROM d ORDER BY store_id, dt""".stripMargin,
+
+    "q29_percentiles" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q30_topk_per_store" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey % 10 AS store_id, o_orderkey,
+        |    ROUND(o_totalprice, 2) AS order_value,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey % 10
+        |      ORDER BY ROUND(o_totalprice, 2) DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY store_id, rn""".stripMargin,
+
+    "q31_order_gaps" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS dt,
+        |  date_diff('day',
+        |    LAG(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+        |    CAST(o_orderdate AS DATE)) AS days_since_prev
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q32_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, value, epoch_ns(ts) // 1000 AS us FROM events),
+        |flagged AS (
+        |  SELECT user_id, value, us,
+        |    CASE WHEN LAG(us) OVER w IS NULL
+        |              OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0
+        |    END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sessions AS (
+        |  SELECT user_id, value, us,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events,
+        |  MAX(us) - MIN(us) AS duration_us,
+        |  ROUND(SUM(value), 2) AS total_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "q22_embedding_neardup" ->
       """WITH e AS (

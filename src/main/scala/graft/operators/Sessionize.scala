@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Gap-based sessionization over an event stream: a new session starts
+  * when the gap to the previous event of the same key exceeds
+  * `gapSeconds`.
+  *
+  * Classic two-window formulation (lag → boundary flag → running sum =
+  * session id): one shuffle on the key, everything else is sorted
+  * window work within partitions. Gap arithmetic is integer
+  * microseconds (`unix_micros`), not float seconds, so session
+  * boundaries are exact and engine-independent.
+  */
+object Sessionize {
+
+  /** Per-event session ids. */
+  def assignSessions(events: DataFrame, key: String, ts: String,
+      gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    val gapUs = gapSeconds * 1000000L
+    events
+      .withColumn("__prev_us", lag(unix_micros(col(ts)), 1).over(w))
+      .withColumn("__new_session",
+        when(col("__prev_us").isNull ||
+          unix_micros(col(ts)) - col("__prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("__new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev_us", "__new_session")
+  }
+
+  /** Session-level rollup: events per session, duration, value sum. */
+  def sessionStats(events: DataFrame, key: String, ts: String,
+      gapSeconds: Long, valueCol: String): DataFrame =
+    assignSessions(events, key, ts, gapSeconds)
+      .groupBy(col(key), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(unix_micros(col(ts))) - min(unix_micros(col(ts))))
+          .as("duration_us"),
+        round(sum(col(valueCol)), 2).as("total_value"))
+      .orderBy(col(key), col("session_id"))
+}
