@@ -11,8 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ in double precision. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ in double precision — the native codegen'd expression
+    * (see [[FloatVectorDot]]); same left-to-right accumulation as the
+    * HOF form, so results are bit-identical. */
+  def dot(a: Column, b: Column): Column = VectorExpressions.vecDot(a, b)
+
+  /** Higher-order-function formulation of the same dot product; kept
+    * for non-float element types and as the differential-test oracle
+    * for the native expression. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0d),
