@@ -359,6 +359,10 @@ object SparkEntry {
     "q32_sessionize" -> ((s, dir) =>
       Sessionize.sessionStats(t(s, dir, "events"),
         key = "user_id", ts = "ts", gapSeconds = 1800, valueCol = "value")),
+
+    // ---- V6 source freshness (wall-clock dependent → rows-only) ----
+    "q33_freshness" -> ((s, dir) =>
+      Expectations.freshnessHours(t(s, dir, "events"), "ts")),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
