@@ -363,6 +363,22 @@ object SparkEntry {
     // ---- V6 source freshness (wall-clock dependent → rows-only) ----
     "q33_freshness" -> ((s, dir) =>
       Expectations.freshnessHours(t(s, dir, "events"), "ts")),
+
+    // ---- Composite corpus cleaning: quality gate + lang-ID + dedup ----
+    "q34_corpus_clean" -> ((s, dir) => {
+      val txt = col("text")
+      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextFunctions.tokenCount(txt).cast("bigint").as("n_tokens"),
+          TextFunctions.qualityScore(txt).as("quality"),
+          TextFunctions.langId(txt).as("lang_pred"))
+        .filter(col("quality") >= 0.5)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "n_tokens", "quality", "lang_pred")
+        .orderBy("doc_id")
+    }),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -670,6 +686,49 @@ object SparkEntry {
         |  ROUND(SUM(value), 2) AS total_value
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q34_corpus_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, str_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_tok_len,
+        |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+        |      ('the','a','of','and','to','in','is','on',
+        |       'der','die','das','und','ist','nicht','ein','zu',
+        |       'el','la','de','que','y','en','un','es',
+        |       'le','et','les','des','est','une') THEN 1 ELSE 0 END))
+        |      AS BIGINT) AS stop_all,
+        |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+        |      ('the','a','of','and','to','in','is','on') THEN 1 ELSE 0 END)) AS BIGINT) AS s_en,
+        |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+        |      ('der','die','das','und','ist','nicht','ein','zu') THEN 1 ELSE 0 END)) AS BIGINT) AS s_de,
+        |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+        |      ('el','la','de','que','y','en','un','es') THEN 1 ELSE 0 END)) AS BIGINT) AS s_es,
+        |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+        |      ('le','la','et','les','des','est','un','une') THEN 1 ELSE 0 END)) AS BIGINT) AS s_fr
+        |  FROM t),
+        |scored AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    ROUND(
+        |      LEAST(CAST(n_tokens AS DOUBLE) / 16.0, 1.0) * 0.4 +
+        |      (CASE WHEN CAST(sum_tok_len AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |            BETWEEN 2.0 AND 9.0 THEN 1.0 ELSE 0.5 END) * 0.4 +
+        |      LEAST(CAST(stop_all AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 4.0, 1.0) * 0.2,
+        |    4) AS quality,
+        |    CASE WHEN GREATEST(s_en, s_de, s_es, s_fr) <= 0 THEN 'und'
+        |         WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr) THEN 'en'
+        |         WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr) THEN 'de'
+        |         WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr) THEN 'es'
+        |         ELSE 'fr' END AS lang_pred
+        |  FROM s)
+        |SELECT doc_id, n_tokens, quality, lang_pred
+        |FROM scored
+        |WHERE quality >= 0.5
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q22_embedding_neardup" ->
       """WITH e AS (
