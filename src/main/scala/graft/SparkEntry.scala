@@ -364,6 +364,19 @@ object SparkEntry {
     "q33_freshness" -> ((s, dir) =>
       Expectations.freshnessHours(t(s, dir, "events"), "ts")),
 
+    // ---- Semi/anti joins (EXISTS / NOT EXISTS) ----
+    "q35_semi_anti" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      val withBig = cust.join(bigOrders,
+        col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_big_order").as("tag"))
+      val withoutBig = cust.join(bigOrders,
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_big_order").as("tag"))
+      withBig.unionByName(withoutBig).orderBy("tag", "c_custkey")
+    }),
+
     // ---- Composite corpus cleaning: quality gate + lang-ID + dedup ----
     "q34_corpus_clean" -> ((s, dir) => {
       val txt = col("text")
@@ -686,6 +699,16 @@ object SparkEntry {
         |  ROUND(SUM(value), 2) AS total_value
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q35_semi_anti" ->
+      """WITH big AS (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |SELECT c_custkey, 'has_big_order' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM big WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_big_order' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM big WHERE o_custkey = c_custkey)
+        |ORDER BY tag, c_custkey""".stripMargin,
 
     "q34_corpus_clean" ->
       """WITH t AS (

@@ -78,10 +78,22 @@ object TextFunctions {
 
   /** Winnowing-style document fingerprint: min of a 64-bit hash over all
     * `w`-token windows. Two documents sharing any minimal window collide
-    * — a cheap near-dup prefilter and a stable content fingerprint. */
+    * — a cheap near-dup prefilter and a stable content fingerprint.
+    *
+    * Implementation note: tokens are hashed ONCE, then each window
+    * combines the token hashes with a rotate-xor mix in long arithmetic
+    * instead of concat_ws + re-hashing strings per window — measured
+    * ~6× at sf0.1 (string building per window dominated). Rotate-xor,
+    * not a multiplicative polynomial: ANSI mode (Spark 4 default)
+    * raises on long-multiply overflow, while shifts/xor wrap silently
+    * and keep order sensitivity. */
   def fingerprint(text: Column, w: Int = 8): Column = {
-    val sh = shingles(text, w)
-    when(size(sh) === 0, xxhash64(trim(text)))
-      .otherwise(array_min(transform(sh, s => xxhash64(s))))
+    val th = transform(tokens(text), t => xxhash64(t))
+    val mix = (acc: Column, x: Column) =>
+      shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(x)
+    when(size(th) < w, xxhash64(trim(text)))
+      .otherwise(array_min(transform(
+        sequence(lit(0), size(th) - w),
+        i => aggregate(slice(th, i + 1, lit(w)), lit(0L), mix))))
   }
 }

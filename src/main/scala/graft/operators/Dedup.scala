@@ -119,8 +119,12 @@ object Dedup {
   def jaccardVerify(docs: DataFrame, candidates: DataFrame, k: Int = 3,
       threshold: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // shingles hashed to longs before the set ops: |∩| and |∪| are
+    // unchanged absent a 64-bit collision, and long-array intersection
+    // is far cheaper than string-array intersection per pair
     val sets = docs.select(col(idCol),
-      array_distinct(shingles(col(textCol), k)).as("sh"))
+      array_distinct(transform(shingles(col(textCol), k), s => xxhash64(s)))
+        .as("sh"))
     candidates
       .join(sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
