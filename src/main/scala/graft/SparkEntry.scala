@@ -11,7 +11,7 @@ import graft.lake.MergeWriter
 import graft.quality.Expectations
 import graft.quality.Expectations._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity, Multimodal, AsOfJoin, Sessionize}
+import graft.operators.{Dedup, Similarity, Multimodal, AsOfJoin, Sessionize, RangeJoin}
 import graft.streaming.Streams
 
 /** Driver contract — one named query per implemented operator
@@ -364,6 +364,58 @@ object SparkEntry {
     "q33_freshness" -> ((s, dir) =>
       Expectations.freshnessHours(t(s, dir, "events"), "ts")),
 
+    // ---- Binned range join (interval containment, no NLJ blow-up) ----
+    "q36_range_join" -> ((s, dir) => {
+      val points = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"))
+      val bands = t(s, dir, "nation")
+        .select(col("n_nationkey").as("band_id"),
+          (col("n_nationkey").cast("double") * 80.0).as("lo"),
+          (col("n_nationkey").cast("double") * 80.0 + 160.0).as("hi"))
+      RangeJoin.binned(points, bands, "p_retailprice", "lo", "hi", binWidth = 80L)
+        .select(col("p_partkey"), col("band_id"),
+          round(col("p_retailprice"), 2).as("price"))
+        .orderBy("p_partkey", "band_id")
+    }),
+
+    // ---- Pivot (long → wide) ----
+    "q37_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0, Seq("F", "O", "P"))
+        .select(col("o_orderpriority"), col("F").as("n_f"),
+          col("O").as("n_o"), col("P").as("n_p"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- Unpivot (wide → long) ----
+    "q38_unpivot" -> ((s, dir) => {
+      DailyStoreMetrics.ordersDaily(
+        t(s, dir, "orders")
+          .filter(col("o_orderdate") >=
+            lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00"))))
+        .select(col("store_id"), col("dt"), col("revenue"),
+          col("order_count").cast("double").as("order_count"))
+        .unpivot(
+          Array(col("store_id"), col("dt")),
+          Array(col("revenue"), col("order_count")),
+          "metric", "value")
+        .orderBy("store_id", "dt", "metric")
+    }),
+
+    // ---- Wordcount: explode + count + top-k ----
+    "q39_token_freq" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 2)
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)
+    }),
+
     // ---- Semi/anti joins (EXISTS / NOT EXISTS) ----
     "q35_semi_anti" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
@@ -699,6 +751,43 @@ object SparkEntry {
         |  ROUND(SUM(value), 2) AS total_value
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q36_range_join" ->
+      """SELECT p_partkey, n_nationkey AS band_id,
+        |  ROUND(p_retailprice, 2) AS price
+        |FROM part JOIN nation
+        |  ON p_retailprice >= n_nationkey * 80.0
+        | AND p_retailprice <= n_nationkey * 80.0 + 160.0
+        |ORDER BY p_partkey, band_id""".stripMargin,
+
+    "q37_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q38_unpivot" ->
+      """WITH d AS (
+        |  SELECT o_custkey % 10 AS store_id, CAST(o_orderdate AS DATE) AS dt,
+        |    ROUND(SUM(o_totalprice), 2) AS revenue,
+        |    CAST(COUNT(*) AS DOUBLE) AS order_count
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+        |  GROUP BY 1, 2)
+        |SELECT store_id, dt, 'revenue' AS metric, revenue AS value FROM d
+        |UNION ALL
+        |SELECT store_id, dt, 'order_count' AS metric, order_count AS value FROM d
+        |ORDER BY store_id, dt, metric""".stripMargin,
+
+    "q39_token_freq" ->
+      """SELECT token, COUNT(*) AS cnt
+        |FROM (SELECT unnest(str_split_regex(trim(text), '\s+')) AS token
+        |      FROM documents)
+        |WHERE length(token) > 2
+        |GROUP BY token
+        |ORDER BY cnt DESC, token
+        |LIMIT 20""".stripMargin,
 
     "q35_semi_anti" ->
       """WITH big AS (
