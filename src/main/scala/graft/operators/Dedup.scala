@@ -44,10 +44,11 @@ object Dedup {
     val staged = docs
       .withColumn("__shingle_hashes",
         transform(shingles(col(textCol), k), s => xxhash64(s)))
-    val sig = array((0 until numHashes).map { i =>
-      array_min(transform(col("__shingle_hashes"), h => xxhash64(lit(i), h)))
-    }: _*)
-    staged.withColumn("minhash_sig", sig).drop("__shingle_hashes")
+    staged
+      .withColumn("minhash_sig",
+        graft.functions.MinHashSignature.minhashSignature(
+          col("__shingle_hashes"), numHashes))
+      .drop("__shingle_hashes")
   }
 
   /** LSH banding: split the signature into `bands` bands of
@@ -73,12 +74,19 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // docs with fewer than k tokens have no shingles — their sentinel
+    // signatures are all identical and would cross-collide in every
+    // band; they can't be shingle-near-dups of anything, so drop them
+    val eligible = docs.filter(size(tokens(col(textCol))) >= k)
     // The signature table is referenced three times below (banding +
-    // both sides of the pair estimate); persist so the shingle/hash
-    // work runs once, not three times.
-    val signed = withMinHashSignature(docs, k, numHashes, textCol)
+    // both sides of the pair estimate); persist EAGERLY so the
+    // shingle/hash work runs once — a lazy persist lets the three
+    // branches of a single job race the cold cache and each compute
+    // the signatures themselves.
+    val signed = withMinHashSignature(eligible, k, numHashes, textCol)
       .select(col(idCol), col("minhash_sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    signed.count()
     // (band_id, band_hash, id) — band hash over the slice of the signature
     val banded = signed.select(
       col(idCol),
