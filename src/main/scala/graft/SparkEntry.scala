@@ -364,6 +364,9 @@ object SparkEntry {
     "q33_freshness" -> ((s, dir) =>
       Expectations.freshnessHours(t(s, dir, "events"), "ts")),
 
+    // ---- Streaming exact dedup with watermark-bounded state ----
+    "q40_stream_dedup" -> ((s, dir) => Streams.dedupedEventCounts(s, dir)),
+
     // ---- Binned range join (interval containment, no NLJ blow-up) ----
     "q36_range_join" -> ((s, dir) => {
       val points = t(s, dir, "part")
@@ -751,6 +754,10 @@ object SparkEntry {
         |  ROUND(SUM(value), 2) AS total_value
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q40_stream_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT event_id) AS n_unique_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q36_range_join" ->
       """SELECT p_partkey, n_nationkey AS band_id,

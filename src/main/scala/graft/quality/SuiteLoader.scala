@@ -1,0 +1,56 @@
+package graft.quality
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+import graft.quality.Expectations._
+
+/** Config-driven expectation suites: parse the reference's Great
+  * Expectations JSON suite format into [[Expectations.Suite]].
+  *
+  * Format (reference `great_expectations/expectations/<d>.json`,
+  * interpreter `local_runner.py:62-104`): an `expectations` array of
+  * `{expectation_type, kwargs}`; supported types are exactly the four
+  * the reference executes — ordered column list, not-null, between
+  * (min enforced, max read-but-ignored, matching local_runner.py:87-92),
+  * regex match. Unknown types raise, like the reference (:101-102).
+  *
+  * Uses Jackson from Spark's own classpath — no extra dependency.
+  */
+object SuiteLoader {
+
+  private val mapper = new ObjectMapper()
+
+  def fromJsonString(name: String, json: String): Suite = {
+    val root = mapper.readTree(json)
+    val exps = Option(root.get("expectations"))
+      .map(_.elements().asScala.toSeq)
+      .getOrElse(Seq.empty)
+    var columnsOrdered: Option[ColumnsOrdered] = None
+    val checks = Seq.newBuilder[Expectation]
+    exps.foreach { e =>
+      val tpe = e.get("expectation_type").asText()
+      val kwargs = e.get("kwargs")
+      def column = kwargs.get("column").asText()
+      tpe match {
+        case "expect_table_columns_to_match_ordered_list" =>
+          val cols = kwargs.get("column_list").elements().asScala
+            .map(_.asText()).toSeq
+          columnsOrdered = Some(ColumnsOrdered(cols))
+        case "expect_column_values_to_not_be_null" =>
+          checks += NotNull(column)
+        case "expect_column_values_to_be_between" =>
+          // reference enforces only min_value (local_runner.py:87-92)
+          Option(kwargs.get("min_value")).filterNot(_.isNull)
+            .foreach(min => checks += MinBound(column, min.asDouble()))
+        case "expect_column_values_to_match_regex" =>
+          checks += RegexMatch(column, kwargs.get("regex").asText())
+        case other =>
+          throw new IllegalArgumentException(s"unsupported expectation: $other")
+      }
+    }
+    Suite(name, columnsOrdered, checks.result())
+  }
+
+  def fromFile(name: String, path: String): Suite =
+    fromJsonString(name, java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+}

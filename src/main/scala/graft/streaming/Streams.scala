@@ -60,4 +60,33 @@ object Streams {
         col("total_value"))
       .orderBy("dt", "event_type")
   }
+
+  /** Streaming exact dedup: `dropDuplicates` keyed on event_id with a
+    * watermark bounding the dedup state — the streaming form of the
+    * training-data pipeline's exact dedup (state holds only ids within
+    * the lateness horizon instead of the full history). Result here is
+    * rolled up per type so the batch oracle is order-insensitive. */
+  def dedupedEventCounts(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val sinkName = s"graft_stream_dedup_${counter.incrementAndGet()}"
+    val q = stream
+      .withWatermark("ts", "7 days")
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_unique_events"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).orderBy("event_type")
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.quality.{Expectations, SuiteLoader}
+import graft.quality.Expectations._
+
+class SuiteLoaderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val suiteJson =
+    """{
+      |  "expectation_suite_name": "erp_orders",
+      |  "expectations": [
+      |    {"expectation_type": "expect_table_columns_to_match_ordered_list",
+      |     "kwargs": {"column_list": ["order_id", "order_value", "email"]}},
+      |    {"expectation_type": "expect_column_values_to_not_be_null",
+      |     "kwargs": {"column": "order_id"}},
+      |    {"expectation_type": "expect_column_values_to_be_between",
+      |     "kwargs": {"column": "order_value", "min_value": 0, "max_value": 100000}},
+      |    {"expectation_type": "expect_column_values_to_match_regex",
+      |     "kwargs": {"column": "email", "regex": ".+@.+\\..+"}}
+      |  ]
+      |}""".stripMargin
+
+  test("parses the GE suite format into typed expectations") {
+    val suite = SuiteLoader.fromJsonString("erp_orders", suiteJson)
+    assert(suite.columnsOrdered ==
+      Some(ColumnsOrdered(Seq("order_id", "order_value", "email"))))
+    assert(suite.checks == Seq(
+      NotNull("order_id"),
+      MinBound("order_value", 0.0),
+      RegexMatch("email", ".+@.+\\..+")))
+  }
+
+  test("parsed suite evaluates like a hand-built one (max bound ignored)") {
+    val suite = SuiteLoader.fromJsonString("erp_orders", suiteJson)
+    // 999999 exceeds max_value but the reference never enforces max
+    val df = Seq((1L, 999999.0, "a@x.com"), (2L, -1.0, "bad"))
+      .toDF("order_id", "order_value", "email")
+    val got = Expectations.evaluate(df, suite).as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "columns_ordered" -> 0L,
+      "order_id_not_null" -> 0L,
+      "order_value_min" -> 1L,
+      "email_regex" -> 1L))
+  }
+
+  test("unknown expectation types raise, matching the reference") {
+    val bad = """{"expectations":[{"expectation_type":"expect_magic","kwargs":{}}]}"""
+    intercept[IllegalArgumentException] {
+      SuiteLoader.fromJsonString("x", bad)
+    }
+  }
+}
