@@ -6,6 +6,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM/codegen/parquet-footer paths so the first measured
+    // query doesn't absorb session startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+    graft.io.Sources.table(spark, sfDir, "region").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every row/column (count() would let

@@ -364,6 +364,30 @@ object SparkEntry {
     "q33_freshness" -> ((s, dir) =>
       Expectations.freshnessHours(t(s, dir, "events"), "ts")),
 
+    // ---- String scalar functions ----
+    "q41_string_funcs" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("name_upper"),
+          length(col("c_name")).cast("bigint").as("name_len"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          concat_ws("/", col("c_mktsegment"), col("c_name")).as("seg_name"),
+          levenshtein(col("c_name"), lit("Customer#000000001")).cast("bigint")
+            .as("edit_dist"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- Date formatting + monthly rollup ----
+    "q42_monthly_revenue" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(
+          round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("month")
+    }),
+
     // ---- Streaming exact dedup with watermark-bounded state ----
     "q40_stream_dedup" -> ((s, dir) => Streams.dedupedEventCounts(s, dir)),
 
@@ -754,6 +778,21 @@ object SparkEntry {
         |  ROUND(SUM(value), 2) AS total_value
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q41_string_funcs" ->
+      """SELECT c_custkey,
+        |  UPPER(c_name) AS name_upper,
+        |  CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+        |  SUBSTRING(c_name, 1, 8) AS name_prefix,
+        |  concat_ws('/', c_mktsegment, c_name) AS seg_name,
+        |  CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT) AS edit_dist
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q42_monthly_revenue" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  ROUND(SUM(o_totalprice), 2) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
 
     "q40_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n_unique_events

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.io.Sources
-import graft.quality.Expectations
+import graft.quality.{Expectations, SuiteLoader}
 import graft.quality.Expectations._
 
 /** The reference-faithful lakehouse pipeline: the four sample domains,
@@ -65,20 +65,45 @@ object Lakehouse {
     StructField("metadata", MapType(StringType, StringType))))
 
   // ---- Expectation suites (reference great_expectations/expectations) ----
+  // Config-driven like the reference: declared in the GE JSON format and
+  // parsed by SuiteLoader, not hard-coded as Scala.
 
-  val suites: Map[String, Suite] = Map(
-    "erp_orders" -> Suite("erp_orders",
-      Some(ColumnsOrdered(erpOrdersSchema.fieldNames.toSeq)),
-      Seq(NotNull("order_id"), MinBound("order_value", 0.0))),
-    "crm_leads" -> Suite("crm_leads",
-      Some(ColumnsOrdered(crmLeadsSchema.fieldNames.toSeq)),
-      Seq(RegexMatch("email", ".+@.+\\..+"))),
-    "products" -> Suite("products",
-      Some(ColumnsOrdered(productsSchema.fieldNames.toSeq)),
-      Seq(MinBound("price", 0.0))),
-    "web_events" -> Suite("web_events",
-      Some(ColumnsOrdered(webEventsSchema.fieldNames.toSeq)),
-      Seq(NotNull("event_id"), NotNull("store_id"))))
+  val suiteJson: Map[String, String] = Map(
+    "erp_orders" ->
+      """{"expectations": [
+        |  {"expectation_type": "expect_table_columns_to_match_ordered_list",
+        |   "kwargs": {"column_list": ["order_id","customer_id","store_id","dt","order_value","status"]}},
+        |  {"expectation_type": "expect_column_values_to_not_be_null",
+        |   "kwargs": {"column": "order_id"}},
+        |  {"expectation_type": "expect_column_values_to_be_between",
+        |   "kwargs": {"column": "order_value", "min_value": 0}}
+        |]}""".stripMargin,
+    "crm_leads" ->
+      """{"expectations": [
+        |  {"expectation_type": "expect_table_columns_to_match_ordered_list",
+        |   "kwargs": {"column_list": ["lead_id","name","email","source","status","store_id","dt"]}},
+        |  {"expectation_type": "expect_column_values_to_match_regex",
+        |   "kwargs": {"column": "email", "regex": ".+@.+\\..+"}}
+        |]}""".stripMargin,
+    "products" ->
+      """{"expectations": [
+        |  {"expectation_type": "expect_table_columns_to_match_ordered_list",
+        |   "kwargs": {"column_list": ["product_id","name","category","price","active","store_id","dt"]}},
+        |  {"expectation_type": "expect_column_values_to_be_between",
+        |   "kwargs": {"column": "price", "min_value": 0}}
+        |]}""".stripMargin,
+    "web_events" ->
+      """{"expectations": [
+        |  {"expectation_type": "expect_table_columns_to_match_ordered_list",
+        |   "kwargs": {"column_list": ["event_id","visitor_id","store_id","dt","page","event_type","metadata"]}},
+        |  {"expectation_type": "expect_column_values_to_not_be_null",
+        |   "kwargs": {"column": "event_id"}},
+        |  {"expectation_type": "expect_column_values_to_not_be_null",
+        |   "kwargs": {"column": "store_id"}}
+        |]}""".stripMargin)
+
+  val suites: Map[String, Suite] =
+    suiteJson.map { case (d, json) => d -> SuiteLoader.fromJsonString(d, json) }
 
   // ---- Ingestion (S1/S2: suffix-dispatched, like local_runner._load_df) ----
 
