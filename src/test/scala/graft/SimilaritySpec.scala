@@ -45,4 +45,22 @@ class SimilaritySpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got.contains((0L, 1L)))
   }
+
+  test("IVF recall@5 vs brute force is measurably high on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter($"vec_id" < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(e, queries, k = 5))
+    val approx = pairs(Similarity.ivfTopK(e, queries, k = 5, stride = 50, nprobe = 4))
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // uniformly random vectors are IVF's worst case (no cluster
+    // structure to exploit) — the floor documents that even then,
+    // probing 4 of 10 buckets keeps recall well above the 4/10 that
+    // random bucket assignment would give
+    assert(recall >= 0.5, s"recall@5 was $recall")
+    // and precision of what it does return: every returned pair must be
+    // a real vector pair (sanity, not quality)
+    assert(approx.forall { case (q, n) => q != n })
+  }
 }
