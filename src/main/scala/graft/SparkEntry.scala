@@ -185,29 +185,31 @@ object SparkEntry {
 
     // ---- Text analysis: token counts + quality scoring ----
     "q15_text_stats" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val txt = col("text")
-      d.select(
-        col("doc_id"),
-        TextFunctions.tokenCount(txt).cast("bigint").as("n_tokens"),
-        TextFunctions.sumTokenLen(txt).cast("bigint").as("sum_tok_len"),
-        TextFunctions.wordHits(txt, TextFunctions.StopwordsByLang.head._2)
-          .cast("bigint").as("stop_hits"),
-        round(TextFunctions.sumTokenLen(txt).cast("double") /
-          TextFunctions.tokenCount(txt).cast("double"), 4).as("mean_tok_len"),
-        TextFunctions.qualityScore(txt).as("quality"))
+      val toks = col("__toks")
+      t(s, dir, "documents")
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .select(
+          col("doc_id"),
+          size(toks).cast("bigint").as("n_tokens"),
+          TextFunctions.sumTokenLenT(toks).cast("bigint").as("sum_tok_len"),
+          TextFunctions.wordHitsT(toks, TextFunctions.StopwordsByLang.head._2)
+            .cast("bigint").as("stop_hits"),
+          round(TextFunctions.sumTokenLenT(toks).cast("double") /
+            size(toks).cast("double"), 4).as("mean_tok_len"),
+          TextFunctions.qualityScoreT(toks).as("quality"))
         .orderBy("doc_id")
     }),
 
     // ---- Text analysis: stopword-based language ID ----
     "q16_lang_id" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val txt = col("text")
+      val toks = col("__toks")
       val scoreCols = TextFunctions.StopwordsByLang.map { case (lang, words) =>
-        TextFunctions.wordHits(txt, words).cast("bigint").as(s"s_$lang")
+        TextFunctions.wordHitsT(toks, words).cast("bigint").as(s"s_$lang")
       }
-      d.select((col("doc_id") +: scoreCols :+
-        TextFunctions.langId(txt).as("lang_pred")): _*)
+      t(s, dir, "documents")
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .select((col("doc_id") +: scoreCols :+
+          TextFunctions.langIdT(toks).as("lang_pred")): _*)
         .orderBy("doc_id")
     }),
 
@@ -458,13 +460,14 @@ object SparkEntry {
 
     // ---- Composite corpus cleaning: quality gate + lang-ID + dedup ----
     "q34_corpus_clean" -> ((s, dir) => {
-      val txt = col("text")
+      val toks = col("__toks")
       val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
       t(s, dir, "documents")
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
         .select(col("doc_id"), col("text"),
-          TextFunctions.tokenCount(txt).cast("bigint").as("n_tokens"),
-          TextFunctions.qualityScore(txt).as("quality"),
-          TextFunctions.langId(txt).as("lang_pred"))
+          size(toks).cast("bigint").as("n_tokens"),
+          TextFunctions.qualityScoreT(toks).as("quality"),
+          TextFunctions.langIdT(toks).as("lang_pred"))
         .filter(col("quality") >= 0.5)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)

@@ -21,14 +21,24 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Sum of token lengths (for mean-word-length style quality features). */
-  def sumTokenLen(text: Column): Column =
-    aggregate(tokens(text), lit(0), (acc, t) => acc + length(t))
+  def sumTokenLen(text: Column): Column = sumTokenLenT(tokens(text))
 
   /** How many tokens appear in `words` (NOT deduplicated — each
     * occurrence counts, matching a stopword-ratio definition). */
-  def wordHits(text: Column, words: Seq[String]): Column = {
+  def wordHits(text: Column, words: Seq[String]): Column =
+    wordHitsT(tokens(text), words)
+
+  // `*T` variants take an already-computed token array. Callers that
+  // derive several features from one document should stage the tokens
+  // with withColumn and use these: every lambda referencing tokens(text)
+  // inline re-splits the text (no CSE across lambda trees).
+
+  def sumTokenLenT(toks: Column): Column =
+    aggregate(toks, lit(0), (acc, t) => acc + length(t))
+
+  def wordHitsT(toks: Column, words: Seq[String]): Column = {
     val dict = array(words.map(lit): _*)
-    aggregate(tokens(text), lit(0),
+    aggregate(toks, lit(0),
       (acc, t) => acc + when(array_contains(dict, t), 1).otherwise(0))
   }
 
@@ -43,9 +53,11 @@ object TextFunctions {
   /** Predicted language = argmax of stopword hits, ties broken by list
     * order, zero hits ⇒ "und" (undetermined). Deterministic, and simple
     * enough to mirror in the DuckDB oracle. */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = langIdT(tokens(text))
+
+  def langIdT(toks: Column): Column = {
     val scores = StopwordsByLang.map { case (lang, words) =>
-      lang -> wordHits(text, words)
+      lang -> wordHitsT(toks, words)
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldLeft(when(best <= 0, "und")) { case (acc, (lang, score)) =>
@@ -56,10 +68,12 @@ object TextFunctions {
   /** Composite quality score in [0,1]: rewards mid-length docs, plausible
     * mean word length, and some stopword presence. Heuristic, but every
     * term is a plain arithmetic expression (oracle-mirrorable). */
-  def qualityScore(text: Column): Column = {
-    val n = tokenCount(text).cast("double")
-    val meanLen = sumTokenLen(text).cast("double") / n
-    val stopRatio = wordHits(text, StopwordsByLang.flatMap(_._2)).cast("double") / n
+  def qualityScore(text: Column): Column = qualityScoreT(tokens(text))
+
+  def qualityScoreT(toks: Column): Column = {
+    val n = size(toks).cast("double")
+    val meanLen = sumTokenLenT(toks).cast("double") / n
+    val stopRatio = wordHitsT(toks, StopwordsByLang.flatMap(_._2)).cast("double") / n
     val lengthTerm = least(n / lit(16.0), lit(1.0))
     val wordLenTerm = when(meanLen.between(2.0, 9.0), 1.0).otherwise(0.5)
     val stopTerm = least(stopRatio * 4.0, lit(1.0))
