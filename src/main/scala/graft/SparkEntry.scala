@@ -366,6 +366,35 @@ object SparkEntry {
     "q33_freshness" -> ((s, dir) =>
       Expectations.freshnessHours(t(s, dir, "events"), "ts")),
 
+    // ---- Salted join: results identical to plain join (oracle),
+    //      shuffle keys spread over (key, salt) for hot keys ----
+    "q43_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      val supp = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      graft.operators.Skew.saltedJoin(li, supp, "l_suppkey", n = 8,
+        saltBy = Seq("l_orderkey", "l_linenumber"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_items"))
+        .orderBy("s_name")
+    }),
+
+    // ---- Cube (all grouping-set combinations) ----
+    "q44_cube" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("dt", to_date(col("ts")))
+        .filter(col("dt") < lit(java.sql.Date.valueOf("2024-01-04")))
+        .cube(col("dt"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"),
+          grouping_id().cast("bigint").as("gid"))
+        .select(
+          coalesce(col("dt").cast("string"), lit("ALL")).as("dt"),
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          col("n"), col("total"), col("gid"))
+        .orderBy("gid", "dt", "event_type")
+    }),
+
     // ---- String scalar functions ----
     "q41_string_funcs" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -781,6 +810,21 @@ object SparkEntry {
         |  ROUND(SUM(value), 2) AS total_value
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q43_salted_join" ->
+      """SELECT s_name, COUNT(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    "q44_cube" ->
+      """SELECT COALESCE(CAST(dt AS VARCHAR), 'ALL') AS dt,
+        |  COALESCE(event_type, 'ALL') AS event_type,
+        |  COUNT(*) AS n, ROUND(SUM(value), 2) AS total,
+        |  CAST(GROUPING(dt, event_type) AS BIGINT) AS gid
+        |FROM (SELECT CAST(ts AS DATE) AS dt, event_type, value FROM events)
+        |WHERE dt < DATE '2024-01-04'
+        |GROUP BY CUBE(dt, event_type)
+        |ORDER BY gid, dt, event_type""".stripMargin,
 
     "q41_string_funcs" ->
       """SELECT c_custkey,

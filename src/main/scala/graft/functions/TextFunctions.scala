@@ -90,9 +90,11 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
-  /** Winnowing-style document fingerprint: min of a 64-bit hash over all
-    * `w`-token windows. Two documents sharing any minimal window collide
-    * — a cheap near-dup prefilter and a stable content fingerprint.
+  /** Winnowing-style document fingerprint (after Schleimer/Wilkerson/
+    * Aiken, "Winnowing: local algorithms for document fingerprinting",
+    * SIGMOD 2003): min of a 64-bit hash over all `w`-token windows. Two
+    * documents sharing any minimal window collide — a cheap near-dup
+    * prefilter and a stable content fingerprint.
     *
     * Implementation note: tokens are hashed once, then the window scan
     * runs in [[RollingMinHash]] — a native codegen'd expression —

@@ -7,6 +7,13 @@ import graft.functions.TextFunctions._
 /** Deduplication operators for a training-data pipeline: exact,
   * MinHash+LSH, SimHash, and n-gram Jaccard.
   *
+  * Algorithms per the public literature: MinHash resemblance sketches
+  * (Broder, "On the resemblance and containment of documents", 1997),
+  * LSH banding (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets
+  * ch. 3), SimHash (Charikar, "Similarity estimation techniques from
+  * rounding algorithms", STOC 2002; Manku et al., WWW 2007 for the
+  * chunk-based Hamming search).
+  *
   * Scale design: every variant is candidate-generation-by-key (groupBy /
   * equi-join on a hash-derived bucket) followed by verification WITHIN
   * buckets only — never an all-pairs comparison. At 100 TB the bucket

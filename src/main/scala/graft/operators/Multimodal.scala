@@ -71,6 +71,16 @@ object Multimodal {
     }
   }
 
+  /** Real media ingestion path: Spark's `binaryFile` source reads files
+    * as (path, modificationTime, length, content) rows — the way image/
+    * audio/video assets actually enter a 100 TB pipeline. Partitioning
+    * is by file; set `spark.sql.files.maxPartitionBytes` for payload
+    * size, and push `pathGlobFilter` so only matching assets are listed. */
+  def readBinaryFiles(spark: SparkSession, dir: String, glob: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+
   /** Demo media table synthesized from the `documents` table: text bytes
     * as the opaque payload (deterministic; exercises schema + typed
     * metadata + featurize at any SF). */

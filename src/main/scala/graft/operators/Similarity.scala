@@ -7,6 +7,11 @@ import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
+  * The IVF (inverted-file) structure follows the public formulation of
+  * Jégou/Douze/Schmid ("Product quantization for nearest neighbor
+  * search", TPAMI 2011) minus the PQ compression: coarse-quantize to
+  * centroids, probe the nprobe nearest cells.
+  *
   * Two tiers, per the north-star contract:
   *  - `bruteForceTopK`: exact cosine top-k — the correctness baseline.
   *    The query set is broadcast, so the big side streams once with no
