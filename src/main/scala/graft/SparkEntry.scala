@@ -239,11 +239,21 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("bigint"))
     }),
 
-    // ---- Similarity: IVF-bucketed ANN (approximate; rows-only) ----
+    // ---- Similarity: IVF ANN, fixed codebook + map-only assignment
+    //      (approximate; rows-only) ----
     "q21_ivf_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5, nprobe = 4)
         .withColumn("rank", col("rank").cast("bigint"))
+    }),
+
+    // ---- Dedup: bucketed embedding near-dup — the scale path of q22.
+    //      Approximate recall ⇒ rows-only for the driver; the
+    //      subset-of-exact + recall-floor contract is asserted in
+    //      SimilaritySpec ----
+    "q45_neardup_bucketed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+      Similarity.embeddingNearDups(e, threshold = 0.4, numCentroids = 8)
     }),
 
     // ---- Dedup: embedding-cosine near-duplicate pairs ----

@@ -4,24 +4,28 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions._
+import graft.functions.NearestCentroids.nearestCentroids
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * The IVF (inverted-file) structure follows the public formulation of
   * Jégou/Douze/Schmid ("Product quantization for nearest neighbor
-  * search", TPAMI 2011) minus the PQ compression: coarse-quantize to
-  * centroids, probe the nprobe nearest cells.
+  * search", TPAMI 2011) minus the PQ compression: coarse-quantize to a
+  * FIXED-SIZE centroid codebook, probe the nprobe nearest cells.
   *
   * Two tiers, per the north-star contract:
   *  - `bruteForceTopK`: exact cosine top-k — the correctness baseline.
   *    The query set is broadcast, so the big side streams once with no
   *    shuffle; cost is O(|candidates|·|queries|·dim) flops inside
-  *    codegen'd higher-order functions.
-  *  - `ivfTopK`: IVF-style scale path — candidates are bucketed by
-  *    nearest centroid (one broadcast join), queries probe only the
-  *    `nprobe` nearest centroid buckets, so the pairwise work drops by
-  *    ~|centroids|/nprobe. Centroids are a deterministic sample of the
-  *    data (vec_id stride), standing in for a k-means fit.
+  *    codegen'd native expressions.
+  *  - `ivfTopK`: IVF scale path. The codebook is fit once on a bounded
+  *    sample (driver-side Lloyd over ≤`sampleSize` vectors — standard
+  *    train-on-sample / apply-everywhere), then EVERY assignment is a
+  *    per-row argmin against the broadcast codebook inside codegen
+  *    ([[graft.functions.NearestCentroids]]): zero joins, zero shuffles
+  *    for quantization, regardless of corpus size. Pairwise work drops
+  *    by ~k/nprobe. k defaults to √N capped — it does NOT grow linearly
+  *    with the corpus, so assignment cost stays O(N·k·dim) map-only.
   */
 object Similarity {
 
@@ -43,43 +47,91 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Deterministic centroid sample: every `stride`-th vector. */
-  def sampleCentroids(vectors: DataFrame, stride: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    vectors.filter(col(idCol) % stride === 0)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid"))
-
-  /** Assign each vector to its nearest centroid (broadcast join +
-    * window argmin — the IVF partition step). */
-  def assignToCentroids(vectors: DataFrame, centroids: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val scored = vectors.crossJoin(broadcast(centroids))
-      .withColumn("d", sqDist(col(vecCol), col("centroid")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("d"), col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id").as("cluster_id"))
+  /** Fit a fixed-size centroid codebook: deterministic uniform sample
+    * (top-`sampleSize` by xxhash64 of the id — a distributed
+    * TakeOrdered, not a full sort), then `iters` Lloyd steps on the
+    * driver. The sample is bounded (sampleSize·dim floats) no matter
+    * the corpus size; the fit never touches the full data. Empty
+    * clusters keep their previous centroid, so the codebook size is
+    * stable and the fit is deterministic end-to-end. */
+  def fitCentroids(vectors: DataFrame, k: Int,
+      sampleSize: Int = 4096, iters: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Float]] = {
+    require(k >= 1, "k must be >= 1")
+    val sample = vectors
+      .select(col(vecCol), xxhash64(col(idCol)).as("__h"))
+      .orderBy(col("__h"))
+      .limit(math.max(k, sampleSize))
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    lloyd(sample, math.min(k, sample.length), iters)
   }
 
-  /** IVF ANN top-k: probe the `nprobe` closest centroid buckets per
+  /** Driver-side Lloyd iterations over the bounded sample. */
+  private def lloyd(points: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    var cents = points.take(k).map(_.clone())
+    val dim = cents(0).length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var best = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0d
+          var j = 0
+          while (j < dim) { val t = p(j).toDouble - cents(c)(j).toDouble; d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dim)(j => (sums(c)(j) / counts(c)).toFloat)
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Assign each vector to its nearest centroid: a per-row codegen'd
+    * argmin against the broadcast codebook — map-only, no join, no
+    * shuffle. This is the step that must survive 100 TB. */
+  def assignToCentroids(vectors: DataFrame, centroids: Array[Array[Float]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol), col(vecCol),
+      nearestCentroids(col(vecCol), centroids, nprobe = 1)
+        .getItem(0).as("cluster_id"))
+
+  /** √N capped — fixed relative to corpus size so assignment stays
+    * O(N·k) with bounded k, never O(N²). */
+  private def autoK(vectors: DataFrame): Int =
+    math.max(2, math.min(1024, math.sqrt(vectors.count().toDouble).toInt))
+
+  /** IVF ANN top-k: probe the `nprobe` closest centroid cells per
     * query, brute-force only within them. Approximate (recall < 1 when
-    * the true neighbor lives in an unprobed bucket) but the per-query
-    * candidate set shrinks from |N| to ~|N|·nprobe/|centroids|. */
+    * the true neighbor lives in an unprobed cell) but the per-query
+    * candidate set shrinks from |N| to ~|N|·nprobe/k.
+    * `numCentroids = 0` ⇒ √N capped at 1024. */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-      stride: Int = 50, nprobe: Int = 2,
+      numCentroids: Int = 0, nprobe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = sampleCentroids(vectors, stride, idCol, vecCol)
-    val assigned = assignToCentroids(vectors, centroids, idCol, vecCol)
-    // queries → their nprobe nearest clusters
-    val qScored = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("d", sqDist(col("q_vec"), col("centroid")))
-    val wq = Window.partitionBy("query_id").orderBy(col("d"), col("centroid_id"))
-    val probes = qScored.withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("q_vec"), col("centroid_id").as("cluster_id"))
+    val nc = if (numCentroids > 0) numCentroids else autoK(vectors)
+    val cents = fitCentroids(vectors, nc, idCol = idCol, vecCol = vecCol)
+    val assigned = assignToCentroids(vectors, cents, idCol, vecCol)
+    // queries → their nprobe nearest cells (same per-row expression,
+    // exploded into one probe row per cell; query side is small)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        nearestCentroids(col(vecCol), cents, nprobe).as("__cells"))
+      .withColumn("cluster_id", explode(col("__cells")))
+      .drop("__cells")
     val scored = assigned.join(broadcast(probes), Seq("cluster_id"))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
@@ -92,14 +144,19 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold, bucketed via the
-    * IVF assignment so only same-cluster pairs are compared (near-dups
-    * land in the same cluster with high probability). */
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, bucketed via
+    * the per-row centroid assignment so only same-cell pairs are
+    * compared (near-dups land in the same cell with high probability).
+    * The only shuffle is the equi-join on cluster_id — the LSH-bucket
+    * shape; assignment itself is map-only. Precision is exact (true
+    * cosine is computed per surviving pair); recall < 1 for pairs split
+    * across cells — raise numCentroids/lower threshold to trade. */
   def embeddingNearDups(vectors: DataFrame, threshold: Double,
-      stride: Int = 50,
+      numCentroids: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = sampleCentroids(vectors, stride, idCol, vecCol)
-    val assigned = assignToCentroids(vectors, centroids, idCol, vecCol)
+    val nc = if (numCentroids > 0) numCentroids else autoK(vectors)
+    val cents = fitCentroids(vectors, nc, idCol = idCol, vecCol = vecCol)
+    val assigned = assignToCentroids(vectors, cents, idCol, vecCol)
     val a = assigned.select(col("cluster_id"),
       col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = assigned.select(col("cluster_id"),

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions
+import graft.functions.{NearestCentroids, VectorFunctions}
 import graft.operators.Similarity
 
 class SimilaritySpec extends AnyFunSuite {
@@ -14,7 +14,7 @@ class SimilaritySpec extends AnyFunSuite {
     (1L, Array(0.99f, 0.1f, 0.0f)),   // near-dup of 0
     (2L, Array(0.0f, 1.0f, 0.0f)),
     (3L, Array(0.0f, 0.0f, 1.0f)),
-    (50L, Array(0.7f, 0.7f, 0.0f)))   // centroid-eligible (id % 50 == 0... id 0 too)
+    (50L, Array(0.7f, 0.7f, 0.0f)))
     .toDF("vec_id", "embedding")
 
   test("cosine in double precision") {
@@ -33,15 +33,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_._4).toSeq == Seq(1, 2))  // ranks are dense
   }
 
-  test("IVF assignment puts near-dups in the same cluster") {
-    val centroids = Similarity.sampleCentroids(vecs, stride = 50)
-    val assigned = Similarity.assignToCentroids(vecs, centroids)
-      .select("vec_id", "cluster_id").as[(Long, Long)].collect().toMap
+  test("nearest-centroids expression matches a reference argmin") {
+    // codebook: unit axes; every vector must map to the axis it leans to
+    val cents = Array(
+      Array(1.0f, 0.0f, 0.0f),
+      Array(0.0f, 1.0f, 0.0f),
+      Array(0.0f, 0.0f, 1.0f))
+    val got = vecs.select($"vec_id",
+      NearestCentroids.nearestCentroids($"embedding", cents, nprobe = 1)
+        .getItem(0).as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(got(0L) == 0 && got(1L) == 0 && got(2L) == 1 && got(3L) == 2)
+    // nprobe=2 returns distinct cells in ascending-distance order
+    val probes = vecs.filter($"vec_id" === 50L)
+      .select(NearestCentroids.nearestCentroids($"embedding", cents, nprobe = 2))
+      .as[Seq[Int]].collect().head
+    assert(probes.length == 2 && probes.toSet.subsetOf(Set(0, 1)))
+  }
+
+  test("nearest-centroids ties resolve to the lower centroid index") {
+    val cents = Array(Array(1.0f, 0.0f), Array(1.0f, 0.0f)) // identical cells
+    val one = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(NearestCentroids.nearestCentroids($"embedding", cents, 1).getItem(0))
+      .as[Int].collect().head
+    assert(one == 0)
+  }
+
+  test("centroid assignment puts near-dups in the same cluster") {
+    // k=2 on 5 points: Lloyd must converge the two near-identical
+    // vectors into one cell regardless of which points seed the init
+    val cents = Similarity.fitCentroids(vecs, k = 2, sampleSize = 5, iters = 3)
+    val assigned = Similarity.assignToCentroids(vecs, cents)
+      .select("vec_id", "cluster_id").as[(Long, Int)].collect().toMap
     assert(assigned(0L) == assigned(1L))
   }
 
+  test("assignment plan is map-only: no shuffle, no join") {
+    val cents = Similarity.fitCentroids(vecs, k = 3, sampleSize = 5, iters = 1)
+    val plan = Similarity.assignToCentroids(vecs, cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment shuffled:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"assignment joined:\n$plan")
+  }
+
   test("embeddingNearDups finds the planted pair at high threshold") {
-    val got = Similarity.embeddingNearDups(vecs, threshold = 0.95, stride = 50)
+    val got = Similarity.embeddingNearDups(vecs, threshold = 0.95, numCentroids = 2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got.contains((0L, 1L)))
   }
@@ -52,15 +88,36 @@ class SimilaritySpec extends AnyFunSuite {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val exact = pairs(Similarity.bruteForceTopK(e, queries, k = 5))
-    val approx = pairs(Similarity.ivfTopK(e, queries, k = 5, stride = 50, nprobe = 4))
+    val approx = pairs(Similarity.ivfTopK(e, queries, k = 5,
+      numCentroids = 10, nprobe = 4))
     val recall = exact.intersect(approx).size.toDouble / exact.size
     // uniformly random vectors are IVF's worst case (no cluster
     // structure to exploit) — the floor documents that even then,
-    // probing 4 of 10 buckets keeps recall well above the 4/10 that
-    // random bucket assignment would give
+    // probing 4 of 10 cells keeps recall well above the 4/10 that
+    // random cell assignment would give
     assert(recall >= 0.5, s"recall@5 was $recall")
-    // and precision of what it does return: every returned pair must be
-    // a real vector pair (sanity, not quality)
     assert(approx.forall { case (q, n) => q != n })
+  }
+
+  test("bucketed near-dups: perfect precision vs exact pairs, recall floor") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 500)
+    // exact pairs above threshold (the q22 oracle shape)
+    val a = e.select($"vec_id".as("id_a"), $"embedding".as("v_a"))
+    val b = e.select($"vec_id".as("id_b"), $"embedding".as("v_b"))
+    val exact = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("cos_sim",
+        round(VectorFunctions.cosine($"v_a", $"v_b"), 6))
+      .filter($"cos_sim" >= 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bucketed = Similarity.embeddingNearDups(e, threshold = 0.4, numCentroids = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // precision is exact by construction: every emitted pair re-computed
+    // true cosine, so bucketed ⊆ exact must hold with NO exceptions
+    assert(bucketed.subsetOf(exact),
+      s"bucketed emitted non-pairs: ${bucketed.diff(exact).take(5)}")
+    val recall =
+      if (exact.isEmpty) 1.0 else bucketed.size.toDouble / exact.size
+    assert(recall >= 0.3, s"bucketed recall was $recall (${bucketed.size}/${exact.size})")
   }
 }
