@@ -20,12 +20,17 @@ object QueryProbe {
     if (args.contains("explain"))
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     // time construction + execution: operators may do eager work
-    // (cache warm-up) at construction, like Bench measures
-    val t0 = System.nanoTime()
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    val n = df.count()
-    val dt = (System.nanoTime() - t0) / 1e9
-    println(f"[probe] $name rows=$n time=$dt%.2fs")
+    // (cache warm-up) at construction, like Bench measures. Repeat to
+    // separate first-run overhead (codegen compile, file listing, JIT)
+    // from steady-state cost.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    (1 to reps).foreach { r =>
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val n = df.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $name rep=$r rows=$n time=$dt%.2fs")
+    }
     spark.stop()
   }
 }

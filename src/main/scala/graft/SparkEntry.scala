@@ -186,30 +186,33 @@ object SparkEntry {
     // ---- Text analysis: token counts + quality scoring ----
     "q15_text_stats" -> ((s, dir) => {
       val toks = col("__toks")
+      val prof = col("__prof")
       t(s, dir, "documents")
         .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .withColumn("__prof", TextFunctions.profileT(toks))
         .select(
           col("doc_id"),
           size(toks).cast("bigint").as("n_tokens"),
-          TextFunctions.sumTokenLenT(toks).cast("bigint").as("sum_tok_len"),
-          TextFunctions.wordHitsT(toks, TextFunctions.StopwordsByLang.head._2)
-            .cast("bigint").as("stop_hits"),
-          round(TextFunctions.sumTokenLenT(toks).cast("double") /
+          TextFunctions.sumTokenLenP(prof).as("sum_tok_len"),
+          TextFunctions.langScoresP(prof).head._2.as("stop_hits"),
+          round(TextFunctions.sumTokenLenP(prof).cast("double") /
             size(toks).cast("double"), 4).as("mean_tok_len"),
-          TextFunctions.qualityScoreT(toks).as("quality"))
+          TextFunctions.qualityScoreP(size(toks), prof).as("quality"))
         .orderBy("doc_id")
     }),
 
     // ---- Text analysis: stopword-based language ID ----
     "q16_lang_id" -> ((s, dir) => {
       val toks = col("__toks")
-      val scoreCols = TextFunctions.StopwordsByLang.map { case (lang, words) =>
-        TextFunctions.wordHitsT(toks, words).cast("bigint").as(s"s_$lang")
+      val prof = col("__prof")
+      val scoreCols = TextFunctions.langScoresP(prof).map {
+        case (lang, score) => score.as(s"s_$lang")
       }
       t(s, dir, "documents")
         .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .withColumn("__prof", TextFunctions.profileT(toks))
         .select((col("doc_id") +: scoreCols :+
-          TextFunctions.langIdT(toks).as("lang_pred")): _*)
+          TextFunctions.langIdP(prof).as("lang_pred")): _*)
         .orderBy("doc_id")
     }),
 
@@ -500,13 +503,15 @@ object SparkEntry {
     // ---- Composite corpus cleaning: quality gate + lang-ID + dedup ----
     "q34_corpus_clean" -> ((s, dir) => {
       val toks = col("__toks")
+      val prof = col("__prof")
       val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
       t(s, dir, "documents")
         .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .withColumn("__prof", TextFunctions.profileT(toks))
         .select(col("doc_id"), col("text"),
           size(toks).cast("bigint").as("n_tokens"),
-          TextFunctions.qualityScoreT(toks).as("quality"),
-          TextFunctions.langIdT(toks).as("lang_pred"))
+          TextFunctions.qualityScoreP(size(toks), prof).as("quality"),
+          TextFunctions.langIdP(prof).as("lang_pred"))
         .filter(col("quality") >= 0.5)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)

@@ -42,6 +42,60 @@ object TextFunctions {
       (acc, t) => acc + when(array_contains(dict, t), 1).otherwise(0))
   }
 
+  // ---- One-pass native profile ------------------------------------------
+  //
+  // The `*T` HOF formulations above are correct but run through the
+  // lambda interpreter (higher-order functions are CodegenFallback):
+  // language-ID alone walks the token array once per dictionary. The
+  // `*P` variants below read a single `array<bigint>` profile column
+  // computed by the native [[TokenProfile]] expression — ONE pass over
+  // the tokens for sum-of-lengths plus every dictionary's hit count.
+  // The HOF versions stay as the differential-test reference.
+
+  /** Dictionaries baked into the profile: one per language (in
+    * [[StopwordsByLang]] order) plus the combined list used by the
+    * quality score's stopword ratio. */
+  lazy val ProfileDicts: Seq[Seq[String]] =
+    StopwordsByLang.map(_._2) :+ StopwordsByLang.flatMap(_._2)
+
+  /** `[sum_tok_len, hits(en), hits(de), hits(es), hits(fr), hits(all)]`
+    * as `array<bigint>`, computed natively in one token pass. */
+  def profileT(toks: Column): Column =
+    TokenProfile.tokenProfile(toks, ProfileDicts)
+
+  def sumTokenLenP(prof: Column): Column = element_at(prof, 1)
+
+  /** Per-language stopword-hit columns, in [[StopwordsByLang]] order. */
+  def langScoresP(prof: Column): Seq[(String, Column)] =
+    StopwordsByLang.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(prof, i + 2)
+    }
+
+  /** Hits against the combined stopword list (quality-score input). */
+  def stopAllHitsP(prof: Column): Column =
+    element_at(prof, ProfileDicts.length + 1)
+
+  /** Same argmax/tie-break semantics as [[langIdT]], reading the
+    * profile instead of re-walking the tokens per language. */
+  def langIdP(prof: Column): Column = {
+    val scores = langScoresP(prof)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0, "und")) { case (acc, (lang, score)) =>
+      acc.when(score === best, lang)
+    }
+  }
+
+  /** Same formula as [[qualityScoreT]] over profile columns. */
+  def qualityScoreP(nTokens: Column, prof: Column): Column = {
+    val n = nTokens.cast("double")
+    val meanLen = sumTokenLenP(prof).cast("double") / n
+    val stopRatio = stopAllHitsP(prof).cast("double") / n
+    val lengthTerm = least(n / lit(16.0), lit(1.0))
+    val wordLenTerm = when(meanLen.between(2.0, 9.0), 1.0).otherwise(0.5)
+    val stopTerm = least(stopRatio * 4.0, lit(1.0))
+    round(lengthTerm * 0.4 + wordLenTerm * 0.4 + stopTerm * 0.2, 4)
+  }
+
   /** Tiny per-language stopword tables for the n-gram/stopword
     * language-ID heuristic. */
   val StopwordsByLang: Seq[(String, Seq[String])] = Seq(
