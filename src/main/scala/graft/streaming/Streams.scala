@@ -11,82 +11,124 @@ import org.apache.spark.sql.streaming.Trigger
   * `airflow/dags/lakehouse_pipelines.py:105`,
   * `dbt/models/marts/fct_daily_store_metrics.sql:34-36`). The idiomatic
   * Spark upgrade is a watermarked windowed aggregation: the watermark IS
-  * the reference's bounded-lateness contract, expressed to the engine so
-  * state is bounded instead of re-aggregated.
+  * the reference's bounded-lateness contract, expressed to the engine.
   *
-  * On a cluster this runs continuously against arriving files/Kafka; for
-  * verification we drive it with `Trigger.AvailableNow` + a memory sink,
-  * which executes the same incremental state machine over the backlog.
+  * Output-mode contract (this matters for state growth):
+  *   - `append` is the PRODUCTION shape: the watermark finalizes windows,
+  *     finalized windows are emitted once and their state is dropped —
+  *     state is bounded by (lateness horizon × key cardinality) on an
+  *     unbounded stream. [[StreamsSpec]] asserts the bound.
+  *   - `complete` retains every window for the life of the query (the
+  *     watermark does NOT evict state in complete mode). It is used ONLY
+  *     for the bounded AvailableNow oracle runs, where re-emitting all
+  *     windows is exactly what the batch-equivalence check needs.
+  *
+  * State-store sizing: each stateful operator keeps one state store per
+  * shuffle partition, and every micro-batch pays a per-store commit.
+  * For the verification backlog (≤600k rows) 32 stores are pure
+  * overhead, so streaming queries run at [[StreamShufflePartitions]];
+  * on a real cluster size this to key cardinality × executor count.
   */
 object Streams {
 
   private val counter = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Tumbling 1-day windows over the event stream: per (day, event_type)
-    * counts and value sums, with a 7-day watermark mirroring the
-    * reference's late-data window. Runs the stream to completion and
-    * returns the result table (batch-equivalent semantics → DuckDB
-    * oracle-checkable). */
-  def dailyEventMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    // ts is parquet TIMESTAMP(NANOS): read as long, rebuild (see Sources).
+  /** Shuffle-partition count for the local verification/bench runs. */
+  val StreamShufflePartitions = 4
+
+  /** Scope a shuffle-partition override to one streaming run: the state
+    * store count is fixed per query at start, so setting the conf around
+    * `start()`/`awaitTermination()` affects only this stream, and
+    * restoring it leaves the surrounding batch session untouched. */
+  private def withShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** File-source stream over the single events parquet file (or a
+    * directory of them), with the NANOS-timestamp repair from
+    * [[graft.io.Sources]]. */
+  def eventStream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(path).schema
-    // FileStreamSource needs a directory basePath; select the one table
-    // file via pathGlobFilter.
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    val agg = stream
-      .withWatermark("ts", "7 days")
+  }
+
+  /** Logical plan: tumbling 1-day windows over the event stream — per
+    * (day, event_type) counts and value sums, watermark mirroring the
+    * reference's late-data horizon. Mode-agnostic; pair with `append`
+    * in production, `complete` for the bounded oracle run. */
+  def dailyEventAgg(stream: DataFrame, watermark: String = "7 days"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         round(sum("value"), 2).as("total_value"))
-    val sinkName = s"graft_stream_daily_${counter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(sinkName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sinkName)
       .select(
         to_date(col("w.start")).as("dt"),
         col("event_type"),
         col("n_events"),
         col("total_value"))
-      .orderBy("dt", "event_type")
-  }
 
-  /** Streaming exact dedup: `dropDuplicates` keyed on event_id with a
-    * watermark bounding the dedup state — the streaming form of the
-    * training-data pipeline's exact dedup (state holds only ids within
-    * the lateness horizon instead of the full history). Result here is
-    * rolled up per type so the batch oracle is order-insensitive. */
-  def dedupedEventCounts(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    val sinkName = s"graft_stream_dedup_${counter.incrementAndGet()}"
-    val q = stream
-      .withWatermark("ts", "7 days")
-      .dropDuplicates("event_id")
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_unique_events"))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(sinkName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sinkName).orderBy("event_type")
-  }
+  /** Logical plan: streaming exact dedup keyed on event_id, state
+    * bounded by the watermark. Emits the deduplicated events themselves —
+    * the append-compatible production form of the training-data
+    * pipeline's exact dedup.
+    *
+    * Uses `dropDuplicatesWithinWatermark`, NOT plain
+    * `dropDuplicates(id)`: with a guid-only key the classic operator
+    * never evicts state (the watermark only bounds event-time keys), so
+    * its state grows with the full id history. The within-watermark
+    * variant expires each id once the watermark passes its first-seen
+    * time + delay — the contract "duplicates arrive within the lateness
+    * horizon" the reference's 7-day re-merge window already assumes. */
+  def dedupedEvents(stream: DataFrame, watermark: String = "7 days"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Run a (bounded) streaming plan to completion into a memory sink and
+    * return the sink table. AvailableNow executes the same incremental
+    * state machine a continuous trigger would. */
+  def runToTable(spark: SparkSession, plan: DataFrame,
+      outputMode: String): DataFrame =
+    withShufflePartitions(spark, StreamShufflePartitions) {
+      val sinkName = s"graft_stream_${counter.incrementAndGet()}"
+      val q = plan.writeStream
+        .outputMode(outputMode)
+        .format("memory")
+        .queryName(sinkName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sinkName)
+    }
+
+  /** Oracle path for q13: complete-mode run of [[dailyEventAgg]] over
+    * the bounded backlog (complete so that windows the watermark has not
+    * passed — the newest 7 days — are still emitted, matching the batch
+    * oracle exactly). */
+  def dailyEventMetrics(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, dailyEventAgg(eventStream(spark, dir)), "complete")
+      .orderBy("dt", "event_type")
+
+  /** Oracle path for q40: [[dedupedEvents]] rolled up per type so the
+    * batch oracle is order-insensitive. The rollup is an unwindowed
+    * aggregation, hence complete mode here; the production dedup shape
+    * is [[dedupedEvents]] in append mode (asserted in StreamsSpec). */
+  def dedupedEventCounts(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark,
+      dedupedEvents(eventStream(spark, dir))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_unique_events")),
+      "complete")
+      .orderBy("event_type")
 }
