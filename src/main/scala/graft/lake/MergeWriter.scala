@@ -23,6 +23,25 @@ object MergeWriter {
   def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     target.join(updates, keys, "left_anti").unionByName(updates)
 
+  /** `on_schema_change: sync_all_columns` upsert (reference
+    * `dbt/dbt_project.yml:15`): the merged table takes the UPDATES
+    * schema. Surviving target rows are projected onto it — columns the
+    * new model dropped disappear, columns it added backfill as null,
+    * and a column whose declared type widened is cast. Merge keys must
+    * exist on both sides (they define row identity across versions). */
+  def upsertSyncSchema(target: DataFrame, updates: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.forall(updates.columns.contains) &&
+      keys.forall(target.columns.contains),
+      s"merge keys $keys must exist in both target and updates")
+    val targetCols = target.columns.toSet
+    val aligned = target.select(updates.schema.fields.map { f =>
+      if (targetCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    upsert(aligned, updates, keys)
+  }
+
   /** Merge `updates` into the partitioned parquet table at `path`.
     * Requires `partitionCols ⊆ keys` so overwritten partitions are
     * exactly the ones whose keys appear in `updates`. First call
@@ -43,10 +62,14 @@ object MergeWriter {
         // Only the touched partitions need the anti-join: restrict the
         // target scan to partitions present in `updates` (partition
         // pruning via an IN filter on the partition columns), then merge.
+        // mergeSchema: partitions written before a schema change may
+        // disagree column-wise; the merged read sees their union, and
+        // upsertSyncSchema then projects onto the updates schema
+        // (sync_all_columns, reference dbt/dbt_project.yml:15).
         val touched = updates.select(partitionCols.map(col): _*).distinct()
-        val target = spark.read.parquet(path)
+        val target = spark.read.option("mergeSchema", "true").parquet(path)
           .join(broadcast(touched), partitionCols, "left_semi")
-        upsert(target, updates, keys)
+        upsertSyncSchema(target, updates, keys)
       }
     val writer = toWrite.write
       .mode(SaveMode.Overwrite)

@@ -28,6 +28,56 @@ class MergeWriterSpec extends AnyFunSuite {
     assert(twice.except(once).isEmpty && once.except(twice).isEmpty)
   }
 
+  test("upsertSyncSchema: added column backfills null, dropped column removed") {
+    val target = fact((1L, "d1", 10.0), (2L, "d1", 20.0))
+    // new model version: adds n_orders, drops revenue
+    val updates = Seq((2L, "d1", 99.0, 5L), (3L, "d2", 30.0, 7L))
+      .toDF("store_id", "dt", "revenue", "n_orders")
+    val got = MergeWriter.upsertSyncSchema(target, updates, Seq("store_id", "dt"))
+    assert(got.columns.toSeq == Seq("store_id", "dt", "revenue", "n_orders"))
+    val rows = got.orderBy("store_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    // surviving target row 1 gets null n_orders; updates win on key 2
+    assert(rows == Seq((1L, "d1", 10.0, -1L), (2L, "d1", 99.0, 5L),
+      (3L, "d2", 30.0, 7L)))
+
+    val dropped = MergeWriter.upsertSyncSchema(got,
+      fact((4L, "d3", 40.0)), Seq("store_id", "dt"))
+    assert(dropped.columns.toSeq == Seq("store_id", "dt", "revenue"))
+    assert(dropped.count() == 4)
+  }
+
+  test("mergeWrite: schema change between incremental runs (sync_all_columns)") {
+    val dir = Files.createTempDirectory("graft_merge_evo").toString + "/fact"
+    MergeWriter.mergeWrite(spark, dir,
+      fact((1L, "d1", 10.0), (2L, "d2", 20.0)),
+      keys = Seq("store_id", "dt"), partitionCols = Seq("dt"))
+    // second run adds a column; partition d1 is untouched on disk and
+    // keeps the old file schema — the merged read + sync must cope
+    MergeWriter.mergeWrite(spark, dir,
+      Seq((2L, "d2", 99.0, 5L), (3L, "d3", 30.0, 7L))
+        .toDF("store_id", "dt", "revenue", "n_orders"),
+      keys = Seq("store_id", "dt"), partitionCols = Seq("dt"))
+    val got = spark.read.option("mergeSchema", "true").parquet(dir)
+      .select("store_id", "dt", "revenue", "n_orders")
+      .orderBy("store_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got == Seq((1L, "d1", 10.0, -1L), (2L, "d2", 99.0, 5L),
+      (3L, "d3", 30.0, 7L)))
+    // third run drops the column again; touched partitions converge to
+    // the new model schema
+    MergeWriter.mergeWrite(spark, dir,
+      fact((3L, "d3", 31.0)),
+      keys = Seq("store_id", "dt"), partitionCols = Seq("dt"))
+    val d3 = spark.read.option("mergeSchema", "true").parquet(dir)
+      .filter(col("dt") === "d3")
+    assert(!d3.columns.contains("n_orders") ||
+      d3.select("n_orders").collect().forall(_.isNullAt(0)))
+    assert(d3.select("revenue").collect().map(_.getDouble(0)).toSeq == Seq(31.0))
+  }
+
   test("mergeWrite: dynamic partition overwrite touches only updated partitions") {
     val dir = Files.createTempDirectory("graft_merge").toString + "/fact"
     MergeWriter.mergeWrite(spark, dir,
