@@ -375,9 +375,13 @@ object SparkEntry {
       Sessionize.sessionStats(t(s, dir, "events"),
         key = "user_id", ts = "ts", gapSeconds = 1800, valueCol = "value")),
 
-    // ---- V6 source freshness (wall-clock dependent → rows-only) ----
+    // ---- V6 source freshness (wall-clock dependent → rows-only),
+    //      evaluated against the reference's warn-12h / error-24h
+    //      policy (dbt/models/schema.yml:10-13) ----
     "q33_freshness" -> ((s, dir) =>
-      Expectations.freshnessHours(t(s, dir, "events"), "ts")),
+      Expectations.freshnessStatus(t(s, dir, "events"),
+        Expectations.FreshnessPolicy("ts",
+          warnAfterHours = Some(12.0), errorAfterHours = Some(24.0)))),
 
     // ---- Salted join: results identical to plain join (oracle),
     //      shuffle keys spread over (key, salt) for hot keys ----

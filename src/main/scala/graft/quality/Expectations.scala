@@ -52,7 +52,8 @@ object Expectations {
   final case class Suite(
       name: String,
       columnsOrdered: Option[ColumnsOrdered],
-      checks: Seq[Expectation])
+      checks: Seq[Expectation],
+      freshness: Option[FreshnessPolicy] = None)
 
   /** Evaluate a suite in a single aggregate pass; returns one row per
     * check: (check_name, violations). The schema check costs nothing
@@ -77,12 +78,23 @@ object Expectations {
   }
 
   /** Fail-fast wrapper matching the reference's abort-on-violation
-    * semantics (local_runner.py:76-102). */
-  def validateOrThrow(df: DataFrame, suite: Suite): Unit = {
+    * semantics (local_runner.py:76-102). A declared freshness policy
+    * follows dbt semantics: `error` aborts, `warn` does not (it is
+    * surfaced to the caller via the returned status). */
+  def validateOrThrow(df: DataFrame, suite: Suite): Option[String] = {
     val failed = evaluate(df, suite).filter(col("violations") > 0).collect()
     if (failed.nonEmpty) {
       val msgs = failed.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
       throw new IllegalStateException(s"Expectation suite '${suite.name}' failed: $msgs")
+    }
+    suite.freshness.map { p =>
+      val row = freshnessStatus(df, p).collect()(0)
+      val (hours, status) = (row.getDouble(0), row.getString(1))
+      if (status == "error")
+        throw new IllegalStateException(
+          s"Source freshness for '${suite.name}': $hours h since load " +
+            s"exceeds error bound ${p.errorAfterHours.get} h")
+      status
     }
   }
 
@@ -91,4 +103,31 @@ object Expectations {
   def freshnessHours(df: DataFrame, loadedAtCol: String): DataFrame =
     df.agg(((unix_timestamp(current_timestamp()) -
       unix_timestamp(max(col(loadedAtCol)))) / 3600.0).as("hours_since_load"))
+
+  /** dbt-style source-freshness policy: warn past `warnAfterHours`,
+    * error past `errorAfterHours` since the newest `loadedAtCol` value
+    * (reference `dbt/models/schema.yml:10-13` declares warn 12 h /
+    * error 24 h on erp_orders). Either bound may be absent, like dbt's
+    * optional warn_after/error_after. */
+  final case class FreshnessPolicy(
+      loadedAtCol: String,
+      warnAfterHours: Option[Double],
+      errorAfterHours: Option[Double])
+
+  /** Evaluate a freshness policy in one aggregate pass. Returns a single
+    * row (hours_since_load, status) with status ∈ pass|warn|error.
+    * `asOf` pins "now" for deterministic tests; production leaves it
+    * None → wall clock, matching dbt's source freshness snapshot. */
+  def freshnessStatus(df: DataFrame, policy: FreshnessPolicy,
+      asOf: Option[Column] = None): DataFrame = {
+    val now = asOf.getOrElse(current_timestamp())
+    val hours = ((unix_timestamp(now) -
+      unix_timestamp(max(col(policy.loadedAtCol)))) / 3600.0)
+    def breached(bound: Option[Double]): Column =
+      bound.map(b => hours > lit(b)).getOrElse(lit(false))
+    df.agg(round(hours, 4).as("hours_since_load"),
+      when(breached(policy.errorAfterHours), "error")
+        .when(breached(policy.warnAfterHours), "warn")
+        .otherwise("pass").as("status"))
+  }
 }

@@ -20,6 +20,32 @@ object SuiteLoader {
 
   private val mapper = new ObjectMapper()
 
+  /** Optional top-level `freshness` block mirroring dbt's source
+    * freshness declaration 1:1 (reference `dbt/models/schema.yml:10-13`):
+    * `{"loaded_at_field": "dt",
+    *   "warn_after": {"count": 12, "period": "hour"},
+    *   "error_after": {"count": 24, "period": "hour"}}`.
+    * Periods `minute|hour|day` normalize to hours; either bound may be
+    * omitted, like dbt. */
+  private def parseFreshness(root: JsonNode): Option[FreshnessPolicy] =
+    Option(root.get("freshness")).filterNot(_.isNull).map { f =>
+      def hours(key: String): Option[Double] =
+        Option(f.get(key)).filterNot(_.isNull).map { b =>
+          val count = b.get("count").asDouble()
+          b.get("period").asText() match {
+            case "minute" => count / 60.0
+            case "hour"   => count
+            case "day"    => count * 24.0
+            case other =>
+              throw new IllegalArgumentException(s"unsupported period: $other")
+          }
+        }
+      FreshnessPolicy(
+        loadedAtCol = f.get("loaded_at_field").asText(),
+        warnAfterHours = hours("warn_after"),
+        errorAfterHours = hours("error_after"))
+    }
+
   def fromJsonString(name: String, json: String): Suite = {
     val root = mapper.readTree(json)
     val exps = Option(root.get("expectations"))
@@ -48,7 +74,7 @@ object SuiteLoader {
           throw new IllegalArgumentException(s"unsupported expectation: $other")
       }
     }
-    Suite(name, columnsOrdered, checks.result())
+    Suite(name, columnsOrdered, checks.result(), parseFreshness(root))
   }
 
   def fromFile(name: String, path: String): Suite =

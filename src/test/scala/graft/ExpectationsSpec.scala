@@ -43,4 +43,41 @@ class ExpectationsSpec extends AnyFunSuite {
         Suite("t", None, Seq(NotNull("id"))))
     }
   }
+
+  test("freshness status: pass / warn / error against pinned now") {
+    import org.apache.spark.sql.functions._
+    val loaded = Seq("2024-01-10 00:00:00").toDF("dt")
+      .select(to_timestamp(col("dt")).as("dt"))
+    val policy = FreshnessPolicy("dt", Some(12.0), Some(24.0))
+    def statusAt(now: String): (Double, String) = {
+      val r = Expectations.freshnessStatus(loaded, policy,
+        asOf = Some(to_timestamp(lit(now)))).collect()(0)
+      (r.getDouble(0), r.getString(1))
+    }
+    assert(statusAt("2024-01-10 06:00:00") == (6.0, "pass"))
+    assert(statusAt("2024-01-10 18:00:00") == (18.0, "warn"))
+    assert(statusAt("2024-01-11 12:00:00") == (36.0, "error"))
+    // boundary is exclusive, like dbt's "after"
+    assert(statusAt("2024-01-10 12:00:00")._2 == "pass")
+  }
+
+  test("validateOrThrow: freshness warn surfaces but does not abort; error aborts") {
+    import org.apache.spark.sql.functions._
+    // stale by ~forever relative to wall clock → error when bounded
+    val stale = Seq("2000-01-01 00:00:00").toDF("dt")
+      .select(to_timestamp(col("dt")).as("dt"))
+    val warnOnly = Suite("s", None, Nil,
+      Some(FreshnessPolicy("dt", Some(12.0), None)))
+    assert(Expectations.validateOrThrow(stale, warnOnly) == Some("warn"))
+    intercept[IllegalStateException] {
+      Expectations.validateOrThrow(stale,
+        Suite("s", None, Nil, Some(FreshnessPolicy("dt", Some(12.0), Some(24.0)))))
+    }
+    // fresh data passes a bounded policy (uses wall clock: future-dated)
+    val fresh = Seq("2999-01-01 00:00:00").toDF("dt")
+      .select(to_timestamp(col("dt")).as("dt"))
+    assert(Expectations.validateOrThrow(fresh,
+      Suite("s", None, Nil,
+        Some(FreshnessPolicy("dt", Some(12.0), Some(24.0))))) == Some("pass"))
+  }
 }

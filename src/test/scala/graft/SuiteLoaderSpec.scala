@@ -52,4 +52,22 @@ class SuiteLoaderSpec extends AnyFunSuite {
       SuiteLoader.fromJsonString("x", bad)
     }
   }
+
+  test("parses a dbt-style freshness block, normalizing periods to hours") {
+    val json =
+      """{"expectations": [],
+        | "freshness": {"loaded_at_field": "dt",
+        |   "warn_after": {"count": 720, "period": "minute"},
+        |   "error_after": {"count": 1, "period": "day"}}}""".stripMargin
+    val suite = SuiteLoader.fromJsonString("s", json)
+    assert(suite.freshness ==
+      Some(FreshnessPolicy("dt", Some(12.0), Some(24.0))))
+    // bounds are optional, like dbt
+    val warnOnly = SuiteLoader.fromJsonString("s",
+      """{"expectations": [],
+        | "freshness": {"loaded_at_field": "dt",
+        |   "warn_after": {"count": 12, "period": "hour"}}}""".stripMargin)
+    assert(warnOnly.freshness == Some(FreshnessPolicy("dt", Some(12.0), None)))
+    assert(SuiteLoader.fromJsonString("s", """{"expectations": []}""").freshness.isEmpty)
+  }
 }
