@@ -81,14 +81,41 @@ object Orchestrator {
     results.result()
   }
 
-  /** All four domains; cross-domain fact only if every domain published
-    * (the reference's end-of-DAG gating). */
+  val DefaultDomains: Seq[String] =
+    Seq("erp_orders", "crm_leads", "products", "web_events")
+
+  /** All domains CONCURRENTLY; cross-domain fact only if every domain
+    * published (the reference's end-of-DAG gating).
+    *
+    * The reference runs its four DAGs as independent Airflow schedules
+    * (`airflow/dags/lakehouse_pipelines.py:98-144`) and dbt builds with
+    * `threads: 4` (`dbt/profiles.yml.example:11`). Spark job submission
+    * is thread-safe, and concurrent driver threads let independent
+    * domains overlap scan I/O with compute and fill executor slots one
+    * domain alone can't — on a real cluster this is the difference
+    * between 4× the wall-clock and ~1× the slowest domain. One domain's
+    * failure never interrupts the others; it only gates the fact build.
+    *
+    * `observer` callbacks may fire from multiple threads — implementations
+    * must be thread-safe (the reference's Slack/email callbacks are
+    * per-DAG processes, so this matches their concurrency contract). */
   def runAll(spark: SparkSession, rawDir: String,
       policy: RetryPolicy = RetryPolicy(),
-      observer: Observer = NoopObserver):
+      observer: Observer = NoopObserver,
+      domains: Seq[String] = DefaultDomains,
+      parallelism: Int = 4):
       (Seq[StageResult], Option[org.apache.spark.sql.DataFrame]) = {
-    val all = Seq("erp_orders", "crm_leads", "products", "web_events")
-      .flatMap(d => runDomain(spark, rawDir, d, policy, observer = observer))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, domains.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val all =
+      try Await.result(
+        Future.sequence(domains.map(d =>
+          Future(runDomain(spark, rawDir, d, policy, observer = observer)))),
+        Duration.Inf).flatten
+      finally pool.shutdown()
     val fact =
       if (all.forall(_.ok))
         Some(Lakehouse.buildFact(

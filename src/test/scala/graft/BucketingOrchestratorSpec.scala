@@ -39,6 +39,28 @@ class BucketingOrchestratorSpec extends AnyFunSuite {
     assert(fact.isDefined && fact.get.count() == 5)
   }
 
+  test("orchestrator: concurrent domains — one failure gates the fact, others complete") {
+    val dir = SampleData.writeTo(
+      java.nio.file.Files.createTempDirectory("graft_orch_par").toString)
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[StageResult]())
+    val observer = new Orchestrator.Observer {
+      override def onStageComplete(r: StageResult): Unit = { seen.add(r); () }
+    }
+    val (results, fact) = Orchestrator.runAll(spark, dir,
+      RetryPolicy(retries = 0), observer = observer,
+      domains = Orchestrator.DefaultDomains :+ "no_such_domain")
+    // the injected domain fails at ingest and runs nothing further
+    val bad = results.filter(_.domain == "no_such_domain")
+    assert(bad.map(_.stage) == Seq("ingest") && !bad.head.ok)
+    // every real domain still runs all four stages green, concurrently
+    val good = results.filter(_.domain != "no_such_domain")
+    assert(good.size == 16 && good.forall(_.ok))
+    // ALL_SUCCESS gating: one red domain ⇒ no fact
+    assert(fact.isEmpty)
+    assert(seen.size == results.size)
+  }
+
   test("orchestrator: validation failure gates publish and retries stop") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orch_bad").toString
     java.nio.file.Files.writeString(
