@@ -283,6 +283,21 @@ object SparkEntry {
     // ---- Multimodal: binary payload + stubbed decode plumbing ----
     "q24_multimodal_features" -> ((s, dir) => Multimodal.featureTable(s, dir)),
 
+    // ---- Multimodal: REAL decode path — P6 ppm header parse + pixel
+    //      feature extraction behind the same Decoder boundary
+    //      (deterministic synthetic assets; rows-only) ----
+    "q46_ppm_decode" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.featurize(Multimodal.ppmFromDocuments(s, dir),
+          Multimodal.PpmDecoder)
+        .toDF()
+        .select(col("media_id"), col("n_bytes"), col("checksum"),
+          round(element_at(col("features"), 1), 1).as("width"),
+          round(element_at(col("features"), 2), 1).as("height"),
+          round(element_at(col("features"), 7), 4).as("luma_mean"))
+        .orderBy("media_id")
+    }),
+
     // ---- Approximate distinct (HLL; impl-specific → rows-only) ----
     "q25_approx_users" -> ((s, dir) => {
       t(s, dir, "events")

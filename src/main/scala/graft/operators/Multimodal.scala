@@ -56,6 +56,116 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder for binary PPM (P6, netpbm): parses the
+    * self-describing header (token whitespace and `#` comments per the
+    * spec), validates the payload length against the declared geometry,
+    * and extracts features from the actual pixels — per-channel means
+    * and luminance min/mean/max. Features:
+    * `[width, height, meanR, meanG, meanB, lumaMin, lumaMean, lumaMax]`.
+    *
+    * This is the same [[Decoder]] slot [[FakeDecoder]] fills, carrying a
+    * genuine parse: a JNI/ffmpeg codec plugs in identically — per-batch,
+    * map-only, no shuffle. Malformed payloads throw (fail-fast, like a
+    * codec would); callers wanting skip-bad-asset semantics filter first. */
+  object PpmDecoder extends Decoder {
+
+    /** (width, height, maxval, pixelOffset) from a P6 header. */
+    def parseHeader(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+      require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+        "not a P6 ppm payload")
+      var i = 2
+      def nextInt(): Int = {
+        // skip whitespace and '#' comments (comment runs to end of line)
+        var done = false
+        while (!done) {
+          while (i < bytes.length && bytes(i).toChar.isWhitespace) i += 1
+          if (i < bytes.length && bytes(i) == '#') {
+            while (i < bytes.length && bytes(i) != '\n') i += 1
+          } else done = true
+        }
+        var v = 0
+        require(i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9',
+          s"malformed ppm header at byte $i")
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+          v = v * 10 + (bytes(i) - '0'); i += 1
+        }
+        v
+      }
+      val (w, h, maxVal) = (nextInt(), nextInt(), nextInt())
+      require(maxVal > 0 && maxVal < 65536, s"bad maxval $maxVal")
+      // exactly one whitespace byte separates header from pixel data
+      i += 1
+      (w, h, maxVal, i)
+    }
+
+    def decode(row: MediaRow): MediaFeatures = {
+      val bytes = row.payload
+      val (w, h, maxVal, off) = parseHeader(bytes)
+      require(maxVal < 256, "only 1-byte-per-sample ppm supported")
+      require(bytes.length - off >= 3 * w * h,
+        s"truncated ppm: ${bytes.length - off} pixel bytes for ${w}x$h")
+      var (sr, sg, sb) = (0.0, 0.0, 0.0)
+      var (lumMin, lumMax, lumSum) = (Double.MaxValue, Double.MinValue, 0.0)
+      var checksum = 1125899906842597L
+      var p = off
+      val end = off + 3 * w * h
+      while (p < end) {
+        val r = bytes(p) & 0xff
+        val g = bytes(p + 1) & 0xff
+        val b = bytes(p + 2) & 0xff
+        sr += r; sg += g; sb += b
+        val luma = 0.299 * r + 0.587 * g + 0.114 * b
+        if (luma < lumMin) lumMin = luma
+        if (luma > lumMax) lumMax = luma
+        lumSum += luma
+        checksum = 31 * (31 * (31 * checksum + r) + g) + b
+        p += 3
+      }
+      val n = (w * h).toDouble
+      MediaFeatures(row.media_id, "image/x-portable-pixmap",
+        bytes.length.toLong, checksum,
+        Array(w.toDouble, h.toDouble, sr / n, sg / n, sb / n,
+          lumMin, lumSum / n, lumMax))
+    }
+  }
+
+  /** Deterministic P6 asset for tests/demo queries: a seeded RGB
+    * gradient, so every (width, height, seed) triple produces the same
+    * pixels on every executor. */
+  def generatePpm(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val header = s"P6\n# graft synthetic asset\n$width $height\n255\n"
+      .getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + 3 * width * height)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var p = header.length
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        out(p) = (((x * 255) / math.max(1, width - 1)) & 0xff).toByte
+        out(p + 1) = (((y * 255) / math.max(1, height - 1)) & 0xff).toByte
+        out(p + 2) = (((x + y + seed) % 256) & 0xff).toByte
+        p += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Demo media table of real P6 assets keyed off `documents` ids —
+    * geometry varies per id, payloads generated on-executor (no driver
+    * materialization, no shuffle). */
+  def ppmFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = 8 + (id % 8).toInt
+        val h = 8 + (id % 5).toInt
+        MediaRow(id, "image/x-portable-pixmap", w, h, generatePpm(w, h, id))
+      }
+  }
+
   /** Batched per-partition featurize — the `mapPartitions` boundary a
     * native decoder would live behind. No shuffle: feature extraction is
     * map-only; the iterator keeps memory at one batch, not one

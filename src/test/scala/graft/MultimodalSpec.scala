@@ -27,6 +27,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.mime == "image/png" && f.n_bytes == 4L && f.features.length == 8)
   }
 
+  test("PpmDecoder: generated asset decodes to asserted dimensions and pixel stats") {
+    // 2x1 gradient: pixels (r,g,b) = (0,0,seed) and (255,0,seed+1)
+    val bytes = Multimodal.generatePpm(2, 1, seed = 10L)
+    val f = Multimodal.PpmDecoder.decode(
+      MediaRow(7L, "image/x-portable-pixmap", 2, 1, bytes))
+    val Array(w, h, meanR, meanG, meanB, lumMin, lumMean, lumMax) = f.features
+    assert((w, h) == (2.0, 1.0))
+    assert(meanR == 127.5 && meanG == 0.0 && meanB == 10.5)
+    assert(lumMin < lumMean && lumMean < lumMax)
+    assert(f.mime == "image/x-portable-pixmap" && f.n_bytes == bytes.length.toLong)
+    // deterministic across invocations
+    assert(Multimodal.PpmDecoder.decode(
+      MediaRow(7L, "x", 2, 1, Multimodal.generatePpm(2, 1, 10L))).checksum == f.checksum)
+  }
+
+  test("PpmDecoder: header comments parse; malformed payloads fail fast") {
+    val pixels = Array[Byte](10, 20, 30)
+    val withComment = ("P6\n# a comment\n 1 1\n# another\n255\n"
+      .getBytes("US-ASCII") ++ pixels)
+    val f = Multimodal.PpmDecoder.decode(MediaRow(1L, "x", 1, 1, withComment))
+    assert(f.features.take(5).toSeq == Seq(1.0, 1.0, 10.0, 20.0, 30.0))
+    intercept[IllegalArgumentException] {   // truncated pixel data
+      Multimodal.PpmDecoder.decode(MediaRow(1L, "x", 2, 2,
+        "P6\n2 2\n255\n".getBytes("US-ASCII") ++ pixels))
+    }
+    intercept[IllegalArgumentException] {   // not ppm at all
+      Multimodal.PpmDecoder.decode(MediaRow(1L, "x", 1, 1, Array[Byte](1, 2, 3)))
+    }
+  }
+
+  test("ppm decode runs distributed over generated assets with per-id geometry") {
+    val feats = Multimodal.featurize(
+      Multimodal.ppmFromDocuments(spark, "/root/testdata/sf0.001"),
+      Multimodal.PpmDecoder)
+      .collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.features(0) == (8 + f.media_id % 8).toDouble)
+      assert(f.features(1) == (8 + f.media_id % 5).toDouble)
+    }
+  }
+
   test("binaryFile source ingests opaque assets with glob filtering") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media")
     java.nio.file.Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
