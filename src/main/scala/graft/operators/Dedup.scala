@@ -37,20 +37,19 @@ object Dedup {
 
   /** MinHash signature: `numHashes` permutations approximated by seeded
     * xxhash64 over word `k`-shingles; signature i = min over shingles of
-    * hash_i(shingle). Pure built-ins: array_min ∘ transform ∘ xxhash64.
+    * hash_i(shingle).
     *
-    * The shingle array is staged as its own projection first, then the
-    * per-shingle base hash: each signature lambda references a bound
-    * column, not the shingle-building expression tree. Inlining it
-    * makes every one of the `numHashes` lambdas rebuild all shingles
-    * (no CSE across lambda trees) — a ~numHashes× slowdown measured at
-    * sf0.1. Hashing a precomputed long per permutation instead of
-    * re-hashing the shingle string cuts another ~4× of string work. */
+    * Both hot stages are native codegen'd expressions:
+    * [[graft.functions.ShingleHashes]] joins the token bytes once per
+    * row and hashes each k-window as a byte-range (replacing the
+    * interpreted `transform ∘ concat_ws ∘ slice` HOF chain — measured
+    * ~3× on q17 at sf0.1), and [[graft.functions.MinHashSignature]]
+    * folds those longs into the signature without re-hashing strings. */
   def withMinHashSignature(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
       textCol: String = "text"): DataFrame = {
     val staged = docs
       .withColumn("__shingle_hashes",
-        transform(shingles(col(textCol), k), s => xxhash64(s)))
+        graft.functions.ShingleHashes.shingleHashes(tokens(col(textCol)), k))
     staged
       .withColumn("minhash_sig",
         graft.functions.MinHashSignature.minhashSignature(
@@ -136,9 +135,11 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // shingles hashed to longs before the set ops: |∩| and |∪| are
     // unchanged absent a 64-bit collision, and long-array intersection
-    // is far cheaper than string-array intersection per pair
+    // is far cheaper than string-array intersection per pair; the
+    // hashing itself is the native ShingleHashes byte-range scan
     val sets = docs.select(col(idCol),
-      array_distinct(transform(shingles(col(textCol), k), s => xxhash64(s)))
+      array_distinct(
+        graft.functions.ShingleHashes.shingleHashes(tokens(col(textCol)), k))
         .as("sh"))
     candidates
       .join(sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
