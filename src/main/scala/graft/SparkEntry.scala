@@ -501,6 +501,16 @@ object SparkEntry {
     }),
 
     // ---- Wordcount: explode + count + top-k ----
+    // ---- Token counting: whitespace vs BPE-ish subword pre-tokens ----
+    "q47_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextFunctions.bpeTokenCount(col("text")).cast("bigint").as("n_bpe"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_ws"))
+        .orderBy("doc_id")
+    }),
+
     "q39_token_freq" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(explode(TextFunctions.tokens(col("text"))).as("token"))
@@ -911,6 +921,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT store_id, dt, 'order_count' AS metric, order_count AS value FROM d
         |ORDER BY store_id, dt, metric""".stripMargin,
+
+    "q47_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+        |    AS BIGINT) AS n_bpe,
+        |  CAST(len(str_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q39_token_freq" ->
       """SELECT token, COUNT(*) AS cnt

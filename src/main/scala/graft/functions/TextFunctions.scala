@@ -20,6 +20,25 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-style BPE pre-tokenizer pattern (Radford et al. 2019,
+    * "Language Models are Unsupervised Multitask Learners", the
+    * `gpt2.bpe` regex): contraction suffixes, space-prefixed letter
+    * runs, digit runs, punctuation runs, residual whitespace.
+    * Simplified: the original's `\s+(?!\S)` trailing-space lookahead is
+    * dropped so the pattern stays within RE2 semantics and the DuckDB
+    * oracle tokenizes identically. */
+  val BpeTokenPattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish subword pre-tokens — the token-count basis an LLM data
+    * pipeline budgets with (whitespace tokens undercount CJK/punct-heavy
+    * text badly). Codegen'd `regexp_extract_all`; the compiled pattern
+    * is reused per task. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeTokenPattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Sum of token lengths (for mean-word-length style quality features). */
   def sumTokenLen(text: Column): Column = sumTokenLenT(tokens(text))
 

@@ -19,8 +19,12 @@ object Orchestrator {
 
   final case class RetryPolicy(retries: Int = 2, delayMillis: Long = 0L)
 
+  /** `durationMillis` spans all attempts including retry delays — the
+    * number an SLA dashboard needs (the reference ships stage durations
+    * to its callbacks the same way, airflow/dags/lakehouse_pipelines.py:50-73). */
   final case class StageResult(domain: String, stage: String,
-      attempts: Int, ok: Boolean, error: Option[String])
+      attempts: Int, ok: Boolean, error: Option[String],
+      durationMillis: Long = 0L)
 
   trait Observer {
     def onStageComplete(r: StageResult): Unit = ()
@@ -54,9 +58,11 @@ object Orchestrator {
     var staged: Option[org.apache.spark.sql.DataFrame] = None
 
     def stage(name: String)(body: => Unit): Unit = if (ok) {
+      val s0 = System.nanoTime()
       val (r, attempts) = withRetries(policy)(body)
       val sr = StageResult(domain, name, attempts, r.isSuccess,
-        r.failed.toOption.map(_.getMessage))
+        r.failed.toOption.map(_.getMessage),
+        durationMillis = (System.nanoTime() - s0) / 1000000L)
       observer.onStageComplete(sr)
       results += sr
       if (r.isFailure) ok = false

@@ -36,6 +36,9 @@ class BucketingOrchestratorSpec extends AnyFunSuite {
     assert(results.size == 16 && results.forall(_.ok))
     assert(results.map(_.stage).take(4) ==
       Seq("ingest", "validate", "transform", "publish"))
+    // per-stage durations are observable (validate actually scans data,
+    // so at least it must register wall-clock)
+    assert(results.filter(_.stage == "validate").forall(_.durationMillis > 0))
     assert(fact.isDefined && fact.get.count() == 5)
   }
 

@@ -52,6 +52,22 @@ class TokenProfileSpec extends AnyFunSuite {
     assert(diff.isEmpty)
   }
 
+  test("bpe pre-tokenizer: contractions, CJK, punctuation runs") {
+    val got = Seq("I'll go, won't you? 日本語123")
+      .toDF("text")
+      .select(TextFunctions.bpeTokens(col("text")).as("t"))
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("I", "'ll", " go", ",", " won", "'t", " you", "?",
+      " 日本語", "123"))
+    // whitespace count badly underestimates here; bpe-ish does not
+    val counts = Seq("日本語の文章です。Tokens matter!")
+      .toDF("text")
+      .select(TextFunctions.bpeTokenCount(col("text")).as("bpe"),
+        TextFunctions.tokenCount(col("text")).as("ws"))
+      .collect()(0)
+    assert(counts.getInt(0) > counts.getInt(1))
+  }
+
   test("interpreted eval: occurrence counting and duplicate dict words") {
     val lookup = TokenProfile.buildLookup(Array(Array("a", "a", "b"), Array("b")))
     val arr = new GenericArrayData(
