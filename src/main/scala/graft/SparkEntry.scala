@@ -259,6 +259,23 @@ object SparkEntry {
       Similarity.embeddingNearDups(e, threshold = 0.4, numCentroids = 8)
     }),
 
+    // ---- Similarity: random-hyperplane LSH near-dup — the
+    //      training-free scale path. The synthetic embeddings hold no
+    //      true near-dups (max pairwise cosine ≈ 0.51), so the query
+    //      derives planted ones deterministically from the driver
+    //      table: each vector paired with itself minus its first
+    //      dimension (cosine ≈ 0.99). Rows-only (LSH/hash-based);
+    //      recall-vs-exact is asserted in SimilaritySpec. ----
+    "q48_hyperplane_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding"))
+      val perturbed = e.select((col("vec_id") + 100000L).as("vec_id"),
+        concat(array(lit(0.0f)), slice(col("embedding"), 2, 63))
+          .as("embedding"))
+      Similarity.hyperplaneNearDups(e.unionByName(perturbed),
+        threshold = 0.9, dim = 64)
+    }),
+
     // ---- Dedup: embedding-cosine near-duplicate pairs ----
     "q22_embedding_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").filter(col("vec_id") < 500)

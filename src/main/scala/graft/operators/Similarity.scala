@@ -151,6 +151,45 @@ object Similarity {
     * shape; assignment itself is map-only. Precision is exact (true
     * cosine is computed per surviving pair); recall < 1 for pairs split
     * across cells — raise numCentroids/lower threshold to trade. */
+  /** Embedding near-duplicate pairs via random-hyperplane LSH
+    * (Charikar, STOC 2002) — the codebook-free alternative to
+    * [[embeddingNearDups]]: no training step at all, so it suits
+    * pipelines where even fitting on a sample is unwanted.
+    *
+    * Shape: per-row native 64-bit signature
+    * ([[graft.functions.HyperplaneSignature]], map-only) → bucket by
+    * 16-bit signature chunks (pigeonhole: Hamming ≤ 3 guarantees a
+    * shared chunk) → exact cosine verify within buckets. Precision is
+    * exact; recall covers genuinely NEAR pairs (θ → 0 ⇒ chunk-collision
+    * probability (1−θ/π)^16 → 1) and falls off for mid-similarity pairs
+    * — the near-DUP contract, same as SimHash over text. The only
+    * shuffle is the chunk equi-join on (int, long) rows. */
+  def hyperplaneNearDups(vectors: DataFrame, threshold: Double,
+      dim: Int, seed: Long = 7L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val signed = vectors.select(col(idCol), col(vecCol),
+      graft.functions.HyperplaneSignature
+        .hyperplaneSignature(col(vecCol), numBits = 64, dim = dim, seed = seed)
+        .as("hp_sig"))
+    val chunked = signed.select(col(idCol), col(vecCol),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk_id"),
+          shiftright(col("hp_sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))
+      }: _*)).as("c"))
+      .select(col(idCol), col(vecCol), col("c.chunk_id"), col("c.chunk"))
+    val a = chunked.select(col("chunk_id"), col("chunk"),
+      col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = chunked.select(col("chunk_id"), col("chunk"),
+      col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("chunk_id", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
   def embeddingNearDups(vectors: DataFrame, threshold: Double,
       numCentroids: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

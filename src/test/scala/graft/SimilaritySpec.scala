@@ -99,6 +99,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.forall { case (q, n) => q != n })
   }
 
+  test("hyperplane signature: identical vectors collide, negation flips every bit") {
+    import graft.functions.HyperplaneSignature
+    val df = Seq(
+      (1L, Array(0.5f, -0.25f, 0.75f, 0.1f)),
+      (2L, Array(0.5f, -0.25f, 0.75f, 0.1f)),     // identical
+      (3L, Array(-0.5f, 0.25f, -0.75f, -0.1f)))   // negated
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", HyperplaneSignature
+        .hyperplaneSignature($"embedding", numBits = 64, dim = 4, seed = 7L)
+        .as("sig"))
+    val sigs = df.as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) == 64)
+  }
+
+  test("hyperplane near-dups: planted perturbed copies found with high recall, exact precision") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 500).select($"vec_id", $"embedding")
+    val perturbed = e.select(($"vec_id" + 100000L).as("vec_id"),
+      concat(array(lit(0.0f)), slice($"embedding", 2, 63)).as("embedding"))
+    val all = e.unionByName(perturbed)
+    val got = Similarity.hyperplaneNearDups(all, threshold = 0.9, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact pairs ≥ 0.9 are exactly the (v, v-without-dim0) plants here
+    val a = all.select($"vec_id".as("id_a"), $"embedding".as("v_a"))
+    val b = all.select($"vec_id".as("id_b"), $"embedding".as("v_b"))
+    val exact = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("cos_sim", round(VectorFunctions.cosine($"v_a", $"v_b"), 6))
+      .filter($"cos_sim" >= 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exact), s"non-near pairs emitted: ${got.diff(exact).take(5)}")
+    assert(exact.nonEmpty)
+    val recall = got.size.toDouble / exact.size
+    assert(recall >= 0.9, s"hyperplane recall was $recall (${got.size}/${exact.size})")
+    // deterministic end-to-end (seeded planes)
+    val again = Similarity.hyperplaneNearDups(all, threshold = 0.9, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(again == got)
+  }
+
   test("bucketed near-dups: perfect precision vs exact pairs, recall floor") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .filter($"vec_id" < 500)
