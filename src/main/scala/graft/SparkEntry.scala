@@ -216,6 +216,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Multimodal: resize → decode pipeline (map-only; rows-only) ----
+    "q49_media_resize" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.featurize(
+          Multimodal.resize(Multimodal.ppmFromDocuments(s, dir), 8, 6),
+          Multimodal.PpmDecoder)
+        .toDF()
+        .select(col("media_id"), col("n_bytes"),
+          round(element_at(col("features"), 1), 1).as("width"),
+          round(element_at(col("features"), 2), 1).as("height"),
+          round(element_at(col("features"), 7), 4).as("luma_mean"))
+        .orderBy("media_id")
+    }),
+
     // ---- Dedup: MinHash + LSH candidate pairs (hash-based; rows-only) ----
     "q17_minhash_pairs" -> ((s, dir) =>
       Dedup.minHashCandidates(t(s, dir, "documents"),

@@ -129,6 +129,72 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor resize of a P6 payload — a real pixel transform
+    * on the decode path (the north-star "resize" verb). Pure function
+    * of the bytes; runs inside `map`/`mapPartitions` with no shuffle. */
+  def resizePpm(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    require(outW > 0 && outH > 0, "target geometry must be positive")
+    val (w, h, maxVal, off) = PpmDecoder.parseHeader(payload)
+    require(maxVal < 256, "only 1-byte-per-sample ppm supported")
+    require(payload.length - off >= 3 * w * h, "truncated ppm")
+    val header = s"P6\n$outW $outH\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + 3 * outW * outH)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var p = header.length
+    var y = 0
+    while (y < outH) {
+      val srcY = y * h / outH
+      var x = 0
+      while (x < outW) {
+        val srcX = x * w / outW
+        val src = off + 3 * (srcY * w + srcX)
+        out(p) = payload(src); out(p + 1) = payload(src + 1)
+        out(p + 2) = payload(src + 2)
+        p += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Resize every asset in a media table (metadata updated to match).
+    * Map-only; a real image pipeline swaps `resizePpm` for its codec the
+    * same way `featurize` swaps decoders. */
+  def resize(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map(r => r.copy(width = outW, height = outH,
+      payload = resizePpm(r.payload, outW, outH)))
+  }
+
+  /** Split a concatenated-P6 "video" payload into frames, walking the
+    * self-describing headers (each frame declares its own pixel-byte
+    * length, so the scan is O(bytes) with no delimiter guessing). */
+  def splitFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+    val frames = Seq.newBuilder[Array[Byte]]
+    var pos = 0
+    while (pos < payload.length) {
+      val rest = java.util.Arrays.copyOfRange(payload, pos, payload.length)
+      val (w, h, _, off) = PpmDecoder.parseHeader(rest)
+      val frameLen = off + 3 * w * h
+      require(rest.length >= frameLen, s"truncated frame at byte $pos")
+      frames += java.util.Arrays.copyOfRange(rest, 0, frameLen)
+      pos += frameLen
+    }
+    frames.result()
+  }
+
+  /** Keep every `every`-th frame of each video payload (the north-star
+    * "frame-sample" verb), re-concatenated as a P6 stream. Map-only. */
+  def sampleFrames(media: Dataset[MediaRow], every: Int): Dataset[MediaRow] = {
+    require(every >= 1, "every must be >= 1")
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val kept = splitFrames(r.payload).zipWithIndex
+        .collect { case (f, i) if i % every == 0 => f }
+      r.copy(payload = kept.flatten.toArray)
+    }
+  }
+
   /** Deterministic P6 asset for tests/demo queries: a seeded RGB
     * gradient, so every (width, height, seed) triple produces the same
     * pixels on every executor. */

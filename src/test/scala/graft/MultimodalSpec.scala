@@ -69,6 +69,37 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resizePpm: geometry transforms, pixels sampled nearest-neighbor") {
+    val src = Multimodal.generatePpm(16, 10, seed = 3L)
+    val small = Multimodal.resizePpm(src, 8, 5)
+    val f = Multimodal.PpmDecoder.decode(MediaRow(1L, "x", 8, 5, small))
+    assert(f.features(0) == 8.0 && f.features(1) == 5.0)
+    // exact 2× downscale keeps corner pixel (0,0) identical
+    val (_, _, _, srcOff) = Multimodal.PpmDecoder.parseHeader(src)
+    val (_, _, _, outOff) = Multimodal.PpmDecoder.parseHeader(small)
+    assert(src.slice(srcOff, srcOff + 3).toSeq == small.slice(outOff, outOff + 3).toSeq)
+    // same-size resize is pixel-identical
+    val same = Multimodal.resizePpm(src, 16, 10)
+    val (_, _, _, sameOff) = Multimodal.PpmDecoder.parseHeader(same)
+    assert(same.drop(sameOff).toSeq == src.drop(srcOff).toSeq)
+    // distributed form updates metadata and payload together
+    val resized = Multimodal.resize(
+      spark.createDataset(Seq(MediaRow(9L, "x", 16, 10, src))), 4, 4).collect()(0)
+    assert(resized.width == 4 && resized.height == 4)
+    assert(Multimodal.PpmDecoder.decode(resized).features(0) == 4.0)
+  }
+
+  test("frame sampling walks self-describing frame boundaries") {
+    val frames = (0 until 5).map(i => Multimodal.generatePpm(4, 3, seed = i.toLong))
+    val video = frames.flatten.toArray
+    assert(Multimodal.splitFrames(video).map(_.toSeq) == frames.map(_.toSeq))
+    val sampled = Multimodal.sampleFrames(
+      spark.createDataset(Seq(MediaRow(1L, "video/x-ppm-stream", 4, 3, video))),
+      every = 2).collect()(0)
+    val kept = Multimodal.splitFrames(sampled.payload)
+    assert(kept.map(_.toSeq) == Seq(frames(0), frames(2), frames(4)).map(_.toSeq))
+  }
+
   test("binaryFile source ingests opaque assets with glob filtering") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media")
     java.nio.file.Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
