@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.FloatVectorDot
+import graft.functions.{FloatVectorDot, HyperplaneSignature, MinHashSignature,
+  RollingMinHash, ShingleHashes}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Install with
@@ -18,14 +19,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Scalar config arguments (shingle size, hash count, seed) must be
+    * literals: they parameterize the generated code / plan-level
+    * reference objects, exactly like Spark's own `approx_count_distinct`
+    * precision argument. */
+  private def foldableInt(e: Expression, fn: String, arg: String): Int = {
+    require(e.foldable, s"$fn: $arg must be a literal")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got $other")
+    }
+  }
+
+  private def fn(name: String, clazz: Class[_])(
+      builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+      builder)
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((
-      new FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => {
+    Seq(
+      fn("vec_dot", classOf[FloatVectorDot]) { children =>
         require(children.length == 2, "vec_dot takes exactly 2 arguments")
         FloatVectorDot(children.head, children(1))
-      }))
+      },
+      fn("shingle_hashes", classOf[ShingleHashes]) { children =>
+        require(children.length == 2, "shingle_hashes(tokens, k)")
+        ShingleHashes(children.head,
+          foldableInt(children(1), "shingle_hashes", "k"))
+      },
+      fn("minhash_sig", classOf[MinHashSignature]) { children =>
+        require(children.length == 2, "minhash_sig(shingle_hashes, num_hashes)")
+        MinHashSignature(children.head,
+          foldableInt(children(1), "minhash_sig", "num_hashes"))
+      },
+      fn("rolling_minhash", classOf[RollingMinHash]) { children =>
+        require(children.length == 2, "rolling_minhash(token_hashes, w)")
+        RollingMinHash(children.head,
+          foldableInt(children(1), "rolling_minhash", "w"))
+      },
+      fn("hyperplane_sig", classOf[HyperplaneSignature]) { children =>
+        require(children.length == 4,
+          "hyperplane_sig(vec, num_bits, dim, seed)")
+        val bits = foldableInt(children(1), "hyperplane_sig", "num_bits")
+        val dim = foldableInt(children(2), "hyperplane_sig", "dim")
+        val seed = foldableInt(children(3), "hyperplane_sig", "seed")
+        HyperplaneSignature(children.head,
+          HyperplaneSignature.makePlanes(bits, dim, seed.toLong), dim)
+      })
 
   /** Register into an already-built session's function registry. */
   def register(spark: SparkSession): Unit =

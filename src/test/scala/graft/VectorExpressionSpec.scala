@@ -39,4 +39,38 @@ class VectorExpressionSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(r == 11.0)
   }
+
+  test("full native-function SQL surface registers and evaluates") {
+    GraftExtensions.register(spark)
+    // shingle_hashes ∘ minhash_sig from plain SQL, matching the
+    // DataFrame-path values
+    val sig = spark.sql(
+      "SELECT minhash_sig(shingle_hashes(array('a','b','c','d'), 2), 4) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(sig.length == 4)
+    val viaDf = Seq(Seq("a", "b", "c", "d")).toDF("toks")
+      .select(graft.functions.MinHashSignature.minhashSignature(
+        graft.functions.ShingleHashes.shingleHashes(col("toks"), 2), 4).as("s"))
+      .collect()(0).getSeq[Long](0)
+    assert(sig == viaDf)
+    val rm = spark.sql(
+      "SELECT rolling_minhash(array(9L, 1L, 5L, 3L), 2) AS m")
+      .collect()(0).getLong(0)
+    val rmDf = Seq(Seq(9L, 1L, 5L, 3L)).toDF("h")
+      .select(graft.functions.RollingMinHash.rollingMinHash(col("h"), 2).as("m"))
+      .collect()(0).getLong(0)
+    assert(rm == rmDf)
+    val hp = spark.sql(
+      "SELECT hyperplane_sig(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 64, 2, 7) AS h")
+      .collect()(0).getLong(0)
+    val hpDf = Seq(Array(0.5f, -0.5f)).toDF("v")
+      .select(graft.functions.HyperplaneSignature
+        .hyperplaneSignature(col("v"), 64, 2, 7L).as("h"))
+      .collect()(0).getLong(0)
+    assert(hp == hpDf)
+    // config args must be literals
+    intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(array('a'), CAST(rand()*2 AS INT))").collect()
+    }
+  }
 }
