@@ -61,6 +61,78 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("shingle_hashes: window count, locality, and concat consistency") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.ShingleHashes
+    def arr(toks: Seq[String]) =
+      new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any).toArray)
+    val tokGen = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "Ω", "x1"))
+    val kGen = Gen.chooseNum(1, 4)
+    assertProp(Prop.forAll(tokGen, kGen) { (toks, k) =>
+      val out = ShingleHashes.compute(arr(toks), k)
+      val countOk = out.length == math.max(0, toks.length - k + 1)
+      // window hash = hash of the space-joined window string computed
+      // independently (locality: window w depends only on tokens w..w+k-1)
+      val independent = toks.sliding(k).filter(_.length == k).toSeq.map(w =>
+        ShingleHashes.compute(arr(w), k).head)
+      countOk && out.toSeq == independent
+    })
+  }
+
+  test("token_profile: counts equal brute-force occurrence counts") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.TokenProfile
+    val dicts = Array(Array("a", "b"), Array("b", "c", "c"), Array("zz"))
+    val lookup = TokenProfile.buildLookup(dicts)
+    val tokGen = Gen.listOf(Gen.oneOf("a", "b", "c", "zz", "q", ""))
+    assertProp(Prop.forAll(tokGen) { toks =>
+      val out = TokenProfile.compute(
+        new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any).toArray),
+        lookup, dicts.length)
+      val lenOk = out(0) == toks.map(_.length).sum.toLong
+      val hitsOk = dicts.zipWithIndex.forall { case (d, i) =>
+        out(i + 1) == toks.count(d.contains).toLong
+      }
+      lenOk && hitsOk
+    })
+  }
+
+  test("hyperplane signature: bit agreement grows with cosine similarity") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.HyperplaneSignature
+    val planes = HyperplaneSignature.makePlanes(64, 8, seed = 11L)
+    def sig(v: Array[Float]) = HyperplaneSignature.compute(
+      new GenericArrayData(v.map(x => x: Any)), planes, 8)
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-1.0f, 1.0f))
+      .map(_.toArray).suchThat(v => v.exists(math.abs(_) > 1e-3))
+    assertProp(Prop.forAll(vecGen) { v =>
+      val near = v.clone(); near(0) = near(0) * 0.9f   // small perturbation
+      val far = v.map(-_)                              // antipode
+      val dNear = java.lang.Long.bitCount(sig(v) ^ sig(near))
+      val dFar = java.lang.Long.bitCount(sig(v) ^ sig(far))
+      dFar == 64 && dNear <= 16
+    })
+  }
+
+  test("ppm: resize-to-same and split∘concat are identity") {
+    import graft.operators.Multimodal
+    val geomGen = Gen.zip(Gen.chooseNum(1, 12), Gen.chooseNum(1, 9),
+      Gen.chooseNum(0L, 999L))
+    assertProp(Prop.forAll(geomGen) { case (w, h, seed) =>
+      val ppm = Multimodal.generatePpm(w, h, seed)
+      val same = Multimodal.resizePpm(ppm, w, h)
+      val (_, _, _, o1) = Multimodal.PpmDecoder.parseHeader(ppm)
+      val (_, _, _, o2) = Multimodal.PpmDecoder.parseHeader(same)
+      val identity = ppm.drop(o1).sameElements(same.drop(o2))
+      val frames = Seq(ppm, Multimodal.generatePpm(h, w, seed + 1))
+      val roundTrip = Multimodal.splitFrames(frames.flatten.toArray)
+        .zip(frames).forall { case (a, b) => a.sameElements(b) }
+      identity && roundTrip
+    })
+  }
+
   test("fillna leaves no nulls on filled columns") {
     val g = Gen.listOfN(10, Gen.option(Gen.chooseNum(0, 100)))
     assertProp(Prop.forAll(g) { xs =>
