@@ -180,6 +180,12 @@ object SparkEntry {
     // ---- Structured Streaming: watermarked tumbling-window agg ----
     "q13_stream_daily" -> ((s, dir) => Streams.dailyEventMetrics(s, dir)),
 
+    // ---- Structured Streaming, production shape: append mode emits
+    //      exactly the watermark-finalized windows (state dropped as
+    //      they emit — the bounded-state contract), and that emitted
+    //      set is itself batch-oracleable ----
+    "q50_stream_append" -> ((s, dir) => Streams.dailyEventMetricsAppend(s, dir)),
+
     // ---- Dedup: exact ----
     "q14_dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
 
@@ -730,6 +736,17 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS dt, event_type, COUNT(*) AS n_events,
         |  ROUND(SUM(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY dt, event_type""".stripMargin,
+
+    "q50_stream_append" ->
+      """WITH mx AS (SELECT MAX(ts) AS m FROM events),
+        |agg AS (
+        |  SELECT CAST(ts AS DATE) AS dt, event_type, COUNT(*) AS n_events,
+        |    ROUND(SUM(value), 2) AS total_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.dt, a.event_type, a.n_events, a.total_value
+        |FROM agg a, mx
+        |WHERE CAST(a.dt AS TIMESTAMP) + INTERVAL 1 DAY <= mx.m - INTERVAL 7 DAY
+        |ORDER BY dt, event_type""".stripMargin,
 
     "q14_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count

@@ -120,6 +120,15 @@ object Streams {
     runToTable(spark, dailyEventAgg(eventStream(spark, dir)), "complete")
       .orderBy("dt", "event_type")
 
+  /** PRODUCTION-shape run of [[dailyEventAgg]]: append mode, so only
+    * watermark-finalized windows emit and their state drops. Over a
+    * bounded backlog the emitted set is deterministic — exactly the
+    * windows whose end ≤ max(ts) − 7 days — which makes the append path
+    * itself batch-oracleable (q50), not just the complete-mode variant. */
+  def dailyEventMetricsAppend(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, dailyEventAgg(eventStream(spark, dir)), "append")
+      .orderBy("dt", "event_type")
+
   /** Oracle path for q40: [[dedupedEvents]] rolled up per type so the
     * batch oracle is order-insensitive. The rollup is an unwindowed
     * aggregation, hence complete mode here; the production dedup shape
