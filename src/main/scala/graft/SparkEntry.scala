@@ -558,6 +558,24 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ---- Built-in session windows: the compose-existing-ops
+    //      counterpart to the custom Sessionize operator (q32). An
+    //      event at EXACTLY gap distance still merges (closure is
+    //      strictly-greater, matching q32's custom operator; pinned by
+    //      an AsOfSessionSpec boundary test) ----
+    "q51_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"))
+        .select(col("user_id"),
+          col("w.start").as("session_start"),
+          col("w.end").as("session_end"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // ---- Semi/anti joins (EXISTS / NOT EXISTS) ----
     "q35_semi_anti" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
@@ -886,6 +904,27 @@ object SparkEntry {
         |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
         |    CAST(o_orderdate AS DATE)) AS days_since_prev
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q51_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, value, epoch_ns(ts) // 1000 AS us FROM events),
+        |flagged AS (
+        |  SELECT user_id, value, us,
+        |    CASE WHEN LAG(us) OVER w IS NULL
+        |              OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0
+        |    END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sessions AS (
+        |  SELECT user_id, value, us,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |  make_timestamp(MIN(us)) AS session_start,
+        |  make_timestamp(MAX(us) + 1800000000) AS session_end,
+        |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q32_sessionize" ->
       """WITH e AS (

@@ -10,6 +10,24 @@ class AsOfSessionSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("built-in session_window merges an event at exactly gap distance") {
+    import org.apache.spark.sql.functions._
+    // pins the closure semantics the q51 oracle depends on (strictly
+    // greater than gap starts a new session — same as custom Sessionize)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:30:00"), 2.0),   // exactly gap later => MERGES
+      (1L, ts("2024-01-01 11:00:01"), 3.0))   // > gap after previous => new
+    val got = events.toDF("user_id", "ts", "value")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("string").as("s"), col("n"))
+      .orderBy("s")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("2024-01-01 10:00:00", 2L), ("2024-01-01 11:00:01", 1L)),
+      s"session_window boundary semantics changed: $got")
+  }
+
   test("asofBackward picks the latest right state at or before left ts") {
     val quotes = Seq(
       (1L, ts("2024-01-01 10:00:00"), 100.0),
