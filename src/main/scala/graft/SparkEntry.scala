@@ -398,6 +398,39 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- Approximate percentiles: the single-pass mergeable-sketch
+    //      scale path of q29 (exact percentile buffers every value per
+    //      group; approx_percentile keeps a bounded sketch). Sketch
+    //      contents are impl-specific ⇒ rows-only; the epsilon-vs-exact
+    //      contract is asserted in SparkEntrySpec ----
+    "q52_approx_percentiles" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          expr("round(approx_percentile(value, 0.5, 1000), 4)").as("p50"),
+          expr("round(approx_percentile(value, 0.9, 1000), 4)").as("p90"))
+        .orderBy("event_type")
+    }),
+
+    // ---- GROUPING SETS: arbitrary aggregation lattices beyond
+    //      rollup (q27) / cube (q44) ----
+    "q53_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("dt", to_date(col("ts")))
+        .filter(col("dt") < lit(java.sql.Date.valueOf("2024-01-04")))
+        .groupingSets(
+          Seq(Seq(col("dt")), Seq(col("event_type")), Seq()),
+          col("dt"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"),
+          grouping_id().cast("bigint").as("gid"))
+        .select(
+          coalesce(col("dt").cast("string"), lit("ALL")).as("dt"),
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          col("n_events"), col("total_value"), col("gid"))
+        .orderBy("gid", "dt", "event_type")
+    }),
+
     // ---- Top-k per group ----
     "q30_topk_per_store" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(
@@ -951,6 +984,16 @@ object SparkEntry {
       """SELECT s_name, COUNT(*) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    "q53_grouping_sets" ->
+      """SELECT COALESCE(CAST(dt AS VARCHAR), 'ALL') AS dt,
+        |  COALESCE(event_type, 'ALL') AS event_type,
+        |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value,
+        |  CAST(GROUPING(dt, event_type) AS BIGINT) AS gid
+        |FROM (SELECT CAST(ts AS DATE) AS dt, event_type, value FROM events)
+        |WHERE dt < DATE '2024-01-04'
+        |GROUP BY GROUPING SETS ((dt), (event_type), ())
+        |ORDER BY gid, dt, event_type""".stripMargin,
 
     "q44_cube" ->
       """SELECT COALESCE(CAST(dt AS VARCHAR), 'ALL') AS dt,

@@ -22,4 +22,20 @@ class SparkEntrySpec extends AnyFunSuite {
       assert(SparkEntry.queries(q)(spark, sf).count() > 0, s"$q was empty")
     }
   }
+
+  test("approx percentiles track the exact ones within sketch tolerance") {
+    def byType(name: String): Map[String, (Double, Double)] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = byType("q29_percentiles")
+    val approx = byType("q52_approx_percentiles")
+    assert(exact.keySet == approx.keySet)
+    // value range is ~[0, 1000]; accuracy=1000 keeps rank error ≤ ~1/1000,
+    // so a 5% value tolerance is generous and stable
+    exact.foreach { case (k, (p50, p90)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - p50) <= math.max(5.0, p50 * 0.05), s"$k p50 $a50 vs $p50")
+      assert(math.abs(a90 - p90) <= math.max(5.0, p90 * 0.05), s"$k p90 $a90 vs $p90")
+    }
+  }
 }
