@@ -23,14 +23,20 @@ object GraftExtensions {
     * literals: they parameterize the generated code / plan-level
     * reference objects, exactly like Spark's own `approx_count_distinct`
     * precision argument. */
-  private def foldableInt(e: Expression, fn: String, arg: String): Int = {
+  private def foldableLong(e: Expression, fn: String, arg: String): Long = {
     require(e.foldable, s"$fn: $arg must be a literal")
     e.eval(null) match {
-      case i: Int => i
-      case l: Long => l.toInt
+      case i: Int => i.toLong
+      case l: Long => l
       case other => throw new IllegalArgumentException(
         s"$fn: $arg must be an integer literal, got $other")
     }
+  }
+
+  private def foldableInt(e: Expression, fn: String, arg: String): Int = {
+    val l = foldableLong(e, fn, arg)
+    require(l.isValidInt, s"$fn: $arg out of int range ($l)")
+    l.toInt
   }
 
   private def fn(name: String, clazz: Class[_])(
@@ -64,9 +70,9 @@ object GraftExtensions {
           "hyperplane_sig(vec, num_bits, dim, seed)")
         val bits = foldableInt(children(1), "hyperplane_sig", "num_bits")
         val dim = foldableInt(children(2), "hyperplane_sig", "dim")
-        val seed = foldableInt(children(3), "hyperplane_sig", "seed")
+        val seed = foldableLong(children(3), "hyperplane_sig", "seed")
         HyperplaneSignature(children.head,
-          HyperplaneSignature.makePlanes(bits, dim, seed.toLong), dim)
+          HyperplaneSignature.makePlanes(bits, dim, seed), dim)
       })
 
   /** Register into an already-built session's function registry. */

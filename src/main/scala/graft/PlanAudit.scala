@@ -46,8 +46,9 @@ object PlanAudit {
         Audit(name, shuffles, joins, badNlj, None)
       } catch {
         case e: Throwable =>
-          Audit(name, 0, Nil, flagged = true,
-            Some(e.getMessage.linesIterator.next()))
+          val msg = Option(e.getMessage).filter(_.nonEmpty)
+            .map(_.linesIterator.next()).getOrElse(e.getClass.getName)
+          Audit(name, 0, Nil, flagged = true, Some(msg))
       }
     }
 

@@ -70,7 +70,13 @@ object NearestCentroids {
   /** Top-`nprobe` centroid indices by squared L2, ascending distance;
     * strict-less insertion keeps ties on the lower (earlier) index, so
     * the result is deterministic for any input. Shared by the
-    * interpreted and codegen paths. */
+    * interpreted and codegen paths.
+    *
+    * NaN vectors (every distance comparison false) would otherwise
+    * leave -1 sentinels that explode into duplicate probe rows
+    * downstream; they are instead assigned deterministically to the
+    * first `nprobe` distinct cells — a NaN embedding lands somewhere
+    * harmless rather than corrupting join cardinality. */
   def compute(vec: ArrayData, cents: Array[Float], dim: Int, nprobe: Int): Array[Int] = {
     val k = cents.length / dim
     val m = math.min(nprobe, k)
@@ -96,6 +102,10 @@ object NearestCentroids {
       }
       c += 1
     }
+    // NaN input ⇒ no comparison ever succeeded ⇒ all sentinels; fill
+    // with the first m distinct cells (deterministic, no duplicates)
+    var p = 0
+    while (p < m) { if (bestI(p) == -1) bestI(p) = p % k; p += 1 }
     bestI
   }
 

@@ -77,6 +77,9 @@ object ShingleHashes {
     var i = 0
     while (i < n) {
       toks(i) = arr.getUTF8String(i)
+      require(toks(i) != null,
+        "shingle_hashes: null token at index " + i +
+          " — whitespace split never yields nulls; pre-filter null elements")
       total += toks(i).numBytes + (if (i > 0) 1 else 0)
       i += 1
     }

@@ -96,6 +96,9 @@ object TokenProfile {
     var i = 0
     while (i < n) {
       val tok = arr.getUTF8String(i)
+      require(tok != null,
+        "token_profile: null token at index " + i +
+          " — whitespace split never yields nulls; pre-filter null elements")
       out(0) += tok.numChars()
       val hit = lookup.get(tok)
       if (hit != null) {

@@ -27,16 +27,29 @@ object MergeWriter {
     * `dbt/dbt_project.yml:15`): the merged table takes the UPDATES
     * schema. Surviving target rows are projected onto it — columns the
     * new model dropped disappear, columns it added backfill as null,
-    * and a column whose declared type widened is cast. Merge keys must
-    * exist on both sides (they define row identity across versions). */
+    * and a non-key column whose declared type widened is cast.
+    *
+    * Merge keys must exist on both sides WITH IDENTICAL types: keys
+    * define row identity across schema versions, and casting them
+    * (e.g. a long key narrowed to int) could silently wrap or null a
+    * key value so a target row stops matching its own update — a
+    * corrupted-identity merge. That class of change is a re-key, not a
+    * schema sync, so it is rejected loudly. */
   def upsertSyncSchema(target: DataFrame, updates: DataFrame,
       keys: Seq[String]): DataFrame = {
     require(keys.forall(updates.columns.contains) &&
       keys.forall(target.columns.contains),
       s"merge keys $keys must exist in both target and updates")
+    keys.foreach { k =>
+      val (tt, ut) = (target.schema(k).dataType, updates.schema(k).dataType)
+      require(tt == ut,
+        s"merge key '$k' changed type ($tt -> $ut): key-type changes are a " +
+          "re-key, not a schema sync — migrate explicitly")
+    }
     val targetCols = target.columns.toSet
     val aligned = target.select(updates.schema.fields.map { f =>
-      if (targetCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      if (keys.contains(f.name)) col(f.name)
+      else if (targetCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
     upsert(aligned, updates, keys)

@@ -69,11 +69,15 @@ object Multimodal {
     * codec would); callers wanting skip-bad-asset semantics filter first. */
   object PpmDecoder extends Decoder {
 
-    /** (width, height, maxval, pixelOffset) from a P6 header. */
-    def parseHeader(bytes: Array[Byte]): (Int, Int, Int, Int) = {
-      require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+    /** (width, height, maxval, pixelOffset) from a P6 header at `start`.
+      * Dimension values are bounded (≤ 10^8) so `3·w·h` arithmetic below
+      * stays in Long safely — a hostile header can't wrap the
+      * truncation check into silence. */
+    def parseHeader(bytes: Array[Byte], start: Int = 0): (Int, Int, Int, Int) = {
+      require(bytes.length - start >= 2 &&
+        bytes(start) == 'P' && bytes(start + 1) == '6',
         "not a P6 ppm payload")
-      var i = 2
+      var i = start + 2
       def nextInt(): Int = {
         // skip whitespace and '#' comments (comment runs to end of line)
         var done = false
@@ -83,13 +87,15 @@ object Multimodal {
             while (i < bytes.length && bytes(i) != '\n') i += 1
           } else done = true
         }
-        var v = 0
+        var v = 0L
         require(i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9',
           s"malformed ppm header at byte $i")
         while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
-          v = v * 10 + (bytes(i) - '0'); i += 1
+          v = v * 10 + (bytes(i) - '0')
+          require(v <= 100000000L, s"ppm header value too large at byte $i")
+          i += 1
         }
-        v
+        v.toInt
       }
       val (w, h, maxVal) = (nextInt(), nextInt(), nextInt())
       require(maxVal > 0 && maxVal < 65536, s"bad maxval $maxVal")
@@ -102,7 +108,7 @@ object Multimodal {
       val bytes = row.payload
       val (w, h, maxVal, off) = parseHeader(bytes)
       require(maxVal < 256, "only 1-byte-per-sample ppm supported")
-      require(bytes.length - off >= 3 * w * h,
+      require(bytes.length.toLong - off >= 3L * w * h,
         s"truncated ppm: ${bytes.length - off} pixel bytes for ${w}x$h")
       var (sr, sg, sb) = (0.0, 0.0, 0.0)
       var (lumMin, lumMax, lumSum) = (Double.MaxValue, Double.MinValue, 0.0)
@@ -168,17 +174,17 @@ object Multimodal {
 
   /** Split a concatenated-P6 "video" payload into frames, walking the
     * self-describing headers (each frame declares its own pixel-byte
-    * length, so the scan is O(bytes) with no delimiter guessing). */
+    * length, so the scan is a single O(bytes) pass — each frame is
+    * sliced straight out of the payload, no per-frame rescans). */
   def splitFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
     val frames = Seq.newBuilder[Array[Byte]]
     var pos = 0
     while (pos < payload.length) {
-      val rest = java.util.Arrays.copyOfRange(payload, pos, payload.length)
-      val (w, h, _, off) = PpmDecoder.parseHeader(rest)
-      val frameLen = off + 3 * w * h
-      require(rest.length >= frameLen, s"truncated frame at byte $pos")
-      frames += java.util.Arrays.copyOfRange(rest, 0, frameLen)
-      pos += frameLen
+      val (w, h, _, off) = PpmDecoder.parseHeader(payload, pos)
+      val end = off + 3L * w * h
+      require(end <= payload.length, s"truncated frame at byte $pos")
+      frames += java.util.Arrays.copyOfRange(payload, pos, end.toInt)
+      pos = end.toInt
     }
     frames.result()
   }

@@ -144,13 +144,6 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold, bucketed via
-    * the per-row centroid assignment so only same-cell pairs are
-    * compared (near-dups land in the same cell with high probability).
-    * The only shuffle is the equi-join on cluster_id — the LSH-bucket
-    * shape; assignment itself is map-only. Precision is exact (true
-    * cosine is computed per surviving pair); recall < 1 for pairs split
-    * across cells — raise numCentroids/lower threshold to trade. */
   /** Embedding near-duplicate pairs via random-hyperplane LSH
     * (Charikar, STOC 2002) — the codebook-free alternative to
     * [[embeddingNearDups]]: no training step at all, so it suits
@@ -190,6 +183,13 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, bucketed via
+    * the per-row centroid assignment so only same-cell pairs are
+    * compared (near-dups land in the same cell with high probability).
+    * The only shuffle is the equi-join on cluster_id — the LSH-bucket
+    * shape; assignment itself is map-only. Precision is exact (true
+    * cosine is computed per surviving pair); recall < 1 for pairs split
+    * across cells — raise numCentroids/lower threshold to trade. */
   def embeddingNearDups(vectors: DataFrame, threshold: Double,
       numCentroids: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -40,8 +40,11 @@ object SuiteLoader {
               throw new IllegalArgumentException(s"unsupported period: $other")
           }
         }
+      val loadedAt = Option(f.get("loaded_at_field")).filterNot(_.isNull)
+        .getOrElse(throw new IllegalArgumentException(
+          "freshness block missing required loaded_at_field"))
       FreshnessPolicy(
-        loadedAtCol = f.get("loaded_at_field").asText(),
+        loadedAtCol = loadedAt.asText(),
         warnAfterHours = hours("warn_after"),
         errorAfterHours = hours("error_after"))
     }

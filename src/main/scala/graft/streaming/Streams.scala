@@ -36,15 +36,16 @@ object Streams {
   /** Shuffle-partition count for the local verification/bench runs. */
   val StreamShufflePartitions = 4
 
-  /** Scope a shuffle-partition override to one streaming run: the state
-    * store count is fixed per query at start, so setting the conf around
-    * `start()`/`awaitTermination()` affects only this stream, and
-    * restoring it leaves the surrounding batch session untouched. */
-  private def withShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try f
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  /** Fork a session for one streaming run: `newSession()` shares the
+    * SparkContext (same executors, same cached data) but owns its OWN
+    * SQL conf, so the stream's shuffle-partition setting never leaks
+    * into — or races with — concurrent batch work on the parent
+    * session (mutating the shared conf around `start()` would, under
+    * the concurrent-domain orchestration this engine runs). */
+  private def streamSession(spark: SparkSession, shufflePartitions: Int): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    ss
   }
 
   /** File-source stream over the single events parquet file (or a
@@ -95,29 +96,31 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Run a (bounded) streaming plan to completion into a memory sink and
-    * return the sink table. AvailableNow executes the same incremental
-    * state machine a continuous trigger would. */
-  def runToTable(spark: SparkSession, plan: DataFrame,
-      outputMode: String): DataFrame =
-    withShufflePartitions(spark, StreamShufflePartitions) {
-      val sinkName = s"graft_stream_${counter.incrementAndGet()}"
-      val q = plan.writeStream
-        .outputMode(outputMode)
-        .format("memory")
-        .queryName(sinkName)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(sinkName)
-    }
+  /** Run a (bounded) streaming plan to completion into a memory sink
+    * and return the sink table. AvailableNow executes the same
+    * incremental state machine a continuous trigger would. The plan is
+    * built by `build` against a forked session whose conf carries the
+    * streaming shuffle-partition setting — isolated from the caller's. */
+  def runToTable(spark: SparkSession, outputMode: String)(
+      build: SparkSession => DataFrame): DataFrame = {
+    val ss = streamSession(spark, StreamShufflePartitions)
+    val sinkName = s"graft_stream_${counter.incrementAndGet()}"
+    val q = build(ss).writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(sinkName)
+  }
 
   /** Oracle path for q13: complete-mode run of [[dailyEventAgg]] over
     * the bounded backlog (complete so that windows the watermark has not
     * passed — the newest 7 days — are still emitted, matching the batch
     * oracle exactly). */
   def dailyEventMetrics(spark: SparkSession, dir: String): DataFrame =
-    runToTable(spark, dailyEventAgg(eventStream(spark, dir)), "complete")
+    runToTable(spark, "complete")(ss => dailyEventAgg(eventStream(ss, dir)))
       .orderBy("dt", "event_type")
 
   /** PRODUCTION-shape run of [[dailyEventAgg]]: append mode, so only
@@ -126,7 +129,7 @@ object Streams {
     * windows whose end ≤ max(ts) − 7 days — which makes the append path
     * itself batch-oracleable (q50), not just the complete-mode variant. */
   def dailyEventMetricsAppend(spark: SparkSession, dir: String): DataFrame =
-    runToTable(spark, dailyEventAgg(eventStream(spark, dir)), "append")
+    runToTable(spark, "append")(ss => dailyEventAgg(eventStream(ss, dir)))
       .orderBy("dt", "event_type")
 
   /** Oracle path for q40: [[dedupedEvents]] rolled up per type so the
@@ -134,10 +137,9 @@ object Streams {
     * aggregation, hence complete mode here; the production dedup shape
     * is [[dedupedEvents]] in append mode (asserted in StreamsSpec). */
   def dedupedEventCounts(spark: SparkSession, dir: String): DataFrame =
-    runToTable(spark,
-      dedupedEvents(eventStream(spark, dir))
+    runToTable(spark, "complete")(ss =>
+      dedupedEvents(eventStream(ss, dir))
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n_unique_events")),
-      "complete")
+        .agg(count(lit(1)).as("n_unique_events")))
       .orderBy("event_type")
 }

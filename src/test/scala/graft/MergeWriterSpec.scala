@@ -48,6 +48,15 @@ class MergeWriterSpec extends AnyFunSuite {
     assert(dropped.count() == 4)
   }
 
+  test("upsertSyncSchema rejects merge-key type changes (re-key, not sync)") {
+    val target = fact((1L, "d1", 10.0))
+    val narrowed = Seq((1, "d1", 99.0)).toDF("store_id", "dt", "revenue") // int key
+    val e = intercept[IllegalArgumentException] {
+      MergeWriter.upsertSyncSchema(target, narrowed, Seq("store_id", "dt"))
+    }
+    assert(e.getMessage.contains("store_id"))
+  }
+
   test("mergeWrite: schema change between incremental runs (sync_all_columns)") {
     val dir = Files.createTempDirectory("graft_merge_evo").toString + "/fact"
     MergeWriter.mergeWrite(spark, dir,

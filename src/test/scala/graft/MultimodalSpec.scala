@@ -55,6 +55,11 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {   // not ppm at all
       Multimodal.PpmDecoder.decode(MediaRow(1L, "x", 1, 1, Array[Byte](1, 2, 3)))
     }
+    intercept[IllegalArgumentException] {   // hostile geometry: 3*w*h would
+      // wrap Int — must fail fast, not silently emit garbage features
+      Multimodal.PpmDecoder.decode(MediaRow(1L, "x", 0, 0,
+        "P6\n100000 100000\n255\n".getBytes("US-ASCII") ++ pixels))
+    }
   }
 
   test("ppm decode runs distributed over generated assets with per-id geometry") {

@@ -99,6 +99,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.forall { case (q, n) => q != n })
   }
 
+  test("NaN embeddings assign to distinct cells, never -1 sentinels") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.NearestCentroids
+    val cents = Array.tabulate(3 * 4)(i => i.toFloat)  // 3 centroids, dim 4
+    val nan = new GenericArrayData(
+      Array(Float.NaN, 1.0f, 2.0f, 3.0f).map(x => x: Any))
+    val out = NearestCentroids.compute(nan, cents, dim = 4, nprobe = 2)
+    assert(out.forall(_ >= 0) && out.distinct.length == out.length)
+  }
+
   test("hyperplane signature: identical vectors collide, negation flips every bit") {
     import graft.functions.HyperplaneSignature
     val df = Seq(
