@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: does each heavy operator scale ~linearly when the input is
+  * amplified in place? Amplifies `documents` ×N (ids shifted, text
+  * perturbed per copy so the corpus grows realistically instead of
+  * becoming one giant duplicate cluster), runs each operator warm at 1×
+  * and N×, and prints the time ratio vs the ideal N.
+  *
+  * A ratio ≪ N means fixed overhead still dominates at this SF; a ratio
+  * ≫ N is a superlinearity — the thing that kills a 100 TB run (e.g.
+  * the round-1 IVF centroid scheme would have shown ~N² here).
+  *
+  * Usage: runMain graft.ScaleProbe [factor] [sfDir]
+  */
+object ScaleProbe {
+
+  private def amplify(docs: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(s" variant$i")).as("text"))
+    }.reduce(_ unionByName _)
+
+  private def time(f: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val n = f
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 10
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark: SparkSession = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = graft.io.Sources.table(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val big = amplify(base, factor)
+
+    val ops: Seq[(String, DataFrame => Long)] = Seq(
+      "exact_dedup" -> (d => graft.operators.Dedup.exact(d).count()),
+      "token_profile" -> { d =>
+        val toks = graft.functions.TextFunctions.tokens(col("text"))
+        d.select(graft.functions.TextFunctions.profileT(toks).as("p"))
+          .agg(sum(element_at(col("p"), 1))).collect()(0).getLong(0)
+      },
+      "minhash_lsh" -> (d => graft.operators.Dedup.minHashCandidates(
+        d, k = 3, numHashes = 32, bands = 8, maxBucket = 200).count()),
+      "simhash" -> (d => graft.operators.Dedup.simHash(d).count()),
+      "fingerprint" -> (d => d.select(graft.functions.TextFunctions
+        .fingerprint(col("text")).as("f")).agg(count("f")).collect()(0).getLong(0)))
+
+    println(f"[scale] factor=$factor base=${base.count()} rows")
+    ops.foreach { case (name, f) =>
+      time(f(base)); time(f(big))             // warm both shapes
+      val (t1, _) = time(f(base))
+      val (tN, _) = time(f(big))
+      val ratio = tN / t1
+      println(f"[scale] $name%-14s 1x=$t1%6.2fs ${factor}x=$tN%6.2fs ratio=$ratio%5.2f (ideal <= $factor)")
+    }
+    spark.stop()
+  }
+}
