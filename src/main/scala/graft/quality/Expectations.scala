@@ -77,6 +77,18 @@ object Expectations {
       .orderBy("check_name")
   }
 
+  /** One (domain, hours_since_load, status) row per policy — the
+    * non-gating `dbt source freshness` shape: the reference runs
+    * freshness as its own scheduled command, separate from build
+    * gating (dbt/models/schema.yml:10-13). */
+  def freshnessReport(frames: Map[String, DataFrame],
+      policies: Map[String, FreshnessPolicy],
+      asOf: Option[Column] = None): Seq[(String, Double, String)] =
+    policies.toSeq.sortBy(_._1).map { case (domain, p) =>
+      val r = freshnessStatus(frames(domain), p, asOf).collect()(0)
+      (domain, r.getDouble(0), r.getString(1))
+    }
+
   /** Fail-fast wrapper matching the reference's abort-on-violation
     * semantics (local_runner.py:76-102). A declared freshness policy
     * follows dbt semantics: `error` aborts, `warn` does not (it is

@@ -61,6 +61,23 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(statusAt("2024-01-10 12:00:00")._2 == "pass")
   }
 
+  test("freshnessReport: per-domain statuses, non-gating (dbt source freshness shape)") {
+    import org.apache.spark.sql.functions._
+    def loadedAt(s: String) = Seq(s).toDF("raw")
+      .select(to_timestamp(col("raw")).as("dt"))
+    val frames = Map(
+      "erp_orders" -> loadedAt("2024-01-10 00:00:00"),
+      "web_events" -> loadedAt("2024-01-09 00:00:00"))
+    val policy = FreshnessPolicy("dt", Some(12.0), Some(24.0))
+    val got = Expectations.freshnessReport(
+      frames, Map("erp_orders" -> policy, "web_events" -> policy),
+      asOf = Some(to_timestamp(lit("2024-01-10 06:00:00"))))
+    // one warn, one error — and nothing threw (non-gating by design)
+    assert(got == Seq(
+      ("erp_orders", 6.0, "pass"),
+      ("web_events", 30.0, "error")))
+  }
+
   test("validateOrThrow: freshness warn surfaces but does not abort; error aborts") {
     import org.apache.spark.sql.functions._
     // stale by ~forever relative to wall clock → error when bounded
