@@ -242,6 +242,25 @@ object SparkEntry {
         k = 3, numHashes = 32, bands = 8, maxBucket = 200)
         .withColumn("est_jaccard", round(col("est_jaccard"), 4))),
 
+    // ---- The full fuzzy-dedup pipeline, composed end-to-end: LSH
+    //      candidate generation → exact n-gram-Jaccard verification →
+    //      keep-first filtering (every near-dup of a smaller id drops).
+    //      This is the production shape at 100 TB: candidates by
+    //      bucket join, quadratic work only within verified pairs.
+    //      Hash-impl-dependent ⇒ rows-only; planted-pair semantics
+    //      asserted in TextDedupSpec. ----
+    "q54_fuzzy_dedup_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val candidates = Dedup.minHashCandidates(docs,
+        k = 3, numHashes = 32, bands = 8, maxBucket = 200)
+        .select("id_a", "id_b")
+      val verified = Dedup.jaccardVerify(docs, candidates, k = 3, threshold = 0.5)
+      val dropped = verified.select(col("id_b").as("doc_id")).distinct()
+      docs.join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Dedup: SimHash fingerprints (hash-based; rows-only) ----
     "q18_simhash" -> ((s, dir) => Dedup.simHash(t(s, dir, "documents"))),
 

@@ -58,6 +58,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got((0L, 2L)) == 0.0)
   }
 
+  test("composed fuzzy-dedup pipeline keeps one canonical doc per near-dup group") {
+    // the q54 shape: LSH candidates → exact Jaccard verify → keep-first
+    val candidates = Dedup.minHashCandidates(docs, k = 3, numHashes = 32,
+      bands = 16).select("id_a", "id_b")
+    val verified = Dedup.jaccardVerify(docs, candidates, k = 3, threshold = 0.5)
+    val dropped = verified.select(col("id_b").as("doc_id")).distinct()
+    val kept = docs.join(dropped, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    // 1 (near-dup of 0) and 3 (exact dup of 0) drop; 0 and 2 survive
+    assert(kept == Set(0L, 2L))
+  }
+
   test("simhash: identical docs share fingerprint; near-dups are close") {
     val fps = Dedup.simHash(docs).as[(Long, Long)].collect().toMap
     assert(fps(0L) == fps(3L))
