@@ -4,10 +4,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev tool: does each heavy operator scale ~linearly when the input is
-  * amplified in place? Amplifies `documents` ×N (ids shifted, text
-  * perturbed per copy so the corpus grows realistically instead of
-  * becoming one giant duplicate cluster), runs each operator warm at 1×
-  * and N×, and prints the time ratio vs the ideal N.
+  * amplified in place? Amplifies `documents` ×N and times each operator
+  * warm at 1× and N×, printing the time ratio vs the ideal N.
+  *
+  * Methodology notes (each one matters for honest ratios):
+  *  - Copies are DISJOINT in shingle space: every token of copy i gets
+  *    an `_i` suffix, so copies of the same base doc are NOT mutual
+  *    near-dups. A trailing-marker perturbation would turn each doc
+  *    into an N-clique of near-dups and charge the LSH operator
+  *    ~C(N,2) artifactual pair work that says nothing about corpus
+  *    scaling.
+  *  - Id shifts use (max(doc_id)+1) per copy, so amplified ids never
+  *    collide whatever SF the caller points at.
+  *  - Both shapes are persisted and counted BEFORE timing, so the
+  *    measured region covers the operator, not input generation.
+  *  - The cache is cleared between operators (minHashCandidates persists
+  *    its signature table eagerly and leaves it to the caller to drop).
   *
   * A ratio ≪ N means fixed overhead still dominates at this SF; a ratio
   * ≫ N is a superlinearity — the thing that kills a 100 TB run (e.g.
@@ -17,12 +29,15 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  private def amplify(docs: DataFrame, factor: Int): DataFrame =
+  private def amplify(docs: DataFrame, factor: Int): DataFrame = {
+    val idShift = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1L
     (0 until factor).map { i =>
       docs.select(
-        (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
-        concat(col("text"), lit(s" variant$i")).as("text"))
+        (col("doc_id") + lit(i * idShift)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), "\\s+"),
+          t => concat(t, lit(s"_$i")))).as("text"))
     }.reduce(_ unionByName _)
+  }
 
   private def time(f: => Long): (Double, Long) = {
     val t0 = System.nanoTime()
@@ -32,13 +47,17 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
+    require(factor >= 1, s"factor must be >= 1, got $factor")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark: SparkSession = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("ERROR")
     val base = graft.io.Sources.table(spark, sfDir, "documents")
       .select("doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val big = amplify(base, factor)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(f"[scale] factor=$factor base=${base.count()} big=${big.count()} rows")
 
     val ops: Seq[(String, DataFrame => Long)] = Seq(
       "exact_dedup" -> (d => graft.operators.Dedup.exact(d).count()),
@@ -53,13 +72,17 @@ object ScaleProbe {
       "fingerprint" -> (d => d.select(graft.functions.TextFunctions
         .fingerprint(col("text")).as("f")).agg(count("f")).collect()(0).getLong(0)))
 
-    println(f"[scale] factor=$factor base=${base.count()} rows")
     ops.foreach { case (name, f) =>
       time(f(base)); time(f(big))             // warm both shapes
       val (t1, _) = time(f(base))
       val (tN, _) = time(f(big))
       val ratio = tN / t1
       println(f"[scale] $name%-14s 1x=$t1%6.2fs ${factor}x=$tN%6.2fs ratio=$ratio%5.2f (ideal <= $factor)")
+      // drop operator-persisted intermediates (LSH signature tables),
+      // then re-pin the inputs for the next operator's measurements
+      spark.catalog.clearCache()
+      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      big.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
     }
     spark.stop()
   }

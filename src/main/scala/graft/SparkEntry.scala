@@ -249,17 +249,9 @@ object SparkEntry {
     //      bucket join, quadratic work only within verified pairs.
     //      Hash-impl-dependent ⇒ rows-only; planted-pair semantics
     //      asserted in TextDedupSpec. ----
-    "q54_fuzzy_dedup_pipeline" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val candidates = Dedup.minHashCandidates(docs,
-        k = 3, numHashes = 32, bands = 8, maxBucket = 200)
-        .select("id_a", "id_b")
-      val verified = Dedup.jaccardVerify(docs, candidates, k = 3, threshold = 0.5)
-      val dropped = verified.select(col("id_b").as("doc_id")).distinct()
-      docs.join(dropped, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"))
-        .orderBy("doc_id")
-    }),
+    "q54_fuzzy_dedup_pipeline" -> ((s, dir) =>
+      Dedup.fuzzyDedupKeepFirst(t(s, dir, "documents"),
+        k = 3, numHashes = 32, bands = 8, maxBucket = 200, threshold = 0.5)),
 
     // ---- Dedup: SimHash fingerprints (hash-based; rows-only) ----
     "q18_simhash" -> ((s, dir) => Dedup.simHash(t(s, dir, "documents"))),

@@ -88,7 +88,10 @@ object Dedup {
     // both sides of the pair estimate); persist EAGERLY so the
     // shingle/hash work runs once — a lazy persist lets the three
     // branches of a single job race the cold cache and each compute
-    // the signatures themselves.
+    // the signatures themselves. The cache lives until the caller drops
+    // it (`spark.catalog.clearCache()` between unrelated jobs, as Bench
+    // and ScaleProbe do) — it cannot be unpersisted here because the
+    // returned plan still references it lazily.
     val signed = withMinHashSignature(eligible, k, numHashes, textCol)
       .select(col(idCol), col("minhash_sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -152,6 +155,26 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** The composed fuzzy-dedup pipeline — the production shape at
+    * 100 TB: LSH candidate generation (bucket join, never all-pairs) →
+    * exact n-gram-Jaccard verification (quadratic work only within
+    * candidate pairs) → keep-first filtering (every verified near-dup
+    * of a smaller id drops; transitive chains resolve to the chain's
+    * smallest surviving head, the standard streaming-friendly
+    * heuristic that avoids an iterative connected-components pass).
+    * Returns the surviving documents' ids. */
+  def fuzzyDedupKeepFirst(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, maxBucket: Int = 200, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val candidates = minHashCandidates(docs, k, numHashes, bands, maxBucket,
+      idCol, textCol).select("id_a", "id_b")
+    val verified = jaccardVerify(docs, candidates, k, threshold, idCol, textCol)
+    val dropped = verified.select(col("id_b").as(idCol)).distinct()
+    docs.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol))
+      .orderBy(idCol)
   }
 
   /** 64-bit SimHash per document: per-token 64-bit hash, each bit votes

@@ -80,14 +80,33 @@ object Expectations {
   /** One (domain, hours_since_load, status) row per policy — the
     * non-gating `dbt source freshness` shape: the reference runs
     * freshness as its own scheduled command, separate from build
-    * gating (dbt/models/schema.yml:10-13). */
+    * gating (dbt/models/schema.yml:10-13).
+    *
+    * Non-gating means NOTHING here throws: a policy whose frame is
+    * absent (its load failed upstream — exactly when monitoring
+    * matters) reports as `error` with NaN hours, and an empty frame
+    * reports `error` via [[freshnessStatus]]. All domains evaluate in
+    * ONE Spark job (per-domain single-row aggregates unioned, one
+    * collect), not N sequential driver round-trips. */
   def freshnessReport(frames: Map[String, DataFrame],
       policies: Map[String, FreshnessPolicy],
-      asOf: Option[Column] = None): Seq[(String, Double, String)] =
-    policies.toSeq.sortBy(_._1).map { case (domain, p) =>
-      val r = freshnessStatus(frames(domain), p, asOf).collect()(0)
-      (domain, r.getDouble(0), r.getString(1))
-    }
+      asOf: Option[Column] = None): Seq[(String, Double, String)] = {
+    val (present, missing) = policies.toSeq.sortBy(_._1)
+      .partition { case (d, _) => frames.contains(d) }
+    val evaluated =
+      if (present.isEmpty) Seq.empty
+      else present.map { case (domain, p) =>
+        freshnessStatus(frames(domain), p, asOf)
+          .select(lit(domain).as("domain"),
+            col("hours_since_load"), col("status"))
+      }.reduce(_ unionByName _)
+        .collect().toSeq
+        .map(r => (r.getString(0),
+          if (r.isNullAt(1)) Double.NaN else r.getDouble(1),
+          r.getString(2)))
+    (evaluated ++ missing.map { case (d, _) => (d, Double.NaN, "error") })
+      .sortBy(_._1)
+  }
 
   /** Fail-fast wrapper matching the reference's abort-on-violation
     * semantics (local_runner.py:76-102). A declared freshness policy
@@ -133,12 +152,15 @@ object Expectations {
   def freshnessStatus(df: DataFrame, policy: FreshnessPolicy,
       asOf: Option[Column] = None): DataFrame = {
     val now = asOf.getOrElse(current_timestamp())
-    val hours = ((unix_timestamp(now) -
-      unix_timestamp(max(col(policy.loadedAtCol)))) / 3600.0)
+    val maxLoaded = max(col(policy.loadedAtCol))
+    val hours = ((unix_timestamp(now) - unix_timestamp(maxLoaded)) / 3600.0)
     def breached(bound: Option[Double]): Column =
       bound.map(b => hours > lit(b)).getOrElse(lit(false))
+    // an EMPTY source has no load time at all — that is an error, not a
+    // null that falls through to "pass" (dataless ≠ fresh)
     df.agg(round(hours, 4).as("hours_since_load"),
-      when(breached(policy.errorAfterHours), "error")
+      when(maxLoaded.isNull, "error")
+        .when(breached(policy.errorAfterHours), "error")
         .when(breached(policy.warnAfterHours), "warn")
         .otherwise("pass").as("status"))
   }

@@ -70,12 +70,23 @@ class ExpectationsSpec extends AnyFunSuite {
       "web_events" -> loadedAt("2024-01-09 00:00:00"))
     val policy = FreshnessPolicy("dt", Some(12.0), Some(24.0))
     val got = Expectations.freshnessReport(
-      frames, Map("erp_orders" -> policy, "web_events" -> policy),
-      asOf = Some(to_timestamp(lit("2024-01-10 06:00:00"))))
-    // one warn, one error — and nothing threw (non-gating by design)
-    assert(got == Seq(
-      ("erp_orders", 6.0, "pass"),
-      ("web_events", 30.0, "error")))
+      frames,
+      Map("erp_orders" -> policy, "web_events" -> policy,
+        "never_loaded" -> policy),
+      asOf = Some(to_timestamp(lit("2024-01-10 18:00:00"))))
+    // one warn, one error, one missing-frame error — nothing threw
+    // (non-gating by design)
+    assert(got.map(r => (r._1, r._3)) == Seq(
+      ("erp_orders", "warn"),
+      ("never_loaded", "error"),
+      ("web_events", "error")))
+    assert(got(0)._2 == 18.0 && got(2)._2 == 42.0 && got(1)._2.isNaN)
+    // empty frame (source wiped) is an error, never "pass"
+    val empty = loadedAt("2024-01-10 00:00:00").filter(col("dt").isNull)
+    val er = Expectations.freshnessReport(Map("gone" -> empty),
+      Map("gone" -> policy),
+      asOf = Some(to_timestamp(lit("2024-01-10 18:00:00"))))
+    assert(er.map(r => (r._1, r._3)) == Seq(("gone", "error")))
   }
 
   test("validateOrThrow: freshness warn surfaces but does not abort; error aborts") {

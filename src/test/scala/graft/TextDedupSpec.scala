@@ -59,13 +59,11 @@ class TextDedupSpec extends AnyFunSuite {
   }
 
   test("composed fuzzy-dedup pipeline keeps one canonical doc per near-dup group") {
-    // the q54 shape: LSH candidates → exact Jaccard verify → keep-first
-    val candidates = Dedup.minHashCandidates(docs, k = 3, numHashes = 32,
-      bands = 16).select("id_a", "id_b")
-    val verified = Dedup.jaccardVerify(docs, candidates, k = 3, threshold = 0.5)
-    val dropped = verified.select(col("id_b").as("doc_id")).distinct()
-    val kept = docs.join(dropped, Seq("doc_id"), "left_anti")
-      .select("doc_id").as[Long].collect().toSet
+    // the EXACT operator + parameters q54 ships — one implementation,
+    // asserted here, so the query and the test can't drift apart
+    val kept = Dedup.fuzzyDedupKeepFirst(docs,
+      k = 3, numHashes = 32, bands = 8, maxBucket = 200, threshold = 0.5)
+      .as[Long].collect().toSet
     // 1 (near-dup of 0) and 3 (exact dup of 0) drop; 0 and 2 survive
     assert(kept == Set(0L, 2L))
   }
