@@ -60,4 +60,23 @@ object Sources {
     * avoids the extra schema-inference pass over the data. */
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** ORC scan — the other columnar format large lakehouses ingest
+    * alongside parquet (built into Spark; same pushdown/pruning
+    * machinery: filters and column selection reach the ORC reader). */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** Raw text-corpus scan: one row per line plus the originating file —
+    * how an LLM training corpus of loose .txt shards actually enters a
+    * pipeline before any schema exists. Partitioned by file/size like
+    * any file scan; pair with `pathGlobFilter` to select shards. */
+  def textLines(spark: SparkSession, path: String,
+      glob: String = "*"): DataFrame =
+    spark.read
+      .option("pathGlobFilter", glob)
+      .text(path)
+      .select(
+        org.apache.spark.sql.functions.input_file_name().as("src_file"),
+        org.apache.spark.sql.functions.col("value").as("line"))
 }
