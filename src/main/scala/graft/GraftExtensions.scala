@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{FloatVectorDot, HyperplaneSignature, MinHashSignature,
-  RollingMinHash, ShingleHashes}
+  RollingMinHash, ShingleHashes, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Install with
@@ -64,6 +64,10 @@ object GraftExtensions {
         require(children.length == 2, "rolling_minhash(token_hashes, w)")
         RollingMinHash(children.head,
           foldableInt(children(1), "rolling_minhash", "w"))
+      },
+      fn("simhash64", classOf[SimHash64]) { children =>
+        require(children.length == 1, "simhash64(tokens)")
+        SimHash64(children.head)
       },
       fn("hyperplane_sig", classOf[HyperplaneSignature]) { children =>
         require(children.length == 4,

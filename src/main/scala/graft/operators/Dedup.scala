@@ -179,24 +179,22 @@ object Dedup {
 
   /** 64-bit SimHash per document: per-token 64-bit hash, each bit votes
     * ±1, sign of the vote sum sets the fingerprint bit. Near-dups have
-    * small Hamming distance. Implemented as explode → 64 conditional
-    * counts → bit reassembly (all codegen'd aggregates). */
+    * small Hamming distance.
+    *
+    * Computed by the native per-row expression
+    * [[graft.functions.SimHash64]] — map-only, no explode, no shuffle
+    * (the explode → 64-conditional-sum groupBy formulation multiplies
+    * the row count by the token count and shuffles it back together;
+    * parity between the two is asserted in TextDedupSpec). Token-less
+    * docs are dropped, matching the aggregate formulation where they
+    * produce no exploded rows. */
   def simHash(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(idCol),
-      explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitVotes = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$j")
-    }
-    val voted = tok.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
-    val fp = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
-      acc.bitwiseOR(shiftleft(
-        when(col(s"b$j") > 0, 1L).otherwise(0L), j))
-    }
-    voted.select(col(idCol), fp.as("simhash")).orderBy(idCol)
-  }
+      textCol: String = "text"): DataFrame =
+    docs
+      .filter(size(tokens(col(textCol))) >= 1)
+      .select(col(idCol),
+        graft.functions.SimHash64.simhash64(tokens(col(textCol))).as("simhash"))
+      .orderBy(idCol)
 
   /** SimHash near-dup candidates: bucket by 16-bit fingerprint chunks
     * (documents within Hamming distance 3 of each other share at least

@@ -77,6 +77,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(hammingFar > hamming)
   }
 
+  test("native simhash64 matches the explode+groupBy aggregate formulation") {
+    val varied = docs.unionByName(Seq(
+      (10L, "one"), (11L, "alpha beta gamma delta epsilon zeta"),
+      (12L, "a a a a a b"), (13L, "  padded   whitespace   everywhere  "))
+      .toDF("doc_id", "text"))
+      .filter(size(TextFunctions.tokens(col("text"))) >= 1)
+    val tok = varied.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitVotes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val voted = tok.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+    val fpAgg = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
+      acc.bitwiseOR(shiftleft(when(col(s"b$j") > 0, 1L).otherwise(0L), j))
+    }
+    val expected = voted.select(col("doc_id"), fpAgg.as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val got = Dedup.simHash(varied).as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("fingerprint is content-determined") {
     val fp = docs.select(col("doc_id"),
       TextFunctions.fingerprint(col("text")).as("fp"))

@@ -68,6 +68,12 @@ class VectorExpressionSpec extends AnyFunSuite {
         .hyperplaneSignature(col("v"), 64, 2, 7L).as("h"))
       .collect()(0).getLong(0)
     assert(hp == hpDf)
+    val sh = spark.sql("SELECT simhash64(array('the','cat','sat')) AS f")
+      .collect()(0).getLong(0)
+    val shDf = Seq(Seq("the", "cat", "sat")).toDF("toks")
+      .select(graft.functions.SimHash64.simhash64(col("toks")).as("f"))
+      .collect()(0).getLong(0)
+    assert(sh == shDf)
     // config args must be literals
     intercept[Exception] {
       spark.sql("SELECT shingle_hashes(array('a'), CAST(rand()*2 AS INT))").collect()
