@@ -50,7 +50,8 @@ object Streams {
 
   /** File-source stream over the single events parquet file (or a
     * directory of them), with the NANOS-timestamp repair from
-    * [[graft.io.Sources]]. */
+    * [[graft.io.Sources]] when the file stores nanos (read as long);
+    * files with a plain TIMESTAMP `ts` pass through unchanged. */
   def eventStream(spark: SparkSession, dir: String,
       glob: String = "events.parquet",
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
@@ -58,8 +59,10 @@ object Streams {
     val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
     val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = reader.parquet(dir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else raw
   }
 
   /** Logical plan: tumbling 1-day windows over the event stream — per
@@ -142,4 +145,78 @@ object Streams {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_unique_events")))
       .orderBy("event_type")
+
+  /** Logical plan: stream-static enrichment join + windowed rollup.
+    * The static dim is broadcast — a stream-static equi-join never
+    * shuffles the stream side and re-plans the dim per micro-batch, so
+    * at 100 TB/day of events the join cost is one in-memory hash probe
+    * per event. Watermark + tumbling window as in [[dailyEventAgg]]. */
+  def enrichedDailyAgg(stream: DataFrame, dim: DataFrame,
+      watermark: String = "7 days"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("segment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .select(
+        to_date(col("w.start")).as("dt"),
+        col("segment"),
+        col("n_events"),
+        col("total_value"))
+
+  /** Oracle path for q56: complete-mode bounded run of the
+    * stream-static join, events enriched with the customer market
+    * segment. Batch-equivalent to a plain join + group-by, which is the
+    * DuckDB oracle. */
+  def dailySegmentMetrics(spark: SparkSession, dir: String): DataFrame = {
+    runToTable(spark, "complete") { ss =>
+      val dim = graft.io.Sources.table(ss, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      enrichedDailyAgg(eventStream(ss, dir), dim)
+    }.orderBy("dt", "segment")
+  }
+
+  /** Streaming MERGE sink: each micro-batch upserts into the
+    * partitioned curated layer through [[graft.lake.MergeWriter]] —
+    * the streaming form of the reference's 6-hourly incremental merge,
+    * collapsed from cron + dbt into one continuous query.
+    *
+    * `foreachBatch` is the idiomatic bridge from a stream to a
+    * non-transactional batch sink: the batch DataFrame is bounded, so
+    * the anti-join merge applies unchanged, and dynamic partition
+    * overwrite keeps each commit scoped to the partitions that batch
+    * touched. Re-delivered rows (at-least-once upstream) collapse
+    * because merge keys ⊇ (dt, event_id) — the sink is idempotent per
+    * key, which upgrades at-least-once delivery to effectively-once
+    * results (asserted in StreamsSpec by replaying the whole stream
+    * into the same target).
+    *
+    * State note: this pipeline is stateless (no agg before the sink),
+    * so there is no state store at all — the watermark work happens in
+    * the MERGE's bounded re-read of touched partitions, exactly the
+    * reference's late-data contract. */
+  def mergeEventsToLake(spark: SparkSession, sourceDir: String,
+      targetPath: String, checkpointDir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val ss = streamSession(spark, StreamShufflePartitions)
+    val stream = eventStream(ss, sourceDir, glob, maxFilesPerTrigger)
+      .withColumn("dt", to_date(col("ts")))
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // MERGE requires key-unique updates: duplicates WITHIN one batch
+        // (at-least-once upstream can re-deliver inside a trigger too)
+        // must collapse before the upsert, not just across batches.
+        graft.lake.MergeWriter.mergeWrite(
+          batch.sparkSession, targetPath,
+          batch.dropDuplicates("dt", "event_id"),
+          keys = Seq("dt", "event_id"), partitionCols = Seq("dt"))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }
