@@ -11,7 +11,7 @@ import graft.lake.MergeWriter
 import graft.quality.Expectations
 import graft.quality.Expectations._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity, Multimodal, AsOfJoin, Sessionize, RangeJoin}
+import graft.operators.{Dedup, DupClusters, Similarity, Multimodal, AsOfJoin, Sessionize, RangeJoin}
 import graft.streaming.Streams
 
 /** Driver contract — one named query per implemented operator
@@ -186,6 +186,11 @@ object SparkEntry {
     //      set is itself batch-oracleable ----
     "q50_stream_append" -> ((s, dir) => Streams.dailyEventMetricsAppend(s, dir)),
 
+    // ---- Structured Streaming: stream-static broadcast enrichment
+    //      join (dim re-planned per micro-batch, stream side never
+    //      shuffled for the join) + windowed rollup ----
+    "q56_stream_enriched" -> ((s, dir) => Streams.dailySegmentMetrics(s, dir)),
+
     // ---- Dedup: exact ----
     "q14_dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
 
@@ -279,6 +284,16 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5, nprobe = 4)
         .withColumn("rank", col("rank").cast("bigint"))
+    }),
+
+    // ---- Distributed Lloyd k-means over the embedding corpus:
+    //      map-only assignment (broadcast codebook in codegen) +
+    //      partial-agg centroid update. Codebook is hash-seeded ⇒
+    //      rows-only; blob recovery + cost monotonicity asserted in
+    //      KMeansSpec ----
+    "q57_kmeans" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.KMeans.assign(e, graft.operators.KMeans.fit(e, k = 16, maxIter = 3))
     }),
 
     // ---- Dedup: bucketed embedding near-dup — the scale path of q22.
@@ -651,6 +666,18 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "quality", "lang_pred")
         .orderBy("doc_id")
     }),
+
+    // ---- Duplicate-cluster resolution: connected components over a
+    //      deterministic near-dup pair graph (shared 40-char prefix OR
+    //      suffix — each an equi-join, their union transitive), solved
+    //      with alternating large-star/small-star contraction. The
+    //      DuckDB oracle computes the same partition via a recursive
+    //      CTE, so the iterative distributed algorithm is hash-checked
+    //      end-to-end. ----
+    "q55_dup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DupClusters.clusterDocuments(docs, DupClusters.affixPairs(docs, n = 40))
+    }),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -798,6 +825,12 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS dt, event_type, COUNT(*) AS n_events,
         |  ROUND(SUM(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY dt, event_type""".stripMargin,
+
+    "q56_stream_enriched" ->
+      """SELECT CAST(ts AS DATE) AS dt, c_mktsegment AS segment,
+        |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY dt, segment""".stripMargin,
 
     "q50_stream_append" ->
       """WITH mx AS (SELECT MAX(ts) AS m FROM events),
@@ -1142,5 +1175,38 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Connected components as a recursive CTE: labels propagate only
+    // downward (r.label < e.u), which preserves the component min —
+    // the min m reaches every member along some path, and m < every
+    // intermediate node on it.
+    "q55_dup_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
+        |   AND a.doc_id < b.doc_id
+        |  UNION
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON substr(a.text, greatest(1, length(a.text) - 39), 40)
+        |     = substr(b.text, greatest(1, length(b.text) - 39), 40)
+        |   AND a.doc_id < b.doc_id
+        |),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION
+        |  SELECT id_b AS u, id_a AS v FROM pairs
+        |),
+        |reach AS (
+        |  SELECT doc_id AS u, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.u, r.label FROM edges e JOIN reach r ON r.u = e.v
+        |  WHERE r.label < e.u
+        |),
+        |lab AS (SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u)
+        |SELECT doc_id, cluster_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        |FROM lab ORDER BY doc_id""".stripMargin,
   )
 }
