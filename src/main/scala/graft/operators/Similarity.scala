@@ -65,11 +65,13 @@ object Similarity {
       .select(col(vecCol))
       .collect()
       .map(_.getSeq[Float](0).toArray)
-    lloyd(sample, math.min(k, sample.length), iters)
+    lloydOnSample(sample, math.min(k, sample.length), iters)
   }
 
-  /** Driver-side Lloyd iterations over the bounded sample. */
-  private def lloyd(points: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+  /** Driver-side Lloyd iterations over a bounded in-memory sample
+    * (shared with [[ProductQuantization]]'s per-subspace training). */
+  private[operators] def lloydOnSample(points: Array[Array[Float]], k: Int,
+      iters: Int): Array[Array[Float]] = {
     var cents = points.take(k).map(_.clone())
     val dim = cents(0).length
     var it = 0
