@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{FloatVectorDot, HyperplaneSignature, MinHashSignature,
-  RollingMinHash, ShingleHashes, SimHash64}
+  PqAdc, RollingMinHash, ShingleHashes, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Install with
@@ -68,6 +68,11 @@ object GraftExtensions {
       fn("simhash64", classOf[SimHash64]) { children =>
         require(children.length == 1, "simhash64(tokens)")
         SimHash64(children.head)
+      },
+      fn("pq_adc", classOf[PqAdc]) { children =>
+        require(children.length == 3, "pq_adc(codes, dist_table, k)")
+        PqAdc(children.head, children(1),
+          foldableInt(children(2), "pq_adc", "k"))
       },
       fn("hyperplane_sig", classOf[HyperplaneSignature]) { children =>
         require(children.length == 4,

@@ -16,11 +16,12 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
 
   /** Queries whose cross/NLJ shape is by design: a tiny broadcast query
-    * set against every candidate (brute-force similarity) or an
+    * set against every candidate (brute-force similarity, PQ ADC
+    * scoring), a 1-row broadcast corpus-stats factor (BM25), or an
     * explicit bounded all-pairs block. */
   val intentionalNlj = Set(
     "q19_ngram_jaccard", "q20_embedding_topk", "q21_ivf_ann",
-    "q22_embedding_neardup")
+    "q22_embedding_neardup", "q58_pq_ann", "q59_bm25_search")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

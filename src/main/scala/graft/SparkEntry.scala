@@ -296,6 +296,20 @@ object SparkEntry {
       graft.operators.KMeans.assign(e, graft.operators.KMeans.fit(e, k = 16, maxIter = 3))
     }),
 
+    // ---- Product-quantization ANN: 32× vector compression (m byte
+    //      codes vs d floats), map-only encode, ADC search = m table
+    //      lookups per candidate in codegen. Codebook is hash-seeded ⇒
+    //      rows-only; recall floor vs exact L2 asserted in
+    //      ProductQuantizationSpec ----
+    "q58_pq_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = graft.operators.ProductQuantization.fit(e, m = 8, k = 16)
+      val enc = graft.operators.ProductQuantization.encode(e, model)
+      graft.operators.ProductQuantization.topK(
+        enc, e.filter(col("vec_id") < 8), model, k = 5)
+        .withColumn("rank", col("rank").cast("bigint"))
+    }),
+
     // ---- Dedup: bucketed embedding near-dup — the scale path of q22.
     //      Approximate recall ⇒ rows-only for the driver; the
     //      subset-of-exact + recall-floor contract is asserted in
@@ -666,6 +680,13 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "quality", "lang_pred")
         .orderBy("doc_id")
     }),
+
+    // ---- BM25 keyword search over the corpus: pruned explode (only
+    //      query-term hits reach the shuffle), broadcast df/corpus
+    //      stats, per-doc score sum ----
+    "q59_bm25_search" -> ((s, dir) =>
+      graft.operators.TextSearch.bm25(
+        t(s, dir, "documents"), Seq("stream", "merge", "batch"), topK = 20)),
 
     // ---- Duplicate-cluster resolution: connected components over a
     //      deterministic near-dup pair graph (shared 40-char prefix OR
@@ -1175,6 +1196,30 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q59_bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, len(str_split_regex(trim(text), '\s+')) AS dl,
+        |         unnest(str_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |ft AS (
+        |  SELECT doc_id, term, CAST(dl AS DOUBLE) AS dl,
+        |         CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks WHERE term IN ('stream', 'merge', 'batch')
+        |  GROUP BY 1, 2, 3),
+        |dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM ft GROUP BY 1),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |         avg(len(str_split_regex(trim(text), '\s+'))) AS avgdl
+        |  FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  ROUND(SUM(
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0)
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+        |FROM ft JOIN dfs USING (term) CROSS JOIN stats
+        |GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 20""".stripMargin,
 
     // Connected components as a recursive CTE: labels propagate only
     // downward (r.label < e.u), which preserves the component min —
