@@ -681,6 +681,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Deterministic stratified sampling: per-(lang, source) quota
+    //      in md5(id) order — the reproducible data-mixing primitive ----
+    "q60_stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedN(
+        t(s, dir, "documents"), Seq("lang", "source"), n = 5)
+        .select(col("doc_id"), col("lang"), col("source"), col("sample_rank"))
+        .orderBy("lang", "source", "sample_rank")),
+
+    // ---- Sliding-window chunking: token windows of 32 / stride 24 —
+    //      map-only sequence prep for context-window packing ----
+    "q61_chunking" -> ((s, dir) =>
+      graft.operators.Chunking.slidingWindows(
+        t(s, dir, "documents"), window = 32, stride = 24)),
+
     // ---- BM25 keyword search over the corpus: pruned explode (only
     //      query-term hits reach the shuffle), broadcast df/corpus
     //      stats, per-doc score sum ----
@@ -1196,6 +1210,34 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q60_stratified_sample" ->
+      """SELECT doc_id, lang, source, sample_rank FROM (
+        |  SELECT doc_id, lang, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |      AS sample_rank
+        |  FROM documents) t
+        |WHERE sample_rank <= 5
+        |ORDER BY lang, source, sample_rank""".stripMargin,
+
+    "q61_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) >= 1),
+        |c AS (
+        |  SELECT doc_id, nt, toks,
+        |         unnest(generate_series(0, nt - 1, 24)) AS token_start
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(token_start // 24 AS BIGINT) AS chunk_idx,
+        |  CAST(token_start AS BIGINT) AS token_start,
+        |  CAST(least(32, nt - token_start) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(list_slice(toks, token_start + 1,
+        |    token_start + least(32, nt - token_start)), ' ') AS chunk_text
+        |FROM c
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q59_bm25_search" ->
       """WITH toks AS (

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Sliding-window document chunking — the sequence-preparation step of
+  * an LLM training pipeline: split each document's token stream into
+  * windows of `window` tokens advancing by `stride` (overlap =
+  * window − stride), the shape context-window packing and long-doc
+  * splitting both consume.
+  *
+  * Chunk starts are every multiple of `stride` below the token count,
+  * so tail chunks shorter than `window` are kept (they carry the
+  * document suffix) and a doc shorter than one window yields exactly
+  * one chunk.
+  *
+  * Scale shape: map-only — tokenize once, `sequence` + `explode` the
+  * start offsets, `slice` the token array per chunk. No shuffle at
+  * all until a downstream consumer groups or writes; row growth is
+  * ~nt/stride per doc, the intended output amplification of chunking.
+  */
+object Chunking {
+
+  def slidingWindows(docs: DataFrame, window: Int = 32, stride: Int = 24,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 1 && stride >= 1, "window and stride must be >= 1")
+    val toks = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__nt", size(col("__toks")))
+      .filter(col("__nt") >= 1)
+    toks
+      .select(col(idCol), col("__toks"), col("__nt"),
+        explode(sequence(lit(0), col("__nt") - 1, lit(stride))).as("token_start"))
+      .select(
+        col(idCol),
+        (col("token_start") / stride).cast("bigint").as("chunk_idx"),
+        col("token_start").cast("bigint").as("token_start"),
+        least(lit(window), col("__nt") - col("token_start")).cast("bigint")
+          .as("chunk_tokens"),
+        concat_ws(" ",
+          slice(col("__toks"), col("token_start") + 1, least(lit(window),
+            col("__nt") - col("token_start")))).as("chunk_text"))
+      .orderBy(col(idCol), col("chunk_idx"))
+  }
+}

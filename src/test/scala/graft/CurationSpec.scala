@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Chunking, Sampling}
+
+/** Stratified sampling + chunking: the deterministic curation
+  * primitives (quota draws reproducible across engines, windows with
+  * exact boundary semantics). */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = (0 until 60).map { i =>
+    (i.toLong, s"lang_${i % 2}", s"src_${i % 3}", s"doc number $i body")
+  }.toDF("doc_id", "lang", "source", "text")
+
+  test("stratifiedN takes exactly n per stratum, ranks 1..n") {
+    val got = Sampling.stratifiedN(docs, Seq("lang", "source"), n = 3)
+    val counts = got.groupBy("lang", "source").agg(count(lit(1)).as("c"))
+      .select("c").as[Long].collect()
+    assert(counts.length == 6 && counts.forall(_ == 3L))
+    val ranks = got.groupBy("lang", "source")
+      .agg(sort_array(collect_list("sample_rank")).as("r"))
+      .select("r").as[Seq[Long]].collect()
+    assert(ranks.forall(_ == Seq(1L, 2L, 3L)))
+  }
+
+  test("sampling is deterministic and md5-ordered") {
+    val a = Sampling.stratifiedN(docs, Seq("lang"), n = 5)
+      .select("doc_id", "sample_rank").as[(Long, Long)].collect().toSet
+    val b = Sampling.stratifiedN(docs, Seq("lang"), n = 5)
+      .select("doc_id", "sample_rank").as[(Long, Long)].collect().toSet
+    assert(a == b)
+    // reference: md5 of the id string, as the engine computes it
+    val lang0 = (0 until 60).filter(_ % 2 == 0).map(_.toLong)
+    val md5s = docs.filter($"lang" === "lang_0")
+      .select($"doc_id", md5($"doc_id".cast("string")).as("m"))
+      .as[(Long, String)].collect().sortBy(r => (r._2, r._1)).map(_._1).take(5)
+    val got0 = Sampling.stratifiedN(docs.filter($"lang" === "lang_0"), Seq("lang"), 5)
+      .orderBy("sample_rank").select("doc_id").as[Long].collect()
+    assert(got0.toSeq == md5s.toSeq)
+    assert(lang0.toSet.intersect(got0.toSet).size == 5)
+  }
+
+  test("quota larger than the stratum keeps the whole stratum") {
+    val tiny = docs.filter($"doc_id" < 4)
+    val got = Sampling.stratifiedN(tiny, Seq("lang"), n = 100)
+    assert(got.count() == 4)
+  }
+
+  test("mixReport pairs totals with sampled counts") {
+    val got = Sampling.mixReport(docs, Seq("lang"), n = 7)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("lang_0", 30L, 7L), ("lang_1", 30L, 7L)))
+  }
+
+  test("sliding windows cover every token with the declared overlap") {
+    val one = Seq((1L, "t0 t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
+    val got = Chunking.slidingWindows(one, window = 4, stride = 3)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 3L, 4L, "t3 t4 t5 t6"),
+      (1L, 2L, 6L, 1L, "t6")))
+  }
+
+  test("short docs yield one full-coverage chunk; every token appears") {
+    val d = Seq((1L, "a b"), (2L, "x")).toDF("doc_id", "text")
+    val got = Chunking.slidingWindows(d, window = 8, stride = 6)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 0L, 0L, 2L, "a b"), (2L, 0L, 0L, 1L, "x")))
+  }
+
+  test("chunk boundaries reconstruct the document when stride == window") {
+    val one = Seq((9L, (0 until 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Chunking.slidingWindows(one, window = 4, stride = 4)
+      .orderBy("chunk_idx").select("chunk_text").as[String].collect()
+    assert(got.mkString(" ") == (0 until 10).map(i => s"w$i").mkString(" "))
+  }
+}
