@@ -70,7 +70,20 @@ object ScaleProbe {
         d, k = 3, numHashes = 32, bands = 8, maxBucket = 200).count()),
       "simhash" -> (d => graft.operators.Dedup.simHash(d).count()),
       "fingerprint" -> (d => d.select(graft.functions.TextFunctions
-        .fingerprint(col("text")).as("f")).agg(count("f")).collect()(0).getLong(0)))
+        .fingerprint(col("text")).as("f")).agg(count("f")).collect()(0).getLong(0)),
+      // copies stay disjoint in affix space (suffixed tokens change both
+      // the 40-char prefix and suffix), so edge count — and the star
+      // rounds' work — scales with the corpus, not quadratically
+      "dup_clusters" -> (d => graft.operators.DupClusters
+        .clusterDocuments(d, graft.operators.DupClusters.affixPairs(d, n = 40))
+        .count()),
+      // suffixed copies match none of the query terms; the timed work is
+      // the corpus-wide tokenize+explode+filter, which IS the linear
+      // cost component of BM25 (match-proportional work is tiny)
+      "bm25" -> (d => graft.operators.TextSearch
+        .bm25(d, Seq("stream", "merge", "batch")).count()),
+      "chunking" -> (d => graft.operators.Chunking
+        .slidingWindows(d, window = 32, stride = 24).count()))
 
     ops.foreach { case (name, f) =>
       time(f(base)); time(f(big))             // warm both shapes
