@@ -1,0 +1,181 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal versioned table log — the transactional core of a table
+  * format (what Delta/Iceberg provide), built from first principles
+  * because no table-format jar ships in this environment.
+  *
+  * Layout under the table root:
+  * {{{
+  *   _graft_log/v00000001.manifest   # line 1: action; then one data-dir per line
+  *   data/c00000001-<uuid>/          # immutable parquet directory per commit
+  * }}}
+  *
+  * The manifest IS the snapshot: a reader resolves a version to its
+  * directory list once, then reads only those directories — so readers
+  * NEVER see a half-written commit (data lands fully before the
+  * manifest appears), concurrent readers of version v are untouched by
+  * later commits, and time travel is "read an older manifest".
+  * Commit = write data dirs → write manifest to a temp name → atomic
+  * `rename` into the log. Rename-if-absent is the optimistic
+  * concurrency check: on HDFS/local rename is atomic; on S3-class
+  * stores swap in a conditional-put (documented contract, same as
+  * delta-on-S3 needing a lock client).
+  *
+  * This solves the non-atomicity the overwrite-based writers accept:
+  * dynamic partition overwrite commits partition-by-partition, but a
+  * log commit is all-or-nothing at the manifest rename.
+  *
+  * History is immutable: rollback APPENDS a version that points at the
+  * old snapshot's directories (never deletes), and `vacuum` is the only
+  * destructive operation (drops data dirs unreferenced by the retained
+  * manifests).
+  */
+object TableLog {
+
+  final case class Commit(version: Int, action: String, dirs: Seq[String])
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logDir(path: String) = new Path(path, "_graft_log")
+  private def manifestPath(path: String, v: Int) =
+    new Path(logDir(path), f"v$v%08d.manifest")
+
+  /** All commits, oldest first. */
+  def history(spark: SparkSession, path: String): Seq[Commit] = {
+    val f = fs(spark, path)
+    if (!f.exists(logDir(path))) return Seq.empty
+    f.listStatus(logDir(path)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("v\\d{8}\\.manifest"))
+      .sorted
+      .map { name =>
+        val v = name.stripPrefix("v").stripSuffix(".manifest").toInt
+        val in = f.open(manifestPath(path, v))
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList finally in.close()
+        Commit(v, lines.head, lines.tail.filter(_.nonEmpty))
+      }
+  }
+
+  def latestVersion(spark: SparkSession, path: String): Option[Int] =
+    history(spark, path).lastOption.map(_.version)
+
+  /** Snapshot read. `version = None` reads the latest commit. */
+  def read(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
+    val commits = history(spark, path)
+    require(commits.nonEmpty, s"no commits at $path")
+    val commit = version match {
+      case Some(v) => commits.find(_.version == v)
+        .getOrElse(throw new IllegalArgumentException(
+          s"version $v not found (have ${commits.map(_.version).mkString(",")})"))
+      case None => commits.last
+    }
+    require(commit.dirs.nonEmpty, s"version ${commit.version} is an empty snapshot")
+    spark.read.parquet(commit.dirs.map(d => s"$path/$d"): _*)
+  }
+
+  private def writeData(spark: SparkSession, path: String, df: DataFrame,
+      v: Int): String = {
+    val rel = f"data/c$v%08d-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.parquet(s"$path/$rel")
+    rel
+  }
+
+  /** Append a manifest for `dirs`; atomic rename enforces one writer
+    * per version (losers see the destination occupied and retry on the
+    * next version number via [[commit]]). */
+  private def writeManifest(spark: SparkSession, path: String, v: Int,
+      action: String, dirs: Seq[String]): Boolean = {
+    val f = fs(spark, path)
+    f.mkdirs(logDir(path))
+    val tmp = new Path(logDir(path),
+      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, false)
+    try out.write((action +: dirs).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dest = manifestPath(path, v)
+    if (f.exists(dest)) { f.delete(tmp, false); false }
+    else {
+      val ok = f.rename(tmp, dest)
+      if (!ok) f.delete(tmp, false)
+      ok
+    }
+  }
+
+  private def commit(spark: SparkSession, path: String, action: String,
+      newDirs: DataFrame => Int => Seq[String], df: DataFrame,
+      carryPrevious: Boolean): Commit = {
+    var attempts = 0
+    while (attempts < 5) {
+      val prev = history(spark, path)
+      val v = prev.lastOption.map(_.version + 1).getOrElse(1)
+      val dirs = newDirs(df)(v) ++
+        (if (carryPrevious) prev.lastOption.map(_.dirs).getOrElse(Seq.empty)
+         else Seq.empty)
+      if (writeManifest(spark, path, v, action, dirs))
+        return Commit(v, action, dirs)
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"lost the commit race 5 times at $path — writer contention")
+  }
+
+  /** Add `df`'s rows to the table (new snapshot = previous dirs + one
+    * new dir; no data rewrite at all). */
+  def commitAppend(spark: SparkSession, path: String, df: DataFrame): Commit =
+    commit(spark, path, "append",
+      d => v => Seq(writeData(spark, path, d, v)), df, carryPrevious = true)
+
+  /** Replace the table contents with `df`. Old versions remain
+    * readable until vacuumed. */
+  def commitOverwrite(spark: SparkSession, path: String, df: DataFrame): Commit =
+    commit(spark, path, "overwrite",
+      d => v => Seq(writeData(spark, path, d, v)), df, carryPrevious = false)
+
+  /** MERGE upsert as a log commit: read the latest snapshot, apply
+    * [[MergeWriter.upsertSyncSchema]], write the result as the new
+    * snapshot — all-or-nothing at the manifest rename (unlike dynamic
+    * partition overwrite, which commits partition-by-partition). */
+  def commitMerge(spark: SparkSession, path: String, updates: DataFrame,
+      keys: Seq[String]): Commit = {
+    val merged =
+      if (history(spark, path).isEmpty) updates
+      else MergeWriter.upsertSyncSchema(read(spark, path), updates, keys)
+    commitOverwrite(spark, path, merged).copy(action = "merge")
+  }
+
+  /** Append a version that restores snapshot `v` (history stays
+    * intact; nothing is deleted). */
+  def rollback(spark: SparkSession, path: String, v: Int): Commit = {
+    val target = history(spark, path).find(_.version == v)
+      .getOrElse(throw new IllegalArgumentException(s"version $v not found"))
+    var attempts = 0
+    while (attempts < 5) {
+      val next = latestVersion(spark, path).get + 1
+      if (writeManifest(spark, path, next, "rollback", target.dirs))
+        return Commit(next, "rollback", target.dirs)
+      attempts += 1
+    }
+    throw new IllegalStateException("lost the rollback race 5 times")
+  }
+
+  /** Destructive retention: keep the newest `retain` manifests, delete
+    * older manifests and any data dir no retained manifest references.
+    * Returns the deleted data dirs. */
+  def vacuum(spark: SparkSession, path: String, retain: Int = 1): Seq[String] = {
+    require(retain >= 1, "must retain at least the latest version")
+    val f = fs(spark, path)
+    val commits = history(spark, path)
+    val (drop, keep) = commits.splitAt(math.max(0, commits.size - retain))
+    val referenced = keep.flatMap(_.dirs).toSet
+    val doomed = drop.flatMap(_.dirs).distinct.filterNot(referenced.contains)
+    doomed.foreach(d => f.delete(new Path(path, d), true))
+    drop.foreach(c => f.delete(manifestPath(path, c.version), false))
+    doomed
+  }
+}

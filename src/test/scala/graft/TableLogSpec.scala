@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import graft.lake.{SnapshotDiff, TableLog}
+
+class TableLogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshPath() =
+    Files.createTempDirectory("graft_tablelog").resolve("t").toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.as[(Long, String)].collect().toSet
+
+  test("append/overwrite commits version and time travel reads any snapshot") {
+    val path = freshPath()
+    TableLog.commitAppend(spark, path, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    TableLog.commitAppend(spark, path, Seq((3L, "c")).toDF("id", "v"))
+    TableLog.commitOverwrite(spark, path, Seq((9L, "z")).toDF("id", "v"))
+
+    assert(TableLog.latestVersion(spark, path).contains(3))
+    assert(rows(TableLog.read(spark, path)) == Set((9L, "z")))
+    assert(rows(TableLog.read(spark, path, Some(1))) == Set((1L, "a"), (2L, "b")))
+    assert(rows(TableLog.read(spark, path, Some(2))) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    val actions = TableLog.history(spark, path).map(_.action)
+    assert(actions == Seq("append", "append", "overwrite"))
+  }
+
+  test("a pinned snapshot is immune to later commits (reader isolation)") {
+    val path = freshPath()
+    TableLog.commitAppend(spark, path, Seq((1L, "a")).toDF("id", "v"))
+    val pinned = TableLog.read(spark, path, Some(1))
+    TableLog.commitOverwrite(spark, path, Seq((2L, "b")).toDF("id", "v"))
+    TableLog.commitAppend(spark, path, Seq((3L, "c")).toDF("id", "v"))
+    // the lazy plan still resolves to version 1's directory list
+    assert(rows(pinned) == Set((1L, "a")))
+  }
+
+  test("commitMerge upserts atomically at the manifest level") {
+    val path = freshPath()
+    TableLog.commitMerge(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
+    TableLog.commitMerge(spark, path,
+      Seq((2L, "B2"), (4L, "d")).toDF("id", "v"), Seq("id"))
+    assert(rows(TableLog.read(spark, path)) ==
+      Set((1L, "a"), (2L, "B2"), (4L, "d")))
+    // pre-merge snapshot still readable
+    assert(rows(TableLog.read(spark, path, Some(1))) == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("rollback appends a restoring version without erasing history") {
+    val path = freshPath()
+    TableLog.commitAppend(spark, path, Seq((1L, "a")).toDF("id", "v"))
+    TableLog.commitOverwrite(spark, path, Seq((2L, "bad")).toDF("id", "v"))
+    val c = TableLog.rollback(spark, path, 1)
+    assert(c.version == 3 && c.action == "rollback")
+    assert(rows(TableLog.read(spark, path)) == Set((1L, "a")))
+    assert(rows(TableLog.read(spark, path, Some(2))) == Set((2L, "bad")))
+  }
+
+  test("vacuum drops unreferenced data dirs but keeps retained snapshots intact") {
+    val path = freshPath()
+    TableLog.commitAppend(spark, path, Seq((1L, "a")).toDF("id", "v"))
+    TableLog.commitOverwrite(spark, path, Seq((2L, "b")).toDF("id", "v"))
+    TableLog.commitAppend(spark, path, Seq((3L, "c")).toDF("id", "v"))
+    val deleted = TableLog.vacuum(spark, path, retain = 2)
+    // v1's dir is referenced by no retained manifest; v2's dir is shared by v3
+    assert(deleted.size == 1)
+    assert(rows(TableLog.read(spark, path)) == Set((2L, "b"), (3L, "c")))
+    assert(rows(TableLog.read(spark, path, Some(2))) == Set((2L, "b")))
+    intercept[IllegalArgumentException] {
+      TableLog.read(spark, path, Some(1))
+    }
+  }
+
+  test("snapshot diff classifies added/removed/changed and omits unchanged") {
+    val before = Seq(
+      (1L, "same", 10.0), (2L, "will-change", 20.0),
+      (3L, "will-remove", 30.0), (5L, null.asInstanceOf[String], 50.0))
+      .toDF("id", "name", "amount")
+    val after = Seq(
+      (1L, "same", 10.0), (2L, "changed!", 20.0),
+      (4L, "brand-new", 40.0), (5L, "was-null", 50.0))
+      .toDF("id", "name", "amount")
+    val got = SnapshotDiff.diff(before, after, Seq("id"))
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (2L, "changed"), (3L, "removed"), (4L, "added"), (5L, "changed")))
+  }
+
+  test("diff across TableLog versions — the CDC read path") {
+    val path = freshPath()
+    TableLog.commitMerge(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
+    TableLog.commitMerge(spark, path,
+      Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    val got = SnapshotDiff.diff(
+      TableLog.read(spark, path, Some(1)),
+      TableLog.read(spark, path, Some(2)), Seq("id"))
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((2L, "changed"), (3L, "added")))
+  }
+}
