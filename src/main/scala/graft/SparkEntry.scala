@@ -681,6 +681,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- CDC snapshot diff: full-outer join on the key, change
+    //      detection via a row fingerprint over the non-key columns.
+    //      Snapshots derived deterministically from orders (window
+    //      growth + keyed deletes + keyed price updates) ----
+    "q62_snapshot_diff" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val before = orders
+        .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          col("o_orderstatus").as("status"))
+      val after = orders
+        .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-07-01 00:00:00")))
+        .filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") *
+            when(col("o_orderkey") % 7 === 0, 1.1).otherwise(1.0), 2).as("price"),
+          col("o_orderstatus").as("status"))
+      graft.lake.SnapshotDiff.diff(before, after, Seq("o_orderkey"))
+    }),
+
     // ---- Deterministic stratified sampling: per-(lang, source) quota
     //      in md5(id) order — the reproducible data-mixing primitive ----
     "q60_stratified_sample" -> ((s, dir) =>
@@ -1210,6 +1231,31 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q62_snapshot_diff" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, ROUND(o_totalprice, 2) AS price,
+        |         o_orderstatus AS status
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |a AS (
+        |  SELECT o_orderkey,
+        |    ROUND(o_totalprice *
+        |      CASE WHEN o_orderkey % 7 = 0 THEN 1.1 ELSE 1.0 END, 2) AS price,
+        |    o_orderstatus AS status
+        |  FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |    AND o_orderkey % 13 <> 0),
+        |d AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN b.o_orderkey IS NULL THEN 'added'
+        |         WHEN a.o_orderkey IS NULL THEN 'removed'
+        |         WHEN (a.price IS DISTINCT FROM b.price)
+        |           OR (a.status IS DISTINCT FROM b.status) THEN 'changed'
+        |         END AS change_type
+        |  FROM b FULL JOIN a USING (o_orderkey))
+        |SELECT o_orderkey, change_type FROM d
+        |WHERE change_type IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q60_stratified_sample" ->
       """SELECT doc_id, lang, source, sample_rank FROM (
