@@ -191,6 +191,10 @@ object SparkEntry {
     //      shuffled for the join) + windowed rollup ----
     "q56_stream_enriched" -> ((s, dir) => Streams.dailySegmentMetrics(s, dir)),
 
+    // ---- Structured Streaming: stream-STREAM interval join with
+    //      watermark-bounded state (click→purchase attribution) ----
+    "q63_stream_attribution" -> ((s, dir) => Streams.clickAttributionRun(s, dir)),
+
     // ---- Dedup: exact ----
     "q14_dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
 
@@ -887,6 +891,14 @@ object SparkEntry {
         |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2 ORDER BY dt, segment""".stripMargin,
+
+    "q63_stream_attribution" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "q50_stream_append" ->
       """WITH mx AS (SELECT MAX(ts) AS m FROM events),

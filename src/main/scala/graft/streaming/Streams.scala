@@ -178,6 +178,38 @@ object Streams {
     }.orderBy("dt", "segment")
   }
 
+  /** Logical plan: stream-STREAM interval join — purchases attributed
+    * to a prior click by the same user within `horizon`. Both sides
+    * carry a watermark and the join condition bounds event-time
+    * distance, which is exactly what lets Spark evict join state: a
+    * click older than (watermark − horizon) can never match a future
+    * purchase, so its state drops. Without the time-range bound a
+    * stream-stream join must buffer both streams forever. Inner joins
+    * emit on match (not on watermark), so a bounded AvailableNow run
+    * produces the complete batch-equivalent answer — the q63 oracle. */
+  def clickAttribution(stream: DataFrame, horizon: String = "1 hour",
+      clickType: String = "click", purchaseType: String = "purchase"): DataFrame = {
+    val clicks = stream.filter(col("event_type") === clickType)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", horizon)
+    val purchases = stream.filter(col("event_type") === purchaseType)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", horizon)
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+  }
+
+  /** Oracle path for q63: bounded append-mode run of the stream-stream
+    * attribution join. */
+  def clickAttributionRun(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, "append")(ss => clickAttribution(eventStream(ss, dir)))
+      .orderBy("click_id", "purchase_id")
+
   /** Streaming MERGE sink: each micro-batch upserts into the
     * partitioned curated layer through [[graft.lake.MergeWriter]] —
     * the streaming form of the reference's 6-hourly incremental merge,

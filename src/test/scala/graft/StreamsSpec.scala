@@ -140,6 +140,34 @@ class StreamsSpec extends AnyFunSuite {
     assert(gotRows.nonEmpty && gotRows.subsetOf(batchRows))
   }
 
+  test("stream-stream interval join matches batch, state bounded by horizon") {
+    val rows = events(withDups = false)
+    val dir = writeBacklog(rows)
+    val stream = fileStream(dir)
+      .withColumn("user_id", col("event_id") % 40)
+    val (got, maxState) = runAppend(
+      Streams.clickAttribution(stream, horizon = "2 hours",
+        clickType = "view", purchaseType = "buy"))
+    val batch = rows.toDF("event_id", "ts", "event_type", "value")
+      .withColumn("user_id", col("event_id") % 40)
+    val c = batch.filter(col("event_type") === "view")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val p = batch.filter(col("event_type") === "buy")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"), col("ts").as("pts"))
+    val expected = c.join(p,
+      col("user_id") === col("pu") && col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 2 HOURS"))
+      .select("click_id", "purchase_id", "user_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val gotSet = got.as[(Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty && gotSet == expected)
+    // join state holds only rows within the horizon of the watermark,
+    // not the whole 30-day backlog
+    val totalSides = rows.count(r => r._3 == "view" || r._3 == "buy")
+    assert(maxState > 0 && maxState < totalSides / 2,
+      s"join state $maxState vs $totalSides side rows — watermark not evicting?")
+  }
+
   test("foreachBatch merge sink is effectively-once across batches and replays") {
     val rows = events(withDups = true)   // dup ids WITHIN the stream
     val dir = writeBacklog(rows)
