@@ -131,11 +131,15 @@ object TableLog {
     commit(spark, path, "append",
       d => v => Seq(writeData(spark, path, d, v)), df, carryPrevious = true)
 
+  private def commitReplace(spark: SparkSession, path: String, df: DataFrame,
+      action: String): Commit =
+    commit(spark, path, action,
+      d => v => Seq(writeData(spark, path, d, v)), df, carryPrevious = false)
+
   /** Replace the table contents with `df`. Old versions remain
     * readable until vacuumed. */
   def commitOverwrite(spark: SparkSession, path: String, df: DataFrame): Commit =
-    commit(spark, path, "overwrite",
-      d => v => Seq(writeData(spark, path, d, v)), df, carryPrevious = false)
+    commitReplace(spark, path, df, "overwrite")
 
   /** MERGE upsert as a log commit: read the latest snapshot, apply
     * [[MergeWriter.upsertSyncSchema]], write the result as the new
@@ -146,7 +150,22 @@ object TableLog {
     val merged =
       if (history(spark, path).isEmpty) updates
       else MergeWriter.upsertSyncSchema(read(spark, path), updates, keys)
-    commitOverwrite(spark, path, merged).copy(action = "merge")
+    commitReplace(spark, path, merged, "merge")
+  }
+
+  /** OPTIMIZE as a log commit: rewrite the latest snapshot into
+    * `numFiles` Z-ordered files ([[ZOrder.cluster]]) and commit the
+    * result atomically. Readers of the pre-optimize version are
+    * untouched; the optimize is pure layout (same rows), which the
+    * spec asserts. This is the table-format pairing of
+    * [[Compaction]]: compaction targets file COUNT under overwrite
+    * semantics, optimize targets file count + clustering under
+    * snapshot semantics. */
+  def commitOptimize(spark: SparkSession, path: String,
+      zorderCols: (String, String), numFiles: Int): Commit = {
+    val clustered = ZOrder.cluster(
+      read(spark, path), zorderCols._1, zorderCols._2, numFiles)
+    commitReplace(spark, path, clustered, "optimize")
   }
 
   /** Append a version that restores snapshot `v` (history stays

@@ -77,6 +77,21 @@ class TableLogSpec extends AnyFunSuite {
     }
   }
 
+  test("commitOptimize rewrites layout, preserves rows, records its action") {
+    val path = freshPath()
+    val df = (0 until 500).map(i => (i.toLong, (i * 37 % 100).toLong, s"r$i"))
+      .toDF("a", "b", "v")
+    TableLog.commitAppend(spark, path, df.repartition(12))
+    val c = TableLog.commitOptimize(spark, path, ("a", "b"), numFiles = 2)
+    assert(c.action == "optimize" && c.version == 2)
+    assert(TableLog.history(spark, path).map(_.action) == Seq("append", "optimize"))
+    val before = TableLog.read(spark, path, Some(1))
+      .as[(Long, Long, String)].collect().toSet
+    val after = TableLog.read(spark, path)
+      .as[(Long, Long, String)].collect().toSet
+    assert(after == before && after.size == 500)
+  }
+
   test("snapshot diff classifies added/removed/changed and omits unchanged") {
     val before = Seq(
       (1L, "same", 10.0), (2L, "will-change", 20.0),
