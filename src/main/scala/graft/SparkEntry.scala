@@ -720,6 +720,12 @@ object SparkEntry {
       graft.operators.Chunking.slidingWindows(
         t(s, dir, "documents"), window = 32, stride = 24)),
 
+    // ---- Concat-and-split sequence packing into 1024-token windows,
+    //      sharded so no global window serializes the corpus ----
+    "q64_seq_packing" -> ((s, dir) =>
+      graft.operators.Chunking.packSequences(
+        t(s, dir, "documents"), maxTokens = 1024, shards = 8)),
+
     // ---- BM25 keyword search over the corpus: pruned explode (only
     //      query-term hits reach the shuffle), broadcast df/corpus
     //      stats, per-doc score sum ----
@@ -1243,6 +1249,22 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q64_seq_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         len(str_split_regex(trim(text), '\s+')) AS nt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, nt,
+        |    COALESCE(SUM(nt) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM t WHERE nt >= 1)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  CAST(cum // 1024 AS BIGINT) AS seq_id,
+        |  CAST(cum % 1024 AS BIGINT) AS token_offset,
+        |  CAST(nt AS BIGINT) AS n_tokens
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q62_snapshot_diff" ->
       """WITH b AS (

@@ -22,6 +22,37 @@ import graft.functions.TextFunctions
   */
 object Chunking {
 
+  /** Concat-and-split sequence packing — the GPT-style pretraining
+    * layout: documents are laid end-to-end in deterministic order and
+    * the token stream splits into fixed `maxTokens` windows, so docs
+    * straddle window boundaries and no window carries padding.
+    *
+    * Packing is per-SHARD (`shard = id % shards`): a global
+    * running-total window would serialize the corpus through one
+    * partition, which is exactly the 100 TB anti-pattern — sharding
+    * bounds every window partition while keeping the layout
+    * deterministic (the production equivalent of "pack per input
+    * file"). Returns each doc's (shard, seq_id, token_offset): where
+    * its tokens land in the packed stream. */
+  def packSequences(docs: DataFrame, maxTokens: Int = 1024, shards: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxTokens >= 1 && shards >= 1, "maxTokens and shards must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol),
+        (col(idCol) % shards).cast("bigint").as("shard"),
+        size(TextFunctions.tokens(col(textCol))).cast("bigint").as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("__cum", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col(idCol), col("shard"),
+        (col("__cum") / maxTokens).cast("bigint").as("seq_id"),
+        (col("__cum") % maxTokens).as("token_offset"),
+        col("n_tokens"))
+      .orderBy(idCol)
+  }
+
   def slidingWindows(docs: DataFrame, window: Int = 32, stride: Int = 24,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(window >= 1 && stride >= 1, "window and stride must be >= 1")

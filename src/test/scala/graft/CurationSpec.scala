@@ -72,6 +72,37 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Seq((1L, 0L, 0L, 2L, "a b"), (2L, 0L, 0L, 1L, "x")))
   }
 
+  test("sequence packing lays docs end-to-end with boundary straddling") {
+    // single shard: token counts 3, 4, 2 into 5-token windows
+    val d = Seq((0L, "a b c"), (8L, "d e f g"), (16L, "h i"))
+      .toDF("doc_id", "text")
+    val got = Chunking.packSequences(d, maxTokens = 5, shards = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 0L, 0L, 3L),    // starts window 0 at offset 0
+      (8L, 0L, 0L, 3L, 4L),    // starts in window 0, straddles into 1
+      (16L, 0L, 1L, 2L, 2L)))  // lands in window 1 after the straddle
+  }
+
+  test("shards pack independently and deterministically") {
+    val d = (0 until 40).map(i => (i.toLong, ("tok " * (i % 5 + 1)).trim))
+      .toDF("doc_id", "text")
+    val got = Chunking.packSequences(d, maxTokens = 7, shards = 4)
+    // per shard, offsets restart from zero and cums are consistent
+    val byShard = got.as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.sortBy(_._1))
+    byShard.foreach { case (_, rows) =>
+      assert(rows.head._4 == 0L)   // first doc of each shard at offset 0
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          val expectedCum = a._3 * 7 + a._4 + a._5
+          assert(b._3 * 7 + b._4 == expectedCum)
+        case _ =>
+      }
+    }
+    assert(got.count() == 40)
+  }
+
   test("chunk boundaries reconstruct the document when stride == window") {
     val one = Seq((9L, (0 until 10).map(i => s"w$i").mkString(" ")))
       .toDF("doc_id", "text")
