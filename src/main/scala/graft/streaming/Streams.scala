@@ -251,4 +251,32 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** [[mergeEventsToLake]] with a versioned TABLE-LOG target: each
+    * micro-batch is a `commitMerge`, so ingestion history is queryable
+    * (one version per batch), concurrent readers get snapshot
+    * isolation while the stream runs, and a bad batch rolls back by
+    * appending a manifest instead of restoring files. The same
+    * key-dedup makes replays converge to identical rows — they just
+    * add no-op merge versions. */
+  def mergeEventsToVersionedLake(spark: SparkSession, sourceDir: String,
+      tablePath: String, checkpointDir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val ss = streamSession(spark, StreamShufflePartitions)
+    val stream = eventStream(ss, sourceDir, glob, maxFilesPerTrigger)
+      .withColumn("dt", to_date(col("ts")))
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.lake.TableLog.commitMerge(
+          batch.sparkSession, tablePath,
+          batch.dropDuplicates("dt", "event_id"),
+          keys = Seq("dt", "event_id"))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 import graft.lake.{SnapshotDiff, TableLog}
+import graft.streaming.Streams
 
 class TableLogSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -105,6 +106,47 @@ class TableLogSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSeq
     assert(got == Seq(
       (2L, "changed"), (3L, "removed"), (4L, "added"), (5L, "changed")))
+  }
+
+  test("streaming merge into a versioned table: one version per batch, replay-safe") {
+    import java.sql.Timestamp
+    val srcDir = Files.createTempDirectory("graft_vstream_src")
+    val scratch = Files.createTempDirectory("graft_vstream_scratch")
+    // three chronological files, overlapping event ids across files
+    Seq(
+      Seq((1L, "2024-01-01 01:00:00"), (2L, "2024-01-01 02:00:00")),
+      Seq((2L, "2024-01-01 02:00:00"), (3L, "2024-01-02 01:00:00")),
+      Seq((4L, "2024-01-03 01:00:00"))
+    ).zipWithIndex.foreach { case (batch, i) =>
+      val tmp = s"$scratch/b$i"
+      batch.map { case (id, ts) => (id, Timestamp.valueOf(ts)) }
+        .toDF("event_id", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        srcDir.resolve(f"$i%02d.parquet"))
+      Thread.sleep(5)
+    }
+    val table = Files.createTempDirectory("graft_vstream_table").resolve("t").toString
+    def run(): Unit = Streams.mergeEventsToVersionedLake(
+      spark, srcDir.toString, table,
+      Files.createTempDirectory("graft_vstream_ckpt").toString,
+      glob = "*.parquet", maxFilesPerTrigger = Some(1))
+
+    run()
+    assert(TableLog.latestVersion(spark, table).contains(3))
+    assert(TableLog.read(spark, table).select("event_id").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L, 4L))
+    // time travel into mid-ingestion state
+    assert(TableLog.read(spark, table, Some(2)).select("event_id").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L))
+    // full replay: more versions, identical final rows
+    run()
+    assert(TableLog.latestVersion(spark, table).contains(6))
+    assert(TableLog.read(spark, table).select("event_id").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L, 4L))
   }
 
   test("diff across TableLog versions — the CDC read path") {
