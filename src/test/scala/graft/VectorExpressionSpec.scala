@@ -74,6 +74,11 @@ class VectorExpressionSpec extends AnyFunSuite {
       .select(graft.functions.SimHash64.simhash64(col("toks")).as("f"))
       .collect()(0).getLong(0)
     assert(sh == shDf)
+    val pq = spark.sql(
+      "SELECT pq_adc(array(1, 0), array(CAST(0.5 AS FLOAT), CAST(1.5 AS FLOAT)," +
+        " CAST(2.5 AS FLOAT), CAST(3.5 AS FLOAT)), 2) AS d")
+      .collect()(0).getDouble(0)
+    assert(pq == 1.5 + 2.5)   // table[0*2+1] + table[1*2+0]
     // config args must be literals
     intercept[Exception] {
       spark.sql("SELECT shingle_hashes(array('a'), CAST(rand()*2 AS INT))").collect()
