@@ -86,9 +86,19 @@ object TableLog {
     rel
   }
 
-  /** Append a manifest for `dirs`; atomic rename enforces one writer
-    * per version (losers see the destination occupied and retry on the
-    * next version number via [[commit]]). */
+  /** Append a manifest for `dirs`; an atomic create-if-absent publish
+    * enforces one winner per version (losers retry on the next version
+    * number via [[commit]]).
+    *
+    * Publish is scheme-aware because POSIX `rename` OVERWRITES an
+    * existing destination — an exists-then-rename check is a TOCTOU
+    * race that silently drops a concurrent writer's commit (caught by
+    * the concurrent-appenders spec). On `file:` the atomic primitive
+    * is a hard link (fails with FileAlreadyExistsException if the
+    * destination exists); on HDFS-like stores rename itself refuses an
+    * existing destination atomically at the NameNode. S3-class stores
+    * need a conditional put / lock client — same contract as
+    * delta-on-S3, documented in the class scaladoc. */
   private def writeManifest(spark: SparkSession, path: String, v: Int,
       action: String, dirs: Seq[String]): Boolean = {
     val f = fs(spark, path)
@@ -99,19 +109,33 @@ object TableLog {
     try out.write((action +: dirs).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val dest = manifestPath(path, v)
-    if (f.exists(dest)) { f.delete(tmp, false); false }
-    else {
-      val ok = f.rename(tmp, dest)
-      if (!ok) f.delete(tmp, false)
-      ok
-    }
+    val won =
+      if (f.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dest.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        !f.exists(dest) && f.rename(tmp, dest)
+      }
+    if (f.getScheme == "file" || !won) f.delete(tmp, false)
+    won
   }
+
+  /** Commit retry budget: each loss re-reads the log and retries on the
+    * next version, so the budget bounds tolerated writer contention,
+    * not correctness. */
+  private val MaxCommitAttempts = 20
 
   private def commit(spark: SparkSession, path: String, action: String,
       newDirs: DataFrame => Int => Seq[String], df: DataFrame,
       carryPrevious: Boolean): Commit = {
     var attempts = 0
-    while (attempts < 5) {
+    while (attempts < MaxCommitAttempts) {
       val prev = history(spark, path)
       val v = prev.lastOption.map(_.version + 1).getOrElse(1)
       val dirs = newDirs(df)(v) ++
@@ -122,7 +146,7 @@ object TableLog {
       attempts += 1
     }
     throw new IllegalStateException(
-      s"lost the commit race 5 times at $path — writer contention")
+      s"lost the commit race $MaxCommitAttempts times at $path — writer contention")
   }
 
   /** Add `df`'s rows to the table (new snapshot = previous dirs + one
@@ -174,13 +198,14 @@ object TableLog {
     val target = history(spark, path).find(_.version == v)
       .getOrElse(throw new IllegalArgumentException(s"version $v not found"))
     var attempts = 0
-    while (attempts < 5) {
+    while (attempts < MaxCommitAttempts) {
       val next = latestVersion(spark, path).get + 1
       if (writeManifest(spark, path, next, "rollback", target.dirs))
         return Commit(next, "rollback", target.dirs)
       attempts += 1
     }
-    throw new IllegalStateException("lost the rollback race 5 times")
+    throw new IllegalStateException(
+      s"lost the rollback race $MaxCommitAttempts times")
   }
 
   /** Destructive retention: keep the newest `retain` manifests, delete

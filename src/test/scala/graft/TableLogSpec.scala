@@ -108,6 +108,25 @@ class TableLogSpec extends AnyFunSuite {
       (2L, "changed"), (3L, "removed"), (4L, "added"), (5L, "changed")))
   }
 
+  test("concurrent appenders all land: rename-if-absent serializes versions") {
+    val path = freshPath()
+    val writers = 6
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val commits = Await.result(
+      Future.sequence((1 to writers).map { i =>
+        Future(TableLog.commitAppend(spark, path,
+          Seq((i.toLong, s"w$i")).toDF("id", "v")))
+      }), 120.seconds)
+    assert(commits.map(_.version).sorted == (1 to writers))
+    assert(rows(TableLog.read(spark, path)) ==
+      (1 to writers).map(i => (i.toLong, s"w$i")).toSet)
+    // every intermediate snapshot is a consistent prefix-by-version
+    val hist = TableLog.history(spark, path)
+    assert(hist.map(_.dirs.size) == (1 to writers))
+  }
+
   test("streaming merge into a versioned table: one version per batch, replay-safe") {
     import java.sql.Timestamp
     val srcDir = Files.createTempDirectory("graft_vstream_src")
