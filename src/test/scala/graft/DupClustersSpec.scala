@@ -56,6 +56,23 @@ class DupClustersSpec extends AnyFunSuite {
     assert(cc(edges) == expected)
   }
 
+  test("matches GraphX connectedComponents on a larger random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 500
+    val edges = Seq.fill(700)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val got = cc(edges)
+    // independent implementation: GraphX's Pregel-based CC, normalized
+    // to min-member labels
+    val gx = org.apache.spark.graphx.Graph.fromEdgeTuples(
+      spark.sparkContext.parallelize(edges), defaultValue = 0)
+      .connectedComponents().vertices.collect().toMap
+    val nodesInEdges = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val gxLabels = gx.view.filterKeys(nodesInEdges).toMap
+    // GraphX labels components by min vertex id too
+    assert(got == gxLabels.map { case (k, v) => k -> v })
+  }
+
   test("clusterDocuments unions isolated docs back as singletons with sizes") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
