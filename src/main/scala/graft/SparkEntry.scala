@@ -685,6 +685,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Composed embedding-dedup pipeline: hyperplane-LSH pairs →
+    //      connected components → canonical-per-cluster. Hash-seeded
+    //      signatures ⇒ rows-only; transitive-collapse contract
+    //      asserted in SimilaritySpec ----
+    "q65_embedding_dedup" -> ((s, dir) =>
+      Similarity.embeddingDedupPipeline(
+        t(s, dir, "embeddings"), threshold = 0.95, dim = 64)),
+
     // ---- CDC snapshot diff: full-outer join on the key, change
     //      detection via a row fingerprint over the non-key columns.
     //      Snapshots derived deterministically from orders (window

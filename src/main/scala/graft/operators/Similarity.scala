@@ -185,6 +185,24 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** The composed embedding-dedup pipeline — the vector-side analog of
+    * [[Dedup.fuzzyDedupKeepFirst]], but with EXACT transitive
+    * resolution: hyperplane-LSH candidate pairs (bucketed, never
+    * all-pairs) → connected components over the verified pairs
+    * ([[DupClusters.connectedComponents]], log-round star contraction)
+    * → keep the cluster-min vector as canonical. Returns
+    * (vec_id, cluster_id, is_canonical) for every vector. */
+  def embeddingDedupPipeline(vectors: DataFrame, threshold: Double, dim: Int,
+      seed: Long = 7L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pairs = hyperplaneNearDups(vectors, threshold, dim, seed, idCol, vecCol)
+      .select("id_a", "id_b")
+    DupClusters.clusterDocuments(vectors, pairs, idCol)
+      .select(col(idCol), col("cluster_id"),
+        (col(idCol) === col("cluster_id")).as("is_canonical"))
+      .orderBy(idCol)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, bucketed via
     * the per-row centroid assignment so only same-cell pairs are
     * compared (near-dups land in the same cell with high probability).

@@ -109,6 +109,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.forall(_ >= 0) && out.distinct.length == out.length)
   }
 
+  test("embedding dedup pipeline collapses chains transitively to one canonical") {
+    // chain: 10 ≈ 11 ≈ 12 (adjacent pairs very near; endpoints less so),
+    // plus an unrelated vector that must stay its own singleton
+    val base = Array.tabulate(64)(i => math.sin(i * 0.7).toFloat)
+    def nudge(v: Array[Float], at: Int): Array[Float] = {
+      val c = v.clone(); c(at) = c(at) + 0.08f; c
+    }
+    val b1 = nudge(base, 0)
+    val b2 = nudge(b1, 1)
+    val other = Array.tabulate(64)(i => math.cos(i * 1.3).toFloat)
+    val df = Seq((10L, base), (11L, b1), (12L, b2), (50L, other))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingDedupPipeline(df, threshold = 0.99, dim = 64)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (10L, 10L, true), (11L, 10L, false), (12L, 10L, false),
+      (50L, 50L, true)))
+  }
+
   test("hyperplane signature: identical vectors collide, negation flips every bit") {
     import graft.functions.HyperplaneSignature
     val df = Seq(
