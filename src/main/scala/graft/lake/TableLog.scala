@@ -177,6 +177,21 @@ object TableLog {
     commitReplace(spark, path, merged, "merge")
   }
 
+  /** Expectation-gated MERGE: evaluate the data-quality suite on the
+    * would-be snapshot BEFORE any data or manifest is written — a
+    * failed contract leaves the table untouched at its prior version
+    * (the table-format form of the reference's validate-before-publish
+    * gate; validating pre-write also means no orphaned data dirs). */
+  def commitMergeValidated(spark: SparkSession, path: String,
+      updates: DataFrame, keys: Seq[String],
+      suite: graft.quality.Expectations.Suite): Commit = {
+    val merged =
+      if (history(spark, path).isEmpty) updates
+      else MergeWriter.upsertSyncSchema(read(spark, path), updates, keys)
+    graft.quality.Expectations.validateOrThrow(merged, suite)
+    commitReplace(spark, path, merged, "merge")
+  }
+
   /** OPTIMIZE as a log commit: rewrite the latest snapshot into
     * `numFiles` Z-ordered files ([[ZOrder.cluster]]) and commit the
     * result atomically. Readers of the pre-optimize version are

@@ -92,6 +92,12 @@ object DupClusters {
       fp = nfp
       it += 1
     }
+    // a silent non-converged return would emit WRONG cluster labels;
+    // log²-round convergence makes this unreachable at sane maxIter,
+    // so reaching it means the budget was misconfigured — fail loudly
+    require(converged,
+      s"connected components did not converge within $maxIter rounds — " +
+        "raise maxIter (round count is O(log² diameter))")
 
     // Converged edge set is one star per component, centered at the
     // component min: (member, root) pairs plus the roots themselves.

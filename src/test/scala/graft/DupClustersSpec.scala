@@ -56,6 +56,14 @@ class DupClustersSpec extends AnyFunSuite {
     assert(cc(edges) == expected)
   }
 
+  test("an exhausted iteration budget fails loudly instead of mislabeling") {
+    val path = (1L until 50L).map(i => (i, i + 1))
+    intercept[IllegalArgumentException] {
+      DupClusters.connectedComponents(path.toDF("id_a", "id_b"), maxIter = 1)
+        .collect()
+    }
+  }
+
   test("matches GraphX connectedComponents on a larger random graph") {
     val rnd = new scala.util.Random(7)
     val n = 500

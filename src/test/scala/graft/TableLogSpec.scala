@@ -108,6 +108,26 @@ class TableLogSpec extends AnyFunSuite {
       (2L, "changed"), (3L, "removed"), (4L, "added"), (5L, "changed")))
   }
 
+  test("expectation-gated merge refuses a contract-breaking commit pre-write") {
+    import graft.quality.Expectations
+    val path = freshPath()
+    val suite = Expectations.Suite("orders_contract", None,
+      Seq(Expectations.NotNull("v"), Expectations.MinBound("id", 0.0)))
+    TableLog.commitMergeValidated(spark, path,
+      Seq((1L, "a")).toDF("id", "v"), Seq("id"), suite)
+    assert(TableLog.latestVersion(spark, path).contains(1))
+    // a batch with a null payload breaks the contract: no new version,
+    // no new data directories
+    val dirsBefore = TableLog.history(spark, path).flatMap(_.dirs).toSet
+    intercept[IllegalStateException] {
+      TableLog.commitMergeValidated(spark, path,
+        Seq((2L, null.asInstanceOf[String])).toDF("id", "v"), Seq("id"), suite)
+    }
+    assert(TableLog.latestVersion(spark, path).contains(1))
+    assert(TableLog.history(spark, path).flatMap(_.dirs).toSet == dirsBefore)
+    assert(rows(TableLog.read(spark, path)) == Set((1L, "a")))
+  }
+
   test("concurrent appenders all land: rename-if-absent serializes versions") {
     val path = freshPath()
     val writers = 6
