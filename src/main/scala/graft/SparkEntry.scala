@@ -728,6 +728,16 @@ object SparkEntry {
       graft.operators.Chunking.slidingWindows(
         t(s, dir, "documents"), window = 32, stride = 24)),
 
+    // ---- Mix report: per-stratum totals vs post-quota counts ----
+    "q66_mix_report" -> ((s, dir) =>
+      graft.operators.Sampling.mixReport(
+        t(s, dir, "documents"), Seq("lang", "source"), n = 5)),
+
+    // ---- Per-term TF-IDF weights for matched query terms ----
+    "q67_tfidf" -> ((s, dir) =>
+      graft.operators.TextSearch.tfIdf(
+        t(s, dir, "documents"), Seq("stream", "merge", "batch"))),
+
     // ---- Concat-and-split sequence packing into 1024-token windows,
     //      sharded so no global window serializes the corpus ----
     "q64_seq_packing" -> ((s, dir) =>
@@ -1308,6 +1318,35 @@ object SparkEntry {
         |  FROM documents) t
         |WHERE sample_rank <= 5
         |ORDER BY lang, source, sample_rank""".stripMargin,
+
+    "q66_mix_report" ->
+      """WITH ranked AS (
+        |  SELECT lang, source,
+        |    ROW_NUMBER() OVER (PARTITION BY lang, source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents),
+        |tot AS (SELECT lang, source, COUNT(*) AS n_total
+        |        FROM documents GROUP BY 1, 2),
+        |sam AS (SELECT lang, source, COUNT(*) AS n_sampled
+        |        FROM ranked WHERE rn <= 5 GROUP BY 1, 2)
+        |SELECT lang, source, n_total, n_sampled
+        |FROM tot JOIN sam USING (lang, source)
+        |ORDER BY lang, source""".stripMargin,
+
+    "q67_tfidf" ->
+      """WITH ft AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(str_split_regex(trim(text), '\s+')) AS term
+        |        FROM documents)
+        |  WHERE term IN ('stream', 'merge', 'batch')
+        |  GROUP BY 1, 2),
+        |dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM ft GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+        |  ROUND(tf * ln(n_docs / df), 4) AS tf_idf
+        |FROM ft JOIN dfs USING (term) CROSS JOIN n
+        |ORDER BY doc_id, term""".stripMargin,
 
     "q61_chunking" ->
       """WITH t AS (
