@@ -142,4 +142,60 @@ class PropertySpec extends AnyFunSuite {
       df.filter(col("v").isNull).isEmpty
     })
   }
+
+  test("stratified sampling: per-stratum count = min(n, stratum size); subset of input") {
+    val docGen = Gen.listOfN(30, Gen.zip(
+      Gen.chooseNum(0L, 40L), Gen.oneOf("en", "de", "es")))
+    assertProp(Prop.forAll(docGen, Gen.chooseNum(1, 6)) { (docs, n) =>
+      val d = docs.distinctBy(_._1).toDF("doc_id", "lang")
+      val got = graft.operators.Sampling.stratifiedN(d, Seq("lang"), n)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val strata = docs.distinctBy(_._1).groupBy(_._2).view.mapValues(_.size)
+      val counts = got.groupBy(_._2).view.mapValues(_.size)
+      val quotaOk = strata.forall { case (l, sz) =>
+        counts.getOrElse(l, 0) == math.min(n, sz)
+      }
+      quotaOk && got.toSet.subsetOf(docs.distinctBy(_._1).toSet)
+    })
+  }
+
+  test("sequence packing: offsets chain exactly — no gaps, no overlaps per shard") {
+    val docGen = Gen.listOfN(20, Gen.zip(
+      Gen.chooseNum(0L, 60L), Gen.chooseNum(1, 9)))
+    assertProp(Prop.forAll(docGen, Gen.chooseNum(4, 12)) { (docs, maxTok) =>
+      val d = docs.distinctBy(_._1)
+        .map { case (id, nt) => (id, ("w " * nt).trim) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Chunking.packSequences(d, maxTok, shards = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      got.groupBy(_._2).forall { case (_, rows) =>
+        val sorted = rows.sortBy(_._1)
+        val positions = sorted.map(r => r._3 * maxTok + r._4)
+        val chained = sorted.indices.forall { i =>
+          positions(i) == sorted.take(i).map(_._5).sum
+        }
+        chained && sorted.headOption.forall(_._4 == 0L)
+      }
+    })
+  }
+
+  test("snapshot diff: diff(a, a) is empty; classified keys = expected sets") {
+    val tblGen = Gen.listOfN(15, Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(0, 5)))
+    assertProp(Prop.forAll(tblGen, tblGen) { (aRaw, bRaw) =>
+      val aRows = aRaw.distinctBy(_._1); val bRows = bRaw.distinctBy(_._1)
+      val a = aRows.toDF("id", "v")
+      val b = bRows.toDF("id", "v")
+      val self = graft.lake.SnapshotDiff.diff(a, a, Seq("id")).isEmpty
+      val got = graft.lake.SnapshotDiff.diff(a, b, Seq("id"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val aMap = aRows.toMap; val bMap = bRows.toMap
+      val expected =
+        bMap.keySet.diff(aMap.keySet).map(_ -> "added") ++
+          aMap.keySet.diff(bMap.keySet).map(_ -> "removed") ++
+          aMap.keySet.intersect(bMap.keySet)
+            .filter(k => aMap(k) != bMap(k)).map(_ -> "changed")
+      self && got == expected.toMap
+    })
+  }
 }
