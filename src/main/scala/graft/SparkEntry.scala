@@ -738,6 +738,14 @@ object SparkEntry {
       graft.operators.TextSearch.tfIdf(
         t(s, dir, "documents"), Seq("stream", "merge", "batch"))),
 
+    // ---- Count-min-sketch term frequencies: mergeable fixed-size
+    //      sketch instead of a vocabulary-wide shuffle. Sketch-impl-
+    //      specific ⇒ rows-only; the eps·N overestimate bound vs exact
+    //      counts is asserted in SketchesSpec ----
+    "q68_cms_counts" -> ((s, dir) =>
+      graft.operators.Sketches.cmsTokenCounts(
+        t(s, dir, "documents"), Seq("stream", "merge", "batch", "zzz_absent"))),
+
     // ---- Concat-and-split sequence packing into 1024-token windows,
     //      sharded so no global window serializes the corpus ----
     "q64_seq_packing" -> ((s, dir) =>
