@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatVectorDot, HyperplaneSignature, MinHashSignature,
-  PqAdc, RollingMinHash, ShingleHashes, SimHash64}
+import graft.functions.{FloatVectorDot, HyperplaneSignature, JaccardSimilarity,
+  MinHashSignature, PqAdc, RollingMinHash, ShingleHashes, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Install with
@@ -68,6 +68,10 @@ object GraftExtensions {
       fn("simhash64", classOf[SimHash64]) { children =>
         require(children.length == 1, "simhash64(tokens)")
         SimHash64(children.head)
+      },
+      fn("jaccard_sim", classOf[JaccardSimilarity]) { children =>
+        require(children.length == 2, "jaccard_sim(a, b)")
+        JaccardSimilarity(children.head, children(1))
       },
       fn("pq_adc", classOf[PqAdc]) { children =>
         require(children.length == 3, "pq_adc(codes, dist_table, k)")

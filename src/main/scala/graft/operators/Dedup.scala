@@ -132,26 +132,27 @@ object Dedup {
 
   /** Exact n-gram Jaccard verification over candidate pairs: joins token
     * shingle SETS back and computes |∩|/|∪|. Only candidates pay the
-    * set-intersection cost. */
+    * set-intersection cost.
+    *
+    * Shingles are hashed to longs before the set math (|∩| and |∪| are
+    * unchanged absent a 64-bit collision; the hashing is the native
+    * ShingleHashes byte-range scan), and the per-pair hot loop is the
+    * native [[graft.functions.JaccardSimilarity]] — one sorted merge
+    * pass per pair with set semantics, instead of materializing
+    * intersection and union arrays just to take their sizes
+    * (bit-parity with that formulation asserted in TextDedupSpec). */
   def jaccardVerify(docs: DataFrame, candidates: DataFrame, k: Int = 3,
       threshold: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // shingles hashed to longs before the set ops: |∩| and |∪| are
-    // unchanged absent a 64-bit collision, and long-array intersection
-    // is far cheaper than string-array intersection per pair; the
-    // hashing itself is the native ShingleHashes byte-range scan
     val sets = docs.select(col(idCol),
-      array_distinct(
-        graft.functions.ShingleHashes.shingleHashes(tokens(col(textCol)), k))
+      graft.functions.ShingleHashes.shingleHashes(tokens(col(textCol)), k)
         .as("sh"))
     candidates
       .join(sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        when(col("uni") === 0, 0.0d)
-          .otherwise(round(col("inter").cast("double") / col("uni"), 4)))
+        round(graft.functions.JaccardSimilarity.jaccardSim(
+          col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy("id_a", "id_b")

@@ -100,6 +100,28 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("native jaccard_sim matches the array_intersect/union formulation") {
+    val cases = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),
+      (Seq(1L, 1L, 2L), Seq(2L, 2L, 3L)),   // duplicate runs on both sides
+      (Seq.empty[Long], Seq.empty[Long]),   // both empty -> 0.0
+      (Seq(5L), Seq.empty[Long]),
+      (Seq(1L, 2L), Seq(1L, 2L)))
+      .toDF("a", "b")
+    val got = cases.select(
+      graft.functions.JaccardSimilarity.jaccardSim(col("a"), col("b")).as("n"),
+      when(size(array_union(col("a"), col("b"))) === 0, 0.0d)
+        .otherwise(size(array_intersect(col("a"), col("b"))).cast("double") /
+          size(array_union(col("a"), col("b")))).as("ref"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (n, ref) => assert(n == ref) }
+    // SQL registration
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT jaccard_sim(array(1L,2L,3L), array(2L,3L,4L)) AS j")
+      .collect()(0).getDouble(0)
+    assert(viaSql == 2.0 / 4.0)
+  }
+
   test("fingerprint is content-determined") {
     val fp = docs.select(col("doc_id"),
       TextFunctions.fingerprint(col("text")).as("fp"))
