@@ -54,6 +54,36 @@ object ZOrder {
     r
   }
 
+  /** Round-robin interleave of the low `bits` bits of N non-negative
+    * long columns: result bit (i·N + j) = bit i of column j — the
+    * general Morton code ([[interleaveBits]] is the N=2 case). Still a
+    * pure built-in expression tree. N·bits must fit in a long. */
+  def interleaveBitsN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, "interleave needs at least 2 columns")
+    require(cols.size * bits <= 63, s"${cols.size} cols × $bits bits overflow a long")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      cols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(c, i).bitwiseAND(lit(1L)),
+          i * cols.size + j))
+      }
+    }
+  }
+
+  /** Reference Scala implementation of the N-way interleave for tests. */
+  def interleaveRefN(vals: Seq[Long], bits: Int): Long = {
+    var r = 0L
+    var i = 0
+    while (i < bits) {
+      var j = 0
+      while (j < vals.size) {
+        r |= ((vals(j) >> i) & 1L) << (i * vals.size + j)
+        j += 1
+      }
+      i += 1
+    }
+    r
+  }
+
   /** Cluster `df` by the Z-value of two numeric columns: range-partition
     * into `numFiles` output files, sort within partitions by Z. One
     * cheap stats pass (a 4-column agg, collected to the driver) sizes the
@@ -61,14 +91,24 @@ object ZOrder {
     * both fully parallel. Reads then get row-group pruning on either
     * column for free. */
   def cluster(df: DataFrame, colA: String, colB: String,
-      numFiles: Int, bits: Int = 16): DataFrame = {
-    val stats = df.agg(
-      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
-    val z = interleaveBits(
-      widthBin(col(colA), stats.getDouble(0), stats.getDouble(1), bits),
-      widthBin(col(colB), stats.getDouble(2), stats.getDouble(3), bits),
-      bits)
+      numFiles: Int, bits: Int = 16): DataFrame =
+    clusterN(df, Seq(colA, colB), numFiles, bits)
+
+  /** N-column Z-order: the general form of [[cluster]] (e.g. Delta's
+    * `OPTIMIZE ZORDER BY (a, b, c)`). Bits per dimension shrink as
+    * dimensions grow (N·bits ≤ 63), which mirrors the real trade-off:
+    * each extra cluster column halves the skip resolution of the rest. */
+  def clusterN(df: DataFrame, cols: Seq[String], numFiles: Int,
+      bits: Int = 16): DataFrame = {
+    require(cols.size >= 2, "need at least 2 cluster columns")
+    val effBits = math.min(bits, 63 / cols.size)
+    val statCols = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val stats = df.agg(statCols.head, statCols.tail: _*).head()
+    val binned = cols.zipWithIndex.map { case (c, i) =>
+      widthBin(col(c), stats.getDouble(2 * i), stats.getDouble(2 * i + 1), effBits)
+    }
+    val z = interleaveBitsN(binned, effBits)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

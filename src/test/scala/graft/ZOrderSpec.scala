@@ -32,6 +32,39 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("N-way interleave: expression matches reference, 2-way case agrees with interleaveBits") {
+    val rows = Seq(
+      Seq(0L, 0L, 0L), Seq(1L, 2L, 3L), Seq(255L, 0L, 255L), Seq(7L, 7L, 7L))
+    val got = rows.map(_.toArray).toDF("v")
+      .select(ZOrder.interleaveBitsN(
+        Seq(element_at(col("v"), 1), element_at(col("v"), 2),
+          element_at(col("v"), 3)), bits = 8).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == rows.map(v => ZOrder.interleaveRefN(v, 8)))
+    // N=2 reduces to the pairwise form
+    val a = 12345L; val b = 54321L
+    assert(ZOrder.interleaveRefN(Seq(a, b), 16) == ZOrder.interleaveRef(a, b))
+  }
+
+  test("clusterN over 3 columns keeps rows and produces the file count") {
+    val df = (0 until 3000).map(i =>
+      (i.toLong, (i * 13 % 100).toLong, (i * 7 % 50).toLong, s"p$i"))
+      .toDF("a", "b", "c", "payload")
+    val out = ZOrder.clusterN(df, Seq("a", "b", "c"), numFiles = 4)
+    assert(out.count() == 3000)
+    assert(out.rdd.getNumPartitions == 4)
+    // de-interleave round trip at the reduced per-dimension width
+    val effBits = 63 / 3
+    val z = ZOrder.interleaveRefN(Seq(5L, 9L, 3L), effBits)
+    var r = Seq(0L, 0L, 0L)
+    (0 until effBits).foreach { i =>
+      r = r.zipWithIndex.map { case (acc, j) =>
+        acc | (((z >> (i * 3 + j)) & 1L) << i)
+      }
+    }
+    assert(r == Seq(5L, 9L, 3L))
+  }
+
   test("cluster keeps all rows and produces the requested file count") {
     val df = (0 until 1000).map(i => (i.toLong, (i * 7 % 100).toLong))
       .toDF("x", "y")
