@@ -195,6 +195,12 @@ object SparkEntry {
     //      watermark-bounded state (click→purchase attribution) ----
     "q63_stream_attribution" -> ((s, dir) => Streams.clickAttributionRun(s, dir)),
 
+    // ---- transformWithState (Spark 4 arbitrary state API): per-user
+    //      running profiles via a typed ValueState handle; bounded run
+    //      equals the batch group-by ⇒ oracled ----
+    "q69_user_profiles" -> ((s, dir) =>
+      graft.streaming.UserProfiles.userProfiles(s, dir)),
+
     // ---- Dedup: exact ----
     "q14_dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
 
@@ -923,6 +929,11 @@ object SparkEntry {
         |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2 ORDER BY dt, segment""".stripMargin,
+
+    "q69_user_profiles" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  ROUND(SUM(value), 2) AS total_value, MAX(ts) AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q63_stream_attribution" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
