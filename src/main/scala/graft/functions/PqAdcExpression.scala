@@ -60,6 +60,11 @@ object PqAdc {
     var j = 0
     while (j < m) {
       val c = codes.getInt(j)
+      // getFloat on unsafe array data is an unchecked platform read —
+      // an out-of-range code (corrupt/foreign column via the SQL
+      // registration) must fail, not return garbage memory
+      require(c >= 0 && c < k,
+        s"pq_adc: code $c at subspace $j outside [0, $k)")
       d += table.getFloat(j * k + c)
       j += 1
     }

@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one full-outer join on the key columns — the same
   * single-shuffle shape as the MERGE it audits. Change detection
-  * compares a row-level fingerprint (hash over the non-key columns as
-  * a struct) so wide tables don't pay per-column comparison plumbing;
-  * `added`/`removed` fall out of the join's null sides.
+  * compares a row-level fingerprint so wide tables don't pay
+  * per-column comparison plumbing; `added`/`removed` fall out of the
+  * join's null sides. The fingerprint hashes the JSON encoding with
+  * null fields KEPT — `xxhash64(struct(...))` skips null fields
+  * entirely, so a value moving between columns across a null
+  * (before: (a, null), after: (null, a)) would hash identically and
+  * the change would vanish from the feed.
   */
 object SnapshotDiff {
 
@@ -28,7 +32,8 @@ object SnapshotDiff {
     val dataCols = before.columns.filterNot(keys.contains).toSeq
     def fingerprinted(df: DataFrame, fp: String, mark: String) =
       df.select(keys.map(col) :+
-        xxhash64(struct(dataCols.map(col): _*)).as(fp) :+
+        xxhash64(to_json(struct(dataCols.map(col): _*),
+          Map("ignoreNullFields" -> "false"))).as(fp) :+
         lit(1).as(mark): _*)
     val b = fingerprinted(before, "__fp_b", "__in_b")
     val a = fingerprinted(after, "__fp_a", "__in_a")

@@ -131,18 +131,25 @@ object TableLog {
     * not correctness. */
   private val MaxCommitAttempts = 20
 
+  /** Optimistic-concurrency commit loop. Each attempt RE-DERIVES the
+    * snapshot via `mkDf` against the then-latest version — a merge that
+    * loses the race must be recomputed on top of the winner's snapshot,
+    * or the winner's rows silently vanish (lost update). A losing
+    * attempt's data directory is deleted before retrying, so race
+    * losers leak nothing. */
   private def commit(spark: SparkSession, path: String, action: String,
-      newDirs: DataFrame => Int => Seq[String], df: DataFrame,
-      carryPrevious: Boolean): Commit = {
+      carryPrevious: Boolean)(mkDf: () => DataFrame): Commit = {
     var attempts = 0
     while (attempts < MaxCommitAttempts) {
       val prev = history(spark, path)
       val v = prev.lastOption.map(_.version + 1).getOrElse(1)
-      val dirs = newDirs(df)(v) ++
+      val dir = writeData(spark, path, mkDf(), v)
+      val dirs = Seq(dir) ++
         (if (carryPrevious) prev.lastOption.map(_.dirs).getOrElse(Seq.empty)
          else Seq.empty)
       if (writeManifest(spark, path, v, action, dirs))
         return Commit(v, action, dirs)
+      fs(spark, path).delete(new Path(path, dir), true)
       attempts += 1
     }
     throw new IllegalStateException(
@@ -152,13 +159,11 @@ object TableLog {
   /** Add `df`'s rows to the table (new snapshot = previous dirs + one
     * new dir; no data rewrite at all). */
   def commitAppend(spark: SparkSession, path: String, df: DataFrame): Commit =
-    commit(spark, path, "append",
-      d => v => Seq(writeData(spark, path, d, v)), df, carryPrevious = true)
+    commit(spark, path, "append", carryPrevious = true)(() => df)
 
   private def commitReplace(spark: SparkSession, path: String, df: DataFrame,
       action: String): Commit =
-    commit(spark, path, action,
-      d => v => Seq(writeData(spark, path, d, v)), df, carryPrevious = false)
+    commit(spark, path, action, carryPrevious = false)(() => df)
 
   /** Replace the table contents with `df`. Old versions remain
     * readable until vacuumed. */
@@ -168,29 +173,32 @@ object TableLog {
   /** MERGE upsert as a log commit: read the latest snapshot, apply
     * [[MergeWriter.upsertSyncSchema]], write the result as the new
     * snapshot — all-or-nothing at the manifest rename (unlike dynamic
-    * partition overwrite, which commits partition-by-partition). */
+    * partition overwrite, which commits partition-by-partition). The
+    * merge recomputes inside the commit loop, so losing a race means
+    * merging onto the winner's snapshot, never over it. */
   def commitMerge(spark: SparkSession, path: String, updates: DataFrame,
-      keys: Seq[String]): Commit = {
-    val merged =
+      keys: Seq[String]): Commit =
+    commit(spark, path, "merge", carryPrevious = false) { () =>
       if (history(spark, path).isEmpty) updates
       else MergeWriter.upsertSyncSchema(read(spark, path), updates, keys)
-    commitReplace(spark, path, merged, "merge")
-  }
+    }
 
   /** Expectation-gated MERGE: evaluate the data-quality suite on the
-    * would-be snapshot BEFORE any data or manifest is written — a
+    * would-be snapshot BEFORE its data or manifest is written — a
     * failed contract leaves the table untouched at its prior version
     * (the table-format form of the reference's validate-before-publish
-    * gate; validating pre-write also means no orphaned data dirs). */
+    * gate). Validation re-runs per attempt against the freshly merged
+    * snapshot. */
   def commitMergeValidated(spark: SparkSession, path: String,
       updates: DataFrame, keys: Seq[String],
-      suite: graft.quality.Expectations.Suite): Commit = {
-    val merged =
-      if (history(spark, path).isEmpty) updates
-      else MergeWriter.upsertSyncSchema(read(spark, path), updates, keys)
-    graft.quality.Expectations.validateOrThrow(merged, suite)
-    commitReplace(spark, path, merged, "merge")
-  }
+      suite: graft.quality.Expectations.Suite): Commit =
+    commit(spark, path, "merge", carryPrevious = false) { () =>
+      val merged =
+        if (history(spark, path).isEmpty) updates
+        else MergeWriter.upsertSyncSchema(read(spark, path), updates, keys)
+      graft.quality.Expectations.validateOrThrow(merged, suite)
+      merged
+    }
 
   /** OPTIMIZE as a log commit: rewrite the latest snapshot into
     * `numFiles` Z-ordered files ([[ZOrder.cluster]]) and commit the

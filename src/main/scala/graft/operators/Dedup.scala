@@ -191,10 +191,14 @@ object Dedup {
     * produce no exploded rows. */
   def simHash(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
+    // stage the token array once: filter and project are separate
+    // physical operators, so tokens() inside both would regex-split
+    // every document twice (the repo's measured CSE pitfall)
     docs
-      .filter(size(tokens(col(textCol))) >= 1)
+      .withColumn("__toks", tokens(col(textCol)))
+      .filter(size(col("__toks")) >= 1)
       .select(col(idCol),
-        graft.functions.SimHash64.simhash64(tokens(col(textCol))).as("simhash"))
+        graft.functions.SimHash64.simhash64(col("__toks")).as("simhash"))
       .orderBy(idCol)
 
   /** SimHash near-dup candidates: bucket by 16-bit fingerprint chunks

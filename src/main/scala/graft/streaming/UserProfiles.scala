@@ -65,21 +65,33 @@ object UserProfiles extends Serializable {
     * the large-state store). */
   def run(spark: SparkSession, events: Dataset[Event],
       sinkName: String, ttl: TTLConfig = TTLConfig.NONE): Dataset[Profile] = {
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // the provider must be set on the dataset's session for this run,
+    // but it is shared mutable conf — restore the caller's value so
+    // unrelated streams on the same session keep their provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val previous = spark.conf.getOption(key)
+    spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    import spark.implicits._
-    val q = events
-      .groupByKey(_.user_id)
-      .transformWithState(new ProfileProcessor(ttl),
-        TimeMode.None(), OutputMode.Update())
-      .writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(sinkName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sinkName).as[Profile]
+    try {
+      import spark.implicits._
+      val q = events
+        .groupByKey(_.user_id)
+        .transformWithState(new ProfileProcessor(ttl),
+          TimeMode.None(), OutputMode.Update())
+        .writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(sinkName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sinkName).as[Profile]
+    } finally {
+      previous match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   /** Oracle path for q69: profiles over the bounded events backlog,

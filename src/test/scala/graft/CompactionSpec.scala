@@ -67,6 +67,19 @@ class CompactionSpec extends AnyFunSuite {
     assert(after.length == 2000)
   }
 
+  test("null partition values are rejected loudly, not silently skipped") {
+    val path = freshPath()
+    (0 until 100).map(i =>
+      (i.toLong, if (i % 2 == 0) "2024-01-01" else null, s"p$i"))
+      .toDF("id", "dt", "payload")
+      .repartition(4).write.partitionBy("dt").parquet(path)
+    val ex = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, path, Seq("dt"),
+        targetFileBytes = 512L * 1024 * 1024)
+    }
+    assert(ex.getMessage.contains("HIVE_DEFAULT_PARTITION"))
+  }
+
   test("unpartitioned table coalesces when fragmented") {
     val path = freshPath()
     fixture.repartition(10).write.parquet(path)

@@ -35,6 +35,15 @@ class ProductQuantizationSpec extends AnyFunSuite {
     assert(enc.toSeq == enc2.toSeq)
   }
 
+  test("pq_adc rejects out-of-range codes instead of reading garbage") {
+    val codes = Seq((1L, Seq(7))).toDF("id", "pq_codes")   // k=4, code 7
+    val table = (0 until 4).map(_.toFloat)
+    val ex = intercept[Exception] {
+      codes.select(PqAdc.pqAdc(col("pq_codes"), typedLit(table), 4)).collect()
+    }
+    assert(ex.getMessage.contains("outside") || ex.getCause != null)
+  }
+
   test("pq_adc equals the manual table-lookup sum") {
     val codes = Seq((1L, Seq(1, 0, 2))).toDF("id", "pq_codes")
     // m=3 subspaces, k=4 centroids: table[j*4 + c]

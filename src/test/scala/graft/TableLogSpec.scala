@@ -93,6 +93,44 @@ class TableLogSpec extends AnyFunSuite {
     assert(after == before && after.size == 500)
   }
 
+  test("concurrent merges with disjoint keys all survive (no lost updates)") {
+    val path = freshPath()
+    TableLog.commitMerge(spark, path, Seq((0L, "base")).toDF("id", "v"), Seq("id"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = 5
+    Await.result(
+      Future.sequence((1 to writers).map { i =>
+        Future(TableLog.commitMerge(spark, path,
+          Seq((i.toLong, s"m$i")).toDF("id", "v"), Seq("id")))
+      }), 180.seconds)
+    // a merge that loses the race must recompute on the winner's
+    // snapshot — every writer's key must be present in the final state
+    val finalRows = rows(TableLog.read(spark, path))
+    assert(finalRows == (0 to writers).map(i =>
+      (i.toLong, if (i == 0) "base" else s"m$i")).toSet,
+      s"lost update: $finalRows")
+    // race losers must leak no data directories: every dir under data/
+    // is referenced by some manifest
+    val dataDirs = new java.io.File(s"$path/data").listFiles().map(_.getName).toSet
+    val referenced = TableLog.history(spark, path)
+      .flatMap(_.dirs).map(_.stripPrefix("data/")).toSet
+    assert(dataDirs == referenced,
+      s"orphaned dirs: ${dataDirs.diff(referenced)}")
+  }
+
+  test("snapshot diff detects a value moving across columns through a null") {
+    val before = Seq((1L, Some("a"), None: Option[String]))
+      .toDF("id", "x", "y")
+    val after = Seq((1L, None: Option[String], Some("a")))
+      .toDF("id", "x", "y")
+    val got = SnapshotDiff.diff(before, after, Seq("id"))
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "changed")),
+      "null-skipping fingerprints would miss the column swap")
+  }
+
   test("snapshot diff classifies added/removed/changed and omits unchanged") {
     val before = Seq(
       (1L, "same", 10.0), (2L, "will-change", 20.0),
