@@ -776,6 +776,39 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       DupClusters.clusterDocuments(docs, DupClusters.affixPairs(docs, n = 40))
     }),
+
+    // ---- PII-style regex redaction: chained rewrite rules in one
+    //      codegen'd map-only projection, with per-rule hit counts.
+    //      The email/phone rules are the realistic surface (0 hits on
+    //      the synthetic corpus); the term rule proves the rewrite ----
+    "q70_pii_redact" -> ((s, dir) =>
+      graft.operators.Scrub.redact(
+        t(s, dir, "documents"),
+        graft.operators.Scrub.piiRules :+
+          graft.operators.Scrub.Rule("term", "\\b(customer|value)\\b", "<TERM>"))
+        .select(col("doc_id"), col("n_email"), col("n_phone"),
+          col("n_term"), col("n_redacted"), col("redacted"))
+        .orderBy("doc_id")),
+
+    // ---- Gopher-style repetition metrics: distinct-token ratio and
+    //      top-bigram mass per document ----
+    "q71_repetition" -> ((s, dir) =>
+      graft.operators.TextQuality.repetitionMetrics(t(s, dir, "documents"))),
+
+    // ---- Benchmark decontamination: corpus docs sharing any token
+    //      4-gram with the held-out slice (doc_id % 41 == 0), via a
+    //      broadcast of the benchmark's distinct grams ----
+    "q72_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontaminate.overlap(
+        docs.filter(col("doc_id") % 41 =!= 0),
+        docs.filter(col("doc_id") % 41 === 0), n = 4)
+    }),
+
+    // ---- Streaming session windows, append mode: gap sessions that
+    //      merge in-flight and emit once the watermark finalizes them
+    //      (the streaming counterpart of batch q51) ----
+    "q73_stream_sessions" -> ((s, dir) => Streams.userSessionsAppend(s, dir)),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -1441,5 +1474,105 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
         |FROM lab ORDER BY doc_id""".stripMargin,
+
+    // Chained rewrites: each rule counts hits on the text as the
+    // previous rules left it, mirroring the Spark fold.
+    "q70_pii_redact" ->
+      """WITH r0 AS (SELECT doc_id, text AS t0 FROM documents),
+        |r1 AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t0,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  regexp_replace(t0,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM r0),
+        |r2 AS (SELECT doc_id, n_email,
+        |  CAST(len(regexp_extract_all(t1,
+        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phone,
+        |  regexp_replace(t1,
+        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g') AS t2
+        |  FROM r1),
+        |r3 AS (SELECT doc_id, n_email, n_phone,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  regexp_replace(t2,
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t3
+        |  FROM r2),
+        |r4 AS (SELECT doc_id, n_email, n_phone, n_ipv4,
+        |  CAST(len(regexp_extract_all(t3, '\b(customer|value)\b')) AS BIGINT) AS n_term,
+        |  regexp_replace(t3, '\b(customer|value)\b', '<TERM>', 'g') AS redacted
+        |  FROM r3)
+        |SELECT doc_id, n_email, n_phone, n_term,
+        |  n_email + n_phone + n_ipv4 + n_term AS n_redacted, redacted
+        |FROM r4 ORDER BY doc_id""".stripMargin,
+
+    "q71_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split_regex(trim(text), '\s+') AS t FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct, t
+        |  FROM toks),
+        |grams AS (
+        |  SELECT doc_id, n_tokens, n_distinct,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i + 1])) AS gram
+        |  FROM base),
+        |counted AS (
+        |  SELECT doc_id, n_tokens, n_distinct, gram, count(*) AS gram_n
+        |  FROM grams GROUP BY 1, 2, 3, 4),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY gram_n DESC, gram) AS rk
+        |  FROM counted)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS distinct_ratio,
+        |  gram AS top_bigram, CAST(gram_n AS BIGINT) AS top_bigram_n,
+        |  ROUND(CAST(gram_n AS DOUBLE) / (n_tokens - 1), 4) AS top_bigram_frac
+        |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "q72_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split_regex(trim(text), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+        |      i -> array_to_string(t[i:i+3], ' '))) AS gram
+        |    FROM toks WHERE len(t) >= 4)),
+        |corpus AS (SELECT * FROM grams WHERE doc_id % 41 != 0),
+        |bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id % 41 = 0)
+        |SELECT c.doc_id,
+        |  CAST(count(DISTINCT c.gram) AS BIGINT) AS n_shared_grams,
+        |  CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+        |FROM corpus c JOIN bench b ON c.gram = b.gram
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // q51's islands query + the append-mode emission cutoff: only
+    // sessions the final watermark (max ts − 7 days) finalized emit.
+    "q73_stream_sessions" ->
+      """WITH mx AS (SELECT MAX(ts) AS m FROM events),
+        |e AS (
+        |  SELECT user_id, value, epoch_ns(ts) // 1000 AS us FROM events),
+        |flagged AS (
+        |  SELECT user_id, value, us,
+        |    CASE WHEN LAG(us) OVER w IS NULL
+        |              OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0
+        |    END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sessions AS (
+        |  SELECT user_id, value, us,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id,
+        |    make_timestamp(MIN(us)) AS session_start,
+        |    make_timestamp(MAX(us) + 1800000000) AS session_end,
+        |    COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+        |  FROM sessions GROUP BY user_id, sid)
+        |SELECT a.user_id, a.session_start, a.session_end,
+        |  a.n_events, a.total_value
+        |FROM agg a, mx
+        |WHERE a.session_end <= mx.m - INTERVAL 7 DAY
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

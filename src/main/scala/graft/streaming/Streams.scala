@@ -146,6 +146,35 @@ object Streams {
         .agg(count(lit(1)).as("n_unique_events")))
       .orderBy("event_type")
 
+  /** Logical plan: streaming SESSION windows — gap-based windows that
+    * merge as events arrive (the streaming counterpart of batch q51).
+    * Session windows are variable-length and merge retroactively, so
+    * they are only available on an aggregation with a watermark; a
+    * session finalizes once the watermark passes its end (last event +
+    * gap), at which point it emits and its state drops. State is
+    * bounded by (open sessions × key cardinality), NOT stream length —
+    * the property that makes gap sessionization viable on an unbounded
+    * 100 TB/day stream. */
+  def sessionWindowAgg(stream: DataFrame, gap: String = "30 minutes",
+      watermark: String = "7 days"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .select(col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** Oracle path for q73: append-mode (production-shape) bounded run of
+    * [[sessionWindowAgg]] — emits exactly the sessions the final
+    * watermark (max ts − 7 days) finalized, which the batch islands
+    * oracle reproduces with a session_end cutoff. */
+  def userSessionsAppend(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, "append")(ss => sessionWindowAgg(eventStream(ss, dir)))
+      .orderBy("user_id", "session_start")
+
   /** Logical plan: stream-static enrichment join + windowed rollup.
     * The static dim is broadcast — a stream-static equi-join never
     * shuffles the stream side and re-plans the dim per micro-batch, so

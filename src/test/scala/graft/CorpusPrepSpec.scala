@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Decontaminate, Scrub, TextQuality}
+
+class CorpusPrepSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("redact rewrites PII patterns and counts hits per rule") {
+    val docs = Seq(
+      (0L, "mail me at bob.smith+x@example.co.uk or call 555-123-4567"),
+      (1L, "server 10.0.0.1 and 192.168.1.255 are up"),
+      (2L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val out = Scrub.redact(docs, Scrub.piiRules)
+      .select("doc_id", "n_email", "n_phone", "n_ipv4", "n_redacted", "redacted")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(1) == 1 && out(0L).getLong(2) == 1)
+    assert(out(0L).getString(5) == "mail me at <EMAIL> or call <PHONE>")
+    assert(out(1L).getLong(3) == 2 && out(1L).getLong(4) == 2)
+    assert(out(1L).getString(5) == "server <IP> and <IP> are up")
+    assert(out(2L).getLong(4) == 0 && out(2L).getString(5) == "no pii here at all")
+  }
+
+  test("redact applies rules as a chain (later rules see earlier rewrites)") {
+    val docs = Seq((0L, "aa bb")).toDF("doc_id", "text")
+    val rules = Seq(
+      Scrub.Rule("first", "aa", "bb"),
+      Scrub.Rule("second", "bb", "cc"))
+    val r = Scrub.redact(docs, rules).select("n_first", "n_second", "redacted")
+      .collect()(0)
+    // "aa bb" -> "bb bb"; the second rule then sees TWO bb hits
+    assert((r.getLong(0), r.getLong(1), r.getString(2)) == (1L, 2L, "cc cc"))
+  }
+
+  test("repetition metrics: top bigram mass and distinct ratio") {
+    val docs = Seq(
+      (0L, "spam spam spam spam"),          // "spam spam" x3 of 3 bigrams
+      (1L, "a b c d"),                      // all distinct
+      (2L, "solo"))                         // 1 token: no bigram row
+      .toDF("doc_id", "text")
+    val out = TextQuality.repetitionMetrics(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(2L))
+    val spam = out(0L)
+    assert(spam.getLong(1) == 4 && spam.getLong(2) == 1)
+    assert(spam.getDouble(3) == 0.25)
+    assert(spam.getString(4) == "spam spam" && spam.getLong(5) == 3)
+    assert(spam.getDouble(6) == 1.0)
+    val abcd = out(1L)
+    assert(abcd.getDouble(3) == 1.0 && abcd.getLong(5) == 1)
+    // deterministic tie-break: lexicographically first bigram wins
+    assert(abcd.getString(4) == "a b")
+  }
+
+  test("decontaminate flags docs sharing an n-gram with the benchmark") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon"),  // shares "alpha beta gamma" + "beta gamma delta"
+      (1L, "beta gamma delta zeta"),           // shares "beta gamma delta"
+      (2L, "one two three four"),              // clean
+      (3L, "too short"))                       // < n tokens: can't match
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta"),
+      (101L, "beta gamma delta"))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.overlap(corpus, bench, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 2L, 2L), (1L, 1L, 2L)))
+  }
+
+  test("decontaminate n=1 degenerates to shared-vocabulary overlap") {
+    val corpus = Seq((0L, "x y"), (1L, "z")).toDF("doc_id", "text")
+    val bench = Seq((9L, "y q")).toDF("doc_id", "text")
+    val out = Decontaminate.overlap(corpus, bench, n = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 1L)))
+  }
+}
