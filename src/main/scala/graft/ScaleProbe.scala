@@ -83,7 +83,20 @@ object ScaleProbe {
       "bm25" -> (d => graft.operators.TextSearch
         .bm25(d, Seq("stream", "merge", "batch")).count()),
       "chunking" -> (d => graft.operators.Chunking
-        .slidingWindows(d, window = 32, stride = 24).count()))
+        .slidingWindows(d, window = 32, stride = 24).count()),
+      // the sum over redacted text defeats column pruning — count()
+      // alone would let Catalyst drop every regex
+      "pii_redact" -> (d => graft.operators.Scrub
+        .redact(d, graft.operators.Scrub.piiRules)
+        .agg(sum(length(col("redacted")) + col("n_redacted")))
+        .collect()(0).getLong(0)),
+      "repetition" -> (d => graft.operators.TextQuality
+        .repetitionMetrics(d).count()),
+      // amplified copies' suffixed tokens share no 4-gram with the base
+      // benchmark slice, so match volume stays FIXED while the corpus
+      // explode scales — the linear component is what's timed
+      "decontaminate" -> (d => graft.operators.Decontaminate.overlap(
+        d, base.filter(col("doc_id") % 41 === 0), n = 4).count()))
 
     ops.foreach { case (name, f) =>
       time(f(base)); time(f(big))             // warm both shapes

@@ -809,6 +809,24 @@ object SparkEntry {
     //      merge in-flight and emit once the watermark finalizes them
     //      (the streaming counterpart of batch q51) ----
     "q73_stream_sessions" -> ((s, dir) => Streams.userSessionsAppend(s, dir)),
+
+    // ---- Integer-weight epoch upsampling: src0 ×3, src2 ×2, src1
+    //      dropped, everything else ×1 — map-only row multiplication ----
+    "q74_mixture_upsample" -> ((s, dir) =>
+      graft.operators.Sampling.upsampleByWeight(
+        t(s, dir, "documents"),
+        Map("src0" -> 3, "src1" -> 0, "src2" -> 2))
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy("doc_id", "epoch")),
+
+    // ---- Deterministic hash split: 90/7/3 train/val/test by md5(id)
+    //      hex prefix — stable under corpus growth, engine-portable ----
+    "q75_hash_split" -> ((s, dir) =>
+      graft.operators.Sampling.hashSplit(
+        t(s, dir, "documents"),
+        Seq(("train", 0.90), ("val", 0.07), ("test", 0.03)))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -1574,5 +1592,29 @@ object SparkEntry {
         |FROM agg a, mx
         |WHERE a.session_end <= mx.m - INTERVAL 7 DAY
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // generate_series(1, 0) is empty in DuckDB, so weight-0 rows drop
+    // without an explicit filter (Spark needs one: sequence(1, 0) is
+    // the descending [1, 0]).
+    "q74_mixture_upsample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 0
+        |                WHEN 'src2' THEN 2 ELSE 1 END AS wt
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CAST(unnest(generate_series(1, wt)) AS BIGINT) AS epoch
+        |FROM w ORDER BY doc_id, epoch""".stripMargin,
+
+    // thresholds are the 8-hex-digit prefixes of 0.90·2^32 and
+    // 0.97·2^32 — identical constants to Sampling.hashSplit's
+    "q75_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+        |         THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f851eb85'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -20,8 +20,10 @@ import graft.functions.TextFunctions
   */
 object Decontaminate {
 
-  /** Distinct (id, gram) pairs: every `n`-token window of `textCol`,
-    * joined back to a space-separated string. */
+  /** (id, gram) pairs: every `n`-token window of `textCol`, joined
+    * back to a space-separated string. NOT deduplicated — within-doc
+    * repeats survive so callers choose where dedup happens (the corpus
+    * side must NOT pay a corpus-wide distinct shuffle; see [[overlap]]). */
   private def docGrams(docs: DataFrame, n: Int, idCol: String,
       textCol: String): DataFrame =
     docs
@@ -33,7 +35,6 @@ object Decontaminate {
         explode(expr(
           s"transform(sequence(1, size(__toks) - ${n - 1}), " +
             s"i -> array_join(slice(__toks, i, $n), ' '))")).as("gram"))
-      .distinct()
 
   /** Contaminated corpus docs: for each corpus document sharing at
     * least one `n`-gram with any benchmark document, report how many
@@ -43,9 +44,14 @@ object Decontaminate {
   def overlap(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 1, "n-gram order must be >= 1")
+    // Corpus grams stay UN-deduplicated: a corpus-wide distinct would
+    // shuffle every gram of every document, whereas the broadcast join
+    // filters down to benchmark matches first (tiny by construction) —
+    // countDistinct in the final agg absorbs within-doc repeats there.
     val corpusGrams = docGrams(corpus, n, idCol, textCol)
     val benchGrams = docGrams(benchmark, n, idCol, textCol)
       .withColumnRenamed(idCol, "bench_id")
+      .distinct()
     corpusGrams
       .join(broadcast(benchGrams), "gram")
       .groupBy(col(idCol))

@@ -46,4 +46,45 @@ object Sampling {
     total.join(sampled, strataCols)
       .orderBy(strataCols.map(col): _*)
   }
+
+  /** Integer-weight upsampling: each row repeats `weights(key)` times
+    * (keys absent from the map keep weight 1; weight 0 drops the row),
+    * with a 1-based `epoch` column distinguishing the copies — the
+    * "see high-quality sources N times per training epoch" mixing
+    * primitive. Map-only (generate, no shuffle): the weight lookup is a
+    * literal CASE over the handful of configured keys, so at 100 TB
+    * this streams through the scan and multiplies rows in place. */
+  def upsampleByWeight(df: DataFrame, weights: Map[String, Int],
+      keyCol: String = "source"): DataFrame = {
+    require(weights.values.forall(_ >= 0), "weights must be >= 0")
+    val w = weights.foldLeft(lit(1)) { case (acc, (k, v)) =>
+      when(col(keyCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("__w", w)
+      .filter(col("__w") >= 1)    // sequence(1, 0) would run DOWNWARD
+      .withColumn("epoch", explode(expr("sequence(1, __w)")))
+      .withColumn("epoch", col("epoch").cast("bigint"))
+      .drop("__w")
+  }
+
+  /** Deterministic train/val/test assignment by md5(id) hex order: the
+    * first `fractions` share of hash space (lexicographic, uniform)
+    * goes to split 1, and so on — reproducible across engines and
+    * stable under corpus growth (a doc's split never changes when
+    * other docs arrive, unlike rank-based splits). Map-only. */
+  def hashSplit(df: DataFrame, splits: Seq[(String, Double)],
+      idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val h = md5(col(idCol).cast("string"))
+    // cumulative thresholds as 8-hex-digit prefixes of the hash space
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val bounds = cum.init.map(f => f"${(f * (1L << 32)).toLong}%08x")
+    val expr0 = splits.init.zip(bounds).foldRight(
+      lit(splits.last._1): org.apache.spark.sql.Column) {
+      case (((name, _), b), acc) =>
+        when(substring(h, 1, 8) < b, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr0)
+  }
 }

@@ -71,6 +71,31 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 2L, 2L), (1L, 1L, 2L)))
   }
 
+  test("upsampleByWeight repeats, drops, and defaults rows by key weight") {
+    val docs = Seq((0L, "a"), (1L, "b"), (2L, "c"))
+      .toDF("doc_id", "source")
+    val out = graft.operators.Sampling
+      .upsampleByWeight(docs, Map("a" -> 3, "b" -> 0), keyCol = "source")
+      .select("doc_id", "epoch")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.toSeq == Seq((0L, 1L), (0L, 2L), (0L, 3L), (2L, 1L)))
+  }
+
+  test("hashSplit is exhaustive, deterministic, and roughly proportional") {
+    val docs = spark.range(0, 2000).toDF("doc_id")
+    val splits = Seq(("train", 0.90), ("val", 0.07), ("test", 0.03))
+    val out = graft.operators.Sampling.hashSplit(docs, splits)
+    val counts = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    assert(counts("train") > 1700 && counts("train") < 1900)
+    assert(counts.getOrElse("val", 0L) > 80)
+    assert(counts.getOrElse("test", 0L) > 20)
+    // same doc always lands in the same split
+    val again = graft.operators.Sampling.hashSplit(docs, splits)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+  }
+
   test("decontaminate n=1 degenerates to shared-vocabulary overlap") {
     val corpus = Seq((0L, "x y"), (1L, "z")).toDF("doc_id", "text")
     val bench = Seq((9L, "y q")).toDF("doc_id", "text")
