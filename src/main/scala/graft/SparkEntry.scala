@@ -144,6 +144,23 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- Semi-structured VARIANT path (Spark 4): parse the JSON
+    //      payload ONCE into the shredded binary encoding, then typed
+    //      variant_get extraction — the columnar-JSON upgrade over
+    //      q09's per-access string re-parse ----
+    "q76_variant_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k", variant_get(col("v"), "$.k", "int"))
+        .groupBy("event_type")
+        .agg(
+          count(col("k")).as("n"),
+          sum(col("k")).cast("bigint").as("sum_k"),
+          min(col("k")).cast("bigint").as("min_k"),
+          max(col("k")).cast("bigint").as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // ---- Incremental MERGE upsert (S8) rebuilt from primitives ----
     "q10_merge_upsert" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
@@ -827,6 +844,14 @@ object SparkEntry {
         Seq(("train", 0.90), ("val", 0.07), ("test", 0.03)))
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")),
+
+    // ---- Composed curation pipeline: scrub → repetition filter →
+    //      prefix dedup → reproducible split, one Catalyst plan ----
+    "q77_curation_pipeline" -> ((s, dir) =>
+      graft.operators.Curation.pipeline(
+        t(s, dir, "documents"),
+        Seq(graft.operators.Scrub.Rule(
+          "term", "\\b(customer|value)\\b", "<TERM>")))),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -1605,6 +1630,41 @@ object SparkEntry {
         |SELECT doc_id, source,
         |  CAST(unnest(generate_series(1, wt)) AS BIGINT) AS epoch
         |FROM w ORDER BY doc_id, epoch""".stripMargin,
+
+    "q77_curation_pipeline" ->
+      """WITH red AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '\b(customer|value)\b', '<TERM>', 'g') AS redacted
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, redacted,
+        |    str_split_regex(trim(redacted), '\s+') AS t FROM red),
+        |met AS (
+        |  SELECT doc_id, redacted, CAST(len(t) AS BIGINT) AS n_tokens,
+        |    ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4)
+        |      AS distinct_ratio
+        |  FROM toks WHERE len(t) >= 2),
+        |kept AS (SELECT * FROM met WHERE distinct_ratio >= 0.35),
+        |ded AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY substr(redacted, 1, 40)
+        |    ORDER BY doc_id) AS rk
+        |  FROM kept)
+        |SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+        |         THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f851eb85'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  n_tokens, distinct_ratio
+        |FROM ded WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "q76_variant_props" ->
+      """SELECT event_type,
+        |  COUNT(CAST(json_extract(props, '$.k') AS INTEGER)) AS n,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS min_k,
+        |  CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // thresholds are the 8-hex-digit prefixes of 0.90·2^32 and
     // 0.97·2^32 — identical constants to Sampling.hashSplit's

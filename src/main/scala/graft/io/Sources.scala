@@ -67,6 +67,16 @@ object Sources {
   def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 
+  /** XML scan (built into Spark since 4.0) — `rowTag` names the element
+    * that becomes one row; attributes surface as `_attr` columns. Same
+    * schema-explicit posture as the other sources: no inference pass. */
+  def xml(spark: SparkSession, path: String, rowTag: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .option("rowTag", rowTag)
+      .schema(schema)
+      .xml(path)
+
   /** Raw text-corpus scan: one row per line plus the originating file —
     * how an LLM training corpus of loose .txt shards actually enters a
     * pipeline before any schema exists. Partitioned by file/size like

@@ -96,6 +96,23 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(out.except(again).count() == 0 && again.except(out).count() == 0)
   }
 
+  test("curation pipeline: scrub, repetition filter, prefix dedup, split") {
+    val pad = "x0 x1 x2 x3 x4 x5 x6 x7 x8"   // distinct filler, 9 tokens
+    val docs = Seq(
+      (0L, s"keep me $pad"),                  // survives everything
+      (1L, "spam spam spam spam spam spam"),  // repetition junk: dropped
+      (2L, s"keep me $pad"),                  // same 40-prefix as 0: deduped
+      (3L, s"other document $pad"))           // survives
+      .toDF("doc_id", "text")
+    val out = graft.operators.Curation.pipeline(
+      docs, Seq(graft.operators.Scrub.Rule("t", "zzz", "-")),
+      minDistinctRatio = 0.5, dedupPrefix = 40)
+      .select("doc_id", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.map(_._1).toSeq == Seq(0L, 3L))
+    assert(out.forall(r => Set("train", "val", "test").contains(r._2)))
+  }
+
   test("decontaminate n=1 degenerates to shared-vocabulary overlap") {
     val corpus = Seq((0L, "x y"), (1L, "z")).toDF("doc_id", "text")
     val bench = Seq((9L, "y q")).toDF("doc_id", "text")

@@ -26,6 +26,18 @@ class SourcesSpec extends AnyFunSuite {
       s"no pushdown in:\n$plan")
   }
 
+  test("xml round-trip preserves schema and values via rowTag records") {
+    val dir = Files.createTempDirectory("graft_xml").toString + "/t"
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "<esc&aped>", 3.5))
+      .toDF("id", "name", "score")
+    df.write.option("rowTag", "rec").xml(dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val back = Sources.xml(spark, dir, rowTag = "rec", schema)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
   test("textLines reads loose corpus shards with file attribution and glob") {
     val dir = Files.createTempDirectory("graft_txt")
     Files.writeString(dir.resolve("shard1.txt"), "hello world\nsecond line\n")
