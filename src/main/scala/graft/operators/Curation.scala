@@ -10,12 +10,12 @@ import org.apache.spark.sql.expressions.Window
   * whole chain stays one declarative Catalyst plan (filters and
   * projections fuse; nothing materializes between stages).
   *
-  * Scale shape: stages 1-2 are map-only (regex rewrite, per-row token
-  * stats via [[TextQuality]]'s explode/partial-agg), stage 3 is ONE
-  * shuffle on the dedup key, stage 4 is map-only hash assignment. Total
-  * wide ops for the whole pipeline: the repetition-metric partial agg +
-  * window, and the dedup-key window — both keyed, both AQE-skew-
-  * handled.
+  * Scale shape: stages 1-2 are map-only — the regex rewrite and the
+  * token stats both evaluate per-row (`array_distinct` gives the
+  * distinct-token ratio without [[TextQuality]]'s bigram explode, which
+  * the filter doesn't need — one scan, no join-back). Stage 3's
+  * dedup-key window is the pipeline's ONLY wide op before the final
+  * sort; stage 4 is map-only hash assignment.
   */
 object Curation {
 
@@ -33,10 +33,15 @@ object Curation {
       idCol: String = "doc_id"): DataFrame = {
     val redacted = Scrub.redact(docs, rules)
       .select(col(idCol), col("redacted"))
-    val metrics = TextQuality.repetitionMetrics(
-      redacted.withColumnRenamed("redacted", "text"), idCol)
-      .select(col(idCol), col("n_tokens"), col("distinct_ratio"))
-    val kept = redacted.join(metrics, idCol)
+    val kept = redacted
+      .withColumn("__toks",
+        graft.functions.TextFunctions.tokens(col("redacted")))
+      .withColumn("n_tokens", size(col("__toks")).cast("bigint"))
+      .filter(col("n_tokens") >= 2)
+      .withColumn("distinct_ratio",
+        round(size(array_distinct(col("__toks"))).cast("double") /
+          col("n_tokens"), 4))
+      .drop("__toks")
       .filter(col("distinct_ratio") >= minDistinctRatio)
     val w = Window
       .partitionBy(substring(col("redacted"), 1, dedupPrefix))
