@@ -23,14 +23,17 @@ object Curation {
     * falls below `minDistinctRatio` (repetition junk), keep the lowest
     * id per `dedupPrefix`-char redacted-text prefix (near-boilerplate
     * collapse), then assign reproducible splits by md5(id) prefix.
-    * Output: (idCol, split, n_tokens, distinct_ratio). */
+    * Output: (idCol, split, n_tokens, distinct_ratio), plus the
+    * `redacted` text when `withText` is set (the corpus-publishing
+    * shape — [[graft.pipeline.CurationJob]] uses it). */
   def pipeline(docs: DataFrame,
       rules: Seq[Scrub.Rule],
       minDistinctRatio: Double = 0.35,
       dedupPrefix: Int = 40,
       splits: Seq[(String, Double)] =
         Seq(("train", 0.90), ("val", 0.07), ("test", 0.03)),
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      withText: Boolean = false): DataFrame = {
     val redacted = Scrub.redact(docs, rules)
       .select(col(idCol), col("redacted"))
     val kept = redacted
@@ -49,10 +52,12 @@ object Curation {
     val deduped = kept
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
-      .drop("__rk", "redacted")
+      .drop("__rk")
+    val outCols =
+      Seq(col(idCol), col("split"), col("n_tokens"), col("distinct_ratio")) ++
+        (if (withText) Seq(col("redacted")) else Nil)
     Sampling.hashSplit(deduped, splits, idCol)
-      .select(col(idCol), col("split"), col("n_tokens"),
-        col("distinct_ratio"))
+      .select(outCols: _*)
       .orderBy(col(idCol))
   }
 }
