@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatVectorDot, HyperplaneSignature, JaccardSimilarity,
-  MinHashSignature, PqAdc, RollingMinHash, ShingleHashes, SimHash64}
+import graft.functions.{ByteEntropy, FloatVectorDot, HyperplaneSignature,
+  JaccardSimilarity, MinHashSignature, PqAdc, RollingMinHash, ShingleHashes,
+  SimHash64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Install with
@@ -72,6 +73,10 @@ object GraftExtensions {
       fn("jaccard_sim", classOf[JaccardSimilarity]) { children =>
         require(children.length == 2, "jaccard_sim(a, b)")
         JaccardSimilarity(children.head, children(1))
+      },
+      fn("byte_entropy", classOf[ByteEntropy]) { children =>
+        require(children.length == 1, "byte_entropy(text)")
+        ByteEntropy(children.head)
       },
       fn("pq_adc", classOf[PqAdc]) { children =>
         require(children.length == 3, "pq_adc(codes, dist_table, k)")

@@ -852,6 +852,16 @@ object SparkEntry {
         t(s, dir, "documents"),
         Seq(graft.operators.Scrub.Rule(
           "term", "\\b(customer|value)\\b", "<TERM>")))),
+
+    // ---- Byte-entropy quality signal: one-pass native expression
+    //      (map-only) vs the oracle's exploded char histogram ----
+    "q78_entropy" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("CAST(octet_length(text) AS BIGINT)").as("n_bytes"),
+          round(graft.functions.ByteEntropy.byteEntropy(col("text")), 4)
+            .as("entropy"))
+        .orderBy("doc_id")),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -1630,6 +1640,21 @@ object SparkEntry {
         |SELECT doc_id, source,
         |  CAST(unnest(generate_series(1, wt)) AS BIGINT) AS epoch
         |FROM w ORDER BY doc_id, epoch""".stripMargin,
+
+    // ASCII corpus: per-char == per-byte histogram, so the exploded
+    // char formulation oracles the native byte-wise expression.
+    "q78_entropy" ->
+      """WITH cnt AS (
+        |  SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k FROM (
+        |    SELECT doc_id, unnest(string_split(text, '')) AS c
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY 1)
+        |SELECT c.doc_id, CAST(t.n AS BIGINT) AS n_bytes,
+        |  ROUND(-SUM((c.k / t.n) * log2(c.k / t.n)), 4) AS entropy
+        |FROM cnt c JOIN tot t USING (doc_id)
+        |GROUP BY c.doc_id, t.n
+        |ORDER BY doc_id""".stripMargin,
 
     "q77_curation_pipeline" ->
       """WITH red AS (

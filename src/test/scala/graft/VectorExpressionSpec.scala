@@ -79,6 +79,13 @@ class VectorExpressionSpec extends AnyFunSuite {
         " CAST(2.5 AS FLOAT), CAST(3.5 AS FLOAT)), 2) AS d")
       .collect()(0).getDouble(0)
     assert(pq == 1.5 + 2.5)   // table[0*2+1] + table[1*2+0]
+    val be = spark.sql("SELECT byte_entropy('abca') AS h")
+      .collect()(0).getDouble(0)
+    assert(be == 1.5)         // {a:1/2, b:1/4, c:1/4} -> 0.5 + 0.5 + 0.5
+    assert(spark.sql("SELECT byte_entropy('') AS h")
+      .collect()(0).getDouble(0) == 0.0)
+    assert(spark.sql("SELECT byte_entropy('aaaa') AS h")
+      .collect()(0).getDouble(0) == 0.0)
     // config args must be literals
     intercept[Exception] {
       spark.sql("SELECT shingle_hashes(array('a'), CAST(rand()*2 AS INT))").collect()
