@@ -94,9 +94,13 @@ object ScaleProbe {
         .repetitionMetrics(d).count()),
       // amplified copies' suffixed tokens share no 4-gram with the base
       // benchmark slice, so match volume stays FIXED while the corpus
-      // explode scales — the linear component is what's timed
+      // explode scales — the linear component is what's timed. The
+      // corpus side excludes the benchmark slice at BOTH shapes (as q72
+      // does); leaving it in at 1x would add self-match work absent at
+      // Nx and deflate the ratio
       "decontaminate" -> (d => graft.operators.Decontaminate.overlap(
-        d, base.filter(col("doc_id") % 41 === 0), n = 4).count()))
+        d.filter(col("doc_id") % 41 =!= 0),
+        base.filter(col("doc_id") % 41 === 0), n = 4).count()))
 
     ops.foreach { case (name, f) =>
       time(f(base)); time(f(big))             // warm both shapes

@@ -851,7 +851,8 @@ object SparkEntry {
       graft.operators.Curation.pipeline(
         t(s, dir, "documents"),
         Seq(graft.operators.Scrub.Rule(
-          "term", "\\b(customer|value)\\b", "<TERM>")))),
+          "term", "\\b(customer|value)\\b", "<TERM>")))
+        .orderBy("doc_id")),
 
     // ---- Byte-entropy quality signal: one-pass native expression
     //      (map-only) vs the oracle's exploded char histogram ----

@@ -56,8 +56,9 @@ object Curation {
     val outCols =
       Seq(col(idCol), col("split"), col("n_tokens"), col("distinct_ratio")) ++
         (if (withText) Seq(col("redacted")) else Nil)
+    // no trailing sort: publishing (TableLog merge/overwrite) re-shuffles
+    // anyway — callers needing a stable order (the q77 oracle) add it
     Sampling.hashSplit(deduped, splits, idCol)
       .select(outCols: _*)
-      .orderBy(col(idCol))
   }
 }

@@ -76,12 +76,19 @@ object Sampling {
       idCol: String = "doc_id"): DataFrame = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split fractions must sum to 1")
+    // zero-weight splits get no hash range at all — kept in the list
+    // they'd also push a cumulative fraction to 1.0 BEFORE the last
+    // split, whose bound would format as the 9-hex-digit "100000000"
+    // and lexicographically misroute most of the hash space
+    val active = splits.filter(_._2 > 0.0)
     val h = md5(col(idCol).cast("string"))
-    // cumulative thresholds as 8-hex-digit prefixes of the hash space
-    val cum = splits.scanLeft(0.0)(_ + _._2).tail
-    val bounds = cum.init.map(f => f"${(f * (1L << 32)).toLong}%08x")
-    val expr0 = splits.init.zip(bounds).foldRight(
-      lit(splits.last._1): org.apache.spark.sql.Column) {
+    // cumulative thresholds as 8-hex-digit prefixes of the hash space,
+    // clamped into it (a last-init fraction of exactly 1.0 is 2^32)
+    val cum = active.scanLeft(0.0)(_ + _._2).tail
+    val bounds = cum.init.map(f =>
+      f"${math.min((f * (1L << 32)).toLong, (1L << 32) - 1)}%08x")
+    val expr0 = active.init.zip(bounds).foldRight(
+      lit(active.last._1): org.apache.spark.sql.Column) {
       case (((name, _), b), acc) =>
         when(substring(h, 1, 8) < b, lit(name)).otherwise(acc)
     }

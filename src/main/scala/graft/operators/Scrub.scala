@@ -35,12 +35,18 @@ object Scrub {
     require(rules.nonEmpty, "redact needs at least one rule")
     require(rules.map(_.name).distinct.size == rules.size,
       "rule names must be unique")
-    // fold the rewrite chain; count each pattern on its input text
+    // fold the rewrite chain; count each pattern on its input text.
+    // Replacements are LITERAL text: Java's regexp_replace treats '$'
+    // and '\' as group references (RE2 engines do not), so escape them
+    // — '$1' in a replacement would otherwise throw or diverge across
+    // engines, breaking the portability contract above.
     val (finalText, counts) =
       rules.foldLeft((col(textCol), Seq.empty[(String, Column)])) {
         case ((cur, acc), r) =>
           val n = regexp_count(cur, lit(r.pattern)).cast("bigint")
-          (regexp_replace(cur, r.pattern, r.replacement),
+          val literal = r.replacement
+            .replace("\\", "\\\\").replace("$", "\\$")
+          (regexp_replace(cur, r.pattern, literal),
             acc :+ (s"n_${r.name}", n))
       }
     val withCounts = counts.foldLeft(docs) { case (d, (name, c)) =>

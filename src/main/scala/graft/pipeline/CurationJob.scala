@@ -12,14 +12,22 @@ import graft.quality.Expectations._
   * [[graft.operators.Curation.pipeline]] over a raw corpus, validate
   * the output contract, and publish the curated snapshot into a
   * [[TableLog]]-versioned table — so downstream training runs read a
-  * pinned table version, re-runs upsert idempotently instead of
-  * duplicating, and a failed quality contract leaves the previous
-  * version untouched (validate-before-publish, as a table commit).
+  * pinned table version, and a failed quality contract leaves the
+  * previous version untouched (validate-before-publish, as a table
+  * commit).
+  *
+  * Each run publishes a REPLACE snapshot, not a keyed merge: the
+  * pipeline's invariants (prefix dedup, quality floor) hold over the
+  * whole corpus it saw, and a merge would strand rows that dropped out
+  * of the curated output — a doc deleted upstream, or out-competed for
+  * its dedup prefix by a later arrival — silently breaking those
+  * invariants in the published table. Snapshot semantics + time travel
+  * give the same operational story (pin, diff, roll back) without that
+  * hole.
   *
   * Scale shape inherits from the pieces: the pipeline is one scan +
-  * one keyed window; the merge commit shuffles only on the key; the
-  * expectation suite is a single aggregate pass over the would-be
-  * snapshot.
+  * one keyed window; the overwrite commit is a straight write of the
+  * curated snapshot; the expectation suite is a single aggregate pass.
   */
 object CurationJob {
 
@@ -36,10 +44,12 @@ object CurationJob {
       RegexMatch("split",
         splits.map(_._1).mkString("(", "|", ")") + "$")))
 
-  /** Run the pipeline over `docs` and merge the curated snapshot into
-    * the versioned table at `tablePath` (keyed on doc_id; incremental
-    * re-runs with new raw batches upsert). Returns the commit and the
-    * per-split mix report of the published snapshot. */
+  /** Run the pipeline over `docs`, validate the output contract, and
+    * publish the curated corpus as a new snapshot version at
+    * `tablePath`. Validation runs BEFORE any data or manifest is
+    * written, so a failed contract leaves the table at its prior
+    * version. Returns the commit and the per-split mix report of the
+    * published snapshot. */
   def run(spark: SparkSession, docs: DataFrame, tablePath: String,
       rules: Seq[Scrub.Rule],
       minDistinctRatio: Double = 0.35,
@@ -49,9 +59,8 @@ object CurationJob {
       : (TableLog.Commit, DataFrame) = {
     val curated = Curation.pipeline(docs, rules, minDistinctRatio,
       dedupPrefix, splits, withText = true)
-    val commit = TableLog.commitMergeValidated(
-      spark, tablePath, curated, Seq("doc_id"),
-      suite(minDistinctRatio, splits))
+    Expectations.validateOrThrow(curated, suite(minDistinctRatio, splits))
+    val commit = TableLog.commitOverwrite(spark, tablePath, curated)
     val mix = TableLog.read(spark, tablePath)
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),

@@ -13,7 +13,7 @@ class CurationJobSpec extends AnyFunSuite {
   private val rules = Seq(Scrub.Rule("t", "secret", "<X>"))
   private val pad = (0 until 9).map(i => s"w$i").mkString(" ")
 
-  test("publishes a validated versioned corpus; reruns upsert, not duplicate") {
+  test("publishes a validated versioned corpus; reruns replace the snapshot") {
     val dir = Files.createTempDirectory("graft_curation").toString + "/tbl"
     val batch1 = Seq(
       (0L, s"keep one secret $pad"),
@@ -31,17 +31,21 @@ class CurationJobSpec extends AnyFunSuite {
     assert(mix1.agg(org.apache.spark.sql.functions.sum("n_docs"))
       .collect()(0).getLong(0) == 2L)
 
-    // rerun with one new doc: merge bumps the version, upserts in place
-    val batch2 = batch1.union(
-      Seq((7L, s"a new arrival $pad")).toDF("doc_id", "text"))
+    // rerun on a corpus where doc 0 was deleted and doc 7 arrived:
+    // the new snapshot reflects BOTH (replace semantics — a merge
+    // would strand the deleted doc 0 forever)
+    val batch2 = Seq(
+      (2L, s"other text $pad"),
+      (7L, s"a new arrival $pad"))
+      .toDF("doc_id", "text")
     val (c2, _) = CurationJob.run(spark, batch2, dir, rules,
       minDistinctRatio = 0.5)
     assert(c2.version == 2)
     val t2 = TableLog.read(spark, dir)
     assert(t2.select("doc_id").as[Long].collect().sorted.toSeq ==
-      Seq(0L, 2L, 7L))
-    assert(t2.count() == t2.select("doc_id").distinct().count())
+      Seq(2L, 7L))
     // prior version still readable (time travel over the curated corpus)
-    assert(TableLog.read(spark, dir, Some(1)).count() == 2L)
+    assert(TableLog.read(spark, dir, Some(1))
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(0L, 2L))
   }
 }
