@@ -863,6 +863,30 @@ object SparkEntry {
           round(graft.functions.ByteEntropy.byteEntropy(col("text")), 4)
             .as("entropy"))
         .orderBy("doc_id")),
+
+    // ---- Data-skipping scan: commit lineitem range-clustered on
+    //      l_shipdate, then read one year through manifest file
+    //      pruning (files whose [min,max] exclude the interval are
+    //      never opened — TableStatsSpec asserts the file counts).
+    //      The oracle sees only the final filter+agg semantics ----
+    "q79_pruned_scan" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_q79")
+        .resolve("li").toString
+      graft.lake.TableLog.commitOverwrite(s, tbl,
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"),
+            col("l_extendedprice"), col("l_discount"))
+          .repartitionByRange(8, col("l_shipdate")))
+      graft.lake.TableLog.readWhere(s, tbl, "l_shipdate",
+          java.sql.Timestamp.valueOf("1997-01-01 00:00:00"),
+          java.sql.Timestamp.valueOf("1997-12-31 23:59:59"))
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("mon"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("mon")
+    }),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -1683,6 +1707,17 @@ object SparkEntry {
         |       ELSE 'test' END AS split,
         |  n_tokens, distinct_ratio
         |FROM ded WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    // The oracle sees only the scan's filter+agg semantics — that the
+    // engine opened 2 of 8 files is asserted in TableStatsSpec.
+    "q79_pruned_scan" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mon,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+        |  AND TIMESTAMP '1997-12-31 23:59:59'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q76_variant_props" ->
       """SELECT event_type,

@@ -35,7 +35,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TableLog {
 
-  final case class Commit(version: Int, action: String, dirs: Seq[String])
+  final case class Commit(version: Int, action: String, dirs: Seq[String],
+      stats: Seq[TableStats.FileStats] = Seq.empty)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -57,33 +58,98 @@ object TableLog {
         val in = f.open(manifestPath(path, v))
         val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
           .getLines().toList finally in.close()
-        Commit(v, lines.head, lines.tail.filter(_.nonEmpty))
+        // '#'-prefixed lines are file-level column stats (TableStats);
+        // manifests written before stats existed simply have none
+        Commit(v, lines.head,
+          lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")),
+          TableStats.fromLines(lines.tail))
       }
   }
 
   def latestVersion(spark: SparkSession, path: String): Option[Int] =
     history(spark, path).lastOption.map(_.version)
 
-  /** Snapshot read. `version = None` reads the latest commit. */
-  def read(spark: SparkSession, path: String,
-      version: Option[Int] = None): DataFrame = {
+  private def resolve(spark: SparkSession, path: String,
+      version: Option[Int]): Commit = {
     val commits = history(spark, path)
     require(commits.nonEmpty, s"no commits at $path")
-    val commit = version match {
+    version match {
       case Some(v) => commits.find(_.version == v)
         .getOrElse(throw new IllegalArgumentException(
           s"version $v not found (have ${commits.map(_.version).mkString(",")})"))
       case None => commits.last
     }
+  }
+
+  /** Snapshot read. `version = None` reads the latest commit. */
+  def read(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
+    val commit = resolve(spark, path, version)
     require(commit.dirs.nonEmpty, s"version ${commit.version} is an empty snapshot")
     spark.read.parquet(commit.dirs.map(d => s"$path/$d"): _*)
   }
 
+  /** Metadata-only row count from manifest stats — `SELECT count(*)`
+    * without opening a single data file. `None` when the snapshot
+    * predates stats collection (then count the ordinary way). */
+  def countRows(spark: SparkSession, path: String,
+      version: Option[Int] = None): Option[Long] = {
+    val commit = resolve(spark, path, version)
+    if (commit.stats.isEmpty) None else Some(commit.stats.map(_.rows).sum)
+  }
+
+  /** Data-skipping scan: `read(...).filter(col BETWEEN lo AND hi)`, but
+    * files whose manifest [min, max] bounds exclude the interval are
+    * never OPENED — at 100 TB with range-clustered layout (ingestion
+    * time, [[commitOptimize]] Z-order) this is the difference between
+    * scanning a day and scanning the table. The residual filter is
+    * still applied, so results are exact regardless of stats quality;
+    * snapshots without stats degrade to an ordinary filtered scan. */
+  def readWhere(spark: SparkSession, path: String, colName: String,
+      lo: Any, hi: Any, version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val commit = resolve(spark, path, version)
+    require(commit.dirs.nonEmpty, s"version ${commit.version} is an empty snapshot")
+    val residual = col(colName).between(lit(lo), lit(hi))
+    if (commit.stats.isEmpty)
+      return read(spark, path, version).where(residual)
+    val kept = commit.stats
+      .filter(TableStats.mightMatch(_, colName, lo, hi))
+      .map(f => s"$path/${f.file}")
+    if (kept.isEmpty) read(spark, path, version).where(lit(false))
+    else spark.read.parquet(kept: _*).where(residual)
+  }
+
+  /** (files kept, files total) that [[readWhere]] would open — the
+    * observability hook the pruning spec asserts on. */
+  def pruneReport(spark: SparkSession, path: String, colName: String,
+      lo: Any, hi: Any, version: Option[Int] = None): (Int, Int) = {
+    val commit = resolve(spark, path, version)
+    val total = commit.stats.size
+    (commit.stats.count(TableStats.mightMatch(_, colName, lo, hi)), total)
+  }
+
   private def writeData(spark: SparkSession, path: String, df: DataFrame,
-      v: Int): String = {
+      v: Int): (String, Seq[TableStats.FileStats]) = {
     val rel = f"data/c$v%08d-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.parquet(s"$path/$rel")
-    rel
+    // table data is written as INT64-micros timestamps, never INT96:
+    // INT96 (Spark's legacy session default) carries NO footer
+    // statistics, which would blind both parquet row-group skipping and
+    // TableStats file pruning on every timestamp column. Scoped here —
+    // not session-wide — so ordinary result dumps keep the session's
+    // format; restored in finally because the SQL conf is session-shared.
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try df.write.parquet(s"$path/$rel")
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+    // footer-only stats collection: zero data pages read (see TableStats)
+    val stats = TableStats.collectDir(
+      spark.sparkContext.hadoopConfiguration, s"$path/$rel", rel)
+    (rel, stats)
   }
 
   /** Append a manifest for `dirs`; an atomic create-if-absent publish
@@ -100,13 +166,15 @@ object TableLog {
     * need a conditional put / lock client — same contract as
     * delta-on-S3, documented in the class scaladoc. */
   private def writeManifest(spark: SparkSession, path: String, v: Int,
-      action: String, dirs: Seq[String]): Boolean = {
+      action: String, dirs: Seq[String],
+      stats: Seq[TableStats.FileStats] = Seq.empty): Boolean = {
     val f = fs(spark, path)
     f.mkdirs(logDir(path))
     val tmp = new Path(logDir(path),
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, false)
-    try out.write((action +: dirs).mkString("\n").getBytes("UTF-8"))
+    try out.write(((action +: dirs) ++ TableStats.toLines(stats))
+      .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val dest = manifestPath(path, v)
     val won =
@@ -143,12 +211,14 @@ object TableLog {
     while (attempts < MaxCommitAttempts) {
       val prev = history(spark, path)
       val v = prev.lastOption.map(_.version + 1).getOrElse(1)
-      val dir = writeData(spark, path, mkDf(), v)
-      val dirs = Seq(dir) ++
-        (if (carryPrevious) prev.lastOption.map(_.dirs).getOrElse(Seq.empty)
-         else Seq.empty)
-      if (writeManifest(spark, path, v, action, dirs))
-        return Commit(v, action, dirs)
+      val (dir, dirStats) = writeData(spark, path, mkDf(), v)
+      val carried = if (carryPrevious) prev.lastOption else None
+      val dirs = Seq(dir) ++ carried.map(_.dirs).getOrElse(Seq.empty)
+      // append carries the previous snapshot's stats forward verbatim —
+      // file paths are table-root-relative and files are immutable
+      val stats = dirStats ++ carried.map(_.stats).getOrElse(Seq.empty)
+      if (writeManifest(spark, path, v, action, dirs, stats))
+        return Commit(v, action, dirs, stats)
       fs(spark, path).delete(new Path(path, dir), true)
       attempts += 1
     }
@@ -223,8 +293,9 @@ object TableLog {
     var attempts = 0
     while (attempts < MaxCommitAttempts) {
       val next = latestVersion(spark, path).get + 1
-      if (writeManifest(spark, path, next, "rollback", target.dirs))
-        return Commit(next, "rollback", target.dirs)
+      if (writeManifest(spark, path, next, "rollback", target.dirs,
+          target.stats))
+        return Commit(next, "rollback", target.dirs, target.stats)
       attempts += 1
     }
     throw new IllegalStateException(
