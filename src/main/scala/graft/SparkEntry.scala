@@ -864,6 +864,22 @@ object SparkEntry {
             .as("entropy"))
         .orderBy("doc_id")),
 
+    // ---- Incremental dedup: admit the corpus in two ingest batches
+    //      against the accumulated band store — no corpus re-shingle.
+    //      Hash-seeded LSH ⇒ rows-only; the global-equivalence and
+    //      chain-through-rejected contracts are differential-tested in
+    //      IncrementalDedupSpec ----
+    "q80_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val b1 = docs.filter(col("doc_id") % 2 === 0)
+      val b2 = docs.filter(col("doc_id") % 2 === 1)
+      val adm1 = graft.operators.IncrementalDedup.admitBatch(b1, None)
+      val adm2 = graft.operators.IncrementalDedup.admitBatch(b2, Some(adm1.bands))
+      adm1.accepted.select(col("doc_id"), lit(1).as("ingest_batch"))
+        .unionByName(adm2.accepted.select(col("doc_id"), lit(2).as("ingest_batch")))
+        .orderBy("doc_id")
+    }),
+
     // ---- Data-skipping scan: commit lineitem range-clustered on
     //      l_shipdate, then read one year through manifest file
     //      pruning (files whose [min,max] exclude the interval are

@@ -96,16 +96,7 @@ object Dedup {
       .select(col(idCol), col("minhash_sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     signed.count()
-    // (band_id, band_hash, id) — band hash over the slice of the signature
-    val banded = signed.select(
-      col(idCol),
-      explode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => struct(
-          b.as("band_id"),
-          xxhash64(b, slice(col("minhash_sig"), b * rows + 1, lit(rows)).cast("string"))
-            .as("band_hash")))).as("band"))
-      .select(col(idCol), col("band.band_id"), col("band.band_hash"))
+    val banded = bandHashes(signed, bands, rows, idCol)
     // Cap pathological buckets (hot-key defense for the self-join).
     val bucketSizes = banded.groupBy("band_id", "band_hash")
       .agg(count(lit(1)).as("bucket_n"))
@@ -128,6 +119,37 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast("double") / numHashes)
           .as("est_jaccard"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** (id, band_id, band_hash) from a signed frame — band hash over the
+    * band's slice of the signature. */
+  private def bandHashes(signed: DataFrame, bands: Int, rows: Int,
+      idCol: String): DataFrame =
+    signed.select(
+      col(idCol),
+      explode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => struct(
+          b.as("band_id"),
+          xxhash64(b, slice(col("minhash_sig"), b * rows + 1, lit(rows)).cast("string"))
+            .as("band_hash")))).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_hash"))
+
+  /** Standalone LSH band table (idCol, band_id, band_hash) for `docs` —
+    * the unit an incremental dedup store persists and joins on. Docs
+    * with fewer than `k` tokens have no shingles and emit NO bands
+    * (they can't be shingle-near-dups of anything). Same signature and
+    * banding scheme as [[minHashCandidates]], so band equality here IS
+    * candidate-pair membership there. */
+  def bandTable(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
+      bands: Int = 4, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val eligible = docs.filter(size(tokens(col(textCol))) >= k)
+    bandHashes(
+      withMinHashSignature(eligible, k, numHashes, textCol)
+        .select(col(idCol), col("minhash_sig")),
+      bands, numHashes / bands, idCol)
   }
 
   /** Exact n-gram Jaccard verification over candidate pairs: joins token
