@@ -21,7 +21,8 @@ object PlanAudit {
     * explicit bounded all-pairs block. */
   val intentionalNlj = Set(
     "q19_ngram_jaccard", "q20_embedding_topk", "q21_ivf_ann",
-    "q22_embedding_neardup", "q58_pq_ann", "q59_bm25_search", "q67_tfidf")
+    "q22_embedding_neardup", "q58_pq_ann", "q59_bm25_search", "q67_tfidf",
+    "q81_lm_score")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

@@ -864,6 +864,12 @@ object SparkEntry {
             .as("entropy"))
         .orderBy("doc_id")),
 
+    // ---- Bigram-LM perplexity scoring (CCNet-style quality filter):
+    //      model trained on the corpus itself, exact relational
+    //      algebra — fully oracled ----
+    "q81_lm_score" -> ((s, dir) =>
+      graft.operators.TextLM.perplexityScores(t(s, dir, "documents"))),
+
     // ---- Incremental dedup: admit the corpus in two ingest batches
     //      against the accumulated band store — no corpus re-shingle.
     //      Hash-seeded LSH ⇒ rows-only; the global-equivalence and
@@ -1723,6 +1729,27 @@ object SparkEntry {
         |       ELSE 'test' END AS split,
         |  n_tokens, distinct_ratio
         |FROM ded WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "q81_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split_regex(trim(text), '\s+') AS t FROM documents),
+        |eligible AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 2),
+        |big AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, n - 1)) AS i FROM eligible)),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+        |cc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM (
+        |  SELECT w1 AS w FROM big UNION ALL SELECT w2 AS w FROM big)),
+        |nll AS (
+        |  SELECT b.doc_id,
+        |    -log2((c12 + 0.4) / (c1 + 0.4 * v.v)) AS nll
+        |  FROM big b JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(AVG(nll), 4) AS avg_nll,
+        |  ROUND(POWER(2, AVG(nll)), 3) AS ppl
+        |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // The oracle sees only the scan's filter+agg semantics — that the
     // engine opened 2 of 8 files is asserted in TableStatsSpec.

@@ -35,10 +35,21 @@ object DupClusters {
     * dstCol) edge pairs. Returns one row per node that appears in an
     * edge: (node, component), component = min node id in the
     * component. Isolated nodes never appear in edges and so are absent;
-    * [[clusterDocuments]] unions them back as singletons. */
+    * [[clusterDocuments]] unions them back as singletons.
+    *
+    * Size-based strategy switch (the same reasoning as Spark's
+    * broadcast-join threshold): a dedup pair graph is usually ORDERS
+    * of magnitude smaller than its corpus — at or below
+    * `smallGraphEdges` canonical edges (16 bytes each; the default is
+    * ~8 MB) the star rounds' fixed cost (≥6 shuffles + a checkpoint +
+    * a fingerprint job per round) dwarfs a driver union-find, so the
+    * edges are collected and resolved in one pass. Above it, the
+    * distributed contraction runs unchanged. Both paths produce the
+    * identical labeling (property-tested against each other). */
   def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
       dstCol: String = "id_b", maxIter: Int = 25,
-      checkpointer: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+      checkpointer: DataFrame => DataFrame = _.localCheckpoint(true),
+      smallGraphEdges: Long = 500000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -58,6 +69,10 @@ object DupClusters {
     }
 
     var fp = fingerprint(e)
+
+    if (fp._1 <= smallGraphEdges)
+      return unionFind(spark, e.as[(Long, Long)].collect())
+
     var it = 0
     var converged = fp._1 == 0L
     while (!converged && it < maxIter) {
@@ -104,6 +119,29 @@ object DupClusters {
     e.select(col("u").as("node"), col("v").as("component"))
       .unionByName(e.select(col("v").as("node"), col("v").as("component")))
       .distinct()
+  }
+
+  /** Driver-side union-find with path halving, min member as the
+    * component label — the small-graph fast path of
+    * [[connectedComponents]]. */
+  private def unionFind(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    edges.foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    // roots chosen as min at every union, and find() only ever walks
+    // UP to a root, so the final root IS the component min
+    val labels = parent.keysIterator.map(n => (n, find(n))).toSeq
+    spark.createDataset(labels).toDF("node", "component")
   }
 
   /** Assign every document a duplicate-cluster id from near-dup pairs:

@@ -59,9 +59,24 @@ class DupClustersSpec extends AnyFunSuite {
   test("an exhausted iteration budget fails loudly instead of mislabeling") {
     val path = (1L until 50L).map(i => (i, i + 1))
     intercept[IllegalArgumentException] {
-      DupClusters.connectedComponents(path.toDF("id_a", "id_b"), maxIter = 1)
+      // smallGraphEdges = -1 forces the distributed path (the budget
+      // does not exist on the union-find fast path)
+      DupClusters.connectedComponents(path.toDF("id_a", "id_b"), maxIter = 1,
+          smallGraphEdges = -1L)
         .collect()
     }
+  }
+
+  test("distributed star-contraction and union-find fast path label identically") {
+    val rnd = new scala.util.Random(11)
+    val n = 300
+    val edges = Seq.fill(400)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val viaUnionFind = cc(edges) // below the default threshold
+    val viaStars = DupClusters.connectedComponents(
+      edges.toDF("id_a", "id_b"), smallGraphEdges = -1L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaUnionFind == viaStars)
   }
 
   test("matches GraphX connectedComponents on a larger random graph") {
@@ -69,7 +84,12 @@ class DupClustersSpec extends AnyFunSuite {
     val n = 500
     val edges = Seq.fill(700)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
       .filter { case (a, b) => a != b }.distinct
-    val got = cc(edges)
+    // force the distributed path so GraphX keeps checking the star
+    // contraction, not the union-find (the differential test above
+    // ties the two paths together)
+    val got = DupClusters.connectedComponents(
+      edges.toDF("id_a", "id_b"), smallGraphEdges = -1L)
+      .as[(Long, Long)].collect().toMap
     // independent implementation: GraphX's Pregel-based CC, normalized
     // to min-member labels
     val gx = org.apache.spark.graphx.Graph.fromEdgeTuples(
