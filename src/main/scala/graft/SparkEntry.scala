@@ -864,6 +864,25 @@ object SparkEntry {
             .as("entropy"))
         .orderBy("doc_id")),
 
+    // ---- Temperature mixture reweighting (XLM-R sampling rule):
+    //      stratum share q ∝ p^alpha — flattens the mix toward the
+    //      tail without head domination ----
+    "q82_temperature_mix" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureMix(
+        t(s, dir, "documents"), Seq("lang", "source"), alpha = 0.3)),
+
+    // ---- Length-bucketed batching report: power-of-two buckets,
+    //      per-bucket padding waste ----
+    "q83_length_buckets" -> ((s, dir) =>
+      graft.operators.Chunking.lengthBuckets(t(s, dir, "documents"))),
+
+    // ---- Hybrid retrieval: BM25 ∪ embedding-cosine pools fused by
+    //      reciprocal rank (RRF) ----
+    "q84_hybrid_rrf" -> ((s, dir) =>
+      graft.operators.TextSearch.hybridRrf(
+        t(s, dir, "documents"), t(s, dir, "embeddings"),
+        Seq("stream", "merge", "batch"), queryVecId = 0L)),
+
     // ---- Bigram-LM perplexity scoring (CCNet-style quality filter):
     //      model trained on the corpus itself, exact relational
     //      algebra — fully oracled ----
@@ -1729,6 +1748,85 @@ object SparkEntry {
         |       ELSE 'test' END AS split,
         |  n_tokens, distinct_ratio
         |FROM ded WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "q82_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY 1, 2),
+        |t AS (
+        |  SELECT lang, source, n_docs,
+        |    CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS p,
+        |    SUM(n_docs) OVER () AS total
+        |  FROM c),
+        |z AS (
+        |  SELECT *, POWER(p, 0.3) / SUM(POWER(p, 0.3)) OVER () AS q FROM t)
+        |SELECT lang, source, n_docs,
+        |  ROUND(p, 6) AS p, ROUND(q, 6) AS q,
+        |  ROUND(q / p, 4) AS weight,
+        |  CAST(ROUND(q * total) AS BIGINT) AS target_n
+        |FROM z ORDER BY lang, source""".stripMargin,
+
+    "q83_length_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(str_split_regex(trim(text), '\s+')) AS nt
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, nt,
+        |    CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+        |         WHEN nt <= 64 THEN 64 WHEN nt <= 128 THEN 128
+        |         WHEN nt <= 256 THEN 256 WHEN nt <= 512 THEN 512
+        |         WHEN nt <= 1024 THEN 1024 WHEN nt <= 2048 THEN 2048
+        |         WHEN nt <= 4096 THEN 4096 ELSE 8192 END AS bucket
+        |  FROM t WHERE nt >= 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(GREATEST(bucket - nt, 0)) AS BIGINT) AS total_padding,
+        |  ROUND(SUM(GREATEST(bucket - nt, 0))
+        |    / CAST(count(*) * bucket AS DOUBLE), 4) AS pad_frac
+        |FROM e GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q84_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, len(str_split_regex(trim(text), '\s+')) AS dl,
+        |         unnest(str_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |ft AS (
+        |  SELECT doc_id, term, CAST(dl AS DOUBLE) AS dl,
+        |         CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks WHERE term IN ('stream', 'merge', 'batch')
+        |  GROUP BY 1, 2, 3),
+        |dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM ft GROUP BY 1),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |         avg(len(str_split_regex(trim(text), '\s+'))) AS avgdl
+        |  FROM documents),
+        |bm AS (
+        |  SELECT doc_id, ROUND(SUM(
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0)
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+        |  FROM ft JOIN dfs USING (term) CROSS JOIN stats
+        |  GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 100),
+        |lex AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        |  FROM bm),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cos AS (
+        |  SELECT c.vec_id AS doc_id,
+        |    ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+        |  FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id <> 0),
+        |sem AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id,
+        |      ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS sem_rank
+        |    FROM cos)
+        |  WHERE sem_rank <= 100)
+        |SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+        |  COALESCE(l.lex_rank, 0) AS lex_rank,
+        |  COALESCE(s.sem_rank, 0) AS sem_rank,
+        |  ROUND(COALESCE(1.0 / (60 + l.lex_rank), 0)
+        |      + COALESCE(1.0 / (60 + s.sem_rank), 0), 6) AS rrf
+        |FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     "q81_lm_score" ->
       """WITH toks AS (

@@ -74,4 +74,42 @@ object Chunking {
             col("__nt") - col("token_start")))).as("chunk_text"))
       .orderBy(col(idCol), col("chunk_idx"))
   }
+
+  /** Padding-efficiency report for length-bucketed batching: assign
+    * every document to the smallest power-of-two token bucket that
+    * holds it (16 .. `maxBucket`, one overflow bucket above) and
+    * aggregate the padding a fixed-shape batch of that bucket wastes.
+    * This is the standard alternative to sequence packing when
+    * documents must stay contiguous: the report tells you which
+    * strategy the corpus shape favors.
+    *
+    * The bucket ladder is an explicit integer CASE chain, not
+    * `ceil(log2(len))` — `log` is a libm call whose exactness at
+    * power-of-two inputs is not a cross-engine guarantee, and a
+    * one-ulp wobble at a bucket edge silently moves documents between
+    * buckets. Map-only until the final ~10-row aggregate. */
+  def lengthBuckets(docs: DataFrame, maxBucket: Int = 4096,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxBucket >= 16 && (maxBucket & (maxBucket - 1)) == 0,
+      "maxBucket must be a power of two >= 16")
+    val edges = Iterator.iterate(16)(_ * 2).takeWhile(_ <= maxBucket).toSeq
+    val len = col("__nt")
+    val bucket = edges.foldRight(lit(maxBucket * 2): org.apache.spark.sql.Column) {
+      case (edge, acc) => when(len <= edge, lit(edge)).otherwise(acc)
+    }
+    docs
+      .select(col(idCol), size(TextFunctions.tokens(col(textCol))).as("__nt"))
+      .filter(len >= 1)
+      .withColumn("bucket", bucket.cast("bigint"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(len).cast("bigint").as("total_tokens"),
+        sum(greatest(col("bucket") - len, lit(0))).cast("bigint")
+          .as("total_padding"))
+      .withColumn("pad_frac",
+        round(col("total_padding") /
+          (col("n_docs") * col("bucket")).cast("double"), 4))
+      .orderBy("bucket")
+  }
 }

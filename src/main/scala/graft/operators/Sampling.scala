@@ -94,4 +94,38 @@ object Sampling {
     }
     df.withColumn("split", expr0)
   }
+
+  /** Temperature-based mixture reweighting (the multilingual-corpus
+    * sampling rule of XLM-R/mT5: stratum share q_i ∝ p_i^alpha, alpha
+    * in (0,1] — alpha=1 keeps the natural mix, smaller alpha flattens
+    * it toward uniform, boosting tail strata without letting any head
+    * stratum dominate). Output per stratum: natural share `p`,
+    * resampled share `q`, `weight` = q/p (the up/down-sampling factor
+    * to feed [[upsampleByWeight]]-style expansion), and `target_n` =
+    * round(q·N).
+    *
+    * Scale shape: one count shuffle on the strata columns; the window
+    * normalizations run over the post-agg strata table (languages ×
+    * sources — thousands of rows, not corpus-sized), so the
+    * single-partition window is bounded by construction. */
+  def temperatureMix(df: DataFrame, strataCols: Seq[String],
+      alpha: Double = 0.3): DataFrame = {
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val w = Window.partitionBy()
+    val counts = df.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"))
+    counts
+      .withColumn("__total", sum(col("n_docs")).over(w))
+      .withColumn("__p", col("n_docs") / col("__total"))
+      .withColumn("__q",
+        pow(col("__p"), alpha) / sum(pow(col("__p"), alpha)).over(w))
+      .select(strataCols.map(col) ++ Seq(
+        col("n_docs"),
+        round(col("__p"), 6).as("p"),
+        round(col("__q"), 6).as("q"),
+        round(col("__q") / col("__p"), 4).as("weight"),
+        round(col("__q") * col("__total")).cast("bigint").as("target_n")): _*)
+      .orderBy(strataCols.map(col): _*)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -75,5 +76,43 @@ object TextSearch {
         col("tf").cast("bigint").as("tf"),
         round(col("tf") * log(col("n_docs") / col("df")), 4).as("tf_idf"))
       .orderBy(col(idCol), col("term"))
+  }
+
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack/Clarke/
+    * Büttcher, SIGIR 2009): fuse a lexical BM25 ranking with a
+    * semantic embedding-cosine ranking as
+    * `rrf = Σ_lists 1/(kRrf + rank)`, summing only lists the doc
+    * appears in. Rank-based fusion needs no score calibration between
+    * the two retrievers — the reason RRF is the default hybrid in
+    * production search.
+    *
+    * Both input rankings are bounded pools of `poolSize` (candidate
+    * generation is each retriever's own top-k machinery — BM25's
+    * pruned explode, cosine's broadcast top-k), so the fusion join and
+    * windows touch ≤ 2·poolSize rows no matter the corpus size. Ranks
+    * break ties by id on ROUNDED scores, keeping the ordering
+    * engine-portable. */
+  def hybridRrf(docs: DataFrame, vectors: DataFrame, terms: Seq[String],
+      queryVecId: Long, kRrf: Int = 60, poolSize: Int = 100,
+      topK: Int = 20, idCol: String = "doc_id",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val lexPool = bm25(docs, terms, topK = poolSize, idCol = idCol)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col(idCol))))
+      .select(col(idCol), col("lex_rank"))
+    val semPool = Similarity.bruteForceTopK(
+        vectors, vectors.filter(col(vecIdCol) === queryVecId), k = poolSize,
+        idCol = vecIdCol, vecCol = vecCol)
+      .select(col("neighbor_id").as(idCol), col("rank").as("sem_rank"))
+    lexPool.join(semPool, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        coalesce(col("lex_rank"), lit(0)).cast("bigint").as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0)).cast("bigint").as("sem_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("sem_rank")), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topK)
   }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Chunking, Sampling, TextSearch}
+
+/** Semantics of the mixing / batching / hybrid-retrieval additions
+  * (oracle parity is covered by q82/q83/q84). */
+class MixSearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("temperatureMix: alpha=1 is the natural mix; alpha<1 flattens toward uniform") {
+    val docs = (1 to 90).map(i => (i.toLong, "en")) ++
+      (91 to 100).map(i => (i.toLong, "sw"))
+    val df = docs.toDF("doc_id", "lang")
+
+    val natural = Sampling.temperatureMix(df, Seq("lang"), alpha = 1.0)
+      .select("lang", "weight", "q").as[(String, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(natural("en")._1 == 1.0 && natural("sw")._1 == 1.0)
+    assert(natural("en")._2 == 0.9 && natural("sw")._2 == 0.1)
+
+    val flat = Sampling.temperatureMix(df, Seq("lang"), alpha = 0.3)
+      .select("lang", "weight", "target_n").as[(String, Double, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(flat("sw")._1 > 1.0, "tail stratum upweighted")
+    assert(flat("en")._1 < 1.0, "head stratum downweighted")
+    // still a distribution: targets re-spend the same corpus size
+    assert(math.abs(flat("en")._2 + flat("sw")._2 - 100L) <= 1L)
+    // and the head still outweighs the tail (no inversion, just flatter)
+    assert(flat("en")._2 > flat("sw")._2)
+  }
+
+  test("lengthBuckets: smallest power-of-two bucket, exact padding accounting") {
+    val mk = (id: Long, n: Int) => (id, (1 to n).map(i => s"w$i").mkString(" "))
+    val df = Seq(mk(1, 10), mk(2, 16), mk(3, 17), mk(4, 100)).toDF("doc_id", "text")
+    val rows = Chunking.lengthBuckets(df)
+      .select("bucket", "n_docs", "total_tokens", "total_padding", "pad_frac")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // 10 and 16 both land in bucket 16 (edge value stays in its bucket)
+    assert(rows(16L) == ((2L, 26L, 6L, 0.1875))) // pad 6+0 over 2*16
+    assert(rows(32L) == ((1L, 17L, 15L, 0.4688)))
+    assert(rows(128L) == ((1L, 100L, 28L, 0.2188)))
+    assert(!rows.contains(64L))
+  }
+
+  test("hybridRrf: presence in both pools beats either pool alone at equal rank") {
+    // doc 1: matches terms AND is the nearest vector; doc 2 lexical
+    // only; vector 3 semantic only
+    val docs = Seq(
+      (1L, "alpha alpha beta pad1 pad2"),
+      (2L, "alpha beta beta pad3 pad4"),
+      (9L, "noise words only here")).toDF("doc_id", "text")
+    val base = Array.fill(8)(0.0f)
+    def vec(xs: (Int, Float)*) = {
+      val v = base.clone(); xs.foreach { case (i, x) => v(i) = x }; v
+    }
+    val vecs = Seq(
+      (0L, vec(0 -> 1.0f)),              // the query
+      (1L, vec(0 -> 0.9f, 1 -> 0.1f)),   // close to query
+      (3L, vec(0 -> 0.5f, 1 -> 0.5f)))   // further
+      .toDF("vec_id", "embedding")
+    val out = TextSearch.hybridRrf(docs, vecs, Seq("alpha", "beta"),
+      queryVecId = 0L, topK = 10)
+      .select("doc_id", "lex_rank", "sem_rank", "rrf")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L)._1 > 0 && out(1L)._2 > 0, "doc 1 in both pools")
+    assert(out(2L)._2 == 0 && out(3L)._1 == 0)
+    assert(out(1L)._3 > out(2L)._3 && out(1L)._3 > out(3L)._3,
+      "fused doc must outrank single-pool docs")
+    assert(!out.contains(9L) || out(9L)._1 == 0)
+  }
+}
