@@ -100,7 +100,22 @@ object ScaleProbe {
       // Nx and deflate the ratio
       "decontaminate" -> (d => graft.operators.Decontaminate.overlap(
         d.filter(col("doc_id") % 41 =!= 0),
-        base.filter(col("doc_id") % 41 === 0), n = 4).count()))
+        base.filter(col("doc_id") % 41 === 0), n = 4).count()),
+      // LM scoring: model build + score join both scale with the
+      // corpus; suffixed copies widen the vocabulary ~N×, the
+      // adversarial direction for the model-side shuffle
+      "lm_score" -> (d => graft.operators.TextLM
+        .perplexityScores(d).count()),
+      // batch admission against a band store built from the OTHER half
+      // of the same shape: both the batch signature pass and the store
+      // join scale with the corpus
+      "incremental_dedup" -> { d =>
+        val b1 = d.filter(col("doc_id") % 2 === 0)
+        val b2 = d.filter(col("doc_id") % 2 === 1)
+        val adm1 = graft.operators.IncrementalDedup.admitBatch(b1, None)
+        graft.operators.IncrementalDedup
+          .admitBatch(b2, Some(adm1.bands)).accepted.count()
+      })
 
     ops.foreach { case (name, f) =>
       time(f(base)); time(f(big))             // warm both shapes

@@ -864,6 +864,35 @@ object SparkEntry {
             .as("entropy"))
         .orderBy("doc_id")),
 
+    // ---- Incremental materialized aggregate: two source commits,
+    //      each refresh aggregates ONLY the new data dir (dir-keyed
+    //      partials; MaterializedAggSpec asserts the increment sets);
+    //      the finalized view is oracled against a plain GROUP BY ----
+    "q85_incremental_mv" -> ((s, dir) => {
+      import graft.lake.{MaterializedAgg, TableLog}
+      val root = java.nio.file.Files.createTempDirectory("graft_q85")
+      val src = root.resolve("src").toString
+      val mv = root.resolve("mv").toString
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))
+      val cut = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+      val mvSpec = MaterializedAgg.AggSpec(
+        Seq("l_returnflag", "l_linestatus"),
+        sumCols = Seq("l_quantity", "l_extendedprice"),
+        maxCols = Seq("l_shipdate"))
+      TableLog.commitAppend(s, src, li.filter(col("l_shipdate") < cut))
+      MaterializedAgg.refresh(s, src, mv, mvSpec)
+      TableLog.commitAppend(s, src, li.filter(col("l_shipdate") >= cut))
+      MaterializedAgg.refresh(s, src, mv, mvSpec)
+      MaterializedAgg.read(s, mv, mvSpec)
+        .select(col("l_returnflag"), col("l_linestatus"), col("cnt"),
+          round(col("sum_l_quantity"), 2).as("sum_qty"),
+          round(col("sum_l_extendedprice"), 2).as("sum_price"),
+          col("max_l_shipdate").cast("date").as("last_ship"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // ---- Temperature mixture reweighting (XLM-R sampling rule):
     //      stratum share q ∝ p^alpha — flattens the mix toward the
     //      tail without head domination ----
@@ -1748,6 +1777,17 @@ object SparkEntry {
         |       ELSE 'test' END AS split,
         |  n_tokens, distinct_ratio
         |FROM ded WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    // the MV finalize must equal a from-scratch aggregate — the
+    // incremental bookkeeping is invisible to the result
+    "q85_incremental_mv" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_price,
+        |  CAST(MAX(l_shipdate) AS DATE) AS last_ship
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q82_temperature_mix" ->
       """WITH c AS (

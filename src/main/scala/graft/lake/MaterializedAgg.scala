@@ -1,0 +1,107 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained materialized aggregate over a [[TableLog]]
+  * table — the "don't recompute the world" primitive: a 100 TB fact
+  * table that gains 100 GB a day should pay aggregation for 100 GB a
+  * day, not 100 TB (the reference's incremental dbt models express the
+  * same contract at query level: `materialized: incremental`,
+  * `dbt/dbt_project.yml`).
+  *
+  * Design: the view stores PARTIAL aggregates keyed by source data
+  * DIRECTORY — the immutable unit a TableLog commit adds or retires.
+  * A refresh is then a pure set-diff against the source manifest:
+  *
+  *  - appended dirs → aggregate ONLY those dirs' rows, append partials;
+  *  - retired dirs (overwrite / optimize / rollback) → drop their
+  *    partials; no tombstone bookkeeping, the manifest is the truth;
+  *  - unchanged dirs → their partials are carried verbatim, zero IO.
+  *
+  * Because every stored aggregate is mergeable (count/sum/min/max —
+  * the classic partial-aggregation algebra Spark itself uses between
+  * map and reduce), finalization is a small aggregate over
+  * |dirs| × |groups| partial rows, never over the data. `avg` is
+  * derived at read time as sum/count rather than stored (averages
+  * don't merge; sums and counts do).
+  *
+  * The view's own state lives in a TableLog at `mvPath`, so refreshes
+  * are atomic, versioned, and time-travelable like any other table,
+  * and a reader never sees a half-applied refresh.
+  */
+object MaterializedAgg {
+
+  /** Mergeable aggregate spec: per group, row count plus sum/min/max
+    * over the named numeric columns. */
+  final case class AggSpec(groupCols: Seq[String], sumCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil) {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(sumCols.nonEmpty || minCols.nonEmpty || maxCols.nonEmpty,
+      "need at least one aggregate column")
+  }
+
+  /** What a refresh did: dirs newly aggregated, partials dropped for
+    * retired dirs, dirs whose partials were reused untouched. */
+  final case class RefreshReport(version: Int, processedDirs: Seq[String],
+      droppedDirs: Seq[String], reusedDirs: Seq[String])
+
+  private def partialAggs(spec: AggSpec): Seq[org.apache.spark.sql.Column] =
+    count(lit(1)).as("__cnt") +:
+      (spec.sumCols.map(c => sum(col(c)).as(s"__sum_$c")) ++
+        spec.minCols.map(c => min(col(c)).as(s"__min_$c")) ++
+        spec.maxCols.map(c => max(col(c)).as(s"__max_$c")))
+
+  /** Bring the view at `mvPath` up to date with the CURRENT snapshot of
+    * the source table. No-op (returns the current version with empty
+    * dir lists) when the manifests already agree. */
+  def refresh(spark: SparkSession, srcPath: String, mvPath: String,
+      spec: AggSpec): RefreshReport = {
+    val srcDirs = TableLog.history(spark, srcPath).lastOption
+      .map(_.dirs).getOrElse(Seq.empty)
+    require(srcDirs.nonEmpty, s"source table at $srcPath has no snapshot")
+    val existing: Option[DataFrame] =
+      TableLog.latestVersion(spark, mvPath).map(_ => TableLog.read(spark, mvPath))
+    // covered dirs: bounded by the source's file-commit count, not data
+    val covered: Set[String] = existing
+      .map(_.select("__src_dir").distinct()
+        .collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty)
+    val newDirs = srcDirs.filterNot(covered)
+    val staleDirs = (covered -- srcDirs.toSet).toSeq.sorted
+    val reused = srcDirs.filter(covered).sorted
+    if (newDirs.isEmpty && staleDirs.isEmpty)
+      return RefreshReport(TableLog.latestVersion(spark, mvPath).get,
+        Seq.empty, Seq.empty, reused)
+
+    val aggs = partialAggs(spec)
+    val newPartials = newDirs.map { d =>
+      spark.read.parquet(s"$srcPath/$d")
+        .groupBy(spec.groupCols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("__src_dir", lit(d))
+    }.reduceOption(_.unionByName(_))
+    val kept = existing.map(_.filter(col("__src_dir").isin(srcDirs: _*)))
+    val state = (kept, newPartials) match {
+      case (Some(k), Some(n)) => k.unionByName(n)
+      case (Some(k), None)    => k
+      case (None, Some(n))    => n
+      case (None, None) => throw new IllegalStateException("empty refresh")
+    }
+    val c = TableLog.commitOverwrite(spark, mvPath, state)
+    RefreshReport(c.version, newDirs.sorted, staleDirs, reused)
+  }
+
+  /** Finalized view: merge the stored partials. Output columns:
+    * groupCols, `cnt`, `sum_<c>`, `min_<c>`, `max_<c>`. */
+  def read(spark: SparkSession, mvPath: String, spec: AggSpec): DataFrame = {
+    val merged =
+      sum(col("__cnt")).as("cnt") +:
+        (spec.sumCols.map(c => sum(col(s"__sum_$c")).as(s"sum_$c")) ++
+          spec.minCols.map(c => min(col(s"__min_$c")).as(s"min_$c")) ++
+          spec.maxCols.map(c => max(col(s"__max_$c")).as(s"max_$c")))
+    TableLog.read(spark, mvPath)
+      .groupBy(spec.groupCols.map(col): _*)
+      .agg(merged.head, merged.tail: _*)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import graft.lake.{MaterializedAgg, TableLog}
+import graft.lake.MaterializedAgg.AggSpec
+
+class MaterializedAggSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(name: String) =
+    Files.createTempDirectory("graft_mv").resolve(name).toString
+
+  private val spec = AggSpec(Seq("k"), sumCols = Seq("v"),
+    minCols = Seq("v"), maxCols = Seq("v"))
+
+  private def direct(src: String) =
+    TableLog.read(spark, src).groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"),
+        min("v").as("min_v"), max("v").as("max_v"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("k", "cnt", "sum_v", "min_v", "max_v")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+
+  test("append-only refresh aggregates ONLY the new dirs; finalize equals direct") {
+    val src = fresh("src"); val mv = fresh("mv")
+    TableLog.commitAppend(spark, src,
+      Seq(("a", 1L), ("a", 2L), ("b", 10L)).toDF("k", "v"))
+    val r1 = MaterializedAgg.refresh(spark, src, mv, spec)
+    assert(r1.processedDirs.size == 1 && r1.reusedDirs.isEmpty)
+    assert(rows(MaterializedAgg.read(spark, mv, spec)) == rows(direct(src)))
+
+    TableLog.commitAppend(spark, src,
+      Seq(("a", 5L), ("c", 7L)).toDF("k", "v"))
+    val r2 = MaterializedAgg.refresh(spark, src, mv, spec)
+    // the increment is exactly the appended dir; batch-1 partials reused
+    assert(r2.processedDirs.size == 1)
+    assert(r2.processedDirs.intersect(r1.processedDirs).isEmpty)
+    assert(r2.reusedDirs == r1.processedDirs.sorted)
+    assert(r2.droppedDirs.isEmpty)
+    assert(rows(MaterializedAgg.read(spark, mv, spec)) == rows(direct(src)))
+    assert(rows(MaterializedAgg.read(spark, mv, spec)) ==
+      Set(("a", 3L, 8L, 1L, 5L), ("b", 1L, 10L, 10L, 10L), ("c", 1L, 7L, 7L, 7L)))
+  }
+
+  test("a refresh against an unchanged source is a no-op") {
+    val src = fresh("src"); val mv = fresh("mv")
+    TableLog.commitAppend(spark, src, Seq(("a", 1L)).toDF("k", "v"))
+    MaterializedAgg.refresh(spark, src, mv, spec)
+    val v = TableLog.latestVersion(spark, mv).get
+    val r = MaterializedAgg.refresh(spark, src, mv, spec)
+    assert(r.processedDirs.isEmpty && r.droppedDirs.isEmpty)
+    assert(TableLog.latestVersion(spark, mv).contains(v), "no new MV version")
+  }
+
+  test("overwrite retires stale partials; optimize (pure layout) reuses nothing stale") {
+    val src = fresh("src"); val mv = fresh("mv")
+    TableLog.commitAppend(spark, src, Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    TableLog.commitAppend(spark, src, Seq(("b", 3L)).toDF("k", "v"))
+    MaterializedAgg.refresh(spark, src, mv, spec)
+
+    TableLog.commitOverwrite(spark, src, Seq(("z", 9L), ("z", 1L)).toDF("k", "v"))
+    val r = MaterializedAgg.refresh(spark, src, mv, spec)
+    assert(r.processedDirs.size == 1 && r.droppedDirs.size == 2)
+    assert(rows(MaterializedAgg.read(spark, mv, spec)) ==
+      Set(("z", 2L, 10L, 1L, 9L)))
+    // time travel the MV: the pre-overwrite state is still readable
+    val prev = TableLog.read(spark, mv,
+      Some(TableLog.latestVersion(spark, mv).get - 1))
+    assert(prev.select("__src_dir").distinct().count() == 2)
+  }
+}
