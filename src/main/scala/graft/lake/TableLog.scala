@@ -285,6 +285,50 @@ object TableLog {
     commitReplace(spark, path, clustered, "optimize")
   }
 
+  /** DELETE as a log commit with data skipping: rows where
+    * `colName BETWEEN lo AND hi` are removed, but a data directory whose
+    * manifest file stats prove NO row can match is carried into the new
+    * snapshot verbatim — zero read, zero rewrite. At 100 TB with
+    * range-clustered layout (per-day ingestion commits,
+    * [[commitOptimize]]) a targeted delete (GDPR erasure, bad-batch
+    * retraction) rewrites one directory, not the table. Directories
+    * without stats (pre-stats commits) are conservatively rewritten.
+    *
+    * Rows where `colName` is NULL never match a range predicate and are
+    * always kept. Like every commit, a lost race recomputes against the
+    * winner's snapshot. Old versions stay readable until vacuumed. */
+  def commitDelete(spark: SparkSession, path: String, colName: String,
+      lo: Any, hi: Any): Commit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    var attempts = 0
+    while (attempts < MaxCommitAttempts) {
+      val last = resolve(spark, path, None)
+      val v = last.version + 1
+      val statsByDir = last.stats.groupBy(f =>
+        last.dirs.find(d => f.file.startsWith(d + "/")).getOrElse(""))
+      val (touched, carried) = last.dirs.partition { d =>
+        val fileStats = statsByDir.getOrElse(d, Seq.empty)
+        fileStats.isEmpty ||
+          fileStats.exists(TableStats.mightMatch(_, colName, lo, hi))
+      }
+      if (touched.isEmpty)
+        return last // stats prove nothing matches: delete is a no-op
+      val carriedStats = last.stats.filter(f =>
+        carried.exists(d => f.file.startsWith(d + "/")))
+      val remaining = spark.read.parquet(touched.map(d => s"$path/$d"): _*)
+        .where(not(coalesce(col(colName).between(lit(lo), lit(hi)), lit(false))))
+      val (dir, dirStats) = writeData(spark, path, remaining, v)
+      val dirs = Seq(dir) ++ carried
+      if (writeManifest(spark, path, v, "delete", dirs,
+          dirStats ++ carriedStats))
+        return Commit(v, "delete", dirs, dirStats ++ carriedStats)
+      fs(spark, path).delete(new Path(path, dir), true)
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"lost the delete race $MaxCommitAttempts times at $path — writer contention")
+  }
+
   /** Append a version that restores snapshot `v` (history stays
     * intact; nothing is deleted). */
   def rollback(spark: SparkSession, path: String, v: Int): Commit = {

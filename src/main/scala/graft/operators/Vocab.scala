@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus vocabulary construction — the counting pass every tokenizer
+  * build (BPE/WordPiece/unigram-LM) starts from, and a pipeline step the
+  * reference's pandas runner would express as `value_counts()` over an
+  * exploded token column.
+  *
+  * Scale shape: one explode feeding one hash aggregate keyed on the
+  * token. Spark's partial aggregation combines per-token counts
+  * map-side, so the shuffle carries one row per (partition, distinct
+  * token) — bounded by vocabulary size, not corpus size. The document
+  * frequency is a `count(distinct doc_id)` in the same aggregate; the
+  * planner expands it into a two-phase distinct aggregate with map-side
+  * dedup of (token, doc_id) pairs. Nothing here is driver-side.
+  */
+object Vocab {
+
+  /** Token/document frequencies thresholded at `minCount`, ranked by
+    * `(tf desc, token asc)` (fully deterministic — no hash ties), top
+    * `topK` rows, with each token's cumulative share of ALL corpus
+    * tokens (`cum_share`) — the number a tokenizer budget decision
+    * ("how big must the vocab be to cover 95%?") reads directly.
+    *
+    * The rank/cumulative window is unpartitioned by design: it runs
+    * AFTER the `limit(topK)`, so exactly `topK` rows pass through the
+    * single window task regardless of corpus size. The corpus-total
+    * denominator is a separate scalar aggregate broadcast into the
+    * ranked rows.
+    */
+  def build(docs: DataFrame, minCount: Long = 2L, topK: Int = 1000): DataFrame = {
+    val toks = docs
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"),
+        col("doc_id"))
+      .where(col("token") =!= "")
+    val ranked = toks
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .where(col("tf") >= minCount)
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(topK)
+    val total = toks.agg(count(lit(1)).as("__total"))
+    val w = Window.orderBy(col("tf").desc, col("token").asc)
+    ranked
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_share",
+        round(sum(col("tf")).over(w).cast("double") / col("__total"), 6))
+      .drop("__total")
+      .orderBy("rank")
+  }
+}
