@@ -893,6 +893,56 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // ---- Targeted DELETE as a log commit (GDPR erasure / bad-batch
+    //      retraction): manifest stats carry provably-untouched dirs
+    //      forward verbatim — only the matching fraction is rewritten
+    //      (ChangeFeedSpec asserts the carried-dir file counts) ----
+    "q86_delete" -> ((s, dir) => {
+      import graft.lake.TableLog
+      val tbl = java.nio.file.Files.createTempDirectory("graft_q86")
+        .resolve("t").toString
+      TableLog.commitOverwrite(s, tbl,
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate"))
+          .repartitionByRange(8, col("o_orderdate")))
+      TableLog.commitDelete(s, tbl, "o_orderdate",
+        java.sql.Timestamp.valueOf("1996-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("1996-12-31 23:59:59"))
+      TableLog.read(s, tbl)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- Row-level change feed between log versions: append feeds
+    //      O(delta) (shared dirs never opened), delete feeds the
+    //      erased rows; netting is one shuffle on a full-row
+    //      fingerprint ----
+    "q87_change_feed" -> ((s, dir) => {
+      import graft.lake.{ChangeFeed, TableLog}
+      val tbl = java.nio.file.Files.createTempDirectory("graft_q87")
+        .resolve("t").toString
+      val cut1 = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+      val cut2 = java.sql.Timestamp.valueOf("1997-07-01 00:00:00")
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+          col("o_orderstatus").as("status"), col("o_orderdate"))
+      TableLog.commitOverwrite(s, tbl,
+        orders.filter(col("o_orderdate") < cut1).drop("o_orderdate"))
+      TableLog.commitAppend(s, tbl,
+        orders.filter(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2)
+          .drop("o_orderdate"))
+      TableLog.commitDelete(s, tbl, "o_orderkey", 1000L, 3000L)
+      ChangeFeed.changes(s, tbl, 1, 2).withColumn("step", lit(1L))
+        .unionByName(
+          ChangeFeed.changes(s, tbl, 2, 3).withColumn("step", lit(2L)))
+        .select(col("step"), col("o_orderkey"), col("price"), col("status"),
+          col("_change_type"), col("n"))
+        .orderBy("step", "o_orderkey", "_change_type")
+    }),
+
     // ---- Temperature mixture reweighting (XLM-R sampling rule):
     //      stratum share q ∝ p^alpha — flattens the mix toward the
     //      tail without head domination ----
@@ -1788,6 +1838,39 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // the post-delete snapshot must equal a plain NOT-BETWEEN filter —
+    // the file-pruned rewrite is invisible to the result
+    "q86_delete" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  ROUND(SUM(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE NOT (o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                           AND TIMESTAMP '1996-12-31 23:59:59')
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // step 1: append commit ⇒ pure inserts of the appended window;
+    // step 2: keyed delete ⇒ pure deletes of the erased key range
+    "q87_change_feed" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, ROUND(o_totalprice, 2) AS price,
+        |         o_orderstatus AS status, o_orderdate
+        |  FROM orders),
+        |s1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS step, o_orderkey, price, status,
+        |         'insert' AS _change_type, CAST(1 AS BIGINT) AS n
+        |  FROM base
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'),
+        |s2 AS (
+        |  SELECT CAST(2 AS BIGINT) AS step, o_orderkey, price, status,
+        |         'delete' AS _change_type, CAST(1 AS BIGINT) AS n
+        |  FROM base
+        |  WHERE o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |    AND o_orderkey BETWEEN 1000 AND 3000)
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |ORDER BY step, o_orderkey, _change_type""".stripMargin,
 
     "q82_temperature_mix" ->
       """WITH c AS (
