@@ -893,6 +893,17 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // ---- Model-based quality filtering (CCNet pattern): weak labels
+    //      from the heuristic score, logistic model over hashed
+    //      bag-of-words, map-only corpus scoring with broadcast
+    //      coefficients. Model outputs are optimizer-dependent ⇒
+    //      rows-only; holdout agreement asserted in QualityModelSpec ----
+    "q88_quality_model" -> ((s, dir) =>
+      graft.operators.QualityModel.distill(t(s, dir, "documents"))
+        .select(col("doc_id"), col("weak_label"), col("model_pred"),
+          col("is_train"))
+        .orderBy("doc_id")),
+
     // ---- Targeted DELETE as a log commit (GDPR erasure / bad-batch
     //      retraction): manifest stats carry provably-untouched dirs
     //      forward verbatim — only the matching fraction is rewritten

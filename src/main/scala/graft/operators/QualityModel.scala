@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.feature.HashingTF
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Model-based quality filtering — the classifier tier a production
+  * corpus pipeline layers on top of heuristic rules (the
+  * CCNet/GPT-style pattern: fit a linear model over hashed bag-of-words
+  * features against cheap labels, then score the whole corpus with it).
+  * Heuristics ([[graft.functions.TextFunctions.qualityScore]]) are
+  * precise but rigid; the model generalizes them to token evidence the
+  * rules never mention.
+  *
+  * Built on Spark ML's public pipeline stages (`HashingTF`,
+  * `LogisticRegression`) — the idiomatic Spark path for exactly this
+  * job, and the one piece of the engine where a per-row scoring closure
+  * is the right call: the model transform broadcasts O(dim) coefficients
+  * and scores map-only, no shuffle.
+  *
+  * 100 TB shape:
+  *   - FIT runs on a bounded deterministic sample
+  *     ([[trainSplit]]: md5-prefix hash split, the same reproducible
+  *     split primitive as [[Sampling]]) — L-BFGS iterations each cost
+  *     one treeAggregate over the SAMPLE, never the corpus.
+  *   - SCORE is embarrassingly parallel: hashing trick (fixed `dim`,
+  *     no vocabulary shuffle, no fit-time state on the score path) +
+  *     a broadcast coefficient vector. Scoring 100 TB is one map pass.
+  */
+object QualityModel {
+
+  final case class Fitted(model: LogisticRegressionModel, dim: Int,
+      textCol: String)
+
+  /** Weak label from the heuristic score: 1.0 when the rule-based
+    * quality clears `tau`. Distilling rules into a model is the
+    * standard bootstrap when no hand labels exist. */
+  def weakLabel(text: Column, tau: Double = 0.75): Column =
+    (TextFunctions.qualityScore(text) >= tau).cast("double")
+
+  /** Deterministic fit/score membership: md5-prefix split, reproducible
+    * across engines and runs (never `rand()`). */
+  def trainSplit(idCol: Column, trainFraction: Double = 0.5): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10)
+      .cast("long") < lit((trainFraction * 65536).toLong)
+
+  private def featurize(docs: DataFrame, textCol: String,
+      dim: Int): DataFrame =
+    new HashingTF()
+      .setInputCol("__toks").setOutputCol("__features").setNumFeatures(dim)
+      .transform(docs.withColumn("__toks",
+        TextFunctions.tokens(lower(col(textCol)))))
+
+  /** Fit a regularized logistic model of `labelCol` over hashed token
+    * counts. `dim` trades collision noise for coefficient size: 2^18
+    * floats ≈ 2 MB broadcast at corpus scale; tests use smaller. */
+  def fit(train: DataFrame, textCol: String = "text",
+      labelCol: String = "label", dim: Int = 1 << 12,
+      regParam: Double = 1e-3, maxIter: Int = 20): Fitted = {
+    // each L-BFGS iteration is one treeAggregate job over the train
+    // sample; a loose tol + bounded iters caps the job count — with
+    // ridge regularization the weak-label objective converges to
+    // filtering-grade coefficients in well under 20 steps
+    val lr = new LogisticRegression()
+      .setFeaturesCol("__features").setLabelCol(labelCol)
+      .setRegParam(regParam).setMaxIter(maxIter).setTol(1e-4)
+      .setStandardization(false)
+    Fitted(lr.fit(featurize(train, textCol, dim)), dim, textCol)
+  }
+
+  /** Score every row: adds `p_good` (P(label=1)) and `model_pred`
+    * (thresholded at 0.5). Map-only — the model is a broadcast
+    * coefficient vector. */
+  def score(docs: DataFrame, fitted: Fitted): DataFrame =
+    fitted.model.transform(featurize(docs, fitted.textCol, fitted.dim))
+      .withColumn("p_good", element_at(vector_to_array(col("probability")), 2))
+      .withColumn("model_pred", (col("p_good") >= 0.5).cast("long"))
+      .drop("__toks", "__features", "rawPrediction", "probability",
+        "prediction")
+
+  /** End-to-end weak-supervision run: label heuristically, fit on the
+    * md5-split train half, score ALL rows. Returns per-doc
+    * (id, weak_label, model_pred, p_good, is_train). */
+  def distill(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", tau: Double = 0.75,
+      dim: Int = 1 << 12): DataFrame = {
+    val labeled = docs
+      .withColumn("weak_label", weakLabel(col(textCol), tau))
+      .withColumn("is_train", trainSplit(col(idCol)))
+    val fitted = fit(labeled.filter(col("is_train")), textCol,
+      "weak_label", dim)
+    score(labeled, fitted)
+      .select(col(idCol), col("weak_label").cast("long").as("weak_label"),
+        col("model_pred"), col("p_good"), col("is_train"))
+  }
+}
