@@ -893,6 +893,14 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // ---- SemDeDup semantic dedup: k-means cells → within-cell exact
+    //      cosine pairs → transitive closure → keep the
+    //      farthest-from-centroid member per group. Codebook is
+    //      sample-seeded ⇒ rows-only; exact/refinement differentials
+    //      in SemDeDupSpec ----
+    "q89_semantic_dedup" -> ((s, dir) =>
+      Similarity.semDeDup(t(s, dir, "embeddings"), tau = 0.95)),
+
     // ---- Model-based quality filtering (CCNet pattern): weak labels
     //      from the heuristic score, logistic model over hashed
     //      bag-of-words, map-only corpus scoring with broadcast

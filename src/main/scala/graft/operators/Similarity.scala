@@ -227,4 +227,61 @@ object Similarity {
       .select("id_a", "id_b", "cos_sim")
       .orderBy("id_a", "id_b")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    * semantic deduplication of an embedded corpus. Candidates come from
+    * k-means cells (map-only broadcast assignment, exact cosine only
+    * within a cell — never all-pairs), transitive closure merges
+    * overlapping pairs into dup GROUPS, and each group survives through
+    * exactly one member: the one FARTHEST from its cell centroid
+    * (lowest centroid cosine), the paper's diversity-keeping rule —
+    * dropping centroid-near members removes the most redundant
+    * examples. Ties break on the lower id.
+    *
+    * Scale shape: codebook fit on a bounded sample; assignment
+    * codegen'd per-row against the broadcast codebook; the only
+    * data-scale shuffles are the cell equi-join, the log-round
+    * component contraction, and one window over dup groups (group
+    * cardinality, not corpus cardinality, bounds the skew). Recall < 1
+    * for dup pairs split across cells — the documented SemDeDup
+    * trade; raise `numCentroids` to shrink cells, lower it to shrink
+    * the split risk.
+    *
+    * Returns every input row: (id, group_id, group_size, centroid_cos,
+    * keep). Filtering `keep` yields the deduplicated corpus. */
+  def semDeDup(vectors: DataFrame, tau: Double, numCentroids: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val nc = if (numCentroids > 0) numCentroids else autoK(vectors)
+    val cents = fitCentroids(vectors, nc, idCol = idCol, vecCol = vecCol)
+    val assigned = assignToCentroids(vectors, cents, idCol, vecCol)
+    val a = assigned.select(col("cluster_id"),
+      col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = assigned.select(col("cluster_id"),
+      col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val pairs = a.join(b, Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("v_a"), col("v_b")) >= tau)
+      .select("id_a", "id_b")
+    val groups = DupClusters.clusterDocuments(vectors, pairs, idCol)
+      .withColumnRenamed("cluster_id", "group_id")
+      .withColumnRenamed("cluster_size", "group_size")
+    // per-row distance to own centroid: broadcast the k-row codebook
+    val centsDf = broadcast(
+      cents.toSeq.zipWithIndex
+        .map { case (c, i) => (i.toLong, c.toSeq) }
+        .toDF("cluster_id", "__centroid"))
+    val withCos = assigned.join(centsDf, Seq("cluster_id"))
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("__centroid")), 6).as("centroid_cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group_id"))
+      .orderBy(col("centroid_cos").asc, col(idCol).asc)
+    groups.join(withCos, Seq(idCol))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col(idCol), col("group_id"), col("group_size"),
+        col("centroid_cos"), col("keep"))
+      .orderBy(idCol)
+  }
 }
