@@ -115,19 +115,51 @@ object ScaleProbe {
         val adm1 = graft.operators.IncrementalDedup.admitBatch(b1, None)
         graft.operators.IncrementalDedup
           .admitBatch(b2, Some(adm1.bands)).accepted.count()
-      })
+      },
+      // fit cost is iteration-bounded on the train half; the timed
+      // linear component is tokenize+hash+score over the corpus
+      "quality_model" -> (d => graft.operators.QualityModel
+        .distill(d, dim = 1 << 12).count()))
 
-    ops.foreach { case (name, f) =>
-      time(f(base)); time(f(big))             // warm both shapes
-      val (t1, _) = time(f(base))
-      val (tN, _) = time(f(big))
+    // ---- embedding-input operators: amplified by cyclic coordinate
+    // rotation per copy — rotations of distinct 64-dim vectors are
+    // decorrelated (cos ≈ 0), so copies add corpus volume without
+    // adding artifactual near-dup pairs, the same disjointness rule as
+    // the token-suffix trick above ----
+    val embBase = graft.io.Sources.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val embDim = embBase.select(size(col("embedding"))).first().getInt(0)
+    val embShift = embBase.agg(max("vec_id")).collect()(0).getLong(0) + 1L
+    val embBig = (0 until factor).map { i =>
+      val rot = i % embDim
+      embBase.select((col("vec_id") + lit(i * embShift)).as("vec_id"),
+        concat(slice(col("embedding"), rot + 1, embDim - rot),
+          slice(col("embedding"), 1, rot)).as("embedding"))
+    }.reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    embBig.count()
+
+    val embOps: Seq[(String, DataFrame => Long)] = Seq(
+      // k ∝ N pins the expected cell size, so within-cell pair work,
+      // the CC contraction, and the keep window all scale linearly
+      "semantic_dedup" -> (d => graft.operators.Similarity
+        .semDeDup(d, tau = 0.95).filter(col("keep")).count()))
+
+    (ops.map(o => (o._1, o._2, base, big)) ++
+      embOps.map(o => (o._1, o._2, embBase, embBig))).foreach {
+      case (name, f, in1, inN) =>
+      // pin THIS op's inputs (the trailing clearCache dropped them),
+      // so the timed region covers the operator, not input generation
+      in1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      inN.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      time(f(in1)); time(f(inN))              // warm both shapes
+      val (t1, _) = time(f(in1))
+      val (tN, _) = time(f(inN))
       val ratio = tN / t1
       println(f"[scale] $name%-14s 1x=$t1%6.2fs ${factor}x=$tN%6.2fs ratio=$ratio%5.2f (ideal <= $factor)")
-      // drop operator-persisted intermediates (LSH signature tables),
-      // then re-pin the inputs for the next operator's measurements
+      // drop operator-persisted intermediates (LSH signature tables)
       spark.catalog.clearCache()
-      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
-      big.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
     }
     spark.stop()
   }

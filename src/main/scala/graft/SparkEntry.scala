@@ -387,6 +387,24 @@ object SparkEntry {
     // ---- Multimodal: binary payload + stubbed decode plumbing ----
     "q24_multimodal_features" -> ((s, dir) => Multimodal.featureTable(s, dir)),
 
+    // ---- Multimodal audio: REAL RIFF/WAVE chunk walk + 16-bit PCM
+    //      signal features (rms/peak/zero-crossing rate) behind the
+    //      same Decoder boundary (deterministic synthetic assets;
+    //      rows-only) ----
+    "q90_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.featurize(Multimodal.wavFromDocuments(s, dir),
+          Multimodal.WavDecoder)
+        .toDF()
+        .select(col("media_id"), col("n_bytes"), col("checksum"),
+          element_at(col("features"), 3).cast("bigint").as("n_frames"),
+          round(element_at(col("features"), 4), 4).as("duration_sec"),
+          round(element_at(col("features"), 5), 4).as("rms"),
+          round(element_at(col("features"), 6), 4).as("peak"),
+          round(element_at(col("features"), 7), 4).as("zcr"))
+        .orderBy("media_id")
+    }),
+
     // ---- Multimodal: REAL decode path — P6 ppm header parse + pixel
     //      feature extraction behind the same Decoder boundary
     //      (deterministic synthetic assets; rows-only) ----

@@ -69,7 +69,14 @@ object QualityModel {
       .setFeaturesCol("__features").setLabelCol(labelCol)
       .setRegParam(regParam).setMaxIter(maxIter).setTol(1e-4)
       .setStandardization(false)
-    Fitted(lr.fit(featurize(train, textCol, dim)), dim, textCol)
+    // the train split is sample-scale, but each L-BFGS step is a
+    // treeAggregate over it — at the session's shuffle parallelism
+    // that's scheduling-overhead-dominated. Pack the sample into a few
+    // dense partitions so the iteration loop pays per-iteration work,
+    // not per-iteration task dispatch. (On a real cluster the sample
+    // is still tiny relative to executors; same reasoning holds.)
+    val packed = featurize(train, textCol, dim).coalesce(8)
+    Fitted(lr.fit(packed), dim, textCol)
   }
 
   /** Score every row: adds `p_good` (P(label=1)) and `model_pred`

@@ -249,12 +249,26 @@ object Similarity {
     *
     * Returns every input row: (id, group_id, group_size, centroid_cos,
     * keep). Filtering `keep` yields the deduplicated corpus. */
+  /** Dedup-flavored codebook sizing: k targets a FIXED expected cell
+    * size (~256), i.e. k ∝ N — unlike the ANN tier's √N rule. The
+    * within-cell pair stage costs Σ|cell|² ≈ N·cellSize, which stays
+    * LINEAR in the corpus only if cell size is pinned; a √N codebook
+    * would make it N^1.5. The cap bounds the broadcast codebook and
+    * the per-row argmin (k·dim flops); past cap·256 vectors the cells
+    * grow again — at that scale switch to [[hyperplaneNearDups]]
+    * (hash-bucketed, no codebook) and accept its recall profile. */
+  private def autoKDedup(vectors: DataFrame): Int = {
+    val n = vectors.count()
+    math.max(2, math.min(4096, math.ceil(n / 256.0).toInt))
+  }
+
   def semDeDup(vectors: DataFrame, tau: Double, numCentroids: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val nc = if (numCentroids > 0) numCentroids else autoK(vectors)
-    val cents = fitCentroids(vectors, nc, idCol = idCol, vecCol = vecCol)
+    val nc = if (numCentroids > 0) numCentroids else autoKDedup(vectors)
+    val cents = fitCentroids(vectors, nc,
+      sampleSize = math.max(4096, 4 * nc), idCol = idCol, vecCol = vecCol)
     val assigned = assignToCentroids(vectors, cents, idCol, vecCol)
     val a = assigned.select(col("cluster_id"),
       col(idCol).as("id_a"), col(vecCol).as("v_a"))

@@ -119,4 +119,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.map(t => (t._1, t._2)).toSeq == Seq(("a.bin", 3L), ("b.bin", 2L)))
     assert(got(0)._3 == Seq[Byte](1, 2, 3))
   }
+
+  test("WavDecoder: generated sine decodes to declared format and physical levels") {
+    val rate = 8000
+    val nFrames = 800
+    val freq = 400.0
+    val wav = Multimodal.generateWav(rate, nFrames, freq, amplitude = 0.5)
+    val f = Multimodal.WavDecoder.decode(MediaRow(3L, "audio/x-wav", nFrames, 1, wav))
+    val Array(ch, sr, frames, dur, rms, peak, zcr) = f.features
+    assert(ch == 1.0 && sr == rate.toDouble && frames == nFrames.toDouble)
+    assert(math.abs(dur - nFrames.toDouble / rate) < 1e-9)
+    // dual-tone at amplitudes (0.4, 0.1): rms = 0.5*sqrt(0.4^2+0.1^2)... for
+    // uncorrelated sines rms^2 = (0.4^2 + 0.1^2)/2; allow generous tolerance
+    val expectedRms = math.sqrt((0.4 * 0.4 + 0.1 * 0.1) / 2)
+    assert(math.abs(rms - expectedRms) < 0.02, s"rms $rms vs $expectedRms")
+    assert(peak <= 0.5 && peak > 0.3)
+    // a 400 Hz tone crosses zero ~2*400 times/sec → zcr ≈ 2*freq/rate
+    assert(math.abs(zcr - 2 * freq / rate) < 0.02, s"zcr $zcr")
+  }
+
+  test("WavDecoder: chunk walking skips unknown chunks; hostile sizes fail fast") {
+    val wav = Multimodal.generateWav(8000, 16, 440.0)
+    // splice an unknown odd-sized chunk between WAVE tag and fmt
+    val junk = "LIST".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 1, 2, 3, 0)
+    val spliced = wav.take(12) ++ junk ++ wav.drop(12)
+    // fix RIFF size field (not validated against total, but keep honest)
+    val f = Multimodal.WavDecoder.decode(MediaRow(1L, "x", 16, 1, spliced))
+    assert(f.features(2) == 16.0)
+    // declared chunk size past payload end must throw, not overrun
+    val evil = wav.clone()
+    evil(40) = -1; evil(41) = -1; evil(42) = -1; evil(43) = 0x7f // data size
+    intercept[IllegalArgumentException] {
+      Multimodal.WavDecoder.decode(MediaRow(1L, "x", 16, 1, evil))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.WavDecoder.decode(MediaRow(1L, "x", 0, 0,
+        "RIFXnope".getBytes("US-ASCII")))
+    }
+  }
+
+  test("wav decode runs distributed with per-id pitch/length") {
+    val media = Multimodal.wavFromDocuments(spark, "/root/testdata/sf0.001")
+    val feats = Multimodal.featurize(media, Multimodal.WavDecoder)
+      .collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val frames = 400 + (f.media_id % 17) * 40
+      assert(f.features(2) == frames.toDouble, s"media ${f.media_id}")
+      assert(f.features(4) > 0.1) // audible signal, not silence
+    }
+  }
 }
