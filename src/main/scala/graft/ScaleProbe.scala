@@ -119,7 +119,11 @@ object ScaleProbe {
       // fit cost is iteration-bounded on the train half; the timed
       // linear component is tokenize+hash+score over the corpus
       "quality_model" -> (d => graft.operators.QualityModel
-        .distill(d, dim = 1 << 12).count()))
+        .distill(d, dim = 1 << 12).count()),
+      // suffixed copies repeat only against their own copy generation,
+      // so repeated-gram volume scales with the corpus, not N²
+      "repeated_spans" -> (d => graft.operators.RepeatedSpans
+        .report(d).filter(col("n_repeated_windows") > 0).count()))
 
     // ---- embedding-input operators: amplified by cyclic coordinate
     // rotation per copy — rotations of distinct 64-dim vectors are

@@ -911,6 +911,12 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // ---- Repeated-passage detection (Lee et al. exact-substring
+    //      approximation): fixed-width token windows hashed to 64-bit,
+    //      cross-doc repetition count, span coverage per doc ----
+    "q91_repeated_spans" -> ((s, dir) =>
+      graft.operators.RepeatedSpans.report(t(s, dir, "documents"))),
+
     // ---- SemDeDup semantic dedup: k-means cells → within-cell exact
     //      cosine pairs → transitive closure → keep the
     //      farthest-from-centroid member per group. Codebook is
@@ -1875,6 +1881,31 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // gram identity travels as xxhash64 on the Spark side; equality of
+    // the report proves the hash introduced no collisions at this SF
+    "q91_repeated_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split_regex(trim(text), '\s+') AS t FROM documents),
+        |wins AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 8 + 2),
+        |      i -> struct_pack(s := i, g := array_to_string(t[i:i+7], ' ')))) AS w_
+        |  FROM toks WHERE len(t) >= 8),
+        |w2 AS (SELECT doc_id, w_.s AS start, w_.g AS gram FROM wins),
+        |rep AS (SELECT gram FROM w2 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |rw AS (SELECT w2.doc_id, w2.start FROM w2 JOIN rep USING (gram)),
+        |cov AS (
+        |  SELECT doc_id, CAST(count(DISTINCT pos) AS BIGINT) AS covered_tokens,
+        |         CAST(count(DISTINCT start) AS BIGINT) AS n_repeated_windows
+        |  FROM (SELECT doc_id, start, unnest(range(start, start + 8)) AS pos FROM rw)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(greatest(len(t.t) - 7, 0) AS BIGINT) AS n_windows,
+        |  COALESCE(c.n_repeated_windows, 0) AS n_repeated_windows,
+        |  COALESCE(c.covered_tokens, 0) AS covered_tokens,
+        |  ROUND(COALESCE(c.covered_tokens, 0) * 1.0 / greatest(len(t.t), 1), 4)
+        |    AS repeated_fraction
+        |FROM toks t LEFT JOIN cov c USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // the post-delete snapshot must equal a plain NOT-BETWEEN filter —
     // the file-pruned rewrite is invisible to the result

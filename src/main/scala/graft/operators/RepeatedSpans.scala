@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Repeated-passage detection — the span-level complement of doc-level
+  * dedup, following the public exact-substring-dedup formulation of
+  * Lee et al. ("Deduplicating Training Data Makes Language Models
+  * Better", ACL 2022): a passage is suspect when the SAME token window
+  * recurs across documents, even though the documents as wholes are
+  * distinct (boilerplate, licenses, navigation chrome). Their suffix
+  * array over the concatenated corpus doesn't distribute naturally;
+  * the standard distributed approximation is fixed-width token
+  * windows — a window of `w` tokens repeated across `minDocs`
+  * documents witnesses a repeated substring of at least `w` tokens.
+  *
+  * Scale shape: window extraction is map-only (per-row lambda over the
+  * token array, one output row per token position — same linear
+  * explode as chunking/decontamination). Repetition counting shuffles
+  * 16-byte (hash, doc) pairs — never gram STRINGS: windows travel as
+  * `xxhash64` of the joined tokens, so shuffle width is independent of
+  * `w` (a 64-bit collision needs ~2^32 distinct grams in one corpus;
+  * at that scale switch the hash to a 128-bit pair before this
+  * becomes thinkable). The rejoin is an equi-join on the hash, and
+  * span coverage (distinct token positions under any repeated window)
+  * is one more keyed aggregate — three shuffles total, all on narrow
+  * rows, regardless of document width.
+  */
+object RepeatedSpans {
+
+  /** Per-document repetition report: window counts, repeated-window
+    * counts, and the fraction of token positions covered by at least
+    * one cross-document repeated window. Documents shorter than `w`
+    * tokens report zeros (nothing to witness). */
+  def report(docs: DataFrame, w: Int = 8, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // stage tokens once (Filter+Project don't share subexpressions)
+    val toks = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+    // one hash per window start, 1-based to mirror SQL slice semantics
+    val wins = toks
+      .filter(col("__n") >= w)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), col("__n") - w + 1),
+          i => xxhash64(concat_ws(" ", slice(col("__t"), i, lit(w)))))))
+      .select(col(idCol), (col("pos") + 1).as("__start"), col("col").as("__gh"))
+    // cross-document repetition: distinct-doc count per window hash
+    val repeated = wins
+      .groupBy("__gh")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select("__gh")
+    val repWins = wins.join(repeated, Seq("__gh"))
+    // coverage: distinct token positions under any repeated window
+    val coverage = repWins
+      .select(col(idCol), col("__start"),
+        explode(sequence(col("__start"), col("__start") + w - 1)).as("__pos"))
+      .groupBy(idCol)
+      .agg(countDistinct(col("__pos")).as("covered_tokens"),
+        countDistinct(col("__start")).as("n_repeated_windows"))
+    toks.join(coverage, Seq(idCol), "left")
+      .select(col(idCol),
+        col("__n").cast("bigint").as("n_tokens"),
+        greatest(col("__n") - w + 1, lit(0)).cast("bigint").as("n_windows"),
+        coalesce(col("n_repeated_windows"), lit(0L)).as("n_repeated_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)) /
+          greatest(col("__n"), lit(1)).cast("double"), 4)
+          .as("repeated_fraction"))
+      .orderBy(idCol)
+  }
+}
