@@ -69,15 +69,23 @@ object ChangeFeed {
       toV: Int): DataFrame = {
     require(fromV <= toV, s"fromV $fromV must be <= toV $toV")
     val delta = dirDelta(spark, path, fromV, toV)
-    // schema holder: an empty slice of the target snapshot (both
-    // snapshots of one table share a schema up to merge-time sync)
+    // the feed speaks the TARGET version's schema: pre-evolution
+    // directories align by null-backfilling absent columns and casting
+    // widened ones (same contract as the snapshot read); columns
+    // DROPPED by the evolution don't participate in change identity
     val schemaDf = TableLog.read(spark, path, Some(toV)).limit(0)
     val cols = schemaDf.columns.toSeq
     def side(dirs: Seq[String], sign: Int): DataFrame =
       if (dirs.isEmpty) schemaDf.withColumn("__side", lit(sign))
-      else spark.read.parquet(dirs.map(d => s"$path/$d"): _*)
-        .select(cols.map(col): _*) // positional parity for unionByName
-        .withColumn("__side", lit(sign))
+      else {
+        val raw = spark.read.option("mergeSchema", "true")
+          .parquet(dirs.map(d => s"$path/$d"): _*)
+        val have = raw.columns.toSet
+        raw.select(schemaDf.schema.fields.toSeq.map { f =>
+          (if (have.contains(f.name)) col(f.name).cast(f.dataType)
+           else lit(null).cast(f.dataType)).as(f.name)
+        }: _*).withColumn("__side", lit(sign))
+      }
     val rowStruct = struct(cols.map(col): _*)
     side(delta.added, 1).unionByName(side(delta.removed, -1))
       .groupBy(xxhash64(to_json(rowStruct,

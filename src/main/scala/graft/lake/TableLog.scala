@@ -81,12 +81,22 @@ object TableLog {
     }
   }
 
-  /** Snapshot read. `version = None` reads the latest commit. */
+  /** Snapshot read. `version = None` reads the latest commit.
+    *
+    * `mergeSchema` because a snapshot's directories may span a schema
+    * change: `commitAppend` after an evolved-schema merge carries the
+    * pre-evolution directories forward verbatim (that's the point — no
+    * rewrite), so the snapshot's schema is the UNION of its files'
+    * schemas, with absent columns null-backfilled — the
+    * `sync_all_columns` read contract (reference
+    * `dbt/dbt_project.yml:15`). Without it Spark takes one file's
+    * footer as the schema and silently drops the evolved columns. */
   def read(spark: SparkSession, path: String,
       version: Option[Int] = None): DataFrame = {
     val commit = resolve(spark, path, version)
     require(commit.dirs.nonEmpty, s"version ${commit.version} is an empty snapshot")
-    spark.read.parquet(commit.dirs.map(d => s"$path/$d"): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(commit.dirs.map(d => s"$path/$d"): _*)
   }
 
   /** Metadata-only row count from manifest stats — `SELECT count(*)`

@@ -97,6 +97,29 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(TableLog.latestVersion(spark, path).contains(before))
   }
 
+  test("schema evolution: snapshot read unions file schemas; feed speaks the target schema") {
+    val path = freshPath()
+    TableLog.commitAppend(spark, path, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // evolved merge: adds column `extra`; pre-evolution rows backfill null
+    TableLog.commitMerge(spark, path,
+      Seq((2L, "B2", Some("x")), (3L, "c", None: Option[String]))
+        .toDF("id", "v", "extra"), Seq("id"))
+    val snap = TableLog.read(spark, path)
+    assert(snap.columns.toSeq == Seq("id", "v", "extra"))
+    assert(snap.count() == 3)
+    // evolved append: snapshot now spans directories with BOTH schemas
+    TableLog.commitAppend(spark, path,
+      Seq((4L, "d", Some("y"))).toDF("id", "v", "extra"))
+    assert(TableLog.read(spark, path).count() == 4)
+    // feed across the evolution boundary: unchanged row 1 nets out
+    // (null-backfilled on both sides), update appears as a pair
+    val f = ChangeFeed.changes(spark, path, 1, 2)
+      .as[(Long, String, Option[String], String, Long)].collect().toSet
+    assert(f == Set(
+      (2L, "b", None, "delete", 1L), (2L, "B2", Some("x"), "insert", 1L),
+      (3L, "c", None, "insert", 1L)))
+  }
+
   test("commitDelete keeps NULL predicate-column rows (range semantics)") {
     val path = freshPath()
     TableLog.commitOverwrite(spark, path,
