@@ -135,6 +135,12 @@ object ScaleProbe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val embDim = embBase.select(size(col("embedding"))).first().getInt(0)
     val embShift = embBase.agg(max("vec_id")).collect()(0).getLong(0) + 1L
+    // the rotation cycle repeats at embDim copies — beyond that, later
+    // generations would be EXACT duplicates of earlier ones, creating
+    // the artifactual near-dup pairs the disjointness rule excludes
+    require(factor <= embDim,
+      s"embedding amplification factor $factor exceeds embDim $embDim — " +
+        "rotation would cycle and generations would collide")
     val embBig = (0 until factor).map { i =>
       val rot = i % embDim
       embBase.select((col("vec_id") + lit(i * embShift)).as("vec_id"),

@@ -87,8 +87,24 @@ object ChangeFeed {
         }: _*).withColumn("__side", lit(sign))
       }
     val rowStruct = struct(cols.map(col): _*)
+    // change identity hashes a CANONICAL form, not the raw row: map
+    // columns sort by key (map key order is storage-dependent) and
+    // float/double columns collapse -0.0 to 0.0 (+0.0 is an IEEE
+    // identity except on -0.0), so a pure rewrite of logically-equal
+    // rows nets out instead of emitting spurious delete+insert pairs.
+    // Maps/floats NESTED inside structs/arrays are not normalized —
+    // documented limitation (none of the lake's schemas nest them).
+    val fpStruct = struct(schemaDf.schema.fields.toSeq.map { f =>
+      (f.dataType match {
+        case _: org.apache.spark.sql.types.MapType =>
+          array_sort(map_entries(col(f.name)))
+        case org.apache.spark.sql.types.DoubleType => col(f.name) + lit(0.0d)
+        case org.apache.spark.sql.types.FloatType  => col(f.name) + lit(0.0f)
+        case _ => col(f.name)
+      }).as(f.name)
+    }: _*)
     side(delta.added, 1).unionByName(side(delta.removed, -1))
-      .groupBy(xxhash64(to_json(rowStruct,
+      .groupBy(xxhash64(to_json(fpStruct,
         Map("ignoreNullFields" -> "false"))).as("__fp"))
       .agg(sum(col("__side")).as("__delta"),
         first(rowStruct).as("__row"))

@@ -127,7 +127,19 @@ object TableLog {
       .filter(TableStats.mightMatch(_, colName, lo, hi))
       .map(f => s"$path/${f.file}")
     if (kept.isEmpty) read(spark, path, version).where(lit(false))
-    else spark.read.parquet(kept: _*).where(residual)
+    else {
+      // same union-schema contract as read(): the kept files may span a
+      // schema evolution, and a column present only in PRUNED files must
+      // still appear (null-backfilled) or readWhere != read().filter()
+      val snapshot = read(spark, path, version).schema
+      val pruned = spark.read.option("mergeSchema", "true").parquet(kept: _*)
+      val present = pruned.columns.toSet
+      val aligned = pruned.select(snapshot.fields.map { fld =>
+        if (present(fld.name)) col(fld.name)
+        else lit(null).cast(fld.dataType).as(fld.name)
+      }.toIndexedSeq: _*)
+      aligned.where(residual)
+    }
   }
 
   /** (files kept, files total) that [[readWhere]] would open — the
@@ -325,7 +337,12 @@ object TableLog {
         return last // stats prove nothing matches: delete is a no-op
       val carriedStats = last.stats.filter(f =>
         carried.exists(d => f.file.startsWith(d + "/")))
-      val remaining = spark.read.parquet(touched.map(d => s"$path/$d"): _*)
+      // mergeSchema: touched dirs can span a schema evolution (appends
+      // carry pre-evolution dirs forward), and inferring one file's
+      // footer schema here would silently DROP evolved columns from the
+      // rewritten rows — permanent loss in the post-delete snapshot
+      val remaining = spark.read.option("mergeSchema", "true")
+        .parquet(touched.map(d => s"$path/$d"): _*)
         .where(not(coalesce(col(colName).between(lit(lo), lit(hi)), lit(false))))
       val (dir, dirStats) = writeData(spark, path, remaining, v)
       val dirs = Seq(dir) ++ carried

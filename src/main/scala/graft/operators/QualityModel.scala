@@ -23,10 +23,11 @@ import graft.functions.TextFunctions
   * and scores map-only, no shuffle.
   *
   * 100 TB shape:
-  *   - FIT runs on a bounded deterministic sample
-  *     ([[trainSplit]]: md5-prefix hash split, the same reproducible
-  *     split primitive as [[Sampling]]) — L-BFGS iterations each cost
-  *     one treeAggregate over the SAMPLE, never the corpus.
+  *   - FIT runs on a bounded deterministic sample: [[distill]] caps the
+  *     train set at `maxTrain` rows ABSOLUTE (the md5 threshold shrinks
+  *     with corpus size — same bounded-sample discipline as
+  *     [[Similarity.fitCentroids]]), so L-BFGS iterations each cost one
+  *     treeAggregate over ≤`maxTrain` rows, never the corpus.
   *   - SCORE is embarrassingly parallel: hashing trick (fixed `dim`,
   *     no vocabulary shuffle, no fit-time state on the score path) +
   *     a broadcast coefficient vector. Scoring 100 TB is one map pass.
@@ -43,10 +44,12 @@ object QualityModel {
     (TextFunctions.qualityScore(text) >= tau).cast("double")
 
   /** Deterministic fit/score membership: md5-prefix split, reproducible
-    * across engines and runs (never `rand()`). */
+    * across engines and runs (never `rand()`). 8 hex digits = 2^32
+    * buckets, so even a 200k-of-10^11-docs fraction (~2e-6) still
+    * resolves to thousands of buckets. */
   def trainSplit(idCol: Column, trainFraction: Double = 0.5): Column =
-    conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10)
-      .cast("long") < lit((trainFraction * 65536).toLong)
+    conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+      .cast("long") < lit((trainFraction * 4294967296.0).toLong)
 
   private def featurize(docs: DataFrame, textCol: String,
       dim: Int): DataFrame =
@@ -58,9 +61,18 @@ object QualityModel {
   /** Fit a regularized logistic model of `labelCol` over hashed token
     * counts. `dim` trades collision noise for coefficient size: 2^18
     * floats ≈ 2 MB broadcast at corpus scale; tests use smaller. */
+  /** Pack the train sample into ~25k-row tasks, clamped to [1, 64] —
+    * proportional to the actual sample, never a fixed funnel. */
+  private def packPartitions(trainRows: Long): Int =
+    math.max(1, math.min(64, math.ceil(trainRows / 25000.0).toInt))
+
+  /** `trainRows` is the caller's known train-set size (skips a count
+    * job when ≥ 0); it only sizes the partition packing, never
+    * membership. */
   def fit(train: DataFrame, textCol: String = "text",
       labelCol: String = "label", dim: Int = 1 << 12,
-      regParam: Double = 1e-3, maxIter: Int = 20): Fitted = {
+      regParam: Double = 1e-3, maxIter: Int = 20,
+      trainRows: Long = -1L): Fitted = {
     // each L-BFGS iteration is one treeAggregate job over the train
     // sample; a loose tol + bounded iters caps the job count — with
     // ridge regularization the weak-label objective converges to
@@ -69,13 +81,16 @@ object QualityModel {
       .setFeaturesCol("__features").setLabelCol(labelCol)
       .setRegParam(regParam).setMaxIter(maxIter).setTol(1e-4)
       .setStandardization(false)
-    // the train split is sample-scale, but each L-BFGS step is a
-    // treeAggregate over it — at the session's shuffle parallelism
-    // that's scheduling-overhead-dominated. Pack the sample into a few
-    // dense partitions so the iteration loop pays per-iteration work,
-    // not per-iteration task dispatch. (On a real cluster the sample
-    // is still tiny relative to executors; same reasoning holds.)
-    val packed = featurize(train, textCol, dim).coalesce(8)
+    // the train sample is small relative to the corpus, but each L-BFGS
+    // step is a treeAggregate over it — at the session's shuffle
+    // parallelism that's scheduling-overhead-dominated. Pack the sample
+    // into partitions sized FROM the sample (one count if the caller
+    // didn't pass it) so the iteration loop pays per-iteration work,
+    // not per-iteration task dispatch — and so an unexpectedly large
+    // train set widens instead of funneling into a fixed task count.
+    val rows = if (trainRows >= 0L) trainRows else train.count()
+    val packed = featurize(train, textCol, dim)
+      .coalesce(packPartitions(rows))
     Fitted(lr.fit(packed), dim, textCol)
   }
 
@@ -89,17 +104,25 @@ object QualityModel {
       .drop("__toks", "__features", "rawPrediction", "probability",
         "prediction")
 
-  /** End-to-end weak-supervision run: label heuristically, fit on the
-    * md5-split train half, score ALL rows. Returns per-doc
+  /** End-to-end weak-supervision run: label heuristically, fit on a
+    * BOUNDED md5-split train sample, score ALL rows. The train set is
+    * capped at `maxTrain` rows absolute: the split fraction is
+    * min(0.5, maxTrain/N), so on a small corpus it's the familiar
+    * half-split and at 100 TB it's a fixed-size sample — a linear model
+    * over hashed bag-of-words saturates long before 200k docs, and the
+    * fit cost must not scale with the corpus. Returns per-doc
     * (id, weak_label, model_pred, p_good, is_train). */
   def distill(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", tau: Double = 0.75,
-      dim: Int = 1 << 12): DataFrame = {
+      dim: Int = 1 << 12, maxTrain: Long = 200000L): DataFrame = {
+    require(maxTrain >= 1, "maxTrain must be >= 1")
+    val n = docs.count()
+    val frac = if (n == 0) 0.5 else math.min(0.5, maxTrain.toDouble / n)
     val labeled = docs
       .withColumn("weak_label", weakLabel(col(textCol), tau))
-      .withColumn("is_train", trainSplit(col(idCol)))
+      .withColumn("is_train", trainSplit(col(idCol), frac))
     val fitted = fit(labeled.filter(col("is_train")), textCol,
-      "weak_label", dim)
+      "weak_label", dim, trainRows = math.min(maxTrain, (n + 1) / 2))
     score(labeled, fitted)
       .select(col(idCol), col("weak_label").cast("long").as("weak_label"),
         col("model_pred"), col("p_good"), col("is_train"))

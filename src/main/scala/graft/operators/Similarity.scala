@@ -242,7 +242,10 @@ object Similarity {
     * codegen'd per-row against the broadcast codebook; the only
     * data-scale shuffles are the cell equi-join, the log-round
     * component contraction, and one window over dup groups (group
-    * cardinality, not corpus cardinality, bounds the skew). Recall < 1
+    * cardinality, not corpus cardinality, bounds the skew). Cells
+    * larger than `maxCell` never go all-pairs — they fall back to
+    * sorted-neighborhood candidates ([[sortedNeighborhoodPairs]]), so a
+    * degenerate embedding cluster costs O(m·win), not O(m²). Recall < 1
     * for dup pairs split across cells — the documented SemDeDup
     * trade; raise `numCentroids` to shrink cells, lower it to shrink
     * the split risk.
@@ -262,7 +265,39 @@ object Similarity {
     math.max(2, math.min(4096, math.ceil(n / 256.0).toInt))
   }
 
+  /** Sorted-neighborhood candidate pairs for a SKEWED cell population:
+    * rank members by (hyperplane signature, id) and pair each row with
+    * its next `win` neighbors — O(m·win) pairs instead of the all-pairs
+    * O(m²). The degenerate mass semDeDup exists to kill (near-identical
+    * embeddings: empty docs, boilerplate, template farms) collapses to
+    * EQUAL signatures, so its members rank contiguously and the chain
+    * pairs (i, i+1) alone keep the whole run transitively connected —
+    * bounded work without losing the dup group. Mid-similarity pairs
+    * further than `win` apart in signature order are the recall trade,
+    * same contract as every banded tier here. The rank itself sorts one
+    * partition per oversized cell over (id, sig) rows only (~24 B/row —
+    * vectors re-attach per emitted pair, never travel through the
+    * sort); pair generation re-distributes on (cell, rank). */
+  private[graft] def sortedNeighborhoodPairs(members: DataFrame,
+      dim: Int, win: Int, seed: Long,
+      idCol: String, vecCol: String): DataFrame = {
+    val sigd = members.select(col("cluster_id"), col(idCol),
+      graft.functions.HyperplaneSignature
+        .hyperplaneSignature(col(vecCol), numBits = 64, dim = dim, seed = seed)
+        .as("__sig"))
+    val w = Window.partitionBy("cluster_id").orderBy(col("__sig"), col(idCol))
+    val ranked = sigd.withColumn("__rn", row_number().over(w))
+    val anchors = ranked.select(col("cluster_id"), col(idCol).as("__id_x"),
+      explode(sequence(col("__rn") + 1, col("__rn") + lit(win))).as("__rn_y"))
+    val partners = ranked.select(col("cluster_id"),
+      col("__rn").as("__rn_y"), col(idCol).as("__id_y"))
+    anchors.join(partners, Seq("cluster_id", "__rn_y"))
+      .select(least(col("__id_x"), col("__id_y")).as("id_a"),
+        greatest(col("__id_x"), col("__id_y")).as("id_b"))
+  }
+
   def semDeDup(vectors: DataFrame, tau: Double, numCentroids: Int = 0,
+      maxCell: Int = 4096, neighborWindow: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
@@ -270,14 +305,35 @@ object Similarity {
     val cents = fitCentroids(vectors, nc,
       sampleSize = math.max(4096, 4 * nc), idCol = idCol, vecCol = vecCol)
     val assigned = assignToCentroids(vectors, cents, idCol, vecCol)
-    val a = assigned.select(col("cluster_id"),
+    // Skew guard: autoKDedup pins the EXPECTED cell at ~256 members, but
+    // k-means cells skew — a degenerate embedding cluster can put
+    // millions of rows in one cell, turning the within-cell join into
+    // O(m²) on a single key. Cells over `maxCell` switch from all-pairs
+    // to sorted-neighborhood candidates (the text tier's maxBucket
+    // analog, but connectivity-preserving instead of dropping the
+    // bucket). The cell-size agg is one k-row broadcast.
+    val cellSizes = assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).as("__cell_n"))
+    val withN = assigned.join(broadcast(cellSizes), Seq("cluster_id"))
+    val smallCells = withN.filter(col("__cell_n") <= maxCell).drop("__cell_n")
+    val bigCells = withN.filter(col("__cell_n") > maxCell).drop("__cell_n")
+    val a = smallCells.select(col("cluster_id"),
       col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = assigned.select(col("cluster_id"),
+    val b = smallCells.select(col("cluster_id"),
       col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    val pairs = a.join(b, Seq("cluster_id"))
+    val smallPairs = a.join(b, Seq("cluster_id"))
       .filter(col("id_a") < col("id_b"))
       .filter(cosine(col("v_a"), col("v_b")) >= tau)
       .select("id_a", "id_b")
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    val bigCand = sortedNeighborhoodPairs(bigCells, dim,
+      neighborWindow, seed = 7L, idCol = idCol, vecCol = vecCol)
+    val va = vectors.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val vb = vectors.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val bigPairs = bigCand.join(va, "id_a").join(vb, "id_b")
+      .filter(cosine(col("v_a"), col("v_b")) >= tau)
+      .select("id_a", "id_b")
+    val pairs = smallPairs.unionByName(bigPairs)
     val groups = DupClusters.clusterDocuments(vectors, pairs, idCol)
       .withColumnRenamed("cluster_id", "group_id")
       .withColumnRenamed("cluster_size", "group_size")

@@ -68,6 +68,24 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("delete", "insert"))
   }
 
+  test("pure rewrite with -0.0 vs 0.0 doubles nets out (canonical fingerprint)") {
+    val path = freshPath()
+    TableLog.commitOverwrite(spark, path,
+      Seq((1L, -0.0d), (2L, 1.5d)).toDF("id", "d"))
+    TableLog.commitOverwrite(spark, path,
+      Seq((1L, 0.0d), (2L, 1.5d)).toDF("id", "d"))
+    assert(ChangeFeed.changes(spark, path, 1, 2).isEmpty)
+  }
+
+  test("map column key order does not affect change identity") {
+    val path = freshPath()
+    TableLog.commitOverwrite(spark, path, spark.range(1)
+      .select(col("id"), map(lit("a"), lit(1), lit("b"), lit(2)).as("m")))
+    TableLog.commitOverwrite(spark, path, spark.range(1)
+      .select(col("id"), map(lit("b"), lit(2), lit("a"), lit(1)).as("m")))
+    assert(ChangeFeed.changes(spark, path, 1, 2).isEmpty)
+  }
+
   test("commitDelete feed reads only rewritten dirs (stats pruning carries the rest)") {
     val path = freshPath()
     // two range-disjoint append commits → two dirs with disjoint id stats
@@ -118,6 +136,27 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(f == Set(
       (2L, "b", None, "delete", 1L), (2L, "B2", Some("x"), "insert", 1L),
       (3L, "c", None, "insert", 1L)))
+  }
+
+  test("commitDelete preserves evolved columns when touched dirs span a schema change") {
+    val path = freshPath()
+    // dir 1: pre-evolution schema (id, v), ids 1..10
+    TableLog.commitAppend(spark, path,
+      (1L to 10L).map(i => (i, s"old$i")).toDF("id", "v").coalesce(1))
+    // dir 2: evolved schema (id, v, extra), ids 5..15 — ranges overlap,
+    // so a delete in the overlap touches BOTH dirs
+    TableLog.commitAppend(spark, path,
+      (5L to 15L).map(i => (i, s"new$i", Some(s"e$i"))).toDF("id", "v", "extra")
+        .coalesce(1))
+    TableLog.commitDelete(spark, path, "id", 8L, 9L)
+    val snap = TableLog.read(spark, path)
+    assert(snap.columns.toSet == Set("id", "v", "extra"))
+    // the rewrite must NOT have dropped `extra` from surviving evolved rows
+    val extras = snap.where(col("extra").isNotNull)
+      .select("extra").as[String].collect().toSet
+    assert(extras == (5L to 15L).filterNot(i => i == 8L || i == 9L)
+      .map(i => s"e$i").toSet)
+    assert(snap.count() == 10 + 11 - 4) // ids 8,9 deleted from both dirs
   }
 
   test("commitDelete keeps NULL predicate-column rows (range semantics)") {

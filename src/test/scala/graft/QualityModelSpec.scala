@@ -45,6 +45,17 @@ class QualityModelSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"score path shuffles:\n$plan")
   }
 
+  test("distill caps the train set at maxTrain (absolute, not a fraction)") {
+    val out = QualityModel.distill(corpus, dim = 1 << 10, maxTrain = 40L)
+      .cache()
+    val nTrain = out.filter(col("is_train")).count()
+    // expected ≈ 40 of 200 (frac 0.2); binomial spread stays well clear
+    // of the half-split's ≈100
+    assert(nTrain >= 10 && nTrain <= 80, s"train set $nTrain not bounded")
+    assert(out.count() == 200, "scoring must still cover every row")
+    out.unpersist()
+  }
+
   test("trainSplit is deterministic and roughly balanced") {
     val ids = (0L until 2000L).toDF("id")
     val frac = ids.filter(QualityModel.trainSplit(col("id"), 0.5)).count()

@@ -76,6 +76,42 @@ class SemDeDupSpec extends AnyFunSuite {
       assert(exact.exists(e => g.subsetOf(e)), s"group $g spans exact groups"))
   }
 
+  test("pathological cell: identical-embedding mass stays one group with bounded pairs") {
+    // 2000 identical embeddings + 20 distinct directions — the exact
+    // degenerate cluster the skew cap exists for. With maxCell = 100
+    // the big cell must take the sorted-neighborhood path.
+    val ident = (0L until 2000L).map { i =>
+      (i, Seq.fill(dim)(1.0f / math.sqrt(dim.toFloat).toFloat))
+    }
+    val distinct = (0 until 20).map { g =>
+      val v = Array.fill(dim)(0.0f); v(g % dim) = if (g < dim) 1.0f else -1.0f
+      ((10000 + g).toLong, v.toSeq)
+    }
+    val vecs = (ident ++ distinct).toDF("vec_id", "embedding")
+    val out = Similarity.semDeDup(vecs, tau = 0.999, numCentroids = 8,
+      maxCell = 100, neighborWindow = 4).cache()
+    assert(out.count() == 2020)
+    // the identical mass is transitively chained into ONE group that
+    // keeps exactly one survivor
+    val identGroups = out.filter(col("vec_id") < 2000L)
+      .select("group_id").distinct().count()
+    assert(identGroups == 1L, s"identical mass split into $identGroups groups")
+    assert(out.filter(col("vec_id") < 2000L && col("keep")).count() == 1L)
+    out.unpersist()
+  }
+
+  test("sorted-neighborhood candidate count is O(m·win), never O(m²)") {
+    val m = 500
+    val members = (0L until m.toLong)
+      .map(i => (0L, i, Seq.fill(dim)(0.5f)))
+      .toDF("cluster_id", "vec_id", "embedding")
+    val win = 4
+    val n = Similarity.sortedNeighborhoodPairs(members, dim, win,
+      seed = 7L, idCol = "vec_id", vecCol = "embedding").count()
+    assert(n <= m.toLong * win, s"$n pairs exceeds m*win = ${m * win}")
+    assert(n >= m - 1, "chain pairs must at least connect the run")
+  }
+
   test("survivor is the group member farthest from its centroid") {
     val out = Similarity.semDeDup(vectors, tau = 0.99, numCentroids = 6)
       .as[(Long, Long, Long, Double, Boolean)].collect()

@@ -101,6 +101,27 @@ class TableStatsSpec extends AnyFunSuite {
     assert(TableLog.countRows(spark, path).contains(400L))
   }
 
+  test("readWhere speaks the snapshot union schema across an evolution") {
+    val path = freshPath()
+    // dir 1: (id, v), ids 1..100; dir 2: evolved (id, v, extra), 1000..1100
+    TableLog.commitAppend(spark, path,
+      (1L to 100L).map(i => (i, s"lo$i")).toDF("id", "v").coalesce(1))
+    TableLog.commitAppend(spark, path,
+      (1000L to 1100L).map(i => (i, s"hi$i", Some(s"e$i")))
+        .toDF("id", "v", "extra").coalesce(1))
+    val full = TableLog.read(spark, path)
+    // prune down to the PRE-evolution dir: `extra` lives only in pruned
+    // files, yet must still appear null-backfilled (read().filter parity)
+    val low = TableLog.readWhere(spark, path, "id", 10L, 20L)
+    assert(low.columns.toSeq == full.columns.toSeq)
+    assert(low.count() == 11L && low.where(col("extra").isNull).count() == 11L)
+    // prune down to the evolved dir: values survive
+    val hi = TableLog.readWhere(spark, path, "id", 1010L, 1020L)
+    assert(hi.columns.toSeq == full.columns.toSeq)
+    assert(hi.select("extra").as[String].collect().toSet ==
+      (1010L to 1020L).map(i => s"e$i").toSet)
+  }
+
   test("nulls never break pruning; stats-less manifests degrade to full scan") {
     val path = freshPath()
     val df = Seq((Some(1L), "a"), (None, "b"), (Some(5L), "c"))
