@@ -917,6 +917,12 @@ object SparkEntry {
     "q91_repeated_spans" -> ((s, dir) =>
       graft.operators.RepeatedSpans.report(t(s, dir, "documents"))),
 
+    // ---- Repeated-span EXCISION: the cleaned corpus the report
+    //      diagnoses — keep-one-copy (first witness by (doc, start)),
+    //      union of overlapping spans removed, token-level rebuild ----
+    "q92_span_excision" -> ((s, dir) =>
+      graft.operators.RepeatedSpans.excise(t(s, dir, "documents"))),
+
     // ---- SemDeDup semantic dedup: k-means cells → within-cell exact
     //      cosine pairs → transitive closure → keep the
     //      farthest-from-centroid member per group. Codebook is
@@ -1906,6 +1912,38 @@ object SparkEntry {
         |  ROUND(COALESCE(c.covered_tokens, 0) * 1.0 / greatest(len(t.t), 1), 4)
         |    AS repeated_fraction
         |FROM toks t LEFT JOIN cov c USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // same window/gram identity as q91; witness = first occurrence by
+    // (doc, start); a position is removed iff under a non-witness
+    // occurrence and no witness occurrence; DuckDB list lambdas take a
+    // 1-based index, matching the 1-based window positions
+    "q92_span_excision" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split_regex(trim(text), '\s+') AS t FROM documents),
+        |wins AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 8 + 2),
+        |      i -> struct_pack(s := i, g := array_to_string(t[i:i+7], ' ')))) AS w_
+        |  FROM toks WHERE len(t) >= 8),
+        |w2 AS (SELECT doc_id, w_.s AS start, w_.g AS gram FROM wins),
+        |rep AS (SELECT gram FROM w2 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |occ AS (
+        |  SELECT w2.doc_id, w2.start,
+        |    (row_number() OVER (PARTITION BY w2.gram ORDER BY w2.doc_id, w2.start)) = 1
+        |      AS is_wit
+        |  FROM w2 JOIN rep USING (gram)),
+        |pos AS (
+        |  SELECT doc_id, unnest(range(start, start + 8)) AS p, is_wit FROM occ),
+        |rm AS (
+        |  SELECT doc_id, p FROM pos GROUP BY doc_id, p
+        |  HAVING bool_or(NOT is_wit) AND NOT bool_or(is_wit)),
+        |rml AS (SELECT doc_id, list(p) AS rm_pos FROM rm GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(len(r.rm_pos), 0) AS BIGINT) AS n_removed,
+        |  COALESCE(array_to_string(list_filter(t.t,
+        |    (x, i) -> NOT COALESCE(list_contains(r.rm_pos, i), FALSE)), ' '), '')
+        |    AS cleaned_text
+        |FROM toks t LEFT JOIN rml r USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // the post-delete snapshot must equal a plain NOT-BETWEEN filter —
     // the file-pruned rewrite is invisible to the result

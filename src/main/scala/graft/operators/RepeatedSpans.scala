@@ -74,4 +74,76 @@ object RepeatedSpans {
           .as("repeated_fraction"))
       .orderBy(idCol)
   }
+
+  /** Repeated-span EXCISION — act on what [[report]] measures: emit the
+    * cleaned corpus with cross-document repeated passages removed,
+    * keeping exactly one copy (Lee et al.'s dedup semantics, not just
+    * their diagnosis). Rules:
+    *
+    *  - a window (w tokens) is repeated when it occurs in ≥ `minDocs`
+    *    distinct docs;
+    *  - each repeated gram elects ONE witness occurrence — the globally
+    *    first by (doc, start) — which keeps its tokens (keep-one-copy);
+    *  - a token position is excised iff it lies under a non-witness
+    *    occurrence and under NO witness occurrence in its doc (witness
+    *    spans are protected, so the kept copy is never mutilated by an
+    *    overlapping occurrence of a different gram);
+    *  - overlapping excised windows remove the union of their
+    *    positions, never double-count;
+    *  - surviving tokens re-join with single spaces (token-level
+    *    reconstruction — the same whitespace normalization as every
+    *    text operator here).
+    *
+    * Scale shape: identical to [[report]] (windows travel as 16-byte
+    * hash rows) plus one w-row-per-gram witness aggregate (min-struct,
+    * partial-aggregated) and a per-(doc, position) keyed aggregate —
+    * position volume is w× the repeated subset only. The removed-set
+    * `collect_set` is per-doc and bounded by document length, the same
+    * bound as chunking.
+    *
+    * Returns (id, n_tokens, n_removed, cleaned_text) for EVERY doc. */
+  def excise(docs: DataFrame, w: Int = 8, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toks = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+    val wins = toks
+      .filter(col("__n") >= w)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), col("__n") - w + 1),
+          i => xxhash64(concat_ws(" ", slice(col("__t"), i, lit(w)))))))
+      .select(col(idCol), (col("pos") + 1).as("__start"), col("col").as("__gh"))
+    // repeated grams, each with its keep-first witness occurrence
+    // (min over (doc, start) structs — field order IS the ordering)
+    val repeated = wins
+      .groupBy("__gh")
+      .agg(countDistinct(col(idCol)).as("__df"),
+        min(struct(col(idCol).as("d"), col("__start").as("s"))).as("__wit"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__gh"), col("__wit.d").as("__wit_doc"),
+        col("__wit.s").as("__wit_start"))
+    val occ = wins.join(repeated, Seq("__gh"))
+      .withColumn("__is_wit",
+        col(idCol) === col("__wit_doc") && col("__start") === col("__wit_start"))
+    // per (doc, position): witness-covered wins over nonwitness-covered
+    val removedPos = occ
+      .select(col(idCol), col("__is_wit"),
+        explode(sequence(col("__start"), col("__start") + w - 1)).as("__pos"))
+      .groupBy(col(idCol), col("__pos"))
+      .agg(max(when(col("__is_wit"), 1).otherwise(0)).as("__w"),
+        max(when(!col("__is_wit"), 1).otherwise(0)).as("__nw"))
+      .filter(col("__nw") === 1 && col("__w") === 0)
+      .groupBy(idCol)
+      .agg(collect_set(col("__pos")).as("__rm"))
+    toks.join(removedPos, Seq(idCol), "left")
+      .withColumn("__rm", coalesce(col("__rm"), lit(Array.empty[Int])))
+      .select(col(idCol),
+        col("__n").cast("bigint").as("n_tokens"),
+        size(col("__rm")).cast("bigint").as("n_removed"),
+        concat_ws(" ", filter(col("__t"),
+          (_, i) => !array_contains(col("__rm"), i + 1))).as("cleaned_text"))
+      .orderBy(idCol)
+  }
 }

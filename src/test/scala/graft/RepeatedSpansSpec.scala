@@ -46,6 +46,48 @@ class RepeatedSpansSpec extends AnyFunSuite {
     assert(out.length == 2)
   }
 
+  test("excise keeps one copy: first (doc, start) witness survives, later copies go") {
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler delta epsilon"),
+      (2L, s"one two three four five six $boiler"),
+      (3L, "totally unique words nothing shared here at all today ok fine"))
+      .toDF("doc_id", "text")
+    val out = RepeatedSpans.excise(docs, w = 8, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // doc 1 is the witness (lowest doc_id): keeps everything
+    assert(out(1)._3 == 0L)
+    assert(out(1)._4 == s"alpha beta gamma $boiler delta epsilon")
+    // doc 2 loses the witness-protected-elsewhere tokens it can excise:
+    // the two repeated 8-windows there cover the 9 boiler tokens
+    assert(out(2)._3 == 9L)
+    assert(out(2)._4 == "one two three four five six")
+    // untouched doc passes through intact
+    assert(out(3)._3 == 0L)
+    assert(out(3)._4 == "totally unique words nothing shared here at all today ok fine")
+  }
+
+  test("excise removes the union of overlapping windows and protects witness overlap") {
+    // 10-token shared run → three overlapping 8-windows; non-witness doc
+    // removes the union (10 tokens), not 24
+    val run = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    val docs = Seq((1L, s"x $run"), (2L, s"$run y z")).toDF("doc_id", "text")
+    val out = RepeatedSpans.excise(docs, w = 8, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // grams are witnessed at their globally-first (doc, start): doc 1
+    // holds every witness here, so doc 1 keeps all and doc 2 drops the run
+    assert(out(1)._3 == 0L && out(1)._4 == s"x $run")
+    assert(out(2)._3 == 10L && out(2)._4 == "y z")
+  }
+
+  test("excise leaves short and unique docs untouched (token-normalized)") {
+    val docs = Seq((1L, "too   short"), (2L, "also quite short text"))
+      .toDF("doc_id", "text")
+    val out = RepeatedSpans.excise(docs, w = 8, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1)._3 == 0L && out(1)._4 == "too short")
+    assert(out(2)._3 == 0L && out(2)._4 == "also quite short text")
+  }
+
   test("overlapping repeated windows cover the union, not the sum") {
     // shared run of 10 tokens → three 8-windows per doc, union = 10 tokens
     val run = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
