@@ -923,6 +923,24 @@ object SparkEntry {
     "q92_span_excision" -> ((s, dir) =>
       graft.operators.RepeatedSpans.excise(t(s, dir, "documents"))),
 
+    // ---- Persisted incremental vector index: build the IVF codebook +
+    //      inverted file as TableLog tables on half the embeddings,
+    //      admit the other half against the PERSISTED codebook (no
+    //      refit, map-only assignment), then search the union.
+    //      Codebook is sample-seeded ⇒ rows-only; assignment-stability
+    //      and recall-vs-full-refit in VectorIndexSpec ----
+    "q93_vector_index" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vidx").resolve("ix").toString
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      graft.operators.VectorIndex.build(s, root,
+        emb.filter(col("vec_id") % 2 === 0))
+      graft.operators.VectorIndex.addBatch(s, root,
+        emb.filter(col("vec_id") % 2 === 1))
+      graft.operators.VectorIndex.search(s, root,
+        emb.filter(col("vec_id") < 20), k = 5, nprobe = 2)
+    }),
+
     // ---- SemDeDup semantic dedup: k-means cells → within-cell exact
     //      cosine pairs → transitive closure → keep the
     //      farthest-from-centroid member per group. Codebook is

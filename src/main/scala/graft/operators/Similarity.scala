@@ -127,8 +127,16 @@ object Similarity {
     val nc = if (numCentroids > 0) numCentroids else autoK(vectors)
     val cents = fitCentroids(vectors, nc, idCol = idCol, vecCol = vecCol)
     val assigned = assignToCentroids(vectors, cents, idCol, vecCol)
-    // queries → their nprobe nearest cells (same per-row expression,
-    // exploded into one probe row per cell; query side is small)
+    probeTopK(assigned, cents, queries, k, nprobe, idCol, vecCol)
+  }
+
+  /** The probe stage of IVF search, factored so a PERSISTED inverted
+    * file ([[VectorIndex]]) can search without refitting: queries map
+    * to their nprobe nearest cells (per-row codegen'd argmin, query
+    * side broadcast), exact cosine only within probed cells. */
+  private[graft] def probeTopK(assigned: DataFrame,
+      cents: Array[Array[Float]], queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         nearestCentroids(col(vecCol), cents, nprobe).as("__cells"))
