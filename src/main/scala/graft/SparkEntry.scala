@@ -911,6 +911,52 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // ---- Approx-distinct materialized view: distinct users per day
+    //      as mergeable HLL sketch partials keyed by source dir. Two
+    //      commits SPLIT EACH DAY's users across dirs, so the read
+    //      path must union sketches across dirs per group. The raw
+    //      estimate is engine-specific; the oracled contract is the
+    //      exact per-day counts plus the estimate landing within 5% ----
+    "q94_mv_approx_users" -> ((s, dir) => {
+      import graft.lake.{MaterializedAgg, TableLog}
+      val root = java.nio.file.Files.createTempDirectory("graft_q94")
+      val src = root.resolve("src").toString
+      val mv = root.resolve("mv").toString
+      val ev = t(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"), col("user_id"))
+      val mvSpec = MaterializedAgg.AggSpec(Seq("dt"),
+        approxDistinctCols = Seq("user_id"))
+      TableLog.commitAppend(s, src, ev.filter(col("user_id") % 2 === 0))
+      MaterializedAgg.refresh(s, src, mv, mvSpec)
+      TableLog.commitAppend(s, src, ev.filter(col("user_id") % 2 =!= 0))
+      MaterializedAgg.refresh(s, src, mv, mvSpec)
+      val exact = ev.groupBy("dt")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      MaterializedAgg.read(s, mv, mvSpec)
+        .join(exact, Seq("dt"))
+        .select(col("dt"), col("cnt").as("n_events"), col("n_users"),
+          (abs(col("approx_distinct_user_id") - col("n_users")) <=
+            greatest(round(col("n_users") * 0.05), lit(1.0)))
+            .cast("int").as("approx_ok"))
+        .orderBy("dt")
+    }),
+
+    // ---- Cross-resolution image dedup: perceptual aHash (codegen'd
+    //      expression over raw P6 payloads) + 16-bit-chunk pigeonhole
+    //      bucketing finds each asset's resized copy with Hamming 0 —
+    //      no pairwise pixels, no payload shuffle. rows-only (hash
+    //      values engine-specific); resize-invariance + re-encode
+    //      parity in MultimodalSpec ----
+    "q95_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRow(id, "image/x-portable-pixmap",
+          16, 16, Multimodal.generateBlockPpm(16, 16, id)))
+      val copies = Multimodal.resize(base, 24, 24)
+        .map(r => r.copy(media_id = r.media_id + 1000000L))
+      Multimodal.imageNearDups(base.unionByName(copies))
+    }),
+
     // ---- Repeated-passage detection (Lee et al. exact-substring
     //      approximation): fixed-width token windows hashed to 64-bit,
     //      cross-doc repetition count, span coverage per doc ----
@@ -1170,6 +1216,13 @@ object SparkEntry {
     "q08_daily_users" ->
       """SELECT CAST(ts AS DATE) AS dt, COUNT(*) AS n_events,
         |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY dt""".stripMargin,
+
+    // the HLL estimate itself is engine-specific (DataSketches); the
+    // oracle pins the exact counts and the within-5% contract bit
+    "q94_mv_approx_users" ->
+      """SELECT CAST(ts AS DATE) AS dt, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users, CAST(1 AS INT) AS approx_ok
         |FROM events GROUP BY 1 ORDER BY dt""".stripMargin,
 
     "q09_json_props" ->

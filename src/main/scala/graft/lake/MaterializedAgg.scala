@@ -33,12 +33,18 @@ import org.apache.spark.sql.functions._
 object MaterializedAgg {
 
   /** Mergeable aggregate spec: per group, row count plus sum/min/max
-    * over the named numeric columns. */
+    * over the named numeric columns, plus approx-distinct over
+    * `approxDistinctCols` — stored as DataSketches HLL sketches
+    * (binary partials that union losslessly, the same mergeability
+    * contract as sum/count; exact `count(distinct)` does NOT merge,
+    * which is why the most common real MV after sum — distinct users
+    * per day — needs the sketch form). */
   final case class AggSpec(groupCols: Seq[String], sumCols: Seq[String] = Nil,
-      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil) {
+      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+      approxDistinctCols: Seq[String] = Nil) {
     require(groupCols.nonEmpty, "need at least one group column")
-    require(sumCols.nonEmpty || minCols.nonEmpty || maxCols.nonEmpty,
-      "need at least one aggregate column")
+    require(sumCols.nonEmpty || minCols.nonEmpty || maxCols.nonEmpty ||
+      approxDistinctCols.nonEmpty, "need at least one aggregate column")
   }
 
   /** What a refresh did: dirs newly aggregated, partials dropped for
@@ -50,7 +56,9 @@ object MaterializedAgg {
     count(lit(1)).as("__cnt") +:
       (spec.sumCols.map(c => sum(col(c)).as(s"__sum_$c")) ++
         spec.minCols.map(c => min(col(c)).as(s"__min_$c")) ++
-        spec.maxCols.map(c => max(col(c)).as(s"__max_$c")))
+        spec.maxCols.map(c => max(col(c)).as(s"__max_$c")) ++
+        spec.approxDistinctCols.map(c =>
+          hll_sketch_agg(col(c)).as(s"__hll_$c")))
 
   /** Bring the view at `mvPath` up to date with the CURRENT snapshot of
     * the source table. No-op (returns the current version with empty
@@ -93,13 +101,17 @@ object MaterializedAgg {
   }
 
   /** Finalized view: merge the stored partials. Output columns:
-    * groupCols, `cnt`, `sum_<c>`, `min_<c>`, `max_<c>`. */
+    * groupCols, `cnt`, `sum_<c>`, `min_<c>`, `max_<c>`,
+    * `approx_distinct_<c>` (HLL union → estimate). */
   def read(spark: SparkSession, mvPath: String, spec: AggSpec): DataFrame = {
     val merged =
       sum(col("__cnt")).as("cnt") +:
         (spec.sumCols.map(c => sum(col(s"__sum_$c")).as(s"sum_$c")) ++
           spec.minCols.map(c => min(col(s"__min_$c")).as(s"min_$c")) ++
-          spec.maxCols.map(c => max(col(s"__max_$c")).as(s"max_$c")))
+          spec.maxCols.map(c => max(col(s"__max_$c")).as(s"max_$c")) ++
+          spec.approxDistinctCols.map(c =>
+            hll_sketch_estimate(hll_union_agg(col(s"__hll_$c")))
+              .as(s"approx_distinct_$c")))
     TableLog.read(spark, mvPath)
       .groupBy(spec.groupCols.map(col): _*)
       .agg(merged.head, merged.tail: _*)

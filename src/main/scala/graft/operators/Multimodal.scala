@@ -72,37 +72,11 @@ object Multimodal {
     /** (width, height, maxval, pixelOffset) from a P6 header at `start`.
       * Dimension values are bounded (≤ 10^8) so `3·w·h` arithmetic below
       * stays in Long safely — a hostile header can't wrap the
-      * truncation check into silence. */
-    def parseHeader(bytes: Array[Byte], start: Int = 0): (Int, Int, Int, Int) = {
-      require(bytes.length - start >= 2 &&
-        bytes(start) == 'P' && bytes(start + 1) == '6',
-        "not a P6 ppm payload")
-      var i = start + 2
-      def nextInt(): Int = {
-        // skip whitespace and '#' comments (comment runs to end of line)
-        var done = false
-        while (!done) {
-          while (i < bytes.length && bytes(i).toChar.isWhitespace) i += 1
-          if (i < bytes.length && bytes(i) == '#') {
-            while (i < bytes.length && bytes(i) != '\n') i += 1
-          } else done = true
-        }
-        var v = 0L
-        require(i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9',
-          s"malformed ppm header at byte $i")
-        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
-          v = v * 10 + (bytes(i) - '0')
-          require(v <= 100000000L, s"ppm header value too large at byte $i")
-          i += 1
-        }
-        v.toInt
-      }
-      val (w, h, maxVal) = (nextInt(), nextInt(), nextInt())
-      require(maxVal > 0 && maxVal < 65536, s"bad maxval $maxVal")
-      // exactly one whitespace byte separates header from pixel data
-      i += 1
-      (w, h, maxVal, i)
-    }
+      * truncation check into silence. The parse itself lives with the
+      * codegen'd perceptual-hash expression (the canonical low-level
+      * P6 reader, [[graft.functions.ImageAverageHash.parseP6Header]]). */
+    def parseHeader(bytes: Array[Byte], start: Int = 0): (Int, Int, Int, Int) =
+      graft.functions.ImageAverageHash.parseP6Header(bytes, start)
 
     def decode(row: MediaRow): MediaFeatures = {
       val bytes = row.payload
@@ -345,6 +319,35 @@ object Multimodal {
     out
   }
 
+  /** Deterministic block-pattern P6 asset: an 8×8 grid of dark/bright
+    * grayscale blocks keyed by a 64-bit scramble of (seed, block).
+    * Visually distinctive per seed AND resolution-independent: any
+    * geometry with 8-divisible sides renders the same 64 blocks, so a
+    * nearest-neighbor resize preserves the perceptual hash bit-exactly
+    * — the controlled fixture for cross-resolution image dedup. */
+  def generateBlockPpm(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + 3 * width * height)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var p = header.length
+    var y = 0
+    while (y < height) {
+      val by = y * 8 / height
+      var x = 0
+      while (x < width) {
+        val bx = x * 8 / width
+        // splitmix64-style scramble: uncorrelated block bits per seed
+        var z = seed * 0x9E3779B97F4A7C15L + (by * 8 + bx) * 0xC2B2AE3D27D4EB4FL
+        z ^= z >>> 29; z *= 0xBF58476D1CE4E5B9L; z ^= z >>> 32
+        val v: Byte = if ((z & 1L) == 1L) 216.toByte else 40.toByte
+        out(p) = v; out(p + 1) = v; out(p + 2) = v
+        p += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Demo media table of real P6 assets keyed off `documents` ids —
     * geometry varies per id, payloads generated on-executor (no driver
     * materialization, no shuffle). */
@@ -372,6 +375,42 @@ object Multimodal {
         batch.iterator.map(decoder.decode)
       }
     }
+  }
+
+  /** Per-asset perceptual hash: the codegen'd aHash expression
+    * ([[graft.functions.ImageAverageHash]]) over the raw payload —
+    * map-only, runs in the scan stage, no decode boundary. */
+  def perceptualHashes(media: Dataset[MediaRow]): DataFrame =
+    media.toDF().select(col("media_id"),
+      graft.functions.ImageAverageHash.imageAvgHash(col("payload"))
+        .as("phash"))
+
+  /** Cross-modal dedup closure: visually-near-duplicate image pairs
+    * (resized or byte-level re-encoded copies of the same content) via
+    * perceptual hash → the SAME 16-bit-chunk pigeonhole bucketing as
+    * text SimHash ([[Dedup.simHashCandidates]]'s shape): any pair
+    * within Hamming `maxHamming` ≤ 3 shares one of 4 chunks, so the
+    * only shuffle is the chunk equi-join on (int, long) rows — never
+    * pairwise pixels, never payload bytes. */
+  def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    val fp = perceptualHashes(media)
+    val chunked = fp.select(col("media_id"), col("phash"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk_id"),
+          shiftright(col("phash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))
+      }: _*)).as("c"))
+      .select(col("media_id"), col("phash"), col("c.chunk_id"), col("c.chunk"))
+    val a = chunked.select(col("chunk_id"), col("chunk"),
+      col("media_id").as("id_a"), col("phash").as("fp_a"))
+    val b = chunked.select(col("chunk_id"), col("chunk"),
+      col("media_id").as("id_b"), col("phash").as("fp_b"))
+    a.join(b, Seq("chunk_id", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .distinct()
+      .orderBy("id_a", "id_b")
   }
 
   /** Real media ingestion path: Spark's `binaryFile` source reads files

@@ -46,6 +46,30 @@ class MaterializedAggSpec extends AnyFunSuite {
       Set(("a", 3L, 8L, 1L, 5L), ("b", 1L, 10L, 10L, 10L), ("c", 1L, 7L, 7L, 7L)))
   }
 
+  test("HLL approx-distinct partials union across incremental refreshes") {
+    val src = fresh("src"); val mv = fresh("mv")
+    val hllSpec = AggSpec(Seq("k"), approxDistinctCols = Seq("u"))
+    // users 0..99 under key a, 0..19 under b — SPLIT across two commits
+    // with overlap (users 40..59 of a appear in both dirs), so a correct
+    // result requires sketch UNION, not partial-count addition
+    TableLog.commitAppend(spark, src,
+      (0L until 60L).map(u => ("a", u)).toDF("k", "u"))
+    val r1 = MaterializedAgg.refresh(spark, src, mv, hllSpec)
+    assert(r1.processedDirs.size == 1)
+    TableLog.commitAppend(spark, src,
+      ((40L until 100L).map(u => ("a", u)) ++
+        (0L until 20L).map(u => ("b", u))).toDF("k", "u"))
+    val r2 = MaterializedAgg.refresh(spark, src, mv, hllSpec)
+    assert(r2.processedDirs.size == 1 && r2.reusedDirs == r1.processedDirs)
+    val got = MaterializedAgg.read(spark, mv, hllSpec)
+      .select("k", "approx_distinct_u").as[(String, Long)].collect().toMap
+    // DataSketches HLL is exact at these cardinalities (sparse mode)
+    assert(math.abs(got("a") - 100L) <= 5, s"a: ${got("a")}")
+    assert(math.abs(got("b") - 20L) <= 1, s"b: ${got("b")}")
+    // naive partial-count addition would have said 120 for a
+    assert(got("a") < 110L, "overlap across dirs must not double-count")
+  }
+
   test("a refresh against an unchanged source is a no-op") {
     val src = fresh("src"); val mv = fresh("mv")
     TableLog.commitAppend(spark, src, Seq(("a", 1L)).toDF("k", "v"))

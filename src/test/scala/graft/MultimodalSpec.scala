@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.operators.Multimodal
 import graft.operators.Multimodal.MediaRow
 
@@ -167,6 +168,53 @@ class MultimodalSpec extends AnyFunSuite {
       val frames = 400 + (f.media_id % 17) * 40
       assert(f.features(2) == frames.toDouble, s"media ${f.media_id}")
       assert(f.features(4) > 0.1) // audible signal, not silence
+    }
+  }
+
+  test("perceptual hash is invariant under resize and header re-encode") {
+    import graft.functions.ImageAverageHash
+    val base = Multimodal.generateBlockPpm(16, 16, seed = 42L)
+    val h0 = ImageAverageHash.compute(base)
+    // nearest-neighbor resize to other 8-divisible geometries: bit-exact
+    for ((w, h) <- Seq((24, 24), (32, 32), (8, 8), (40, 24)))
+      assert(ImageAverageHash.compute(Multimodal.resizePpm(base, w, h)) == h0,
+        s"hash moved at ${w}x$h")
+    // byte-level re-encode: inject a header comment — different bytes,
+    // identical pixels, identical hash
+    val (wd, ht, _, off) = Multimodal.PpmDecoder.parseHeader(base)
+    val reenc = (s"P6\n# re-encoded copy\n$wd $ht\n255\n".getBytes("US-ASCII")
+      ++ base.drop(off))
+    assert(!java.util.Arrays.equals(reenc, base))
+    assert(ImageAverageHash.compute(reenc) == h0)
+    // distinct seeds are far apart — chunk bucketing can't false-pair them
+    val other = ImageAverageHash.compute(Multimodal.generateBlockPpm(16, 16, 43L))
+    assert(java.lang.Long.bitCount(h0 ^ other) > 3)
+  }
+
+  test("expression parity: DataFrame path equals the direct kernel") {
+    val rows = (0L until 16L)
+      .map(i => (i, Multimodal.generateBlockPpm(16, 16, i)))
+    val viaExpr = rows.toDF("media_id", "payload")
+      .select(col("media_id"),
+        graft.functions.ImageAverageHash.imageAvgHash(col("payload")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, payload) =>
+      assert(viaExpr(id) == graft.functions.ImageAverageHash.compute(payload))
+    }
+  }
+
+  test("imageNearDups pairs each asset with exactly its resized copy") {
+    val base = spark.range(0, 40).as[Long]
+      .map(id => MediaRow(id, "image/x-portable-pixmap", 16, 16,
+        Multimodal.generateBlockPpm(16, 16, id)))
+    val copies = Multimodal.resize(base, 24, 24)
+      .map(r => r.copy(media_id = r.media_id + 1000L))
+    val pairs = Multimodal.imageNearDups(base.unionByName(copies))
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.length == 40, s"got ${pairs.length} pairs")
+    pairs.foreach { case (a, b, ham) =>
+      assert(b == a + 1000L, s"unexpected pair ($a, $b)")
+      assert(ham == 0)
     }
   }
 }

@@ -168,8 +168,12 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == got)
   }
 
-  test("bucketed near-dups: perfect precision vs exact pairs, recall floor") {
-    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  /** Binds q45 (bucketed, rows-only) to q22 (exact, DuckDB-oracled):
+    * same input slice, same threshold and codebook size as the driver
+    * queries at the correctness-gate SF, so the rows-only query's
+    * output is pinned against the oracled one's pair set. */
+  test("q45 bucketed near-dups vs q22 exact pairs at sf0.01: superset precision, recall floor") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
       .filter($"vec_id" < 500)
     // exact pairs above threshold (the q22 oracle shape)
     val a = e.select($"vec_id".as("id_a"), $"embedding".as("v_a"))
@@ -187,6 +191,9 @@ class SimilaritySpec extends AnyFunSuite {
       s"bucketed emitted non-pairs: ${bucketed.diff(exact).take(5)}")
     val recall =
       if (exact.isEmpty) 1.0 else bucketed.size.toDouble / exact.size
-    assert(recall >= 0.3, s"bucketed recall was $recall (${bucketed.size}/${exact.size})")
+    // deterministic at this SF (fixed data, deterministic codebook):
+    // 32 of q22's 59 oracled pairs — pairs split across cells are the
+    // documented recall trade
+    assert(recall >= 0.5, s"bucketed recall was $recall (${bucketed.size}/${exact.size})")
   }
 }
