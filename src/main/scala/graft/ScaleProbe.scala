@@ -116,14 +116,33 @@ object ScaleProbe {
         graft.operators.IncrementalDedup
           .admitBatch(b2, Some(adm1.bands)).accepted.count()
       },
-      // fit cost is iteration-bounded on the train half; the timed
-      // linear component is tokenize+hash+score over the corpus
+      // maxTrain is set so the absolute cap BINDS at both shapes (as
+      // the production default 200k does at real scale): the fit cost
+      // is then flat and the timed linear component is
+      // tokenize+hash+score over the corpus
       "quality_model" -> (d => graft.operators.QualityModel
-        .distill(d, dim = 1 << 12).count()),
+        .distill(d, dim = 1 << 12, maxTrain = 2000L).count()),
       // suffixed copies repeat only against their own copy generation,
       // so repeated-gram volume scales with the corpus, not N²
       "repeated_spans" -> (d => graft.operators.RepeatedSpans
-        .report(d).filter(col("n_repeated_windows") > 0).count()))
+        .report(d).filter(col("n_repeated_windows") > 0).count()),
+      // excision adds the witness aggregate + per-(doc, pos) keyed agg
+      // on top of the report's shape; both scale with the repeated
+      // subset, and the rebuild is map-only per doc
+      "span_excision" -> (d => graft.operators.RepeatedSpans
+        .excise(d).agg(sum(col("n_removed") + length(col("cleaned_text"))))
+        .collect()(0).getLong(0)),
+      // phash is a per-row codegen'd kernel; the chunk self-join is the
+      // only shuffle and block patterns are seed-distinct, so pair
+      // volume scales with the asset count
+      "image_neardup" -> { d =>
+        import spark.implicits._
+        val media = d.select(col("doc_id")).as[Long].map(id =>
+          graft.operators.Multimodal.MediaRow(id, "image/x-portable-pixmap",
+            16, 16, graft.operators.Multimodal.generateBlockPpm(16, 16, id)))
+        graft.operators.Multimodal.perceptualHashes(media)
+          .agg(count(col("phash"))).collect()(0).getLong(0)
+      })
 
     // ---- embedding-input operators: amplified by cyclic coordinate
     // rotation per copy — rotations of distinct 64-dim vectors are
@@ -152,9 +171,21 @@ object ScaleProbe {
 
     val embOps: Seq[(String, DataFrame => Long)] = Seq(
       // k ∝ N pins the expected cell size, so within-cell pair work,
-      // the CC contraction, and the keep window all scale linearly
+      // the CC contraction, and the keep window all scale linearly;
+      // cells past maxCell fall back to sorted-neighborhood pairs
       "semantic_dedup" -> (d => graft.operators.Similarity
-        .semDeDup(d, tau = 0.95).filter(col("keep")).count()))
+        .semDeDup(d, tau = 0.95).filter(col("keep")).count()),
+      // build once on the batch, then admission against the PERSISTED
+      // codebook: the timed work is the map-only assignment + one
+      // postings append — the steady-state ingest shape
+      "vector_index_add" -> { d =>
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_sp_vidx").resolve("ix").toString
+        graft.operators.VectorIndex.build(spark, root,
+          d.filter(col("vec_id") % 7 === 0))
+        graft.operators.VectorIndex.addBatch(spark, root,
+          d.filter(col("vec_id") % 7 =!= 0))._1.toLong
+      })
 
     (ops.map(o => (o._1, o._2, base, big)) ++
       embOps.map(o => (o._1, o._2, embBase, embBig))).foreach {
