@@ -142,6 +142,46 @@ object TableLog {
     }
   }
 
+  /** Set-valued data skipping: `read(...).filter(col IN values)`, but a
+    * file is OPENED only when its [min, max] bounds admit at least one
+    * of the values — the scan shape for inverted-file probes (a search
+    * touching nprobe of k cells over cell-clustered layout reads
+    * ~nprobe/k of the files). Same union-schema alignment and residual
+    * exactness as [[readWhere]]. */
+  def readWhereIn(spark: SparkSession, path: String, colName: String,
+      values: Seq[Any], version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(values.nonEmpty, "readWhereIn needs at least one value")
+    val commit = resolve(spark, path, version)
+    require(commit.dirs.nonEmpty, s"version ${commit.version} is an empty snapshot")
+    val residual = col(colName).isin(values: _*)
+    if (commit.stats.isEmpty)
+      return read(spark, path, version).where(residual)
+    val kept = commit.stats
+      .filter(f => values.exists(v => TableStats.mightMatch(f, colName, v, v)))
+      .map(f => s"$path/${f.file}")
+    if (kept.isEmpty) read(spark, path, version).where(lit(false))
+    else {
+      val snapshot = read(spark, path, version).schema
+      val pruned = spark.read.option("mergeSchema", "true").parquet(kept: _*)
+      val present = pruned.columns.toSet
+      val aligned = pruned.select(snapshot.fields.map { fld =>
+        if (present(fld.name)) col(fld.name)
+        else lit(null).cast(fld.dataType).as(fld.name)
+      }.toIndexedSeq: _*)
+      aligned.where(residual)
+    }
+  }
+
+  /** (files kept, files total) that [[readWhereIn]] would open. */
+  def pruneReportIn(spark: SparkSession, path: String, colName: String,
+      values: Seq[Any], version: Option[Int] = None): (Int, Int) = {
+    val commit = resolve(spark, path, version)
+    (commit.stats.count(f =>
+      values.exists(v => TableStats.mightMatch(f, colName, v, v))),
+      commit.stats.size)
+  }
+
   /** (files kept, files total) that [[readWhere]] would open — the
     * observability hook the pruning spec asserts on. */
   def pruneReport(spark: SparkSession, path: String, colName: String,

@@ -117,14 +117,35 @@ object VectorIndex {
   def needsRefit(driftRatio: Double, tolerance: Double = 2.0): Boolean =
     driftRatio >= tolerance
 
+  /** Re-cluster the postings by cell (Z-order on (cluster_id, vec_id),
+    * committed atomically) so [[search]]'s cell-pruned scan opens
+    * ~nprobe/k of the files instead of all of them. Run after a
+    * batch-add burst — the same compaction cadence as any table; at
+    * 100 TB postings this is the difference between a probe reading
+    * two cells and a probe reading the index. */
+  def optimize(spark: SparkSession, root: String, numFiles: Int): Int =
+    TableLog.commitOptimize(spark, postingsPath(root),
+      ("cluster_id", "vec_id"), numFiles).version
+
   /** IVF search over the persisted inverted file at its latest (or a
     * time-traveled) version. No fitting, no assignment of the corpus —
-    * one codebook read + the standard two-stage probe scan. */
+    * one codebook read + the standard two-stage probe scan. The probed
+    * cell set is resolved FIRST (one small job over the query set,
+    * which is broadcast-small by contract), so the postings scan is a
+    * stats-pruned [[TableLog.readWhereIn]]: over [[optimize]]d layout
+    * only the probed cells' files are opened. */
   def search(spark: SparkSession, root: String, queries: DataFrame,
       k: Int, nprobe: Int = 2, version: Option[Int] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val (cents, _) = loadCodebook(spark, root)
-    val assigned = TableLog.read(spark, postingsPath(root), version)
+    val cells = queries
+      .select(explode(graft.functions.NearestCentroids
+        .nearestCentroids(col(vecCol), cents, nprobe)).as("__cell"))
+      .distinct().collect().map(_.getInt(0))
+    val assigned =
+      if (cells.isEmpty) TableLog.read(spark, postingsPath(root), version).limit(0)
+      else TableLog.readWhereIn(spark, postingsPath(root), "cluster_id",
+        cells.toSeq, version)
     Similarity.probeTopK(assigned, cents, queries, k, nprobe, idCol, vecCol)
   }
 }

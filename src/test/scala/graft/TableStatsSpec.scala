@@ -101,6 +101,24 @@ class TableStatsSpec extends AnyFunSuite {
     assert(TableLog.countRows(spark, path).contains(400L))
   }
 
+  test("readWhereIn prunes by value set and equals read + IN filter") {
+    val path = freshPath()
+    TableLog.commitOverwrite(spark, path, clusteredDf())
+    val full = TableLog.read(spark, path)
+    // values land in files 0 and 3 → exactly 2 of 4 files open
+    val vals = Seq(10L, 350L, 399L)
+    val got = TableLog.readWhereIn(spark, path, "id", vals)
+      .select("id").as[Long].collect().sorted.toSeq
+    val want = full.where(col("id").isin(vals: _*))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == want && got == vals.sorted)
+    val (kept, total) = TableLog.pruneReportIn(spark, path, "id", vals)
+    assert(total == 4 && kept == 2, s"kept $kept of $total")
+    // no value in any file's bounds → zero files, empty result
+    assert(TableLog.pruneReportIn(spark, path, "id", Seq(5000L))._1 == 0)
+    assert(TableLog.readWhereIn(spark, path, "id", Seq(5000L)).count() == 0L)
+  }
+
   test("readWhere speaks the snapshot union schema across an evolution") {
     val path = freshPath()
     // dir 1: (id, v), ids 1..100; dir 2: evolved (id, v, extra), 1000..1100

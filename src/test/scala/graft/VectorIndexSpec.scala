@@ -83,6 +83,28 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(VectorIndex.needsRefit(drift), s"alien batch drift $drift not flagged")
   }
 
+  test("optimize clusters postings by cell; search prunes unprobed cells' files") {
+    val root = freshRoot()
+    VectorIndex.build(spark, root,
+      vectors.filter(col("vec_id") % 2 === 0), numCentroids = 8)
+    VectorIndex.addBatch(spark, root, vectors.filter(col("vec_id") % 2 === 1))
+    val queries = vectors.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val before = pairs(VectorIndex.search(spark, root, queries, k = 5))
+    VectorIndex.optimize(spark, root, numFiles = 8)
+    // pure layout rewrite: search results are unchanged
+    val after = pairs(VectorIndex.search(spark, root, queries, k = 5))
+    assert(after == before)
+    // over Z-ordered layout a single-cell probe opens a strict subset
+    // of files — the stats-pruned scan shape the index exists for
+    val (kept, total) = TableLog.pruneReportIn(spark,
+      VectorIndex.postingsPath(root), "cluster_id", Seq(0L))
+    assert(total == 8, s"expected 8 optimized files, saw $total")
+    assert(kept < total, s"single-cell probe kept $kept of $total files")
+  }
+
   test("search time-travels: pre-batch version excludes the batch") {
     val root = freshRoot()
     VectorIndex.build(spark, root,
