@@ -941,6 +941,20 @@ object SparkEntry {
         .orderBy("dt")
     }),
 
+    // ---- Streaming corpus admission: the continuous ingest loop —
+    //      documents stream through near-dup admission against the
+    //      persisted band store into a versioned corpus table
+    //      (batch-id-tagged commits; crash-replay semantics in
+    //      CorpusIngestSpec). LSH-based ⇒ rows-only ----
+    "q96_stream_corpus_ingest" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q96")
+      val corpus = root.resolve("corpus").toString
+      graft.streaming.CorpusIngest.admitDocuments(s, dir, corpus,
+        root.resolve("bands").toString, root.resolve("ckpt").toString)
+      graft.lake.TableLog.read(s, corpus)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // ---- Cross-resolution image dedup: perceptual aHash (codegen'd
     //      expression over raw P6 payloads) + 16-bit-chunk pigeonhole
     //      bucketing finds each asset's resized copy with Hamming 0 —

@@ -289,9 +289,12 @@ object TableLog {
   }
 
   /** Add `df`'s rows to the table (new snapshot = previous dirs + one
-    * new dir; no data rewrite at all). */
-  def commitAppend(spark: SparkSession, path: String, df: DataFrame): Commit =
-    commit(spark, path, "append", carryPrevious = true)(() => df)
+    * new dir; no data rewrite at all). `action` labels the manifest —
+    * idempotent writers (streaming foreachBatch) tag it with their
+    * batch id and skip the commit when history already carries it. */
+  def commitAppend(spark: SparkSession, path: String, df: DataFrame,
+      action: String = "append"): Commit =
+    commit(spark, path, action, carryPrevious = true)(() => df)
 
   private def commitReplace(spark: SparkSession, path: String, df: DataFrame,
       action: String): Commit =
