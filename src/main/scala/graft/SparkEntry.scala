@@ -941,6 +941,54 @@ object SparkEntry {
         .orderBy("dt")
     }),
 
+    // ---- Approx-percentile materialized view: per-day fixed-bin
+    //      histogram partials (element-wise mergeable, unlike exact
+    //      percentiles) split across two commits BY VALUE so each
+    //      day's distribution spans both dirs — the percentile is only
+    //      right if the merge sums bins. Oracled like q94: exact
+    //      percentiles pinned, estimates as within-one-bin contract
+    //      bits ----
+    "q97_mv_percentiles" -> ((s, dir) => {
+      import graft.lake.{MaterializedAgg, TableLog}
+      val root = java.nio.file.Files.createTempDirectory("graft_q97")
+      val src = root.resolve("src").toString
+      val mv = root.resolve("mv").toString
+      val ev = t(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"), col("value"))
+      val mvSpec = MaterializedAgg.AggSpec(Seq("dt"),
+        histCols = Seq(MaterializedAgg.Hist("value", 0.0, 500.0, 100)))
+      TableLog.commitAppend(s, src, ev.filter(col("value") < 50.0))
+      MaterializedAgg.refresh(s, src, mv, mvSpec)
+      TableLog.commitAppend(s, src, ev.filter(col("value") >= 50.0))
+      MaterializedAgg.refresh(s, src, mv, mvSpec)
+      val approx = MaterializedAgg.readPercentiles(s, mv, mvSpec,
+        "value", Seq(0.5, 0.95))
+      // exact side = the DISCRETE ⌈q·n⌉-th value (row_number over the
+      // value order — identical semantics in both engines, unlike
+      // cont-interpolation conventions). The estimate's bin CONTAINS
+      // that value, so |midpoint − exact| ≤ width/2 is guaranteed.
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy("dt").orderBy("value")
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy("dt")
+      val ranked = ev
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wAll))
+      def disc(q: Double, name: String) =
+        ranked.filter(col("rn") === ceil(col("n") * q))
+          .select(col("dt"), round(col("value"), 4).as(name),
+            col("n").as(s"__n_$name"))
+      approx
+        .join(disc(0.5, "p50_exact"), Seq("dt"))
+        .join(disc(0.95, "p95_exact"), Seq("dt"))
+        .select(col("dt"), col("__n_p50_exact").as("n_events"),
+          col("p50_exact"), col("p95_exact"),
+          (abs(col("p50_value") - col("p50_exact")) <= 2.51)
+            .cast("int").as("p50_ok"),
+          (abs(col("p95_value") - col("p95_exact")) <= 2.51)
+            .cast("int").as("p95_ok"))
+        .orderBy("dt")
+    }),
+
     // ---- Streaming corpus admission: the continuous ingest loop —
     //      documents stream through near-dup admission against the
     //      persisted band store into a versioned corpus table
@@ -1231,6 +1279,24 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS dt, COUNT(*) AS n_events,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY dt""".stripMargin,
+
+    // histogram-midpoint estimates are spec-derived, not engine data;
+    // the oracle pins exact DISCRETE percentiles (row_number rank —
+    // convention-identical across engines) and the half-bin bits
+    "q97_mv_percentiles" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS DATE) AS dt, value,
+        |    row_number() OVER (PARTITION BY CAST(ts AS DATE) ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY CAST(ts AS DATE)) AS n
+        |  FROM events),
+        |p50 AS (SELECT dt, ROUND(value, 4) AS p50_exact, n FROM e
+        |        WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)),
+        |p95 AS (SELECT dt, ROUND(value, 4) AS p95_exact FROM e
+        |        WHERE rn = CAST(CEIL(0.95 * n) AS BIGINT))
+        |SELECT p50.dt, CAST(p50.n AS BIGINT) AS n_events,
+        |  p50_exact, p95_exact,
+        |  CAST(1 AS INT) AS p50_ok, CAST(1 AS INT) AS p95_ok
+        |FROM p50 JOIN p95 USING (dt) ORDER BY dt""".stripMargin,
 
     // the HLL estimate itself is engine-specific (DataSketches); the
     // oracle pins the exact counts and the within-5% contract bit

@@ -32,19 +32,33 @@ import org.apache.spark.sql.functions._
   */
 object MaterializedAgg {
 
+  /** Fixed-bin histogram summary for approximate percentiles: values
+    * clamp into `bins` equal-width buckets over [lo, hi]. Bin-count
+    * arrays merge by element-wise sum (the mergeability exact
+    * percentiles lack — they'd need every value), and a percentile
+    * read-out is exact to within one bin width. Bounds are part of the
+    * spec because partials from different refreshes must share them. */
+  final case class Hist(col: String, lo: Double, hi: Double, bins: Int) {
+    require(bins >= 2, "need at least 2 bins")
+    require(hi > lo, "hi must exceed lo")
+    def width: Double = (hi - lo) / bins
+  }
+
   /** Mergeable aggregate spec: per group, row count plus sum/min/max
     * over the named numeric columns, plus approx-distinct over
     * `approxDistinctCols` — stored as DataSketches HLL sketches
     * (binary partials that union losslessly, the same mergeability
     * contract as sum/count; exact `count(distinct)` does NOT merge,
     * which is why the most common real MV after sum — distinct users
-    * per day — needs the sketch form). */
+    * per day — needs the sketch form) — plus fixed-bin histograms
+    * ([[Hist]]) for approximate percentiles. */
   final case class AggSpec(groupCols: Seq[String], sumCols: Seq[String] = Nil,
       minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
-      approxDistinctCols: Seq[String] = Nil) {
+      approxDistinctCols: Seq[String] = Nil, histCols: Seq[Hist] = Nil) {
     require(groupCols.nonEmpty, "need at least one group column")
     require(sumCols.nonEmpty || minCols.nonEmpty || maxCols.nonEmpty ||
-      approxDistinctCols.nonEmpty, "need at least one aggregate column")
+      approxDistinctCols.nonEmpty || histCols.nonEmpty,
+      "need at least one aggregate column")
   }
 
   /** What a refresh did: dirs newly aggregated, partials dropped for
@@ -58,7 +72,16 @@ object MaterializedAgg {
         spec.minCols.map(c => min(col(c)).as(s"__min_$c")) ++
         spec.maxCols.map(c => max(col(c)).as(s"__max_$c")) ++
         spec.approxDistinctCols.map(c =>
-          hll_sketch_agg(col(c)).as(s"__hll_$c")))
+          hll_sketch_agg(col(c)).as(s"__hll_$c")) ++
+        spec.histCols.map { h =>
+          // one-hot conditional sums: the whole histogram is a single
+          // partial-aggregated pass, no extra shuffle; NULLs fall
+          // through every branch and count nowhere
+          val bin = least(lit(h.bins - 1), greatest(lit(0),
+            floor((col(h.col) - h.lo) / (h.hi - h.lo) * h.bins).cast("int")))
+          array((0 until h.bins).map(b =>
+            sum(when(bin === b, 1L).otherwise(0L))): _*).as(s"__hist_${h.col}")
+        })
 
   /** Bring the view at `mvPath` up to date with the CURRENT snapshot of
     * the source table. No-op (returns the current version with empty
@@ -111,9 +134,43 @@ object MaterializedAgg {
           spec.maxCols.map(c => max(col(s"__max_$c")).as(s"max_$c")) ++
           spec.approxDistinctCols.map(c =>
             hll_sketch_estimate(hll_union_agg(col(s"__hll_$c")))
-              .as(s"approx_distinct_$c")))
+              .as(s"approx_distinct_$c")) ++
+          spec.histCols.map(h =>
+            array((0 until h.bins).map(b =>
+              sum(element_at(col(s"__hist_${h.col}"), b + 1))): _*)
+              .as(s"hist_${h.col}")))
     TableLog.read(spark, mvPath)
       .groupBy(spec.groupCols.map(col): _*)
       .agg(merged.head, merged.tail: _*)
+  }
+
+  /** Percentile read-out from the merged histogram of `colName`: for
+    * each quantile q, the midpoint of the bin holding the ⌈q·n⌉-th
+    * value — exact to within one bin width of the true percentile.
+    * Output columns: groupCols, `p<pct>_<col>` per quantile. The bin
+    * explode is |groups| × bins rows of MV state, never data. */
+  def readPercentiles(spark: SparkSession, mvPath: String, spec: AggSpec,
+      colName: String, quantiles: Seq[Double]): DataFrame = {
+    val h = spec.histCols.find(_.col == colName).getOrElse(
+      throw new IllegalArgumentException(s"no histogram for $colName in spec"))
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    val g = spec.groupCols
+    val exploded = read(spark, mvPath, spec)
+      .select(g.map(col) :+
+        posexplode(col(s"hist_$colName")).as(Seq("__bin", "__cnt")): _*)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(g.map(col): _*).orderBy(col("__bin"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(g.map(col): _*)
+    val cum = exploded
+      .withColumn("__cum", sum(col("__cnt")).over(wCum))
+      .withColumn("__total", sum(col("__cnt")).over(wAll))
+    val outs = quantiles.map { q =>
+      (lit(h.lo) + (min(when(
+        col("__cum") >= ceil(col("__total") * q), col("__bin"))) + 0.5) *
+        h.width).as(s"p${math.round(q * 100)}_$colName")
+    }
+    cum.groupBy(g.map(col): _*).agg(outs.head, outs.tail: _*)
   }
 }

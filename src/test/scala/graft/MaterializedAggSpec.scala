@@ -70,6 +70,33 @@ class MaterializedAggSpec extends AnyFunSuite {
     assert(got("a") < 110L, "overlap across dirs must not double-count")
   }
 
+  test("histogram partials merge across dirs; percentile lands in the right bin") {
+    val src = fresh("src"); val mv = fresh("mv")
+    val hSpec = AggSpec(Seq("k"),
+      histCols = Seq(MaterializedAgg.Hist("v", 0.0, 100.0, 10)))
+    // values 1..100 under one key, SPLIT BY VALUE across commits: each
+    // dir's histogram covers a different half of the bins, so a correct
+    // p50 requires the element-wise array merge
+    TableLog.commitAppend(spark, src,
+      (1 to 50).map(v => ("a", v.toDouble)).toDF("k", "v"))
+    MaterializedAgg.refresh(spark, src, mv, hSpec)
+    TableLog.commitAppend(spark, src,
+      (51 to 100).map(v => ("a", v.toDouble)).toDF("k", "v"))
+    val r = MaterializedAgg.refresh(spark, src, mv, hSpec)
+    assert(r.processedDirs.size == 1)
+    val hist = MaterializedAgg.read(spark, mv, hSpec)
+      .select("hist_v").as[Seq[Long]].collect().head
+    // decades, with edge conventions: bin 0 holds 1..9 (9 values) and
+    // the hi edge (100.0) clamps into bin 9 (11 values)
+    assert(hist.sum == 100L)
+    assert(hist.head == 9L && hist.last == 11L && hist.slice(1, 9).forall(_ == 10L))
+    // 50th value (=50.0) sits in bin 5 → midpoint 55; true p50 = 50.5
+    val p = MaterializedAgg.readPercentiles(spark, mv, hSpec, "v", Seq(0.5))
+      .select("p50_v").as[Double].collect().head
+    assert(p == 55.0, s"p50 estimate $p")
+    assert(math.abs(p - 50.5) <= hSpec.histCols.head.width)
+  }
+
   test("a refresh against an unchanged source is a no-op") {
     val src = fresh("src"); val mv = fresh("mv")
     TableLog.commitAppend(spark, src, Seq(("a", 1L)).toDF("k", "v"))
