@@ -95,11 +95,11 @@ object RepeatedSpans {
     *    text operator here).
     *
     * Scale shape: identical to [[report]] (windows travel as 16-byte
-    * hash rows) plus one w-row-per-gram witness aggregate (min-struct,
-    * partial-aggregated) and a per-(doc, position) keyed aggregate —
-    * position volume is w× the repeated subset only. The removed-set
-    * `collect_set` is per-doc and bounded by document length, the same
-    * bound as chunking.
+    * hash rows) plus the witness aggregate (min-struct,
+    * partial-aggregated) and ONE per-doc keyed aggregate resolving
+    * witness-protected vs excised positions as a set difference —
+    * position volume is w× the repeated subset only, and the per-doc
+    * sets are bounded by document length, the same bound as chunking.
     *
     * Returns (id, n_tokens, n_removed, cleaned_text) for EVERY doc. */
   def excise(docs: DataFrame, w: Int = 8, minDocs: Int = 2,
@@ -127,16 +127,18 @@ object RepeatedSpans {
     val occ = wins.join(repeated, Seq("__gh"))
       .withColumn("__is_wit",
         col(idCol) === col("__wit_doc") && col("__start") === col("__wit_start"))
-    // per (doc, position): witness-covered wins over nonwitness-covered
+    // per doc: witness-covered positions protect, nonwitness-covered
+    // positions excise — one keyed aggregate (two conditional sets +
+    // set difference), not a per-(doc, position) shuffle followed by a
+    // per-doc one
     val removedPos = occ
       .select(col(idCol), col("__is_wit"),
         explode(sequence(col("__start"), col("__start") + w - 1)).as("__pos"))
-      .groupBy(col(idCol), col("__pos"))
-      .agg(max(when(col("__is_wit"), 1).otherwise(0)).as("__w"),
-        max(when(!col("__is_wit"), 1).otherwise(0)).as("__nw"))
-      .filter(col("__nw") === 1 && col("__w") === 0)
       .groupBy(idCol)
-      .agg(collect_set(col("__pos")).as("__rm"))
+      .agg(
+        collect_set(when(!col("__is_wit"), col("__pos"))).as("__nwp"),
+        collect_set(when(col("__is_wit"), col("__pos"))).as("__wp"))
+      .select(col(idCol), array_except(col("__nwp"), col("__wp")).as("__rm"))
     toks.join(removedPos, Seq(idCol), "left")
       .withColumn("__rm", coalesce(col("__rm"), lit(Array.empty[Int])))
       .select(col(idCol),
