@@ -989,6 +989,26 @@ object SparkEntry {
         .orderBy("dt")
     }),
 
+    // ---- Streaming embedding admission: the vector-side ingest loop —
+    //      micro-batches assign against the PERSISTED codebook (no
+    //      refit) and append postings idempotently; search then covers
+    //      base + streamed vectors. Codebook sample-seeded ⇒ rows-only;
+    //      replay/drift semantics in VectorIngestSpec ----
+    "q98_stream_vector_ingest" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q98")
+      val ix = root.resolve("ix").toString
+      val src = root.resolve("src").toString
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      graft.operators.VectorIndex.build(s, ix,
+        emb.filter(col("vec_id") % 2 === 0))
+      emb.filter(col("vec_id") % 2 =!= 0)
+        .coalesce(1).write.parquet(src)
+      graft.streaming.VectorIngest.admitEmbeddings(s, src, ix,
+        root.resolve("ckpt").toString, glob = "*.parquet")
+      graft.operators.VectorIndex.search(s, ix,
+        emb.filter(col("vec_id") < 20), k = 5, nprobe = 2)
+    }),
+
     // ---- Streaming corpus admission: the continuous ingest loop —
     //      documents stream through near-dup admission against the
     //      persisted band store into a versioned corpus table

@@ -98,16 +98,22 @@ object VectorIndex {
     * version and the drift ratio — batch quantization error relative
     * to build-time error; ≳ [[needsRefit]]'s tolerance means the
     * embedding distribution moved and the codebook is stale. */
+  /** Drift ratio of an assigned batch vs the build-time error. The
+    * denominator floor (1% cosine error) keeps the ratio meaningful
+    * when the build corpus quantizes near-perfectly — otherwise a
+    * well-clustered build (err ≈ 1e-7) makes ANY batch look like
+    * drift. */
+  private[graft] def batchDrift(assigned: DataFrame,
+      cents: Array[Array[Float]], buildErr: Double, vecCol: String): Double =
+    avgQuantErr(assigned, cents, vecCol) / math.max(buildErr, 0.01)
+
   def addBatch(spark: SparkSession, root: String, batch: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): (Int, Double) = {
     val (cents, buildErr) = loadCodebook(spark, root)
     val assigned = Similarity.assignToCentroids(batch, cents, idCol, vecCol)
-    val batchErr = avgQuantErr(assigned, cents, vecCol)
+    val drift = batchDrift(assigned, cents, buildErr, vecCol)
     val c = TableLog.commitAppend(spark, postingsPath(root), assigned)
-    // the denominator floor (1% cosine error) keeps the ratio meaningful
-    // when the build corpus quantizes near-perfectly — otherwise a
-    // well-clustered build (err ≈ 1e-7) makes ANY batch look like drift
-    (c.version, batchErr / math.max(buildErr, 0.01))
+    (c.version, drift)
   }
 
   /** Refit policy: a batch quantizing ≥ `tolerance`× worse than the
