@@ -420,11 +420,19 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
-    // ---- Approximate distinct (HLL; impl-specific → rows-only) ----
+    // ---- Approximate distinct (HLL): the raw estimate is
+    //      impl-specific, so the oracled contract is the exact count
+    //      plus the estimate landing within HLL's default 5% rsd ----
     "q25_approx_users" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id")).as("__approx"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("__approx") - col("n_users")) <=
+            greatest(round(col("n_users") * 0.05), lit(1.0)))
+            .cast("int").as("approx_ok"))
         .orderBy("event_type")
     }),
 
@@ -486,14 +494,27 @@ object SparkEntry {
     // ---- Approximate percentiles: the single-pass mergeable-sketch
     //      scale path of q29 (exact percentile buffers every value per
     //      group; approx_percentile keeps a bounded sketch). Sketch
-    //      contents are impl-specific ⇒ rows-only; the epsilon-vs-exact
-    //      contract is asserted in SparkEntrySpec ----
+    //      values are impl-specific; the oracled contract is the RANK
+    //      guarantee — the returned value's rank within its group is
+    //      within n/accuracy (+ slack for ties) of q·n ----
     "q52_approx_percentiles" -> ((s, dir) => {
-      t(s, dir, "events")
+      val appr = t(s, dir, "events")
         .groupBy("event_type")
         .agg(
-          expr("round(approx_percentile(value, 0.5, 1000), 4)").as("p50"),
-          expr("round(approx_percentile(value, 0.9, 1000), 4)").as("p90"))
+          expr("approx_percentile(value, 0.5, 1000)").as("__p50"),
+          expr("approx_percentile(value, 0.9, 1000)").as("__p90"))
+      t(s, dir, "events")
+        .join(broadcast(appr), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("value") <= col("__p50"), 1L).otherwise(0L)).as("__r50"),
+          sum(when(col("value") <= col("__p90"), 1L).otherwise(0L)).as("__r90"))
+        .select(col("event_type"), col("n_events"),
+          (abs(col("__r50") - col("n_events") * 0.5) <=
+            col("n_events") * 0.005 + 1).cast("int").as("p50_rank_ok"),
+          (abs(col("__r90") - col("n_events") * 0.9) <=
+            col("n_events") * 0.005 + 1).cast("int").as("p90_rank_ok"))
         .orderBy("event_type")
     }),
 
@@ -1525,6 +1546,19 @@ object SparkEntry {
         |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
         |  ROUND(quantile_cont(value, 0.9), 4) AS p90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // estimates are engine-specific; the oracle pins exact counts and
+    // the accuracy-contract bits (q25: 5% HLL rsd; q52: rank error ≤
+    // n/accuracy + tie slack)
+    "q25_approx_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(1 AS INT) AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q52_approx_percentiles" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(1 AS INT) AS p50_rank_ok, CAST(1 AS INT) AS p90_rank_ok
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q30_topk_per_store" ->
       """SELECT * FROM (

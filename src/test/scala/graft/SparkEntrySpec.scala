@@ -23,19 +23,15 @@ class SparkEntrySpec extends AnyFunSuite {
     }
   }
 
-  test("approx percentiles track the exact ones within sketch tolerance") {
-    def byType(name: String): Map[String, (Double, Double)] =
-      SparkEntry.queries(name)(spark, sf).collect()
-        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val exact = byType("q29_percentiles")
-    val approx = byType("q52_approx_percentiles")
-    assert(exact.keySet == approx.keySet)
-    // value range is ~[0, 1000]; accuracy=1000 keeps rank error ≤ ~1/1000,
-    // so a 5% value tolerance is generous and stable
-    exact.foreach { case (k, (p50, p90)) =>
-      val (a50, a90) = approx(k)
-      assert(math.abs(a50 - p50) <= math.max(5.0, p50 * 0.05), s"$k p50 $a50 vs $p50")
-      assert(math.abs(a90 - p90) <= math.max(5.0, p90 * 0.05), s"$k p90 $a90 vs $p90")
-    }
+  test("approx-sketch contract bits hold at a different SF than the gate") {
+    // q52/q25 carry their epsilon-vs-exact contracts as oracled bits;
+    // re-assert them here at sf0.001 so the bound isn't tuned to one SF
+    val q52 = SparkEntry.queries("q52_approx_percentiles")(spark, sf).collect()
+    assert(q52.nonEmpty)
+    q52.foreach(r => assert(r.getInt(2) == 1 && r.getInt(3) == 1,
+      s"rank contract failed: $r"))
+    val q25 = SparkEntry.queries("q25_approx_users")(spark, sf).collect()
+    assert(q25.nonEmpty)
+    q25.foreach(r => assert(r.getInt(2) == 1, s"hll contract failed: $r"))
   }
 }
