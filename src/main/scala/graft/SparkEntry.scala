@@ -801,12 +801,27 @@ object SparkEntry {
         t(s, dir, "documents"), Seq("stream", "merge", "batch"))),
 
     // ---- Count-min-sketch term frequencies: mergeable fixed-size
-    //      sketch instead of a vocabulary-wide shuffle. Sketch-impl-
-    //      specific ⇒ rows-only; the eps·N overestimate bound vs exact
-    //      counts is asserted in SketchesSpec ----
-    "q68_cms_counts" -> ((s, dir) =>
-      graft.operators.Sketches.cmsTokenCounts(
-        t(s, dir, "documents"), Seq("stream", "merge", "batch", "zzz_absent"))),
+    //      sketch instead of a vocabulary-wide shuffle. Estimates are
+    //      sketch-impl-specific; the oracled contract is exact counts
+    //      plus CMS's deterministic bound bits (never undercounts;
+    //      overcount ≤ eps·N given the fixed seed) ----
+    "q68_cms_counts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val terms = Seq("stream", "merge", "batch", "zzz_absent")
+      val cms = graft.operators.Sketches.cmsTokenCounts(docs, terms)
+      val exact = docs
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("term").agg(count(lit(1)).as("exact_count"))
+      cms.join(exact, Seq("term"), "left")
+        .withColumn("exact_count", coalesce(col("exact_count"), lit(0L)))
+        .select(col("term"), col("exact_count"), col("n_tokens"),
+          (col("est_count") >= col("exact_count") &&
+            col("est_count") <= col("exact_count") +
+              ceil(col("n_tokens") * 0.001)).cast("int").as("cms_ok"))
+        .orderBy("term")
+    }),
 
     // ---- Concat-and-split sequence packing into 1024-token windows,
     //      sharded so no global window serializes the corpus ----
@@ -1559,6 +1574,22 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(1 AS INT) AS p50_rank_ok, CAST(1 AS INT) AS p90_rank_ok
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q68_cms_counts" ->
+      """WITH toks AS (
+        |  SELECT unnest(str_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks),
+        |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_count
+        |      FROM toks
+        |      WHERE term IN ('stream', 'merge', 'batch', 'zzz_absent')
+        |      GROUP BY term)
+        |SELECT t.term, COALESCE(c.exact_count, 0) AS exact_count,
+        |  tot.n_tokens, CAST(1 AS INT) AS cms_ok
+        |FROM (VALUES ('batch'), ('merge'), ('stream'), ('zzz_absent'))
+        |  AS t(term)
+        |LEFT JOIN c ON c.term = t.term CROSS JOIN tot
+        |ORDER BY t.term""".stripMargin,
 
     "q30_topk_per_store" ->
       """SELECT * FROM (
