@@ -732,6 +732,12 @@ object SparkEntry {
     }),
 
     // ---- Composite corpus cleaning: quality gate + lang-ID + dedup ----
+    // r4 bench showed 2.76× vs r3 with no code change; probed in
+    // isolation (SPARK_GRAFT_REPS=3, sf0.1): rep1 5.5s, steady state
+    // 1.0s — the delta is first-run codegen-compile/JIT warm-up plus
+    // run-order interference in the shared bench JVM (q88's L-BFGS
+    // fit churns the code cache), not a plan regression. Plan
+    // unchanged, PlanAudit clean.
     "q34_corpus_clean" -> ((s, dir) => {
       val toks = col("__toks")
       val prof = col("__prof")
@@ -762,6 +768,10 @@ object SparkEntry {
     //      detection via a row fingerprint over the non-key columns.
     //      Snapshots derived deterministically from orders (window
     //      growth + keyed deletes + keyed price updates) ----
+    // r4 bench showed 1.67× vs r3 with no code change; probed in
+    // isolation (sf0.1): rep1 5.2s, steady state 0.7s — first-run
+    // codegen/JIT overhead, same cause as q34 above. Not a manifest
+    // regression: the TableLog stats lines are not on this path.
     "q62_snapshot_diff" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       val before = orders
