@@ -428,10 +428,16 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(
           countDistinct(col("user_id")).as("n_users"),
-          // rsd 0.01: the default 0.05 config sits in HLL++'s biased
-          // band at ~1.5k cardinality and misses its own rsd as a
-          // bound; the tighter sketch keeps the 5% contract honest
-          approx_count_distinct(col("user_id"), 0.01).as("__approx"))
+          // DataSketches HLL (lgK=14, rsd ~0.8%) rather than
+          // approx_count_distinct(rsd=0.01): Spark's HLL++ at that
+          // precision declares ~2.7k Long buffer attributes, which
+          // blows up the generated aggregate (one-time ~3s janino
+          // compile, measured r5); the sketch keeps one binary
+          // buffer and its estimator is unbiased at ~1.5k
+          // cardinality where HLL++'s bias band broke the default
+          // 5% contract (the r4 finding that forced rsd=0.01)
+          hll_sketch_estimate(
+            hll_sketch_agg(col("user_id"), lit(14))).as("__approx"))
         .select(col("event_type"), col("n_users"),
           (abs(col("__approx") - col("n_users")) <=
             greatest(round(col("n_users") * 0.05), lit(1.0)))

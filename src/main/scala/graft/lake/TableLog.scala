@@ -2,6 +2,7 @@ package graft.lake
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
 
 /** Minimal versioned table log — the transactional core of a table
   * format (what Delta/Iceberg provide), built from first principles
@@ -36,7 +37,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object TableLog {
 
   final case class Commit(version: Int, action: String, dirs: Seq[String],
-      stats: Seq[TableStats.FileStats] = Seq.empty)
+      stats: Seq[TableStats.FileStats] = Seq.empty,
+      schemaJson: Option[String] = None) {
+    def schema: Option[StructType] =
+      schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+  }
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -58,13 +63,91 @@ object TableLog {
         val in = f.open(manifestPath(path, v))
         val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
           .getLines().toList finally in.close()
-        // '#'-prefixed lines are file-level column stats (TableStats);
-        // manifests written before stats existed simply have none
+        // '#'-prefixed lines are metadata: '#s\t' carries the snapshot
+        // schema (Delta's metadata-action pattern — resolved in O(1)
+        // from the log, never inferred from file footers), '#f/#c' are
+        // file-level column stats (TableStats); manifests written
+        // before either existed simply have none
         Commit(v, lines.head,
           lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")),
-          TableStats.fromLines(lines.tail))
+          TableStats.fromLines(lines.tail),
+          lines.tail.find(_.startsWith("#s\t")).map(_.drop(3)))
       }
   }
+
+  // ---- snapshot schema tracking ----
+  //
+  // The union-schema ("sync_all_columns") read contract says a
+  // snapshot's schema is the union of its files' schemas with absent
+  // columns null-backfilled. Deriving that with `mergeSchema` costs a
+  // footer-read of EVERY file on EVERY read — O(files) work that at
+  // 100 TB (millions of files) dwarfs many queries, and locally added
+  // a schema-inference Spark job to each TableLog read (measured r5:
+  // the table-log-heavy queries grew 1.5-2.4× when mergeSchema
+  // landed). Instead the schema is computed ONCE per commit (an O(1)
+  // in-memory merge of the previous snapshot schema with the new
+  // data's) and stored in the manifest, so readers resolve it without
+  // touching a single footer. Fields are recorded nullable because a
+  // union-schema read can null-backfill any of them.
+
+  private def asNullable(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, asNullable(f.dataType), nullable = true, f.metadata)))
+    case a: ArrayType => a.copy(elementType = asNullable(a.elementType),
+      containsNull = true)
+    case m: MapType => m.copy(keyType = asNullable(m.keyType),
+      valueType = asNullable(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  /** Union of two snapshot schemas: shared fields keep their (merged)
+    * type, fields unique to either side are appended — the in-memory
+    * equivalent of what `mergeSchema` infers from footers. Incompatible
+    * type changes fail the commit (same outcome mergeSchema gives at
+    * read time, but caught at WRITE time, where it's fixable). */
+  private[lake] def mergeSchemas(a: StructType, b: StructType): StructType = {
+    val bByName = b.fields.map(f => f.name -> f).toMap
+    val aNames = a.fieldNames.toSet
+    StructType(a.fields.map { fa =>
+      bByName.get(fa.name) match {
+        case Some(fb) => StructField(fa.name,
+          mergeTypes(fa.name, fa.dataType, fb.dataType), nullable = true)
+        case None => fa.copy(nullable = true)
+      }
+    } ++ b.fields.filterNot(f => aNames(f.name)))
+  }
+
+  private def mergeTypes(name: String, x: DataType, y: DataType): DataType =
+    (x, y) match {
+      case (sx: StructType, sy: StructType) => mergeSchemas(sx, sy)
+      case (ax: ArrayType, ay: ArrayType) =>
+        ArrayType(mergeTypes(name, ax.elementType, ay.elementType),
+          ax.containsNull || ay.containsNull)
+      case (mx: MapType, my: MapType) =>
+        MapType(mergeTypes(name, mx.keyType, my.keyType),
+          mergeTypes(name, mx.valueType, my.valueType),
+          mx.valueContainsNull || my.valueContainsNull)
+      case _ if x == y => x
+      case _ => throw new IllegalArgumentException(
+        s"incompatible schema evolution on column '$name': $x vs $y")
+    }
+
+  private def unionSchemaJson(prev: Option[String],
+      df: DataFrame): String = {
+    val next = asNullable(df.schema).asInstanceOf[StructType]
+    prev match {
+      case Some(p) => mergeSchemas(
+        DataType.fromJson(p).asInstanceOf[StructType], next).json
+      case None => next.json
+    }
+  }
+
+  /** The snapshot's schema as recorded in its manifest; `None` for
+    * manifests that predate schema tracking (readers then fall back to
+    * footer-merge inference). */
+  def snapshotSchema(spark: SparkSession, path: String,
+      version: Option[Int] = None): Option[StructType] =
+    resolve(spark, path, version).schema
 
   def latestVersion(spark: SparkSession, path: String): Option[Int] =
     history(spark, path).lastOption.map(_.version)
@@ -95,8 +178,39 @@ object TableLog {
       version: Option[Int] = None): DataFrame = {
     val commit = resolve(spark, path, version)
     require(commit.dirs.nonEmpty, s"version ${commit.version} is an empty snapshot")
-    spark.read.option("mergeSchema", "true")
-      .parquet(commit.dirs.map(d => s"$path/$d"): _*)
+    readDirs(spark, commit, commit.dirs.map(d => s"$path/$d"))
+  }
+
+  /** Read parquet paths under a snapshot's recorded schema (missing
+    * columns null-backfilled by the parquet reader, zero footer reads);
+    * pre-schema-tracking manifests fall back to footer-merge. */
+  private def readDirs(spark: SparkSession, commit: Commit,
+      paths: Seq[String]): DataFrame = commit.schema match {
+    case Some(s) => spark.read.schema(s).parquet(paths: _*)
+    case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+  }
+
+  /** Fallback-path form of [[readDirs]] for PRUNED reads of
+    * pre-schema-tracking manifests: footer-merge over the kept files
+    * can miss a column present only in pruned files, so align to the
+    * full snapshot's inferred schema with null-backfill. Manifests
+    * with a recorded schema never take this path — the parquet reader
+    * null-backfills against the recorded schema directly. */
+  private def readDirsAligned(spark: SparkSession, commit: Commit,
+      path: String, kept: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    commit.schema match {
+      case Some(_) => readDirs(spark, commit, kept)
+      case None =>
+        val snapshot = readDirs(spark, commit,
+          commit.dirs.map(d => s"$path/$d")).schema
+        val pruned = spark.read.option("mergeSchema", "true").parquet(kept: _*)
+        val present = pruned.columns.toSet
+        pruned.select(snapshot.fields.map { fld =>
+          if (present(fld.name)) col(fld.name)
+          else lit(null).cast(fld.dataType).as(fld.name)
+        }.toIndexedSeq: _*)
+    }
   }
 
   /** Metadata-only row count from manifest stats — `SELECT count(*)`
@@ -130,15 +244,10 @@ object TableLog {
     else {
       // same union-schema contract as read(): the kept files may span a
       // schema evolution, and a column present only in PRUNED files must
-      // still appear (null-backfilled) or readWhere != read().filter()
-      val snapshot = read(spark, path, version).schema
-      val pruned = spark.read.option("mergeSchema", "true").parquet(kept: _*)
-      val present = pruned.columns.toSet
-      val aligned = pruned.select(snapshot.fields.map { fld =>
-        if (present(fld.name)) col(fld.name)
-        else lit(null).cast(fld.dataType).as(fld.name)
-      }.toIndexedSeq: _*)
-      aligned.where(residual)
+      // still appear (null-backfilled) or readWhere != read().filter().
+      // With a recorded snapshot schema the parquet reader does the
+      // null-backfill itself; only pre-schema manifests pay footer-merge.
+      readDirsAligned(spark, commit, path, kept).where(residual)
     }
   }
 
@@ -161,16 +270,7 @@ object TableLog {
       .filter(f => values.exists(v => TableStats.mightMatch(f, colName, v, v)))
       .map(f => s"$path/${f.file}")
     if (kept.isEmpty) read(spark, path, version).where(lit(false))
-    else {
-      val snapshot = read(spark, path, version).schema
-      val pruned = spark.read.option("mergeSchema", "true").parquet(kept: _*)
-      val present = pruned.columns.toSet
-      val aligned = pruned.select(snapshot.fields.map { fld =>
-        if (present(fld.name)) col(fld.name)
-        else lit(null).cast(fld.dataType).as(fld.name)
-      }.toIndexedSeq: _*)
-      aligned.where(residual)
-    }
+    else readDirsAligned(spark, commit, path, kept).where(residual)
   }
 
   /** (files kept, files total) that [[readWhereIn]] would open. */
@@ -229,13 +329,15 @@ object TableLog {
     * delta-on-S3, documented in the class scaladoc. */
   private def writeManifest(spark: SparkSession, path: String, v: Int,
       action: String, dirs: Seq[String],
-      stats: Seq[TableStats.FileStats] = Seq.empty): Boolean = {
+      stats: Seq[TableStats.FileStats] = Seq.empty,
+      schemaJson: Option[String] = None): Boolean = {
     val f = fs(spark, path)
     f.mkdirs(logDir(path))
     val tmp = new Path(logDir(path),
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, false)
-    try out.write(((action +: dirs) ++ TableStats.toLines(stats))
+    try out.write(((action +: dirs) ++
+        schemaJson.map("#s\t" + _).toSeq ++ TableStats.toLines(stats))
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val dest = manifestPath(path, v)
@@ -273,14 +375,19 @@ object TableLog {
     while (attempts < MaxCommitAttempts) {
       val prev = history(spark, path)
       val v = prev.lastOption.map(_.version + 1).getOrElse(1)
-      val (dir, dirStats) = writeData(spark, path, mkDf(), v)
+      val df = mkDf()
+      val (dir, dirStats) = writeData(spark, path, df, v)
       val carried = if (carryPrevious) prev.lastOption else None
       val dirs = Seq(dir) ++ carried.map(_.dirs).getOrElse(Seq.empty)
       // append carries the previous snapshot's stats forward verbatim —
       // file paths are table-root-relative and files are immutable
       val stats = dirStats ++ carried.map(_.stats).getOrElse(Seq.empty)
-      if (writeManifest(spark, path, v, action, dirs, stats))
-        return Commit(v, action, dirs, stats)
+      // snapshot schema = previous schema ∪ new data's schema, merged
+      // in memory at commit time (never inferred from footers at read)
+      val schema = Some(unionSchemaJson(
+        carried.flatMap(_.schemaJson), df))
+      if (writeManifest(spark, path, v, action, dirs, stats, schema))
+        return Commit(v, action, dirs, stats, schema)
       fs(spark, path).delete(new Path(path, dir), true)
       attempts += 1
     }
@@ -380,18 +487,20 @@ object TableLog {
         return last // stats prove nothing matches: delete is a no-op
       val carriedStats = last.stats.filter(f =>
         carried.exists(d => f.file.startsWith(d + "/")))
-      // mergeSchema: touched dirs can span a schema evolution (appends
-      // carry pre-evolution dirs forward), and inferring one file's
-      // footer schema here would silently DROP evolved columns from the
-      // rewritten rows — permanent loss in the post-delete snapshot
-      val remaining = spark.read.option("mergeSchema", "true")
-        .parquet(touched.map(d => s"$path/$d"): _*)
+      // snapshot schema on the rewrite read: touched dirs can span a
+      // schema evolution (appends carry pre-evolution dirs forward),
+      // and inferring one file's footer schema here would silently
+      // DROP evolved columns from the rewritten rows — permanent loss
+      // in the post-delete snapshot. A delete never changes the
+      // schema, so the new manifest carries it forward verbatim.
+      val remaining = readDirs(spark, last, touched.map(d => s"$path/$d"))
         .where(not(coalesce(col(colName).between(lit(lo), lit(hi)), lit(false))))
       val (dir, dirStats) = writeData(spark, path, remaining, v)
       val dirs = Seq(dir) ++ carried
       if (writeManifest(spark, path, v, "delete", dirs,
-          dirStats ++ carriedStats))
-        return Commit(v, "delete", dirs, dirStats ++ carriedStats)
+          dirStats ++ carriedStats, last.schemaJson))
+        return Commit(v, "delete", dirs, dirStats ++ carriedStats,
+          last.schemaJson)
       fs(spark, path).delete(new Path(path, dir), true)
       attempts += 1
     }
@@ -408,8 +517,9 @@ object TableLog {
     while (attempts < MaxCommitAttempts) {
       val next = latestVersion(spark, path).get + 1
       if (writeManifest(spark, path, next, "rollback", target.dirs,
-          target.stats))
-        return Commit(next, "rollback", target.dirs, target.stats)
+          target.stats, target.schemaJson))
+        return Commit(next, "rollback", target.dirs, target.stats,
+          target.schemaJson)
       attempts += 1
     }
     throw new IllegalStateException(

@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import graft.lake.{SnapshotDiff, TableLog}
 import graft.streaming.Streams
 
@@ -237,5 +238,63 @@ class TableLogSpec extends AnyFunSuite {
       TableLog.read(spark, path, Some(2)), Seq("id"))
       .as[(Long, String)].collect().toSeq
     assert(got == Seq((2L, "changed"), (3L, "added")))
+  }
+
+  test("manifest records the snapshot schema; evolution unions it at commit time") {
+    val path = freshPath()
+    TableLog.commitAppend(spark, path, Seq((1L, "a")).toDF("id", "v"))
+    // O(1) resolution from the log — no footer inference
+    assert(TableLog.snapshotSchema(spark, path).get.fieldNames.toSeq ==
+      Seq("id", "v"))
+    // evolved append: the recorded schema is the union, in
+    // first-seen field order, and every field nullable (any of them
+    // can be null-backfilled by a union-schema read)
+    TableLog.commitAppend(spark, path,
+      Seq((2L, "b", 9L)).toDF("id", "v", "extra"))
+    val s = TableLog.snapshotSchema(spark, path).get
+    assert(s.fieldNames.toSeq == Seq("id", "v", "extra"))
+    assert(s.fields.forall(_.nullable))
+    // the pre-evolution snapshot keeps its own narrower schema
+    assert(TableLog.snapshotSchema(spark, path, Some(1)).get
+      .fieldNames.toSeq == Seq("id", "v"))
+    // the read null-backfills pre-evolution rows under that schema
+    val got = TableLog.read(spark, path)
+      .select("id", "extra").as[(Long, Option[Long])].collect().toSet
+    assert(got == Set((1L, None), (2L, Some(9L))))
+    // delete and rollback carry the schema forward verbatim
+    TableLog.commitDelete(spark, path, "id", 1L, 1L)
+    assert(TableLog.snapshotSchema(spark, path).get.fieldNames.toSeq ==
+      Seq("id", "v", "extra"))
+    TableLog.rollback(spark, path, 1)
+    assert(TableLog.snapshotSchema(spark, path).get.fieldNames.toSeq ==
+      Seq("id", "v"))
+  }
+
+  test("pre-schema-tracking manifests fall back to footer-merge inference") {
+    val path = freshPath()
+    TableLog.commitAppend(spark, path, Seq((1L, "a")).toDF("id", "v"))
+    TableLog.commitAppend(spark, path,
+      Seq((2L, "b", 9L)).toDF("id", "v", "extra"))
+    // strip the schema lines, simulating manifests written before
+    // schema tracking existed
+    val log = java.nio.file.Paths.get(path, "_graft_log")
+    java.nio.file.Files.list(log).forEach { m =>
+      if (m.getFileName.toString.endsWith(".manifest")) {
+        val kept = java.nio.file.Files.readAllLines(m).asScala
+          .filterNot(_.startsWith("#s\t"))
+        java.nio.file.Files.write(m, kept.mkString("\n").getBytes("UTF-8"))
+      }
+    }
+    assert(TableLog.snapshotSchema(spark, path).isEmpty)
+    // union-schema read contract still holds via mergeSchema
+    val got = TableLog.read(spark, path)
+      .select("id", "extra").as[(Long, Option[Long])].collect().toSet
+    assert(got == Set((1L, None), (2L, Some(9L))))
+    // pruned read still aligns to the full snapshot schema even when
+    // the kept files predate the evolution
+    val pruned = TableLog.readWhere(spark, path, "id", 1L, 1L)
+    assert(pruned.columns.toSeq == Seq("id", "v", "extra"))
+    assert(pruned.select("id", "extra").as[(Long, Option[Long])]
+      .collect().toSet == Set((1L, None)))
   }
 }
