@@ -1257,6 +1257,34 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy("mon")
     }),
+
+    // ---- Bloom-indexed point lookup: keys interleaved round-robin
+    //      across commits defeat min/max pruning (every file spans
+    //      the whole key domain — the unclustered-id probe shape);
+    //      the per-file bloom sidecar cuts each probe to ~one file.
+    //      Results are exact (residual filter), so the lookup is
+    //      fully oracled; pruning effectiveness is asserted in
+    //      BloomIndexSpec. The 10-key collect is bounded by
+    //      construction (LIMIT 10). ----
+    "q99_point_lookup" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_q99")
+        .resolve("ord").toString
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"))
+      (0 until 4).foreach { c =>
+        graft.lake.TableLog.commitAppend(s, tbl,
+          orders.filter(col("o_orderkey") % 4 === c).repartition(2))
+      }
+      graft.lake.BloomIndex.ensure(s, tbl, Seq("o_orderkey"))
+      val keys = orders.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey")).orderBy("o_orderkey").limit(10)
+        .collect().map(_.getLong(0)).toSeq
+      keys.map(k =>
+          graft.lake.TableLog.readWhereEq(s, tbl, "o_orderkey", k))
+        .reduce(_ unionByName _)
+        .orderBy("o_orderkey")
+    }),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -2362,5 +2390,13 @@ object SparkEntry {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q99_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0
+        |  ORDER BY o_orderkey LIMIT 10)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -273,6 +273,48 @@ object TableLog {
     else readDirsAligned(spark, commit, path, kept).where(residual)
   }
 
+  /** Point-lookup scan with two pruning tiers: a file is OPENED only
+    * when its manifest [min, max] bounds admit `value` AND its bloom
+    * sidecar ([[BloomIndex]], when present) says the file might
+    * contain it. Min/max alone is useless for a point probe on a
+    * high-cardinality UNCLUSTERED key — every file's range admits the
+    * value — which at 100 TB turns "find this order id" into a full
+    * scan; the bloom tier cuts that to ~fpp of the files. The
+    * residual filter keeps results exact regardless of index quality;
+    * dirs without sidecars prune conservatively (min/max only). */
+  def readWhereEq(spark: SparkSession, path: String, colName: String,
+      value: Any, version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(value != null, "equality probe value must be non-null")
+    val commit = resolve(spark, path, version)
+    require(commit.dirs.nonEmpty, s"version ${commit.version} is an empty snapshot")
+    val residual = col(colName) === lit(value)
+    if (commit.stats.isEmpty)
+      return read(spark, path, version).where(residual)
+    val blooms = BloomIndex.loadAll(spark, path, commit)
+    val kept = commit.stats
+      .filter(f => TableStats.mightMatch(f, colName, value, value) &&
+        BloomIndex.fileMightContain(blooms, f.file, colName, value))
+      .map(f => s"$path/${f.file}")
+    if (kept.isEmpty) read(spark, path, version).where(lit(false))
+    else readDirsAligned(spark, commit, path, kept).where(residual)
+  }
+
+  /** (files kept by min/max only, files kept by min/max + bloom,
+    * files total) that a [[readWhereEq]] probe would consider — the
+    * observability hook the bloom-pruning spec asserts on. */
+  def pruneReportEq(spark: SparkSession, path: String, colName: String,
+      value: Any, version: Option[Int] = None): (Int, Int, Int) = {
+    val commit = resolve(spark, path, version)
+    val ranged = commit.stats
+      .filter(TableStats.mightMatch(_, colName, value, value))
+    val blooms = BloomIndex.loadAll(spark, path, commit)
+    (ranged.size,
+      ranged.count(f =>
+        BloomIndex.fileMightContain(blooms, f.file, colName, value)),
+      commit.stats.size)
+  }
+
   /** (files kept, files total) that [[readWhereIn]] would open. */
   def pruneReportIn(spark: SparkSession, path: String, colName: String,
       values: Seq[Any], version: Option[Int] = None): (Int, Int) = {
