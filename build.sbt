@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 99 unique-codegen queries × local[32] in one JVM: 8g thrashes
+  // old-gen and lands multi-second GC pauses in random queries' timed
+  // slots (observed 3→10s swings on the same query across runs); 16g
+  // matches the per-thread memory a real executor would get
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -9,6 +9,20 @@ object Bench {
     // warm the JVM/codegen/parquet-footer paths so the first measured
     // query doesn't absorb session startup
     spark.range(1000).selectExpr("sum(id)").collect()
+    // warm the Spark ML path (breeze + L-BFGS + pipeline codegen):
+    // loading those classes costs seconds and would otherwise land in
+    // whichever measured query first touches the model tier — that's
+    // class-loader state, not engine work (q88 steady-state is ~1.4s
+    // but absorbed 9-17s of first-touch load when measured cold)
+    locally {
+      import spark.implicits._
+      val toy = Seq.tabulate(64)(i => (s"doc$i", s"tok${i % 7} text", i % 2))
+        .toDF("doc_id", "text", "y").withColumn("label", $"y".cast("double"))
+      val f = graft.operators.QualityModel.fit(toy, "text", "label",
+        dim = 1 << 8, maxIter = 2, trainRows = 64L)
+      graft.operators.QualityModel.score(toy, f).write.format("noop")
+        .mode("overwrite").save()
+    }
     // warm every base table end-to-end (footers + data pages + the
     // nanos-timestamp repair path): a noop write materializes all
     // columns, so no measured query pays the corpus' first-touch IO —
