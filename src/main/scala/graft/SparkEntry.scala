@@ -1285,6 +1285,36 @@ object SparkEntry {
         .reduce(_ unionByName _)
         .orderBy("o_orderkey")
     }),
+
+    // ---- Metadata-resolved aggregates: count/min/max and a range
+    //      count answered from manifest file stats, opening only the
+    //      files the stats can't vouch for (the double column's
+    //      bounds — NaN contract — and the range's boundary files).
+    //      Results are exact, so the whole query is oracled; the
+    //      zero-files-opened claim is proven in StatsAggSpec by
+    //      deleting the data and profiling again. ----
+    "q100_stats_profile" -> ((s, dir) => {
+      import graft.lake.{StatsAgg, TableLog}
+      val tbl = java.nio.file.Files.createTempDirectory("graft_q100")
+        .resolve("li").toString
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_returnflag"))
+      // three append commits, each range-clustered on shipdate: the
+      // 1997 count resolves interior files from metadata and scans
+      // only the files whose range straddles the interval's edges
+      (0 until 3).foreach { c =>
+        TableLog.commitAppend(s, tbl,
+          li.filter(col("l_orderkey") % 3 === c)
+            .repartitionByRange(4, col("l_shipdate")))
+      }
+      val prof = StatsAgg.profile(s, tbl,
+        Seq("l_orderkey", "l_returnflag", "l_extendedprice"))
+      val c97 = StatsAgg.countWhere(s, tbl, "l_shipdate",
+        java.sql.Timestamp.valueOf("1997-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("1997-12-31 23:59:59"))
+      prof.withColumn("cnt_1997", lit(c97))
+    }),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -2398,5 +2428,21 @@ object SparkEntry {
         |  SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0
         |  ORDER BY o_orderkey LIMIT 10)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q100_stats_profile" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(l_orderkey) AS cnt_l_orderkey,
+        |  MIN(l_orderkey) AS min_l_orderkey,
+        |  MAX(l_orderkey) AS max_l_orderkey,
+        |  COUNT(l_returnflag) AS cnt_l_returnflag,
+        |  MIN(l_returnflag) AS min_l_returnflag,
+        |  MAX(l_returnflag) AS max_l_returnflag,
+        |  COUNT(l_extendedprice) AS cnt_l_extendedprice,
+        |  MIN(l_extendedprice) AS min_l_extendedprice,
+        |  MAX(l_extendedprice) AS max_l_extendedprice,
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+        |     AND TIMESTAMP '1997-12-31 23:59:59') AS cnt_1997
+        |FROM lineitem""".stripMargin,
   )
 }

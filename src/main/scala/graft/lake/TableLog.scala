@@ -152,7 +152,7 @@ object TableLog {
   def latestVersion(spark: SparkSession, path: String): Option[Int] =
     history(spark, path).lastOption.map(_.version)
 
-  private def resolve(spark: SparkSession, path: String,
+  private[lake] def resolve(spark: SparkSession, path: String,
       version: Option[Int]): Commit = {
     val commits = history(spark, path)
     require(commits.nonEmpty, s"no commits at $path")
@@ -196,7 +196,7 @@ object TableLog {
     * full snapshot's inferred schema with null-backfill. Manifests
     * with a recorded schema never take this path — the parquet reader
     * null-backfills against the recorded schema directly. */
-  private def readDirsAligned(spark: SparkSession, commit: Commit,
+  private[lake] def readDirsAligned(spark: SparkSession, commit: Commit,
       path: String, kept: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     commit.schema match {
@@ -219,7 +219,10 @@ object TableLog {
   def countRows(spark: SparkSession, path: String,
       version: Option[Int] = None): Option[Long] = {
     val commit = resolve(spark, path, version)
-    if (commit.stats.isEmpty) None else Some(commit.stats.map(_.rows).sum)
+    // stats must cover EVERY dir: a stats-partial snapshot (append onto
+    // a pre-stats table) would otherwise report only the tracked rows
+    if (commit.stats.isEmpty || untrackedDirPaths(commit, path).nonEmpty) None
+    else Some(commit.stats.map(_.rows).sum)
   }
 
   /** Data-skipping scan: `read(...).filter(col BETWEEN lo AND hi)`, but
@@ -229,6 +232,19 @@ object TableLog {
     * scanning a day and scanning the table. The residual filter is
     * still applied, so results are exact regardless of stats quality;
     * snapshots without stats degrade to an ordinary filtered scan. */
+  /** Dirs of this snapshot with NO stats coverage at all (carried
+    * forward from a pre-stats manifest). A pruned read must always
+    * keep them: they have no bounds to prune on, and keying the scan
+    * set off the stats list alone would silently DROP their rows —
+    * stats-partial snapshots are rare (append onto a pre-stats table)
+    * but pruning must degrade to a scan there, never to wrong rows. */
+  private[lake] def untrackedDirPaths(commit: Commit,
+      path: String): Seq[String] = {
+    val tracked = commit.stats.map(_.file).toSet
+    commit.dirs.filterNot(d => tracked.exists(_.startsWith(d + "/")))
+      .map(d => s"$path/$d")
+  }
+
   def readWhere(spark: SparkSession, path: String, colName: String,
       lo: Any, hi: Any, version: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -239,7 +255,7 @@ object TableLog {
       return read(spark, path, version).where(residual)
     val kept = commit.stats
       .filter(TableStats.mightMatch(_, colName, lo, hi))
-      .map(f => s"$path/${f.file}")
+      .map(f => s"$path/${f.file}") ++ untrackedDirPaths(commit, path)
     if (kept.isEmpty) read(spark, path, version).where(lit(false))
     else {
       // same union-schema contract as read(): the kept files may span a
@@ -268,7 +284,7 @@ object TableLog {
       return read(spark, path, version).where(residual)
     val kept = commit.stats
       .filter(f => values.exists(v => TableStats.mightMatch(f, colName, v, v)))
-      .map(f => s"$path/${f.file}")
+      .map(f => s"$path/${f.file}") ++ untrackedDirPaths(commit, path)
     if (kept.isEmpty) read(spark, path, version).where(lit(false))
     else readDirsAligned(spark, commit, path, kept).where(residual)
   }
@@ -295,7 +311,7 @@ object TableLog {
     val kept = commit.stats
       .filter(f => TableStats.mightMatch(f, colName, value, value) &&
         BloomIndex.fileMightContain(blooms, f.file, colName, value))
-      .map(f => s"$path/${f.file}")
+      .map(f => s"$path/${f.file}") ++ untrackedDirPaths(commit, path)
     if (kept.isEmpty) read(spark, path, version).where(lit(false))
     else readDirsAligned(spark, commit, path, kept).where(residual)
   }

@@ -124,10 +124,16 @@ object TableStats {
           val cols = perCol.flatMap { case (name, chunks) =>
             val pt = chunks.head.getPrimitiveType
             val bounds = chunks.map(c => chunkBounds(pt, c.getStatistics))
-            val nulls = chunks.map { c =>
+            // -1 = unknown: a writer that doesn't set null counts must
+            // not be read as "zero nulls" — pruning ignores this field,
+            // but StatsAgg's exact metadata aggregates depend on the
+            // distinction (unknown ⇒ that file falls back to a scan)
+            val chunkNulls = chunks.map { c =>
               val st = c.getStatistics
-              if (st != null && st.isNumNullsSet) st.getNumNulls else 0L
-            }.sum
+              if (st != null && st.isNumNullsSet) st.getNumNulls else -1L
+            }
+            val nulls =
+              if (chunkNulls.exists(_ < 0L)) -1L else chunkNulls.sum
             // any chunk without usable bounds ⇒ whole file unknown
             val merged: (Option[String], Option[String]) =
               if (bounds.exists(_.isEmpty)) (None, None)
@@ -201,7 +207,7 @@ object TableStats {
       case _ => None
     }
 
-  private def cmp(typ: String, a: String, b: String): Int = typ match {
+  private[lake] def cmp(typ: String, a: String, b: String): Int = typ match {
     case "string" => a.compareTo(b)
     case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
     case _        => java.lang.Long.compare(a.toLong, b.toLong)
