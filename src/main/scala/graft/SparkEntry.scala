@@ -1315,6 +1315,42 @@ object SparkEntry {
         java.sql.Timestamp.valueOf("1997-12-31 23:59:59"))
       prof.withColumn("cnt_1997", lit(c97))
     }),
+
+    // ---- Persisted table constraints: a CHECK added to the log gates
+    //      every later commit (write-path data quality, vs the
+    //      one-shot validated merge). The poisoned batch is rejected
+    //      WHOLESALE and atomically; the repaired batch lands; the
+    //      final state is deterministic, so the whole flow is oracled
+    //      (rejected_batch carries the enforcement bit into the
+    //      compare). Atomicity and metadata carriage are proven in
+    //      ConstraintsSpec. ----
+    "q101_constraints" -> ((s, dir) => {
+      import graft.lake.TableLog
+      val tbl = java.nio.file.Files.createTempDirectory("graft_q101")
+        .resolve("ord").toString
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("price"))
+      TableLog.commitOverwrite(s, tbl,
+        orders.filter(col("o_orderkey") % 3 === 0))
+      TableLog.addConstraint(s, tbl, "price_nonneg", "price >= 0")
+      TableLog.addNotNull(s, tbl, "o_orderstatus")
+      // a batch with a few poisoned rows (negated price) must bounce
+      val batch = orders.filter(col("o_orderkey") % 3 === 1)
+        .withColumn("price",
+          when(col("o_orderkey") % 10 === 1, -col("price"))
+            .otherwise(col("price")))
+      val rejected =
+        try { TableLog.commitAppend(s, tbl, batch); false }
+        catch { case _: TableLog.ConstraintViolationException => true }
+      // repaired batch (poisoned rows dropped) commits cleanly
+      TableLog.commitAppend(s, tbl, batch.filter(col("price") >= 0))
+      TableLog.read(s, tbl)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("total"))
+        .withColumn("rejected_batch", lit(rejected))
+        .orderBy("o_orderstatus")
+    }),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -2444,5 +2480,15 @@ object SparkEntry {
         |   WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
         |     AND TIMESTAMP '1997-12-31 23:59:59') AS cnt_1997
         |FROM lineitem""".stripMargin,
+
+    "q101_constraints" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  ROUND(SUM(ROUND(o_totalprice, 2)), 2) AS total,
+        |  TRUE AS rejected_batch
+        |FROM orders
+        |WHERE o_orderkey % 3 = 0
+        |   OR (o_orderkey % 3 = 1 AND o_orderkey % 10 <> 1)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
   )
 }

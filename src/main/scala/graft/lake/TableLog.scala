@@ -38,10 +38,27 @@ object TableLog {
 
   final case class Commit(version: Int, action: String, dirs: Seq[String],
       stats: Seq[TableStats.FileStats] = Seq.empty,
-      schemaJson: Option[String] = None) {
+      schemaJson: Option[String] = None,
+      constraints: Seq[Constraint] = Seq.empty) {
     def schema: Option[StructType] =
       schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
   }
+
+  /** A persisted table invariant: a boolean Spark SQL expression every
+    * committed row must satisfy (Delta's `CHECK` constraint shape).
+    * SQL-standard semantics: a row violates only when the expression is
+    * FALSE — NULL passes, so `NOT NULL` is itself expressed as the
+    * check `col IS NOT NULL`. */
+  final case class Constraint(name: String, expr: String)
+
+  /** Thrown when a commit's data (or `addConstraint`'s existing data)
+    * breaks a table constraint; the table is left at its prior version
+    * with the rejected data directory removed. */
+  final class ConstraintViolationException(
+      val byConstraint: Seq[(String, Long)], where: String)
+    extends IllegalArgumentException(
+      s"constraint violation in $where: " + byConstraint
+        .map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -71,7 +88,11 @@ object TableLog {
         Commit(v, lines.head,
           lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")),
           TableStats.fromLines(lines.tail),
-          lines.tail.find(_.startsWith("#s\t")).map(_.drop(3)))
+          lines.tail.find(_.startsWith("#s\t")).map(_.drop(3)),
+          lines.tail.filter(_.startsWith("#k\t")).map { l =>
+            val p = l.split("\t", -1)
+            Constraint(p(1), java.net.URLDecoder.decode(p(2), "UTF-8"))
+          })
       }
   }
 
@@ -388,14 +409,18 @@ object TableLog {
   private def writeManifest(spark: SparkSession, path: String, v: Int,
       action: String, dirs: Seq[String],
       stats: Seq[TableStats.FileStats] = Seq.empty,
-      schemaJson: Option[String] = None): Boolean = {
+      schemaJson: Option[String] = None,
+      constraints: Seq[Constraint] = Seq.empty): Boolean = {
     val f = fs(spark, path)
     f.mkdirs(logDir(path))
     val tmp = new Path(logDir(path),
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, false)
     try out.write(((action +: dirs) ++
-        schemaJson.map("#s\t" + _).toSeq ++ TableStats.toLines(stats))
+        schemaJson.map("#s\t" + _).toSeq ++
+        constraints.map(k => "#k\t" + k.name + "\t" +
+          java.net.URLEncoder.encode(k.expr, "UTF-8")) ++
+        TableStats.toLines(stats))
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val dest = manifestPath(path, v)
@@ -444,13 +469,111 @@ object TableLog {
       // in memory at commit time (never inferred from footers at read)
       val schema = Some(unionSchemaJson(
         carried.flatMap(_.schemaJson), df))
-      if (writeManifest(spark, path, v, action, dirs, stats, schema))
-        return Commit(v, action, dirs, stats, schema)
+      // constraints are TABLE properties: they survive overwrite/merge
+      // (which replace data, not metadata), so they come from the
+      // previous commit regardless of carryPrevious
+      val cons = prev.lastOption.map(_.constraints).getOrElse(Seq.empty)
+      // enforce on the WRITTEN files (never recomputes the plan), under
+      // the new snapshot schema so an evolved-away column reads as null
+      // and `IS NOT NULL` checks catch it. "optimize" is pure layout —
+      // same rows, spec-asserted — and skips the re-validation scan
+      // (at 100 TB revalidating a full rewrite doubles its read cost).
+      if (cons.nonEmpty && action != "optimize") {
+        val bad =
+          try violations(spark.read
+            .schema(DataType.fromJson(schema.get).asInstanceOf[StructType])
+            .parquet(s"$path/$dir"), cons)
+          catch { case e: Throwable =>
+            fs(spark, path).delete(new Path(path, dir), true); throw e
+          }
+        if (bad.nonEmpty) {
+          fs(spark, path).delete(new Path(path, dir), true)
+          throw new ConstraintViolationException(bad, s"$action at $path")
+        }
+      }
+      if (writeManifest(spark, path, v, action, dirs, stats, schema, cons))
+        return Commit(v, action, dirs, stats, schema, cons)
       fs(spark, path).delete(new Path(path, dir), true)
       attempts += 1
     }
     throw new IllegalStateException(
       s"lost the commit race $MaxCommitAttempts times at $path — writer contention")
+  }
+
+  /** Per-constraint violating-row counts, all constraints in ONE
+    * aggregate pass (never a scan per constraint). A row violates only
+    * when the check is FALSE — NULL passes (SQL-standard CHECK). */
+  private def violations(df: DataFrame, cs: Seq[Constraint])
+      : Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+    val aggs = cs.map(c =>
+      sum(when(not(coalesce(expr(c.expr).cast("boolean"), lit(true))), 1L)
+        .otherwise(0L)))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cs.zipWithIndex
+      .map { case (c, i) =>
+        c.name -> (if (row.isNullAt(i)) 0L else row.getLong(i)) }
+      .filter(_._2 > 0L)
+  }
+
+  /** The table's active constraints (empty before any were added). */
+  def constraints(spark: SparkSession, path: String,
+      version: Option[Int] = None): Seq[Constraint] =
+    resolve(spark, path, version).constraints
+
+  /** Persist a CHECK constraint: validates the EXISTING snapshot (one
+    * aggregate pass — a violating table refuses the constraint), then
+    * commits a metadata-only version carrying data/stats/schema forward
+    * verbatim. Every later commit validates its incoming data against
+    * the constraint set and is rejected atomically on violation —
+    * the enforced-at-write contract of Delta's ADD CONSTRAINT, vs the
+    * one-shot gate of [[commitMergeValidated]]. */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+      checkExpr: String): Commit = {
+    require(name.nonEmpty && !name.contains("\t"), s"bad constraint name '$name'")
+    var attempts = 0
+    while (attempts < MaxCommitAttempts) {
+      val last = resolve(spark, path, None)
+      require(!last.constraints.exists(_.name == name),
+        s"constraint '$name' already exists")
+      val bad = violations(read(spark, path), Seq(Constraint(name, checkExpr)))
+      if (bad.nonEmpty)
+        throw new ConstraintViolationException(bad,
+          s"existing data at $path (constraint not added)")
+      val v = last.version + 1
+      val cons = last.constraints :+ Constraint(name, checkExpr)
+      if (writeManifest(spark, path, v, "constraint", last.dirs, last.stats,
+          last.schemaJson, cons))
+        return Commit(v, "constraint", last.dirs, last.stats,
+          last.schemaJson, cons)
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"lost the constraint race $MaxCommitAttempts times at $path")
+  }
+
+  /** `NOT NULL` as the standard CHECK form. */
+  def addNotNull(spark: SparkSession, path: String, colName: String): Commit =
+    addConstraint(spark, path, s"${colName}_not_null", s"$colName IS NOT NULL")
+
+  /** Remove a constraint by name (metadata-only commit). */
+  def dropConstraint(spark: SparkSession, path: String,
+      name: String): Commit = {
+    var attempts = 0
+    while (attempts < MaxCommitAttempts) {
+      val last = resolve(spark, path, None)
+      require(last.constraints.exists(_.name == name),
+        s"no constraint named '$name'")
+      val v = last.version + 1
+      val cons = last.constraints.filterNot(_.name == name)
+      if (writeManifest(spark, path, v, "constraint", last.dirs, last.stats,
+          last.schemaJson, cons))
+        return Commit(v, "constraint", last.dirs, last.stats,
+          last.schemaJson, cons)
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"lost the constraint race $MaxCommitAttempts times at $path")
   }
 
   /** Add `df`'s rows to the table (new snapshot = previous dirs + one
@@ -555,10 +678,12 @@ object TableLog {
         .where(not(coalesce(col(colName).between(lit(lo), lit(hi)), lit(false))))
       val (dir, dirStats) = writeData(spark, path, remaining, v)
       val dirs = Seq(dir) ++ carried
+      // delete rewrites a subset of already-validated rows: constraints
+      // carry forward without a re-validation scan
       if (writeManifest(spark, path, v, "delete", dirs,
-          dirStats ++ carriedStats, last.schemaJson))
+          dirStats ++ carriedStats, last.schemaJson, last.constraints))
         return Commit(v, "delete", dirs, dirStats ++ carriedStats,
-          last.schemaJson)
+          last.schemaJson, last.constraints)
       fs(spark, path).delete(new Path(path, dir), true)
       attempts += 1
     }
@@ -574,10 +699,12 @@ object TableLog {
     var attempts = 0
     while (attempts < MaxCommitAttempts) {
       val next = latestVersion(spark, path).get + 1
+      // metadata rolls back with the data: the restored snapshot's
+      // constraint set (and schema) is what validated its rows
       if (writeManifest(spark, path, next, "rollback", target.dirs,
-          target.stats, target.schemaJson))
+          target.stats, target.schemaJson, target.constraints))
         return Commit(next, "rollback", target.dirs, target.stats,
-          target.schemaJson)
+          target.schemaJson, target.constraints)
       attempts += 1
     }
     throw new IllegalStateException(
