@@ -19,6 +19,8 @@ object QueryProbe {
     spark.sparkContext.setLogLevel("WARN")
     if (args.contains("explain"))
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    if (args.contains("show"))
+      SparkEntry.queries(name)(spark, sfDir).show(50, truncate = false)
     // time construction + execution: operators may do eager work
     // (cache warm-up) at construction, like Bench measures. Repeat to
     // separate first-run overhead (codegen compile, file listing, JIT)

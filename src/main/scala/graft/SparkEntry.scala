@@ -575,13 +575,16 @@ object SparkEntry {
       Sessionize.sessionStats(t(s, dir, "events"),
         key = "user_id", ts = "ts", gapSeconds = 1800, valueCol = "value")),
 
-    // ---- V6 source freshness (wall-clock dependent → rows-only),
-    //      evaluated against the reference's warn-12h / error-24h
-    //      policy (dbt/models/schema.yml:10-13) ----
+    // ---- V6 source freshness, evaluated against the reference's
+    //      warn-12h / error-24h policy (dbt/models/schema.yml:10-13).
+    //      `asOf` pins "now" to a literal (the dbt freshness snapshot
+    //      timestamp), which makes the check deterministic and hence
+    //      DuckDB-oracleable; production passes None → wall clock ----
     "q33_freshness" -> ((s, dir) =>
       Expectations.freshnessStatus(t(s, dir, "events"),
         Expectations.FreshnessPolicy("ts",
-          warnAfterHours = Some(12.0), errorAfterHours = Some(24.0)))),
+          warnAfterHours = Some(12.0), errorAfterHours = Some(24.0)),
+        asOf = Some(to_timestamp(lit("2024-01-31 18:00:00"))))),
 
     // ---- Salted join: results identical to plain join (oracle),
     //      shuffle keys spread over (key, salt) for hot keys ----
@@ -1763,6 +1766,22 @@ object SparkEntry {
         |  ROUND(SUM(value), 2) AS total_value
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    // asOf pinned to 2024-01-31 18:00 (events span Jan 2024, so ~18 h
+    // since max(ts) → deterministic 'warn'). floor(epoch(...)) mirrors
+    // Spark's unix_timestamp second-truncation; comparisons use the
+    // UNROUNDED hours like freshnessStatus does.
+    "q33_freshness" ->
+      """WITH f AS (
+        |  SELECT (epoch(TIMESTAMP '2024-01-31 18:00:00')
+        |          - floor(epoch(max(ts)))) / 3600.0 AS h,
+        |         max(ts) AS mx FROM events)
+        |SELECT round(h, 4) AS hours_since_load,
+        |  CASE WHEN mx IS NULL THEN 'error'
+        |       WHEN h > 24 THEN 'error'
+        |       WHEN h > 12 THEN 'warn'
+        |       ELSE 'pass' END AS status
+        |FROM f""".stripMargin,
 
     "q43_salted_join" ->
       """SELECT s_name, COUNT(*) AS n_items

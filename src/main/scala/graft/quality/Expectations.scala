@@ -111,16 +111,35 @@ object Expectations {
   /** Fail-fast wrapper matching the reference's abort-on-violation
     * semantics (local_runner.py:76-102). A declared freshness policy
     * follows dbt semantics: `error` aborts, `warn` does not (it is
-    * surfaced to the caller via the returned status). */
+    * surfaced to the caller via the returned status).
+    *
+    * The whole gate — every check's violation count AND the freshness
+    * aggregate — is ONE `agg` over the frame, hence one Spark job and
+    * one scan; the schema check is driver-side metadata. (The reference
+    * runs one pandas pass per expectation plus a separate freshness
+    * command.) */
   def validateOrThrow(df: DataFrame, suite: Suite): Option[String] = {
-    val failed = evaluate(df, suite).filter(col("violations") > 0).collect()
-    if (failed.nonEmpty) {
-      val msgs = failed.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
-      throw new IllegalStateException(s"Expectation suite '${suite.name}' failed: $msgs")
+    val checkCols = suite.checks.map(c => c.violations.as(c.name))
+    val freshCols = suite.freshness.toSeq.flatMap { p =>
+      val (hours, status) = freshnessAggCols(p, asOf = None)
+      Seq(hours.as("__fresh_hours"), status.as("__fresh_status"))
     }
+    val row = df.agg(count(lit(1)).as("__row_count"),
+      (checkCols ++ freshCols): _*).collect()(0)
+    val schemaFailed = suite.columnsOrdered.exists(c => df.columns.toSeq != c.expected)
+    val failed =
+      (if (schemaFailed) Seq("columns_ordered=1") else Seq.empty) ++
+        suite.checks.zipWithIndex.collect {
+          case (c, i) if row.getLong(i + 1) > 0 => s"${c.name}=${row.getLong(i + 1)}"
+        }
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        s"Expectation suite '${suite.name}' failed: ${failed.mkString(", ")}")
     suite.freshness.map { p =>
-      val row = freshnessStatus(df, p).collect()(0)
-      val (hours, status) = (row.getDouble(0), row.getString(1))
+      val status = row.getString(row.fieldIndex("__fresh_status"))
+      val hours =
+        if (row.isNullAt(row.fieldIndex("__fresh_hours"))) Double.NaN
+        else row.getDouble(row.fieldIndex("__fresh_hours"))
       if (status == "error")
         throw new IllegalStateException(
           s"Source freshness for '${suite.name}': $hours h since load " +
@@ -145,12 +164,11 @@ object Expectations {
       warnAfterHours: Option[Double],
       errorAfterHours: Option[Double])
 
-  /** Evaluate a freshness policy in one aggregate pass. Returns a single
-    * row (hours_since_load, status) with status ∈ pass|warn|error.
-    * `asOf` pins "now" for deterministic tests; production leaves it
-    * None → wall clock, matching dbt's source freshness snapshot. */
-  def freshnessStatus(df: DataFrame, policy: FreshnessPolicy,
-      asOf: Option[Column] = None): DataFrame = {
+  /** The freshness check as a pair of aggregate Columns
+    * (hours_since_load, status) so callers can fold it into a wider
+    * single-pass agg ([[validateOrThrow]] does). */
+  private[quality] def freshnessAggCols(policy: FreshnessPolicy,
+      asOf: Option[Column]): (Column, Column) = {
     val now = asOf.getOrElse(current_timestamp())
     val maxLoaded = max(col(policy.loadedAtCol))
     val hours = ((unix_timestamp(now) - unix_timestamp(maxLoaded)) / 3600.0)
@@ -158,10 +176,20 @@ object Expectations {
       bound.map(b => hours > lit(b)).getOrElse(lit(false))
     // an EMPTY source has no load time at all — that is an error, not a
     // null that falls through to "pass" (dataless ≠ fresh)
-    df.agg(round(hours, 4).as("hours_since_load"),
+    (round(hours, 4),
       when(maxLoaded.isNull, "error")
         .when(breached(policy.errorAfterHours), "error")
         .when(breached(policy.warnAfterHours), "warn")
-        .otherwise("pass").as("status"))
+        .otherwise("pass"))
+  }
+
+  /** Evaluate a freshness policy in one aggregate pass. Returns a single
+    * row (hours_since_load, status) with status ∈ pass|warn|error.
+    * `asOf` pins "now" for deterministic tests/oracles; production
+    * leaves it None → wall clock, matching dbt's freshness snapshot. */
+  def freshnessStatus(df: DataFrame, policy: FreshnessPolicy,
+      asOf: Option[Column] = None): DataFrame = {
+    val (hours, status) = freshnessAggCols(policy, asOf)
+    df.agg(hours.as("hours_since_load"), status.as("status"))
   }
 }

@@ -108,4 +108,40 @@ class ExpectationsSpec extends AnyFunSuite {
       Suite("s", None, Nil,
         Some(FreshnessPolicy("dt", Some(12.0), Some(24.0))))) == Some("pass"))
   }
+
+  test("validateOrThrow runs the whole gate — checks AND freshness — as ONE action") {
+    import org.apache.spark.sql.functions._
+    val frame = Seq((1L, "a@x.com", 5.0, "2999-01-01 00:00:00"))
+      .toDF("id", "email", "amount", "dt")
+      .select(col("id"), col("email"), col("amount"),
+        to_timestamp(col("dt")).as("dt"))
+    val suite = Suite("one-pass",
+      Some(ColumnsOrdered(Seq("id", "email", "amount", "dt"))),
+      Seq(NotNull("id"), MinBound("amount", 0.0),
+        RegexMatch("email", ".+@.+\\..+")),
+      Some(FreshnessPolicy("dt", Some(12.0), Some(24.0))))
+    // one collect = one query execution = one scan of the frame (the
+    // pre-fold shape ran TWO: the suite agg and the freshness agg)
+    val executions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = executions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      assert(Expectations.validateOrThrow(frame, suite) == Some("pass"))
+      // listener events are posted async; wait for the count to settle
+      var last = -1
+      var spins = 0
+      while (executions.get() != last && spins < 40) {
+        last = executions.get(); Thread.sleep(50); spins += 1
+      }
+    } finally spark.listenerManager.unregister(listener)
+    assert(executions.get() == 1,
+      s"expected the suite + freshness gate to be one action, got ${executions.get()}")
+  }
 }
