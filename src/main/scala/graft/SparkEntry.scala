@@ -1354,6 +1354,37 @@ object SparkEntry {
         .withColumn("rejected_batch", lit(rejected))
         .orderBy("o_orderstatus")
     }),
+
+    // ---- Catalog/docs publication: a table-of-tables resolved from
+    //      TableLog manifests (the dbt-docs analog of the reference's
+    //      publish stage, airflow/dags/lakehouse_pipelines.py:93-95).
+    //      Version/action/row-count all come from MANIFESTS — row
+    //      counts from file stats without opening data; determinism
+    //      makes the whole catalog oracle-checkable. schema_json is
+    //      dropped from the projection only because JSON key order
+    //      isn't SQL-expressible; CatalogSpec pins it. ----
+    "q102_catalog" -> ((s, dir) => {
+      import graft.lake.{Catalog, TableLog}
+      val base = java.nio.file.Files.createTempDirectory("graft_q102")
+      def p(n: String) = base.resolve(n).toString
+      TableLog.commitOverwrite(s, p("cust"),
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name")))
+      TableLog.commitOverwrite(s, p("li97"),
+        t(s, dir, "lineitem")
+          .filter(year(col("l_shipdate")) === 1997)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice")))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      TableLog.commitOverwrite(s, p("ord"), ord)
+      TableLog.commitAppend(s, p("ord"),
+        ord.filter(col("o_orderkey") % 2 === 0))
+      Catalog.build(s,
+        Map("cust" -> p("cust"), "li97" -> p("li97"), "ord" -> p("ord")))
+        .select(col("table_name"), col("version"), col("last_action"),
+          col("n_columns"), col("row_count"))
+        .orderBy("table_name")
+    }),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -2509,5 +2540,18 @@ object SparkEntry {
         |   OR (o_orderkey % 3 = 1 AND o_orderkey % 10 <> 1)
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q102_catalog" ->
+      """SELECT 'cust' AS table_name, CAST(1 AS INTEGER) AS version,
+        |  'overwrite' AS last_action, CAST(2 AS INTEGER) AS n_columns,
+        |  (SELECT COUNT(*) FROM customer) AS row_count
+        |UNION ALL
+        |SELECT 'li97', CAST(1 AS INTEGER), 'overwrite', CAST(4 AS INTEGER),
+        |  (SELECT COUNT(*) FROM lineitem WHERE year(l_shipdate) = 1997)
+        |UNION ALL
+        |SELECT 'ord', CAST(2 AS INTEGER), 'append', CAST(3 AS INTEGER),
+        |  (SELECT COUNT(*) FROM orders)
+        |    + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+        |ORDER BY table_name""".stripMargin,
   )
 }

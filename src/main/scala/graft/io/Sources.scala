@@ -61,6 +61,50 @@ object Sources {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** First-contact CSV ingest: ONE schema-inference pass over the data,
+    * then the frame is re-read under the now-PINNED StructType — the
+    * Glue-crawler / pandas entry path of the reference
+    * (`terraform/main.tf:33-41` crawls raw buckets to infer table
+    * schemas; `local_runner.py:49-52` lets pandas infer CSV types).
+    * Returns the pinned schema alongside the frame so the caller can
+    * persist it and ingest every subsequent batch schema-explicit
+    * (via [[csv]]) with [[schemaDrift]] as the evolution tripwire —
+    * inference runs once at first contact, never per batch. */
+  def inferCsv(spark: SparkSession, path: String): (StructType, DataFrame) = {
+    val pinned = spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(path)
+      .schema
+    (pinned, csv(spark, path, pinned))
+  }
+
+  /** First-contact JSON-lines ingest; same one-pass-then-pin contract
+    * as [[inferCsv]]. Spark's JSON inference maps heterogeneous nested
+    * objects to a sparse struct; callers wanting the map form (the
+    * web_events `metadata` shape) declare it explicitly afterwards. */
+  def inferJson(spark: SparkSession, path: String): (StructType, DataFrame) = {
+    val pinned = spark.read.json(path).schema
+    (pinned, jsonLines(spark, path, pinned))
+  }
+
+  /** Drift report of an observed schema against the pinned one: columns
+    * the new batch dropped, added, or retyped. Empty = no drift. The
+    * first-contact crawler pins; every later batch is checked — the
+    * lakehouse answer to silent upstream schema changes. */
+  def schemaDrift(pinned: StructType, observed: StructType): Seq[String] = {
+    val p = pinned.fields.map(f => f.name -> f.dataType).toMap
+    val o = observed.fields.map(f => f.name -> f.dataType).toMap
+    val missing = pinned.fields.collect {
+      case f if !o.contains(f.name) => s"missing: ${f.name}" }
+    val added = observed.fields.collect {
+      case f if !p.contains(f.name) => s"added: ${f.name}" }
+    val retyped = pinned.fields.collect {
+      case f if o.get(f.name).exists(_ != f.dataType) =>
+        s"retyped: ${f.name} ${f.dataType.simpleString} -> ${o(f.name).simpleString}" }
+    (missing ++ added ++ retyped).toSeq
+  }
+
   /** ORC scan — the other columnar format large lakehouses ingest
     * alongside parquet (built into Spark; same pushdown/pruning
     * machinery: filters and column selection reach the ORC reader). */

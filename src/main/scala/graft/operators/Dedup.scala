@@ -77,25 +77,41 @@ object Dedup {
     *    random-pair Jaccard is high) from exploding. */
   def minHashCandidates(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
       bands: Int = 4, maxBucket: Int = 200,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      spillTo: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // docs with fewer than k tokens have no shingles — their sentinel
     // signatures are all identical and would cross-collide in every
     // band; they can't be shingle-near-dups of anything, so drop them
     val eligible = docs.filter(size(tokens(col(textCol))) >= k)
-    // The signature table is referenced three times below (banding +
-    // both sides of the pair estimate); persist EAGERLY so the
-    // shingle/hash work runs once — a lazy persist lets the three
-    // branches of a single job race the cold cache and each compute
-    // the signatures themselves. The cache lives until the caller drops
-    // it (`spark.catalog.clearCache()` between unrelated jobs, as Bench
-    // and ScaleProbe do) — it cannot be unpersisted here because the
-    // returned plan still references it lazily.
-    val signed = withMinHashSignature(eligible, k, numHashes, textCol)
+    val computed = withMinHashSignature(eligible, k, numHashes, textCol)
       .select(col(idCol), col("minhash_sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    signed.count()
+    // The signature table is referenced three times below (banding +
+    // both sides of the pair estimate), so it must materialize once.
+    // Two modes:
+    //  - `spillTo = Some(path)`: checkpoint the signatures through a
+    //    TableLog commit and read them back as FILES. This is the
+    //    100 TB shape — no executor-cache residency, consumers are
+    //    plain parquet scans, and the table is a durable artifact an
+    //    incremental dedup can admit against later.
+    //  - `spillTo = None` (default, small/interactive runs): persist
+    //    EAGERLY — a lazy persist lets the three branches of a single
+    //    job race the cold cache and each compute the signatures
+    //    themselves. The cache lives until the caller drops it
+    //    (`spark.catalog.clearCache()` between unrelated jobs, as Bench
+    //    and ScaleProbe do) — it cannot be unpersisted here because the
+    //    returned plan still references it lazily.
+    val signed = spillTo match {
+      case Some(path) =>
+        graft.lake.TableLog.commitOverwrite(docs.sparkSession, path, computed)
+        graft.lake.TableLog.read(docs.sparkSession, path)
+      case None =>
+        val cached = computed
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached.count()
+        cached
+    }
     val banded = bandHashes(signed, bands, rows, idCol)
     // Cap pathological buckets (hot-key defense for the self-join).
     val bucketSizes = banded.groupBy("band_id", "band_hash")
@@ -190,9 +206,10 @@ object Dedup {
     * Returns the surviving documents' ids. */
   def fuzzyDedupKeepFirst(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
       bands: Int = 8, maxBucket: Int = 200, threshold: Double = 0.5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      spillTo: Option[String] = None): DataFrame = {
     val candidates = minHashCandidates(docs, k, numHashes, bands, maxBucket,
-      idCol, textCol).select("id_a", "id_b")
+      idCol, textCol, spillTo).select("id_a", "id_b")
     val verified = jaccardVerify(docs, candidates, k, threshold, idCol, textCol)
     val dropped = verified.select(col("id_b").as(idCol)).distinct()
     docs.join(dropped, Seq(idCol), "left_anti")

@@ -190,12 +190,38 @@ object Lakehouse {
     flat.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
   }
 
+  /** Expectation suite the merged fact snapshot must satisfy BEFORE a
+    * new version becomes visible — the table-format form of the
+    * reference's validate-before-publish gate (the dbt `merge` strategy
+    * plus model tests, fct_daily_store_metrics.sql:1-5). */
+  val factSuite: Suite = Suite("fct_daily_store_metrics",
+    columnsOrdered = None,
+    checks = Seq(
+      NotNull("store_id"), NotNull("dt"),
+      MinBound("revenue", 0.0), MinBound("order_count", 0.0)))
+
+  /** Publish the fact through an ATOMIC validated MERGE commit on a
+    * [[graft.lake.TableLog]] table keyed on (store_id, dt) — the
+    * reference's `unique_key=['store_id','dt']` incremental merge with
+    * snapshot semantics: readers of the prior version are never exposed
+    * to a half-written merge (dynamic partition overwrite commits
+    * partition-by-partition; the log commit is all-or-nothing at the
+    * manifest publish), and a failed expectation leaves the table at
+    * its prior version untouched. */
+  def publishFactToLake(spark: SparkSession, fact: DataFrame,
+      lakePath: String): graft.lake.TableLog.Commit =
+    graft.lake.TableLog.commitMergeValidated(
+      spark, lakePath, fact, Seq("store_id", "dt"), factSuite)
+
   /** Full run over a raw directory: per-domain ingest → validate (fail
     * fast, local_runner.py:76-102) → stage → publish temp views; then
-    * the cross-domain fact. Returns the fact. */
+    * the cross-domain fact. `lakeDir` additionally merges the fact into
+    * a snapshot-isolated lake table (see [[publishFactToLake]]).
+    * Returns the fact. */
   def run(spark: SparkSession, rawDir: String,
       outDir: Option[String] = None,
-      incrementalDays: Option[Int] = None): DataFrame = {
+      incrementalDays: Option[Int] = None,
+      lakeDir: Option[String] = None): DataFrame = {
     val staged = Seq("erp_orders", "crm_leads", "products", "web_events").map { d =>
       val raw = ingest(spark, rawDir, d)
       Expectations.validateOrThrow(raw, suites(d))
@@ -210,6 +236,7 @@ object Lakehouse {
       staged.foreach { case (d, s) => writeCsv(s, s"$dir/stg_$d") }
       writeCsv(fact, s"$dir/fct_daily_store_metrics")
     }
+    lakeDir.foreach(publishFactToLake(spark, fact, _))
     fact
   }
 }

@@ -26,8 +26,15 @@ object Orchestrator {
       attempts: Int, ok: Boolean, error: Option[String],
       durationMillis: Long = 0L)
 
+  /** Notification surface of the reference's Airflow callbacks
+    * (`airflow/dags/lakehouse_pipelines.py:50-73`): `onFailure` is the
+    * `on_failure_callback` analog — fired once per stage whose retries
+    * are exhausted, AFTER `onStageComplete`, never on success — and
+    * `onSlaMiss` mirrors `sla_miss_callback`. All hooks default to
+    * no-ops; wiring Slack/email/pager is the caller's one-liner. */
   trait Observer {
     def onStageComplete(r: StageResult): Unit = ()
+    def onFailure(r: StageResult): Unit = ()
     def onSlaMiss(domain: String, elapsedMillis: Long): Unit = ()
   }
   object NoopObserver extends Observer
@@ -64,6 +71,7 @@ object Orchestrator {
         r.failed.toOption.map(_.getMessage),
         durationMillis = (System.nanoTime() - s0) / 1000000L)
       observer.onStageComplete(sr)
+      if (r.isFailure) observer.onFailure(sr)
       results += sr
       if (r.isFailure) ok = false
     }

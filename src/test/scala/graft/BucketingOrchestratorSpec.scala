@@ -82,4 +82,26 @@ class BucketingOrchestratorSpec extends AnyFunSuite {
     assert(!results.exists(_.stage == "publish"))    // gated
     assert(seen.map(_.stage) == results.map(_.stage))
   }
+
+  test("orchestrator: onFailure fires once per failed stage, never on success; onSlaMiss on breach") {
+    val good = SampleData.writeTo(
+      java.nio.file.Files.createTempDirectory("graft_orch_cb").toString)
+    val failures = scala.collection.mutable.Buffer[StageResult]()
+    val slaMisses = scala.collection.mutable.Buffer[(String, Long)]()
+    val observer = new Orchestrator.Observer {
+      override def onFailure(r: StageResult): Unit = failures += r
+      override def onSlaMiss(d: String, ms: Long): Unit = slaMisses += ((d, ms))
+    }
+    // green domain: no onFailure; slaMillis=0 forces the SLA callback
+    Orchestrator.runDomain(spark, good, "erp_orders",
+      RetryPolicy(retries = 0), slaMillis = 0L, observer = observer)
+    assert(failures.isEmpty)
+    assert(slaMisses.map(_._1) == Seq("erp_orders") && slaMisses.head._2 > 0)
+    // failing domain: exactly one onFailure, for the failing stage,
+    // after retries exhausted
+    Orchestrator.runDomain(spark, good, "no_such_domain",
+      RetryPolicy(retries = 1), observer = observer)
+    assert(failures.map(r => (r.domain, r.stage, r.ok, r.attempts)) ==
+      Seq(("no_such_domain", "ingest", false, 2)))
+  }
 }

@@ -67,4 +67,42 @@ class LakehouseSpec extends AnyFunSuite {
     val fact = Lakehouse.run(spark, rawDir, incrementalDays = Some(7))
     assert(fact.count() == 0)
   }
+
+  test("lake publication: atomic validated merge with snapshot isolation") {
+    import org.apache.spark.sql.functions._
+    import graft.lake.TableLog
+    val lake = Files.createTempDirectory("graft_lake").toString + "/fct"
+    // v1: bootstrap from the full pipeline
+    Lakehouse.run(spark, rawDir, lakeDir = Some(lake))
+    assert(TableLog.latestVersion(spark, lake) == Some(1))
+    val v1Rows = TableLog.read(spark, lake, Some(1)).count()
+    assert(v1Rows == 5)
+    // a reader pinned to v1 BEFORE the next merge commits...
+    val pinnedV1 = TableLog.read(spark, lake, Some(1))
+    // v2: merge an update for one key + a brand-new key
+    val updates = TableLog.read(spark, lake)
+      .filter(col("store_id") === "store_02" && col("dt") === lit("2024-06-02").cast("date"))
+      .withColumn("revenue", lit(999.99).cast("decimal(12,2)"))
+      .unionByName(TableLog.read(spark, lake).limit(1)
+        .withColumn("store_id", lit("store_99")))
+    Lakehouse.publishFactToLake(spark, updates, lake)
+    assert(TableLog.latestVersion(spark, lake) == Some(2))
+    // ...still sees the pre-merge snapshot (old files retained)
+    assert(pinnedV1.count() == 5)
+    assert(pinnedV1.filter(col("revenue") === 999.99).count() == 0)
+    // the new snapshot has the upserted value and the new key
+    val v2 = TableLog.read(spark, lake)
+    assert(v2.count() == 6)
+    assert(v2.filter(col("store_id") === "store_02" &&
+      col("dt") === lit("2024-06-02").cast("date"))
+      .select("revenue").collect()(0).getDecimal(0).doubleValue() == 999.99)
+    // a merge violating the fact suite is rejected and the table
+    // stays at its prior version — validate-before-publish
+    val bad = TableLog.read(spark, lake).limit(1)
+      .withColumn("revenue", lit(-5.0).cast("decimal(12,2)"))
+    intercept[IllegalStateException] {
+      Lakehouse.publishFactToLake(spark, bad, lake)
+    }
+    assert(TableLog.latestVersion(spark, lake) == Some(2))
+  }
 }

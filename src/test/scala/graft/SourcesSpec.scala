@@ -51,4 +51,40 @@ class SourcesSpec extends AnyFunSuite {
       ("shard1.txt", "second line"),
       ("shard2.txt", "third line")))
   }
+
+  test("schema inference: first-contact CSV/JSON round-trip without a declared schema") {
+    val rawDir = graft.pipeline.SampleData.writeTo(
+      Files.createTempDirectory("graft_infer").toString)
+    // CSV: inference pins the crawler-style schema; the pinned re-read
+    // carries typed columns (order_id numeric, not string)
+    val (csvSchema, csvDf) = Sources.inferCsv(spark, s"$rawDir/erp_orders.csv")
+    assert(csvSchema.fieldNames.toSeq ==
+      Seq("order_id", "customer_id", "store_id", "dt", "order_value", "status"))
+    assert(csvSchema("order_id").dataType.isInstanceOf[NumericType])
+    assert(csvSchema("order_value").dataType.isInstanceOf[NumericType])
+    assert(csvDf.count() == 5)
+    assert(csvDf.agg(sum("order_value")).collect()(0).getDouble(0) > 0)
+    // the pinned schema re-ingests the same file schema-explicit
+    assert(Sources.csv(spark, s"$rawDir/erp_orders.csv", csvSchema).count() == 5)
+    // JSON-lines: nested metadata infers as a (sparse) struct
+    val (jsonSchema, jsonDf) = Sources.inferJson(spark, s"$rawDir/web_events.json")
+    assert(jsonSchema.fieldNames.contains("event_id") &&
+      jsonSchema.fieldNames.contains("metadata"))
+    assert(jsonDf.count() == 4)
+  }
+
+  test("schema drift: added/missing/retyped columns vs the pinned schema") {
+    val pinned = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    assert(Sources.schemaDrift(pinned, pinned).isEmpty)
+    val drifted = StructType(Seq(
+      StructField("id", IntegerType),          // retyped
+      StructField("name", StringType),
+      StructField("extra", StringType)))       // added; score missing
+    assert(Sources.schemaDrift(pinned, drifted).toSet == Set(
+      "missing: score",
+      "added: extra",
+      "retyped: id bigint -> int"))
+  }
 }

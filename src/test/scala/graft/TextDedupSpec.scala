@@ -49,6 +49,28 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 2L)))  // unrelated
   }
 
+  test("minhash LSH: checkpointed (TableLog spill) and cached paths agree") {
+    // spillTo writes the signature table through a TableLog commit and
+    // reads it back as files — the 100 TB shape with no executor-cache
+    // dependency. Candidates must be identical to the cached mode, and
+    // the spill must be a durable readable table.
+    val dir = java.nio.file.Files.createTempDirectory("sigspill").toString
+    val cached = Dedup.minHashCandidates(docs, k = 3, numHashes = 32, bands = 16)
+      .as[(Long, Long, Double)].collect().toSet
+    val spilled = Dedup.minHashCandidates(docs, k = 3, numHashes = 32, bands = 16,
+      spillTo = Some(s"$dir/sigs"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(spilled == cached)
+    val persisted = graft.lake.TableLog.read(spark, s"$dir/sigs")
+    assert(persisted.columns.toSeq == Seq("doc_id", "minhash_sig"))
+    assert(persisted.count() == 4)   // all docs have >= 3 tokens
+    // and the composed pipeline agrees across modes too
+    val keptCached = Dedup.fuzzyDedupKeepFirst(docs).as[Long].collect().toSet
+    val keptSpilled = Dedup.fuzzyDedupKeepFirst(docs,
+      spillTo = Some(s"$dir/sigs2")).as[Long].collect().toSet
+    assert(keptSpilled == keptCached)
+  }
+
   test("jaccard verification scores the near-dup high and is symmetric-safe") {
     val cands = Seq((0L, 1L), (0L, 2L)).toDF("id_a", "id_b")
     val got = Dedup.jaccardVerify(docs, cands, k = 3, threshold = 0.0)
