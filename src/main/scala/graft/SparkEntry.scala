@@ -1355,6 +1355,34 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // ---- Containment dedup (Broder '97 §2): the asymmetric score
+    //      that catches doc-inside-doc near-supersets Jaccard misses.
+    //      Same bounded exact block as q19 (allowlisted NLJ); the
+    //      scale path feeds LSH candidates instead ----
+    "q103_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val ids = docs.select(col("doc_id"))
+      val cands = ids.select(col("doc_id").as("id_a"))
+        .crossJoin(ids.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      Dedup.containmentVerify(docs, cands, k = 3, threshold = 0.4)
+    }),
+
+    // ---- Ordered funnel: per-step conversion counts where each step
+    //      must happen STRICTLY AFTER the user's previous conversion;
+    //      one filtered (user, min ts) agg per step, no global window ----
+    "q104_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.funnel(t(s, dir, "events"),
+        Seq("view", "click", "purchase"))),
+
+    // ---- Freshness-decayed mix report: exponential half-life decay
+    //      from a pinned asOf — the recency-weighted training-mix
+    //      variant; one grouped agg, decay factor map-side ----
+    "q105_decayed_mix" -> ((s, dir) =>
+      graft.operators.Sampling.decayedMix(t(s, dir, "events"),
+        Seq("event_type"), "ts", "value",
+        asOf = "2024-02-01 00:00:00", halfLifeDays = 7.0)),
+
     // ---- Catalog/docs publication: a table-of-tables resolved from
     //      TableLog manifests (the dbt-docs analog of the reference's
     //      publish stage, airflow/dags/lakehouse_pipelines.py:93-95).
@@ -2540,6 +2568,57 @@ object SparkEntry {
         |   OR (o_orderkey % 3 = 1 AND o_orderkey % 10 <> 1)
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // string shingles here vs hashed-long shingles in Spark: |∩| and
+    // set sizes agree absent a 64-bit collision (same trick as q19)
+    "q103_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 200),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+        |  FROM d),
+        |sn AS (SELECT * FROM s WHERE len(sh) > 0)
+        |SELECT id_a, id_b, containment FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          CAST(least(len(a.sh), len(b.sh)) AS DOUBLE), 4) AS containment
+        |  FROM sn a JOIN sn b ON a.doc_id < b.doc_id)
+        |WHERE containment >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q104_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type,
+        |  (SELECT COUNT(*) FROM s1) AS users
+        |UNION ALL SELECT CAST(2 AS INTEGER), 'click', (SELECT COUNT(*) FROM s2)
+        |UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', (SELECT COUNT(*) FROM s3)
+        |ORDER BY step""".stripMargin,
+
+    // floor(epoch(ts)) mirrors Spark's unix_timestamp second-truncation
+    "q105_decayed_mix" ->
+      """WITH w AS (
+        |  SELECT event_type, value,
+        |    pow(0.5, ((epoch(TIMESTAMP '2024-02-01 00:00:00')
+        |               - floor(epoch(ts))) / 86400.0) / 7.0) AS dk
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, COUNT(*) AS n_rows, SUM(dk) AS w,
+        |    SUM(dk * value) AS wv
+        |  FROM w GROUP BY event_type)
+        |SELECT event_type, n_rows, ROUND(w, 4) AS decayed_weight,
+        |  ROUND(wv, 4) AS decayed_value,
+        |  ROUND(w / (SELECT SUM(w) FROM a), 6) AS decayed_share
+        |FROM a ORDER BY event_type""".stripMargin,
 
     "q102_catalog" ->
       """SELECT 'cust' AS table_name, CAST(1 AS INTEGER) AS version,

@@ -196,6 +196,40 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Containment verification — the ASYMMETRIC companion to Jaccard
+    * (Broder, "On the resemblance and containment of documents", 1997,
+    * §2: c(A,B) = |A∩B| / |A|). Catches doc-inside-doc near-supersets
+    * that Jaccard misses: a long page wrapping a duplicated core has a
+    * large union (low Jaccard) but the smaller doc's shingles are
+    * almost all present in the larger. Returns max-containment
+    * |∩| / min(|A|,|B|) per candidate pair — "what fraction of the
+    * smaller doc is contained in the other".
+    *
+    * Same scale contract as [[jaccardVerify]]: shingles travel as
+    * hashed longs (native ShingleHashes byte-range scan), sets are
+    * de-duplicated once per doc, and only candidate pairs pay the
+    * set-intersection cost. */
+  def containmentVerify(docs: DataFrame, candidates: DataFrame, k: Int = 3,
+      threshold: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sets = docs.select(col(idCol),
+      array_distinct(graft.functions.ShingleHashes.shingleHashes(
+        tokens(col(textCol)), k)).as("sh"))
+      // a doc with no shingles (< k tokens) can't contain or be
+      // contained — and 0/0 would be NaN, which Spark's ordering
+      // treats as greater than any threshold
+      .filter(size(col("sh")) > 0)
+    candidates
+      .join(sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("containment",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** The composed fuzzy-dedup pipeline — the production shape at
     * 100 TB: LSH candidate generation (bucket join, never all-pairs) →
     * exact n-gram-Jaccard verification (quadratic work only within

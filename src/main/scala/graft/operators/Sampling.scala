@@ -128,4 +128,39 @@ object Sampling {
         round(col("__q") * col("__total")).cast("bigint").as("target_n")): _*)
       .orderBy(strataCols.map(col): _*)
   }
+
+  /** Freshness-decayed mixing weights: each row contributes
+    * `pow(0.5, age_days / halfLifeDays)` where age is measured from the
+    * pinned `asOf` timestamp — the recency-weighted variant of the
+    * natural mix (training sets routinely overweight recent crawl
+    * snapshots; exponential half-life decay is the standard curve).
+    * Output per stratum: raw count, decayed weight mass, decayed value
+    * mass, and the decayed share of the whole.
+    *
+    * Deterministic by construction (pinned `asOf`, no wall clock), so
+    * the whole report is oracle-checkable. Scale shape: the decay
+    * factor is a per-row map-side expression folded into ONE grouped
+    * aggregate — no window, no join; the share normalization runs over
+    * the post-agg strata table only. */
+  def decayedMix(df: DataFrame, strataCols: Seq[String], tsCol: String,
+      valueCol: String, asOf: String, halfLifeDays: Double): DataFrame = {
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    require(halfLifeDays > 0.0, "half-life must be positive")
+    val ageDays = (unix_timestamp(lit(asOf).cast("timestamp")) -
+      unix_timestamp(col(tsCol))) / 86400.0
+    val decay = pow(lit(0.5), ageDays / halfLifeDays)
+    val agged = df.groupBy(strataCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(decay).as("__w"),
+        sum(decay * col(valueCol)).as("__wv"))
+    agged
+      .withColumn("__total", sum(col("__w")).over(Window.partitionBy()))
+      .select(strataCols.map(col) ++ Seq(
+        col("n_rows"),
+        round(col("__w"), 4).as("decayed_weight"),
+        round(col("__wv"), 4).as("decayed_value"),
+        round(col("__w") / col("__total"), 6).as("decayed_share")): _*)
+      .orderBy(strataCols.map(col): _*)
+  }
 }

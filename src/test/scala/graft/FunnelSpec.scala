@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Funnel, Sampling}
+
+class FunnelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // u1: full ordered funnel. u2: purchase BEFORE click (must not count
+  // step 3). u3: view only. u4: click/purchase but never viewed (must
+  // not enter the funnel at all).
+  private lazy val events = Seq(
+    (1L, ts("2024-01-01 10:00:00"), "view"),
+    (1L, ts("2024-01-01 10:05:00"), "click"),
+    (1L, ts("2024-01-01 10:10:00"), "purchase"),
+    (2L, ts("2024-01-01 09:00:00"), "view"),
+    (2L, ts("2024-01-01 08:00:00"), "purchase"),
+    (2L, ts("2024-01-01 09:30:00"), "click"),
+    (3L, ts("2024-01-01 11:00:00"), "view"),
+    (4L, ts("2024-01-01 07:00:00"), "click"),
+    (4L, ts("2024-01-01 07:30:00"), "purchase"))
+    .toDF("user_id", "ts", "event_type")
+
+  test("funnel counts honor strict event ordering per user") {
+    val got = Funnel.funnel(events, Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "view", 3L),       // u1, u2, u3
+      (2, "click", 2L),      // u1, u2 (u4 never viewed)
+      (3, "purchase", 1L)))  // u1 only (u2's purchase precedes click)
+  }
+
+  test("funnel picks the EARLIEST qualifying event per step") {
+    // u5 clicks twice after viewing; conversion time must be the first
+    val e2 = events.unionByName(Seq(
+      (5L, ts("2024-01-02 10:00:00"), "view"),
+      (5L, ts("2024-01-02 10:20:00"), "click"),
+      (5L, ts("2024-01-02 10:05:00"), "click"),
+      (5L, ts("2024-01-02 10:06:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type"))
+    val conv = Funnel.conversions(e2, Seq("view", "click", "purchase"))
+      .filter(col("user_id") === 5L).collect()(0)
+    assert(conv.getTimestamp(2) == ts("2024-01-02 10:05:00"))  // t_2: first click
+    assert(conv.getTimestamp(3) == ts("2024-01-02 10:06:00"))  // t_3 after t_2
+    // full-funnel table holds exactly the users who completed all steps
+    val users = Funnel.conversions(e2, Seq("view", "click", "purchase"))
+      .select("user_id").as[Long].collect().toSet
+    assert(users == Set(1L, 5L))
+  }
+
+  test("decayedMix: half-life math, shares sum to 1, determinism from pinned asOf") {
+    val rows = Seq(
+      ("a", ts("2024-01-08 00:00:00"), 10.0),   // 7 days old → decay 0.5
+      ("a", ts("2024-01-15 00:00:00"), 10.0),   // 0 days old → decay 1.0
+      ("b", ts("2024-01-01 00:00:00"), 10.0))   // 14 days old → decay 0.25
+      .toDF("grp", "ts", "value")
+    val got = Sampling.decayedMix(rows, Seq("grp"), "ts", "value",
+      asOf = "2024-01-15 00:00:00", halfLifeDays = 7.0)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 2L, 1.5, 15.0, 0.857143),
+      ("b", 1L, 0.25, 2.5, 0.142857)))
+  }
+
+  test("containment flags a doc-inside-doc near-superset that Jaccard misses") {
+    val core = "alpha beta gamma delta epsilon zeta eta theta"
+    val wrapper = ("lorem ipsum dolor sit amet consectetur adipiscing elit " * 4) +
+      core + (" sed do eiusmod tempor incididunt ut labore et dolore" * 4)
+    val docs = Seq((1L, core), (2L, wrapper), (3L, "unrelated words entirely here"))
+      .toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val contained = Dedup.containmentVerify(docs, cands, k = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(contained.contains((1L, 2L)))
+    assert(contained((1L, 2L)) == 1.0)      // every core shingle is in wrapper
+    assert(!contained.contains((1L, 3L)))
+    // ...while Jaccard on the same pair is low (large union)
+    val j = Dedup.jaccardVerify(docs, cands, k = 3, threshold = 0.0)
+      .filter(col("id_a") === 1L && col("id_b") === 2L)
+      .select("jaccard").as[Double].collect()(0)
+    assert(j < 0.3)
+  }
+
+  implicit class Tuples3ToMap(rows: Array[(Long, Long, Double)]) {
+    def toMap2: Map[(Long, Long), Double] =
+      rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
+}
