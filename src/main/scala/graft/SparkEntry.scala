@@ -1383,6 +1383,29 @@ object SparkEntry {
         Seq("event_type"), "ts", "value",
         asOf = "2024-02-01 00:00:00", halfLifeDays = 7.0)),
 
+    // ---- Distribution drift (PSI) between two table versions: the
+    //      monitoring score for "did this column's distribution move
+    //      between snapshots" — bucket counts per side, full-outer on
+    //      buckets, all post-agg work over the tiny bucket table ----
+    "q106_drift" -> ((s, dir) => {
+      import graft.lake.TableLog
+      val tbl = java.nio.file.Files.createTempDirectory("graft_q106")
+        .resolve("ord").toString
+      val orders = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("yr"))
+      TableLog.commitOverwrite(s, tbl, orders.filter(col("yr") <= 1997))
+      TableLog.commitOverwrite(s, tbl, orders.filter(col("yr") >= 1996))
+      graft.operators.Drift.psiReport(
+        TableLog.read(s, tbl, Some(1)), TableLog.read(s, tbl, Some(2)),
+        "o_totalprice", bucketWidth = 100000.0)
+    }),
+
+    // ---- First-order Markov transitions over user event sequences:
+    //      one window shuffle on the user key; the matrix itself is
+    //      |types|² rows ----
+    "q107_transitions" -> ((s, dir) =>
+      Sessionize.transitionMatrix(t(s, dir, "events"))),
+
     // ---- Catalog/docs publication: a table-of-tables resolved from
     //      TableLog manifests (the dbt-docs analog of the reference's
     //      publish stage, airflow/dags/lakehouse_pipelines.py:93-95).
@@ -2619,6 +2642,43 @@ object SparkEntry {
         |  ROUND(wv, 4) AS decayed_value,
         |  ROUND(w / (SELECT SUM(w) FROM a), 6) AS decayed_share
         |FROM a ORDER BY event_type""".stripMargin,
+
+    "q106_drift" ->
+      """WITH bb AS (
+        |  SELECT CAST(floor(o_totalprice / 100000.0) AS BIGINT) AS bucket,
+        |    COUNT(*) AS base_n
+        |  FROM orders WHERE year(o_orderdate) <= 1997 GROUP BY 1),
+        |cc AS (
+        |  SELECT CAST(floor(o_totalprice / 100000.0) AS BIGINT) AS bucket,
+        |    COUNT(*) AS cur_n
+        |  FROM orders WHERE year(o_orderdate) >= 1996 GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(bb.bucket, cc.bucket) AS bucket,
+        |    COALESCE(base_n, 0) AS base_n, COALESCE(cur_n, 0) AS cur_n
+        |  FROM bb FULL OUTER JOIN cc ON bb.bucket = cc.bucket),
+        |p AS (
+        |  SELECT bucket, base_n, cur_n,
+        |    greatest(base_n / (SELECT CAST(SUM(base_n) AS DOUBLE) FROM j), 1e-6) AS bp,
+        |    greatest(cur_n / (SELECT CAST(SUM(cur_n) AS DOUBLE) FROM j), 1e-6) AS cp
+        |  FROM j)
+        |SELECT bucket, base_n, cur_n,
+        |  ROUND(bp, 6) AS base_p, ROUND(cp, 6) AS cur_p,
+        |  ROUND((cp - bp) * ln(cp / bp), 6) AS psi_term
+        |FROM p ORDER BY bucket""".stripMargin,
+
+    "q107_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |m AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+        |    AS prob
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
 
     "q102_catalog" ->
       """SELECT 'cust' AS table_name, CAST(1 AS INTEGER) AS version,

@@ -39,7 +39,8 @@ object TableLog {
   final case class Commit(version: Int, action: String, dirs: Seq[String],
       stats: Seq[TableStats.FileStats] = Seq.empty,
       schemaJson: Option[String] = None,
-      constraints: Seq[Constraint] = Seq.empty) {
+      constraints: Seq[Constraint] = Seq.empty,
+      timestampMs: Option[Long] = None) {
     def schema: Option[StructType] =
       schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
   }
@@ -92,7 +93,8 @@ object TableLog {
           lines.tail.filter(_.startsWith("#k\t")).map { l =>
             val p = l.split("\t", -1)
             Constraint(p(1), java.net.URLDecoder.decode(p(2), "UTF-8"))
-          })
+          },
+          lines.tail.find(_.startsWith("#t\t")).map(_.drop(3).toLong))
       }
   }
 
@@ -201,6 +203,26 @@ object TableLog {
     require(commit.dirs.nonEmpty, s"version ${commit.version} is an empty snapshot")
     readDirs(spark, commit, commit.dirs.map(d => s"$path/$d"))
   }
+
+  /** Time travel by timestamp (Delta's `TIMESTAMP AS OF`): the latest
+    * version whose commit time is <= `tsMs`. Commit times come from
+    * each writer's clock; under clock skew a commit can carry a
+    * smaller timestamp than its predecessor, so eligibility is tested
+    * per commit (not a sorted prefix) and the LATEST eligible version
+    * wins — versions, not timestamps, remain the source of truth for
+    * ordering. Manifests written before timestamping read as time 0
+    * (always eligible). None = the table didn't exist yet at `tsMs`. */
+  def versionAsOf(spark: SparkSession, path: String, tsMs: Long): Option[Int] =
+    history(spark, path)
+      .filter(_.timestampMs.getOrElse(0L) <= tsMs)
+      .lastOption.map(_.version)
+
+  /** [[read]] pinned to the snapshot current at `tsMs` — what the
+    * table looked like then, regardless of commits since. */
+  def readAsOf(spark: SparkSession, path: String, tsMs: Long): DataFrame =
+    read(spark, path, Some(versionAsOf(spark, path, tsMs).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot at $path existed at t=$tsMs (first commit is later)"))))
 
   /** Read parquet paths under a snapshot's recorded schema (missing
     * columns null-backfilled by the parquet reader, zero footer reads);
@@ -410,13 +432,15 @@ object TableLog {
       action: String, dirs: Seq[String],
       stats: Seq[TableStats.FileStats] = Seq.empty,
       schemaJson: Option[String] = None,
-      constraints: Seq[Constraint] = Seq.empty): Boolean = {
+      constraints: Seq[Constraint] = Seq.empty,
+      tsMs: Long = System.currentTimeMillis()): Boolean = {
     val f = fs(spark, path)
     f.mkdirs(logDir(path))
     val tmp = new Path(logDir(path),
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, false)
     try out.write(((action +: dirs) ++
+        Seq("#t\t" + tsMs) ++
         schemaJson.map("#s\t" + _).toSeq ++
         constraints.map(k => "#k\t" + k.name + "\t" +
           java.net.URLEncoder.encode(k.expr, "UTF-8")) ++
@@ -491,8 +515,9 @@ object TableLog {
           throw new ConstraintViolationException(bad, s"$action at $path")
         }
       }
-      if (writeManifest(spark, path, v, action, dirs, stats, schema, cons))
-        return Commit(v, action, dirs, stats, schema, cons)
+      val ts = System.currentTimeMillis()
+      if (writeManifest(spark, path, v, action, dirs, stats, schema, cons, ts))
+        return Commit(v, action, dirs, stats, schema, cons, Some(ts))
       fs(spark, path).delete(new Path(path, dir), true)
       attempts += 1
     }
@@ -542,10 +567,11 @@ object TableLog {
           s"existing data at $path (constraint not added)")
       val v = last.version + 1
       val cons = last.constraints :+ Constraint(name, checkExpr)
+      val ts = System.currentTimeMillis()
       if (writeManifest(spark, path, v, "constraint", last.dirs, last.stats,
-          last.schemaJson, cons))
+          last.schemaJson, cons, ts))
         return Commit(v, "constraint", last.dirs, last.stats,
-          last.schemaJson, cons)
+          last.schemaJson, cons, Some(ts))
       attempts += 1
     }
     throw new IllegalStateException(
@@ -566,10 +592,11 @@ object TableLog {
         s"no constraint named '$name'")
       val v = last.version + 1
       val cons = last.constraints.filterNot(_.name == name)
+      val ts = System.currentTimeMillis()
       if (writeManifest(spark, path, v, "constraint", last.dirs, last.stats,
-          last.schemaJson, cons))
+          last.schemaJson, cons, ts))
         return Commit(v, "constraint", last.dirs, last.stats,
-          last.schemaJson, cons)
+          last.schemaJson, cons, Some(ts))
       attempts += 1
     }
     throw new IllegalStateException(
@@ -680,10 +707,11 @@ object TableLog {
       val dirs = Seq(dir) ++ carried
       // delete rewrites a subset of already-validated rows: constraints
       // carry forward without a re-validation scan
+      val ts = System.currentTimeMillis()
       if (writeManifest(spark, path, v, "delete", dirs,
-          dirStats ++ carriedStats, last.schemaJson, last.constraints))
+          dirStats ++ carriedStats, last.schemaJson, last.constraints, ts))
         return Commit(v, "delete", dirs, dirStats ++ carriedStats,
-          last.schemaJson, last.constraints)
+          last.schemaJson, last.constraints, Some(ts))
       fs(spark, path).delete(new Path(path, dir), true)
       attempts += 1
     }
@@ -701,10 +729,11 @@ object TableLog {
       val next = latestVersion(spark, path).get + 1
       // metadata rolls back with the data: the restored snapshot's
       // constraint set (and schema) is what validated its rows
+      val ts = System.currentTimeMillis()
       if (writeManifest(spark, path, next, "rollback", target.dirs,
-          target.stats, target.schemaJson, target.constraints))
+          target.stats, target.schemaJson, target.constraints, ts))
         return Commit(next, "rollback", target.dirs, target.stats,
-          target.schemaJson, target.constraints)
+          target.schemaJson, target.constraints, Some(ts))
       attempts += 1
     }
     throw new IllegalStateException(

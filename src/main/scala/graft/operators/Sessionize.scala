@@ -43,4 +43,29 @@ object Sessionize {
           .as("duration_us"),
         round(sum(col(valueCol)), 2).as("total_value"))
       .orderBy(col(key), col("session_id"))
+
+  /** First-order Markov transition matrix over each key's event
+    * sequence: count and probability of event type B immediately
+    * following type A — the behavioral-analytics view of a clickstream
+    * (and the feature table a next-event model trains on).
+    *
+    * `tieBreak` columns make ordering total when timestamps collide, so
+    * the matrix is deterministic. Scale shape: the lead() window
+    * shuffles once on the user key (sequences are per-user by
+    * definition); the transition agg and its normalization then run
+    * over |types|² rows, not the event stream. */
+  def transitionMatrix(events: DataFrame, key: String = "user_id",
+      ts: String = "ts", typeCol: String = "event_type",
+      tieBreak: Seq[String] = Seq("event_id")): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts) +: tieBreak.map(col): _*)
+    events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob",
+        round(col("n") / sum("n").over(Window.partitionBy("from_type")), 6))
+      .orderBy("from_type", "to_type")
+  }
 }

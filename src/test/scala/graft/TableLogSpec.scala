@@ -32,6 +32,31 @@ class TableLogSpec extends AnyFunSuite {
     assert(actions == Seq("append", "append", "overwrite"))
   }
 
+  test("time travel by timestamp: commit times are recorded, readAsOf pins the snapshot") {
+    val path = freshPath()
+    val c1 = TableLog.commitAppend(spark, path, Seq((1L, "a")).toDF("id", "v"))
+    Thread.sleep(5)
+    val c2 = TableLog.commitOverwrite(spark, path, Seq((2L, "b")).toDF("id", "v"))
+    Thread.sleep(5)
+    val c3 = TableLog.commitAppend(spark, path, Seq((3L, "c")).toDF("id", "v"))
+    // every commit carries its time; the manifest round-trips it
+    val hist = TableLog.history(spark, path)
+    assert(hist.flatMap(_.timestampMs).size == 3)
+    assert(hist.map(_.timestampMs.get) == Seq(c1, c2, c3).map(_.timestampMs.get))
+    // asOf each commit's own time → that version; between commits →
+    // the earlier one; before the first → the table didn't exist
+    assert(TableLog.versionAsOf(spark, path, c1.timestampMs.get) == Some(1))
+    assert(TableLog.versionAsOf(spark, path, c2.timestampMs.get - 1) == Some(1))
+    assert(TableLog.versionAsOf(spark, path, c3.timestampMs.get) == Some(3))
+    assert(TableLog.versionAsOf(spark, path, c1.timestampMs.get - 1) == None)
+    assert(rows(TableLog.readAsOf(spark, path, c2.timestampMs.get)) == Set((2L, "b")))
+    assert(rows(TableLog.readAsOf(spark, path, Long.MaxValue)) ==
+      Set((2L, "b"), (3L, "c")))
+    intercept[IllegalArgumentException] {
+      TableLog.readAsOf(spark, path, c1.timestampMs.get - 1)
+    }
+  }
+
   test("a pinned snapshot is immune to later commits (reader isolation)") {
     val path = freshPath()
     TableLog.commitAppend(spark, path, Seq((1L, "a")).toDF("id", "v"))
