@@ -22,7 +22,10 @@ object PlanAudit {
   val intentionalNlj = Set(
     "q19_ngram_jaccard", "q20_embedding_topk", "q21_ivf_ann",
     "q22_embedding_neardup", "q58_pq_ann", "q59_bm25_search", "q67_tfidf",
-    "q81_lm_score", "q84_hybrid_rrf", "q103_containment")
+    "q81_lm_score", "q84_hybrid_rrf", "q103_containment",
+    // Vocab.build's corpus-total denominator is a 1-row broadcast
+    // crossJoin (same shape as the BM25/TF-IDF stats factors)
+    "q108_vocab", "q109_oov")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

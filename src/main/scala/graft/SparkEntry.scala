@@ -1406,6 +1406,21 @@ object SparkEntry {
     "q107_transitions" -> ((s, dir) =>
       Sessionize.transitionMatrix(t(s, dir, "events"))),
 
+    // ---- Vocabulary build: token/doc frequencies, deterministic
+    //      (tf desc, token asc) rank, cumulative corpus share — the
+    //      tokenizer-budget table. Window runs AFTER limit(topK) ----
+    "q108_vocab" -> ((s, dir) =>
+      graft.operators.Vocab.build(t(s, dir, "documents"),
+        minCount = 2L, topK = 500)),
+
+    // ---- OOV coverage: fraction of each language's tokens outside
+    //      the built vocab — broadcast membership probe, one agg ----
+    "q109_oov" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Vocab.oovReport(docs,
+        graft.operators.Vocab.build(docs, minCount = 2L, topK = 500))
+    }),
+
     // ---- Catalog/docs publication: a table-of-tables resolved from
     //      TableLog manifests (the dbt-docs analog of the reference's
     //      publish stage, airflow/dags/lakehouse_pipelines.py:93-95).
@@ -2679,6 +2694,39 @@ object SparkEntry {
         |  ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
         |    AS prob
         |FROM m ORDER BY from_type, to_type""".stripMargin,
+
+    "q108_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(str_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |nz AS (SELECT * FROM toks WHERE token <> ''),
+        |tf AS (
+        |  SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        |  FROM nz GROUP BY token HAVING COUNT(*) >= 2
+        |  ORDER BY tf DESC, token ASC LIMIT 500)
+        |SELECT token, tf, df,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank,
+        |  ROUND(CAST(SUM(tf) OVER (ORDER BY tf DESC, token
+        |      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM nz), 6) AS cum_share
+        |FROM tf ORDER BY rank""".stripMargin,
+
+    "q109_oov" ->
+      """WITH toks AS (
+        |  SELECT lang, doc_id,
+        |    unnest(str_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |nz AS (SELECT * FROM toks WHERE token <> ''),
+        |v AS (
+        |  SELECT token FROM nz GROUP BY token HAVING COUNT(*) >= 2
+        |  ORDER BY COUNT(*) DESC, token ASC LIMIT 500)
+        |SELECT lang, COUNT(*) AS n_tokens,
+        |  COUNT(*) FILTER (WHERE nz.token NOT IN (SELECT token FROM v))
+        |    AS oov_tokens,
+        |  ROUND(CAST(COUNT(*) FILTER (
+        |      WHERE nz.token NOT IN (SELECT token FROM v)) AS DOUBLE)
+        |    / COUNT(*), 6) AS oov_rate
+        |FROM nz GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q102_catalog" ->
       """SELECT 'cust' AS table_name, CAST(1 AS INTEGER) AS version,

@@ -54,4 +54,30 @@ object Vocab {
       .drop("__total")
       .orderBy("rank")
   }
+
+  /** Out-of-vocabulary report: per `groupCol`, what fraction of corpus
+    * tokens fall OUTSIDE `vocab` — the coverage number a tokenizer
+    * budget decision is validated against after [[build]] picks the
+    * candidate vocabulary (high OOV in one language/source = that
+    * slice will fragment into fallback bytes at training time).
+    *
+    * Scale shape: tokens explode once with only (group, token) carried;
+    * the vocab side is topK rows and broadcasts, so membership is a
+    * map-side hash probe — no shuffle beyond the final per-group agg. */
+  def oovReport(docs: DataFrame, vocab: DataFrame,
+      groupCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(groupCol), explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+    toks
+      .join(broadcast(vocab.select(col("token")).withColumn("__v", lit(1))),
+        Seq("token"), "left")
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("__v").isNull, 1)).as("oov_tokens"))
+      .withColumn("oov_rate",
+        round(col("oov_tokens").cast("double") / col("n_tokens"), 6))
+      .orderBy(groupCol)
+  }
 }
