@@ -1421,6 +1421,25 @@ object SparkEntry {
         graft.operators.Vocab.build(docs, minCount = 2L, topK = 500))
     }),
 
+    // ---- Streaming drift monitor: per-micro-batch PSI report against
+    //      a pinned baseline snapshot, batch-id-tagged commits (replay-
+    //      safe). rows-only (batch boundaries are engine scheduling);
+    //      report math + idempotence pinned in DriftMonitorSpec ----
+    "q110_stream_drift" -> ((s, dir) => {
+      import graft.lake.TableLog
+      val root = java.nio.file.Files.createTempDirectory("graft_q110")
+      val baseline = root.resolve("baseline").toString
+      TableLog.commitOverwrite(s, baseline,
+        t(s, dir, "orders").select(col("o_totalprice"))
+          .filter(year(col("o_orderdate")) <= 1996))
+      graft.streaming.DriftMonitor.monitor(s, dir, "orders.parquet",
+        baseline, 1, root.resolve("report").toString,
+        "o_totalprice", bucketWidth = 100000.0,
+        root.resolve("ckpt").toString)
+      TableLog.read(s, root.resolve("report").toString)
+        .orderBy("batch_id", "bucket")
+    }),
+
     // ---- Catalog/docs publication: a table-of-tables resolved from
     //      TableLog manifests (the dbt-docs analog of the reference's
     //      publish stage, airflow/dags/lakehouse_pipelines.py:93-95).

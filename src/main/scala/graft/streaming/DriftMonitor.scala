@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.lake.TableLog
+import graft.operators.Drift
+
+/** Continuous distribution-drift monitoring: every micro-batch of a
+  * stream is PSI-scored against a pinned baseline snapshot and the
+  * per-bucket report (tagged with the batch id) appends to a versioned
+  * report table — the streaming form of [[graft.operators.Drift]], and
+  * what a data-quality pager actually watches ("alert when an input
+  * feed's value distribution walks away from the snapshot it was
+  * validated against").
+  *
+  * The baseline is read ONCE per batch from a TableLog snapshot pinned
+  * at `baselineVersion` — later commits to the baseline table never
+  * silently move the goalposts mid-stream. Crash-replays are
+  * effectively-once: each report commit carries action
+  * `drift-<batchId>`, so a replayed batch that already reported skips
+  * the commit (the same manifest-action idempotence recipe as
+  * [[CorpusIngest]]).
+  *
+  * Scale shape per batch: one grouped count over the BATCH (bounded by
+  * trigger size), one over the baseline (prunable via manifest stats),
+  * join + window on the tiny bucket table. State lives in the report
+  * table, not the state store — the stream itself is stateless.
+  */
+object DriftMonitor {
+
+  private def driftAction(batchId: Long) = s"drift-$batchId"
+
+  /** One batch's report, replay-safe. Returns the rows reported this
+    * call (0 on a fully-replayed batch). Exposed for the spec's
+    * crash-window simulations. */
+  private[graft] def reportOnce(spark: SparkSession, batch: DataFrame,
+      baselinePath: String, baselineVersion: Int, reportPath: String,
+      valueCol: String, bucketWidth: Double, batchId: Long): Long = {
+    val act = driftAction(batchId)
+    if (TableLog.history(spark, reportPath).exists(_.action == act)) return 0L
+    val baseline = TableLog.read(spark, baselinePath, Some(baselineVersion))
+    val report = Drift.psiReport(baseline, batch, valueCol, bucketWidth)
+      .withColumn("batch_id", lit(batchId))
+    TableLog.commitAppend(spark, reportPath, report, act)
+    report.count()
+  }
+
+  /** Watch a parquet stream directory; one PSI report per micro-batch
+    * against `baselinePath@baselineVersion`, appended to `reportPath`.
+    * AvailableNow + `maxFilesPerTrigger` gives a bounded replayable
+    * run; remove the trigger for a long-running monitor. */
+  def monitor(spark: SparkSession, sourceDir: String, glob: String,
+      baselinePath: String, baselineVersion: Int, reportPath: String,
+      valueCol: String, bucketWidth: Double, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      Streams.StreamShufflePartitions.toString)
+    val schema = ss.read.option("pathGlobFilter", glob).parquet(sourceDir).schema
+    val reader = ss.readStream.schema(schema).option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val q = reader.parquet(sourceDir).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        reportOnce(batch.sparkSession, batch, baselinePath, baselineVersion,
+          reportPath, valueCol, bucketWidth, batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

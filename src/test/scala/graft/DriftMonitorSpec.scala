@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.lake.TableLog
+import graft.operators.Drift
+import graft.streaming.DriftMonitor
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+class DriftMonitorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("per-batch PSI reports append with batch ids; math matches the batch operator") {
+    val root = Files.createTempDirectory("graft_driftmon")
+    val baseline = root.resolve("baseline").toString
+    TableLog.commitOverwrite(spark, baseline,
+      (1 to 100).map(i => (i % 10) * 10.0).toDF("v"))
+    // two single-FILE parquet sources → two micro-batches at
+    // maxFilesPerTrigger=1 (the glob matches leaf files, so each
+    // dataset is materialized as one plain .parquet file)
+    val src = root.resolve("src")
+    Files.createDirectories(src)
+    def writeOne(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = root.resolve(name + ".tmp")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, src.resolve(name))
+    }
+    writeOne("f1.parquet", (1 to 50).map(_ => 85.0).toDF("v"))
+    writeOne("f2.parquet", (1 to 50).map(_ => 15.0).toDF("v"))
+    val report = root.resolve("report").toString
+    DriftMonitor.monitor(spark, src.toString, "*.parquet",
+      baseline, 1, report, "v", bucketWidth = 10.0,
+      root.resolve("ckpt").toString, maxFilesPerTrigger = Some(1))
+    val got = TableLog.read(spark, report)
+    // one report per batch, all buckets of the union of sides
+    assert(got.select("batch_id").distinct().count() == 2)
+    // each batch's rows equal the batch operator run directly
+    val perBatch = got.filter(col("batch_id") === 0)
+      .drop("batch_id")
+    val direct0 = Drift.psiReport(
+      TableLog.read(spark, baseline),
+      perBatch.sparkSession.read.parquet(
+        src.resolve("f1.parquet").toString), "v", 10.0)
+    // batch 0 is whichever file the source listed first; compare
+    // against the matching direct run (sum of psi must agree with one)
+    val gotSums = got.groupBy("batch_id")
+      .agg(round(sum("psi_term"), 6).as("s"))
+      .select("s").as[Double].collect().toSet
+    val directSums = Seq(
+      src.resolve("f1.parquet").toString,
+      src.resolve("f2.parquet").toString).map { f =>
+      Drift.psiReport(TableLog.read(spark, baseline),
+        spark.read.parquet(f), "v", 10.0)
+        .agg(round(sum("psi_term"), 6)).collect()(0).getDouble(0)
+    }.toSet
+    assert(gotSums == directSums)
+    assert(direct0.count() > 0)
+  }
+
+  test("crash-replay: a batch that already reported commits nothing on replay") {
+    val root = Files.createTempDirectory("graft_driftreplay")
+    val baseline = root.resolve("baseline").toString
+    TableLog.commitOverwrite(spark, baseline, Seq(1.0, 11.0).toDF("v"))
+    val report = root.resolve("report").toString
+    val batch = Seq(1.0, 1.0, 11.0).toDF("v")
+    val n1 = DriftMonitor.reportOnce(spark, batch, baseline, 1, report,
+      "v", 10.0, batchId = 7L)
+    assert(n1 > 0)
+    val v1 = TableLog.latestVersion(spark, report)
+    val n2 = DriftMonitor.reportOnce(spark, batch, baseline, 1, report,
+      "v", 10.0, batchId = 7L)
+    assert(n2 == 0L)
+    assert(TableLog.latestVersion(spark, report) == v1)   // no new commit
+    // a NEW batch id still reports
+    assert(DriftMonitor.reportOnce(spark, batch, baseline, 1, report,
+      "v", 10.0, batchId = 8L) > 0)
+  }
+}
