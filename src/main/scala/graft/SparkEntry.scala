@@ -1421,6 +1421,19 @@ object SparkEntry {
         graft.operators.Vocab.build(docs, minCount = 2L, topK = 500))
     }),
 
+    // ---- Per-language quality-quantile curation: keep the best half
+    //      per lang by the oracled quality score; percent_rank with
+    //      doc_id tie-break is deterministic. The approx (sketch
+    //      threshold) variant is the skew-free path (SamplingSpec) ----
+    "q111_quantile_keep" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      graft.operators.Sampling.quantileKeep(scored, "quality", Seq("lang"),
+        keepFraction = 0.5, tieBreak = Seq("doc_id"))
+        .select("lang", "doc_id", "quality")
+        .orderBy("lang", "doc_id")
+    }),
+
     // ---- Streaming drift monitor: per-micro-batch PSI report against
     //      a pinned baseline snapshot, batch-id-tagged commits (replay-
     //      safe). rows-only (batch boundaries are engine scheduling);
@@ -2746,6 +2759,35 @@ object SparkEntry {
         |      WHERE nz.token NOT IN (SELECT token FROM v)) AS DOUBLE)
         |    / COUNT(*), 6) AS oov_rate
         |FROM nz GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q111_quantile_keep" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, str_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(toks) AS DOUBLE) AS n,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS sl,
+        |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+        |      ('the','a','of','and','to','in','is','on',
+        |       'der','die','das','und','ist','nicht','ein','zu',
+        |       'el','la','de','que','y','en','un','es',
+        |       'le','et','les','des','est','une') THEN 1 ELSE 0 END))
+        |      AS DOUBLE) AS st
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, lang, ROUND(
+        |    LEAST(n / 16.0, 1.0) * 0.4 +
+        |    (CASE WHEN sl / n BETWEEN 2.0 AND 9.0 THEN 1.0 ELSE 0.5 END) * 0.4 +
+        |    LEAST(st / n * 4.0, 1.0) * 0.2, 4) AS quality
+        |  FROM s),
+        |r AS (
+        |  SELECT lang, doc_id, quality,
+        |    PERCENT_RANK() OVER (PARTITION BY lang
+        |      ORDER BY quality DESC, doc_id ASC) AS pr
+        |  FROM q)
+        |SELECT lang, doc_id, quality FROM r
+        |WHERE pr <= 0.5 ORDER BY lang, doc_id""".stripMargin,
 
     "q102_catalog" ->
       """SELECT 'cust' AS table_name, CAST(1 AS INTEGER) AS version,

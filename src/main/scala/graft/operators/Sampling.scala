@@ -129,6 +129,49 @@ object Sampling {
       .orderBy(strataCols.map(col): _*)
   }
 
+  /** Per-group quantile filter, EXACT: keep each group's top
+    * `keepFraction` rows by `scoreCol` — "keep the best half per
+    * language", the quality-threshold curation step after a scorer
+    * ([[graft.functions.TextFunctions.qualityScore]],
+    * [[QualityModel]]) has run. percent_rank over (score desc,
+    * tieBreak asc) makes the cut deterministic under score ties.
+    *
+    * Scale note: each group ranks in one window task, so this exact
+    * form assumes a BOUNDED group set (languages, sources). For
+    * groups of unbounded cardinality-skew use [[quantileKeepApprox]] —
+    * same contract, sketch threshold, no per-group sort. */
+  def quantileKeep(df: DataFrame, scoreCol: String, groupCols: Seq[String],
+      keepFraction: Double, tieBreak: Seq[String]): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      "keepFraction must be in (0, 1]")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol).desc +: tieBreak.map(col(_).asc): _*)
+    // inclusive cut: percent_rank is (rank-1)/(n-1), so the group's
+    // best row is always 0 and its worst is always 1 — `<=` keeps a
+    // singleton group and makes keepFraction=1 keep everything
+    df.withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") <= keepFraction)
+      .drop("__pr")
+  }
+
+  /** Scale path of [[quantileKeep]]: per-group score threshold from
+    * `percentile_approx` (one grouped agg, mergeable sketch, no
+    * per-group sort), broadcast back, filter `score >= threshold`.
+    * Keep-rate is approximate at the sketch's accuracy; the exact and
+    * approx forms agree on skewless fixtures (spec-pinned). */
+  def quantileKeepApprox(df: DataFrame, scoreCol: String,
+      groupCols: Seq[String], keepFraction: Double,
+      accuracy: Int = 10000): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      "keepFraction must be in (0, 1]")
+    val thresholds = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile_approx(col(scoreCol), lit(1.0 - keepFraction),
+        lit(accuracy)).as("__thr"))
+    df.join(broadcast(thresholds), groupCols)
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Freshness-decayed mixing weights: each row contributes
     * `pow(0.5, age_days / halfLifeDays)` where age is measured from the
     * pinned `asOf` timestamp — the recency-weighted variant of the

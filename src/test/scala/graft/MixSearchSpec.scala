@@ -73,4 +73,28 @@ class MixSearchSpec extends AnyFunSuite {
       "fused doc must outrank single-pool docs")
     assert(!out.contains(9L) || out(9L)._1 == 0)
   }
+
+  test("quantileKeep: exact per-group cut with deterministic ties; approx agrees on a clean fixture") {
+    import graft.operators.Sampling
+    // group a: scores 10..1 (10 rows); group b: 3 rows, all tied
+    val rows = ((1 to 10).map(i => ("a", i.toLong, i.toDouble)) ++
+      Seq(("b", 1L, 5.0), ("b", 2L, 5.0), ("b", 3L, 5.0)))
+      .toDF("g", "id", "score")
+    val kept = Sampling.quantileKeep(rows, "score", Seq("g"), 0.5, Seq("id"))
+      .select("g", "id").as[(String, Long)].collect().toSet
+    // a: percent_rank <= .5 keeps the top 5 scores (pr 0..4/9; 5/9 > .5)
+    assert(kept.filter(_._1 == "a").map(_._2) == Set(10L, 9L, 8L, 7L, 6L))
+    // b: all scores tie — the id tie-break decides deterministically
+    // (pr = 0, .5, 1 → ids 1 and 2 pass the inclusive cut)
+    assert(kept.filter(_._1 == "b").map(_._2) == Set(1L, 2L))
+    // keepFraction=1 keeps everything (worst row's pr is exactly 1)
+    assert(Sampling.quantileKeep(rows, "score", Seq("g"), 1.0, Seq("id"))
+      .count() == 13)
+    // the sketch-threshold scale path: contains the exact top set and
+    // overshoots by at most the threshold element's tie class
+    val approx = Sampling.quantileKeepApprox(
+      rows.filter($"g" === "a"), "score", Seq("g"), 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(Set(10L, 9L, 8L, 7L, 6L).subsetOf(approx) && approx.size <= 6)
+  }
 }
