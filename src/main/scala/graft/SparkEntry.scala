@@ -1434,6 +1434,26 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // ---- Trigram-indexed substring search: LIKE '%needle%' with
+    //      per-file trigram-bloom skipping — the pruning tier where
+    //      min/max and equality blooms are both useless. Results are
+    //      exact (residual contains), so fully oracled; pruning
+    //      effectiveness is asserted in TextIndexSpec ----
+    "q112_substring_search" -> ((s, dir) => {
+      import graft.lake.{TableLog, TextIndex}
+      val tbl = java.nio.file.Files.createTempDirectory("graft_q112")
+        .resolve("docs").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      (0 until 4).foreach { c =>
+        TableLog.commitAppend(s, tbl,
+          docs.filter(col("doc_id") % 4 === c).repartition(2))
+      }
+      TextIndex.ensure(s, tbl, Seq("text"))
+      TableLog.readWhereContains(s, tbl, "text", "sort table window")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // ---- Streaming drift monitor: per-micro-batch PSI report against
     //      a pinned baseline snapshot, batch-id-tagged commits (replay-
     //      safe). rows-only (batch boundaries are engine scheduling);
@@ -2788,6 +2808,11 @@ object SparkEntry {
         |  FROM q)
         |SELECT lang, doc_id, quality FROM r
         |WHERE pr <= 0.5 ORDER BY lang, doc_id""".stripMargin,
+
+    "q112_substring_search" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE contains(text, 'sort table window')
+        |ORDER BY doc_id""".stripMargin,
 
     "q102_catalog" ->
       """SELECT 'cust' AS table_name, CAST(1 AS INTEGER) AS version,

@@ -359,6 +359,43 @@ object TableLog {
     else readDirsAligned(spark, commit, path, kept).where(residual)
   }
 
+  /** Substring-search scan (`LIKE '%needle%'`) with trigram-bloom file
+    * skipping ([[TextIndex]]): a file is OPENED only when its sidecar
+    * admits EVERY trigram of the needle — the one pruning tier that
+    * works for substring probes, where min/max bounds and whole-value
+    * blooms are both useless. Needles shorter than a trigram, dirs
+    * without sidecars, and stats-less snapshots degrade to a full
+    * scan; the residual `contains` filter keeps results exact
+    * regardless. */
+  def readWhereContains(spark: SparkSession, path: String, colName: String,
+      needle: String, version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(needle != null && needle.nonEmpty, "needle must be non-empty")
+    val commit = resolve(spark, path, version)
+    require(commit.dirs.nonEmpty, s"version ${commit.version} is an empty snapshot")
+    val residual = col(colName).contains(needle)
+    if (commit.stats.isEmpty || needle.length < TextIndex.MinNeedleLength)
+      return read(spark, path, version).where(residual)
+    val tris = TextIndex.loadAll(spark, path, commit)
+    val kept = commit.stats
+      .filter(f => TextIndex.fileMightContainNeedle(tris, f.file, colName, needle))
+      .map(f => s"$path/${f.file}") ++ untrackedDirPaths(commit, path)
+    if (kept.isEmpty) read(spark, path, version).where(lit(false))
+    else readDirsAligned(spark, commit, path, kept).where(residual)
+  }
+
+  /** (files kept, files total) a [[readWhereContains]] probe would
+    * open — the observability hook the trigram-pruning spec asserts. */
+  def pruneReportContains(spark: SparkSession, path: String,
+      colName: String, needle: String,
+      version: Option[Int] = None): (Int, Int) = {
+    val commit = resolve(spark, path, version)
+    val tris = TextIndex.loadAll(spark, path, commit)
+    (commit.stats.count(f =>
+      TextIndex.fileMightContainNeedle(tris, f.file, colName, needle)),
+      commit.stats.size)
+  }
+
   /** (files kept by min/max only, files kept by min/max + bloom,
     * files total) that a [[readWhereEq]] probe would consider — the
     * observability hook the bloom-pruning spec asserts on. */
