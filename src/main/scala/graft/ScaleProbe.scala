@@ -126,6 +126,25 @@ object ScaleProbe {
       // so repeated-gram volume scales with the corpus, not N²
       "repeated_spans" -> (d => graft.operators.RepeatedSpans
         .report(d).filter(col("n_repeated_windows") > 0).count()),
+      // suffixed tokens widen the vocabulary ~N× — the adversarial
+      // direction for the token groupBy; the rank window stays topK
+      "vocab" -> (d => graft.operators.Vocab
+        .build(d, minCount = 2L, topK = 1000).count()),
+      // sketch-threshold quantile cut: score map-side, one grouped
+      // percentile agg, broadcast join back — no per-group sort
+      "quantile_keep" -> (d => graft.operators.Sampling.quantileKeepApprox(
+        d.select(col("doc_id"), pmod(col("doc_id"), lit(13)).as("grp"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("q")),
+        "q", Seq("grp"), keepFraction = 0.5).count()),
+      // containment verify over LSH candidates: quadratic work only
+      // within candidate pairs, which the banded join keeps linear
+      "containment" -> { d =>
+        val cands = graft.operators.Dedup.minHashCandidates(
+          d, k = 3, numHashes = 32, bands = 8, maxBucket = 200)
+          .select("id_a", "id_b")
+        graft.operators.Dedup.containmentVerify(d, cands, k = 3,
+          threshold = 0.5).count()
+      },
       // excision adds the witness aggregate + per-(doc, pos) keyed agg
       // on top of the report's shape; both scale with the repeated
       // subset, and the rebuild is map-only per doc
