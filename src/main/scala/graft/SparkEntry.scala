@@ -1434,6 +1434,23 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // ---- Weighted sampling without replacement (Efraimidis-Spirakis
+    //      exponential sort), md5-derived uniforms → fully oracled;
+    //      high-value orders are proportionally likelier ----
+    "q113_weighted_sample" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice", k = 50, idCol = "o_orderkey")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")),
+
+    // ---- Streaming funnel (transformWithState): per-user (step, ts)
+    //      state advanced in event-time order; single-batch run equals
+    //      the batch funnel, so the SAME SQL oracles it as q104 ----
+    "q114_stream_funnel" -> ((s, dir) =>
+      graft.streaming.StreamingFunnel.funnelCounts(s, dir,
+        Seq("view", "click", "purchase"))),
+
     // ---- Trigram-indexed substring search: LIKE '%needle%' with
     //      per-file trigram-bloom skipping — the pruning tier where
     //      min/max and equality blooms are both useless. Results are
@@ -2813,6 +2830,35 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE contains(text, 'sort table window')
         |ORDER BY doc_id""".stripMargin,
+
+    // identical oracle to q104: a single-batch streaming funnel run
+    // is defined to equal the batch funnel
+    "q114_stream_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type,
+        |  (SELECT COUNT(*) FROM s1) AS users
+        |UNION ALL SELECT CAST(2 AS INTEGER), 'click', (SELECT COUNT(*) FROM s2)
+        |UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', (SELECT COUNT(*) FROM s3)
+        |ORDER BY step""".stripMargin,
+
+    "q113_weighted_sample" ->
+      """SELECT o_orderkey FROM (
+        |  SELECT o_orderkey FROM (
+        |    SELECT o_orderkey,
+        |      pow((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT)
+        |            / 4294967296.0,
+        |          1.0 / o_totalprice) AS key
+        |    FROM orders)
+        |  ORDER BY key DESC, o_orderkey ASC LIMIT 50)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q102_catalog" ->
       """SELECT 'cust' AS table_name, CAST(1 AS INTEGER) AS version,

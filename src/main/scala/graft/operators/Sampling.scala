@@ -172,6 +172,28 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Weighted sampling WITHOUT replacement, k rows, deterministic:
+    * Efraimidis–Spirakis exponential-sort (VLDB '06 / IPL '06) — each
+    * row draws u ∈ (0,1) and survives by key u^(1/weight); the top-k
+    * keys are a weighted sample without replacement. The "random" u is
+    * derived from md5(id) (first 8 hex digits / 2³²), so the sample is
+    * reproducible across engines and runs — the same oracleable-
+    * randomness trick as the md5-order stratified quotas.
+    *
+    * Scale shape: key computation is map-side; `orderBy(...).limit(k)`
+    * plans as TakeOrderedAndProject — per-partition top-k then a
+    * driver merge of k·partitions rows, never a global sort. */
+  def weightedSample(df: DataFrame, weightCol: String, k: Int,
+      idCol: String): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    df.withColumn("__key", pow(u, lit(1.0) / col(weightCol)))
+      .orderBy(col("__key").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__key")
+  }
+
   /** Freshness-decayed mixing weights: each row contributes
     * `pow(0.5, age_days / halfLifeDays)` where age is measured from the
     * pinned `asOf` timestamp — the recency-weighted variant of the

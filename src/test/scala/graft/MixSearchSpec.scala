@@ -97,4 +97,24 @@ class MixSearchSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(Set(10L, 9L, 8L, 7L, 6L).subsetOf(approx) && approx.size <= 6)
   }
+
+  test("weightedSample: deterministic, k rows, heavy weights dominate") {
+    import graft.operators.Sampling
+    // 100 light rows (w=1) + 10 heavy rows (w=1000)
+    val rows = ((1L to 100L).map(i => (i, 1.0)) ++
+      (1001L to 1010L).map(i => (i, 1000.0))).toDF("id", "w")
+    val s1 = Sampling.weightedSample(rows, "w", 20, "id")
+      .select("id").as[Long].collect().toSeq
+    val s2 = Sampling.weightedSample(rows, "w", 20, "id")
+      .select("id").as[Long].collect().toSeq
+    assert(s1 == s2 && s1.size == 20)            // reproducible, exact k
+    assert(s1.distinct.size == 20)               // without replacement
+    // u^(1/1000) ≈ 1 for any u — every heavy row must survive a k=20
+    // cut over 110 rows; light rows fill the rest
+    assert((1001L to 1010L).forall(s1.contains))
+    // uniform weights reduce to pure md5-order sampling (w=1 → key=u)
+    val uni = Sampling.weightedSample(rows.withColumn("w", lit(1.0)), "w", 5, "id")
+      .select("id").as[Long].collect().toSeq
+    assert(uni.size == 5 && uni.distinct.size == 5)
+  }
 }
