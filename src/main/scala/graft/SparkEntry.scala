@@ -1434,6 +1434,31 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // ---- Curriculum sharding: equal difficulty tiers by quality
+    //      score, easy-first (ntile with doc_id tie-break) ----
+    "q115_curriculum" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      graft.operators.Sampling.curriculumShards(scored, "quality",
+        nShards = 4, tieBreak = Seq("doc_id"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("quality"), 6).as("avg_quality"))
+        .orderBy("shard")
+    }),
+
+    // ---- Cross-source leakage matrix: distinct shared shingles per
+    //      source pair / the smaller side's shingle vocabulary ----
+    "q116_source_overlap" -> ((s, dir) =>
+      graft.operators.Decontaminate.crossSourceOverlap(
+        t(s, dir, "documents"), k = 3)),
+
+    // ---- Zipf fitness: least-squares slope of log(tf) ~ log(rank)
+    //      over the top-500 vocab — corpus-health one-liner ----
+    "q117_zipf" -> ((s, dir) =>
+      graft.operators.Vocab.zipfFit(t(s, dir, "documents"),
+        minCount = 2L, topK = 500)),
+
     // ---- Weighted sampling without replacement (Efraimidis-Spirakis
     //      exponential sort), md5-derived uniforms → fully oracled;
     //      high-value orders are proportionally likelier ----
@@ -2848,6 +2873,75 @@ object SparkEntry {
         |UNION ALL SELECT CAST(2 AS INTEGER), 'click', (SELECT COUNT(*) FROM s2)
         |UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', (SELECT COUNT(*) FROM s3)
         |ORDER BY step""".stripMargin,
+
+    "q115_curriculum" ->
+      """WITH t AS (
+        |  SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS DOUBLE) AS n,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS sl,
+        |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+        |      ('the','a','of','and','to','in','is','on',
+        |       'der','die','das','und','ist','nicht','ein','zu',
+        |       'el','la','de','que','y','en','un','es',
+        |       'le','et','les','des','est','une') THEN 1 ELSE 0 END))
+        |      AS DOUBLE) AS st
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, ROUND(
+        |    LEAST(n / 16.0, 1.0) * 0.4 +
+        |    (CASE WHEN sl / n BETWEEN 2.0 AND 9.0 THEN 1.0 ELSE 0.5 END) * 0.4 +
+        |    LEAST(st / n * 4.0, 1.0) * 0.2, 4) AS quality
+        |  FROM s),
+        |sh AS (
+        |  SELECT quality,
+        |    NTILE(4) OVER (ORDER BY quality ASC, doc_id ASC) AS shard
+        |  FROM q)
+        |SELECT CAST(shard AS INTEGER) AS shard, COUNT(*) AS n_docs,
+        |  ROUND(AVG(quality), 6) AS avg_quality
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q116_source_overlap" ->
+      """WITH d AS (
+        |  SELECT source, str_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT DISTINCT source AS src, unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS sh
+        |  FROM d),
+        |tot AS (SELECT src, COUNT(*) AS n FROM s GROUP BY src),
+        |p AS (
+        |  SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS shared_shingles
+        |  FROM s a JOIN s b ON a.sh = b.sh AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, shared_shingles,
+        |  ROUND(shared_shingles / CAST(LEAST(ta.n, tb.n) AS DOUBLE), 6)
+        |    AS overlap
+        |FROM p
+        |JOIN tot ta ON ta.src = src_a
+        |JOIN tot tb ON tb.src = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    "q117_zipf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(str_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |nz AS (SELECT * FROM toks WHERE token <> ''),
+        |tf AS (
+        |  SELECT token, COUNT(*) AS tf FROM nz GROUP BY token
+        |  HAVING COUNT(*) >= 2 ORDER BY tf DESC, token ASC LIMIT 500),
+        |xy AS (
+        |  SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS DOUBLE)) AS x,
+        |    ln(CAST(tf AS DOUBLE)) AS y
+        |  FROM tf)
+        |SELECT ROUND(covar_pop(x, y) / var_pop(x), 6) AS slope,
+        |  ROUND(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 6)
+        |    AS intercept,
+        |  COUNT(*) AS n_terms
+        |FROM xy""".stripMargin,
 
     "q113_weighted_sample" ->
       """SELECT o_orderkey FROM (

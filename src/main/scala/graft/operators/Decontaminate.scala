@@ -60,4 +60,38 @@ object Decontaminate {
         countDistinct(col("bench_id")).as("n_bench_docs"))
       .orderBy(col(idCol))
   }
+
+  /** Cross-source leakage matrix: for every pair of corpus sources,
+    * how many distinct token `k`-shingles they share, normalized by
+    * the smaller source's shingle vocabulary (a containment-style
+    * overlap in [0,1]) — the dataset-level view of contamination:
+    * "how much of source A's content also lives in source B" guides
+    * both dedup ordering and mixture double-count corrections.
+    *
+    * Scale shape: the corpus collapses to DISTINCT (source, shingle)
+    * pairs first — bounded by sources × shingle vocabulary, far below
+    * corpus size — and the pair join keys on the shingle, so a
+    * shingle shared by s sources costs s² pair rows, never doc².
+    * Shingles travel as hashed longs (native ShingleHashes). */
+  def crossSourceOverlap(docs: DataFrame, k: Int = 3,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(sourceCol).as("__src"),
+        explode(graft.functions.ShingleHashes.shingleHashes(
+          TextFunctions.tokens(col(textCol)), k)).as("sh"))
+      .distinct()
+    val totals = sh.groupBy("__src").agg(count(lit(1)).as("__n"))
+    val pairs = sh.select(col("__src").as("src_a"), col("sh"))
+      .join(sh.select(col("__src").as("src_b"), col("sh")), "sh")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("shared_shingles"))
+    pairs
+      .join(broadcast(totals.select(col("__src").as("src_a"), col("__n").as("__na"))), "src_a")
+      .join(broadcast(totals.select(col("__src").as("src_b"), col("__n").as("__nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared_shingles"),
+        round(col("shared_shingles").cast("double") /
+          least(col("__na"), col("__nb")).cast("double"), 6).as("overlap"))
+      .orderBy("src_a", "src_b")
+  }
 }

@@ -172,6 +172,24 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Curriculum sharding: assign each row to one of `nShards`
+    * difficulty tiers by `scoreCol` order (ascending = easy first) —
+    * the data-prep step of curriculum learning, where training reads
+    * shard 1 before shard 2 before shard 3. NTILE gives equal-sized
+    * tiers (earlier tiers take the remainder), and the tie-break
+    * column makes the assignment deterministic.
+    *
+    * Scale note: the single NTILE window is a global sort; for
+    * corpus-scale inputs prefer binning on [[quantileKeepApprox]]-style
+    * sketch thresholds. This exact form is for the curated post-filter
+    * set, which is orders of magnitude smaller. */
+  def curriculumShards(df: DataFrame, scoreCol: String, nShards: Int,
+      tieBreak: Seq[String]): DataFrame = {
+    require(nShards >= 1, "need at least one shard")
+    val w = Window.orderBy(col(scoreCol).asc +: tieBreak.map(col(_).asc): _*)
+    df.withColumn("shard", ntile(nShards).over(w))
+  }
+
   /** Weighted sampling WITHOUT replacement, k rows, deterministic:
     * Efraimidis–Spirakis exponential-sort (VLDB '06 / IPL '06) — each
     * row draws u ∈ (0,1) and survives by key u^(1/weight); the top-k

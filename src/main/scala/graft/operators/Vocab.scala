@@ -55,6 +55,26 @@ object Vocab {
       .orderBy("rank")
   }
 
+  /** Zipf fitness of the corpus: the least-squares slope of
+    * log(tf) ~ log(rank) over the top-`topK` vocabulary — natural
+    * language sits near slope −1 (Zipf's law); a corpus that departs
+    * far from it is template-heavy (flatter) or boilerplate-dominated
+    * (steeper), which makes the slope a cheap corpus-health metric.
+    * One row: (slope, intercept, n_terms). Runs entirely over the
+    * topK vocab table — corpus size only enters through [[build]]. */
+  def zipfFit(docs: DataFrame, minCount: Long = 2L,
+      topK: Int = 1000): DataFrame = {
+    val v = build(docs, minCount, topK)
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("tf").cast("double")).as("y"))
+    v.agg(
+      round((covar_pop(col("x"), col("y")) / var_pop(col("x"))), 6).as("slope"),
+      round(avg(col("y")) -
+        (covar_pop(col("x"), col("y")) / var_pop(col("x"))) * avg(col("x")), 6)
+        .as("intercept"),
+      count(lit(1)).as("n_terms"))
+  }
+
   /** Out-of-vocabulary report: per `groupCol`, what fraction of corpus
     * tokens fall OUTSIDE `vocab` — the coverage number a tokenizer
     * budget decision is validated against after [[build]] picks the

@@ -120,4 +120,17 @@ class CorpusPrepSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((0L, 1L)))
   }
+
+  test("crossSourceOverlap: planted shared core, containment normalization") {
+    val core = "alpha beta gamma delta epsilon"          // 3 shingles
+    val docs = Seq(
+      ("A", s"$core one two three four"),                // 3 + 4 own = 7
+      ("B", s"$core totally different tail words here"), // 3 + 5 own = 8
+      ("C", "nothing in common with others at all"))     // 5 shingles
+      .toDF("source", "text")
+    val got = graft.operators.Decontaminate.crossSourceOverlap(docs, k = 3)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // only (A, B) share: 3 shingles / min(7, 8)
+    assert(got == Seq(("A", "B", 3L, 0.428571)))
+  }
 }

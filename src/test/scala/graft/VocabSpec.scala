@@ -35,4 +35,28 @@ class VocabSpec extends AnyFunSuite {
       ("de", 5L, 3L, 0.6),
       ("en", 9L, 4L, 0.444444)))
   }
+
+  test("zipfFit: a perfect 1/rank corpus fits slope exactly -1") {
+    // tf = 6, 3, 2 at ranks 1, 2, 3: ln(tf) = ln(6) - 1·ln(rank) exactly
+    val text = (Seq.fill(6)("aa") ++ Seq.fill(3)("bb") ++ Seq.fill(2)("cc"))
+      .mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val r = Vocab.zipfFit(docs, minCount = 2L, topK = 10).collect()(0)
+    assert(r.getDouble(0) == -1.0)
+    assert(r.getDouble(1) == BigDecimal(math.log(6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getLong(2) == 3L)
+  }
+
+  test("curriculumShards: equal tiers, easy first, deterministic ties") {
+    import graft.operators.Sampling
+    val rows = (1L to 8L).map(i => (i, (i % 4).toDouble)).toDF("id", "score")
+    val got = Sampling.curriculumShards(rows, "score", 4, Seq("id"))
+      .select("id", "shard").as[(Long, Int)].collect().toMap
+    // scores: ids 4,8 -> 0.0; 1,5 -> 1.0; 2,6 -> 2.0; 3,7 -> 3.0
+    assert(got(4L) == 1 && got(8L) == 1)
+    assert(got(1L) == 2 && got(5L) == 2)
+    assert(got(2L) == 3 && got(6L) == 3)
+    assert(got(3L) == 4 && got(7L) == 4)
+  }
 }
