@@ -206,8 +206,43 @@ object ScaleProbe {
           d.filter(col("vec_id") % 7 =!= 0))._1.toLong
       })
 
+    // ---- event-input operators: amplified by shifting user/event ids
+    // per copy — copies are DISJOINT users, so per-user sequence
+    // lengths (the window/state unit) stay fixed while user count
+    // scales, the linear direction these operators must absorb ----
+    val evBase = graft.io.Sources.table(spark, sfDir, "events")
+      .select("event_id", "user_id", "ts", "event_type", "value")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evUserShift = evBase.agg(max("user_id")).collect()(0).getLong(0) + 1L
+    val evIdShift = evBase.agg(max("event_id")).collect()(0).getLong(0) + 1L
+    val evBig = (0 until factor).map { i =>
+      evBase.select(
+        (col("event_id") + lit(i * evIdShift)).as("event_id"),
+        (col("user_id") + lit(i * evUserShift)).as("user_id"),
+        col("ts"), col("event_type"), col("value"))
+    }.reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    evBig.count()
+
+    val evOps: Seq[(String, DataFrame => Long)] = Seq(
+      // one filtered (user, min ts) agg per step; disjoint users keep
+      // per-step frames proportional to the corpus
+      "funnel" -> (d => graft.operators.Funnel
+        .funnel(d, Seq("view", "click", "purchase"))
+        .agg(sum("users")).collect()(0).getLong(0)),
+      // the lead() window shuffles once on the user key; matrix stays
+      // |types|² regardless of scale
+      "transitions" -> (d => graft.operators.Sessionize
+        .transitionMatrix(d).agg(sum("n")).collect()(0).getLong(0)),
+      // map-side decay into one grouped agg — the flattest possible
+      // shape; included to catch accidental window/join creep
+      "decayed_mix" -> (d => graft.operators.Sampling
+        .decayedMix(d, Seq("event_type"), "ts", "value",
+          asOf = "2024-02-01 00:00:00", halfLifeDays = 7.0).count()))
+
     (ops.map(o => (o._1, o._2, base, big)) ++
-      embOps.map(o => (o._1, o._2, embBase, embBig))).foreach {
+      embOps.map(o => (o._1, o._2, embBase, embBig)) ++
+      evOps.map(o => (o._1, o._2, evBase, evBig))).foreach {
       case (name, f, in1, inN) =>
       // pin THIS op's inputs (the trailing clearCache dropped them),
       // so the timed region covers the operator, not input generation
