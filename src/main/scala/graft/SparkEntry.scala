@@ -1434,6 +1434,38 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // ---- dbt generic-test quartet completion: unique + accepted_values
+    //      folded into the same ONE-pass suite agg as the GE checks ----
+    "q118_unique_accepted" -> ((s, dir) =>
+      Expectations.evaluate(
+        t(s, dir, "events"),
+        Suite("events",
+          Some(ColumnsOrdered(Seq("event_id", "ts", "user_id",
+            "event_type", "value", "props"))),
+          Seq(
+            Expectations.Unique("event_id"),
+            Expectations.Unique("user_id"),
+            // 'error' deliberately missing → counts those rows
+            Expectations.AcceptedValues("event_type",
+              Seq("click", "view", "purchase", "signup")))))),
+
+    // ---- dbt relationships test: referential integrity via left-anti
+    //      (broadcast when the parent key set is dimension-sized) ----
+    "q119_relationships" -> ((s, dir) => {
+      def rel(name: String, child: DataFrame, childCol: String,
+          parent: DataFrame, parentCol: String) =
+        Expectations.relationshipOrphans(child, childCol, parent, parentCol)
+          .select(lit(name).as("relationship"), col("orphans"))
+      rel("lineitem_orders", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey")
+        .unionByName(rel("orders_customer", t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"))
+        .unionByName(rel("orders_customer_even",
+          t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer").filter(col("c_custkey") % 2 === 0), "c_custkey"))
+        .orderBy("relationship")
+    }),
+
     // ---- Curriculum sharding: equal difficulty tiers by quality
     //      score, easy-first (ntile with doc_id tie-break) ----
     "q115_curriculum" -> ((s, dir) => {
@@ -2873,6 +2905,30 @@ object SparkEntry {
         |UNION ALL SELECT CAST(2 AS INTEGER), 'click', (SELECT COUNT(*) FROM s2)
         |UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', (SELECT COUNT(*) FROM s3)
         |ORDER BY step""".stripMargin,
+
+    "q118_unique_accepted" ->
+      """SELECT 'columns_ordered' AS check_name, CAST(0 AS BIGINT) AS violations
+        |UNION ALL SELECT 'event_id_unique',
+        |  (SELECT COUNT(event_id) - COUNT(DISTINCT event_id) FROM events)
+        |UNION ALL SELECT 'user_id_unique',
+        |  (SELECT COUNT(user_id) - COUNT(DISTINCT user_id) FROM events)
+        |UNION ALL SELECT 'event_type_accepted',
+        |  (SELECT COUNT(*) FROM events WHERE event_type IS NOT NULL
+        |     AND event_type NOT IN ('click','view','purchase','signup'))
+        |ORDER BY check_name""".stripMargin,
+
+    "q119_relationships" ->
+      """SELECT 'lineitem_orders' AS relationship,
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+        |     AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS orphans
+        |UNION ALL SELECT 'orders_customer',
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+        |     AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |UNION ALL SELECT 'orders_customer_even',
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+        |     AND o_custkey NOT IN
+        |       (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0))
+        |ORDER BY relationship""".stripMargin,
 
     "q115_curriculum" ->
       """WITH t AS (

@@ -45,6 +45,26 @@ object Expectations {
       count(when(!col(column).cast("string").rlike("^" + regex), 1))
   }
 
+  /** expect_column_values_to_be_unique / dbt's `unique` test. NULLs
+    * don't count (dbt semantics): violations = non-null values minus
+    * distinct non-null values — still one aggregate column, so the
+    * whole-suite single-pass contract holds. */
+  final case class Unique(column: String) extends Expectation {
+    val name = s"${column}_unique"
+    def violations: Column =
+      (count(col(column)) - countDistinct(col(column))).cast("long")
+  }
+
+  /** expect_column_values_to_be_in_set / dbt's `accepted_values`.
+    * NULLs pass (that's [[NotNull]]'s job, per dbt's test separation). */
+  final case class AcceptedValues(column: String, values: Seq[String])
+      extends Expectation {
+    val name = s"${column}_accepted"
+    def violations: Column =
+      count(when(col(column).isNotNull &&
+        !col(column).cast("string").isin(values: _*), 1))
+  }
+
   /** V1: expect_table_columns_to_match_ordered_list — schema-level, no
     * data scan needed. */
   final case class ColumnsOrdered(expected: Seq[String])
@@ -147,6 +167,21 @@ object Expectations {
       status
     }
   }
+
+  /** dbt's `relationships` (referential-integrity) test: rows of
+    * `child` whose `childCol` is non-null and absent from `parent`'s
+    * `parentCol`. The one generic test that inherently needs TWO
+    * tables, hence a join rather than a suite aggregate column — a
+    * left-anti keyed on the FK, which Spark broadcasts when the parent
+    * key set is small (dimensions usually are). Returns one row
+    * (orphans). 0 = referentially intact. */
+  def relationshipOrphans(child: DataFrame, childCol: String,
+      parent: DataFrame, parentCol: String): DataFrame =
+    child
+      .filter(col(childCol).isNotNull)
+      .join(parent.select(col(parentCol).as(childCol)).distinct(),
+        Seq(childCol), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
 
   /** V6: source freshness — hours since max(loadedAtCol), compared by the
     * caller against warn/error bounds (reference dbt/models/schema.yml:10-13). */

@@ -9,10 +9,13 @@ import graft.quality.Expectations._
   *
   * Format (reference `great_expectations/expectations/<d>.json`,
   * interpreter `local_runner.py:62-104`): an `expectations` array of
-  * `{expectation_type, kwargs}`; supported types are exactly the four
-  * the reference executes — ordered column list, not-null, between
+  * `{expectation_type, kwargs}`; supported types are the four the
+  * reference executes — ordered column list, not-null, between
   * (min enforced, max read-but-ignored, matching local_runner.py:87-92),
-  * regex match. Unknown types raise, like the reference (:101-102).
+  * regex match — plus unique and in-set, completing dbt's generic-test
+  * quartet (not_null/unique/accepted_values; `relationships` is the
+  * two-table [[Expectations.relationshipOrphans]]). Unknown types
+  * raise, like the reference (:101-102).
   *
   * Uses Jackson from Spark's own classpath — no extra dependency.
   */
@@ -73,6 +76,11 @@ object SuiteLoader {
             .foreach(min => checks += MinBound(column, min.asDouble()))
         case "expect_column_values_to_match_regex" =>
           checks += RegexMatch(column, kwargs.get("regex").asText())
+        case "expect_column_values_to_be_unique" =>
+          checks += Unique(column)
+        case "expect_column_values_to_be_in_set" =>
+          checks += AcceptedValues(column,
+            kwargs.get("value_set").elements().asScala.map(_.asText()).toSeq)
         case other =>
           throw new IllegalArgumentException(s"unsupported expectation: $other")
       }

@@ -44,6 +44,36 @@ class ExpectationsSpec extends AnyFunSuite {
     }
   }
 
+  test("unique / accepted_values fold into the single-pass agg with dbt semantics") {
+    val frame = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("b")),     // dup id
+      (None, Some("a")), (None, Some("zz")),            // NULLs don't count for unique
+      (Some(3L), None))                                 // NULL passes accepted_values
+      .toDF("id", "kind")
+    val suite = Suite("t", None, Seq(
+      Unique("id"),
+      AcceptedValues("kind", Seq("a", "b"))))
+    val got = Expectations.evaluate(frame, suite)
+      .as[(String, Long)].collect().toMap
+    assert(got("id_unique") == 1L)       // 3 non-null, 2 distinct
+    assert(got("kind_accepted") == 1L)   // only "zz"; NULL passes
+    // a violating unique check aborts validateOrThrow like any other
+    intercept[IllegalStateException] {
+      Expectations.validateOrThrow(frame, Suite("t", None, Seq(Unique("id"))))
+    }
+  }
+
+  test("relationships: orphan count via left-anti, NULL children pass") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("fk")
+    val n = Expectations.relationshipOrphans(child, "fk", parent, "pk")
+      .collect()(0).getLong(0)
+    assert(n == 1L)                      // only the 9; NULL fk passes
+    val clean = Seq(Some(2L), Some(3L)).toDF("fk")
+    assert(Expectations.relationshipOrphans(clean, "fk", parent, "pk")
+      .collect()(0).getLong(0) == 0L)
+  }
+
   test("freshness status: pass / warn / error against pinned now") {
     import org.apache.spark.sql.functions._
     val loaded = Seq("2024-01-10 00:00:00").toDF("dt")

@@ -70,4 +70,16 @@ class SuiteLoaderSpec extends AnyFunSuite {
     assert(warnOnly.freshness == Some(FreshnessPolicy("dt", Some(12.0), None)))
     assert(SuiteLoader.fromJsonString("s", """{"expectations": []}""").freshness.isEmpty)
   }
+
+  test("parses unique and in-set expectations (dbt generic-test quartet)") {
+    val suite = SuiteLoader.fromJsonString("s",
+      """{"expectations": [
+        |  {"expectation_type": "expect_column_values_to_be_unique",
+        |   "kwargs": {"column": "id"}},
+        |  {"expectation_type": "expect_column_values_to_be_in_set",
+        |   "kwargs": {"column": "status", "value_set": ["new", "done"]}}
+        |]}""".stripMargin)
+    assert(suite.checks == Seq(
+      Unique("id"), AcceptedValues("status", Seq("new", "done"))))
+  }
 }
