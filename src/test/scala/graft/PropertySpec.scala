@@ -198,4 +198,67 @@ class PropertySpec extends AnyFunSuite {
       self && got == expected.toMap
     })
   }
+
+  test("funnel: step counts are non-increasing and bounded by distinct users") {
+    val evGen = Gen.listOfN(30, Gen.zip(
+      Gen.chooseNum(1L, 5L),                       // user
+      Gen.chooseNum(0L, 1000L),                    // ts offset seconds
+      Gen.oneOf("view", "click", "purchase")))
+    assertProp(Prop.forAll(evGen) { evs =>
+      val df = evs.zipWithIndex.map { case ((u, s, t), i) =>
+        (u, new java.sql.Timestamp(1700000000000L + s * 1000L + i), t)
+      }.toDF("user_id", "ts", "event_type")
+      val counts = graft.operators.Funnel
+        .funnel(df, Seq("view", "click", "purchase"))
+        .select("users").as[Long].collect().toSeq
+      val users = evs.map(_._1).distinct.size
+      counts.sliding(2).forall(w => w.size < 2 || w(0) >= w(1)) &&
+        counts.headOption.forall(_ <= users)
+    })
+  }
+
+  test("quantileKeep: larger keep fractions are supersets; output ⊆ input") {
+    val rowGen = Gen.listOfN(20, Gen.zip(
+      Gen.chooseNum(1L, 100L), Gen.chooseNum(0, 9), Gen.chooseNum(0.0, 10.0)))
+    assertProp(Prop.forAll(rowGen) { rows =>
+      val df = rows.distinctBy(_._1).toDF("id", "g", "score")
+      def keep(f: Double) = graft.operators.Sampling
+        .quantileKeep(df, "score", Seq("g"), f, Seq("id"))
+        .select("id").as[Long].collect().toSet
+      val (k3, k7) = (keep(0.3), keep(0.7))
+      val all = df.select("id").as[Long].collect().toSet
+      k3.subsetOf(k7) && k7.subsetOf(all) && keep(1.0) == all
+    })
+  }
+
+  test("weightedSample: exact k (capped at n), subset, deterministic") {
+    val rowGen = Gen.listOfN(15, Gen.zip(
+      Gen.chooseNum(1L, 1000L), Gen.chooseNum(0.1, 100.0)))
+    assertProp(Prop.forAll(rowGen, Gen.chooseNum(1, 20)) { (rows, k) =>
+      val df = rows.distinctBy(_._1).toDF("id", "w")
+      val n = rows.distinctBy(_._1).size
+      def draw() = graft.operators.Sampling.weightedSample(df, "w", k, "id")
+        .select("id").as[Long].collect().toSeq
+      val s = draw()
+      s.size == math.min(k, n) && s.distinct.size == s.size &&
+        s.toSet.subsetOf(rows.map(_._1).toSet) && s == draw()
+    })
+  }
+
+  test("psi: zero on identical frames, non-negative terms, permutation-invariant") {
+    val valGen = Gen.listOfN(25, Gen.chooseNum(0.0, 100.0))
+    assertProp(Prop.forAll(valGen, valGen) { (a, b) =>
+      val (da, db) = (a.toDF("v"), b.toDF("v"))
+      val terms = graft.operators.Drift.psiReport(da, db, "v", 10.0)
+        .select("psi_term").as[Double].collect()
+      val same = graft.operators.Drift.psiReport(da, da, "v", 10.0)
+        .agg(sum("psi_term")).collect()(0).getDouble(0)
+      val shuffled = graft.operators.Drift
+        .psiReport(da, scala.util.Random.shuffle(b).toDF("v"), "v", 10.0)
+        .agg(sum("psi_term")).collect()(0).getDouble(0)
+      val total = terms.sum
+      terms.forall(_ >= 0.0) && same == 0.0 &&
+        math.abs(shuffled - total) < 1e-9
+    })
+  }
 }
