@@ -1434,6 +1434,19 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // ---- Hopping (sliding) event-time windows in batch: Spark's
+    //      native window(ts, dur, slide) — each event lands in
+    //      dur/slide windows; oracled as the union of slide-offset
+    //      tumbling grids ----
+    "q120_hopping_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .select(col("w.start").as("win_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("win_start", "event_type")),
+
     // ---- dbt generic-test quartet completion: unique + accepted_values
     //      folded into the same ONE-pass suite agg as the GE checks ----
     "q118_unique_accepted" -> ((s, dir) =>
@@ -2905,6 +2918,21 @@ object SparkEntry {
         |UNION ALL SELECT CAST(2 AS INTEGER), 'click', (SELECT COUNT(*) FROM s2)
         |UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', (SELECT COUNT(*) FROM s3)
         |ORDER BY step""".stripMargin,
+
+    // hopping window = union of dur/slide tumbling grids, each offset
+    // by a multiple of the slide; second-aligned boundaries make the
+    // floor-on-seconds form equal Spark's micros-precision assignment
+    "q120_hopping_window" ->
+      """WITH grid AS (SELECT 0 AS off UNION ALL SELECT 1800),
+        |w AS (
+        |  SELECT epoch_ms((CAST(floor((floor(epoch(ts)) - off) / 3600)
+        |      AS BIGINT) * 3600 + off) * 1000) AS win_start,
+        |    event_type, value
+        |  FROM events, grid)
+        |SELECT win_start, event_type, COUNT(*) AS n,
+        |  ROUND(SUM(value), 2) AS total_value
+        |FROM w GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin,
 
     "q118_unique_accepted" ->
       """SELECT 'columns_ordered' AS check_name, CAST(0 AS BIGINT) AS violations
