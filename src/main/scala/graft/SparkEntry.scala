@@ -1360,7 +1360,7 @@ object SparkEntry {
     //      Same bounded exact block as q19 (allowlisted NLJ); the
     //      scale path feeds LSH candidates instead ----
     "q103_containment" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
       val ids = docs.select(col("doc_id"))
       val cands = ids.select(col("doc_id").as("id_a"))
         .crossJoin(ids.select(col("doc_id").as("id_b")))
@@ -2751,7 +2751,7 @@ object SparkEntry {
     "q103_containment" ->
       """WITH d AS (
         |  SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents WHERE doc_id < 200),
+        |  FROM documents WHERE doc_id < 500),
         |s AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
         |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh

@@ -61,6 +61,32 @@ object Sources {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Permissive CSV scan with a dead-letter column: rows that fail the
+    * schema land in `_corrupt_record` (raw line preserved) instead of
+    * failing the job — the DLQ ingestion pattern for feeds where one
+    * malformed row must not block the batch. Callers split on
+    * `_corrupt_record IS NULL`: clean rows proceed, corrupt raw lines
+    * are quarantined for replay. ([[csv]] stays FAILFAST — the
+    * validate-gate default; this is the explicit opt-in.)
+    *
+    * Caveat from Spark's CSV parser: only REFERENCED columns are
+    * parsed, so a plan that filters on `_corrupt_record` while
+    * projecting other columns may never parse the failing field and
+    * misclassify the row. Persist (or write out) the frame before
+    * splitting clean/DLQ — the pattern Spark's own docs prescribe. */
+  def csvPermissive(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val withDlq = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_corrupt_record", org.apache.spark.sql.types.StringType))
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withDlq)
+      .csv(path)
+  }
+
   /** First-contact CSV ingest: ONE schema-inference pass over the data,
     * then the frame is re-read under the now-PINNED StructType — the
     * Glue-crawler / pandas entry path of the reference

@@ -73,6 +73,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(jsonDf.count() == 4)
   }
 
+  test("permissive CSV quarantines malformed rows in _corrupt_record") {
+    val dir = Files.createTempDirectory("graft_dlq")
+    Files.writeString(dir.resolve("feed.csv"),
+      """id,amount,name
+        |1,10.5,ok
+        |2,not-a-number,bad
+        |3,7.25,fine
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("amount", DoubleType),
+      StructField("name", StringType)))
+    // persist before splitting: Spark's CSV parser only parses
+    // REFERENCED columns, so an unpersisted filter-on-corrupt +
+    // project-other-columns plan would skip parsing `amount` entirely
+    // and misclassify row 2 (the documented corrupt-column caveat)
+    val got = Sources.csvPermissive(spark, dir.resolve("feed.csv").toString, schema)
+      .persist()
+    got.count()
+    val clean = got.filter(col("_corrupt_record").isNull)
+    val dlq = got.filter(col("_corrupt_record").isNotNull)
+    assert(clean.select("id").as[Long].collect().toSet == Set(1L, 3L))
+    // the corrupt raw line survives verbatim for replay
+    assert(dlq.select("_corrupt_record").as[String].collect().toSeq ==
+      Seq("2,not-a-number,bad"))
+    // FAILFAST on the same feed aborts — the gate default is loud
+    intercept[org.apache.spark.SparkException] {
+      Sources.csv(spark, dir.resolve("feed.csv").toString, schema).collect()
+    }
+  }
+
   test("schema drift: added/missing/retyped columns vs the pinned schema") {
     val pinned = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType),
