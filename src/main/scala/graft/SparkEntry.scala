@@ -1434,6 +1434,14 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // ---- Weekly cohort retention triangle (user-lifecycle report) ----
+    "q121_retention" -> ((s, dir) =>
+      graft.operators.Retention.cohortRetention(t(s, dir, "events"))),
+
+    // ---- RFM segmentation: recency/frequency/monetary quartile grid ----
+    "q122_rfm" -> ((s, dir) =>
+      graft.operators.Retention.rfmSegments(t(s, dir, "events"))),
+
     // ---- Hopping (sliding) event-time windows in batch: Spark's
     //      native window(ts, dur, slide) — each event lands in
     //      dur/slide windows; oracled as the union of slide-offset
@@ -2918,6 +2926,39 @@ object SparkEntry {
         |UNION ALL SELECT CAST(2 AS INTEGER), 'click', (SELECT COUNT(*) FROM s2)
         |UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', (SELECT COUNT(*) FROM s3)
         |ORDER BY step""".stripMargin,
+
+    "q121_retention" ->
+      """WITH firsts AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT e.user_id, f.cohort_week,
+        |    CAST(datediff('week', f.cohort_week,
+        |      date_trunc('week', e.ts)) AS BIGINT) AS week_offset
+        |  FROM events e JOIN firsts f USING (user_id)),
+        |sizes AS (
+        |  SELECT cohort_week, COUNT(*) AS cohort_size
+        |  FROM firsts GROUP BY cohort_week)
+        |SELECT a.cohort_week, a.week_offset, COUNT(*) AS active_users,
+        |  s.cohort_size,
+        |  ROUND(COUNT(*) / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+        |FROM activity a JOIN sizes s USING (cohort_week)
+        |GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q122_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id, max(ts) AS last_ts, COUNT(*) AS freq,
+        |    SUM(value) AS mon
+        |  FROM events GROUP BY user_id),
+        |t AS (
+        |  SELECT
+        |    CAST(NTILE(4) OVER (ORDER BY last_ts ASC, user_id ASC) AS INTEGER) AS r,
+        |    CAST(NTILE(4) OVER (ORDER BY freq ASC, user_id ASC) AS INTEGER) AS f,
+        |    CAST(NTILE(4) OVER (ORDER BY mon ASC, user_id ASC) AS INTEGER) AS m
+        |  FROM u)
+        |SELECT r, f, m, COUNT(*) AS n_users
+        |FROM t GROUP BY r, f, m ORDER BY r, f, m""".stripMargin,
 
     // hopping window = union of dur/slide tumbling grids, each offset
     // by a multiple of the slide; second-aligned boundaries make the

@@ -85,6 +85,39 @@ class FunnelSpec extends AnyFunSuite {
     assert(j < 0.3)
   }
 
+  test("cohort retention: first-event week defines the cohort; offsets count distinct-active weeks") {
+    // u1 joins week of Jan 1 (Mon), active weeks 0 and 2; u2 joins
+    // week of Jan 8, active week 0 only (two events, one week)
+    val events = Seq(
+      (1L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-16 10:00:00")),
+      (2L, ts("2024-01-10 10:00:00")),
+      (2L, ts("2024-01-11 10:00:00")))
+      .toDF("user_id", "ts")
+    val got = graft.operators.Retention.cohortRetention(events)
+      .as[(java.sql.Date, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 0L, 1L, 1L, 1.0),
+      (java.sql.Date.valueOf("2024-01-01"), 2L, 1L, 1L, 1.0),
+      (java.sql.Date.valueOf("2024-01-08"), 0L, 1L, 1L, 1.0)))
+  }
+
+  test("rfm: quartile grid is deterministic and conserves users") {
+    val events = (1L to 16L).flatMap { u =>
+      // user u has u events of value u → freq and monetary rank together
+      (1L to u).map(i => (u, ts(f"2024-01-${u}%02d 00:00:00"), u.toDouble))
+    }.toDF("user_id", "ts", "value")
+    val grid = graft.operators.Retention.rfmSegments(events)
+    assert(grid.agg(sum("n_users")).collect()(0).getLong(0) == 16L)
+    // users 13..16: latest, most frequent, highest value → (4,4,4)
+    val top = grid.filter(col("r") === 4 && col("f") === 4 && col("m") === 4)
+      .select("n_users").as[Long].collect()(0)
+    assert(top == 4L)
+    // deterministic across runs
+    assert(grid.collect().toSeq ==
+      graft.operators.Retention.rfmSegments(events).collect().toSeq)
+  }
+
   implicit class Tuples3ToMap(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map(r => (r._1, r._2) -> r._3).toMap
