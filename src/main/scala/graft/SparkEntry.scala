@@ -1434,6 +1434,13 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // ---- Matryoshka truncation fidelity: cosine at full vs prefix
+    //      dims over consecutive-id pairs — decides whether a 2x/4x
+    //      smaller vector tier is safe to index ----
+    "q123_dim_truncation" -> ((s, dir) =>
+      Similarity.truncationFidelity(t(s, dir, "embeddings"),
+        truncDims = Seq(32, 16), maxId = 200L)),
+
     // ---- Weekly cohort retention triangle (user-lifecycle report) ----
     "q121_retention" -> ((s, dir) =>
       graft.operators.Retention.cohortRetention(t(s, dir, "events"))),
@@ -2926,6 +2933,18 @@ object SparkEntry {
         |UNION ALL SELECT CAST(2 AS INTEGER), 'click', (SELECT COUNT(*) FROM s2)
         |UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', (SELECT COUNT(*) FROM s3)
         |ORDER BY step""".stripMargin,
+
+    "q123_dim_truncation" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id AS id_a,
+        |  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_full,
+        |  ROUND(list_cosine_similarity(a.v[1:32], b.v[1:32]), 6) AS cos_32,
+        |  ROUND(list_cosine_similarity(a.v[1:16], b.v[1:16]), 6) AS cos_16
+        |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id % 2 = 0
+        |ORDER BY id_a""".stripMargin,
 
     "q121_retention" ->
       """WITH firsts AS (

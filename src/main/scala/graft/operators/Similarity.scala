@@ -29,6 +29,34 @@ import graft.functions.NearestCentroids.nearestCentroids
   */
 object Similarity {
 
+  /** Truncated-dimension fidelity report: cosine similarity of vector
+    * pairs at the full dimension vs prefix truncations — the
+    * evaluation behind Matryoshka-style embeddings (Kusupati et al.,
+    * NeurIPS 2022: prefix dims carry most of the signal, so indexes
+    * can store/search a truncation). Pairs are consecutive ids inside
+    * a bounded block, so the report is deterministic and exact; a
+    * truncation whose cosines track `cos_full` closely is safe to
+    * index at that width (e.g. a 2× smaller IVF/PQ tier).
+    *
+    * Map-only: pairs form by an id equi-join inside the bounded block;
+    * each cosine is codegen'd vector math, no shuffle beyond the tiny
+    * self-join. */
+  def truncationFidelity(emb: DataFrame, truncDims: Seq[Int],
+      maxId: Long = 200L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(truncDims.nonEmpty, "need at least one truncation width")
+    val a = emb.filter(col(idCol) < maxId && col(idCol) % 2 === 0)
+      .select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = emb.filter(col(idCol) < maxId && col(idCol) % 2 === 1)
+      .select((col(idCol) - 1).as("id_a"), col(vecCol).as("__vb"))
+    val cosCols = round(cosine(col("__va"), col("__vb")), 6).as("cos_full") +:
+      truncDims.map(d => round(cosine(
+        slice(col("__va"), 1, d), slice(col("__vb"), 1, d)), 6).as(s"cos_$d"))
+    a.join(b, "id_a")
+      .select(col("id_a") +: cosCols: _*)
+      .orderBy("id_a")
+  }
+
   /** Exact cosine top-k: for each query vector, the `k` most similar
     * candidate vectors (excluding itself). */
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame, k: Int,
