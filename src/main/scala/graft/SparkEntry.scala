@@ -1434,6 +1434,18 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // ---- Date-spine gap fill with LOCF: sparse per-user daily sums
+    //      densified over the full month; pre-first-observation days
+    //      stay NULL ----
+    "q124_gapfill_locf" -> ((s, dir) => {
+      val sparse = t(s, dir, "events")
+        .filter(col("user_id") <= 5)
+        .groupBy(col("user_id"), col("ts").cast("date").as("d"))
+        .agg(round(sum("value"), 2).as("daily_value"))
+      graft.operators.GapFill.locf(sparse, "user_id", "d", "daily_value",
+        start = "2024-01-01", end = "2024-01-31")
+    }),
+
     // ---- Matryoshka truncation fidelity: cosine at full vs prefix
     //      dims over consecutive-id pairs — decides whether a 2x/4x
     //      smaller vector tier is safe to index ----
@@ -2933,6 +2945,27 @@ object SparkEntry {
         |UNION ALL SELECT CAST(2 AS INTEGER), 'click', (SELECT COUNT(*) FROM s2)
         |UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', (SELECT COUNT(*) FROM s3)
         |ORDER BY step""".stripMargin,
+
+    "q124_gapfill_locf" ->
+      """WITH sparse AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    ROUND(SUM(value), 2) AS daily_value
+        |  FROM events WHERE user_id <= 5 GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT k.user_id, CAST(u.s AS DATE) AS d
+        |  FROM (SELECT DISTINCT user_id FROM sparse) k,
+        |    (SELECT unnest(generate_series(DATE '2024-01-01',
+        |       DATE '2024-01-31', INTERVAL 1 DAY)) AS s) u),
+        |joined AS (
+        |  SELECT sp.user_id, sp.d, s.daily_value,
+        |    s.daily_value IS NOT NULL AS observed
+        |  FROM spine sp LEFT JOIN sparse s USING (user_id, d))
+        |SELECT user_id, d,
+        |  last_value(daily_value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS daily_value,
+        |  observed
+        |FROM joined ORDER BY user_id, d""".stripMargin,
 
     "q123_dim_truncation" ->
       """WITH e AS (

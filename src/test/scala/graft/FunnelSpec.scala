@@ -118,6 +118,29 @@ class FunnelSpec extends AnyFunSuite {
       graft.operators.Retention.rfmSegments(events).collect().toSeq)
   }
 
+  test("gap-fill LOCF: full spine, carried values, NULL before first observation") {
+    val sparse = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-03"), 10.0),
+      (1L, java.sql.Date.valueOf("2024-01-05"), 20.0),
+      (2L, java.sql.Date.valueOf("2024-01-02"), 5.0))
+      .toDF("k", "d", "v")
+    val got = graft.operators.GapFill.locf(sparse, "k", "d", "v",
+      "2024-01-01", "2024-01-05")
+      .as[(Long, java.sql.Date, Option[Double], Boolean)].collect().toSeq
+    def day(n: Int) = java.sql.Date.valueOf(f"2024-01-$n%02d")
+    assert(got == Seq(
+      (1L, day(1), None, false),          // before first obs: stays null
+      (1L, day(2), None, false),
+      (1L, day(3), Some(10.0), true),
+      (1L, day(4), Some(10.0), false),    // carried forward
+      (1L, day(5), Some(20.0), true),     // new observation wins
+      (2L, day(1), None, false),
+      (2L, day(2), Some(5.0), true),
+      (2L, day(3), Some(5.0), false),
+      (2L, day(4), Some(5.0), false),
+      (2L, day(5), Some(5.0), false)))
+  }
+
   implicit class Tuples3ToMap(rows: Array[(Long, Long, Double)]) {
     def toMap2: Map[(Long, Long), Double] =
       rows.map(r => (r._1, r._2) -> r._3).toMap
