@@ -1434,6 +1434,21 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // ---- Rolling z-score anomalies over per-type daily value sums:
+    //      trailing-7 window mean/σ, |z| > 2 flags ----
+    "q125_anomaly" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(round(sum("value"), 2).as("daily_value"))
+      graft.operators.Anomaly.rollingZScore(daily, "event_type", "d",
+        "daily_value", trailingRows = 7, zThreshold = 2.0)
+    }),
+
+    // ---- Column profiling report: every column's stats in ONE scan ----
+    "q126_profile" -> ((s, dir) =>
+      graft.quality.Profiler.profile(t(s, dir, "orders"),
+        Seq("o_totalprice", "o_orderkey", "o_custkey"))),
+
     // ---- Date-spine gap fill with LOCF: sparse per-user daily sums
     //      densified over the full month; pre-first-observation days
     //      stay NULL ----
@@ -2945,6 +2960,54 @@ object SparkEntry {
         |UNION ALL SELECT CAST(2 AS INTEGER), 'click', (SELECT COUNT(*) FROM s2)
         |UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', (SELECT COUNT(*) FROM s3)
         |ORDER BY step""".stripMargin,
+
+    "q125_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    ROUND(SUM(value), 2) AS daily_value
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, d, daily_value,
+        |    avg(daily_value) OVER w AS m,
+        |    stddev_samp(daily_value) OVER w AS sd
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, d, daily_value,
+        |  ROUND(m, 4) AS roll_mean, ROUND(sd, 4) AS roll_std,
+        |  CASE WHEN sd IS NOT NULL AND sd <> 0
+        |       THEN ROUND((daily_value - m) / sd, 4) END AS z,
+        |  COALESCE(abs((daily_value - m) / sd) > 2.0, false) AS anomaly
+        |FROM r ORDER BY event_type, d""".stripMargin,
+
+    "q126_profile" ->
+      """SELECT 'o_custkey' AS col_name,
+        |  (SELECT COUNT(*) FROM orders) AS n_rows,
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS n_nulls,
+        |  (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_distinct,
+        |  (SELECT ROUND(CAST(MIN(o_custkey) AS DOUBLE), 4) FROM orders) AS min_value,
+        |  (SELECT ROUND(CAST(MAX(o_custkey) AS DOUBLE), 4) FROM orders) AS max_value,
+        |  (SELECT ROUND(AVG(o_custkey), 4) FROM orders) AS mean_value,
+        |  (SELECT ROUND(stddev_samp(o_custkey), 4) FROM orders) AS stddev_value
+        |UNION ALL
+        |SELECT 'o_orderkey',
+        |  (SELECT COUNT(*) FROM orders),
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL),
+        |  (SELECT COUNT(DISTINCT o_orderkey) FROM orders),
+        |  (SELECT ROUND(CAST(MIN(o_orderkey) AS DOUBLE), 4) FROM orders),
+        |  (SELECT ROUND(CAST(MAX(o_orderkey) AS DOUBLE), 4) FROM orders),
+        |  (SELECT ROUND(AVG(o_orderkey), 4) FROM orders),
+        |  (SELECT ROUND(stddev_samp(o_orderkey), 4) FROM orders)
+        |UNION ALL
+        |SELECT 'o_totalprice',
+        |  (SELECT COUNT(*) FROM orders),
+        |  (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL),
+        |  (SELECT COUNT(DISTINCT o_totalprice) FROM orders),
+        |  (SELECT ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 4) FROM orders),
+        |  (SELECT ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 4) FROM orders),
+        |  (SELECT ROUND(AVG(o_totalprice), 4) FROM orders),
+        |  (SELECT ROUND(stddev_samp(o_totalprice), 4) FROM orders)
+        |ORDER BY col_name""".stripMargin,
 
     "q124_gapfill_locf" ->
       """WITH sparse AS (
