@@ -213,11 +213,18 @@ object Lakehouse {
     graft.lake.TableLog.commitMergeValidated(
       spark, lakePath, fact, Seq("store_id", "dt"), factSuite)
 
+  /** The fact's table name under a lake root, and the catalog's. */
+  val FactTable = "fct_daily_store_metrics"
+  val CatalogTable = "_catalog"
+
   /** Full run over a raw directory: per-domain ingest → validate (fail
     * fast, local_runner.py:76-102) → stage → publish temp views; then
-    * the cross-domain fact. `lakeDir` additionally merges the fact into
-    * a snapshot-isolated lake table (see [[publishFactToLake]]).
-    * Returns the fact. */
+    * the cross-domain fact. `lakeDir` (a lake ROOT) additionally merges
+    * the fact into `<lakeDir>/fct_daily_store_metrics` with snapshot
+    * semantics ([[publishFactToLake]]) and republishes
+    * `<lakeDir>/_catalog` — the docs/catalog artifact of the
+    * reference's publish stage (airflow dag runs `dbt docs generate`
+    * after the build). Returns the fact. */
   def run(spark: SparkSession, rawDir: String,
       outDir: Option[String] = None,
       incrementalDays: Option[Int] = None,
@@ -234,9 +241,13 @@ object Lakehouse {
       incrementalDays)
     outDir.foreach { dir =>
       staged.foreach { case (d, s) => writeCsv(s, s"$dir/stg_$d") }
-      writeCsv(fact, s"$dir/fct_daily_store_metrics")
+      writeCsv(fact, s"$dir/$FactTable")
     }
-    lakeDir.foreach(publishFactToLake(spark, fact, _))
+    lakeDir.foreach { root =>
+      publishFactToLake(spark, fact, s"$root/$FactTable")
+      graft.lake.Catalog.publish(spark,
+        Map(FactTable -> s"$root/$FactTable"), s"$root/$CatalogTable")
+    }
     fact
   }
 }

@@ -71,10 +71,16 @@ class LakehouseSpec extends AnyFunSuite {
   test("lake publication: atomic validated merge with snapshot isolation") {
     import org.apache.spark.sql.functions._
     import graft.lake.TableLog
-    val lake = Files.createTempDirectory("graft_lake").toString + "/fct"
+    val root = Files.createTempDirectory("graft_lake").toString
+    val lake = s"$root/${Lakehouse.FactTable}"
     // v1: bootstrap from the full pipeline
-    Lakehouse.run(spark, rawDir, lakeDir = Some(lake))
+    Lakehouse.run(spark, rawDir, lakeDir = Some(root))
     assert(TableLog.latestVersion(spark, lake) == Some(1))
+    // the publish stage also materialized the docs catalog
+    val cat = TableLog.read(spark, s"$root/${Lakehouse.CatalogTable}")
+    val catRow = cat.collect()(0)
+    assert(catRow.getString(0) == Lakehouse.FactTable)
+    assert(catRow.getLong(4) == 5L)   // row_count from manifest stats
     val v1Rows = TableLog.read(spark, lake, Some(1)).count()
     assert(v1Rows == 5)
     // a reader pinned to v1 BEFORE the next merge commits...
