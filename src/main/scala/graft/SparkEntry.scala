@@ -1622,15 +1622,72 @@ object SparkEntry {
           .select(col("l_orderkey"), col("l_linenumber"),
             col("l_quantity"), col("l_extendedprice")))
       val ord = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"))
       TableLog.commitOverwrite(s, p("ord"), ord)
       TableLog.commitAppend(s, p("ord"),
         ord.filter(col("o_orderkey") % 2 === 0))
+      // freshness pinned at 1998-12-31T00:00Z (epoch ms 915062400000) —
+      // the same pinned-asOf recipe that oracles q33; hours resolve
+      // from the manifest's max(o_orderdate) file bound, zero data
+      // reads, and the raw IEEE division reproduces bit-for-bit in the
+      // oracle. cust/li97 declare no loaded-at column → NULL, exactly
+      // dbt's "freshness only where a source declares loaded_at_field".
       Catalog.build(s,
-        Map("cust" -> p("cust"), "li97" -> p("li97"), "ord" -> p("ord")))
+        Map("cust" -> p("cust"), "li97" -> p("li97"), "ord" -> p("ord")),
+        Some(Catalog.FreshnessSpec(915062400000L,
+          Map("ord" -> "o_orderdate"))))
         .select(col("table_name"), col("version"), col("last_action"),
-          col("n_columns"), col("row_count"))
+          col("n_columns"), col("row_count"), col("freshness_hours"))
         .orderBy("table_name")
+    }),
+
+    // ---- Lineage: which table@version produced each commit — the
+    //      OpenLineage analog of the reference's lineage backend
+    //      (terraform/main.tf:104-107 wires an OpenLineage HTTP
+    //      transport under the `lakehouse` namespace; every DAG/dbt
+    //      run emits input→output dataset events). Here the edges
+    //      live IN the commit manifests (TableLog `#i` lines) and
+    //      publish as a `_lineage` table: a mart merge records the
+    //      dim@version and fact@version it consumed, an MV refresh
+    //      records source@version, an ingest append records its
+    //      unversioned external feed — so "which feed poisoned this
+    //      mart" resolves from the log alone. Deterministic edge set
+    //      ⇒ fully oracled. ----
+    "q127_lineage" -> ((s, dir) => {
+      import graft.lake.{Catalog, MaterializedAgg, TableLog}
+      val base = java.nio.file.Files.createTempDirectory("graft_q127")
+      def p(n: String) = base.resolve(n).toString
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      TableLog.commitOverwrite(s, p("cust"), cust)
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      TableLog.commitOverwrite(s, p("ord"), ord)
+      def mart(o: DataFrame) = o
+        .join(cust, o("o_custkey") === cust("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+      // mart v1 consumed cust@1 + ord@1
+      TableLog.commitMerge(s, p("mart"), mart(ord), Seq("o_orderkey"),
+        Seq(TableLog.inputRef(s, p("cust"), "cust"),
+          TableLog.inputRef(s, p("ord"), "ord")))
+      // ord v2: an ingest append from an unversioned external feed
+      TableLog.commitAppend(s, p("ord"),
+        ord.filter(col("o_orderkey") % 2 === 0), "append",
+        Seq(TableLog.InputRef("raw/orders_feed", None)))
+      // mart v2 re-merged on the new ord snapshot: cust@1 + ord@2
+      TableLog.commitMerge(s, p("mart"),
+        mart(TableLog.read(s, p("ord"))), Seq("o_orderkey"),
+        Seq(TableLog.inputRef(s, p("cust"), "cust"),
+          TableLog.inputRef(s, p("ord"), "ord")))
+      // MV refresh records source@version on its own commit
+      MaterializedAgg.refresh(s, p("ord"), p("mv"),
+        MaterializedAgg.AggSpec(Seq("o_custkey"), sumCols = Seq("o_totalprice")))
+      val tables = Map("cust" -> p("cust"), "ord" -> p("ord"),
+        "mart" -> p("mart"), "mv" -> p("mv"))
+      Catalog.publish(s, tables, p("_catalog"),
+        lineagePath = Some(p("_lineage")))
+      TableLog.read(s, p("_lineage"))
+        .orderBy("output_table", "output_version", "input_table")
     }),
   )
 
@@ -2977,7 +3034,9 @@ object SparkEntry {
         |  ROUND(m, 4) AS roll_mean, ROUND(sd, 4) AS roll_std,
         |  CASE WHEN sd IS NOT NULL AND sd <> 0
         |       THEN ROUND((daily_value - m) / sd, 4) END AS z,
-        |  COALESCE(abs((daily_value - m) / sd) > 2.0, false) AS anomaly
+        |  CASE WHEN sd IS NOT NULL AND sd <> 0
+        |       THEN abs((daily_value - m) / sd) > 2.0
+        |       ELSE false END AS anomaly
         |FROM r ORDER BY event_type, d""".stripMargin,
 
     "q126_profile" ->
@@ -3197,14 +3256,34 @@ object SparkEntry {
     "q102_catalog" ->
       """SELECT 'cust' AS table_name, CAST(1 AS INTEGER) AS version,
         |  'overwrite' AS last_action, CAST(2 AS INTEGER) AS n_columns,
-        |  (SELECT COUNT(*) FROM customer) AS row_count
+        |  (SELECT COUNT(*) FROM customer) AS row_count,
+        |  CAST(NULL AS DOUBLE) AS freshness_hours
         |UNION ALL
         |SELECT 'li97', CAST(1 AS INTEGER), 'overwrite', CAST(4 AS INTEGER),
-        |  (SELECT COUNT(*) FROM lineitem WHERE year(l_shipdate) = 1997)
+        |  (SELECT COUNT(*) FROM lineitem WHERE year(l_shipdate) = 1997),
+        |  CAST(NULL AS DOUBLE)
         |UNION ALL
-        |SELECT 'ord', CAST(2 AS INTEGER), 'append', CAST(3 AS INTEGER),
+        |SELECT 'ord', CAST(2 AS INTEGER), 'append', CAST(4 AS INTEGER),
         |  (SELECT COUNT(*) FROM orders)
-        |    + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+        |    + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0),
+        |  CAST(915062400000 - epoch_ms((SELECT max(o_orderdate) FROM orders))
+        |    AS DOUBLE) / 3600000.0
         |ORDER BY table_name""".stripMargin,
+
+    "q127_lineage" ->
+      """SELECT 'mart' AS output_table, CAST(1 AS INTEGER) AS output_version,
+        |  'cust' AS input_table, CAST(1 AS INTEGER) AS input_version,
+        |  'merge' AS action
+        |UNION ALL SELECT 'mart', CAST(1 AS INTEGER), 'ord',
+        |  CAST(1 AS INTEGER), 'merge'
+        |UNION ALL SELECT 'mart', CAST(2 AS INTEGER), 'cust',
+        |  CAST(1 AS INTEGER), 'merge'
+        |UNION ALL SELECT 'mart', CAST(2 AS INTEGER), 'ord',
+        |  CAST(2 AS INTEGER), 'merge'
+        |UNION ALL SELECT 'mv', CAST(1 AS INTEGER), 'ord',
+        |  CAST(2 AS INTEGER), 'overwrite'
+        |UNION ALL SELECT 'ord', CAST(2 AS INTEGER), 'raw/orders_feed',
+        |  CAST(NULL AS INTEGER), 'append'
+        |ORDER BY output_table, output_version, input_table""".stripMargin,
   )
 }

@@ -6,42 +6,131 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * TableLog manifests — the dbt-docs analog of the reference's publish
   * stage (reference `airflow/dags/lakehouse_pipelines.py:93-95` runs
   * `dbt docs generate` after the build; the artifact users browse is
-  * exactly name/schema/freshness/row-count per model).
+  * exactly name/schema/freshness/row-count per model), plus the
+  * lineage edge table the reference gets from its OpenLineage backend
+  * (`terraform/main.tf:104-107` — input→output dataset events per
+  * run, browsable as a graph).
   *
   * One row per table: name, current version, last action, column
-  * count, row count, schema JSON. Everything resolves from MANIFESTS —
-  * `countRows` answers from file stats without opening a data file
-  * (falling back to a scan only for pre-stats snapshots), and the
-  * schema is the manifest-recorded one. The loop is driver-side by
-  * design: a catalog is metadata-scale (one row per TABLE, not per
-  * data row), so even a 10k-table lake is a trivial local build.
+  * count, row count, hours-since-load freshness, schema JSON.
+  * Everything resolves from MANIFESTS — `countRows` answers from file
+  * stats without opening a data file, the schema is the
+  * manifest-recorded one, and freshness comes from the manifest's
+  * file-level max bounds on the declared loaded-at column. Tables
+  * whose manifests predate stats/schema tracking publish NULL for the
+  * missing fields rather than falling back to data scans: a catalog
+  * build over a 10k-table lake must stay metadata-only, never
+  * serialize 10k scans through the driver loop. The loop itself is
+  * driver-side by design — a catalog is metadata-scale (one row per
+  * TABLE, not per data row).
   */
 object Catalog {
 
+  /** Source-freshness spec for the catalog: `nowMs` pins "now" (pass a
+    * wall clock in production, a literal in tests/oracles — same
+    * pinning recipe as Expectations.freshnessStatus), `colFor` names
+    * each table's loaded-at column (tables absent from the map, or
+    * whose manifests don't track the column, publish NULL freshness —
+    * dbt likewise only reports freshness where a source declares
+    * `loaded_at_field`, reference `dbt/models/schema.yml:10-13`). */
+  final case class FreshnessSpec(nowMs: Long, colFor: Map[String, String])
+
+  /** Max value of `colName` across a snapshot's file stats, as epoch
+    * millis — metadata-only freshness resolution. None when any dir
+    * lacks stats coverage (fresher rows could hide there), when no
+    * file has a non-null bound, or when the column isn't a
+    * timestamp/date. */
+  private def statsMaxMs(commit: TableLog.Commit, path: String,
+      colName: String): Option[Long] = {
+    if (commit.stats.isEmpty ||
+      TableLog.untrackedDirPaths(commit, path).nonEmpty) return None
+    val bounds = commit.stats.flatMap(_.cols.get(colName)).flatMap { cs =>
+      cs.max.flatMap(m => cs.typ match {
+        case "ts"   => Some(m.toLong / 1000L)          // micros → ms
+        case "date" => Some(m.toLong * 86400000L)      // epoch-day → ms
+        case _      => None
+      })
+    }
+    if (bounds.isEmpty) None else Some(bounds.max)
+  }
+
   /** Build the catalog frame for `tables` (name → TableLog path).
     * Tables whose path has no committed history are skipped — they
-    * don't exist yet from a reader's point of view. */
-  def build(spark: SparkSession, tables: Map[String, String]): DataFrame = {
+    * don't exist yet from a reader's point of view. `freshness` adds a
+    * `freshness_hours` column (hours between its pinned now and the
+    * stats-resolved max of the table's loaded-at column); the raw
+    * IEEE division is emitted unrounded so the value is reproducible
+    * bit-for-bit from the same integers in any engine. */
+  def build(spark: SparkSession, tables: Map[String, String],
+      freshness: Option[FreshnessSpec] = None): DataFrame = {
     import spark.implicits._
     val rows = tables.toSeq.sortBy(_._1).flatMap { case (name, path) =>
       TableLog.history(spark, path).lastOption.map { c =>
         val schema = c.schema
-        val nColumns = schema.map(_.fields.length)
-          .getOrElse(TableLog.read(spark, path).schema.fields.length)
-        val rowCount = TableLog.countRows(spark, path)
-          .getOrElse(TableLog.read(spark, path).count())
-        (name, c.version, c.action, nColumns, rowCount,
+        val nColumns: Option[Int] = schema.map(_.fields.length)
+        val rowCount: Option[Long] = TableLog.countRows(spark, path)
+        val fresh: Option[Double] = freshness.flatMap(spec =>
+          spec.colFor.get(name)
+            .flatMap(statsMaxMs(c, path, _))
+            .map(maxMs => (spec.nowMs - maxMs) / 3600000.0))
+        (name, c.version, c.action, nColumns, rowCount, fresh,
           schema.map(_.json).orElse(c.schemaJson).getOrElse(""))
       }
     }
-    rows.toDF("table_name", "version", "last_action",
-      "n_columns", "row_count", "schema_json")
+    val df = rows.toDF("table_name", "version", "last_action",
+      "n_columns", "row_count", "freshness_hours", "schema_json")
+    if (freshness.isDefined) df else df.drop("freshness_hours")
+  }
+
+  /** Lineage edge frame over `tables`: one row per (commit, input) —
+    * which table@version each commit consumed, across the FULL history
+    * (lineage answers questions about old versions too: "which feed
+    * produced the snapshot we served last Tuesday"). `input_version`
+    * is NULL for unversioned external inputs (raw feeds, views). */
+  def lineage(spark: SparkSession, tables: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    val edges = tables.toSeq.sortBy(_._1).flatMap { case (name, path) =>
+      TableLog.history(spark, path).flatMap { c =>
+        c.inputs.map(i => (name, c.version, i.table, i.version, c.action))
+      }
+    }
+    edges.toDF("output_table", "output_version",
+      "input_table", "input_version", "action")
+  }
+
+  /** Transitive upstream closure of `table`: every (table, version)
+    * reachable by following the LATEST commit's inputs of each listed
+    * table — "everything that fed this mart". Inputs that aren't
+    * listed tables are external leaves and terminate the walk. The
+    * walk is driver-side over manifest metadata (edge count, not
+    * data), and the visited-set guard makes cycles terminate. */
+  def upstream(spark: SparkSession, tables: Map[String, String],
+      table: String): Seq[TableLog.InputRef] = {
+    val acc = scala.collection.mutable.LinkedHashSet.empty[TableLog.InputRef]
+    def walk(name: String): Unit =
+      tables.get(name).toSeq
+        .flatMap(TableLog.history(spark, _).lastOption.toSeq)
+        .flatMap(_.inputs)
+        .foreach { in => if (acc.add(in)) walk(in.table) }
+    walk(table)
+    acc.toSeq.sortBy(r => (r.table, r.version.getOrElse(-1)))
   }
 
   /** Materialize the catalog AS a TableLog table at `path` (overwrite
     * commit — the publish stage republishes the whole catalog each
-    * run, like dbt docs). Returns the committed version. */
+    * run, like dbt docs), and optionally the lineage edges at
+    * `lineagePath`. Both commits record the published tables at their
+    * current versions as their OWN lineage inputs — the catalog's
+    * provenance is browsable through the same `_lineage` table it
+    * publishes. Returns the catalog's committed version. */
   def publish(spark: SparkSession, tables: Map[String, String],
-      path: String): TableLog.Commit =
-    TableLog.commitOverwrite(spark, path, build(spark, tables))
+      path: String, freshness: Option[FreshnessSpec] = None,
+      lineagePath: Option[String] = None): TableLog.Commit = {
+    val inputs = tables.toSeq.sortBy(_._1)
+      .map { case (n, p) => TableLog.inputRef(spark, p, n) }
+    lineagePath.foreach(lp =>
+      TableLog.commitOverwrite(spark, lp, lineage(spark, tables), inputs))
+    TableLog.commitOverwrite(spark, path, build(spark, tables, freshness),
+      inputs)
+  }
 }

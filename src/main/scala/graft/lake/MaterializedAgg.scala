@@ -88,8 +88,8 @@ object MaterializedAgg {
     * dir lists) when the manifests already agree. */
   def refresh(spark: SparkSession, srcPath: String, mvPath: String,
       spec: AggSpec): RefreshReport = {
-    val srcDirs = TableLog.history(spark, srcPath).lastOption
-      .map(_.dirs).getOrElse(Seq.empty)
+    val srcCommit = TableLog.history(spark, srcPath).lastOption
+    val srcDirs = srcCommit.map(_.dirs).getOrElse(Seq.empty)
     require(srcDirs.nonEmpty, s"source table at $srcPath has no snapshot")
     val existing: Option[DataFrame] =
       TableLog.latestVersion(spark, mvPath).map(_ => TableLog.read(spark, mvPath))
@@ -119,7 +119,12 @@ object MaterializedAgg {
       case (None, Some(n))    => n
       case (None, None) => throw new IllegalStateException("empty refresh")
     }
-    val c = TableLog.commitOverwrite(spark, mvPath, state)
+    // lineage: the refresh consumed exactly source@version — the edge
+    // that answers "which snapshot is this MV's state derived from"
+    val srcRef = TableLog.InputRef(
+      new org.apache.hadoop.fs.Path(srcPath).getName,
+      srcCommit.map(_.version))
+    val c = TableLog.commitOverwrite(spark, mvPath, state, Seq(srcRef))
     RefreshReport(c.version, newDirs.sorted, staleDirs, reused)
   }
 

@@ -40,10 +40,29 @@ object TableLog {
       stats: Seq[TableStats.FileStats] = Seq.empty,
       schemaJson: Option[String] = None,
       constraints: Seq[Constraint] = Seq.empty,
-      timestampMs: Option[Long] = None) {
+      timestampMs: Option[Long] = None,
+      inputs: Seq[InputRef] = Seq.empty) {
     def schema: Option[StructType] =
       schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
   }
+
+  /** Lineage edge recorded ON the commit that consumed the input — the
+    * OpenLineage dataset-version analog (the reference wires an
+    * OpenLineage backend under the `lakehouse` namespace,
+    * `terraform/main.tf:104-107`, and its DAG/dbt runs emit
+    * input→output dataset events). `version = None` marks an
+    * unversioned external input (a raw file feed, a temp view) —
+    * still an edge, just without time-travel resolution. Recording
+    * inputs in the manifest makes "which feed at which version
+    * produced this snapshot" answerable from the log alone, the
+    * question lineage exists for. */
+  final case class InputRef(table: String, version: Option[Int] = None)
+
+  /** The current snapshot of `path` as a lineage input (None version
+    * when the table has no commits yet — an edge to an empty table is
+    * still an edge). */
+  def inputRef(spark: SparkSession, path: String, table: String): InputRef =
+    InputRef(table, latestVersion(spark, path))
 
   /** A persisted table invariant: a boolean Spark SQL expression every
     * committed row must satisfy (Delta's `CHECK` constraint shape).
@@ -84,8 +103,8 @@ object TableLog {
         // '#'-prefixed lines are metadata: '#s\t' carries the snapshot
         // schema (Delta's metadata-action pattern — resolved in O(1)
         // from the log, never inferred from file footers), '#f/#c' are
-        // file-level column stats (TableStats); manifests written
-        // before either existed simply have none
+        // file-level column stats (TableStats), '#i' are lineage input
+        // edges; manifests written before any existed simply have none
         Commit(v, lines.head,
           lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")),
           TableStats.fromLines(lines.tail),
@@ -94,7 +113,12 @@ object TableLog {
             val p = l.split("\t", -1)
             Constraint(p(1), java.net.URLDecoder.decode(p(2), "UTF-8"))
           },
-          lines.tail.find(_.startsWith("#t\t")).map(_.drop(3).toLong))
+          lines.tail.find(_.startsWith("#t\t")).map(_.drop(3).toLong),
+          lines.tail.filter(_.startsWith("#i\t")).map { l =>
+            val p = l.split("\t", -1)
+            InputRef(java.net.URLDecoder.decode(p(1), "UTF-8"),
+              Option(p(2)).filter(_ != "-").map(_.toInt))
+          })
       }
   }
 
@@ -205,13 +229,16 @@ object TableLog {
   }
 
   /** Time travel by timestamp (Delta's `TIMESTAMP AS OF`): the latest
-    * version whose commit time is <= `tsMs`. Commit times come from
-    * each writer's clock; under clock skew a commit can carry a
-    * smaller timestamp than its predecessor, so eligibility is tested
-    * per commit (not a sorted prefix) and the LATEST eligible version
-    * wins — versions, not timestamps, remain the source of truth for
-    * ordering. Manifests written before timestamping read as time 0
-    * (always eligible). None = the table didn't exist yet at `tsMs`. */
+    * version whose commit time is <= `tsMs`. Recorded times are forced
+    * monotonic at write ([[monotonicNow]] clamps each commit to at
+    * least predecessor+1, as Delta does), so eligible versions form a
+    * prefix and the result matches TIMESTAMP AS OF semantics even when
+    * writers' wall clocks skew. Eligibility is still tested per commit
+    * (not a sorted prefix) so manifests written before the clamp
+    * existed — which may carry non-monotonic times — resolve with
+    * versions, not timestamps, as the source of truth for ordering.
+    * Manifests written before timestamping read as time 0 (always
+    * eligible). None = the table didn't exist yet at `tsMs`. */
   def versionAsOf(spark: SparkSession, path: String, tsMs: Long): Option[Int] =
     history(spark, path)
       .filter(_.timestampMs.getOrElse(0L) <= tsMs)
@@ -470,7 +497,8 @@ object TableLog {
       stats: Seq[TableStats.FileStats] = Seq.empty,
       schemaJson: Option[String] = None,
       constraints: Seq[Constraint] = Seq.empty,
-      tsMs: Long = System.currentTimeMillis()): Boolean = {
+      tsMs: Long = System.currentTimeMillis(),
+      inputs: Seq[InputRef] = Seq.empty): Boolean = {
     val f = fs(spark, path)
     f.mkdirs(logDir(path))
     val tmp = new Path(logDir(path),
@@ -478,6 +506,9 @@ object TableLog {
     val out = f.create(tmp, false)
     try out.write(((action +: dirs) ++
         Seq("#t\t" + tsMs) ++
+        inputs.map(i => "#i\t" +
+          java.net.URLEncoder.encode(i.table, "UTF-8") + "\t" +
+          i.version.map(_.toString).getOrElse("-")) ++
         schemaJson.map("#s\t" + _).toSeq ++
         constraints.map(k => "#k\t" + k.name + "\t" +
           java.net.URLEncoder.encode(k.expr, "UTF-8")) ++
@@ -513,8 +544,19 @@ object TableLog {
     * or the winner's rows silently vanish (lost update). A losing
     * attempt's data directory is deleted before retrying, so race
     * losers leak nothing. */
+  /** Commit timestamps are clamped monotonic at WRITE time —
+    * `max(previous commit ts + 1, now)` — the same forced-monotonic
+    * recording Delta uses, so [[versionAsOf]]'s per-commit eligibility
+    * test can never admit a later version while skipping an
+    * intermediate one: under writer clock skew the recorded time
+    * advances with the version even when the wall clock doesn't. */
+  private def monotonicNow(prev: Option[Commit]): Long =
+    math.max(System.currentTimeMillis(),
+      prev.flatMap(_.timestampMs).getOrElse(0L) + 1L)
+
   private def commit(spark: SparkSession, path: String, action: String,
-      carryPrevious: Boolean)(mkDf: () => DataFrame): Commit = {
+      carryPrevious: Boolean, inputs: Seq[InputRef] = Seq.empty)
+      (mkDf: () => DataFrame): Commit = {
     var attempts = 0
     while (attempts < MaxCommitAttempts) {
       val prev = history(spark, path)
@@ -552,9 +594,10 @@ object TableLog {
           throw new ConstraintViolationException(bad, s"$action at $path")
         }
       }
-      val ts = System.currentTimeMillis()
-      if (writeManifest(spark, path, v, action, dirs, stats, schema, cons, ts))
-        return Commit(v, action, dirs, stats, schema, cons, Some(ts))
+      val ts = monotonicNow(prev.lastOption)
+      if (writeManifest(spark, path, v, action, dirs, stats, schema, cons, ts,
+          inputs))
+        return Commit(v, action, dirs, stats, schema, cons, Some(ts), inputs)
       fs(spark, path).delete(new Path(path, dir), true)
       attempts += 1
     }
@@ -604,7 +647,7 @@ object TableLog {
           s"existing data at $path (constraint not added)")
       val v = last.version + 1
       val cons = last.constraints :+ Constraint(name, checkExpr)
-      val ts = System.currentTimeMillis()
+      val ts = monotonicNow(Some(last))
       if (writeManifest(spark, path, v, "constraint", last.dirs, last.stats,
           last.schemaJson, cons, ts))
         return Commit(v, "constraint", last.dirs, last.stats,
@@ -629,7 +672,7 @@ object TableLog {
         s"no constraint named '$name'")
       val v = last.version + 1
       val cons = last.constraints.filterNot(_.name == name)
-      val ts = System.currentTimeMillis()
+      val ts = monotonicNow(Some(last))
       if (writeManifest(spark, path, v, "constraint", last.dirs, last.stats,
           last.schemaJson, cons, ts))
         return Commit(v, "constraint", last.dirs, last.stats,
@@ -645,17 +688,18 @@ object TableLog {
     * idempotent writers (streaming foreachBatch) tag it with their
     * batch id and skip the commit when history already carries it. */
   def commitAppend(spark: SparkSession, path: String, df: DataFrame,
-      action: String = "append"): Commit =
-    commit(spark, path, action, carryPrevious = true)(() => df)
+      action: String = "append", inputs: Seq[InputRef] = Seq.empty): Commit =
+    commit(spark, path, action, carryPrevious = true, inputs)(() => df)
 
   private def commitReplace(spark: SparkSession, path: String, df: DataFrame,
-      action: String): Commit =
-    commit(spark, path, action, carryPrevious = false)(() => df)
+      action: String, inputs: Seq[InputRef] = Seq.empty): Commit =
+    commit(spark, path, action, carryPrevious = false, inputs)(() => df)
 
   /** Replace the table contents with `df`. Old versions remain
     * readable until vacuumed. */
-  def commitOverwrite(spark: SparkSession, path: String, df: DataFrame): Commit =
-    commitReplace(spark, path, df, "overwrite")
+  def commitOverwrite(spark: SparkSession, path: String, df: DataFrame,
+      inputs: Seq[InputRef] = Seq.empty): Commit =
+    commitReplace(spark, path, df, "overwrite", inputs)
 
   /** MERGE upsert as a log commit: read the latest snapshot, apply
     * [[MergeWriter.upsertSyncSchema]], write the result as the new
@@ -664,8 +708,8 @@ object TableLog {
     * merge recomputes inside the commit loop, so losing a race means
     * merging onto the winner's snapshot, never over it. */
   def commitMerge(spark: SparkSession, path: String, updates: DataFrame,
-      keys: Seq[String]): Commit =
-    commit(spark, path, "merge", carryPrevious = false) { () =>
+      keys: Seq[String], inputs: Seq[InputRef] = Seq.empty): Commit =
+    commit(spark, path, "merge", carryPrevious = false, inputs) { () =>
       if (history(spark, path).isEmpty) updates
       else MergeWriter.upsertSyncSchema(read(spark, path), updates, keys)
     }
@@ -678,8 +722,9 @@ object TableLog {
     * snapshot. */
   def commitMergeValidated(spark: SparkSession, path: String,
       updates: DataFrame, keys: Seq[String],
-      suite: graft.quality.Expectations.Suite): Commit =
-    commit(spark, path, "merge", carryPrevious = false) { () =>
+      suite: graft.quality.Expectations.Suite,
+      inputs: Seq[InputRef] = Seq.empty): Commit =
+    commit(spark, path, "merge", carryPrevious = false, inputs) { () =>
       val merged =
         if (history(spark, path).isEmpty) updates
         else MergeWriter.upsertSyncSchema(read(spark, path), updates, keys)
@@ -744,7 +789,7 @@ object TableLog {
       val dirs = Seq(dir) ++ carried
       // delete rewrites a subset of already-validated rows: constraints
       // carry forward without a re-validation scan
-      val ts = System.currentTimeMillis()
+      val ts = monotonicNow(Some(last))
       if (writeManifest(spark, path, v, "delete", dirs,
           dirStats ++ carriedStats, last.schemaJson, last.constraints, ts))
         return Commit(v, "delete", dirs, dirStats ++ carriedStats,
@@ -766,7 +811,7 @@ object TableLog {
       val next = latestVersion(spark, path).get + 1
       // metadata rolls back with the data: the restored snapshot's
       // constraint set (and schema) is what validated its rows
-      val ts = System.currentTimeMillis()
+      val ts = monotonicNow(history(spark, path).lastOption)
       if (writeManifest(spark, path, next, "rollback", target.dirs,
           target.stats, target.schemaJson, target.constraints, ts))
         return Commit(next, "rollback", target.dirs, target.stats,

@@ -208,14 +208,26 @@ object Lakehouse {
     * partition-by-partition; the log commit is all-or-nothing at the
     * manifest publish), and a failed expectation leaves the table at
     * its prior version untouched. */
+  /** The fact's lineage inputs: the three staging views it aggregates
+    * (unversioned — staging is a projection over raw feeds, not a
+    * TableLog table). Recorded on every fact merge commit so "which
+    * feeds produced this mart version" resolves from the log — the
+    * OpenLineage input-dataset edges the reference's backend captures
+    * per dbt run (`terraform/main.tf:104-107`). */
+  val factInputs: Seq[graft.lake.TableLog.InputRef] =
+    Seq("stg_erp_orders", "stg_crm_leads", "stg_web_events")
+      .map(graft.lake.TableLog.InputRef(_, None))
+
   def publishFactToLake(spark: SparkSession, fact: DataFrame,
       lakePath: String): graft.lake.TableLog.Commit =
     graft.lake.TableLog.commitMergeValidated(
-      spark, lakePath, fact, Seq("store_id", "dt"), factSuite)
+      spark, lakePath, fact, Seq("store_id", "dt"), factSuite, factInputs)
 
-  /** The fact's table name under a lake root, and the catalog's. */
+  /** The fact's table name under a lake root, the catalog's, and the
+    * lineage edge table's. */
   val FactTable = "fct_daily_store_metrics"
   val CatalogTable = "_catalog"
+  val LineageTable = "_lineage"
 
   /** Full run over a raw directory: per-domain ingest → validate (fail
     * fast, local_runner.py:76-102) → stage → publish temp views; then
@@ -246,7 +258,8 @@ object Lakehouse {
     lakeDir.foreach { root =>
       publishFactToLake(spark, fact, s"$root/$FactTable")
       graft.lake.Catalog.publish(spark,
-        Map(FactTable -> s"$root/$FactTable"), s"$root/$CatalogTable")
+        Map(FactTable -> s"$root/$FactTable"), s"$root/$CatalogTable",
+        lineagePath = Some(s"$root/$LineageTable"))
     }
     fact
   }

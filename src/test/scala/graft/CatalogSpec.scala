@@ -52,4 +52,93 @@ class CatalogSpec extends AnyFunSuite {
     // prior catalog version remains readable (snapshot semantics)
     assert(TableLog.read(spark, s"$base/_catalog", Some(1)).count() == 1)
   }
+
+  test("lineage edges publish from commit inputs; upstream walks a mart's transitive inputs") {
+    val base = Files.createTempDirectory("graft_lin").toString
+    val df = Seq((1L, "a")).toDF("id", "v")
+    // raw v1 (no inputs), raw v2 ingested from an unversioned feed
+    TableLog.commitOverwrite(spark, s"$base/raw", df)
+    TableLog.commitAppend(spark, s"$base/raw", Seq((2L, "b")).toDF("id", "v"),
+      "append", Seq(TableLog.InputRef("ext/feed", None)))
+    // stg ← raw@2, mart ← stg@1: a staging→mart chain
+    TableLog.commitOverwrite(spark, s"$base/stg", df,
+      Seq(TableLog.inputRef(spark, s"$base/raw", "raw")))
+    TableLog.commitMerge(spark, s"$base/mart", df, Seq("id"),
+      Seq(TableLog.inputRef(spark, s"$base/stg", "stg")))
+    val tables = Map("raw" -> s"$base/raw", "stg" -> s"$base/stg",
+      "mart" -> s"$base/mart")
+    val edges = Catalog.lineage(spark, tables)
+      .as[(String, Int, String, Option[Int], String)].collect().toSet
+    assert(edges == Set(
+      ("raw", 2, "ext/feed", None, "append"),
+      ("stg", 1, "raw", Some(2), "overwrite"),
+      ("mart", 1, "stg", Some(1), "merge")))
+    // the mart's transitive closure reaches the external feed through
+    // stg and raw — "which feed poisoned this mart" in one walk
+    assert(Catalog.upstream(spark, tables, "mart") == Seq(
+      TableLog.InputRef("ext/feed", None),
+      TableLog.InputRef("raw", Some(2)),
+      TableLog.InputRef("stg", Some(1))))
+    // publish materializes the edges AND records the published tables
+    // as the lineage/catalog commits' own inputs (self-describing)
+    Catalog.publish(spark, tables, s"$base/_catalog",
+      lineagePath = Some(s"$base/_lineage"))
+    assert(TableLog.read(spark, s"$base/_lineage").count() == 3)
+    val catInputs = TableLog.history(spark, s"$base/_catalog").last.inputs
+    assert(catInputs.toSet == Set(
+      TableLog.InputRef("mart", Some(1)), TableLog.InputRef("raw", Some(2)),
+      TableLog.InputRef("stg", Some(1))))
+  }
+
+  test("catalog build is metadata-only: stats-less manifests publish NULL counts, zero jobs") {
+    import scala.jdk.CollectionConverters._
+    val base = Files.createTempDirectory("graft_catmeta").toString
+    TableLog.commitOverwrite(spark, s"$base/old", Seq((1L, "x")).toDF("id", "v"))
+    // strip stats AND schema lines, simulating a manifest written
+    // before either existed — the catalog must not fall back to a
+    // data scan for it (10k such tables would serialize 10k scans
+    // through the driver loop)
+    val log = java.nio.file.Paths.get(s"$base/old", "_graft_log")
+    java.nio.file.Files.list(log).forEach { m =>
+      if (m.getFileName.toString.endsWith(".manifest")) {
+        val kept = java.nio.file.Files.readAllLines(m).asScala
+          .filterNot(l => l.startsWith("#s\t") || l.startsWith("#f\t") ||
+            l.startsWith("#c\t"))
+        java.nio.file.Files.write(m, kept.mkString("\n").getBytes("UTF-8"))
+      }
+    }
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    val got = Catalog.build(spark, Map("old" -> s"$base/old"))
+      .collect()   // LocalTableScan: driver-side, no job
+    // barrier job: the status store is fed asynchronously but in
+    // order, so once THIS job is visible any earlier one would be too
+    spark.sparkContext.parallelize(1 to 2, 1).count()
+    val deadline = System.currentTimeMillis() + 10000
+    while (tracker.getJobIdsForGroup(null).length < before + 1 &&
+      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(tracker.getJobIdsForGroup(null).length == before + 1,
+      "catalog build over a stats-less table must not launch a scan job")
+    assert(got.length == 1)
+    assert(got(0).isNullAt(3) && got(0).isNullAt(4))   // n_columns, row_count
+  }
+
+  test("freshness resolves from manifest max bounds; undeclared tables read NULL") {
+    val base = Files.createTempDirectory("graft_catfresh").toString
+    val maxMs = 1706745600000L   // 2024-02-01T00:00:00Z
+    val ts = Seq(
+      (1L, new java.sql.Timestamp(maxMs - 7200000L)),
+      (2L, new java.sql.Timestamp(maxMs))).toDF("id", "loaded_at")
+    TableLog.commitOverwrite(spark, s"$base/t", ts)
+    TableLog.commitOverwrite(spark, s"$base/u", Seq((1L, "x")).toDF("id", "v"))
+    val nowMs = maxMs + 36000000L   // 10 hours later
+    val got = Catalog.build(spark, Map("t" -> s"$base/t", "u" -> s"$base/u"),
+      Some(Catalog.FreshnessSpec(nowMs, Map("t" -> "loaded_at"))))
+      .orderBy("table_name").collect()
+    assert(got(0).getDouble(5) == 10.0)   // stats max, not file reads
+    assert(got(1).isNullAt(5))            // no loaded-at declared
+    // without a spec the column is absent entirely (back-compat shape)
+    assert(!Catalog.build(spark, Map("t" -> s"$base/t"))
+      .columns.contains("freshness_hours"))
+  }
 }
