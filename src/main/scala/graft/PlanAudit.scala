@@ -25,7 +25,10 @@ object PlanAudit {
     "q81_lm_score", "q84_hybrid_rrf", "q103_containment",
     // Vocab.build's corpus-total denominator is a 1-row broadcast
     // crossJoin (same shape as the BM25/TF-IDF stats factors)
-    "q108_vocab", "q109_oov", "q117_zipf")
+    "q108_vocab", "q109_oov", "q117_zipf",
+    // sketch-threshold tiles: the percentile_approx threshold arrays
+    // are a 1-row broadcast crossJoin (same stats-factor shape)
+    "q128_rfm_approx", "q129_curriculum_approx")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

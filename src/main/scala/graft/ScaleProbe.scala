@@ -226,10 +226,16 @@ object ScaleProbe {
 
     val evOps: Seq[(String, DataFrame => Long)] = Seq(
       // one filtered (user, min ts) agg per step; disjoint users keep
-      // per-step frames proportional to the corpus
-      "funnel" -> (d => graft.operators.Funnel
-        .funnel(d, Seq("view", "click", "purchase"))
-        .agg(sum("users")).collect()(0).getLong(0)),
+      // per-step frames proportional to the corpus. Frames are
+      // unpersisted between runs so each timing covers the N
+      // materialization scans, not a cache re-read of the last run's
+      "funnel" -> { d =>
+        val frames = graft.operators.Funnel
+          .stepFrames(d, Seq("view", "click", "purchase"))
+        val n = frames.map(_.count()).sum
+        frames.foreach(_.unpersist(blocking = true))
+        n
+      },
       // the lead() window shuffles once on the user key; matrix stays
       // |types|² regardless of scale
       "transitions" -> (d => graft.operators.Sessionize

@@ -274,6 +274,23 @@ object SparkEntry {
         k = 3, numHashes = 32, bands = 8, maxBucket = 200)
         .withColumn("est_jaccard", round(col("est_jaccard"), 4))),
 
+    // ---- q17's 100 TB checkpoint shape: identical LSH candidates,
+    //      but the signature table spills through a TableLog commit
+    //      and is read back as FILES (spillTo) instead of living in
+    //      the executor cache — the mode a corpus-scale run deploys
+    //      (no cache residency; the signature table is a durable
+    //      artifact incremental dedup later admits against). Benched
+    //      so the deployed shape has a measured cost. Hash-seeded ⇒
+    //      rows-only; spill==persist equality pinned in TextDedupSpec ----
+    "q130_minhash_spill" -> ((s, dir) => {
+      val spill = java.nio.file.Files.createTempDirectory("graft_q130")
+        .resolve("sigs").toString
+      Dedup.minHashCandidates(t(s, dir, "documents"),
+        k = 3, numHashes = 32, bands = 8, maxBucket = 200,
+        spillTo = Some(spill))
+        .withColumn("est_jaccard", round(col("est_jaccard"), 4))
+    }),
+
     // ---- The full fuzzy-dedup pipeline, composed end-to-end: LSH
     //      candidate generation → exact n-gram-Jaccard verification →
     //      keep-first filtering (every near-dup of a smaller id drops).
@@ -1585,8 +1602,11 @@ object SparkEntry {
 
     // ---- Streaming drift monitor: per-micro-batch PSI report against
     //      a pinned baseline snapshot, batch-id-tagged commits (replay-
-    //      safe). rows-only (batch boundaries are engine scheduling);
-    //      report math + idempotence pinned in DriftMonitorSpec ----
+    //      safe). AvailableNow with no maxFilesPerTrigger processes the
+    //      whole feed as ONE batch (batch_id 0), so the report is
+    //      deterministic and fully oracled — the same single-batch
+    //      equivalence trick that oracles q114; multi-batch replay and
+    //      crash idempotence stay pinned in DriftMonitorSpec ----
     "q110_stream_drift" -> ((s, dir) => {
       import graft.lake.TableLog
       val root = java.nio.file.Files.createTempDirectory("graft_q110")
@@ -1688,6 +1708,29 @@ object SparkEntry {
         lineagePath = Some(p("_lineage")))
       TableLog.read(s, p("_lineage"))
         .orderBy("output_table", "output_version", "input_table")
+    }),
+
+    // ---- RFM at corpus scale: quartile THRESHOLDS from one
+    //      percentile_approx sketch agg + map-side bucketing — the
+    //      shape that replaces q122's three global single-task ntile
+    //      sorts at 100 TB. Fully oracled: at sf0.01 the user count
+    //      (150) is far below the sketch accuracy, so the sketch is
+    //      exact and the threshold at p=k/4 is the value at ascending
+    //      rank ceil(k·n/4), expressible in SQL via row_number ----
+    "q128_rfm_approx" -> ((s, dir) =>
+      graft.operators.Retention.rfmSegmentsApprox(t(s, dir, "events"))),
+
+    // ---- Curriculum sharding at corpus scale: sketch-threshold bins
+    //      instead of q115's global NTILE sort; same oracle trick ----
+    "q129_curriculum_approx" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      graft.operators.Sampling.curriculumShardsApprox(scored, "quality",
+        nShards = 4)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("quality"), 6).as("avg_quality"))
+        .orderBy("shard")
     }),
   )
 
@@ -2919,6 +2962,33 @@ object SparkEntry {
         |  ROUND((cp - bp) * ln(cp / bp), 6) AS psi_term
         |FROM p ORDER BY bucket""".stripMargin,
 
+    // Single-batch AvailableNow run ⇒ the report is exactly
+    // Drift.psiReport(orders≤1996, ALL orders) tagged batch_id 0 —
+    // q106's PSI SQL with the current side unfiltered.
+    "q110_stream_drift" ->
+      """WITH bb AS (
+        |  SELECT CAST(floor(o_totalprice / 100000.0) AS BIGINT) AS bucket,
+        |    COUNT(*) AS base_n
+        |  FROM orders WHERE year(o_orderdate) <= 1996 GROUP BY 1),
+        |cc AS (
+        |  SELECT CAST(floor(o_totalprice / 100000.0) AS BIGINT) AS bucket,
+        |    COUNT(*) AS cur_n
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(bb.bucket, cc.bucket) AS bucket,
+        |    COALESCE(base_n, 0) AS base_n, COALESCE(cur_n, 0) AS cur_n
+        |  FROM bb FULL OUTER JOIN cc ON bb.bucket = cc.bucket),
+        |p AS (
+        |  SELECT bucket, base_n, cur_n,
+        |    greatest(base_n / (SELECT CAST(SUM(base_n) AS DOUBLE) FROM j), 1e-6) AS bp,
+        |    greatest(cur_n / (SELECT CAST(SUM(cur_n) AS DOUBLE) FROM j), 1e-6) AS cp
+        |  FROM j)
+        |SELECT bucket, base_n, cur_n,
+        |  ROUND(bp, 6) AS base_p, ROUND(cp, 6) AS cur_p,
+        |  ROUND((cp - bp) * ln(cp / bp), 6) AS psi_term,
+        |  CAST(0 AS BIGINT) AS batch_id
+        |FROM p ORDER BY batch_id, bucket""".stripMargin,
+
     "q107_transitions" ->
       """WITH seq AS (
         |  SELECT event_type AS from_type,
@@ -3285,5 +3355,70 @@ object SparkEntry {
         |UNION ALL SELECT 'ord', CAST(2 AS INTEGER), 'raw/orders_feed',
         |  CAST(NULL AS INTEGER), 'append'
         |ORDER BY output_table, output_version, input_table""".stripMargin,
+
+    // Sketch thresholds are exact below the accuracy bound: the value
+    // at p=k/4 is the element at ascending rank ceil(k*n/4) (Spark's
+    // exact-path convention), stable under ties since tied values are
+    // equal; strict-> bucketing is monotone-transform-invariant, so
+    // epoch(ts) vs cast-to-double needn't match numerically.
+    "q128_rfm_approx" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch(max(ts)) AS rv,
+        |    CAST(COUNT(*) AS DOUBLE) AS fv, SUM(value) AS mv
+        |  FROM events GROUP BY user_id),
+        |cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM u),
+        |ks AS (SELECT unnest([1, 2, 3]) AS k),
+        |rr AS (SELECT rv AS v, row_number() OVER (ORDER BY rv) AS rn FROM u),
+        |rf AS (SELECT fv AS v, row_number() OVER (ORDER BY fv) AS rn FROM u),
+        |rm AS (SELECT mv AS v, row_number() OVER (ORDER BY mv) AS rn FROM u),
+        |tr AS (SELECT r.v FROM ks, cnt, rr r
+        |       WHERE r.rn = CAST(ceil(ks.k * cnt.n / 4) AS BIGINT)),
+        |tf AS (SELECT r.v FROM ks, cnt, rf r
+        |       WHERE r.rn = CAST(ceil(ks.k * cnt.n / 4) AS BIGINT)),
+        |tm AS (SELECT r.v FROM ks, cnt, rm r
+        |       WHERE r.rn = CAST(ceil(ks.k * cnt.n / 4) AS BIGINT)),
+        |b AS (
+        |  SELECT
+        |    CAST(1 + (SELECT COUNT(*) FROM tr WHERE u.rv > tr.v) AS INTEGER) AS r,
+        |    CAST(1 + (SELECT COUNT(*) FROM tf WHERE u.fv > tf.v) AS INTEGER) AS f,
+        |    CAST(1 + (SELECT COUNT(*) FROM tm WHERE u.mv > tm.v) AS INTEGER) AS m
+        |  FROM u)
+        |SELECT r, f, m, COUNT(*) AS n_users
+        |FROM b GROUP BY r, f, m ORDER BY r, f, m""".stripMargin,
+
+    "q129_curriculum_approx" ->
+      """WITH t AS (
+        |  SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS DOUBLE) AS n,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS sl,
+        |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+        |      ('the','a','of','and','to','in','is','on',
+        |       'der','die','das','und','ist','nicht','ein','zu',
+        |       'el','la','de','que','y','en','un','es',
+        |       'le','et','les','des','est','une') THEN 1 ELSE 0 END))
+        |      AS DOUBLE) AS st
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, ROUND(
+        |    LEAST(n / 16.0, 1.0) * 0.4 +
+        |    (CASE WHEN sl / n BETWEEN 2.0 AND 9.0 THEN 1.0 ELSE 0.5 END) * 0.4 +
+        |    LEAST(st / n * 4.0, 1.0) * 0.2, 4) AS quality
+        |  FROM s),
+        |cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM q),
+        |ks AS (SELECT unnest([1, 2, 3]) AS k),
+        |rq AS (SELECT quality AS v, row_number() OVER (ORDER BY quality) AS rn
+        |       FROM q),
+        |thr AS (SELECT r.v FROM ks, cnt, rq r
+        |        WHERE r.rn = CAST(ceil(ks.k * cnt.n / 4) AS BIGINT)),
+        |b AS (
+        |  SELECT quality,
+        |    CAST(1 + (SELECT COUNT(*) FROM thr WHERE q.quality > thr.v)
+        |      AS INTEGER) AS shard
+        |  FROM q)
+        |SELECT shard, COUNT(*) AS n_docs, ROUND(AVG(quality), 6) AS avg_quality
+        |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
   )
 }

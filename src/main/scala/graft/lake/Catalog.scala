@@ -100,20 +100,46 @@ object Catalog {
 
   /** Transitive upstream closure of `table`: every (table, version)
     * reachable by following the LATEST commit's inputs of each listed
-    * table — "everything that fed this mart". Inputs that aren't
-    * listed tables are external leaves and terminate the walk. The
-    * walk is driver-side over manifest metadata (edge count, not
-    * data), and the visited-set guard makes cycles terminate. */
+    * table, then each upstream table's inputs AT THE RECORDED VERSION
+    * — version-accurate provenance, not a current-state walk: when the
+    * mart consumed `ord@2` and `ord` has since advanced to v5, the
+    * closure reports what fed v2, never v5's feeds. An edge with no
+    * recorded version (unversioned external input) falls back to that
+    * table's latest commit. Inputs that aren't listed tables are
+    * external leaves and terminate the walk. The walk is driver-side
+    * over manifest metadata (edge count, not data), and the
+    * visited-set guard makes cycles terminate. */
   def upstream(spark: SparkSession, tables: Map[String, String],
       table: String): Seq[TableLog.InputRef] = {
     val acc = scala.collection.mutable.LinkedHashSet.empty[TableLog.InputRef]
-    def walk(name: String): Unit =
-      tables.get(name).toSeq
-        .flatMap(TableLog.history(spark, _).lastOption.toSeq)
-        .flatMap(_.inputs)
-        .foreach { in => if (acc.add(in)) walk(in.table) }
-    walk(table)
+    def inputsAt(name: String, version: Option[Int]): Seq[TableLog.InputRef] =
+      tables.get(name).toSeq.flatMap { path =>
+        val h = TableLog.history(spark, path)
+        version.flatMap(v => h.find(_.version == v)).orElse(h.lastOption)
+          .toSeq.flatMap(_.inputs)
+      }
+    def walk(name: String, version: Option[Int]): Unit =
+      inputsAt(name, version).foreach { in =>
+        if (acc.add(in)) walk(in.table, in.version)
+      }
+    walk(table, None)
     acc.toSeq.sortBy(r => (r.table, r.version.getOrElse(-1)))
+  }
+
+  /** Everything one pipeline run wrote, from manifests alone: one row
+    * per commit across `tables` whose recorded run id equals `runId` —
+    * the OpenLineage run-facet query ("show me run X's outputs"),
+    * answerable because [[TableLog.withRunId]] stamps each commit.
+    * Driver-side over manifest metadata, like the rest of the
+    * catalog. */
+  def commitsOfRun(spark: SparkSession, tables: Map[String, String],
+      runId: String): DataFrame = {
+    import spark.implicits._
+    tables.toSeq.sortBy(_._1).flatMap { case (name, path) =>
+      TableLog.history(spark, path)
+        .filter(_.runId.contains(runId))
+        .map(c => (name, c.version, c.action, c.timestampMs))
+    }.toDF("table_name", "version", "action", "committed_at_ms")
   }
 
   /** Materialize the catalog AS a TableLog table at `path` (overwrite

@@ -85,9 +85,14 @@ object MaterializedAgg {
 
   /** Bring the view at `mvPath` up to date with the CURRENT snapshot of
     * the source table. No-op (returns the current version with empty
-    * dir lists) when the manifests already agree. */
+    * dir lists) when the manifests already agree. `srcName` names the
+    * source in the recorded lineage edge; it must match the name the
+    * table is registered under in [[Catalog]] publications or
+    * `Catalog.upstream` can't follow the edge — the default (the
+    * path's directory basename) is only right when tables are
+    * registered under their basenames. */
   def refresh(spark: SparkSession, srcPath: String, mvPath: String,
-      spec: AggSpec): RefreshReport = {
+      spec: AggSpec, srcName: Option[String] = None): RefreshReport = {
     val srcCommit = TableLog.history(spark, srcPath).lastOption
     val srcDirs = srcCommit.map(_.dirs).getOrElse(Seq.empty)
     require(srcDirs.nonEmpty, s"source table at $srcPath has no snapshot")
@@ -122,7 +127,7 @@ object MaterializedAgg {
     // lineage: the refresh consumed exactly source@version — the edge
     // that answers "which snapshot is this MV's state derived from"
     val srcRef = TableLog.InputRef(
-      new org.apache.hadoop.fs.Path(srcPath).getName,
+      srcName.getOrElse(new org.apache.hadoop.fs.Path(srcPath).getName),
       srcCommit.map(_.version))
     val c = TableLog.commitOverwrite(spark, mvPath, state, Seq(srcRef))
     RefreshReport(c.version, newDirs.sorted, staleDirs, reused)

@@ -41,10 +41,31 @@ object TableLog {
       schemaJson: Option[String] = None,
       constraints: Seq[Constraint] = Seq.empty,
       timestampMs: Option[Long] = None,
-      inputs: Seq[InputRef] = Seq.empty) {
+      inputs: Seq[InputRef] = Seq.empty,
+      runId: Option[String] = None) {
     def schema: Option[StructType] =
       schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
   }
+
+  /** Run identity for lineage: every commit made inside
+    * `withRunId("x") { ... }` records `x` in its manifest (`#r` line),
+    * grouping the commits of one pipeline invocation — the OpenLineage
+    * RUN-event analog (the reference's transport carries a run id +
+    * event time per run, `terraform/main.tf:104-107`; dataset edges
+    * alone can't answer "show me everything run X wrote"). Scoped
+    * dynamically so orchestration code stamps ONE id around its whole
+    * body instead of threading a parameter through every commit
+    * call; commits outside any scope record none. */
+  private val activeRunId =
+    new scala.util.DynamicVariable[Option[String]](None)
+
+  def withRunId[T](runId: String)(body: => T): T = {
+    require(runId.nonEmpty, "empty run id")
+    activeRunId.withValue(Some(runId))(body)
+  }
+
+  /** The run id in scope (exposed so orchestrators can report it). */
+  def currentRunId: Option[String] = activeRunId.value
 
   /** Lineage edge recorded ON the commit that consumed the input — the
     * OpenLineage dataset-version analog (the reference wires an
@@ -104,7 +125,10 @@ object TableLog {
         // schema (Delta's metadata-action pattern — resolved in O(1)
         // from the log, never inferred from file footers), '#f/#c' are
         // file-level column stats (TableStats), '#i' are lineage input
-        // edges; manifests written before any existed simply have none
+        // edges, '#r' the run id; manifests written before any existed
+        // simply have none. Lineage lines may come from external
+        // writers, so malformed ones are SKIPPED (like the stats
+        // parser) rather than poisoning history() for the whole table.
         Commit(v, lines.head,
           lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")),
           TableStats.fromLines(lines.tail),
@@ -114,11 +138,17 @@ object TableLog {
             Constraint(p(1), java.net.URLDecoder.decode(p(2), "UTF-8"))
           },
           lines.tail.find(_.startsWith("#t\t")).map(_.drop(3).toLong),
-          lines.tail.filter(_.startsWith("#i\t")).map { l =>
+          lines.tail.filter(_.startsWith("#i\t")).flatMap { l =>
             val p = l.split("\t", -1)
-            InputRef(java.net.URLDecoder.decode(p(1), "UTF-8"),
-              Option(p(2)).filter(_ != "-").map(_.toInt))
-          })
+            if (p.length < 3) None
+            else scala.util.Try(java.net.URLDecoder.decode(p(1), "UTF-8"))
+              .toOption.map { table =>
+                InputRef(table, Option(p(2)).filter(_ != "-")
+                  .flatMap(s => scala.util.Try(s.toInt).toOption))
+              }
+          },
+          lines.tail.find(_.startsWith("#r\t")).map(l =>
+            java.net.URLDecoder.decode(l.drop(3), "UTF-8")))
       }
   }
 
@@ -506,6 +536,8 @@ object TableLog {
     val out = f.create(tmp, false)
     try out.write(((action +: dirs) ++
         Seq("#t\t" + tsMs) ++
+        activeRunId.value.map(r =>
+          "#r\t" + java.net.URLEncoder.encode(r, "UTF-8")).toSeq ++
         inputs.map(i => "#i\t" +
           java.net.URLEncoder.encode(i.table, "UTF-8") + "\t" +
           i.version.map(_.toString).getOrElse("-")) ++
@@ -597,7 +629,8 @@ object TableLog {
       val ts = monotonicNow(prev.lastOption)
       if (writeManifest(spark, path, v, action, dirs, stats, schema, cons, ts,
           inputs))
-        return Commit(v, action, dirs, stats, schema, cons, Some(ts), inputs)
+        return Commit(v, action, dirs, stats, schema, cons, Some(ts), inputs,
+          activeRunId.value)
       fs(spark, path).delete(new Path(path, dir), true)
       attempts += 1
     }
@@ -651,7 +684,7 @@ object TableLog {
       if (writeManifest(spark, path, v, "constraint", last.dirs, last.stats,
           last.schemaJson, cons, ts))
         return Commit(v, "constraint", last.dirs, last.stats,
-          last.schemaJson, cons, Some(ts))
+          last.schemaJson, cons, Some(ts), runId = activeRunId.value)
       attempts += 1
     }
     throw new IllegalStateException(
@@ -676,7 +709,7 @@ object TableLog {
       if (writeManifest(spark, path, v, "constraint", last.dirs, last.stats,
           last.schemaJson, cons, ts))
         return Commit(v, "constraint", last.dirs, last.stats,
-          last.schemaJson, cons, Some(ts))
+          last.schemaJson, cons, Some(ts), runId = activeRunId.value)
       attempts += 1
     }
     throw new IllegalStateException(
@@ -793,7 +826,8 @@ object TableLog {
       if (writeManifest(spark, path, v, "delete", dirs,
           dirStats ++ carriedStats, last.schemaJson, last.constraints, ts))
         return Commit(v, "delete", dirs, dirStats ++ carriedStats,
-          last.schemaJson, last.constraints, Some(ts))
+          last.schemaJson, last.constraints, Some(ts),
+          runId = activeRunId.value)
       fs(spark, path).delete(new Path(path, dir), true)
       attempts += 1
     }
@@ -815,7 +849,8 @@ object TableLog {
       if (writeManifest(spark, path, next, "rollback", target.dirs,
           target.stats, target.schemaJson, target.constraints, ts))
         return Commit(next, "rollback", target.dirs, target.stats,
-          target.schemaJson, target.constraints, Some(ts))
+          target.schemaJson, target.constraints, Some(ts),
+          runId = activeRunId.value)
       attempts += 1
     }
     throw new IllegalStateException(

@@ -30,14 +30,16 @@ object Anomaly {
       .rowsBetween(-(trailingRows - 1), Window.currentRow)
     val mean = avg(col(valueCol)).over(w)
     val sd = stddev_samp(col(valueCol)).over(w)
+    // the published z is rounded for display/oracle stability, but the
+    // FLAG tests the raw quotient — flagging off the rounded value
+    // would silently pass raw |z| in (thr, thr + 0.00005)
+    val rawZ = when(sd.isNotNull && sd =!= 0.0, (col(valueCol) - mean) / sd)
     df
       .withColumn("roll_mean", round(mean, 4))
       .withColumn("roll_std", round(sd, 4))
-      .withColumn("z",
-        when(sd.isNotNull && sd =!= 0.0,
-          round((col(valueCol) - mean) / sd, 4)))
+      .withColumn("z", round(rawZ, 4))
       .withColumn("anomaly",
-        coalesce(abs(col("z")) > zThreshold, lit(false)))
+        coalesce(abs(rawZ) > zThreshold, lit(false)))
       .orderBy(keyCol, dateCol)
   }
 }

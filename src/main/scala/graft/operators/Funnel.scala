@@ -17,26 +17,32 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one filtered aggregate per step, each a map-side
   * partial `min` shuffled on the user key only — no window over the
-  * whole event stream, no per-user event-list materialization. At
-  * 100 TB with N funnel steps that is N small (user, ts) shuffles, each
-  * pre-filtered to one event type (the selective predicate reaches the
-  * parquet scan). The per-step frames are (user → first-conversion ts)
-  * and stay join-broadcastable for deep funnels over niche steps.
+  * whole event stream, no per-user event-list materialization. Each
+  * step's (user → first-conversion ts) frame is MATERIALIZED once
+  * (eager persist, same recipe as [[Dedup.minHashCandidates]]'s
+  * signature table) and the next step builds on the cached frame, so
+  * at 100 TB with N funnel steps the event stream is scanned exactly N
+  * times — each scan pre-filtered to one event type (the selective
+  * predicate reaches the parquet scan) — never the N(N+1)/2 a naive
+  * re-derivation would pay. The per-step frames stay
+  * join-broadcastable for deep funnels over niche steps.
   */
 object Funnel {
 
-  /** Per-step conversion counts for `steps` in order. Returns
-    * (step, event_type, users) — step is 1-based. One declarative plan
-    * (a union of per-step single-row aggregates): step N's subtree
-    * re-derives steps 1…N-1, so the plan holds N(N+1)/2 filtered aggs —
-    * each a selective one-type scan, cheap at any N a funnel
-    * realistically has. */
-  def funnel(events: DataFrame, steps: Seq[String],
+  /** The per-step (user, first-conversion ts) frames for `steps` in
+    * order, each persisted EAGERLY so frame i+1 joins the cached frame
+    * i instead of re-deriving the whole prefix: events is scanned once
+    * per step, N scans total for an N-step funnel. The caches live
+    * until the caller drops them (`spark.catalog.clearCache()` between
+    * unrelated jobs, as Bench does) — the returned plans reference
+    * them lazily, the same contract as
+    * [[Dedup.minHashCandidates]]'s `spillTo = None` mode. */
+  def stepFrames(events: DataFrame, steps: Seq[String],
       userCol: String = "user_id", tsCol: String = "ts",
-      typeCol: String = "event_type"): DataFrame = {
+      typeCol: String = "event_type"): Seq[DataFrame] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     // fold: frame of (user, first conversion ts) per completed prefix
-    val stepFrames = steps.scanLeft(Option.empty[DataFrame]) {
+    steps.scanLeft(Option.empty[DataFrame]) {
       case (prev, step) =>
         val matching = events
           .filter(col(typeCol) === step)
@@ -48,13 +54,28 @@ object Funnel {
               .filter(col(tsCol) > col("__prev_t"))
               .select(col(userCol), col(tsCol))
         }
-        Some(qualified.groupBy(userCol).agg(min(tsCol).as("__t")))
+        val frame = qualified.groupBy(userCol).agg(min(tsCol).as("__t"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // eager: a lazy persist would let step i+1's job race the cold
+        // cache and recompute the whole prefix itself
+        frame.count()
+        Some(frame)
     }.flatten
-    stepFrames.zipWithIndex.map { case (f, i) =>
-      f.agg(count(lit(1)).as("users"))
-        .select(lit(i + 1).as("step"), lit(steps(i)).as("event_type"),
-          col("users"))
-    }.reduce(_ unionByName _).orderBy("step")
+  }
+
+  /** Per-step conversion counts for `steps` in order. Returns
+    * (step, event_type, users) — step is 1-based: a union of one
+    * single-row count per materialized [[stepFrames]] frame, so the
+    * final plan holds N cached-frame counts and zero event scans. */
+  def funnel(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    stepFrames(events, steps, userCol, tsCol, typeCol)
+      .zipWithIndex.map { case (f, i) =>
+        f.agg(count(lit(1)).as("users"))
+          .select(lit(i + 1).as("step"), lit(steps(i)).as("event_type"),
+            col("users"))
+      }.reduce(_ unionByName _).orderBy("step")
   }
 
   /** The per-user conversion table for the FULL funnel: users who

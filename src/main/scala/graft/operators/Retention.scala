@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -70,5 +70,52 @@ object Retention {
       .groupBy("r", "f", "m")
       .agg(count(lit(1)).as("n_users"))
       .orderBy("r", "f", "m")
+  }
+
+  /** Scale path of [[rfmSegments]]: quartile THRESHOLDS from one
+    * `percentile_approx` agg (mergeable sketch — no global sort, no
+    * single-task window), broadcast back as three tiny arrays, each
+    * user bucketed map-side by counting thresholds strictly below its
+    * value. At 100 TB the per-user pre-agg still leaves hundreds of
+    * millions of rows; this shape never sorts them — the only shuffle
+    * is the per-user groupBy that [[rfmSegments]] needs anyway.
+    *
+    * Tie semantics differ from ntile on purpose: equal values land in
+    * the SAME bucket (thresholds can't split ties the way a
+    * tie-broken sort can), so bucket populations are only
+    * approximately equal under ties. On tie-free inputs whose count is
+    * below `accuracy` the sketch is exact and the grid equals
+    * [[rfmSegments]] exactly (spec-pinned): Spark's exact-path
+    * percentile at p=k/n is the value at ascending rank ceil(p·count),
+    * which is precisely ntile's tile-k upper boundary. */
+  def rfmSegmentsApprox(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value",
+      nTiles: Int = 4, accuracy: Int = 10000): DataFrame = {
+    require(nTiles >= 1, "need at least one tile")
+    val perUser = events.groupBy(userCol).agg(
+      max(tsCol).cast("double").as("__last"),
+      count(lit(1)).cast("double").as("__freq"),
+      sum(valueCol).cast("double").as("__mon"))
+    val probs = array((1 until nTiles).map(k => lit(k.toDouble / nTiles)): _*)
+    def bucket(v: Column, thresholds: Column): Column =
+      aggregate(thresholds, lit(1),
+        (acc, t) => acc + when(v > t, lit(1)).otherwise(lit(0)))
+    if (nTiles == 1) {
+      perUser.select(lit(1).as("r"), lit(1).as("f"), lit(1).as("m"))
+        .groupBy("r", "f", "m").agg(count(lit(1)).as("n_users"))
+    } else {
+      val thr = perUser.agg(
+        percentile_approx(col("__last"), probs, lit(accuracy)).as("__tr"),
+        percentile_approx(col("__freq"), probs, lit(accuracy)).as("__tf"),
+        percentile_approx(col("__mon"), probs, lit(accuracy)).as("__tm"))
+      perUser.crossJoin(broadcast(thr))
+        .select(
+          bucket(col("__last"), col("__tr")).as("r"),
+          bucket(col("__freq"), col("__tf")).as("f"),
+          bucket(col("__mon"), col("__tm")).as("m"))
+        .groupBy("r", "f", "m")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("r", "f", "m")
+    }
   }
 }

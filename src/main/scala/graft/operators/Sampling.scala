@@ -190,6 +190,37 @@ object Sampling {
     df.withColumn("shard", ntile(nShards).over(w))
   }
 
+  /** Scale path of [[curriculumShards]]: shard boundaries from one
+    * `percentile_approx` agg (mergeable sketch), broadcast back as a
+    * tiny array, each row assigned map-side by counting boundaries
+    * strictly below its score — no global sort, no single-task window.
+    * This is the shape for corpus-scale curriculum prep: the exact
+    * NTILE form sorts the whole corpus in one task; this form's only
+    * cost is one pass for the sketch and one map-side pass to assign.
+    *
+    * Ties land in the same shard (boundaries can't split equal
+    * scores), so shard sizes are approximately equal under ties. On
+    * tie-free inputs with count below `accuracy` the sketch is exact
+    * and assignments equal [[curriculumShards]] exactly (spec-pinned):
+    * the exact-path percentile at p=k/n is the value at ascending rank
+    * ceil(p·count) — NTILE's shard-k upper boundary. */
+  def curriculumShardsApprox(df: DataFrame, scoreCol: String, nShards: Int,
+      accuracy: Int = 10000): DataFrame = {
+    require(nShards >= 1, "need at least one shard")
+    if (nShards == 1) df.withColumn("shard", lit(1))
+    else {
+      val probs = array(
+        (1 until nShards).map(k => lit(k.toDouble / nShards)): _*)
+      val thr = df.agg(percentile_approx(col(scoreCol).cast("double"),
+        probs, lit(accuracy)).as("__thr"))
+      df.crossJoin(broadcast(thr))
+        .withColumn("shard", aggregate(col("__thr"), lit(1),
+          (acc, t) => acc +
+            when(col(scoreCol).cast("double") > t, lit(1)).otherwise(lit(0))))
+        .drop("__thr")
+    }
+  }
+
   /** Weighted sampling WITHOUT replacement, k rows, deterministic:
     * Efraimidis–Spirakis exponential-sort (VLDB '06 / IPL '06) — each
     * row draws u ∈ (0,1) and survives by key u^(1/weight); the top-k

@@ -236,11 +236,22 @@ object Lakehouse {
     * semantics ([[publishFactToLake]]) and republishes
     * `<lakeDir>/_catalog` — the docs/catalog artifact of the
     * reference's publish stage (airflow dag runs `dbt docs generate`
-    * after the build). Returns the fact. */
+    * after the build). Returns the fact.
+    *
+    * Every TableLog commit the run makes (fact merge, catalog,
+    * lineage) is stamped with one `runId` — the OpenLineage run-event
+    * analog (the reference's transport groups dataset events under a
+    * run id per DAG invocation, `terraform/main.tf:104-107`), so
+    * "everything pipeline run X wrote" is answerable from the
+    * manifests alone ([[graft.lake.Catalog.commitsOfRun]]). Callers
+    * pass their orchestrator's id; the default mints a fresh UUID. */
   def run(spark: SparkSession, rawDir: String,
       outDir: Option[String] = None,
       incrementalDays: Option[Int] = None,
-      lakeDir: Option[String] = None): DataFrame = {
+      lakeDir: Option[String] = None,
+      runId: Option[String] = None): DataFrame =
+    graft.lake.TableLog.withRunId(
+      runId.getOrElse(java.util.UUID.randomUUID().toString)) {
     val staged = Seq("erp_orders", "crm_leads", "products", "web_events").map { d =>
       val raw = ingest(spark, rawDir, d)
       Expectations.validateOrThrow(raw, suites(d))

@@ -145,4 +145,49 @@ class FunnelSpec extends AnyFunSuite {
     def toMap2: Map[(Long, Long), Double] =
       rows.map(r => (r._1, r._2) -> r._3).toMap
   }
+
+  test("funnel scans events once per step — N scans, not N(N+1)/2") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_scan")
+    events.write.mode("overwrite").parquet(s"$dir/events")
+    val ev = spark.read.parquet(s"$dir/events")
+    // structural walk that crosses AQE wrappers but NOT cache
+    // boundaries (an InMemoryTableScan's cached plan is not a child):
+    // counts the events-parquet scans THIS action executed
+    def walk(p: SparkPlan)(hit: SparkPlan => Int): Int = {
+      val kids: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      hit(p) + kids.map(walk(_)(hit)).sum
+    }
+    def eventScans(p: SparkPlan): Int = walk(p) {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("graft_funnel_scan")) => 1
+      case _ => 0
+    }
+    val out = Funnel.funnel(ev, Seq("view", "click", "purchase"))
+    // the READ plan never rescans events: three cached-frame counts
+    val plan = out.queryExecution.executedPlan
+    val caches = {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[InMemoryTableScanExec]
+      walk(plan) { case m: InMemoryTableScanExec => acc += m; 1; case _ => 0 }
+      acc.toSeq
+    }
+    assert(caches.length == 3, "read plan is three cached-frame counts")
+    assert(eventScans(plan) == 0, "read plan never rescans events")
+    assert(out.count() == 3)
+    // each step's materialization scans events exactly ONCE: inside
+    // each cached plan sits one events file scan, and the previous
+    // step arrives as a cache reference, not a re-derived subtree —
+    // so the whole computation graph holds N events scans (3 here),
+    // never the N(N+1)/2 of a prefix re-derivation.
+    caches.foreach { m =>
+      assert(eventScans(m.relation.cachedPlan) == 1,
+        "each cached step frame holds exactly one events scan")
+    }
+  }
 }

@@ -322,4 +322,58 @@ class TableLogSpec extends AnyFunSuite {
     assert(pruned.select("id", "extra").as[(Long, Option[Long])]
       .collect().toSet == Set((1L, None)))
   }
+
+  test("commit timestamps clamp monotonic under writer clock skew") {
+    val path = freshPath()
+    TableLog.commitAppend(spark, path, Seq((1L, "a")).toDF("id", "v"))
+    // simulate a skewed-FAST previous writer: rewrite v1's manifest
+    // #t line a full hour into the future (manifests are plain text;
+    // this is what an external writer with a bad clock would leave)
+    val future = System.currentTimeMillis() + 3600000L
+    val m1 = java.nio.file.Paths.get(path, "_graft_log", "v00000001.manifest")
+    val edited = Files.readAllLines(m1).asScala.map { l =>
+      if (l.startsWith("#t\t")) "#t\t" + future else l
+    }
+    Files.write(m1, edited.asJava)
+    // this writer's wall clock is now BEHIND the recorded history;
+    // the clamp must still advance time with the version
+    val c2 = TableLog.commitAppend(spark, path, Seq((2L, "b")).toDF("id", "v"))
+    assert(c2.timestampMs.contains(future + 1L),
+      "skewed commit clamps to prev ts + 1, not the rewound wall clock")
+    // versionAsOf resolves by version order: a time between the two
+    // recorded stamps picks v1, never skips it for v2
+    assert(TableLog.versionAsOf(spark, path, future).contains(1))
+    assert(TableLog.versionAsOf(spark, path, future + 1L).contains(2))
+    assert(TableLog.versionAsOf(spark, path, future - 1L).isEmpty,
+      "before v1's recorded stamp no snapshot is eligible")
+    // and a third commit keeps strictly increasing
+    val c3 = TableLog.commitAppend(spark, path, Seq((3L, "c")).toDF("id", "v"))
+    assert(c3.timestampMs.get > c2.timestampMs.get)
+  }
+
+  test("withRunId stamps commits; malformed external #i lines are skipped") {
+    val path = freshPath()
+    val c1 = TableLog.withRunId("run-42") {
+      TableLog.commitAppend(spark, path, Seq((1L, "a")).toDF("id", "v"))
+    }
+    assert(c1.runId.contains("run-42"))
+    val c2 = TableLog.commitAppend(spark, path, Seq((2L, "b")).toDF("id", "v"))
+    assert(c2.runId.isEmpty, "commits outside a run scope record no id")
+    val h = TableLog.history(spark, path)
+    assert(h.map(_.runId) == Seq(Some("run-42"), None))
+    // an external writer appends lineage lines by hand: one truncated,
+    // one with a junk version, one valid — history() must keep parsing
+    val m2 = java.nio.file.Paths.get(path, "_graft_log", "v00000002.manifest")
+    val lines = Files.readAllLines(m2).asScala.toSeq ++
+      Seq("#i\tonly_table", "#i\tfeed\tnot_a_number", "#i\tgood\t7")
+    Files.write(m2, lines.asJava)
+    val reread = TableLog.history(spark, path).last
+    assert(reread.inputs.contains(TableLog.InputRef("good", Some(7))))
+    assert(reread.inputs.contains(TableLog.InputRef("feed", None)),
+      "junk version degrades to an unversioned edge, not a crash")
+    assert(!reread.inputs.exists(_.table == "only_table"),
+      "truncated line is skipped")
+    // the snapshot itself still reads
+    assert(rows(TableLog.read(spark, path)) == Set((1L, "a"), (2L, "b")))
+  }
 }
