@@ -161,6 +161,16 @@ object ScaleProbe {
             16, 16, graft.operators.Multimodal.generateBlockPpm(16, 16, id)))
         graft.operators.Multimodal.perceptualHashes(media)
           .agg(count(col("phash"))).collect()(0).getLong(0)
+      },
+      // the NTILE replacement: one percentile_approx sketch agg + a
+      // map-side broadcast-threshold bucket — the shape must stay flat
+      // where the exact global-sort form would hit a single task
+      "curriculum_approx" -> { d =>
+        val scored = d.select(col("doc_id"), graft.functions.TextFunctions
+          .qualityScore(col("text")).as("quality"))
+        graft.operators.Sampling
+          .curriculumShardsApprox(scored, "quality", nShards = 4)
+          .groupBy("shard").count().count()
       })
 
     // ---- embedding-input operators: amplified by cyclic coordinate
@@ -244,7 +254,12 @@ object ScaleProbe {
       // shape; included to catch accidental window/join creep
       "decayed_mix" -> (d => graft.operators.Sampling
         .decayedMix(d, Seq("event_type"), "ts", "value",
-          asOf = "2024-02-01 00:00:00", halfLifeDays = 7.0).count()))
+          asOf = "2024-02-01 00:00:00", halfLifeDays = 7.0).count()),
+      // the other NTILE replacement: per-user pre-agg (the only
+      // shuffle) + three sketch thresholds + map-side bucketing; the
+      // grid output is ≤ nTiles³ rows whatever the user count
+      "rfm_approx" -> (d => graft.operators.Retention
+        .rfmSegmentsApprox(d).count()))
 
     (ops.map(o => (o._1, o._2, base, big)) ++
       embOps.map(o => (o._1, o._2, embBase, embBig)) ++

@@ -1732,6 +1732,36 @@ object SparkEntry {
           round(avg("quality"), 6).as("avg_quality"))
         .orderBy("shard")
     }),
+
+    // ---- Run-level lineage: commits made inside withRunId carry the
+    //      run id in their manifests (#r line), so "everything pipeline
+    //      run X wrote" resolves from metadata alone — the OpenLineage
+    //      run-event analog on top of q127's dataset edges. The commit
+    //      timestamp is wall-clock, so the oracled projection is the
+    //      deterministic (table, version, action) set ----
+    "q131_run_commits" -> ((s, dir) => {
+      import graft.lake.{Catalog, TableLog}
+      val base = java.nio.file.Files.createTempDirectory("graft_q131")
+      def p(n: String) = base.resolve(n).toString
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      TableLog.withRunId("run_a") {
+        TableLog.commitOverwrite(s, p("cust"), cust)
+        TableLog.commitAppend(s, p("ord"), ord)
+      }
+      TableLog.withRunId("run_b") {
+        TableLog.commitAppend(s, p("ord"),
+          ord.filter(col("o_orderkey") % 2 === 0))
+      }
+      // outside any scope: must not attribute to either run
+      TableLog.commitOverwrite(s, p("other"), cust)
+      val tables = Map(
+        "cust" -> p("cust"), "ord" -> p("ord"), "other" -> p("other"))
+      Catalog.commitsOfRun(s, tables, "run_a")
+        .select("table_name", "version", "action")
+        .orderBy("table_name", "version")
+    }),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -3420,5 +3450,13 @@ object SparkEntry {
         |  FROM q)
         |SELECT shard, COUNT(*) AS n_docs, ROUND(AVG(quality), 6) AS avg_quality
         |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // The fixture commits deterministically: run_a = cust v1 overwrite
+    // + ord v1 append; run_b and the unscoped commit are excluded.
+    "q131_run_commits" ->
+      """SELECT 'cust' AS table_name, CAST(1 AS INTEGER) AS version,
+        |  'overwrite' AS action
+        |UNION ALL SELECT 'ord', CAST(1 AS INTEGER), 'append'
+        |ORDER BY table_name, version""".stripMargin,
   )
 }
