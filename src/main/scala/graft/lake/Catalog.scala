@@ -60,7 +60,14 @@ object Catalog {
     * `freshness_hours` column (hours between its pinned now and the
     * stats-resolved max of the table's loaded-at column); the raw
     * IEEE division is emitted unrounded so the value is reproducible
-    * bit-for-bit from the same integers in any engine. */
+    * bit-for-bit from the same integers in any engine.
+    *
+    * Contract: `n_columns` and `row_count` are NULLABLE — they resolve
+    * from manifest metadata alone (schema line, file stats), and
+    * manifests written before schema/stats tracking existed publish
+    * NULL rather than triggering a data scan. A metadata-only build
+    * stays O(tables) at any corpus size; consumers needing counts for
+    * a pre-tracking table should recommit it, not scan here. */
   def build(spark: SparkSession, tables: Map[String, String],
       freshness: Option[FreshnessSpec] = None): DataFrame = {
     import spark.implicits._

@@ -69,6 +69,22 @@ class ApproxTilesSpec extends AnyFunSuite {
     assert(exact.values.toSeq.sorted.distinct == Seq(1, 2, 3, 4))
   }
 
+  test("rfmSegmentsApprox: all-tied users collapse to one cell; grid sums to user count") {
+    // every user identical on all three dimensions → thresholds all
+    // equal the common value → no user exceeds any → cell (1,1,1)
+    val tied = (0 until 12).flatMap(u => Seq(
+      (f"user$u%02d", new Timestamp(1700000000000L), 2.5),
+      (f"user$u%02d", new Timestamp(1700000100000L), 2.5)))
+      .toDF("user_id", "ts", "value")
+    val grid = Retention.rfmSegmentsApprox(tied)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(grid.toSeq == Seq((1, 1, 1, 12L)))
+    // and on the mixed fixture the grid always partitions the users
+    val total = Retention.rfmSegmentsApprox(tieFreeEvents)
+      .agg(sum("n_users")).collect()(0).getLong(0)
+    assert(total == 64L)
+  }
+
   test("curriculumShardsApprox: ties land in one shard; nShards=1 identity") {
     // all-equal scores → every row is <= every threshold → shard 1
     val tied = (1 to 8).map(i => (i.toLong, 0.5)).toDF("doc_id", "score")
