@@ -486,8 +486,42 @@ object TableLog {
     (commit.stats.count(TableStats.mightMatch(_, colName, lo, hi)), total)
   }
 
-  private def writeData(spark: SparkSession, path: String, df: DataFrame,
+  /** Optimize-write: right-size the output file count from the
+    * optimizer's size estimate BEFORE writing — no extra Spark job, no
+    * shuffle, `coalesce` only (which can merge partitions but never
+    * split, so a misestimate can only leave extra parallelism, never
+    * add a stage). Without this every metadata-scale commit (catalog,
+    * lineage, MV state) inherits the session's shuffle partitioning
+    * and writes `spark.sql.shuffle.partitions` near-empty files; at
+    * 100 TB that is the small-file problem manufactured at the source
+    * (listing pressure + open/seek-bound scans), and [[Compaction]]
+    * would just re-pay the write. Catalyst's default (non-CBO) size
+    * visitor over-estimates (filters/joins keep or multiply child
+    * sizes; only genuinely tiny plans — local relations, global
+    * aggregates — estimate small), so an estimate under the threshold
+    * is a safe signal to merge. Estimates at or above
+    * `graft.write.smallBytes` (default 64 MiB) leave the frame
+    * untouched; so does a frame whose plan carries an explicit
+    * repartition/coalesce — the caller chose that layout on purpose
+    * (z-order range files, pruning demos), and collapsing it would
+    * undo the file-skipping structure the partitioning exists to
+    * create. Set the conf to 0 to disable. */
+  private def optimizeWrite(spark: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation
+    val small = spark.conf.getOption("graft.write.smallBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+    val target = spark.conf.getOption("graft.write.targetFileBytes")
+      .map(_.toLong).getOrElse(32L * 1024 * 1024)
+    val userPartitioned = df.queryExecution.analyzed
+      .collectFirst { case r: RepartitionOperation => r }.isDefined
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (small <= 0 || userPartitioned || est >= small) df
+    else df.coalesce(math.max(1, (est.toLong + target - 1) / target).toInt)
+  }
+
+  private def writeData(spark: SparkSession, path: String, df0: DataFrame,
       v: Int): (String, Seq[TableStats.FileStats]) = {
+    val df = optimizeWrite(spark, df0)
     val rel = f"data/c$v%08d-${java.util.UUID.randomUUID().toString.take(8)}"
     // table data is written as INT64-micros timestamps, never INT96:
     // INT96 (Spark's legacy session default) carries NO footer

@@ -351,6 +351,48 @@ class TableLogSpec extends AnyFunSuite {
     assert(c3.timestampMs.get > c2.timestampMs.get)
   }
 
+  test("optimize-write: a small commit lands as one file, not shuffle.partitions files") {
+    // AQE already right-sizes SHUFFLE-derived frames; the small-file
+    // source is map-only frames — a selective filter over a wide scan
+    // keeps the scan's partitioning (here 16 near-empty partitions)
+    // all the way to the sink, and no AQE stage ever intervenes
+    val small = spark.range(0, 1000, 1, 16).filter(col("id") % 100 === 0)
+      .select(col("id"), col("id").as("v"))
+    def dataFiles(path: String, c: TableLog.Commit): Seq[java.io.File] =
+      c.dirs.flatMap { d =>
+        new java.io.File(path, d).listFiles().toSeq
+          .filter(f => f.getName.endsWith(".parquet"))
+      }
+    val p1 = freshPath()
+    val c1 = TableLog.commitAppend(spark, p1, small)
+    assert(dataFiles(p1, c1).size == 1,
+      "10-row map-only commit should write 1 file")
+    assert(TableLog.read(spark, p1).count() == 10)
+    // disabled via conf: the map-side partitioning writes through
+    val p2 = freshPath()
+    spark.conf.set("graft.write.smallBytes", "0")
+    try {
+      val c2 = TableLog.commitAppend(spark, p2, small)
+      assert(dataFiles(p2, c2).size > 1,
+        "with optimize-write disabled the map partitioning persists")
+    } finally spark.conf.unset("graft.write.smallBytes")
+    // a frame the estimator can't call small keeps its parallelism:
+    // raw range partitions carry the full long-range size estimate
+    val p3 = freshPath()
+    val wide = spark.range(0, 30000000L, 1, 8)
+      .select(col("id"), col("id").as("v"))
+    val c3 = TableLog.commitAppend(spark, p3, wide)
+    assert(dataFiles(p3, c3).size == 8,
+      "a large-estimate frame is written with its own partitioning")
+    // an explicit repartition is the caller's layout choice (z-order
+    // files, pruning structure) — never collapsed, however small
+    val p4 = freshPath()
+    val c4 = TableLog.commitAppend(spark, p4,
+      small.repartitionByRange(4, col("id")))
+    assert(dataFiles(p4, c4).size > 1,
+      "explicitly partitioned frames keep their file layout")
+  }
+
   test("withRunId stamps commits; malformed external #i lines are skipped") {
     val path = freshPath()
     val c1 = TableLog.withRunId("run-42") {
