@@ -42,6 +42,48 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("rfmSegmentsApprox: grid partitions users, buckets in range") {
+    val evGen = Gen.listOfN(30, Gen.zip(
+      Gen.chooseNum(1L, 8L),                       // user
+      Gen.chooseNum(0L, 30L * 86400L),             // ts offset seconds
+      Gen.chooseNum(1, 500)))                      // value cents
+    assertProp(Prop.forAll(evGen, Gen.chooseNum(1, 5)) { (evs, nTiles) =>
+      val df = evs.map { case (u, off, v) =>
+        (f"u$u%02d", new java.sql.Timestamp(1704067200000L + off * 1000L),
+          v / 100.0)
+      }.toDF("user_id", "ts", "value")
+      val nUsers = evs.map(_._1).distinct.size
+      val grid = graft.operators.Retention
+        .rfmSegmentsApprox(df, nTiles = nTiles).collect()
+      val partitions = grid.map(_.getLong(3)).sum == nUsers
+      val inRange = grid.forall(r => Seq(0, 1, 2).forall { i =>
+        r.getInt(i) >= 1 && r.getInt(i) <= nTiles
+      })
+      partitions && inRange
+    })
+  }
+
+  test("curriculumShardsApprox: total assignment, range, monotone in score") {
+    val docGen = Gen.listOfN(25, Gen.chooseNum(0, 80)) // scores w/ ties
+    assertProp(Prop.forAll(docGen, Gen.chooseNum(1, 5)) { (scores, nShards) =>
+      val df = scores.zipWithIndex.map { case (s, i) =>
+        (i.toLong, s / 16.0)
+      }.toDF("doc_id", "score")
+      val out = graft.operators.Sampling
+        .curriculumShardsApprox(df, "score", nShards)
+        .select("doc_id", "score", "shard")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      val total = out.length == scores.length
+      val inRange = out.forall(r => r._3 >= 1 && r._3 <= nShards)
+      // equal scores share a shard; higher score never gets a lower shard
+      val byScore = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+      val tiesTogether = byScore.values.forall(_.size == 1)
+      val sorted = byScore.toSeq.sortBy(_._1).map(_._2.head)
+      val monotone = sorted.zip(sorted.drop(1)).forall { case (a, b) => a <= b }
+      total && inRange && tiesTogether && monotone
+    })
+  }
+
   test("sessionize: event counts are conserved and durations bounded") {
     val evGen = Gen.listOfN(25, Gen.zip(
       Gen.chooseNum(1L, 3L),                       // user
