@@ -33,11 +33,36 @@ object PlanAudit {
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])
 
+  /** Cached relations hide their plans from `executedPlan.toString`
+    * (an InMemoryTableScan prints as a leaf), so a query built over
+    * eagerly persisted frames — the funnel's step frames — would
+    * otherwise dodge the NLJ tripwire entirely. Collect every cached
+    * plan reachable from `p`, crossing AQE wrappers and nested
+    * caches. */
+  private def cachedPlans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    val here = p match {
+      case m: InMemoryTableScanExec =>
+        val cp = m.relation.cachedPlan
+        cp +: cachedPlans(cp)
+      case _ => Seq.empty
+    }
+    here ++ kids.flatMap(cachedPlans)
+  }
+
   /** Audit every contract query's physical plan at `sfDir`. */
   def audit(spark: SparkSession, sfDir: String): Seq[Audit] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val exec = fn(spark, sfDir).queryExecution.executedPlan
+        val plan = (exec +: cachedPlans(exec)).map(_.toString).mkString("\n")
         def count(s: String) = s.r.findAllIn(plan).size
         val joins = Seq(
           "BroadcastHashJoin" -> count("BroadcastHashJoin"),
@@ -57,6 +82,10 @@ object PlanAudit {
           val msg = Option(e.getMessage).filter(_.nonEmpty)
             .map(_.linesIterator.next()).getOrElse(e.getClass.getName)
           Audit(name, 0, Nil, flagged = true, Some(msg))
+      } finally {
+        // fixture queries may persist frames eagerly (funnel steps);
+        // drop them so later audits aren't measured over foreign caches
+        spark.catalog.clearCache()
       }
     }
 

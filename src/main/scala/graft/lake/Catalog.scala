@@ -112,17 +112,20 @@ object Catalog {
     * mart consumed `ord@2` and `ord` has since advanced to v5, the
     * closure reports what fed v2, never v5's feeds. An edge with no
     * recorded version (unversioned external input) falls back to that
-    * table's latest commit. Inputs that aren't listed tables are
-    * external leaves and terminate the walk. The walk is driver-side
-    * over manifest metadata (edge count, not data), and the
-    * visited-set guard makes cycles terminate. */
+    * table's latest commit; an edge whose RECORDED version is missing
+    * from history (e.g. vacuumed away) terminates the walk at that
+    * edge — substituting a different version's inputs would be the
+    * current-state walk this contract rules out. Inputs that aren't
+    * listed tables are external leaves and terminate the walk. The
+    * walk is driver-side over manifest metadata (edge count, not
+    * data), and the visited-set guard makes cycles terminate. */
   def upstream(spark: SparkSession, tables: Map[String, String],
       table: String): Seq[TableLog.InputRef] = {
     val acc = scala.collection.mutable.LinkedHashSet.empty[TableLog.InputRef]
     def inputsAt(name: String, version: Option[Int]): Seq[TableLog.InputRef] =
       tables.get(name).toSeq.flatMap { path =>
         val h = TableLog.history(spark, path)
-        version.flatMap(v => h.find(_.version == v)).orElse(h.lastOption)
+        version.map(v => h.find(_.version == v)).getOrElse(h.lastOption)
           .toSeq.flatMap(_.inputs)
       }
     def walk(name: String, version: Option[Int]): Unit =

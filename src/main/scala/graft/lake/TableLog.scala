@@ -515,7 +515,8 @@ object TableLog {
     val userPartitioned = df.queryExecution.analyzed
       .collectFirst { case r: RepartitionOperation => r }.isDefined
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (small <= 0 || userPartitioned || est >= small) df
+    // either conf non-positive disables (same semantics for both knobs)
+    if (small <= 0 || target <= 0 || userPartitioned || est >= small) df
     else df.coalesce(math.max(1, (est.toLong + target - 1) / target).toInt)
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -96,10 +96,7 @@ object Retention {
       max(tsCol).cast("double").as("__last"),
       count(lit(1)).cast("double").as("__freq"),
       sum(valueCol).cast("double").as("__mon"))
-    val probs = array((1 until nTiles).map(k => lit(k.toDouble / nTiles)): _*)
-    def bucket(v: Column, thresholds: Column): Column =
-      aggregate(thresholds, lit(1),
-        (acc, t) => acc + when(v > t, lit(1)).otherwise(lit(0)))
+    val probs = Sampling.tileProbs(nTiles)
     if (nTiles == 1) {
       perUser.select(lit(1).as("r"), lit(1).as("f"), lit(1).as("m"))
         .groupBy("r", "f", "m").agg(count(lit(1)).as("n_users"))
@@ -110,9 +107,9 @@ object Retention {
         percentile_approx(col("__mon"), probs, lit(accuracy)).as("__tm"))
       perUser.crossJoin(broadcast(thr))
         .select(
-          bucket(col("__last"), col("__tr")).as("r"),
-          bucket(col("__freq"), col("__tf")).as("f"),
-          bucket(col("__mon"), col("__tm")).as("m"))
+          Sampling.tileBucket(col("__last"), col("__tr")).as("r"),
+          Sampling.tileBucket(col("__freq"), col("__tf")).as("f"),
+          Sampling.tileBucket(col("__mon"), col("__tm")).as("m"))
         .groupBy("r", "f", "m")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("r", "f", "m")

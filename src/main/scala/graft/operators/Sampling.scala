@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -209,17 +209,32 @@ object Sampling {
     require(nShards >= 1, "need at least one shard")
     if (nShards == 1) df.withColumn("shard", lit(1))
     else {
-      val probs = array(
-        (1 until nShards).map(k => lit(k.toDouble / nShards)): _*)
       val thr = df.agg(percentile_approx(col(scoreCol).cast("double"),
-        probs, lit(accuracy)).as("__thr"))
+        tileProbs(nShards), lit(accuracy)).as("__thr"))
       df.crossJoin(broadcast(thr))
-        .withColumn("shard", aggregate(col("__thr"), lit(1),
-          (acc, t) => acc +
-            when(col(scoreCol).cast("double") > t, lit(1)).otherwise(lit(0))))
+        .withColumn("shard", tileBucket(col(scoreCol).cast("double"),
+          col("__thr")))
         .drop("__thr")
     }
   }
+
+  /** The sketch-tile primitive shared by [[curriculumShardsApprox]]
+    * and [[Retention.rfmSegmentsApprox]]: interior tile boundaries at
+    * p = k/n for `percentile_approx`, and the map-side bucket
+    * expression — 1 + the count of boundaries STRICTLY below the
+    * value. The semantics both call sites rely on live here once:
+    * 1-based buckets; ties share a bucket (thresholds can't split
+    * equal values); on tie-free inputs whose count is under the sketch
+    * accuracy the boundary at p = k/n is the value at ascending rank
+    * ceil(p·count) — exactly NTILE's tile-k upper boundary, so the
+    * bucketing equals the exact NTILE form (spec-pinned in
+    * ApproxTilesSpec). */
+  private[operators] def tileProbs(n: Int): Column =
+    array((1 until n).map(k => lit(k.toDouble / n)): _*)
+
+  private[operators] def tileBucket(v: Column, thresholds: Column): Column =
+    aggregate(thresholds, lit(1),
+      (acc, t) => acc + when(v > t, lit(1)).otherwise(lit(0)))
 
   /** Weighted sampling WITHOUT replacement, k rows, deterministic:
     * Efraimidis–Spirakis exponential-sort (VLDB '06 / IPL '06) — each

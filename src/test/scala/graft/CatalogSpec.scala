@@ -90,6 +90,34 @@ class CatalogSpec extends AnyFunSuite {
       TableLog.InputRef("stg", Some(1))))
   }
 
+  test("upstream pins recorded versions: later commits never leak into the closure") {
+    val base = Files.createTempDirectory("graft_linver").toString
+    val df = Seq((1L, "a")).toDF("id", "v")
+    // ord v1 fed by feed_old; mart consumed ord@1
+    TableLog.commitOverwrite(spark, s"$base/ord", df,
+      Seq(TableLog.InputRef("feed_old", None)))
+    TableLog.commitMerge(spark, s"$base/mart", df, Seq("id"),
+      Seq(TableLog.inputRef(spark, s"$base/ord", "ord")))
+    // ord advances PAST the recorded version, fed by a different feed
+    TableLog.commitAppend(spark, s"$base/ord",
+      Seq((2L, "b")).toDF("id", "v"), "append",
+      Seq(TableLog.InputRef("feed_new", None)))
+    val tables = Map("ord" -> s"$base/ord", "mart" -> s"$base/mart")
+    // the closure walks ord AT v1: feed_old appears, feed_new must not
+    // — a latest-commit walk would report feed_new (v2's input)
+    assert(Catalog.upstream(spark, tables, "mart") == Seq(
+      TableLog.InputRef("feed_old", None),
+      TableLog.InputRef("ord", Some(1))))
+    // a recorded-but-missing version terminates the walk at that edge
+    // rather than substituting another version's provenance: drop v1's
+    // manifest (what vacuum of an old version would leave)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$base/ord", "_graft_log", "v00000001.manifest"))
+    assert(Catalog.upstream(spark, tables, "mart") == Seq(
+      TableLog.InputRef("ord", Some(1))),
+      "missing recorded version yields the edge itself, no substituted inputs")
+  }
+
   test("catalog build is metadata-only: stats-less manifests publish NULL counts, zero jobs") {
     import scala.jdk.CollectionConverters._
     val base = Files.createTempDirectory("graft_catmeta").toString

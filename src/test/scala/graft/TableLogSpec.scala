@@ -378,10 +378,14 @@ class TableLogSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.write.smallBytes")
     // a frame the estimator can't call small keeps its parallelism:
     // raw range partitions carry the full long-range size estimate
+    // large-estimate branch exercised cheaply: lower the threshold so
+    // a small 8-partition frame counts as "large" and writes through
     val p3 = freshPath()
-    val wide = spark.range(0, 30000000L, 1, 8)
-      .select(col("id"), col("id").as("v"))
-    val c3 = TableLog.commitAppend(spark, p3, wide)
+    spark.conf.set("graft.write.smallBytes", "64")
+    val c3 =
+      try TableLog.commitAppend(spark, p3,
+        spark.range(0, 1000, 1, 8).select(col("id"), col("id").as("v")))
+      finally spark.conf.unset("graft.write.smallBytes")
     assert(dataFiles(p3, c3).size == 8,
       "a large-estimate frame is written with its own partitioning")
     // an explicit repartition is the caller's layout choice (z-order
