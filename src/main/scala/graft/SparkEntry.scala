@@ -1762,6 +1762,43 @@ object SparkEntry {
         .select("table_name", "version", "action")
         .orderBy("table_name", "version")
     }),
+
+    // ---- Impact analysis (reverse lineage): "this external feed
+    //      shipped bad data — which commits are poisoned". The
+    //      downstream fixpoint follows the same q127 fixture's edges
+    //      forward: the feed fed ord@2, ord@2 fed mart@2 and the MV
+    //      refresh. Deterministic edge set ⇒ fully oracled ----
+    "q132_impact" -> ((s, dir) => {
+      import s.implicits._
+      import graft.lake.{Catalog, MaterializedAgg, TableLog}
+      val base = java.nio.file.Files.createTempDirectory("graft_q132")
+      def p(n: String) = base.resolve(n).toString
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      TableLog.commitOverwrite(s, p("cust"), cust)
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      TableLog.commitOverwrite(s, p("ord"), ord)
+      def mart(o: DataFrame) = o
+        .join(cust, o("o_custkey") === cust("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+      TableLog.commitMerge(s, p("mart"), mart(ord), Seq("o_orderkey"),
+        Seq(TableLog.inputRef(s, p("cust"), "cust"),
+          TableLog.inputRef(s, p("ord"), "ord")))
+      TableLog.commitAppend(s, p("ord"),
+        ord.filter(col("o_orderkey") % 2 === 0), "append",
+        Seq(TableLog.InputRef("raw/orders_feed", None)))
+      TableLog.commitMerge(s, p("mart"),
+        mart(TableLog.read(s, p("ord"))), Seq("o_orderkey"),
+        Seq(TableLog.inputRef(s, p("cust"), "cust"),
+          TableLog.inputRef(s, p("ord"), "ord")))
+      MaterializedAgg.refresh(s, p("ord"), p("mv"),
+        MaterializedAgg.AggSpec(Seq("o_custkey"), sumCols = Seq("o_totalprice")))
+      val tables = Map("cust" -> p("cust"), "ord" -> p("ord"),
+        "mart" -> p("mart"), "mv" -> p("mv"))
+      Catalog.downstream(s, tables, "raw/orders_feed")
+        .toDF("tainted_table", "version")
+        .orderBy("tainted_table", "version")
+    }),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -3458,5 +3495,13 @@ object SparkEntry {
         |  'overwrite' AS action
         |UNION ALL SELECT 'ord', CAST(1 AS INTEGER), 'append'
         |ORDER BY table_name, version""".stripMargin,
+
+    // The feed fed ord@2; ord@2 fed mart@2 and the MV refresh. mart@1
+    // consumed ord@1 and stays clean.
+    "q132_impact" ->
+      """SELECT 'mart' AS tainted_table, CAST(2 AS INTEGER) AS version
+        |UNION ALL SELECT 'mv', CAST(1 AS INTEGER)
+        |UNION ALL SELECT 'ord', CAST(2 AS INTEGER)
+        |ORDER BY tainted_table, version""".stripMargin,
   )
 }

@@ -136,6 +136,41 @@ object Catalog {
     acc.toSeq.sortBy(r => (r.table, r.version.getOrElse(-1)))
   }
 
+  /** Transitive DOWNSTREAM closure of `source`: every commit
+    * (table, version) across `tables` whose inputs — directly or
+    * through other commits — include `source`, the impact-analysis
+    * complement of [[upstream]] ("this feed shipped bad data; which
+    * marts are poisoned"). `source` may be a listed table or an
+    * external input name (a feed) — it is matched against edge input
+    * names. Propagation is deliberately OVER-approximate where
+    * [[upstream]] is exact: a versioned edge propagates taint from
+    * exactly that (table, version); an edge recorded without a
+    * version propagates if ANY version of its input table is tainted
+    * — impact analysis must answer "might be affected", so unknown
+    * versions widen the set rather than narrow it. Driver-side
+    * fixpoint over the manifest edge list (edge count, not data);
+    * monotone marking terminates on cycles. */
+  def downstream(spark: SparkSession, tables: Map[String, String],
+      source: String): Seq[(String, Int)] = {
+    val edges = tables.toSeq.sortBy(_._1).flatMap { case (name, path) =>
+      TableLog.history(spark, path).flatMap { c =>
+        c.inputs.map(i => (name, c.version, i.table, i.version))
+      }
+    }
+    val marked = scala.collection.mutable.Set.empty[(String, Int)]
+    var changed = true
+    while (changed) {
+      changed = false
+      edges.foreach { case (out, v, inT, inV) =>
+        val tainted = inT == source ||
+          inV.map(iv => marked((inT, iv)))
+            .getOrElse(marked.exists(_._1 == inT))
+        if (tainted && marked.add((out, v))) changed = true
+      }
+    }
+    marked.toSeq.sorted
+  }
+
   /** Everything one pipeline run wrote, from manifests alone: one row
     * per commit across `tables` whose recorded run id equals `runId` —
     * the OpenLineage run-facet query ("show me run X's outputs"),

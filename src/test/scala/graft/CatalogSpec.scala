@@ -118,6 +118,31 @@ class CatalogSpec extends AnyFunSuite {
       "missing recorded version yields the edge itself, no substituted inputs")
   }
 
+  test("downstream taints versioned edges exactly, unversioned edges widely") {
+    val base = Files.createTempDirectory("graft_impact").toString
+    val df = Seq((1L, "a")).toDF("id", "v")
+    // ord v1 clean; ord v2 fed by the bad feed
+    TableLog.commitOverwrite(spark, s"$base/ord", df)
+    TableLog.commitAppend(spark, s"$base/ord",
+      Seq((2L, "b")).toDF("id", "v"), "append",
+      Seq(TableLog.InputRef("bad_feed", None)))
+    // mart v1 pinned to clean ord@1; mart v2 pinned to ord@2;
+    // audit consumed ord WITHOUT a version — must taint conservatively
+    TableLog.commitMerge(spark, s"$base/mart", df, Seq("id"),
+      Seq(TableLog.InputRef("ord", Some(1))))
+    TableLog.commitMerge(spark, s"$base/mart", df, Seq("id"),
+      Seq(TableLog.InputRef("ord", Some(2))))
+    TableLog.commitOverwrite(spark, s"$base/audit", df,
+      Seq(TableLog.InputRef("ord", None)))
+    val tables = Map("ord" -> s"$base/ord", "mart" -> s"$base/mart",
+      "audit" -> s"$base/audit")
+    assert(Catalog.downstream(spark, tables, "bad_feed") == Seq(
+      ("audit", 1), ("mart", 2), ("ord", 2)),
+      "version-pinned mart@1 stays clean; unversioned audit edge widens")
+    // a source nothing consumed taints nothing
+    assert(Catalog.downstream(spark, tables, "unknown_feed").isEmpty)
+  }
+
   test("catalog build is metadata-only: stats-less manifests publish NULL counts, zero jobs") {
     import scala.jdk.CollectionConverters._
     val base = Files.createTempDirectory("graft_catmeta").toString
