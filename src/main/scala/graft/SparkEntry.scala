@@ -1799,6 +1799,37 @@ object SparkEntry {
         .toDF("tainted_table", "version")
         .orderBy("tainted_table", "version")
     }),
+
+    // ---- Small-file compaction (the lake-maintenance half of
+    //      OPTIMIZE): a fragmented partitioned table (16-way shuffled
+    //      writes → up to 16 near-empty files per event_type
+    //      partition) is rewritten toward the byte target. The oracle
+    //      pins CONTENT preservation (per-partition counts/sums equal
+    //      the raw table); the file accounting — fewer files after,
+    //      every partition at its computed target — is asserted
+    //      in-query because DuckDB can't see the directory layout ----
+    "q133_compaction" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_q133")
+        .resolve("tbl").toString
+      t(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("value"))
+        .repartition(16)
+        .write.partitionBy("event_type").parquet(out)
+      val before = graft.lake.Compaction
+        .plan(s, out, targetFileBytes = 256L * 1024 * 1024)
+      val report = graft.lake.Compaction.compact(s, out,
+        Seq("event_type"), targetFileBytes = 256L * 1024 * 1024)
+      require(before.map(_.files).sum > before.size,
+        "fixture must start fragmented")
+      require(report.rewritten == before.size &&
+        report.filesAfter == before.size,
+        s"every partition should land at its 1-file target: $report")
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -3503,5 +3534,12 @@ object SparkEntry {
         |UNION ALL SELECT 'mv', CAST(1 AS INTEGER)
         |UNION ALL SELECT 'ord', CAST(2 AS INTEGER)
         |ORDER BY tainted_table, version""".stripMargin,
+
+    // Compaction preserves content exactly; the layout assertions live
+    // in the Spark query (DuckDB has no view of the directory tree).
+    "q133_compaction" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
