@@ -1815,10 +1815,11 @@ object SparkEntry {
         .select(col("event_type"), col("user_id"), col("value"))
         .repartition(16)
         .write.partitionBy("event_type").parquet(out)
-      val before = graft.lake.Compaction
-        .plan(s, out, targetFileBytes = 256L * 1024 * 1024)
       val report = graft.lake.Compaction.compact(s, out,
         Seq("event_type"), targetFileBytes = 256L * 1024 * 1024)
+      // report.partitions IS the before-plan (compact() snapshots the
+      // listing before rewriting) — no second directory walk needed
+      val before = report.partitions
       require(before.map(_.files).sum > before.size,
         "fixture must start fragmented")
       require(report.rewritten == before.size &&

@@ -96,14 +96,20 @@ object Catalog {
     * is NULL for unversioned external inputs (raw feeds, views). */
   def lineage(spark: SparkSession, tables: Map[String, String]): DataFrame = {
     import spark.implicits._
-    val edges = tables.toSeq.sortBy(_._1).flatMap { case (name, path) =>
-      TableLog.history(spark, path).flatMap { c =>
-        c.inputs.map(i => (name, c.version, i.table, i.version, c.action))
-      }
-    }
-    edges.toDF("output_table", "output_version",
+    allCommits(spark, tables).flatMap { case (name, c) =>
+      c.inputs.map(i => (name, c.version, i.table, i.version, c.action))
+    }.toDF("output_table", "output_version",
       "input_table", "input_version", "action")
   }
+
+  /** Every commit of every listed table, name-sorted — the one walk
+    * both lineage views ([[lineage]], [[downstream]]) derive their
+    * edges from, so edge semantics can't diverge between them. */
+  private def allCommits(spark: SparkSession,
+      tables: Map[String, String]): Seq[(String, TableLog.Commit)] =
+    tables.toSeq.sortBy(_._1).flatMap { case (name, path) =>
+      TableLog.history(spark, path).map(name -> _)
+    }
 
   /** Transitive upstream closure of `table`: every (table, version)
     * reachable by following the LATEST commit's inputs of each listed
@@ -147,16 +153,27 @@ object Catalog {
     * exactly that (table, version); an edge recorded without a
     * version propagates if ANY version of its input table is tainted
     * — impact analysis must answer "might be affected", so unknown
-    * versions widen the set rather than narrow it. Driver-side
-    * fixpoint over the manifest edge list (edge count, not data);
-    * monotone marking terminates on cycles. */
+    * versions widen the set rather than narrow it. Taint also carries
+    * FORWARD through a table's own versions: every commit that derives
+    * from the previous snapshot (append, merge, constraint, delete,
+    * rollback — anything but an overwrite, which rebuilds content
+    * purely from its declared inputs) gets an implicit
+    * (table, v-1) → (table, v) edge, because a tainted version's rows
+    * physically persist in later snapshots even when the later commit's
+    * declared inputs are clean. Driver-side fixpoint over the manifest
+    * edge list (edge count, not data); monotone marking terminates on
+    * cycles. */
   def downstream(spark: SparkSession, tables: Map[String, String],
       source: String): Seq[(String, Int)] = {
-    val edges = tables.toSeq.sortBy(_._1).flatMap { case (name, path) =>
-      TableLog.history(spark, path).flatMap { c =>
-        c.inputs.map(i => (name, c.version, i.table, i.version))
-      }
+    val commits = allCommits(spark, tables)
+    val declared = commits.flatMap { case (name, c) =>
+      c.inputs.map(i => (name, c.version, i.table, i.version))
     }
+    val carried = commits.collect {
+      case (name, c) if c.version > 1 && c.action != "overwrite" =>
+        (name, c.version, name, Some(c.version - 1))
+    }
+    val edges = declared ++ carried
     val marked = scala.collection.mutable.Set.empty[(String, Int)]
     var changed = true
     while (changed) {

@@ -141,6 +141,24 @@ class CatalogSpec extends AnyFunSuite {
       "version-pinned mart@1 stays clean; unversioned audit edge widens")
     // a source nothing consumed taints nothing
     assert(Catalog.downstream(spark, tables, "unknown_feed").isEmpty)
+    // taint carries FORWARD through snapshot-deriving commits: ord v3
+    // appends clean rows, but v2's poisoned rows persist in the v3
+    // snapshot — a consumer pinned to ord@3 must still be flagged
+    TableLog.commitAppend(spark, s"$base/ord",
+      Seq((3L, "c")).toDF("id", "v"), "append",
+      Seq(TableLog.InputRef("clean_feed", None)))
+    TableLog.commitMerge(spark, s"$base/mart", df, Seq("id"),
+      Seq(TableLog.InputRef("ord", Some(3))))
+    assert(Catalog.downstream(spark, tables, "bad_feed").toSet == Set(
+      ("audit", 1), ("mart", 2), ("mart", 3), ("ord", 2), ("ord", 3)),
+      "append carries taint to ord@3 and its pinned consumer mart@3")
+    // an OVERWRITE rebuilds content purely from its declared inputs —
+    // the carry chain breaks and later versions start clean
+    TableLog.commitOverwrite(spark, s"$base/ord", df,
+      Seq(TableLog.InputRef("clean_feed", None)))
+    assert(!Catalog.downstream(spark, tables, "bad_feed")
+      .contains(("ord", 4)),
+      "overwrite from clean inputs is not tainted by prior versions")
   }
 
   test("catalog build is metadata-only: stats-less manifests publish NULL counts, zero jobs") {
