@@ -1793,6 +1793,11 @@ object SparkEntry {
           TableLog.inputRef(s, p("ord"), "ord")))
       MaterializedAgg.refresh(s, p("ord"), p("mv"),
         MaterializedAgg.AggSpec(Seq("o_custkey"), sumCols = Seq("o_totalprice")))
+      // ord v3: a CLEAN append — the feed's rows persist in the v3
+      // snapshot, so forward carry must keep v3 in the closure
+      TableLog.commitAppend(s, p("ord"),
+        ord.filter(col("o_orderkey") % 3 === 0), "append",
+        Seq(TableLog.InputRef("raw/orders_clean", None)))
       val tables = Map("cust" -> p("cust"), "ord" -> p("ord"),
         "mart" -> p("mart"), "mv" -> p("mv"))
       Catalog.downstream(s, tables, "raw/orders_feed")
@@ -3528,12 +3533,14 @@ object SparkEntry {
         |UNION ALL SELECT 'ord', CAST(1 AS INTEGER), 'append'
         |ORDER BY table_name, version""".stripMargin,
 
-    // The feed fed ord@2; ord@2 fed mart@2 and the MV refresh. mart@1
-    // consumed ord@1 and stays clean.
+    // The feed fed ord@2; ord@2 fed mart@2 and the MV refresh; the
+    // clean ord@3 append still CONTAINS the feed's rows (forward
+    // carry). mart@1 consumed ord@1 and stays clean.
     "q132_impact" ->
       """SELECT 'mart' AS tainted_table, CAST(2 AS INTEGER) AS version
         |UNION ALL SELECT 'mv', CAST(1 AS INTEGER)
         |UNION ALL SELECT 'ord', CAST(2 AS INTEGER)
+        |UNION ALL SELECT 'ord', CAST(3 AS INTEGER)
         |ORDER BY tainted_table, version""".stripMargin,
 
     // Compaction preserves content exactly; the layout assertions live
