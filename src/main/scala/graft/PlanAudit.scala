@@ -43,18 +43,29 @@ object PlanAudit {
       : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    val kids = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case other => other.children
+    // a cached relation referenced from several scans (or nested inside
+    // another cached plan) must be counted ONCE — otherwise chained
+    // caches (funnel step frames, LSH signatures) double-count their
+    // shuffles/joins in the audit numbers
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[
+        org.apache.spark.sql.execution.SparkPlan, java.lang.Boolean]())
+    def walk(q: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = q match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      val here = q match {
+        case m: InMemoryTableScanExec if seen.add(m.relation.cachedPlan) =>
+          val cp = m.relation.cachedPlan
+          cp +: walk(cp)
+        case _ => Seq.empty
+      }
+      here ++ kids.flatMap(walk)
     }
-    val here = p match {
-      case m: InMemoryTableScanExec =>
-        val cp = m.relation.cachedPlan
-        cp +: cachedPlans(cp)
-      case _ => Seq.empty
-    }
-    here ++ kids.flatMap(cachedPlans)
+    walk(p)
   }
 
   /** Audit every contract query's physical plan at `sfDir`. */

@@ -127,13 +127,15 @@ object Catalog {
     * data), and the visited-set guard makes cycles terminate. */
   def upstream(spark: SparkSession, tables: Map[String, String],
       table: String): Seq[TableLog.InputRef] = {
+    // one manifest pass up front: re-reading history per visited node
+    // would re-list and re-parse a table's whole log once per hop
+    val byName = allCommits(spark, tables).groupMap(_._1)(_._2)
     val acc = scala.collection.mutable.LinkedHashSet.empty[TableLog.InputRef]
-    def inputsAt(name: String, version: Option[Int]): Seq[TableLog.InputRef] =
-      tables.get(name).toSeq.flatMap { path =>
-        val h = TableLog.history(spark, path)
-        version.map(v => h.find(_.version == v)).getOrElse(h.lastOption)
-          .toSeq.flatMap(_.inputs)
-      }
+    def inputsAt(name: String, version: Option[Int]): Seq[TableLog.InputRef] = {
+      val h = byName.getOrElse(name, Seq.empty)
+      version.map(v => h.find(_.version == v)).getOrElse(h.lastOption)
+        .toSeq.flatMap(_.inputs)
+    }
     def walk(name: String, version: Option[Int]): Unit =
       inputsAt(name, version).foreach { in =>
         if (acc.add(in)) walk(in.table, in.version)
@@ -169,9 +171,16 @@ object Catalog {
     val declared = commits.flatMap { case (name, c) =>
       c.inputs.map(i => (name, c.version, i.table, i.version))
     }
-    val carried = commits.collect {
+    val carried = commits.flatMap {
+      // rollback's snapshot is some EARLIER version's content, and the
+      // manifest doesn't record which — widen to every prior version
+      // (over-approximate, per contract) so a rollback to a tainted
+      // snapshot can't escape through an intervening clean overwrite
+      case (name, c) if c.action == "rollback" && c.version > 1 =>
+        (1 until c.version).map(u => (name, c.version, name, Some(u)))
       case (name, c) if c.version > 1 && c.action != "overwrite" =>
-        (name, c.version, name, Some(c.version - 1))
+        Seq((name, c.version, name, Some(c.version - 1)))
+      case _ => Seq.empty
     }
     val edges = declared ++ carried
     val marked = scala.collection.mutable.Set.empty[(String, Int)]
@@ -197,11 +206,10 @@ object Catalog {
   def commitsOfRun(spark: SparkSession, tables: Map[String, String],
       runId: String): DataFrame = {
     import spark.implicits._
-    tables.toSeq.sortBy(_._1).flatMap { case (name, path) =>
-      TableLog.history(spark, path)
-        .filter(_.runId.contains(runId))
-        .map(c => (name, c.version, c.action, c.timestampMs))
-    }.toDF("table_name", "version", "action", "committed_at_ms")
+    allCommits(spark, tables)
+      .filter(_._2.runId.contains(runId))
+      .map { case (name, c) => (name, c.version, c.action, c.timestampMs) }
+      .toDF("table_name", "version", "action", "committed_at_ms")
   }
 
   /** Materialize the catalog AS a TableLog table at `path` (overwrite

@@ -55,7 +55,14 @@ object TableLog {
     * alone can't answer "show me everything run X wrote"). Scoped
     * dynamically so orchestration code stamps ONE id around its whole
     * body instead of threading a parameter through every commit
-    * call; commits outside any scope record none. */
+    * call; commits outside any scope record none.
+    *
+    * Thread caveat (DynamicVariable = InheritableThreadLocal): only
+    * threads CREATED inside the scope inherit the id. Commits issued
+    * from a pre-existing pool thread record none, and a streaming
+    * query started inside the scope keeps stamping the id on batches
+    * that commit after the scope exits — attribute streaming sinks to
+    * a run only when the stream's lifetime is the run's lifetime. */
   private val activeRunId =
     new scala.util.DynamicVariable[Option[String]](None)
 
@@ -139,12 +146,18 @@ object TableLog {
           },
           lines.tail.find(_.startsWith("#t\t")).map(_.drop(3).toLong),
           lines.tail.filter(_.startsWith("#i\t")).flatMap { l =>
+            // "-" is INTENTIONALLY unversioned (external feed); a
+            // garbled version token skips the whole edge instead of
+            // degrading to unversioned — Catalog.upstream resolves
+            // unversioned as "latest", so a parse-mangled edge would
+            // silently widen provenance to the current state
             val p = l.split("\t", -1)
             if (p.length < 3) None
             else scala.util.Try(java.net.URLDecoder.decode(p(1), "UTF-8"))
-              .toOption.map { table =>
-                InputRef(table, Option(p(2)).filter(_ != "-")
-                  .flatMap(s => scala.util.Try(s.toInt).toOption))
+              .toOption.flatMap { table =>
+                if (p(2) == "-") Some(InputRef(table, None))
+                else scala.util.Try(p(2).toInt).toOption
+                  .map(v => InputRef(table, Some(v)))
               }
           },
           lines.tail.find(_.startsWith("#r\t")).map(l =>

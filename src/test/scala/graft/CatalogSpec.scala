@@ -159,6 +159,14 @@ class CatalogSpec extends AnyFunSuite {
     assert(!Catalog.downstream(spark, tables, "bad_feed")
       .contains(("ord", 4)),
       "overwrite from clean inputs is not tainted by prior versions")
+    // ROLLBACK may restore ANY earlier snapshot and the manifest does
+    // not record which — it must widen to every prior version, so a
+    // rollback to the poisoned v2 behind the clean overwrite can't
+    // escape the closure
+    TableLog.rollback(spark, s"$base/ord", 2)
+    assert(Catalog.downstream(spark, tables, "bad_feed")
+      .contains(("ord", 5)),
+      "rollback past a clean overwrite still reaches the taint")
   }
 
   test("catalog build is metadata-only: stats-less manifests publish NULL counts, zero jobs") {

@@ -408,15 +408,20 @@ class TableLogSpec extends AnyFunSuite {
     val h = TableLog.history(spark, path)
     assert(h.map(_.runId) == Seq(Some("run-42"), None))
     // an external writer appends lineage lines by hand: one truncated,
-    // one with a junk version, one valid — history() must keep parsing
+    // one with a junk version, one explicitly unversioned, one valid —
+    // history() must keep parsing
     val m2 = java.nio.file.Paths.get(path, "_graft_log", "v00000002.manifest")
     val lines = Files.readAllLines(m2).asScala.toSeq ++
-      Seq("#i\tonly_table", "#i\tfeed\tnot_a_number", "#i\tgood\t7")
+      Seq("#i\tonly_table", "#i\tfeed\tnot_a_number", "#i\text\t-",
+        "#i\tgood\t7")
     Files.write(m2, lines.asJava)
     val reread = TableLog.history(spark, path).last
     assert(reread.inputs.contains(TableLog.InputRef("good", Some(7))))
-    assert(reread.inputs.contains(TableLog.InputRef("feed", None)),
-      "junk version degrades to an unversioned edge, not a crash")
+    assert(reread.inputs.contains(TableLog.InputRef("ext", None)),
+      "explicit '-' is an intentionally unversioned edge")
+    assert(!reread.inputs.exists(_.table == "feed"),
+      "a garbled version skips the edge — degrading to unversioned " +
+        "would widen upstream provenance to the current state")
     assert(!reread.inputs.exists(_.table == "only_table"),
       "truncated line is skipped")
     // the snapshot itself still reads
