@@ -329,6 +329,19 @@ object TableLog {
   /** Metadata-only row count from manifest stats — `SELECT count(*)`
     * without opening a single data file. `None` when the snapshot
     * predates stats collection (then count the ordinary way). */
+  /** Rows carried by `commit`'s dirs that are NOT in `prevDirs`,
+    * resolved from manifest file stats alone — lets a foreachBatch
+    * sink report "rows appended this commit" without re-evaluating
+    * the frame it just wrote (the second evaluation re-runs the whole
+    * admission/report pipeline per micro-batch). None when stats
+    * don't cover the new dirs (pre-stats writers). */
+  def newDirRows(commit: Commit, prevDirs: Set[String]): Option[Long] = {
+    val nd = commit.dirs.filterNot(prevDirs)
+    if (nd.isEmpty) return Some(0L)
+    val counted = commit.stats.filter(f => nd.exists(f.file.startsWith))
+    if (counted.isEmpty) None else Some(counted.map(_.rows).sum)
+  }
+
   def countRows(spark: SparkSession, path: String,
       version: Option[Int] = None): Option[Long] = {
     val commit = resolve(spark, path, version)

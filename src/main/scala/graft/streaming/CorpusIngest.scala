@@ -46,7 +46,8 @@ object CorpusIngest {
       idCol: String = "doc_id", textCol: String = "text"): Long = {
     val act = admitAction(batchId)
     val bandHist = TableLog.history(spark, bandStorePath)
-    val corpusDone = TableLog.history(spark, corpusPath).exists(_.action == act)
+    val corpusHist = TableLog.history(spark, corpusPath)
+    val corpusDone = corpusHist.exists(_.action == act)
     val priorBandCommit = bandHist.find(_.action == act)
     if (corpusDone && priorBandCommit.isDefined) return 0L
 
@@ -62,14 +63,26 @@ object CorpusIngest {
     val adm = IncrementalDedup.admitBatch(
       batch.select(col(idCol), col(textCol)), store,
       idCol = idCol, textCol = textCol)
-    if (priorBandCommit.isEmpty)
-      TableLog.commitAppend(spark, bandStorePath, adm.bands, act)
-    if (!corpusDone) {
-      val accepted = batch.join(
-        adm.accepted.select(col(idCol)), Seq(idCol), "left_semi")
-      TableLog.commitAppend(spark, corpusPath, accepted, act)
-      accepted.count()
-    } else 0L
+    try {
+      if (priorBandCommit.isEmpty)
+        TableLog.commitAppend(spark, bandStorePath, adm.bands, act)
+      if (!corpusDone) {
+        // semi-join on the FULL batch (adm.accepted carries only the
+        // (id, text) projection admitBatch saw); appended-row count
+        // resolves from the commit's file stats, not a re-evaluation
+        // of the admission pipeline
+        val accepted = batch.join(
+          adm.accepted.select(col(idCol)), Seq(idCol), "left_semi")
+        val prevDirs = corpusHist.lastOption.map(_.dirs.toSet)
+          .getOrElse(Set.empty[String])
+        val c = TableLog.commitAppend(spark, corpusPath, accepted, act)
+        TableLog.newDirRows(c, prevDirs).getOrElse(accepted.count())
+      } else 0L
+    } finally
+      // admitBatch persists the batch band table for its three
+      // consumers; a long-running ingest would otherwise leak one
+      // cached frame per micro-batch
+      adm.bands.unpersist(blocking = false)
   }
 
   /** Continuous admission of a parquet document stream into the corpus
@@ -80,13 +93,9 @@ object CorpusIngest {
       corpusPath: String, bandStorePath: String, checkpointDir: String,
       glob: String = "documents.parquet",
       maxFilesPerTrigger: Option[Int] = None): Unit = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions",
-      Streams.StreamShufflePartitions.toString)
-    val schema = ss.read.option("pathGlobFilter", glob).parquet(sourceDir).schema
-    val reader = ss.readStream.schema(schema).option("pathGlobFilter", glob)
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val q = reader.parquet(sourceDir).writeStream
+    val ss = Streams.streamSession(spark)
+    val q = Streams.parquetStream(ss, sourceDir, glob, maxFilesPerTrigger)
+      .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitOnce(batch.sparkSession, batch, corpusPath, bandStorePath,
           batchId)

@@ -39,12 +39,16 @@ object DriftMonitor {
       baselinePath: String, baselineVersion: Int, reportPath: String,
       valueCol: String, bucketWidth: Double, batchId: Long): Long = {
     val act = driftAction(batchId)
-    if (TableLog.history(spark, reportPath).exists(_.action == act)) return 0L
+    val hist = TableLog.history(spark, reportPath)
+    if (hist.exists(_.action == act)) return 0L
     val baseline = TableLog.read(spark, baselinePath, Some(baselineVersion))
     val report = Drift.psiReport(baseline, batch, valueCol, bucketWidth)
       .withColumn("batch_id", lit(batchId))
-    TableLog.commitAppend(spark, reportPath, report, act)
-    report.count()
+    val prevDirs = hist.lastOption.map(_.dirs.toSet).getOrElse(Set.empty[String])
+    val c = TableLog.commitAppend(spark, reportPath, report, act)
+    // the commit already materialized the report once; its file stats
+    // carry the row count — re-evaluating would scan the baseline again
+    TableLog.newDirRows(c, prevDirs).getOrElse(report.count())
   }
 
   /** Watch a parquet stream directory; one PSI report per micro-batch
@@ -55,13 +59,9 @@ object DriftMonitor {
       baselinePath: String, baselineVersion: Int, reportPath: String,
       valueCol: String, bucketWidth: Double, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None): Unit = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions",
-      Streams.StreamShufflePartitions.toString)
-    val schema = ss.read.option("pathGlobFilter", glob).parquet(sourceDir).schema
-    val reader = ss.readStream.schema(schema).option("pathGlobFilter", glob)
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val q = reader.parquet(sourceDir).writeStream
+    val ss = Streams.streamSession(spark)
+    val q = Streams.parquetStream(ss, sourceDir, glob, maxFilesPerTrigger)
+      .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         reportOnce(batch.sparkSession, batch, baselinePath, baselineVersion,
           reportPath, valueCol, bucketWidth, batchId)

@@ -21,13 +21,19 @@ object StatefulSessions extends Serializable {
   case class Session(user_id: Long, start_us: Long, end_us: Long,
       n_events: Long, total_value: Double)
 
+  // full microsecond precision: getTime alone truncates to millis,
+  // diverging from the batch Sessionize operator's unix_micros math
+  // (and breaking same-millisecond ordering) for TIMESTAMP_MICROS data
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
   def sessionsFor(events: Iterator[Event], gapUs: Long,
       userId: Long, existing: Option[SessionState]):
       (Seq[Session], Option[SessionState]) = {
     var state = existing
     val closed = Seq.newBuilder[Session]
-    events.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
-      val us = e.ts.getTime * 1000L
+    events.toSeq.sortBy(e => (micros(e.ts), e.value)).foreach { e =>
+      val us = micros(e.ts)
       state match {
         case Some(s) if us - s.lastTs <= gapUs =>
           state = Some(s.copy(lastTs = us, n = s.n + 1, total = s.total + e.value))
@@ -41,11 +47,25 @@ object StatefulSessions extends Serializable {
     (closed.result(), state)
   }
 
-  /** Run gap-sessionization over a bounded stream of events and return
-    * all sessions (open ones flushed at end via state timeout when the
-    * stream is drained with AvailableNow). */
+  /** Run gap-sessionization over a bounded stream of events. Returns
+    * every CLOSED session, plus open sessions whose event-time timeout
+    * (last event + gap) falls at or before the final watermark
+    * (max event time − `latenessSeconds`). The trailing open session
+    * of a user active within `gap + lateness` of stream end stays in
+    * the state store — a drained AvailableNow run cannot advance the
+    * watermark past its own max event time, so that timeout never
+    * fires; it flushes only when a later run's data moves the
+    * watermark. Callers comparing against batch Sessionize must
+    * compare closed sessions.
+    *
+    * `latenessSeconds` is the disorder tolerance: flatMapGroupsWithState
+    * with an event-time timeout DROPS rows older than the watermark, so
+    * cross-batch disorder beyond it silently loses events — while a
+    * larger value delays (or, in a bounded run, prevents) timeout
+    * flushes. Single-batch runs are insensitive to it; multi-batch
+    * sources should size it to their real out-of-orderness. */
   def run(spark: SparkSession, events: Dataset[Event], gapSeconds: Long,
-      sinkName: String): Dataset[Session] = {
+      sinkName: String, latenessSeconds: Long = 60L): Dataset[Session] = {
     import spark.implicits._
     val gapUs = gapSeconds * 1000000L
 
@@ -68,7 +88,7 @@ object StatefulSessions extends Serializable {
     }
 
     val q = events
-      .withWatermark("ts", "1 minute")
+      .withWatermark("ts", s"$latenessSeconds seconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)

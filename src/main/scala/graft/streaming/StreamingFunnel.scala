@@ -100,13 +100,11 @@ object StreamingFunnel extends Serializable {
   def funnelCounts(spark: SparkSession, dir: String,
       steps: Seq[String], glob: String = "events.parquet"): DataFrame = {
     import spark.implicits._
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions",
-      Streams.StreamShufflePartitions.toString)
+    val ss = Streams.streamSession(spark)
     val events = Streams.eventStream(ss, dir, glob)
       .select(col("user_id"), col("ts"), col("event_type"))
       .as[Ev](Encoders.product[Ev])
-    val name = s"graft_funnel_${System.identityHashCode(events).toHexString}"
+    val name = s"graft_funnel_${Streams.counter.incrementAndGet()}"
     val completions = run(ss, events, steps, name).toDF()
     val stepNames = steps.zipWithIndex
       .map { case (s, i) => (i + 1, s) }.toDF("step", "event_type")

@@ -31,7 +31,11 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object Streams {
 
-  private val counter = new java.util.concurrent.atomic.AtomicLong(0)
+  // shared by every memory-sink name in this package: monotonic, so
+  // two runs in one JVM can never collide (identityHashCode can — two
+  // Dataset instances may share a hash after GC)
+  private[streaming] val counter =
+    new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Shuffle-partition count for the local verification/bench runs. */
   val StreamShufflePartitions = 4
@@ -42,10 +46,24 @@ object Streams {
     * into — or races with — concurrent batch work on the parent
     * session (mutating the shared conf around `start()` would, under
     * the concurrent-domain orchestration this engine runs). */
-  private def streamSession(spark: SparkSession, shufflePartitions: Int): SparkSession = {
+  private[streaming] def streamSession(spark: SparkSession,
+      shufflePartitions: Int = StreamShufflePartitions): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
     ss
+  }
+
+  /** File-source stream over parquet files matching `glob`: one
+    * schema-inference batch read, then a schema-pinned readStream —
+    * the shared recipe behind every ingest loop in this package
+    * ([[eventStream]] layers the nanos-ts repair on top). Kept in ONE
+    * place so a reader fix (like that repair) lands everywhere. */
+  private[streaming] def parquetStream(spark: SparkSession, dir: String,
+      glob: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
   }
 
   /** File-source stream over the single events parquet file (or a
@@ -56,11 +74,8 @@ object Streams {
       glob: String = "events.parquet",
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
-    val reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val raw = reader.parquet(dir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    val raw = parquetStream(spark, dir, glob, maxFilesPerTrigger)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     else raw
   }

@@ -98,16 +98,14 @@ object UserProfiles extends Serializable {
     * equal to the batch per-user aggregate. */
   def userProfiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions",
-      Streams.StreamShufflePartitions.toString)
+    val ss = Streams.streamSession(spark)
     val events = {
       import org.apache.spark.sql.functions.col
       Streams.eventStream(ss, dir)
         .select(col("user_id"), col("ts"), col("value"))
         .as[Event](Encoders.product[Event])
     }
-    val name = s"graft_profiles_${System.identityHashCode(events).toHexString}"
+    val name = s"graft_profiles_${Streams.counter.incrementAndGet()}"
     run(ss, events, name)
       .toDF()
       .select(col("user_id"), col("n_events"),

@@ -36,20 +36,25 @@ object VectorIngest {
       idCol: String = "vec_id", vecCol: String = "embedding"): (Long, Double) = {
     val act = admitAction(batchId)
     val postings = VectorIndex.postingsPath(indexRoot)
-    if (TableLog.history(spark, postings).exists(_.action == act))
-      return (0L, Double.NaN)
-    val n = batch.count()
-    if (n == 0) return (0L, Double.NaN)
+    val hist = TableLog.history(spark, postings)
+    if (hist.exists(_.action == act)) return (0L, Double.NaN)
+    if (batch.isEmpty) return (0L, Double.NaN)
     val (cents, buildErr) = VectorIndex.loadCodebook(spark, indexRoot)
+    // assigned feeds both the drift aggregate and the postings write —
+    // pay the centroid assignment once per batch, not twice
     val assigned = graft.operators.Similarity
       .assignToCentroids(batch, cents, idCol, vecCol)
-    val drift = VectorIndex.batchDrift(assigned, cents, buildErr, vecCol)
-    if (failOnDrift && VectorIndex.needsRefit(drift))
-      throw new IllegalStateException(
-        f"embedding drift $drift%.2f exceeds refit tolerance — rebuild the " +
-          "codebook (VectorIndex.build) and restart the stream")
-    TableLog.commitAppend(spark, postings, assigned, act)
-    (n, drift)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val drift = VectorIndex.batchDrift(assigned, cents, buildErr, vecCol)
+      if (failOnDrift && VectorIndex.needsRefit(drift))
+        throw new IllegalStateException(
+          f"embedding drift $drift%.2f exceeds refit tolerance — rebuild the " +
+            "codebook (VectorIndex.build) and restart the stream")
+      val prevDirs = hist.lastOption.map(_.dirs.toSet).getOrElse(Set.empty[String])
+      val c = TableLog.commitAppend(spark, postings, assigned, act)
+      (TableLog.newDirRows(c, prevDirs).getOrElse(assigned.count()), drift)
+    } finally assigned.unpersist(blocking = false)
   }
 
   /** Continuous admission of a parquet embedding stream into the index
@@ -61,13 +66,9 @@ object VectorIngest {
       glob: String = "embeddings.parquet",
       maxFilesPerTrigger: Option[Int] = None,
       failOnDrift: Boolean = false): Unit = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions",
-      Streams.StreamShufflePartitions.toString)
-    val schema = ss.read.option("pathGlobFilter", glob).parquet(sourceDir).schema
-    val reader = ss.readStream.schema(schema).option("pathGlobFilter", glob)
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val q = reader.parquet(sourceDir).writeStream
+    val ss = Streams.streamSession(spark)
+    val q = Streams.parquetStream(ss, sourceDir, glob, maxFilesPerTrigger)
+      .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitBatchOnce(batch.sparkSession, batch, indexRoot, batchId,
           failOnDrift)
