@@ -2041,7 +2041,8 @@ object SparkEntry {
 
     "q14_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
-        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
 
     "q15_text_stats" ->
       """WITH t AS (

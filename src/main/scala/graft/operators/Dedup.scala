@@ -23,11 +23,14 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
-  /** Exact dedup: group identical normalized text, keep the smallest id
-    * as canonical. Map-side partial agg makes this one shuffle of
-    * (hash(text) → id) pairs. */
+  /** Exact dedup: group identical RAW text, keep the smallest id as
+    * canonical. Null text is missing data, not "identical content" —
+    * SQL GROUP BY would collapse every extraction failure into one
+    * giant fake duplicate group, so null rows are excluded. Map-side
+    * partial agg makes this one shuffle of (hash(text) → id) pairs. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
+      .filter(col(textCol).isNotNull)
       .groupBy(col(textCol))
       .agg(
         min(col(idCol)).as(idCol),
@@ -260,32 +263,40 @@ object Dedup {
     * (the explode → 64-conditional-sum groupBy formulation multiplies
     * the row count by the token count and shuffles it back together;
     * parity between the two is asserted in TextDedupSpec). Token-less
-    * docs are dropped, matching the aggregate formulation where they
-    * produce no exploded rows. */
+    * docs (null, empty, whitespace-only — for which split() yields the
+    * single-empty-token array [""], NOT an empty array) are dropped:
+    * every such doc would otherwise share the identical simhash64([""])
+    * fingerprint and turn the candidate self-join quadratic on one
+    * hamming-0 clique. */
   def simHash(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    // stage the token array once: filter and project are separate
-    // physical operators, so tokens() inside both would regex-split
-    // every document twice (the repo's measured CSE pitfall)
     docs
-      .withColumn("__toks", tokens(col(textCol)))
-      .filter(size(col("__toks")) >= 1)
+      .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol),
-        graft.functions.SimHash64.simhash64(col("__toks")).as("simhash"))
+        graft.functions.SimHash64.simhash64(tokens(col(textCol))).as("simhash"))
       .orderBy(idCol)
 
   /** SimHash near-dup candidates: bucket by 16-bit fingerprint chunks
     * (documents within Hamming distance 3 of each other share at least
-    * one of 4 chunks, pigeonhole) then verify Hamming ≤ `maxHamming`. */
+    * one of 4 chunks, pigeonhole) then verify Hamming ≤ `maxHamming`.
+    * Chunk buckets past `maxBucket` are dropped like the MinHash band
+    * buckets (file header contract): a 16-bit chunk value shared by m
+    * boilerplate docs would otherwise put O(m²) rows on one join key. */
   def simHashCandidates(docs: DataFrame, maxHamming: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucket: Int = 200): DataFrame = {
     val fp = simHash(docs, idCol, textCol)
-    val chunked = fp.select(col(idCol), col("simhash"),
+    val chunked0 = fp.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk_id"),
           shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))
       }: _*)).as("c"))
       .select(col(idCol), col("simhash"), col("c.chunk_id"), col("c.chunk"))
+    val bucketSizes = chunked0.groupBy("chunk_id", "chunk")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucket))
+    val chunked = chunked0.join(bucketSizes.select("chunk_id", "chunk"),
+      Seq("chunk_id", "chunk"), "left_semi")
     val a = chunked.select(col("chunk_id"), col("chunk"),
       col(idCol).as("id_a"), col("simhash").as("fp_a"))
     val b = chunked.select(col("chunk_id"), col("chunk"),

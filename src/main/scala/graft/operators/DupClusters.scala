@@ -152,6 +152,17 @@ object DupClusters {
   def clusterDocuments(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", srcCol: String = "id_a",
       dstCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    // the long cast below nulls out non-numeric ids, which would
+    // silently collapse EVERY row into one null cluster — reject the
+    // schema up front instead
+    {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = docs.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"clusterDocuments needs an integral id column; '$idCol' is " +
+          s"${dt.simpleString} — map string ids to longs (e.g. xxhash64) " +
+          "before clustering")
+    }
     val labels = connectedComponents(pairs, srcCol, dstCol, maxIter)
     val assigned = docs.select(col(idCol).cast("long").as(idCol))
       .join(labels.withColumnRenamed("node", idCol), Seq(idCol), "left")

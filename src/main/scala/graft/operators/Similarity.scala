@@ -45,6 +45,14 @@ object Similarity {
       maxId: Long = 200L, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(truncDims.nonEmpty, "need at least one truncation width")
+    require(truncDims.forall(_ > 0), "truncation widths must be positive")
+    // slice(vec, 1, d) with d > len returns the WHOLE vector — the
+    // report would fabricate perfect fidelity for a width that isn't
+    // a truncation at all, so reject widths ≥ the embedding dim
+    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    require(truncDims.forall(_ < dim),
+      s"truncation widths ${truncDims.filter(_ >= dim).mkString(",")} are " +
+        s"not below the embedding dimension $dim — not a truncation")
     val a = emb.filter(col(idCol) < maxId && col(idCol) % 2 === 0)
       .select(col(idCol).as("id_a"), col(vecCol).as("__va"))
     val b = emb.filter(col(idCol) < maxId && col(idCol) % 2 === 1)
@@ -100,6 +108,9 @@ object Similarity {
     * (shared with [[ProductQuantization]]'s per-subspace training). */
   private[operators] def lloydOnSample(points: Array[Array[Float]], k: Int,
       iters: Int): Array[Array[Float]] = {
+    require(points.nonEmpty,
+      "cannot fit centroids on an empty corpus — an upstream filter " +
+        "matched no vectors")
     var cents = points.take(k).map(_.clone())
     val dim = cents(0).length
     var it = 0
@@ -193,31 +204,47 @@ object Similarity {
     * shared chunk) → exact cosine verify within buckets. Precision is
     * exact; recall covers genuinely NEAR pairs (θ → 0 ⇒ chunk-collision
     * probability (1−θ/π)^16 → 1) and falls off for mid-similarity pairs
-    * — the near-DUP contract, same as SimHash over text. The only
-    * shuffle is the chunk equi-join on (int, long) rows. */
+    * — the near-DUP contract, same as SimHash over text.
+    *
+    * Shuffle discipline (the [[Dedup.minHashCandidates]] recipe): the
+    * chunk equi-join carries only (int, long, id) rows — the full
+    * embedding would multiply the shuffle by dim×4 copies per side —
+    * and candidate id pairs are DISTINCT'd before the vectors
+    * re-attach, so a pair sharing all 4 chunks costs one cosine, not
+    * four. Chunk buckets past `maxBucket` are dropped (hot-bucket cap,
+    * same contract as the text-side candidates). */
   def hyperplaneNearDups(vectors: DataFrame, threshold: Double,
       dim: Int, seed: Long = 7L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val signed = vectors.select(col(idCol), col(vecCol),
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucket: Int = 200): DataFrame = {
+    val signed = vectors.select(col(idCol),
       graft.functions.HyperplaneSignature
         .hyperplaneSignature(col(vecCol), numBits = 64, dim = dim, seed = seed)
         .as("hp_sig"))
-    val chunked = signed.select(col(idCol), col(vecCol),
+    val chunked0 = signed.select(col(idCol),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk_id"),
           shiftright(col("hp_sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))
       }: _*)).as("c"))
-      .select(col(idCol), col(vecCol), col("c.chunk_id"), col("c.chunk"))
-    val a = chunked.select(col("chunk_id"), col("chunk"),
-      col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = chunked.select(col("chunk_id"), col("chunk"),
-      col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.join(b, Seq("chunk_id", "chunk"))
+      .select(col(idCol), col("c.chunk_id"), col("c.chunk"))
+    val bucketSizes = chunked0.groupBy("chunk_id", "chunk")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucket))
+    val chunked = chunked0.join(bucketSizes.select("chunk_id", "chunk"),
+      Seq("chunk_id", "chunk"), "left_semi")
+    val pairs = chunked.select(col("chunk_id"), col("chunk"),
+        col(idCol).as("id_a"))
+      .join(chunked.select(col("chunk_id"), col("chunk"),
+        col(idCol).as("id_b")), Seq("chunk_id", "chunk"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    pairs
+      .join(vectors.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), "id_a")
+      .join(vectors.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(cosine(col("v_a"), col("v_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .distinct()
       .orderBy("id_a", "id_b")
   }
 
@@ -247,17 +274,33 @@ object Similarity {
     * cosine is computed per surviving pair); recall < 1 for pairs split
     * across cells — raise numCentroids/lower threshold to trade. */
   def embeddingNearDups(vectors: DataFrame, threshold: Double,
-      numCentroids: Int = 0,
+      numCentroids: Int = 0, maxCell: Int = 4096, neighborWindow: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val nc = if (numCentroids > 0) numCentroids else autoK(vectors)
     val cents = fitCentroids(vectors, nc, idCol = idCol, vecCol = vecCol)
     val assigned = assignToCentroids(vectors, cents, idCol, vecCol)
-    val a = assigned.select(col("cluster_id"),
-      col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = assigned.select(col("cluster_id"),
-      col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.join(b, Seq("cluster_id"))
+    // same skew guard as [[semDeDup]]: a degenerate embedding cluster
+    // puts m ≫ maxCell rows on one cluster_id and the within-cell
+    // self-join goes O(m²) on a single key — oversized cells fall back
+    // to sorted-neighborhood candidates. Candidate pairs are ids only;
+    // vectors re-attach once per pair for the exact cosine.
+    val cellSizes = assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).as("__cell_n"))
+    val withN = assigned.join(broadcast(cellSizes), Seq("cluster_id"))
+    val small = withN.filter(col("__cell_n") <= maxCell)
+      .select(col("cluster_id"), col(idCol))
+    val smallPairs = small.select(col("cluster_id"), col(idCol).as("id_a"))
+      .join(small.select(col("cluster_id"), col(idCol).as("id_b")),
+        Seq("cluster_id"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    val bigPairs = sortedNeighborhoodPairs(
+      withN.filter(col("__cell_n") > maxCell).drop("__cell_n"),
+      dim, neighborWindow, seed = 7L, idCol = idCol, vecCol = vecCol)
+    smallPairs.unionByName(bigPairs)
+      .join(vectors.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), "id_a")
+      .join(vectors.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), "id_b")
       .withColumn("cos_sim", round(cosine(col("v_a"), col("v_b")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
@@ -340,7 +383,13 @@ object Similarity {
     val nc = if (numCentroids > 0) numCentroids else autoKDedup(vectors)
     val cents = fitCentroids(vectors, nc,
       sampleSize = math.max(4096, 4 * nc), idCol = idCol, vecCol = vecCol)
+    // the per-row argmin (k·dim flops) feeds THREE consumers below
+    // (cell sizes, the cell join, centroid cosines) — materialize it
+    // once, eagerly, like every multiply-consumed frame in this repo;
+    // the cache lives until the caller clears it (Bench/Verify do)
     val assigned = assignToCentroids(vectors, cents, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
     // Skew guard: autoKDedup pins the EXPECTED cell at ~256 members, but
     // k-means cells skew — a degenerate embedding cluster can put
     // millions of rows in one cell, turning the within-cell join into
