@@ -1836,6 +1836,38 @@ object SparkEntry {
           round(sum("value"), 2).as("sum_value"))
         .orderBy("event_type")
     }),
+
+    // ---- Quality-aware canonicalization: per duplicate cluster keep
+    //      the LONGEST document (highest n_chars, ties to lowest id) —
+    //      the keep-best policy production dedup ships, as a
+    //      declarative max_by agg (partial-agg combine, no per-cluster
+    //      sort task) over q55's exact cluster partition ----
+    "q134_canonical_keep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DupClusters.canonicalize(docs,
+        DupClusters.clusterDocuments(docs, DupClusters.affixPairs(docs, n = 40)),
+        "n_chars")
+    }),
+
+    // ---- Leakage-proof split: train/val/test hashed on the duplicate
+    //      CLUSTER id, so near-dups can never straddle a boundary —
+    //      the contamination guard plain per-doc hashing (q75) lacks ----
+    "q135_cluster_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Sampling.clusterSplit(docs,
+        DupClusters.clusterDocuments(docs, DupClusters.affixPairs(docs, n = 40)),
+        Seq(("train", 0.90), ("val", 0.07), ("test", 0.03)))
+    }),
+
+    // ---- Token-budget fill: per source take docs in md5 order until
+    //      the char budget (src0 overridden lower) — budget-denominated
+    //      mixing, the way training mixes are actually specified ----
+    "q136_budget_fill" -> ((s, dir) =>
+      graft.operators.Sampling.budgetFill(
+        t(s, dir, "documents"), Seq("source"), "n_chars",
+        budget = 4000L, overrides = Map("src0" -> 1500L))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("cum_cost"))
+        .orderBy("doc_id")),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -3550,5 +3582,91 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n_events,
         |  ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q55's recursive component labeling, then keep-best per cluster:
+    // highest n_chars, ties to the lowest doc_id.
+    "q134_canonical_keep" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
+        |   AND a.doc_id < b.doc_id
+        |  UNION
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON substr(a.text, greatest(1, length(a.text) - 39), 40)
+        |     = substr(b.text, greatest(1, length(b.text) - 39), 40)
+        |   AND a.doc_id < b.doc_id
+        |),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION
+        |  SELECT id_b AS u, id_a AS v FROM pairs
+        |),
+        |reach AS (
+        |  SELECT doc_id AS u, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.u, r.label FROM edges e JOIN reach r ON r.u = e.v
+        |  WHERE r.label < e.u
+        |),
+        |lab AS (SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u),
+        |sized AS (
+        |  SELECT doc_id, cluster_id,
+        |    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        |  FROM lab),
+        |ranked AS (
+        |  SELECT s.doc_id, s.cluster_id, s.cluster_size, d.n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY s.cluster_id
+        |      ORDER BY d.n_chars DESC, s.doc_id ASC) AS rk
+        |  FROM sized s JOIN documents d USING (doc_id))
+        |SELECT doc_id, cluster_id, cluster_size, n_chars
+        |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    // q55's labeling, then q75's md5-prefix split CASE evaluated on the
+    // CLUSTER id (90/7/3 bounds: 0.90 and 0.97 of the 2^32 hash space).
+    "q135_cluster_split" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
+        |   AND a.doc_id < b.doc_id
+        |  UNION
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON substr(a.text, greatest(1, length(a.text) - 39), 40)
+        |     = substr(b.text, greatest(1, length(b.text) - 39), 40)
+        |   AND a.doc_id < b.doc_id
+        |),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION
+        |  SELECT id_b AS u, id_a AS v FROM pairs
+        |),
+        |reach AS (
+        |  SELECT doc_id AS u, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.u, r.label FROM edges e JOIN reach r ON r.u = e.v
+        |  WHERE r.label < e.u
+        |),
+        |lab AS (SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < 'e6666666'
+        |         THEN 'train'
+        |       WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < 'f851eb85'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM lab ORDER BY doc_id""".stripMargin,
+
+    "q136_budget_fill" ->
+      """WITH c AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(SUM(n_chars) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_cost
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, cum_cost FROM c
+        |WHERE cum_cost <= CASE WHEN source = 'src0' THEN 1500 ELSE 4000 END
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -196,4 +196,35 @@ object DupClusters {
       greatest(lit(1), length(col(textCol)) - (n - 1)), lit(n)))
     prefix.unionByName(suffix).distinct()
   }
+
+  /** Quality-aware canonicalization: from each duplicate cluster keep
+    * the single BEST document — highest `scoreCol`, ties to the lowest
+    * id — not the arbitrary min-id member. This is the selection policy
+    * production corpus dedup actually ships (keep the longest / highest-
+    * quality copy; RefinedWeb, FineWeb and the Gopher pipeline all keep
+    * by quality, never by id), layered on [[clusterDocuments]]'s exact
+    * partition. Output: one row per cluster —
+    * (idCol, cluster_id, cluster_size, scoreCol), id-sorted.
+    *
+    * Scale shape: one equi-join of docs to their cluster label (shuffle
+    * on the id key), then a declarative `max_by` aggregate on the
+    * cluster key — partial aggregation combines map-side, so a giant
+    * cluster costs one combiner row per input partition, never a
+    * per-cluster sort (the row_number window a naive version would
+    * use serializes each cluster through one task; `max_by` doesn't).
+    * The (score asc, id desc) ordering struct makes max_by pick
+    * highest score then LOWEST id — deterministic under score ties. */
+  def canonicalize(docs: DataFrame, clusters: DataFrame, scoreCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val joined = docs.select(col(idCol), col(scoreCol))
+      .join(clusters.select(col(idCol), col("cluster_id"), col("cluster_size")),
+        idCol)
+    joined
+      .groupBy("cluster_id", "cluster_size")
+      .agg(max_by(struct(col(idCol), col(scoreCol)),
+        struct(col(scoreCol), (-col(idCol)).as("__negid"))).as("__best"))
+      .select(col(s"__best.$idCol").as(idCol), col("cluster_id"),
+        col("cluster_size"), col(s"__best.$scoreCol").as(scoreCol))
+      .orderBy(idCol)
+  }
 }

@@ -95,6 +95,29 @@ object Sampling {
     df.withColumn("split", expr0)
   }
 
+  /** Leakage-proof train/val/test split: assignment hashed on the
+    * duplicate-CLUSTER id instead of the document id, so near-duplicate
+    * documents can never straddle a split boundary — the standard
+    * guard against test-set contamination via duplicates ([[hashSplit]]
+    * alone routes two near-identical docs independently, and at web
+    * scale some pair WILL land train/test). `clusters` is
+    * [[DupClusters.clusterDocuments]] output (idCol, cluster_id, …).
+    * Output: (idCol, clusterCol, split), id-sorted.
+    *
+    * Scale shape: one equi-join on the id key, then the same map-only
+    * md5-prefix CASE as [[hashSplit]] evaluated on the cluster id —
+    * no extra shuffle over plain hashSplit beyond the label join a
+    * cluster-aware pipeline has already paid for. */
+  def clusterSplit(docs: DataFrame, clusters: DataFrame,
+      splits: Seq[(String, Double)], idCol: String = "doc_id",
+      clusterCol: String = "cluster_id"): DataFrame = {
+    val labeled = docs.select(col(idCol))
+      .join(clusters.select(col(idCol), col(clusterCol)), idCol)
+    hashSplit(labeled, splits, clusterCol)
+      .select(col(idCol), col(clusterCol), col("split"))
+      .orderBy(idCol)
+  }
+
   /** Temperature-based mixture reweighting (the multilingual-corpus
     * sampling rule of XLM-R/mT5: stratum share q_i ∝ p_i^alpha, alpha
     * in (0,1] — alpha=1 keeps the natural mix, smaller alpha flattens
@@ -271,6 +294,44 @@ object Sampling {
     * factor is a per-row map-side expression folded into ONE grouped
     * aggregate — no window, no join; the share normalization runs over
     * the post-agg strata table only. */
+  /** Token-budget corpus fill: per stratum, take documents in the
+    * md5(id) pseudo-random order until their cumulative `costCol`
+    * (token/char count) reaches the stratum's budget — "sample N
+    * tokens per domain", the budget-denominated counterpart of
+    * [[stratifiedN]]'s row quotas, and how training mixes are actually
+    * specified (token budgets, not document counts). The fill stops at
+    * the first document that would cross the budget — PREFIX semantics:
+    * later, smaller documents are not back-filled, so the selection is
+    * a stable prefix of the order (back-filling would let one new
+    * arrival reshuffle which tail docs fit) and the kept mass never
+    * exceeds the budget. Budgets: `budget` for every
+    * stratum, overridable per value of `strataCols.head` via
+    * `overrides` (the [[upsampleByWeight]] literal-CASE pattern).
+    * Appends `cum_cost`, the running post-inclusion total.
+    *
+    * Deterministic (md5 order, ties by id) hence fully oracle-checkable.
+    * Scale shape: one shuffle on the strata columns, then a running-sum
+    * window per stratum — the same bounded-strata contract as
+    * [[stratifiedN]] (languages × sources: thousands of cells, not
+    * billions), with AQE skew-split covering a hot stratum. The filter
+    * keeps only in-budget rows, so downstream stages see the budgeted
+    * corpus, not the full scan. */
+  def budgetFill(df: DataFrame, strataCols: Seq[String], costCol: String,
+      budget: Long, overrides: Map[String, Long] = Map.empty,
+      idCol: String = "doc_id"): DataFrame = {
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    require(budget > 0 && overrides.values.forall(_ > 0),
+      "budgets must be positive")
+    val b = overrides.foldLeft(lit(budget)) { case (acc, (k, v)) =>
+      when(col(strataCols.head) === k, lit(v)).otherwise(acc)
+    }
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_cost", sum(col(costCol)).over(w).cast("bigint"))
+      .filter(col("cum_cost") <= b)
+  }
+
   def decayedMix(df: DataFrame, strataCols: Seq[String], tsCol: String,
       valueCol: String, asOf: String, halfLifeDays: Double): DataFrame = {
     require(strataCols.nonEmpty, "need at least one stratum column")
