@@ -49,6 +49,10 @@ object ScaleProbe {
     val factor = if (args.nonEmpty) args(0).toInt else 10
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    // optional comma-separated op-name filter: probe just the named
+    // ops (e.g. the ones a round added) without repaying the full sweep
+    val only: Option[Set[String]] =
+      args.lift(2).map(_.split(",").map(_.trim).toSet)
     val spark: SparkSession = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("ERROR")
@@ -171,6 +175,30 @@ object ScaleProbe {
         graft.operators.Sampling
           .curriculumShardsApprox(scored, "quality", nShards = 4)
           .groupBy("shard").count().count()
+      },
+      // keep-best per cluster as the declarative max_by agg: synthetic
+      // bounded clusters (8 consecutive ids) keep cluster count ∝ N —
+      // times the label join + partial-agg combine, not the pair
+      // generation (dup_clusters probes that separately)
+      "canonical_keep" -> { d =>
+        val docs = d.withColumn("n_chars", length(col("text")).cast("long"))
+        val assign = docs.select(col("doc_id"),
+          (col("doc_id") - pmod(col("doc_id"), lit(8L))).as("cluster_id"))
+        val clusters = assign.join(
+          assign.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
+          "cluster_id")
+        graft.operators.DupClusters.canonicalize(docs, clusters, "n_chars")
+          .count()
+      },
+      // per-stratum running-sum window under the bounded-strata
+      // contract: 64 hash strata whatever N, so the probe times the
+      // stratum shuffle + cumulative window over growing partitions;
+      // budget high enough that every row is kept (output count ∝ N)
+      "budget_fill" -> { d =>
+        val docs = d.withColumn("n_chars", length(col("text")).cast("long"))
+          .withColumn("stratum", pmod(xxhash64(col("doc_id")), lit(64L)))
+        graft.operators.Sampling.budgetFill(docs, Seq("stratum"), "n_chars",
+          budget = 1000000000L).count()
       })
 
     // ---- embedding-input operators: amplified by cyclic coordinate
@@ -263,7 +291,9 @@ object ScaleProbe {
 
     (ops.map(o => (o._1, o._2, base, big)) ++
       embOps.map(o => (o._1, o._2, embBase, embBig)) ++
-      evOps.map(o => (o._1, o._2, evBase, evBig))).foreach {
+      evOps.map(o => (o._1, o._2, evBase, evBig)))
+      .filter { case (name, _, _, _) => only.forall(_.contains(name)) }
+      .foreach {
       case (name, f, in1, inN) =>
       // pin THIS op's inputs (the trailing clearCache dropped them),
       // so the timed region covers the operator, not input generation
