@@ -1868,6 +1868,37 @@ object SparkEntry {
         budget = 4000L, overrides = Map("src0" -> 1500L))
         .select(col("doc_id"), col("source"), col("n_chars"), col("cum_cost"))
         .orderBy("doc_id")),
+
+    // ---- Calibration report: does the heuristic quality score MEAN
+    //      what it says? Equal-width bins vs a length label — one
+    //      grouped agg, ≤ nBins output rows whatever the corpus ----
+    "q137_calibration" -> ((s, dir) =>
+      graft.operators.QualityModel.calibration(
+        t(s, dir, "documents").select(
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          (col("n_chars") >= 300).as("label")),
+        "quality", "label", nBins = 10)),
+
+    // ---- Split-leakage audit: near-dup pairs straddling a split
+    //      boundary under per-doc hashing vs cluster hashing — the
+    //      quantified case for q135's cluster-keyed assignment ----
+    "q138_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DupClusters.affixPairs(docs, n = 40)
+      val splits = Seq(("train", 0.90), ("val", 0.07), ("test", 0.03))
+      val byDoc = graft.operators.Sampling.hashSplit(docs, splits)
+        .select(col("doc_id"), col("split"))
+      val byCluster = graft.operators.Sampling.clusterSplit(docs,
+        DupClusters.clusterDocuments(docs, pairs), splits)
+      graft.operators.Sampling.splitStraddleAudit(pairs, byDoc)
+        .withColumn("method", lit("doc_hash"))
+        .unionByName(
+          graft.operators.Sampling.splitStraddleAudit(pairs, byCluster)
+            .withColumn("method", lit("cluster_hash")))
+        .select(col("method"), col("n_pairs"), col("n_straddling"),
+          col("straddle_rate"))
+        .orderBy("method")
+    }),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -3668,5 +3699,102 @@ object SparkEntry {
         |SELECT doc_id, source, n_chars, cum_cost FROM c
         |WHERE cum_cost <= CASE WHEN source = 'src0' THEN 1500 ELSE 4000 END
         |ORDER BY doc_id""".stripMargin,
+
+    // q115's quality CTE, binned 10-wide against the n_chars label.
+    "q137_calibration" ->
+      """WITH t AS (
+        |  SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS DOUBLE) AS n,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS sl,
+        |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+        |      ('the','a','of','and','to','in','is','on',
+        |       'der','die','das','und','ist','nicht','ein','zu',
+        |       'el','la','de','que','y','en','un','es',
+        |       'le','et','les','des','est','une') THEN 1 ELSE 0 END))
+        |      AS DOUBLE) AS st
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, ROUND(
+        |    LEAST(n / 16.0, 1.0) * 0.4 +
+        |    (CASE WHEN sl / n BETWEEN 2.0 AND 9.0 THEN 1.0 ELSE 0.5 END) * 0.4 +
+        |    LEAST(st / n * 4.0, 1.0) * 0.2, 4) AS quality
+        |  FROM s),
+        |l AS (
+        |  SELECT q.quality,
+        |    CASE WHEN d.n_chars >= 300 THEN 1.0 ELSE 0.0 END AS lab
+        |  FROM q JOIN documents d USING (doc_id))
+        |SELECT CAST(LEAST(CAST(floor(quality * 10) AS INTEGER), 9) + 1
+        |    AS INTEGER) AS bin,
+        |  COUNT(*) AS n_docs,
+        |  ROUND(AVG(quality), 6) AS avg_score,
+        |  ROUND(AVG(lab), 6) AS frac_positive
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The affix pair table joined to both split assignments: per-doc
+    // md5 hashing leaves straddling pairs; cluster hashing leaves none.
+    "q138_split_leakage" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
+        |   AND a.doc_id < b.doc_id
+        |  UNION
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON substr(a.text, greatest(1, length(a.text) - 39), 40)
+        |     = substr(b.text, greatest(1, length(b.text) - 39), 40)
+        |   AND a.doc_id < b.doc_id
+        |),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION
+        |  SELECT id_b AS u, id_a AS v FROM pairs
+        |),
+        |reach AS (
+        |  SELECT doc_id AS u, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.u, r.label FROM edges e JOIN reach r ON r.u = e.v
+        |  WHERE r.label < e.u
+        |),
+        |lab AS (SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u),
+        |dsplit AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+        |           THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f851eb85'
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |csplit AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < 'e6666666'
+        |           THEN 'train'
+        |         WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < 'f851eb85'
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM lab),
+        |da AS (
+        |  SELECT COUNT(*) AS n_pairs,
+        |    CAST(SUM(CASE WHEN x.split <> y.split THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_straddling
+        |  FROM pairs p JOIN dsplit x ON p.id_a = x.doc_id
+        |    JOIN dsplit y ON p.id_b = y.doc_id),
+        |ca AS (
+        |  SELECT COUNT(*) AS n_pairs,
+        |    CAST(SUM(CASE WHEN x.split <> y.split THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_straddling
+        |  FROM pairs p JOIN csplit x ON p.id_a = x.doc_id
+        |    JOIN csplit y ON p.id_b = y.doc_id)
+        |SELECT 'cluster_hash' AS method, n_pairs, n_straddling,
+        |  ROUND(CAST(n_straddling AS DOUBLE) / n_pairs, 6) AS straddle_rate
+        |FROM ca
+        |UNION ALL
+        |SELECT 'doc_hash', n_pairs, n_straddling,
+        |  ROUND(CAST(n_straddling AS DOUBLE) / n_pairs, 6)
+        |FROM da
+        |ORDER BY method""".stripMargin,
   )
 }

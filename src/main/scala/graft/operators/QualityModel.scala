@@ -127,4 +127,30 @@ object QualityModel {
       .select(col(idCol), col("weak_label").cast("long").as("weak_label"),
         col("model_pred"), col("p_good"), col("is_train"))
   }
+
+  /** Calibration (reliability) report: bin a [0,1] score into `nBins`
+    * equal-width bins and compare each bin's mean score to its observed
+    * positive rate — the standard check that a quality scorer's
+    * numbers MEAN what they say before a threshold is picked from them
+    * (a scorer that says 0.9 but is right 60% of the time needs
+    * recalibrating, not thresholding). Works on any scorer output:
+    * [[score]]'s `p_good`, or the heuristic
+    * [[graft.functions.TextFunctions.qualityScore]] (which is what the
+    * oracled query uses — deterministic, SQL-expressible). Scores at
+    * exactly 1.0 fold into the top bin. Output per non-empty bin:
+    * (bin 1-based, n_docs, avg_score, frac_positive), bin-sorted.
+    *
+    * Scale shape: one map-side bin expression folded into ONE grouped
+    * aggregate over ≤ nBins groups — no window, no join; the report is
+    * nBins rows whatever the corpus size. */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, "need at least one bin")
+    val bin = least(floor(col(scoreCol) * nBins).cast("int"), lit(nBins - 1)) + 1
+    df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col(scoreCol)), 6).as("avg_score"),
+        round(avg(col(labelCol).cast("double")), 6).as("frac_positive"))
+      .orderBy("bin")
+  }
 }

@@ -118,6 +118,34 @@ object Sampling {
       .orderBy(idCol)
   }
 
+  /** Split-leakage audit: of the near-dup candidate pairs, how many
+    * STRADDLE a split boundary (one side train, the other val/test)?
+    * The number [[clusterSplit]] drives to zero by construction and
+    * plain [[hashSplit]] leaves at ~2·f·(1-f) of pairs — run both ways,
+    * this report is the evidence a split is (or is not) leaking
+    * near-duplicate eval docs into training. Output: one row —
+    * (n_pairs, n_straddling, straddle_rate).
+    *
+    * Scale shape: two equi-joins of the PAIR table (the bounded
+    * candidate output of LSH/affix generation, orders of magnitude
+    * smaller than the corpus) against the (id, split) assignment,
+    * then one global agg — no all-pairs, no window. */
+  def splitStraddleAudit(pairs: DataFrame, assign: DataFrame,
+      idCol: String = "doc_id", splitCol: String = "split",
+      srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
+    val a = assign.select(col(idCol).as(srcCol), col(splitCol).as("__sa"))
+    val b = assign.select(col(idCol).as(dstCol), col(splitCol).as("__sb"))
+    pairs.select(srcCol, dstCol)
+      .join(a, srcCol).join(b, dstCol)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L))
+          .as("n_straddling"))
+      .withColumn("straddle_rate",
+        when(col("n_pairs") > 0,
+          round(col("n_straddling").cast("double") / col("n_pairs"), 6))
+          .otherwise(lit(0.0)))
+  }
+
   /** Temperature-based mixture reweighting (the multilingual-corpus
     * sampling rule of XLM-R/mT5: stratum share q_i ∝ p_i^alpha, alpha
     * in (0,1] — alpha=1 keeps the natural mix, smaller alpha flattens

@@ -98,6 +98,37 @@ class CorpusAssemblySpec extends AnyFunSuite {
     if (hugeAt > 0) assert(out.map(_.getLong(3)).max === hugeAt * 10L)
   }
 
+  test("calibration bins scores against observed positives, hand-computed") {
+    val df = Seq(
+      (0.05, true), (0.05, false),           // bin 1: avg .05, frac .5
+      (0.95, true), (0.97, true), (1.0, true) // 1.0 folds into bin 10
+    ).toDF("score", "label")
+    val out = graft.operators.QualityModel
+      .calibration(df, "score", "label", nBins = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1, 2L, 0.05, 0.5),
+      (10, 3L, math.rint((0.95 + 0.97 + 1.0) / 3 * 1e6) / 1e6, 1.0)))
+  }
+
+  test("splitStraddleAudit counts boundary-crossing pairs; clusterSplit " +
+    "drives them to zero") {
+    val splits = Seq(("train", 0.5), ("test", 0.5))
+    val pairs = DupClusters.affixPairs(docs, n = 18)
+    // hand-built per-doc assignment that forces a straddle: put doc 1
+    // train and doc 2 test — pair (1,2) must be counted
+    val forced = Seq((1L, "train"), (2L, "test"), (3L, "train"),
+      (10L, "train"), (11L, "train"), (20L, "test")).toDF("doc_id", "split")
+    val audit = Sampling.splitStraddleAudit(pairs, forced).collect()(0)
+    assert(audit.getLong(0) === pairs.count())
+    assert(audit.getLong(1) >= 1L)   // (1,2) straddles by construction
+    // cluster-keyed assignment: zero straddles whatever the hash does
+    val byCluster = Sampling.clusterSplit(docs, clusters, splits)
+    val clean = Sampling.splitStraddleAudit(pairs, byCluster).collect()(0)
+    assert(clean.getLong(1) === 0L)
+    assert(clean.getDouble(2) === 0.0)
+  }
+
   test("budgetFill determinism: identical output across runs") {
     val df = docs.withColumnRenamed("score", "n_chars")
     def run() = Sampling.budgetFill(df, Seq("text"), "n_chars", budget = 50L)
