@@ -2608,18 +2608,22 @@ object SparkEntry {
     // the min m reaches every member along some path, and m < every
     // intermediate node on it.
     "q55_dup_clusters" ->
-      """WITH RECURSIVE pairs AS (
+      """WITH RECURSIVE rawpairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM documents a JOIN documents b
         |    ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
         |   AND a.doc_id < b.doc_id
-        |  UNION
+        |  UNION ALL
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM documents a JOIN documents b
         |    ON substr(a.text, greatest(1, length(a.text) - 39), 40)
         |     = substr(b.text, greatest(1, length(b.text) - 39), 40)
         |   AND a.doc_id < b.doc_id
         |),
+        |-- DISTINCT as its own step: inside WITH RECURSIVE, DuckDB does
+        |-- not dedup a plain UNION in a non-recursive CTE (suffix pairs
+        |-- that are also prefix pairs survive and inflate counts).
+        |pairs AS (SELECT DISTINCT id_a, id_b FROM rawpairs),
         |edges AS (
         |  SELECT id_a AS u, id_b AS v FROM pairs
         |  UNION
@@ -3617,18 +3621,22 @@ object SparkEntry {
     // q55's recursive component labeling, then keep-best per cluster:
     // highest n_chars, ties to the lowest doc_id.
     "q134_canonical_keep" ->
-      """WITH RECURSIVE pairs AS (
+      """WITH RECURSIVE rawpairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM documents a JOIN documents b
         |    ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
         |   AND a.doc_id < b.doc_id
-        |  UNION
+        |  UNION ALL
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM documents a JOIN documents b
         |    ON substr(a.text, greatest(1, length(a.text) - 39), 40)
         |     = substr(b.text, greatest(1, length(b.text) - 39), 40)
         |   AND a.doc_id < b.doc_id
         |),
+        |-- DISTINCT as its own step: inside WITH RECURSIVE, DuckDB does
+        |-- not dedup a plain UNION in a non-recursive CTE (suffix pairs
+        |-- that are also prefix pairs survive and inflate counts).
+        |pairs AS (SELECT DISTINCT id_a, id_b FROM rawpairs),
         |edges AS (
         |  SELECT id_a AS u, id_b AS v FROM pairs
         |  UNION
@@ -3656,18 +3664,22 @@ object SparkEntry {
     // q55's labeling, then q75's md5-prefix split CASE evaluated on the
     // CLUSTER id (90/7/3 bounds: 0.90 and 0.97 of the 2^32 hash space).
     "q135_cluster_split" ->
-      """WITH RECURSIVE pairs AS (
+      """WITH RECURSIVE rawpairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM documents a JOIN documents b
         |    ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
         |   AND a.doc_id < b.doc_id
-        |  UNION
+        |  UNION ALL
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM documents a JOIN documents b
         |    ON substr(a.text, greatest(1, length(a.text) - 39), 40)
         |     = substr(b.text, greatest(1, length(b.text) - 39), 40)
         |   AND a.doc_id < b.doc_id
         |),
+        |-- DISTINCT as its own step: inside WITH RECURSIVE, DuckDB does
+        |-- not dedup a plain UNION in a non-recursive CTE (suffix pairs
+        |-- that are also prefix pairs survive and inflate counts).
+        |pairs AS (SELECT DISTINCT id_a, id_b FROM rawpairs),
         |edges AS (
         |  SELECT id_a AS u, id_b AS v FROM pairs
         |  UNION
@@ -3736,18 +3748,22 @@ object SparkEntry {
     // The affix pair table joined to both split assignments: per-doc
     // md5 hashing leaves straddling pairs; cluster hashing leaves none.
     "q138_split_leakage" ->
-      """WITH RECURSIVE pairs AS (
+      """WITH RECURSIVE rawpairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM documents a JOIN documents b
         |    ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
         |   AND a.doc_id < b.doc_id
-        |  UNION
+        |  UNION ALL
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM documents a JOIN documents b
         |    ON substr(a.text, greatest(1, length(a.text) - 39), 40)
         |     = substr(b.text, greatest(1, length(b.text) - 39), 40)
         |   AND a.doc_id < b.doc_id
         |),
+        |-- DISTINCT as its own step: inside WITH RECURSIVE, DuckDB does
+        |-- not dedup a plain UNION in a non-recursive CTE (suffix pairs
+        |-- that are also prefix pairs survive and inflate counts).
+        |pairs AS (SELECT DISTINCT id_a, id_b FROM rawpairs),
         |edges AS (
         |  SELECT id_a AS u, id_b AS v FROM pairs
         |  UNION
