@@ -23,22 +23,32 @@ object Bench {
       graft.operators.QualityModel.score(toy, f).write.format("noop")
         .mode("overwrite").save()
     }
+    // Schema tripwire (see Sources.driverSchemaCheck): driver-data
+    // drift should surface as a named WARN here, never as a crashed
+    // bench — the round-8 failure mode (BENCH_r08 rc=1 in warm-up).
+    graft.io.Sources.driverSchemaCheck(spark, sfDir)
+      .foreach(w => System.err.println(s"[bench] SCHEMA DRIFT: $w"))
     // warm every base table end-to-end (footers + data pages + the
-    // nanos-timestamp repair path): a noop write materializes all
-    // columns, so no measured query pays the corpus' first-touch IO —
-    // the bench measures engine work, not page-cache state
+    // ts-repair path): a noop write materializes all columns, so no
+    // measured query pays the corpus' first-touch IO — the bench
+    // measures engine work, not page-cache state. Per-table try: one
+    // unreadable table must cost its own queries, not the whole round.
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
-      graft.io.Sources.table(spark, sfDir, t)
+      try graft.io.Sources.table(spark, sfDir, t)
         .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $t failed: ${e.getMessage}")
+      }
     }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every row/column (count() would let
       // Catalyst drop sorts and prune the projection — benching a
       // shallower plan than the one users run)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable => errors(name) = e.getClass.getSimpleName }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators may persist intermediates (LSH signatures); release
       // them so later queries aren't measured under accumulated memory
@@ -47,8 +57,10 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -14,6 +14,12 @@ object Verify {
     val spark = GraftSession.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Schema tripwire: a driver-data regeneration that retypes a base
+    // table must be a one-line diagnosis, not a silently smaller output
+    // set (the round-8 failure mode).
+    graft.io.Sources.driverSchemaCheck(spark, sfDir)
+      .foreach(w => System.err.println(s"[verify] SCHEMA DRIFT: $w"))
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -21,6 +27,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
       // queries that persist eagerly (funnel step frames, LSH
       // signatures) would otherwise stay resident across the remaining
@@ -42,6 +49,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A shrinking query set must be LOUD: the failure map rides in the
+    // output dir so the driver artifact itself shows the gap (round 8
+    // lost 33 queries to stderr and nobody saw it until the judge ran).
+    val fjson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), fjson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.keys.mkString(", "))
     spark.stop()
   }
 }

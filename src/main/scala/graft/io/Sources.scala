@@ -22,20 +22,123 @@ object Sources {
 
   /** Parquet scan of one testdata table (S3 in SURVEY §2.1).
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. We read nanos as a raw long
-    * (`nanosAsLong` legacy conf) and rebuild the timestamp with integer
-    * division — NOT `/ 1000` (double division would lose precision at
-    * 1e18-nanosecond epoch magnitudes). */
+    * `events.ts` has shipped in three physical encodings across driver
+    * data generations, so the repair branches on the OBSERVED read
+    * schema rather than assuming one:
+    *   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so we
+    *     read nanos as a raw long (`nanosAsLong` legacy conf) and
+    *     rebuild with integer division — NOT `/ 1000` (double division
+    *     would lose precision at 1e18-nanosecond epoch magnitudes);
+    *   - timestamp[us] without UTC adjustment → TIMESTAMP_NTZ: cast to
+    *     the session-local TIMESTAMP. The session TZ is pinned UTC
+    *     (build.sbt), so the cast is value-preserving and keeps hash
+    *     parity with DuckDB, which reads the same file natively.
+    *     Downstream watermarks also require LTZ
+    *     (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ);
+    *   - plain TIMESTAMP: pass through. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      repairEventTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
   }
+
+  /** The ts-encoding repair, shared by the batch scan above and the
+    * streaming reader ([[graft.streaming.Streams.eventStream]]) so a
+    * future encoding change lands in exactly one place. */
+  def repairEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
+
+  /** Expected Spark-side driver-table schemas AFTER [[table]]'s repairs,
+    * name → normalized type. Timestamp flavors normalize together
+    * (LTZ/NTZ are value-identical under the pinned-UTC session and both
+    * handled by [[repairEventTs]]); any other retype, or a dropped/added
+    * column, is real drift worth a warning. */
+  private val expectedDriverSchemas: Map[String, Seq[(String, String)]] = Map(
+    "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+    "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string",
+      "n_regionkey" -> "int"),
+    "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
+      "c_nationkey" -> "int", "c_acctbal" -> "double",
+      "c_mktsegment" -> "string"),
+    "supplier" -> Seq("s_suppkey" -> "bigint", "s_name" -> "string",
+      "s_nationkey" -> "int", "s_acctbal" -> "double"),
+    "part" -> Seq("p_partkey" -> "bigint", "p_name" -> "string",
+      "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+      "p_retailprice" -> "double"),
+    "orders" -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+      "o_orderstatus" -> "string", "o_totalprice" -> "double",
+      "o_orderdate" -> "timestamp", "o_orderpriority" -> "string"),
+    "lineitem" -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+      "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+      "l_quantity" -> "double", "l_extendedprice" -> "double",
+      "l_discount" -> "double", "l_tax" -> "double",
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      "l_shipdate" -> "timestamp"),
+    "events" -> Seq("event_id" -> "bigint", "ts" -> "timestamp",
+      "user_id" -> "bigint", "event_type" -> "string",
+      "value" -> "double", "props" -> "string"),
+    "documents" -> Seq("doc_id" -> "bigint", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+    "embeddings" -> Seq("vec_id" -> "bigint",
+      "embedding" -> "array<float>", "label" -> "int"))
+
+  private def normalizeType(dt: org.apache.spark.sql.types.DataType): String =
+    dt.simpleString match {
+      case "timestamp_ntz" => "timestamp"
+      case s => s
+    }
+
+  /** Tripwire for driver-data regeneration: read every base table
+    * through [[table]] and diff the post-repair schema against the
+    * pinned expectation. Returns one human-readable line per drift (or
+    * per unreadable table — a read that throws IS drift); empty = all
+    * clear. Wired into the Verify and Bench mains so an environmental
+    * schema change is a one-line diagnosis at round start, not a
+    * silently smaller correctness artifact (the round-8 failure mode). */
+  def driverSchemaCheck(spark: SparkSession, dir: String): Seq[String] =
+    expectedDriverSchemas.toSeq.sortBy(_._1).flatMap { case (t, exp) =>
+      try {
+        val obs = table(spark, dir, t).schema.fields
+          .map(f => f.name -> normalizeType(f.dataType)).toSeq
+        if (obs == exp) Nil
+        else {
+          val pinned = StructType(exp.map { case (n, _) =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.StringType) })
+          // reuse schemaDrift's add/drop report; retypes need the
+          // normalized comparison, so handle those here
+          val eMap = exp.toMap
+          val oMap = obs.toMap
+          val addDrop = schemaDrift(pinned,
+            StructType(obs.map { case (n, _) =>
+              org.apache.spark.sql.types.StructField(n,
+                org.apache.spark.sql.types.StringType) }))
+            .filterNot(_.startsWith("retyped"))
+          val retyped = exp.collect {
+            case (n, et) if oMap.get(n).exists(_ != et) =>
+              s"retyped: $n $et -> ${oMap(n)}" }
+          val reordered =
+            if (addDrop.isEmpty && retyped.isEmpty && eMap == oMap)
+              Seq("columns reordered") else Nil
+          (addDrop ++ retyped ++ reordered).map(d => s"$t: $d")
+        }
+      } catch { case e: Throwable =>
+        Seq(s"$t: unreadable (${e.getClass.getSimpleName}: " +
+          s"${String.valueOf(e.getMessage).take(160)})")
+      }
+    }
 
   /** Register every testdata table as a temp view (S4/S9: catalog +
     * view publication — temp views inline into the logical plan, so

@@ -67,17 +67,16 @@ object Streams {
   }
 
   /** File-source stream over the single events parquet file (or a
-    * directory of them), with the NANOS-timestamp repair from
-    * [[graft.io.Sources]] when the file stores nanos (read as long);
-    * files with a plain TIMESTAMP `ts` pass through unchanged. */
+    * directory of them), with the ts-encoding repair shared with the
+    * batch path ([[graft.io.Sources.repairEventTs]]): nanos-as-long →
+    * rebuild, TIMESTAMP_NTZ → cast LTZ (watermarks reject NTZ with
+    * EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), plain TIMESTAMP → as-is. */
   def eventStream(spark: SparkSession, dir: String,
       glob: String = "events.parquet",
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = parquetStream(spark, dir, glob, maxFilesPerTrigger)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else raw
+    graft.io.Sources.repairEventTs(
+      parquetStream(spark, dir, glob, maxFilesPerTrigger))
   }
 
   /** Logical plan: tumbling 1-day windows over the event stream — per

@@ -97,6 +97,30 @@ class MaterializedAggSpec extends AnyFunSuite {
     assert(math.abs(p - 50.5) <= hSpec.histCols.head.width)
   }
 
+  test("explicit srcName joins MV lineage into the catalog namespace") {
+    val base = Files.createTempDirectory("graft_mvname").toString
+    // source registered in the catalog as "sales_src"; its DIRECTORY
+    // basename ("t1") differs — the default basename edge would be an
+    // external leaf in this namespace and the walk would stop there
+    TableLog.commitAppend(spark, s"$base/t1",
+      Seq(("a", 1L)).toDF("k", "v"), "append",
+      Seq(TableLog.InputRef("ext/feed", None)))
+    MaterializedAgg.refresh(spark, s"$base/t1", s"$base/mv_dir", spec,
+      srcName = Some("sales_src"))
+    val tables = Map("sales_src" -> s"$base/t1", "sales_mv" -> s"$base/mv_dir")
+    assert(graft.lake.Catalog.upstream(spark, tables, "sales_mv") == Seq(
+      TableLog.InputRef("ext/feed", None),
+      TableLog.InputRef("sales_src", Some(1))),
+      "upstream() resolves THROUGH the MV to the source's own feeds")
+    // contrast: an MV refreshed without the explicit name records the
+    // basename, which this catalog cannot resolve further
+    MaterializedAgg.refresh(spark, s"$base/t1", s"$base/mv2", spec)
+    val t2 = tables + ("mv2" -> s"$base/mv2")
+    assert(graft.lake.Catalog.upstream(spark, t2, "mv2") == Seq(
+      TableLog.InputRef("t1", Some(1))),
+      "basename edge is an external leaf: walk terminates, feed unreachable")
+  }
+
   test("a refresh against an unchanged source is a no-op") {
     val src = fresh("src"); val mv = fresh("mv")
     TableLog.commitAppend(spark, src, Seq(("a", 1L)).toDF("k", "v"))

@@ -103,6 +103,34 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("driverSchemaCheck: clean on the real testdata; names drift, retypes, and unreadable tables") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/events.parquet").exists())
+    // current driver data must be drift-free (ts encodings normalize
+    // through the repair; LTZ/NTZ count as the same logical timestamp)
+    assert(Sources.driverSchemaCheck(spark, sf).isEmpty)
+    // regenerated data with a retyped/renamed table must come back as
+    // NAMED drift lines — the one-line diagnosis round 8 lacked
+    val dir = Files.createTempDirectory("graft_drift")
+    Sources.tableNames.foreach { t =>
+      Files.copy(java.nio.file.Paths.get(s"$sf/$t.parquet"),
+        dir.resolve(s"$t.parquet"))
+    }
+    // retype events.value to string, drop props, add a column
+    spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("value", col("value").cast("string"))
+      .drop("props").withColumn("noise", lit(1))
+      .write.mode("overwrite").parquet(dir.resolve("events.parquet").toString)
+    val drift = Sources.driverSchemaCheck(spark, dir.toString)
+    assert(drift.exists(_.startsWith("events: retyped: value double -> string")), drift.mkString("; "))
+    assert(drift.contains("events: missing: props") && drift.contains("events: added: noise"))
+    assert(!drift.exists(_.startsWith("orders:")), "untouched tables stay clean")
+    // an unreadable table reports as drift, never throws
+    Files.delete(dir.resolve("region.parquet"))
+    val gone = Sources.driverSchemaCheck(spark, dir.toString)
+    assert(gone.exists(_.startsWith("region: unreadable")), gone.mkString("; "))
+  }
+
   test("schema drift: added/missing/retyped columns vs the pinned schema") {
     val pinned = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType),
