@@ -287,7 +287,17 @@ object ScaleProbe {
       // shuffle) + three sketch thresholds + map-side bucketing; the
       // grid output is ≤ nTiles³ rows whatever the user count
       "rfm_approx" -> (d => graft.operators.Retention
-        .rfmSegmentsApprox(d).count()))
+        .rfmSegmentsApprox(d).count()),
+      // one window per user (gap flags) + one grouped agg; per-user
+      // series length fixed, user count is the scaled axis
+      "sessionize" -> (d => graft.operators.Sessionize
+        .sessionStats(d, "user_id", "ts", gapSeconds = 1800L, "value")
+        .count()),
+      // two shuffles (first-seen cohort agg + activity join); the
+      // output stays |cohorts|×|weeks| however many users there are
+      "retention" -> (d => graft.operators.Retention
+        .cohortRetention(d).agg(sum("active_users"))
+        .collect()(0).getLong(0)))
 
     (ops.map(o => (o._1, o._2, base, big)) ++
       embOps.map(o => (o._1, o._2, embBase, embBig)) ++
