@@ -1899,6 +1899,15 @@ object SparkEntry {
           col("straddle_rate"))
         .orderBy("method")
     }),
+
+    // ---- Training-shard export manifest: hash-bucketed fixed shards
+    //      (map-only assignment — no global sort serializing the
+    //      corpus through one task) + the per-shard manifest a
+    //      training job reads first; first/last read-order keys
+    //      attest a re-export is identical ----
+    "q139_shard_export" -> ((s, dir) =>
+      graft.operators.Curation.shardManifest(
+        t(s, dir, "documents"), nShards = 8)),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -3812,5 +3821,19 @@ object SparkEntry {
         |  ROUND(CAST(n_straddling AS DOUBLE) / n_pairs, 6)
         |FROM da
         |ORDER BY method""".stripMargin,
+
+    "q139_shard_export" ->
+      """WITH s AS (
+        |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |           % 8 AS shard,
+        |         md5(CAST(doc_id AS VARCHAR)) AS shard_key,
+        |         n_chars
+        |  FROM documents)
+        |SELECT shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(shard_key) AS first_key,
+        |  MAX(shard_key) AS last_key
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
   )
 }

@@ -61,4 +61,56 @@ object Curation {
     Sampling.hashSplit(deduped, splits, idCol)
       .select(outCols: _*)
   }
+
+  /** Deterministic training-shard assignment: shard = first 8 md5 hex
+    * digits of the id, mod `nShards` — the fixed-shard export layout a
+    * training job streams (the webdataset/tfrecord pattern). Map-only
+    * BY DESIGN: a row_number-based sharder would serialize the whole
+    * corpus through one global-sort task at 100 TB; hash-bucketing
+    * shards in place, sizes uniform in expectation, and a document's
+    * shard never changes as the corpus grows (same stability argument
+    * as [[Sampling.hashSplit]]). `shard_key` (the full md5) defines
+    * the reproducible within-shard read order, so a re-export of the
+    * same corpus is byte-identical — that, not randomness, is what
+    * "shuffled shards" means operationally: the hash order is already
+    * decorrelated from ingest order. */
+  def shardAssign(docs: DataFrame, nShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, "need at least one shard")
+    val h = md5(col(idCol).cast("string"))
+    docs
+      .withColumn("shard",
+        conv(substring(h, 1, 8), 16, 10).cast("bigint") % nShards)
+      .withColumn("shard_key", h)
+  }
+
+  /** Per-shard manifest the training job consumes before reading any
+    * data: doc/char counts plus the first/last read-order keys (an
+    * attestation that a re-export produced the identical shard). One
+    * grouped agg over the map-only assignment — the manifest costs a
+    * single shuffle of `nShards` partial rows per task. */
+  def shardManifest(docs: DataFrame, nShards: Int,
+      idCol: String = "doc_id", charsCol: String = "n_chars"): DataFrame =
+    shardAssign(docs, nShards, idCol)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(charsCol)).as("total_chars"),
+        min("shard_key").as("first_key"),
+        max("shard_key").as("last_key"))
+      .orderBy("shard")
+
+  /** Physical export: one directory per shard, rows within each file
+    * in `shard_key` order. The repartition keys on `shard` so each
+    * shard's rows land in one task (one file per shard directory, the
+    * layout shard-streaming readers expect); `partitionBy` makes the
+    * directory name the shard id. Layout and determinism are spec-verified
+    * ([[graft.CurationSpec]]); the manifest pairs with the export as
+    * its oracle-checkable summary. */
+  def writeShards(docs: DataFrame, path: String, nShards: Int,
+      idCol: String = "doc_id"): Unit =
+    shardAssign(docs, nShards, idCol)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "shard_key")
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
 }

@@ -110,4 +110,49 @@ class CurationSpec extends AnyFunSuite {
       .orderBy("chunk_idx").select("chunk_text").as[String].collect()
     assert(got.mkString(" ") == (0 until 10).map(i => s"w$i").mkString(" "))
   }
+
+  test("shard assignment is stable under corpus growth and covers every doc exactly once") {
+    val base = docs.withColumn("n_chars", length(col("text")).cast("bigint"))
+    val a = graft.operators.Curation.shardAssign(base, nShards = 8)
+    // every doc gets exactly one shard in [0, 8)
+    assert(a.count() == 60 &&
+      a.filter(col("shard") >= 0 && col("shard") < 8).count() == 60)
+    // growth stability: adding docs never moves an existing doc's shard
+    // (rank-based sharding would reshuffle everything — the property
+    // that makes incremental re-export possible)
+    val grown = (0 until 120).map(i => (i.toLong, s"body $i"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+    val b = graft.operators.Curation.shardAssign(grown, nShards = 8)
+      .filter(col("doc_id") < 60)
+    val moved = a.select(col("doc_id"), col("shard").as("s1"))
+      .join(b.select(col("doc_id"), col("shard").as("s2")), "doc_id")
+      .filter(col("s1") =!= col("s2")).count()
+    assert(moved == 0, "a document's shard must never change as the corpus grows")
+  }
+
+  test("writeShards produces one directory per shard, shard_key-ordered; manifest matches the files") {
+    val base = docs.withColumn("n_chars", length(col("text")).cast("bigint"))
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    graft.operators.Curation.writeShards(base, out, nShards = 4)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      .map(_.getName).sorted
+    assert(dirs.toSeq == (0 until 4).map(i => s"shard=$i"),
+      dirs.mkString(","))
+    val manifest = graft.operators.Curation.shardManifest(base, nShards = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    // re-read each shard directory: counts match the manifest, rows
+    // are in shard_key order, first/last keys attest the read order
+    (0 until 4).foreach { sh =>
+      val rows = spark.read.parquet(s"$out/shard=$sh")
+        .select("shard_key").as[String].collect()
+      val (nDocs, _, firstKey, lastKey) = manifest(sh.toLong)
+      assert(rows.length == nDocs, s"shard $sh count")
+      assert(rows.sameElements(rows.sorted), s"shard $sh must be key-ordered")
+      assert(rows.head == firstKey && rows.last == lastKey, s"shard $sh keys")
+    }
+    assert(manifest.values.map(_._1).sum == 60L, "no doc lost or duplicated")
+  }
 }
