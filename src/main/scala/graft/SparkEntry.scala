@@ -1908,6 +1908,15 @@ object SparkEntry {
     "q139_shard_export" -> ((s, dir) =>
       graft.operators.Curation.shardManifest(
         t(s, dir, "documents"), nShards = 8)),
+
+    // ---- BPE tokenizer TRAINING on the corpus (Sennrich '16): merge
+    //      rounds over the Zipf-bounded distinct-word table, never the
+    //      corpus. Iterative (driver-paced rounds) → no SQL oracle;
+    //      BpeSpec pins the algorithm against an independent in-memory
+    //      reference implementation merge-for-merge ----
+    "q140_bpe_train" -> ((s, dir) =>
+      graft.operators.BpeTrainer.mergeTable(
+        t(s, dir, "documents"), s, numMerges = 30)),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */

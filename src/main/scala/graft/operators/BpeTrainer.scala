@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Distributed byte-pair-encoding vocabulary TRAINING (Sennrich,
+  * Haddow & Birch, ACL 2016) — the step that turns [[Vocab]]'s counting
+  * pass into an actual subword tokenizer. The reference pipeline stops
+  * at token counting; an LLM data pipeline also has to FIT the
+  * tokenizer on its own corpus.
+  *
+  * Scale shape — the textbook algorithm is corpus-quadratic if run
+  * naively; the distributed form works entirely on the DISTINCT-WORD
+  * table:
+  *   - one explode + hash-agg builds (word, freq) — the only pass over
+  *     the corpus; Zipf bounds the distinct-word table at orders of
+  *     magnitude below corpus size (the same argument as [[Vocab]]);
+  *   - each merge round is a map-side adjacent-pair explode over that
+  *     table, weighted by `freq`, into a partial-aggregated top-1 —
+  *     shuffle rows are bounded by distinct PAIRS, not words;
+  *   - the chosen merge applies as one codegen'd `regexp_replace` over
+  *     the symbol string — map-only, no shuffle;
+  *   - driver state is the merge list itself (`numMerges` entries) and
+  *     one top-1 row per round — nothing corpus-sized.
+  * Rounds are O(numMerges) small Spark jobs; `localCheckpoint` per
+  * round keeps the plan from growing a `regexp_replace` tower (lineage
+  * depth, not data, would otherwise dominate planning time).
+  *
+  * Symbols are kept as a U+0001-separated string with a leading and
+  * trailing separator. A merge (L, R) rewrites `␁L␁R(?=␁)` → `␁LR`:
+  * the trailing separator is matched by LOOKAHEAD, not consumed, so
+  * the scan can reuse it as the next match's leading boundary —
+  * exactly the greedy left-to-right non-overlapping semantics of
+  * textbook BPE ("aaaa" with merge (a,a) → "aa aa", "aaa" → "aa a").
+  */
+object BpeTrainer {
+
+  final case class Merge(rank: Int, left: String, right: String, count: Long)
+
+  private[operators] val Sep = "\u0001"  // U+0001, never in real text
+  val EndWord = "</w>"
+
+  /** Padded symbol string for one word column: `␁c1␁c2␁…␁</w>␁`.
+    * Characters equal to the separator itself are stripped defensively
+    * (they cannot occur in real text; one control char must not
+    * corrupt the symbol framing). */
+  private def padSyms(word: Column): Column =
+    concat(lit(Sep),
+      concat_ws(Sep,
+        concat(
+          filter(split(word, ""), c => c =!= "" && c =!= Sep),
+          array(lit(EndWord)))),
+      lit(Sep))
+
+  /** Distinct-word working table: (syms, freq), one corpus pass. */
+  private[operators] def wordTable(docs: DataFrame,
+      textCol: String): DataFrame =
+    docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(padSyms(col("word")).as("syms"), col("freq"))
+
+  /** Adjacent-pair counts of a padded-symbol table, `freq`-weighted:
+    * the per-round aggregate. Split of the padded string yields empty
+    * edge tokens, which the sequence bounds skip (element 1 .. n-2 of
+    * the raw split are the real symbols). */
+  private def pairCounts(words: DataFrame): DataFrame = {
+    val arr = filter(split(col("syms"), Sep), c => c =!= "")
+    words
+      .select(explode(when(size(arr) >= 2,
+          transform(sequence(lit(0), size(arr) - 2),
+            k => concat(element_at(arr, k + 1), lit(Sep),
+              element_at(arr, k + 2))))
+        .otherwise(array().cast("array<string>"))).as("pair"),
+        col("freq"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+  }
+
+  private def quote(s: String): String = java.util.regex.Pattern.quote(s)
+
+  /** Learn `numMerges` merges over `docs(textCol)`. Stops early when no
+    * pair reaches `minPairCount`. Ties break (count desc, pair asc), so
+    * the merge list is fully deterministic given the corpus. */
+  def fit(docs: DataFrame, textCol: String = "text", numMerges: Int = 50,
+      minPairCount: Long = 2L): Seq[Merge] = {
+    require(numMerges >= 1, "need at least one merge round")
+    var words = wordTable(docs, textCol).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val top = pairCounts(words)
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      val next = top.headOption.filter(_.getLong(1) >= minPairCount)
+      next match {
+        case None => done = true
+        case Some(row) =>
+          val Array(l, r) = row.getString(0).split(Sep, 2)
+          merges += Merge(merges.length + 1, l, r, row.getLong(1))
+          val prev = words
+          words = words
+            .select(regexp_replace(col("syms"),
+              quote(Sep + l + Sep + r) + "(?=" + quote(Sep) + ")",
+              java.util.regex.Matcher.quoteReplacement(Sep + l + r))
+              .as("syms"), col("freq"))
+            .localCheckpoint(true)
+          prev.unpersist()
+      }
+    }
+    words.unpersist()
+    merges.toSeq
+  }
+
+  /** The learned merge list as a DataFrame — the persistable tokenizer
+    * artifact (rank, left, right, merged, cnt), rank-ordered. */
+  def mergeTable(docs: DataFrame, spark: org.apache.spark.sql.SparkSession,
+      textCol: String = "text", numMerges: Int = 50,
+      minPairCount: Long = 2L): DataFrame = {
+    import spark.implicits._
+    fit(docs, textCol, numMerges, minPairCount)
+      .map(m => (m.rank.toLong, m.left, m.right, m.left + m.right, m.count))
+      .toDF("rank", "left", "right", "merged", "cnt")
+  }
+
+  /** Apply learned merges to new text: adds `bpe_syms`
+    * (array&lt;array&lt;string&gt;&gt;, one symbol array per
+    * pre-token). Map-only — the merge list compiles into a stack of
+    * `numMerges` codegen'd `regexp_replace`s over each word's padded
+    * symbol string, applied in rank order (BPE application order IS
+    * training order). Suits the bounded merge lists this engine
+    * trains; a production 32k-vocab tokenizer would compile merges
+    * into a trie and apply via a native expression instead — the
+    * plumbing (schema, per-word framing) is identical. */
+  def tokenizeWith(docs: DataFrame, merges: Seq[Merge],
+      textCol: String = "text"): DataFrame = {
+    def applied(w: Column): Column = merges.foldLeft(padSyms(w)) {
+      case (acc, m) =>
+        regexp_replace(acc,
+          quote(Sep + m.left + Sep + m.right) + "(?=" + quote(Sep) + ")",
+          java.util.regex.Matcher.quoteReplacement(Sep + m.left + m.right))
+    }
+    docs.withColumn("bpe_syms",
+      transform(
+        filter(TextFunctions.tokens(col(textCol)), w => w =!= ""),
+        w => filter(split(applied(w), Sep), c => c =!= "")))
+  }
+}
