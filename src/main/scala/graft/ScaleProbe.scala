@@ -199,7 +199,12 @@ object ScaleProbe {
           .withColumn("stratum", pmod(xxhash64(col("doc_id")), lit(64L)))
         graft.operators.Sampling.budgetFill(docs, Seq("stratum"), "n_chars",
           budget = 1000000000L).count()
-      })
+      },
+      // map-only hash assignment + one nShards-bounded agg; the ratio
+      // measures the corpus scan, the output never grows
+      "shard_manifest" -> (d => graft.operators.Curation
+        .shardManifest(d.withColumn("n_chars",
+          length(col("text")).cast("long")), nShards = 64).count()))
 
     // ---- embedding-input operators: amplified by cyclic coordinate
     // rotation per copy — rotations of distinct 64-dim vectors are
@@ -207,7 +212,7 @@ object ScaleProbe {
     // adding artifactual near-dup pairs, the same disjointness rule as
     // the token-suffix trick above ----
     val embBase = graft.io.Sources.table(spark, sfDir, "embeddings")
-      .select("vec_id", "embedding")
+      .select("vec_id", "embedding", "label")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val embDim = embBase.select(size(col("embedding"))).first().getInt(0)
     val embShift = embBase.agg(max("vec_id")).collect()(0).getLong(0) + 1L
@@ -221,7 +226,8 @@ object ScaleProbe {
       val rot = i % embDim
       embBase.select((col("vec_id") + lit(i * embShift)).as("vec_id"),
         concat(slice(col("embedding"), rot + 1, embDim - rot),
-          slice(col("embedding"), 1, rot)).as("embedding"))
+          slice(col("embedding"), 1, rot)).as("embedding"),
+        col("label"))
     }.reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     embBig.count()
@@ -242,7 +248,13 @@ object ScaleProbe {
           d.filter(col("vec_id") % 7 === 0))
         graft.operators.VectorIndex.addBatch(spark, root,
           d.filter(col("vec_id") % 7 =!= 0))._1.toLong
-      })
+      },
+      // two posexplode aggs shuffling labels·dims rows + one
+      // labels-row join: the per-row map work is the only thing that
+      // grows with the corpus
+      "embedding_drift" -> (d => graft.operators.Drift.embeddingDrift(
+        d.filter(col("vec_id") % 2 === 0),
+        d.filter(col("vec_id") % 2 === 1)).count()))
 
     // ---- event-input operators: amplified by shifting user/event ids
     // per copy — copies are DISJOINT users, so per-user sequence

@@ -1917,6 +1917,17 @@ object SparkEntry {
     "q140_bpe_train" -> ((s, dir) =>
       graft.operators.BpeTrainer.mergeTable(
         t(s, dir, "documents"), s, numMerges = 30)),
+
+    // ---- Embedding-space drift between two corpus versions (fixture:
+    //      even vs odd vec_ids): per-label centroid cosine + L2 —
+    //      the vector-tier monitoring signal scalar PSI can't see.
+    //      Shuffle is |labels|·dims rows, never corpus-sized ----
+    "q141_embedding_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Drift.embeddingDrift(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1))
+    }),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -3844,5 +3855,38 @@ object SparkEntry {
         |  MIN(shard_key) AS first_key,
         |  MAX(shard_key) AS last_key
         |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q141_embedding_drift" ->
+      """WITH x AS (
+        |  SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) - 1 AS idx,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |co AS (
+        |  SELECT label, idx, AVG(v) AS co FROM x
+        |  WHERE vec_id % 2 = 0 GROUP BY label, idx),
+        |cn AS (
+        |  SELECT label, idx, AVG(v) AS cn FROM x
+        |  WHERE vec_id % 2 = 1 GROUP BY label, idx),
+        |d AS (
+        |  SELECT co.label,
+        |    SUM(co.co * cn.cn) AS dot,
+        |    SUM(co.co * co.co) AS no,
+        |    SUM(cn.cn * cn.cn) AS nn,
+        |    SUM((co.co - cn.cn) * (co.co - cn.cn)) AS d2
+        |  FROM co JOIN cn ON co.label = cn.label AND co.idx = cn.idx
+        |  GROUP BY co.label),
+        |k AS (
+        |  SELECT label,
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_old,
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new
+        |  FROM embeddings GROUP BY label)
+        |SELECT d.label, k.n_old, k.n_new,
+        |  ROUND(d.dot / sqrt(d.no * d.nn), 6) AS centroid_cos,
+        |  ROUND(sqrt(d.d2), 6) AS centroid_l2
+        |FROM d JOIN k ON d.label = k.label
+        |ORDER BY d.label""".stripMargin,
   )
 }

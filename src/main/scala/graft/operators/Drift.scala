@@ -48,4 +48,47 @@ object Drift {
           .as("psi_term"))
       .orderBy("bucket")
   }
+
+  /** Embedding-space drift between two corpus versions: per-label
+    * centroid movement — the monitoring signal for "did re-embedding /
+    * re-crawling shift where this class lives in vector space", which
+    * scalar PSI over single columns cannot see. Reports, per label:
+    * counts on each side, cosine similarity of the two centroids
+    * (1.0 = no directional shift), and the L2 distance between them.
+    *
+    * Scale shape: each side is one posexplode + hash-agg keyed on
+    * (label, coordinate) — map-side partials over the corpus, a
+    * shuffle of |labels|·dims rows (NOT corpus-sized), one equi-join
+    * of the two centroid tables on (label, idx), and a final
+    * |labels|-row agg. Nothing driver-side; dims and label count bound
+    * every post-scan stage however many vectors arrive.
+    *
+    * Floats widen to double BEFORE any arithmetic (same convention as
+    * the ANN tier / q20's oracle) so results match an engine computing
+    * natively in double. */
+  def embeddingDrift(oldE: DataFrame, newE: DataFrame,
+      labelCol: String = "label", vecCol: String = "embedding"): DataFrame = {
+    def centroids(df: DataFrame, as: String) = df
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("idx", "v")))
+      .groupBy("label", "idx")
+      .agg(avg("v").as(as))
+    def counts(df: DataFrame, as: String) = df
+      .groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as(as))
+    centroids(oldE, "co").join(centroids(newE, "cn"), Seq("label", "idx"))
+      .groupBy("label")
+      .agg(
+        sum(col("co") * col("cn")).as("__dot"),
+        sum(col("co") * col("co")).as("__no"),
+        sum(col("cn") * col("cn")).as("__nn"),
+        sum((col("co") - col("cn")) * (col("co") - col("cn"))).as("__d2"))
+      .join(counts(oldE, "n_old"), Seq("label"))
+      .join(counts(newE, "n_new"), Seq("label"))
+      .select(col("label"), col("n_old"), col("n_new"),
+        round(col("__dot") / sqrt(col("__no") * col("__nn")), 6)
+          .as("centroid_cos"),
+        round(sqrt(col("__d2")), 6).as("centroid_l2"))
+      .orderBy("label")
+  }
 }

@@ -54,4 +54,30 @@ class DriftSpec extends AnyFunSuite {
       .select("s").as[Double].collect()
     assert(sums.forall(_ == 1.0))
   }
+
+  test("embeddingDrift: hand-computed centroids, orthogonal shift and no-shift") {
+    def frame(rows: Seq[(Long, Int, Seq[Float])]) =
+      rows.toDF("vec_id", "label", "embedding")
+    // label 0: old centroid (1,0) [two identical vectors], new (0,1)
+    //   → cos 0, L2 sqrt(2)
+    // label 1: identical both sides → cos 1, L2 0
+    val oldE = frame(Seq(
+      (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(1f, 0f)),
+      (3L, 1, Seq(3f, 4f))))
+    val newE = frame(Seq(
+      (4L, 0, Seq(0f, 1f)),
+      (5L, 1, Seq(3f, 4f)), (6L, 1, Seq(3f, 4f))))
+    val got = Drift.embeddingDrift(oldE, newE)
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (0, 2L, 1L, 0.0, math.sqrt(2.0) match { case r => math.rint(r * 1e6) / 1e6 }),
+      (1, 1L, 2L, 1.0, 0.0)), got.toString)
+    // mixed centroid: label 0 old vectors (1,0) and (0,1) → centroid
+    // (.5,.5); new (1,1) → cos exactly 1 (same direction), L2 > 0
+    val mixOld = frame(Seq((1L, 0, Seq(1f, 0f)), (2L, 0, Seq(0f, 1f))))
+    val mixNew = frame(Seq((3L, 0, Seq(1f, 1f))))
+    val mix = Drift.embeddingDrift(mixOld, mixNew)
+      .as[(Int, Long, Long, Double, Double)].collect().head
+    assert(mix._4 == 1.0 && mix._5 > 0.7 && mix._5 < 0.71, mix.toString)
+  }
 }
