@@ -1928,6 +1928,24 @@ object SparkEntry {
         e.filter(col("vec_id") % 2 === 0),
         e.filter(col("vec_id") % 2 === 1))
     }),
+
+    // ---- Streaming embedding-drift monitor (vector-tier q110):
+    //      bounded AvailableNow run over the embeddings file against a
+    //      pinned even-id baseline snapshot; one batch → report ==
+    //      batch-mode embeddingDrift(baseline, whole file), so the
+    //      streaming machinery is oracled end-to-end ----
+    "q142_stream_embedding_drift" -> ((s, dir) => {
+      import graft.lake.TableLog
+      val root = java.nio.file.Files.createTempDirectory("graft_q142")
+      val baseline = root.resolve("baseline").toString
+      TableLog.commitOverwrite(s, baseline,
+        t(s, dir, "embeddings").filter(col("vec_id") % 2 === 0))
+      graft.streaming.DriftMonitor.monitorEmbeddings(s, dir,
+        "embeddings.parquet", baseline, 1,
+        root.resolve("report").toString, root.resolve("ckpt").toString)
+      TableLog.read(s, root.resolve("report").toString)
+        .orderBy("batch_id", "label")
+    }),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -3888,5 +3906,37 @@ object SparkEntry {
         |  ROUND(sqrt(d.d2), 6) AS centroid_l2
         |FROM d JOIN k ON d.label = k.label
         |ORDER BY d.label""".stripMargin,
+
+    "q142_stream_embedding_drift" ->
+      """WITH x AS (
+        |  SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) - 1 AS idx,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |co AS (
+        |  SELECT label, idx, AVG(v) AS co FROM x
+        |  WHERE vec_id % 2 = 0 GROUP BY label, idx),
+        |cn AS (
+        |  SELECT label, idx, AVG(v) AS cn FROM x GROUP BY label, idx),
+        |d AS (
+        |  SELECT co.label,
+        |    SUM(co.co * cn.cn) AS dot,
+        |    SUM(co.co * co.co) AS no,
+        |    SUM(cn.cn * cn.cn) AS nn,
+        |    SUM((co.co - cn.cn) * (co.co - cn.cn)) AS d2
+        |  FROM co JOIN cn ON co.label = cn.label AND co.idx = cn.idx
+        |  GROUP BY co.label),
+        |k AS (
+        |  SELECT label,
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_old,
+        |    CAST(COUNT(*) AS BIGINT) AS n_new
+        |  FROM embeddings GROUP BY label)
+        |SELECT d.label, k.n_old, k.n_new,
+        |  ROUND(d.dot / sqrt(d.no * d.nn), 6) AS centroid_cos,
+        |  ROUND(sqrt(d.d2), 6) AS centroid_l2,
+        |  CAST(0 AS BIGINT) AS batch_id
+        |FROM d JOIN k ON d.label = k.label
+        |ORDER BY batch_id, d.label""".stripMargin,
   )
 }

@@ -72,4 +72,51 @@ object DriftMonitor {
       .start()
     q.awaitTermination()
   }
+
+  // ---- embedding-space variant: same monitoring contract (pinned
+  // baseline, per-batch report commits, action-tag idempotence), the
+  // report is [[Drift.embeddingDrift]] instead of PSI — what a
+  // vector-ingest pipeline watches ("did this batch of re-embedded
+  // documents land where the validated snapshot says its labels
+  // live"). Per batch: two labels·dims aggs, nothing stateful. ----
+
+  private def embDriftAction(batchId: Long) = s"embdrift-$batchId"
+
+  /** One batch's embedding-drift report, replay-safe (0 rows on a
+    * fully-replayed batch). */
+  private[graft] def reportEmbeddingOnce(spark: SparkSession,
+      batch: DataFrame, baselinePath: String, baselineVersion: Int,
+      reportPath: String, batchId: Long,
+      labelCol: String = "label", vecCol: String = "embedding"): Long = {
+    val act = embDriftAction(batchId)
+    val hist = TableLog.history(spark, reportPath)
+    if (hist.exists(_.action == act)) return 0L
+    val baseline = TableLog.read(spark, baselinePath, Some(baselineVersion))
+    val report = Drift.embeddingDrift(baseline, batch, labelCol, vecCol)
+      .withColumn("batch_id", lit(batchId))
+    val prevDirs = hist.lastOption.map(_.dirs.toSet).getOrElse(Set.empty[String])
+    val c = TableLog.commitAppend(spark, reportPath, report, act)
+    TableLog.newDirRows(c, prevDirs).getOrElse(report.count())
+  }
+
+  /** Streaming embedding-drift monitor over a parquet vector stream;
+    * same trigger/replay contract as [[monitor]]. */
+  def monitorEmbeddings(spark: SparkSession, sourceDir: String,
+      glob: String, baselinePath: String, baselineVersion: Int,
+      reportPath: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      labelCol: String = "label", vecCol: String = "embedding"): Unit = {
+    val ss = Streams.streamSession(spark)
+    val q = Streams.parquetStream(ss, sourceDir, glob, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        reportEmbeddingOnce(batch.sparkSession, batch, baselinePath,
+          baselineVersion, reportPath, batchId, labelCol, vecCol)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -79,4 +79,31 @@ class DriftMonitorSpec extends AnyFunSuite {
     assert(DriftMonitor.reportOnce(spark, batch, baseline, 1, report,
       "v", 10.0, batchId = 8L) > 0)
   }
+
+  test("embedding monitor: batch report equals the batch operator; replay commits nothing") {
+    val root = Files.createTempDirectory("graft_embmon")
+    val baseline = root.resolve("baseline").toString
+    def frame(rows: Seq[(Long, Int, Seq[Float])]) =
+      rows.toDF("vec_id", "label", "embedding")
+    TableLog.commitOverwrite(spark, baseline,
+      frame(Seq((1L, 0, Seq(1f, 0f)), (2L, 0, Seq(1f, 0f)))))
+    val report = root.resolve("report").toString
+    val batch = frame(Seq((3L, 0, Seq(0f, 2f))))
+    val n1 = DriftMonitor.reportEmbeddingOnce(spark, batch, baseline, 1,
+      report, batchId = 3L)
+    assert(n1 == 1L)
+    val got = TableLog.read(spark, report)
+      .select("label", "n_old", "n_new", "centroid_cos", "centroid_l2",
+        "batch_id")
+      .as[(Int, Long, Long, Double, Double, Long)].collect().toSeq
+    val direct = Drift.embeddingDrift(TableLog.read(spark, baseline), batch)
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)) == direct)
+    assert(got.head._6 == 3L && got.head._4 == 0.0, got.toString)
+    // replay of the same batch id is a no-op commit-wise
+    val v1 = TableLog.latestVersion(spark, report)
+    assert(DriftMonitor.reportEmbeddingOnce(spark, batch, baseline, 1,
+      report, batchId = 3L) == 0L)
+    assert(TableLog.latestVersion(spark, report) == v1)
+  }
 }
