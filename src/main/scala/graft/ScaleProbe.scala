@@ -204,7 +204,13 @@ object ScaleProbe {
       // measures the corpus scan, the output never grows
       "shard_manifest" -> (d => graft.operators.Curation
         .shardManifest(d.withColumn("n_chars",
-          length(col("text")).cast("long")), nShards = 64).count()))
+          length(col("text")).cast("long")), nShards = 64).count()),
+      // one corpus pass builds the distinct-word table, then 5 merge
+      // rounds of pair-agg + regexp rewrite over THAT table — the
+      // suffix amplification grows distinct words ~linearly, so the
+      // honest bound here is the word-table growth, not the corpus
+      "bpe_fit" -> (d => graft.operators.BpeTrainer
+        .fit(d, "text", numMerges = 5).length.toLong))
 
     // ---- embedding-input operators: amplified by cyclic coordinate
     // rotation per copy — rotations of distinct 64-dim vectors are
