@@ -28,7 +28,9 @@ object PlanAudit {
     "q108_vocab", "q109_oov", "q117_zipf",
     // sketch-threshold tiles: the percentile_approx threshold arrays
     // are a 1-row broadcast crossJoin (same stats-factor shape)
-    "q128_rfm_approx", "q129_curriculum_approx")
+    "q128_rfm_approx", "q129_curriculum_approx",
+    // skew profile: 1-row stats frame × 1-row hottest-key frame
+    "q145_skew_advisor")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

@@ -1946,6 +1946,36 @@ object SparkEntry {
       TableLog.read(s, root.resolve("report").toString)
         .orderBy("batch_id", "label")
     }),
+
+    // ---- Cross-document segment dedup (CCNet-style paragraph
+    //      dedup): 5-token segments, global first-occurrence keep,
+    //      per-doc survival report. Two shuffles, both on the
+    //      segment-text hash ----
+    "q143_segment_dedup" -> ((s, dir) =>
+      graft.operators.SegmentDedup.report(t(s, dir, "documents"), segTokens = 5)),
+
+    // ---- Blocked fuzzy entity resolution over the part-name
+    //      dictionary: last-token blocking + length band +
+    //      Levenshtein <= 2; quadratic term bounded by block size ----
+    "q144_fuzzy_er" -> ((s, dir) =>
+      graft.operators.EntityResolution.fuzzyNamePairs(
+        t(s, dir, "part"), "p_name", maxDist = 2)),
+
+    // ---- Join-key skew profile: per-key hash agg → constant-size
+    //      stats + deterministic hottest key + recommended salt
+    //      fan-out for Skew.saltedJoin ----
+    "q145_skew_advisor" -> ((s, dir) =>
+      graft.operators.SkewAdvisor.report(Seq(
+        (t(s, dir, "events"), "user_id", "events.user_id"),
+        (t(s, dir, "lineitem"), "l_partkey", "lineitem.l_partkey"),
+        (t(s, dir, "orders"), "o_custkey", "orders.o_custkey")))),
+
+    // ---- Seeded deterministic training shuffle: closed-form Knuth
+    //      hash order, shard-first so no global sort exists anywhere
+    //      in the plan ----
+    "q146_train_shuffle" -> ((s, dir) =>
+      graft.operators.TrainShuffle.shuffleShards(
+        t(s, dir, "documents"), nShards = 8, seed = 7L)),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -3938,5 +3968,90 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS batch_id
         |FROM d JOIN k ON d.label = k.label
         |ORDER BY batch_id, d.label""".stripMargin,
+
+    "q143_segment_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
+        |      AS ord
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, CAST(floor((ord - 1) / 5) AS BIGINT) AS seg_id,
+        |    string_agg(tok, ' ' ORDER BY ord) AS seg
+        |  FROM toks GROUP BY 1, 2),
+        |w1 AS (SELECT seg, MIN(doc_id) AS wdoc FROM segs GROUP BY 1),
+        |w2 AS (SELECT s.seg, f.wdoc, MIN(s.seg_id) AS wseg
+        |       FROM segs s JOIN w1 f ON s.seg = f.seg AND s.doc_id = f.wdoc
+        |       GROUP BY 1, 2),
+        |m AS (SELECT s.doc_id,
+        |        CASE WHEN s.doc_id = w.wdoc AND s.seg_id = w.wseg
+        |             THEN 1 ELSE 0 END AS kept
+        |      FROM segs s JOIN w2 w ON s.seg = w.seg)
+        |SELECT doc_id, COUNT(*) AS n_segs,
+        |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |  ROUND(SUM(kept) * 1.0 / COUNT(*), 4) AS kept_ratio
+        |FROM m GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q144_fuzzy_er" ->
+      """WITH names AS (
+        |  SELECT p_name AS name, COUNT(*) AS n_rows,
+        |    string_split(p_name, ' ')[-1] AS block
+        |  FROM part WHERE p_name IS NOT NULL GROUP BY 1)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+        |  a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
+        |FROM names a JOIN names b
+        |  ON a.block = b.block AND a.name < b.name
+        |WHERE abs(length(a.name) - length(b.name)) <= 2
+        |  AND levenshtein(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "q145_skew_advisor" ->
+      """WITH ec AS (SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS cnt
+        |            FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |es AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |         MAX(cnt) AS max_cnt, ROUND(AVG(cnt), 4) AS avg_cnt,
+        |         ROUND(MAX(cnt) * 1.0 / AVG(cnt), 4) AS skew_ratio,
+        |         CAST(LEAST(CEIL(MAX(cnt) * 1.0 / AVG(cnt)), 32) AS BIGINT)
+        |           AS rec_salt
+        |       FROM ec),
+        |et AS (SELECT k AS top_key FROM ec ORDER BY cnt DESC, k LIMIT 1),
+        |lc AS (SELECT CAST(l_partkey AS VARCHAR) AS k, COUNT(*) AS cnt
+        |            FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |ls AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |         MAX(cnt) AS max_cnt, ROUND(AVG(cnt), 4) AS avg_cnt,
+        |         ROUND(MAX(cnt) * 1.0 / AVG(cnt), 4) AS skew_ratio,
+        |         CAST(LEAST(CEIL(MAX(cnt) * 1.0 / AVG(cnt)), 32) AS BIGINT)
+        |           AS rec_salt
+        |       FROM lc),
+        |lt AS (SELECT k AS top_key FROM lc ORDER BY cnt DESC, k LIMIT 1),
+        |oc AS (SELECT CAST(o_custkey AS VARCHAR) AS k, COUNT(*) AS cnt
+        |            FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |os AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |         MAX(cnt) AS max_cnt, ROUND(AVG(cnt), 4) AS avg_cnt,
+        |         ROUND(MAX(cnt) * 1.0 / AVG(cnt), 4) AS skew_ratio,
+        |         CAST(LEAST(CEIL(MAX(cnt) * 1.0 / AVG(cnt)), 32) AS BIGINT)
+        |           AS rec_salt
+        |       FROM oc),
+        |ot AS (SELECT k AS top_key FROM oc ORDER BY cnt DESC, k LIMIT 1)
+        |SELECT 'events.user_id' AS key_col, es.*, et.top_key FROM es, et
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey', ls.*, lt.top_key FROM ls, lt
+        |UNION ALL
+        |SELECT 'orders.o_custkey', os.*, ot.top_key FROM os, ot
+        |ORDER BY key_col""".stripMargin,
+
+    "q146_train_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(((doc_id + 7) * 2654435761) % 1000000007 % 8 AS INT)
+        |    AS shard,
+        |  CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY ((doc_id + 7) * 2654435761) % 1000000007 % 8
+        |    ORDER BY ((doc_id + 7) * 2654435761) % 1000000007, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM documents
+        |ORDER BY shard, pos""".stripMargin,
   )
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Cross-document SEGMENT-level deduplication — the CCNet/RefinedWeb
+  * paragraph-dedup shape: boilerplate (headers, license blurbs, nav
+  * text) repeats across documents even when whole-document dedup
+  * ([[Dedup.exact]]) and within-document span mining
+  * ([[RepeatedSpans]]) both miss it. The corpus is cut into fixed
+  * `segTokens`-token segments, each distinct segment text survives
+  * only at its FIRST occurrence (lexicographic min of
+  * `(doc_id, seg_id)` — deterministic, order-independent), and every
+  * later copy is dropped.
+  *
+  * The reference repo has no sub-document operator at all (its text
+  * surface stops at whole-row pandas frames, `local_runner.py:49-59`);
+  * this is the extension tier's training-data-pipeline analogue.
+  *
+  * Scale shape: segmentation is map-only (`sequence` + `explode` +
+  * `slice` on the tokenized array — no shuffle); the winner table is
+  * one hash aggregation keyed by segment text with a map-side
+  * partial `min`, and the kept/dropped mark rejoins on the same key,
+  * so the whole operator is two shuffles on the segment hash. Row
+  * width through the shuffle is (seg text, doc_id, seg_id) — at
+  * 100 TB the segment text should be replaced by `xxhash64(seg)`
+  * (collision-checked like [[Dedup]]'s band tables); the text form
+  * is kept here because the oracle compares real segments.
+  */
+object SegmentDedup {
+
+  /** One row per (doc, segment): `doc_id, seg_id, seg`. Tail segments
+    * shorter than `segTokens` are kept — they carry the doc suffix. */
+  def segments(docs: DataFrame, segTokens: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(segTokens >= 1, "segTokens must be >= 1")
+    docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__nt", size(col("__toks")))
+      .filter(col("__nt") >= 1)
+      .select(col(idCol),
+        explode(sequence(lit(0), ((col("__nt") - 1) / segTokens).cast("int")))
+          .as("seg_id"),
+        col("__toks"))
+      .select(col(idCol), col("seg_id").cast("bigint").as("seg_id"),
+        array_join(
+          slice(col("__toks"), col("seg_id") * segTokens + 1, lit(segTokens)), " ")
+          .as("seg"))
+  }
+
+  /** Global first-occurrence winner per distinct segment text:
+    * `seg, doc_id, seg_id` of the lexicographically smallest
+    * occurrence. */
+  def firstOccurrences(segs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    segs.groupBy("seg")
+      .agg(min(struct(col(idCol), col("seg_id"))).as("__w"))
+      .select(col("seg"), col("__w")(idCol).as(idCol),
+        col("__w")("seg_id").as("seg_id"))
+
+  /** Per-document survival report: how many of the doc's segments are
+    * first occurrences (kept) vs duplicates of earlier docs/segments
+    * (dropped). `kept_ratio` is the doc's surviving fraction — the
+    * curation signal a boilerplate-heavy doc scores low on. */
+  def report(docs: DataFrame, segTokens: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val segs = segments(docs, segTokens, idCol, textCol)
+    val winners = segs.groupBy("seg")
+      .agg(min(struct(col(idCol), col("seg_id"))).as("__w"))
+    segs.join(winners, Seq("seg"))
+      .withColumn("__kept",
+        (struct(col(idCol), col("seg_id")) === col("__w")).cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_segs"), sum("__kept").as("n_kept"))
+      .select(col(idCol), col("n_segs"), col("n_kept"),
+        round(col("n_kept") / col("n_segs"), 4).as("kept_ratio"))
+      .orderBy(idCol)
+  }
+}

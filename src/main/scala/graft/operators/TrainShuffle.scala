@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Seeded deterministic global shuffle — the training-order step of a
+  * data pipeline: examples must reach the trainer in a pseudorandom
+  * order that is (a) reproducible run-to-run (resume, audits, ablation
+  * reruns see the same order), (b) independent of input partitioning
+  * and task scheduling, and (c) computable without a global
+  * single-partition sort.
+  *
+  * Order key: a Knuth multiplicative hash of the id,
+  * `h = (id * 2654435761) mod 1 000 000 007` — closed-form arithmetic
+  * (not an engine-specific hash builtin) so any engine reading the
+  * manifest can recompute the exact permutation. The seed folds in as
+  * an offset on the id.
+  *
+  * Scale shape: `shard = h mod nShards` splits the corpus into
+  * independent partitions FIRST; each shard is then sorted by
+  * `(h, id)` and positions assigned per shard. No stage ever sees a
+  * global ordering problem — the big win over
+  * `row_number() OVER (ORDER BY h)`, which funnels every row through
+  * one reducer. Trainers consume shards round-robin; within-shard
+  * order is the deterministic pseudorandom order. At 100 TB,
+  * `nShards` scales with the cluster (1024+) and each shard's sort is
+  * one task's bounded work.
+  */
+object TrainShuffle {
+
+  private val Knuth = 2654435761L
+  private val Prime = 1000000007L
+
+  /** `(id, shard, pos)` — the deterministic training order manifest.
+    * `pos` is 1-based within shard. */
+  def shuffleShards(docs: DataFrame, nShards: Int = 8, seed: Long = 0L,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val h = ((col(idCol) + lit(seed)) * lit(Knuth)) % lit(Prime)
+    val w = Window.partitionBy("shard").orderBy(col("__h"), col(idCol))
+    docs
+      .select(col(idCol), h.as("__h"))
+      .withColumn("shard", (col("__h") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .select(col(idCol), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TrainShuffle
+
+/** Determinism and structure of the seeded training shuffle: the
+  * permutation is a pure function of (id, seed) — independent of
+  * partitioning — positions are dense 1..n per shard, and changing
+  * the seed changes the order. */
+class TrainShuffleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val ids = (0L until 64L).toDF("doc_id")
+
+  test("shard assignment matches the closed-form hash") {
+    TrainShuffle.shuffleShards(ids, nShards = 4, seed = 7L).collect()
+      .foreach { r =>
+        val h = ((r.getLong(0) + 7L) * 2654435761L) % 1000000007L
+        assert(r.getInt(1) == (h % 4).toInt)
+      }
+  }
+
+  test("positions are dense 1..n within each shard") {
+    val byShard = TrainShuffle.shuffleShards(ids, nShards = 4, seed = 7L)
+      .collect().groupBy(_.getInt(1))
+    assert(byShard.keySet.nonEmpty)
+    byShard.values.foreach { rows =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
+  test("order is independent of input partitioning") {
+    val a = TrainShuffle.shuffleShards(ids, 4, 7L).collect().toSeq
+    val b = TrainShuffle.shuffleShards(ids.repartition(13), 4, 7L).collect().toSeq
+    assert(a == b)
+  }
+
+  test("the permutation actually shuffles and the seed changes it") {
+    val s7 = TrainShuffle.shuffleShards(ids, 1, 7L)
+      .select("doc_id").as[Long].collect().toSeq
+    val s8 = TrainShuffle.shuffleShards(ids, 1, 8L)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(s7 != (0L until 64L).toSeq, "hash order must not be identity")
+    assert(s7 != s8, "different seed, different order")
+    assert(s7.sorted == s8.sorted, "both are permutations of the same ids")
+  }
+}
