@@ -1976,6 +1976,25 @@ object SparkEntry {
     "q146_train_shuffle" -> ((s, dir) =>
       graft.operators.TrainShuffle.shuffleShards(
         t(s, dir, "documents"), nShards = 8, seed = 7L)),
+
+    // ---- Explicit Bloom runtime filter: semi-join reduction of the
+    //      fact scan by the filtered dims' key set; Bloom FPs are
+    //      removed by the exact join, so the oracle is the plain join ----
+    "q147_bloom_join" -> ((s, dir) => {
+      val hi = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 480000.0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.RuntimeFilter
+        .bloomReducedJoin(t(s, dir, "lineitem"), "l_orderkey",
+          hi, "o_orderkey", fpp = 0.01)
+        .groupBy("o_orderpriority")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -4053,5 +4072,15 @@ object SparkEntry {
         |    AS BIGINT) AS pos
         |FROM documents
         |ORDER BY shard, pos""".stripMargin,
+
+    "q147_bloom_join" ->
+      """SELECT o_orderpriority,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  COUNT(*) AS n_items,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 480000.0
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
   )
 }
