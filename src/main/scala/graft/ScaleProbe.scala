@@ -210,7 +210,20 @@ object ScaleProbe {
       // suffix amplification grows distinct words ~linearly, so the
       // honest bound here is the word-table growth, not the corpus
       "bpe_fit" -> (d => graft.operators.BpeTrainer
-        .fit(d, "text", numMerges = 5).length.toLong))
+        .fit(d, "text", numMerges = 5).length.toLong),
+      // suffixed copies make segments disjoint ACROSS generations, so
+      // duplicate volume stays proportional to the corpus (each
+      // generation repeats only its own boilerplate) — the two
+      // segment-hash shuffles are the scaled axis
+      "segment_dedup" -> (d => graft.operators.SegmentDedup
+        .report(d, segTokens = 5).agg(sum("n_kept"))
+        .collect()(0).getLong(0)),
+      // fixed shard count: per-shard sort partitions grow ∝N — the
+      // N log N direction the shard-first design must absorb without
+      // any global-sort stage appearing
+      "train_shuffle" -> (d => graft.operators.TrainShuffle
+        .shuffleShards(d, nShards = 64, seed = 7L)
+        .agg(max("pos")).collect()(0).getLong(0)))
 
     // ---- embedding-input operators: amplified by cyclic coordinate
     // rotation per copy — rotations of distinct 64-dim vectors are
@@ -315,7 +328,14 @@ object ScaleProbe {
       // output stays |cohorts|×|weeks| however many users there are
       "retention" -> (d => graft.operators.Retention
         .cohortRetention(d).agg(sum("active_users"))
-        .collect()(0).getLong(0)))
+        .collect()(0).getLong(0)),
+      // build side pinned to the BASE user set at both shapes, probe
+      // side ∝N: times the map-only bloom probe over the growing
+      // corpus — the semi-join-reduction scan this pattern buys
+      "bloom_reduce" -> (d => graft.operators.RuntimeFilter
+        .bloomFiltered(d, "user_id",
+          evBase.filter(col("user_id") % 5 === 0), "user_id")
+        .count()))
 
     (ops.map(o => (o._1, o._2, base, big)) ++
       embOps.map(o => (o._1, o._2, embBase, embBig)) ++
