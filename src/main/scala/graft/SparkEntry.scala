@@ -1995,6 +1995,18 @@ object SparkEntry {
           countDistinct(col("o_orderkey")).as("n_orders"))
         .orderBy("o_orderpriority")
     }),
+
+    // ---- Incremental segment dedup: batch 2 admitted against the
+    //      distinct-segment-hash store built from batch 1 — the
+    //      continuous-crawl shape; store rows are 8-byte hashes, the
+    //      published batch-1 text is never re-read ----
+    "q148_incremental_segdedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val adm1 = graft.operators.SegmentDedup.admitBatch(
+        docs.filter(col("doc_id") % 2 === 0), None)
+      graft.operators.SegmentDedup.admitBatch(
+        docs.filter(col("doc_id") % 2 === 1), Some(adm1.segments)).report
+    }),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -4082,5 +4094,33 @@ object SparkEntry {
         |WHERE o_totalprice > 480000.0
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q148_incremental_segdedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
+        |      AS ord
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, CAST(floor((ord - 1) / 5) AS BIGINT) AS seg_id,
+        |    string_agg(tok, ' ' ORDER BY ord) AS seg
+        |  FROM toks GROUP BY 1, 2),
+        |b2 AS (SELECT * FROM segs WHERE doc_id % 2 = 1),
+        |store AS (SELECT DISTINCT seg FROM segs WHERE doc_id % 2 = 0),
+        |w1 AS (SELECT seg, MIN(doc_id) AS wdoc FROM b2 GROUP BY 1),
+        |w2 AS (SELECT s.seg, f.wdoc, MIN(s.seg_id) AS wseg
+        |       FROM b2 s JOIN w1 f ON s.seg = f.seg AND s.doc_id = f.wdoc
+        |       GROUP BY 1, 2),
+        |m AS (SELECT s.doc_id,
+        |        CASE WHEN s.doc_id = w.wdoc AND s.seg_id = w.wseg
+        |              AND st.seg IS NULL THEN 1 ELSE 0 END AS kept
+        |      FROM b2 s JOIN w2 w ON s.seg = w.seg
+        |      LEFT JOIN store st ON s.seg = st.seg)
+        |SELECT doc_id, COUNT(*) AS n_segs,
+        |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |  ROUND(SUM(kept) * 1.0 / COUNT(*), 4) AS kept_ratio
+        |FROM m GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -58,6 +58,71 @@ object SegmentDedup {
       .select(col("seg"), col("__w")(idCol).as(idCol),
         col("__w")("seg_id").as("seg_id"))
 
+  /** Result of admitting one batch against the segment store:
+    * `report` is the per-doc survival report for THIS batch,
+    * `segments` the distinct new segment hashes to append. */
+  final case class Admission(report: DataFrame, segments: DataFrame)
+
+  /** Incremental form — the continuous-crawl operating mode: admit a
+    * NEW batch against the accumulated distinct-segment store without
+    * touching published text. The store holds `xxhash64(seg)` only
+    * (8 bytes per distinct segment, not the text): at corpus scale a
+    * 64-bit birthday collision costs one harmless extra drop, the
+    * right trade for a dedup filter (same reasoning as
+    * [[IncrementalDedup]]'s band store).
+    *
+    * A batch segment is kept iff it is the batch's first occurrence
+    * (same lexicographic rule as [[report]]) AND its hash is absent
+    * from the store. Appended store rows are anti-joined first, so
+    * the store stays distinct across batches and its growth is
+    * O(new segments), never O(batch). */
+  def admitBatch(batch: DataFrame, store: Option[DataFrame],
+      segTokens: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): Admission = {
+    val segs = segments(batch, segTokens, idCol, textCol)
+      .withColumn("seg_hash", xxhash64(col("seg")))
+    val winners = segs.groupBy("seg_hash")
+      .agg(min(struct(col(idCol), col("seg_id"))).as("__w"))
+    val marked = segs.join(winners, Seq("seg_hash"))
+      .withColumn("__first",
+        struct(col(idCol), col("seg_id")) === col("__w"))
+    val withStore = store match {
+      case Some(st) => marked.join(
+        st.select(col("seg_hash")).distinct().withColumn("__seen", lit(1)),
+        Seq("seg_hash"), "left")
+      case None => marked.withColumn("__seen", lit(null).cast("int"))
+    }
+    val rep = withStore
+      .withColumn("__kept",
+        (col("__first") && col("__seen").isNull).cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_segs"), sum("__kept").as("n_kept"))
+      .select(col(idCol), col("n_segs"), col("n_kept"),
+        round(col("n_kept") / col("n_segs"), 4).as("kept_ratio"))
+      .orderBy(idCol)
+    val fresh = segs.select("seg_hash").distinct()
+    val newHashes = store match {
+      case Some(st) => fresh.join(st.select("seg_hash").distinct(),
+        Seq("seg_hash"), "left_anti")
+      case None => fresh
+    }
+    Admission(rep, newHashes)
+  }
+
+  /** Production shape: the segment-hash store as a
+    * [[graft.lake.TableLog]] table — replayable admission (time travel
+    * the store), concurrent batches serialized through the log's
+    * optimistic commit. Returns the admission and new store version. */
+  def admitVersioned(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, batch: DataFrame, segTokens: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): (Admission, Int) = {
+    val store = graft.lake.TableLog.latestVersion(spark, storePath)
+      .map(_ => graft.lake.TableLog.read(spark, storePath))
+    val adm = admitBatch(batch, store, segTokens, idCol, textCol)
+    val c = graft.lake.TableLog.commitAppend(spark, storePath, adm.segments)
+    (adm, c.version)
+  }
+
   /** Per-document survival report: how many of the doc's segments are
     * first occurrences (kept) vs duplicates of earlier docs/segments
     * (dropped). `kept_ratio` is the doc's surviving fraction — the

@@ -43,6 +43,49 @@ class SegmentDedupSpec extends AnyFunSuite {
     assert(r == 0.5)
   }
 
+  test("incremental admission: store segments block, within-batch firsts keep") {
+    import graft.operators.SegmentDedup
+    val b1 = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val b2 = Seq(
+      (10L, "a b c d e x y z w v"),  // seg0 blocked by the store
+      (11L, "x y z w v"),            // dup of 10's seg1 WITHIN the batch
+      (12L, "q r s t u")             // entirely fresh
+    ).toDF("doc_id", "text")
+    val adm1 = SegmentDedup.admitBatch(b1, None)
+    assert(adm1.report.agg(org.apache.spark.sql.functions.sum("n_kept"))
+      .head.getLong(0) == 2L, "first batch keeps everything")
+    val adm2 = SegmentDedup.admitBatch(b2, Some(adm1.segments))
+    val m = adm2.report.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m(10L) == ((2L, 1L)), "store blocks seg0, batch-first keeps seg1")
+    assert(m(11L) == ((1L, 0L)), "within-batch later copy drops")
+    assert(m(12L) == ((1L, 1L)))
+  }
+
+  test("incremental store grows by new distinct hashes only") {
+    import graft.operators.SegmentDedup
+    val b1 = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val b2 = Seq((2L, "a b c d e"), (3L, "f g h i j")).toDF("doc_id", "text")
+    val adm1 = SegmentDedup.admitBatch(b1, None)
+    val adm2 = SegmentDedup.admitBatch(b2, Some(adm1.segments))
+    assert(adm2.segments.count() == 1L, "only the fresh segment appends")
+    assert(adm2.segments.join(adm1.segments, Seq("seg_hash")).count() == 0L)
+  }
+
+  test("versioned admission persists the store across commits") {
+    import graft.operators.SegmentDedup
+    val root = java.nio.file.Files.createTempDirectory("graft_segstore")
+      .resolve("store").toString
+    val b1 = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val b2 = Seq((2L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val (_, v1) = SegmentDedup.admitVersioned(spark, root, b1)
+    val (adm2, v2) = SegmentDedup.admitVersioned(spark, root, b2)
+    assert(v2 > v1)
+    val m = adm2.report.head
+    assert((m.getLong(1), m.getLong(2)) == ((2L, 1L)),
+      "commit-1 segment blocks, the new one keeps")
+  }
+
   test("segmentation is deterministic under input reordering") {
     val shuffled = docs.orderBy(org.apache.spark.sql.functions.rand(42))
     val a = SegmentDedup.report(docs, 5).collect().toSeq
