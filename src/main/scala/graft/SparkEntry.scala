@@ -2007,6 +2007,13 @@ object SparkEntry {
       graft.operators.SegmentDedup.admitBatch(
         docs.filter(col("doc_id") % 2 === 1), Some(adm1.segments)).report
     }),
+
+    // ---- Streaming hot-key monitor: Misra–Gries per tracker shard
+    //      under transformWithState — bounded state whatever the key
+    //      cardinality; k sized above per-shard distinct users makes
+    //      the bounded run exact, so the batch GROUP BY oracles it ----
+    "q149_stream_hotkeys" -> ((s, dir) =>
+      graft.streaming.HotKeys.topEventUsers(s, dir).toDF()),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -4122,5 +4129,12 @@ object SparkEntry {
         |  ROUND(SUM(kept) * 1.0 / COUNT(*), 4) AS kept_ratio
         |FROM m GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q149_stream_hotkeys" ->
+      """SELECT user_id, COUNT(*) AS n_events
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY n_events DESC, user_id
+        |LIMIT 20""".stripMargin,
   )
 }
