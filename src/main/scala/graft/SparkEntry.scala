@@ -1975,7 +1975,10 @@ object SparkEntry {
     //      in the plan ----
     "q146_train_shuffle" -> ((s, dir) =>
       graft.operators.TrainShuffle.shuffleShards(
-        t(s, dir, "documents"), nShards = 8, seed = 7L)),
+          t(s, dir, "documents"), nShards = 8, seed = 7L)
+        // presentation order on the BOUNDED manifest — the operator
+        // itself never global-sorts
+        .orderBy("shard", "pos")),
 
     // ---- Explicit Bloom runtime filter: semi-join reduction of the
     //      fact scan by the filtered dims' key set; Bloom FPs are
@@ -4083,11 +4086,13 @@ object SparkEntry {
 
     "q146_train_shuffle" ->
       """SELECT doc_id,
-        |  CAST(((doc_id + 7) * 2654435761) % 1000000007 % 8 AS INT)
-        |    AS shard,
+        |  CAST(((doc_id + 7) % 1000000007) * 2654435761
+        |    % 1000000007 % 8 AS INT) AS shard,
         |  CAST(ROW_NUMBER() OVER (
-        |    PARTITION BY ((doc_id + 7) * 2654435761) % 1000000007 % 8
-        |    ORDER BY ((doc_id + 7) * 2654435761) % 1000000007, doc_id)
+        |    PARTITION BY ((doc_id + 7) % 1000000007) * 2654435761
+        |      % 1000000007 % 8
+        |    ORDER BY ((doc_id + 7) % 1000000007) * 2654435761
+        |      % 1000000007, doc_id)
         |    AS BIGINT) AS pos
         |FROM documents
         |ORDER BY shard, pos""".stripMargin,

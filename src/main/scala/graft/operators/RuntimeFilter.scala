@@ -46,9 +46,12 @@ object RuntimeFilter {
   }
 
   /** The full reduced join: Bloom-prefilter `big`, then exact
-    * inner-join on the keys. */
+    * inner-join on the keys. Sides are aliased so the join stays
+    * resolvable when both key columns share a name (the common
+    * `user_id = user_id` shape would otherwise be AMBIGUOUS_REFERENCE). */
   def bloomReducedJoin(big: DataFrame, bigKey: String,
       small: DataFrame, smallKey: String, fpp: Double = 0.01): DataFrame =
-    bloomFiltered(big, bigKey, small, smallKey, fpp)
-      .join(small, col(bigKey) === col(smallKey))
+    bloomFiltered(big, bigKey, small, smallKey, fpp).alias("__rf_big")
+      .join(small.alias("__rf_small"),
+        col(s"__rf_big.$bigKey") === col(s"__rf_small.$smallKey"))
 }

@@ -75,7 +75,10 @@ object SegmentDedup {
     * (same lexicographic rule as [[report]]) AND its hash is absent
     * from the store. Appended store rows are anti-joined first, so
     * the store stays distinct across batches and its growth is
-    * O(new segments), never O(batch). */
+    * O(new segments), never O(batch). The passed `store` must be
+    * distinct on `seg_hash` (anything this API produced is) — the
+    * seen-mark join relies on it rather than re-distincting the
+    * ever-growing store every batch. */
   def admitBatch(batch: DataFrame, store: Option[DataFrame],
       segTokens: Int = 5, idCol: String = "doc_id",
       textCol: String = "text"): Admission = {
@@ -86,9 +89,12 @@ object SegmentDedup {
     val marked = segs.join(winners, Seq("seg_hash"))
       .withColumn("__first",
         struct(col(idCol), col("seg_id")) === col("__w"))
+    // the store is distinct on seg_hash by construction (this API only
+    // ever appends anti-joined hashes) — re-distincting here would
+    // shuffle the ever-growing store an extra time per batch
     val withStore = store match {
       case Some(st) => marked.join(
-        st.select(col("seg_hash")).distinct().withColumn("__seen", lit(1)),
+        st.select(col("seg_hash")).withColumn("__seen", lit(1)),
         Seq("seg_hash"), "left")
       case None => marked.withColumn("__seen", lit(null).cast("int"))
     }
@@ -102,7 +108,8 @@ object SegmentDedup {
       .orderBy(idCol)
     val fresh = segs.select("seg_hash").distinct()
     val newHashes = store match {
-      case Some(st) => fresh.join(st.select("seg_hash").distinct(),
+      // left_anti is insensitive to right-side duplicates — no distinct
+      case Some(st) => fresh.join(st.select("seg_hash"),
         Seq("seg_hash"), "left_anti")
       case None => fresh
     }

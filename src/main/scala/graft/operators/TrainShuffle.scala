@@ -33,17 +33,27 @@ object TrainShuffle {
   private val Prime = 1000000007L
 
   /** `(id, shard, pos)` — the deterministic training order manifest.
-    * `pos` is 1-based within shard. */
+    * `pos` is 1-based within shard; rows keep the shuffle's physical
+    * layout (shard-partitioned) — a consumer needing a presentation
+    * order sorts the BOUNDED manifest itself, the operator never pays
+    * a global sort.
+    *
+    * Ids and seed must be non-negative: the id reduces mod the prime
+    * BEFORE the Knuth multiply, so the product is bounded by
+    * ~2.7e18 < Long.MaxValue for any id — no silent overflow (and no
+    * BIGINT-overflow error when another engine recomputes the
+    * closed form), and `pmod` keeps shard in [0, nShards) always. */
   def shuffleShards(docs: DataFrame, nShards: Int = 8, seed: Long = 0L,
       idCol: String = "doc_id"): DataFrame = {
     require(nShards >= 1, "nShards must be >= 1")
-    val h = ((col(idCol) + lit(seed)) * lit(Knuth)) % lit(Prime)
+    require(seed >= 0L, "seed must be non-negative (portable closed form)")
+    val h = pmod(pmod(col(idCol) + lit(seed), lit(Prime)) * lit(Knuth),
+      lit(Prime))
     val w = Window.partitionBy("shard").orderBy(col("__h"), col(idCol))
     docs
       .select(col(idCol), h.as("__h"))
-      .withColumn("shard", (col("__h") % nShards).cast("int"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
       .withColumn("pos", row_number().over(w).cast("bigint"))
       .select(col(idCol), col("shard"), col("pos"))
-      .orderBy("shard", "pos")
   }
 }

@@ -39,18 +39,25 @@ object HotKeys extends Serializable {
 
   case class Ev(shard: Int, key: Long)
   /** Candidate hot key: stored count `est` (underestimates the true
-    * count by at most `err`). */
-  case class Candidate(shard: Int, key: Long, est: Long, err: Long)
+    * count by at most `err`); `batch` is the shard's batch sequence
+    * number — a key's CURRENT estimate is its emission in the shard's
+    * latest batch (under eviction, older emissions are stale and a
+    * key absent from the latest batch has left the summary). */
+  case class Candidate(shard: Int, key: Long, est: Long, err: Long,
+      batch: Long)
 
   class MgProcessor(k: Int)
       extends StatefulProcessor[Int, Ev, Candidate] {
     @transient private var counters: MapState[Long, Long] = _
     @transient private var evictedOffset: ValueState[Long] = _
+    @transient private var batchSeq: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       counters = getHandle.getMapState[Long, Long]("mg",
         Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
       evictedOffset = getHandle.getValueState[Long]("err",
+        Encoders.scalaLong, TTLConfig.NONE)
+      batchSeq = getHandle.getValueState[Long]("batch",
         Encoders.scalaLong, TTLConfig.NONE)
     }
 
@@ -60,6 +67,7 @@ object HotKeys extends Serializable {
       counters.iterator().foreach { case (key, c) => merged(key) = c }
       rows.foreach(e => merged(e.key) = merged.getOrElse(e.key, 0L) + 1L)
       var err = if (evictedOffset.exists()) evictedOffset.get() else 0L
+      val batch = (if (batchSeq.exists()) batchSeq.get() else 0L) + 1L
       val kept =
         if (merged.size <= k) merged
         else {
@@ -71,10 +79,29 @@ object HotKeys extends Serializable {
       counters.clear()
       kept.foreach { case (key, c) => counters.updateValue(key, c) }
       evictedOffset.update(err)
+      batchSeq.update(batch)
       kept.toArray.sortBy { case (key, c) => (-c, key) }
-        .map { case (key, c) => Candidate(shard, key, c, err) }
+        .map { case (key, c) => Candidate(shard, key, c, err, batch) }
         .iterator
     }
+  }
+
+  /** The FINAL summary across a bounded run's emissions: per shard,
+    * only the latest batch's rows — exactly the end-of-stream state.
+    * Update-mode re-emissions from earlier batches are stale the
+    * moment an eviction decrements a counter, so any cross-batch
+    * aggregate (max, last-seen) over raw emissions is wrong; this is
+    * the one correct projection. */
+  def finalSummary(cands: Dataset[Candidate]): Dataset[Candidate] = {
+    // window instead of a groupBy+self-join: memory-sink views don't
+    // dedup attribute ids across a self-join, and the candidate table
+    // is bounded (≤ nShards × k rows per batch) anyway
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shard")
+    cands.toDF()
+      .withColumn("__maxb", max("batch").over(w))
+      .filter(col("batch") === col("__maxb"))
+      .drop("__maxb")
+      .as[Candidate](Encoders.product[Candidate])
   }
 
   /** Bounded run over a key stream → every batch's candidate summary
@@ -123,12 +150,9 @@ object HotKeys extends Serializable {
       .select(pmod(col("user_id"), lit(nShards)).cast("int").as("shard"),
         col("user_id").as("key"))
       .as[Ev]
-    run(ss, ev, k, s"graft_hotkeys_${Streams.counter.incrementAndGet()}")
-      .groupBy(col("key").as("user_id"))
-      // Update-mode emissions repeat a candidate once per batch it
-      // survives; the LAST emission has the final count — max() is
-      // that emission, since stored counts only grow without eviction
-      .agg(max("est").as("n_events"))
+    finalSummary(
+      run(ss, ev, k, s"graft_hotkeys_${Streams.counter.incrementAndGet()}"))
+      .select(col("key").as("user_id"), col("est").as("n_events"))
       .orderBy(col("n_events").desc, col("user_id"))
       .limit(topN)
   }

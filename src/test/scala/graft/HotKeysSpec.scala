@@ -25,10 +25,10 @@ class HotKeysSpec extends AnyFunSuite {
   }
 
   private def runLocal(evs: Seq[Ev], k: Int): Map[Long, Candidate] =
-    HotKeys.run(spark, streamOf(evs), k,
-      s"hotkeys_spec_${System.nanoTime()}")
+    HotKeys.finalSummary(HotKeys.run(spark, streamOf(evs), k,
+      s"hotkeys_spec_${System.nanoTime()}"))
       .collect()
-      .groupBy(_.key).map { case (u, cs) => u -> cs.maxBy(_.est) }
+      .map(c => c.key -> c).toMap
 
   test("k above distinct keys: exact counts, zero err") {
     val evs = (Seq.fill(7)(3L) ++ Seq.fill(4)(5L) ++ Seq(9L))
@@ -56,6 +56,34 @@ class HotKeysSpec extends AnyFunSuite {
       s"hotkeys_spec_${System.nanoTime()}")
       .collect().groupBy(_.shard).map(_._2.map(_.key).distinct.length)
     assert(perShard.forall(_ <= 8))
+  }
+
+  test("eviction across batches: finalSummary is the end state, not a stale max") {
+    // batch 1: a=5 b=4 c=3 with k=2 -> cut 3, state {a:2, b:1}, err 3
+    // batch 2: one more c   -> merged {a:2, b:1, c:1}, cut 1 -> {a:1}, err 4
+    val dir = java.nio.file.Files.createTempDirectory("hotkeys_spec_ev")
+    def writeBatch(name: String, keys: Seq[Long]): Unit =
+      keys.map(Ev(0, _)).toDF("shard", "key").coalesce(1)
+        .write.parquet(dir.resolve(name).toString)
+    writeBatch("b1", Seq.fill(5)(1L) ++ Seq.fill(4)(2L) ++ Seq.fill(3)(3L))
+    writeBatch("b2", Seq(3L))
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    import ss.implicits._
+    val stream = ss.readStream.schema("shard INT, key BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString + "/*").as[Ev]
+    val all = HotKeys.run(ss, stream, k = 2,
+      s"hotkeys_spec_${System.nanoTime()}")
+    val fin = HotKeys.finalSummary(all).collect()
+    assert(fin.map(_.key).toSet == Set(1L),
+      s"final summary must be the last batch's state, got ${fin.toSeq}")
+    val a = fin.head
+    assert(a.est + a.err >= 5L && a.est <= 5L,
+      "undercount bound must still cover the true count")
+    // the raw emissions DO contain the stale batch-1 rows the final
+    // summary must exclude
+    assert(all.collect().exists(c => c.key == 2L))
   }
 
   test("topEventUsers equals the batch GROUP BY top-20 at sf0.001") {

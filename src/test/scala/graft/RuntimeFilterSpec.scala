@@ -44,6 +44,14 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(kept == Seq(Some(2)), "null keys cannot match and must drop")
   }
 
+  test("reduced join resolves when both key columns share a name") {
+    val bigSame = big.withColumnRenamed("k", "user_id")
+    val smallSame = small.withColumnRenamed("sk", "user_id")
+    val n = RuntimeFilter.bloomReducedJoin(
+      bigSame, "user_id", smallSame, "user_id").count()
+    assert(n == 4L)
+  }
+
   test("empty build side short-circuits to an empty (not null-bloom) result") {
     val empty = Seq.empty[Long].toDF("sk")
     assert(RuntimeFilter.bloomReducedJoin(big, "k", empty, "sk").count() == 0L)
