@@ -133,19 +133,12 @@ object SegmentDedup {
   /** Per-document survival report: how many of the doc's segments are
     * first occurrences (kept) vs duplicates of earlier docs/segments
     * (dropped). `kept_ratio` is the doc's surviving fraction — the
-    * curation signal a boilerplate-heavy doc scores low on. */
+    * curation signal a boilerplate-heavy doc scores low on.
+    *
+    * Exactly [[admitBatch]] with no store: both shuffles carry the
+    * 8-byte `xxhash64(seg)` instead of segment text (the 100 TB row
+    * width; a 64-bit collision costs one harmless extra drop). */
   def report(docs: DataFrame, segTokens: Int = 5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val segs = segments(docs, segTokens, idCol, textCol)
-    val winners = segs.groupBy("seg")
-      .agg(min(struct(col(idCol), col("seg_id"))).as("__w"))
-    segs.join(winners, Seq("seg"))
-      .withColumn("__kept",
-        (struct(col(idCol), col("seg_id")) === col("__w")).cast("long"))
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_segs"), sum("__kept").as("n_kept"))
-      .select(col(idCol), col("n_segs"), col("n_kept"),
-        round(col("n_kept") / col("n_segs"), 4).as("kept_ratio"))
-      .orderBy(idCol)
-  }
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    admitBatch(docs, None, segTokens, idCol, textCol).report
 }
