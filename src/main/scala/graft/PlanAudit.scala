@@ -30,7 +30,10 @@ object PlanAudit {
     // are a 1-row broadcast crossJoin (same stats-factor shape)
     "q128_rfm_approx", "q129_curriculum_approx",
     // skew profile: 1-row stats frame × 1-row hottest-key frame
-    "q145_skew_advisor")
+    "q145_skew_advisor",
+    // pagerank: per-iteration dangling mass is a 1-row broadcast
+    // crossJoin (stat factor, same shape as the corpus totals above)
+    "q150_pagerank")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

@@ -2017,6 +2017,13 @@ object SparkEntry {
     //      the bounded run exact, so the batch GROUP BY oracles it ----
     "q149_stream_hotkeys" -> ((s, dir) =>
       graft.streaming.HotKeys.topEventUsers(s, dir).toDF()),
+
+    // ---- Link-graph PageRank over the clickstream navigation graph:
+    //      Pregel-as-joins — edges partitioned on src once, each of
+    //      the 5 iterations shuffles only the |nodes|-row rank table;
+    //      dangling mass rides a 1-row broadcast stat factor ----
+    "q150_pagerank" -> ((s, dir) =>
+      graft.operators.GraphRank.navigationRank(s, t(s, dir, "events"))),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -4141,5 +4148,7 @@ object SparkEntry {
         |GROUP BY user_id
         |ORDER BY n_events DESC, user_id
         |LIMIT 20""".stripMargin,
+
+    "q150_pagerank" -> graft.operators.GraphRank.oracleSql(),
   )
 }

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+
+/** Link-graph importance (PageRank) over the clickstream navigation
+  * graph — the corpus-curation signal CommonCrawl-style pipelines use
+  * to weight documents by the link authority of their origin page
+  * (Brin & Page '98; the harmonic/centrality weighting in CCNet,
+  * Wenzek et al. 2020). The reference's web_events domain
+  * (`stg_web_events.sql`, `samples/web_events.json`) carries the
+  * per-event page payload this graph is built from.
+  *
+  * Scale shape (the part that must survive 100 TB of events):
+  *   - Edge extraction is ONE shuffle on the user key (sequences are
+  *     per-user), then an edge-level aggregation whose output is
+  *     |pages|² at worst — graph-sized, not event-sized.
+  *   - The iteration joins `edges ⋈ ranks` on `src`. Edges are
+  *     repartitioned on `src` once and persisted; every iteration
+  *     reuses that partitioning, so the per-iteration cost is a
+  *     shuffle of the RANK table only (|nodes| rows), never the edge
+  *     set. This is the standard Pregel-style dataflow expressed as
+  *     Catalyst joins.
+  *   - Dangling mass is a 1-row aggregate broadcast back via a 1-row
+  *     cross join (a stat factor, not a data-sized cross product).
+  *   - Ranks are rounded to 9 decimals each iteration: double
+  *     summation order differs across engines/partitionings at
+  *     ~1e-15, and the per-iteration round keeps the fixpoint
+  *     bit-identical and engine-independent (same contract as the
+  *     oracle SQL, which rounds identically).
+  */
+object GraphRank {
+
+  /** Per-user navigation edges from the event stream: consecutive
+    * (page → page) transitions with multiplicity. The page id rides in
+    * the JSON props payload (`$.k`), mirroring the reference's
+    * web_events `metadata` carry-through. Tie-break on `event_id`
+    * makes the sequence total-ordered and the edge table
+    * deterministic. */
+  def navigationEdges(events: DataFrame,
+      key: String = "user_id", ts: String = "ts",
+      propsCol: String = "props"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("event_id"))
+    events
+      .withColumn("__page", get_json_object(col(propsCol), "$.k").cast("int"))
+      // Drop payload-less events BEFORE the window: a missing page id
+      // must not sever the user's navigation chain around it.
+      .where(col("__page").isNotNull)
+      .withColumn("__next", lead(col("__page"), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col("__page").as("src"), col("__next").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Damped PageRank with dangling-mass redistribution, fixed
+    * iteration count. Returns `(page, rank)` with rank rounded to 6
+    * decimals, ordered by page.
+    *
+    * Each iteration materializes the new rank table (persist + count)
+    * and unpersists the previous one, so the logical plan stays
+    * O(1)-deep instead of growing a 5-iteration join tree that
+    * Catalyst would re-analyze whole. */
+  def pagerank(spark: SparkSession, edges: DataFrame,
+      iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+    val e = edges
+      .withColumn("share",
+        col("w").cast("double") / sum(col("w")).over(
+          Window.partitionBy(col("src"))))
+      .select("src", "dst", "share")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val nodes = e.select(col("src").as("page"))
+      .union(e.select(col("dst").as("page")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count().toDouble
+
+    // Nodes with at least one outgoing edge; everything else is
+    // dangling and its mass is redistributed uniformly each step.
+    val outNodes = e.select(col("src").as("page")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
+
+    for (_ <- 1 to iterations) {
+      val dangling = ranks.join(outNodes, Seq("page"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+      val contrib = e.join(ranks, e("src") === ranks("page"))
+        .groupBy(col("dst").as("page"))
+        .agg(sum(col("share") * col("rank")).as("__c"))
+      val next = nodes
+        .join(contrib, Seq("page"), "left_outer")
+        .crossJoin(broadcast(dangling))
+        .withColumn("rank", round(
+          lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("__c"), lit(0.0)) +
+              col("__dm") / lit(n)), 9))
+        .select("page", "rank")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      ranks.unpersist()
+      ranks = next
+    }
+
+    val out = ranks
+      .withColumn("rank", round(col("rank"), 6))
+      .orderBy(col("page"))
+    e.unpersist(); nodes.unpersist(); outNodes.unpersist()
+    out
+  }
+
+  /** The registered query: navigation PageRank over `events`. */
+  def navigationRank(spark: SparkSession, events: DataFrame,
+      iterations: Int = 5, damping: Double = 0.85): DataFrame =
+    pagerank(spark, navigationEdges(events), iterations, damping)
+
+  /** DuckDB oracle for [[navigationRank]]: the identical computation as
+    * chained CTEs — one `r{i}` CTE per iteration, same 9-decimal
+    * per-iteration round, same dangling redistribution. Generated here
+    * so the iteration count can never drift between engine and
+    * oracle. */
+  def oracleSql(iterations: Int = 5, damping: Double = 0.85): String = {
+    val d = damping
+    val base =
+      s"""WITH seq AS (
+         |  SELECT page, LEAD(page) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id) AS next
+         |  FROM (SELECT CAST(props->>'k' AS INTEGER) AS page,
+         |          user_id, ts, event_id FROM events)
+         |  WHERE page IS NOT NULL),
+         |edges AS (
+         |  SELECT page AS src, next AS dst, COUNT(*) AS w
+         |  FROM seq WHERE next IS NOT NULL
+         |  GROUP BY 1, 2),
+         |e AS (
+         |  SELECT src, dst,
+         |    CAST(w AS DOUBLE) / SUM(w) OVER (PARTITION BY src) AS share
+         |  FROM edges),
+         |nodes AS (
+         |  SELECT src AS page FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         |outn AS (SELECT DISTINCT src AS page FROM e),
+         |r0 AS (SELECT page, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      val p = s"r${i - 1}"
+      s"""d$i AS (
+         |  SELECT COALESCE(SUM(rank), 0.0) AS dm FROM $p
+         |  WHERE page NOT IN (SELECT page FROM outn)),
+         |c$i AS (
+         |  SELECT e.dst AS page, SUM(e.share * r.rank) AS c
+         |  FROM e JOIN $p r ON e.src = r.page GROUP BY 1),
+         |r$i AS (
+         |  SELECT nodes.page, ROUND(
+         |    (1.0 - $d) / (SELECT n FROM nn) +
+         |    $d * (COALESCE(c$i.c, 0.0) +
+         |          (SELECT dm FROM d$i) / (SELECT n FROM nn)), 9) AS rank
+         |  FROM nodes LEFT JOIN c$i ON nodes.page = c$i.page)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT page, ROUND(rank, 6) AS rank FROM r$iterations
+       |ORDER BY page""".stripMargin
+  }
+}
