@@ -2024,6 +2024,13 @@ object SparkEntry {
     //      dangling mass rides a 1-row broadcast stat factor ----
     "q150_pagerank" -> ((s, dir) =>
       graft.operators.GraphRank.navigationRank(s, t(s, dir, "events"))),
+
+    // ---- Rolling 7-day distinct users: dedupe (day,user) once, fan
+    //      the DEDUPED table out W×, count-distinct per window end —
+    //      two shuffles, never W rescans of the events table ----
+    "q151_rolling_dau" -> ((s, dir) =>
+      graft.operators.RollingDistinct.activeKeys(
+        t(s, dir, "events"), windowDays = 7)),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -4150,5 +4157,13 @@ object SparkEntry {
         |LIMIT 20""".stripMargin,
 
     "q150_pagerank" -> graft.operators.GraphRank.oracleSql(),
+
+    "q151_rolling_dau" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d FROM du)
+        |SELECT days.d AS dt, COUNT(DISTINCT du.user_id) AS active_users
+        |FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
