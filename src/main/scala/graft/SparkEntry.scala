@@ -2031,6 +2031,12 @@ object SparkEntry {
     "q151_rolling_dau" -> ((s, dir) =>
       graft.operators.RollingDistinct.activeKeys(
         t(s, dir, "events"), windowDays = 7)),
+
+    // ---- Streaming decontamination gate: benchmark grams broadcast
+    //      once, each micro-batch pays one gram pass over itself;
+    //      stateless per batch so the batch SQL oracles the stream ----
+    "q152_stream_decontaminate" -> ((s, dir) =>
+      graft.streaming.StreamingDecontaminate.gateDocuments(s, dir)),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -4165,5 +4171,25 @@ object SparkEntry {
         |SELECT days.d AS dt, COUNT(DISTINCT du.user_id) AS active_users
         |FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q152_stream_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split_regex(trim(text), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+        |      i -> array_to_string(t[i:i+3], ' '))) AS gram
+        |    FROM toks WHERE len(t) >= 4)),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 41 = 0),
+        |hits AS (
+        |  SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n
+        |  FROM grams g JOIN bench b USING (gram)
+        |  WHERE g.doc_id % 41 != 0 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_grams,
+        |  COALESCE(h.n, 0) < 2 AS admitted
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 41 != 0) d
+        |LEFT JOIN hits h USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

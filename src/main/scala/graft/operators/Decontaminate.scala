@@ -36,6 +36,34 @@ object Decontaminate {
           s"transform(sequence(1, size(__toks) - ${n - 1}), " +
             s"i -> array_join(slice(__toks, i, $n), ' '))")).as("gram"))
 
+  /** Distinct benchmark gram set, computed once and reused across
+    * micro-batches by the streaming gate
+    * ([[graft.streaming.StreamingDecontaminate]]): tiny by
+    * construction (benchmark suites are fixed-size), so it broadcasts. */
+  def benchGrams(benchmark: DataFrame, n: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docGrams(benchmark, n, idCol, textCol)
+      .select(col("gram")).distinct()
+
+  /** Per-document admission decision against a precomputed benchmark
+    * gram set: `(idCol, n_shared_grams, admitted)` for EVERY input
+    * document — zero-overlap (and sub-n-token) docs report 0 shared
+    * and admit. Stateless in the corpus: one broadcast gram join per
+    * batch, nothing carried between batches. */
+  def gateDecisions(docs: DataFrame, benchGramSet: DataFrame,
+      n: Int = 5, rejectMin: Long = 1L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hits = docGrams(docs, n, idCol, textCol)
+      .join(broadcast(benchGramSet), "gram")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("__n"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("__n"), lit(0L)) < rejectMin).as("admitted"))
+  }
+
   /** Contaminated corpus docs: for each corpus document sharing at
     * least one `n`-gram with any benchmark document, report how many
     * distinct grams overlap and how many benchmark docs are hit.
