@@ -33,7 +33,10 @@ object PlanAudit {
     "q145_skew_advisor",
     // pagerank: per-iteration dangling mass is a 1-row broadcast
     // crossJoin (stat factor, same shape as the corpus totals above)
-    "q150_pagerank")
+    "q150_pagerank",
+    // DSIR: distribution totals and the top-k threshold are 1-row
+    // broadcast stat factors
+    "q153_dsir_select")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

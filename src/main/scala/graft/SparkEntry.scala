@@ -2037,6 +2037,14 @@ object SparkEntry {
     //      stateless per batch so the batch SQL oracles the stream ----
     "q152_stream_decontaminate" -> ((s, dir) =>
       graft.streaming.StreamingDecontaminate.gateDocuments(s, dir)),
+
+    // ---- DSIR importance resampling: hashed-token log-likelihood
+    //      ratio toward the English slice; distributions are
+    //      bucket-sized broadcasts, selection threshold is a bounded
+    //      top-k — no global sort, no corpus×corpus comparison ----
+    "q153_dsir_select" -> ((s, dir) =>
+      graft.operators.ImportanceResampling.englishTopK(
+        t(s, dir, "documents"), k = 100)),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -4191,5 +4199,34 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 41 != 0) d
         |LEFT JOIN hits h USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q153_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(str_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(tok), 1, 6))::BIGINT % 4096 AS b, COUNT(*) AS c
+        |  FROM toks WHERE tok != '' GROUP BY 1, 2, 3),
+        |cs AS (SELECT b, SUM(c) AS cs FROM tb GROUP BY 1),
+        |ct AS (SELECT b, SUM(c) AS ct FROM tb WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT (SELECT SUM(cs) FROM cs) AS s,
+        |               (SELECT SUM(ct) FROM ct) AS t),
+        |lr AS (
+        |  SELECT cs.b,
+        |    ln((COALESCE(ct.ct, 0) + 0.5) / (tot.t + 0.5 * 4096)) -
+        |    ln((cs.cs + 0.5) / (tot.s + 0.5 * 4096)) AS lr
+        |  FROM cs LEFT JOIN ct USING (b), tot),
+        |w AS (
+        |  SELECT tb.doc_id, ROUND(SUM(tb.c * lr.lr), 6) AS li_weight
+        |  FROM tb JOIN lr USING (b) GROUP BY 1),
+        |scored AS (
+        |  SELECT d.doc_id, COALESCE(w.li_weight, 0.0) AS li_weight
+        |  FROM (SELECT doc_id FROM documents) d LEFT JOIN w USING (doc_id)),
+        |thr AS (SELECT MIN(li_weight) AS thr FROM
+        |  (SELECT li_weight FROM scored ORDER BY li_weight DESC LIMIT 100))
+        |SELECT doc_id, li_weight,
+        |  li_weight >= (SELECT thr FROM thr) AS selected
+        |FROM scored ORDER BY doc_id""".stripMargin,
   )
 }
