@@ -2045,6 +2045,12 @@ object SparkEntry {
     "q153_dsir_select" -> ((s, dir) =>
       graft.operators.ImportanceResampling.englishTopK(
         t(s, dir, "documents"), k = 100)),
+
+    // ---- Path mining: top 3-step event-type paths — one shuffle on
+    //      the user key, agg over |types|^3 path strings at worst ----
+    "q154_top_paths" -> ((s, dir) =>
+      graft.operators.Sessionize.topPaths(
+        t(s, dir, "events"), steps = 3, topK = 20)),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -4228,5 +4234,17 @@ object SparkEntry {
         |SELECT doc_id, li_weight,
         |  li_weight >= (SELECT thr FROM thr) AS selected
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q154_top_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type AS s0,
+        |    LEAD(event_type, 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS s1,
+        |    LEAD(event_type, 2) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS s2
+        |  FROM events)
+        |SELECT s0 || '>' || s1 || '>' || s2 AS path, COUNT(*) AS n
+        |FROM seq WHERE s2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
   )
 }

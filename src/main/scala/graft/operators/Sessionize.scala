@@ -68,4 +68,37 @@ object Sessionize {
         round(col("n") / sum("n").over(Window.partitionBy("from_type")), 6))
       .orderBy("from_type", "to_type")
   }
+
+  /** Top `k`-step navigation paths: every window of `steps` consecutive
+    * event types in a user's sequence, counted corpus-wide — the
+    * higher-order extension of [[transitionMatrix]] (path mining, the
+    * "what do users actually do" table behind funnel design).
+    *
+    * Same scale shape as the matrix: ONE shuffle on the user key for
+    * the lead() windows (a `steps`-wide slide adds columns, not
+    * shuffles), then an aggregation over path strings whose
+    * cardinality is |types|^steps at worst — vocabulary-sized, not
+    * event-sized. Deterministic top-k: (n desc, path asc). */
+  def topPaths(events: DataFrame, steps: Int = 3, topK: Int = 20,
+      key: String = "user_id", ts: String = "ts",
+      typeCol: String = "event_type",
+      tieBreak: Seq[String] = Seq("event_id")): DataFrame = {
+    require(steps >= 2, "a path needs at least 2 steps")
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts) +: tieBreak.map(col): _*)
+    val withLeads = (1 until steps).foldLeft(events) { (df, i) =>
+      df.withColumn(s"__s$i", lead(col(typeCol), i).over(w))
+    }
+    withLeads
+      // windows truncated at the sequence tail have a null FINAL lead
+      // (earlier leads are then non-null by construction) — drop them
+      // rather than emit short paths
+      .filter(col(s"__s${steps - 1}").isNotNull)
+      .withColumn("__path", concat_ws(">",
+        col(typeCol) +: (1 until steps).map(i => col(s"__s$i")): _*))
+      .groupBy(col("__path").as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(topK)
+  }
 }
