@@ -2051,6 +2051,36 @@ object SparkEntry {
     "q154_top_paths" -> ((s, dir) =>
       graft.operators.Sessionize.topPaths(
         t(s, dir, "events"), steps = 3, topK = 20)),
+
+    // ---- Token-budget feasibility plan: one grouped agg over
+    //      codegen'd per-row token counts; the mixture rides as a
+    //      literal — the pre-run check that says "this source must
+    //      epoch 5× to fill its seats" before any assembly shuffles ----
+    "q157_token_budget" -> ((s, dir) =>
+      graft.operators.Curation.tokenBudgetPlan(
+        t(s, dir, "documents"), totalBudget = 100000L,
+        weights = Map("en" -> 0.5, "zh" -> 0.2, "de" -> 0.1,
+          "es" -> 0.1, "fr" -> 0.1))),
+
+    // ---- Diversity-aware subselection: √-size per-cluster seats
+    //      (rare modes keep representation), most-central rows win;
+    //      salted two-phase top-m so no window partition sees a whole
+    //      cluster. Hash-seeded codebook ⇒ rows-only; semantics in
+    //      DiverseSubsetSpec ----
+    "q156_diverse_subset" -> ((s, dir) =>
+      graft.operators.Similarity.diverseSubset(
+        t(s, dir, "embeddings"), budget = 200)),
+
+    // ---- Semantic decontamination: benchmark embeddings (label 9 as
+    //      the held-out eval slice) ride into a codegen'd MaxCosine as
+    //      a plan reference object — the corpus pass is MAP-ONLY, no
+    //      join, no pair rows, no aggregation exchange ----
+    "q155_semantic_decontaminate" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Decontaminate.semanticGate(
+        e.filter(col("label") =!= 9), e.filter(col("label") === 9),
+        tau = 0.4)
+    }),
   )
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
@@ -4246,5 +4276,41 @@ object SparkEntry {
         |SELECT s0 || '>' || s1 || '>' || s2 AS path, COUNT(*) AS n
         |FROM seq WHERE s2 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
+    "q155_semantic_decontaminate" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |b AS (SELECT v FROM e WHERE label = 9),
+        |c AS (SELECT vec_id, v FROM e WHERE label <> 9)
+        |SELECT c.vec_id,
+        |  ROUND(MAX(list_cosine_similarity(c.v, b.v)), 6) AS max_bench_cos,
+        |  ROUND(MAX(list_cosine_similarity(c.v, b.v)), 6) >= 0.4
+        |    AS contaminated
+        |FROM c CROSS JOIN b
+        |GROUP BY c.vec_id
+        |ORDER BY vec_id""".stripMargin,
+
+    "q157_token_budget" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    len(list_filter(str_split_regex(trim(text), '\s+'),
+        |        t -> t <> '')) AS n
+        |  FROM documents),
+        |avail AS (
+        |  SELECT lang, CAST(SUM(n) AS BIGINT) AS avail_tokens
+        |  FROM toks GROUP BY lang),
+        |w AS (SELECT * FROM (VALUES
+        |  ('en', 0.5), ('zh', 0.2), ('de', 0.1), ('es', 0.1), ('fr', 0.1))
+        |  AS t(lang, wr))
+        |SELECT a.lang, a.avail_tokens,
+        |  ROUND(w.wr, 6) AS weight,
+        |  CAST(ROUND(100000 * ROUND(w.wr, 6)) AS BIGINT) AS target_tokens,
+        |  ROUND(CAST(ROUND(100000 * ROUND(w.wr, 6)) AS BIGINT)
+        |    / CAST(a.avail_tokens AS DOUBLE), 4) AS epochs,
+        |  ROUND(CAST(ROUND(100000 * ROUND(w.wr, 6)) AS BIGINT)
+        |    / CAST(a.avail_tokens AS DOUBLE), 4) > 4.0 AS oversubscribed
+        |FROM avail a JOIN w ON a.lang = w.lang
+        |ORDER BY a.lang""".stripMargin,
   )
 }

@@ -113,4 +113,49 @@ object Curation {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions("shard", "shard_key")
       .write.partitionBy("shard").mode("overwrite").parquet(path)
+
+  /** Token-budget plan: given a total training-token budget and a
+    * target mixture over a stratum column, report per stratum how many
+    * tokens exist, how many the mixture demands, and the implied epoch
+    * count — the pre-run feasibility check behind published mixture
+    * recipes (epoching a source past ~4 repeats measurably degrades,
+    * per Muennighoff et al., "Scaling Data-Constrained Language
+    * Models", NeurIPS 2023 — the `maxEpochs` default). A stratum with
+    * `epochs` over the cap can't fill its seat allocation without
+    * over-repeating: the run must either shrink the budget, reweight,
+    * or source more data — this report is what says so BEFORE any
+    * shuffle-heavy assembly starts.
+    *
+    * Scale shape: ONE grouped aggregate over per-row codegen'd token
+    * counts (map-side partial agg; whitespace tokenization matches the
+    * engine-wide [[graft.functions.TextFunctions.tokens]] contract);
+    * weights ride as a literal. Output is stratum-cardinality rows.
+    *
+    * Strata absent from `weights` get weight 0 (reported, flagged
+    * unused); weights are normalized so callers can pass ratios. */
+  def tokenBudgetPlan(docs: DataFrame, totalBudget: Long,
+      weights: Map[String, Double], strataCol: String = "lang",
+      textCol: String = "text", maxEpochs: Double = 4.0): DataFrame = {
+    require(totalBudget > 0, "token budget must be positive")
+    require(weights.nonEmpty && weights.values.forall(_ >= 0.0),
+      "weights must be non-negative and non-empty")
+    val wSum = weights.values.sum
+    require(wSum > 0.0, "weights must not all be zero")
+    val wNorm = weights.map { case (k, v) => k -> v / wSum }
+    val wCol = wNorm.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc) }
+    val nTokens = size(filter(
+      graft.functions.TextFunctions.tokens(col(textCol)), t => t =!= ""))
+    docs
+      .groupBy(col(strataCol))
+      .agg(sum(nTokens.cast("long")).as("avail_tokens"))
+      .withColumn("weight", round(wCol, 6))
+      .withColumn("target_tokens",
+        round(lit(totalBudget.toDouble) * col("weight")).cast("long"))
+      .withColumn("epochs",
+        round(col("target_tokens").cast("double") /
+          col("avail_tokens").cast("double"), 4))
+      .withColumn("oversubscribed", col("epochs") > maxEpochs)
+      .orderBy(col(strataCol))
+  }
 }

@@ -89,6 +89,46 @@ object Decontaminate {
       .orderBy(col(idCol))
   }
 
+  /** Semantic (embedding-space) decontamination: flag corpus rows whose
+    * embedding is too close to ANY held-out benchmark embedding — the
+    * vector analog of the n-gram gate above, catching paraphrased or
+    * re-tokenized eval leakage that exact n-gram matching misses
+    * (embedding-similarity decontamination as popularized in public
+    * LLM-corpus reports, e.g. the fuzzy dedup/decon discussion of Lee
+    * et al. 2021, arXiv:2107.06499, and SemDeDup's cosine protocol,
+    * Abbas et al. 2023, arXiv:2303.09540).
+    *
+    * Scale shape: the benchmark side is collected ONCE (bounded —
+    * `maxBench` guards the contract; eval suites are MBs against a
+    * 100 TB corpus) and rides into [[graft.functions.MaxCosine]] as a
+    * plan reference object, so the corpus pass is MAP-ONLY: no join, no
+    * pair rows, no aggregation exchange — each row computes its own max
+    * cosine inside whole-stage codegen. Contrast with a broadcast join
+    * + groupBy(max), which would materialize |corpus|·|bench| rows into
+    * a hash aggregate.
+    *
+    * Returns every corpus row: `(idCol, max_bench_cos, contaminated)`,
+    * with the flag computed from the ROUNDED similarity so the
+    * admit/reject boundary is reproducible across engines (the oracle
+    * rounds identically). A zero-norm corpus embedding has undefined
+    * cosine (NaN); both Spark and DuckDB order NaN above every number,
+    * so such rows FLAG rather than silently admit — fail-closed. */
+  def semanticGate(corpus: DataFrame, benchmark: DataFrame,
+      tau: Double, idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBench: Int = 1 << 16): DataFrame = {
+    val rows = benchmark.select(col(vecCol)).limit(maxBench + 1).collect()
+    require(rows.length <= maxBench,
+      s"benchmark exceeds maxBench=$maxBench vectors — a benchmark this " +
+        "large should go through the IVF path, not a broadcast gate")
+    require(rows.nonEmpty, "empty benchmark set")
+    val refs = rows.map(_.getSeq[Float](0).toArray)
+    val cos = round(
+      graft.functions.MaxCosine.maxCosine(col(vecCol), refs), 6)
+    corpus.select(col(idCol), cos.as("max_bench_cos"))
+      .withColumn("contaminated", col("max_bench_cos") >= tau)
+      .orderBy(col(idCol))
+  }
+
   /** Cross-source leakage matrix: for every pair of corpus sources,
     * how many distinct token `k`-shingles they share, normalized by
     * the smaller source's shingle vocabulary (a containment-style

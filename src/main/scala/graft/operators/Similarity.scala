@@ -439,4 +439,106 @@ object Similarity {
         col("centroid_cos"), col("keep"))
       .orderBy(idCol)
   }
+
+  /** Diversity-aware corpus subselection: pick `budget` rows that COVER
+    * the embedding space instead of mirroring its density — the
+    * selection step of cluster-coverage curation (the public D4 recipe:
+    * Tirumala et al., "D4: Improving LLM Pretraining via Document
+    * De-Duplication and Diversification", NeurIPS 2023, composes
+    * dedup with cluster-aware reselection; per-cluster prototype
+    * picking is the k-center/coreset idea of Sener & Savarese, ICLR
+    * 2018). Dense regions are over-represented in raw corpora; a
+    * subsample proportional to cluster SIZE just reproduces that skew,
+    * so the per-cluster budget here grows with √size — sublinear, so
+    * rare modes keep seats — and within a cluster the most CENTRAL
+    * rows win (prototypes, not outliers).
+    *
+    * Scale shape: codebook fit on a bounded sample; assignment is the
+    * map-only codegen argmin; cluster sizes are one k-row agg collected
+    * to the driver (k ≤ 1024, bounded) where the √-weighted
+    * largest-remainder allocation runs; the within-cluster top-m is the
+    * SALTED two-phase pattern — phase 1 ranks inside (cluster, salt)
+    * groups so no single window partition sees the whole cluster (the
+    * k ≤ 1024 skew trap of a direct per-cluster window at 100 TB),
+    * phase 2 re-ranks only the ≤ salts·alloc survivors. Any global
+    * top-m row is also top-m within its salt group, so the two-phase
+    * result equals the unsalted one exactly. */
+  def diverseSubset(vectors: DataFrame, budget: Int, numCentroids: Int = 0,
+      salts: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val nc = if (numCentroids > 0) numCentroids else autoK(vectors)
+    val cents = fitCentroids(vectors, nc, idCol = idCol, vecCol = vecCol)
+    diverseSubsetWith(vectors, cents, budget, salts, idCol, vecCol)
+  }
+
+  /** [[diverseSubset]] against a CALLER-SUPPLIED codebook (a persisted
+    * [[VectorIndex]] codebook, or a test's fixed centroids). */
+  def diverseSubsetWith(vectors: DataFrame, centroids: Array[Array[Float]],
+      budget: Int, salts: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    require(salts >= 1, "salts must be >= 1")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val assigned = assignToCentroids(vectors, centroids, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val alloc = allocateSqrt(sizes, budget)
+    val allocDf = broadcast(
+      alloc.toSeq.sorted.toDF("cluster_id", "__alloc"))
+    val centsDf = broadcast(
+      centroids.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }
+        .toDF("cluster_id", "__centroid")
+        .select(col("cluster_id"),
+          col("__centroid").cast("array<float>").as("__centroid")))
+    val withDist = assigned
+      .join(allocDf, Seq("cluster_id")) // drops zero-alloc clusters early
+      .filter(col("__alloc") >= 1)
+      .join(centsDf, Seq("cluster_id"))
+      .withColumn("__dist",
+        graft.functions.VectorFunctions.sqDist(col(vecCol), col("__centroid")))
+    val salted = withDist
+      .withColumn("__salt", pmod(hash(col(idCol)), lit(salts)))
+    val w1 = Window.partitionBy("cluster_id", "__salt")
+      .orderBy(col("__dist").asc, col(idCol).asc)
+    val phase1 = salted.withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= col("__alloc"))
+    val w2 = Window.partitionBy("cluster_id")
+      .orderBy(col("__dist").asc, col(idCol).asc)
+    phase1.withColumn("centroid_rank", row_number().over(w2))
+      .filter(col("centroid_rank") <= col("__alloc"))
+      .select(col(idCol), col("cluster_id"),
+        round(col("__dist"), 6).as("sq_dist"), col("centroid_rank"))
+      .orderBy("cluster_id", "centroid_rank")
+  }
+
+  /** √-weighted largest-remainder seat allocation, capped at cluster
+    * size; deterministic (remainder desc, cluster asc). Driver-side
+    * over the ≤1024-entry cluster-size map — bounded state. When the
+    * budget covers everything, everything is taken. */
+  private[graft] def allocateSqrt(sizes: Map[Int, Long],
+      budget: Int): Map[Int, Int] = {
+    if (sizes.isEmpty) return Map.empty
+    val total = sizes.values.sum
+    if (budget >= total) return sizes.map { case (c, n) => c -> n.toInt }
+    val w = sizes.map { case (c, n) => c -> math.sqrt(n.toDouble) }
+    val wSum = w.values.sum
+    val ideal = w.map { case (c, wi) => c -> budget * wi / wSum }
+    var alloc = ideal.map { case (c, x) =>
+      c -> math.min(sizes(c), x.toLong).toInt }
+    var rem = budget - alloc.values.sum
+    while (rem > 0) {
+      val open = sizes.keys.toSeq
+        .filter(c => alloc(c) < sizes(c))
+        .sortBy(c => (-(ideal(c) - alloc(c)), c))
+      // budget < total guarantees spare capacity somewhere
+      val take = open.take(rem)
+      alloc = alloc ++ take.map(c => c -> (alloc(c) + 1))
+      rem -= take.size
+    }
+    alloc
+  }
 }
