@@ -273,7 +273,18 @@ object ScaleProbe {
       // grows with the corpus
       "embedding_drift" -> (d => graft.operators.Drift.embeddingDrift(
         d.filter(col("vec_id") % 2 === 0),
-        d.filter(col("vec_id") % 2 === 1)).count()))
+        d.filter(col("vec_id") % 2 === 1)).count()),
+      // benchmark pinned to the BASE corpus slice (eval sets don't
+      // grow with the corpus); the timed region is the map-only
+      // MaxCosine pass over the amplified side — must be ~linear
+      "semantic_gate" -> (d => graft.operators.Decontaminate.semanticGate(
+        d.filter(col("label") =!= 9),
+        embBase.filter(col("label") === 9), tau = 0.4).count()),
+      // fixed codebook size + fixed budget: assignment is map-only,
+      // seat allocation is a k-row driver step, the salted two-phase
+      // windows rank only alloc-bounded survivors in phase 2
+      "diverse_subset" -> (d => graft.operators.Similarity
+        .diverseSubset(d, budget = 500, numCentroids = 64).count()))
 
     // ---- event-input operators: amplified by shifting user/event ids
     // per copy — copies are DISJOINT users, so per-user sequence

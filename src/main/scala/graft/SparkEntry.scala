@@ -2052,6 +2052,16 @@ object SparkEntry {
       graft.operators.Sessionize.topPaths(
         t(s, dir, "events"), steps = 3, topK = 20)),
 
+    // ---- Column-level lineage of the flagship mart, read from the
+    //      analyzed plan's ExprId graph — pure metadata, zero data
+    //      touched, O(plan) cost at any corpus size. count(*)-style
+    //      outputs surface as <constant> (no column provenance), the
+    //      standard column-lineage convention ----
+    "q158_column_lineage" -> ((s, dir) =>
+      graft.plans.ColumnLineage.of(s,
+        graft.marts.DailyStoreMetrics.build(
+          t(s, dir, "orders"), t(s, dir, "events")))),
+
     // ---- Token-budget feasibility plan: one grouped agg over
     //      codegen'd per-row token counts; the mixture rides as a
     //      literal — the pre-run check that says "this source must
@@ -4290,6 +4300,20 @@ object SparkEntry {
         |FROM c CROSS JOIN b
         |GROUP BY c.vec_id
         |ORDER BY vec_id""".stripMargin,
+
+    "q158_column_lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('dt', 'events', 'ts'),
+        |  ('dt', 'orders', 'o_orderdate'),
+        |  ('fulfilled_orders', 'orders', 'o_orderstatus'),
+        |  ('order_count', '<constant>', '<none>'),
+        |  ('revenue', 'orders', 'o_totalprice'),
+        |  ('sessions', '<constant>', '<none>'),
+        |  ('store_id', 'events', 'user_id'),
+        |  ('store_id', 'orders', 'o_custkey'),
+        |  ('visitors', 'events', 'user_id'))
+        |  AS t(output_column, source_table, source_column)
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "q157_token_budget" ->
       """WITH toks AS (

@@ -1,0 +1,132 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Column-level lineage extracted from the ANALYZED logical plan: for
+  * each output column of a frame, the set of (source_table,
+  * source_column) leaves it derives from.
+  *
+  * The table-level walk ([[graft.lake.Catalog.upstream]]) answers
+  * "which tables feed this mart"; this answers the dbt-docs /
+  * OpenLineage column-facet question — "which PHYSICAL columns feed
+  * this output column" (the reference publishes table-level lineage
+  * through its catalog + dbt docs; column lineage is the standard
+  * finer grain of that surface). Because it reads the resolved
+  * `ExprId` graph, it survives aliasing, expression nesting, window
+  * frames, and joins — string-matching column names would not.
+  *
+  * Pure METADATA computation: walks the plan object on the driver,
+  * touches zero data, costs O(plan size) — the 100 TB cost is
+  * identical to the 100-row cost.
+  */
+object ColumnLineage {
+
+  /** One row per (output_column, source_table, source_column),
+    * ordered. Output columns that reference no physical column
+    * (literals, monotonically-increasing ids) report the sentinel
+    * `("<constant>", "<none>")` rather than disappearing — an output
+    * with NO physical provenance is exactly what an auditor wants
+    * surfaced. */
+  def of(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    val plan = df.queryExecution.analyzed
+    val sources = resolve(plan)
+    val rows = plan.output.flatMap { attr =>
+      val srcs = sources.getOrElse(attr.exprId.id, Set.empty)
+      if (srcs.isEmpty) Seq((attr.name, "<constant>", "<none>"))
+      else srcs.toSeq.map { case (t, c) => (attr.name, t, c) }
+    }.distinct.sorted
+    rows.toDF("output_column", "source_table", "source_column")
+  }
+
+  /** exprId.id → physical (table, column) leaves. */
+  private def resolve(plan: LogicalPlan): Map[Long, Set[(String, String)]] =
+    plan match {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        val table = tableName(lr.relation.asInstanceOf[HadoopFsRelation])
+        lr.output.map(a => a.exprId.id -> Set(table -> a.name)).toMap
+
+      case lr: LeafNode =>
+        // in-memory/local relations, streaming sources, v2 relations:
+        // name by node class so the provenance is visible, not wrong
+        val table = lr.getClass.getSimpleName
+          .stripSuffix("$").stripSuffix("Relation").toLowerCase
+        lr.output.map(a => a.exprId.id -> Set(s"<$table>" -> a.name)).toMap
+
+      case SubqueryAlias(_, child) =>
+        // view/alias names never rebrand: lineage resolves through to
+        // PHYSICAL leaves — the whole point of the column facet (the
+        // table-level walk in lake.Catalog already answers "which
+        // published names feed this")
+        resolve(child)
+
+      case p: Project  => mapNamed(p.projectList, resolve(p.child))
+      case a: Aggregate =>
+        mapNamed(a.aggregateExpressions, resolve(a.child))
+      case w: Window =>
+        val below = resolve(w.child)
+        below ++ mapNamed(w.windowExpressions, below)
+      case g: Generate =>
+        val below = resolve(g.child)
+        val genSrcs = g.generator.references.toSeq
+          .flatMap(a => below.getOrElse(a.exprId.id, Set.empty)).toSet
+        below ++ g.generatorOutput.map(a => a.exprId.id -> genSrcs)
+      case e: Expand =>
+        // rollup/cube/grouping-sets: output attr i unions the leaves
+        // of position i across every projection row
+        val below = resolve(e.child)
+        e.output.zipWithIndex.map { case (attr, i) =>
+          attr.exprId.id -> e.projections
+            .flatMap(row => row(i).references
+              .flatMap(a => below.getOrElse(a.exprId.id, Set.empty))).toSet
+        }.toMap
+
+      case other =>
+        // joins, filters, sorts, limits, unions, set-ops, repartition:
+        // attributes flow through untouched — union the children maps.
+        // Union-style positional merge needs no special case because
+        // each child keeps its own exprIds and the output reuses the
+        // first child's; merging maps preserves both.
+        val maps = other.children.map(resolve)
+        val merged = maps.foldLeft(Map.empty[Long, Set[(String, String)]]) {
+          (acc, m) => m.foldLeft(acc) { case (a, (k, v)) =>
+            a.updated(k, a.getOrElse(k, Set.empty) ++ v) }
+        }
+        other match {
+          case u: Union =>
+            // output ids == first child's; widen each to cover every
+            // branch's leaves at the same position
+            val perChild = u.children.map(_.output)
+            merged ++ u.output.zipWithIndex.map { case (attr, i) =>
+              attr.exprId.id -> perChild
+                .flatMap(out => merged.getOrElse(out(i).exprId.id, Set.empty))
+                .toSet }
+          case _ => merged
+        }
+    }
+
+  /** Output attr → union of its expression's referenced leaves. */
+  private def mapNamed(exprs: Seq[NamedExpression],
+      below: Map[Long, Set[(String, String)]]): Map[Long, Set[(String, String)]] =
+    exprs.map { ne =>
+      val leaves = ne match {
+        case a: Attribute => below.getOrElse(a.exprId.id, Set.empty)
+        case Alias(child, _) => child.references.toSeq
+          .flatMap(a => below.getOrElse(a.exprId.id, Set.empty)).toSet
+        case other => other.references.toSeq
+          .flatMap(a => below.getOrElse(a.exprId.id, Set.empty)).toSet
+      }
+      ne.exprId.id -> leaves
+    }.toMap
+
+  /** Physical table name: basename of the relation's first root path,
+    * minus a trailing `.parquet`/`.csv`/`.json`/`.orc`. */
+  private def tableName(fs: HadoopFsRelation): String = {
+    val base = fs.location.rootPaths.headOption
+      .map(_.getName).getOrElse("<unknown>")
+    base.replaceAll("\\.(parquet|csv|json|orc)$", "")
+  }
+}
