@@ -223,7 +223,15 @@ object ScaleProbe {
       // any global-sort stage appearing
       "train_shuffle" -> (d => graft.operators.TrainShuffle
         .shuffleShards(d, nShards = 64, seed = 7L)
-        .agg(max("pos")).collect()(0).getLong(0)))
+        .agg(max("pos")).collect()(0).getLong(0)),
+      // synthetic source key keeps per-source doc counts ∝N while the
+      // suffix-disjoint copies add no cross-copy boilerplate: the
+      // frequency agg, mark join, and reassembly must all stay linear
+      "boilerplate" -> (d => graft.operators.SegmentDedup
+        .boilerplateExcise(
+          d.withColumn("source", (col("doc_id") % 20).cast("string")),
+          segTokens = 2, minDocFrac = 0.18)
+        .agg(sum("n_dropped")).collect()(0).getLong(0)))
 
     // ---- embedding-input operators: amplified by cyclic coordinate
     // rotation per copy — rotations of distinct 64-dim vectors are

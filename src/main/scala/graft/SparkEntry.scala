@@ -2052,6 +2052,14 @@ object SparkEntry {
       graft.operators.Sessionize.topPaths(
         t(s, dir, "events"), steps = 3, topK = 20)),
 
+    // ---- Per-source boilerplate excision (CCNet document-frequency
+    //      filter): segments frequent within a source die everywhere,
+    //      including first occurrences; 8-byte hashes ride the
+    //      frequency shuffle; doc totals broadcast ----
+    "q159_boilerplate" -> ((s, dir) =>
+      graft.operators.SegmentDedup.boilerplateExcise(
+        t(s, dir, "documents"), segTokens = 2, minDocFrac = 0.18)),
+
     // ---- Column-level lineage of the flagship mart, read from the
     //      analyzed plan's ExprId graph — pure metadata, zero data
     //      touched, O(plan) cost at any corpus size. count(*)-style
@@ -4300,6 +4308,44 @@ object SparkEntry {
         |FROM c CROSS JOIN b
         |GROUP BY c.vec_id
         |ORDER BY vec_id""".stripMargin,
+
+    "q159_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
+        |      AS ord
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor((ord - 1) / 2) AS BIGINT) AS seg_id,
+        |    string_agg(tok, ' ' ORDER BY ord) AS seg
+        |  FROM toks GROUP BY 1, 2, 3),
+        |tot AS (
+        |  SELECT source, COUNT(DISTINCT doc_id) AS nd
+        |  FROM documents GROUP BY 1),
+        |df AS (
+        |  SELECT source, seg, COUNT(DISTINCT doc_id) AS dfc
+        |  FROM segs GROUP BY 1, 2),
+        |bp AS (
+        |  SELECT d.source, d.seg FROM df d JOIN tot t ON d.source = t.source
+        |  WHERE CAST(d.dfc AS DOUBLE) >= CAST(t.nd AS DOUBLE) * 0.18),
+        |m AS (
+        |  SELECT s.doc_id, s.seg_id, s.seg,
+        |    CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END AS is_bp
+        |  FROM segs s LEFT JOIN bp b
+        |    ON s.source = b.source AND s.seg = b.seg),
+        |stats AS (
+        |  SELECT doc_id, COUNT(*) AS n_segs,
+        |    CAST(SUM(is_bp) AS BIGINT) AS n_dropped
+        |  FROM m GROUP BY 1),
+        |clean AS (
+        |  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_id) AS text_clean
+        |  FROM m WHERE is_bp = 0 GROUP BY 1)
+        |SELECT s.doc_id, s.n_segs, s.n_dropped,
+        |  COALESCE(c.text_clean, '') AS text_clean
+        |FROM stats s LEFT JOIN clean c ON s.doc_id = c.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
 
     "q158_column_lineage" ->
       """SELECT * FROM (VALUES

@@ -33,20 +33,24 @@ object SegmentDedup {
   /** One row per (doc, segment): `doc_id, seg_id, seg`. Tail segments
     * shorter than `segTokens` are kept — they carry the doc suffix. */
   def segments(docs: DataFrame, segTokens: Int = 5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(segTokens >= 1, "segTokens must be >= 1")
+    val carried = carryCols.map(col)
     docs
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select((col(idCol) +: carried) :+
+        TextFunctions.tokens(col(textCol)).as("__toks"): _*)
       .withColumn("__nt", size(col("__toks")))
       .filter(col("__nt") >= 1)
-      .select(col(idCol),
+      .select((col(idCol) +: carried) ++ Seq(
         explode(sequence(lit(0), ((col("__nt") - 1) / segTokens).cast("int")))
           .as("seg_id"),
-        col("__toks"))
-      .select(col(idCol), col("seg_id").cast("bigint").as("seg_id"),
+        col("__toks")): _*)
+      .select((col(idCol) +: carried) ++ Seq(
+        col("seg_id").cast("bigint").as("seg_id"),
         array_join(
           slice(col("__toks"), col("seg_id") * segTokens + 1, lit(segTokens)), " ")
-          .as("seg"))
+          .as("seg")): _*)
   }
 
   /** Global first-occurrence winner per distinct segment text:
@@ -141,4 +145,65 @@ object SegmentDedup {
   def report(docs: DataFrame, segTokens: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     admitBatch(docs, None, segTokens, idCol, textCol).report
+
+  /** Per-source boilerplate excision — the CCNet/C4 DOCUMENT-FREQUENCY
+    * filter (Wenzek et al., "CCNet", LREC 2020 §3.1 drop paragraphs
+    * frequent within a crawl shard; Raffel et al., C4, JMLR 2020 §2.2
+    * drop repeated boilerplate lines): a segment appearing in at least
+    * `minDocFrac` of a SOURCE's documents is boilerplate (nav text,
+    * license blurbs, headers) and is dropped from EVERY document of
+    * that source — including its first occurrence, which is what
+    * distinguishes this from [[report]]'s first-one-wins dedup.
+    *
+    * Output per input document: `(idCol, n_segs, n_dropped,
+    * text_clean)` — all-boilerplate docs survive with empty
+    * `text_clean` (a curation filter decides their fate; this operator
+    * never silently loses a row).
+    *
+    * Scale shape: segment explode is map-only; the (source, segment)
+    * document-frequency agg and the boilerplate-mark join share one
+    * shuffle key; per-source doc totals are a source-cardinality
+    * BROADCAST. Reassembly groups by doc — per-doc state is bounded
+    * by document length (collect_list over one doc's segments), never
+    * corpus-sized; the text necessarily travels that one shuffle, the
+    * same volume any corpus rewrite pays. */
+  def boilerplateExcise(docs: DataFrame, segTokens: Int = 2,
+      minDocFrac: Double = 0.18, idCol: String = "doc_id",
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(minDocFrac > 0.0 && minDocFrac <= 1.0,
+      "minDocFrac must be in (0, 1]")
+    // the 8-byte segment hash rides the frequency shuffle and the mark
+    // join, never the text (same trade as admitBatch: a 64-bit
+    // collision promotes one rare segment to boilerplate, harmless at
+    // filter semantics; the oracle compares real text like q143's)
+    val segs = segments(docs, segTokens, idCol, textCol,
+      carryCols = Seq(sourceCol))
+      .withColumn("__seg_h", xxhash64(col("seg")))
+    val docTotals = docs.groupBy(col(sourceCol))
+      .agg(countDistinct(col(idCol)).as("__ndocs"))
+    val segDf = segs.groupBy(col(sourceCol), col("__seg_h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+    val boiler = segDf.join(broadcast(docTotals), Seq(sourceCol))
+      .filter(col("__df").cast("double") >=
+        col("__ndocs").cast("double") * minDocFrac)
+      .select(col(sourceCol), col("__seg_h"), lit(1).as("__bp"))
+    val marked = segs.join(boiler, Seq(sourceCol, "__seg_h"), "left")
+    // ONE doc-keyed aggregate computes stats and reassembly together —
+    // a separate stats/clean pair would re-derive the whole segment +
+    // mark pipeline twice (observed as a 2× plan in the audit); the
+    // all-boilerplate case falls out as an empty filtered array → ""
+    marked
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("__bp").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("seg_id"), col("seg"),
+                col("__bp").isNull.as("__keep")))),
+              s => s.getField("__keep")),
+            s => s.getField("seg")), " ").as("text_clean"))
+      .orderBy(col(idCol))
+  }
 }
