@@ -78,6 +78,14 @@ object GraftExtensions {
         require(children.length == 1, "byte_entropy(text)")
         ByteEntropy(children.head)
       },
+      fn("unicode_normalize",
+          classOf[graft.functions.UnicodeNormalize]) { children =>
+        require(children.length == 2, "unicode_normalize(text, form)")
+        val form = children(1)
+        require(form.foldable, "unicode_normalize: form must be a literal")
+        graft.functions.UnicodeNormalize(children.head,
+          String.valueOf(form.eval(null)))
+      },
       fn("pq_adc", classOf[PqAdc]) { children =>
         require(children.length == 3, "pq_adc(codes, dist_table, k)")
         PqAdc(children.head, children(1),

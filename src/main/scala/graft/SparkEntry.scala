@@ -2052,6 +2052,13 @@ object SparkEntry {
       graft.operators.Sessionize.topPaths(
         t(s, dir, "events"), steps = 3, topK = 20)),
 
+    // ---- Step-zero text normalization: NFC + lowercase + whitespace
+    //      collapse, map-only inside codegen (native UnicodeNormalize
+    //      with an isNormalized fast path) — every downstream hash
+    //      depends on this rewrite having happened ----
+    "q160_normalize" -> ((s, dir) =>
+      graft.operators.Scrub.normalizeText(t(s, dir, "documents"))),
+
     // ---- Per-source boilerplate excision (CCNet document-frequency
     //      filter): segments frequent within a source die everywhere,
     //      including first occurrences; 8-byte hashes ride the
@@ -4308,6 +4315,15 @@ object SparkEntry {
         |FROM c CROSS JOIN b
         |GROUP BY c.vec_id
         |ORDER BY vec_id""".stripMargin,
+
+    "q160_normalize" ->
+      """SELECT doc_id,
+        |  nfc_normalize(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |    AS text_norm,
+        |  nfc_normalize(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |    <> text AS changed
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "q159_boilerplate" ->
       """WITH toks AS (

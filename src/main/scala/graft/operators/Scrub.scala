@@ -57,4 +57,25 @@ object Scrub {
       .withColumn("n_redacted",
         counts.map(c => col(c._1)).reduce(_ + _))
   }
+
+  /** Canonical text normalization — the step-zero rewrite every hash
+    * downstream depends on (exact dedup, shingles, MinHash bands,
+    * segment hashes all treat "é" composed vs decomposed as different
+    * documents): Unicode-normalize (native codegen'd
+    * [[graft.functions.UnicodeNormalize]], NFC by default), optionally
+    * lowercase, and collapse whitespace runs to single spaces.
+    * Map-only; `changed` marks rows the rewrite touched (the fraction
+    * that actually needed repair is itself a corpus-health signal). */
+  def normalizeText(docs: DataFrame, form: String = "NFC",
+      lower: Boolean = true, collapseWs: Boolean = true,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = col(textCol)
+    val cased = if (lower) org.apache.spark.sql.functions.lower(base) else base
+    val ws = if (collapseWs)
+      regexp_replace(trim(cased), "\\s+", " ") else cased
+    val norm = graft.functions.UnicodeNormalize.unicodeNormalize(ws, form)
+    docs.select(col(idCol), norm.as("text_norm"),
+      (norm =!= base).as("changed"))
+      .orderBy(col(idCol))
+  }
 }
