@@ -292,7 +292,11 @@ object ScaleProbe {
       // seat allocation is a k-row driver step, the salted two-phase
       // windows rank only alloc-bounded survivors in phase 2
       "diverse_subset" -> (d => graft.operators.Similarity
-        .diverseSubset(d, budget = 500, numCentroids = 64).count()))
+        .diverseSubset(d, budget = 500, numCentroids = 64).count()),
+      // √N-capped codebook pins the expected cell, so within-cell
+      // pair work and the per-anchor top-k both track corpus size
+      "hard_negatives" -> (d => graft.operators.Similarity
+        .hardNegatives(d, k = 3).count()))
 
     // ---- event-input operators: amplified by shifting user/event ids
     // per copy — copies are DISJOINT users, so per-user sequence

@@ -2052,6 +2052,15 @@ object SparkEntry {
       graft.operators.Sessionize.topPaths(
         t(s, dir, "events"), steps = 3, topK = 20)),
 
+    // ---- ANN hard-negative mining (ANCE): within-cell candidates,
+    //      label-mismatch filter, per-anchor top-k bounded by cell
+    //      size; oversized cells fall back to mirrored sorted
+    //      neighborhood. Hash-seeded codebook ⇒ rows-only; exactness
+    //      in the single-cell case asserted in HardNegativesSpec ----
+    "q161_hard_negatives" -> ((s, dir) =>
+      graft.operators.Similarity.hardNegatives(
+        t(s, dir, "embeddings"), k = 3)),
+
     // ---- Step-zero text normalization: NFC + lowercase + whitespace
     //      collapse, map-only inside codegen (native UnicodeNormalize
     //      with an isNormalized fast path) — every downstream hash

@@ -440,6 +440,75 @@ object Similarity {
       .orderBy(idCol)
   }
 
+  /** Hard-negative mining for contrastive training: for every anchor
+    * vector, the `k` most-similar vectors carrying a DIFFERENT label —
+    * the ANN-retrieved negatives that make embedding training work
+    * (the public ANCE protocol: Xiong et al., "Approximate Nearest
+    * Neighbor Negative Contrastive Learning", ICLR 2021 — random
+    * negatives are trivially easy; the informative ones are the near
+    * misses).
+    *
+    * Unlike [[ivfTopK]] the "query" set here is the whole corpus, so
+    * broadcasting it is off the table; instead candidates form WITHIN
+    * coarse cells (the [[semDeDup]] shape): map-only assignment, an
+    * equi-join on the cell id, label-mismatch filter, then a per-anchor
+    * top-k window whose partition is bounded by cell size. Cells past
+    * `maxCell` switch to mirrored sorted-neighborhood candidates —
+    * O(m·win) instead of O(m²), same trade as the dedup tier.
+    * Approximate by construction (a cross-cell near miss is unseen);
+    * the recall floor vs brute force is spec-asserted. */
+  def hardNegatives(vectors: DataFrame, k: Int = 5, numCentroids: Int = 0,
+      maxCell: Int = 4096, neighborWindow: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val nc = if (numCentroids > 0) numCentroids else autoKDedup(vectors)
+    val cents = fitCentroids(vectors, nc,
+      sampleSize = math.max(4096, 4 * nc), idCol = idCol, vecCol = vecCol)
+    val assigned = vectors.select(col(idCol), col(vecCol), col(labelCol),
+      nearestCentroids(col(vecCol), cents, nprobe = 1)
+        .getItem(0).as("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cellSizes = assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).as("__cell_n"))
+    val withN = assigned.join(broadcast(cellSizes), Seq("cluster_id"))
+    val small = withN.filter(col("__cell_n") <= maxCell).drop("__cell_n")
+    val big = withN.filter(col("__cell_n") > maxCell).drop("__cell_n")
+    val smallPairs = small
+      .select(col("cluster_id"), col(idCol).as("anchor_id"),
+        col(vecCol).as("__av"), col(labelCol).as("__al"))
+      .join(small.select(col("cluster_id"), col(idCol).as("neg_id"),
+        col(vecCol).as("__nv"), col(labelCol).as("__nl")),
+        Seq("cluster_id"))
+      .filter(col("anchor_id") =!= col("neg_id") &&
+        col("__al") =!= col("__nl"))
+      .select(col("anchor_id"), col("neg_id"),
+        round(cosine(col("__av"), col("__nv")), 6).as("cos_sim"))
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    // sorted-neighborhood emits undirected (id_a < id_b) pairs; mining
+    // is per-anchor directional, so mirror before scoring
+    val bigCand = sortedNeighborhoodPairs(big, dim, neighborWindow,
+      seed = 11L, idCol = idCol, vecCol = vecCol)
+    val mirrored = bigCand.select(col("id_a").as("anchor_id"),
+        col("id_b").as("neg_id"))
+      .unionByName(bigCand.select(col("id_b").as("anchor_id"),
+        col("id_a").as("neg_id")))
+    val av = vectors.select(col(idCol).as("anchor_id"),
+      col(vecCol).as("__av"), col(labelCol).as("__al"))
+    val nv = vectors.select(col(idCol).as("neg_id"),
+      col(vecCol).as("__nv"), col(labelCol).as("__nl"))
+    val bigPairs = mirrored.join(av, "anchor_id").join(nv, "neg_id")
+      .filter(col("__al") =!= col("__nl"))
+      .select(col("anchor_id"), col("neg_id"),
+        round(cosine(col("__av"), col("__nv")), 6).as("cos_sim"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("cos_sim").desc, col("neg_id"))
+    smallPairs.unionByName(bigPairs)
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .orderBy("anchor_id", "rank")
+  }
+
   /** Diversity-aware corpus subselection: pick `budget` rows that COVER
     * the embedding space instead of mirroring its density — the
     * selection step of cluster-coverage curation (the public D4 recipe:
