@@ -2052,6 +2052,27 @@ object SparkEntry {
       graft.operators.Sessionize.topPaths(
         t(s, dir, "events"), steps = 3, topK = 20)),
 
+    // ---- Tokenizer fertility per lang: train on the corpus, apply
+    //      map-only, one grouped agg — the equity check a token-count
+    //      mixture plan needs beside it. Merge list is corpus-derived
+    //      (not SQL-replicable) ⇒ rows-only; math in FertilitySpec ----
+    "q163_bpe_fertility" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.BpeTrainer.fertilityReport(
+        d, graft.operators.BpeTrainer.fit(d, numMerges = 30))
+    }),
+
+    // ---- MMR diversified rerank of IVF results: corpus-wide work
+    //      stays the ANN path; the greedy pass is bounded O(k²·dim)
+    //      per query inside mapGroups. Hash-seeded ⇒ rows-only;
+    //      diversity-vs-redundancy semantics in MmrRerankSpec ----
+    "q162_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Similarity.mmrRerank(
+        e, e.filter(col("vec_id") < 8), k = 24, m = 6, lambda = 0.7,
+        nprobe = 4)
+    }),
+
     // ---- ANN hard-negative mining (ANCE): within-cell candidates,
     //      label-mismatch filter, per-anchor top-k bounded by cell
     //      size; oversized cells fall back to mirrored sorted

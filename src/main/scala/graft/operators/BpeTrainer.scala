@@ -147,4 +147,42 @@ object BpeTrainer {
         filter(TextFunctions.tokens(col(textCol)), w => w =!= ""),
         w => filter(split(applied(w), Sep), c => c =!= "")))
   }
+
+  /** Tokenizer fertility per stratum — subword tokens per word, THE
+    * cross-lingual tokenizer-equity metric (Rust et al., "How Good is
+    * Your Tokenizer?", ACL 2021: languages a tokenizer serves badly
+    * pay more tokens for the same words, which at a fixed sequence
+    * budget means less context). Reported with chars-per-token, the
+    * compression view of the same question. A mixture plan
+    * ([[Curation.tokenBudgetPlan]]) quoting token counts without a
+    * fertility check silently budgets hard-tokenized strata less text.
+    *
+    * Scale shape: [[tokenizeWith]] is map-only; the report is one
+    * grouped agg over per-row symbol counts (map-side partials),
+    * stratum-cardinality output. */
+  def fertilityReport(docs: DataFrame, merges: Seq[Merge],
+      strataCol: String = "lang", textCol: String = "text"): DataFrame =
+    tokenizeWith(docs, merges, textCol)
+      // the </w> marker is framing, not vocabulary: a STANDALONE
+      // marker symbol doesn't count as a token, and a fused one
+      // ("ab</w>") counts its real chars only — otherwise every word
+      // pays a phantom token and fertility can never reach 1.0
+      .select(col(strataCol),
+        size(col("bpe_syms")).cast("long").as("__nw"),
+        expr("aggregate(transform(bpe_syms," +
+          " w -> size(filter(w, s -> s != '</w>'))), 0L," +
+          " (a, x) -> a + x)").as("__nt"),
+        expr("aggregate(transform(flatten(bpe_syms)," +
+          " s -> length(replace(s, '</w>', ''))), 0L," +
+          " (a, x) -> a + x)").as("__nc"))
+      .filter(col("__nw") > 0)
+      .groupBy(col(strataCol))
+      .agg(
+        sum("__nw").as("n_words"),
+        sum("__nt").as("n_bpe_tokens"),
+        sum("__nc").as("n_chars"),
+        round(sum("__nt").cast("double") / sum("__nw"), 4).as("fertility"),
+        round(sum("__nc").cast("double") / sum("__nt"), 4)
+          .as("chars_per_token"))
+      .orderBy(col(strataCol))
 }

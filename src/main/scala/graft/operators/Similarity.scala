@@ -440,6 +440,72 @@ object Similarity {
       .orderBy(idCol)
   }
 
+  /** Maximal-marginal-relevance rerank of ANN results: greedily pick
+    * `m` of each query's `k` candidates trading relevance against
+    * redundancy — MMR_i = λ·sim(q,c_i) − (1−λ)·max_{s∈S} sim(c_i,s)
+    * (Carbonell & Goldstein, SIGIR 1998). Plain top-k returns
+    * near-duplicate hits back-to-back; retrieval feeding a training
+    * mix or a RAG context wants the *distinct* near neighbors.
+    *
+    * Scale shape: the expensive part (corpus-wide search) stays the
+    * IVF path; the greedy pass runs per query over its OWN ≤k
+    * candidate rows via `groupByKey.mapGroups` — bounded O(k²·dim)
+    * state per key, the same bounded-per-group contract as the funnel
+    * tier's typed state. λ=1 degenerates to plain top-m (asserted in
+    * spec); ties break (score desc, id asc), deterministic. */
+  def mmrRerank(vectors: DataFrame, queries: DataFrame, k: Int = 32,
+      m: Int = 8, lambda: Double = 0.7, numCentroids: Int = 0,
+      nprobe: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && k >= m, s"need k >= m >= 1, got k=$k m=$m")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val topk = ivfTopK(vectors, queries, k, numCentroids, nprobe,
+      idCol, vecCol)
+    val withVec = topk.join(
+      vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv")),
+      Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+        col("__nv"))
+      .as[(Long, Long, Double, Array[Float])]
+    withVec.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cand = it.toArray.sortBy(r => (-r._3, r._2))
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double, Long)]
+        var step = 0
+        while (step < math.min(m, cand.length)) {
+          var bestIdx = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < cand.length) {
+            if (!chosen.contains(i)) {
+              var red = 0.0
+              var j = 0
+              while (j < chosen.length) {
+                val s = MmrMath.cos(cand(i)._4, cand(chosen(j))._4)
+                if (s > red) red = s
+                j += 1
+              }
+              val score = lambda * cand(i)._3 - (1.0 - lambda) * red
+              // strict > keeps the earlier (higher-sim, lower-id) on tie
+              if (score > bestScore) { bestScore = score; bestIdx = i }
+            }
+            i += 1
+          }
+          chosen += bestIdx
+          out += ((qid, cand(bestIdx)._2,
+            math.rint(bestScore * 1e6) / 1e6, (step + 1).toLong))
+          step += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "neighbor_id", "mmr_score", "mmr_rank")
+      .orderBy("query_id", "mmr_rank")
+  }
+
   /** Hard-negative mining for contrastive training: for every anchor
     * vector, the `k` most-similar vectors carrying a DIFFERENT label —
     * the ANN-retrieved negatives that make embedding training work
@@ -582,6 +648,22 @@ object Similarity {
       .select(col(idCol), col("cluster_id"),
         round(col("__dist"), 6).as("sq_dist"), col("centroid_rank"))
       .orderBy("cluster_id", "centroid_rank")
+  }
+
+  /** Plain-array cosine for the driver/executor-side MMR greedy loop
+    * (operates on collected candidate rows, not Columns). */
+  private[operators] object MmrMath {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
   }
 
   /** √-weighted largest-remainder seat allocation, capped at cluster
