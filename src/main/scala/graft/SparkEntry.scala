@@ -2052,6 +2052,31 @@ object SparkEntry {
       graft.operators.Sessionize.topPaths(
         t(s, dir, "events"), steps = 3, topK = 20)),
 
+    // ---- Privacy audit: k-anonymity / l-diversity over the
+    //      (nation, segment) quasi-identifier — ONE hash agg on the
+    //      quasi key, class-space-sized output ----
+    "q164_k_anonymity" -> ((s, dir) =>
+      graft.operators.Privacy.kAnonymityReport(
+        t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
+        "c_acctbal", k = 6)),
+
+    // ---- Publication gate: suppress rows of below-k classes via a
+    //      left-semi against the aggregated class table (no whole-
+    //      class window buffering); the 125-class safe set
+    //      broadcasts ----
+    "q165_safe_publish" -> ((s, dir) =>
+      graft.operators.Privacy.suppressBelowK(
+        t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 6)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))),
+
+    // ---- One-row release summary: the k the table actually
+    //      satisfies, worst l-diversity, suppression cost at k=6 ----
+    "q166_anonymity_summary" -> ((s, dir) =>
+      graft.operators.Privacy.anonymitySummary(
+        t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
+        "c_acctbal", k = 6)),
+
     // ---- Tokenizer fertility per lang: train on the corpus, apply
     //      map-only, one grouped agg — the equity check a token-count
     //      mixture plan needs beside it. Merge list is corpus-derived
@@ -2140,6 +2165,33 @@ object SparkEntry {
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
   def oracleSql: Map[String, String] = Map(
+
+    "q164_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  COUNT(*) AS class_size,
+        |  CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS l_diversity,
+        |  COUNT(*) < 6 AS below_k
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q165_safe_publish" ->
+      """SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment
+        |FROM customer c
+        |JOIN (SELECT c_nationkey, c_mktsegment FROM customer
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 6) g
+        |  USING (c_nationkey, c_mktsegment)
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "q166_anonymity_summary" ->
+      """SELECT CAST(MIN(class_size) AS BIGINT) AS k_anonymity,
+        |  CAST(MIN(l_div) AS BIGINT) AS l_diversity_min,
+        |  COUNT(*) AS n_classes,
+        |  CAST(COALESCE(SUM(CASE WHEN class_size < 6 THEN class_size
+        |    ELSE 0 END), 0) AS BIGINT) AS rows_at_risk
+        |FROM (SELECT COUNT(*) AS class_size,
+        |        COUNT(DISTINCT c_acctbal) AS l_div
+        |      FROM customer GROUP BY c_nationkey, c_mktsegment)""".stripMargin,
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
