@@ -31,6 +31,8 @@ object PlanAudit {
     "q128_rfm_approx", "q129_curriculum_approx",
     // skew profile: 1-row stats frame × 1-row hottest-key frame
     "q145_skew_advisor",
+    // dataset card: 1-row base agg × 1-row entropy × 1-row top-stratum
+    "q167_corpus_card",
     // pagerank: per-iteration dangling mass is a 1-row broadcast
     // crossJoin (stat factor, same shape as the corpus totals above)
     "q150_pagerank",

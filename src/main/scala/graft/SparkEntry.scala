@@ -2052,6 +2052,13 @@ object SparkEntry {
       graft.operators.Sessionize.topPaths(
         t(s, dir, "events"), steps = 3, topK = 20)),
 
+    // ---- Dataset card: one wide release-stats row — full-corpus agg
+    //      + stratum mix agg + 1-row broadcast assembly joins; 16-byte
+    //      md5 digests (engine-portable) stand in for text in the
+    //      exact-dup count ----
+    "q167_corpus_card" -> ((s, dir) =>
+      graft.operators.Curation.corpusCard(t(s, dir, "documents"))),
+
     // ---- Privacy audit: k-anonymity / l-diversity over the
     //      (nation, segment) quasi-identifier — ONE hash agg on the
     //      quasi key, class-space-sized output ----
@@ -2165,6 +2172,30 @@ object SparkEntry {
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
   def oracleSql: Map[String, String] = Map(
+
+    "q167_corpus_card" ->
+      """WITH base AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |    ROUND(AVG(n_chars), 2) AS avg_chars,
+        |    ROUND(QUANTILE_CONT(n_chars, 0.5), 2) AS p50_chars,
+        |    ROUND(QUANTILE_CONT(n_chars, 0.95), 2) AS p95_chars,
+        |    CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+        |  FROM documents),
+        |strata AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+        |ent AS (SELECT ROUND(SUM(-(c * 1.0 / t) * LOG2(c * 1.0 / t)), 4)
+        |          AS lang_entropy_bits
+        |        FROM strata, (SELECT SUM(c) AS t FROM strata)),
+        |top AS (SELECT lang AS top_lang, c AS top_c FROM strata
+        |        ORDER BY c DESC, lang LIMIT 1)
+        |SELECT b.n_docs, b.total_chars, b.n_langs, b.n_sources,
+        |  b.avg_chars, b.p50_chars, b.p95_chars, b.n_distinct_texts,
+        |  e.lang_entropy_bits, t.top_lang,
+        |  ROUND(t.top_c * 1.0 / b.n_docs, 4) AS top_lang_share,
+        |  ROUND(b.n_distinct_texts * 1.0 / b.n_docs, 4) AS distinct_ratio
+        |FROM base b, ent e, top t""".stripMargin,
 
     "q164_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,

@@ -158,4 +158,50 @@ object Curation {
       .withColumn("oversubscribed", col("epochs") > maxEpochs)
       .orderBy(col(strataCol))
   }
+
+  /** One-row dataset card: the stats block every corpus release ships
+    * (datasheet / dataset-card convention, Gebru et al., CACM 2021) —
+    * size, stratum mix (count, Shannon entropy in bits, dominant
+    * stratum and its share), length distribution (mean / exact p50 /
+    * p95), and the exact-duplicate text ratio. The single place a
+    * consumer looks before the per-operator reports.
+    *
+    * Scale shape: one full-corpus aggregate (map-side partials; the
+    * exact percentiles are Spark's `percentile`, a single-agg sketch
+    * of the value multiset — at 100 TB swap for `percentile_approx`
+    * and re-pin the oracle rounding), one stratum-cardinality agg for
+    * the mix, then 1-row × 1-row assembly joins (broadcast stat
+    * factors, the registered-intentional NLJ shape). Dup detection
+    * counts distinct md5 digests — 16-byte keys travel, never text;
+    * md5 (not xxhash64) keeps the count engine-portable for the
+    * oracle. */
+  def corpusCard(docs: DataFrame, strataCol: String = "lang",
+      textCol: String = "text", lenCol: String = "n_chars"): DataFrame = {
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(lenCol)).as("total_chars"),
+      countDistinct(col(strataCol)).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      round(avg(col(lenCol)), 2).as("avg_chars"),
+      round(expr(s"percentile($lenCol, 0.5)"), 2).as("p50_chars"),
+      round(expr(s"percentile($lenCol, 0.95)"), 2).as("p95_chars"),
+      countDistinct(md5(col(textCol))).as("n_distinct_texts"))
+    val strata = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("c"))
+    // entropy over the stratum distribution: the total rides a
+    // stratum-cardinality window (tiny frame), not a second scan
+    val withP = strata.withColumn("p",
+      col("c").cast("double") / sum("c").over(Window.partitionBy()))
+    val ent = withP.agg(
+      round(sum(-col("p") * log2(col("p"))), 4).as("lang_entropy_bits"))
+    val top = strata.orderBy(col("c").desc, col(strataCol))
+      .limit(1)
+      .select(col(strataCol).as("top_lang"),
+        col("c").as("__top_c"))
+    base.crossJoin(ent).crossJoin(top)
+      .withColumn("top_lang_share",
+        round(col("__top_c").cast("double") / col("n_docs"), 4))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct_texts").cast("double") / col("n_docs"), 4))
+      .drop("__top_c")
+  }
 }
