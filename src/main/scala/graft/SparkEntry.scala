@@ -2052,6 +2052,17 @@ object SparkEntry {
       graft.operators.Sessionize.topPaths(
         t(s, dir, "events"), steps = 3, topK = 20)),
 
+    // ---- Mix-shift score: Jensen–Shannon divergence of the lang
+    //      distribution, one source vs the rest — two grouped counts,
+    //      a category-cardinality outer join, window normalization;
+    //      finite even for one-sided categories ----
+    "q168_mix_divergence" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Drift.mixDivergence(
+        d.filter(col("source") === "src0"),
+        d.filter(col("source") =!= "src0"), "lang")
+    }),
+
     // ---- Dataset card: one wide release-stats row — full-corpus agg
     //      + stratum mix agg + 1-row broadcast assembly joins; 16-byte
     //      md5 digests (engine-portable) stand in for text in the
@@ -2172,6 +2183,30 @@ object SparkEntry {
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
   def oracleSql: Map[String, String] = Map(
+
+    "q168_mix_divergence" ->
+      """WITH r AS (SELECT lang AS category, COUNT(*) AS n_ref
+        |           FROM documents WHERE source = 'src0' GROUP BY 1),
+        |c AS (SELECT lang AS category, COUNT(*) AS n_cur
+        |      FROM documents WHERE source <> 'src0' GROUP BY 1),
+        |j AS (SELECT COALESCE(r.category, c.category) AS category,
+        |        COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+        |      FROM r FULL OUTER JOIN c ON r.category = c.category),
+        |p AS (SELECT category, n_ref, n_cur,
+        |        n_ref * 1.0 / SUM(n_ref) OVER () AS p,
+        |        n_cur * 1.0 / SUM(n_cur) OVER () AS q
+        |      FROM j),
+        |k AS (SELECT category, n_ref, n_cur, p, q,
+        |        (CASE WHEN p > 0 THEN 0.5 * p * LOG2(p / ((p + q) / 2))
+        |              ELSE 0 END
+        |       + CASE WHEN q > 0 THEN 0.5 * q * LOG2(q / ((p + q) / 2))
+        |              ELSE 0 END) AS c2
+        |      FROM p)
+        |SELECT category, n_ref, n_cur,
+        |  ROUND(p, 6) AS p_ref, ROUND(q, 6) AS p_cur,
+        |  ROUND(c2, 6) AS js_contrib_bits,
+        |  ROUND(SUM(c2) OVER (), 6) AS js_bits
+        |FROM k ORDER BY category""".stripMargin,
 
     "q167_corpus_card" ->
       """WITH base AS (

@@ -49,6 +49,48 @@ object Drift {
       .orderBy("bucket")
   }
 
+  /** Categorical mix divergence between two corpus slices — the
+    * Jensen–Shannon divergence (Lin, IEEE IT 1991) over a discrete
+    * column's distribution, in bits: the "did the language / source /
+    * topic MIX shift between crawl snapshots" score beside [[psiReport]]
+    * (numeric columns) and [[embeddingDrift]] (vector space). JS is
+    * symmetric and finite even when a category exists on only one side
+    * (where pure KL blows up): each side contributes
+    * `½·p·log2(p / m)` against the midpoint `m = (p+q)/2`, a vanishing
+    * term as p→0; the total lives in [0, 1] bits.
+    *
+    * Per-category rows (counts, shares, contribution) name WHICH
+    * categories moved; `js_bits` repeats the summed total on every row
+    * (window over the category table) so the report is one frame.
+    *
+    * Scale shape: one grouped count per side (map-side partials), a
+    * full-outer join + window normalization over the CATEGORY table —
+    * every post-scan stage is category-cardinality, not row count. */
+  def mixDivergence(ref: DataFrame, cur: DataFrame,
+      catCol: String): DataFrame = {
+    def counts(df: DataFrame, as: String) = df
+      .select(col(catCol).as("category"))
+      .groupBy("category").agg(count(lit(1)).as(as))
+    val w = Window.partitionBy()
+    val p = col("__p"); val q = col("__q")
+    val m = (p + q) / 2.0
+    val contrib =
+      when(p > 0.0, lit(0.5) * p * log2(p / m)).otherwise(0.0) +
+      when(q > 0.0, lit(0.5) * q * log2(q / m)).otherwise(0.0)
+    counts(ref, "n_ref")
+      .join(counts(cur, "n_cur"), Seq("category"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .withColumn("__p", col("n_ref") / sum("n_ref").over(w))
+      .withColumn("__q", col("n_cur") / sum("n_cur").over(w))
+      .withColumn("__c", contrib)
+      .select(col("category"), col("n_ref"), col("n_cur"),
+        round(p, 6).as("p_ref"),
+        round(q, 6).as("p_cur"),
+        round(col("__c"), 6).as("js_contrib_bits"),
+        round(sum("__c").over(w), 6).as("js_bits"))
+      .orderBy("category")
+  }
+
   /** Embedding-space drift between two corpus versions: per-label
     * centroid movement — the monitoring signal for "did re-embedding /
     * re-crawling shift where this class lives in vector space", which
