@@ -224,6 +224,34 @@ object ScaleProbe {
       "train_shuffle" -> (d => graft.operators.TrainShuffle
         .shuffleShards(d, nShards = 64, seed = 7L)
         .agg(max("pos")).collect()(0).getLong(0)),
+      // ONE full-corpus agg + stratum agg + 1-row assembly: the card
+      // must stay a flat scan however big the release is
+      "corpus_card" -> (d => graft.operators.Curation
+        .corpusCard(d
+          .withColumn("stratum", pmod(xxhash64(col("doc_id")), lit(64L)))
+          .withColumn("source", (col("doc_id") % 20).cast("string"))
+          .withColumn("n_chars", length(col("text")).cast("long")),
+          strataCol = "stratum")
+        .collect()(0).getLong(0)),
+      // class-table agg + left-semi gate: post-scan stages are
+      // quasi-space-sized (64×20 classes), so the ratio measures the
+      // two key shuffles
+      "privacy_gate" -> { d =>
+        val qd = d
+          .withColumn("stratum", pmod(xxhash64(col("doc_id")), lit(64L)))
+          .withColumn("src", (col("doc_id") % 20).cast("string"))
+        graft.operators.Privacy.suppressBelowK(
+          qd, Seq("stratum", "src"), k = 4).count()
+      },
+      // two grouped counts + category-cardinality outer join: the JS
+      // report's post-scan cost is |categories|, independent of N
+      "mix_divergence" -> { d =>
+        val s = d.withColumn("stratum",
+          pmod(xxhash64(col("doc_id")), lit(64L)))
+        graft.operators.Drift.mixDivergence(
+          s.filter(col("doc_id") % 2 === 0),
+          s.filter(col("doc_id") % 2 === 1), "stratum").count()
+      },
       // synthetic source key keeps per-source doc counts ∝N while the
       // suffix-disjoint copies add no cross-copy boilerplate: the
       // frequency agg, mark join, and reassembly must all stay linear
