@@ -2052,6 +2052,24 @@ object SparkEntry {
       graft.operators.Sessionize.topPaths(
         t(s, dir, "events"), steps = 3, topK = 20)),
 
+    // ---- Streaming mix monitor: per-micro-batch JS report of the
+    //      event-type distribution against a pinned day<=10 baseline
+    //      snapshot; AvailableNow single-batch ⇒ fully oracled (same
+    //      trick as q110); replay idempotence in DriftMonitorSpec ----
+    "q169_stream_mix_drift" -> ((s, dir) => {
+      import graft.lake.TableLog
+      val root = java.nio.file.Files.createTempDirectory("graft_q169")
+      val baseline = root.resolve("baseline").toString
+      TableLog.commitOverwrite(s, baseline,
+        t(s, dir, "events").filter(dayofmonth(col("ts")) <= 10)
+          .select(col("event_type")))
+      graft.streaming.DriftMonitor.monitorMix(s, dir, "events.parquet",
+        baseline, 1, root.resolve("report").toString,
+        "event_type", root.resolve("ckpt").toString)
+      TableLog.read(s, root.resolve("report").toString)
+        .orderBy("batch_id", "category")
+    }),
+
     // ---- Mix-shift score: Jensen–Shannon divergence of the lang
     //      distribution, one source vs the rest — two grouped counts,
     //      a category-cardinality outer join, window normalization;
@@ -2183,6 +2201,31 @@ object SparkEntry {
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
   def oracleSql: Map[String, String] = Map(
+
+    "q169_stream_mix_drift" ->
+      """WITH r AS (SELECT event_type AS category, COUNT(*) AS n_ref
+        |           FROM events WHERE day(ts) <= 10 GROUP BY 1),
+        |c AS (SELECT event_type AS category, COUNT(*) AS n_cur
+        |      FROM events GROUP BY 1),
+        |j AS (SELECT COALESCE(r.category, c.category) AS category,
+        |        COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+        |      FROM r FULL OUTER JOIN c ON r.category = c.category),
+        |p AS (SELECT category, n_ref, n_cur,
+        |        n_ref * 1.0 / SUM(n_ref) OVER () AS p,
+        |        n_cur * 1.0 / SUM(n_cur) OVER () AS q
+        |      FROM j),
+        |k AS (SELECT category, n_ref, n_cur, p, q,
+        |        (CASE WHEN p > 0 THEN 0.5 * p * LOG2(p / ((p + q) / 2))
+        |              ELSE 0 END
+        |       + CASE WHEN q > 0 THEN 0.5 * q * LOG2(q / ((p + q) / 2))
+        |              ELSE 0 END) AS c2
+        |      FROM p)
+        |SELECT category, n_ref, n_cur,
+        |  ROUND(p, 6) AS p_ref, ROUND(q, 6) AS p_cur,
+        |  ROUND(c2, 6) AS js_contrib_bits,
+        |  ROUND(SUM(c2) OVER (), 6) AS js_bits,
+        |  CAST(0 AS BIGINT) AS batch_id
+        |FROM k ORDER BY batch_id, category""".stripMargin,
 
     "q168_mix_divergence" ->
       """WITH r AS (SELECT lang AS category, COUNT(*) AS n_ref

@@ -99,6 +99,52 @@ object DriftMonitor {
     TableLog.newDirRows(c, prevDirs).getOrElse(report.count())
   }
 
+  // ---- categorical variant: same monitoring contract, the report is
+  // [[Drift.mixDivergence]] (Jensen–Shannon bits over a discrete
+  // column) — what a feed-mix pager watches ("did the event-type /
+  // language MIX of this feed walk away from the validated
+  // snapshot"), the finite-under-new-categories complement of PSI's
+  // floored numeric buckets. Per batch: two category-cardinality
+  // aggs, nothing stateful. ----
+
+  private def mixDriftAction(batchId: Long) = s"mixdrift-$batchId"
+
+  /** One batch's mix-divergence report, replay-safe (0 rows on a
+    * fully-replayed batch). */
+  private[graft] def reportMixOnce(spark: SparkSession, batch: DataFrame,
+      baselinePath: String, baselineVersion: Int, reportPath: String,
+      catCol: String, batchId: Long): Long = {
+    val act = mixDriftAction(batchId)
+    val hist = TableLog.history(spark, reportPath)
+    if (hist.exists(_.action == act)) return 0L
+    val baseline = TableLog.read(spark, baselinePath, Some(baselineVersion))
+    val report = Drift.mixDivergence(baseline, batch, catCol)
+      .withColumn("batch_id", lit(batchId))
+    val prevDirs = hist.lastOption.map(_.dirs.toSet).getOrElse(Set.empty[String])
+    val c = TableLog.commitAppend(spark, reportPath, report, act)
+    TableLog.newDirRows(c, prevDirs).getOrElse(report.count())
+  }
+
+  /** Streaming categorical-mix monitor over a parquet stream; same
+    * trigger/replay contract as [[monitor]]. */
+  def monitorMix(spark: SparkSession, sourceDir: String, glob: String,
+      baselinePath: String, baselineVersion: Int, reportPath: String,
+      catCol: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val ss = Streams.streamSession(spark)
+    val q = Streams.parquetStream(ss, sourceDir, glob, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        reportMixOnce(batch.sparkSession, batch, baselinePath,
+          baselineVersion, reportPath, catCol, batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming embedding-drift monitor over a parquet vector stream;
     * same trigger/replay contract as [[monitor]]. */
   def monitorEmbeddings(spark: SparkSession, sourceDir: String,

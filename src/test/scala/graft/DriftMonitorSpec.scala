@@ -106,4 +106,34 @@ class DriftMonitorSpec extends AnyFunSuite {
       report, batchId = 3L) == 0L)
     assert(TableLog.latestVersion(spark, report) == v1)
   }
+
+  test("mix monitor: batch report equals the batch operator; replay commits nothing") {
+    val root = Files.createTempDirectory("graft_mixmon")
+    val baseline = root.resolve("baseline").toString
+    TableLog.commitOverwrite(spark, baseline,
+      Seq("a", "a", "b").toDF("cat"))
+    val report = root.resolve("report").toString
+    val batch = Seq("a", "b", "b", "c").toDF("cat")
+    val n1 = DriftMonitor.reportMixOnce(spark, batch, baseline, 1,
+      report, "cat", batchId = 5L)
+    assert(n1 == 3L) // categories a, b, c
+    val got = TableLog.read(spark, report)
+      .select("category", "n_ref", "n_cur", "p_ref", "p_cur",
+        "js_contrib_bits", "js_bits", "batch_id")
+      .as[(String, Long, Long, Double, Double, Double, Double, Long)]
+      .collect().toSeq.sortBy(_._1)
+    val direct = Drift.mixDivergence(
+      TableLog.read(spark, baseline), batch, "cat")
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._7)) == direct)
+    assert(got.forall(_._8 == 5L))
+    // the baseline-only-vs-new-category case stays finite
+    assert(got.find(_._1 == "c").exists(r => r._2 == 0L && r._6 > 0.0))
+    // replay of the same batch id is a no-op commit-wise
+    val v1 = TableLog.latestVersion(spark, report)
+    assert(DriftMonitor.reportMixOnce(spark, batch, baseline, 1,
+      report, "cat", batchId = 5L) == 0L)
+    assert(TableLog.latestVersion(spark, report) == v1)
+  }
 }
