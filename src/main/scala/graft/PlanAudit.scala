@@ -36,6 +36,9 @@ object PlanAudit {
     // pagerank: per-iteration dangling mass is a 1-row broadcast
     // crossJoin (stat factor, same shape as the corpus totals above)
     "q150_pagerank",
+    // JL recall probe: tiny broadcast query set × candidates, the
+    // same bounded brute-force eval harness as q20/q22
+    "q175_random_projection",
     // DSIR: distribution totals and the top-k threshold are 1-row
     // broadcast stat factors
     "q153_dsir_select")

@@ -36,6 +36,51 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- Deterministic weighted label propagation (Raghavan '07):
+    //      page communities of the navigation graph. Pregel-shaped —
+    //      edges partitioned once, only the |nodes|-row label table
+    //      shuffles per iteration; tie rule (wt desc, label asc)
+    //      makes the fixed-iteration result oracle-able ----
+    "q170_label_communities" -> ((s, dir) =>
+      graft.operators.Communities.navigationCommunities(
+        s, t(s, dir, "events"))),
+
+    // ---- Event-time disorder profile → watermark sizing: bucketed
+    //      high-water mark (one shuffle to a bucket-count table +
+    //      broadcast join back) instead of a single-task global
+    //      running max; exact percentile is the oracle pin, swap
+    //      approx_percentile at scale (q29/q52 pattern) ----
+    "q171_disorder_profile" -> ((s, dir) =>
+      graft.operators.EventTime.disorderProfile(t(s, dir, "events"))),
+
+    // ---- Heaps-law vocabulary growth: linear form — one row per
+    //      type at its min(bucket), cumulative window over the tiny
+    //      bucket table (never a quadratic prefix re-scan) ----
+    "q172_vocab_growth" -> ((s, dir) =>
+      graft.operators.Vocab.growthCurve(t(s, dir, "documents"))),
+
+    // ---- DP release ledger: one (event_type × day) agg; k releases
+    //      are filtered sums over that tiny table — the corpus is
+    //      never re-scanned per release ----
+    "q173_dp_accounting" -> ((s, dir) =>
+      graft.operators.DifferentialPrivacy.releaseAccounting(
+        t(s, dir, "events"))),
+
+    // ---- Seeded-hash Laplace mechanism on the ledger: map-side
+    //      noise, deterministic run-to-run; hash-seeded ⇒ rows-only,
+    //      distributional contract in DifferentialPrivacySpec ----
+    "q174_dp_release" -> ((s, dir) =>
+      graft.operators.DifferentialPrivacy.noisedRelease(
+        t(s, dir, "events"))),
+
+    // ---- JL random projection 64→16 (Achlioptas ±1, codegen'd
+    //      map-only matvec) + bounded recall probe vs the exact
+    //      baseline; floats differ per-platform ⇒ rows-only, recall
+    //      floor in RandomProjectionSpec ----
+    "q175_random_projection" -> ((s, dir) =>
+      graft.operators.RandomProjection.recallEval(
+        t(s, dir, "embeddings"))),
+
     // ---- A1-A4 + P6: grouped aggregates over the big fact table ----
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -2201,6 +2246,15 @@ object SparkEntry {
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
   def oracleSql: Map[String, String] = Map(
+
+    "q170_label_communities" -> graft.operators.Communities.oracleSql(),
+
+    "q171_disorder_profile" -> graft.operators.EventTime.oracleSql(),
+
+    "q172_vocab_growth" -> graft.operators.Vocab.growthOracleSql(),
+
+    "q173_dp_accounting" ->
+      graft.operators.DifferentialPrivacy.accountingOracleSql(),
 
     "q169_stream_mix_drift" ->
       """WITH r AS (SELECT event_type AS category, COUNT(*) AS n_ref

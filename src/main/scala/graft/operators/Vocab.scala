@@ -100,4 +100,71 @@ object Vocab {
         round(col("oov_tokens").cast("double") / col("n_tokens"), 6))
       .orderBy(groupCol)
   }
+
+  /** Vocabulary growth curve (Heaps' law, V = K·nᵝ): distinct token
+    * types vs tokens processed, in document-order buckets of
+    * `bucketDocs` docs. The curve answers the question Zipf's slope
+    * can't — "is this corpus still yielding new vocabulary, or has
+    * type growth saturated?" — which is the stopping signal for
+    * dedup-heavy collection (a saturating curve under continued
+    * crawl = you are re-collecting what you already have; Heaps
+    * 1978; Baeza-Yates & Ribeiro-Neto ch. 6).
+    *
+    * The naive form (cumulative `count(distinct)` per prefix) is a
+    * quadratic re-scan. This is the linear form: each type
+    * contributes exactly one row at its FIRST bucket
+    * (`min(bucket) per token` — one token-keyed aggregate), so
+    * per-bucket new-type counts arrive from a vocabulary-sized
+    * table and the cumulative sums run over the bucket-count-sized
+    * result (unpartitioned window over ~|docs|/bucketDocs rows, not
+    * corpus rows). `beta_pointwise` = ln V / ln n is the Heaps
+    * exponent under the K=1 normalization — a per-bucket trend
+    * diagnostic, flat when growth follows the power law. */
+  def growthCurve(docs: DataFrame, bucketDocs: Long = 50L,
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(expr(s"doc_id DIV $bucketDocs").as("bucket"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+    val perBucket = toks.groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTypes = toks.groupBy("token")
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perBucket.join(newTypes, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .withColumn("beta_pointwise",
+        round(log(col("cum_types").cast("double")) /
+          log(col("cum_tokens").cast("double")), 6))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB oracle for [[growthCurve]]. */
+  def growthOracleSql(bucketDocs: Long = 50L): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id // $bucketDocs AS bucket,
+       |    unnest(str_split_regex(trim(text), '\\s+')) AS token
+       |  FROM documents),
+       |nz AS (SELECT * FROM toks WHERE token <> ''),
+       |pb AS (SELECT bucket, COUNT(*) AS n_tokens FROM nz GROUP BY 1),
+       |fs AS (SELECT token, MIN(bucket) AS bucket FROM nz GROUP BY 1),
+       |nt AS (SELECT bucket, COUNT(*) AS new_types FROM fs GROUP BY 1),
+       |c AS (
+       |  SELECT pb.bucket,
+       |    CAST(pb.n_tokens AS BIGINT) AS n_tokens,
+       |    CAST(COALESCE(nt.new_types, 0) AS BIGINT) AS new_types,
+       |    CAST(SUM(pb.n_tokens) OVER (ORDER BY pb.bucket
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       |    CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY pb.bucket
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+       |  FROM pb LEFT JOIN nt ON pb.bucket = nt.bucket)
+       |SELECT bucket, n_tokens, new_types, cum_tokens, cum_types,
+       |  ROUND(LN(CAST(cum_types AS DOUBLE)) /
+       |        LN(CAST(cum_tokens AS DOUBLE)), 6) AS beta_pointwise
+       |FROM c ORDER BY bucket""".stripMargin
 }

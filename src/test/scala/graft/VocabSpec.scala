@@ -59,4 +59,30 @@ class VocabSpec extends AnyFunSuite {
     assert(got(2L) == 3 && got(6L) == 3)
     assert(got(3L) == 4 && got(7L) == 4)
   }
+
+  test("growth curve: new types land at their first bucket, cumulative sums agree") {
+    // bucketDocs=2: bucket 0 = docs {0,1}, bucket 1 = docs {2,3}
+    val d = Seq(
+      (0L, "a b"),          // types a,b new
+      (1L, "a c"),          // c new
+      (2L, "a b d"),        // d new
+      (3L, "e e"))          // e new
+      .toDF("doc_id", "text")
+    val rows = Vocab.growthCurve(d, bucketDocs = 2L).collect()
+    assert(rows.length == 2)
+    val b0 = rows(0); val b1 = rows(1)
+    assert(b0.getAs[Long]("n_tokens") == 4 && b0.getAs[Long]("new_types") == 3)
+    assert(b1.getAs[Long]("n_tokens") == 5 && b1.getAs[Long]("new_types") == 2)
+    assert(b1.getAs[Long]("cum_tokens") == 9 && b1.getAs[Long]("cum_types") == 5)
+    // beta = ln V / ln n under K=1
+    assert(math.abs(b1.getAs[Double]("beta_pointwise") -
+      math.log(5.0) / math.log(9.0)) < 1e-5)
+  }
+
+  test("growth curve: a bucket of pure repeats adds zero new types but keeps its row") {
+    val d = Seq((0L, "x y"), (2L, "x y x")).toDF("doc_id", "text")
+    val rows = Vocab.growthCurve(d, bucketDocs = 2L).collect()
+    assert(rows.map(_.getAs[Long]("new_types")).toSeq == Seq(2L, 0L))
+    assert(rows.last.getAs[Long]("cum_types") == 2L)
+  }
 }
