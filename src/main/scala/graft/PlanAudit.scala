@@ -39,6 +39,12 @@ object PlanAudit {
     // JL recall probe: tiny broadcast query set × candidates, the
     // same bounded brute-force eval harness as q20/q22
     "q175_random_projection",
+    // HLL overlap matrix: |slices|² pairing of postcard-sized sketch
+    // rows (slice_a < slice_b inequality join on a ~5-row frame)
+    "q176_audience_overlap",
+    // KS: the (n_a, n_b) totals are a 1-row broadcast stat factor
+    // into the cumulative table (same shape as the corpus totals)
+    "q178_ks_drift", "q179_ks_drift_grid",
     // DSIR: distribution totals and the top-k threshold are 1-row
     // broadcast stat factors
     "q153_dsir_select")

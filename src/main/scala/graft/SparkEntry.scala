@@ -81,6 +81,42 @@ object SparkEntry {
       graft.operators.RandomProjection.recallEval(
         t(s, dir, "embeddings"))),
 
+    // ---- HLL audience-overlap matrix: one scan → one lgK-bounded
+    //      sketch per slice, |slices|² math over postcard-sized rows
+    //      (vs q116's deliberate exact pairwise shuffle). Estimates
+    //      engine-specific ⇒ rows-only; error bound in SketchesSpec ----
+    "q176_audience_overlap" -> ((s, dir) =>
+      graft.operators.Sketches.overlapMatrix(
+        t(s, dir, "events"), "event_type", "user_id")),
+
+    // ---- Watermark late-drop audit: replay with a deliberate
+    //      late-backfill tranche, read the engine's own
+    //      numRowsDroppedByWatermark per micro-batch — the counter a
+    //      production monitor scrapes; engine metrics ⇒ rows-only,
+    //      exact drop accounting asserted in LateAuditSpec ----
+    "q177_late_audit" -> ((s, dir) =>
+      graft.streaming.LateAudit.backfillAudit(s, dir)),
+
+    // ---- Two-sample KS drift, exact form: ECDF sup-gap at every
+    //      distinct value (unpartitioned window = the oracle pin;
+    //      q179 is the production grid) ----
+    "q178_ks_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val d = dayofmonth(col("ts"))
+      graft.operators.Drift.ksReport(
+        ev.where(d <= 15), ev.where(d > 15), "value")
+    }),
+
+    // ---- KS on the fixed-width bucket grid: window over
+    //      range/width rows whatever the corpus size — the 100 TB
+    //      path, still exact at the boundaries and still oracled ----
+    "q179_ks_drift_grid" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val d = dayofmonth(col("ts"))
+      graft.operators.Drift.ksReport(
+        ev.where(d <= 15), ev.where(d > 15), "value", Some(0.5))
+    }),
+
     // ---- A1-A4 + P6: grouped aggregates over the big fact table ----
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -2255,6 +2291,11 @@ object SparkEntry {
 
     "q173_dp_accounting" ->
       graft.operators.DifferentialPrivacy.accountingOracleSql(),
+
+    "q178_ks_drift" -> graft.operators.Drift.ksOracleSql(15),
+
+    "q179_ks_drift_grid" ->
+      graft.operators.Drift.ksOracleSql(15, Some(0.5)),
 
     "q169_stream_mix_drift" ->
       """WITH r AS (SELECT event_type AS category, COUNT(*) AS n_ref

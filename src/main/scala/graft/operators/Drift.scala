@@ -133,4 +133,92 @@ object Drift {
         round(sqrt(col("__d2")), 6).as("centroid_l2"))
       .orderBy("label")
   }
+
+  /** Two-sample Kolmogorov–Smirnov test between the `valueCol`
+    * distributions of two frames: D = sup |F_a − F_b| with the 5%
+    * critical value c(0.05)·√((n_a+n_b)/(n_a·n_b)), c(0.05)=1.358
+    * (Smirnov 1948; the distribution-shape companion to [[psiReport]]
+    * — PSI needs a bin width and misses shifts inside a bin; KS is
+    * binless and catches any CDF separation).
+    *
+    * `grid` controls the evaluation points and is the scale dial:
+    *   - `None` (exact): ECDFs at every DISTINCT value. The
+    *     cumulative window is unpartitioned over the distinct-value
+    *     table — the oracle pin; fine when the value domain is
+    *     bounded, a single-task sort when it is not.
+    *   - `Some(width)` (production): ECDFs at fixed-width bucket
+    *     boundaries. The window runs over range/width rows whatever
+    *     the corpus size, and D is exact AT the boundaries —
+    *     understating true D by at most the largest single-bucket
+    *     mass (bounded in DriftSpec).
+    * Both are one grouped count + a tiny cumulative window + a 1-row
+    * broadcast total — same dataflow as [[psiReport]]. */
+  def ksReport(a: DataFrame, b: DataFrame, valueCol: String,
+      grid: Option[Double] = None): DataFrame = {
+    def pt(c: org.apache.spark.sql.Column) = grid match {
+      case Some(width) => floor(c / width).cast("bigint").cast("double")
+      case None => c.cast("double")
+    }
+    val va = a.select(pt(col(valueCol)).as("v"))
+      .where(col("v").isNotNull)
+      .select(col("v"), lit(1L).as("ia"), lit(0L).as("ib"))
+    val vb = b.select(pt(col(valueCol)).as("v"))
+      .where(col("v").isNotNull)
+      .select(col("v"), lit(0L).as("ia"), lit(1L).as("ib"))
+    val c = va.unionAll(vb).groupBy("v")
+      .agg(sum("ia").as("an"), sum("ib").as("bn"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = c
+      .withColumn("ca", sum(col("an")).over(w))
+      .withColumn("cb", sum(col("bn")).over(w))
+    val tot = c.agg(sum(col("an")).as("n_a"), sum(col("bn")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(
+        abs(col("ca").cast("double") / col("n_a") -
+          col("cb").cast("double") / col("n_b")).as("d"),
+        col("n_a"), col("n_b"))
+      .groupBy("n_a", "n_b")
+      .agg(max(col("d")).as("__dmax"))
+      .select(
+        round(col("__dmax"), 6).as("ks_stat"),
+        col("n_a"), col("n_b"),
+        round(lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")), 6).as("crit_05"),
+        (col("__dmax") > lit(1.358) *
+          sqrt((col("n_a") + col("n_b")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"))).as("drifted"))
+  }
+
+  /** DuckDB oracle for [[ksReport]] over events split at
+    * day-of-month `dayCutoff` (a ≤ cutoff < b), optionally on the
+    * bucket grid — generated so engine and oracle can never disagree
+    * on the grid or the critical-value arithmetic. */
+  def ksOracleSql(dayCutoff: Int, grid: Option[Double] = None): String = {
+    val p = grid match {
+      case Some(width) => s"CAST(FLOOR(value / $width) AS DOUBLE)"
+      case None => "CAST(value AS DOUBLE)"
+    }
+    s"""WITH u AS (
+       |  SELECT $p AS v,
+       |    CASE WHEN day(ts) <= $dayCutoff THEN 1 ELSE 0 END AS ia,
+       |    CASE WHEN day(ts) <= $dayCutoff THEN 0 ELSE 1 END AS ib
+       |  FROM events WHERE value IS NOT NULL),
+       |c AS (SELECT v, SUM(ia) AS an, SUM(ib) AS bn FROM u GROUP BY v),
+       |r AS (SELECT v,
+       |    SUM(an) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+       |    SUM(bn) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+       |  FROM c),
+       |t AS (SELECT CAST(SUM(an) AS BIGINT) AS n_a,
+       |             CAST(SUM(bn) AS BIGINT) AS n_b FROM c),
+       |d AS (SELECT MAX(ABS(CAST(ca AS DOUBLE) / n_a -
+       |                     CAST(cb AS DOUBLE) / n_b)) AS dmax
+       |      FROM r, t)
+       |SELECT ROUND(dmax, 6) AS ks_stat, n_a, n_b,
+       |  ROUND(1.358 * SQRT(CAST(n_a + n_b AS DOUBLE) /
+       |    CAST(n_a * n_b AS DOUBLE)), 6) AS crit_05,
+       |  dmax > 1.358 * SQRT(CAST(n_a + n_b AS DOUBLE) /
+       |    CAST(n_a * n_b AS DOUBLE)) AS drifted
+       |FROM d, t""".stripMargin
+  }
 }

@@ -80,4 +80,46 @@ class DriftSpec extends AnyFunSuite {
       .as[(Int, Long, Long, Double, Double)].collect().head
     assert(mix._4 == 1.0 && mix._5 > 0.7 && mix._5 < 0.71, mix.toString)
   }
+
+  test("ks: identical samples give D=0, not drifted") {
+    val a = (1 to 100).map(_.toDouble).toDF("v")
+    val r = Drift.ksReport(a, a, "v").collect()(0)
+    assert(r.getAs[Double]("ks_stat") == 0.0)
+    assert(!r.getAs[Boolean]("drifted"))
+    assert(r.getAs[Long]("n_a") == 100L && r.getAs[Long]("n_b") == 100L)
+  }
+
+  test("ks: disjoint supports give D=1 and a drift verdict") {
+    val a = (1 to 50).map(_.toDouble).toDF("v")
+    val b = (101 to 150).map(_.toDouble).toDF("v")
+    val r = Drift.ksReport(a, b, "v").collect()(0)
+    assert(r.getAs[Double]("ks_stat") == 1.0)
+    assert(r.getAs[Boolean]("drifted"))
+  }
+
+  test("ks: hand-checked sup gap with ties") {
+    // a = {1,1,2,3}, b = {2,3,3,4}: F_a - F_b peaks at v=1: 0.5 - 0 = 0.5
+    val a = Seq(1.0, 1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(2.0, 3.0, 3.0, 4.0).toDF("v")
+    val r = Drift.ksReport(a, b, "v").collect()(0)
+    assert(r.getAs[Double]("ks_stat") == 0.5, r.toString)
+    // critical value at n=4,4: 1.358 * sqrt(8/16) = 0.960251
+    assert(math.abs(r.getAs[Double]("crit_05") - 0.960251) < 1e-6)
+    assert(!r.getAs[Boolean]("drifted"))
+  }
+
+  test("ks grid: boundary-exact and within one bucket mass of the exact D") {
+    val rnd = new scala.util.Random(5L)
+    val a = Seq.fill(400)(rnd.nextDouble() * 10).toDF("v")
+    val b = Seq.fill(400)(rnd.nextDouble() * 10 + 1.5).toDF("v") // shifted
+    val exact = Drift.ksReport(a, b, "v").collect()(0)
+      .getAs[Double]("ks_stat")
+    val grid = Drift.ksReport(a, b, "v", Some(0.5)).collect()(0)
+      .getAs[Double]("ks_stat")
+    assert(grid <= exact + 1e-9, "grid D can only understate")
+    // largest single-bucket mass bounds the understatement; with 800
+    // pooled points over ~23 buckets of width 0.5 that is well under 0.15
+    assert(exact - grid <= 0.15, s"exact $exact vs grid $grid")
+    assert(grid > 0.1, "a 1.5 shift on range 10 must still register on the grid")
+  }
 }

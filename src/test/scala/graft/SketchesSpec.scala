@@ -46,4 +46,37 @@ class SketchesSpec extends AnyFunSuite {
       .count()
     assert(total == exact)
   }
+
+  test("overlap matrix: HLL inclusion-exclusion tracks exact overlap") {
+    // slice A = keys 1..200, slice B = 101..300, slice C = 1000..1009
+    // exact: |A ∩ B| = 100, |A ∩ C| = 0, |B ∩ C| = 0
+    val rows =
+      (1 to 200).map(k => ("a", k.toLong)) ++
+      (101 to 300).map(k => ("b", k.toLong)) ++
+      (1000 to 1009).map(k => ("c", k.toLong))
+    val df = rows.toDF("slice", "key")
+    val m = Sketches.overlapMatrix(df, "slice", "key").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("est_overlap"), r.getAs[Double]("est_union")))
+      .toMap
+    assert(m.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val (abOverlap, abUnion) = m(("a", "b"))
+    // rsd at lgK=14 is ~0.8%; allow 5% on these small sets
+    assert(math.abs(abOverlap - 100.0) <= 15.0, s"a∩b est $abOverlap")
+    assert(math.abs(abUnion - 300.0) <= 15.0, s"a∪b est $abUnion")
+    assert(m(("a", "c"))._1 <= 5.0 && m(("b", "c"))._1 <= 5.0,
+      "disjoint slices must estimate ~zero overlap")
+  }
+
+  test("overlap matrix: deterministic and pair-ordered") {
+    val df = Seq(("x", 1L), ("x", 2L), ("y", 2L), ("y", 3L))
+      .toDF("slice", "key")
+    val a = Sketches.overlapMatrix(df, "slice", "key").collect().toSeq
+    val b = Sketches.overlapMatrix(df, "slice", "key").collect().toSeq
+    assert(a == b)
+    assert(a.map(r => (r.getString(0), r.getString(1))) == Seq(("x", "y")))
+    // jaccard = overlap/union stays in [0, 1]
+    val j = a.head.getAs[Double]("jaccard_est")
+    assert(j >= 0.0 && j <= 1.0)
+  }
 }
