@@ -97,6 +97,33 @@ object SparkEntry {
     "q177_late_audit" -> ((s, dir) =>
       graft.streaming.LateAudit.backfillAudit(s, dir)),
 
+    // ---- Explicit GROUPING SETS (a shape neither rollup nor cube
+    //      expresses: both one-dimension margins, no grand total) —
+    //      one shuffle, the sets expand map-side ----
+    "q182_grouping_sets" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("bigint").as("gid"),
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    }),
+
+    // ---- SCD2 dimension build from a change feed: one window
+    //      shuffle on the key (lag-dedupe + lead-chaining), validity
+    //      intervals partition each key's timeline ----
+    "q180_scd2_build" -> ((s, dir) =>
+      graft.operators.Scd.userTierDimension(t(s, dir, "events"))),
+
+    // ---- Point-in-time fact attribution: equi-join on the key with
+    //      a residual interval predicate — hash join, at most one
+    //      version per fact, no fan-out ----
+    "q181_point_in_time" -> ((s, dir) =>
+      graft.operators.Scd.revenueByTierAtPurchase(t(s, dir, "events"))),
+
     // ---- Two-sample KS drift, exact form: ECDF sup-gap at every
     //      distinct value (unpartitioned window = the oracle pin;
     //      q179 is the production grid) ----
@@ -2293,6 +2320,20 @@ object SparkEntry {
       graft.operators.DifferentialPrivacy.accountingOracleSql(),
 
     "q178_ks_drift" -> graft.operators.Drift.ksOracleSql(15),
+
+    "q180_scd2_build" -> graft.operators.Scd.dimensionOracleSql,
+
+    "q182_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority))
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q181_point_in_time" -> graft.operators.Scd.revenueOracleSql,
 
     "q179_ks_drift_grid" ->
       graft.operators.Drift.ksOracleSql(15, Some(0.5)),
