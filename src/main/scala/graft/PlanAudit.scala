@@ -45,6 +45,8 @@ object PlanAudit {
     // KS: the (n_a, n_b) totals are a 1-row broadcast stat factor
     // into the cumulative table (same shape as the corpus totals)
     "q178_ks_drift", "q179_ks_drift_grid",
+    // retrieval eval rides the q20 bounded brute-force harness
+    "q184_retrieval_eval",
     // DSIR: distribution totals and the top-k threshold are 1-row
     // broadcast stat factors
     "q153_dsir_select")

@@ -259,7 +259,24 @@ object ScaleProbe {
         .boilerplateExcise(
           d.withColumn("source", (col("doc_id") % 20).cast("string")),
           segTokens = 2, minDocFrac = 0.18)
-        .agg(sum("n_dropped")).collect()(0).getLong(0)))
+        .agg(sum("n_dropped")).collect()(0).getLong(0)),
+      // Heaps growth: the token explode and min(bucket)-per-type agg
+      // scale with the corpus; suffixed copies widen the type table
+      // ~N× (adversarial for the first-seen shuffle); the cumulative
+      // window stays bucket-count-sized
+      "vocab_growth" -> (d => graft.operators.Vocab
+        .growthCurve(d, bucketDocs = 50L)
+        .agg(sum("new_types")).collect()(0).getLong(0)),
+      // grid KS between two doc-length slices: the per-side bucket
+      // count is the linear component; the cumulative window and the
+      // sup-gap run over the fixed-width grid regardless of N
+      "ks_grid" -> { d =>
+        val lens = d.select(length(col("text")).cast("double").as("v"),
+          (col("doc_id") % 2 === 0).as("h"))
+        graft.operators.Drift.ksReport(
+          lens.where(col("h")).select("v"),
+          lens.where(!col("h")).select("v"), "v", Some(8.0)).count()
+      })
 
     // ---- embedding-input operators: amplified by cyclic coordinate
     // rotation per copy — rotations of distinct 64-dim vectors are

@@ -97,6 +97,27 @@ object SparkEntry {
     "q177_late_audit" -> ((s, dir) =>
       graft.streaming.LateAudit.backfillAudit(s, dir)),
 
+    // ---- Markov removal-effect attribution: transition extraction
+    //      is one user-key window shuffle; the chain solve is
+    //      |channels|²-sized driver math (bounded-state contract);
+    //      iterative solve ⇒ rows-only, hand-computed chains in
+    //      AttributionSpec ----
+    "q185_markov_attribution" -> ((s, dir) =>
+      graft.operators.Attribution.removalEffects(s, t(s, dir, "events"))),
+
+    // ---- Retrieval-quality harness: P@10 / MRR / nDCG@10 of the
+    //      exact cosine ranking under label-as-relevance; bounded
+    //      broadcast query set (q20 shape), shared idcg literals
+    //      keep engine and oracle bit-aligned ----
+    "q184_retrieval_eval" -> ((s, dir) =>
+      graft.operators.RetrievalEval.bruteMetrics(t(s, dir, "embeddings"))),
+
+    // ---- Streaming SCD2 upkeep: per-batch scd2Merge into a
+    //      TableLog dimension with replay-safe action tags; in-order
+    //      replay + merge≡rebuild ⇒ shares the q180 batch oracle ----
+    "q183_stream_scd2" -> ((s, dir) =>
+      graft.streaming.ScdStream.streamedTierDimension(s, dir)),
+
     // ---- Explicit GROUPING SETS (a shape neither rollup nor cube
     //      expresses: both one-dimension margins, no grand total) —
     //      one shuffle, the sets expand map-side ----
@@ -2334,6 +2355,12 @@ object SparkEntry {
         |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
 
     "q181_point_in_time" -> graft.operators.Scd.revenueOracleSql,
+
+    // streaming upkeep converges to the batch dimension (in-order
+    // replay; merge≡rebuild pinned in ScdSpec) — same oracle as q180
+    "q183_stream_scd2" -> graft.operators.Scd.dimensionOracleSql,
+
+    "q184_retrieval_eval" -> graft.operators.RetrievalEval.oracleSql(),
 
     "q179_ks_drift_grid" ->
       graft.operators.Drift.ksOracleSql(15, Some(0.5)),

@@ -795,6 +795,16 @@ object TableLog {
       inputs: Seq[InputRef] = Seq.empty): Commit =
     commitReplace(spark, path, df, "overwrite", inputs)
 
+  /** [[commitOverwrite]] with a caller-supplied action tag — the
+    * replay-safe form for foreachBatch sinks: tag the commit with a
+    * batch-derived action and skip the batch when `history` already
+    * records it (the [[graft.streaming.DriftMonitor]] idempotence
+    * pattern, for replace-shaped sinks). */
+  def commitOverwriteTagged(spark: SparkSession, path: String,
+      df: DataFrame, action: String,
+      inputs: Seq[InputRef] = Seq.empty): Commit =
+    commitReplace(spark, path, df, action, inputs)
+
   /** MERGE upsert as a log commit: read the latest snapshot, apply
     * [[MergeWriter.upsertSyncSchema]], write the result as the new
     * snapshot — all-or-nothing at the manifest rename (unlike dynamic
