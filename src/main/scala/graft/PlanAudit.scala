@@ -47,6 +47,9 @@ object PlanAudit {
     "q178_ks_drift", "q179_ks_drift_grid",
     // retrieval eval rides the q20 bounded brute-force harness
     "q184_retrieval_eval",
+    // LSH quality harness: exact-Jaccard ground truth is a bounded
+    // all-pairs block on the doc_id slice (the q19 pattern)
+    "q186_dedup_eval",
     // DSIR: distribution totals and the top-k threshold are 1-row
     // broadcast stat factors
     "q153_dsir_select")

@@ -97,6 +97,32 @@ object SparkEntry {
     "q177_late_audit" -> ((s, dir) =>
       graft.streaming.LateAudit.backfillAudit(s, dir)),
 
+    // ---- Streaming k-anonymity monitor: per-batch class audit of
+    //      the (event_type, day) quasi-space appended to a versioned
+    //      report with anon-<batchId> replay tags; single-batch run
+    //      equals the batch audit ⇒ shares its oracle arithmetic ----
+    "q188_stream_anonymity" -> ((s, dir) =>
+      graft.streaming.PrivacyMonitor.eventAnonymityStream(s, dir)),
+
+    // ---- Equi-depth PSI: bins adapt to the baseline's quantiles
+    //      (scale-free, unlike a fixed-width grid on heavy tails);
+    //      exact percentile edges are the oracle pin, approx at
+    //      scale; everything after the edges is bucket-table work ----
+    "q187_psi_equidepth" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val d = dayofmonth(col("ts"))
+      graft.operators.Drift.psiEquiDepth(
+        ev.where(d <= 15), ev.where(d > 15), "value")
+    }),
+
+    // ---- LSH operating-point harness: exact-Jaccard ground truth
+    //      on the bounded slice (q19 pattern) scores the candidate
+    //      stage and the verified pipeline — the S-curve measurement
+    //      a pipeline owner reruns after retuning banding; hash-
+    //      seeded MinHash ⇒ rows-only, scoring pinned in spec ----
+    "q186_dedup_eval" -> ((s, dir) =>
+      graft.operators.DedupEval.lshQuality(t(s, dir, "documents"))),
+
     // ---- Markov removal-effect attribution: transition extraction
     //      is one user-key window shuffle; the chain solve is
     //      |channels|²-sized driver math (bounded-state contract);
@@ -2361,6 +2387,12 @@ object SparkEntry {
     "q183_stream_scd2" -> graft.operators.Scd.dimensionOracleSql,
 
     "q184_retrieval_eval" -> graft.operators.RetrievalEval.oracleSql(),
+
+    "q187_psi_equidepth" ->
+      graft.operators.Drift.psiEquiDepthOracleSql(15),
+
+    "q188_stream_anonymity" ->
+      graft.streaming.PrivacyMonitor.oracleSql(),
 
     "q179_ks_drift_grid" ->
       graft.operators.Drift.ksOracleSql(15, Some(0.5)),

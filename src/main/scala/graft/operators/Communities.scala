@@ -66,9 +66,11 @@ object Communities {
     val nodes = e.select(col("src").as("page")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // eager localCheckpoint per iteration: truncates lineage so
+    // Catalyst never re-analyzes the unrolled k-iteration tree (the
+    // GraphRank fix — see its scaladoc for the measured cost)
     var labels = nodes.withColumn("label", col("page"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+      .localCheckpoint(true)
 
     for (_ <- 1 to iterations) {
       val votes = e.join(labels, e("src") === labels("page"))
@@ -79,14 +81,11 @@ object Communities {
       // Undirected edges ⇒ every node in `nodes` has ≥1 neighbor, so
       // the vote table covers all nodes and no keep-old fallback is
       // needed; assert that invariant instead of silently joining.
-      val next = votes
+      labels = votes
         .withColumn("__rn", row_number().over(top))
         .where(col("__rn") === 1)
         .select(col("vpage").as("page"), col("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      labels.unpersist()
-      labels = next
+        .localCheckpoint(true)
     }
 
     val sizes = labels.groupBy(col("label"))

@@ -49,6 +49,87 @@ object Drift {
       .orderBy("bucket")
   }
 
+  /** Equi-depth PSI — [[psiReport]] with bins that adapt to the
+    * BASELINE's distribution instead of a fixed width: edges are the
+    * baseline's interior `nBins`-quantiles, so every bucket holds
+    * ~1/nBins of baseline mass and the index is scale-free (a
+    * fixed-width grid over a heavy-tailed value puts 99% of mass in
+    * one bucket and goes blind; equi-depth is the standard industry
+    * practice for PSI bins). Bucket of a row = number of edges ≤ its
+    * value — identical arithmetic on rounded-to-6 edges in engine and
+    * oracle, so the report stays DuckDB-checkable.
+    *
+    * Scale: the edge fit collects `nBins−1` doubles to the driver
+    * (bounded, like the codebook fits); exact `percentile` is the
+    * oracle pin — swap `approx_percentile` for the mergeable-sketch
+    * path at 100 TB (q29/q52 pattern). Everything after the edges is
+    * [[psiReport]]'s bucket-table dataflow. */
+  def psiEquiDepth(base: DataFrame, current: DataFrame, valueCol: String,
+      nBins: Int = 10, floorP: Double = 1e-6): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    val qs = (1 until nBins).map(i => i.toDouble / nBins)
+    val edges = base
+      .select(expr(s"percentile($valueCol, array(${qs.mkString(", ")}))")
+        .as("e"))
+      .head.getSeq[Double](0)
+      .map(x => math.rint(x * 1e6) / 1e6)
+    val bucketExpr = edges
+      .map(e => when(col(valueCol) >= lit(e), 1).otherwise(0))
+      .reduce(_ + _)
+    def counts(df: DataFrame, as: String) = df
+      .select(bucketExpr.cast("bigint").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(as))
+    val w = Window.partitionBy()
+    counts(base, "base_n")
+      .join(counts(current, "cur_n"), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("base_n", "cur_n"))
+      .withColumn("__bp",
+        greatest(col("base_n") / sum("base_n").over(w), lit(floorP)))
+      .withColumn("__cp",
+        greatest(col("cur_n") / sum("cur_n").over(w), lit(floorP)))
+      .select(col("bucket"), col("base_n"), col("cur_n"),
+        round(col("__bp"), 6).as("base_p"),
+        round(col("__cp"), 6).as("cur_p"),
+        round((col("__cp") - col("__bp")) * log(col("__cp") / col("__bp")), 6)
+          .as("psi_term"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB oracle for [[psiEquiDepth]] over events split at
+    * day-of-month `dayCutoff` (base ≤ cutoff < current). */
+  def psiEquiDepthOracleSql(dayCutoff: Int, nBins: Int = 10,
+      floorP: Double = 1e-6): String = {
+    val qs = (1 until nBins).map(i => i.toDouble / nBins)
+      .mkString("[", ", ", "]")
+    s"""WITH b AS (SELECT value FROM events WHERE day(ts) <= $dayCutoff),
+       |cur AS (SELECT value FROM events WHERE day(ts) > $dayCutoff),
+       |e AS (SELECT list_transform(quantile_cont(value, $qs),
+       |        x -> ROUND(x, 6)) AS edges FROM b),
+       |bb AS (SELECT CAST(len(list_filter((SELECT edges FROM e),
+       |        x -> value >= x)) AS BIGINT) AS bucket,
+       |        COUNT(*) AS base_n FROM b GROUP BY 1),
+       |cb AS (SELECT CAST(len(list_filter((SELECT edges FROM e),
+       |        x -> value >= x)) AS BIGINT) AS bucket,
+       |        COUNT(*) AS cur_n FROM cur GROUP BY 1),
+       |j AS (
+       |  SELECT COALESCE(bb.bucket, cb.bucket) AS bucket,
+       |    COALESCE(bb.base_n, 0) AS base_n,
+       |    COALESCE(cb.cur_n, 0) AS cur_n
+       |  FROM bb FULL OUTER JOIN cb ON bb.bucket = cb.bucket),
+       |p AS (
+       |  SELECT bucket, base_n, cur_n,
+       |    GREATEST(base_n / CAST(SUM(base_n) OVER () AS DOUBLE), $floorP)
+       |      AS bp,
+       |    GREATEST(cur_n / CAST(SUM(cur_n) OVER () AS DOUBLE), $floorP)
+       |      AS cp
+       |  FROM j)
+       |SELECT bucket, CAST(base_n AS BIGINT) AS base_n,
+       |  CAST(cur_n AS BIGINT) AS cur_n,
+       |  ROUND(bp, 6) AS base_p, ROUND(cp, 6) AS cur_p,
+       |  ROUND((cp - bp) * LN(cp / bp), 6) AS psi_term
+       |FROM p ORDER BY bucket""".stripMargin
+  }
+
   /** Categorical mix divergence between two corpus slices — the
     * Jensen–Shannon divergence (Lin, IEEE IT 1991) over a discrete
     * column's distribution, in bits: the "did the language / source /

@@ -122,4 +122,43 @@ class DriftSpec extends AnyFunSuite {
     assert(exact - grid <= 0.15, s"exact $exact vs grid $grid")
     assert(grid > 0.1, "a 1.5 shift on range 10 must still register on the grid")
   }
+
+  test("equi-depth psi: identical sides score zero with near-uniform buckets") {
+    val v = (1 to 1000).map(_.toDouble).toDF("v")
+    val rows = Drift.psiEquiDepth(v, v, "v", nBins = 10).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Double]("psi_term")).sum == 0.0)
+    // each bucket holds ~100 of 1000 baseline rows
+    rows.foreach(r => assert(math.abs(r.getAs[Long]("base_n") - 100L) <= 1))
+  }
+
+  test("equi-depth psi: a shifted current lights up tail buckets") {
+    val base = (1 to 1000).map(_.toDouble).toDF("v")
+    val cur = (1 to 1000).map(x => x.toDouble + 500).toDF("v")
+    val rows = Drift.psiEquiDepth(base, cur, "v", nBins = 10).collect()
+    val psi = rows.map(_.getAs[Double]("psi_term")).sum
+    assert(psi > 0.25, s"a half-range shift must be major drift, got $psi")
+    // top bucket (beyond the last baseline edge) gains mass
+    val top = rows.maxBy(_.getLong(0))
+    assert(top.getAs[Long]("cur_n") > top.getAs[Long]("base_n"))
+  }
+
+  test("equi-depth psi beats fixed-width on a heavy-tail shift") {
+    // heavy tail: 99% of mass in [0,1), 1% spread to 1e6. A width-1e4
+    // grid puts ~all mass in bucket 0 and cannot see a shift WITHIN
+    // the bulk; equi-depth bins the bulk finely and does.
+    val rnd = new scala.util.Random(11L)
+    def sample(shift: Double) = Seq.fill(2000) {
+      if (rnd.nextDouble() < 0.99) rnd.nextDouble() + shift
+      else rnd.nextDouble() * 1e6
+    }.toDF("v")
+    val base = sample(0.0); val cur = sample(0.4)
+    val fixed = Drift.psiReport(base, cur, "v", bucketWidth = 1e4)
+      .agg(org.apache.spark.sql.functions.sum("psi_term"))
+      .collect()(0).getDouble(0)
+    val depth = Drift.psiEquiDepth(base, cur, "v", nBins = 10)
+      .collect().map(_.getAs[Double]("psi_term")).sum
+    assert(depth > fixed + 0.1,
+      s"equi-depth ($depth) must detect the in-bulk shift fixed-width ($fixed) misses")
+  }
 }
