@@ -97,6 +97,23 @@ object SparkEntry {
     "q177_late_audit" -> ((s, dir) =>
       graft.streaming.LateAudit.backfillAudit(s, dir)),
 
+    // ---- Provenance canaries: plant seeded trap docs, then test a
+    //      suspect corpus — exact (md5) and near (broadcast gram
+    //      join) tiers; clean corpus must read 0, injected 1.0;
+    //      seeded generation ⇒ rows-only, contracts in CanarySpec ----
+    "q189_canary_trace" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clean = graft.operators.Canary.detect(docs, seed = 42L)
+        .withColumn("corpus", lit("clean"))
+      val injected = graft.operators.Canary.detect(
+          graft.operators.Canary.inject(docs, seed = 42L), seed = 42L)
+        .withColumn("corpus", lit("injected"))
+      clean.unionByName(injected)
+        .select(col("corpus"), col("n_planted"), col("n_exact"),
+          col("n_near"), col("detection_rate"))
+        .orderBy("corpus")
+    }),
+
     // ---- Streaming k-anonymity monitor: per-batch class audit of
     //      the (event_type, day) quasi-space appended to a versioned
     //      report with anon-<batchId> replay tags; single-batch run

@@ -24,7 +24,7 @@ object Decontaminate {
     * back to a space-separated string. NOT deduplicated — within-doc
     * repeats survive so callers choose where dedup happens (the corpus
     * side must NOT pay a corpus-wide distinct shuffle; see [[overlap]]). */
-  private def docGrams(docs: DataFrame, n: Int, idCol: String,
+  private[operators] def docGrams(docs: DataFrame, n: Int, idCol: String,
       textCol: String): DataFrame =
     docs
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
