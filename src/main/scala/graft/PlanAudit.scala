@@ -50,6 +50,9 @@ object PlanAudit {
     // LSH quality harness: exact-Jaccard ground truth is a bounded
     // all-pairs block on the doc_id slice (the q19 pattern)
     "q186_dedup_eval",
+    // join advisor: the three 1-row stat frames (left/right/shared)
+    // assemble via crossJoin — stat factors, not data products
+    "q190_join_cardinality",
     // DSIR: distribution totals and the top-k threshold are 1-row
     // broadcast stat factors
     "q153_dsir_select")

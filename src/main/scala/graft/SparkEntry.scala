@@ -33,6 +33,13 @@ object SparkEntry {
     DailyStoreMetrics.build(t(spark, dir, "orders"), t(spark, dir, "events"))
   }
 
+  /** Column specs (name, isNumeric) profiled by q191 — one list
+    * drives BOTH the engine plan and the DuckDB oracle. */
+  val profiledOrderCols: Seq[(String, Boolean)] = Seq(
+    ("o_orderkey", true), ("o_custkey", true),
+    ("o_orderstatus", false), ("o_totalprice", true),
+    ("o_orderpriority", false))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -96,6 +103,21 @@ object SparkEntry {
     //      exact drop accounting asserted in LateAuditSpec ----
     "q177_late_audit" -> ((s, dir) =>
       graft.streaming.LateAudit.backfillAudit(s, dir)),
+
+    // ---- Pre-flight join cardinality: exact equi-join output size
+    //      as a frequency dot product — two key-cardinality aggs +
+    //      a key-sized join, never the join itself ----
+    "q190_join_cardinality" -> ((s, dir) =>
+      graft.operators.JoinAdvisor.joinCardinality(
+        t(s, dir, "lineitem"), t(s, dir, "orders"),
+        "l_orderkey", "o_orderkey")),
+
+    // ---- Expectation suggestion: one profiling scan (multi-distinct
+    //      expand) → a GE-style suggested rule per column, generator
+    //      shared with the oracle so priority order cannot drift ----
+    "q191_suggest_expectations" -> ((s, dir) =>
+      graft.quality.SuggestExpectations.suggest(
+        t(s, dir, "orders"), SparkEntry.profiledOrderCols)),
 
     // ---- Provenance canaries: plant seeded trap docs, then test a
     //      suspect corpus — exact (md5) and near (broadcast gram
@@ -2410,6 +2432,13 @@ object SparkEntry {
 
     "q188_stream_anonymity" ->
       graft.streaming.PrivacyMonitor.oracleSql(),
+
+    "q190_join_cardinality" -> graft.operators.JoinAdvisor.oracleSql(
+      "lineitem", "orders", "l_orderkey", "o_orderkey"),
+
+    "q191_suggest_expectations" ->
+      graft.quality.SuggestExpectations.oracleSql(
+        "orders", profiledOrderCols),
 
     "q179_ks_drift_grid" ->
       graft.operators.Drift.ksOracleSql(15, Some(0.5)),
