@@ -104,6 +104,20 @@ object SparkEntry {
     "q177_late_audit" -> ((s, dir) =>
       graft.streaming.LateAudit.backfillAudit(s, dir)),
 
+    // ---- Temporal split with embargo: map-only assignment (no
+    //      shuffle until the audit agg); rows inside the embargo
+    //      window before each boundary belong to NO split ----
+    "q192_temporal_split" -> ((s, dir) =>
+      graft.operators.TemporalSplit.audit(t(s, dir, "events"),
+        "2024-01-15 00:00:00", "2024-01-23 00:00:00",
+        embargoSeconds = 86400L)),
+
+    // ---- Structured→text rendering: per-user history serialized to
+    //      one integer-rendered doc (md5-comparable across engines);
+    //      per-user window caps lines BEFORE the collect ----
+    "q193_history_docs" -> ((s, dir) =>
+      graft.operators.HistoryDocs.render(t(s, dir, "events"))),
+
     // ---- Pre-flight join cardinality: exact equi-join output size
     //      as a frequency dot product — two key-cardinality aggs +
     //      a key-sized join, never the join itself ----
@@ -2439,6 +2453,12 @@ object SparkEntry {
     "q191_suggest_expectations" ->
       graft.quality.SuggestExpectations.oracleSql(
         "orders", profiledOrderCols),
+
+    "q192_temporal_split" -> graft.operators.TemporalSplit
+      .auditOracleSql("2024-01-15 00:00:00", "2024-01-23 00:00:00",
+        embargoSeconds = 86400L),
+
+    "q193_history_docs" -> graft.operators.HistoryDocs.oracleSql(),
 
     "q179_ks_drift_grid" ->
       graft.operators.Drift.ksOracleSql(15, Some(0.5)),
