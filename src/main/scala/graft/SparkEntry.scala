@@ -104,6 +104,19 @@ object SparkEntry {
     "q177_late_audit" -> ((s, dir) =>
       graft.streaming.LateAudit.backfillAudit(s, dir)),
 
+    // ---- Seasonality-adjusted anomaly: (key × hour-of-day) cells
+    //      scored against their OWN hour's baseline distribution —
+    //      one corpus-scale cell agg, everything after is tiny ----
+    "q195_seasonal_anomaly" -> ((s, dir) =>
+      graft.operators.Anomaly.seasonalZScore(t(s, dir, "events"))),
+
+    // ---- SQL-text gateway: raw SQL through spark.sql over the
+    //      registered lake views (the reference's dbt/Athena surface)
+    //      — the IDENTICAL text is the DuckDB oracle ----
+    "q194_sql_gateway" -> ((s, dir) =>
+      graft.pipeline.SqlGateway.run(s, dir,
+        graft.pipeline.SqlGateway.segmentRevenueSql)),
+
     // ---- Temporal split with embargo: map-only assignment (no
     //      shuffle until the audit agg); rows inside the embargo
     //      window before each boundary belong to NO split ----
@@ -2459,6 +2472,11 @@ object SparkEntry {
         embargoSeconds = 86400L),
 
     "q193_history_docs" -> graft.operators.HistoryDocs.oracleSql(),
+
+    "q194_sql_gateway" -> graft.pipeline.SqlGateway.segmentRevenueSql,
+
+    "q195_seasonal_anomaly" ->
+      graft.operators.Anomaly.seasonalOracleSql(),
 
     "q179_ks_drift_grid" ->
       graft.operators.Drift.ksOracleSql(15, Some(0.5)),

@@ -42,4 +42,79 @@ object Anomaly {
         coalesce(abs(rawZ) > zThreshold, lit(false)))
       .orderBy(keyCol, dateCol)
   }
+
+  /** Seasonality-adjusted anomaly — the day-of-week/hour-of-day
+    * upgrade of [[rollingZScore]]: a 2 am traffic dip is normal at
+    * 2 am and an incident at 2 pm, so each (key, hour-of-day)
+    * bucket is scored against ITS OWN baseline distribution, not a
+    * flat trailing window. Baseline = per-(key, hour) mean/σ of the
+    * hourly totals over days ≤ `splitDay`; every later (key, day,
+    * hour) cell gets a z against the matching hour's baseline.
+    * Cells whose baseline has no spread (σ null/0) flag false —
+    * same fail-safe convention as [[rollingZScore]], raw-quotient
+    * flag with rounded display columns.
+    *
+    * Scale shape: one grouped aggregate to the (key × day × hour)
+    * cell table (map-side partials — the only corpus-scale pass),
+    * a baseline aggregate over that tiny table, and a broadcast-
+    * sized join back. */
+  def seasonalZScore(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value",
+      splitDay: Int = 20, zThreshold: Double = 3.0): DataFrame = {
+    val cells = events
+      .groupBy(col(keyCol), dayofmonth(col(tsCol)).as("dd"),
+        hour(col(tsCol)).as("hod"))
+      // cell totals round to 2 BEFORE any downstream stat: both
+      // engines then compute baselines from IDENTICAL inputs, so a
+      // sum-order jitter of ~1e-12 can no longer flip a z rounded at
+      // a .00005 boundary (observed live at sf0.01)
+      .agg(round(sum(col(valueCol)), 2).as("__v"))
+    val base = cells.where(col("dd") <= splitDay)
+      .groupBy(col(keyCol), col("hod"))
+      .agg(avg(col("__v")).as("__m"),
+        stddev_samp(col("__v")).as("__s"),
+        count(lit(1)).as("n_base"))
+    val rawZ = when(col("__s").isNotNull && col("__s") =!= 0.0,
+      (col("__v") - col("__m")) / col("__s"))
+    cells.where(col("dd") > splitDay)
+      .join(base, Seq(keyCol, "hod"))
+      .select(col(keyCol), col("dd"), col("hod"),
+        round(col("__v"), 2).as("v"),
+        // displays round at 6, NOT 4: baseline means of 2-decimal
+        // cell totals over n=20 days are EXACT 4-5-decimal values
+        // (e.g. 145.72125), and a half-up decision on their double
+        // representation differs across engines; at 6 decimals such
+        // values round to themselves — no boundary decision exists
+        round(col("__m"), 6).as("base_mean"),
+        round(col("__s"), 6).as("base_sd"),
+        col("n_base"),
+        round(rawZ, 6).as("z"),
+        coalesce(abs(rawZ) > zThreshold, lit(false)).as("anomaly"))
+      .orderBy(keyCol, "dd", "hod")
+  }
+
+  /** DuckDB oracle for [[seasonalZScore]] over events. */
+  def seasonalOracleSql(splitDay: Int = 20,
+      zThreshold: Double = 3.0): String =
+    s"""WITH cells AS (
+       |  SELECT event_type, day(ts) AS dd, hour(ts) AS hod,
+       |    ROUND(SUM(value), 2) AS v
+       |  FROM events GROUP BY 1, 2, 3),
+       |base AS (
+       |  SELECT event_type, hod, AVG(v) AS m, stddev_samp(v) AS s,
+       |    CAST(COUNT(*) AS BIGINT) AS n_base
+       |  FROM cells WHERE dd <= $splitDay GROUP BY 1, 2)
+       |SELECT c.event_type, c.dd, c.hod,
+       |  ROUND(c.v, 2) AS v,
+       |  ROUND(b.m, 6) AS base_mean,
+       |  ROUND(b.s, 6) AS base_sd,
+       |  b.n_base,
+       |  ROUND(CASE WHEN b.s IS NOT NULL AND b.s <> 0
+       |    THEN (c.v - b.m) / b.s END, 6) AS z,
+       |  COALESCE(ABS(CASE WHEN b.s IS NOT NULL AND b.s <> 0
+       |    THEN (c.v - b.m) / b.s END) > $zThreshold, FALSE) AS anomaly
+       |FROM cells c JOIN base b
+       |  ON c.event_type = b.event_type AND c.hod = b.hod
+       |WHERE c.dd > $splitDay
+       |ORDER BY c.event_type, c.dd, c.hod""".stripMargin
 }
