@@ -104,6 +104,19 @@ object SparkEntry {
     "q177_late_audit" -> ((s, dir) =>
       graft.streaming.LateAudit.backfillAudit(s, dir)),
 
+    // ---- MERGE dry-run plan (EXPLAIN for the upsert): per target
+    //      partition — rewrite/carry/create and post-merge row
+    //      counts, from two partition-keyed counts + one key-grain
+    //      overlap count; no write is paid ----
+    "q196_merge_plan" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("dt", to_date(col("ts")))
+        .select("dt", "event_id")
+      val d = dayofmonth(col("dt"))
+      graft.lake.MergeWriter.mergePlan(
+        ev.where(d <= 20), ev.where(d >= 15 && d <= 25),
+        Seq("dt", "event_id"), Seq("dt"))
+    }),
+
     // ---- Seasonality-adjusted anomaly: (key × hour-of-day) cells
     //      scored against their OWN hour's baseline distribution —
     //      one corpus-scale cell agg, everything after is tiny ----
@@ -2477,6 +2490,34 @@ object SparkEntry {
 
     "q195_seasonal_anomaly" ->
       graft.operators.Anomaly.seasonalOracleSql(),
+
+    "q196_merge_plan" ->
+      """WITH t AS (
+        |  SELECT CAST(ts AS DATE) AS dt, event_id FROM events
+        |  WHERE day(CAST(ts AS DATE)) <= 20),
+        |u AS (
+        |  SELECT CAST(ts AS DATE) AS dt, event_id FROM events
+        |  WHERE day(CAST(ts AS DATE)) BETWEEN 15 AND 25),
+        |tc AS (SELECT dt, COUNT(*) AS n_existing FROM t GROUP BY 1),
+        |uc AS (SELECT dt, COUNT(*) AS n_updates FROM u GROUP BY 1),
+        |ov AS (
+        |  SELECT dt, COUNT(*) AS n_overlap FROM (
+        |    SELECT DISTINCT x.dt, x.event_id
+        |    FROM (SELECT DISTINCT dt, event_id FROM u) x
+        |    JOIN (SELECT DISTINCT dt, event_id FROM t) y
+        |      ON x.dt = y.dt AND x.event_id = y.event_id)
+        |  GROUP BY 1)
+        |SELECT COALESCE(tc.dt, uc.dt) AS dt,
+        |  CAST(COALESCE(tc.n_existing, 0) AS BIGINT) AS n_existing,
+        |  CAST(COALESCE(uc.n_updates, 0) AS BIGINT) AS n_updates,
+        |  CAST(COALESCE(tc.n_existing, 0) + COALESCE(uc.n_updates, 0)
+        |    - COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_after,
+        |  CASE WHEN COALESCE(uc.n_updates, 0) = 0 THEN 'carry'
+        |    WHEN COALESCE(tc.n_existing, 0) = 0 THEN 'create'
+        |    ELSE 'rewrite' END AS action
+        |FROM tc FULL OUTER JOIN uc ON tc.dt = uc.dt
+        |LEFT JOIN ov ON COALESCE(tc.dt, uc.dt) = ov.dt
+        |ORDER BY dt""".stripMargin,
 
     "q179_ks_drift_grid" ->
       graft.operators.Drift.ksOracleSql(15, Some(0.5)),

@@ -59,6 +59,51 @@ object MergeWriter {
     * Requires `partitionCols ⊆ keys` so overwritten partitions are
     * exactly the ones whose keys appear in `updates`. First call
     * bootstraps the table. */
+  /** MERGE dry-run plan — "EXPLAIN for the upsert": per target
+    * partition, what the merge WOULD do, with no write. For each
+    * partition of the key space: update-row count, existing-row
+    * count, and the action — `rewrite` (partition receives updates),
+    * `carry` (untouched, files carried forward), or `create` (new
+    * partition). The numbers come from two partition-keyed counts —
+    * the same touched-partition discipline the real
+    * [[mergeWrite]] uses, surfaced as a reviewable artifact before
+    * a large rewrite is paid (at 100 TB, knowing "this backfill
+    * rewrites 3 of 2,000 partitions" BEFORE running it is the
+    * difference between a scheduled merge and an incident).
+    *
+    * `n_after` assumes upsert-by-key semantics: existing + new −
+    * overlapping keys; the overlap needs a key-level count, which is
+    * the third (and only key-grain) aggregate here. */
+  def mergePlan(target: DataFrame, updates: DataFrame,
+      keys: Seq[String], partitionCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(partitionCols.forall(keys.contains),
+      "merge keys must include the partition columns (the mergeWrite " +
+        "contract) so overlap can be attributed to a partition")
+    val pcols = partitionCols.map(col)
+    val tCounts = target.groupBy(pcols: _*)
+      .agg(count(lit(1)).as("n_existing"))
+    val uCounts = updates.groupBy(pcols: _*)
+      .agg(count(lit(1)).as("n_updates"))
+    val overlap = updates.select(keys.map(col): _*).distinct()
+      .join(target.select(keys.map(col): _*).distinct(),
+        keys, "left_semi")
+      .groupBy(partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("__n_overlap"))
+    tCounts.join(uCounts, partitionCols, "full_outer")
+      .join(overlap, partitionCols, "left_outer")
+      .na.fill(0L, Seq("n_existing", "n_updates", "__n_overlap"))
+      .withColumn("action",
+        when(col("n_updates") === 0, "carry")
+          .when(col("n_existing") === 0, "create")
+          .otherwise("rewrite"))
+      .withColumn("n_after",
+        col("n_existing") + col("n_updates") - col("__n_overlap"))
+      .select((pcols :+ col("n_existing") :+ col("n_updates") :+
+        col("n_after") :+ col("action")): _*)
+      .orderBy(pcols: _*)
+  }
+
   def mergeWrite(
       spark: SparkSession,
       path: String,

@@ -100,4 +100,38 @@ class MergeWriterSpec extends AnyFunSuite {
       .orderBy("store_id").as[(Long, String, Double)].collect().toSeq
     assert(got == Seq((1L, "d1", 10.0), (2L, "d2", 99.0), (3L, "d3", 30.0)))
   }
+
+  test("mergePlan: rewrite/carry/create per partition with exact post-merge counts") {
+    val target = Seq(
+      ("p1", 1L), ("p1", 2L), // p1: will receive updates
+      ("p2", 3L))             // p2: untouched -> carry
+      .toDF("part", "id")
+    val updates = Seq(
+      ("p1", 2L), // overlaps an existing key -> replaces, not adds
+      ("p1", 9L), // new key in existing partition
+      ("p3", 7L)) // brand-new partition -> create
+      .toDF("part", "id")
+    val plan = MergeWriter.mergePlan(target, updates,
+      keys = Seq("part", "id"), partitionCols = Seq("part"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(plan("p1") == (2L, 2L, 3L, "rewrite"), s"got $plan")
+    assert(plan("p2") == (1L, 0L, 1L, "carry"), s"got $plan")
+    assert(plan("p3") == (0L, 1L, 1L, "create"), s"got $plan")
+    // the plan's n_after must equal the actual upsert's partition counts
+    val merged = MergeWriter.upsert(target, updates, Seq("part", "id"))
+      .groupBy("part").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plan.view.mapValues(_._3).toMap ==
+      merged ++ Map("p2" -> 1L).filter(_ => merged.contains("p2")),
+      s"plan $plan vs actual $merged")
+  }
+
+  test("mergePlan: refuses keys that cannot attribute overlap to a partition") {
+    val df = Seq(("p1", 1L)).toDF("part", "id")
+    intercept[IllegalArgumentException] {
+      MergeWriter.mergePlan(df, df, keys = Seq("id"),
+        partitionCols = Seq("part"))
+    }
+  }
 }
