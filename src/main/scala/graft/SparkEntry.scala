@@ -104,6 +104,18 @@ object SparkEntry {
     "q177_late_audit" -> ((s, dir) =>
       graft.streaming.LateAudit.backfillAudit(s, dir)),
 
+    // ---- Layout advisor: mine a representative workload's ANALYZED
+    //      plans for filter/join columns per base table (ExprId walk
+    //      credits derived predicates to their base columns) — the
+    //      Z-order/bucket key recommendation, metadata-only ----
+    "q197_layout_advisor" -> ((s, dir) => {
+      val names = Seq("q01_pricing_summary", "q03_top_orders",
+        "q04_region_revenue", "q05_event_type_stats",
+        "q181_point_in_time", "q190_join_cardinality")
+      graft.plans.LayoutAdvisor.predicateProfile(s,
+        names.map(n => queries(n)(s, dir)))
+    }),
+
     // ---- MERGE dry-run plan (EXPLAIN for the upsert): per target
     //      partition — rewrite/carry/create and post-merge row
     //      counts, from two partition-keyed counts + one key-grain

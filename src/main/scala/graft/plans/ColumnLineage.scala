@@ -43,7 +43,7 @@ object ColumnLineage {
   }
 
   /** exprId.id → physical (table, column) leaves. */
-  private def resolve(plan: LogicalPlan): Map[Long, Set[(String, String)]] =
+  private[plans] def resolve(plan: LogicalPlan): Map[Long, Set[(String, String)]] =
     plan match {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
         val table = tableName(lr.relation.asInstanceOf[HadoopFsRelation])
