@@ -104,6 +104,47 @@ object SparkEntry {
     "q177_late_audit" -> ((s, dir) =>
       graft.streaming.LateAudit.backfillAudit(s, dir)),
 
+    // ---- Table history report (DESCRIBE HISTORY): per version —
+    //      action, dirs, files, manifest-stats row count. Pure
+    //      manifest metadata: no data read at any table size.
+    //      Fixture builds 4 commits (append/append/merge/delete);
+    //      temp-dir paths ⇒ rows-only, invariants in TableLogSpec
+    //      family below ----
+    "q199_table_history" -> ((s, dir) => {
+      import s.implicits._
+      val tbl = java.nio.file.Files
+        .createTempDirectory("graft_hist_q199").toString
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          to_date(col("ts")).as("dt"), col("value"))
+      val d = dayofmonth(col("dt"))
+      graft.lake.TableLog.commitAppend(s, tbl, ev.where(d <= 10), "append")
+      graft.lake.TableLog.commitAppend(s, tbl, ev.where(d > 10 && d <= 20),
+        "append")
+      graft.lake.TableLog.commitMerge(s, tbl, ev.where(d > 20),
+        Seq("event_id"))
+      graft.lake.TableLog.commitDelete(s, tbl, "user_id", 0L, 9L)
+      graft.lake.TableLog.history(s, tbl).map { c =>
+        (c.version.toLong, c.action, c.dirs.length.toLong,
+          c.stats.length.toLong, c.stats.map(_.rows).sum)
+      }.toDF("version", "action", "n_dirs", "n_files", "n_rows")
+        .orderBy("version")
+    }),
+
+    // ---- Language-ID confusion matrix: declared `lang` vs the
+    //      detector's verdict — the eval harness for q16's operator
+    //      (zh has no stopword profile and lands honestly in 'und'/
+    //      misdetections); matrix-sized after one scan ----
+    "q198_lang_confusion" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("lang").as("declared"),
+        TextFunctions.langId(col("text")).as("detected"))
+      d.groupBy("declared", "detected")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("frac", round(col("n") /
+          sum(col("n")).over(Window.partitionBy(col("declared"))), 6))
+        .orderBy("declared", "detected")
+    }),
+
     // ---- Layout advisor: mine a representative workload's ANALYZED
     //      plans for filter/join columns per base table (ExprId walk
     //      credits derived predicates to their base columns) — the
@@ -2502,6 +2543,35 @@ object SparkEntry {
 
     "q195_seasonal_anomaly" ->
       graft.operators.Anomaly.seasonalOracleSql(),
+
+    "q198_lang_confusion" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    str_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+        |      ('the','a','of','and','to','in','is','on') THEN 1 ELSE 0 END)) AS BIGINT) AS s_en,
+        |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+        |      ('der','die','das','und','ist','nicht','ein','zu') THEN 1 ELSE 0 END)) AS BIGINT) AS s_de,
+        |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+        |      ('el','la','de','que','y','en','un','es') THEN 1 ELSE 0 END)) AS BIGINT) AS s_es,
+        |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+        |      ('le','la','et','les','des','est','un','une') THEN 1 ELSE 0 END)) AS BIGINT) AS s_fr
+        |  FROM t),
+        |p AS (
+        |  SELECT lang AS declared,
+        |    CASE WHEN GREATEST(s_en, s_de, s_es, s_fr) <= 0 THEN 'und'
+        |         WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr) THEN 'en'
+        |         WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr) THEN 'de'
+        |         WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr) THEN 'es'
+        |         ELSE 'fr' END AS detected
+        |  FROM s)
+        |SELECT declared, detected, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(COUNT(*) / CAST(SUM(COUNT(*))
+        |    OVER (PARTITION BY declared) AS DOUBLE), 6) AS frac
+        |FROM p GROUP BY declared, detected
+        |ORDER BY declared, detected""".stripMargin,
 
     "q196_merge_plan" ->
       """WITH t AS (
