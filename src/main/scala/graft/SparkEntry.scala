@@ -131,6 +131,18 @@ object SparkEntry {
         .orderBy("version")
     }),
 
+    // ---- Pearson chi-square homogeneity test on the event-type MIX
+    //      between two date slices — the categorical drift monitor
+    //      beside PSI (numeric, q106/q187), KS (ordered, q178) and
+    //      JS mix divergence (q168); category-cardinality dataflow
+    //      after one grouped count per side ----
+    "q200_chi2_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val d = dayofmonth(col("ts"))
+      graft.operators.Drift.chiSquare(
+        ev.where(d <= 15), ev.where(d > 15), "event_type")
+    }),
+
     // ---- Language-ID confusion matrix: declared `lang` vs the
     //      detector's verdict — the eval harness for q16's operator
     //      (zh has no stopword profile and lands honestly in 'und'/
@@ -2543,6 +2555,9 @@ object SparkEntry {
 
     "q195_seasonal_anomaly" ->
       graft.operators.Anomaly.seasonalOracleSql(),
+
+    "q200_chi2_drift" ->
+      graft.operators.Drift.chiSquareOracleSql(15),
 
     "q198_lang_confusion" ->
       """WITH t AS (

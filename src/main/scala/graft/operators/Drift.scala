@@ -302,4 +302,83 @@ object Drift {
        |    CAST(n_a * n_b AS DOUBLE)) AS drifted
        |FROM d, t""".stripMargin
   }
+
+  /** Pearson chi-square test of homogeneity (Pearson 1900) between two
+    * samples of a CATEGORICAL column — the drift test for discrete
+    * features where PSI's log-ratio needs an arbitrary floor and KS
+    * assumes an ordering. Each category row carries its observed counts,
+    * the expected base count under "both samples share one
+    * distribution" (`E_ij = row_total · side_total / grand_total`), and
+    * its contribution `Σ_side (O−E)²/E`; `chi2` repeats the summed
+    * statistic and `dof` = categories − 1 on every row (q168's
+    * one-frame-report convention), so the caller compares against the
+    * chi-square critical value for its alpha without a second frame.
+    *
+    * Scale shape: one grouped count per side (map-side partials), a
+    * full-outer join + windows over the CATEGORY table — every
+    * post-scan stage is category-cardinality, not row count. Expected
+    * counts can't divide by zero: a category only appears in the join
+    * when at least one side counted it, so its row total is ≥ 1. */
+  def chiSquare(base: DataFrame, current: DataFrame,
+      catCol: String): DataFrame = {
+    def counts(df: DataFrame, as: String) = df
+      .select(col(catCol).cast("string").as("category"))
+      .where(col("category").isNotNull)
+      .groupBy("category").agg(count(lit(1)).as(as))
+    val w = Window.partitionBy()
+    counts(base, "base_n")
+      .join(counts(current, "cur_n"), Seq("category"), "full_outer")
+      .na.fill(0L, Seq("base_n", "cur_n"))
+      // doubles BEFORE the products: long·long row_total·side_total
+      // overflows 2^63 at ~3e9-row sides; doubles are exact to 2^53
+      // and the report rounds to 6 decimals anyway
+      .withColumn("__rt", (col("base_n") + col("cur_n")).cast("double"))
+      .withColumn("__gt", sum(col("__rt")).over(w))
+      .withColumn("__eb",
+        col("__rt") * sum(col("base_n")).over(w).cast("double") / col("__gt"))
+      .withColumn("__ec",
+        col("__rt") * sum(col("cur_n")).over(w).cast("double") / col("__gt"))
+      .withColumn("__contrib",
+        pow(col("base_n") - col("__eb"), 2) / col("__eb") +
+        pow(col("cur_n") - col("__ec"), 2) / col("__ec"))
+      .select(col("category"), col("base_n"), col("cur_n"),
+        round(col("__eb"), 6).as("exp_base"),
+        round(col("__contrib"), 6).as("contrib"),
+        round(sum(col("__contrib")).over(w), 6).as("chi2"),
+        (count(lit(1)).over(w) - 1).cast("bigint").as("dof"))
+      .orderBy("category")
+  }
+
+  /** DuckDB oracle for [[chiSquare]] over `events.event_type` split at
+    * day-of-month `dayCutoff` (base ≤ cutoff < current) — generated
+    * beside the engine so the two can't drift. */
+  def chiSquareOracleSql(dayCutoff: Int): String = {
+    s"""WITH bb AS (SELECT event_type AS category, COUNT(*) AS base_n
+       |  FROM events WHERE day(ts) <= $dayCutoff
+       |    AND event_type IS NOT NULL GROUP BY 1),
+       |cb AS (SELECT event_type AS category, COUNT(*) AS cur_n
+       |  FROM events WHERE day(ts) > $dayCutoff
+       |    AND event_type IS NOT NULL GROUP BY 1),
+       |j AS (SELECT COALESCE(bb.category, cb.category) AS category,
+       |    COALESCE(bb.base_n, 0) AS base_n,
+       |    COALESCE(cb.cur_n, 0) AS cur_n
+       |  FROM bb FULL OUTER JOIN cb ON bb.category = cb.category),
+       |p AS (SELECT category, base_n, cur_n,
+       |    CAST(base_n + cur_n AS DOUBLE) AS rt,
+       |    CAST(SUM(base_n + cur_n) OVER () AS DOUBLE) AS gt,
+       |    CAST(SUM(base_n) OVER () AS DOUBLE) AS bt,
+       |    CAST(SUM(cur_n) OVER () AS DOUBLE) AS ct
+       |  FROM j),
+       |q AS (SELECT category, base_n, cur_n,
+       |    rt * bt / gt AS eb, rt * ct / gt AS ec FROM p),
+       |r AS (SELECT category, base_n, cur_n, eb,
+       |    POW(base_n - eb, 2) / eb + POW(cur_n - ec, 2) / ec AS contrib
+       |  FROM q)
+       |SELECT category, CAST(base_n AS BIGINT) AS base_n,
+       |  CAST(cur_n AS BIGINT) AS cur_n,
+       |  ROUND(eb, 6) AS exp_base, ROUND(contrib, 6) AS contrib,
+       |  ROUND(SUM(contrib) OVER (), 6) AS chi2,
+       |  CAST(COUNT(*) OVER () - 1 AS BIGINT) AS dof
+       |FROM r ORDER BY category""".stripMargin
+  }
 }

@@ -31,6 +31,28 @@ class DriftSpec extends AnyFunSuite {
     assert(got(0L) == expect && got(1L) == expect)
   }
 
+  test("chi-square: hand-computed 2x2 case; identical mixes score 0") {
+    // base: 30 a / 10 b; cur: 10 a / 30 b. Totals: rt_a=40, rt_b=40,
+    // gt=80, side totals 40/40 → every E = 20; contrib per category =
+    // (30-20)^2/20 + (10-20)^2/20 = 10; chi2 = 20, dof = 1.
+    val base = (Seq.fill(30)("a") ++ Seq.fill(10)("b")).toDF("c")
+    val cur = (Seq.fill(10)("a") ++ Seq.fill(30)("b")).toDF("c")
+    val got = Drift.chiSquare(base, cur, "c")
+      .select("category", "base_n", "exp_base", "contrib", "chi2", "dof")
+      .as[(String, Long, Double, Double, Double, Long)].collect()
+    assert(got.toSeq == Seq(("a", 30L, 20.0, 10.0, 20.0, 1L),
+      ("b", 10L, 20.0, 10.0, 20.0, 1L)))
+    // same mix on both sides → statistic exactly 0
+    val same = Drift.chiSquare(base, base, "c")
+      .select("chi2").as[Double].collect()
+    assert(same.forall(_ == 0.0))
+    // category present on only one side is kept with a 0 count, not NaN
+    val lop = Drift.chiSquare(base, Seq("z").toDF("c"), "c")
+      .select("category", "contrib").as[(String, Double)].collect().toMap
+    assert(lop.keySet == Set("a", "b", "z") &&
+      lop.values.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
   test("transition matrix: strict per-user ordering with tie-break, probs sum to 1") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val events = Seq(
