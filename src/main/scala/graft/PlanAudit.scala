@@ -55,7 +55,10 @@ object PlanAudit {
     "q190_join_cardinality",
     // DSIR: distribution totals and the top-k threshold are 1-row
     // broadcast stat factors
-    "q153_dsir_select")
+    "q153_dsir_select",
+    // ROC curve: the (P, N) class totals are a 1-row broadcast stat
+    // factor into the bounded distinct-score table (the KS shape)
+    "q205_roc_curve")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

@@ -43,6 +43,80 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- Concat-and-chunk packing audit: which docs get split at a
+    //      512-token sequence boundary, per source. Two-phase
+    //      distributed prefix sum (bucket subtotals → tiny cumulative
+    //      → per-bucket windows) — never a single-task global window ----
+    "q201_sequence_pack" -> ((s, dir) =>
+      graft.operators.SequencePack.crossingReport(
+        t(s, dir, "documents"), seqLen = 512)),
+
+    // ---- ROC AUC of the quality score as an English detector:
+    //      corpus work is ONE grouped agg to the distinct-score
+    //      table; Mann–Whitney with tied-pair correction over that
+    //      bounded table — never a corpus-wide rank window ----
+    "q202_quality_auc" -> ((s, dir) =>
+      graft.operators.ClassifierEval.aucSummary(
+        t(s, dir, "documents").select(
+          TextFunctions.qualityScore(col("text")).as("score"),
+          (col("lang") === "en").as("label")),
+        "score", "label")),
+
+    // ---- Per-node triangles + clustering coefficient of the nav
+    //      graph: degree-ordered orientation (compact-forward) keeps
+    //      the wedge join arboricity-bounded instead of hub-quadratic ----
+    "q203_triangles" -> ((s, dir) =>
+      graft.operators.Triangles.navigationTriangles(t(s, dir, "events"))),
+
+    // ---- Per-source compression profile: DEFLATE ratio (native
+    //      codegen'd expression, thread-local Deflater) beside byte
+    //      entropy — the phrase-repetition quality signal entropy
+    //      can't see. Map-only scan + one grouped agg; no SQL
+    //      compressor in DuckDB ⇒ rows-only, DeflateRatioSpec pins
+    //      the math against java.util.zip directly ----
+    "q204_compress_profile" -> ((s, dir) => {
+      val r = graft.functions.DeflateRatio.deflateRatio(col("text"))
+      val e = graft.functions.ByteEntropy.byteEntropy(col("text"))
+      t(s, dir, "documents")
+        .select(col("source"), r.as("__r"), e.as("__e"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("__r")), 4).as("mean_ratio"),
+          round(avg(col("__e")), 4).as("mean_entropy"),
+          sum(when(col("__r") < 0.3, 1L).otherwise(0L))
+            .as("n_repetitive"),
+          sum(when(col("__r") >= 1.0, 1L).otherwise(0L))
+            .as("n_incompressible"))
+        .orderBy("source")
+    }),
+
+    // ---- Per-source token-mass Gini: ONE grouped agg to the
+    //      (source × n_tokens) histogram, rank identity evaluated
+    //      group-wise over that bounded table — bit-identical to the
+    //      oracle's global sort without ever ranking the corpus ----
+    "q206_token_gini" -> ((s, dir) =>
+      graft.operators.Concentration.tokenGiniBySource(
+        t(s, dir, "documents"))),
+
+    // ---- FFD no-split packing summary: per-bucket first-fit-
+    //      decreasing inside flatMapGroups (token COUNTS shuffle,
+    //      never text); greedy order not SQL-expressible ⇒ rows-only,
+    //      capacity/efficiency invariants in SequencePackSpec ----
+    "q207_pack_ffd" -> ((s, dir) =>
+      graft.operators.SequencePack.ffdSummary(
+        t(s, dir, "documents"), seqLen = 512)),
+
+    // ---- Full ROC curve at distinct-score resolution (the table a
+    //      threshold chooser plots): same two-agg dataflow as q202,
+    //      cumulative TP/FP over the bounded score table ----
+    "q205_roc_curve" -> ((s, dir) =>
+      graft.operators.ClassifierEval.rocCurve(
+        t(s, dir, "documents").select(
+          TextFunctions.qualityScore(col("text")).as("score"),
+          (col("lang") === "en").as("label")),
+        "score", "label")),
+
     // ---- Deterministic weighted label propagation (Raghavan '07):
     //      page communities of the navigation graph. Pregel-shaped —
     //      edges partitioned once, only the |nodes|-row label table
@@ -2500,6 +2574,129 @@ object SparkEntry {
 
   /** DuckDB oracle SQL per query (same tables, same column names). */
   def oracleSql: Map[String, String] = Map(
+
+    "q201_sequence_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(str_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM d),
+        |c AS (
+        |  SELECT source, n_tokens,
+        |    CASE WHEN (off + CASE WHEN n_tokens > 0 THEN n_tokens - 1
+        |                    ELSE 0 END) // 512 > off // 512
+        |         THEN 1 ELSE 0 END AS crosses
+        |  FROM o)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(crosses) AS BIGINT) AS n_crossing,
+        |  ROUND(AVG(CAST(n_tokens AS DOUBLE)), 4) AS mean_tokens,
+        |  ROUND(CAST(SUM(crosses) AS DOUBLE) / COUNT(*), 6) AS crossing_frac
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "q202_quality_auc" ->
+      """WITH t AS (
+        |  SELECT str_split_regex(trim(text), '\s+') AS toks, lang
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang,
+        |    CAST(len(toks) AS DOUBLE) AS n,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |      AS sumlen,
+        |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+        |      ('the','a','of','and','to','in','is','on',
+        |       'der','die','das','und','ist','nicht','ein','zu',
+        |       'el','la','de','que','y','en','un','es',
+        |       'le','et','les','des','est','une') THEN 1 ELSE 0 END))
+        |      AS DOUBLE) AS stop_all
+        |  FROM t),
+        |q AS (
+        |  SELECT ROUND(
+        |      LEAST(n / 16.0, 1.0) * 0.4 +
+        |      (CASE WHEN sumlen / n BETWEEN 2.0 AND 9.0
+        |            THEN 1.0 ELSE 0.5 END) * 0.4 +
+        |      LEAST(stop_all / n * 4.0, 1.0) * 0.2, 4) AS score,
+        |    (lang = 'en') AS label
+        |  FROM s),
+        |bys AS (
+        |  SELECT score,
+        |    SUM(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+        |    SUM(CASE WHEN label THEN 0 ELSE 1 END) AS n_neg
+        |  FROM q GROUP BY score),
+        |acc AS (
+        |  SELECT score, n_pos, n_neg,
+        |    COALESCE(SUM(n_neg) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cneg
+        |  FROM bys),
+        |summ AS (
+        |  SELECT
+        |    CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+        |    CAST(COUNT(*) AS BIGINT) AS n_scores,
+        |    ROUND(CASE WHEN SUM(n_pos) = 0 OR SUM(n_neg) = 0 THEN 0.5
+        |      ELSE SUM(n_pos * (CAST(cneg AS DOUBLE) +
+        |                        CAST(n_neg AS DOUBLE) / 2.0)) /
+        |           (CAST(SUM(n_pos) AS DOUBLE) * CAST(SUM(n_neg) AS DOUBLE))
+        |      END, 6) AS auc
+        |  FROM acc)
+        |SELECT n_pos, n_neg, n_scores, auc,
+        |  ROUND(auc * 2.0 - 1.0, 6) AS gini
+        |FROM summ""".stripMargin,
+
+    "q203_triangles" -> graft.operators.Triangles.oracleSql,
+
+    "q206_token_gini" ->
+      graft.operators.Concentration.tokenGiniOracleSql,
+
+    "q205_roc_curve" ->
+      """WITH t AS (
+        |  SELECT str_split_regex(trim(text), '\s+') AS toks, lang
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang,
+        |    CAST(len(toks) AS DOUBLE) AS n,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |      AS sumlen,
+        |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+        |      ('the','a','of','and','to','in','is','on',
+        |       'der','die','das','und','ist','nicht','ein','zu',
+        |       'el','la','de','que','y','en','un','es',
+        |       'le','et','les','des','est','une') THEN 1 ELSE 0 END))
+        |      AS DOUBLE) AS stop_all
+        |  FROM t),
+        |q AS (
+        |  SELECT ROUND(
+        |      LEAST(n / 16.0, 1.0) * 0.4 +
+        |      (CASE WHEN sumlen / n BETWEEN 2.0 AND 9.0
+        |            THEN 1.0 ELSE 0.5 END) * 0.4 +
+        |      LEAST(stop_all / n * 4.0, 1.0) * 0.2, 4) AS score,
+        |    (lang = 'en') AS label
+        |  FROM s),
+        |bys AS (
+        |  SELECT score,
+        |    SUM(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+        |    SUM(CASE WHEN label THEN 0 ELSE 1 END) AS n_neg
+        |  FROM q GROUP BY score),
+        |acc AS (
+        |  SELECT score,
+        |    SUM(n_pos) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |    SUM(n_neg) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+        |  FROM bys),
+        |tot AS (
+        |  SELECT SUM(n_pos) AS p, SUM(n_neg) AS nn FROM bys)
+        |SELECT score,
+        |  ROUND(CAST(tp AS DOUBLE) / (SELECT p FROM tot), 6) AS tpr,
+        |  ROUND(CAST(fp AS DOUBLE) / (SELECT nn FROM tot), 6) AS fpr,
+        |  ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS prec
+        |FROM acc ORDER BY score DESC""".stripMargin,
 
     "q170_label_communities" -> graft.operators.Communities.oracleSql(),
 

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Threshold-free classifier evaluation at corpus scale — ROC AUC via
+  * the Mann–Whitney U identity (AUC = P(score⁺ > score⁻) + ½P(tie)),
+  * the metric every quality-filter / language-ID / toxicity scorer in
+  * a training-data pipeline is judged by before its threshold is
+  * chosen.
+  *
+  * Scale shape — the textbook computation ranks every row by score,
+  * which on Spark is a GLOBAL window (single task; banned here for
+  * the same reason as q128's exact-ntile RFM). The distributed form
+  * exploits that AUC only depends on the score DISTRIBUTION per
+  * class, not on row identity:
+  *   1. one corpus-scale grouped agg to the distinct-score table
+  *      `(score, n_pos, n_neg)` — scores in these pipelines are
+  *      rounded/bucketed (this engine rounds quality to 4 decimals),
+  *      so the table is at most ~10⁴ rows regardless of corpus size;
+  *   2. a window over THAT table accumulates negatives strictly
+  *      below each score; AUC = Σ_s n_pos(s)·(cneg_below(s) +
+  *      ½·n_neg(s)) / (P·N) — the ½ term IS the tied-pair
+  *      correction, identical to average-rank Mann–Whitney.
+  * Continuous scores take the same path after an explicit
+  * `round(score, d)` (a documented resolution choice, not a silent
+  * approximation: with d decimals the bucketing perturbs AUC by at
+  * most the mass of within-bucket pairs).
+  */
+object ClassifierEval {
+
+  /** Distinct-score class-count table: `(score, n_pos, n_neg)`. */
+  private def scoreTable(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame =
+    scored
+      .groupBy(col(scoreCol).cast("double").as("score"))
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("n_neg"))
+
+  /** One-row AUC summary: `(n_pos, n_neg, n_scores, auc, gini)`.
+    * `labelCol` must be boolean; `scoreCol` numeric (already
+    * discretized — round it first if continuous). Gini = 2·AUC − 1,
+    * the rescaling credit-scoring reports use. Returns AUC 0.5 on a
+    * degenerate corpus (single class): no ordering evidence either
+    * way. */
+  def aucSummary(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val byScore = scoreTable(scored, scoreCol, labelCol)
+    // the window runs over the distinct-score table only — bounded,
+    // never corpus-sized; single-partition is correct AND cheap here
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("__cneg", coalesce(sum("n_neg").over(w), lit(0L)))
+      .agg(
+        sum("n_pos").as("n_pos"),
+        sum("n_neg").as("n_neg"),
+        count(lit(1)).as("n_scores"),
+        sum(col("n_pos") * (col("__cneg").cast("double") +
+          col("n_neg").cast("double") / 2.0)).as("__u"))
+      .select(
+        col("n_pos"), col("n_neg"), col("n_scores"),
+        round(when(col("n_pos") === 0 || col("n_neg") === 0, 0.5)
+          .otherwise(col("__u") /
+            (col("n_pos").cast("double") * col("n_neg").cast("double"))),
+          6).as("auc"))
+      .withColumn("gini", round(col("auc") * 2.0 - 1.0, 6))
+  }
+
+  /** ROC curve at score-distribution resolution: one point per
+    * distinct score threshold — `(score, tpr, fpr, prec)` for
+    * the rule "predict positive when score ≥ s", descending-score
+    * order so the curve reads left-to-right from (0,0). Same two-agg
+    * dataflow as [[aucSummary]]; the curve table is what a threshold
+    * chooser actually plots, and its trapezoid sum re-derives AUC
+    * (asserted in the spec). */
+  def rocCurve(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val byScore = scoreTable(scored, scoreCol, labelCol)
+    val wGe = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = byScore.agg(sum("n_pos").as("__p"), sum("n_neg").as("__n"))
+    byScore
+      .withColumn("__tp", sum("n_pos").over(wGe))
+      .withColumn("__fp", sum("n_neg").over(wGe))
+      .crossJoin(broadcast(totals))  // 1-row stat factor, not data-sized
+      .select(
+        col("score"),
+        round(col("__tp").cast("double") / col("__p"), 6).as("tpr"),
+        round(col("__fp").cast("double") / col("__n"), 6).as("fpr"),
+        round(col("__tp").cast("double") /
+          (col("__tp") + col("__fp")).cast("double"), 6).as("prec"))
+      .orderBy(col("score").desc)
+  }
+}

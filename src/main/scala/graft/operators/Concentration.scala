@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.TextFunctions
+
+/** Token-mass concentration per corpus slice — the Gini coefficient of
+  * document token counts within each source, the "is this source a
+  * few giant documents or many small ones" diagnostic that sits beside
+  * the mix-share reports (q82/q167/q168): two sources with the same
+  * TOTAL token mass train very differently when one is 10⁶ uniform
+  * pages and the other is 10² book-sized dumps (packing, dedup and
+  * per-doc loss weighting all feel the skew).
+  *
+  * Scale shape — the textbook Gini ranks every document (corpus-wide
+  * sort → single-task window, banned). Like [[ClassifierEval]]'s AUC,
+  * Gini only depends on the VALUE DISTRIBUTION, so the engine
+  * aggregates to the distinct-(source, n_tokens) histogram first (one
+  * corpus-scale grouped agg; token counts are integers, so the
+  * histogram is bounded by the longest document, not the corpus) and
+  * evaluates the rank identity group-wise over that bounded table:
+  * ascending ranks of a value-group with count c starting after R
+  * rows contribute Σi·x = v·(c·R + c(c+1)/2), which is exact — the
+  * histogram path is bit-identical to the sorted-document definition,
+  * not an approximation.
+  */
+object Concentration {
+
+  /** Per-group Gini over the weighted value histogram `(grp, v, c)`.
+    * G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n with i ranked ascending by v —
+    * the standard population form (0 = uniform, → 1 = one doc holds
+    * all mass). */
+  private def giniOverHistogram(hist: DataFrame): DataFrame = {
+    val w = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("__r", coalesce(sum("c").over(w), lit(0L)))
+      .withColumn("__si",
+        col("v").cast("double") * (col("c") * col("__r") +
+          col("c") * (col("c") + 1L) / lit(2.0)))
+      .groupBy("grp")
+      .agg(
+        sum("c").as("n_docs"),
+        sum(col("v") * col("c")).as("total"),
+        sum("__si").as("__s"))
+      .withColumn("gini",
+        round(
+          when(col("total") === 0, 0.0).otherwise(
+            lit(2.0) * col("__s") /
+              (col("n_docs").cast("double") * col("total").cast("double")) -
+              (col("n_docs") + 1L).cast("double") /
+                col("n_docs").cast("double")), 6))
+      .drop("__s")
+  }
+
+  /** Per-source token-mass report: `(source, n_docs, total, gini)`,
+    * ordered by source. */
+  def tokenGiniBySource(docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val nTok = size(filter(TextFunctions.tokens(col(textCol)),
+      t => t =!= "")).cast("long")
+    giniOverHistogram(
+      docs.select(col("source").as("grp"), nTok.as("v"))
+        .groupBy("grp", "v").agg(count(lit(1)).as("c")))
+      .withColumnRenamed("grp", "source")
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[tokenGiniBySource]] — the sorted-document
+    * definition directly (the oracle can afford the global sort; the
+    * engine's histogram path must match it bit-for-bit). */
+  val tokenGiniOracleSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(str_split_regex(trim(text), '\s+'),
+      |      x -> x <> '')) AS BIGINT) AS v
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, v,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS i
+      |  FROM d)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(v) AS BIGINT) AS total,
+      |  ROUND(CASE WHEN SUM(v) = 0 THEN 0.0 ELSE
+      |    2.0 * SUM(CAST(v AS DOUBLE) * i) /
+      |      (COUNT(*) * CAST(SUM(v) AS DOUBLE)) -
+      |    CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*) END, 6) AS gini
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+}
