@@ -43,6 +43,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- Goh–Barabási burstiness of per-user inter-event gaps by
+    //      event type (bot-vs-human screen: −1 metronome, 0 Poisson,
+    //      +1 burst-and-silence): lag window partitioned per user,
+    //      two moment aggs — never a global window ----
+    "q208_burstiness" -> ((s, dir) =>
+      graft.operators.EventTime.burstiness(t(s, dir, "events"))),
+
     // ---- Concat-and-chunk packing audit: which docs get split at a
     //      512-token sequence boundary, per source. Two-phase
     //      distributed prefix sum (bucket subtotals → tiny cumulative
@@ -2653,6 +2660,9 @@ object SparkEntry {
 
     "q206_token_gini" ->
       graft.operators.Concentration.tokenGiniOracleSql,
+
+    "q208_burstiness" ->
+      graft.operators.EventTime.burstinessOracleSql(),
 
     "q205_roc_curve" ->
       """WITH t AS (

@@ -76,6 +76,83 @@ object EventTime {
 
   /** DuckDB oracle for [[disorderProfile]] — identical bucketing,
     * identical conservative previous-bucket high-water mark. */
+  /** Per-user burstiness of inter-event gaps, aggregated per event
+    * type — the Goh–Barabási burstiness parameter B = (σ−μ)/(σ+μ) of a
+    * user's inter-arrival times (Goh & Barabási, EPL 81, 2008): B→−1
+    * is a metronome (bot-like perfectly regular traffic), B≈0 is a
+    * memoryless Poisson visitor, B→+1 is extreme burst-and-silence
+    * (human sessions). The report is the clickstream bot-vs-human
+    * screen: an event type whose users cluster near −1 is scripted.
+    *
+    * Dataflow: gaps via one `lag` window PARTITIONED by user (parallel
+    * across users, no global window), per-user moment agg, then a
+    * type-cardinality agg of user-level B. Users need ≥ `minEvents`
+    * events (≥ 2 gaps) for a defined σ; population σ (not sample) so
+    * two gaps are enough. */
+  def burstiness(events: DataFrame, minEvents: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .withColumn("__prev", lag(epochSec(col("ts")), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .withColumn("__gap", (epochSec(col("ts")) - col("__prev")).cast("double"))
+    val perUser = gaps
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("__n"),
+        avg("__gap").as("__mu"),
+        // population variance via moments: E[x²] − E[x]²
+        avg(col("__gap") * col("__gap")).as("__m2"))
+      .where(col("__n") >= minEvents - 1)   // n gaps = events − 1
+      .withColumn("__sigma",
+        sqrt(greatest(col("__m2") - col("__mu") * col("__mu"), lit(0.0))))
+      .withColumn("__b",
+        when(col("__sigma") + col("__mu") === 0.0, 0.0)
+          .otherwise((col("__sigma") - col("__mu")) /
+            (col("__sigma") + col("__mu"))))
+    perUser
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_users"),
+        round(avg("__b"), 6).as("mean_burstiness"),
+        round(min("__b"), 6).as("min_burstiness"),
+        round(max("__b"), 6).as("max_burstiness"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[burstiness]] — same windows, same population
+    * moments. */
+  def burstinessOracleSql(minEvents: Int = 5): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, ts, event_id,
+       |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS es
+       |  FROM events),
+       |g AS (
+       |  SELECT user_id, event_type,
+       |    es - LAG(es) OVER (
+       |        PARTITION BY user_id, event_type
+       |        ORDER BY ts, event_id) AS gap
+       |  FROM e),
+       |pu AS (
+       |  SELECT user_id, event_type,
+       |    COUNT(*) AS n,
+       |    AVG(CAST(gap AS DOUBLE)) AS mu,
+       |    AVG(CAST(gap AS DOUBLE) * CAST(gap AS DOUBLE)) AS m2
+       |  FROM g WHERE gap IS NOT NULL
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= ${minEvents - 1}),
+       |b AS (
+       |  SELECT event_type,
+       |    CASE WHEN sqrt(GREATEST(m2 - mu * mu, 0.0)) + mu = 0.0 THEN 0.0
+       |      ELSE (sqrt(GREATEST(m2 - mu * mu, 0.0)) - mu) /
+       |           (sqrt(GREATEST(m2 - mu * mu, 0.0)) + mu) END AS bb
+       |  FROM pu)
+       |SELECT event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_users,
+       |  ROUND(AVG(bb), 6) AS mean_burstiness,
+       |  ROUND(MIN(bb), 6) AS min_burstiness,
+       |  ROUND(MAX(bb), 6) AS max_burstiness
+       |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def oracleSql(bucketSize: Long = 1000L): String =
     s"""WITH base AS (
        |  SELECT event_type,

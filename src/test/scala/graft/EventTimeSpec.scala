@@ -69,4 +69,49 @@ class EventTimeSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getAs[Long]("max_late_s")).toMap
     assert(m == Map("a" -> 0L, "b" -> 60L), s"got $m")
   }
+
+  private def userEvents(rows: (Long, Long, Long, String)*) =
+    rows.toDF("event_id", "user_id", "ts_s", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+
+  test("burstiness: a metronome user scores −1 exactly") {
+    // constant 10 s gaps → σ = 0, B = (0 − 10)/(0 + 10) = −1
+    val ev = userEvents((0 until 8).map(i =>
+      (i.toLong, 1L, 100L + 10L * i, "click")): _*)
+    val r = EventTime.burstiness(ev, minEvents = 5).collect()(0)
+    assert(r.getAs[Long]("n_users") == 1L)
+    assert(r.getAs[Double]("mean_burstiness") == -1.0)
+  }
+
+  test("burstiness: burst-and-silence scores high; hand-computed moments") {
+    // gaps 1,1,1,1,1000: μ = 200.8, E[x²] = 200000.8,
+    // σ = sqrt(E[x²] − μ²) — population moments, matching the engine
+    val times = Seq(0L, 1L, 2L, 3L, 4L, 1004L)
+    val ev = userEvents(times.zipWithIndex.map { case (t, i) =>
+      (i.toLong, 7L, t, "view") }: _*)
+    val gaps = times.sliding(2).map { case Seq(a, b) => (b - a).toDouble }.toSeq
+    val mu = gaps.sum / gaps.size
+    val m2 = gaps.map(g => g * g).sum / gaps.size
+    val sd = math.sqrt(m2 - mu * mu)
+    val expect = BigDecimal((sd - mu) / (sd + mu))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = EventTime.burstiness(ev, minEvents = 5).collect()(0)
+    assert(r.getAs[Double]("mean_burstiness") == expect)
+    // the finite-size ceiling for 5 gaps is (√4−1)/(√4+1) = 1/3
+    // (one giant gap among n is the burstiest a 5-gap series can be);
+    // the series should sit essentially at it
+    assert(expect > 0.33)
+  }
+
+  test("burstiness: users below minEvents are excluded; types independent") {
+    val ev = userEvents(
+      // user 1: 6 'a' events (kept); user 2: 3 'a' events (dropped);
+      // user 1 also has 2 'b' events (dropped for b)
+      (0 until 6).map(i => (i.toLong, 1L, 10L * i, "a")) ++
+        Seq((10L, 2L, 0L, "a"), (11L, 2L, 5L, "a"), (12L, 2L, 9L, "a"),
+          (20L, 1L, 0L, "b"), (21L, 1L, 50L, "b")): _*)
+    val got = EventTime.burstiness(ev, minEvents = 5).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    assert(got == Map("a" -> 1L))
+  }
 }
