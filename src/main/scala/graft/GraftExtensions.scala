@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ByteEntropy, FloatVectorDot, HyperplaneSignature,
-  JaccardSimilarity, MinHashSignature, PqAdc, RollingMinHash, ShingleHashes,
-  SimHash64}
+import graft.functions.{ByteEntropy, DeflateRatio, FloatVectorDot,
+  HyperplaneSignature, JaccardSimilarity, MinHashSignature, PqAdc,
+  RollingMinHash, ShingleHashes, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Install with
@@ -77,6 +77,10 @@ object GraftExtensions {
       fn("byte_entropy", classOf[ByteEntropy]) { children =>
         require(children.length == 1, "byte_entropy(text)")
         ByteEntropy(children.head)
+      },
+      fn("deflate_ratio", classOf[DeflateRatio]) { children =>
+        require(children.length == 1, "deflate_ratio(text)")
+        DeflateRatio(children.head)
       },
       fn("unicode_normalize",
           classOf[graft.functions.UnicodeNormalize]) { children =>

@@ -276,6 +276,32 @@ object ScaleProbe {
         graft.operators.Drift.ksReport(
           lens.where(col("h")).select("v"),
           lens.where(!col("h")).select("v"), "v", Some(8.0)).count()
+      },
+      // two-phase prefix sum: bucket count grows ×N but stays a tiny
+      // broadcast table; the per-bucket windows are the linear stage
+      "sequence_pack" -> (d =>
+        graft.operators.SequencePack.packCoords(d, 512).count()),
+      // per-bucket FFD in flatMapGroups over (id, count) pairs only
+      "pack_ffd" -> (d =>
+        graft.operators.SequencePack.ffdAssignments(d, 512).count()),
+      // histogram-path Gini: corpus work is one grouped agg, the rank
+      // window runs over distinct (source, n_tokens) cells
+      "token_gini" -> (d =>
+        graft.operators.Concentration.tokenGiniBySource(
+          d.withColumn("source",
+            concat(lit("s"), (col("doc_id") % 20)))).count()),
+      // AUC over the distinct-score table; corpus work = score pass
+      "quality_auc" -> (d =>
+        graft.operators.ClassifierEval.aucSummary(
+          d.select(
+            graft.functions.TextFunctions.qualityScore(col("text"))
+              .as("score"),
+            (col("doc_id") % 2 === 0).as("label")),
+          "score", "label").count()),
+      // native codegen'd DEFLATE pass, map-only
+      "deflate_ratio" -> { d =>
+        d.select(graft.functions.DeflateRatio.deflateRatio(col("text"))
+          .as("r")).agg(count("r")).collect()(0).getLong(0)
       })
 
     // ---- embedding-input operators: amplified by cyclic coordinate
@@ -348,7 +374,7 @@ object ScaleProbe {
     // lengths (the window/state unit) stay fixed while user count
     // scales, the linear direction these operators must absorb ----
     val evBase = graft.io.Sources.table(spark, sfDir, "events")
-      .select("event_id", "user_id", "ts", "event_type", "value")
+      .select("event_id", "user_id", "ts", "event_type", "value", "props")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evUserShift = evBase.agg(max("user_id")).collect()(0).getLong(0) + 1L
     val evIdShift = evBase.agg(max("event_id")).collect()(0).getLong(0) + 1L
@@ -356,7 +382,7 @@ object ScaleProbe {
       evBase.select(
         (col("event_id") + lit(i * evIdShift)).as("event_id"),
         (col("user_id") + lit(i * evUserShift)).as("user_id"),
-        col("ts"), col("event_type"), col("value"))
+        col("ts"), col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     evBig.count()
@@ -403,7 +429,17 @@ object ScaleProbe {
       "bloom_reduce" -> (d => graft.operators.RuntimeFilter
         .bloomFiltered(d, "user_id",
           evBase.filter(col("user_id") % 5 === 0), "user_id")
-        .count()))
+        .count()),
+      // per-user lag window + two moment aggs; disjoint amplified
+      // users keep window partitions constant-size, so ideal is ~N
+      "burstiness" -> (d =>
+        graft.operators.EventTime.burstiness(d).count()),
+      // amplified users replay the SAME ~100-page graph, so edge
+      // extraction (the corpus-scale stage) grows ×N while the graph
+      // joins stay constant — the honest 100 TB shape: graph-sized
+      // downstream work, corpus-sized only in the first shuffle
+      "triangles" -> (d =>
+        graft.operators.Triangles.navigationTriangles(d).count()))
 
     (ops.map(o => (o._1, o._2, base, big)) ++
       embOps.map(o => (o._1, o._2, embBase, embBig)) ++

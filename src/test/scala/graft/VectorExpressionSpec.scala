@@ -86,6 +86,13 @@ class VectorExpressionSpec extends AnyFunSuite {
       .collect()(0).getDouble(0) == 0.0)
     assert(spark.sql("SELECT byte_entropy('aaaa') AS h")
       .collect()(0).getDouble(0) == 0.0)
+    // deflate_ratio via SQL matches the column API on the same input
+    val drSql = spark.sql("SELECT deflate_ratio('abab abab abab abab') AS r")
+      .collect()(0).getDouble(0)
+    val drCol = Seq("abab abab abab abab").toDF("t")
+      .select(graft.functions.DeflateRatio.deflateRatio(col("t")))
+      .collect()(0).getDouble(0)
+    assert(drSql == drCol && drSql < 1.0)
     // config args must be literals
     intercept[Exception] {
       spark.sql("SELECT shingle_hashes(array('a'), CAST(rand()*2 AS INT))").collect()
