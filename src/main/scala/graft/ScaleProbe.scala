@@ -302,7 +302,12 @@ object ScaleProbe {
       "deflate_ratio" -> { d =>
         d.select(graft.functions.DeflateRatio.deflateRatio(col("text"))
           .as("r")).agg(count("r")).collect()(0).getLong(0)
-      })
+      },
+      // disjoint amplified shingle spaces keep posting lists constant
+      // per copy, so the prefix-filter join grows with the corpus,
+      // not quadratically in it
+      "allpairs_join" -> (d =>
+        graft.operators.AllPairsJoin.jaccardJoin(d, 0.5).count()))
 
     // ---- embedding-input operators: amplified by cyclic coordinate
     // rotation per copy — rotations of distinct 64-dim vectors are

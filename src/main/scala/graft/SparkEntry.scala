@@ -43,6 +43,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- EXACT corpus-wide similarity self-join (All-Pairs/PPJoin):
+    //      df-ordered prefix filter indexes only each doc's rarest
+    //      shingles, so candidate generation joins postcard-sized
+    //      posting lists — no LSH recall loss, no bounded slice ----
+    "q209_allpairs_join" -> ((s, dir) =>
+      graft.operators.AllPairsJoin.jaccardJoin(
+        t(s, dir, "documents"), threshold = 0.5)),
+
     // ---- Goh–Barabási burstiness of per-user inter-event gaps by
     //      event type (bot-vs-human screen: −1 metronome, 0 Poisson,
     //      +1 burst-and-silence): lag window partitioned per user,
@@ -2663,6 +2671,9 @@ object SparkEntry {
 
     "q208_burstiness" ->
       graft.operators.EventTime.burstinessOracleSql(),
+
+    "q209_allpairs_join" ->
+      graft.operators.AllPairsJoin.oracleSql(0.5),
 
     "q205_roc_curve" ->
       """WITH t AS (

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{JaccardSimilarity, ShingleHashes, TextFunctions}
+
+/** EXACT corpus-wide set-similarity self-join via prefix filtering —
+  * every document pair whose k-shingle Jaccard meets a threshold, with
+  * no candidate loss. This is the All-Pairs / PPJoin family (Bayardo,
+  * Ma & Srikant, WWW '07; Xiao et al., WWW '08), the exact counterpart
+  * to the engine's probabilistic tier: MinHash-LSH (q17/q45) trades
+  * recall for speed, the bounded verify (q19) trades corpus coverage;
+  * this operator keeps both, paying only the prefix-inverted-index
+  * join.
+  *
+  * Why it scales — the naive all-pairs join is |D|²; a full inverted
+  * index over shingles is Σ df(g)² (quadratic in hot-shingle document
+  * frequency). Prefix filtering cuts both: order every document's
+  * shingle set by ascending global document frequency (rarest first)
+  * and index only each document's first n − ⌈t·n⌉ + 1 shingles. Two
+  * sets with Jaccard ≥ t must overlap within these prefixes
+  * (pigeonhole: missing the whole prefix leaves fewer than ⌈t·n⌉
+  * shared elements), so candidate generation joins on the RAREST
+  * shingles — exactly the ones with postcard-sized posting lists —
+  * while frequent boilerplate shingles (the hot keys that blow up a
+  * plain inverted index) sit deep in the suffix and are never joined
+  * on. A length filter (t·|a| ≤ |b| ≤ |a|/t) prunes the survivors
+  * before verification.
+  *
+  * Dataflow: one corpus-scale grouped count for shingle df, one
+  * per-document window (partitioned by doc — parallel, doc-sized), an
+  * equi-join on prefix-shingle hashes, then exact verification with
+  * the native sorted-merge [[JaccardSimilarity]] over the hashed sets
+  * (hashes travel, never shingle text). Everything shuffles longs.
+  */
+object AllPairsJoin {
+
+  /** All pairs `(id_a, id_b, jaccard)` with `jaccard ≥ threshold`,
+    * id_a < id_b, over distinct word k-shingle sets (hashed). Docs
+    * with no k-shingle (fewer than k tokens) never pair. */
+  def jaccardJoin(docs: DataFrame, threshold: Double, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold in (0, 1], got $threshold")
+    val grams = docs
+      .select(col(idCol).as("id"),
+        array_distinct(ShingleHashes.shingleHashes(
+          TextFunctions.tokens(col(textCol)), k)).as("g"))
+      .where(size(col("g")) > 0)
+      .select(col("id"), col("g"), size(col("g")).cast("long").as("n"))
+
+    val exploded = grams.select(col("id"), col("n"),
+      explode(col("g")).as("h"))
+    val dfreq = exploded.groupBy("h").agg(count(lit(1)).as("dfreq"))
+
+    // rank each doc's shingles rarest-first; keep the pigeonhole prefix
+    val w = Window.partitionBy("id").orderBy(col("dfreq"), col("h"))
+    val prefixLen = col("n") - ceil(col("n") * threshold).cast("long") + 1L
+    val prefix = exploded
+      .join(dfreq, "h")
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= prefixLen)
+      .select(col("id"), col("n"), col("h"))
+
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          // length filter: |b| within [t·|a|, |a|/t] is necessary for
+          // jaccard ≥ t whichever side is larger
+          col("b.n") >= ceil(col("a.n") * threshold) &&
+          col("b.n") <= floor(col("a.n") / threshold))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    cand
+      .join(grams.select(col("id").as("id_a"), col("g").as("__ga")), "id_a")
+      .join(grams.select(col("id").as("id_b"), col("g").as("__gb")), "id_b")
+      .withColumn("jaccard",
+        JaccardSimilarity.jaccardSim(col("__ga"), col("__gb")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB oracle: brute-force inverted-index intersection counts on
+    * the STRING shingles (the oracle can afford it; the engine's
+    * prefix filter must lose nothing against it). Same shingle
+    * definition as q19's oracle. */
+  def oracleSql(threshold: Double, k: Int = 3): String = {
+    require(k == 3, "oracle mirrors the k=3 shingle CTE")
+    s"""WITH d AS (
+       |  SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+       |  FROM d WHERE len(toks) >= 3),
+       |e AS (SELECT doc_id, UNNEST(sh) AS g FROM s),
+       |sizes AS (SELECT doc_id, len(sh) AS n FROM s),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT id_a, id_b,
+       |    CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
+       |  FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b)
+       |SELECT id_a, id_b, ROUND(jac, 4) AS jaccard
+       |FROM j WHERE jac >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+}
