@@ -43,6 +43,29 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- Streaming separability monitor: per-batch AUC of the
+    //      quality scorer vs a pinned validated snapshot's AUC —
+    //      catches scorer decay that PSI/KS/mix monitors can't see.
+    //      Single AvailableNow batch ⇒ fully oracled (q110's trick);
+    //      replay idempotence + multi-batch pinned in DriftMonitorSpec ----
+    "q210_stream_auc" -> ((s, dir) => {
+      import graft.lake.TableLog
+      val root = java.nio.file.Files.createTempDirectory("graft_q210")
+      val score: DataFrame => DataFrame = d => d.select(
+        col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("score"),
+        (col("lang") === "en").as("label"))
+      val baseline = root.resolve("baseline").toString
+      TableLog.commitOverwrite(s, baseline,
+        score(t(s, dir, "documents"))
+          .filter(col("doc_id") % 2 === 0).select("score", "label"))
+      graft.streaming.DriftMonitor.monitorAuc(s, dir, "documents.parquet",
+        score, baseline, 1, root.resolve("report").toString,
+        "score", "label", root.resolve("ckpt").toString)
+      TableLog.read(s, root.resolve("report").toString)
+        .orderBy("batch_id")
+    }),
+
     // ---- EXACT corpus-wide similarity self-join (All-Pairs/PPJoin):
     //      df-ordered prefix filter indexes only each doc's rarest
     //      shingles, so candidate generation joins postcard-sized
@@ -2674,6 +2697,76 @@ object SparkEntry {
 
     "q209_allpairs_join" ->
       graft.operators.AllPairsJoin.oracleSql(0.5),
+
+    "q210_stream_auc" ->
+      """WITH t AS (
+        |  SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks, lang
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(toks) AS DOUBLE) AS n,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |      AS sumlen,
+        |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+        |      ('the','a','of','and','to','in','is','on',
+        |       'der','die','das','und','ist','nicht','ein','zu',
+        |       'el','la','de','que','y','en','un','es',
+        |       'le','et','les','des','est','une') THEN 1 ELSE 0 END))
+        |      AS DOUBLE) AS stop_all
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, ROUND(
+        |      LEAST(n / 16.0, 1.0) * 0.4 +
+        |      (CASE WHEN sumlen / n BETWEEN 2.0 AND 9.0
+        |            THEN 1.0 ELSE 0.5 END) * 0.4 +
+        |      LEAST(stop_all / n * 4.0, 1.0) * 0.2, 4) AS score,
+        |    (lang = 'en') AS label
+        |  FROM s),
+        |bys AS (
+        |  SELECT score,
+        |    SUM(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+        |    SUM(CASE WHEN label THEN 0 ELSE 1 END) AS n_neg
+        |  FROM q GROUP BY score),
+        |acc AS (
+        |  SELECT score, n_pos, n_neg,
+        |    COALESCE(SUM(n_neg) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cneg
+        |  FROM bys),
+        |summ AS (
+        |  SELECT
+        |    CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+        |    CAST(COUNT(*) AS BIGINT) AS n_scores,
+        |    ROUND(CASE WHEN SUM(n_pos) = 0 OR SUM(n_neg) = 0 THEN 0.5
+        |      ELSE SUM(n_pos * (CAST(cneg AS DOUBLE) +
+        |                        CAST(n_neg AS DOUBLE) / 2.0)) /
+        |           (CAST(SUM(n_pos) AS DOUBLE) * CAST(SUM(n_neg) AS DOUBLE))
+        |      END, 6) AS auc
+        |  FROM acc),
+        |bysb AS (
+        |  SELECT score,
+        |    SUM(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+        |    SUM(CASE WHEN label THEN 0 ELSE 1 END) AS n_neg
+        |  FROM q WHERE doc_id % 2 = 0 GROUP BY score),
+        |accb AS (
+        |  SELECT score, n_pos, n_neg,
+        |    COALESCE(SUM(n_neg) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cneg
+        |  FROM bysb),
+        |summb AS (
+        |  SELECT
+        |    ROUND(CASE WHEN SUM(n_pos) = 0 OR SUM(n_neg) = 0 THEN 0.5
+        |      ELSE SUM(n_pos * (CAST(cneg AS DOUBLE) +
+        |                        CAST(n_neg AS DOUBLE) / 2.0)) /
+        |           (CAST(SUM(n_pos) AS DOUBLE) * CAST(SUM(n_neg) AS DOUBLE))
+        |      END, 6) AS base_auc
+        |  FROM accb)
+        |SELECT summ.n_pos, summ.n_neg, summ.n_scores, summ.auc,
+        |  ROUND(summ.auc * 2.0 - 1.0, 6) AS gini,
+        |  summb.base_auc,
+        |  ROUND(summ.auc - summb.base_auc, 6) AS delta,
+        |  CAST(0 AS BIGINT) AS batch_id
+        |FROM summ, summb""".stripMargin,
 
     "q205_roc_curve" ->
       """WITH t AS (

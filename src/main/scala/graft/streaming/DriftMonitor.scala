@@ -145,6 +145,66 @@ object DriftMonitor {
     q.awaitTermination()
   }
 
+  // ---- separability variant: same monitoring contract, the report
+  // is one [[graft.operators.ClassifierEval.aucSummary]] row per
+  // batch beside the pinned baseline's AUC — what a quality-scorer
+  // owner watches ("is the score still SEPARATING the classes it was
+  // validated on, or has the feed drifted under it"). AUC can decay
+  // while every marginal distribution looks stable, which is exactly
+  // the failure PSI/KS/mix monitors cannot see. Per batch: one
+  // grouped agg to the distinct-score table each side, nothing
+  // stateful. ----
+
+  private def aucAction(batchId: Long) = s"auc-$batchId"
+
+  /** One batch's separability report, replay-safe (0 rows on a
+    * fully-replayed batch). `scoredBatch` and the baseline table both
+    * carry `scoreCol` (discretized numeric) and boolean `labelCol`;
+    * the report row is the batch AUC summary plus the pinned
+    * baseline's AUC and the delta. */
+  private[graft] def reportAucOnce(spark: SparkSession,
+      scoredBatch: DataFrame, baselinePath: String, baselineVersion: Int,
+      reportPath: String, scoreCol: String, labelCol: String,
+      batchId: Long): Long = {
+    val act = aucAction(batchId)
+    val hist = TableLog.history(spark, reportPath)
+    if (hist.exists(_.action == act)) return 0L
+    val baseline = TableLog.read(spark, baselinePath, Some(baselineVersion))
+    val baseAuc = graft.operators.ClassifierEval
+      .aucSummary(baseline, scoreCol, labelCol)
+      .select(col("auc").as("base_auc"))
+    val report = graft.operators.ClassifierEval
+      .aucSummary(scoredBatch, scoreCol, labelCol)
+      .crossJoin(broadcast(baseAuc))   // 1-row × 1-row stat factor
+      .withColumn("delta", round(col("auc") - col("base_auc"), 6))
+      .withColumn("batch_id", lit(batchId))
+    val prevDirs = hist.lastOption.map(_.dirs.toSet).getOrElse(Set.empty[String])
+    val c = TableLog.commitAppend(spark, reportPath, report, act)
+    TableLog.newDirRows(c, prevDirs).getOrElse(report.count())
+  }
+
+  /** Streaming separability monitor over a parquet stream: `score`
+    * derives (scoreCol, labelCol) from each raw batch (the scorer
+    * under watch); same trigger/replay contract as [[monitor]]. */
+  def monitorAuc(spark: SparkSession, sourceDir: String, glob: String,
+      score: DataFrame => DataFrame,
+      baselinePath: String, baselineVersion: Int, reportPath: String,
+      scoreCol: String, labelCol: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val ss = Streams.streamSession(spark)
+    val q = Streams.parquetStream(ss, sourceDir, glob, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        reportAucOnce(batch.sparkSession, score(batch), baselinePath,
+          baselineVersion, reportPath, scoreCol, labelCol, batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming embedding-drift monitor over a parquet vector stream;
     * same trigger/replay contract as [[monitor]]. */
   def monitorEmbeddings(spark: SparkSession, sourceDir: String,

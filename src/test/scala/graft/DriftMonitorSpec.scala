@@ -136,4 +136,40 @@ class DriftMonitorSpec extends AnyFunSuite {
       report, "cat", batchId = 5L) == 0L)
     assert(TableLog.latestVersion(spark, report) == v1)
   }
+
+  test("auc monitor: batch report equals the batch operator; decay shows as delta") {
+    val root = Files.createTempDirectory("graft_aucmon")
+    val baseline = root.resolve("baseline").toString
+    // validated snapshot: perfectly separated → base_auc = 1.0
+    TableLog.commitOverwrite(spark, baseline,
+      Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))
+        .toDF("score", "label"))
+    val report = root.resolve("report").toString
+    // drifted batch: positives fell into the negative score range
+    val batch = Seq((0.9, true), (0.2, true), (0.2, false), (0.1, false))
+      .toDF("score", "label")
+    val n1 = DriftMonitor.reportAucOnce(spark, batch, baseline, 1,
+      report, "score", "label", batchId = 2L)
+    assert(n1 == 1L)
+    val got = TableLog.read(spark, report)
+      .select("auc", "base_auc", "delta", "batch_id")
+      .as[(Double, Double, Double, Long)].collect().head
+    val direct = graft.operators.ClassifierEval
+      .aucSummary(batch, "score", "label")
+      .select("auc").as[Double].collect().head
+    assert(got._1 == direct && got._2 == 1.0)
+    assert(got._3 == BigDecimal(direct - 1.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got._4 == 2L && got._3 < 0.0)   // decay is visible
+    // replay of the same batch id is a no-op commit-wise
+    val v1 = TableLog.latestVersion(spark, report)
+    assert(DriftMonitor.reportAucOnce(spark, batch, baseline, 1,
+      report, "score", "label", batchId = 2L) == 0L)
+    assert(TableLog.latestVersion(spark, report) == v1)
+    // a second batch appends a second report row
+    assert(DriftMonitor.reportAucOnce(spark,
+      Seq((0.7, true), (0.3, false)).toDF("score", "label"),
+      baseline, 1, report, "score", "label", batchId = 3L) == 1L)
+    assert(TableLog.read(spark, report).count() == 2L)
+  }
 }
