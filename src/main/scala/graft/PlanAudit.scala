@@ -58,7 +58,11 @@ object PlanAudit {
     "q153_dsir_select",
     // ROC curve: the (P, N) class totals are a 1-row broadcast stat
     // factor into the bounded distinct-score table (the KS shape)
-    "q205_roc_curve")
+    "q205_roc_curve",
+    // ACF: series mean/denominator are 1-row broadcast stat factors
+    // and the lag spine is a maxLag-row broadcast cross into the
+    // day-cardinality table
+    "q213_daily_acf")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

@@ -43,6 +43,28 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- Functional-dependency discovery over the profiled order
+    //      columns: A→B ⇔ |distinct A| = |distinct (A,B)|, ONE
+    //      multi-distinct agg pass (approx=true swaps HLL sketches at
+    //      scale); p·(p−1) output rows whatever the corpus ----
+    "q211_fd_discovery" -> ((s, dir) =>
+      graft.quality.Dependencies.fdReport(
+        t(s, dir, "orders"), profiledOrderCols.map(_._1))),
+
+    // ---- Benford first-digit audit of order amounts (the
+    //      fabricated-feed forensic): digit via two codegen'd
+    //      log/pow exprs, one grouped count, 9-row output with chi²
+    //      terms and Nigrini's MAD ----
+    "q212_benford" -> ((s, dir) =>
+      graft.operators.Benford.firstDigitReport(
+        t(s, dir, "orders"), "o_totalprice")),
+
+    // ---- Daily-count autocorrelation at lags 1..7 (does the feed
+    //      need a seasonal baseline?): one shuffle to the daily
+    //      table, per-lag self-joins on the day-cardinality table ----
+    "q213_daily_acf" -> ((s, dir) =>
+      graft.operators.Anomaly.dailyAcf(t(s, dir, "events"))),
+
     // ---- Streaming separability monitor: per-batch AUC of the
     //      quality scorer vs a pinned validated snapshot's AUC —
     //      catches scorer decay that PSI/KS/mix monitors can't see.
@@ -2697,6 +2719,16 @@ object SparkEntry {
 
     "q209_allpairs_join" ->
       graft.operators.AllPairsJoin.oracleSql(0.5),
+
+    "q211_fd_discovery" ->
+      graft.quality.Dependencies.fdOracleSql(
+        "orders", profiledOrderCols.map(_._1)),
+
+    "q212_benford" ->
+      graft.operators.Benford.oracleSql("orders", "o_totalprice"),
+
+    "q213_daily_acf" ->
+      graft.operators.Anomaly.acfOracleSql(),
 
     "q210_stream_auc" ->
       """WITH t AS (

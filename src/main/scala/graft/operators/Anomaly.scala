@@ -117,4 +117,58 @@ object Anomaly {
        |  ON c.event_type = b.event_type AND c.hod = b.hod
        |WHERE c.dd > $splitDay
        |ORDER BY c.event_type, c.dd, c.hod""".stripMargin
+
+  /** Autocorrelation of the daily event-count series at lags 1..`maxLag`
+    * — the periodicity detector that tells a monitor whether its
+    * baseline needs a seasonal split at all (a strong lag-7 spike says
+    * weekly; the [[seasonalZScore]] hour-of-day split is the lag-24
+    * analog): r_k = Σ(c_t−c̄)(c_{t+k}−c̄) / Σ(c_t−c̄)², the standard
+    * sample ACF normalization (constant denominator over the full
+    * series).
+    *
+    * Dataflow: ONE corpus-scale shuffle to the daily-count table; the
+    * series mean/denominator is a 1-row stat factor; each lag is an
+    * equi-join of the day-cardinality table against itself shifted by
+    * k days (days × maxLag rows total) — nothing rescans events. */
+  def dailyAcf(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "maxLag must be positive")
+    val daily = events
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val stats = daily.agg(
+      avg("c").as("__mu"),
+      count(lit(1)).as("__nd"))
+    val centered = daily.crossJoin(broadcast(stats))  // 1-row stat factor
+      .select(col("d"), (col("c") - col("__mu")).as("x"))
+    val denom = centered.agg(sum(col("x") * col("x")).as("__den"))
+    val lags = centered.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    centered.as("a")
+      .crossJoin(broadcast(lags))
+      .join(centered.as("b"),
+        col("b.d") === date_add(col("a.d"), col("lag")))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("a.x") * col("b.x")).as("__num"))
+      .crossJoin(broadcast(denom))  // 1-row stat factor
+      .select(col("lag"), col("n_pairs"),
+        round(col("__num") / col("__den"), 6).as("acf"))
+      .orderBy("lag")
+  }
+
+  /** DuckDB oracle for [[dailyAcf]]. */
+  def acfOracleSql(maxLag: Int = 7): String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS c
+       |  FROM events GROUP BY 1),
+       |st AS (SELECT AVG(c) AS mu FROM daily),
+       |cent AS (SELECT d, c - (SELECT mu FROM st) AS x FROM daily),
+       |den AS (SELECT SUM(x * x) AS dd FROM cent),
+       |lags AS (SELECT CAST(UNNEST(range(1, ${maxLag + 1})) AS INTEGER) AS lag)
+       |SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  ROUND(SUM(a.x * b.x) / (SELECT dd FROM den), 6) AS acf
+       |FROM cent a
+       |JOIN lags ON TRUE
+       |JOIN cent b ON b.d = a.d + lag
+       |GROUP BY lag ORDER BY lag""".stripMargin
 }

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Anomaly, Benford}
+import graft.quality.Dependencies
+
+/** Specs for the profiling trio: FD discovery, Benford first-digit
+  * audit, daily-count autocorrelation. */
+class ProfilingOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- FD discovery ----
+
+  test("fd: a key determines everything; non-keys hold only where data says") {
+    val df = Seq(
+      (1L, "a", 10), (2L, "a", 10), (3L, "b", 20), (4L, "b", 21))
+      .toDF("id", "grp", "v")
+    val got = Dependencies.fdReport(df, Seq("id", "grp", "v"))
+      .select("lhs", "rhs", "violations", "holds")
+      .as[(String, String, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("id", "grp")) == ((0L, true)))   // id is a key
+    assert(got(("id", "v")) == ((0L, true)))
+    assert(got(("grp", "v")) == ((1L, false)))   // b → {20, 21}
+    assert(got(("v", "grp")) == ((0L, true)))    // each v has one grp
+    assert(got(("grp", "id")) == ((2L, false)))
+  }
+
+  test("fd: null field in rhs doesn't drop the pair row") {
+    val df = Seq((1L, Some("x")), (2L, None), (3L, None))
+      .toDF("id", "s")
+    val got = Dependencies.fdReport(df, Seq("id", "s"))
+      .where(col("lhs") === "id").select("n_pairs", "holds")
+      .as[(Long, Boolean)].collect().head
+    // (1,x) (2,null) (3,null) — three distinct pairs, id still a key
+    assert(got == ((3L, true)))
+  }
+
+  // ---- Benford ----
+
+  test("benford: a log-uniform feed conforms; digits and rows complete") {
+    // 10^u for u uniform in [0,3): textbook Benford-conforming
+    val rnd = new scala.util.Random(5)
+    val vals = (1 to 20000).map(_ => math.pow(10.0, rnd.nextDouble() * 3))
+    val got = Benford.firstDigitReport(vals.toDF("v"), "v")
+      .select("digit", "obs_p", "exp_p", "chi2_term", "mad")
+      .as[(Int, Double, Double, Double, Double)].collect()
+    assert(got.map(_._1).toSeq == (1 to 9))
+    assert(got.head._5 < 0.01)   // Nigrini close-conformity range
+    got.foreach { r => assert(math.abs(r._2 - r._3) < 0.02) }
+  }
+
+  test("benford: a uniform feed is flagged; missing digits still owe chi2") {
+    // all values share first digit 7 → digits 1-6,8,9 absent but present
+    // in the report with obs_p 0 and a positive expected-share penalty
+    val got = Benford.firstDigitReport(
+      Seq(700.0, 71.0, 7.3, 750.0).toDF("v"), "v")
+      .select("digit", "n", "obs_p", "chi2_term")
+      .as[(Int, Long, Double, Double)].collect()
+    assert(got.length == 9)
+    val seven = got.find(_._1 == 7).get
+    assert(seven._2 == 4L && seven._3 == 1.0)
+    got.filter(_._1 != 7).foreach { r =>
+      assert(r._2 == 0L && r._3 == 0.0 && r._4 > 0.0)
+    }
+  }
+
+  test("benford: zero, negative and null rows are excluded") {
+    val got = Benford.firstDigitReport(
+      Seq[Option[Double]](Some(12.0), Some(0.0), Some(-5.0), None)
+        .toDF("v"), "v")
+      .agg(sum("n")).as[Long].collect().head
+    assert(got == 1L)
+  }
+
+  // ---- daily ACF ----
+
+  test("acf: a perfectly periodic series spikes at its period") {
+    // 28 days of period-7 counts: c = 100 on day%7==0 else 10
+    val rows = (0 until 28).flatMap { d =>
+      val n = if (d % 7 == 0) 100 else 10
+      (1 to n).map(i => (d.toLong * 1000 + i,
+        java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")))
+    }
+    val ev = rows.toDF("event_id", "ts")
+    val got = Anomaly.dailyAcf(ev, maxLag = 7)
+      .select("lag", "acf").as[(Int, Double)].collect().toMap
+    // exactly periodic ⇒ x_t·x_{t+7} = x_t², so r7 = (28−7)/28 = 0.75
+    // (the constant full-series denominator scales by pair coverage)
+    assert(got(7) == 0.75)
+    assert(got(1) < got(7))         // off-period lags anticorrelate
+  }
+
+  test("acf: hand-computed two-lag case") {
+    // daily counts 1,2,3,4 → x = -1.5,-0.5,0.5,1.5; den = 5
+    // r1 = (0.75 - 0.25 + 0.75)/5 = 0.25; r2 = (-0.75 - 0.75)/5 = -0.3
+    val rows = (0 until 4).flatMap { d =>
+      (1 to d + 1).map(i => (d.toLong * 10 + i,
+        java.sql.Timestamp.valueOf(f"2024-02-0${d + 1} 08:00:00")))
+    }
+    val got = Anomaly.dailyAcf(rows.toDF("event_id", "ts"), maxLag = 2)
+      .select("lag", "n_pairs", "acf").as[(Int, Long, Double)].collect()
+    assert(got.toSeq == Seq((1, 3L, 0.25), (2, 2L, -0.3)))
+  }
+}
