@@ -43,6 +43,21 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- Incremental exact-similarity admission: index the even
+    //      half (grams + prefix postings + FROZEN df order), admit
+    //      the odd half — cross and within-batch pairs, zero loss
+    //      under the frozen order (superset prefixes only ADD
+    //      candidates; verification prunes) ----
+    "q214_incremental_allpairs" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q214").toString
+      val docs = t(s, dir, "documents")
+      graft.operators.AllPairsJoin.buildIndex(s,
+        docs.filter(col("doc_id") % 2 === 0), root, threshold = 0.5)
+      graft.operators.AllPairsJoin.admit(s, root,
+        docs.filter(col("doc_id") % 2 === 1), threshold = 0.5)
+    }),
+
     // ---- Functional-dependency discovery over the profiled order
     //      columns: A→B ⇔ |distinct A| = |distinct (A,B)|, ONE
     //      multi-distinct agg pass (approx=true swaps HLL sketches at
@@ -2719,6 +2734,9 @@ object SparkEntry {
 
     "q209_allpairs_join" ->
       graft.operators.AllPairsJoin.oracleSql(0.5),
+
+    "q214_incremental_allpairs" ->
+      graft.operators.AllPairsJoin.incrementalOracleSql(0.5),
 
     "q211_fd_discovery" ->
       graft.quality.Dependencies.fdOracleSql(

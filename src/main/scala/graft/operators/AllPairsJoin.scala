@@ -84,6 +84,118 @@ object AllPairsJoin {
       .orderBy("id_a", "id_b")
   }
 
+  // ---- incremental admission: the index form of the join. Build
+  // once over the published corpus, then each new batch pays only its
+  // own shingling plus joins against the PREFIX POSTING table — the
+  // exact-similarity analog of [[IncrementalDedup]]'s versioned band
+  // store (which is approximate by construction).
+  //
+  // Exactness across admissions hinges on a FROZEN shingle order: the
+  // df table snapshotted at build time defines the total order for
+  // every later batch (unseen shingles rank rarest, dfreq 0). Any
+  // FIXED total order preserves the pigeonhole prefix guarantee, and
+  // freezing it means stored prefixes never have to be recomputed as
+  // the corpus grows — the standard incremental-All-Pairs trade:
+  // prefixes drift from the "ideal" rarest-first order as the corpus
+  // evolves (slightly more candidates), never losing a pair.
+  // Refreshing the order = rebuild. ----
+
+  private def gramsOf(docs: DataFrame, k: Int, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      array_distinct(ShingleHashes.shingleHashes(
+        TextFunctions.tokens(col(textCol)), k)).as("g"))
+      .where(size(col("g")) > 0)
+      .select(col("id"), col("g"), size(col("g")).cast("long").as("n"))
+
+  /** Prefix posting rows `(h, id, n)` of a gram table under the frozen
+    * `dfTable` order (unseen grams → dfreq 0, rarest). */
+  private def prefixOf(grams: DataFrame, dfTable: DataFrame,
+      threshold: Double): DataFrame = {
+    val w = Window.partitionBy("id").orderBy(col("__df"), col("h"))
+    val prefixLen = col("n") - ceil(col("n") * threshold).cast("long") + 1L
+    grams.select(col("id"), col("n"), explode(col("g")).as("h"))
+      .join(dfTable, Seq("h"), "left_outer")
+      .withColumn("__df", coalesce(col("dfreq"), lit(0L)))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= prefixLen)
+      .select(col("h"), col("id"), col("n"))
+  }
+
+  /** Build the persistent index at `storePath`: `grams` (full hashed
+    * sets), `prefix` (posting table), `df` (the frozen order). */
+  def buildIndex(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, storePath: String, threshold: Double,
+      k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    import graft.lake.TableLog
+    val grams = gramsOf(docs, k, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfTable = grams.select(col("id"), explode(col("g")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("dfreq"))
+    TableLog.commitOverwrite(spark, s"$storePath/df", dfTable)
+    val frozen = TableLog.read(spark, s"$storePath/df")
+    TableLog.commitOverwrite(spark, s"$storePath/grams", grams)
+    TableLog.commitOverwrite(spark, s"$storePath/prefix",
+      prefixOf(grams, frozen, threshold))
+    grams.unpersist()
+    ()
+  }
+
+  /** Admit a batch: return every pair `(id_a, id_b, jaccard)` with
+    * `jaccard ≥ threshold` between batch docs and the indexed corpus
+    * AND within the batch (canonical id_a < id_b), then append the
+    * batch to the index. Candidate generation is exact under the
+    * frozen order (superset prefixes can only ADD candidates;
+    * verification prunes them). */
+  def admit(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, batch: DataFrame, threshold: Double,
+      k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.lake.TableLog
+    val frozen = TableLog.read(spark, s"$storePath/df")
+    val oldGrams = TableLog.read(spark, s"$storePath/grams")
+    val oldPrefix = TableLog.read(spark, s"$storePath/prefix")
+    val newGrams = gramsOf(batch, k, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newPrefix = prefixOf(newGrams, frozen, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def lengthOk(na: org.apache.spark.sql.Column,
+        nb: org.apache.spark.sql.Column) =
+      nb >= ceil(na * threshold) && nb <= floor(na / threshold)
+
+    val cross = newPrefix.as("a")
+      .join(oldPrefix.as("b"),
+        col("a.h") === col("b.h") &&
+          lengthOk(col("a.n"), col("b.n")))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    val within = newPrefix.as("a")
+      .join(newPrefix.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          lengthOk(col("a.n"), col("b.n")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cand = cross.unionByName(within).distinct()
+
+    val allGrams = oldGrams.unionByName(newGrams)
+    val out = cand
+      .join(allGrams.select(col("id").as("id_a"), col("g").as("__ga")), "id_a")
+      .join(allGrams.select(col("id").as("id_b"), col("g").as("__gb")), "id_b")
+      .withColumn("jaccard",
+        JaccardSimilarity.jaccardSim(col("__ga"), col("__gb")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+      .localCheckpoint(true)   // pin results before the index mutates
+
+    TableLog.commitAppend(spark, s"$storePath/grams", newGrams, "admit")
+    TableLog.commitAppend(spark, s"$storePath/prefix", newPrefix, "admit")
+    newGrams.unpersist(); newPrefix.unpersist()
+    out
+  }
+
   /** DuckDB oracle: brute-force inverted-index intersection counts on
     * the STRING shingles (the oracle can afford it; the engine's
     * prefix filter must lose nothing against it). Same shingle
@@ -113,4 +225,12 @@ object AllPairsJoin {
        |FROM j WHERE jac >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** Oracle for the even-build/odd-admit fixture: the admission must
+    * surface exactly the threshold pairs INVOLVING an admitted (odd)
+    * doc — even–even pairs belong to the build, not the admission. */
+  def incrementalOracleSql(threshold: Double): String =
+    oracleSql(threshold).replace(
+      s"WHERE jac >= $threshold",
+      s"WHERE jac >= $threshold AND NOT (id_a % 2 = 0 AND id_b % 2 = 0)")
 }

@@ -64,6 +64,39 @@ class AllPairsJoinSpec extends AnyFunSuite {
     assert(join(Seq((1L, a), (2L, b)), 0.34).isEmpty)
   }
 
+  test("incremental: build + sequential admissions lose nothing vs full join") {
+    val rnd = new scala.util.Random(29)
+    val vocab = ('a' to 'p').map(_.toString)
+    val docs = (0L until 90L).map { i =>
+      (i, Seq.fill(6 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val t = 0.4
+    val full = join(docs, t).map(p => (p._1, p._2)).toSet
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_apinc").toString
+    val (seed, rest) = docs.partition(_._1 < 30L)
+    val (b1, b2) = rest.partition(_._1 < 60L)
+    graft.operators.AllPairsJoin.buildIndex(spark,
+      seed.toDF("doc_id", "text"), root, t)
+    val p1 = graft.operators.AllPairsJoin.admit(spark, root,
+      b1.toDF("doc_id", "text"), t)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val p2 = graft.operators.AllPairsJoin.admit(spark, root,
+      b2.toDF("doc_id", "text"), t)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // each admission surfaces exactly the pairs involving its batch
+    val seedPairs = full.filter { case (a, b) => a < 30L && b < 30L }
+    val b1Pairs = full.filter { case (a, b) =>
+      (a >= 30L && a < 60L) || (b >= 30L && b < 60L) }
+      .filter { case (a, b) => a < 60L && b < 60L }
+    val b2Pairs = full.filter { case (a, b) => a >= 60L || b >= 60L }
+    assert(p1 == b1Pairs)
+    assert(p2 == b2Pairs)
+    assert(seedPairs ++ p1 ++ p2 == full)
+  }
+
   test("docs below k tokens never pair; identical docs score 1.0") {
     val got = join(Seq((1L, "x y"), (2L, "x y"),
       (3L, "m n o p q"), (4L, "m n o p q")), 0.5)
