@@ -43,6 +43,41 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- Streaming exact-similarity admission: build the prefix
+    //      index on the even half, stream the WHOLE corpus as one
+    //      AvailableNow batch — stored evens + batch = every
+    //      threshold pair, so the report shares q209's oracle;
+    //      replay/crash-window behavior pinned in SimilarityIngestSpec ----
+    "q217_stream_allpairs" -> ((s, dir) => {
+      import graft.lake.TableLog
+      val root = java.nio.file.Files.createTempDirectory("graft_q217")
+      val idx = root.resolve("idx").toString
+      graft.operators.AllPairsJoin.buildIndex(s,
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        idx, threshold = 0.5)
+      graft.streaming.SimilarityIngest.ingest(s, dir, "documents.parquet",
+        idx, root.resolve("pairs").toString, threshold = 0.5,
+        root.resolve("ckpt").toString)
+      TableLog.read(s, root.resolve("pairs").toString)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- Hampel outlier flags on each event type's daily series:
+    //      median/MAD baseline ignores the outliers a mean/σ
+    //      baseline is dragged by; two exact-percentile aggs over
+    //      the (key × day) table ----
+    "q215_hampel" -> ((s, dir) =>
+      graft.operators.Anomaly.hampelReport(t(s, dir, "events"))),
+
+    // ---- Mutual information event_type × weekday: how many bits of
+    //      the weekday the event type encodes — the statistical
+    //      complement to q211's exact FDs; one grouped count, window
+    //      marginals over the cell table ----
+    "q216_mutual_info" -> ((s, dir) =>
+      graft.quality.Dependencies.mutualInformation(
+        t(s, dir, "events").withColumn("weekday", dayofweek(col("ts"))),
+        "event_type", "weekday")),
+
     // ---- Incremental exact-similarity admission: index the even
     //      half (grams + prefix postings + FROZEN df order), admit
     //      the odd half — cross and within-batch pairs, zero loss
@@ -2737,6 +2772,21 @@ object SparkEntry {
 
     "q214_incremental_allpairs" ->
       graft.operators.AllPairsJoin.incrementalOracleSql(0.5),
+
+    "q215_hampel" ->
+      graft.operators.Anomaly.hampelOracleSql(),
+
+    "q216_mutual_info" ->
+      graft.quality.Dependencies.miOracleSql("events",
+        "event_type", "CAST(dayofweek(ts) + 1 AS INTEGER)"),
+
+    // single-batch AvailableNow run over the full corpus ⇒ the pairs
+    // table is exactly the corpus-wide join plus a batch_id column
+    "q217_stream_allpairs" ->
+      graft.operators.AllPairsJoin.oracleSql(0.5).replace(
+        "SELECT id_a, id_b, ROUND(jac, 4) AS jaccard",
+        "SELECT id_a, id_b, ROUND(jac, 4) AS jaccard," +
+          " CAST(0 AS BIGINT) AS batch_id"),
 
     "q211_fd_discovery" ->
       graft.quality.Dependencies.fdOracleSql(

@@ -151,8 +151,15 @@ object AllPairsJoin {
   def admit(spark: org.apache.spark.sql.SparkSession,
       storePath: String, batch: DataFrame, threshold: Double,
       k: Int = 3, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", action: String = "admit"): DataFrame = {
     import graft.lake.TableLog
+    // replay guard for the streaming path: a crash between the index
+    // append and the consumer's own commit re-runs this call with the
+    // batch ALREADY indexed — pair math stays correct (the id_a≠id_b
+    // guard drops self-matches against the stored copy, distinct
+    // merges the doubled candidates) and the append is skipped
+    val alreadyIndexed = TableLog
+      .history(spark, s"$storePath/grams").exists(_.action == action)
     val frozen = TableLog.read(spark, s"$storePath/df")
     val oldGrams = TableLog.read(spark, s"$storePath/grams")
     val oldPrefix = TableLog.read(spark, s"$storePath/prefix")
@@ -167,7 +174,7 @@ object AllPairsJoin {
 
     val cross = newPrefix.as("a")
       .join(oldPrefix.as("b"),
-        col("a.h") === col("b.h") &&
+        col("a.h") === col("b.h") && col("a.id") =!= col("b.id") &&
           lengthOk(col("a.n"), col("b.n")))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
@@ -178,7 +185,14 @@ object AllPairsJoin {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     val cand = cross.unionByName(within).distinct()
 
-    val allGrams = oldGrams.unionByName(newGrams)
+    // dedupe by id: a batch may legitimately re-present docs the index
+    // already holds (full-corpus replays, at-least-once feeds); the
+    // copies are identical by contract (re-admitting CHANGED text
+    // under an old id is undefined), so either row verifies the same —
+    // but two rows per id would duplicate every pair they anchor
+    val allGrams =
+      (if (alreadyIndexed) oldGrams else oldGrams.unionByName(newGrams))
+        .dropDuplicates("id")
     val out = cand
       .join(allGrams.select(col("id").as("id_a"), col("g").as("__ga")), "id_a")
       .join(allGrams.select(col("id").as("id_b"), col("g").as("__gb")), "id_b")
@@ -190,8 +204,10 @@ object AllPairsJoin {
       .orderBy("id_a", "id_b")
       .localCheckpoint(true)   // pin results before the index mutates
 
-    TableLog.commitAppend(spark, s"$storePath/grams", newGrams, "admit")
-    TableLog.commitAppend(spark, s"$storePath/prefix", newPrefix, "admit")
+    if (!alreadyIndexed) {
+      TableLog.commitAppend(spark, s"$storePath/grams", newGrams, action)
+      TableLog.commitAppend(spark, s"$storePath/prefix", newPrefix, action)
+    }
     newGrams.unpersist(); newPrefix.unpersist()
     out
   }

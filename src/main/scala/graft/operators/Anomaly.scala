@@ -156,6 +156,72 @@ object Anomaly {
       .orderBy("lag")
   }
 
+  /** Hampel outlier flags over each key's daily-count series — the
+    * robust complement to [[zScoreReport]]: mean/σ baselines are
+    * dragged by the very outliers they're meant to flag (one 100×
+    * spike inflates σ enough to hide a 10× spike), while the median
+    * and MAD (median absolute deviation, ×1.4826 to estimate σ under
+    * normality — the Hampel identifier, Davies & Gather 1993) ignore
+    * up to half the series being corrupt.
+    *
+    * Dataflow: one corpus shuffle to the (key × day) count table; the
+    * median and MAD are two exact-percentile aggs over each key's
+    * day-cardinality series (tiny; swap approx_percentile if keys ×
+    * days ever isn't). */
+  def hampelReport(events: DataFrame, keyCol: String = "event_type",
+      k: Double = 3.0): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val med = daily.groupBy(keyCol)
+      .agg(expr("percentile(c, 0.5)").as("med"))
+    val withMed = daily.join(med, keyCol)
+    val mad = withMed.groupBy(keyCol)
+      .agg(expr("percentile(abs(c - med), 0.5)").as("mad"))
+    // MAD = 0 (over half the series identical): z is undefined — NULL,
+    // and any deviation at all is an outlier (the degenerate-but-
+    // standard reading of the identifier)
+    val dev = abs(col("c") - col("med"))
+    withMed.join(mad, keyCol)
+      .select(col(keyCol), col("d"), col("c"),
+        round(col("med"), 4).as("med"),
+        round(col("mad"), 4).as("mad"),
+        when(col("mad") === 0.0, lit(null).cast("double"))
+          .otherwise(round(dev / (lit(1.4826) * col("mad")), 4))
+          .as("hampel_z"),
+        when(col("mad") === 0.0, dev > 0.0)
+          .otherwise(dev > lit(k) * lit(1.4826) * col("mad"))
+          .as("outlier"))
+      .orderBy(col(keyCol), col("d"))
+  }
+
+  /** DuckDB oracle for [[hampelReport]]. */
+  def hampelOracleSql(keyCol: String = "event_type",
+      k: Double = 3.0): String =
+    s"""WITH daily AS (
+       |  SELECT $keyCol, CAST(ts AS DATE) AS d,
+       |    CAST(COUNT(*) AS DOUBLE) AS c
+       |  FROM events GROUP BY 1, 2),
+       |m AS (
+       |  SELECT $keyCol, quantile_cont(c, 0.5) AS med
+       |  FROM daily GROUP BY 1),
+       |w AS (
+       |  SELECT daily.$keyCol, d, c, med
+       |  FROM daily JOIN m ON daily.$keyCol = m.$keyCol),
+       |md AS (
+       |  SELECT $keyCol, quantile_cont(abs(c - med), 0.5) AS mad
+       |  FROM w GROUP BY 1)
+       |SELECT w.$keyCol, w.d, w.c,
+       |  ROUND(w.med, 4) AS med,
+       |  ROUND(md.mad, 4) AS mad,
+       |  CASE WHEN md.mad = 0 THEN NULL
+       |    ELSE ROUND(abs(w.c - w.med) / (1.4826 * md.mad), 4) END
+       |    AS hampel_z,
+       |  CASE WHEN md.mad = 0 THEN abs(w.c - w.med) > 0
+       |    ELSE abs(w.c - w.med) > $k * 1.4826 * md.mad END AS outlier
+       |FROM w JOIN md ON w.$keyCol = md.$keyCol
+       |ORDER BY w.$keyCol, w.d""".stripMargin
+
   /** DuckDB oracle for [[dailyAcf]]. */
   def acfOracleSql(maxLag: Int = 7): String =
     s"""WITH daily AS (

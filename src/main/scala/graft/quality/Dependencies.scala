@@ -58,6 +58,69 @@ object Dependencies {
       .orderBy("lhs", "rhs")
   }
 
+  /** Mutual information between two categorical columns — the
+    * STATISTICAL complement to [[fdReport]]'s deterministic
+    * dependencies: FD answers "does A fix B exactly", MI answers "how
+    * many bits of B does knowing A buy" (Cover & Thomas ch. 2), which
+    * is the feature-audit question a curation team asks of metadata
+    * columns ("does `source` leak `lang`? does event type encode the
+    * weekday?"). MI = Σ p(x,y)·log₂(p(x,y)/(p(x)p(y))).
+    *
+    * Dataflow: ONE grouped count to the joint (a, b) cell table;
+    * marginals come from window sums over that cell table (category-
+    * cardinality, never a corpus rescan). Output is one row per
+    * observed cell with its signed contribution, plus the total in
+    * every row. */
+  def mutualInformation(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val joint = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val wA = org.apache.spark.sql.expressions.Window.partitionBy("a")
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("b")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val tot = sum("n").over(wAll).cast("double")
+    val pxy = col("n") / tot
+    val px = sum("n").over(wA).cast("double") / tot
+    val py = sum("n").over(wB).cast("double") / tot
+    val contrib = pxy * log2(pxy / (px * py))
+    joint
+      .withColumn("p_joint", round(pxy, 6))
+      .withColumn("p_a", round(px, 6))
+      .withColumn("p_b", round(py, 6))
+      .withColumn("mi_term_bits", round(contrib, 6))
+      .withColumn("mi_bits", round(sum(contrib).over(wAll), 6))
+      .select("a", "b", "n", "p_joint", "p_a", "p_b",
+        "mi_term_bits", "mi_bits")
+      .orderBy("a", "b")
+  }
+
+  /** DuckDB oracle for [[mutualInformation]] with expressions for the
+    * two columns (e.g. a date part). */
+  def miOracleSql(table: String, aExpr: String, bExpr: String): String =
+    s"""WITH joint AS (
+       |  SELECT $aExpr AS a, $bExpr AS b, COUNT(*) AS n
+       |  FROM $table
+       |  WHERE $aExpr IS NOT NULL AND $bExpr IS NOT NULL
+       |  GROUP BY 1, 2),
+       |p AS (
+       |  SELECT a, b, n,
+       |    CAST(n AS DOUBLE) / SUM(n) OVER () AS pxy,
+       |    CAST(SUM(n) OVER (PARTITION BY a) AS DOUBLE)
+       |      / SUM(n) OVER () AS px,
+       |    CAST(SUM(n) OVER (PARTITION BY b) AS DOUBLE)
+       |      / SUM(n) OVER () AS py
+       |  FROM joint)
+       |SELECT a, b, CAST(n AS BIGINT) AS n,
+       |  ROUND(pxy, 6) AS p_joint,
+       |  ROUND(px, 6) AS p_a,
+       |  ROUND(py, 6) AS p_b,
+       |  ROUND(pxy * log2(pxy / (px * py)), 6) AS mi_term_bits,
+       |  ROUND(SUM(pxy * log2(pxy / (px * py))) OVER (), 6) AS mi_bits
+       |FROM p ORDER BY a, b""".stripMargin
+
   /** DuckDB oracle for [[fdReport]] (exact mode) on a named table. */
   def fdOracleSql(table: String, cols: Seq[String]): String = {
     val selects = (for {

@@ -75,6 +75,72 @@ class ProfilingOpsSpec extends AnyFunSuite {
     assert(got == 1L)
   }
 
+  // ---- Hampel ----
+
+  test("hampel: robust to the outlier that drags a mean/σ baseline") {
+    // 13 quiet days at 10±1 and one 100-count spike: the median/MAD
+    // baseline flags the spike and nothing else
+    val rows = (0 until 14).flatMap { d =>
+      val n = if (d == 9) 100 else 10 + (d % 3) - 1
+      (1 to n).map(i => (d.toLong * 1000 + i,
+        java.sql.Timestamp.valueOf(f"2024-03-${d + 1}%02d 09:00:00"), "a"))
+    }
+    val got = Anomaly.hampelReport(
+      rows.toDF("event_id", "ts", "event_type"))
+      .select("d", "c", "outlier")
+      .as[(java.sql.Date, Double, Boolean)].collect()
+    assert(got.count(_._3) == 1)
+    assert(got.find(_._3).get._2 == 100.0)
+  }
+
+  test("hampel: zero MAD degenerates to any-deviation flagging, z null") {
+    // constant series + one deviant day → MAD 0
+    val rows = (0 until 8).flatMap { d =>
+      val n = if (d == 3) 7 else 5
+      (1 to n).map(i => (d.toLong * 100 + i,
+        java.sql.Timestamp.valueOf(f"2024-04-0${d + 1} 09:00:00"), "x"))
+    }
+    val got = Anomaly.hampelReport(
+      rows.toDF("event_id", "ts", "event_type"))
+      .select("c", "mad", "outlier").collect()
+    assert(got.forall(_.getDouble(1) == 0.0))
+    assert(got.forall(r => r.isNullAt(2) == false))
+    assert(got.count(_.getBoolean(2)) == 1)
+  }
+
+  // ---- mutual information ----
+
+  test("mi: independent columns score 0; deterministic mapping scores H(X)") {
+    // independent: every (a, b) cell equally likely
+    val ind = (for (a <- Seq("x", "y"); b <- Seq(1, 2); _ <- 1 to 5)
+      yield (a, b)).toDF("a", "b")
+    val mi0 = Dependencies.mutualInformation(ind, "a", "b")
+      .select("mi_bits").as[Double].collect().head
+    assert(mi0 == 0.0)
+    // deterministic 1:1 over a uniform 4-category X → MI = H(X) = 2 bits
+    val det = (for (i <- 0 until 4; _ <- 1 to 3)
+      yield (s"c$i", i)).toDF("a", "b")
+    val mi2 = Dependencies.mutualInformation(det, "a", "b")
+      .select("mi_bits").as[Double].collect().head
+    assert(mi2 == 2.0)
+  }
+
+  test("mi: hand-computed asymmetric 2x2 case") {
+    // joint counts: (x,1)=3 (x,2)=1 (y,1)=1 (y,2)=3, N=8
+    val df = (Seq.fill(3)(("x", 1)) ++ Seq(("x", 2)) ++
+      Seq(("y", 1)) ++ Seq.fill(3)(("y", 2))).toDF("a", "b")
+    val cells = Seq((3.0, 0.5, 0.5), (1.0, 0.5, 0.5),
+      (1.0, 0.5, 0.5), (3.0, 0.5, 0.5))
+    val expect = cells.map { case (n, pa, pb) =>
+      val pxy = n / 8.0
+      pxy * math.log(pxy / (pa * pb)) / math.log(2.0)
+    }.sum
+    val got = Dependencies.mutualInformation(df, "a", "b")
+      .select("mi_bits").as[Double].collect().head
+    assert(got == BigDecimal(expect)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   // ---- daily ACF ----
 
   test("acf: a perfectly periodic series spikes at its period") {
