@@ -62,7 +62,10 @@ object PlanAudit {
     // ACF: series mean/denominator are 1-row broadcast stat factors
     // and the lag spine is a maxLag-row broadcast cross into the
     // day-cardinality table
-    "q213_daily_acf")
+    "q213_daily_acf",
+    // conformal gate: the calibration threshold is a 1-row broadcast
+    // stat factor into the eval aggregate
+    "q219_conformal")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

@@ -43,6 +43,29 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- Split-conformal outlier gate: the ⌈(n+1)(1−α)⌉-th smallest
+    //      calibration nonconformity becomes a filter threshold with a
+    //      distribution-free ≤α false-flag guarantee; order statistic
+    //      via the distinct-score histogram, never a global sort ----
+    "q219_conformal" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        (-TextFunctions.qualityScore(col("text"))).as("s"))
+      graft.operators.Conformal.outlierGate(
+        scored.filter(col("doc_id") % 2 === 0),
+        scored.filter(col("doc_id") % 2 === 1),
+        "s", alpha = 0.1)
+    }),
+
+    // ---- Personalized PageRank from a trusted seed set (TrustRank):
+    //      teleport AND dangling mass re-enter at the seeds only, so
+    //      non-seed pages earn rank purely through navigation paths
+    //      from the seeds; same edges-partitioned-once iteration as
+    //      q150 ----
+    "q218_personalized_rank" -> ((s, dir) =>
+      graft.operators.GraphRank.personalizedRank(s,
+        graft.operators.GraphRank.navigationEdges(t(s, dir, "events")),
+        seeds = Seq(0, 1, 2, 3, 4))),
+
     // ---- Streaming exact-similarity admission: build the prefix
     //      index on the even half, stream the WHOLE corpus as one
     //      AvailableNow batch — stored evens + batch = every
@@ -2775,6 +2798,12 @@ object SparkEntry {
 
     "q215_hampel" ->
       graft.operators.Anomaly.hampelOracleSql(),
+
+    "q218_personalized_rank" ->
+      graft.operators.GraphRank.personalizedOracleSql(Seq(0, 1, 2, 3, 4)),
+
+    "q219_conformal" ->
+      graft.operators.Conformal.oracleSql(0.1),
 
     "q216_mutual_info" ->
       graft.quality.Dependencies.miOracleSql("events",

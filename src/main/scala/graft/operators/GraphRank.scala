@@ -121,6 +121,128 @@ object GraphRank {
       iterations: Int = 5, damping: Double = 0.85): DataFrame =
     pagerank(spark, navigationEdges(events), iterations, damping)
 
+  /** Personalized (topic-sensitive) PageRank: the teleport vector
+    * concentrates on `seeds` instead of spreading uniformly
+    * (Haveliwala, WWW 2002) — "importance AS SEEN FROM these pages",
+    * the relevance weighting a curation pipeline uses to score pages
+    * by proximity to a trusted seed set (TrustRank, Gyöngyi et al.
+    * VLDB 2004, is exactly this with seeds = vetted sites). Same
+    * Pregel-shaped dataflow as [[pagerank]]: edges partitioned once,
+    * only the rank table moves per iteration; the seed set rides as a
+    * broadcast membership flag.
+    *
+    * Differences from the uniform walk, both load-bearing: restart
+    * mass (1−d) goes to seeds only, and DANGLING mass also re-enters
+    * through the teleport (the standard strongly-preferential
+    * handling) — so non-seed pages earn rank only through actual
+    * navigation paths from the seeds. */
+  def personalizedRank(spark: SparkSession, edges: DataFrame,
+      seeds: Seq[Int], iterations: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    require(seeds.nonEmpty, "need at least one seed page")
+    import spark.implicits._
+    val e = edges
+      .withColumn("share",
+        col("w").cast("double") / sum(col("w")).over(
+          Window.partitionBy(col("src"))))
+      .select("src", "dst", "share")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("page"))
+      .union(e.select(col("dst").as("page")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
+    val outNodes = e.select(col("src").as("page")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedDf = seeds.toDF("page")
+    val s = seeds.size.toDouble
+
+    val isSeed = col("__seed").isNotNull
+    def withSeedFlag(df: DataFrame): DataFrame =
+      df.join(broadcast(seedDf.withColumn("__seed", lit(1))),
+        Seq("page"), "left_outer")
+
+    var ranks = withSeedFlag(nodes)
+      .withColumn("rank", when(isSeed, lit(1.0 / s)).otherwise(lit(0.0)))
+      .select("page", "rank")
+      .localCheckpoint(true)
+
+    for (_ <- 1 to iterations) {
+      val dangling = ranks.join(outNodes, Seq("page"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+      val contrib = e.join(ranks, e("src") === ranks("page"))
+        .groupBy(col("dst").as("page"))
+        .agg(sum(col("share") * col("rank")).as("__c"))
+      ranks = withSeedFlag(nodes)
+        .join(contrib, Seq("page"), "left_outer")
+        .crossJoin(broadcast(dangling))
+        .withColumn("rank", round(
+          when(isSeed, lit((1.0 - damping) / s) +
+            lit(damping) * col("__dm") / lit(s)).otherwise(lit(0.0)) +
+            lit(damping) * coalesce(col("__c"), lit(0.0)), 9))
+        .select("page", "rank")
+        .localCheckpoint(true)
+    }
+    val out = ranks
+      .withColumn("rank", round(col("rank"), 6))
+      .orderBy(col("page"))
+    e.unpersist(); nodes.unpersist(); outNodes.unpersist()
+    out
+  }
+
+  /** DuckDB oracle for [[personalizedRank]] over the navigation
+    * edges — same chained-CTE unrolling as [[oracleSql]], seeded
+    * teleport. */
+  def personalizedOracleSql(seeds: Seq[Int], iterations: Int = 5,
+      damping: Double = 0.85): String = {
+    val d = damping
+    val s = seeds.size.toDouble
+    val seedList = seeds.mkString(", ")
+    val base =
+      s"""WITH seq AS (
+         |  SELECT page, LEAD(page) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id) AS next
+         |  FROM (SELECT CAST(props->>'k' AS INTEGER) AS page,
+         |          user_id, ts, event_id FROM events)
+         |  WHERE page IS NOT NULL),
+         |edges AS (
+         |  SELECT page AS src, next AS dst, COUNT(*) AS w
+         |  FROM seq WHERE next IS NOT NULL
+         |  GROUP BY 1, 2),
+         |e AS (
+         |  SELECT src, dst,
+         |    CAST(w AS DOUBLE) / SUM(w) OVER (PARTITION BY src) AS share
+         |  FROM edges),
+         |nodes AS (
+         |  SELECT src AS page FROM e UNION SELECT dst FROM e),
+         |outn AS (SELECT DISTINCT src AS page FROM e),
+         |r0 AS (
+         |  SELECT page,
+         |    CASE WHEN page IN ($seedList) THEN 1.0 / $s ELSE 0.0 END AS rank
+         |  FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      val p = s"r${i - 1}"
+      s"""d$i AS (
+         |  SELECT COALESCE(SUM(rank), 0.0) AS dm FROM $p
+         |  WHERE page NOT IN (SELECT page FROM outn)),
+         |c$i AS (
+         |  SELECT e.dst AS page, SUM(e.share * r.rank) AS c
+         |  FROM e JOIN $p r ON e.src = r.page GROUP BY 1),
+         |r$i AS (
+         |  SELECT nodes.page, ROUND(
+         |    (CASE WHEN nodes.page IN ($seedList)
+         |       THEN (1.0 - $d) / $s + $d * (SELECT dm FROM d$i) / $s
+         |       ELSE 0.0 END) +
+         |    $d * COALESCE(c$i.c, 0.0), 9) AS rank
+         |  FROM nodes LEFT JOIN c$i ON nodes.page = c$i.page)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT page, ROUND(rank, 6) AS rank FROM r$iterations
+       |ORDER BY page""".stripMargin
+  }
+
   /** DuckDB oracle for [[navigationRank]]: the identical computation as
     * chained CTEs — one `r{i}` CTE per iteration, same 9-decimal
     * per-iteration round, same dangling redistribution. Generated here

@@ -84,4 +84,35 @@ class GraphRankSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  test("ppr: mass conserved; rank reaches only pages downstream of seeds") {
+    // two disconnected 2-cycles {1,2} and {3,4}; seed = {1}
+    val r = GraphRank.personalizedRank(spark,
+      edges((1, 2, 1L), (2, 1, 1L), (3, 4, 1L), (4, 3, 1L)),
+      seeds = Seq(1), iterations = 6)
+      .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-5)
+    assert(r(3) == 0.0 && r(4) == 0.0)   // unreachable from the seed
+    assert(r(1) > 0.0 && r(2) > 0.0)
+  }
+
+  test("ppr: seed proximity beats global authority") {
+    // 3 is a global hub (2,4,5 -> 3), but the seed is 1 with 1 -> 2
+    // only: 2 must out-rank the hub as seen from 1
+    val r = GraphRank.personalizedRank(spark,
+      edges((1, 2, 1L), (2, 3, 1L), (4, 3, 1L), (5, 3, 1L)),
+      seeds = Seq(1), iterations = 6)
+      .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    assert(r(2) > r(3), s"seed neighbor must beat the far hub: $r")
+    assert(r(4) == 0.0 && r(5) == 0.0)   // no path from seed
+  }
+
+  test("ppr: dangling mass restarts at the seeds, not uniformly") {
+    // 1 -> 2, 2 dangles; every drop of 2's mass must come back to 1
+    val r = GraphRank.personalizedRank(spark,
+      edges((1, 2, 1L)), seeds = Seq(1), iterations = 8)
+      .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-5)
+    assert(r(1) > r(2))   // restart + dangling return concentrate at 1
+  }
 }
