@@ -43,6 +43,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- Bucketed Wasserstein-1 drift: the drift metric with UNITS
+    //      (how far the price distribution moved, in dollars) beside
+    //      PSI/KS/JS/chi²; one grouped count per side + a cumulative
+    //      window over the bucket table ----
+    "q220_wasserstein" -> ((s, dir) =>
+      graft.operators.Drift.wassersteinReport(
+        t(s, dir, "orders").filter(year(col("o_orderdate")) <= 1996),
+        t(s, dir, "orders"), "o_totalprice", bucketWidth = 20000.0)),
+
     // ---- Split-conformal outlier gate: the ⌈(n+1)(1−α)⌉-th smallest
     //      calibration nonconformity becomes a filter threshold with a
     //      distribution-free ≤α false-flag guarantee; order statistic
@@ -2804,6 +2813,10 @@ object SparkEntry {
 
     "q219_conformal" ->
       graft.operators.Conformal.oracleSql(0.1),
+
+    "q220_wasserstein" ->
+      graft.operators.Drift.wassersteinOracleSql(
+        "o_totalprice", 20000.0, "year(o_orderdate) <= 1996"),
 
     "q216_mutual_info" ->
       graft.quality.Dependencies.miOracleSql("events",

@@ -49,6 +49,79 @@ object Drift {
       .orderBy("bucket")
   }
 
+  /** Bucketed Wasserstein-1 (earth-mover) distance between two slices
+    * of a numeric column — the drift metric the rest of the family
+    * lacks a unit for: PSI and JS are dimensionless divergences, KS is
+    * a sup-norm probability, while W₁ = ∫|F_base − F_cur| answers "how
+    * FAR did the distribution move, in the column's own units" (a
+    * $120 mean price shift reads as ≈120), which is the number a
+    * threshold discussion can actually be had about. Computed on the
+    * same fixed-width grid as [[psiReport]]: W₁ over bucket midpoints
+    * = Σ |cumP_base − cumP_cur| · width, exact for the bucketed
+    * distributions and within one width of the continuous value.
+    *
+    * Dataflow: one grouped count per side, full-outer merge, one
+    * cumulative window over the BUCKET table (bounded by the value
+    * range / width, never corpus-sized). Per-bucket rows carry the
+    * running |ΔF| and every row repeats the total `w1` — the
+    * [[psiReport]] report shape. */
+  def wassersteinReport(base: DataFrame, current: DataFrame,
+      valueCol: String, bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0.0, "bucket width must be positive")
+    def counts(df: DataFrame, as: String) = df
+      .select(floor(col(valueCol) / bucketWidth).cast("bigint").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(as))
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    counts(base, "base_n")
+      .join(counts(current, "cur_n"), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("base_n", "cur_n"))
+      .withColumn("__bF",
+        sum("base_n").over(wCum) / sum("base_n").over(wAll))
+      .withColumn("__cF",
+        sum("cur_n").over(wCum) / sum("cur_n").over(wAll))
+      .withColumn("__d", abs(col("__bF") - col("__cF")))
+      .select(col("bucket"), col("base_n"), col("cur_n"),
+        round(col("__bF"), 6).as("base_cdf"),
+        round(col("__cF"), 6).as("cur_cdf"),
+        round(col("__d") * bucketWidth, 6).as("w1_term"),
+        round(sum(col("__d") * bucketWidth).over(wAll), 6).as("w1"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB oracle for [[wassersteinReport]] on the q220 fixture
+    * (order totals, pre-1996 baseline vs the full feed). */
+  def wassersteinOracleSql(valueCol: String, bucketWidth: Double,
+      baseFilter: String): String =
+    s"""WITH b AS (
+       |  SELECT CAST(floor($valueCol / $bucketWidth) AS BIGINT) AS bucket,
+       |    COUNT(*) AS base_n
+       |  FROM orders WHERE $baseFilter GROUP BY 1),
+       |c AS (
+       |  SELECT CAST(floor($valueCol / $bucketWidth) AS BIGINT) AS bucket,
+       |    COUNT(*) AS cur_n
+       |  FROM orders GROUP BY 1),
+       |j AS (
+       |  SELECT COALESCE(b.bucket, c.bucket) AS bucket,
+       |    COALESCE(base_n, 0) AS base_n, COALESCE(cur_n, 0) AS cur_n
+       |  FROM b FULL OUTER JOIN c ON b.bucket = c.bucket),
+       |f AS (
+       |  SELECT bucket, base_n, cur_n,
+       |    CAST(SUM(base_n) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |      / SUM(base_n) OVER () AS bF,
+       |    CAST(SUM(cur_n) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |      / SUM(cur_n) OVER () AS cF
+       |  FROM j)
+       |SELECT bucket, base_n, cur_n,
+       |  ROUND(bF, 6) AS base_cdf,
+       |  ROUND(cF, 6) AS cur_cdf,
+       |  ROUND(abs(bF - cF) * $bucketWidth, 6) AS w1_term,
+       |  ROUND(SUM(abs(bF - cF) * $bucketWidth) OVER (), 6) AS w1
+       |FROM f ORDER BY bucket""".stripMargin
+
   /** Equi-depth PSI — [[psiReport]] with bins that adapt to the
     * BASELINE's distribution instead of a fixed width: edges are the
     * baseline's interior `nBins`-quantiles, so every bucket holds

@@ -31,6 +31,29 @@ class DriftSpec extends AnyFunSuite {
     assert(got(0L) == expect && got(1L) == expect)
   }
 
+  test("wasserstein: identical slices score 0; a pure shift scores its size") {
+    val base = (1 to 100).map(i => (i % 10) * 10.0).toDF("v")
+    val same = Drift.wassersteinReport(base, base, "v", 10.0)
+      .select("w1").as[Double].collect()
+    assert(same.forall(_ == 0.0))
+    // shift every value by exactly 3 buckets (30 units): W1 = 30
+    val shifted = (1 to 100).map(i => (i % 10) * 10.0 + 30.0).toDF("v")
+    val w1 = Drift.wassersteinReport(base, shifted, "v", 10.0)
+      .select("w1").as[Double].collect().head
+    assert(w1 == 30.0)
+  }
+
+  test("wasserstein: hand-computed two-bucket case with units") {
+    // base mass (.75, .25) on buckets 0,1; cur (.25, .75); width 10
+    // cdfs: base (.75, 1), cur (.25, 1) → |Δ| = (.5, 0) → W1 = 5.0
+    val base = Seq(1.0, 1.0, 1.0, 11.0).toDF("v")
+    val cur = Seq(1.0, 11.0, 11.0, 11.0).toDF("v")
+    val rows = Drift.wassersteinReport(base, cur, "v", 10.0)
+      .select("bucket", "w1_term", "w1")
+      .as[(Long, Double, Double)].collect().toList
+    assert(rows == List((0L, 5.0, 5.0), (1L, 0.0, 5.0)))
+  }
+
   test("chi-square: hand-computed 2x2 case; identical mixes score 0") {
     // base: 30 a / 10 b; cur: 10 a / 30 b. Totals: rt_a=40, rt_b=40,
     // gt=80, side totals 40/40 → every E = 20; contrib per category =
