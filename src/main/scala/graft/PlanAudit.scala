@@ -65,7 +65,10 @@ object PlanAudit {
     "q213_daily_acf",
     // conformal gate: the calibration threshold is a 1-row broadcast
     // stat factor into the eval aggregate
-    "q219_conformal")
+    "q219_conformal",
+    // bootstrap: the full-data point estimate is a 1-row broadcast
+    // stat factor beside the replicate-mean aggregate
+    "q221_bootstrap_ci")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

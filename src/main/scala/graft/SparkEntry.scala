@@ -43,6 +43,17 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- Poisson-bootstrap CI for a corpus mean: every row derives
+    //      its B replicate weights from a seeded hash (no resample
+    //      ever materializes — the distributed bootstrap); one map +
+    //      one B-group agg, CI over the 32 replicate means ----
+    "q221_bootstrap_ci" -> ((s, dir) =>
+      graft.operators.Bootstrap.meanCi(
+        t(s, dir, "documents").select(col("doc_id"),
+          size(filter(TextFunctions.tokens(col("text")),
+            w => w =!= "")).cast("double").as("n_tokens")),
+        "doc_id", "n_tokens")),
+
     // ---- Bucketed Wasserstein-1 drift: the drift metric with UNITS
     //      (how far the price distribution moved, in dollars) beside
     //      PSI/KS/JS/chi²; one grouped count per side + a cumulative
@@ -2817,6 +2828,9 @@ object SparkEntry {
     "q220_wasserstein" ->
       graft.operators.Drift.wassersteinOracleSql(
         "o_totalprice", 20000.0, "year(o_orderdate) <= 1996"),
+
+    "q221_bootstrap_ci" ->
+      graft.operators.Bootstrap.oracleSql(),
 
     "q216_mutual_info" ->
       graft.quality.Dependencies.miOracleSql("events",
