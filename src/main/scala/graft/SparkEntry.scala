@@ -43,6 +43,31 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- Degree distribution + power-law MLE of the nav graph (the
+    //      graph-health headline: is this web-like or a broadcast
+    //      hub?); histogram-reduced MLE, degree-cardinality output ----
+    "q223_degree_profile" -> ((s, dir) =>
+      graft.operators.GraphRank.degreeProfile(t(s, dir, "events"))),
+
+    // ---- Streaming Wasserstein monitor: per-micro-batch earth-mover
+    //      distance vs a pinned baseline snapshot — "how far did the
+    //      feed move, in dollars" beside q110's "how surprising";
+    //      single AvailableNow batch ⇒ shares q220's oracle ----
+    "q222_stream_wasserstein" -> ((s, dir) => {
+      import graft.lake.TableLog
+      val root = java.nio.file.Files.createTempDirectory("graft_q222")
+      val baseline = root.resolve("baseline").toString
+      TableLog.commitOverwrite(s, baseline,
+        t(s, dir, "orders").select(col("o_totalprice"))
+          .filter(year(col("o_orderdate")) <= 1996))
+      graft.streaming.DriftMonitor.monitorW1(s, dir, "orders.parquet",
+        baseline, 1, root.resolve("report").toString,
+        "o_totalprice", bucketWidth = 20000.0,
+        root.resolve("ckpt").toString)
+      TableLog.read(s, root.resolve("report").toString)
+        .orderBy("batch_id", "bucket")
+    }),
+
     // ---- Poisson-bootstrap CI for a corpus mean: every row derives
     //      its B replicate weights from a seeded hash (no resample
     //      ever materializes — the distributed bootstrap); one map +
@@ -2822,6 +2847,9 @@ object SparkEntry {
     "q218_personalized_rank" ->
       graft.operators.GraphRank.personalizedOracleSql(Seq(0, 1, 2, 3, 4)),
 
+    "q223_degree_profile" ->
+      graft.operators.GraphRank.degreeOracleSql,
+
     "q219_conformal" ->
       graft.operators.Conformal.oracleSql(0.1),
 
@@ -2831,6 +2859,12 @@ object SparkEntry {
 
     "q221_bootstrap_ci" ->
       graft.operators.Bootstrap.oracleSql(),
+
+    "q222_stream_wasserstein" ->
+      graft.operators.Drift.wassersteinOracleSql(
+        "o_totalprice", 20000.0, "year(o_orderdate) <= 1996").replace(
+        "AS w1\nFROM f",
+        "AS w1,\n  CAST(0 AS BIGINT) AS batch_id\nFROM f"),
 
     "q216_mutual_info" ->
       graft.quality.Dependencies.miOracleSql("events",

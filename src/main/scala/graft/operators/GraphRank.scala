@@ -243,6 +243,63 @@ object GraphRank {
        |ORDER BY page""".stripMargin
   }
 
+  /** Degree distribution of the simple undirected navigation graph,
+    * with the continuous-approximation power-law MLE α̂ = 1 +
+    * n / Σ ln(dᵢ / (d_min − ½)) (Clauset, Shalizi & Newman, SIAM Rev.
+    * 2009, eq. 3.7 with d_min = 1) carried on every row — the
+    * graph-health headline: web-like link graphs run α ≈ 2–3; α far
+    * outside that band (or a histogram with no tail at all) says the
+    * "link graph" is really a broadcast hub or a synthetic mesh, which
+    * changes what PageRank/community weights mean downstream.
+    *
+    * Dataflow: edge extraction is the only corpus-scale stage; degrees
+    * and their histogram are graph- then degree-cardinality. The MLE
+    * reduces over the HISTOGRAM (Σ n_d·ln d), not per-node rows. */
+  def degreeProfile(events: DataFrame): DataFrame = {
+    val dir = navigationEdges(events)
+    val u = dir.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val degrees = u.select(col("a").as("page"))
+      .union(u.select(col("b").as("page")))
+      .groupBy("page").agg(count(lit(1)).as("degree"))
+    val hist = degrees.groupBy("degree")
+      .agg(count(lit(1)).as("n_nodes"))
+    val wAll = Window.partitionBy(lit(1))
+    hist
+      .withColumn("frac",
+        round(col("n_nodes") / sum("n_nodes").over(wAll), 6))
+      .withColumn("alpha_mle",
+        round(lit(1.0) + sum("n_nodes").over(wAll).cast("double") /
+          sum(col("n_nodes") * log(col("degree") / lit(0.5))).over(wAll),
+          6))
+      .select("degree", "n_nodes", "frac", "alpha_mle")
+      .orderBy("degree")
+  }
+
+  /** DuckDB oracle for [[degreeProfile]]. */
+  val degreeOracleSql: String =
+    """WITH seq AS (
+      |  SELECT page, LEAD(page) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS next
+      |  FROM (SELECT CAST(props->>'k' AS INTEGER) AS page,
+      |          user_id, ts, event_id FROM events)
+      |  WHERE page IS NOT NULL),
+      |u AS (
+      |  SELECT DISTINCT LEAST(page, next) AS a, GREATEST(page, next) AS b
+      |  FROM seq WHERE next IS NOT NULL AND page <> next),
+      |deg AS (
+      |  SELECT page, COUNT(*) AS degree FROM (
+      |    SELECT a AS page FROM u UNION ALL SELECT b FROM u)
+      |  GROUP BY 1),
+      |h AS (SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY 1)
+      |SELECT degree, CAST(n_nodes AS BIGINT) AS n_nodes,
+      |  ROUND(CAST(n_nodes AS DOUBLE) / SUM(n_nodes) OVER (), 6) AS frac,
+      |  ROUND(1.0 + CAST(SUM(n_nodes) OVER () AS DOUBLE) /
+      |    SUM(n_nodes * ln(degree / 0.5)) OVER (), 6) AS alpha_mle
+      |FROM h ORDER BY degree""".stripMargin
+
   /** DuckDB oracle for [[navigationRank]]: the identical computation as
     * chained CTEs — one `r{i}` CTE per iteration, same 9-decimal
     * per-iteration round, same dangling redistribution. Generated here

@@ -145,6 +145,51 @@ object DriftMonitor {
     q.awaitTermination()
   }
 
+  // ---- Wasserstein variant: same monitoring contract, the report is
+  // [[Drift.wassersteinReport]] — the monitor that answers "how far
+  // did the feed move, in the column's units" where the PSI lane
+  // answers "how surprising is the move". Per batch: one grouped
+  // count each side + a cumulative window over the bucket table. ----
+
+  private def w1Action(batchId: Long) = s"w1-$batchId"
+
+  /** One batch's Wasserstein report, replay-safe (0 rows on a fully
+    * replayed batch). */
+  private[graft] def reportW1Once(spark: SparkSession, batch: DataFrame,
+      baselinePath: String, baselineVersion: Int, reportPath: String,
+      valueCol: String, bucketWidth: Double, batchId: Long): Long = {
+    val act = w1Action(batchId)
+    val hist = TableLog.history(spark, reportPath)
+    if (hist.exists(_.action == act)) return 0L
+    val baseline = TableLog.read(spark, baselinePath, Some(baselineVersion))
+    val report = Drift
+      .wassersteinReport(baseline, batch, valueCol, bucketWidth)
+      .withColumn("batch_id", lit(batchId))
+    val prevDirs = hist.lastOption.map(_.dirs.toSet).getOrElse(Set.empty[String])
+    val c = TableLog.commitAppend(spark, reportPath, report, act)
+    TableLog.newDirRows(c, prevDirs).getOrElse(report.count())
+  }
+
+  /** Streaming Wasserstein monitor over a parquet stream; same
+    * trigger/replay contract as [[monitor]]. */
+  def monitorW1(spark: SparkSession, sourceDir: String, glob: String,
+      baselinePath: String, baselineVersion: Int, reportPath: String,
+      valueCol: String, bucketWidth: Double, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val ss = Streams.streamSession(spark)
+    val q = Streams.parquetStream(ss, sourceDir, glob, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        reportW1Once(batch.sparkSession, batch, baselinePath,
+          baselineVersion, reportPath, valueCol, bucketWidth, batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   // ---- separability variant: same monitoring contract, the report
   // is one [[graft.operators.ClassifierEval.aucSummary]] row per
   // batch beside the pinned baseline's AUC — what a quality-scorer

@@ -137,6 +137,27 @@ class DriftMonitorSpec extends AnyFunSuite {
     assert(TableLog.latestVersion(spark, report) == v1)
   }
 
+  test("w1 monitor: batch report equals the batch operator; replay commits nothing") {
+    val root = Files.createTempDirectory("graft_w1mon")
+    val baseline = root.resolve("baseline").toString
+    TableLog.commitOverwrite(spark, baseline,
+      Seq(1.0, 1.0, 1.0, 11.0).toDF("v"))
+    val report = root.resolve("report").toString
+    val batch = Seq(1.0, 11.0, 11.0, 11.0).toDF("v")
+    val n1 = DriftMonitor.reportW1Once(spark, batch, baseline, 1,
+      report, "v", 10.0, batchId = 4L)
+    assert(n1 == 2L)
+    val got = TableLog.read(spark, report)
+      .select("bucket", "w1_term", "w1", "batch_id")
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._1).toList
+    // hand case from DriftSpec: |ΔCDF| = (.5, 0) × width 10 → W1 = 5
+    assert(got == List((0L, 5.0, 5.0, 4L), (1L, 0.0, 5.0, 4L)))
+    val v1 = TableLog.latestVersion(spark, report)
+    assert(DriftMonitor.reportW1Once(spark, batch, baseline, 1,
+      report, "v", 10.0, batchId = 4L) == 0L)
+    assert(TableLog.latestVersion(spark, report) == v1)
+  }
+
   test("auc monitor: batch report equals the batch operator; decay shows as delta") {
     val root = Files.createTempDirectory("graft_aucmon")
     val baseline = root.resolve("baseline").toString

@@ -107,6 +107,31 @@ class GraphRankSpec extends AnyFunSuite {
     assert(r(4) == 0.0 && r(5) == 0.0)   // no path from seed
   }
 
+  test("degree profile: histogram and MLE on a hand graph") {
+    // star: hub degree 4, leaves degree 1 → hist {1→4, 4→1}
+    // alpha = 1 + 5 / (4·ln2 + 1·ln8)
+    import org.apache.spark.sql.functions.{col, lit}
+    val ev = Seq(
+      (1L, 100L, "2024-01-01 10:00:00", """{"k": 0}"""),
+      (2L, 100L, "2024-01-01 10:01:00", """{"k": 1}"""),
+      (3L, 101L, "2024-01-01 10:00:00", """{"k": 0}"""),
+      (4L, 101L, "2024-01-01 10:01:00", """{"k": 2}"""),
+      (5L, 102L, "2024-01-01 10:00:00", """{"k": 0}"""),
+      (6L, 102L, "2024-01-01 10:01:00", """{"k": 3}"""),
+      (7L, 103L, "2024-01-01 10:00:00", """{"k": 0}"""),
+      (8L, 103L, "2024-01-01 10:01:00", """{"k": 4}"""))
+      .toDF("event_id", "user_id", "ts_s", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val got = GraphRank.degreeProfile(ev)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val alpha = BigDecimal(1.0 + 5.0 /
+      (4 * math.log(1 / 0.5) + math.log(4 / 0.5)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((4L, 0.8, alpha)))
+    assert(got(4L) == ((1L, 0.2, alpha)))
+  }
+
   test("ppr: dangling mass restarts at the seeds, not uniformly") {
     // 1 -> 2, 2 dangles; every drop of 2's mass must come back to 1
     val r = GraphRank.personalizedRank(spark,
