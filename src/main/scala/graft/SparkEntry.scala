@@ -43,6 +43,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- CUSUM change detection per event type (Page '54): the
+    //      SEQUENTIAL drift detector — accumulates evidence of a
+    //      level shift and flags the crossing day. The textbook
+    //      recurrence runs as its closed reflected-walk form
+    //      S = P − min(0, min P): two per-key cumulative windows
+    //      over the daily table, no recursion ----
+    "q224_cusum" -> ((s, dir) =>
+      graft.operators.Anomaly.cusumReport(t(s, dir, "events"))),
+
     // ---- Degree distribution + power-law MLE of the nav graph (the
     //      graph-health headline: is this web-like or a broadcast
     //      hub?); histogram-reduced MLE, degree-cardinality output ----
@@ -2849,6 +2858,9 @@ object SparkEntry {
 
     "q223_degree_profile" ->
       graft.operators.GraphRank.degreeOracleSql,
+
+    "q224_cusum" ->
+      graft.operators.Anomaly.cusumOracleSql(),
 
     "q219_conformal" ->
       graft.operators.Conformal.oracleSql(0.1),

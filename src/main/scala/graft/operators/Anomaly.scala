@@ -222,6 +222,84 @@ object Anomaly {
        |FROM w JOIN md ON w.$keyCol = md.$keyCol
        |ORDER BY w.$keyCol, w.d""".stripMargin
 
+  /** One-sided CUSUM change detection on each key's daily-count series
+    * (Page 1954) — the SEQUENTIAL drift detector beside the
+    * two-slice family (PSI/KS/W₁ compare snapshots; CUSUM watches the
+    * series accumulate evidence of a level shift and flags the day it
+    * crosses, with the classic sensitivity/false-alarm trade set by
+    * slack `k` and threshold `h`, both in units of the per-key
+    * baseline σ).
+    *
+    * The textbook recurrence S_t = max(0, S_{t−1} + (x_t − μ − kσ)) is
+    * a sequential loop, but it has the closed window form
+    * S_t = P_t − min_{s ≤ t} P_s over the prefix sums
+    * P_t = Σ_{i ≤ t} (x_i − μ − kσ) — two cumulative windows
+    * PARTITIONED PER KEY over the day-cardinality table, no recursion
+    * and no cross-key coupling. μ and σ come from the first
+    * `baselineDays` days of each key's series (population σ). */
+  def cusumReport(events: DataFrame, keyCol: String = "event_type",
+      baselineDays: Int = 10, k: Double = 0.5,
+      h: Double = 4.0): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val wRank = Window.partitionBy(keyCol).orderBy("d")
+    val ranked = daily.withColumn("__i", row_number().over(wRank))
+    val base = ranked.where(col("__i") <= baselineDays)
+      .groupBy(keyCol)
+      .agg(avg("c").as("__mu"),
+        sqrt(greatest(avg(col("c") * col("c")) -
+          avg("c") * avg("c"), lit(0.0))).as("__sd"))
+    val wCum = Window.partitionBy(keyCol).orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranked.join(base, keyCol)
+      .withColumn("__p",
+        sum(col("c") - col("__mu") - lit(k) * col("__sd")).over(wCum))
+      .withColumn("__s", col("__p") - min(least(col("__p"), lit(0.0)))
+        .over(wCum))
+      .select(col(keyCol), col("d"), col("c"),
+        round(col("__mu"), 4).as("base_mean"),
+        round(col("__sd"), 4).as("base_sd"),
+        round(col("__s"), 4).as("cusum"),
+        when(col("__sd") === 0.0, col("__s") > 0.0)
+          .otherwise(col("__s") > lit(h) * col("__sd")).as("alarm"))
+      .orderBy(col(keyCol), col("d"))
+  }
+
+  /** DuckDB oracle for [[cusumReport]]. */
+  def cusumOracleSql(keyCol: String = "event_type",
+      baselineDays: Int = 10, k: Double = 0.5,
+      h: Double = 4.0): String =
+    s"""WITH daily AS (
+       |  SELECT $keyCol, CAST(ts AS DATE) AS d,
+       |    CAST(COUNT(*) AS DOUBLE) AS c
+       |  FROM events GROUP BY 1, 2),
+       |r AS (
+       |  SELECT $keyCol, d, c,
+       |    ROW_NUMBER() OVER (PARTITION BY $keyCol ORDER BY d) AS i
+       |  FROM daily),
+       |b AS (
+       |  SELECT $keyCol, AVG(c) AS mu,
+       |    sqrt(GREATEST(AVG(c * c) - AVG(c) * AVG(c), 0.0)) AS sd
+       |  FROM r WHERE i <= $baselineDays GROUP BY 1),
+       |p AS (
+       |  SELECT r.$keyCol, d, c, mu, sd,
+       |    SUM(c - mu - $k * sd) OVER (PARTITION BY r.$keyCol ORDER BY d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+       |  FROM r JOIN b ON r.$keyCol = b.$keyCol),
+       |s AS (
+       |  SELECT $keyCol, d, c, mu, sd,
+       |    pp - MIN(LEAST(pp, 0.0)) OVER (PARTITION BY $keyCol ORDER BY d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ss
+       |  FROM p)
+       |SELECT $keyCol, d, c,
+       |  ROUND(mu, 4) AS base_mean,
+       |  ROUND(sd, 4) AS base_sd,
+       |  ROUND(ss, 4) AS cusum,
+       |  CASE WHEN sd = 0 THEN ss > 0
+       |    ELSE ss > $h * sd END AS alarm
+       |FROM s ORDER BY $keyCol, d""".stripMargin
+
   /** DuckDB oracle for [[dailyAcf]]. */
   def acfOracleSql(maxLag: Int = 7): String =
     s"""WITH daily AS (

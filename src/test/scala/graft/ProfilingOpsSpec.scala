@@ -141,6 +141,41 @@ class ProfilingOpsSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  // ---- CUSUM ----
+
+  private def dayEvents(counts: Seq[Int], key: String = "a") =
+    counts.zipWithIndex.flatMap { case (n, d) =>
+      (1 to n).map(i => (d.toLong * 1000 + i,
+        java.sql.Timestamp.valueOf(f"2024-05-${d + 1}%02d 12:00:00"), key))
+    }.toDF("event_id", "ts", "event_type")
+
+  test("cusum: reflected-walk closed form equals the sequential recurrence") {
+    // arbitrary wiggly series; verify against a direct Scala loop
+    val counts = Seq(10, 12, 9, 11, 10, 8, 12, 10, 9, 11, 14, 16, 18, 20)
+    val got = Anomaly.cusumReport(dayEvents(counts),
+      baselineDays = 10, k = 0.5, h = 4.0)
+      .select("cusum").as[Double].collect().toSeq
+    val base = counts.take(10).map(_.toDouble)
+    val mu = base.sum / base.size
+    val sd = math.sqrt(base.map(x => x * x).sum / base.size - mu * mu)
+    var st = 0.0
+    val expect = counts.map { x =>
+      st = math.max(0.0, st + (x - mu - 0.5 * sd))
+      BigDecimal(st).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got == expect)
+  }
+
+  test("cusum: a level shift alarms after the shift, never before") {
+    val counts = Seq.fill(10)(10) ++ Seq.fill(6)(10) ++ Seq.fill(8)(30)
+    val got = Anomaly.cusumReport(dayEvents(counts),
+      baselineDays = 10)
+      .select("d", "alarm").as[(java.sql.Date, Boolean)].collect()
+    val firstAlarm = got.indexWhere(_._2)
+    assert(firstAlarm >= 16, s"alarm before the shift at $firstAlarm")
+    assert(got.drop(firstAlarm).forall(_._2), "alarm must latch while high")
+  }
+
   // ---- daily ACF ----
 
   test("acf: a perfectly periodic series spikes at its period") {
