@@ -68,7 +68,10 @@ object PlanAudit {
     "q219_conformal",
     // bootstrap: the full-data point estimate is a 1-row broadcast
     // stat factor beside the replicate-mean aggregate
-    "q221_bootstrap_ci")
+    "q221_bootstrap_ci",
+    // ks-fdr: grand total and test count are 1-row broadcast stat
+    // factors; the slice×bucket grid is a bounded deliberate cross
+    "q225_ks_fdr")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

@@ -43,6 +43,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- Per-source KS screen with Benjamini–Hochberg FDR control:
+    //      every source tested against the complement from ONE
+    //      (slice × bucket) count table; BH keeps the expected false
+    //      fraction among fired alarms ≤ α across the whole fleet ----
+    "q225_ks_fdr" -> ((s, dir) =>
+      graft.operators.Drift.ksBySliceFdr(
+        t(s, dir, "documents"), "source", "n_chars",
+        bucketWidth = 100.0)),
+
     // ---- CUSUM change detection per event type (Page '54): the
     //      SEQUENTIAL drift detector — accumulates evidence of a
     //      level shift and flags the crossing day. The textbook
@@ -2861,6 +2870,10 @@ object SparkEntry {
 
     "q224_cusum" ->
       graft.operators.Anomaly.cusumOracleSql(),
+
+    "q225_ks_fdr" ->
+      graft.operators.Drift.ksFdrOracleSql(
+        "documents", "source", "n_chars", 100.0),
 
     "q219_conformal" ->
       graft.operators.Conformal.oracleSql(0.1),

@@ -49,6 +49,156 @@ object Drift {
       .orderBy("bucket")
   }
 
+  /** Per-slice two-sample KS screen with Benjamini–Hochberg FDR
+    * control — the MULTIPLE-TESTING form of drift monitoring: a fleet
+    * that KS-tests every source/tenant/shard slice against the rest of
+    * the corpus every night runs hundreds of simultaneous tests, and
+    * raw p < 0.05 alarms would page someone almost surely on pure
+    * noise. BH (Benjamini & Hochberg 1995) adjusts each slice's
+    * p-value so that the EXPECTED FALSE-DISCOVERY FRACTION among
+    * fired alarms stays ≤ α — the standard way a monitoring fleet is
+    * made quiet without going blind.
+    *
+    * Dataflow: ONE grouped count to the (slice × value-bucket) table;
+    * every slice's D statistic comes from cumulative windows over the
+    * dense slice×bucket grid (slice-cardinality × bucket-cardinality,
+    * never corpus-sized; each slice compares to the COMPLEMENT derived
+    * from the same counts, so the corpus is scanned once, not once per
+    * slice). P-values use the Stephens small-sample-corrected
+    * asymptotic KS series (5 terms); BH is two windows over the
+    * slice-cardinality result. */
+  def ksBySliceFdr(df: DataFrame, sliceCol: String, valueCol: String,
+      bucketWidth: Double, alpha: Double = 0.05): DataFrame = {
+    require(bucketWidth > 0.0, "bucket width must be positive")
+    val counts = df
+      .select(col(sliceCol).as("slice"),
+        floor(col(valueCol) / bucketWidth).cast("bigint").as("bucket"))
+      .groupBy("slice", "bucket").agg(count(lit(1)).as("c"))
+    val slices = counts.select("slice").distinct()
+    val buckets = counts.select("bucket").distinct()
+    val grid = slices.crossJoin(buckets)   // bounded: |slices|·|buckets|
+      .join(counts, Seq("slice", "bucket"), "left_outer")
+      .na.fill(0L, Seq("c"))
+    val bucketTotals = counts.groupBy("bucket").agg(sum("c").as("g"))
+    // slice totals and the grand total as JOINED stat tables, not
+    // stacked window functions: a second unbounded window with a
+    // different partition spec over this frame CORRUPTS the first
+    // (both return the grand total — reproduced on Spark 4.1 with and
+    // without constant partition keys), so the totals come from plain
+    // uniquely-named aggs instead
+    val sliceTotals = counts.groupBy("slice")
+      .agg(sum("c").as("slice_total"))
+    val grandTotal = counts.agg(sum("c").as("grand_total"))
+    val wCum = Window.partitionBy("slice").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val d = grid.join(bucketTotals, "bucket")
+      .join(broadcast(sliceTotals), "slice")
+      .crossJoin(broadcast(grandTotal))   // 1-row stat factor
+      .withColumn("__rest", col("g") - col("c"))
+      .withColumn("__Fs", sum("c").over(wCum) / col("slice_total"))
+      .withColumn("__Fr", sum("__rest").over(wCum) /
+        (col("grand_total") - col("slice_total")))
+      .groupBy("slice")
+      .agg(
+        first("slice_total").as("n_slice"),
+        (first("grand_total") - first("slice_total")).as("n_rest"),
+        max(abs(col("__Fs") - col("__Fr"))).as("__D"))
+    // Stephens-corrected asymptotic p (5-term alternating series)
+    val ne = (col("n_slice") * col("n_rest")).cast("double") /
+      (col("n_slice") + col("n_rest")).cast("double")
+    val lam = (sqrt(ne) + lit(0.12) + lit(0.11) / sqrt(ne)) * col("__D")
+    val pRaw = (1 to 5).map { k =>
+      lit(2.0 * (if (k % 2 == 1) 1.0 else -1.0)) *
+        exp(lit(-2.0 * k * k) * lam * lam)
+    }.reduce(_ + _)
+    val withP = d.withColumn("__p",
+      least(greatest(pRaw, lit(0.0)), lit(1.0)))
+    // BH step-up: rank ascending by p; adj = min_{j>=i} p_j·m/j, ≤ 1.
+    // m joins as a 1-row stat table (same window-mixing caution as the
+    // totals above); the rank windows run over the slice-cardinality
+    // result only
+    val wRank = Window.partitionBy(lit(1)).orderBy(col("__p"), col("slice"))
+    val wBack = Window.partitionBy(lit(1))
+      .orderBy(col("__p").desc, col("slice").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withP
+      .crossJoin(broadcast(sliceTotals.agg(count(lit(1)).as("__m"))))
+      .withColumn("__i", row_number().over(wRank))
+      .withColumn("__adj",
+        least(min(col("__p") * col("__m") / col("__i")).over(wBack),
+          lit(1.0)))
+      .select(col("slice"), col("n_slice"), col("n_rest"),
+        round(col("__D"), 6).as("ks_d"),
+        round(col("__p"), 6).as("p_value"),
+        round(col("__adj"), 6).as("p_adj"),
+        (col("__adj") <= alpha).as("discovery"))
+      .orderBy("slice")
+  }
+
+  /** DuckDB oracle for [[ksBySliceFdr]] with expressions for the slice
+    * and value columns. */
+  def ksFdrOracleSql(table: String, sliceExpr: String, valueExpr: String,
+      bucketWidth: Double, alpha: Double = 0.05): String =
+    s"""WITH counts AS (
+       |  SELECT $sliceExpr AS slice,
+       |    CAST(floor($valueExpr / $bucketWidth) AS BIGINT) AS bucket,
+       |    COUNT(*) AS c
+       |  FROM $table GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT s.slice, b.bucket, COALESCE(c.c, 0) AS c
+       |  FROM (SELECT DISTINCT slice FROM counts) s
+       |  CROSS JOIN (SELECT DISTINCT bucket FROM counts) b
+       |  LEFT JOIN counts c ON c.slice = s.slice AND c.bucket = b.bucket),
+       |bt AS (SELECT bucket, SUM(c) AS g FROM counts GROUP BY 1),
+       |f AS (
+       |  SELECT grid.slice, grid.bucket, grid.c, bt.g,
+       |    SUM(grid.c) OVER (PARTITION BY grid.slice) AS n,
+       |    SUM(grid.c) OVER () AS nn,
+       |    SUM(grid.c) OVER (PARTITION BY grid.slice ORDER BY grid.bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+       |    SUM(bt.g - grid.c) OVER (PARTITION BY grid.slice
+       |      ORDER BY grid.bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr
+       |  FROM grid JOIN bt ON grid.bucket = bt.bucket),
+       |dstat AS (
+       |  SELECT slice, ANY_VALUE(n) AS n_slice,
+       |    ANY_VALUE(nn) - ANY_VALUE(n) AS n_rest,
+       |    MAX(abs(CAST(cs AS DOUBLE) / n -
+       |            CAST(cr AS DOUBLE) / (nn - n))) AS d
+       |  FROM f GROUP BY slice),
+       |pv AS (
+       |  SELECT slice, n_slice, n_rest, d,
+       |    LEAST(GREATEST(
+       |      2.0 * exp(-2.0 * lam * lam)
+       |      - 2.0 * exp(-8.0 * lam * lam)
+       |      + 2.0 * exp(-18.0 * lam * lam)
+       |      - 2.0 * exp(-32.0 * lam * lam)
+       |      + 2.0 * exp(-50.0 * lam * lam), 0.0), 1.0) AS p
+       |  FROM (
+       |    SELECT *, (sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * d AS lam
+       |    FROM (
+       |      SELECT *,
+       |        CAST(n_slice AS DOUBLE) * n_rest /
+       |          (n_slice + n_rest) AS ne
+       |      FROM dstat))),
+       |bh AS (
+       |  SELECT slice, n_slice, n_rest, d, p,
+       |    ROW_NUMBER() OVER (ORDER BY p, slice) AS i,
+       |    COUNT(*) OVER () AS m
+       |  FROM pv)
+       |SELECT slice,
+       |  CAST(n_slice AS BIGINT) AS n_slice,
+       |  CAST(n_rest AS BIGINT) AS n_rest,
+       |  ROUND(d, 6) AS ks_d,
+       |  ROUND(p, 6) AS p_value,
+       |  ROUND(LEAST(MIN(p * m / i) OVER (ORDER BY p DESC, slice DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6)
+       |    AS p_adj,
+       |  LEAST(MIN(p * m / i) OVER (ORDER BY p DESC, slice DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0)
+       |    <= $alpha AS discovery
+       |FROM bh ORDER BY slice""".stripMargin
+
   /** Bucketed Wasserstein-1 (earth-mover) distance between two slices
     * of a numeric column — the drift metric the rest of the family
     * lacks a unit for: PSI and JS are dimensionless divergences, KS is

@@ -43,6 +43,42 @@ class DriftSpec extends AnyFunSuite {
     assert(w1 == 30.0)
   }
 
+  test("ks-fdr: pure noise stays quiet; a planted shift is the top discovery") {
+    val rnd = new scala.util.Random(31)
+    def corpus(shift: Double) = (0 until 10).flatMap { s =>
+      val sh = if (s == 7) shift else 0.0
+      (1 to 400).map(_ => (s"src$s",
+        sh + math.abs(rnd.nextGaussian()) * 100))
+    }.toDF("source", "v")
+    // no shift anywhere: BH must keep finite-sample noise quiet
+    val quiet = Drift.ksBySliceFdr(corpus(0.0), "source", "v", 50.0)
+      .select("discovery").as[Boolean].collect()
+    assert(quiet.count(identity) == 0, "pure noise fired an alarm")
+    // hard shift: src7 must be discovered with the strictly smallest
+    // adjusted p. (Null slices MAY also fire — each is tested against
+    // a complement CONTAINING the outlier slice, so "different from
+    // the rest" is genuinely true of them too; the ranking is the
+    // operator's contract, quietness belongs to the null world above.)
+    val got = Drift.ksBySliceFdr(corpus(500.0), "source", "v", 50.0)
+      .select("slice", "p_adj", "discovery")
+      .as[(String, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("src7")._2, s"the planted shift must be discovered: $got")
+    assert(got.filterNot(_._1 == "src7")
+      .forall(_._2._1 >= got("src7")._1))
+  }
+
+  test("ks-fdr: BH step-up math on hand p-values via identical slices") {
+    // all slices identical → D ≈ 0, p ≈ 1, adj = 1, no discoveries
+    val rows = (0 until 4).flatMap { s =>
+      (1 to 100).map(i => (s"s$s", (i % 10) * 10.0)) }
+    val got = Drift.ksBySliceFdr(rows.toDF("source", "v"),
+      "source", "v", 10.0)
+      .select("ks_d", "p_adj", "discovery")
+      .as[(Double, Double, Boolean)].collect()
+    assert(got.forall(r => r._1 == 0.0 && r._2 == 1.0 && !r._3))
+  }
+
   test("wasserstein: hand-computed two-bucket case with units") {
     // base mass (.75, .25) on buckets 0,1; cur (.25, .75); width 10
     // cdfs: base (.75, 1), cur (.25, 1) → |Δ| = (.5, 0) → W1 = 5.0
