@@ -43,6 +43,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- 8-gram novelty curve over ingestion order: what fraction
+    //      of each doc bucket's phrase mass is NEW to the corpus —
+    //      the "this feed has stopped adding information" signal;
+    //      one explode + one gram-keyed min, hashes travel ----
+    "q226_novelty_curve" -> ((s, dir) =>
+      graft.operators.Vocab.noveltyCurve(t(s, dir, "documents"))),
+
     // ---- Per-source KS screen with Benjamini–Hochberg FDR control:
     //      every source tested against the complement from ONE
     //      (slice × bucket) count table; BH keeps the expected false
@@ -2874,6 +2881,9 @@ object SparkEntry {
     "q225_ks_fdr" ->
       graft.operators.Drift.ksFdrOracleSql(
         "documents", "source", "n_chars", 100.0),
+
+    "q226_novelty_curve" ->
+      graft.operators.Vocab.noveltyOracleSql(),
 
     "q219_conformal" ->
       graft.operators.Conformal.oracleSql(0.1),

@@ -144,6 +144,76 @@ object Vocab {
       .orderBy("bucket")
   }
 
+  /** N-gram novelty curve over ingestion order — what fraction of each
+    * doc-bucket's k-gram mass has NEVER appeared in an earlier
+    * document: the corpus self-repetition trend ([[growthCurve]]
+    * watches single-token vocabulary; k-grams track PHRASE reuse, the
+    * thing that actually saturates as a crawl keeps re-ingesting the
+    * same boilerplate web — a falling novelty curve is the "this feed
+    * has stopped adding information" signal that caps an ingestion
+    * run). Novelty is attributed at the DOCUMENT grain (a gram is
+    * novel only in the min-doc_id document containing it) and reported
+    * per bucket.
+    *
+    * Dataflow mirrors [[growthCurve]]: one explode to (gram, doc),
+    * one gram-keyed min to find first occurrences (hashes travel,
+    * never gram text), per-bucket sums — bucket-cardinality output. */
+  def noveltyCurve(docs: DataFrame, k: Int = 8,
+      bucketDocs: Long = 50L, textCol: String = "text"): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.ShingleHashes.shingleHashes(
+            TextFunctions.tokens(col(textCol)), k))).as("h"))
+    val firstDoc = grams.groupBy("h").agg(min("doc_id").as("first_doc"))
+    val perDoc = grams.join(firstDoc, "h")
+      .groupBy(expr(s"doc_id DIV $bucketDocs").as("bucket"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perDoc
+      .withColumn("novelty_frac",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
+      .withColumn("cum_novelty",
+        round(sum("n_novel").over(w).cast("double") /
+          sum("n_grams").over(w), 6))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB oracle for [[noveltyCurve]] (string k-grams instead of the
+    * engine's hashes; counts agree absent 64-bit collisions). */
+  def noveltyOracleSql(k: Int = 8, bucketDocs: Long = 50L): String = {
+    require(k == 8, "oracle inlines the k=8 gram constructor")
+    s"""WITH d AS (
+       |  SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, UNNEST(list_distinct(
+       |    list_transform(range(1, len(toks) - ${k - 2}),
+       |      i -> concat_ws(' ', ${(0 until 8).map(j => s"toks[i+$j]").mkString(", ")})))) AS gram
+       |  FROM d WHERE len(toks) >= $k),
+       |fd AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+       |pb AS (
+       |  SELECT g.doc_id // $bucketDocs AS bucket,
+       |    COUNT(*) AS n_grams,
+       |    SUM(CASE WHEN g.doc_id = fd.first_doc THEN 1 ELSE 0 END)
+       |      AS n_novel
+       |  FROM g JOIN fd ON g.gram = fd.gram
+       |  GROUP BY 1)
+       |SELECT bucket,
+       |  CAST(n_grams AS BIGINT) AS n_grams,
+       |  CAST(n_novel AS BIGINT) AS n_novel,
+       |  ROUND(CAST(n_novel AS DOUBLE) / n_grams, 6) AS novelty_frac,
+       |  ROUND(CAST(SUM(n_novel) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+       |    SUM(n_grams) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+       |    AS cum_novelty
+       |FROM pb ORDER BY bucket""".stripMargin
+  }
+
   /** DuckDB oracle for [[growthCurve]]. */
   def growthOracleSql(bucketDocs: Long = 50L): String =
     s"""WITH toks AS (

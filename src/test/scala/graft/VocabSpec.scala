@@ -85,4 +85,28 @@ class VocabSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("new_types")).toSeq == Seq(2L, 0L))
     assert(rows.last.getAs[Long]("cum_types") == 2L)
   }
+
+  test("novelty curve: fresh text is 1.0, verbatim re-ingest is 0.0") {
+    val fresh = "a b c d e f g h i j"           // 3 distinct 8-grams
+    val other = "q r s t u v w x y z"
+    val d = Seq((0L, fresh), (1L, other), (2L, fresh), (3L, other))
+      .toDF("doc_id", "text")
+    val rows = Vocab.noveltyCurve(d, k = 8, bucketDocs = 2L)
+      .select("bucket", "n_grams", "n_novel", "novelty_frac", "cum_novelty")
+      .as[(Long, Long, Long, Double, Double)].collect().toList
+    assert(rows == List((0L, 6L, 6L, 1.0, 1.0),
+      (1L, 6L, 0L, 0.0, 0.5)))
+  }
+
+  test("novelty curve: partial phrase overlap attributes at first occurrence") {
+    // doc 2 shares a 4-token suffix→prefix overlap with doc 0 long
+    // enough to repeat exactly one 8-gram
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9"        // grams at 1..2
+    val b = "w2 w3 w4 w5 w6 w7 w8 w9 x1 x2"     // first gram = a's 2nd
+    val d = Seq((0L, a), (5L, b)).toDF("doc_id", "text")
+    val rows = Vocab.noveltyCurve(d, k = 8, bucketDocs = 5L)
+      .select("bucket", "n_grams", "n_novel")
+      .as[(Long, Long, Long)].collect().toList
+    assert(rows == List((0L, 2L, 2L), (1L, 3L, 2L)))
+  }
 }
