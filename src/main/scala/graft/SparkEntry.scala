@@ -43,6 +43,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- Good–Turing unseen mass + Chao1 richness per source: "is
+    //      this source exhausted or barely sampled" — singleton mass
+    //      estimates the next-token-is-new probability, Chao1 the
+    //      true type count; one explode + two keyed aggs ----
+    "q227_unseen_mass" -> ((s, dir) =>
+      graft.operators.Vocab.unseenMass(t(s, dir, "documents"))),
+
     // ---- 8-gram novelty curve over ingestion order: what fraction
     //      of each doc bucket's phrase mass is NEW to the corpus —
     //      the "this feed has stopped adding information" signal;
@@ -2884,6 +2891,9 @@ object SparkEntry {
 
     "q226_novelty_curve" ->
       graft.operators.Vocab.noveltyOracleSql(),
+
+    "q227_unseen_mass" ->
+      graft.operators.Vocab.unseenOracleSql,
 
     "q219_conformal" ->
       graft.operators.Conformal.oracleSql(0.1),

@@ -144,6 +144,65 @@ object Vocab {
       .orderBy("bucket")
   }
 
+  /** Good–Turing unseen mass + Chao1 richness per source — "how much
+    * vocabulary have we NOT seen yet": the Good–Turing estimate puts
+    * the probability that the next token is a never-seen type at
+    * f₁/N (singleton count over token mass; Good 1953), and Chao1
+    * (Chao 1984) estimates the TRUE type count as V + f₁²/(2f₂) —
+    * together the "is this source exhausted or barely sampled" answer
+    * that decides whether to crawl a source deeper. A source whose
+    * unseen mass is near zero is fully harvested; one near 0.5 has
+    * half its token stream still arriving as new types.
+    *
+    * Dataflow: one explode + (source, token)-keyed count, then
+    * frequency-of-frequency aggregation per source — output is
+    * source-cardinality, the f-of-f table never leaves the agg. */
+  def unseenMass(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(col("source"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("source", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("source")
+      .agg(
+        sum("tf").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("tf") === 2, 1L).otherwise(0L)).as("f2"))
+      .withColumn("unseen_mass",
+        round(col("f1").cast("double") / col("n_tokens"), 6))
+      // the bias-corrected Chao1 form is defined even at f2 = 0
+      .withColumn("chao1",
+        round(col("n_types").cast("double") +
+          col("f1").cast("double") * (col("f1") - 1.0) /
+            (lit(2.0) * (col("f2") + 1.0)), 4))
+      .orderBy("source")
+
+  /** DuckDB oracle for [[unseenMass]]. */
+  val unseenOracleSql: String =
+    """WITH t AS (
+      |  SELECT source, UNNEST(str_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |tf AS (
+      |  SELECT source, token, COUNT(*) AS tf
+      |  FROM t WHERE token <> '' GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT source,
+      |    SUM(tf) AS n_tokens,
+      |    COUNT(*) AS n_types,
+      |    SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS f1,
+      |    SUM(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS f2
+      |  FROM tf GROUP BY 1)
+      |SELECT source,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_types AS BIGINT) AS n_types,
+      |  CAST(f1 AS BIGINT) AS f1,
+      |  CAST(f2 AS BIGINT) AS f2,
+      |  ROUND(CAST(f1 AS DOUBLE) / n_tokens, 6) AS unseen_mass,
+      |  ROUND(n_types + CAST(f1 AS DOUBLE) * (f1 - 1.0) /
+      |    (2.0 * (f2 + 1.0)), 4) AS chao1
+      |FROM agg ORDER BY source""".stripMargin
+
   /** N-gram novelty curve over ingestion order — what fraction of each
     * doc-bucket's k-gram mass has NEVER appeared in an earlier
     * document: the corpus self-repetition trend ([[growthCurve]]

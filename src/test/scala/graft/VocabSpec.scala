@@ -86,6 +86,21 @@ class VocabSpec extends AnyFunSuite {
     assert(rows.last.getAs[Long]("cum_types") == 2L)
   }
 
+  test("unseen mass: hand-computed f1/f2/chao1; exhausted source near 0") {
+    // source a: tokens x x y z → tf {x:2, y:1, z:1} → f1=2 f2=1
+    // unseen = 2/4; chao1 = 3 + 2·1/(2·2) = 3.5
+    // source b: w repeated 10 times → f1=0, unseen=0, chao1 = 1
+    val d = Seq((0L, "x x y z", "a"), (1L, Seq.fill(10)("w").mkString(" "), "b"))
+      .toDF("doc_id", "text", "source")
+    val got = Vocab.unseenMass(d)
+      .select("source", "n_tokens", "n_types", "f1", "f2",
+        "unseen_mass", "chao1")
+      .as[(String, Long, Long, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 4L, 3L, 2L, 1L, 0.5, 3.5)))
+    assert(got("b") == (("b", 10L, 1L, 0L, 0L, 0.0, 1.0)))
+  }
+
   test("novelty curve: fresh text is 1.0, verbatim re-ingest is 0.0") {
     val fresh = "a b c d e f g h i j"           // 3 distinct 8-grams
     val other = "q r s t u v w x y z"
