@@ -71,7 +71,12 @@ object PlanAudit {
     "q221_bootstrap_ci",
     // ks-fdr: grand total and test count are 1-row broadcast stat
     // factors; the slice×bucket grid is a bounded deliberate cross
-    "q225_ks_fdr")
+    "q225_ks_fdr",
+    // CCF: series means/normalizer are 1-row stat factors, the lag
+    // spine a (2L+1)-row broadcast cross into the daily table
+    "q228_cross_correlation",
+    // entropy rate: the transition grand total is a 1-row stat factor
+    "q229_entropy_rate")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

@@ -43,6 +43,19 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- Lead–lag cross-correlation of click vs purchase daily
+    //      series: the peak's lag is the conversion-window hint; same
+    //      tiny-table dataflow as q213's ACF ----
+    "q228_cross_correlation" -> ((s, dir) =>
+      graft.operators.Anomaly.crossCorrelation(
+        t(s, dir, "events"), "click", "purchase")),
+
+    // ---- Markov entropy rate of the navigation chain: bits/step of
+    //      predictability (0 = scripted loop, log|types| = noise) —
+    //      everything reduces over the type² transition table ----
+    "q229_entropy_rate" -> ((s, dir) =>
+      graft.operators.Sessionize.entropyRate(t(s, dir, "events"))),
+
     // ---- Good–Turing unseen mass + Chao1 richness per source: "is
     //      this source exhausted or barely sampled" — singleton mass
     //      estimates the next-token-is-new probability, Chao1 the
@@ -2894,6 +2907,12 @@ object SparkEntry {
 
     "q227_unseen_mass" ->
       graft.operators.Vocab.unseenOracleSql,
+
+    "q228_cross_correlation" ->
+      graft.operators.Anomaly.ccfOracleSql("click", "purchase"),
+
+    "q229_entropy_rate" ->
+      graft.operators.Sessionize.entropyOracleSql,
 
     "q219_conformal" ->
       graft.operators.Conformal.oracleSql(0.1),

@@ -300,6 +300,71 @@ object Anomaly {
        |    ELSE ss > $h * sd END AS alarm
        |FROM s ORDER BY $keyCol, d""".stripMargin
 
+  /** Lead–lag cross-correlation between two event types' daily series
+    * — "does A lead B, and by how many days": r(k) correlates A's day
+    * t with B's day t+k for k ∈ [−maxLag, maxLag], normalized by the
+    * two series' full standard deviations (the sample CCF). The peak's
+    * lag is the causal-direction hint a funnel owner reads (clicks
+    * leading purchases by 2 days says the conversion window to
+    * attribute over).
+    *
+    * Same dataflow as [[dailyAcf]]: one corpus shuffle to the daily
+    * table; means and the normalizer are 1-row stat factors; each lag
+    * is a day-cardinality self-join. */
+  def crossCorrelation(events: DataFrame, typeA: String, typeB: String,
+      maxLag: Int = 5): DataFrame = {
+    require(maxLag >= 0, "maxLag must be non-negative")
+    def daily(t: String) = events
+      .where(col("event_type") === t)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val a = daily(typeA)
+    val b = daily(typeB)
+    val statsA = a.agg(avg("c").as("__ma"))
+    val statsB = b.agg(avg("c").as("__mb"))
+    val ca = a.crossJoin(broadcast(statsA))
+      .select(col("d"), (col("c") - col("__ma")).as("xa"))
+    val cb = b.crossJoin(broadcast(statsB))
+      .select(col("d").as("db"), (col("c") - col("__mb")).as("xb"))
+    val denom = ca.agg(sum(col("xa") * col("xa")).as("__da"))
+      .crossJoin(cb.agg(sum(col("xb") * col("xb")).as("__db")))
+      .select(sqrt(col("__da") * col("__db")).as("__den"))
+    val lags = events.sparkSession.range(-maxLag, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    ca.crossJoin(broadcast(lags))
+      .join(cb, col("db") === date_add(col("d"), col("lag")))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("xa") * col("xb")).as("__num"))
+      .crossJoin(broadcast(denom))
+      .select(col("lag"), col("n_pairs"),
+        round(col("__num") / col("__den"), 6).as("ccf"))
+      .orderBy("lag")
+  }
+
+  /** DuckDB oracle for [[crossCorrelation]]. */
+  def ccfOracleSql(typeA: String, typeB: String,
+      maxLag: Int = 5): String =
+    s"""WITH a AS (
+       |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS c
+       |  FROM events WHERE event_type = '$typeA' GROUP BY 1),
+       |b AS (
+       |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS c
+       |  FROM events WHERE event_type = '$typeB' GROUP BY 1),
+       |ca AS (SELECT d, c - (SELECT AVG(c) FROM a) AS xa FROM a),
+       |cb AS (SELECT d, c - (SELECT AVG(c) FROM b) AS xb FROM b),
+       |den AS (
+       |  SELECT sqrt((SELECT SUM(xa * xa) FROM ca) *
+       |              (SELECT SUM(xb * xb) FROM cb)) AS dd),
+       |lags AS (
+       |  SELECT CAST(UNNEST(range(${-maxLag}, ${maxLag + 1})) AS INTEGER)
+       |    AS lag)
+       |SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  ROUND(SUM(ca.xa * cb.xb) / (SELECT dd FROM den), 6) AS ccf
+       |FROM ca JOIN lags ON TRUE
+       |JOIN cb ON cb.d = ca.d + lag
+       |GROUP BY lag ORDER BY lag""".stripMargin
+
   /** DuckDB oracle for [[dailyAcf]]. */
   def acfOracleSql(maxLag: Int = 7): String =
     s"""WITH daily AS (

@@ -69,6 +69,69 @@ object Sessionize {
       .orderBy("from_type", "to_type")
   }
 
+  /** Markov entropy rate of the navigation chain — how PREDICTABLE
+    * the event stream is, in bits per step: H = −Σ_s π(s) Σ_t p(t|s)
+    * log₂ p(t|s) with π estimated from the from-state transition
+    * shares (Cover & Thomas ch. 4; Song et al., Science 2010 use
+    * exactly this family to bound human-behavior predictability). A
+    * rate near 0 means a deterministic loop (scripted traffic); near
+    * log₂|types| means navigation is indistinguishable from uniform
+    * noise — the chain-level complement to [[graft.operators.EventTime
+    * .burstiness]]'s timing screen.
+    *
+    * Dataflow: everything reduces over [[transitionMatrix]]'s
+    * (from, to) count table — type²-cardinality whatever the corpus.
+    * Per-state rows carry the conditional entropy; the rate is in
+    * every row. */
+  def entropyRate(events: DataFrame): DataFrame = {
+    val tm = transitionMatrix(events)
+      .select(col("from_type"), col("to_type"), col("n"))
+    val wFrom = Window.partitionBy("from_type")
+    val perState = tm
+      .withColumn("__ns", sum("n").over(wFrom))
+      .withColumn("__p", col("n") / col("__ns"))
+      .groupBy("from_type")
+      .agg(first("__ns").as("n_from"),
+        (-sum(col("__p") * log2(col("__p")))).as("__h"))
+    val total = perState.agg(sum("n_from").as("__tot"))
+    perState
+      .crossJoin(broadcast(total))   // 1-row stat factor
+      .withColumn("pi", round(col("n_from") / col("__tot"), 6))
+      .withColumn("h_cond_bits", round(col("__h"), 6))
+      .withColumn("entropy_rate_bits",
+        round(sum(col("n_from") * col("__h")).over(
+          Window.partitionBy(lit(1))) / col("__tot"), 6))
+      .select("from_type", "n_from", "pi", "h_cond_bits",
+        "entropy_rate_bits")
+      .orderBy("from_type")
+  }
+
+  /** DuckDB oracle for [[entropyRate]]. */
+  val entropyOracleSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS ft, LEAD(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS tt
+      |  FROM events),
+      |tm AS (
+      |  SELECT ft, tt, COUNT(*) AS n FROM seq
+      |  WHERE tt IS NOT NULL GROUP BY 1, 2),
+      |tp AS (
+      |  SELECT ft, n,
+      |    CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY ft) AS p
+      |  FROM tm),
+      |ps AS (
+      |  SELECT ft, SUM(n) AS n_from, -SUM(p * log2(p)) AS h
+      |  FROM tp GROUP BY ft),
+      |tot AS (SELECT SUM(n_from) AS t FROM ps),
+      |rate AS (
+      |  SELECT SUM(n_from * h) / (SELECT t FROM tot) AS er FROM ps)
+      |SELECT ft AS from_type,
+      |  CAST(n_from AS BIGINT) AS n_from,
+      |  ROUND(CAST(n_from AS DOUBLE) / (SELECT t FROM tot), 6) AS pi,
+      |  ROUND(h, 6) AS h_cond_bits,
+      |  ROUND((SELECT er FROM rate), 6) AS entropy_rate_bits
+      |FROM ps ORDER BY ft""".stripMargin
+
   /** Top `k`-step navigation paths: every window of `steps` consecutive
     * event types in a user's sequence, counted corpus-wide — the
     * higher-order extension of [[transitionMatrix]] (path mining, the

@@ -176,6 +176,64 @@ class ProfilingOpsSpec extends AnyFunSuite {
     assert(got.drop(firstAlarm).forall(_._2), "alarm must latch while high")
   }
 
+  // ---- cross-correlation ----
+
+  test("ccf: a series against itself peaks at lag 0 with r = 1") {
+    val rows = (0 until 12).flatMap { d =>
+      (1 to (d % 5) + 2).map(i => (d.toLong * 100 + i,
+        java.sql.Timestamp.valueOf(f"2024-06-${d + 1}%02d 12:00:00"), "a"))
+    }
+    val got = Anomaly.crossCorrelation(
+      rows.toDF("event_id", "ts", "event_type"), "a", "a", maxLag = 2)
+      .select("lag", "ccf").as[(Int, Double)].collect().toMap
+    assert(got(0) == 1.0)
+    assert(got(1) < 1.0 && got(-1) < 1.0)
+    assert(got(1) == got(-1))   // self-CCF is symmetric
+  }
+
+  test("ccf: a planted k-day lead peaks at that lag") {
+    // b's series is a's shifted forward by 2 days
+    val aCounts = Seq(5, 9, 3, 12, 6, 10, 4, 11, 7, 8, 5, 13)
+    val rows = aCounts.zipWithIndex.flatMap { case (n, d) =>
+      (1 to n).map(i => (d.toLong * 1000 + i,
+        java.sql.Timestamp.valueOf(f"2024-07-${d + 1}%02d 12:00:00"), "a")) ++
+        (1 to n).map(i => (d.toLong * 1000 + 500 + i,
+          java.sql.Timestamp.valueOf(f"2024-07-${d + 3}%02d 12:00:00"), "b"))
+    }
+    val got = Anomaly.crossCorrelation(
+      rows.toDF("event_id", "ts", "event_type"), "a", "b", maxLag = 3)
+      .select("lag", "ccf").as[(Int, Double)].collect().toMap
+    assert(got(2) > 0.9, s"planted 2-day lead must peak: $got")
+    assert(got.filter(_._1 != 2).values.forall(_ < got(2)))
+  }
+
+  // ---- entropy rate ----
+
+  test("entropy rate: deterministic loop is 0; uniform chain is log2(k)") {
+    def ev(seq: Seq[String], uid: Long) = seq.zipWithIndex.map {
+      case (t, i) => (uid * 1000 + i, uid,
+        java.sql.Timestamp.valueOf(f"2024-08-01 ${10 + i / 60}%02d:${i % 60}%02d:00"), t)
+    }
+    // user 1 cycles a→b→a→b…: every conditional is certain → rate 0
+    val loop = ev(Seq.fill(20)(Seq("a", "b")).flatten, 1L)
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val r0 = graft.operators.Sessionize.entropyRate(loop)
+      .select("entropy_rate_bits").as[Double].collect().head
+    assert(r0 == 0.0)
+    // exactly uniform transitions: four users contributing one
+    // transition each — a→a, a→b, b→a, b→b → 1 bit/step
+    val uni = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))
+      .zipWithIndex.flatMap { case ((x, y), u) =>
+        Seq((u * 10L, u.toLong + 10L,
+          java.sql.Timestamp.valueOf("2024-08-02 10:00:00"), x),
+          (u * 10L + 1L, u.toLong + 10L,
+            java.sql.Timestamp.valueOf("2024-08-02 10:01:00"), y))
+      }.toDF("event_id", "user_id", "ts", "event_type")
+    val r1 = graft.operators.Sessionize.entropyRate(uni)
+      .select("entropy_rate_bits").as[Double].collect().head
+    assert(r1 == 1.0, s"uniform 2-state chain must be 1 bit: $r1")
+  }
+
   // ---- daily ACF ----
 
   test("acf: a perfectly periodic series spikes at its period") {
