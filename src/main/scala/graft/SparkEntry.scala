@@ -43,6 +43,20 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- Freedman–Diaconis bucket-width advisor: the input every
+    //      fixed-width monitor needs someone to pick; one
+    //      multi-percentile agg per profiled column ----
+    "q230_width_advisor" -> ((s, dir) =>
+      graft.operators.Drift.bucketWidthAdvisor(
+        t(s, dir, "orders"), Seq("o_totalprice", "o_orderkey"))),
+
+    // ---- STL-lite decomposition of the daily series: trend (7-day
+    //      centered MA) + weekday effect + residual — what the
+    //      anomaly monitors should be fed once ACF shows weekly
+    //      structure; windows over the day table only ----
+    "q231_seasonal_decompose" -> ((s, dir) =>
+      graft.operators.Anomaly.seasonalDecompose(t(s, dir, "events"))),
+
     // ---- Lead–lag cross-correlation of click vs purchase daily
     //      series: the peak's lag is the conversion-window hint; same
     //      tiny-table dataflow as q213's ACF ----
@@ -2913,6 +2927,13 @@ object SparkEntry {
 
     "q229_entropy_rate" ->
       graft.operators.Sessionize.entropyOracleSql,
+
+    "q230_width_advisor" ->
+      graft.operators.Drift.widthAdvisorOracleSql(
+        "orders", Seq("o_totalprice", "o_orderkey")),
+
+    "q231_seasonal_decompose" ->
+      graft.operators.Anomaly.seasonalOracleSql,
 
     "q219_conformal" ->
       graft.operators.Conformal.oracleSql(0.1),

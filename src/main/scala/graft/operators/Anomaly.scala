@@ -300,6 +300,58 @@ object Anomaly {
        |    ELSE ss > $h * sd END AS alarm
        |FROM s ORDER BY $keyCol, d""".stripMargin
 
+  /** STL-lite seasonal decomposition of the daily event-count series:
+    * count = trend (centered 7-day moving average, partial at the
+    * edges) + weekday effect (mean detrended value per weekday) +
+    * residual — the additive classical decomposition (the first pass
+    * of STL, Cleveland et al. 1990) that turns "Mondays look weird"
+    * from anecdote into three auditable columns; the residual is what
+    * the z-score/Hampel/CUSUM monitors SHOULD be fed once q213's ACF
+    * shows weekly structure.
+    *
+    * Everything is windows over the day-cardinality table (centered
+    * frame for trend, weekday partition for the seasonal mean). */
+  def seasonalDecompose(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .withColumn("weekday", dayofweek(col("d")))
+    val wTrend = Window.orderBy("d").rowsBetween(-3, 3)
+    val withTrend = daily
+      .withColumn("trend", avg("c").over(wTrend))
+      .withColumn("__detr", col("c") - col("trend"))
+    val wWd = Window.partitionBy("weekday")
+    withTrend
+      .withColumn("seasonal", avg("__detr").over(wWd))
+      .select(col("d"), col("weekday"), col("c"),
+        round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        round(col("c") - col("trend") - col("seasonal"), 4)
+          .as("residual"))
+      .orderBy("d")
+  }
+
+  /** DuckDB oracle for [[seasonalDecompose]] (DuckDB dayofweek is
+    * Sunday=0; +1 matches Spark). */
+  val seasonalOracleSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS c
+      |  FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT d, CAST(dayofweek(d) + 1 AS INTEGER) AS weekday, c,
+      |    AVG(c) OVER (ORDER BY d
+      |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+      |  FROM daily),
+      |s AS (
+      |  SELECT d, weekday, c, trend,
+      |    AVG(c - trend) OVER (PARTITION BY weekday) AS seasonal
+      |  FROM t)
+      |SELECT d, weekday, c,
+      |  ROUND(trend, 4) AS trend,
+      |  ROUND(seasonal, 4) AS seasonal,
+      |  ROUND(c - trend - seasonal, 4) AS residual
+      |FROM s ORDER BY d""".stripMargin
+
   /** Lead–lag cross-correlation between two event types' daily series
     * — "does A lead B, and by how many days": r(k) correlates A's day
     * t with B's day t+k for k ∈ [−maxLag, maxLag], normalized by the

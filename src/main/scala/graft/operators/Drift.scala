@@ -49,6 +49,76 @@ object Drift {
       .orderBy("bucket")
   }
 
+  /** Freedman–Diaconis bucket-width advisor — the missing input of
+    * every fixed-width monitor in this family ([[psiReport]],
+    * [[wassersteinReport]], [[ksBySliceFdr]] all take a `bucketWidth`
+    * someone had to pick): FD's h = 2·IQR/n^⅓ (Freedman & Diaconis
+    * 1981) is the standard robust choice — wide enough that bucket
+    * counts are stable, narrow enough to resolve the distribution —
+    * and the derived bucket COUNT over the observed range is the
+    * sanity number (hundreds = good, single digits = the metric will
+    * be blind, millions = someone passed cents as dollars).
+    *
+    * One multi-percentile agg per column over the corpus; exact
+    * percentiles are the oracle pin — swap `approx_percentile` at
+    * scale (the q29/q52 convention). Output is |cols| rows. */
+  def bucketWidthAdvisor(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perCol = cols.map { c =>
+      df.select(col(c).cast("double").as("v"))
+        .where(col("v").isNotNull)
+        .agg(
+          lit(c).as("column"),
+          count(lit(1)).as("n"),
+          min("v").as("__lo"),
+          max("v").as("__hi"),
+          expr("percentile(v, 0.25)").as("__q1"),
+          expr("percentile(v, 0.75)").as("__q3"))
+    }.reduce(_ unionByName _)
+    perCol
+      .withColumn("iqr", round(col("__q3") - col("__q1"), 6))
+      .withColumn("fd_width",
+        round(lit(2.0) * (col("__q3") - col("__q1")) /
+          pow(col("n").cast("double"), 1.0 / 3.0), 6))
+      .withColumn("n_buckets",
+        when(col("fd_width") > 0.0,
+          ceil((col("__hi") - col("__lo")) / (lit(2.0) *
+            (col("__q3") - col("__q1")) /
+            pow(col("n").cast("double"), 1.0 / 3.0))).cast("long"))
+          .otherwise(lit(null).cast("long")))
+      .select(col("column"), col("n"),
+        round(col("__lo"), 6).as("lo"),
+        round(col("__hi"), 6).as("hi"),
+        col("iqr"), col("fd_width"), col("n_buckets"))
+      .orderBy("column")
+  }
+
+  /** DuckDB oracle for [[bucketWidthAdvisor]] on named table columns. */
+  def widthAdvisorOracleSql(table: String, cols: Seq[String]): String = {
+    val selects = cols.map { c =>
+      s"""SELECT '$c' AS "column",
+         |  CAST(COUNT(v) AS BIGINT) AS n,
+         |  ROUND(MIN(v), 6) AS lo,
+         |  ROUND(MAX(v), 6) AS hi,
+         |  ROUND(quantile_cont(v, 0.75) - quantile_cont(v, 0.25), 6)
+         |    AS iqr,
+         |  ROUND(2.0 * (quantile_cont(v, 0.75) - quantile_cont(v, 0.25)) /
+         |    pow(COUNT(v), 1.0 / 3.0), 6) AS fd_width,
+         |  CASE WHEN quantile_cont(v, 0.75) > quantile_cont(v, 0.25)
+         |    THEN CAST(ceil((MAX(v) - MIN(v)) /
+         |      (2.0 * (quantile_cont(v, 0.75) - quantile_cont(v, 0.25)) /
+         |       pow(COUNT(v), 1.0 / 3.0))) AS BIGINT)
+         |    ELSE NULL END AS n_buckets
+         |FROM (SELECT CAST($c AS DOUBLE) AS v FROM $table
+         |      WHERE $c IS NOT NULL)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (
+       |$selects
+       |) ORDER BY "column"""".stripMargin
+  }
+
   /** Per-slice two-sample KS screen with Benjamini–Hochberg FDR
     * control — the MULTIPLE-TESTING form of drift monitoring: a fleet
     * that KS-tests every source/tenant/shard slice against the rest of

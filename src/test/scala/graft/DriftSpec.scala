@@ -68,6 +68,20 @@ class DriftSpec extends AnyFunSuite {
       .forall(_._2._1 >= got("src7")._1))
   }
 
+  test("width advisor: hand-computed FD width; degenerate IQR gives null count") {
+    // v = 1..8: q1 = 2.75, q3 = 6.25 (quantile_cont), iqr = 3.5,
+    // h = 2·3.5/8^(1/3) = 3.5, range 7 → 2 buckets
+    val df = (1 to 8).map(i => (i.toDouble, 5.0)).toDF("v", "k")
+    val got = Drift.bucketWidthAdvisor(df, Seq("v", "k"))
+      .select("column", "n", "iqr", "fd_width", "n_buckets")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(got("v") == ((8L, 3.5, 3.5, 2L)))
+    // constant column: iqr 0 → width 0 → bucket count undefined
+    assert(got("k") == ((8L, 0.0, 0.0, -1L)))
+  }
+
   test("ks-fdr: BH step-up math on hand p-values via identical slices") {
     // all slices identical → D ≈ 0, p ≈ 1, adj = 1, no discoveries
     val rows = (0 until 4).flatMap { s =>

@@ -207,6 +207,35 @@ class ProfilingOpsSpec extends AnyFunSuite {
     assert(got.filter(_._1 != 2).values.forall(_ < got(2)))
   }
 
+  // ---- seasonal decomposition ----
+
+  test("seasonal decompose: planted weekday effect lands in seasonal, residual small") {
+    // 28 days: flat level 20, Sundays (day 0, 7, ...) spike +14
+    val rows = (0 until 28).flatMap { d =>
+      val n = 20 + (if (d % 7 == 0) 14 else 0)
+      (1 to n).map(i => (d.toLong * 1000 + i,
+        java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")))
+    }
+    val got = Anomaly.seasonalDecompose(rows.toDF("event_id", "ts"))
+      .select("weekday", "seasonal", "residual")
+      .as[(Int, Double, Double)].collect()
+    // 2024-01-01 is a Monday, so the d%7==0 spikes are Mondays
+    // (Spark dayofweek: Sunday=1, Monday=2)
+    val sundays = got.filter(_._1 == 2).map(_._2)
+    val others = got.filterNot(_._1 == 2).map(_._2)
+    assert(sundays.forall(s => s > 8.0), s"spike must land in seasonal")
+    assert(others.forall(s => s < 1.0))
+    // interior residuals (full trend windows) are near zero
+    assert(got.map(r => math.abs(r._3)).sorted.apply(got.length / 2) < 3.0)
+    // identity holds exactly: c = trend + seasonal + residual
+    val full = Anomaly.seasonalDecompose(rows.toDF("event_id", "ts"))
+      .select("c", "trend", "seasonal", "residual")
+      .as[(Double, Double, Double, Double)].collect()
+    full.foreach { r =>
+      assert(math.abs(r._1 - (r._2 + r._3 + r._4)) < 0.001)
+    }
+  }
+
   // ---- entropy rate ----
 
   test("entropy rate: deterministic loop is 0; uniform chain is log2(k)") {
