@@ -75,6 +75,9 @@ object PlanAudit {
     // CCF: series means/normalizer are 1-row stat factors, the lag
     // spine a (2L+1)-row broadcast cross into the daily table
     "q228_cross_correlation",
+    // RBO: the depth spine × matched-token list is a deliberate
+    // K²-bounded cross (≤10k rows)
+    "q232_rbo_vocab",
     // entropy rate: the transition grand total is a 1-row stat factor
     "q229_entropy_rate")
 

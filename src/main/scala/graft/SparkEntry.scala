@@ -43,6 +43,17 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- Rank-biased overlap of the even/odd halves' top-100 token
+    //      rankings: depth-weighted vocabulary-churn measure (did the
+    //      HEAD move or just the tail); everything after the two
+    //      TakeOrdered top-Ks is K-row arithmetic ----
+    "q232_rbo_vocab" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Vocab.rankBiasedOverlap(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1))
+    }),
+
     // ---- Freedman–Diaconis bucket-width advisor: the input every
     //      fixed-width monitor needs someone to pick; one
     //      multi-percentile agg per profiled column ----
@@ -2931,6 +2942,9 @@ object SparkEntry {
     "q230_width_advisor" ->
       graft.operators.Drift.widthAdvisorOracleSql(
         "orders", Seq("o_totalprice", "o_orderkey")),
+
+    "q232_rbo_vocab" ->
+      graft.operators.Vocab.rboOracleSql(),
 
     "q231_seasonal_decompose" ->
       graft.operators.Anomaly.seasonalOracleSql,

@@ -144,6 +144,96 @@ object Vocab {
       .orderBy("bucket")
   }
 
+  /** Rank-biased overlap of the top-K token rankings of two corpus
+    * slices (Webber, Moffat & Zobel, TOIS 2010) — the ranked-list
+    * stability metric: plain top-K Jaccard treats rank 1 and rank 100
+    * alike, while RBO's geometric depth weighting (persistence p)
+    * scores agreement where a reader actually looks, which is how
+    * vocabulary churn between corpus versions/halves should be
+    * compared ("did the head of the distribution move, or just the
+    * tail").
+    *
+    * Scale shape: each slice pays one token count + a top-K
+    * `orderBy.limit` (TakeOrdered — never a global sort
+    * materialization); everything after joins two K-row lists:
+    * a token's contribution to every depth d ≥ max(rankA, rankB)
+    * means overlap-at-depth is a cumulative count over max-rank, and
+    * RBO_trunc = (1−p)·Σ_{d≤K} p^{d−1}·X_d/d evaluates over a K-row
+    * depth spine. */
+  def rankBiasedOverlap(docsA: DataFrame, docsB: DataFrame,
+      k: Int = 100, p: Double = 0.9,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1 && p > 0.0 && p < 1.0, "need k >= 1, p in (0,1)")
+    def topK(df: DataFrame, rankName: String) = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)   // TakeOrdered; the rank window below sees K rows only
+      .withColumn(rankName,
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("token"))).cast("long"))
+      .select("token", rankName)
+    val a = topK(docsA, "ra")
+    val b = topK(docsB, "rb")
+    val m = a.join(b, "token")
+      .select(greatest(col("ra"), col("rb")).as("mr"))
+    val spark = docsA.sparkSession
+    import spark.implicits._
+    val depths = (1 to k).map(_.toLong).toDF("d")
+    val overlapAtK = m.count().toDouble
+    val byDepth = depths.crossJoin(m)
+      .groupBy("d")
+      .agg(sum(when(col("mr") <= col("d"), 1L).otherwise(0L)).as("xd"))
+    val rbo = byDepth
+      .select(coalesce(sum(pow(lit(p), col("d") - 1L) *
+        col("xd").cast("double") / col("d")), lit(0.0)).as("__s"))
+      .select((lit(1.0 - p) * col("__s")).as("rbo"))
+    rbo.select(
+      lit(k).as("k"),
+      lit(p).as("p"),
+      lit(overlapAtK.toLong).as("overlap_at_k"),
+      round(lit(overlapAtK) / (2 * k - overlapAtK), 6)
+        .as("jaccard_top_k"),
+      round(col("rbo"), 6).as("rbo"))
+  }
+
+  /** DuckDB oracle for the even/odd-half registered fixture. */
+  def rboOracleSql(k: Int = 100, p: Double = 0.9): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, UNNEST(str_split_regex(trim(text), '\\s+')) AS token
+       |  FROM documents),
+       |fa AS (
+       |  SELECT token, COUNT(*) AS freq FROM tok
+       |  WHERE token <> '' AND doc_id % 2 = 0 GROUP BY 1),
+       |fb AS (
+       |  SELECT token, COUNT(*) AS freq FROM tok
+       |  WHERE token <> '' AND doc_id % 2 = 1 GROUP BY 1),
+       |ra AS (
+       |  SELECT token, ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS r
+       |  FROM fa QUALIFY r <= $k),
+       |rb AS (
+       |  SELECT token, ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS r
+       |  FROM fb QUALIFY r <= $k),
+       |m AS (
+       |  SELECT GREATEST(ra.r, rb.r) AS mr
+       |  FROM ra JOIN rb ON ra.token = rb.token),
+       |depths AS (SELECT CAST(UNNEST(range(1, ${k + 1})) AS BIGINT) AS d),
+       |bd AS (
+       |  SELECT d, SUM(CASE WHEN mr <= d THEN 1 ELSE 0 END) AS xd
+       |  FROM depths CROSS JOIN m GROUP BY d),
+       |s AS (
+       |  SELECT SUM(pow($p, d - 1) * CAST(xd AS DOUBLE) / d) AS ss
+       |  FROM bd),
+       |ov AS (SELECT COUNT(*) AS o FROM m)
+       |SELECT CAST($k AS INTEGER) AS k,
+       |  CAST($p AS DOUBLE) AS p,
+       |  CAST((SELECT o FROM ov) AS BIGINT) AS overlap_at_k,
+       |  ROUND(CAST((SELECT o FROM ov) AS DOUBLE) /
+       |    (2 * $k - (SELECT o FROM ov)), 6) AS jaccard_top_k,
+       |  ROUND(${1.0 - p} * (SELECT ss FROM s), 6) AS rbo
+       |FROM s""".stripMargin
+
   /** Good–Turing unseen mass + Chao1 richness per source — "how much
     * vocabulary have we NOT seen yet": the Good–Turing estimate puts
     * the probability that the next token is a never-seen type at

@@ -86,6 +86,38 @@ class VocabSpec extends AnyFunSuite {
     assert(rows.last.getAs[Long]("cum_types") == 2L)
   }
 
+  test("rbo: identical rankings score 1; disjoint score 0") {
+    val a = Seq((0L, "x x x y y z"), (1L, "x y z"))
+      .toDF("doc_id", "text")
+    val same = Vocab.rankBiasedOverlap(a, a, k = 3, p = 0.9)
+      .select("rbo", "jaccard_top_k", "overlap_at_k")
+      .as[(Double, Double, Long)].collect().head
+    // truncated RBO at K=3 with full agreement: (1-p)·Σ p^(d-1) = 1-p³
+    val expect = BigDecimal(1.0 - math.pow(0.9, 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(same == ((expect, 1.0, 3L)))
+    val b = Seq((0L, "q q q r r s")).toDF("doc_id", "text")
+    val disj = Vocab.rankBiasedOverlap(a, b, k = 3)
+      .select("rbo").as[Double].collect().head
+    assert(disj == 0.0)
+  }
+
+  test("rbo: head agreement outweighs equal-sized tail agreement") {
+    def docs(tokens: Seq[(String, Int)]) =
+      Seq((0L, tokens.flatMap { case (t, n) => Seq.fill(n)(t) }
+        .mkString(" "))).toDF("doc_id", "text")
+    val base = docs(Seq("a" -> 9, "b" -> 8, "c" -> 7, "d" -> 6))
+    // headSame agrees on ranks 1-2, differs after; tailSame agrees on
+    // ranks 3-4 only
+    val headSame = docs(Seq("a" -> 9, "b" -> 8, "x" -> 7, "y" -> 6))
+    val tailSame = docs(Seq("x" -> 9, "y" -> 8, "c" -> 7, "d" -> 6))
+    def rbo(other: org.apache.spark.sql.DataFrame) =
+      Vocab.rankBiasedOverlap(base, other, k = 4)
+        .select("rbo").as[Double].collect().head
+    assert(rbo(headSame) > rbo(tailSame),
+      "rank-1-2 agreement must outweigh rank-3-4 agreement")
+  }
+
   test("unseen mass: hand-computed f1/f2/chao1; exhausted source near 0") {
     // source a: tokens x x y z → tf {x:2, y:1, z:1} → f1=2 f2=1
     // unseen = 2/4; chao1 = 3 + 2·1/(2·2) = 3.5
