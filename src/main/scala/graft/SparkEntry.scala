@@ -43,6 +43,21 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- Neyman-optimal budget allocation across sources: spend a
+    //      labeling budget where the VARIANCE is, not where the rows
+    //      are (n_h ∝ N_h·σ_h minimizes stratified-estimator
+    //      variance); one grouped agg + stratum-row arithmetic ----
+    "q233_neyman_allocation" -> ((s, dir) =>
+      graft.operators.Sampling.neymanAllocation(
+        t(s, dir, "documents"), "source", "n_chars", budget = 1000L)),
+
+    // ---- Lexical idiosyncrasy: KL(source ‖ corpus) over unigram
+    //      distributions, bits/token a corpus LM wastes per source —
+    //      the unigram domain-mismatch ranking; one explode, corpus
+    //      counts derived from the same table ----
+    "q234_lexical_kl" -> ((s, dir) =>
+      graft.operators.Vocab.lexicalKl(t(s, dir, "documents"))),
+
     // ---- Rank-biased overlap of the even/odd halves' top-100 token
     //      rankings: depth-weighted vocabulary-churn measure (did the
     //      HEAD move or just the tail); everything after the two
@@ -2945,6 +2960,12 @@ object SparkEntry {
 
     "q232_rbo_vocab" ->
       graft.operators.Vocab.rboOracleSql(),
+
+    "q233_neyman_allocation" ->
+      graft.operators.Sampling.neymanOracleSql(1000L),
+
+    "q234_lexical_kl" ->
+      graft.operators.Vocab.lexicalKlOracleSql,
 
     "q231_seasonal_decompose" ->
       graft.operators.Anomaly.seasonalOracleSql,

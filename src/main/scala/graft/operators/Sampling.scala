@@ -23,6 +23,61 @@ import org.apache.spark.sql.expressions.Window
   */
 object Sampling {
 
+  /** Neyman-optimal sample allocation per stratum — how a fixed
+    * labeling/eval budget SHOULD split across sources: proportional
+    * allocation spends budget where rows are, Neyman (1934) spends it
+    * where the variance is, allocating n_h ∝ N_h·σ_h, which minimizes
+    * the stratified estimator's variance for a fixed total. The
+    * report carries both allocations per stratum plus each stratum's
+    * share of the Σ N·σ mass — the audit a sampling plan review reads
+    * ("why does src3 get 4× its row share? its values swing 4× as
+    * hard").
+    *
+    * One grouped agg over the corpus (count + population σ per
+    * stratum), then stratum-cardinality arithmetic with the Σ N·σ
+    * total as a 1-row stat factor. Allocations round half-up per
+    * stratum (they may sum to budget ± strata/2 — the standard
+    * apportionment slack a caller rounds off). */
+  def neymanAllocation(df: DataFrame, strataCol: String,
+      valueCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    val per = df
+      .groupBy(col(strataCol).as("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(stddev_pop(col(valueCol)), lit(0.0)).as("__sd"))
+      .withColumn("__mass", col("n_rows") * col("__sd"))
+    val tot = per.agg(sum("__mass").as("__tm"), sum("n_rows").as("__tn"))
+    per.crossJoin(broadcast(tot))   // 1-row stat factor
+      .select(
+        col("stratum"), col("n_rows"),
+        round(col("__sd"), 4).as("sd"),
+        round(col("__mass") / col("__tm"), 6).as("neyman_share"),
+        round(col("__mass") / col("__tm") * budget, 0).cast("long")
+          .as("alloc_neyman"),
+        round(col("n_rows").cast("double") / col("__tn") * budget, 0)
+          .cast("long").as("alloc_proportional"))
+      .orderBy("stratum")
+  }
+
+  /** DuckDB oracle for [[neymanAllocation]] on documents(source,
+    * n_chars). */
+  def neymanOracleSql(budget: Long): String =
+    s"""WITH per AS (
+       |  SELECT source AS stratum, COUNT(*) AS n_rows,
+       |    COALESCE(stddev_pop(n_chars), 0.0) AS sd
+       |  FROM documents GROUP BY 1),
+       |tot AS (
+       |  SELECT SUM(n_rows * sd) AS tm, SUM(n_rows) AS tn FROM per)
+       |SELECT stratum,
+       |  CAST(n_rows AS BIGINT) AS n_rows,
+       |  ROUND(sd, 4) AS sd,
+       |  ROUND(n_rows * sd / (SELECT tm FROM tot), 6) AS neyman_share,
+       |  CAST(ROUND(n_rows * sd / (SELECT tm FROM tot) * $budget, 0)
+       |    AS BIGINT) AS alloc_neyman,
+       |  CAST(ROUND(CAST(n_rows AS DOUBLE) / (SELECT tn FROM tot)
+       |    * $budget, 0) AS BIGINT) AS alloc_proportional
+       |FROM per ORDER BY stratum""".stripMargin
+
   /** Keep the first `n` rows of each stratum in md5 order. Appends
     * `sample_rank` (1-based within stratum). */
   def stratifiedN(df: DataFrame, strataCols: Seq[String], n: Int,

@@ -144,6 +144,61 @@ object Vocab {
       .orderBy("bucket")
   }
 
+  /** Lexical idiosyncrasy per source — KL(source ‖ corpus) over token
+    * distributions, in bits: how many extra bits per token a
+    * corpus-wide unigram model wastes on this source, the
+    * information-theoretic "which feed speaks its own dialect" ranking
+    * (the unigram form of the domain-mismatch score DSIR-style
+    * selection thresholds on). No smoothing is needed in this
+    * direction: every source token exists in the corpus, so q(t) > 0
+    * wherever p_s(t) > 0 and the sum is finite.
+    *
+    * One explode → (source, token) counts; corpus counts derive from
+    * the same table (never a second scan); per-source agg output. */
+  def lexicalKl(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val st = docs
+      .select(col("source"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = st.groupBy("token").agg(sum("c").as("ct"))
+    val totals = st.groupBy("source").agg(sum("c").as("n_tokens"))
+    val grand = st.agg(sum("c").as("grand_n"))
+    st.join(corpus, "token")
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(grand))   // 1-row stat factor
+      .withColumn("__p", col("c").cast("double") / col("n_tokens"))
+      .withColumn("__q", col("ct").cast("double") / col("grand_n"))
+      .groupBy("source")
+      .agg(first("n_tokens").as("n_tokens"),
+        round(sum(col("__p") * log2(col("__p") / col("__q"))), 6)
+          .as("kl_bits"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[lexicalKl]]. */
+  val lexicalKlOracleSql: String =
+    """WITH t AS (
+      |  SELECT source, UNNEST(str_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |st AS (
+      |  SELECT source, token, COUNT(*) AS c
+      |  FROM t WHERE token <> '' GROUP BY 1, 2),
+      |corpus AS (SELECT token, SUM(c) AS ct FROM st GROUP BY 1),
+      |totals AS (SELECT source, SUM(c) AS n_tokens FROM st GROUP BY 1),
+      |grand AS (SELECT SUM(c) AS gn FROM st)
+      |SELECT st.source,
+      |  CAST(ANY_VALUE(totals.n_tokens) AS BIGINT) AS n_tokens,
+      |  ROUND(SUM((CAST(st.c AS DOUBLE) / totals.n_tokens) *
+      |    log2((CAST(st.c AS DOUBLE) / totals.n_tokens) /
+      |         (CAST(corpus.ct AS DOUBLE) / (SELECT gn FROM grand)))), 6)
+      |    AS kl_bits
+      |FROM st
+      |JOIN corpus ON st.token = corpus.token
+      |JOIN totals ON st.source = totals.source
+      |GROUP BY st.source ORDER BY st.source""".stripMargin
+
   /** Rank-biased overlap of the top-K token rankings of two corpus
     * slices (Webber, Moffat & Zobel, TOIS 2010) — the ranked-list
     * stability metric: plain top-K Jaccard treats rank 1 and rank 100

@@ -86,6 +86,43 @@ class VocabSpec extends AnyFunSuite {
     assert(rows.last.getAs[Long]("cum_types") == 2L)
   }
 
+  test("lexical kl: corpus-identical source scores 0; dialect source scores high") {
+    // a and b share the corpus distribution exactly (same text);
+    // c speaks its own vocabulary entirely
+    val d = Seq(
+      (0L, "x y x z", "a"), (1L, "x y x z", "b"),
+      (2L, "q q r s", "c"))
+      .toDF("doc_id", "text", "source")
+    val got = Vocab.lexicalKl(d)
+      .select("source", "kl_bits").as[(String, Double)].collect().toMap
+    // a's p == b's p but corpus q mixes in c's mass → small positive;
+    // the ordering is the contract: c ≫ a ≈ b
+    assert(got("a") == got("b"))
+    assert(got("c") > got("a") && got("c") > 1.0)
+    // a single-source corpus IS the corpus → exactly 0
+    val solo = Vocab.lexicalKl(
+      Seq((0L, "x y x z", "only")).toDF("doc_id", "text", "source"))
+      .select("kl_bits").as[Double].collect().head
+    assert(solo == 0.0)
+  }
+
+  test("neyman: allocation follows N·σ, not row share") {
+    // stratum a: many rows, zero variance; b: few rows, high variance
+    val d = (
+      (1 to 90).map(i => (i.toLong, "t", "a", 100L)) ++
+        Seq((91L, "t", "b", 0L), (92L, "t", "b", 1000L))
+      ).toDF("doc_id", "text", "source", "n_chars")
+    val gotMap = graft.operators.Sampling.neymanAllocation(
+      d, "source", "n_chars", budget = 100L)
+      .select("stratum", "alloc_neyman", "alloc_proportional")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // zero-variance stratum gets NOTHING under Neyman despite 90% of
+    // rows; proportional gives it 98
+    assert(gotMap("a") == ((0L, 98L)))
+    assert(gotMap("b") == ((100L, 2L)))
+  }
+
   test("rbo: identical rankings score 1; disjoint score 0") {
     val a = Seq((0L, "x x x y y z"), (1L, "x y z"))
       .toDF("doc_id", "text")
