@@ -78,6 +78,9 @@ object PlanAudit {
     // RBO: the depth spine × matched-token list is a deliberate
     // K²-bounded cross (≤10k rows)
     "q232_rbo_vocab",
+    // Theil–Sen: day² pairwise slopes are a deliberate bounded cross;
+    // the OLS row is a 1-row stat factor
+    "q236_theil_sen",
     // entropy rate: the transition grand total is a 1-row stat factor
     "q229_entropy_rate")
 

@@ -43,6 +43,18 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- Robust location per event type: mean vs trimmed vs
+    //      winsorized — disagreement IS the outlier diagnosis; exact
+    //      percentile cuts (oracle pin), two grouped aggs ----
+    "q235_robust_location" -> ((s, dir) =>
+      graft.operators.Anomaly.robustLocation(
+        t(s, dir, "events"), "event_type", "value")),
+
+    // ---- Theil–Sen robust daily trend vs OLS: pairwise-slope median
+    //      tolerates ~29% corrupt days; day² bounded cross ----
+    "q236_theil_sen" -> ((s, dir) =>
+      graft.operators.Anomaly.theilSen(t(s, dir, "events"))),
+
     // ---- Neyman-optimal budget allocation across sources: spend a
     //      labeling budget where the VARIANCE is, not where the rows
     //      are (n_h ∝ N_h·σ_h minimizes stratified-estimator
@@ -2966,6 +2978,12 @@ object SparkEntry {
 
     "q234_lexical_kl" ->
       graft.operators.Vocab.lexicalKlOracleSql,
+
+    "q235_robust_location" ->
+      graft.operators.Anomaly.robustLocationOracleSql(),
+
+    "q236_theil_sen" ->
+      graft.operators.Anomaly.theilSenOracleSql,
 
     "q231_seasonal_decompose" ->
       graft.operators.Anomaly.seasonalOracleSql,

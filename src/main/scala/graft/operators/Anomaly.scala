@@ -300,6 +300,111 @@ object Anomaly {
        |    ELSE ss > $h * sd END AS alarm
        |FROM s ORDER BY $keyCol, d""".stripMargin
 
+  /** Robust location report per key — mean beside the 10% trimmed mean
+    * (drop the tails, average the middle) and the winsorized mean
+    * (clamp the tails to the cut points, Tukey's preference when mass
+    * must be conserved): the three-way comparison IS the diagnosis —
+    * mean far from both robust forms says outliers are driving the
+    * headline number a dashboard reports.
+    *
+    * One grouped agg for the cut points (exact percentiles as the
+    * oracle pin), one conditional agg for the three means — two passes
+    * over the (key, value) rows, key-cardinality output. */
+  def robustLocation(df: DataFrame, keyCol: String, valueCol: String,
+      trim: Double = 0.1): DataFrame = {
+    require(trim > 0.0 && trim < 0.5, s"trim in (0, 0.5), got $trim")
+    val v = col(valueCol).cast("double")
+    val cuts = df.groupBy(col(keyCol).as("k"))
+      .agg(expr(s"percentile($valueCol, $trim)").as("__lo"),
+        expr(s"percentile($valueCol, ${1.0 - trim})").as("__hi"))
+    df.select(col(keyCol).as("k"), v.as("__v"))
+      .join(broadcast(cuts), "k")
+      .groupBy("k")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("__v"), 4).as("mean"),
+        round(avg(when(col("__v").between(col("__lo"), col("__hi")),
+          col("__v"))), 4).as("trimmed_mean"),
+        round(avg(least(greatest(col("__v"), col("__lo")), col("__hi"))),
+          4).as("winsorized_mean"),
+        round(first("__lo"), 4).as("cut_lo"),
+        round(first("__hi"), 4).as("cut_hi"))
+      .withColumnRenamed("k", keyCol)
+      .orderBy(keyCol)
+  }
+
+  /** DuckDB oracle for [[robustLocation]] on events(event_type,
+    * value). */
+  def robustLocationOracleSql(trim: Double = 0.1): String =
+    s"""WITH cuts AS (
+       |  SELECT event_type AS k,
+       |    quantile_cont(value, $trim) AS lo,
+       |    quantile_cont(value, ${1.0 - trim}) AS hi
+       |  FROM events GROUP BY 1)
+       |SELECT e.event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  ROUND(AVG(e.value), 4) AS mean,
+       |  ROUND(AVG(CASE WHEN e.value BETWEEN c.lo AND c.hi
+       |    THEN e.value END), 4) AS trimmed_mean,
+       |  ROUND(AVG(LEAST(GREATEST(e.value, c.lo), c.hi)), 4)
+       |    AS winsorized_mean,
+       |  ROUND(ANY_VALUE(c.lo), 4) AS cut_lo,
+       |  ROUND(ANY_VALUE(c.hi), 4) AS cut_hi
+       |FROM events e JOIN cuts c ON e.event_type = c.k
+       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
+  /** Theil–Sen robust trend of the daily count series — the median of
+    * all pairwise slopes (Theil 1950, Sen 1968): a least-squares slope
+    * is dragged by the same outlier days the anomaly monitors exist to
+    * catch, while the pairwise-slope median tolerates ~29% corruption.
+    * Output is one row: the robust daily trend in counts/day with its
+    * OLS counterpart beside it — disagreement IS the outlier warning.
+    *
+    * The pairwise-slope table is day-cardinality², which at daily
+    * grain is bounded (a YEAR is 66k pairs) — a deliberate bounded
+    * cross, never corpus-sized. */
+  def theilSen(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .withColumn("t", datediff(col("d"), lit("1970-01-01")).cast("double"))
+    val pairs = daily.as("a").join(daily.as("b"),
+      col("a.t") < col("b.t"))
+      .select(((col("b.c") - col("a.c")) /
+        (col("b.t") - col("a.t"))).as("slope"))
+    val ols = daily.agg(
+      count(lit(1)).as("n_days"),
+      (covar_pop(col("t"), col("c")) / var_pop(col("t"))).as("__ols"))
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      expr("percentile(slope, 0.5)").as("__ts"))
+      .crossJoin(broadcast(ols))   // 1-row stat factor
+      .select(col("n_days"), col("n_pairs"),
+        round(col("__ts"), 6).as("theil_sen_slope"),
+        round(col("__ols"), 6).as("ols_slope"))
+  }
+
+  /** DuckDB oracle for [[theilSen]]. */
+  val theilSenOracleSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS c
+      |  FROM events GROUP BY 1),
+      |td AS (
+      |  SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS DOUBLE)
+      |    AS t, c FROM daily),
+      |pairs AS (
+      |  SELECT (b.c - a.c) / (b.t - a.t) AS slope
+      |  FROM td a JOIN td b ON a.t < b.t),
+      |ols AS (
+      |  SELECT COUNT(*) AS n_days,
+      |    covar_pop(t, c) / var_pop(t) AS o FROM td)
+      |SELECT
+      |  CAST((SELECT n_days FROM ols) AS BIGINT) AS n_days,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  ROUND(quantile_cont(slope, 0.5), 6) AS theil_sen_slope,
+      |  ROUND((SELECT o FROM ols), 6) AS ols_slope
+      |FROM pairs""".stripMargin
+
   /** STL-lite seasonal decomposition of the daily event-count series:
     * count = trend (centered 7-day moving average, partial at the
     * edges) + weekday effect (mean detrended value per weekday) +

@@ -207,6 +207,36 @@ class ProfilingOpsSpec extends AnyFunSuite {
     assert(got.filter(_._1 != 2).values.forall(_ < got(2)))
   }
 
+  // ---- robust location / Theil–Sen ----
+
+  test("robust location: one outlier drags the mean, not the robust forms") {
+    val vals = Seq.fill(18)(10.0) ++ Seq(12.0, 1000.0)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-09-01 10:00:00"),
+        "a", v) }.toDF("event_id", "ts", "event_type", "value")
+    val r = Anomaly.robustLocation(ev, "event_type", "value")
+      .select("mean", "trimmed_mean", "winsorized_mean")
+      .as[(Double, Double, Double)].collect().head
+    assert(r._1 > 55.0)                       // dragged
+    assert(r._2 >= 10.0 && r._2 <= 10.2)      // tails trimmed
+    assert(r._3 >= 10.0 && r._3 < 25.0)       // tails clamped
+  }
+
+  test("theil-sen: robust to a corrupted day the OLS slope absorbs") {
+    // clean trend +2/day over 15 days; the spike sits at the END where
+    // its OLS leverage is maximal (a centered spike cancels out)
+    val rows = (0 until 15).flatMap { d =>
+      val n = 10 + 2 * d + (if (d == 14) 500 else 0)
+      (1 to n).map(i => (d.toLong * 10000 + i,
+        java.sql.Timestamp.valueOf(f"2024-09-${d + 1}%02d 12:00:00")))
+    }
+    val r = Anomaly.theilSen(rows.toDF("event_id", "ts"))
+      .select("theil_sen_slope", "ols_slope")
+      .as[(Double, Double)].collect().head
+    assert(r._1 == 2.0, s"robust slope must recover the trend: $r")
+    assert(math.abs(r._2 - 2.0) > 1.0, s"OLS must be visibly dragged: $r")
+  }
+
   // ---- seasonal decomposition ----
 
   test("seasonal decompose: planted weekday effect lands in seasonal, residual small") {
