@@ -81,6 +81,10 @@ object PlanAudit {
     // Theil–Sen: day² pairwise slopes are a deliberate bounded cross;
     // the OLS row is a 1-row stat factor
     "q236_theil_sen",
+    // Neyman: the Σ N·σ / total-rows row is a 1-row stat factor
+    "q233_neyman_allocation",
+    // lexical KL: the corpus grand total is a 1-row stat factor
+    "q234_lexical_kl",
     // entropy rate: the transition grand total is a 1-row stat factor
     "q229_entropy_rate")
 
