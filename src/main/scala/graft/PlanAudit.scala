@@ -45,6 +45,9 @@ object PlanAudit {
     // KS: the (n_a, n_b) totals are a 1-row broadcast stat factor
     // into the cumulative table (same shape as the corpus totals)
     "q178_ks_drift", "q179_ks_drift_grid",
+    // MI grand-total is a 1-row broadcast crossJoin into the joint
+    // cell table (the ksBySliceFdr joined-stat-tables workaround)
+    "q216_mutual_info",
     // retrieval eval rides the q20 bounded brute-force harness
     "q184_retrieval_eval",
     // LSH quality harness: exact-Jaccard ground truth is a bounded

@@ -83,7 +83,10 @@ object Drift {
         round(lit(2.0) * (col("__q3") - col("__q1")) /
           pow(col("n").cast("double"), 1.0 / 3.0), 6))
       .withColumn("n_buckets",
-        when(col("fd_width") > 0.0,
+        // gate on the UNROUNDED q3 > q1 exactly like the oracle's
+        // CASE: a tiny positive IQR whose FD width rounds to 0 at 6
+        // decimals must still yield a (huge) bucket count, not NULL
+        when(col("__q3") > col("__q1"),
           ceil((col("__hi") - col("__lo")) / (lit(2.0) *
             (col("__q3") - col("__q1")) /
             pow(col("n").cast("double"), 1.0 / 3.0))).cast("long"))

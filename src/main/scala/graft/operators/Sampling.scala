@@ -47,13 +47,17 @@ object Sampling {
         coalesce(stddev_pop(col(valueCol)), lit(0.0)).as("__sd"))
       .withColumn("__mass", col("n_rows") * col("__sd"))
     val tot = per.agg(sum("__mass").as("__tm"), sum("n_rows").as("__tn"))
+    // zero-variance corpus (every stratum constant) ⇒ Σ N·σ = 0: the
+    // Neyman share is undefined, so fall back to proportional shares
+    // explicitly rather than emit NULL/÷0 — mirrored in the oracle
+    val share = when(col("__tm") > 0.0, col("__mass") / col("__tm"))
+      .otherwise(col("n_rows").cast("double") / col("__tn"))
     per.crossJoin(broadcast(tot))   // 1-row stat factor
       .select(
         col("stratum"), col("n_rows"),
         round(col("__sd"), 4).as("sd"),
-        round(col("__mass") / col("__tm"), 6).as("neyman_share"),
-        round(col("__mass") / col("__tm") * budget, 0).cast("long")
-          .as("alloc_neyman"),
+        round(share, 6).as("neyman_share"),
+        round(share * budget, 0).cast("long").as("alloc_neyman"),
         round(col("n_rows").cast("double") / col("__tn") * budget, 0)
           .cast("long").as("alloc_proportional"))
       .orderBy("stratum")
@@ -71,9 +75,14 @@ object Sampling {
        |SELECT stratum,
        |  CAST(n_rows AS BIGINT) AS n_rows,
        |  ROUND(sd, 4) AS sd,
-       |  ROUND(n_rows * sd / (SELECT tm FROM tot), 6) AS neyman_share,
-       |  CAST(ROUND(n_rows * sd / (SELECT tm FROM tot) * $budget, 0)
-       |    AS BIGINT) AS alloc_neyman,
+       |  ROUND(CASE WHEN (SELECT tm FROM tot) > 0
+       |    THEN n_rows * sd / (SELECT tm FROM tot)
+       |    ELSE CAST(n_rows AS DOUBLE) / (SELECT tn FROM tot) END, 6)
+       |    AS neyman_share,
+       |  CAST(ROUND(CASE WHEN (SELECT tm FROM tot) > 0
+       |    THEN n_rows * sd / (SELECT tm FROM tot)
+       |    ELSE CAST(n_rows AS DOUBLE) / (SELECT tn FROM tot) END
+       |    * $budget, 0) AS BIGINT) AS alloc_neyman,
        |  CAST(ROUND(CAST(n_rows AS DOUBLE) / (SELECT tn FROM tot)
        |    * $budget, 0) AS BIGINT) AS alloc_proportional
        |FROM per ORDER BY stratum""".stripMargin

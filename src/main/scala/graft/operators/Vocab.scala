@@ -236,7 +236,6 @@ object Vocab {
     val spark = docsA.sparkSession
     import spark.implicits._
     val depths = (1 to k).map(_.toLong).toDF("d")
-    val overlapAtK = m.count().toDouble
     val byDepth = depths.crossJoin(m)
       .groupBy("d")
       .agg(sum(when(col("mr") <= col("d"), 1L).otherwise(0L)).as("xd"))
@@ -244,12 +243,20 @@ object Vocab {
       .select(coalesce(sum(pow(lit(p), col("d") - 1L) *
         col("xd").cast("double") / col("d")), lit(0.0)).as("__s"))
       .select((lit(1.0 - p) * col("__s")).as("rbo"))
-    rbo.select(
+    // list sizes + overlap as 1-row stat factors in the SAME job (no
+    // extra driver action), and the Jaccard over the ACTUAL list
+    // lengths |A| + |B| − overlap — a slice with fewer than k distinct
+    // tokens must not inflate the denominator
+    val stats = a.agg(count(lit(1)).as("__na"))
+      .crossJoin(b.agg(count(lit(1)).as("__nb")))
+      .crossJoin(m.agg(count(lit(1)).as("__ov")))
+    val denom = (col("__na") + col("__nb") - col("__ov")).cast("double")
+    rbo.crossJoin(broadcast(stats)).select(
       lit(k).as("k"),
       lit(p).as("p"),
-      lit(overlapAtK.toLong).as("overlap_at_k"),
-      round(lit(overlapAtK) / (2 * k - overlapAtK), 6)
-        .as("jaccard_top_k"),
+      col("__ov").as("overlap_at_k"),
+      round(when(denom > 0.0, col("__ov").cast("double") / denom)
+        .otherwise(lit(0.0)), 6).as("jaccard_top_k"),
       round(col("rbo"), 6).as("rbo"))
   }
 
@@ -280,12 +287,15 @@ object Vocab {
        |s AS (
        |  SELECT SUM(pow($p, d - 1) * CAST(xd AS DOUBLE) / d) AS ss
        |  FROM bd),
-       |ov AS (SELECT COUNT(*) AS o FROM m)
+       |ov AS (SELECT COUNT(*) AS o FROM m),
+       |sz AS (SELECT (SELECT COUNT(*) FROM ra)
+       |  + (SELECT COUNT(*) FROM rb) - (SELECT o FROM ov) AS den)
        |SELECT CAST($k AS INTEGER) AS k,
        |  CAST($p AS DOUBLE) AS p,
        |  CAST((SELECT o FROM ov) AS BIGINT) AS overlap_at_k,
-       |  ROUND(CAST((SELECT o FROM ov) AS DOUBLE) /
-       |    (2 * $k - (SELECT o FROM ov)), 6) AS jaccard_top_k,
+       |  ROUND(CASE WHEN (SELECT den FROM sz) > 0
+       |    THEN CAST((SELECT o FROM ov) AS DOUBLE) / (SELECT den FROM sz)
+       |    ELSE 0.0 END, 6) AS jaccard_top_k,
        |  ROUND(${1.0 - p} * (SELECT ss FROM s), 6) AS rbo
        |FROM s""".stripMargin
 

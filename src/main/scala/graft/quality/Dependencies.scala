@@ -67,26 +67,35 @@ object Dependencies {
     * weekday?"). MI = Σ p(x,y)·log₂(p(x,y)/(p(x)p(y))).
     *
     * Dataflow: ONE grouped count to the joint (a, b) cell table;
-    * marginals come from window sums over that cell table (category-
-    * cardinality, never a corpus rescan). Output is one row per
-    * observed cell with its signed contribution, plus the total in
-    * every row. */
+    * marginals and the grand total are plain uniquely-named aggregates
+    * over that cell table JOINED back as broadcast stat factors —
+    * never stacked unbounded windows with different partition specs
+    * over one frame, which silently corrupts on Spark 4.1 (every
+    * window returns the grand total; the same failure
+    * [[graft.operators.Drift.ksBySliceFdr]] was rewritten around).
+    * All factors are category-cardinality, never a corpus rescan.
+    * Output is one row per observed cell with its signed contribution,
+    * plus the total in every row. */
   def mutualInformation(df: DataFrame, aCol: String,
       bCol: String): DataFrame = {
     val joint = df
       .where(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("n"))
-    val wA = org.apache.spark.sql.expressions.Window.partitionBy("a")
-    val wB = org.apache.spark.sql.expressions.Window.partitionBy("b")
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1))
-    val tot = sum("n").over(wAll).cast("double")
+    val aTot = joint.groupBy("a").agg(sum("n").as("__na"))
+    val bTot = joint.groupBy("b").agg(sum("n").as("__nb"))
+    val grand = joint.agg(sum("n").as("__nt"))
+    val tot = col("__nt").cast("double")
     val pxy = col("n") / tot
-    val px = sum("n").over(wA).cast("double") / tot
-    val py = sum("n").over(wB).cast("double") / tot
+    val px = col("__na").cast("double") / tot
+    val py = col("__nb").cast("double") / tot
     val contrib = pxy * log2(pxy / (px * py))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))   // the ONLY unbounded window on this frame
     joint
+      .join(broadcast(aTot), "a")
+      .join(broadcast(bTot), "b")
+      .crossJoin(broadcast(grand))   // 1-row stat factor
       .withColumn("p_joint", round(pxy, 6))
       .withColumn("p_a", round(px, 6))
       .withColumn("p_b", round(py, 6))

@@ -82,6 +82,18 @@ class DriftSpec extends AnyFunSuite {
     assert(got("k") == ((8L, 0.0, 0.0, -1L)))
   }
 
+  test("width advisor: sub-rounding IQR still yields a bucket count") {
+    // v spaced 1e-7 apart: iqr = 3.5e-7, h = 2·3.5e-7/8^(1/3) = 3.5e-7
+    // — ROUNDS to 0.000000 at 6 decimals, but the gate is the raw
+    // q3 > q1 (the oracle's CASE), so n_buckets = ceil(7e-7/3.5e-7) = 2
+    val tiny = (0 to 7).map(i => i * 1e-7).toDF("v")
+    val row = Drift.bucketWidthAdvisor(tiny, Seq("v"))
+      .select("fd_width", "n_buckets").collect().head
+    assert(row.getDouble(0) == 0.0, "displayed width rounds to 0")
+    assert(!row.isNullAt(1) && row.getLong(1) == 2L,
+      "bucket count must come from the unrounded width")
+  }
+
   test("ks-fdr: BH step-up math on hand p-values via identical slices") {
     // all slices identical → D ≈ 0, p ≈ 1, adj = 1, no discoveries
     val rows = (0 until 4).flatMap { s =>

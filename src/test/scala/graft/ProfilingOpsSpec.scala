@@ -141,6 +141,21 @@ class ProfilingOpsSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("mi: per-cell marginals are the true marginals, not the grand total") {
+    // the Spark 4.1 stacked-window corruption makes every partition
+    // spec return the grand total (p_a = p_b = 1.0 for all cells);
+    // the joined-stat-tables form must show the real skewed marginals
+    val df = (Seq(("x", 1), ("x", 2)) ++ Seq.fill(2)(("y", 1)))
+      .toDF("a", "b")
+    val cells = Dependencies.mutualInformation(df, "a", "b")
+      .select("a", "b", "p_a", "p_b")
+      .as[(String, Int, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(cells(("x", 1)) == ((0.5, 0.75)))
+    assert(cells(("x", 2)) == ((0.5, 0.25)))
+    assert(cells(("y", 1)) == ((0.5, 0.75)))
+  }
+
   // ---- CUSUM ----
 
   private def dayEvents(counts: Seq[Int], key: String = "a") =

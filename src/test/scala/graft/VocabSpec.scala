@@ -123,6 +123,21 @@ class VocabSpec extends AnyFunSuite {
     assert(gotMap("b") == ((100L, 2L)))
   }
 
+  test("neyman: all-constant corpus falls back to proportional, no nulls") {
+    // every stratum zero-variance → Σ N·σ = 0: shares must be the
+    // proportional ones, not NULL/÷0
+    val d = ((1 to 30).map(i => (i.toLong, "t", "a", 7L)) ++
+      (31 to 40).map(i => (i.toLong, "t", "b", 9L)))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val rows = graft.operators.Sampling.neymanAllocation(
+      d, "source", "n_chars", budget = 100L)
+      .select("stratum", "neyman_share", "alloc_neyman").collect()
+    assert(rows.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+    val m = rows.map(r => r.getString(0) ->
+      ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(m("a") == ((0.75, 75L)) && m("b") == ((0.25, 25L)))
+  }
+
   test("rbo: identical rankings score 1; disjoint score 0") {
     val a = Seq((0L, "x x x y y z"), (1L, "x y z"))
       .toDF("doc_id", "text")
@@ -137,6 +152,16 @@ class VocabSpec extends AnyFunSuite {
     val disj = Vocab.rankBiasedOverlap(a, b, k = 3)
       .select("rbo").as[Double].collect().head
     assert(disj == 0.0)
+  }
+
+  test("rbo: jaccard uses actual list lengths when a slice has < k tokens") {
+    // both slices have only 2 distinct tokens at k=3: identical lists
+    // must score jaccard 1.0 (2/(2+2−2)), not 2/(2·3−2) = 0.5
+    val two = Seq((0L, "x x y")).toDF("doc_id", "text")
+    val got = Vocab.rankBiasedOverlap(two, two, k = 3)
+      .select("overlap_at_k", "jaccard_top_k")
+      .as[(Long, Double)].collect().head
+    assert(got == ((2L, 1.0)))
   }
 
   test("rbo: head agreement outweighs equal-sized tail agreement") {
