@@ -48,6 +48,10 @@ object PlanAudit {
     // MI grand-total is a 1-row broadcast crossJoin into the joint
     // cell table (the ksBySliceFdr joined-stat-tables workaround)
     "q216_mutual_info",
+    // JS matrix: |S|² source-pair grid (the q176 postcard-pairing
+    // shape); PMI: 1-row user-day-total stat factor; burstiness:
+    // |types|×|days| calendar grid spine
+    "q237_js_divergence", "q238_session_pmi", "q240_burstiness",
     // retrieval eval rides the q20 bounded brute-force harness
     "q184_retrieval_eval",
     // LSH quality harness: exact-Jaccard ground truth is a bounded

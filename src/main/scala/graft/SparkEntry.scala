@@ -43,6 +43,49 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- Pairwise Jensen–Shannon divergence between sources'
+    //      unigram distributions: the symmetric complement to q234's
+    //      KL — which sources are lexically interchangeable; shared
+    //      vocab joined, one-sided mass in closed form ----
+    "q237_js_divergence" -> ((s, dir) =>
+      graft.operators.Vocab.jsDivergenceMatrix(t(s, dir, "documents"))),
+
+    // ---- PMI of event types co-present in a user-day: order-free
+    //      association beyond frequency (q107 transitions are the
+    //      ordered counterpart); presence table self-join bounded by
+    //      the type vocabulary ----
+    "q238_session_pmi" -> ((s, dir) =>
+      graft.operators.Cooccurrence.sessionPmi(t(s, dir, "events"))),
+
+    // ---- Cohen's κ between two heuristic quality labelers (length
+    //      vs token-count): chance-corrected agreement before
+    //      trusting a label; ONE conditional-sum pass ----
+    "q239_label_kappa" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.quality.Agreement.cohenKappa(d,
+        col("n_chars") >= 300L,
+        size(filter(TextFunctions.tokens(col("text")),
+          _ =!= "")) >= 55L)
+    }),
+
+    // ---- Fano-factor burstiness per event type over the zero-filled
+    //      day spine: var/mean of daily counts, Poisson = 1 — decides
+    //      which anomaly baseline each type needs ----
+    "q240_burstiness" -> ((s, dir) =>
+      graft.operators.Anomaly.fanoFactor(t(s, dir, "events"))),
+
+    // ---- Exact population covariance of the embedding column: one
+    //      scan exploding upper-triangle products into d(d+1)/2
+    //      map-combined groups — no self-join of vectors ----
+    "q241_embedding_covariance" -> ((s, dir) =>
+      graft.operators.Pca.covariance(t(s, dir, "embeddings"))),
+
+    // ---- PCA eigen-spectrum + participation-ratio isotropy audit:
+    //      distributed moment pass, driver Jacobi on the d×d matrix
+    //      (dimension-bounded, the fitCentroids pattern) ----
+    "q242_pca_spectrum" -> ((s, dir) =>
+      graft.operators.Pca.spectrum(t(s, dir, "embeddings"))),
+
     // ---- Robust location per event type: mean vs trimmed vs
     //      winsorized — disagreement IS the outlier diagnosis; exact
     //      percentile cuts (oracle pin), two grouped aggs ----
@@ -2975,6 +3018,21 @@ object SparkEntry {
 
     "q233_neyman_allocation" ->
       graft.operators.Sampling.neymanOracleSql(1000L),
+
+    "q237_js_divergence" ->
+      graft.operators.Vocab.jsMatrixOracleSql,
+
+    "q238_session_pmi" ->
+      graft.operators.Cooccurrence.sessionPmiOracleSql,
+
+    "q239_label_kappa" ->
+      graft.quality.Agreement.kappaOracleSql(300L, 55L),
+
+    "q240_burstiness" ->
+      graft.operators.Anomaly.fanoOracleSql,
+
+    "q241_embedding_covariance" ->
+      graft.operators.Pca.covarianceOracleSql,
 
     "q234_lexical_kl" ->
       graft.operators.Vocab.lexicalKlOracleSql,

@@ -522,6 +522,68 @@ object Anomaly {
        |JOIN cb ON cb.d = ca.d + lag
        |GROUP BY lag ORDER BY lag""".stripMargin
 
+  /** Fano-factor burstiness per event type — the dispersion index
+    * var/mean of the DAILY count series (Fano 1947; = 1 for a Poisson
+    * arrival process): the one-number answer to "is this event type's
+    * traffic bursty or steady", which decides whether the z-score
+    * monitors upstream need a seasonal baseline or a heavier-tailed
+    * one. Computed over the ZERO-FILLED day spine (a type silent for
+    * 20 of 30 days is extremely bursty — dropping its silent days
+    * would hide exactly that), classification on the UNROUNDED ratio
+    * (the q230 lesson).
+    *
+    * One shuffle to the (type, day) count table; the spine grid is
+    * |types|·|days| — calendar-sized, never corpus-sized. */
+  def fanoFactor(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val spine = daily.agg(min("d").as("__lo"), max("d").as("__hi"))
+      .select(explode(expr("sequence(__lo, __hi, interval 1 day)"))
+        .as("d"))
+    val grid = daily.select("event_type").distinct()
+      .crossJoin(broadcast(spine))   // calendar-sized grid
+      .join(daily, Seq("event_type", "d"), "left_outer")
+      .na.fill(0.0, Seq("c"))
+    grid.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        avg("c").as("__mu"),
+        var_pop("c").as("__v"))
+      .select(col("event_type"), col("n_days"),
+        round(col("__mu"), 6).as("mean_daily"),
+        round(col("__v"), 6).as("var_daily"),
+        round(col("__v") / col("__mu"), 6).as("fano"),
+        when(col("__v") / col("__mu") > 1.0, lit("over"))
+          .when(col("__v") / col("__mu") < 1.0, lit("under"))
+          .otherwise(lit("poisson")).as("dispersion"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[fanoFactor]]. */
+  val fanoOracleSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(COUNT(*) AS DOUBLE) AS c
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+      |spine AS (
+      |  SELECT CAST(UNNEST(generate_series((SELECT lo FROM span),
+      |    (SELECT hi FROM span), INTERVAL 1 DAY)) AS DATE) AS d),
+      |grid AS (
+      |  SELECT t.event_type, s.d, COALESCE(daily.c, 0.0) AS c
+      |  FROM (SELECT DISTINCT event_type FROM daily) t
+      |  CROSS JOIN spine s
+      |  LEFT JOIN daily ON daily.event_type = t.event_type
+      |    AND daily.d = s.d)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  ROUND(AVG(c), 6) AS mean_daily,
+      |  ROUND(var_pop(c), 6) AS var_daily,
+      |  ROUND(var_pop(c) / AVG(c), 6) AS fano,
+      |  CASE WHEN var_pop(c) / AVG(c) > 1.0 THEN 'over'
+      |    WHEN var_pop(c) / AVG(c) < 1.0 THEN 'under'
+      |    ELSE 'poisson' END AS dispersion
+      |FROM grid GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** DuckDB oracle for [[dailyAcf]]. */
   def acfOracleSql(maxLag: Int = 7): String =
     s"""WITH daily AS (

@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PCA over an embedding column — the covariance/eigen audit a vector
+  * corpus needs before the ANN/dedup tier consumes it: anisotropic
+  * embedding spaces (a few directions hoard the variance) degrade
+  * cosine-based recall (Mu & Viswanath, ICLR 2018 "All-but-the-Top"),
+  * and whitening is the standard repair. The reference's analytics
+  * stack has no vector tier at all (its engine delegates to
+  * pandas/Athena, the glue jobs directory); this extends the repo's
+  * embedding operators ([[Similarity]], [[ProductQuantization]]) with
+  * the second-order statistics they implicitly assume.
+  *
+  * Scale shape: the ONLY corpus-size work is one scan that explodes
+  * each vector's upper-triangle products to (i, j, xi·xj) with
+  * map-side partial aggregation into d(d+1)/2 groups — no self-join,
+  * no shuffle of raw vectors. Everything after (Jacobi eigensolve,
+  * projection-matrix build) is driver arithmetic on a d×d matrix
+  * (d = 64 here; bounded by EMBEDDING dimension, never corpus size),
+  * exactly the bounded-driver-state pattern of
+  * [[Similarity.fitCentroids]]. Whitening re-enters the cluster as a
+  * broadcast matrix multiply per row.
+  */
+object Pca {
+
+  /** Population covariance matrix of the embedding column as rows
+    * `(i, j, cov)` over the upper triangle (1-based, i ≤ j).
+    *
+    * One pass: per row, `transform`+`slice` emit the d(d+1)/2 pair
+    * products; `posexplode`-style flattening feeds a grouped sum that
+    * partial-aggregates map-side (2080 groups for d = 64). Means and
+    * the row count ride the same scan as separate aggregates joined
+    * back at pair-table scale. */
+  def covariance(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
+    covarianceRaw(emb, vecCol)
+      .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
+      .orderBy("i", "j")
+
+  /** [[covariance]] without the 6-decimal display rounding — what
+    * [[fit]] eigensolves (rounding is an oracle concern; feeding it
+    * into the whitening scale shows up as ~1e-5 variance error). */
+  private def covarianceRaw(emb: DataFrame, vecCol: String): DataFrame = {
+    val pairs = expr(
+      s"""flatten(transform($vecCol, (xi, i) ->
+         |  transform(slice($vecCol, i + 1, size($vecCol) - i),
+         |    (xj, jj) -> struct(i AS i, i + jj AS j,
+         |      CAST(xi AS DOUBLE) * CAST(xj AS DOUBLE) AS p))))""".stripMargin)
+    val sums = emb
+      .select(explode(pairs).as("pr"))
+      .groupBy(col("pr.i").as("i"), col("pr.j").as("j"))
+      .agg(sum("pr.p").as("__sxy"))
+    val dims = emb
+      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(sum(col("x").cast("double")).as("__sx"),
+        count(lit(1)).as("__n"))
+    sums
+      .join(broadcast(dims.select(col("i"), col("__sx").as("__sxi"),
+        col("__n"))), "i")
+      .join(broadcast(dims.select(col("i").as("j"),
+        col("__sx").as("__sxj"))), "j")
+      .select(
+        (col("i") + 1).cast("bigint").as("i"),
+        (col("j") + 1).cast("bigint").as("j"),
+        (col("__sxy") / col("__n") -
+          (col("__sxi") / col("__n")) * (col("__sxj") / col("__n")))
+          .as("cov"))
+  }
+
+  /** DuckDB oracle for [[covariance]] on the embeddings table. */
+  val covarianceOracleSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(UNNEST(embedding) AS DOUBLE) AS x
+      |  FROM embeddings)
+      |SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+      |  ROUND(covar_pop(a.x, b.x), 6) AS cov
+      |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Fitted PCA: the mean vector, eigenvalues (descending) and the
+    * matching unit eigenvectors (`components(c)` is the c-th one). */
+  final case class PcaModel(mean: Array[Double],
+      eigenvalues: Array[Double], components: Array[Array[Double]])
+
+  /** Fit a [[PcaModel]]: one distributed pass for the exact moment
+    * sums (the [[covariance]] dataflow plus the mean), then a driver
+    * Jacobi eigensolve on the d×d matrix. */
+  def fit(emb: DataFrame, vecCol: String = "embedding"): PcaModel = {
+    val covRows = covarianceRaw(emb, vecCol)
+      .collect()   // bounded: d(d+1)/2 rows, dimension- not corpus-sized
+    val d = covRows.iterator.map(_.getLong(1)).max.toInt
+    val a = Array.ofDim[Double](d, d)
+    covRows.foreach { r =>
+      val (i, j, c) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1,
+        r.getDouble(2))
+      a(i)(j) = c; a(j)(i) = c
+    }
+    val mean = emb
+      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy("i").agg(avg(col("x").cast("double")).as("m"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val (evals, evecs) = jacobiEigen(a)
+    PcaModel(mean, evals, evecs)
+  }
+
+  /** Eigen-spectrum report `(component, eigenvalue, var_explained,
+    * cum_var, participation_ratio)` — the isotropy audit: a
+    * participation ratio (Σλ)²/Σλ² near d means variance spreads
+    * evenly (isotropic, cosine-friendly); near 1 means one direction
+    * dominates and whitening will change neighbor sets. */
+  def spectrum(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val m = fit(emb, vecCol)
+    val tot = m.eigenvalues.sum
+    val pr = {
+      val s2 = m.eigenvalues.map(l => l * l).sum
+      if (s2 > 0.0) tot * tot / s2 else 0.0
+    }
+    val cum = m.eigenvalues.scanLeft(0.0)(_ + _).tail
+    m.eigenvalues.zipWithIndex.map { case (l, c) =>
+      (c + 1L, round6(l), round6(if (tot > 0) l / tot else 0.0),
+        round6(if (tot > 0) cum(c) / tot else 0.0), round6(pr))
+    }.toSeq.toDF("component", "eigenvalue", "var_explained", "cum_var",
+      "participation_ratio")
+  }
+
+  /** Whiten into the top-`k` principal components: y = Λ_k^{-1/2} ·
+    * U_kᵀ · (x − μ). The projection matrix is driver-built (k·d
+    * doubles) and enters the plan as literal arrays — per row this is
+    * k codegen'd dot products, no shuffle at all. Components with
+    * eigenvalue ≤ `eps` are scaled by 0 (degenerate directions carry
+    * no signal, not infinities). */
+  def whiten(emb: DataFrame, model: PcaModel, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      eps: Double = 1e-12): DataFrame = {
+    require(k >= 1 && k <= model.eigenvalues.length, "k out of range")
+    val meanLit = array(model.mean.map(lit): _*)
+    val centered = expr(s"zip_with($vecCol, __mu, (x, m) -> " +
+      "CAST(x AS DOUBLE) - m)")
+    val comps = (0 until k).map { c =>
+      val scale =
+        if (model.eigenvalues(c) > eps) 1.0 / math.sqrt(model.eigenvalues(c))
+        else 0.0
+      val u = array(model.components(c).map(lit): _*)
+      (aggregate(zip_with(col("__c"), u, (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v) * lit(scale)).as(s"pc${c + 1}")
+    }
+    emb
+      .withColumn("__mu", meanLit)
+      .withColumn("__c", centered)
+      .select(col(idCol) +: array(comps: _*).as("whitened") +: Nil: _*)
+  }
+
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix (Golub & Van
+    * Loan §8.5): rotations annihilate off-diagonal entries until the
+    * off-diagonal Frobenius mass is numerically zero. Returns
+    * eigenvalues DESCENDING with matching unit eigenvectors —
+    * deterministic (fixed sweep order, index tie-break), so spectrum
+    * output is stable across runs. O(d³) per sweep on a d×d driver
+    * matrix — microseconds at embedding dimensions. */
+  private[graft] def jacobiEigen(
+      a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone)
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    var sweep = 0
+    while (sweep < 100 && off() > 1e-18) {
+      var p = 0
+      while (p < n) {
+        var q = p + 1
+        while (q < n) {
+          if (math.abs(a(p)(q)) > 1e-15) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < n) {   // A ← A·G (columns p, q)
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {   // A ← Gᵀ·A (rows p, q)
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < n) {   // V ← V·G
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => (-a(i)(i), i))
+    val evals = order.map(i => a(i)(i)).toArray
+    val evecs = order.map(c => (0 until n).map(r => v(r)(c)).toArray).toArray
+    (evals, evecs)
+  }
+}

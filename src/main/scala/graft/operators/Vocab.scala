@@ -199,6 +199,93 @@ object Vocab {
       |JOIN totals ON st.source = totals.source
       |GROUP BY st.source ORDER BY st.source""".stripMargin
 
+  /** Pairwise Jensen–Shannon divergence between every pair of
+    * sources' unigram distributions (Lin, IEEE-IT 1991) — the
+    * SYMMETRIC, bounded [0, 1]-bit complement to [[lexicalKl]]: KL
+    * ranks each source against the corpus mix; the JS matrix says
+    * which sources are lexically interchangeable and which pairing
+    * decisions (merge? dedup across? separate mixture weights?) the
+    * distance actually supports. JS(a,b) = ½KL(a‖m) + ½KL(b‖m) with
+    * m = (a+b)/2.
+    *
+    * Scale shape: one explode to (source, token) counts, a token-keyed
+    * equi-join whose per-token fan-out is bounded by SOURCE cardinality
+    * (never corpus size), and the closed-form shortcut for one-sided
+    * tokens: a token absent from b contributes p_a·log₂2 = p_a, so
+    * only the SHARED vocabulary is joined and each side's unshared
+    * mass enters as 1 − Σ_shared p. The |S|² pair grid is a
+    * source-cardinality crossJoin (pairs with zero shared tokens score
+    * exactly 1 bit). */
+  def jsDivergenceMatrix(docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val st = docs
+      .select(col("source"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val totals = st.groupBy("source").agg(sum("c").as("n"))
+    val d = st.join(broadcast(totals), "source")
+      .select(col("source"), col("token"),
+        (col("c").cast("double") / col("n")).as("p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shared = d.select(col("source").as("src_a"), col("token"),
+        col("p").as("pa"))
+      .join(d.select(col("source").as("src_b"), col("token"),
+        col("p").as("pb")), "token")
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(
+        sum(col("pa") * log2(lit(2.0) * col("pa") /
+          (col("pa") + col("pb")))).as("__ka"),
+        sum(col("pb") * log2(lit(2.0) * col("pb") /
+          (col("pa") + col("pb")))).as("__kb"),
+        sum("pa").as("__ma"), sum("pb").as("__mb"),
+        count(lit(1)).as("n_shared"))
+    val srcs = totals.select("source")
+    srcs.select(col("source").as("src_a"))
+      .crossJoin(srcs.select(col("source").as("src_b")))
+      .where(col("src_a") < col("src_b"))   // |S|² pair grid
+      .join(shared, Seq("src_a", "src_b"), "left_outer")
+      .na.fill(0.0, Seq("__ka", "__kb", "__ma", "__mb"))
+      .na.fill(0L, Seq("n_shared"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(lit(0.5) * (col("__ka") + (lit(1.0) - col("__ma")) +
+          col("__kb") + (lit(1.0) - col("__mb"))), 6).as("js_bits"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** DuckDB oracle for [[jsDivergenceMatrix]] on documents. */
+  val jsMatrixOracleSql: String =
+    """WITH t AS (
+      |  SELECT source, UNNEST(str_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |st AS (
+      |  SELECT source, token, COUNT(*) AS c
+      |  FROM t WHERE token <> '' GROUP BY 1, 2),
+      |totals AS (SELECT source, SUM(c) AS n FROM st GROUP BY 1),
+      |d AS (
+      |  SELECT st.source, st.token, CAST(st.c AS DOUBLE) / totals.n AS p
+      |  FROM st JOIN totals ON st.source = totals.source),
+      |shared AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    COUNT(*) AS n_shared,
+      |    SUM(a.p * log2(2.0 * a.p / (a.p + b.p))) AS ka,
+      |    SUM(b.p * log2(2.0 * b.p / (a.p + b.p))) AS kb,
+      |    SUM(a.p) AS ma, SUM(b.p) AS mb
+      |  FROM d a JOIN d b ON a.token = b.token AND a.source < b.source
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT s1.source AS src_a, s2.source AS src_b
+      |  FROM totals s1, totals s2 WHERE s1.source < s2.source)
+      |SELECT pairs.src_a AS src_a, pairs.src_b AS src_b,
+      |  CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+      |  ROUND(0.5 * (COALESCE(ka, 0) + 1.0 - COALESCE(ma, 0) +
+      |    COALESCE(kb, 0) + 1.0 - COALESCE(mb, 0)), 6) AS js_bits
+      |FROM pairs
+      |LEFT JOIN shared ON pairs.src_a = shared.src_a
+      |  AND pairs.src_b = shared.src_b
+      |ORDER BY 1, 2""".stripMargin
+
   /** Rank-biased overlap of the top-K token rankings of two corpus
     * slices (Webber, Moffat & Zobel, TOIS 2010) — the ranked-list
     * stability metric: plain top-K Jaccard treats rank 1 and rank 100

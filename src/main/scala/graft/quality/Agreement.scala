@@ -1,0 +1,92 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Inter-labeler agreement — Cohen's κ (Cohen 1960) between two binary
+  * labelers over the same rows: raw percent agreement is inflated by
+  * chance whenever the base rates are skewed, and κ is the standard
+  * chance-corrected audit a curation team runs before trusting a
+  * quality label (heuristic vs heuristic here, heuristic vs model or
+  * annotator vs annotator in production — the labelers are plugged in
+  * as Columns, so any boolean signal fits).
+  *
+  * Scale shape: ONE full-scan aggregate with conditional sums — the
+  * confusion matrix, marginals and κ all come out of a single
+  * map-side-combined pass; the output is one row regardless of corpus
+  * size. */
+object Agreement {
+
+  /** κ report `(n, n11, n10, n01, n00, po, pe, kappa)` for two boolean
+    * labeler columns. Rows where either labeler is NULL are excluded
+    * (both engines count only co-labeled rows). The degenerate pe = 1
+    * case (both labelers constant and equal) is pinned to κ = 1 when
+    * they agree everywhere, else 0 — mirrored in the oracle. */
+  def cohenKappa(df: DataFrame, labelerA: Column,
+      labelerB: Column): DataFrame = {
+    val a = labelerA.cast("boolean")
+    val b = labelerB.cast("boolean")
+    def cell(pa: Column, pb: Column) =
+      sum(when(pa && pb, 1L).otherwise(0L))
+    val base = df
+      .where(a.isNotNull && b.isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        cell(a, b).as("n11"),
+        cell(a, !b).as("n10"),
+        cell(!a, b).as("n01"),
+        cell(!a, !b).as("n00"))
+    val nd = col("n").cast("double")
+    val po = (col("n11") + col("n00")) / nd
+    val pe = ((col("n11") + col("n10")) / nd) *
+      ((col("n11") + col("n01")) / nd) +
+      ((col("n01") + col("n00")) / nd) *
+      ((col("n10") + col("n00")) / nd)
+    base.select(
+      col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      round(po, 6).as("po"),
+      round(pe, 6).as("pe"),
+      round(when(pe === 1.0, when(po === 1.0, 1.0).otherwise(0.0))
+        .otherwise((po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
+  }
+
+  /** DuckDB oracle for the registered documents fixture: labeler A =
+    * length heuristic (n_chars ≥ `charsMin`), labeler B = token-count
+    * heuristic (whitespace tokens ≥ `tokensMin`). */
+  def kappaOracleSql(charsMin: Long, tokensMin: Long): String =
+    s"""WITH l AS (
+       |  SELECT n_chars >= $charsMin AS a,
+       |    len(list_filter(str_split_regex(trim(text), '\\s+'),
+       |      t -> t <> '')) >= $tokensMin AS b
+       |  FROM documents),
+       |m AS (
+       |  SELECT COUNT(*) AS n,
+       |    SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,
+       |    SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n10,
+       |    SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n01,
+       |    SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n00
+       |  FROM l WHERE a IS NOT NULL AND b IS NOT NULL)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+       |  CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+       |  ROUND((n11 + n00) / CAST(n AS DOUBLE), 6) AS po,
+       |  ROUND(((n11 + n10) / CAST(n AS DOUBLE)) *
+       |      ((n11 + n01) / CAST(n AS DOUBLE)) +
+       |    ((n01 + n00) / CAST(n AS DOUBLE)) *
+       |      ((n10 + n00) / CAST(n AS DOUBLE)), 6) AS pe,
+       |  ROUND(CASE WHEN ((n11 + n10) / CAST(n AS DOUBLE)) *
+       |      ((n11 + n01) / CAST(n AS DOUBLE)) +
+       |    ((n01 + n00) / CAST(n AS DOUBLE)) *
+       |      ((n10 + n00) / CAST(n AS DOUBLE)) = 1.0
+       |    THEN CASE WHEN (n11 + n00) = n THEN 1.0 ELSE 0.0 END
+       |    ELSE ((n11 + n00) / CAST(n AS DOUBLE) -
+       |      (((n11 + n10) / CAST(n AS DOUBLE)) *
+       |        ((n11 + n01) / CAST(n AS DOUBLE)) +
+       |      ((n01 + n00) / CAST(n AS DOUBLE)) *
+       |        ((n10 + n00) / CAST(n AS DOUBLE)))) /
+       |      (1.0 - (((n11 + n10) / CAST(n AS DOUBLE)) *
+       |        ((n11 + n01) / CAST(n AS DOUBLE)) +
+       |      ((n01 + n00) / CAST(n AS DOUBLE)) *
+       |        ((n10 + n00) / CAST(n AS DOUBLE)))) END, 6) AS kappa
+       |FROM m""".stripMargin
+}

@@ -138,6 +138,30 @@ class VocabSpec extends AnyFunSuite {
     assert(m("a") == ((0.75, 75L)) && m("b") == ((0.25, 25L)))
   }
 
+  test("js matrix: identical 0, disjoint 1, hand-computed mixed pair") {
+    val d = Seq(
+      (0L, "x y", "a"), (1L, "x y", "b"),   // identical dists
+      (2L, "q q", "c")                      // disjoint from both
+    ).toDF("doc_id", "text", "source")
+    val got = graft.operators.Vocab.jsDivergenceMatrix(d)
+      .select("src_a", "src_b", "n_shared", "js_bits")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("a", "b")) == ((2L, 0.0)))
+    assert(got(("a", "c")) == ((0L, 1.0)))
+    assert(got(("b", "c")) == ((0L, 1.0)))
+    // mixed: a = {x:1}, b = {x:½, y:½} → JS = ½[1·log2(4/3)] +
+    //   ½[½·log2(2/3) + ½·1] — the one-sided y mass enters closed-form
+    val m = Seq((0L, "x", "a"), (1L, "x y", "b"))
+      .toDF("doc_id", "text", "source")
+    val expect = BigDecimal(0.5 * (math.log(4.0 / 3.0) / math.log(2.0)) +
+      0.5 * (0.5 * math.log(2.0 / 3.0) / math.log(2.0) + 0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val one = graft.operators.Vocab.jsDivergenceMatrix(m)
+      .select("js_bits").as[Double].collect().head
+    assert(one == expect)
+  }
+
   test("rbo: identical rankings score 1; disjoint score 0") {
     val a = Seq((0L, "x x x y y z"), (1L, "x y z"))
       .toDF("doc_id", "text")
