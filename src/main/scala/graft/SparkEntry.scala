@@ -74,6 +74,27 @@ object SparkEntry {
     "q240_burstiness" -> ((s, dir) =>
       graft.operators.Anomaly.fanoFactor(t(s, dir, "events"))),
 
+    // ---- Pearson × Spearman matrix over lineitem's numeric columns:
+    //      linear vs monotone association; ranks from the value-
+    //      frequency table (no global row window), ONE corr agg ----
+    "q243_correlation_matrix" -> ((s, dir) =>
+      graft.quality.Correlation.correlationMatrix(
+        t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
+    // ---- One-way ANOVA per embedding dimension against the label:
+    //      F-stat + eta-squared class-separability audit; explode →
+    //      |labels|·d partial agg → dim-keyed reduction ----
+    "q244_class_separation" -> ((s, dir) =>
+      graft.operators.Anova.classSeparation(t(s, dir, "embeddings"))),
+
+    // ---- Quantile-alignment table source vs pooled (the quantile-
+    //      normalization transform): per-level source/pooled quantile
+    //      and shift; two multi-percentile aggs ----
+    "q245_quantile_align" -> ((s, dir) =>
+      graft.operators.Drift.quantileAlign(
+        t(s, dir, "documents"), "source", "n_chars")),
+
     // ---- Exact population covariance of the embedding column: one
     //      scan exploding upper-triangle products into d(d+1)/2
     //      map-combined groups — no self-join of vectors ----
@@ -3033,6 +3054,16 @@ object SparkEntry {
 
     "q241_embedding_covariance" ->
       graft.operators.Pca.covarianceOracleSql,
+
+    "q243_correlation_matrix" ->
+      graft.quality.Correlation.oracleSql("lineitem",
+        Seq("l_quantity", "l_extendedprice", "l_discount")),
+
+    "q244_class_separation" ->
+      graft.operators.Anova.classSeparationOracleSql,
+
+    "q245_quantile_align" ->
+      graft.operators.Drift.quantileAlignOracleSql(),
 
     "q234_lexical_kl" ->
       graft.operators.Vocab.lexicalKlOracleSql,

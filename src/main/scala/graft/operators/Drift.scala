@@ -98,6 +98,72 @@ object Drift {
       .orderBy("column")
   }
 
+  /** Quantile-alignment table between each source's value distribution
+    * and the pooled one — the TRANSFORM table quantile normalization
+    * (Bolstad et al., Bioinformatics 2003; the cross-batch score-
+    * fusion standard) needs: at each probability level, the source
+    * quantile, the pooled quantile, and the shift between them. A
+    * quality-score fusion across heterogeneous sources reads this to
+    * decide whether sources are comparable as-is (shifts ≈ 0),
+    * linearly rescalable (constant shift), or need the full monotone
+    * warp (level-dependent shift).
+    *
+    * One grouped multi-percentile agg per side — exact `percentile`
+    * as the oracle pin, `approx_percentile` is the drop-in at 100 TB
+    * (the q29/q52 convention). Output is |sources|·|levels| rows. */
+  def quantileAlign(df: DataFrame, sourceCol: String, valueCol: String,
+      levels: Seq[Double] = (0 to 10).map(_ / 10.0)): DataFrame = {
+    require(levels.nonEmpty, "need at least one level")
+    val lvlSql = levels.mkString("array(", ", ", ")")
+    val lvlLit = array(levels.map(lit): _*)
+    val v = col(valueCol).cast("double")
+    val per = df
+      .groupBy(col(sourceCol).as("source"))
+      .agg(expr(s"percentile(CAST($valueCol AS DOUBLE), $lvlSql)")
+        .as("__qs"))
+      .select(col("source"), posexplode(col("__qs"))
+        .as(Seq("__i", "src_q")))
+    val pooled = df
+      .agg(expr(s"percentile(CAST($valueCol AS DOUBLE), $lvlSql)")
+        .as("__qs"))
+      .select(posexplode(col("__qs")).as(Seq("__i", "pooled_q")))
+    per.join(broadcast(pooled), "__i")   // |levels|-row stat table
+      .select(col("source"),
+        round(element_at(lvlLit, col("__i") + 1), 2).as("level"),
+        round(col("src_q"), 6).as("src_q"),
+        round(col("pooled_q"), 6).as("pooled_q"),
+        round(col("src_q") - col("pooled_q"), 6).as("shift"))
+      .orderBy("source", "level")
+  }
+
+  /** DuckDB oracle for [[quantileAlign]] on documents(source, n_chars). */
+  def quantileAlignOracleSql(
+      levels: Seq[Double] = (0 to 10).map(_ / 10.0)): String = {
+    val lst = levels.mkString("[", ", ", "]")
+    s"""WITH per AS (
+       |  SELECT source,
+       |    quantile_cont(CAST(n_chars AS DOUBLE), $lst) AS qs
+       |  FROM documents GROUP BY 1),
+       |perx AS (
+       |  SELECT source, generate_subscripts(qs, 1) AS i,
+       |    UNNEST(qs) AS src_q FROM per),
+       |pool AS (
+       |  SELECT quantile_cont(CAST(n_chars AS DOUBLE), $lst) AS qs
+       |  FROM documents),
+       |poolx AS (
+       |  SELECT generate_subscripts(qs, 1) AS i,
+       |    UNNEST(qs) AS pooled_q FROM pool),
+       |lev AS (
+       |  SELECT generate_subscripts(l, 1) AS i, UNNEST(l) AS lv
+       |  FROM (SELECT $lst AS l))
+       |SELECT source, ROUND(lv, 2) AS level,
+       |  ROUND(src_q, 6) AS src_q,
+       |  ROUND(pooled_q, 6) AS pooled_q,
+       |  ROUND(src_q - pooled_q, 6) AS shift
+       |FROM perx JOIN poolx USING (i) JOIN lev USING (i)
+       |ORDER BY source, level""".stripMargin
+  }
+
   /** DuckDB oracle for [[bucketWidthAdvisor]] on named table columns. */
   def widthAdvisorOracleSql(table: String, cols: Seq[String]): String = {
     val selects = cols.map { c =>

@@ -1,0 +1,89 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pairwise correlation profiling — Pearson r (linear association)
+  * beside Spearman ρ (monotone association, outlier-robust) for every
+  * pair of numeric columns: the third leg of the dependency-audit
+  * stool after [[Dependencies.fdReport]] (exact determination) and
+  * [[Dependencies.mutualInformation]] (categorical bits). Pearson ≫
+  * Spearman flags outlier-driven "correlation"; Spearman ≫ Pearson
+  * flags a monotone-but-curved link a linear model would miss.
+  *
+  * Scale shape: Spearman needs ranks, and a global row-level rank
+  * window is a single-partition scale-killer — so ranks come from the
+  * VALUE-FREQUENCY table instead (groupBy value → cumulative count →
+  * average rank per tie group, the standard Spearman tie convention),
+  * an ordered window over a value-cardinality frame joined back on the
+  * value (the ksBySliceFdr stat-table pattern). The correlations
+  * themselves are ONE aggregate pass (p² `corr` aggregates); the
+  * collected result is a single row. */
+object Correlation {
+
+  /** `(col_a, col_b, pearson, spearman)` for every unordered pair of
+    * `cols`, ordered (col_a, col_b). NULL rows are excluded per pair
+    * by `corr` itself (both engines skip null pairs). */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var d = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    cols.foreach { c =>
+      val freq = d.groupBy(col(c).as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      val wCum = Window.orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rk = freq
+        .withColumn("__rank",
+          coalesce(sum("__c").over(wCum), lit(0L)) +
+            (col("__c") + 1.0) / 2.0)   // average rank over the tie run
+        .select(col("__v").as(c), col("__rank").as(s"__r_$c"))
+      d = d.join(rk, Seq(c))
+    }
+    val pairs = for {
+      (a, i) <- cols.zipWithIndex; b <- cols.drop(i + 1)
+    } yield (a, b)
+    val aggs = pairs.flatMap { case (a, b) => Seq(
+      corr(col(a), col(b)).as(s"__p_${a}__$b"),
+      corr(col(s"__r_$a"), col(s"__r_$b")).as(s"__s_${a}__$b"))
+    }
+    val one = d.agg(aggs.head, aggs.tail: _*).collect()(0)
+    pairs.map { case (a, b) =>
+      (a, b,
+        round6(one.getAs[Double](s"__p_${a}__$b")),
+        round6(one.getAs[Double](s"__s_${a}__$b")))
+    }.toDF("col_a", "col_b", "pearson", "spearman")
+      .orderBy("col_a", "col_b")
+  }
+
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** DuckDB oracle for [[correlationMatrix]] on a named table. The
+    * rank mirror is row-level (`rank() + (tie − 1)/2`) — value-
+    * identical to the engine's frequency-table form. */
+  def oracleSql(table: String, cols: Seq[String]): String = {
+    val rankCols = cols.map { c =>
+      s"""rank() OVER (ORDER BY CAST($c AS DOUBLE)) +
+         |    (COUNT(*) OVER (PARTITION BY CAST($c AS DOUBLE)) - 1) / 2.0
+         |    AS __r_$c""".stripMargin
+    }.mkString(",\n  ")
+    val selects = (for {
+      (a, i) <- cols.zipWithIndex; b <- cols.drop(i + 1)
+    } yield
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  ROUND(corr(CAST($a AS DOUBLE), CAST($b AS DOUBLE)), 6)
+         |    AS pearson,
+         |  ROUND(corr(__r_$a, __r_$b), 6) AS spearman
+         |FROM r""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH r AS (
+       |  SELECT *,
+       |  $rankCols
+       |  FROM $table)
+       |SELECT * FROM (
+       |$selects
+       |) ORDER BY col_a, col_b""".stripMargin
+  }
+}

@@ -82,6 +82,29 @@ class DriftSpec extends AnyFunSuite {
     assert(got("k") == ((8L, 0.0, 0.0, -1L)))
   }
 
+  test("quantile align: identical source has zero shift, offset source a constant one") {
+    // src "b" is exactly src "a" + 100 → every level shifts by its
+    // offset from the POOLED distribution, monotone in level
+    val rows = (1 to 9).map(i => ("a", i * 10.0)) ++
+      (1 to 9).map(i => ("b", i * 10.0 + 100.0))
+    val got = Drift.quantileAlign(rows.toDF("source", "v"), "source", "v",
+      levels = Seq(0.0, 0.5, 1.0))
+      .select("source", "level", "src_q", "pooled_q", "shift")
+      .as[(String, Double, Double, Double, Double)].collect()
+    val bySrc = got.groupBy(_._1)
+    // pooled p50 interpolates the gap between 90 and 110 → 100
+    val a50 = got.find(r => r._1 == "a" && r._2 == 0.5).get
+    val b50 = got.find(r => r._1 == "b" && r._2 == 0.5).get
+    assert(a50._3 == 50.0 && b50._3 == 150.0 && a50._4 == 100.0)
+    assert(b50._5 - a50._5 == 100.0,
+      "the constant offset must appear as a constant shift gap")
+    // the shared extremes touch the pooled envelope (shift 0 there),
+    // interior levels shift toward each source's side
+    assert(bySrc("a").forall(r => r._5 <= 0) &&
+      bySrc("b").forall(r => r._5 >= 0))
+    assert(a50._5 == -50.0 && b50._5 == 50.0)
+  }
+
   test("width advisor: sub-rounding IQR still yields a bucket count") {
     // v spaced 1e-7 apart: iqr = 3.5e-7, h = 2·3.5e-7/8^(1/3) = 3.5e-7
     // — ROUNDS to 0.000000 at 6 decimals, but the gate is the raw
