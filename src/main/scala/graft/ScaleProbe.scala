@@ -96,6 +96,18 @@ object ScaleProbe {
         .collect()(0).getLong(0)),
       "repetition" -> (d => graft.operators.TextQuality
         .repetitionMetrics(d).count()),
+      // fixed 16-source grid: the |S|² pair frame never grows; the
+      // token-distribution tables (suffixed tokens → distinct vocab)
+      // and the shared-vocab join are the corpus-linear work
+      "js_matrix" -> (d => graft.operators.Vocab.jsDivergenceMatrix(
+        d.withColumn("source",
+          concat(lit("s"), pmod(col("doc_id"), lit(16))))).count()),
+      // two multi-percentile aggs; output |sources|·|levels| fixed
+      "quantile_align" -> (d => graft.operators.Drift.quantileAlign(
+        d.withColumn("source",
+          concat(lit("s"), pmod(col("doc_id"), lit(16))))
+          .withColumn("n_chars", length(col("text"))),
+        "source", "n_chars").count()),
       // amplified copies' suffixed tokens share no 4-gram with the base
       // benchmark slice, so match volume stays FIXED while the corpus
       // explode scales — the linear component is what's timed. The
@@ -372,7 +384,14 @@ object ScaleProbe {
       // √N-capped codebook pins the expected cell, so within-cell
       // pair work and the per-anchor top-k both track corpus size
       "hard_negatives" -> (d => graft.operators.Similarity
-        .hardNegatives(d, k = 3).count()))
+        .hardNegatives(d, k = 3).count()),
+      // one scan exploding d(d+1)/2 products per row into a FIXED
+      // 2080-group agg — pure map+partial-agg, the flattest shape here
+      "pca_covariance" -> (d => graft.operators.Pca.covariance(d).count()),
+      // explode to |labels|·d partial agg then a d-row reduction;
+      // output is dimension-sized whatever the corpus
+      "class_separation" -> (d => graft.operators.Anova
+        .classSeparation(d).count()))
 
     // ---- event-input operators: amplified by shifting user/event ids
     // per copy — copies are DISJOINT users, so per-user sequence
@@ -444,7 +463,17 @@ object ScaleProbe {
       // joins stay constant — the honest 100 TB shape: graph-sized
       // downstream work, corpus-sized only in the first shuffle
       "triangles" -> (d =>
-        graft.operators.Triangles.navigationTriangles(d).count()))
+        graft.operators.Triangles.navigationTriangles(d).count()),
+      // disjoint users grow the user-day presence table linearly while
+      // the pair fan-out stays bounded by the 5-type vocabulary
+      "session_pmi" -> (d =>
+        graft.operators.Cooccurrence.sessionPmi(d).count()),
+      // rank tables are VALUE-cardinality: event_id distinct grows ×N
+      // (worst case — every value unique), value/user repeat, so the
+      // probe times the freq-table windows AND the corpus joins
+      "correlation" -> (d => graft.quality.Correlation
+        .correlationMatrix(d, Seq("event_id", "user_id", "value"))
+        .count()))
 
     (ops.map(o => (o._1, o._2, base, big)) ++
       embOps.map(o => (o._1, o._2, embBase, embBig)) ++
