@@ -52,6 +52,8 @@ object PlanAudit {
     // shape); PMI: 1-row user-day-total stat factor; burstiness:
     // |types|×|days| calendar grid spine
     "q237_js_divergence", "q238_session_pmi", "q240_burstiness",
+    // whitened-ANN probe rides the q20 bounded brute-force harness
+    "q246_whitened_ann",
     // retrieval eval rides the q20 bounded brute-force harness
     "q184_retrieval_eval",
     // LSH quality harness: exact-Jaccard ground truth is a bounded

@@ -95,6 +95,36 @@ object SparkEntry {
       graft.operators.Drift.quantileAlign(
         t(s, dir, "documents"), "source", "n_chars")),
 
+    // ---- Whitening × ANN integration probe: top-10 cosine neighbor
+    //      overlap raw vs PCA-whitened (k=32) per query vector — how
+    //      much the anisotropy correction actually moves neighbor
+    //      sets (q242's participation ratio says whether it SHOULD);
+    //      bounded query slice, broadcast brute-force harness ----
+    "q246_whitened_ann" -> ((s, dir) => {
+      import graft.operators.{Pca, Similarity}
+      val emb = t(s, dir, "embeddings")
+      val model = Pca.fit(emb)
+      val wht = Pca.whiten(emb, model, k = 32)
+        .select(col("vec_id"),
+          col("whitened").cast("array<float>").as("embedding"))
+      val isQuery = col("vec_id") % 25 === 0
+      val rawNN = Similarity
+        .bruteForceTopK(emb, emb.filter(isQuery), k = 10)
+        .select(col("query_id"), col("neighbor_id").as("__nb"))
+      val whtNN = Similarity
+        .bruteForceTopK(wht, wht.filter(isQuery), k = 10)
+        .select(col("query_id"), col("neighbor_id").as("__nb"))
+      val shared = rawNN.join(whtNN, Seq("query_id", "__nb"))
+        .groupBy("query_id").agg(count(lit(1)).as("overlap_at_10"))
+      emb.filter(isQuery).select(col("vec_id").as("query_id"))
+        .join(shared, Seq("query_id"), "left_outer")
+        .na.fill(0L, Seq("overlap_at_10"))
+        .withColumn("jaccard_at_10",
+          round(col("overlap_at_10").cast("double") /
+            (lit(20.0) - col("overlap_at_10")), 6))
+        .orderBy("query_id")
+    }),
+
     // ---- Exact population covariance of the embedding column: one
     //      scan exploding upper-triangle products into d(d+1)/2
     //      map-combined groups — no self-join of vectors ----

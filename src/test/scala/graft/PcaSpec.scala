@@ -93,6 +93,26 @@ class PcaSpec extends AnyFunSuite {
       s"whitened covariance ${stats.getDouble(4)}")
   }
 
+  test("whitening an already-isotropic space preserves neighbor ranking") {
+    // ±e1, ±e2 with equal magnitude: covariance is diag(½, ½), so
+    // whitening is a uniform scale (+ axis permutation) — cosine
+    // rankings must survive exactly
+    val iso = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(-1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val model = Pca.fit(iso)
+    val wht = Pca.whiten(iso, model, k = 2)
+      .select(col("vec_id"),
+        col("whitened").cast("array<float>").as("embedding"))
+    def ranked(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Similarity.bruteForceTopK(d, d, k = 3)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    assert(ranked(iso) == ranked(wht),
+      "isotropic input → whitening must not move any neighbor rank")
+  }
+
   test("whitening zero-scales degenerate components instead of exploding") {
     val model = Pca.fit(cloud)
     val p3 = Pca.whiten(cloud, model, k = 3)
