@@ -95,6 +95,26 @@ object SparkEntry {
       graft.operators.Drift.quantileAlign(
         t(s, dir, "documents"), "source", "n_chars")),
 
+    // ---- Kaplan–Meier survival over user lifetimes: the censoring-
+    //      aware retention curve (q121 counts; KM corrects for users
+    //      still active at the observation edge); one per-user agg,
+    //      then lifetime-cardinality window arithmetic ----
+    "q247_kaplan_meier" -> ((s, dir) =>
+      graft.operators.Survival.kaplanMeier(t(s, dir, "events"),
+        horizonDays = 1)),
+
+    // ---- Welch two-sample t-test on per-user purchase value by
+    //      user-id parity variant: the A/B readout with unequal
+    //      variances handled; one grouped agg + one conditional-sum
+    //      pass, single-row output ----
+    "q248_ab_welch" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(sum("value").as("m"))
+      graft.operators.Experiment.welchTTest(u,
+        col("user_id") % 2 === 1, col("m"))
+    }),
+
     // ---- Whitening × ANN integration probe: top-10 cosine neighbor
     //      overlap raw vs PCA-whitened (k=32) per query vector — how
     //      much the anisotropy correction actually moves neighbor
@@ -3094,6 +3114,12 @@ object SparkEntry {
 
     "q245_quantile_align" ->
       graft.operators.Drift.quantileAlignOracleSql(),
+
+    "q247_kaplan_meier" ->
+      graft.operators.Survival.kmOracleSql(horizonDays = 1),
+
+    "q248_ab_welch" ->
+      graft.operators.Experiment.welchOracleSql,
 
     "q234_lexical_kl" ->
       graft.operators.Vocab.lexicalKlOracleSql,

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Experiment, Survival}
+
+/** Hand-computed Kaplan–Meier and Welch t-test cases. */
+class SurvivalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def user(id: Long, firstDay: Int, lastDay: Int) = Seq(
+    (id * 100, java.sql.Timestamp.valueOf(
+      f"2024-06-$firstDay%02d 09:00:00"), id, "view", 1.0, "{}"),
+    (id * 100 + 1, java.sql.Timestamp.valueOf(
+      f"2024-06-$lastDay%02d 09:00:00"), id, "view", 1.0, "{}"))
+
+  private def events(rows: Seq[(Long, java.sql.Timestamp, Long, String,
+      Double, String)]) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("km: textbook curve with censoring between event times") {
+    // max date = Jun 30 (u5, censored at horizon 3). Lifetimes:
+    // u1: 5 (ends day 6, uncensored), u2: 5 (uncensored),
+    // u3: 10 (uncensored), u4: 8 but last day 29 → within 3 of max →
+    // CENSORED at t=8, u5: 20 censored. N=5.
+    // t=5: n=5, d=2 → S = 0.6
+    // t=8: censored exits only (no row: d=0)
+    // t=10: n_risk = 5 − (2 + 1) = 2, d=1 → S = 0.6·(1−½) = 0.3
+    val e = events(
+      user(1, 1, 6) ++ user(2, 1, 6) ++ user(3, 10, 20) ++
+        user(4, 21, 29) ++ user(5, 10, 30))
+    val got = Survival.kaplanMeier(e, horizonDays = 3)
+      .select("t_days", "n_risk", "n_events", "survival")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((5L, 5L, 2L, 0.6), (10L, 2L, 1L, 0.3)))
+  }
+
+  test("km: terminal full-exit pins survival to exactly 0") {
+    // both users end uncensored at the same lifetime → d = n at the
+    // only point; survival must be 0.0, not a log(0) artifact
+    val e = events(user(1, 1, 6) ++ user(2, 2, 7) ++ user(3, 1, 30))
+    // u3 censored (horizon 3); u1, u2 lifetime 5, n_risk 3? No:
+    // u3 lifetime 29 — exits AFTER t=5, so n_risk at 5 is 3, d=2,
+    // S=1/3; at t=29 d=0 (censored) → no row
+    val got = Survival.kaplanMeier(e, horizonDays = 3)
+      .select("t_days", "n_risk", "n_events", "survival")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((5L, 3L, 2L, 0.333333)))
+    // now NO censoring: everyone exits → last point hits d = n_risk
+    val all = events(user(1, 1, 6) ++ user(2, 2, 7))
+    val z = Survival.kaplanMeier(all, horizonDays = 0)
+      .select("survival").as[Double].collect()
+    assert(z.last == 0.0)
+  }
+
+  test("welch: hand-computed t on unequal-variance groups") {
+    // A = (1, 2, 3): mean 2, var 1; B = (4, 6, 8, 10): mean 7, var 20/3
+    // sa = 1/3, sb = 5/3 → t = 5/√2 = 3.535534
+    // df = 4 / (1/18 + 25/27) = 4.075472
+    val u = (Seq(1.0, 2.0, 3.0).map(v => (false, v)) ++
+      Seq(4.0, 6.0, 8.0, 10.0).map(v => (true, v)))
+      .toDF("b", "m")
+    val r = Experiment.welchTTest(u, col("b"), col("m"))
+      .select("n_a", "n_b", "mean_a", "mean_b", "lift", "t_stat", "df",
+        "sig_95", "sig_99")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 4L)))
+    assert((r.getDouble(2), r.getDouble(3), r.getDouble(4)) ==
+      ((2.0, 7.0, 5.0)))
+    assert(r.getDouble(5) == 3.535534)
+    assert(r.getDouble(6) == 4.075472)
+    assert(r.getBoolean(7) && r.getBoolean(8))
+  }
+
+  test("welch: no-effect data is insignificant and symmetric") {
+    val u = (1 to 40).map(i => (i % 2 == 0, (i % 5).toDouble))
+      .toDF("b", "m")
+    val r = Experiment.welchTTest(u, col("b"), col("m"))
+      .select("lift", "sig_95").collect().head
+    assert(math.abs(r.getDouble(0)) < 0.5 && !r.getBoolean(1))
+  }
+}
