@@ -115,6 +115,32 @@ object SparkEntry {
         col("user_id") % 2 === 1, col("m"))
     }),
 
+    // ---- Delta-method ratio metric (revenue per EVENT, unit =
+    //      user): the variance correction for cluster-correlated
+    //      ratio metrics — naive per-event tests understate variance;
+    //      one per-user agg + one conditional-moment pass ----
+    "q250_ab_ratio_delta" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .groupBy("user_id").agg(
+          sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(0.0)).as("x"),
+          count(lit(1)).as("y"))
+      graft.operators.Experiment.ratioDelta(u,
+        col("user_id") % 2 === 1, col("x"), col("y"))
+    }),
+
+    // ---- Mann–Whitney U on the same A/B fixture: the rank-based,
+    //      outlier-immune reading next to q248's Welch means — ranks
+    //      from the pooled value-frequency table, never a row-level
+    //      rank window ----
+    "q249_ab_mannwhitney" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(sum("value").as("m"))
+      graft.operators.Experiment.mannWhitneyU(u,
+        col("user_id") % 2 === 1, col("m"))
+    }),
+
     // ---- Whitening × ANN integration probe: top-10 cosine neighbor
     //      overlap raw vs PCA-whitened (k=32) per query vector — how
     //      much the anisotropy correction actually moves neighbor
@@ -3120,6 +3146,12 @@ object SparkEntry {
 
     "q248_ab_welch" ->
       graft.operators.Experiment.welchOracleSql,
+
+    "q249_ab_mannwhitney" ->
+      graft.operators.Experiment.mannWhitneyOracleSql,
+
+    "q250_ab_ratio_delta" ->
+      graft.operators.Experiment.ratioDeltaOracleSql,
 
     "q234_lexical_kl" ->
       graft.operators.Vocab.lexicalKlOracleSql,

@@ -73,6 +73,68 @@ class SurvivalSpec extends AnyFunSuite {
     assert(r.getBoolean(7) && r.getBoolean(8))
   }
 
+  test("mann-whitney: hand U and z; outlier immunity vs welch") {
+    // A = (1,2,3), B = (4,5,6): no ties. Pooled ranks 1..6,
+    // Ra = 6 → U_a = 0, μ = 4.5, σ = √(9·7/12) = 2.291288
+    // z = −1.963961 (just over the 95% line)
+    val u = (Seq(1.0, 2.0, 3.0).map(v => (false, v)) ++
+      Seq(4.0, 5.0, 6.0).map(v => (true, v))).toDF("b", "m")
+    val r = Experiment.mannWhitneyU(u, col("b"), col("m"))
+      .select("u_a", "z", "sig_95").collect().head
+    assert(r.getDouble(0) == 0.0)
+    assert(r.getDouble(1) == -1.963961)
+    assert(r.getBoolean(2))
+    // a huge outlier in A flips Welch's mean but not one single rank:
+    // U is unchanged except A's outlier now ranks top
+    val out = (Seq(1.0, 2.0, 1e9).map(v => (false, v)) ++
+      Seq(4.0, 5.0, 6.0).map(v => (true, v))).toDF("b", "m")
+    val rz = Experiment.mannWhitneyU(out, col("b"), col("m"))
+      .select("z").as[Double].collect().head
+    assert(math.abs(rz) < 1.0, s"rank test shrugs at the outlier: $rz")
+    val wz = Experiment.welchTTest(out, col("b"), col("m"))
+      .select("t_stat").as[Double].collect().head
+    assert(math.abs(wz) < math.abs(-1.9),
+      "welch collapses under the outlier variance — the reason U exists")
+  }
+
+  test("mann-whitney: all-tied data yields z = 0 via the tie correction") {
+    val u = (1 to 10).map(i => (i % 2 == 0, 5.0)).toDF("b", "m")
+    val r = Experiment.mannWhitneyU(u, col("b"), col("m"))
+      .select("u_a", "z").collect().head
+    // every rank is the average 5.5 → Ra = 27.5, U_a = 12.5 = μU;
+    // the tie correction zeroes σ_U, so z must be the pinned 0
+    assert(r.getDouble(0) == 12.5)
+    assert(r.getDouble(1) == 0.0)
+  }
+
+  test("ratio delta: identical groups have zero lift; scaling the numerator moves only the ratio") {
+    // pairs (2k, 2k+1) carry identical (x, y) into opposite variants
+    val base = (0 until 20).map { i =>
+      (i % 2 == 0, ((i / 2) % 5 + 1).toDouble, ((i / 2) % 3 + 2).toDouble)
+    }.toDF("b", "x", "y")
+    val r0 = Experiment.ratioDelta(base, col("b"), col("x"), col("y"))
+      .select("lift", "sig_95").collect().head
+    // parity groups see the same (x, y) multiset → lift exactly 0
+    assert(r0.getDouble(0) == 0.0 && !r0.getBoolean(1))
+    // doubling B's numerator doubles only ratio_b
+    val shifted = base.withColumn("x",
+      when(col("b"), col("x") * 2.0).otherwise(col("x")))
+    val r1 = Experiment.ratioDelta(shifted, col("b"), col("x"), col("y"))
+      .select("ratio_a", "ratio_b").as[(Double, Double)].collect().head
+    assert(r1._2 == 2.0 * r1._1)
+  }
+
+  test("ratio delta: correlated denominator shrinks the variance vs independent") {
+    // x perfectly proportional to y → the ratio is CONSTANT per unit:
+    // delta-method variance must collapse to ~0
+    val prop = (1 to 20).map { i =>
+      (i % 2 == 0, 3.0 * (i % 4 + 1), (i % 4 + 1).toDouble)
+    }.toDF("b", "x", "y")
+    val se = Experiment.ratioDelta(prop, col("b"), col("x"), col("y"))
+      .select("se").as[Double].collect().head
+    assert(se == 0.0, s"constant per-unit ratio → zero se, got $se")
+  }
+
   test("welch: no-effect data is insignificant and symmetric") {
     val u = (1 to 40).map(i => (i % 2 == 0, (i % 5).toDouble))
       .toDF("b", "m")
