@@ -54,8 +54,10 @@ object PlanAudit {
     "q237_js_divergence", "q238_session_pmi", "q240_burstiness",
     // whitened-ANN probe rides the q20 bounded brute-force harness
     "q246_whitened_ann",
-    // KM: the (max date, cohort size) pair is a 1-row stat factor
-    "q247_kaplan_meier",
+    // KM: the (max date, cohort size) pair is a 1-row stat factor;
+    // log-rank adds the cohort-totals factor; CUPED's midpoint date
+    // is the same 1-row shape
+    "q247_kaplan_meier", "q251_log_rank", "q252_cuped",
     // retrieval eval rides the q20 bounded brute-force harness
     "q184_retrieval_eval",
     // LSH quality harness: exact-Jaccard ground truth is a bounded

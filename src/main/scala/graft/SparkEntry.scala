@@ -115,6 +115,44 @@ object SparkEntry {
         col("user_id") % 2 === 1, col("m"))
     }),
 
+    // ---- Log-rank test between the parity cohorts' survival curves:
+    //      the hypothesis test beside q247's KM estimate — observed
+    //      vs hypergeometric-expected deaths at every event time ----
+    "q251_log_rank" -> ((s, dir) =>
+      graft.operators.Survival.logRank(t(s, dir, "events"),
+        col("user_id") % 2 === 1, horizonDays = 1)),
+
+    // ---- CUPED variance reduction: second-half purchase value
+    //      adjusted by the first-half covariate — the pre-period
+    //      adjustment that shrinks experiment runtime by rho^2 ----
+    "q252_cuped" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val mid = ev.agg(expr(
+        """date_add(min(to_date(ts)),
+          |  cast(cast(datediff(max(to_date(ts)), min(to_date(ts)))
+          |    as double) / 2 as int))""".stripMargin).as("mid"))
+      val u = ev.crossJoin(broadcast(mid))
+        .groupBy("user_id").agg(
+          sum(when(col("event_type") === "purchase" &&
+            to_date(col("ts")) > col("mid"), col("value"))
+            .otherwise(0.0)).as("y"),
+          sum(when(col("event_type") === "purchase" &&
+            to_date(col("ts")) <= col("mid"), col("value"))
+            .otherwise(0.0)).as("x"))
+      graft.operators.Experiment.cuped(u,
+        col("user_id") % 2 === 1, col("y"), col("x"))
+    }),
+
+    // ---- Power analysis from the corpus's own variance: per-arm n
+    //      for an mde=5 lift at 80/90% power, plus the MDE the
+    //      current cohort already supports ----
+    "q253_power" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(sum("value").as("m"))
+      graft.operators.Experiment.powerAnalysis(u, col("m"), mde = 5.0)
+    }),
+
     // ---- Delta-method ratio metric (revenue per EVENT, unit =
     //      user): the variance correction for cluster-correlated
     //      ratio metrics — naive per-event tests understate variance;
@@ -3152,6 +3190,15 @@ object SparkEntry {
 
     "q250_ab_ratio_delta" ->
       graft.operators.Experiment.ratioDeltaOracleSql,
+
+    "q251_log_rank" ->
+      graft.operators.Survival.logRankOracleSql(horizonDays = 1),
+
+    "q252_cuped" ->
+      graft.operators.Experiment.cupedOracleSql,
+
+    "q253_power" ->
+      graft.operators.Experiment.powerOracleSql(5.0),
 
     "q234_lexical_kl" ->
       graft.operators.Vocab.lexicalKlOracleSql,

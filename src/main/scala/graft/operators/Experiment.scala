@@ -101,6 +101,130 @@ object Experiment {
       (abs(z) > 2.576).as("sig_99"))
   }
 
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013)
+    * — the standard pre-experiment-covariate adjustment: ŷ = y −
+    * θ·(x − x̄) with θ = cov(y, x)/var(x) removes the metric variance
+    * the PRE-period already explains (reduction factor = ρ², the
+    * squared metric/covariate correlation), which shrinks experiment
+    * runtimes by the same factor without touching the treatment
+    * effect. Reports the θ fit, the raw vs adjusted variance, and the
+    * achieved reduction — the readout a team checks before adopting
+    * the adjusted metric.
+    *
+    * One conditional-moment pass over unit-cardinality rows; θ is fit
+    * POOLED (the standard, treatment-effect-unbiased choice). */
+  def cuped(units: DataFrame, variant: Column, metric: Column,
+      covariate: Column): DataFrame = {
+    val g = units
+      .select(variant.as("__b"), metric.cast("double").as("__y"),
+        covariate.cast("double").as("__x"))
+      .where(col("__b").isNotNull && col("__y").isNotNull &&
+        col("__x").isNotNull)
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n"),
+        covar_samp(col("__y"), col("__x")).as("__cyx"),
+        var_samp(col("__x")).as("__vx"),
+        var_samp(col("__y")).as("__vy"))
+    val theta = when(col("__vx") > 0.0, col("__cyx") / col("__vx"))
+      .otherwise(lit(0.0))
+    // ρ² from guarded moments — ANSI `corr` throws DIVIDE_BY_ZERO on a
+    // constant column, and a zero-variance covariate must mean "no
+    // adjustment", not an exception
+    val rho2 = when(col("__vx") > 0.0 && col("__vy") > 0.0,
+      col("__cyx") * col("__cyx") / (col("__vx") * col("__vy")))
+      .otherwise(lit(0.0))
+    // var(ŷ) = var(y)·(1 − ρ²) in closed form — no second pass
+    g.select(
+      col("n"),
+      round(theta, 6).as("theta"),
+      round(col("__vy"), 6).as("var_raw"),
+      round(col("__vy") * (lit(1.0) - rho2), 6).as("var_adjusted"),
+      round(rho2, 6).as("var_reduction"))
+  }
+
+  /** DuckDB oracle for the registered CUPED fixture: metric = user's
+    * second-half purchase value, covariate = first-half value (split
+    * at the corpus midpoint date). */
+  val cupedOracleSql: String =
+    """WITH sp AS (
+      |  SELECT CAST(MIN(ts) AS DATE) +
+      |    CAST(CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+      |      CAST(MAX(ts) AS DATE)) AS DOUBLE) / 2 AS INTEGER) AS mid
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN event_type = 'purchase'
+      |      AND CAST(ts AS DATE) > (SELECT mid FROM sp)
+      |      THEN value ELSE 0 END) AS y,
+      |    SUM(CASE WHEN event_type = 'purchase'
+      |      AND CAST(ts AS DATE) <= (SELECT mid FROM sp)
+      |      THEN value ELSE 0 END) AS x
+      |  FROM events GROUP BY 1),
+      |g AS (
+      |  SELECT COUNT(*) AS n, covar_samp(y, x) AS cyx,
+      |    var_samp(x) AS vx, var_samp(y) AS vy
+      |  FROM u)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  ROUND(CASE WHEN vx > 0 THEN cyx / vx ELSE 0.0 END, 6) AS theta,
+      |  ROUND(vy, 6) AS var_raw,
+      |  ROUND(vy * (1.0 - CASE WHEN vx > 0 AND vy > 0
+      |    THEN cyx * cyx / (vx * vy) ELSE 0.0 END), 6)
+      |    AS var_adjusted,
+      |  ROUND(CASE WHEN vx > 0 AND vy > 0
+      |    THEN cyx * cyx / (vx * vy) ELSE 0.0 END, 6) AS var_reduction
+      |FROM g""".stripMargin
+
+  /** Two-sample power analysis from the corpus's own variance: the
+    * per-arm sample size n = 2σ²(z_{α/2} + z_β)²/δ² to detect a
+    * minimum effect `mde` (absolute units) at α = 0.05 two-sided with
+    * 80% / 90% power, plus the MDE the CURRENT cohort size already
+    * supports — the "how long must this experiment run" planning
+    * readout, from ONE variance agg. */
+  def powerAnalysis(units: DataFrame, metric: Column,
+      mde: Double): DataFrame = {
+    require(mde > 0.0, "mde must be positive")
+    val z975 = 1.959964
+    val z80 = 0.841621
+    val z90 = 1.281552
+    val g = units.select(metric.cast("double").as("__m"))
+      .where(col("__m").isNotNull)
+      .agg(count(lit(1)).as("n_units"),
+        var_samp(col("__m")).as("__v"))
+    def nFor(zb: Double) =
+      ceil(lit(2.0) * col("__v") * math.pow(z975 + zb, 2) /
+        (mde * mde)).cast("bigint")
+    // MDE supportable NOW: both arms get n_units/2
+    val mdeNow = sqrt(lit(2.0) * col("__v") *
+      math.pow(z975 + z80, 2) /
+      (col("n_units").cast("double") / 2.0))
+    g.select(
+      col("n_units"),
+      round(col("__v"), 6).as("variance"),
+      lit(mde).as("mde"),
+      nFor(z80).as("n_per_arm_80"),
+      nFor(z90).as("n_per_arm_90"),
+      round(mdeNow, 6).as("mde_at_current_n"))
+  }
+
+  /** DuckDB oracle for the registered power fixture (per-user
+    * purchase value, mde = 5.0). */
+  def powerOracleSql(mde: Double): String =
+    s"""WITH u AS (
+       |  SELECT user_id, SUM(value) AS m
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |g AS (SELECT COUNT(*) AS n, var_samp(m) AS v FROM u)
+       |SELECT CAST(n AS BIGINT) AS n_units,
+       |  ROUND(v, 6) AS variance,
+       |  CAST($mde AS DOUBLE) AS mde,
+       |  CAST(ceil(2.0 * v * pow(1.959964 + 0.841621, 2)
+       |    / ($mde * $mde)) AS BIGINT) AS n_per_arm_80,
+       |  CAST(ceil(2.0 * v * pow(1.959964 + 1.281552, 2)
+       |    / ($mde * $mde)) AS BIGINT) AS n_per_arm_90,
+       |  ROUND(sqrt(2.0 * v * pow(1.959964 + 0.841621, 2)
+       |    / (CAST(n AS DOUBLE) / 2.0)), 6) AS mde_at_current_n
+       |FROM g""".stripMargin
+
   /** Delta-method analysis of a RATIO metric (Deng, Knoblich & Lu,
     * KDD 2018) — the correct A/B readout when the metric is a ratio
     * of sums over randomization units (revenue per event, clicks per

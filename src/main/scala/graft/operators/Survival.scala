@@ -59,6 +59,118 @@ object Survival {
       .orderBy("t_days")
   }
 
+  /** Log-rank test between two cohorts' survival curves (Mantel
+    * 1966) — the hypothesis test that belongs next to [[kaplanMeier]]
+    * the way Welch belongs next to a mean: at every event time the
+    * observed cohort-1 deaths are compared to the expectation under
+    * "both curves identical" (hypergeometric mean d·n₁/n), and χ² =
+    * (Σ(O−E))²/ΣV with the hypergeometric variance. Significance
+    * against the 1-df χ² thresholds (3.841/6.635) in closed form.
+    *
+    * Same dataflow as KM: one per-user agg, then risk-table windows
+    * per cohort over the lifetime-cardinality frame. */
+  def logRank(events: DataFrame, cohort: org.apache.spark.sql.Column,
+      horizonDays: Int = 3): DataFrame = {
+    val per = events.groupBy("user_id").agg(
+      min(to_date(col("ts"))).as("__f"),
+      max(to_date(col("ts"))).as("__l"),
+      first(cohort).as("__g"))
+    val mx = per.agg(max("__l").as("__mx"))
+    val obs = per.crossJoin(broadcast(mx))
+      .select(
+        datediff(col("__l"), col("__f")).cast("double").as("t"),
+        (datediff(col("__mx"), col("__l")) < horizonDays).as("__cens"),
+        col("__g").cast("boolean").as("__g"))
+    val tbl = obs.groupBy("t").agg(
+      sum(when(!col("__cens") && col("__g"), 1L).otherwise(0L)).as("d1"),
+      sum(when(!col("__cens"), 1L).otherwise(0L)).as("d"),
+      sum(when(col("__g"), 1L).otherwise(0L)).as("__end1"),
+      count(lit(1)).as("__end"))
+    val tot = obs.agg(
+      sum(when(col("__g"), 1L).otherwise(0L)).as("__n1all"),
+      count(lit(1)).as("__nall"))
+    val wBefore = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = tbl.crossJoin(broadcast(tot))
+      .withColumn("n",
+        col("__nall") - coalesce(sum("__end").over(wBefore), lit(0L)))
+      .withColumn("n1",
+        col("__n1all") - coalesce(sum("__end1").over(wBefore), lit(0L)))
+      .where(col("d") > 0)
+    val dD = col("d").cast("double")
+    val nD = col("n").cast("double")
+    val n1D = col("n1").cast("double")
+    val e1 = dD * n1D / nD
+    val v = when(col("n") > 1,
+      dD * (n1D / nD) * (lit(1.0) - n1D / nD) * (nD - dD) / (nD - 1.0))
+      .otherwise(lit(0.0))
+    val g = risk.agg(
+      sum("d1").cast("bigint").as("o1"),
+      sum(e1).as("__e1"),
+      sum(v).as("__v"),
+      count(lit(1)).as("n_times"))
+    val chi = when(col("__v") > 0.0,
+      pow(col("o1").cast("double") - col("__e1"), 2) / col("__v"))
+      .otherwise(lit(0.0))
+    g.select(
+      col("n_times"), col("o1"),
+      round(col("__e1"), 6).as("e1"),
+      round(chi, 6).as("chi_sq"),
+      (chi > 3.841).as("sig_95"),
+      (chi > 6.635).as("sig_99"))
+  }
+
+  /** DuckDB oracle for the registered log-rank fixture (cohort =
+    * user-id parity). */
+  def logRankOracleSql(horizonDays: Int = 3): String =
+    s"""WITH per AS (
+       |  SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+       |    MAX(CAST(ts AS DATE)) AS l, user_id % 2 = 1 AS g
+       |  FROM events GROUP BY 1, 4),
+       |mx AS (SELECT MAX(l) AS m FROM per),
+       |obs AS (
+       |  SELECT CAST(date_diff('day', f, l) AS DOUBLE) AS t,
+       |    date_diff('day', l, (SELECT m FROM mx)) < $horizonDays
+       |      AS cens, g
+       |  FROM per),
+       |tbl AS (
+       |  SELECT t,
+       |    SUM(CASE WHEN NOT cens AND g THEN 1 ELSE 0 END) AS d1,
+       |    SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS d,
+       |    SUM(CASE WHEN g THEN 1 ELSE 0 END) AS end1,
+       |    COUNT(*) AS ended
+       |  FROM obs GROUP BY 1),
+       |tot AS (
+       |  SELECT SUM(CASE WHEN g THEN 1 ELSE 0 END) AS n1all,
+       |    COUNT(*) AS nall
+       |  FROM obs),
+       |r AS (
+       |  SELECT t, d1, d,
+       |    (SELECT nall FROM tot) - COALESCE(SUM(ended) OVER (
+       |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |      1 PRECEDING), 0) AS n,
+       |    (SELECT n1all FROM tot) - COALESCE(SUM(end1) OVER (
+       |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |      1 PRECEDING), 0) AS n1
+       |  FROM tbl),
+       |k AS (
+       |  SELECT COUNT(*) AS n_times, SUM(d1) AS o1,
+       |    SUM(CAST(d AS DOUBLE) * n1 / n) AS e1,
+       |    SUM(CASE WHEN n > 1 THEN CAST(d AS DOUBLE) *
+       |      (CAST(n1 AS DOUBLE) / n) * (1.0 - CAST(n1 AS DOUBLE) / n)
+       |      * (n - d) / (n - 1.0) ELSE 0.0 END) AS v
+       |  FROM r WHERE d > 0)
+       |SELECT CAST(n_times AS BIGINT) AS n_times,
+       |  CAST(o1 AS BIGINT) AS o1,
+       |  ROUND(e1, 6) AS e1,
+       |  ROUND(CASE WHEN v > 0 THEN pow(o1 - e1, 2) / v ELSE 0.0 END, 6)
+       |    AS chi_sq,
+       |  CASE WHEN v > 0 THEN pow(o1 - e1, 2) / v ELSE 0.0 END > 3.841
+       |    AS sig_95,
+       |  CASE WHEN v > 0 THEN pow(o1 - e1, 2) / v ELSE 0.0 END > 6.635
+       |    AS sig_99
+       |FROM k""".stripMargin
+
   /** DuckDB oracle for [[kaplanMeier]] on events. */
   def kmOracleSql(horizonDays: Int = 3): String =
     s"""WITH per AS (

@@ -54,6 +54,67 @@ class SurvivalSpec extends AnyFunSuite {
     assert(z.last == 0.0)
   }
 
+  test("log-rank: hand-computed chi-square on separated cohorts") {
+    // cohort A (u1, u2) dies at t=5; cohort B (u3, u4) at t=10; u5
+    // (B) censored. At t=5: d=2, d1=0, n=5, n1=3 → E1=1.2, V=0.36.
+    // At t=10: d=2=d1, n=n1=3 → E1=2, V=0 (cohort-pure risk set).
+    // χ² = (2 − 3.2)²/0.36 = 4.0 → significant at 95, not 99
+    val e = events(
+      user(1, 1, 6) ++ user(2, 1, 6) ++ user(3, 10, 20) ++
+        user(4, 5, 15) ++ user(5, 1, 30))
+    val r = Survival.logRank(e, col("user_id") >= 3, horizonDays = 3)
+      .select("n_times", "o1", "e1", "chi_sq", "sig_95", "sig_99")
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 3.2 && r.getDouble(3) == 4.0)
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+  }
+
+  test("log-rank: identical cohorts score ~0 chi-square") {
+    // perfectly interleaved cohorts with identical lifetimes
+    val e = events(user(1, 1, 6) ++ user(2, 1, 6) ++
+      user(3, 2, 12) ++ user(4, 2, 12) ++ user(5, 1, 30))
+    val chi = Survival.logRank(e, col("user_id") % 2 === 0,
+      horizonDays = 3)
+      .select("chi_sq").as[Double].collect().head
+    // u1/u2 share t=5, u3/u4 share t=10 — one from each cohort at
+    // every event time → O1 tracks E1 closely
+    assert(chi < 1.0, s"matched cohorts must not separate: $chi")
+  }
+
+  test("cuped: perfect covariate removes all variance; constant covariate none") {
+    val u = (1 to 12).map { i =>
+      val x = (i % 4 + 1).toDouble
+      (i % 2 == 0, 2.0 * x, x)   // y = 2x exactly → rho = 1
+    }.toDF("b", "y", "x")
+    val r = Experiment.cuped(u, col("b"), col("y"), col("x"))
+      .select("theta", "var_adjusted", "var_reduction").collect().head
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 1.0)
+    val const = (1 to 12).map(i => (i % 2 == 0, (i % 4).toDouble, 7.0))
+      .toDF("b", "y", "x")
+    val rc = Experiment.cuped(const, col("b"), col("y"), col("x"))
+      .select("theta", "var_reduction").collect().head
+    assert(rc.getDouble(0) == 0.0 && rc.getDouble(1) == 0.0,
+      "zero-variance covariate must degrade to no adjustment, not NaN")
+  }
+
+  test("power: hand-computed per-arm n from a known variance") {
+    // m = (1, 3): var_samp = 2, n_units = 2
+    val u = Seq((1L, 1.0), (2L, 3.0)).toDF("user_id", "m")
+    val r = Experiment.powerAnalysis(u, col("m"), mde = 1.0)
+      .select("n_units", "variance", "n_per_arm_80", "n_per_arm_90",
+        "mde_at_current_n").collect().head
+    assert(r.getLong(0) == 2L && r.getDouble(1) == 2.0)
+    val n80 = math.ceil(4.0 * math.pow(1.959964 + 0.841621, 2)).toLong
+    val n90 = math.ceil(4.0 * math.pow(1.959964 + 1.281552, 2)).toLong
+    assert(r.getLong(2) == n80 && r.getLong(3) == n90)
+    val mdeNow = BigDecimal(math.sqrt(
+      4.0 * math.pow(1.959964 + 0.841621, 2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == mdeNow)
+  }
+
   test("welch: hand-computed t on unequal-variance groups") {
     // A = (1, 2, 3): mean 2, var 1; B = (4, 6, 8, 10): mean 7, var 20/3
     // sa = 1/3, sb = 5/3 → t = 5/√2 = 3.535534
