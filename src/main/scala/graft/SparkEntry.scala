@@ -115,6 +115,26 @@ object SparkEntry {
         col("user_id") % 2 === 1, col("m"))
     }),
 
+    // ---- Always-valid sequential test (mSPRT): the p-value that
+    //      survives daily peeking — per-day cumulative moments over
+    //      the day table, one ordered window spec ----
+    "q254_sequential_msprt" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(sum("value").as("m"))
+      graft.operators.Experiment.sequentialMsprt(u,
+        col("user_id") % 2 === 1, col("d"), col("m"), tau = 25.0)
+    }),
+
+    // ---- Sample-ratio-mismatch guardrail: chi-square of observed
+    //      assignment counts vs the designed 50/50 — run BEFORE any
+    //      metric readout; one count agg ----
+    "q255_srm_check" -> ((s, dir) =>
+      graft.operators.Experiment.srmCheck(
+        t(s, dir, "events").select("user_id").distinct(),
+        col("user_id") % 2 === 1)),
+
     // ---- Log-rank test between the parity cohorts' survival curves:
     //      the hypothesis test beside q247's KM estimate — observed
     //      vs hypergeometric-expected deaths at every event time ----
@@ -3199,6 +3219,12 @@ object SparkEntry {
 
     "q253_power" ->
       graft.operators.Experiment.powerOracleSql(5.0),
+
+    "q254_sequential_msprt" ->
+      graft.operators.Experiment.msprtOracleSql(25.0),
+
+    "q255_srm_check" ->
+      graft.operators.Experiment.srmOracleSql(),
 
     "q234_lexical_kl" ->
       graft.operators.Vocab.lexicalKlOracleSql,

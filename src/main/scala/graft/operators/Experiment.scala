@@ -101,6 +101,61 @@ object Experiment {
       (abs(z) > 2.576).as("sig_99"))
   }
 
+  /** Sample-ratio-mismatch check (Fabijan et al., ICSE-SEIP 2019 —
+    * "the most useful A/B guardrail nobody runs"): a χ² test of the
+    * OBSERVED variant assignment counts against the DESIGNED ratio.
+    * A significant SRM means the experiment is corrupted upstream
+    * (bot filtering, logging loss, redirect asymmetry) and every
+    * downstream metric readout is invalid — which is why this runs
+    * before [[welchTTest]]/[[ratioDelta]], not after.
+    *
+    * ONE count aggregate; 1-df χ² against closed-form thresholds. */
+  def srmCheck(units: DataFrame, variant: Column,
+      expectedShareB: Double = 0.5): DataFrame = {
+    require(expectedShareB > 0.0 && expectedShareB < 1.0,
+      "expected share must be in (0,1)")
+    val g = units.select(variant.cast("boolean").as("__b"))
+      .where(col("__b").isNotNull)
+      .agg(sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"))
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val ea = n * (1.0 - expectedShareB)
+    val eb = n * expectedShareB
+    val chi = pow(col("n_a") - ea, 2) / ea + pow(col("n_b") - eb, 2) / eb
+    g.select(
+      col("n_a"), col("n_b"),
+      round(col("n_b").cast("double") / n, 6).as("observed_share_b"),
+      lit(expectedShareB).as("expected_share_b"),
+      round(chi, 6).as("chi_sq"),
+      (chi > 3.841).as("srm_95"),
+      (chi > 6.635).as("srm_99"))
+  }
+
+  /** DuckDB oracle for the registered SRM fixture (user parity vs a
+    * designed 50/50). */
+  def srmOracleSql(expectedShareB: Double = 0.5): String =
+    s"""WITH g AS (
+       |  SELECT
+       |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+       |    SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b
+       |  FROM (SELECT DISTINCT user_id FROM events)),
+       |k AS (
+       |  SELECT n_a, n_b,
+       |    CAST(n_a + n_b AS DOUBLE) * ${1.0 - expectedShareB} AS ea,
+       |    CAST(n_a + n_b AS DOUBLE) * $expectedShareB AS eb
+       |  FROM g)
+       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  ROUND(CAST(n_b AS DOUBLE) / (n_a + n_b), 6)
+       |    AS observed_share_b,
+       |  CAST($expectedShareB AS DOUBLE) AS expected_share_b,
+       |  ROUND(pow(n_a - ea, 2) / ea + pow(n_b - eb, 2) / eb, 6)
+       |    AS chi_sq,
+       |  pow(n_a - ea, 2) / ea + pow(n_b - eb, 2) / eb > 3.841
+       |    AS srm_95,
+       |  pow(n_a - ea, 2) / ea + pow(n_b - eb, 2) / eb > 6.635
+       |    AS srm_99
+       |FROM k""".stripMargin
+
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013)
     * — the standard pre-experiment-covariate adjustment: ŷ = y −
     * θ·(x − x̄) with θ = cov(y, x)/var(x) removes the metric variance
@@ -224,6 +279,124 @@ object Experiment {
        |  ROUND(sqrt(2.0 * v * pow(1.959964 + 0.841621, 2)
        |    / (CAST(n AS DOUBLE) / 2.0)), 6) AS mde_at_current_n
        |FROM g""".stripMargin
+
+  /** Always-valid sequential test — the mixture SPRT (Johari, Koomen,
+    * Pekelis & Walsh, KDD 2017 / "Peeking at A/B tests"): a fixed-n
+    * t-test is invalid the moment anyone LOOKS early, and experiment
+    * dashboards are looked at daily. The normal-mixture SPRT's
+    * Λ_n = √(V_n/(V_n+τ²))·exp(Δ_n²τ²/(2V_n(V_n+τ²))) yields
+    * p_n = min(1, min_{m≤n} 1/Λ_m), a p-value that stays valid under
+    * CONTINUOUS monitoring — stop the first day it crosses α.
+    *
+    * Scale shape: one grouped agg to per-day per-arm moment sums,
+    * then cumulative windows over the DAY-cardinality table (one
+    * ordering, one partition spec — not the stacked-window shape).
+    * Output is one row per day: the dashboard itself. */
+  def sequentialMsprt(units: DataFrame, variant: Column,
+      dayCol: Column, metric: Column, tau: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tau > 0.0, "mixture scale tau must be positive")
+    val daily = units
+      .select(variant.as("__b"), dayCol.as("d"),
+        metric.cast("double").as("__m"))
+      .where(col("__b").isNotNull && col("__m").isNotNull)
+      .groupBy("d")
+      .agg(
+        sum(when(!col("__b"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("__cb"),
+        sum(when(!col("__b"), col("__m")).otherwise(0.0)).as("__sa"),
+        sum(when(col("__b"), col("__m")).otherwise(0.0)).as("__sb"),
+        sum(when(!col("__b"), col("__m") * col("__m")).otherwise(0.0))
+          .as("__qa"),
+        sum(when(col("__b"), col("__m") * col("__m")).otherwise(0.0))
+          .as("__qb"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = daily
+      .withColumn("n_a", sum("__ca").over(w))
+      .withColumn("n_b", sum("__cb").over(w))
+      .withColumn("__Sa", sum("__sa").over(w))
+      .withColumn("__Sb", sum("__sb").over(w))
+      .withColumn("__Qa", sum("__qa").over(w))
+      .withColumn("__Qb", sum("__qb").over(w))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val ma = col("__Sa") / na
+    val mb = col("__Sb") / nb
+    val ss = (col("__Qa") - na * ma * ma) + (col("__Qb") - nb * mb * mb)
+    val sig2 = ss / (na + nb - 2.0)
+    val vn = sig2 * (lit(1.0) / na + lit(1.0) / nb)
+    val diff = mb - ma
+    val t2 = tau * tau
+    val lam = sqrt(vn / (vn + t2)) *
+      exp(diff * diff * lit(t2) / (lit(2.0) * vn * (vn + t2)))
+    val defined = col("n_a") >= 2 && col("n_b") >= 2 && vn > 0.0
+    val withLam = cum
+      .withColumn("__lam", when(defined, lam).otherwise(lit(1.0)))
+      .withColumn("__p", least(lit(1.0), lit(1.0) / col("__lam")))
+    withLam
+      .withColumn("p_always_valid",
+        round(min("__p").over(w), 6).as("p_always_valid"))
+      .select(col("d"), col("n_a"), col("n_b"),
+        round(when(defined, diff).otherwise(lit(0.0)), 6).as("diff"),
+        round(col("__lam"), 6).as("lambda"),
+        col("p_always_valid"),
+        (col("p_always_valid") < 0.05).as("rejected_95"))
+      .orderBy("d")
+  }
+
+  /** DuckDB oracle for the registered mSPRT fixture: per-(user, day)
+    * purchase value, parity variant, tau = 25. */
+  def msprtOracleSql(tau: Double): String =
+    s"""WITH u AS (
+       |  SELECT user_id % 2 = 1 AS b, CAST(ts AS DATE) AS d,
+       |    SUM(value) AS m
+       |  FROM events WHERE event_type = 'purchase'
+       |  GROUP BY 1, 2, user_id),
+       |daily AS (
+       |  SELECT d,
+       |    SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS ca,
+       |    SUM(CASE WHEN b THEN 1 ELSE 0 END) AS cb,
+       |    SUM(CASE WHEN NOT b THEN m ELSE 0 END) AS sa,
+       |    SUM(CASE WHEN b THEN m ELSE 0 END) AS sb,
+       |    SUM(CASE WHEN NOT b THEN m * m ELSE 0 END) AS qa,
+       |    SUM(CASE WHEN b THEN m * m ELSE 0 END) AS qb
+       |  FROM u GROUP BY 1),
+       |c AS (
+       |  SELECT d,
+       |    SUM(ca) OVER wc AS n_a, SUM(cb) OVER wc AS n_b,
+       |    SUM(sa) OVER wc AS Sa, SUM(sb) OVER wc AS Sb,
+       |    SUM(qa) OVER wc AS Qa, SUM(qb) OVER wc AS Qb
+       |  FROM daily
+       |  WINDOW wc AS (ORDER BY d ROWS UNBOUNDED PRECEDING)),
+       |k AS (
+       |  SELECT d, n_a, n_b,
+       |    Sb / n_b - Sa / n_a AS diff,
+       |    ((Qa - n_a * (Sa / n_a) * (Sa / n_a)) +
+       |     (Qb - n_b * (Sb / n_b) * (Sb / n_b)))
+       |      / (n_a + n_b - 2.0) *
+       |      (1.0 / n_a + 1.0 / n_b) AS vn
+       |  FROM c),
+       |l AS (
+       |  SELECT d, n_a, n_b,
+       |    CASE WHEN n_a >= 2 AND n_b >= 2 AND vn > 0
+       |      THEN diff ELSE 0.0 END AS diff,
+       |    CASE WHEN n_a >= 2 AND n_b >= 2 AND vn > 0
+       |      THEN sqrt(vn / (vn + ${tau * tau})) *
+       |        exp(diff * diff * ${tau * tau} /
+       |          (2.0 * vn * (vn + ${tau * tau})))
+       |      ELSE 1.0 END AS lam
+       |  FROM k),
+       |p AS (
+       |  SELECT *, MIN(LEAST(1.0, 1.0 / lam)) OVER (ORDER BY d
+       |    ROWS UNBOUNDED PRECEDING) AS pav
+       |  FROM l)
+       |SELECT d, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  ROUND(diff, 6) AS diff,
+       |  ROUND(lam, 6) AS lambda,
+       |  ROUND(pav, 6) AS p_always_valid,
+       |  pav < 0.05 AS rejected_95
+       |FROM p ORDER BY d""".stripMargin
 
   /** Delta-method analysis of a RATIO metric (Deng, Knoblich & Lu,
     * KDD 2018) — the correct A/B readout when the metric is a ratio

@@ -115,6 +115,51 @@ class SurvivalSpec extends AnyFunSuite {
     assert(r.getDouble(4) == mdeNow)
   }
 
+  test("msprt: planted lift rejects and stays rejected; null stays quiet") {
+    import java.sql.Date
+    def day(i: Int) = Date.valueOf(f"2024-07-$i%02d")
+    // 10 days × 10 units/arm/day; B runs +5 against within-arm noise
+    // of ±1 → the sequential test must cross 0.05 and latch
+    val lifted = (1 to 10).flatMap { d =>
+      (1 to 10).flatMap { u =>
+        Seq((false, day(d), 10.0 + (u % 3)), (true, day(d), 15.0 + (u % 3)))
+      }
+    }.toDF("b", "d", "m")
+    val got = Experiment.sequentialMsprt(lifted, col("b"), col("d"),
+      col("m"), tau = 5.0)
+      .select("d", "p_always_valid", "rejected_95")
+      .as[(Date, Double, Boolean)].collect()
+    assert(got.last._3, s"planted +50% lift must reject: ${got.last}")
+    // always-valid p is a running min — monotone non-increasing
+    assert(got.sliding(2).forall(p => p(1)._2 <= p(0)._2))
+    // once rejected, stays rejected
+    val firstRej = got.indexWhere(_._3)
+    assert(firstRej >= 0 && got.drop(firstRej).forall(_._3))
+    // identical arms: p stays at 1 the whole way
+    val nul = (1 to 10).flatMap { d =>
+      (1 to 10).flatMap { u =>
+        Seq((false, day(d), 10.0 + (u % 3)), (true, day(d), 10.0 + (u % 3)))
+      }
+    }.toDF("b", "d", "m")
+    val pn = Experiment.sequentialMsprt(nul, col("b"), col("d"),
+      col("m"), tau = 5.0)
+      .select("p_always_valid").as[Double].collect()
+    assert(pn.forall(_ == 1.0), s"zero-diff arms must never reject")
+  }
+
+  test("srm: hand chi-square flags a planted imbalance, passes a clean split") {
+    // 60 / 40 against a designed 50/50: chi = (10² / 50)·2 = 4.0
+    val skew = ((1 to 60).map(i => (i.toLong, false)) ++
+      (61 to 100).map(i => (i.toLong, true))).toDF("id", "b")
+    val r = Experiment.srmCheck(skew, col("b"))
+      .select("chi_sq", "srm_95", "srm_99").collect().head
+    assert(r.getDouble(0) == 4.0 && r.getBoolean(1) && !r.getBoolean(2))
+    val clean = (1 to 100).map(i => (i.toLong, i % 2 == 0)).toDF("id", "b")
+    val rc = Experiment.srmCheck(clean, col("b"))
+      .select("chi_sq", "srm_95").collect().head
+    assert(rc.getDouble(0) == 0.0 && !rc.getBoolean(1))
+  }
+
   test("welch: hand-computed t on unequal-variance groups") {
     // A = (1, 2, 3): mean 2, var 1; B = (4, 6, 8, 10): mean 7, var 20/3
     // sa = 1/3, sb = 5/3 → t = 5/√2 = 3.535534
