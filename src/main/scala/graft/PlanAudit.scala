@@ -58,6 +58,9 @@ object PlanAudit {
     // log-rank adds the cohort-totals factor; CUPED's midpoint date
     // is the same 1-row shape
     "q247_kaplan_meier", "q251_log_rank", "q252_cuped",
+    // segment lift: BH family-size 1-row factor (ksBySliceFdr shape);
+    // quantile lift: |levels|-row broadcast quantile table
+    "q256_segment_lift", "q257_quantile_lift",
     // retrieval eval rides the q20 bounded brute-force harness
     "q184_retrieval_eval",
     // LSH quality harness: exact-Jaccard ground truth is a bounded

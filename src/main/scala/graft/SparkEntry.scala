@@ -115,6 +115,28 @@ object SparkEntry {
         col("user_id") % 2 === 1, col("m"))
     }),
 
+    // ---- Per-segment lift with BH control: which segment actually
+    //      moved, without 5 segments buying a free false positive;
+    //      Welch z per type, A&S closed-form p, BH ladder over the
+    //      segment table ----
+    "q256_segment_lift" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum("value").as("m"))
+      graft.operators.Experiment.segmentLift(u,
+        col("user_id") % 2 === 1, col("event_type"), col("m"))
+    }),
+
+    // ---- Quantile treatment effects: per-level quantile diff
+    //      between arms — the distributional lift a mean hides ----
+    "q257_quantile_lift" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(sum("value").as("m"))
+      graft.operators.Experiment.quantileLift(u,
+        col("user_id") % 2 === 1, col("m"))
+    }),
+
     // ---- Always-valid sequential test (mSPRT): the p-value that
     //      survives daily peeking — per-day cumulative moments over
     //      the day table, one ordered window spec ----
@@ -3222,6 +3244,12 @@ object SparkEntry {
 
     "q254_sequential_msprt" ->
       graft.operators.Experiment.msprtOracleSql(25.0),
+
+    "q256_segment_lift" ->
+      graft.operators.Experiment.segmentLiftOracleSql(),
+
+    "q257_quantile_lift" ->
+      graft.operators.Experiment.quantileLiftOracleSql(),
 
     "q255_srm_check" ->
       graft.operators.Experiment.srmOracleSql(),

@@ -280,6 +280,180 @@ object Experiment {
        |    / (CAST(n AS DOUBLE) / 2.0)), 6) AS mde_at_current_n
        |FROM g""".stripMargin
 
+  /** Per-segment treatment-effect table with Benjamini–Hochberg
+    * control — the "which segment actually moved" drill-down that
+    * follows a significant topline: one Welch z per segment, a
+    * two-sided normal p via the Abramowitz–Stegun 7.1.26 erf
+    * closed form (deterministic arithmetic, hash-identical in both
+    * engines), and BH step-up across the segment family so 20
+    * segments don't hand back one free false positive.
+    *
+    * One conditional-moment agg per segment (single pass), then
+    * segment-cardinality windows for the BH ladder. */
+  def segmentLift(units: DataFrame, variant: Column,
+      segment: Column, metric: Column,
+      alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = units
+      .select(segment.as("segment"), variant.as("__b"),
+        metric.cast("double").as("__m"))
+      .where(col("__b").isNotNull && col("__m").isNotNull)
+      .groupBy("segment")
+      .agg(
+        sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"),
+        avg(when(!col("__b"), col("__m"))).as("__ma"),
+        avg(when(col("__b"), col("__m"))).as("__mb"),
+        var_samp(when(!col("__b"), col("__m"))).as("__va"),
+        var_samp(when(col("__b"), col("__m"))).as("__vb"))
+    val se = sqrt(col("__va") / col("n_a") + col("__vb") / col("n_b"))
+    val z = when(se > 0.0, (col("__mb") - col("__ma")) / se)
+      .otherwise(lit(0.0))
+    val withP = g
+      .withColumn("__z", z)
+      .withColumn("__p", normTwoSided(abs(col("__z"))))
+    // family size as a JOINED 1-row stat factor (the ksBySliceFdr
+    // convention — never an extra unbounded count window on the frame)
+    val fam = withP.agg(count(lit(1)).as("__fm"))
+    val wDesc = Window.orderBy(col("__p").desc, col("segment"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wRank = Window.orderBy(col("__p"), col("segment"))
+    val ranked = withP
+      .crossJoin(broadcast(fam))   // 1-row stat factor
+      .withColumn("__rk", row_number().over(wRank))
+    val adj = ranked.withColumn("__padj",
+      least(lit(1.0),
+        min(col("__p") * col("__fm") / col("__rk")).over(wDesc)))
+    adj.select(
+      col("segment"), col("n_a"), col("n_b"),
+      round(col("__mb") - col("__ma"), 6).as("lift"),
+      round(col("__z"), 6).as("z"),
+      round(col("__p"), 6).as("p"),
+      round(col("__padj"), 6).as("p_adj"),
+      (col("__padj") < alpha).as("discovery"))
+      .orderBy("segment")
+  }
+
+  /** Two-sided normal p-value 2·(1 − Φ(z)) for z ≥ 0 via the
+    * Abramowitz–Stegun 7.1.26 erf polynomial — max abs error 1.5e-7,
+    * and pure closed-form arithmetic so DuckDB mirrors it exactly. */
+  private def normTwoSided(zAbs: Column): Column = {
+    val x = zAbs / math.sqrt(2.0)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = t * (lit(0.254829592) +
+      t * (lit(-0.284496736) +
+        t * (lit(1.421413741) +
+          t * (lit(-1.453152027) + t * lit(1.061405429)))))
+    // erfc(x) = poly·e^{−x²}; two-sided p = erfc(|z|/√2)
+    poly * exp(-x * x)
+  }
+
+  /** The same A&S erfc in DuckDB SQL over an expression `z` (≥ 0). */
+  private def normTwoSidedSql(z: String): String =
+    s"""((1.0 / (1.0 + 0.3275911 * ($z) / sqrt(2.0))) *
+       |  (0.254829592 + (1.0 / (1.0 + 0.3275911 * ($z) / sqrt(2.0))) *
+       |  (-0.284496736 + (1.0 / (1.0 + 0.3275911 * ($z) / sqrt(2.0))) *
+       |  (1.421413741 + (1.0 / (1.0 + 0.3275911 * ($z) / sqrt(2.0))) *
+       |  (-1.453152027 + (1.0 / (1.0 + 0.3275911 * ($z) / sqrt(2.0))) *
+       |    1.061405429)))) *
+       |  exp(-(($z) / sqrt(2.0)) * (($z) / sqrt(2.0))))""".stripMargin
+
+  /** DuckDB oracle for the registered segment-lift fixture: per-user
+    * per-event-type summed value, parity variant, segments = types. */
+  def segmentLiftOracleSql(alpha: Double = 0.05): String =
+    s"""WITH u AS (
+       |  SELECT event_type AS segment, user_id % 2 = 1 AS b,
+       |    SUM(value) AS m
+       |  FROM events GROUP BY 1, 2, user_id),
+       |g AS (
+       |  SELECT segment,
+       |    SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS n_a,
+       |    SUM(CASE WHEN b THEN 1 ELSE 0 END) AS n_b,
+       |    AVG(CASE WHEN NOT b THEN m END) AS ma,
+       |    AVG(CASE WHEN b THEN m END) AS mb,
+       |    var_samp(CASE WHEN NOT b THEN m END) AS va,
+       |    var_samp(CASE WHEN b THEN m END) AS vb
+       |  FROM u GROUP BY 1),
+       |z AS (
+       |  SELECT segment, n_a, n_b, mb - ma AS lift,
+       |    CASE WHEN sqrt(va / n_a + vb / n_b) > 0
+       |      THEN (mb - ma) / sqrt(va / n_a + vb / n_b)
+       |      ELSE 0.0 END AS zv
+       |  FROM g),
+       |p AS (
+       |  SELECT *, ${normTwoSidedSql("abs(zv)")} AS pv FROM z),
+       |r AS (
+       |  SELECT *,
+       |    COUNT(*) OVER () AS mm,
+       |    ROW_NUMBER() OVER (ORDER BY pv, segment) AS rk
+       |  FROM p),
+       |a AS (
+       |  SELECT *, LEAST(1.0, MIN(pv * mm / rk) OVER (
+       |    ORDER BY pv DESC, segment
+       |    ROWS UNBOUNDED PRECEDING)) AS padj
+       |  FROM r)
+       |SELECT segment, CAST(n_a AS BIGINT) AS n_a,
+       |  CAST(n_b AS BIGINT) AS n_b,
+       |  ROUND(lift, 6) AS lift,
+       |  ROUND(zv, 6) AS z,
+       |  ROUND(pv, 6) AS p,
+       |  ROUND(padj, 6) AS p_adj,
+       |  padj < $alpha AS discovery
+       |FROM a ORDER BY segment""".stripMargin
+
+  /** Quantile treatment effects: the per-level quantile difference
+    * between arms — a mean lift can hide "the median fell while the
+    * p95 exploded", and distributional experiments (latency, spend)
+    * are judged at the quantiles. Exact `percentile` as the oracle
+    * pin, `approx_percentile` at scale (the q245 convention). */
+  def quantileLift(units: DataFrame, variant: Column, metric: Column,
+      levels: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9)): DataFrame = {
+    require(levels.nonEmpty, "need at least one level")
+    val lvlSql = levels.mkString("array(", ", ", ")")
+    val lvlLit = array(levels.map(lit): _*)
+    val base = units.select(variant.cast("boolean").as("__b"),
+      metric.cast("double").as("__m"))
+      .where(col("__b").isNotNull && col("__m").isNotNull)
+    def side(b: Boolean, name: String) = base.where(col("__b") === b)
+      .agg(expr(s"percentile(__m, $lvlSql)").as("__qs"))
+      .select(posexplode(col("__qs")).as(Seq("__i", name)))
+    side(false, "q_a").join(broadcast(side(true, "q_b")), "__i")
+      .select(
+        round(element_at(lvlLit, col("__i") + 1), 2).as("level"),
+        round(col("q_a"), 6).as("q_a"),
+        round(col("q_b"), 6).as("q_b"),
+        round(col("q_b") - col("q_a"), 6).as("lift"))
+      .orderBy("level")
+  }
+
+  /** DuckDB oracle for the registered quantile-lift fixture. */
+  def quantileLiftOracleSql(
+      levels: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9)): String = {
+    val lst = levels.mkString("[", ", ", "]")
+    s"""WITH u AS (
+       |  SELECT user_id % 2 = 1 AS b, SUM(value) AS m
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, user_id),
+       |qa AS (
+       |  SELECT quantile_cont(m, $lst) AS qs FROM u WHERE NOT b),
+       |qb AS (
+       |  SELECT quantile_cont(m, $lst) AS qs FROM u WHERE b),
+       |xa AS (
+       |  SELECT generate_subscripts(qs, 1) AS i, UNNEST(qs) AS q_a
+       |  FROM qa),
+       |xb AS (
+       |  SELECT generate_subscripts(qs, 1) AS i, UNNEST(qs) AS q_b
+       |  FROM qb),
+       |lev AS (
+       |  SELECT generate_subscripts(l, 1) AS i, UNNEST(l) AS lv
+       |  FROM (SELECT $lst AS l))
+       |SELECT ROUND(lv, 2) AS level,
+       |  ROUND(q_a, 6) AS q_a,
+       |  ROUND(q_b, 6) AS q_b,
+       |  ROUND(q_b - q_a, 6) AS lift
+       |FROM xa JOIN xb USING (i) JOIN lev USING (i)
+       |ORDER BY level""".stripMargin
+  }
+
   /** Always-valid sequential test — the mixture SPRT (Johari, Koomen,
     * Pekelis & Walsh, KDD 2017 / "Peeking at A/B tests"): a fixed-n
     * t-test is invalid the moment anyone LOOKS early, and experiment

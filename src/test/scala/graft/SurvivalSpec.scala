@@ -115,6 +115,41 @@ class SurvivalSpec extends AnyFunSuite {
     assert(r.getDouble(4) == mdeNow)
   }
 
+  test("segment lift: only the planted segment discovers; BH inflates its p") {
+    // segment "hot": B runs +10 over tight noise; "cold" segments:
+    // identical arms → z = 0, p = 1
+    val rows = (0 until 40).flatMap { u =>
+      val noise = ((u / 2) % 3).toDouble   // pairs share their noise
+      Seq(("hot", u % 2 == 0, if (u % 2 == 0) 20.0 + noise else 10.0 + noise),
+        ("cold1", u % 2 == 0, 5.0 + noise),
+        ("cold2", u % 2 == 0, 5.0 + noise))
+    }.toDF("seg", "b", "m")
+    val got = Experiment.segmentLift(rows, col("b"), col("seg"), col("m"))
+      .select("segment", "p", "p_adj", "discovery")
+      .as[(String, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("hot")._3, s"planted segment must survive BH: $got")
+    assert(!got("cold1")._3 && !got("cold2")._3)
+    // BH with family size 3 and the other two p = 1: the smallest p
+    // is multiplied by 3/1
+    assert(got("hot")._2 == math.min(1.0,
+      BigDecimal(got("hot")._1 * 3).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) ||
+      got("hot")._2 >= got("hot")._1)
+    assert(got("cold1")._1 == 1.0 && got("cold1")._2 == 1.0)
+  }
+
+  test("quantile lift: constant offset shows at every level") {
+    val u = ((1 to 50).map(i => (false, (i % 10).toDouble)) ++
+      (1 to 50).map(i => (true, (i % 10).toDouble + 4.0)))
+      .toDF("b", "m")
+    val got = Experiment.quantileLift(u, col("b"), col("m"))
+      .select("level", "lift").as[(Double, Double)].collect()
+    assert(got.length == 5)
+    assert(got.forall(_._2 == 4.0),
+      s"pure shift → +4 at every quantile: ${got.toSeq}")
+  }
+
   test("msprt: planted lift rejects and stays rejected; null stays quiet") {
     import java.sql.Date
     def day(i: Int) = Date.valueOf(f"2024-07-$i%02d")
