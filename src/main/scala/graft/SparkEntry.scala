@@ -115,6 +115,19 @@ object SparkEntry {
         col("user_id") % 2 === 1, col("m"))
     }),
 
+    // ---- Streaming sequential-experiment monitor: micro-batches
+    //      fold into a replay-safe (user, day) moment table; the
+    //      dashboard re-derives the always-valid p curve — stream ≡
+    //      batch by construction, so the batch mSPRT oracle applies ----
+    "q258_stream_msprt" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q258")
+      graft.streaming.ExperimentMonitor.monitor(s, dir,
+        "events.parquet", root.resolve("moments").toString,
+        root.resolve("ckpt").toString)
+      graft.streaming.ExperimentMonitor.dashboard(s,
+        root.resolve("moments").toString, tau = 25.0)
+    }),
+
     // ---- Per-segment lift with BH control: which segment actually
     //      moved, without 5 segments buying a free false positive;
     //      Welch z per type, A&S closed-form p, BH ladder over the
@@ -3247,6 +3260,9 @@ object SparkEntry {
 
     "q256_segment_lift" ->
       graft.operators.Experiment.segmentLiftOracleSql(),
+
+    "q258_stream_msprt" ->
+      graft.operators.Experiment.msprtOracleSql(25.0),
 
     "q257_quantile_lift" ->
       graft.operators.Experiment.quantileLiftOracleSql(),
