@@ -115,6 +115,24 @@ object SparkEntry {
         col("user_id") % 2 === 1, col("m"))
     }),
 
+    // ---- SES forecast + one-step backtest over daily counts: the
+    //      capacity-planning baseline; the smoothing recursion as ONE
+    //      closed-form cumulative window, no driver loop ----
+    "q259_ses_forecast" -> ((s, dir) =>
+      graft.operators.Forecast.sesBacktest(t(s, dir, "events"))),
+
+    // ---- Growth accounting: DAU decomposed through its only four
+    //      doors (new/retained/resurrected/churned, net telescopes to
+    //      the DAU delta); presence-table self-join, calendar output ----
+    "q260_growth_accounting" -> ((s, dir) =>
+      graft.operators.Growth.accounting(t(s, dir, "events"))),
+
+    // ---- Exponential retention-decay fit: log-linear LS over the
+    //      right-truncation-corrected day-offset retention curve →
+    //      decay rate + half-life; offset-cardinality arithmetic ----
+    "q261_retention_decay" -> ((s, dir) =>
+      graft.operators.Growth.retentionDecay(t(s, dir, "events"))),
+
     // ---- Streaming sequential-experiment monitor: micro-batches
     //      fold into a replay-safe (user, day) moment table; the
     //      dashboard re-derives the always-valid p curve — stream ≡
@@ -3263,6 +3281,15 @@ object SparkEntry {
 
     "q258_stream_msprt" ->
       graft.operators.Experiment.msprtOracleSql(25.0),
+
+    "q259_ses_forecast" ->
+      graft.operators.Forecast.sesOracleSql(),
+
+    "q260_growth_accounting" ->
+      graft.operators.Growth.accountingOracleSql,
+
+    "q261_retention_decay" ->
+      graft.operators.Growth.retentionDecayOracleSql,
 
     "q257_quantile_lift" ->
       graft.operators.Experiment.quantileLiftOracleSql(),

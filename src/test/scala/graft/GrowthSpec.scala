@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Forecast, Growth}
+
+/** Growth accounting identities, SES recursion equivalence, and the
+  * retention-decay fit on a planted exponential. */
+class GrowthSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(id: Long, user: Long, day: Int) =
+    (id, java.sql.Timestamp.valueOf(f"2024-04-$day%02d 12:00:00"),
+      user, "view", 1.0, "{}")
+
+  private def frame(rows: Seq[(Long, java.sql.Timestamp, Long, String,
+      Double, String)]) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("growth accounting: hand scenario with all four doors") {
+    // day1: u1, u2 (both new). day2: u1 (retained), u3 (new);
+    // u2 churns into day2. day3: u2 (resurrected), u1 churns? no —
+    // day3: u2, u3 → u3 retained, u2 resurrected, u1 churns into day3
+    val e = frame(Seq(
+      ev(1, 1, 1), ev(2, 2, 1),
+      ev(3, 1, 2), ev(4, 3, 2),
+      ev(5, 2, 3), ev(6, 3, 3)))
+    val got = Growth.accounting(e)
+      .select("d", "dau", "new_users", "retained", "resurrected",
+        "churned", "net")
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(got("2024-04-01") == ((2L, 2L, 0L, 0L, 0L, 2L)))
+    assert(got("2024-04-02") == ((2L, 1L, 1L, 0L, 1L, 0L)))
+    assert(got("2024-04-03") == ((2L, 0L, 1L, 1L, 1L, 0L)))
+  }
+
+  test("growth accounting identities hold on denser data") {
+    val e = frame((1 to 200).map(i =>
+      ev(i.toLong, (i % 17).toLong, i % 9 + 1)))
+    val rows = Growth.accounting(e)
+      .select("d", "dau", "new_users", "retained", "resurrected", "net")
+      .collect().sortBy(_.getDate(0).toString)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"dau must equal new+retained+resurrected: $r")
+    }
+    // net telescopes to the DAU delta between consecutive days
+    rows.sliding(2).foreach { p =>
+      if (p.length == 2 &&
+        p(1).getDate(0).toLocalDate.minusDays(1) ==
+          p(0).getDate(0).toLocalDate)
+        assert(p(1).getLong(5) == p(1).getLong(1) - p(0).getLong(1))
+    }
+  }
+
+  test("ses: closed-form window equals the textbook recursion") {
+    val counts = Seq(4, 7, 2, 9, 5, 6)
+    val e = frame(counts.zipWithIndex.flatMap { case (n, d) =>
+      (1 to n).map(i => ev(d * 100L + i, i.toLong, d + 1))
+    })
+    val alpha = 0.3
+    val got = Forecast.sesBacktest(e, alpha)
+      .select("y", "level", "forecast").collect()
+    var s = counts.head.toDouble
+    counts.zipWithIndex.foreach { case (y, i) =>
+      if (i > 0) {
+        val fc = got(i).getDouble(2)
+        assert(fc == BigDecimal(s).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble,
+          s"forecast for step $i must be the previous level")
+        s = alpha * y + (1 - alpha) * s
+      }
+      assert(got(i).getDouble(1) == BigDecimal(s).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"level at step $i: got ${got(i).getDouble(1)}, want $s")
+    }
+    assert(got.head.isNullAt(2), "first day has no one-step forecast")
+  }
+
+  test("retention decay: planted exponential recovers rate and half-life") {
+    // users all start day 1 with a 30-day window; activity at offset
+    // k for exactly round(64·2^(−k/2)) users → r_k = 2^(−k/2),
+    // b = −ln2/2, half-life = 2
+    val users = 64
+    val rows = (1L to users.toLong).map(u => ev(u, u, 1)) ++
+      (1 to 8).flatMap { k =>
+        val active = math.round(users * math.pow(2.0, -k / 2.0)).toInt
+        (1 to active).map(u =>
+          ev(1000L * k + u, u.toLong, k + 1))
+      }
+    val r = Growth.retentionDecay(frame(rows))
+      .select("n_points", "decay_rate", "half_life_days")
+      .collect().head
+    assert(r.getLong(0) == 8L)
+    val b = r.getDouble(1)
+    // rounding of user counts makes the fit approximate — ±3%
+    assert(math.abs(b - (-math.log(2.0) / 2.0)) < 0.01,
+      s"decay rate should be about −ln2/2: $b")
+    assert(math.abs(r.getDouble(2) - 2.0) < 0.06,
+      s"half-life about 2 days: ${r.getDouble(2)}")
+  }
+}
