@@ -115,6 +115,12 @@ object SparkEntry {
         col("user_id") % 2 === 1, col("m"))
     }),
 
+    // ---- Flesch/Kincaid readability per doc: the grade-level mix
+    //      axis the quality family lacks; stated syllable heuristic
+    //      max(1, vowel-runs), map-only regex arithmetic ----
+    "q262_readability" -> ((s, dir) =>
+      graft.operators.Readability.report(t(s, dir, "documents"))),
+
     // ---- SES forecast + one-step backtest over daily counts: the
     //      capacity-planning baseline; the smoothing recursion as ONE
     //      closed-form cumulative window, no driver loop ----
@@ -3290,6 +3296,9 @@ object SparkEntry {
 
     "q261_retention_decay" ->
       graft.operators.Growth.retentionDecayOracleSql,
+
+    "q262_readability" ->
+      graft.operators.Readability.oracleSql,
 
     "q257_quantile_lift" ->
       graft.operators.Experiment.quantileLiftOracleSql(),
