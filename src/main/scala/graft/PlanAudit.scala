@@ -62,8 +62,8 @@ object PlanAudit {
     // quantile lift: |levels|-row broadcast quantile table
     "q256_segment_lift", "q257_quantile_lift",
     // retention decay: offset × window-length calendar² coverage join
-    // + the 1-row max-date factor
-    "q261_retention_decay",
+    // + the 1-row max-date factor; LTV shares the max-date factor
+    "q261_retention_decay", "q263_ltv_curve",
     // retrieval eval rides the q20 bounded brute-force harness
     "q184_retrieval_eval",
     // LSH quality harness: exact-Jaccard ground truth is a bounded

@@ -115,6 +115,13 @@ object SparkEntry {
         col("user_id") % 2 === 1, col("m"))
     }),
 
+    // ---- Cumulative LTV curve by user age: average per-user
+    //      cumulative revenue at offset k over COVERED users (same
+    //      right-truncation correction as q261); presence-scale
+    //      explode + per-user cumsum ----
+    "q263_ltv_curve" -> ((s, dir) =>
+      graft.operators.Growth.ltvCurve(t(s, dir, "events"))),
+
     // ---- Flesch/Kincaid readability per doc: the grade-level mix
     //      axis the quality family lacks; stated syllable heuristic
     //      max(1, vowel-runs), map-only regex arithmetic ----
@@ -3299,6 +3306,9 @@ object SparkEntry {
 
     "q262_readability" ->
       graft.operators.Readability.oracleSql,
+
+    "q263_ltv_curve" ->
+      graft.operators.Growth.ltvOracleSql,
 
     "q257_quantile_lift" ->
       graft.operators.Experiment.quantileLiftOracleSql(),

@@ -135,6 +135,77 @@ object Growth {
         .otherwise(lit(null).cast("double")), 6).as("half_life_days"))
   }
 
+  /** Cumulative LTV curve by user-age offset: the average per-user
+    * cumulative purchase revenue at age k, averaged over the users
+    * whose observation window COVERS k (the same right-truncation
+    * correction as [[retentionDecay]] — young users must not drag
+    * down late offsets they haven't lived yet). The curve's flattening
+    * point is where acquisition-payback math reads its number.
+    *
+    * Scale shape: a user-window explode to (user, k) — presence-table
+    * scale, the corpus's own granularity — one cumulative sum per
+    * user over offsets, then an offset-cardinality reduction. */
+  def ltvCurve(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("d"),
+      when(col("event_type") === "purchase", col("value"))
+        .otherwise(lit(0.0)).as("rev"))
+    val span = ud.agg(max("d").as("__mx"))
+    val base = ud.groupBy("user_id").agg(min("d").as("__f"))
+      .crossJoin(broadcast(span))   // 1-row stat factor
+      .select(col("user_id"), col("__f"),
+        datediff(col("__mx"), col("__f")).as("__window"))
+    val perDay = ud.join(base.select("user_id", "__f"), "user_id")
+      .groupBy(col("user_id"), datediff(col("d"), col("__f")).as("k"))
+      .agg(sum("rev").as("__amt"))
+    // dense per-user offset grid so the cumsum carries over quiet days
+    val grid = base
+      .select(col("user_id"),
+        explode(expr("sequence(0, __window)")).as("k"))
+      .join(perDay, Seq("user_id", "k"), "left_outer")
+      .na.fill(0.0, Seq("__amt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("k")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    grid.withColumn("__cum", sum("__amt").over(wCum))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_users"),
+        round(avg("__cum"), 6).as("avg_ltv"))
+      .orderBy("k")
+  }
+
+  /** DuckDB oracle for [[ltvCurve]] on events. */
+  val ltvOracleSql: String =
+    """WITH ud AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d,
+      |    CASE WHEN event_type = 'purchase' THEN value
+      |      ELSE 0 END AS rev
+      |  FROM events),
+      |mx AS (SELECT MAX(d) AS m FROM ud),
+      |base AS (
+      |  SELECT user_id, MIN(d) AS f,
+      |    date_diff('day', MIN(d), (SELECT m FROM mx)) AS w
+      |  FROM ud GROUP BY 1),
+      |per AS (
+      |  SELECT ud.user_id, date_diff('day', base.f, ud.d) AS k,
+      |    SUM(rev) AS amt
+      |  FROM ud JOIN base ON ud.user_id = base.user_id
+      |  GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT base.user_id, CAST(UNNEST(range(0, w + 1)) AS BIGINT)
+      |    AS k
+      |  FROM base),
+      |cum AS (
+      |  SELECT g.user_id, g.k,
+      |    SUM(COALESCE(per.amt, 0)) OVER (PARTITION BY g.user_id
+      |      ORDER BY g.k ROWS UNBOUNDED PRECEDING) AS c
+      |  FROM grid g
+      |  LEFT JOIN per ON per.user_id = g.user_id AND per.k = g.k)
+      |SELECT CAST(k AS BIGINT) AS k,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  ROUND(AVG(c), 6) AS avg_ltv
+      |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** DuckDB oracle for [[retentionDecay]] on events. */
   val retentionDecayOracleSql: String =
     """WITH ud AS (

@@ -80,6 +80,29 @@ class GrowthSpec extends AnyFunSuite {
     assert(got.head.isNullAt(2), "first day has no one-step forecast")
   }
 
+  test("ltv curve: hand case with truncation-aware denominators") {
+    // u1 starts day1 (window 3): buys 10 at k=0, 5 at k=2
+    // u2 starts day3 (window 1): buys 20 at k=0
+    // u3 starts day4 (window 0): buys 2 at k=0  [max date = day4]
+    def buy(id: Long, user: Long, day: Int, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"2024-04-$day%02d 12:00:00"),
+        user, "purchase", v, "{}")
+    val e = frame(Seq(
+      buy(1, 1, 1, 10.0), buy(2, 1, 3, 5.0),
+      buy(3, 2, 3, 20.0), buy(4, 3, 4, 2.0)))
+    val got = graft.operators.Growth.ltvCurve(e)
+      .select("k", "n_users", "avg_ltv")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // k=0: all 3 covered → (10+20+2)/3; k=1: u1,u2 → (10+20)/2
+    // k=2: u1 only → 15; k=3: u1 only → 15
+    assert(got(0L) == ((3L, BigDecimal(32.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(1L) == ((2L, 15.0)))
+    assert(got(2L) == ((1L, 15.0)))
+    assert(got(3L) == ((1L, 15.0)))
+  }
+
   test("retention decay: planted exponential recovers rate and half-life") {
     // users all start day 1 with a 30-day window; activity at offset
     // k for exactly round(64·2^(−k/2)) users → r_k = 2^(−k/2),
