@@ -115,6 +115,26 @@ object SparkEntry {
         col("user_id") % 2 === 1, col("m"))
     }),
 
+    // ---- Session-quality report by entry type: bounce rate, depth,
+    //      median duration, exit-same share — the landing-page health
+    //      table over the q32 gap sessions ----
+    "q264_session_summary" -> ((s, dir) =>
+      graft.operators.Sessionize.sessionSummary(t(s, dir, "events"))),
+
+    // ---- Funnel step latency: mean/p50/p90 time-to-convert between
+    //      adjacent steps over users who converted — the "conversion
+    //      is fine, it just takes 3 days" table; cached step frames,
+    //      zero extra event scans ----
+    "q265_funnel_latency" -> ((s, dir) =>
+      graft.operators.Funnel.stepLatency(t(s, dir, "events"),
+        Seq("view", "click", "purchase"))),
+
+    // ---- Daily error-rate SLO with a Wilson interval: breach only
+    //      when the LOWER bound clears the budget — no paging on one
+    //      unlucky event in a quiet day ----
+    "q266_error_slo" -> ((s, dir) =>
+      graft.operators.Anomaly.errorSlo(t(s, dir, "events"))),
+
     // ---- Cumulative LTV curve by user age: average per-user
     //      cumulative revenue at offset k over COVERED users (same
     //      right-truncation correction as q261); presence-scale
@@ -3309,6 +3329,15 @@ object SparkEntry {
 
     "q263_ltv_curve" ->
       graft.operators.Growth.ltvOracleSql,
+
+    "q264_session_summary" ->
+      graft.operators.Sessionize.sessionSummaryOracleSql,
+
+    "q265_funnel_latency" ->
+      graft.operators.Funnel.stepLatencyOracleSql,
+
+    "q266_error_slo" ->
+      graft.operators.Anomaly.errorSloOracleSql(),
 
     "q257_quantile_lift" ->
       graft.operators.Experiment.quantileLiftOracleSql(),

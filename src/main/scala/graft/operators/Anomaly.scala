@@ -559,6 +559,66 @@ object Anomaly {
       .orderBy("event_type")
   }
 
+  /** Daily error-rate SLO monitor with a Wilson score interval
+    * (Wilson 1927) — the proportion CI that behaves at small n and
+    * extreme rates, where the naive ±z√(p(1−p)/n) interval collapses
+    * or escapes [0,1]. A day breaches only when its LOWER bound
+    * clears the SLO — "confidently above budget", the alert rule
+    * that doesn't page on one unlucky event in a ten-event day.
+    *
+    * One shuffle to daily (n, errors); calendar-sized arithmetic
+    * after. */
+  def errorSlo(events: DataFrame, errorType: String = "error",
+      slo: Double = 0.25, z: Double = 1.959964): DataFrame = {
+    require(slo > 0.0 && slo < 1.0, "slo must be in (0,1)")
+    val daily = events
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === errorType, 1L).otherwise(0L))
+          .as("errors"))
+    val nD = col("n").cast("double")
+    val p = col("errors").cast("double") / nD
+    val z2 = z * z
+    val center = (p + lit(z2) / (nD * 2.0)) / (lit(1.0) + lit(z2) / nD)
+    val half = (sqrt(p * (lit(1.0) - p) / nD +
+      lit(z2) / (nD * nD * 4.0)) * z) / (lit(1.0) + lit(z2) / nD)
+    daily.select(
+      col("d"), col("n"), col("errors"),
+      round(p, 6).as("rate"),
+      round(center - half, 6).as("wilson_lo"),
+      round(center + half, 6).as("wilson_hi"),
+      (center - half > slo).as("breach"))
+      .orderBy("d")
+  }
+
+  /** DuckDB oracle for [[errorSlo]]. */
+  def errorSloOracleSql(errorType: String = "error",
+      slo: Double = 0.25, z: Double = 1.959964): String = {
+    val z2 = z * z
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
+       |    SUM(CASE WHEN event_type = '$errorType' THEN 1 ELSE 0 END)
+       |      AS errors
+       |  FROM events GROUP BY 1),
+       |k AS (
+       |  SELECT d, n, errors,
+       |    CAST(errors AS DOUBLE) / n AS p,
+       |    (CAST(errors AS DOUBLE) / n + $z2 / (2.0 * n))
+       |      / (1.0 + $z2 / n) AS center,
+       |    ($z * sqrt((CAST(errors AS DOUBLE) / n)
+       |        * (1.0 - CAST(errors AS DOUBLE) / n) / n
+       |      + $z2 / (4.0 * CAST(n AS DOUBLE) * n)))
+       |      / (1.0 + $z2 / n) AS half
+       |  FROM daily)
+       |SELECT d, CAST(n AS BIGINT) AS n,
+       |  CAST(errors AS BIGINT) AS errors,
+       |  ROUND(p, 6) AS rate,
+       |  ROUND(center - half, 6) AS wilson_lo,
+       |  ROUND(center + half, 6) AS wilson_hi,
+       |  center - half > $slo AS breach
+       |FROM k ORDER BY d""".stripMargin
+  }
+
   /** DuckDB oracle for [[fanoFactor]]. */
   val fanoOracleSql: String =
     """WITH daily AS (

@@ -104,4 +104,76 @@ object Funnel {
           .agg(min(tsCol).as(s"t_${i + 1}")))
     }.get
   }
+
+  /** Time-to-convert between adjacent funnel steps: count plus
+    * mean/median/p90 of (first step-i+1 conversion − first step-i
+    * conversion) in seconds, over the users who reached step i+1 —
+    * the latency table behind [[funnel]]'s counts ("conversion is
+    * fine, it just takes three days"). Differences use integer
+    * microseconds like [[graft.operators.Sessionize]], so both
+    * engines agree exactly; exact percentiles are the oracle pin.
+    *
+    * Reuses the persisted [[stepFrames]] — user-cardinality joins of
+    * cached frames, zero extra event scans. */
+  def stepLatency(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, "latency needs at least two steps")
+    val frames = stepFrames(events, steps, userCol, tsCol, typeCol)
+    frames.sliding(2).toSeq.zipWithIndex.map { case (pair, i) =>
+      val dt = ((unix_micros(col("__tb")) - unix_micros(col("__ta")))
+        .cast("double") / 1e6).as("__dt")
+      pair(0).select(col(userCol), col("__t").as("__ta"))
+        .join(pair(1).select(col(userCol), col("__t").as("__tb")),
+          userCol)
+        .select(dt)
+        .agg(
+          count(lit(1)).as("n_users"),
+          round(avg("__dt"), 6).as("mean_s"),
+          round(expr("percentile(__dt, 0.5)"), 6).as("p50_s"),
+          round(expr("percentile(__dt, 0.9)"), 6).as("p90_s"))
+        .select(lit(i + 1).as("step_from"),
+          lit(steps(i)).as("from_type"),
+          lit(steps(i + 1)).as("to_type"),
+          col("n_users"), col("mean_s"), col("p50_s"), col("p90_s"))
+    }.reduce(_ unionByName _).orderBy("step_from")
+  }
+
+  /** DuckDB oracle for the registered view→click→purchase latency. */
+  val stepLatencyOracleSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |  JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |  JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |  GROUP BY e.user_id),
+      |d12 AS (
+      |  SELECT (epoch_ns(t2) // 1000 - epoch_ns(t1) // 1000) / 1e6
+      |    AS dt
+      |  FROM s2 JOIN s1 USING (user_id)),
+      |d23 AS (
+      |  SELECT (epoch_ns(t3) // 1000 - epoch_ns(t2) // 1000) / 1e6
+      |    AS dt
+      |  FROM s3 JOIN s2 USING (user_id))
+      |SELECT CAST(1 AS INTEGER) AS step_from, 'view' AS from_type,
+      |  'click' AS to_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  ROUND(AVG(dt), 6) AS mean_s,
+      |  ROUND(quantile_cont(dt, 0.5), 6) AS p50_s,
+      |  ROUND(quantile_cont(dt, 0.9), 6) AS p90_s
+      |FROM d12
+      |UNION ALL
+      |SELECT CAST(2 AS INTEGER), 'click', 'purchase',
+      |  CAST(COUNT(*) AS BIGINT),
+      |  ROUND(AVG(dt), 6),
+      |  ROUND(quantile_cont(dt, 0.5), 6),
+      |  ROUND(quantile_cont(dt, 0.9), 6)
+      |FROM d23
+      |ORDER BY step_from""".stripMargin
 }

@@ -44,6 +44,93 @@ object Sessionize {
         round(sum(col(valueCol)), 2).as("total_value"))
       .orderBy(col(key), col("session_id"))
 
+  /** Session-quality report by ENTRY event type: session counts,
+    * bounce rate (single-event sessions), mean depth, exact median
+    * duration, and the share of sessions exiting on their entry type
+    * — the landing-page health table every web-analytics engine
+    * ships, over the same gap sessions as [[sessionStats]]. Entry and
+    * exit are made deterministic under timestamp ties by the
+    * `tieBreak` column (ranking windows, not stacked unbounded aggs).
+    *
+    * One key-shuffle for sessionization, session-cardinality rollup,
+    * entry-type-cardinality report. */
+  def sessionSummary(events: DataFrame, key: String = "user_id",
+      ts: String = "ts", gapSeconds: Long = 1800,
+      typeCol: String = "event_type",
+      tieBreak: String = "event_id"): DataFrame = {
+    val s = assignSessions(events, key, ts, gapSeconds)
+    val us = unix_micros(col(ts))
+    val wF = Window.partitionBy(col(key), col("session_id"))
+      .orderBy(us.asc, col(tieBreak).asc)
+    val wL = Window.partitionBy(col(key), col("session_id"))
+      .orderBy(us.desc, col(tieBreak).desc)
+    val perSession = s
+      .withColumn("__rf", row_number().over(wF))
+      .withColumn("__rl", row_number().over(wL))
+      .groupBy(col(key), col("session_id"))
+      .agg(
+        count(lit(1)).as("__n"),
+        ((max(us) - min(us)).cast("double") / 1e6).as("__dur"),
+        max(when(col("__rf") === 1, col(typeCol))).as("__entry"),
+        max(when(col("__rl") === 1, col(typeCol))).as("__exit"))
+    perSession
+      .groupBy(col("__entry").as("entry_type"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("__n") === 1L, 1L).otherwise(0L)).as("bounces"),
+        round(avg(col("__n").cast("double")), 4).as("avg_events"),
+        round(expr("percentile(__dur, 0.5)"), 6).as("p50_duration_s"),
+        sum(when(col("__exit") === col("__entry"), 1L).otherwise(0L))
+          .as("__same"))
+      .select(col("entry_type"), col("n_sessions"), col("bounces"),
+        round(col("bounces").cast("double") / col("n_sessions"), 6)
+          .as("bounce_rate"),
+        col("avg_events"), col("p50_duration_s"),
+        round(col("__same").cast("double") / col("n_sessions"), 6)
+          .as("exit_same_share"))
+      .orderBy("entry_type")
+  }
+
+  /** DuckDB oracle for [[sessionSummary]] on events (gap 1800 s). */
+  val sessionSummaryOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_ns(ts) // 1000 AS us FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+      |      OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+      |    AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      |sess AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS session_id
+      |  FROM flagged),
+      |rk AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+      |      ORDER BY us ASC, event_id ASC) AS rf,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+      |      ORDER BY us DESC, event_id DESC) AS rl
+      |  FROM sess),
+      |per AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n,
+      |    (MAX(us) - MIN(us)) / 1e6 AS dur,
+      |    MAX(CASE WHEN rf = 1 THEN event_type END) AS entry,
+      |    MAX(CASE WHEN rl = 1 THEN event_type END) AS ex
+      |  FROM rk GROUP BY 1, 2)
+      |SELECT entry AS entry_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS bounces,
+      |  ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate,
+      |  ROUND(AVG(CAST(n AS DOUBLE)), 4) AS avg_events,
+      |  ROUND(quantile_cont(dur, 0.5), 6) AS p50_duration_s,
+      |  ROUND(SUM(CASE WHEN ex = entry THEN 1 ELSE 0 END)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS exit_same_share
+      |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** First-order Markov transition matrix over each key's event
     * sequence: count and probability of event type B immediately
     * following type A — the behavioral-analytics view of a clickstream
