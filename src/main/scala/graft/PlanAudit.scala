@@ -57,7 +57,7 @@ object PlanAudit {
     // KM: the (max date, cohort size) pair is a 1-row stat factor;
     // log-rank adds the cohort-totals factor; CUPED's midpoint date
     // is the same 1-row shape
-    "q247_kaplan_meier", "q251_log_rank", "q252_cuped",
+    "q247_kaplan_meier", "q251_log_rank", "q252_cuped", "q267_did",
     // segment lift: BH family-size 1-row factor (ksBySliceFdr shape);
     // quantile lift: |levels|-row broadcast quantile table
     "q256_segment_lift", "q257_quantile_lift",

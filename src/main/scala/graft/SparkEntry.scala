@@ -115,6 +115,33 @@ object SparkEntry {
         col("user_id") % 2 === 1, col("m"))
     }),
 
+    // ---- Difference-in-differences on per-user deltas: the
+    //      quasi-experimental readout (subtract the control group's
+    //      pre/post change) with unit-clustered Welch SE ----
+    "q267_did" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val mid = ev.agg(expr(
+        """date_add(min(to_date(ts)),
+          |  cast(cast(datediff(max(to_date(ts)), min(to_date(ts)))
+          |    as double) / 2 as int))""".stripMargin).as("mid"))
+      val u = ev.crossJoin(broadcast(mid))
+        .groupBy("user_id").agg(
+          sum(when(col("event_type") === "purchase" &&
+            to_date(col("ts")) <= col("mid"), col("value"))
+            .otherwise(0.0)).as("pre"),
+          sum(when(col("event_type") === "purchase" &&
+            to_date(col("ts")) > col("mid"), col("value"))
+            .otherwise(0.0)).as("post"))
+      graft.operators.Experiment.diffInDiff(u,
+        col("user_id") % 2 === 1, col("pre"), col("post"))
+    }),
+
+    // ---- Unicode-script composition per source: the mixed-script
+    //      audit (script spoofing, mislabeled feeds, markup bleed);
+    //      identical \x{...} patterns in Java regex and RE2 ----
+    "q268_script_profile" -> ((s, dir) =>
+      graft.operators.TextQuality.scriptProfile(t(s, dir, "documents"))),
+
     // ---- Session-quality report by entry type: bounce rate, depth,
     //      median duration, exit-same share — the landing-page health
     //      table over the q32 gap sessions ----
@@ -3338,6 +3365,12 @@ object SparkEntry {
 
     "q266_error_slo" ->
       graft.operators.Anomaly.errorSloOracleSql(),
+
+    "q267_did" ->
+      graft.operators.Experiment.didOracleSql,
+
+    "q268_script_profile" ->
+      graft.operators.TextQuality.scriptProfileOracleSql,
 
     "q257_quantile_lift" ->
       graft.operators.Experiment.quantileLiftOracleSql(),

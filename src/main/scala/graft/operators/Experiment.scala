@@ -280,6 +280,96 @@ object Experiment {
        |    / (CAST(n AS DOUBLE) / 2.0)), 6) AS mde_at_current_n
        |FROM g""".stripMargin
 
+  /** Difference-in-differences (Card & Krueger 1994 canon) — the
+    * quasi-experimental readout when assignment wasn't randomized: a
+    * pre/post change in the treated group means nothing by itself
+    * (seasonality, drift), so subtract the control group's change.
+    * Computed on per-UNIT deltas (post − pre), which makes the Welch
+    * machinery the correct unit-clustered standard error — the
+    * parallel-trends assumption is the caller's to defend.
+    *
+    * One conditional-moment pass over unit-cardinality rows; the 2×2
+    * cell means ride along for the plot. */
+  def diffInDiff(units: DataFrame, variant: Column, pre: Column,
+      post: Column): DataFrame = {
+    val g = units
+      .select(variant.as("__b"), pre.cast("double").as("__pre"),
+        post.cast("double").as("__post"))
+      .where(col("__b").isNotNull && col("__pre").isNotNull &&
+        col("__post").isNotNull)
+      .withColumn("__d", col("__post") - col("__pre"))
+      .groupBy()
+      .agg(
+        sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"),
+        avg(when(!col("__b"), col("__pre"))).as("__pa"),
+        avg(when(col("__b"), col("__pre"))).as("__pb"),
+        avg(when(!col("__b"), col("__post"))).as("__qa"),
+        avg(when(col("__b"), col("__post"))).as("__qb"),
+        avg(when(!col("__b"), col("__d"))).as("__da"),
+        avg(when(col("__b"), col("__d"))).as("__db"),
+        var_samp(when(!col("__b"), col("__d"))).as("__va"),
+        var_samp(when(col("__b"), col("__d"))).as("__vb"))
+    val se = sqrt(col("__va") / col("n_a") + col("__vb") / col("n_b"))
+    val did = col("__db") - col("__da")
+    val t = when(se > 0.0, did / se).otherwise(lit(0.0))
+    g.select(
+      col("n_a"), col("n_b"),
+      round(col("__pa"), 6).as("pre_a"),
+      round(col("__qa"), 6).as("post_a"),
+      round(col("__pb"), 6).as("pre_b"),
+      round(col("__qb"), 6).as("post_b"),
+      round(did, 6).as("did"),
+      round(se, 6).as("se"),
+      round(t, 6).as("t_stat"),
+      (abs(t) > 1.96).as("sig_95"))
+  }
+
+  /** DuckDB oracle for the registered DiD fixture: per-user purchase
+    * value pre/post the corpus midpoint date, parity variant. */
+  val didOracleSql: String =
+    """WITH sp AS (
+      |  SELECT CAST(MIN(ts) AS DATE) +
+      |    CAST(CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+      |      CAST(MAX(ts) AS DATE)) AS DOUBLE) / 2 AS INTEGER) AS mid
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id, user_id % 2 = 1 AS b,
+      |    SUM(CASE WHEN event_type = 'purchase'
+      |      AND CAST(ts AS DATE) <= (SELECT mid FROM sp)
+      |      THEN value ELSE 0 END) AS pre,
+      |    SUM(CASE WHEN event_type = 'purchase'
+      |      AND CAST(ts AS DATE) > (SELECT mid FROM sp)
+      |      THEN value ELSE 0 END) AS post
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT
+      |    SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS n_a,
+      |    SUM(CASE WHEN b THEN 1 ELSE 0 END) AS n_b,
+      |    AVG(CASE WHEN NOT b THEN pre END) AS pa,
+      |    AVG(CASE WHEN b THEN pre END) AS pb,
+      |    AVG(CASE WHEN NOT b THEN post END) AS qa,
+      |    AVG(CASE WHEN b THEN post END) AS qb,
+      |    AVG(CASE WHEN NOT b THEN post - pre END) AS da,
+      |    AVG(CASE WHEN b THEN post - pre END) AS db,
+      |    var_samp(CASE WHEN NOT b THEN post - pre END) AS va,
+      |    var_samp(CASE WHEN b THEN post - pre END) AS vb
+      |  FROM u),
+      |k AS (
+      |  SELECT *, db - da AS did,
+      |    sqrt(va / n_a + vb / n_b) AS se
+      |  FROM g)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  ROUND(pa, 6) AS pre_a, ROUND(qa, 6) AS post_a,
+      |  ROUND(pb, 6) AS pre_b, ROUND(qb, 6) AS post_b,
+      |  ROUND(did, 6) AS did,
+      |  ROUND(se, 6) AS se,
+      |  ROUND(CASE WHEN se > 0 THEN did / se ELSE 0.0 END, 6)
+      |    AS t_stat,
+      |  abs(CASE WHEN se > 0 THEN did / se ELSE 0.0 END) > 1.96
+      |    AS sig_95
+      |FROM k""".stripMargin
+
   /** Per-segment treatment-effect table with Benjamini–Hochberg
     * control — the "which segment actually moved" drill-down that
     * follows a significant topline: one Welch z per segment, a

@@ -62,4 +62,75 @@ object TextQuality {
           .as("top_bigram_frac"))
       .orderBy(col(idCol))
   }
+
+  /** Unicode-script composition per source: what share of each
+    * source's characters are Latin letters, digits, Cyrillic, CJK,
+    * Greek, whitespace, other — the mixed-script audit that catches
+    * script-spoofing spam, mislabeled-language feeds, and markup
+    * bleed before they enter a training mix (language-ID upstream of
+    * this says WHICH language; this says whether the bytes even agree
+    * with the label). Character classes use `\\x{…}` range syntax,
+    * valid verbatim in BOTH Java regex and RE2, so engine and oracle
+    * evaluate the identical pattern.
+    *
+    * Map-only regex arithmetic per row, one grouped sum per source. */
+  def scriptProfile(docs: DataFrame): DataFrame = {
+    val classes = Seq(
+      "latin" -> "[A-Za-z]",
+      "digit" -> "[0-9]",
+      "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+      "cjk" -> "[\\x{4E00}-\\x{9FFF}]",
+      "greek" -> "[\\x{0370}-\\x{03FF}]",
+      "space" -> "\\s")
+    val counted = classes.foldLeft(
+      docs.select(col("source"), col("text"),
+        length(col("text")).cast("bigint").as("__len"))) {
+      case (d, (name, re)) =>
+        d.withColumn(s"__c_$name",
+          (length(col("text")) -
+            length(regexp_replace(col("text"), re, ""))).cast("bigint"))
+    }
+    val aggs = count(lit(1)).as("n_docs") +:
+      sum("__len").as("n_chars") +:
+      classes.map { case (n, _) => sum(s"__c_$n").as(s"__s_$n") }
+    val agg = counted.groupBy("source").agg(aggs.head, aggs.tail: _*)
+    val shares = classes.map { case (n, _) =>
+      round(col(s"__s_$n").cast("double") / col("n_chars"), 6)
+        .as(s"${n}_share")
+    }
+    val known = classes.map(c => col(s"__s_${c._1}"))
+      .reduce(_ + _)
+    agg.select(col("source") +: col("n_docs") +: col("n_chars") +:
+      shares :+
+      round((col("n_chars") - known).cast("double") / col("n_chars"), 6)
+        .as("other_share"): _*)
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[scriptProfile]] on documents. */
+  val scriptProfileOracleSql: String = {
+    val classes = Seq(
+      "latin" -> "[A-Za-z]", "digit" -> "[0-9]",
+      "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+      "cjk" -> "[\\x{4E00}-\\x{9FFF}]",
+      "greek" -> "[\\x{0370}-\\x{03FF}]", "space" -> "\\s")
+    val cnt = classes.map { case (n, re) =>
+      s"SUM(length(text) - length(regexp_replace(text, '$re', '', 'g'))) AS c_$n"
+    }.mkString(",\n  ")
+    val shr = classes.map { case (n, _) =>
+      s"ROUND(CAST(c_$n AS DOUBLE) / n_chars, 6) AS ${n}_share"
+    }.mkString(",\n  ")
+    val known = classes.map(c => s"c_${c._1}").mkString(" + ")
+    s"""WITH a AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |  SUM(length(text)) AS n_chars,
+       |  $cnt
+       |  FROM documents GROUP BY source)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_chars AS BIGINT) AS n_chars,
+       |  $shr,
+       |  ROUND(CAST(n_chars - ($known) AS DOUBLE) / n_chars, 6)
+       |    AS other_share
+       |FROM a ORDER BY source""".stripMargin
+  }
 }

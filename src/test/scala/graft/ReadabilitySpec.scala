@@ -38,6 +38,24 @@ class ReadabilitySpec extends AnyFunSuite {
     assert(r.getLong(2) == 3L, "max(1, runs) per vowel-less token")
   }
 
+  test("script profile: hand-counted class shares including Cyrillic") {
+    // "ab1 Дя" → 6 chars: 2 latin, 1 digit, 2 cyrillic, 1 space
+    val d = Seq((1L, "ab1 Дя", "ru"), (2L, "xy", "en"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.TextQuality.scriptProfile(d)
+      .select("source", "n_chars", "latin_share", "digit_share",
+        "cyrillic_share", "space_share", "other_share")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    val third = BigDecimal(1.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sixth = BigDecimal(1.0 / 6).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("ru") == ((6L, third, sixth, third, sixth, 0.0)))
+    assert(got("en") == ((2L, 1.0, 0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("empty text bands as empty with null scores") {
     val r = score("   ")
     assert(r.getLong(0) == 0L && r.isNullAt(3) && r.isNullAt(4))

@@ -115,6 +115,23 @@ class SurvivalSpec extends AnyFunSuite {
     assert(r.getDouble(4) == mdeNow)
   }
 
+  test("did: common shocks cancel; a treated-only shift is recovered exactly") {
+    // both arms drift +5 pre→post (seasonality); treated arm gets an
+    // EXTRA +3. Naive post-pre in B reads 8; DiD must read exactly 3.
+    val u = (0 until 20).map { i =>
+      val base = ((i / 2) % 4).toDouble
+      val b = i % 2 == 1
+      (b, 10.0 + base, 15.0 + base + (if (b) 3.0 else 0.0))
+    }.toDF("b", "pre", "post")
+    val r = Experiment.diffInDiff(u, col("b"), col("pre"), col("post"))
+      .select("did", "post_b", "pre_b", "se", "sig_95").collect().head
+    assert(r.getDouble(0) == 3.0, s"DiD must strip the common +5: $r")
+    assert(r.getDouble(1) - r.getDouble(2) == 8.0,
+      "naive treated post-pre reads the confounded 8")
+    assert(r.getDouble(3) == 0.0 && r.getBoolean(4) == false,
+      "deterministic deltas → zero clustered SE, t pinned 0 (no evidence scale)")
+  }
+
   test("segment lift: only the planted segment discovers; BH inflates its p") {
     // segment "hot": B runs +10 over tight noise; "cold" segments:
     // identical arms → z = 0, p = 1
