@@ -473,7 +473,28 @@ object ScaleProbe {
       // probe times the freq-table windows AND the corpus joins
       "correlation" -> (d => graft.quality.Correlation
         .correlationMatrix(d, Seq("event_id", "user_id", "value"))
-        .count()))
+        .count()),
+      // presence-table self-join on (user, day−1): disjoint users grow
+      // the join linearly, the report stays calendar-sized
+      "growth_accounting" -> (d =>
+        graft.operators.Growth.accounting(d).count()),
+      // presence-scale offset grid + per-user cumsum window — the
+      // heaviest shape of the tier; output offset-cardinality
+      "ltv_curve" -> (d => graft.operators.Growth.ltvCurve(d).count()),
+      // per-day cumulative moments: corpus work is one grouped agg,
+      // every window runs over the calendar
+      "msprt" -> (d => graft.operators.Experiment.sequentialMsprt(
+        d.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+          .agg(sum("value").as("m")),
+        col("user_id") % 2 === 1, col("d"), col("m"),
+        tau = 25.0).count()),
+      // one key-shuffle sessionization + session-cardinality rollup
+      "session_summary" -> (d =>
+        graft.operators.Sessionize.sessionSummary(d).count()),
+      // per-user lifetime agg + lifetime-cardinality risk windows
+      "kaplan_meier" -> (d => graft.operators.Survival
+        .kaplanMeier(d, horizonDays = 1).count()))
 
     (ops.map(o => (o._1, o._2, base, big)) ++
       embOps.map(o => (o._1, o._2, embBase, embBig)) ++
