@@ -105,7 +105,20 @@ object PlanAudit {
     // lexical KL: the corpus grand total is a 1-row stat factor
     "q234_lexical_kl",
     // entropy rate: the transition grand total is a 1-row stat factor
-    "q229_entropy_rate")
+    "q229_entropy_rate",
+    // OLS trend (batch + streaming dashboard): the min-date origin is
+    // a 1-row broadcast stat factor into the calendar×type table
+    "q269_ols_trend", "q276_stream_trend",
+    // breakpoint: candidate×day calendar² grid + 1-row pooled/origin
+    // stat factors — bounded forever by the calendar
+    "q270_breakpoint",
+    // EB shrinkage: the (μ, M) prior is a 1-row broadcast stat factor
+    "q272_eb_shrinkage",
+    // Hill: the x_(k+1) threshold is a 1-row stat factor over k rows
+    "q273_hill_tail",
+    // skyline: the min/max span of the maximized dim is a 1-row
+    // broadcast stat factor feeding the grid prune
+    "q275_skyline")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

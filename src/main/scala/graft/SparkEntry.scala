@@ -43,6 +43,65 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- Per-type OLS trend with inference: slope/intercept/r²/t on
+    //      daily revenue vs day index — the parametric counterpart to
+    //      q236's Theil–Sen; closed-form moments, never a residual
+    //      vector ----
+    "q269_ols_trend" -> ((s, dir) =>
+      graft.operators.Regression.olsTrend(t(s, dir, "events"))),
+
+    // ---- Optimal structural break (Chow): one line vs two, best
+    //      split by SSE, F-stat for "did the trend change, and when";
+    //      calendar²-bounded candidate grid ----
+    "q270_breakpoint" -> ((s, dir) =>
+      graft.operators.Regression.breakpoint(t(s, dir, "events"))),
+
+    // ---- Kish effective sample size per lang under n_chars
+    //      weighting: how many equal-weight docs the stratum is
+    //      actually worth; one grouped agg ----
+    "q271_ess_weights" -> ((s, dir) =>
+      graft.operators.Sampling.effectiveSampleSize(
+        t(s, dir, "documents"), "lang", "n_chars")),
+
+    // ---- Empirical-Bayes shrinkage of per-user conversion rates
+    //      (beta-binomial MoM): small-n rates pulled toward the
+    //      corpus prior — the leaderboard fix; per-user agg + 1-row
+    //      prior factor ----
+    "q272_eb_shrinkage" -> ((s, dir) =>
+      graft.operators.Regression.ebShrinkage(t(s, dir, "events"))),
+
+    // ---- Hill tail index on order value: α̂ ≲ 2 = infinite-variance
+    //      tail, the "is the mean a lie" audit; distributed top-k,
+    //      arithmetic on k+1 rows ----
+    "q273_hill_tail" -> ((s, dir) =>
+      graft.operators.Concentration.hillTailIndex(
+        t(s, dir, "orders"), "o_totalprice")),
+
+    // ---- Mass-weighted length quantiles per lang: "half the corpus
+    //      TOKENS live in docs shorter than X" — the packing
+    //      planner's number; tie-safe RANGE cumulative window ----
+    "q274_weighted_quantiles" -> ((s, dir) =>
+      graft.operators.Sampling.weightedQuantiles(
+        t(s, dir, "documents"), "lang", "n_chars", "n_chars")),
+
+    // ---- 2-D skyline (Pareto frontier) of customers: maximize
+    //      revenue, minimize order count — grid-pruned order-
+    //      statistics formulation, nothing quadratic ----
+    "q275_skyline" -> ((s, dir) =>
+      graft.operators.Skyline.customerFrontier(t(s, dir, "orders"))),
+
+    // ---- Streaming trend monitor: micro-batches fold into a
+    //      replay-safe (type, day) revenue table; the dashboard
+    //      re-fits the q269 OLS — stream ≡ batch by construction ----
+    "q276_stream_trend" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q276")
+      graft.streaming.TrendMonitor.monitor(s, dir,
+        "events.parquet", root.resolve("daily").toString,
+        root.resolve("ckpt").toString)
+      graft.streaming.TrendMonitor.dashboard(s,
+        root.resolve("daily").toString)
+    }),
+
     // ---- Pairwise Jensen–Shannon divergence between sources'
     //      unigram distributions: the symmetric complement to q234's
     //      KL — which sources are lexically interchangeable; shared
@@ -3338,6 +3397,30 @@ object SparkEntry {
 
     "q256_segment_lift" ->
       graft.operators.Experiment.segmentLiftOracleSql(),
+
+    "q269_ols_trend" ->
+      graft.operators.Regression.olsTrendOracleSql,
+
+    "q270_breakpoint" ->
+      graft.operators.Regression.breakpointOracleSql,
+
+    "q271_ess_weights" ->
+      graft.operators.Sampling.essOracleSql,
+
+    "q272_eb_shrinkage" ->
+      graft.operators.Regression.ebShrinkageOracleSql(),
+
+    "q273_hill_tail" ->
+      graft.operators.Concentration.hillOracleSql("orders", "o_totalprice"),
+
+    "q274_weighted_quantiles" ->
+      graft.operators.Sampling.weightedQuantilesOracleSql,
+
+    "q275_skyline" ->
+      graft.operators.Skyline.customerFrontierOracleSql,
+
+    "q276_stream_trend" ->
+      graft.operators.Regression.olsTrendOracleSql,
 
     "q258_stream_msprt" ->
       graft.operators.Experiment.msprtOracleSql(25.0),

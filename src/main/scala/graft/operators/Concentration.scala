@@ -89,4 +89,44 @@ object Concentration {
       |      (COUNT(*) * CAST(SUM(v) AS DOUBLE)) -
       |    CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*) END, 6) AS gini
       |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  /** Hill tail-index estimator over the top of a value distribution
+    * (Hill, Ann. Stat. 1975): α̂ = k / Σ_{i≤k} ln(x₍ᵢ₎/x₍ₖ₊₁₎) on the
+    * k largest order statistics. α̂ ≲ 2 means infinite variance — a
+    * revenue/latency column whose mean is a lie; the one-number
+    * heavy-tail audit next to [[tokenGiniBySource]]'s inequality and
+    * q212's digit test. Returns one row `(k, xmin, alpha)`.
+    *
+    * Scale shape: a distributed top-(k+1) (`orderBy.limit` — Spark
+    * takes per-partition heads, never a global sort) then arithmetic
+    * on k+1 rows. Ties at the k/k+1 boundary are value-identical, so
+    * membership churn cannot move the estimate. */
+  def hillTailIndex(df: DataFrame, valueCol: String,
+      k: Int = 100): DataFrame = {
+    val top = df.select(col(valueCol).cast("double").as("x"))
+      .orderBy(desc("x")).limit(k + 1)
+    val w = Window.orderBy(desc("x"))   // k+1 rows: bounded window
+    val ranked = top.withColumn("__rn", row_number().over(w))
+    val xmin = ranked.where(col("__rn") === k + 1)
+      .select(col("x").as("__xmin"))
+    ranked.where(col("__rn") <= k)
+      .crossJoin(broadcast(xmin))   // 1-row stat factor
+      .agg(
+        count(lit(1)).as("k"),
+        round(min("__xmin"), 2).as("xmin"),
+        round(count(lit(1)) / sum(log(col("x") / col("__xmin"))), 6)
+          .as("alpha"))
+  }
+
+  /** DuckDB oracle for [[hillTailIndex]]. */
+  def hillOracleSql(table: String, valueCol: String,
+      k: Int = 100): String =
+    s"""WITH r AS (
+       |  SELECT CAST($valueCol AS DOUBLE) AS x,
+       |    ROW_NUMBER() OVER (ORDER BY $valueCol DESC) AS rn
+       |  FROM $table),
+       |xm AS (SELECT x AS xmin FROM r WHERE rn = ${k + 1})
+       |SELECT COUNT(*) AS k, ROUND(MIN(xmin), 2) AS xmin,
+       |  ROUND(COUNT(*) / SUM(ln(x / xmin)), 6) AS alpha
+       |FROM r CROSS JOIN xm WHERE rn <= $k""".stripMargin
 }

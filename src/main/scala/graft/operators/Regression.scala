@@ -1,0 +1,262 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Classical least-squares inference over the daily activity series —
+  * the parametric counterpart to the robust [[Anomaly.theilSen]] fit:
+  * per-slice OLS with standard errors and t-statistics (q269), the
+  * optimal-split Chow-style structural-break test (q270), and
+  * empirical-Bayes shrinkage of per-unit rates toward the corpus
+  * prior (q272, the beta-binomial method-of-moments estimator of
+  * Efron–Morris "Stein's paradox in statistics", Sci. Am. 1977 —
+  * the standard fix for small-denominator rate leaderboards).
+  *
+  * All three reduce to CLOSED-FORM MOMENTS (n, Σx, Σy, Σxy, Σx², Σy²
+  * per slice), so the engine never materializes a residual vector:
+  * one grouped aggregate per input at slice cardinality, then scalar
+  * arithmetic on the moment rows. That is the 100 TB shape — moments
+  * are mergeable (map-side partials combine), the residual vector is
+  * not. Reference analog: the daily-metrics trend readouts over
+  * `fct_daily_store_metrics` (reference `dbt/models/marts/
+  * fct_daily_store_metrics.sql:6-32`), which the reference consumes
+  * in pandas; here the inference itself is a Spark plan.
+  */
+object Regression {
+
+  /** Per-`event_type` OLS of daily revenue on the day index:
+    * `(event_type, n_days, slope, intercept, r2, t_stat)`, ordered by
+    * type. `slope` is revenue change per day; `t_stat` tests slope≠0
+    * with the usual se(β̂) = √(SSE/(n−2) / (n·var_pop(x))). Guards:
+    * NULL slope family when var(x)=0 (single day), NULL t when n≤2
+    * or the residual is numerically zero.
+    *
+    * Scale shape: one (type, day) grouped agg — calendar×type rows —
+    * a 1-row broadcast min-date factor, then one moment agg per type. */
+  def olsTrend(events: DataFrame): DataFrame =
+    olsTrendFromDaily(events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum("value").as("y")))
+
+  /** [[olsTrend]] over an already-built `(event_type, d, y)` daily
+    * table — the entry point the streaming monitor shares, so
+    * stream ≡ batch holds by construction (the monitor re-aggregates
+    * its increments back to exactly this table). */
+  def olsTrendFromDaily(daily: DataFrame): DataFrame = {
+    val d0 = daily.agg(min("d").as("__d0"))
+    val xy = daily.crossJoin(broadcast(d0))   // 1-row stat factor
+      .select(col("event_type"),
+        datediff(col("d"), col("__d0")).cast("double").as("x"),
+        col("y"))
+    val m = xy.groupBy("event_type").agg(
+      count(lit(1)).as("n_days"),
+      avg("x").as("__mx"), avg("y").as("__my"),
+      var_pop(col("x")).as("__vx"), var_pop(col("y")).as("__vy"),
+      covar_pop(col("x"), col("y")).as("__cxy"))
+    val slope = when(col("__vx") > 0.0, col("__cxy") / col("__vx"))
+    // SSE via the moment identity n·(var_y − cov²/var_x); clamp the
+    // tiny negative FP residue a near-perfect fit can leave
+    val sse = greatest(
+      col("n_days") * (col("__vy") - col("__cxy") * col("__cxy") / col("__vx")),
+      lit(0.0))
+    val se = when(col("n_days") > 2 && col("__vx") > 0.0,
+      sqrt(sse / (col("n_days") - 2) / (col("n_days") * col("__vx"))))
+    m.select(
+        col("event_type"), col("n_days"),
+        round(slope, 6).as("slope"),
+        round(col("__my") - slope * col("__mx"), 6).as("intercept"),
+        round(when(col("__vx") > 0.0 && col("__vy") > 0.0,
+          col("__cxy") * col("__cxy") / (col("__vx") * col("__vy"))), 6)
+          .as("r2"),
+        round(when(se > 0.0, slope / se), 6).as("t_stat"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[olsTrend]] — the same guarded moments. */
+  val olsTrendOracleSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, SUM(value) AS y
+      |  FROM events GROUP BY 1, 2),
+      |xy AS (
+      |  SELECT event_type,
+      |    CAST(d - (SELECT MIN(d) FROM daily) AS DOUBLE) AS x, y
+      |  FROM daily),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n, AVG(x) AS mx, AVG(y) AS my,
+      |    VAR_POP(x) AS vx, VAR_POP(y) AS vy, COVAR_POP(x, y) AS cxy
+      |  FROM xy GROUP BY 1),
+      |s AS (
+      |  SELECT *,
+      |    CASE WHEN vx > 0 THEN cxy / vx END AS slope,
+      |    GREATEST(n * (vy - cxy * cxy / vx), 0.0) AS sse
+      |  FROM m),
+      |t AS (
+      |  SELECT *,
+      |    CASE WHEN n > 2 AND vx > 0
+      |      THEN sqrt(sse / (n - 2) / (n * vx)) END AS se
+      |  FROM s)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      |  ROUND(slope, 6) AS slope,
+      |  ROUND(my - slope * mx, 6) AS intercept,
+      |  ROUND(CASE WHEN vx > 0 AND vy > 0
+      |    THEN cxy * cxy / (vx * vy) END, 6) AS r2,
+      |  ROUND(CASE WHEN se > 0 THEN slope / se END, 6) AS t_stat
+      |FROM t ORDER BY event_type""".stripMargin
+
+  /** Optimal single structural break in the total daily-revenue
+    * series: fit one line (pooled) vs two lines split at candidate
+    * day c (left x < c, right x ≥ c), pick the c minimizing the
+    * split SSE, report the Chow F = ((SSE_p − SSE_s)/2)/(SSE_s/(n−4)).
+    * One row: `(split_x, split_d, n_days, sse_pooled, sse_split,
+    * f_stat)`. Candidates keep ≥3 points per side. Ties in F go to
+    * the earliest split (F rounded to 6 before ranking so the argmax
+    * is FP-stable across engines).
+    *
+    * Scale shape: the series is CALENDAR-sized, so the candidate×day
+    * grid is calendar² — bounded forever (a decade of days is 3.6k²
+    * cells). Moments per (candidate, side), scalar Chow arithmetic,
+    * one tiny ordered limit. The raw-event work is one grouped agg. */
+  def breakpoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum("value").as("y"))
+    val d0 = daily.agg(min("d").as("__d0"))
+    val pts = daily.crossJoin(broadcast(d0))   // 1-row stat factor
+      .select(datediff(col("d"), col("__d0")).cast("double").as("x"),
+        col("y"), col("__d0"))
+    val maxX = pts.agg(max("x").as("__mx"))
+    val cand = pts.crossJoin(broadcast(maxX))
+      .where(col("x") >= 3.0 && col("x") <= col("__mx") - 2.0)
+      .select(col("x").as("c"))
+    // calendar² grid: deliberate NLJ on a bounded frame
+    val sides = pts.crossJoin(broadcast(cand))
+      .select(col("c"), (col("x") < col("c")).as("__left"),
+        col("x"), col("y"))
+    // degenerate side (one distinct x): intercept-only fit, SSE = n·var(y)
+    def sseExpr = greatest(
+      when(var_pop(col("x")) > 0.0,
+        count(lit(1)) * (var_pop(col("y")) -
+          covar_pop(col("x"), col("y")) * covar_pop(col("x"), col("y")) /
+            var_pop(col("x"))))
+        .otherwise(count(lit(1)) * var_pop(col("y"))),
+      lit(0.0))
+    val perSide = sides.groupBy("c", "__left")
+      .agg(count(lit(1)).as("__n"), sseExpr.as("__sse"))
+    val perC = perSide.groupBy("c").agg(
+      sum("__n").as("n_days"), sum("__sse").as("__sse_split"))
+    val pooled = pts.groupBy(col("__d0")).agg(sseExpr.as("__sse_pooled"))
+    perC.crossJoin(broadcast(pooled))   // 1-row stat factor
+      .select(
+        col("c").cast("bigint").as("split_x"),
+        date_add(col("__d0"), col("c").cast("int")).as("split_d"),
+        col("n_days"),
+        round(col("__sse_pooled"), 2).as("sse_pooled"),
+        round(col("__sse_split"), 2).as("sse_split"),
+        round(when(col("__sse_split") > 0.0,
+          (col("__sse_pooled") - col("__sse_split")) / 2.0 /
+            (col("__sse_split") / (col("n_days") - 4))), 6).as("f_stat"))
+      .orderBy(desc("f_stat"), asc("split_x"))
+      .limit(1)
+  }
+
+  /** DuckDB oracle for [[breakpoint]]. */
+  val breakpointOracleSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, SUM(value) AS y
+      |  FROM events GROUP BY 1),
+      |pts AS (
+      |  SELECT CAST(d - (SELECT MIN(d) FROM daily) AS DOUBLE) AS x, y
+      |  FROM daily),
+      |cand AS (
+      |  SELECT x AS c FROM pts
+      |  WHERE x >= 3 AND x <= (SELECT MAX(x) FROM pts) - 2),
+      |sides AS (
+      |  SELECT c, pts.x < c AS lft, x, y FROM pts CROSS JOIN cand),
+      |per_side AS (
+      |  SELECT c, lft, COUNT(*) AS n,
+      |    GREATEST(CASE WHEN VAR_POP(x) > 0 THEN
+      |      COUNT(*) * (VAR_POP(y) -
+      |        COVAR_POP(x, y) * COVAR_POP(x, y) / VAR_POP(x))
+      |      ELSE COUNT(*) * VAR_POP(y) END, 0.0) AS sse
+      |  FROM sides GROUP BY 1, 2),
+      |per_c AS (
+      |  SELECT c, SUM(n) AS n_days, SUM(sse) AS sse_split
+      |  FROM per_side GROUP BY 1),
+      |pooled AS (
+      |  SELECT GREATEST(COUNT(*) * (VAR_POP(y) -
+      |      COVAR_POP(x, y) * COVAR_POP(x, y) / VAR_POP(x)), 0.0)
+      |      AS sse_pooled
+      |  FROM pts)
+      |SELECT CAST(c AS BIGINT) AS split_x,
+      |  (SELECT MIN(d) FROM daily) + CAST(c AS INTEGER) AS split_d,
+      |  CAST(n_days AS BIGINT) AS n_days,
+      |  ROUND(sse_pooled, 2) AS sse_pooled,
+      |  ROUND(sse_split, 2) AS sse_split,
+      |  ROUND(CASE WHEN sse_split > 0 THEN
+      |    (sse_pooled - sse_split) / 2.0 / (sse_split / (n_days - 4))
+      |    END, 6) AS f_stat
+      |FROM per_c CROSS JOIN pooled
+      |ORDER BY f_stat DESC, split_x ASC LIMIT 1""".stripMargin
+
+  /** Empirical-Bayes shrinkage of per-user purchase-conversion rates
+    * toward the corpus prior (beta-binomial method of moments): the
+    * prior Beta(μM, (1−μ)M) has mean μ = global conversions/trials
+    * and strength M = (μ(1−μ) − s²)/s² from the across-user variance
+    * s² of raw rates (fallback M=100 when the MoM is undefined — all
+    * users identical, or rate variance exceeding the binomial bound).
+    * The posterior mean (x + μM)/(n + M) is what a leaderboard should
+    * rank by — a 1/1 user must not outrank a 95/100 user.
+    *
+    * Output folds users into `user_id % 10` segments:
+    * `(segment, users, avg_raw, avg_shrunk)` — shrunk rates pull
+    * toward μ hardest exactly where n is small.
+    *
+    * Scale shape: one per-user agg, a 1-row broadcast prior factor,
+    * one segment agg. */
+  def ebShrinkage(events: DataFrame,
+      convType: String = "purchase"): DataFrame = {
+    val perUser = events.groupBy("user_id").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(when(col("event_type") === convType, 1.0).otherwise(0.0))
+        .as("x"))
+      .withColumn("p", col("x") / col("n"))
+    val prior = perUser.agg(
+      (sum("x") / sum("n")).as("__mu"),
+      var_pop(col("p")).as("__s2"))
+      .select(col("__mu"),
+        when(col("__s2") > 0.0 &&
+            col("__mu") * (lit(1.0) - col("__mu")) > col("__s2"),
+          (col("__mu") * (lit(1.0) - col("__mu")) - col("__s2")) /
+            col("__s2"))
+          .otherwise(lit(100.0)).as("__m"))
+    perUser.crossJoin(broadcast(prior))   // 1-row stat factor
+      .withColumn("__post",
+        (col("x") + col("__mu") * col("__m")) / (col("n") + col("__m")))
+      .groupBy((col("user_id") % 10).as("segment"))
+      .agg(count(lit(1)).as("users"),
+        round(avg("p"), 6).as("avg_raw"),
+        round(avg("__post"), 6).as("avg_shrunk"))
+      .orderBy("segment")
+  }
+
+  /** DuckDB oracle for [[ebShrinkage]]. */
+  def ebShrinkageOracleSql(convType: String = "purchase"): String =
+    s"""WITH pu AS (
+       |  SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    SUM(CASE WHEN event_type = '$convType' THEN 1.0
+       |      ELSE 0.0 END) AS x
+       |  FROM events GROUP BY 1),
+       |pp AS (SELECT user_id, n, x, x / n AS p FROM pu),
+       |pr AS (
+       |  SELECT SUM(x) / SUM(n) AS mu, VAR_POP(p) AS s2 FROM pp),
+       |pm AS (
+       |  SELECT mu,
+       |    CASE WHEN s2 > 0 AND mu * (1 - mu) > s2
+       |      THEN (mu * (1 - mu) - s2) / s2 ELSE 100.0 END AS m
+       |  FROM pr)
+       |SELECT user_id % 10 AS segment, COUNT(*) AS users,
+       |  ROUND(AVG(p), 6) AS avg_raw,
+       |  ROUND(AVG((x + mu * m) / (n + m)), 6) AS avg_shrunk
+       |FROM pp CROSS JOIN pm
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+}

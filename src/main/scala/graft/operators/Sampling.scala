@@ -445,4 +445,97 @@ object Sampling {
         round(col("__w") / col("__total"), 6).as("decayed_share")): _*)
       .orderBy(strataCols.map(col): _*)
   }
+
+  /** Effective sample size of a weighted stratum (Kish 1965):
+    * ESS = (Σw)²/Σw² — how many EQUAL-weight rows the weighted set is
+    * statistically worth. A source with 10k docs but ESS 40 is "a few
+    * giants wearing a crowd costume"; every importance-weighted mix
+    * (q74/q82/q153) should publish this next to its raw counts.
+    * Returns `(stratum, n_rows, total_w, ess, ess_ratio)` per
+    * stratum, ordered. Integer weights keep Σw/Σw² exact in both
+    * engines; the division happens once, in double.
+    *
+    * Scale shape: one grouped aggregate, stratum-cardinality out. */
+  def effectiveSampleSize(df: DataFrame, stratumCol: String,
+      weightCol: String): DataFrame = {
+    val w = col(weightCol).cast("long")
+    df.groupBy(col(stratumCol).as("stratum"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(w).as("total_w"),
+        sum(w * w).as("__sww"))
+      .select(col("stratum"), col("n_rows"), col("total_w"),
+        round(when(col("__sww") > 0L,
+          col("total_w").cast("double") * col("total_w") / col("__sww")),
+          6).as("ess"),
+        round(when(col("__sww") > 0L,
+          col("total_w").cast("double") * col("total_w") /
+            col("__sww") / col("n_rows")), 6).as("ess_ratio"))
+      .orderBy("stratum")
+  }
+
+  /** DuckDB oracle for [[effectiveSampleSize]] on documents by lang,
+    * weighted by n_chars. */
+  val essOracleSql: String =
+    """SELECT lang AS stratum, COUNT(*) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_w,
+      |  ROUND(CASE WHEN SUM(n_chars * n_chars) > 0 THEN
+      |    CAST(SUM(n_chars) AS DOUBLE) * SUM(n_chars) /
+      |      SUM(n_chars * n_chars) END, 6) AS ess,
+      |  ROUND(CASE WHEN SUM(n_chars * n_chars) > 0 THEN
+      |    CAST(SUM(n_chars) AS DOUBLE) * SUM(n_chars) /
+      |      SUM(n_chars * n_chars) / COUNT(*) END, 6) AS ess_ratio
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Mass-weighted length quantiles per stratum: the smallest value v
+    * such that rows with value ≤ v carry ≥ q of the stratum's TOTAL
+    * weight. For doc length weighted by itself this answers "half the
+    * corpus TOKENS live in docs shorter than ___" — the packing and
+    * truncation planner's number, which the unweighted median (half
+    * the DOCUMENTS) badly misstates under heavy tails. Returns
+    * `(stratum, n_docs, total_mass, wp25, wp50, wp75)`.
+    *
+    * Scale shape: one cumulative-weight window per stratum (RANGE
+    * frame, tie-safe: equal values share one cumulative mass) — the
+    * partition is the stratum, so no single-task global sort — then
+    * one grouped min per quantile. */
+  def weightedQuantiles(df: DataFrame, stratumCol: String,
+      valueCol: String, weightCol: String): DataFrame = {
+    val marked = df
+      .select(col(stratumCol).as("stratum"),
+        col(valueCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .withColumn("__cw", sum("w").over(
+        Window.partitionBy("stratum").orderBy("v")
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum("w").over(Window.partitionBy("stratum")))
+    marked.groupBy("stratum")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max("__tot").as("total_mass"),
+        min(when(col("__cw") * 4L >= col("__tot"), col("v"))).as("wp25"),
+        min(when(col("__cw") * 2L >= col("__tot"), col("v"))).as("wp50"),
+        min(when(col("__cw") * 4L >= col("__tot") * 3L, col("v")))
+          .as("wp75"))
+      .orderBy("stratum")
+  }
+
+  /** DuckDB oracle for [[weightedQuantiles]] on documents:
+    * lang-stratified, n_chars weighted by itself. Quantile thresholds
+    * compare in EXACT integer arithmetic (4·cum ≥ tot), so there is
+    * no FP boundary to disagree on. */
+  val weightedQuantilesOracleSql: String =
+    """WITH m AS (
+      |  SELECT lang AS stratum, n_chars AS v, n_chars AS w,
+      |    SUM(n_chars) OVER (PARTITION BY lang ORDER BY n_chars
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    SUM(n_chars) OVER (PARTITION BY lang) AS tot
+      |  FROM documents)
+      |SELECT stratum, COUNT(*) AS n_docs,
+      |  CAST(MAX(tot) AS BIGINT) AS total_mass,
+      |  CAST(MIN(CASE WHEN cw * 4 >= tot THEN v END) AS BIGINT) AS wp25,
+      |  CAST(MIN(CASE WHEN cw * 2 >= tot THEN v END) AS BIGINT) AS wp50,
+      |  CAST(MIN(CASE WHEN cw * 4 >= tot * 3 THEN v END) AS BIGINT)
+      |    AS wp75
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Regression
+
+/** OLS trend recovers a planted line exactly; the breakpoint test
+  * finds a planted kink; EB shrinkage pulls small-n rates toward the
+  * prior and leaves the estimates inside the data's convex hull. */
+class RegressionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(id: Long, day: Int, et: String, v: Double,
+      user: Long = 1L) =
+    (id, java.sql.Timestamp.valueOf(f"2024-03-$day%02d 09:00:00"),
+      user, et, v, "{}")
+
+  private def frame(rows: Seq[(Long, java.sql.Timestamp, Long, String,
+      Double, String)]) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("olsTrend recovers an exact planted line: slope, intercept, r2=1") {
+    // type "a": y = 100 + 7x over days 1..10 (one event per day);
+    // type "b": constant 50 — slope 0, r2 NULL (var_y = 0)
+    val e = frame(
+      (1 to 10).map(d => ev(d.toLong, d, "a", 100.0 + 7.0 * (d - 1))) ++
+      (1 to 10).map(d => ev((100 + d).toLong, d, "b", 50.0)))
+    val got = Regression.olsTrend(e).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 10L)
+    assert(math.abs(a.getDouble(2) - 7.0) < 1e-9, "slope")
+    assert(math.abs(a.getDouble(3) - 100.0) < 1e-9, "intercept")
+    assert(math.abs(a.getDouble(4) - 1.0) < 1e-9, "perfect fit r2")
+    val b = got("b")
+    assert(math.abs(b.getDouble(2)) < 1e-9, "flat slope")
+    assert(b.isNullAt(4), "r2 undefined when var(y)=0")
+    assert(b.isNullAt(5), "t undefined when the residual is zero-var")
+  }
+
+  test("olsTrend t-stat matches the closed form on a noisy line") {
+    // y = 10 + 2x + e with a deterministic +/- 1 alternating residual
+    val e = frame((1 to 12).map(d =>
+      ev(d.toLong, d, "a",
+        10.0 + 2.0 * (d - 1) + (if (d % 2 == 0) 1.0 else -1.0))))
+    val r = Regression.olsTrend(e).collect().head
+    val xs = (0 until 12).map(_.toDouble)
+    val ys = (1 to 12).map(d =>
+      10.0 + 2.0 * (d - 1) + (if (d % 2 == 0) 1.0 else -1.0))
+    val n = 12.0
+    val mx = xs.sum / n; val my = ys.sum / n
+    val vx = xs.map(x => (x - mx) * (x - mx)).sum / n
+    val cxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }
+      .sum / n
+    val slope = cxy / vx
+    val sse = ys.zip(xs).map { case (y, x) =>
+      val f = my - slope * mx + slope * x; (y - f) * (y - f) }.sum
+    val se = math.sqrt(sse / (n - 2) / (n * vx))
+    assert(math.abs(r.getDouble(2) - math.rint(slope * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(r.getDouble(5) - slope / se) < 1e-4, "t-stat")
+  }
+
+  test("breakpoint finds a planted kink and beats the pooled SSE") {
+    // slope 0 for days 1..14 (y=100), slope 20 after (day 15..28):
+    // best split at x = 14
+    val e = frame((1 to 28).map { d =>
+      val y = if (d <= 14) 100.0 else 100.0 + 20.0 * (d - 14)
+      ev(d.toLong, d, "a", y)
+    })
+    val r = Regression.breakpoint(e).collect().head
+    val split = r.getLong(0)
+    assert(split >= 13L && split <= 15L,
+      s"split should land at the kink, got $split")
+    assert(r.getDouble(4) < r.getDouble(3),
+      "split SSE must beat pooled SSE")
+    assert(r.getDouble(5) > 10.0, "the kink should be loudly significant")
+  }
+
+  test("breakpoint on a pure line: F stays small and finite") {
+    val e = frame((1 to 20).map(d =>
+      ev(d.toLong, d, "a",
+        50.0 + 3.0 * d + (if (d % 3 == 0) 0.5 else -0.25))))
+    val r = Regression.breakpoint(e).collect().head
+    assert(!r.isNullAt(5) && r.getDouble(5) >= 0.0)
+    assert(r.getLong(2) == 20L, "all days participate")
+  }
+
+  test("EB shrinkage pulls the small-n segment toward the prior mean") {
+    // users 0..19: even users have 40 events with 10 purchases
+    // (p=0.25); odd users have 2 events with 2 purchases (raw p=1.0,
+    // tiny evidence — must shrink hard toward the pooled mean)
+    val rows = (0 until 20).flatMap { u =>
+      if (u % 2 == 0)
+        (1 to 40).map(i => ev((u * 100 + i).toLong, i % 28 + 1,
+          if (i <= 10) "purchase" else "view", 1.0, u.toLong))
+      else
+        (1 to 2).map(i => ev((u * 100 + i).toLong, i % 28 + 1,
+          "purchase", 1.0, u.toLong))
+    }
+    val got = Regression.ebShrinkage(frame(rows)).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // global prior mean μ = (10·10 + 2·10)/(40·10 + 2·10) ≈ 0.2857
+    val mu = 120.0 / 420.0
+    got.foreach { case (seg, (raw, shrunk)) =>
+      if (seg % 2 == 1) {
+        assert(raw == 1.0, "odd segments are the 2/2 users")
+        assert(shrunk < raw && shrunk > mu,
+          s"small-n rate must land strictly between prior and raw: $shrunk")
+        assert(raw - shrunk > 0.1, "the pull must be material at n=2")
+      } else {
+        assert(math.abs(raw - 0.25) < 1e-9)
+        assert(math.abs(shrunk - 0.25) < math.abs(1.0 - mu),
+          "large-n rates move less than small-n rates")
+      }
+    }
+  }
+
+  test("EB fallback: identical users (zero rate variance) use M=100") {
+    val rows = (0 until 6).flatMap { u =>
+      (1 to 4).map(i => ev((u * 10 + i).toLong, i,
+        if (i == 1) "purchase" else "view", 1.0, u.toLong))
+    }
+    val got = Regression.ebShrinkage(frame(rows)).collect()
+    // all users identical at p=0.25 = μ: posterior must equal raw
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(2) - 0.25) < 1e-9)
+      assert(math.abs(r.getDouble(3) - 0.25) < 1e-9,
+        "shrinking toward your own mean is a no-op")
+    }
+  }
+}
