@@ -494,7 +494,36 @@ object ScaleProbe {
         graft.operators.Sessionize.sessionSummary(d).count()),
       // per-user lifetime agg + lifetime-cardinality risk windows
       "kaplan_meier" -> (d => graft.operators.Survival
-        .kaplanMeier(d, horizonDays = 1).count()))
+        .kaplanMeier(d, horizonDays = 1).count()),
+      // one (type, day) grouped agg — the corpus-scale stage — then
+      // moments on a calendar×type frame
+      "ols_trend" -> (d =>
+        graft.operators.Regression.olsTrend(d).count()),
+      // candidate×day grid is calendar²-bounded; the ×N axis only
+      // feeds the daily grouped agg
+      "breakpoint" -> (d =>
+        graft.operators.Regression.breakpoint(d).count()),
+      // per-user agg + 1-row prior factor + segment agg — all ∝N in
+      // the first shuffle only
+      "eb_shrinkage" -> (d =>
+        graft.operators.Regression.ebShrinkage(d).count()),
+      // grid prune keeps the exact pass near-frontier-sized while the
+      // per-user agg grows ×N
+      "skyline" -> (d => graft.operators.Skyline.frontier2d(
+        d.groupBy("user_id").agg(
+          round(sum("value"), 2).as("rev"),
+          count(lit(1)).as("cnt")),
+        col("rev"), col("cnt")).count()),
+      // per-stratum RANGE cumulative window: partitions grow ×N but
+      // stay key-parallel (5 types × N rows each)
+      "weighted_quantiles" -> (d => graft.operators.Sampling
+        .weightedQuantiles(d, "event_type", "value", "value").count()),
+      // distributed top-k heads per partition; arithmetic on k+1 rows
+      "hill_tail" -> (d => graft.operators.Concentration
+        .hillTailIndex(d, "value", k = 100).count()),
+      // one grouped agg, stratum-cardinality out
+      "ess" -> (d => graft.operators.Sampling
+        .effectiveSampleSize(d, "event_type", "value").count()))
 
     (ops.map(o => (o._1, o._2, base, big)) ++
       embOps.map(o => (o._1, o._2, embBase, embBig)) ++

@@ -102,6 +102,26 @@ object SparkEntry {
         root.resolve("daily").toString)
     }),
 
+    // ---- Delete-a-group jackknife SE for the q250 ratio metric:
+    //      the resampling cross-check of the delta method — B=20
+    //      deterministic user groups, leave-one-out re-estimates;
+    //      2B-row arithmetic past the unit agg ----
+    "q277_ratio_jackknife" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .groupBy("user_id").agg(
+          sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(0.0)).as("x"),
+          count(lit(1)).as("y"))
+      graft.operators.Experiment.ratioJackknife(u,
+        col("user_id") % 2 === 1, col("x"), col("y"), col("user_id"))
+    }),
+
+    // ---- 3-core of the navigation graph: the cohesive nucleus the
+    //      degree histogram hides (hubs with leaf fans peel out);
+    //      round-wise peel, lineage checkpointed per round ----
+    "q278_kcore" -> ((s, dir) =>
+      graft.operators.KCore.navigationKCore(t(s, dir, "events"), k = 3)),
+
     // ---- Pairwise Jensen–Shannon divergence between sources'
     //      unigram distributions: the symmetric complement to q234's
     //      KL — which sources are lexically interchangeable; shared
@@ -3397,6 +3417,9 @@ object SparkEntry {
 
     "q256_segment_lift" ->
       graft.operators.Experiment.segmentLiftOracleSql(),
+
+    "q277_ratio_jackknife" ->
+      graft.operators.Experiment.ratioJackknifeOracleSql(),
 
     "q269_ols_trend" ->
       graft.operators.Regression.olsTrendOracleSql,

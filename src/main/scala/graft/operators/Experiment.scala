@@ -827,4 +827,124 @@ object Experiment {
       |  abs((mb - ma) / sqrt(va / n_a + vb / n_b)) > 1.96 AS sig_95,
       |  abs((mb - ma) / sqrt(va / n_a + vb / n_b)) > 2.576 AS sig_99
       |FROM g""".stripMargin
+
+  /** Delete-a-group jackknife for a ratio metric (Kott, "The
+    * delete-a-group jackknife", JOS 2001 — the estimator production
+    * experiment platforms run when the delta method's Taylor step is
+    * in doubt): units are hashed into B groups per arm, the ratio is
+    * re-estimated leaving each group out, and
+    * SE² = (B−1)/B · Σ(r₍ᵦ₎ − r̄₍·₎)². Groups are `unitId % B` so the
+    * assignment is deterministic and engine-independent. Output is
+    * one row `(n_a, n_b, groups_a, groups_b, ratio_a, ratio_b, lift,
+    * se_jk, z, sig_95)` — read beside q250's delta-method row: the
+    * two SEs agreeing is itself a diagnostic.
+    *
+    * Scale shape: one per-(arm, group) agg — 2B rows out of the unit
+    * shuffle — a 2-row per-arm total joined back, leave-one-out
+    * arithmetic on 2B rows, one final fold. Nothing unit-cardinality
+    * past the first agg. Degenerate groups (denominator zero after
+    * deletion) are excluded from the variance like empty groups. */
+  def ratioJackknife(units: DataFrame, variant: Column, numer: Column,
+      denom: Column, unitId: Column, buckets: Int = 20): DataFrame = {
+    val perGroup = units
+      .select(variant.as("__b"), (unitId % buckets).as("__g"),
+        numer.cast("double").as("__x"), denom.cast("double").as("__y"))
+      .where(col("__b").isNotNull)
+      .groupBy("__b", "__g")
+      .agg(count(lit(1)).as("__n"), sum("__x").as("__sx"),
+        sum("__y").as("__sy"))
+    val perArm = perGroup.groupBy("__b").agg(
+      sum("__n").as("__na"), sum("__sx").as("__tx"),
+      sum("__sy").as("__ty"))
+    val loo = perGroup
+      .join(broadcast(perArm), Seq("__b"))   // 2-row arm totals
+      .where(col("__ty") - col("__sy") > 0.0)
+      .select(col("__b"),
+        ((col("__tx") - col("__sx")) / (col("__ty") - col("__sy")))
+          .as("__r"))
+    val jk = loo.groupBy("__b").agg(
+      count(lit(1)).as("__bn"), var_pop(col("__r")).as("__vr"))
+    val arm = perArm.join(broadcast(jk), Seq("__b")).select(
+      col("__b"), col("__na"), col("__bn"),
+      (col("__tx") / col("__ty")).as("__ratio"),
+      // (B−1)/B · Σ(r−r̄)² = (B−1)·var_pop(r)
+      sqrt((col("__bn") - 1.0) * col("__vr")).as("__se"))
+    arm.groupBy().agg(
+        max(when(!col("__b"), col("__na"))).as("n_a"),
+        max(when(col("__b"), col("__na"))).as("n_b"),
+        max(when(!col("__b"), col("__bn"))).as("groups_a"),
+        max(when(col("__b"), col("__bn"))).as("groups_b"),
+        max(when(!col("__b"), col("__ratio"))).as("__ra"),
+        max(when(col("__b"), col("__ratio"))).as("__rb"),
+        max(when(!col("__b"), col("__se"))).as("__sea"),
+        max(when(col("__b"), col("__se"))).as("__seb"))
+      .select(
+        col("n_a"), col("n_b"), col("groups_a"), col("groups_b"),
+        round(col("__ra"), 6).as("ratio_a"),
+        round(col("__rb"), 6).as("ratio_b"),
+        round(col("__rb") - col("__ra"), 6).as("lift"),
+        round(sqrt(col("__sea") * col("__sea") +
+          col("__seb") * col("__seb")), 6).as("se_jk"),
+        round(when(col("__sea") * col("__sea") +
+            col("__seb") * col("__seb") > 0.0,
+          (col("__rb") - col("__ra")) /
+            sqrt(col("__sea") * col("__sea") +
+              col("__seb") * col("__seb"))), 6).as("z"),
+        (abs(coalesce((col("__rb") - col("__ra")) /
+          sqrt(col("__sea") * col("__sea") +
+            col("__seb") * col("__seb")), lit(0.0))) > 1.96)
+          .as("sig_95"))
+  }
+
+  /** DuckDB oracle for the registered jackknife fixture: purchase
+    * revenue per event, unit = user, variant = user_id parity,
+    * B = 20 groups on user_id % 20. */
+  def ratioJackknifeOracleSql(buckets: Int = 20): String =
+    s"""WITH u AS (
+       |  SELECT user_id, user_id % 2 = 1 AS b,
+       |    user_id % $buckets AS g,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN value
+       |      ELSE 0 END) AS x,
+       |    COUNT(*) AS y
+       |  FROM events GROUP BY 1, 2, 3),
+       |pg AS (
+       |  SELECT b, g, COUNT(*) AS n, SUM(x) AS sx,
+       |    CAST(SUM(y) AS DOUBLE) AS sy
+       |  FROM u GROUP BY 1, 2),
+       |pa AS (
+       |  SELECT b, SUM(n) AS na, SUM(sx) AS tx, SUM(sy) AS ty
+       |  FROM pg GROUP BY 1),
+       |loo AS (
+       |  SELECT pg.b, (pa.tx - pg.sx) / (pa.ty - pg.sy) AS r
+       |  FROM pg JOIN pa ON pg.b = pa.b
+       |  WHERE pa.ty - pg.sy > 0),
+       |jk AS (
+       |  SELECT b, COUNT(*) AS bn, VAR_POP(r) AS vr
+       |  FROM loo GROUP BY 1),
+       |arm AS (
+       |  SELECT pa.b, pa.na, jk.bn, pa.tx / pa.ty AS ratio,
+       |    sqrt((jk.bn - 1.0) * jk.vr) AS se
+       |  FROM pa JOIN jk ON pa.b = jk.b),
+       |f AS (
+       |  SELECT
+       |    MAX(CASE WHEN NOT b THEN na END) AS n_a,
+       |    MAX(CASE WHEN b THEN na END) AS n_b,
+       |    MAX(CASE WHEN NOT b THEN bn END) AS groups_a,
+       |    MAX(CASE WHEN b THEN bn END) AS groups_b,
+       |    MAX(CASE WHEN NOT b THEN ratio END) AS ra,
+       |    MAX(CASE WHEN b THEN ratio END) AS rb,
+       |    MAX(CASE WHEN NOT b THEN se END) AS sea,
+       |    MAX(CASE WHEN b THEN se END) AS seb
+       |  FROM arm)
+       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(groups_a AS BIGINT) AS groups_a,
+       |  CAST(groups_b AS BIGINT) AS groups_b,
+       |  ROUND(ra, 6) AS ratio_a, ROUND(rb, 6) AS ratio_b,
+       |  ROUND(rb - ra, 6) AS lift,
+       |  ROUND(sqrt(sea * sea + seb * seb), 6) AS se_jk,
+       |  ROUND(CASE WHEN sea * sea + seb * seb > 0 THEN
+       |    (rb - ra) / sqrt(sea * sea + seb * seb) END, 6) AS z,
+       |  abs(COALESCE((rb - ra) / sqrt(sea * sea + seb * seb), 0))
+       |    > 1.96 AS sig_95
+       |FROM f""".stripMargin
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition of the navigation graph — the iterative-peel
+  * cohesion measure (Seidman, "Network structure and minimum degree",
+  * Social Networks 1983) that completes the graph-shape suite
+  * (q150 PageRank = importance, q203 triangles = local clustering,
+  * q223 degree profile = raw connectivity): the k-core is the maximal
+  * subgraph where EVERY node keeps ≥ k neighbors after all weaker
+  * nodes are removed. Cores expose the cohesive nucleus a degree
+  * histogram hides — a star hub has huge degree but falls out of the
+  * 2-core the moment its leaves peel; bot farms and boilerplate
+  * navigation chains never reach deep cores.
+  *
+  * Scale shape: the classic peel is strictly sequential (remove ONE
+  * min-degree node at a time); the distributed form peels in ROUNDS —
+  * drop every node of degree < k, recompute degrees, repeat to
+  * fixpoint. Each round is one grouped degree agg + two semi-joins,
+  * all graph-cardinality (the corpus-scale work happened once, in the
+  * edge extraction), and the round count is bounded by the
+  * degeneracy ordering depth, small for real graphs. Each round
+  * TRUNCATES LINEAGE with an eager `localCheckpoint` (the PageRank
+  * lesson: a frame referenced twice per round doubles the logical
+  * plan per iteration and Catalyst re-analysis dominates the runtime
+  * long before the data does).
+  */
+object KCore {
+
+  /** Nodes of the k-core of the simple undirected graph under the
+    * directed edge list `(src, dst, …)`: `(page, core_degree)` —
+    * the node's degree WITHIN the final core — ordered by page.
+    * `maxRounds` is a safety valve; the fixpoint always lands first
+    * on finite graphs. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var cur = edges
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var edgeCount = cur.count()
+    var round = 0
+    var converged = edgeCount == 0L
+    while (!converged && round < maxRounds) {
+      val deg = cur.select(col("a").as("page"))
+        .union(cur.select(col("b").as("page")))
+        .groupBy("page").agg(count(lit(1)).as("degree"))
+      val keep = deg.where(col("degree") >= k).select("page")
+      val next = cur
+        .join(keep.withColumnRenamed("page", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("page", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      val nextCount = next.count()
+      converged = nextCount == edgeCount
+      cur = next
+      edgeCount = nextCount
+      round += 1
+    }
+    // an emptied graph falls through: the agg of an empty edge list
+    // is an empty (page, core_degree) frame with the right schema
+    cur.select(col("a").as("page"))
+      .union(cur.select(col("b").as("page")))
+      .groupBy("page").agg(count(lit(1)).as("core_degree"))
+      .orderBy("page")
+  }
+
+  /** k-core of the clickstream page graph. */
+  def navigationKCore(events: DataFrame, k: Int): DataFrame =
+    kCore(GraphRank.navigationEdges(events), k)
+}

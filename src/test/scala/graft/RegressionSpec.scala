@@ -117,6 +117,52 @@ class RegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("ratio jackknife: hand-checkable two-group case per arm") {
+    // arm A (even users 0,2): ratios from groups; arm B (odd 1,3).
+    // B=2 groups via user_id % 2... use buckets=2 so groups split
+    // users {0,2} → g0={0}, g1={2} wait: user_id % 2 on evens is 0 —
+    // use buckets=4: evens → g0={0}, g2={2}; odds → g1={1}, g3={3}
+    val units = Seq(
+      (0L, 10.0, 100L), (2L, 30.0, 100L),   // arm A: total 40/200
+      (1L, 20.0, 100L), (3L, 20.0, 100L))   // arm B: total 40/200
+      .toDF("user_id", "x", "y")
+    val r = graft.operators.Experiment.ratioJackknife(units,
+      col("user_id") % 2 === 1, col("x"), col("y"), col("user_id"),
+      buckets = 4).collect().head
+    // arm A leave-one-out: drop g0 → 30/100 = .3; drop g2 → 10/100 = .1
+    // var_pop = .01, se = sqrt((2-1)*.01) = .1
+    // arm B leave-one-out: both 20/100 = .2 → se 0
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L)
+    assert(math.abs(r.getDouble(4) - 0.2) < 1e-9, "ratio_a")
+    assert(math.abs(r.getDouble(5) - 0.2) < 1e-9, "ratio_b")
+    assert(math.abs(r.getDouble(6)) < 1e-9, "lift 0")
+    assert(math.abs(r.getDouble(7) - 0.1) < 1e-9, "combined jk se")
+    assert(math.abs(r.getDouble(8)) < 1e-9, "z = 0 at zero lift")
+    assert(!r.getBoolean(9))
+  }
+
+  test("ratio jackknife SE agrees with the delta method in order of magnitude") {
+    // deterministic synthetic units: x ~ varies with user, y fixed
+    val units = (0 until 200).map { u =>
+      (u.toLong, 10.0 + (u % 7).toDouble, 20L + (u % 3))
+    }.toDF("user_id", "x", "y")
+    val jk = graft.operators.Experiment.ratioJackknife(units,
+      col("user_id") % 2 === 1, col("x"), col("y"), col("user_id"))
+      .collect().head
+    val dm = graft.operators.Experiment.ratioDelta(units,
+      col("user_id") % 2 === 1, col("x"), col("y"))
+      .collect().head
+    val seJk = jk.getDouble(7)
+    val seDm = dm.getDouble(5)
+    assert(seJk > 0 && seDm > 0)
+    assert(seJk / seDm < 3.0 && seDm / seJk < 3.0,
+      s"jackknife ($seJk) and delta ($seDm) SEs should be in family")
+    // and the point estimates are identical by construction
+    assert(math.abs(jk.getDouble(4) - dm.getDouble(2)) < 1e-9)
+    assert(math.abs(jk.getDouble(5) - dm.getDouble(3)) < 1e-9)
+  }
+
   test("EB fallback: identical users (zero rate variance) use M=100") {
     val rows = (0 until 6).flatMap { u =>
       (1 to 4).map(i => ev((u * 10 + i).toLong, i,
