@@ -118,7 +118,9 @@ object PlanAudit {
     "q273_hill_tail",
     // skyline: the min/max span of the maximized dim is a 1-row
     // broadcast stat factor feeding the grid prune
-    "q275_skyline")
+    "q275_skyline",
+    // winsorized Welch: the pooled p95 cap is a 1-row stat factor
+    "q279_ab_winsorized")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

@@ -116,6 +116,18 @@ object SparkEntry {
         col("user_id") % 2 === 1, col("x"), col("y"), col("user_id"))
     }),
 
+    // ---- Winsorized Welch on the per-user revenue metric: cap at
+    //      the POOLED p95 (a per-arm cap would bias the lift), test
+    //      the capped means, report the clipped share per arm ----
+    "q279_ab_winsorized" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .groupBy("user_id").agg(
+          sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(0.0)).as("m"))
+      graft.operators.Experiment.winsorizedWelch(u,
+        col("user_id") % 2 === 1, col("m"))
+    }),
+
     // ---- 3-core of the navigation graph: the cohesive nucleus the
     //      degree histogram hides (hubs with leaf fans peel out);
     //      round-wise peel, lineage checkpointed per round ----
@@ -3420,6 +3432,9 @@ object SparkEntry {
 
     "q277_ratio_jackknife" ->
       graft.operators.Experiment.ratioJackknifeOracleSql(),
+
+    "q279_ab_winsorized" ->
+      graft.operators.Experiment.winsorizedOracleSql(),
 
     "q269_ols_trend" ->
       graft.operators.Regression.olsTrendOracleSql,

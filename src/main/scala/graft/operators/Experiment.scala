@@ -828,6 +828,87 @@ object Experiment {
       |  abs((mb - ma) / sqrt(va / n_a + vb / n_b)) > 2.576 AS sig_99
       |FROM g""".stripMargin
 
+  /** Winsorized Welch test — the robust-metric A/B readout every
+    * revenue experiment eventually needs: heavy-tailed unit metrics
+    * (one whale purchase) blow up the plain t-test's variance, so the
+    * metric is capped at the POOLED p-quantile before testing
+    * (pooled, not per-arm: a per-arm cap would let the treatment
+    * choose its own clipping and bias the lift). Reports the clipped
+    * share per arm beside the test — a lift that appears only after
+    * clipping is a tail story, not a mean story.
+    *
+    * Scale shape: one exact-percentile agg (1-row broadcast
+    * threshold factor), one conditional-moment agg over units. The
+    * exact percentile is the oracle-pinned form (the
+    * [[graft.operators.Anomaly.robustLocation]] convention); swap in
+    * `percentile_approx` at sketch-tolerant scale. */
+  def winsorizedWelch(units: DataFrame, variant: Column, value: Column,
+      p: Double = 0.95): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"p in (0,1), got $p")
+    val u = units.select(variant.as("__b"), value.cast("double").as("__m"))
+      .where(col("__b").isNotNull)
+    val thr = u.agg(expr(s"percentile(__m, $p)").as("__thr"))
+    val g = u.crossJoin(broadcast(thr))   // 1-row stat factor
+      .withColumn("__w", least(col("__m"), col("__thr")))
+      .groupBy()
+      .agg(
+        max(col("__thr")).as("__t"),
+        sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("__b") && col("__m") > col("__thr"), 1L)
+          .otherwise(0L)).as("clipped_a"),
+        sum(when(col("__b") && col("__m") > col("__thr"), 1L)
+          .otherwise(0L)).as("clipped_b"),
+        avg(when(!col("__b"), col("__w"))).as("__ma"),
+        avg(when(col("__b"), col("__w"))).as("__mb"),
+        var_samp(when(!col("__b"), col("__w"))).as("__va"),
+        var_samp(when(col("__b"), col("__w"))).as("__vb"))
+    val se = sqrt(col("__va") / col("n_a") + col("__vb") / col("n_b"))
+    val t = when(se > 0.0, (col("__mb") - col("__ma")) / se)
+    g.select(
+      col("n_a"), col("n_b"),
+      round(col("__t"), 4).as("thr"),
+      col("clipped_a"), col("clipped_b"),
+      round(col("__ma"), 6).as("mean_a"),
+      round(col("__mb"), 6).as("mean_b"),
+      round(col("__mb") - col("__ma"), 6).as("lift"),
+      round(t, 6).as("t_stat"),
+      coalesce(abs(t) > 1.96, lit(false)).as("sig_95"))
+  }
+
+  /** DuckDB oracle for the registered winsorized fixture: per-user
+    * purchase revenue, variant = user_id parity, cap at pooled p95. */
+  def winsorizedOracleSql(p: Double = 0.95): String =
+    s"""WITH u AS (
+       |  SELECT user_id % 2 = 1 AS b,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN value
+       |      ELSE 0 END) AS m
+       |  FROM events GROUP BY user_id),
+       |thr AS (SELECT quantile_cont(m, $p) AS t FROM u),
+       |g AS (
+       |  SELECT MAX(thr.t) AS t,
+       |    SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS n_a,
+       |    SUM(CASE WHEN b THEN 1 ELSE 0 END) AS n_b,
+       |    SUM(CASE WHEN NOT b AND m > thr.t THEN 1 ELSE 0 END)
+       |      AS clipped_a,
+       |    SUM(CASE WHEN b AND m > thr.t THEN 1 ELSE 0 END)
+       |      AS clipped_b,
+       |    AVG(CASE WHEN NOT b THEN LEAST(m, thr.t) END) AS ma,
+       |    AVG(CASE WHEN b THEN LEAST(m, thr.t) END) AS mb,
+       |    var_samp(CASE WHEN NOT b THEN LEAST(m, thr.t) END) AS va,
+       |    var_samp(CASE WHEN b THEN LEAST(m, thr.t) END) AS vb
+       |  FROM u CROSS JOIN thr),
+       |s AS (SELECT *, sqrt(va / n_a + vb / n_b) AS se FROM g)
+       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  ROUND(t, 4) AS thr,
+       |  CAST(clipped_a AS BIGINT) AS clipped_a,
+       |  CAST(clipped_b AS BIGINT) AS clipped_b,
+       |  ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+       |  ROUND(mb - ma, 6) AS lift,
+       |  ROUND(CASE WHEN se > 0 THEN (mb - ma) / se END, 6) AS t_stat,
+       |  COALESCE(abs((mb - ma) / se) > 1.96, FALSE) AS sig_95
+       |FROM s""".stripMargin
+
   /** Delete-a-group jackknife for a ratio metric (Kott, "The
     * delete-a-group jackknife", JOS 2001 — the estimator production
     * experiment platforms run when the delta method's Taylor step is

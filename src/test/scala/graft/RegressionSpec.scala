@@ -163,6 +163,35 @@ class RegressionSpec extends AnyFunSuite {
     assert(math.abs(jk.getDouble(5) - dm.getDouble(3)) < 1e-9)
   }
 
+  test("winsorized Welch: the whale is capped, the clipped share reported") {
+    // arm A: 19 users at 10 + one whale at 10000; arm B: 20 users at 12.
+    // Uncapped, the whale alone decides the test; capped at pooled
+    // p95 the comparison is 10-vs-12 with one clipped unit in A.
+    val units = ((0 until 19).map(i => (i.toLong * 2, 10.0)) :+
+      (38L, 10000.0)) ++ (0 until 20).map(i => (i.toLong * 2 + 1, 12.0))
+    val df = units.toDF("user_id", "m")
+    val r = graft.operators.Experiment.winsorizedWelch(df,
+      col("user_id") % 2 === 1, col("m")).collect().head
+    assert(r.getLong(0) == 20L && r.getLong(1) == 20L)
+    assert(r.getLong(3) == 1L, "exactly the whale clips in arm A")
+    assert(r.getLong(4) == 0L)
+    assert(r.getDouble(6) == 12.0, "arm B untouched")
+    assert(r.getDouble(5) < 100.0,
+      "the capped arm-A mean is no longer whale-dominated")
+    // threshold sits at the bulk's edge, far below the whale
+    // ((n−1)p = 37.05 interpolates inside the run of 12s → exactly 12)
+    assert(r.getDouble(2) >= 12.0 && r.getDouble(2) < 10000.0)
+  }
+
+  test("winsorized Welch: degenerate constant metric is flat, not NaN") {
+    val df = (0 until 10).map(i => (i.toLong, 5.0)).toDF("user_id", "m")
+    val r = graft.operators.Experiment.winsorizedWelch(df,
+      col("user_id") % 2 === 1, col("m")).collect().head
+    assert(r.getDouble(7) == 0.0, "zero lift")
+    assert(r.isNullAt(8), "t undefined at zero variance")
+    assert(!r.getBoolean(9))
+  }
+
   test("EB fallback: identical users (zero rate variance) use M=100") {
     val rows = (0 until 6).flatMap { u =>
       (1 to 4).map(i => ev((u * 10 + i).toLong, i,
