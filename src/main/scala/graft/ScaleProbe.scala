@@ -523,7 +523,26 @@ object ScaleProbe {
         .hillTailIndex(d, "value", k = 100).count()),
       // one grouped agg, stratum-cardinality out
       "ess" -> (d => graft.operators.Sampling
-        .effectiveSampleSize(d, "event_type", "value").count()))
+        .effectiveSampleSize(d, "event_type", "value").count()),
+      // corpus-scale work is the edge extraction (∝N); the peel
+      // rounds are graph-cardinality (same ~100-page graph replayed)
+      "kcore" -> (d =>
+        graft.operators.KCore.navigationKCore(d, k = 3).count()),
+      // per-(arm,group) agg out of the unit shuffle; 2B-row LOO math
+      "ratio_jackknife" -> (d => graft.operators.Experiment
+        .ratioJackknife(
+          d.groupBy("user_id").agg(
+            sum(when(col("event_type") === "purchase", col("value"))
+              .otherwise(0.0)).as("x"), count(lit(1)).as("y")),
+          col("user_id") % 2 === 1, col("x"), col("y"),
+          col("user_id")).count()),
+      // exact-percentile cap (1-row factor) + one conditional agg
+      "ab_winsorized" -> (d => graft.operators.Experiment
+        .winsorizedWelch(
+          d.groupBy("user_id").agg(
+            sum(when(col("event_type") === "purchase", col("value"))
+              .otherwise(0.0)).as("m")),
+          col("user_id") % 2 === 1, col("m")).count()))
 
     (ops.map(o => (o._1, o._2, base, big)) ++
       embOps.map(o => (o._1, o._2, embBase, embBig)) ++
