@@ -120,7 +120,9 @@ object PlanAudit {
     // broadcast stat factor feeding the grid prune
     "q275_skyline",
     // winsorized Welch: the pooled p95 cap is a 1-row stat factor
-    "q279_ab_winsorized")
+    "q279_ab_winsorized",
+    // Durbin–Watson: the min-date origin is the q269 1-row factor
+    "q281_durbin_watson")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

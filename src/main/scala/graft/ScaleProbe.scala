@@ -542,7 +542,14 @@ object ScaleProbe {
           d.groupBy("user_id").agg(
             sum(when(col("event_type") === "purchase", col("value"))
               .otherwise(0.0)).as("m")),
-          col("user_id") % 2 === 1, col("m")).count()))
+          col("user_id") % 2 === 1, col("m")).count()),
+      // corpus work is the daily agg; the fold runs over the bounded
+      // per-type calendar array
+      "holt_trend" -> (d =>
+        graft.operators.Forecast.holtBacktest(d).count()),
+      // q269's moment shape + one type-partitioned calendar window
+      "durbin_watson" -> (d =>
+        graft.operators.Regression.durbinWatson(d).count()))
 
     (ops.map(o => (o._1, o._2, base, big)) ++
       embOps.map(o => (o._1, o._2, embBase, embBig)) ++

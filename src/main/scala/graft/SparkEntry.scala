@@ -116,6 +116,18 @@ object SparkEntry {
         col("user_id") % 2 === 1, col("x"), col("y"), col("user_id"))
     }),
 
+    // ---- Holt linear-trend smoothing per type: SES + an explicit
+    //      trend state; the recursion folds over the bounded per-type
+    //      CALENDAR array, the oracle replays it as a recursive CTE ----
+    "q280_holt_trend" -> ((s, dir) =>
+      graft.operators.Forecast.holtBacktest(t(s, dir, "events"))),
+
+    // ---- Durbin–Watson over the q269 OLS residuals: ≈2 independent,
+    //      →0 serially correlated (the "significant trend" mirage
+    //      detector); type-partitioned calendar window ----
+    "q281_durbin_watson" -> ((s, dir) =>
+      graft.operators.Regression.durbinWatson(t(s, dir, "events"))),
+
     // ---- Winsorized Welch on the per-user revenue metric: cap at
     //      the POOLED p95 (a per-arm cap would bias the lift), test
     //      the capped means, report the clipped share per arm ----
@@ -3435,6 +3447,12 @@ object SparkEntry {
 
     "q279_ab_winsorized" ->
       graft.operators.Experiment.winsorizedOracleSql(),
+
+    "q280_holt_trend" ->
+      graft.operators.Forecast.holtOracleSql(),
+
+    "q281_durbin_watson" ->
+      graft.operators.Regression.durbinWatsonOracleSql,
 
     "q269_ols_trend" ->
       graft.operators.Regression.olsTrendOracleSql,

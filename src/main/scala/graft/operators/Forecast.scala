@@ -82,4 +82,93 @@ object Forecast {
        |    AS abs_pct_err
        |FROM f ORDER BY d""".stripMargin
   }
+
+  /** Holt linear-trend smoothing per event type (Holt 1957; Hyndman &
+    * Athanasopoulos ch. 8.2) — the step past [[sesBacktest]] when the
+    * series actually trends: SES lags a trending series by a constant
+    * offset forever, Holt carries an explicit trend state
+    * (ℓₜ = α·yₜ + (1−α)(ℓₜ₋₁+bₜ₋₁); bₜ = β(ℓₜ−ℓₜ₋₁) + (1−β)bₜ₋₁) and
+    * forecasts ℓ+b. Initialization is pinned to (ℓ₁ = y₁, b₁ = 0) so
+    * the recursion is fully determined by the series.
+    *
+    * Unlike SES, the Holt recursion has no one-window closed form
+    * (two coupled states), so the engine folds it with `aggregate`
+    * over the per-type CALENDAR array: the corpus-scale stage is the
+    * one daily grouped agg; the collected array is day-cardinality —
+    * bounded (a decade is 3.7k structs), the same budget every
+    * calendar-table window in this repo already carries. The DuckDB
+    * oracle replays the identical arithmetic as a recursive CTE, so
+    * hash parity pins the recursion step-for-step.
+    *
+    * One row per type: `(event_type, n_days, level, trend,
+    * forecast_next, mae_backtest)` — MAE over the one-step forecasts
+    * from day 2 on. */
+  def holtBacktest(events: DataFrame, alpha: Double = 0.3,
+      beta: Double = 0.1): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0,1)")
+    require(beta > 0.0 && beta < 1.0, "beta must be in (0,1)")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("y"))
+    val folded = daily
+      .groupBy("event_type")
+      .agg(collect_list(struct(col("d"), col("y"))).as("__pts"))
+      .withColumn("__s", expr(
+        s"""aggregate(
+           |  array_sort(__pts),
+           |  named_struct('i', 0L, 'l', 0D, 'b', 0D, 'sae', 0D),
+           |  (s, p) -> IF(s.i = 0L,
+           |    named_struct('i', 1L, 'l', p.y, 'b', 0D, 'sae', 0D),
+           |    named_struct('i', s.i + 1L,
+           |      'l', $alpha * p.y + ${1 - alpha} * (s.l + s.b),
+           |      'b', $beta * (($alpha * p.y + ${1 - alpha} *
+           |             (s.l + s.b)) - s.l) + ${1 - beta} * s.b,
+           |      'sae', s.sae + abs(p.y - (s.l + s.b)))),
+           |  s -> s)""".stripMargin))
+    folded.select(
+        col("event_type"),
+        col("__s.i").as("n_days"),
+        round(col("__s.l"), 6).as("level"),
+        round(col("__s.b"), 6).as("trend"),
+        round(col("__s.l") + col("__s.b"), 6).as("forecast_next"),
+        round(when(col("__s.i") > 1L,
+          col("__s.sae") / (col("__s.i") - 1L)), 6).as("mae_backtest"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[holtBacktest]] — the identical recursion as
+    * a recursive CTE stepping the per-type day index. */
+  def holtOracleSql(alpha: Double = 0.3, beta: Double = 0.1): String = {
+    val a = alpha; val na = 1 - alpha; val b = beta; val nb = 1 - beta
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS d,
+       |    CAST(COUNT(*) AS DOUBLE) AS y
+       |  FROM events GROUP BY 1, 2),
+       |idx AS (
+       |  SELECT event_type, y,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i
+       |  FROM daily),
+       |r AS (
+       |  SELECT event_type, i, y AS l,
+       |    CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS sae
+       |  FROM idx WHERE i = 1
+       |  UNION ALL
+       |  SELECT idx.event_type, idx.i,
+       |    $a * idx.y + $na * (r.l + r.b),
+       |    $b * (($a * idx.y + $na * (r.l + r.b)) - r.l) + $nb * r.b,
+       |    r.sae + abs(idx.y - (r.l + r.b))
+       |  FROM r JOIN idx ON idx.event_type = r.event_type
+       |    AND idx.i = r.i + 1),
+       |last AS (
+       |  SELECT event_type, MAX(i) AS n FROM idx GROUP BY 1)
+       |SELECT r.event_type, CAST(r.i AS BIGINT) AS n_days,
+       |  ROUND(r.l, 6) AS level,
+       |  ROUND(r.b, 6) AS trend,
+       |  ROUND(r.l + r.b, 6) AS forecast_next,
+       |  ROUND(CASE WHEN r.i > 1 THEN r.sae / (r.i - 1) END, 6)
+       |    AS mae_backtest
+       |FROM r JOIN last ON r.event_type = last.event_type
+       |  AND r.i = last.n
+       |ORDER BY r.event_type""".stripMargin
+  }
 }

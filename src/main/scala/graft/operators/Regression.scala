@@ -103,6 +103,87 @@ object Regression {
       |  ROUND(CASE WHEN se > 0 THEN slope / se END, 6) AS t_stat
       |FROM t ORDER BY event_type""".stripMargin
 
+  /** Durbin–Watson residual-autocorrelation diagnostic for the
+    * per-type OLS trend (Durbin & Watson, Biometrika 1950): after
+    * fitting [[olsTrend]]'s line, DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² over the
+    * date-ordered residuals — ≈2 means independent errors, →0 means
+    * positive serial correlation (the t-stats q269 reports are then
+    * OPTIMISTIC: the usual reason a daily-series "significant trend"
+    * is a mirage). The standard companion row to any OLS table.
+    *
+    * Scale shape: the daily fit moments (type-cardinality) broadcast
+    * back onto the calendar×type table; residual lag is a window
+    * PARTITIONED by type over the calendar; one grouped reduction.
+    * `(event_type, n_days, dw, rho1)` with rho1 = 1 − DW/2. */
+  def durbinWatson(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum("value").as("y"))
+    val d0 = daily.agg(min("d").as("__d0"))
+    val xy = daily.crossJoin(broadcast(d0))   // 1-row stat factor
+      .select(col("event_type"),
+        datediff(col("d"), col("__d0")).cast("double").as("x"),
+        col("y"))
+    val m = xy.groupBy("event_type").agg(
+      avg("x").as("__mx"), avg("y").as("__my"),
+      var_pop(col("x")).as("__vx"),
+      covar_pop(col("x"), col("y")).as("__cxy"))
+    val fit = m.select(col("event_type"),
+      when(col("__vx") > 0.0, col("__cxy") / col("__vx")).as("__slope"),
+      (col("__my") - when(col("__vx") > 0.0,
+        col("__cxy") / col("__vx")) * col("__mx")).as("__icept"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("x")
+    val resid = xy.join(broadcast(fit), Seq("event_type"))
+      .withColumn("__e",
+        col("y") - (col("__icept") + col("__slope") * col("x")))
+      .withColumn("__ep", lag("__e", 1).over(w))
+    resid.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        (sum(when(col("__ep").isNotNull,
+          (col("__e") - col("__ep")) * (col("__e") - col("__ep"))))
+          / sum(col("__e") * col("__e"))).as("__dw"))
+      .select(col("event_type"), col("n_days"),
+        round(col("__dw"), 6).as("dw"),
+        round(lit(1.0) - col("__dw") / 2.0, 6).as("rho1"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[durbinWatson]]. */
+  val durbinWatsonOracleSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, SUM(value) AS y
+      |  FROM events GROUP BY 1, 2),
+      |xy AS (
+      |  SELECT event_type,
+      |    CAST(d - (SELECT MIN(d) FROM daily) AS DOUBLE) AS x, y
+      |  FROM daily),
+      |m AS (
+      |  SELECT event_type, AVG(x) AS mx, AVG(y) AS my,
+      |    VAR_POP(x) AS vx, COVAR_POP(x, y) AS cxy
+      |  FROM xy GROUP BY 1),
+      |fit AS (
+      |  SELECT event_type,
+      |    CASE WHEN vx > 0 THEN cxy / vx END AS slope,
+      |    my - (CASE WHEN vx > 0 THEN cxy / vx END) * mx AS icept
+      |  FROM m),
+      |e AS (
+      |  SELECT xy.event_type, xy.x,
+      |    xy.y - (fit.icept + fit.slope * xy.x) AS e
+      |  FROM xy JOIN fit ON xy.event_type = fit.event_type),
+      |l AS (
+      |  SELECT event_type, e,
+      |    LAG(e) OVER (PARTITION BY event_type ORDER BY x) AS ep
+      |  FROM e)
+      |SELECT event_type, COUNT(*) AS n_days,
+      |  ROUND(SUM(CASE WHEN ep IS NOT NULL
+      |      THEN (e - ep) * (e - ep) END) / SUM(e * e), 6) AS dw,
+      |  ROUND(1.0 - SUM(CASE WHEN ep IS NOT NULL
+      |      THEN (e - ep) * (e - ep) END) / SUM(e * e) / 2.0, 6)
+      |    AS rho1
+      |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Optimal single structural break in the total daily-revenue
     * series: fit one line (pooled) vs two lines split at candidate
     * day c (left x < c, right x ≥ c), pick the c minimizing the
