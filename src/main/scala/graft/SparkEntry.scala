@@ -116,6 +116,18 @@ object SparkEntry {
         col("user_id") % 2 === 1, col("x"), col("y"), col("user_id"))
     }),
 
+    // ---- Streaming Holt dashboard: the q276 replay-safe daily
+    //      revenue table re-folded through the q280 recursion —
+    //      forecast-on-stream with the batch oracle applying verbatim ----
+    "q282_stream_holt" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q282")
+      graft.streaming.TrendMonitor.monitor(s, dir,
+        "events.parquet", root.resolve("daily").toString,
+        root.resolve("ckpt").toString)
+      graft.streaming.TrendMonitor.holtDashboard(s,
+        root.resolve("daily").toString)
+    }),
+
     // ---- Holt linear-trend smoothing per type: SES + an explicit
     //      trend state; the recursion folds over the bounded per-type
     //      CALENDAR array, the oracle replays it as a recursive CTE ----
@@ -3453,6 +3465,10 @@ object SparkEntry {
 
     "q281_durbin_watson" ->
       graft.operators.Regression.durbinWatsonOracleSql,
+
+    "q282_stream_holt" ->
+      graft.operators.Forecast.holtOracleSql(
+        measure = "SUM(value)"),
 
     "q269_ols_trend" ->
       graft.operators.Regression.olsTrendOracleSql,

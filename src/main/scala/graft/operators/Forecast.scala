@@ -104,12 +104,17 @@ object Forecast {
     * forecast_next, mae_backtest)` — MAE over the one-step forecasts
     * from day 2 on. */
   def holtBacktest(events: DataFrame, alpha: Double = 0.3,
+      beta: Double = 0.1): DataFrame =
+    holtFromDaily(events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("y")), alpha, beta)
+
+  /** [[holtBacktest]] over an already-built `(event_type, d, y)`
+    * daily table — the entry point the streaming monitor shares. */
+  def holtFromDaily(daily: DataFrame, alpha: Double = 0.3,
       beta: Double = 0.1): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0,1)")
     require(beta > 0.0 && beta < 1.0, "beta must be in (0,1)")
-    val daily = events
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(count(lit(1)).cast("double").as("y"))
     val folded = daily
       .groupBy("event_type")
       .agg(collect_list(struct(col("d"), col("y"))).as("__pts"))
@@ -138,11 +143,12 @@ object Forecast {
 
   /** DuckDB oracle for [[holtBacktest]] — the identical recursion as
     * a recursive CTE stepping the per-type day index. */
-  def holtOracleSql(alpha: Double = 0.3, beta: Double = 0.1): String = {
+  def holtOracleSql(alpha: Double = 0.3, beta: Double = 0.1,
+      measure: String = "CAST(COUNT(*) AS DOUBLE)"): String = {
     val a = alpha; val na = 1 - alpha; val b = beta; val nb = 1 - beta
     s"""WITH RECURSIVE daily AS (
        |  SELECT event_type, CAST(ts AS DATE) AS d,
-       |    CAST(COUNT(*) AS DOUBLE) AS y
+       |    $measure AS y
        |  FROM events GROUP BY 1, 2),
        |idx AS (
        |  SELECT event_type, y,

@@ -73,4 +73,18 @@ object TrendMonitor {
     Regression.olsTrendFromDaily(
       TableLog.read(spark, dailyPath)
         .groupBy("event_type", "d").agg(sum("y").as("y")))
+
+  /** Holt forecast over the same ingested daily table: the streaming
+    * face of [[graft.operators.Forecast.holtBacktest]]. The increment
+    * table stores `y` = daily REVENUE, so this dashboard forecasts
+    * revenue (the batch q280 fixture folds daily counts) — same
+    * recursion, pinned by the same oracle family with `SUM(value)`
+    * dailies. Stream ≡ batch exactly as [[dashboard]]: increments are
+    * re-aggregated to one daily row before the fold. */
+  def holtDashboard(spark: SparkSession, dailyPath: String,
+      alpha: Double = 0.3, beta: Double = 0.1): DataFrame =
+    graft.operators.Forecast.holtFromDaily(
+      TableLog.read(spark, dailyPath)
+        .groupBy("event_type", "d").agg(sum("y").as("y")),
+      alpha, beta)
 }

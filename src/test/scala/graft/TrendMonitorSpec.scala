@@ -63,6 +63,22 @@ class TrendMonitorSpec extends AnyFunSuite {
     assert(a2.count() == 2)
   }
 
+  test("streaming Holt dashboard equals the batch fold over revenue dailies") {
+    val root = Files.createTempDirectory("graft_trendmon_holt")
+    val daily = root.resolve("d").toString
+    assert(TrendMonitor.ingestOnce(spark, toDF(fileA), daily, 0L) > 0)
+    assert(TrendMonitor.ingestOnce(spark, toDF(fileB), daily, 1L) > 0)
+    val streamed = TrendMonitor.holtDashboard(spark, daily)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Forecast.holtFromDaily(
+      toDF(fileA ++ fileB)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum("value").as("y")))
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      "the split day must re-merge before the fold")
+  }
+
   test("replayed batch appends nothing") {
     val root = Files.createTempDirectory("graft_trendmon_rp")
     val daily = root.resolve("d").toString
