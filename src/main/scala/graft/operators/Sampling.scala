@@ -495,23 +495,35 @@ object Sampling {
     * the DOCUMENTS) badly misstates under heavy tails. Returns
     * `(stratum, n_docs, total_mass, wp25, wp50, wp75)`.
     *
-    * Scale shape: one cumulative-weight window per stratum (RANGE
-    * frame, tie-safe: equal values share one cumulative mass) — the
-    * partition is the stratum, so no single-task global sort — then
-    * one grouped min per quantile. */
+    * Scale shape — a cumulative window over RAW documents would make
+    * each stratum one giant window partition (the single-task trap
+    * the [[Concentration]] Gini avoids), so the engine aggregates to
+    * the (stratum, value) HISTOGRAM first: integer lengths bound the
+    * histogram by the longest document, not the corpus. The
+    * cumulative-mass window then runs over histogram rows (RANGE
+    * frame — tie-safe by construction since equal values are ONE
+    * row), and the quantile thresholds compare in exact integer
+    * arithmetic (4·cum ≥ tot), no FP boundary to disagree on. */
   def weightedQuantiles(df: DataFrame, stratumCol: String,
       valueCol: String, weightCol: String): DataFrame = {
-    val marked = df
+    val hist = df
       .select(col(stratumCol).as("stratum"),
         col(valueCol).cast("long").as("v"),
         col(weightCol).cast("long").as("w"))
-      .withColumn("__cw", sum("w").over(
+      .groupBy("stratum", "v")
+      .agg(count(lit(1)).as("__c"), sum("w").as("__w"))
+    // per-stratum totals as a joined stat table, not a second
+    // unbounded window (the Spark 4.1 stacked-window footgun)
+    val tot = hist.groupBy("stratum")
+      .agg(sum("__w").as("__tot"), sum("__c").as("__n"))
+    val marked = hist
+      .withColumn("__cw", sum("__w").over(
         Window.partitionBy("stratum").orderBy("v")
-          .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__tot", sum("w").over(Window.partitionBy("stratum")))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(tot), Seq("stratum"))
     marked.groupBy("stratum")
       .agg(
-        count(lit(1)).as("n_docs"),
+        max("__n").as("n_docs"),
         max("__tot").as("total_mass"),
         min(when(col("__cw") * 4L >= col("__tot"), col("v"))).as("wp25"),
         min(when(col("__cw") * 2L >= col("__tot"), col("v"))).as("wp50"),
