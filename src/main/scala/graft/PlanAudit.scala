@@ -122,7 +122,11 @@ object PlanAudit {
     // winsorized Welch: the pooled p95 cap is a 1-row stat factor
     "q279_ab_winsorized",
     // Durbin–Watson: the min-date origin is the q269 1-row factor
-    "q281_durbin_watson")
+    "q281_durbin_watson",
+    // Shapley: the coalition lattice is 2^C-bounded (16 rows) — the
+    // containment join, the C×2^C pair grid and the 1-row total
+    // factor are all deliberate bounded crosses
+    "q283_shapley_attribution")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

@@ -116,6 +116,14 @@ object SparkEntry {
         col("user_id") % 2 === 1, col("x"), col("y"), col("user_id"))
     }),
 
+    // ---- Exact Shapley channel attribution over the 2^C coalition
+    //      lattice (C=4 touch channels): fair-division credit beside
+    //      q185's Markov removal effects; one per-user mask agg, all
+    //      joins 16×16-bounded ----
+    "q283_shapley_attribution" -> ((s, dir) =>
+      graft.operators.Attribution.shapleyAttribution(
+        t(s, dir, "events"))),
+
     // ---- Streaming Holt dashboard: the q276 replay-safe daily
     //      revenue table re-folded through the q280 recursion —
     //      forecast-on-stream with the batch oracle applying verbatim ----
@@ -3469,6 +3477,9 @@ object SparkEntry {
     "q282_stream_holt" ->
       graft.operators.Forecast.holtOracleSql(
         measure = "SUM(value)"),
+
+    "q283_shapley_attribution" ->
+      graft.operators.Attribution.shapleyOracleSql(),
 
     "q269_ols_trend" ->
       graft.operators.Regression.olsTrendOracleSql,

@@ -106,4 +106,145 @@ object Attribution {
     }.toDF("channel", "removal_effect", "attribution")
       .orderBy("channel")
   }
+
+  /** Exact Shapley-value channel attribution (Shapley 1953; the
+    * coalition formulation for marketing touchpoints of Zhao, Mahboobi
+    * & Bagheri, arXiv:1804.05327) — the fair-division counterpart to
+    * [[removalEffects]]' Markov view: each channel is credited its
+    * average marginal lift over every coalition of the other channels,
+    * the ONLY split satisfying efficiency/symmetry/null-player.
+    *
+    * Coalition value is the cumulative-exposure convention:
+    * v(S) = conversion rate among users whose touched-channel set ⊆ S
+    * (v(∅) = the no-touch baseline; v(full) = overall rate), so v is
+    * defined for every S directly from data, monotone conventions
+    * aside. Shapley_i = Σ_{S ∌ i} |S|!·(C−|S|−1)!/C! · (v(S∪i) − v(S)).
+    *
+    * Scale shape: the corpus collapses to ONE per-user (bitmask,
+    * converted) agg, then a 2^C-row mask table; every join after is
+    * on the 2^C×2^C lattice — with C = 4 channels that is 16×16,
+    * bounded by the CHANNEL VOCABULARY forever (C ≲ 20 keeps the
+    * lattice ≤ 1M rows; more channels than that is a different
+    * product). Weights are exact factorial ratios computed by the
+    * same integer-CASE expression in engine and oracle. */
+  def shapleyAttribution(events: DataFrame,
+      channels: Seq[String] = Seq("click", "error", "signup", "view"),
+      convType: String = "purchase"): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 20,
+      "channel lattice must stay bounded")
+    val c = channels.size
+    val full = (1 << c) - 1
+    val spark = events.sparkSession
+    import spark.implicits._
+    // per-user exposure mask + conversion flag — the only corpus pass
+    val idx = channels.zipWithIndex
+      .map { case (ch, i) => (ch, 1L << i) }.toDF("__ch", "__bit")
+    val perUser = events
+      .join(broadcast(idx), events("event_type") === col("__ch"),
+        "left_outer")
+      .groupBy("user_id")
+      .agg(
+        coalesce(bit_or(col("__bit")), lit(0L)).as("__mask"),
+        max(when(col("event_type") === convType, 1L).otherwise(0L))
+          .as("__conv"))
+    val maskStats = perUser.groupBy("__mask")
+      .agg(count(lit(1)).as("__u"), sum("__conv").as("__x"))
+    // v(S) over the full lattice: containment join (2^C × masks)
+    val spine = spark.range(0, full + 1).select(col("id").as("__s"))
+    val v = spine.join(broadcast(maskStats),
+        (col("__mask").bitwiseAND(col("__s"))) === col("__mask"))
+      .groupBy("__s")
+      .agg((sum("__x").cast("double") /
+        sum("__u").cast("double")).as("__v"))
+    // marginal contributions: channels × subsets-without-channel
+    val chBits = channels.zipWithIndex
+      .map { case (ch, i) => (ch, 1L << i) }.toDF("channel", "__bit")
+    val pairs = chBits.crossJoin(broadcast(spine))   // C×2^C lattice
+      .where(col("__s").bitwiseAND(col("__bit")) === 0L)
+      .withColumn("__k", bit_count(col("__s")).cast("long"))
+    def factCase(col0: org.apache.spark.sql.Column) = {
+      // k! as an integer CASE — identical literal table in the oracle
+      val facts = (0 to 20).map(k =>
+        (k, (1 to k).foldLeft(1L)(_ * _)))
+      facts.foldLeft(lit(1L)) { case (acc, (k, f)) =>
+        when(col0 === k.toLong, lit(f)).otherwise(acc) }
+    }
+    val cFact = (1 to c).foldLeft(1L)(_ * _)
+    // a coalition no user's exposure set fits inside has no empirical
+    // v — both engine and oracle pin the v(S)=0 convention for it
+    val weighted = pairs
+      .join(v.select(col("__s"), col("__v").as("__v0")), Seq("__s"),
+        "left_outer")
+      .join(v.select(col("__s").as("__s1"), col("__v").as("__v1")),
+        col("__s1") === (col("__s").bitwiseOR(col("__bit"))),
+        "left_outer")
+      .withColumn("__w",
+        factCase(col("__k")) * factCase(lit(c.toLong) - col("__k") - 1L)
+          / lit(cFact.toDouble))
+      .withColumn("__m", col("__w") *
+        (coalesce(col("__v1"), lit(0.0)) -
+          coalesce(col("__v0"), lit(0.0))))
+    val shap = weighted.groupBy("channel")
+      .agg(sum("__m").as("__shap"))
+    val totalRow = shap.agg(sum("__shap").as("__tot"))
+    shap.crossJoin(broadcast(totalRow))   // 1-row stat factor
+      .select(col("channel"),
+        round(col("__shap"), 6).as("shapley"),
+        round(when(abs(col("__tot")) > 0.0,
+          col("__shap") / col("__tot")), 6).as("share"))
+      .orderBy("channel")
+  }
+
+  /** DuckDB oracle for [[shapleyAttribution]] with the default
+    * 4-channel fixture. */
+  def shapleyOracleSql(
+      channels: Seq[String] = Seq("click", "error", "signup", "view"),
+      convType: String = "purchase"): String = {
+    val c = channels.size
+    val full = (1 << c) - 1
+    val cFact = (1 to c).foldLeft(1L)(_ * _)
+    val chValues = channels.zipWithIndex
+      .map { case (ch, i) => s"('$ch', ${1L << i})" }.mkString(", ")
+    val factCase = (k: String) => "CASE " + (0 to c).map(j =>
+      s"WHEN $k = $j THEN ${(1 to j).foldLeft(1L)(_ * _)}")
+      .mkString(" ") + " ELSE 1 END"
+    s"""WITH ch(ch, bit) AS (VALUES $chValues),
+       |pu AS (
+       |  SELECT e.user_id,
+       |    COALESCE(bit_or(ch.bit), 0) AS mask,
+       |    MAX(CASE WHEN e.event_type = '$convType' THEN 1
+       |      ELSE 0 END) AS conv
+       |  FROM events e LEFT JOIN ch ON e.event_type = ch.ch
+       |  GROUP BY 1),
+       |ms AS (
+       |  SELECT mask, COUNT(*) AS u, SUM(conv) AS x
+       |  FROM pu GROUP BY 1),
+       |spine AS (SELECT UNNEST(range(0, ${full + 1})) AS s),
+       |v AS (
+       |  SELECT spine.s,
+       |    CAST(SUM(ms.x) AS DOUBLE) / SUM(ms.u) AS v
+       |  FROM spine JOIN ms ON (ms.mask & spine.s) = ms.mask
+       |  GROUP BY 1),
+       |pairs AS (
+       |  SELECT ch.ch AS channel, ch.bit, spine.s,
+       |    bit_count(spine.s) AS k
+       |  FROM ch CROSS JOIN spine
+       |  WHERE (spine.s & ch.bit) = 0),
+       |m AS (
+       |  SELECT p.channel,
+       |    (${factCase("p.k")}) * (${factCase(s"$c - p.k - 1")})
+       |      / $cFact.0 *
+       |      (COALESCE(v1.v, 0.0) - COALESCE(v0.v, 0.0)) AS m
+       |  FROM pairs p
+       |  LEFT JOIN v v0 ON v0.s = p.s
+       |  LEFT JOIN v v1 ON v1.s = (p.s | p.bit)),
+       |sh AS (
+       |  SELECT channel, SUM(m) AS shap FROM m GROUP BY 1),
+       |tot AS (SELECT SUM(shap) AS t FROM sh)
+       |SELECT channel,
+       |  ROUND(shap, 6) AS shapley,
+       |  ROUND(CASE WHEN abs(t) > 0 THEN shap / t END, 6) AS share
+       |FROM sh CROSS JOIN tot
+       |ORDER BY channel""".stripMargin
+  }
 }
