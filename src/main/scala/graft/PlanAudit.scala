@@ -126,7 +126,9 @@ object PlanAudit {
     // Shapley: the coalition lattice is 2^C-bounded (16 rows) — the
     // containment join, the C×2^C pair grid and the 1-row total
     // factor are all deliberate bounded crosses
-    "q283_shapley_attribution")
+    "q283_shapley_attribution",
+    // NB fit rides the q240 calendar-grid spine cross
+    "q284_nb_fit")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

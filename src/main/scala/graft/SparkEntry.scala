@@ -116,6 +116,12 @@ object SparkEntry {
         col("user_id") % 2 === 1, col("x"), col("y"), col("user_id"))
     }),
 
+    // ---- Negative-binomial MoM fit of daily counts: quantifies the
+    //      overdispersion q240 only flags, and prints the honest
+    //      alert threshold (μ+3σ_fitted) beside the Poisson one ----
+    "q284_nb_fit" -> ((s, dir) =>
+      graft.operators.Anomaly.negativeBinomialFit(t(s, dir, "events"))),
+
     // ---- Exact Shapley channel attribution over the 2^C coalition
     //      lattice (C=4 touch channels): fair-division credit beside
     //      q185's Markov removal effects; one per-user mask agg, all
@@ -3480,6 +3486,9 @@ object SparkEntry {
 
     "q283_shapley_attribution" ->
       graft.operators.Attribution.shapleyOracleSql(),
+
+    "q284_nb_fit" ->
+      graft.operators.Anomaly.negativeBinomialOracleSql,
 
     "q269_ols_trend" ->
       graft.operators.Regression.olsTrendOracleSql,

@@ -559,6 +559,76 @@ object Anomaly {
       .orderBy("event_type")
   }
 
+  /** Negative-binomial method-of-moments fit per event type over the
+    * zero-filled daily-count spine — the quantification of what
+    * [[fanoFactor]] only flags: when var > mean, the counts are not
+    * Poisson and every Poisson-based alert threshold is too tight.
+    * MoM (Anscombe 1950): r = μ²/(σ²−μ), p = μ/σ² — NULL when the
+    * data is at-or-under-dispersed (no NB fit exists there). The
+    * usable output is `thr_3sd` = μ+3σ under the FITTED variance, the
+    * threshold a count alert should actually use (vs the Poisson
+    * μ+3√μ beside it — the gap between the two columns IS the
+    * false-page rate a Poisson alert would pay).
+    *
+    * Scale shape: identical to [[fanoFactor]] — one grouped agg, a
+    * calendar-sized spine grid, type-cardinality out. */
+  def negativeBinomialFit(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val spine = daily.agg(min("d").as("__lo"), max("d").as("__hi"))
+      .select(explode(expr("sequence(__lo, __hi, interval 1 day)"))
+        .as("d"))
+    val grid = daily.select("event_type").distinct()
+      .crossJoin(broadcast(spine))   // calendar-sized grid
+      .join(daily, Seq("event_type", "d"), "left_outer")
+      .na.fill(0.0, Seq("c"))
+    grid.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        avg("c").as("__mu"), var_pop("c").as("__v"))
+      .select(col("event_type"), col("n_days"),
+        round(col("__mu"), 6).as("mean_daily"),
+        round(col("__v"), 6).as("var_daily"),
+        round(when(col("__v") > col("__mu"),
+          col("__mu") * col("__mu") / (col("__v") - col("__mu"))), 6)
+          .as("nb_r"),
+        round(when(col("__v") > col("__mu"),
+          col("__mu") / col("__v")), 6).as("nb_p"),
+        round(col("__mu") + lit(3.0) * sqrt(col("__v")), 6)
+          .as("thr_3sd"),
+        round(col("__mu") + lit(3.0) * sqrt(col("__mu")), 6)
+          .as("thr_poisson"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[negativeBinomialFit]]. */
+  val negativeBinomialOracleSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(COUNT(*) AS DOUBLE) AS c
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT UNNEST(generate_series((SELECT MIN(d) FROM daily),
+      |    (SELECT MAX(d) FROM daily), INTERVAL 1 DAY)) AS d),
+      |grid AS (
+      |  SELECT t.event_type, CAST(spine.d AS DATE) AS d,
+      |    COALESCE(daily.c, 0.0) AS c
+      |  FROM (SELECT DISTINCT event_type FROM daily) t
+      |  CROSS JOIN spine
+      |  LEFT JOIN daily ON daily.event_type = t.event_type
+      |    AND daily.d = CAST(spine.d AS DATE)),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n, AVG(c) AS mu, VAR_POP(c) AS v
+      |  FROM grid GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      |  ROUND(mu, 6) AS mean_daily,
+      |  ROUND(v, 6) AS var_daily,
+      |  ROUND(CASE WHEN v > mu THEN mu * mu / (v - mu) END, 6) AS nb_r,
+      |  ROUND(CASE WHEN v > mu THEN mu / v END, 6) AS nb_p,
+      |  ROUND(mu + 3.0 * sqrt(v), 6) AS thr_3sd,
+      |  ROUND(mu + 3.0 * sqrt(mu), 6) AS thr_poisson
+      |FROM m ORDER BY event_type""".stripMargin
+
   /** Daily error-rate SLO monitor with a Wilson score interval
     * (Wilson 1927) — the proportion CI that behaves at small n and
     * extreme rates, where the naive ±z√(p(1−p)/n) interval collapses

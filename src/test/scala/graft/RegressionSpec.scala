@@ -192,6 +192,34 @@ class RegressionSpec extends AnyFunSuite {
     assert(!r.getBoolean(9))
   }
 
+  test("NB fit: overdispersed counts get a fit, Poisson-ish gets NULL") {
+    // type "od": daily counts alternate 2 and 18 → μ=10, σ²=64 ≫ μ
+    // (planted overdispersion); type "flat": constant 4 → σ²=0 < μ
+    val rows = (1 to 20).flatMap { d =>
+      val n = if (d % 2 == 0) 18 else 2
+      (1 to n).map(j => ((d * 100 + j).toLong,
+        java.sql.Timestamp.valueOf(f"2024-03-$d%02d 09:00:00"),
+        1L, "od", 1.0, "{}"))
+    } ++ (1 to 20).flatMap { d =>
+      (1 to 4).map(j => ((9000 + d * 10 + j).toLong,
+        java.sql.Timestamp.valueOf(f"2024-03-$d%02d 09:00:00"),
+        1L, "flat", 1.0, "{}"))
+    }
+    val got = graft.operators.Anomaly.negativeBinomialFit(frame(rows))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val od = got("od")
+    assert(math.abs(od.getDouble(2) - 10.0) < 1e-9)
+    assert(math.abs(od.getDouble(3) - 64.0) < 1e-9)
+    // r = μ²/(σ²−μ) = 100/54; p = μ/σ² = 10/64
+    assert(math.abs(od.getDouble(4) - 100.0 / 54.0) < 1e-5)
+    assert(math.abs(od.getDouble(5) - 10.0 / 64.0) < 1e-6)
+    // the fitted threshold is far above the Poisson one
+    assert(od.getDouble(6) > od.getDouble(7) + 10.0)
+    val fl = got("flat")
+    assert(fl.isNullAt(4) && fl.isNullAt(5),
+      "under-dispersed counts have no NB fit")
+  }
+
   test("EB fallback: identical users (zero rate variance) use M=100") {
     val rows = (0 until 6).flatMap { u =>
       (1 to 4).map(i => ev((u * 10 + i).toLong, i,
