@@ -116,6 +116,19 @@ object SparkEntry {
         col("user_id") % 2 === 1, col("x"), col("y"), col("user_id"))
     }),
 
+    // ---- Isotonic (PAVA) calibration of the quality score: the
+    //      monotone least-squares probability map a thresholding
+    //      curation rule consumes (q137 displays the curve; this
+    //      fixes it); bin agg distributed, PAVA on ≤64 driver rows.
+    //      Driver-sequential PAVA ⇒ rows-only; least-squares-monotone
+    //      semantics pinned by IsotonicSpec's brute-force referee ----
+    "q285_isotonic" -> ((s, dir) =>
+      graft.operators.QualityModel.isotonicCalibration(
+        t(s, dir, "documents").select(
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          (col("n_chars") >= 300).as("label")),
+        "quality", "label")),
+
     // ---- Negative-binomial MoM fit of daily counts: quantifies the
     //      overdispersion q240 only flags, and prints the honest
     //      alert threshold (μ+3σ_fitted) beside the Poisson one ----

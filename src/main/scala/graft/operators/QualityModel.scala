@@ -153,4 +153,61 @@ object QualityModel {
         round(avg(col(labelCol).cast("double")), 6).as("frac_positive"))
       .orderBy("bin")
   }
+
+  /** Isotonic calibration by pool-adjacent-violators (Ayer et al.,
+    * Ann. Math. Stat. 1955; the standard classifier-calibration map
+    * of Zadrozny & Elkan, KDD 2002) — the proper tool where
+    * [[calibration]] only DISPLAYS the reliability curve: PAVA returns
+    * the least-squares MONOTONE fit of label rate to score, which is
+    * the calibrated probability a thresholding curation rule should
+    * consume (a raw reliability curve can zig-zag below chance in
+    * sparse bins; the isotonic fit cannot).
+    *
+    * Scale shape — the corpus collapses to one equal-width-bin agg
+    * (≤ `nBins` rows); PAVA itself is a sequential stack pass, so it
+    * runs on the DRIVER over those ≤64 rows (the q242 driver-Jacobi
+    * precedent: driver work bounded by a constant, never the corpus).
+    * Output per non-empty bin: `(bin, n_docs, raw_rate, iso_rate)`
+    * with iso_rate non-decreasing and weight-mean-preserving. */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+      labelCol: String, nBins: Int = 64): DataFrame = {
+    require(nBins >= 1 && nBins <= 4096, "driver pass must stay bounded")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bin = least(floor(col(scoreCol) * nBins).cast("int"),
+      lit(nBins - 1)) + 1
+    val bins = df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("double")).as("x"))
+      .orderBy("bin")
+      .collect()                      // ≤ nBins rows — bounded
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // PAVA: each pool carries (firstBin, weight, mass); merge backward
+    // while the monotonicity constraint is violated
+    final case class Pool(bin: Int, w: Double, m: Double) {
+      def rate: Double = m / w
+    }
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Pool]
+    bins.foreach { case (b, n, x) =>
+      var p = Pool(b, n.toDouble, x)
+      while (stack.nonEmpty && stack.last.rate >= p.rate) {
+        val q = stack.remove(stack.length - 1)
+        p = Pool(q.bin, q.w + p.w, q.m + p.m)
+      }
+      stack += p
+    }
+    // expand pools back to bins: every bin in a pool gets the pool rate
+    val poolEdges = stack.map(_.bin).toSeq :+ Int.MaxValue
+    val rates = bins.map { case (b, n, x) =>
+      val pi = poolEdges.lastIndexWhere(_ <= b,
+        poolEdges.length - 2) match {
+        case -1 => 0
+        case i  => i
+      }
+      (b, n, math.rint(x / n * 1e6) / 1e6,
+        math.rint(stack(pi).rate * 1e6) / 1e6)
+    }
+    rates.toSeq.toDF("bin", "n_docs", "raw_rate", "iso_rate")
+      .orderBy("bin")
+  }
 }
