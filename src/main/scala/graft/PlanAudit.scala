@@ -128,7 +128,10 @@ object PlanAudit {
     // factor are all deliberate bounded crosses
     "q283_shapley_attribution",
     // NB fit rides the q240 calendar-grid spine cross
-    "q284_nb_fit")
+    "q284_nb_fit",
+    // association: the grand-total and H(a) rows are 1-row stat
+    // factors into the |a|×|b| cell table (the q216 recipe)
+    "q286_association")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

@@ -116,6 +116,14 @@ object SparkEntry {
         col("user_id") % 2 === 1, col("x"), col("y"), col("user_id"))
     }),
 
+    // ---- Categorical association in one row: chi², Cramér's V and
+    //      Theil's U for event_type × weekday — the effect sizes the
+    //      q216 MI table and q200 chi² drift test don't normalize;
+    //      joined-stat-tables shape, |a|×|b|-bounded cells ----
+    "q286_association" -> ((s, dir) =>
+      graft.quality.Dependencies.association(t(s, dir, "events"),
+        col("event_type"), dayofweek(col("ts")))),
+
     // ---- Isotonic (PAVA) calibration of the quality score: the
     //      monotone least-squares probability map a thresholding
     //      curation rule consumes (q137 displays the curve; this
@@ -3502,6 +3510,13 @@ object SparkEntry {
 
     "q284_nb_fit" ->
       graft.operators.Anomaly.negativeBinomialOracleSql,
+
+    // weekday encodings differ (DuckDB Sun=0, Spark Sun=1) but the
+    // association statistics depend only on the PARTITION, which is
+    // identical — the category labels never reach the output row
+    "q286_association" ->
+      graft.quality.Dependencies.associationOracleSql(
+        "events", "event_type", "dayofweek(ts)"),
 
     "q269_ols_trend" ->
       graft.operators.Regression.olsTrendOracleSql,

@@ -130,6 +130,105 @@ object Dependencies {
        |  ROUND(SUM(pxy * log2(pxy / (px * py))) OVER (), 6) AS mi_bits
        |FROM p ORDER BY a, b""".stripMargin
 
+  /** Categorical association strength in one row — the effect-size
+    * companions to the q216 MI table and q200's chi² DRIFT test:
+    * Pearson's chi² on the a×b contingency table, Cramér's V =
+    * √(χ²/(N·(min(R,C)−1))) (the [0,1] normalization that makes
+    * association comparable across tables), and Theil's uncertainty
+    * coefficient U(a|b) = I(a;b)/H(a) — the ASYMMETRIC "how much of a
+    * does knowing b explain", which V (symmetric) cannot answer.
+    *
+    * Scale shape: the q216 joined-stat-tables recipe (never stacked
+    * unbounded windows — the Spark 4.1 corruption trap): one joint
+    * agg at |a|×|b| cells, marginals joined back, scalar folds. */
+  def association(df: DataFrame, aCol: org.apache.spark.sql.Column,
+      bCol: org.apache.spark.sql.Column): DataFrame = {
+    val joint = df
+      .where(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(aCol.as("a"), bCol.as("b"))
+      .agg(count(lit(1)).as("n"))
+    val aTot = joint.groupBy("a").agg(sum("n").as("__na"))
+    val bTot = joint.groupBy("b").agg(sum("n").as("__nb"))
+    val grand = joint.agg(sum("n").as("__nt"),
+      countDistinct(col("a")).as("__r"),
+      countDistinct(col("b")).as("__c"))
+    // chi² needs the FULL R×C grid — an empty cell still contributes
+    // (0−e)²/e (a diagonal-only table is χ²-maximal BECAUSE of its
+    // empty off-diagonal cells); |a|×|b|-bounded deliberate cross
+    val cells = aTot.crossJoin(broadcast(bTot))
+      .join(joint, Seq("a", "b"), "left_outer")
+      .withColumn("__n0", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(grand))   // 1-row stat factor
+    val tot = col("__nt").cast("double")
+    val exp = col("__na").cast("double") * col("__nb") / tot
+    val pxy = col("__n0") / tot
+    val px = col("__na").cast("double") / tot
+    val py = col("__nb").cast("double") / tot
+    // MI terms only over OBSERVED cells (0·log 0 = 0 by convention)
+    val folded = cells.groupBy(col("__nt"), col("__r"), col("__c"))
+      .agg(
+        sum((col("__n0") - exp) * (col("__n0") - exp) / exp)
+          .as("__chi2"),
+        sum(when(col("__n0") > 0L, pxy * log2(pxy / (px * py)))
+          .otherwise(0.0)).as("__mi"))
+    val ha = cells.select(col("a"), col("__na"), col("__nt")).distinct()
+      .select((-(col("__na").cast("double") / col("__nt")) *
+        log2(col("__na").cast("double") / col("__nt"))).as("__h"))
+      .agg(sum("__h").as("__ha"))
+    folded.crossJoin(broadcast(ha))   // 1-row stat factor
+      .select(
+        col("__nt").cast("long").as("n"),
+        col("__r").as("levels_a"), col("__c").as("levels_b"),
+        round(col("__chi2"), 6).as("chi2"),
+        round(sqrt(col("__chi2") / (col("__nt") *
+          (least(col("__r"), col("__c")) - 1))), 6).as("cramers_v"),
+        round(when(col("__ha") > 0.0, col("__mi") / col("__ha")), 6)
+          .as("theil_u"))
+  }
+
+  /** DuckDB oracle for [[association]] with column expressions. */
+  def associationOracleSql(table: String, aExpr: String,
+      bExpr: String): String =
+    s"""WITH joint AS (
+       |  SELECT $aExpr AS a, $bExpr AS b, COUNT(*) AS n
+       |  FROM $table
+       |  WHERE $aExpr IS NOT NULL AND $bExpr IS NOT NULL
+       |  GROUP BY 1, 2),
+       |at AS (SELECT a, SUM(n) AS na FROM joint GROUP BY 1),
+       |bt AS (SELECT b, SUM(n) AS nb FROM joint GROUP BY 1),
+       |g AS (
+       |  SELECT SUM(n) AS nt, COUNT(DISTINCT a) AS r,
+       |    COUNT(DISTINCT b) AS c
+       |  FROM joint),
+       |cells AS (
+       |  SELECT COALESCE(joint.n, 0) AS n, at.na, bt.nb, g.nt, g.r, g.c
+       |  FROM at CROSS JOIN bt
+       |  LEFT JOIN joint ON joint.a = at.a AND joint.b = bt.b
+       |  CROSS JOIN g),
+       |f AS (
+       |  SELECT MAX(nt) AS nt, MAX(r) AS r, MAX(c) AS c,
+       |    SUM((n - CAST(na AS DOUBLE) * nb / nt) *
+       |        (n - CAST(na AS DOUBLE) * nb / nt)
+       |      / (CAST(na AS DOUBLE) * nb / nt)) AS chi2,
+       |    SUM(CASE WHEN n > 0 THEN n / CAST(nt AS DOUBLE) * log2(
+       |      (n / CAST(nt AS DOUBLE)) /
+       |      ((na / CAST(nt AS DOUBLE)) * (nb / CAST(nt AS DOUBLE))))
+       |      ELSE 0.0 END) AS mi
+       |  FROM cells),
+       |ha AS (
+       |  SELECT SUM(-(na / CAST(g.nt AS DOUBLE)) *
+       |    log2(na / CAST(g.nt AS DOUBLE))) AS ha
+       |  FROM at CROSS JOIN g)
+       |SELECT CAST(f.nt AS BIGINT) AS n,
+       |  CAST(f.r AS BIGINT) AS levels_a,
+       |  CAST(f.c AS BIGINT) AS levels_b,
+       |  ROUND(f.chi2, 6) AS chi2,
+       |  ROUND(sqrt(f.chi2 / (f.nt * (LEAST(f.r, f.c) - 1))), 6)
+       |    AS cramers_v,
+       |  ROUND(CASE WHEN ha.ha > 0 THEN f.mi / ha.ha END, 6)
+       |    AS theil_u
+       |FROM f CROSS JOIN ha""".stripMargin
+
   /** DuckDB oracle for [[fdReport]] (exact mode) on a named table. */
   def fdOracleSql(table: String, cols: Seq[String]): String = {
     val selects = (for {

@@ -73,6 +73,26 @@ class IsotonicSpec extends AnyFunSuite {
       assert(math.abs(raw - iso) < 1e-9) }
   }
 
+  test("association: perfect dependence gives V=1, U=1; independence gives 0") {
+    import org.apache.spark.sql.functions.col
+    // perfect: b == a on a balanced 2×2
+    val perfect = (1 to 40).map(i => (i % 2, i % 2))
+      .toDF("a", "b")
+    val p = graft.quality.Dependencies.association(perfect,
+      col("a"), col("b")).collect().head
+    assert(math.abs(p.getDouble(4) - 1.0) < 1e-9, "Cramér's V = 1")
+    assert(math.abs(p.getDouble(5) - 1.0) < 1e-9, "Theil's U = 1")
+    // independence: every (a, b) cell equally filled
+    val indep = (0 until 40).map(i => (i % 2, (i / 2) % 2))
+      .toDF("a", "b")
+    val q = graft.quality.Dependencies.association(indep,
+      col("a"), col("b")).collect().head
+    assert(math.abs(q.getDouble(3)) < 1e-9, "chi2 = 0")
+    assert(math.abs(q.getDouble(4)) < 1e-9, "V = 0")
+    assert(math.abs(q.getDouble(5)) < 1e-9, "U = 0")
+    assert(q.getLong(0) == 40L && q.getLong(1) == 2L && q.getLong(2) == 2L)
+  }
+
   test("matches the brute-force PAVA on a seeded zig-zag curve") {
     var s = 41L
     def next(m: Int) = { s = (s * 1103515245L + 12345L) & 0x7fffffffL
