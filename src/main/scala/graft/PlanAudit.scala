@@ -131,7 +131,9 @@ object PlanAudit {
     "q284_nb_fit",
     // association: the grand-total and H(a) rows are 1-row stat
     // factors into the |a|×|b| cell table (the q216 recipe)
-    "q286_association")
+    "q286_association",
+    // Mann–Kendall: the q236 calendar² pair cross + 1-row n/tie rows
+    "q287_mann_kendall")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

@@ -116,6 +116,12 @@ object SparkEntry {
         col("user_id") % 2 === 1, col("x"), col("y"), col("user_id"))
     }),
 
+    // ---- Mann–Kendall trend test on daily counts: the significance
+    //      readout q236's robust slope lacks; tie-corrected variance,
+    //      continuity-corrected z; calendar²-bounded pair cross ----
+    "q287_mann_kendall" -> ((s, dir) =>
+      graft.operators.Anomaly.mannKendall(t(s, dir, "events"))),
+
     // ---- Categorical association in one row: chi², Cramér's V and
     //      Theil's U for event_type × weekday — the effect sizes the
     //      q216 MI table and q200 chi² drift test don't normalize;
@@ -3517,6 +3523,9 @@ object SparkEntry {
     "q286_association" ->
       graft.quality.Dependencies.associationOracleSql(
         "events", "event_type", "dayofweek(ts)"),
+
+    "q287_mann_kendall" ->
+      graft.operators.Anomaly.mannKendallOracleSql,
 
     "q269_ols_trend" ->
       graft.operators.Regression.olsTrendOracleSql,

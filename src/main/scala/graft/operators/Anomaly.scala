@@ -559,6 +559,85 @@ object Anomaly {
       .orderBy("event_type")
   }
 
+  /** Mann–Kendall trend test over the daily count series (Mann 1945;
+    * Kendall's τ machinery) — the SIGNIFICANCE readout q236's
+    * Theil–Sen slope lacks: S = Σ_{i<j} sign(yⱼ−yᵢ) with the
+    * tie-corrected variance n(n−1)(2n+5)/18 − Σt(t−1)(2t+5)/18 and
+    * the continuity-corrected z. Non-parametric — no residual-
+    * normality assumption, robust to the same outlier days Theil–Sen
+    * tolerates; the pair (robust slope, MK z) is the standard
+    * distribution-free trend report.
+    *
+    * Scale shape: the day-pair table is calendar²-bounded (the q236
+    * deliberate cross); the tie table is value-cardinality over daily
+    * counts, also calendar-bounded. One grouped agg touches the
+    * corpus. */
+  def mannKendall(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.d") < col("b.d"))   // calendar² deliberate cross
+      .agg(sum(signum(col("b.c") - col("a.c"))).as("__s"))
+    val nRow = daily.agg(count(lit(1)).cast("double").as("__n"))
+    val ties = daily.groupBy("c").agg(count(lit(1)).as("__t"))
+      .agg(coalesce(sum(col("__t") * (col("__t") - 1L) *
+        (col("__t") * 2L + 5L)), lit(0L)).cast("double").as("__tc"))
+    val z = {
+      val varS = (col("__n") * (col("__n") - 1.0) *
+        (col("__n") * 2.0 + 5.0) - col("__tc")) / 18.0
+      when(varS > 0.0 && col("__s") > 0.0,
+        (col("__s") - 1.0) / sqrt(varS))
+        .when(varS > 0.0 && col("__s") < 0.0,
+          (col("__s") + 1.0) / sqrt(varS))
+        .otherwise(lit(0.0))
+    }
+    pairs.crossJoin(broadcast(nRow))   // 1-row stat factors
+      .crossJoin(broadcast(ties))
+      .select(
+        col("__n").cast("long").as("n_days"),
+        col("__s").cast("long").as("s_stat"),
+        round((col("__n") * (col("__n") - 1.0) *
+          (col("__n") * 2.0 + 5.0) - col("__tc")) / 18.0, 6)
+          .as("var_s"),
+        round(z, 6).as("z"),
+        when(z > 1.959964, lit("up"))
+          .when(z < -1.959964, lit("down"))
+          .otherwise(lit("none")).as("trend"))
+  }
+
+  /** DuckDB oracle for [[mannKendall]]. */
+  val mannKendallOracleSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS c
+      |  FROM events GROUP BY 1),
+      |s AS (
+      |  SELECT SUM(SIGN(b.c - a.c)) AS s
+      |  FROM daily a JOIN daily b ON a.d < b.d),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM daily),
+      |tc AS (
+      |  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+      |    AS DOUBLE) AS tc
+      |  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY c)),
+      |v AS (
+      |  SELECT s.s, n.n, tc.tc,
+      |    (n.n * (n.n - 1.0) * (2.0 * n.n + 5.0) - tc.tc) / 18.0
+      |      AS var_s
+      |  FROM s CROSS JOIN n CROSS JOIN tc),
+      |z AS (
+      |  SELECT *, CASE
+      |    WHEN var_s > 0 AND s > 0 THEN (s - 1.0) / sqrt(var_s)
+      |    WHEN var_s > 0 AND s < 0 THEN (s + 1.0) / sqrt(var_s)
+      |    ELSE 0.0 END AS zv
+      |  FROM v)
+      |SELECT CAST(n AS BIGINT) AS n_days, CAST(s AS BIGINT) AS s_stat,
+      |  ROUND(var_s, 6) AS var_s,
+      |  ROUND(zv, 6) AS z,
+      |  CASE WHEN zv > 1.959964 THEN 'up'
+      |    WHEN zv < -1.959964 THEN 'down'
+      |    ELSE 'none' END AS trend
+      |FROM z""".stripMargin
+
   /** Negative-binomial method-of-moments fit per event type over the
     * zero-filled daily-count spine — the quantification of what
     * [[fanoFactor]] only flags: when var > mean, the counts are not

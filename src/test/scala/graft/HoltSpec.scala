@@ -53,6 +53,23 @@ class HoltSpec extends AnyFunSuite {
     assert(r.getDouble(4) > r.getDouble(2), "forecast = level + trend")
   }
 
+  test("Mann–Kendall: monotone ramp is 'up' with S = all pairs; flat is 'none'") {
+    // strictly increasing daily counts: every pair concordant →
+    // S = C(20,2) = 190, z large
+    val up = frame((1 to 20).flatMap(d => ev(d.toLong, d, "a", d)))
+    val r = graft.operators.Anomaly.mannKendall(up).collect().head
+    assert(r.getLong(0) == 20L)
+    assert(r.getLong(1) == 190L)
+    assert(r.getString(4) == "up")
+    // hand z: varS = 20·19·45/18 = 950; z = 189/√950 ≈ 6.132
+    assert(math.abs(r.getDouble(3) - 189.0 / math.sqrt(950.0)) < 1e-5)
+    // constant series: S = 0, all tied, trend none, z = 0
+    val flat = frame((1 to 15).flatMap(d => ev((100 + d).toLong, d, "a", 7)))
+    val f = graft.operators.Anomaly.mannKendall(flat).collect().head
+    assert(f.getLong(1) == 0L && f.getDouble(3) == 0.0)
+    assert(f.getString(4) == "none")
+  }
+
   test("Durbin–Watson: alternating residuals push DW toward 4, runs toward 0") {
     // flat trend + alternating +/-10 noise → e_t − e_{t−1} = ±20:
     // DW = Σ(20²)/Σ(10²) ≈ 4
