@@ -133,7 +133,9 @@ object PlanAudit {
     // factors into the |a|×|b| cell table (the q216 recipe)
     "q286_association",
     // Mann–Kendall: the q236 calendar² pair cross + 1-row n/tie rows
-    "q287_mann_kendall")
+    "q287_mann_kendall",
+    // runs test: the exact-median row is a 1-row stat factor
+    "q288_runs_test")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

@@ -116,6 +116,12 @@ object SparkEntry {
         col("user_id") % 2 === 1, col("x"), col("y"), col("user_id"))
     }),
 
+    // ---- Wald–Wolfowitz runs test on daily revenue around its
+    //      median: regime-clustering vs oscillation vs random — the
+    //      sign-pattern check DW's lag-1 correlation can miss ----
+    "q288_runs_test" -> ((s, dir) =>
+      graft.operators.Anomaly.runsTest(t(s, dir, "events"))),
+
     // ---- Mann–Kendall trend test on daily counts: the significance
     //      readout q236's robust slope lacks; tie-corrected variance,
     //      continuity-corrected z; calendar²-bounded pair cross ----
@@ -3526,6 +3532,9 @@ object SparkEntry {
 
     "q287_mann_kendall" ->
       graft.operators.Anomaly.mannKendallOracleSql,
+
+    "q288_runs_test" ->
+      graft.operators.Anomaly.runsTestOracleSql,
 
     "q269_ols_trend" ->
       graft.operators.Regression.olsTrendOracleSql,

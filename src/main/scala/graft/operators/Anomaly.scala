@@ -638,6 +638,88 @@ object Anomaly {
       |    ELSE 'none' END AS trend
       |FROM z""".stripMargin
 
+  /** Wald–Wolfowitz runs test on the daily-revenue series around its
+    * median (Wald & Wolfowitz, Ann. Math. Stat. 1940) — the
+    * randomness check that catches what [[mannKendall]] (monotone
+    * drift) and the q281 Durbin–Watson (lag-1 linear correlation)
+    * both miss: ANY sign-clustering pattern. R = number of
+    * same-sign runs; under randomness E[R] = 2n₊n₋/n + 1,
+    * Var[R] = 2n₊n₋(2n₊n₋−n)/(n²(n−1)); days AT the median are
+    * excluded (the standard convention). Too few runs = regimes;
+    * too many = oscillation.
+    *
+    * Scale shape: one grouped agg to the calendar table, an exact-
+    * percentile 1-row median factor, one calendar-ordered lag
+    * window, scalar arithmetic. */
+  def runsTest(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum("value").as("y"))
+    val med = daily.agg(expr("percentile(y, 0.5)").as("__med"))
+    val signed = daily.crossJoin(broadcast(med))   // 1-row stat factor
+      .where(col("y") =!= col("__med"))
+      .select(col("d"), (col("y") > col("__med")).as("__up"))
+    val w = Window.orderBy("d")   // calendar-sized window
+    val runs = signed
+      .withColumn("__prev", lag("__up", 1).over(w))
+      .agg(
+        count(lit(1)).cast("double").as("__n"),
+        sum(when(col("__up"), 1.0).otherwise(0.0)).as("__np"),
+        (sum(when(col("__prev").isNull ||
+          col("__up") =!= col("__prev"), 1L).otherwise(0L)))
+          .cast("double").as("__r"))
+    val nm = col("__n") - col("__np")
+    val e = col("__np") * nm * 2.0 / col("__n") + 1.0
+    val v = (col("__np") * nm * 2.0) *
+      (col("__np") * nm * 2.0 - col("__n")) /
+      (col("__n") * col("__n") * (col("__n") - 1.0))
+    runs.select(
+      col("__n").cast("long").as("n_days"),
+      col("__np").cast("long").as("n_above"),
+      col("__r").cast("long").as("runs"),
+      round(e, 6).as("expected_runs"),
+      round(when(v > 0.0, (col("__r") - e) / sqrt(v)), 6).as("z"),
+      when(v > 0.0 && (col("__r") - e) / sqrt(v) < -1.959964,
+        lit("clustered"))
+        .when(v > 0.0 && (col("__r") - e) / sqrt(v) > 1.959964,
+          lit("oscillating"))
+        .otherwise(lit("random")).as("verdict"))
+  }
+
+  /** DuckDB oracle for [[runsTest]]. */
+  val runsTestOracleSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, SUM(value) AS y
+      |  FROM events GROUP BY 1),
+      |med AS (SELECT quantile_cont(y, 0.5) AS m FROM daily),
+      |s AS (
+      |  SELECT d, y > med.m AS up
+      |  FROM daily CROSS JOIN med WHERE y <> med.m),
+      |l AS (
+      |  SELECT up, LAG(up) OVER (ORDER BY d) AS prev FROM s),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    SUM(CASE WHEN up THEN 1.0 ELSE 0.0 END) AS np,
+      |    CAST(SUM(CASE WHEN prev IS NULL OR up <> prev THEN 1
+      |      ELSE 0 END) AS DOUBLE) AS r
+      |  FROM l),
+      |f AS (
+      |  SELECT *, n - np AS nm,
+      |    np * (n - np) * 2.0 / n + 1.0 AS e,
+      |    (np * (n - np) * 2.0) * (np * (n - np) * 2.0 - n) /
+      |      (n * n * (n - 1.0)) AS v
+      |  FROM agg)
+      |SELECT CAST(n AS BIGINT) AS n_days, CAST(np AS BIGINT) AS n_above,
+      |  CAST(r AS BIGINT) AS runs,
+      |  ROUND(e, 6) AS expected_runs,
+      |  ROUND(CASE WHEN v > 0 THEN (r - e) / sqrt(v) END, 6) AS z,
+      |  CASE WHEN v > 0 AND (r - e) / sqrt(v) < -1.959964
+      |      THEN 'clustered'
+      |    WHEN v > 0 AND (r - e) / sqrt(v) > 1.959964
+      |      THEN 'oscillating'
+      |    ELSE 'random' END AS verdict
+      |FROM f""".stripMargin
+
   /** Negative-binomial method-of-moments fit per event type over the
     * zero-filled daily-count spine — the quantification of what
     * [[fanoFactor]] only flags: when var > mean, the counts are not

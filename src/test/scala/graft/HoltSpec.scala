@@ -70,6 +70,24 @@ class HoltSpec extends AnyFunSuite {
     assert(f.getString(4) == "none")
   }
 
+  test("runs test: regimes read clustered, alternation oscillating") {
+    // value per event is 2.0, so daily revenue = 2×count.
+    // regimes: 10 low days then 10 high days → 2 runs (min possible)
+    val regimes = frame((1 to 20).flatMap(d =>
+      ev(d.toLong, d, "a", if (d <= 10) 3 else 9)))
+    val r = graft.operators.Anomaly.runsTest(regimes).collect().head
+    assert(r.getLong(2) == 2L, s"two regimes = two runs: $r")
+    assert(r.getString(5) == "clustered")
+    // strict alternation: 20 runs (max possible)
+    val alt = frame((1 to 20).flatMap(d =>
+      ev((100 + d).toLong, d, "a", if (d % 2 == 0) 9 else 3)))
+    val a = graft.operators.Anomaly.runsTest(alt).collect().head
+    assert(a.getLong(2) == 20L)
+    assert(a.getString(5) == "oscillating")
+    // hand values: n=20, n+=10 → E[R] = 2·10·10/20 + 1 = 11
+    assert(math.abs(a.getDouble(3) - 11.0) < 1e-9)
+  }
+
   test("Durbin–Watson: alternating residuals push DW toward 4, runs toward 0") {
     // flat trend + alternating +/-10 noise → e_t − e_{t−1} = ±20:
     // DW = Σ(20²)/Σ(10²) ≈ 4
