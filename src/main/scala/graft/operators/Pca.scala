@@ -28,11 +28,18 @@ object Pca {
   /** Population covariance matrix of the embedding column as rows
     * `(i, j, cov)` over the upper triangle (1-based, i ≤ j).
     *
-    * One pass: per row, `transform`+`slice` emit the d(d+1)/2 pair
-    * products; `posexplode`-style flattening feeds a grouped sum that
-    * partial-aggregates map-side (2080 groups for d = 64). Means and
-    * the row count ride the same scan as separate aggregates joined
-    * back at pair-table scale. */
+    * Two-pass CENTERED form: pass 1 collects the d per-dimension means
+    * (dimension-, never corpus-bounded); pass 2 centers each vector
+    * against the broadcast mean array and `transform`+`slice` emits
+    * the d(d+1)/2 centered pair products into a grouped sum that
+    * partial-aggregates map-side (2080 groups for d = 64). Centering
+    * first — rather than the one-pass E[xy] − E[x]E[y] identity —
+    * keeps the summands ~10⁴× smaller, so the 6-decimal display
+    * rounding sits far above the partition-order FP noise floor and
+    * the oracle hash is stable run-to-run (the one-pass form flipped
+    * the 6th decimal nondeterministically; see round-10 q241). The
+    * residual bias from centering on the estimated mean is
+    * (μ−μ̂)ᵢ(μ−μ̂)ⱼ — second-order, ~1e-25 here. */
   def covariance(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
     covarianceRaw(emb, vecCol)
       .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
@@ -42,32 +49,32 @@ object Pca {
     * [[fit]] eigensolves (rounding is an oracle concern; feeding it
     * into the whitening scale shows up as ~1e-5 variance error). */
   private def covarianceRaw(emb: DataFrame, vecCol: String): DataFrame = {
+    val mu = dimMeans(emb, vecCol)
     val pairs = expr(
-      s"""flatten(transform($vecCol, (xi, i) ->
-         |  transform(slice($vecCol, i + 1, size($vecCol) - i),
-         |    (xj, jj) -> struct(i AS i, i + jj AS j,
-         |      CAST(xi AS DOUBLE) * CAST(xj AS DOUBLE) AS p))))""".stripMargin)
-    val sums = emb
+      """flatten(transform(__c, (xi, i) ->
+        |  transform(slice(__c, i + 1, size(__c) - i),
+        |    (xj, jj) -> struct(i AS i, i + jj AS j, xi * xj AS p))))"""
+        .stripMargin)
+    emb
+      .withColumn("__mu", array(mu.map(lit).toIndexedSeq: _*))
+      .withColumn("__c",
+        expr(s"zip_with($vecCol, __mu, (x, m) -> CAST(x AS DOUBLE) - m)"))
       .select(explode(pairs).as("pr"))
       .groupBy(col("pr.i").as("i"), col("pr.j").as("j"))
-      .agg(sum("pr.p").as("__sxy"))
-    val dims = emb
-      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
-      .groupBy("i")
-      .agg(sum(col("x").cast("double")).as("__sx"),
-        count(lit(1)).as("__n"))
-    sums
-      .join(broadcast(dims.select(col("i"), col("__sx").as("__sxi"),
-        col("__n"))), "i")
-      .join(broadcast(dims.select(col("i").as("j"),
-        col("__sx").as("__sxj"))), "j")
+      .agg(sum("pr.p").as("__sc"), count(lit(1)).as("__n"))
       .select(
         (col("i") + 1).cast("bigint").as("i"),
         (col("j") + 1).cast("bigint").as("j"),
-        (col("__sxy") / col("__n") -
-          (col("__sxi") / col("__n")) * (col("__sxj") / col("__n")))
-          .as("cov"))
+        (col("__sc") / col("__n")).as("cov"))
   }
+
+  /** Per-dimension means of the vector column, index order — a
+    * d-double driver collect (the [[fit]] precedent). */
+  private def dimMeans(emb: DataFrame, vecCol: String): Array[Double] =
+    emb
+      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy("i").agg(avg(col("x").cast("double")).as("m"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
 
   /** DuckDB oracle for [[covariance]] on the embeddings table. */
   val covarianceOracleSql: String =
@@ -98,10 +105,7 @@ object Pca {
         r.getDouble(2))
       a(i)(j) = c; a(j)(i) = c
     }
-    val mean = emb
-      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
-      .groupBy("i").agg(avg(col("x").cast("double")).as("m"))
-      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val mean = dimMeans(emb, vecCol)
     val (evals, evecs) = jacobiEigen(a)
     PcaModel(mean, evals, evecs)
   }

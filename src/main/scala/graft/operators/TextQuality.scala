@@ -12,12 +12,13 @@ import graft.functions.TextFunctions
   * its own most frequent n-gram / how few distinct tokens does it
   * use".
   *
-  * Scale shape: the bigram histogram is explode → partial-agg on
-  * (doc_id, gram) — map-side combine collapses each document's grams
-  * before the exchange, so the shuffle carries at most one row per
-  * distinct (doc, gram), and the per-doc top-1 is a bounded window over
-  * that. Everything stays in whole-stage codegen (no higher-order
-  * lambdas on the hot path).
+  * Scale shape: MAP-ONLY — the native [[graft.functions.RepetitionProfile]]
+  * expression computes every metric in one hash-map pass per document
+  * (all of them are within-document quantities), so the only exchange
+  * in the whole query is the final presentation sort. The earlier
+  * compositional form (explode bigrams → grouped count → per-doc
+  * window) shuffled ~the tokenized corpus twice for the same numbers
+  * and was the engine's worst bench-variance query under load.
   */
 object TextQuality {
 
@@ -25,43 +26,29 @@ object TextQuality {
     * n_tokens, n_distinct (tokens), distinct_ratio,
     * top_bigram (lexicographically-first among the most frequent),
     * top_bigram_n, top_bigram_frac (count / total bigrams).
-    * Documents with < 2 tokens get no bigram row (inner join drops
-    * them) — callers filtering junk want them gone anyway. */
+    * Documents with < 2 tokens are dropped — callers filtering junk
+    * want them gone anyway. */
   def repetitionMetrics(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol),
-      TextFunctions.tokens(col(textCol)).as("__toks"))
-    // the >= 2 guard matters: sequence(1, size-1) on a 1-token doc is
-    // the DESCENDING [1, 0], and ANSI-mode element_at throws on index 0
-    val base = toks.select(col(idCol),
-      size(col("__toks")).cast("bigint").as("n_tokens"),
-      size(array_distinct(col("__toks"))).cast("bigint").as("n_distinct"),
-      col("__toks"))
-      .filter(col("n_tokens") >= 2)
-    // adjacent-pair bigrams, exploded while the array is still in hand
-    val grams = base
-      .select(col(idCol), col("n_tokens"), col("n_distinct"),
-        explode(expr(
-          "transform(sequence(1, size(__toks) - 1), " +
-            "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"))
-          .as("gram"))
-      .groupBy(col(idCol), col("n_tokens"), col("n_distinct"), col("gram"))
-      .agg(count(lit(1)).as("gram_n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("gram_n").desc, col("gram"))
-    grams
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select(col(idCol), col("n_tokens"), col("n_distinct"),
-        round(col("n_distinct").cast("double") / col("n_tokens"), 4)
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      // filter on the cheap size() BEFORE building the profile, so
+      // predicate pushdown never duplicates the hash-map pass into a
+      // pushed filter condition
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol),
+        graft.functions.RepetitionProfile.repetitionProfile(col("__toks"))
+          .as("__p"))
+      .select(col(idCol),
+        col("__p.n_tokens").as("n_tokens"),
+        col("__p.n_distinct").as("n_distinct"),
+        round(col("__p.n_distinct").cast("double") / col("__p.n_tokens"), 4)
           .as("distinct_ratio"),
-        col("gram").as("top_bigram"),
-        col("gram_n").cast("bigint").as("top_bigram_n"),
-        round(col("gram_n").cast("double") / (col("n_tokens") - 1), 4)
-          .as("top_bigram_frac"))
+        col("__p.top_bigram").as("top_bigram"),
+        col("__p.top_bigram_n").as("top_bigram_n"),
+        round(col("__p.top_bigram_n").cast("double") /
+          (col("__p.n_tokens") - 1), 4).as("top_bigram_frac"))
       .orderBy(col(idCol))
-  }
 
   /** Unicode-script composition per source: what share of each
     * source's characters are Latin letters, digits, Cyrillic, CJK,

@@ -23,7 +23,7 @@ object LakehouseDemo {
     val rawDir =
       if (args.length > 0) args(0)
       else SampleData.writeTo(
-        java.nio.file.Files.createTempDirectory("graft_samples").toString)
+        graft.util.TempDirs.create("graft_samples").toString)
     val outDir = if (args.length > 1) Some(args(1)) else None
     val fact = Lakehouse.run(spark, rawDir, outDir)
     println("fct_daily_store_metrics:")

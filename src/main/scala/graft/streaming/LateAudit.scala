@@ -102,10 +102,14 @@ object LateAudit {
     * `dropped_late == input_rows` for it — the quantified cost of
     * replacing the reference's re-merge window with this watermark. */
   def backfillAudit(spark: SparkSession, dir: String): DataFrame = {
-    val staged = java.nio.file.Files
-      .createTempDirectory("graft_late_audit").toString
+    val staged = graft.util.TempDirs.create("graft_late_audit").toString
+    // the audit is pure row accounting — the consumer touches only the
+    // dedup key and the event time, so stage exactly those two columns:
+    // identical (batch_id, input_rows, dropped_late) output, a fraction
+    // of the staging/replay bytes (events' payload columns dominate)
     stageBackfillArrival(spark,
-      graft.io.Sources.table(spark, dir, "events"), staged)
+      graft.io.Sources.table(spark, dir, "events")
+        .select(col("event_id"), col("ts")), staged)
     auditRun(spark, staged)
   }
 }

@@ -68,10 +68,8 @@ object PrivacyMonitor {
     * SQL over events. */
   def eventAnonymityStream(spark: SparkSession, dir: String,
       k: Int = 20): DataFrame = {
-    val reportPath = java.nio.file.Files
-      .createTempDirectory("graft_anon_report").toString
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_anon_ckpt").toString
+    val reportPath = graft.util.TempDirs.create("graft_anon_report").toString
+    val ckpt = graft.util.TempDirs.create("graft_anon_ckpt").toString
     monitor(spark, dir, "events.parquet", reportPath, ckpt, k)
     TableLog.read(spark, reportPath)
       .select("batch_id", "k_anonymity", "l_diversity_min",

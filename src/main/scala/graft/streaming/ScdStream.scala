@@ -71,8 +71,7 @@ object ScdStream {
     * ([[Scd.userTierDimension]]) and shares its DuckDB oracle. */
   def streamedTierDimension(spark: SparkSession, dir: String): DataFrame = {
     val events = graft.io.Sources.table(spark, dir, "events")
-    val staged = java.nio.file.Files
-      .createTempDirectory("graft_scd_stream_src").toString
+    val staged = graft.util.TempDirs.create("graft_scd_stream_src").toString
     val d = dayofmonth(col("ts"))
     Seq(events.where(d <= 10), events.where(d > 10 && d <= 20),
         events.where(d > 20)).zipWithIndex.foreach { case (t, i) =>
@@ -80,10 +79,8 @@ object ScdStream {
         .mode(if (i == 0) "overwrite" else "append").parquet(staged)
       Thread.sleep(5) // keep file mtimes strictly ordered
     }
-    val dimPath = java.nio.file.Files
-      .createTempDirectory("graft_scd_stream_dim").toString
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_scd_stream_ckpt").toString
+    val dimPath = graft.util.TempDirs.create("graft_scd_stream_dim").toString
+    val ckpt = graft.util.TempDirs.create("graft_scd_stream_ckpt").toString
     monitor(spark, staged, "*.parquet", dimPath, ckpt,
       maxFilesPerTrigger = Some(1))
     // the log stores the generic `attr` column ([[Scd.scd2Merge]]'s

@@ -55,7 +55,7 @@ object StreamingDecontaminate {
   def gateDocuments(spark: SparkSession, dir: String,
       n: Int = 4, rejectMin: Long = 2L, benchMod: Int = 41,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_sdecon")
+    val root = graft.util.TempDirs.create("graft_sdecon")
     val decisionsPath = root.resolve("decisions").toString
     val checkpoint = root.resolve("ckpt").toString
     val benchPath = root.resolve("bench_grams").toString
