@@ -733,7 +733,11 @@ object SparkEntry {
     // ---- Functional-dependency discovery over the profiled order
     //      columns: A→B ⇔ |distinct A| = |distinct (A,B)|, ONE
     //      multi-distinct agg pass (approx=true swaps HLL sketches at
-    //      scale); p·(p−1) output rows whatever the corpus ----
+    //      scale); p·(p−1) output rows whatever the corpus.
+    //      DELIBERATELY exact here: this query is DuckDB-hash-oracled,
+    //      and exact-vs-HLL is the only thing its ~7s buys — a 100 TB
+    //      profiler flips `approx = true` (2% error) and the pass
+    //      shape is unchanged ----
     "q211_fd_discovery" -> ((s, dir) =>
       graft.quality.Dependencies.fdReport(
         t(s, dir, "orders"), profiledOrderCols.map(_._1))),

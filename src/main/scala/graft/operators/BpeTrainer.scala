@@ -82,12 +82,32 @@ object BpeTrainer {
   private def quote(s: String): String = java.util.regex.Pattern.quote(s)
 
   /** Learn `numMerges` merges over `docs(textCol)`. Stops early when no
-    * pair reaches `minPairCount`. Ties break (count desc, pair asc), so
-    * the merge list is fully deterministic given the corpus. */
+    * pair reaches `minPairCount`. Ties break (count desc, pair asc in
+    * UTF8 binary order), so the merge list is fully deterministic given
+    * the corpus.
+    *
+    * Two execution modes, SAME output (BpeSpec pins them equal):
+    *  - the corpus-size work is always the one counting pass inside
+    *    [[wordTable]]; when the resulting distinct-word table fits
+    *    `maxDriverWords`, the merge rounds run as plain driver
+    *    arithmetic over (word, freq) — vocabulary-bounded state, the
+    *    [[Pca.fit]]/fitCentroids precedent, and how production BPE
+    *    trainers work (the word-count table of even a web-scale corpus
+    *    is Zipf-bounded millions, not corpus-sized);
+    *  - over the bound, the rounds stay distributed: per-round
+    *    adjacent-pair explode → weighted top-1, merge applied as one
+    *    `regexp_replace`, `localCheckpoint` per round to keep lineage
+    *    flat. ~0.2 s/round of job overhead, which is why the driver
+    *    path exists for every realistic vocabulary. */
   def fit(docs: DataFrame, textCol: String = "text", numMerges: Int = 50,
-      minPairCount: Long = 2L): Seq[Merge] = {
+      minPairCount: Long = 2L, maxDriverWords: Long = 1L << 21): Seq[Merge] = {
     require(numMerges >= 1, "need at least one merge round")
     var words = wordTable(docs, textCol).localCheckpoint(true)
+    if (words.count() <= maxDriverWords) {
+      val collected = words.collect().map(r => (r.getString(0), r.getLong(1)))
+      words.unpersist()
+      return fitDriver(collected, numMerges, minPairCount)
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
     while (!done && merges.length < numMerges) {
@@ -114,6 +134,76 @@ object BpeTrainer {
     merges.toSeq
   }
 
+  /** Driver-side merge rounds over the collected (padded-syms, freq)
+    * table — the exact distributed algorithm in plain Scala: per round,
+    * freq-weighted adjacent-pair counts, top-1 by (count desc, pair asc
+    * in UTF8 BINARY order — `orderBy` on StringType compares UTF-8
+    * bytes, and Java String compareTo does not agree above the BMP, so
+    * the comparator goes through [[UTF8String]]), then one greedy
+    * left-to-right fuse pass per word. O(rounds × Σ|word|) —
+    * milliseconds at any realistic vocabulary. */
+  private def fitDriver(table: Array[(String, Long)], numMerges: Int,
+      minPairCount: Long): Seq[Merge] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val syms = table.map { case (padded, _) =>
+      padded.split(Sep).filter(_.nonEmpty)
+    }
+    val lens = syms.map(_.length)
+    val freqs = table.map(_._2)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val counts = new java.util.HashMap[String, Array[Long]]()
+      var w = 0
+      while (w < syms.length) {
+        val s = syms(w); val n = lens(w); val f = freqs(w)
+        var i = 0
+        while (i < n - 1) {
+          val key = s(i) + Sep + s(i + 1)
+          val c = counts.get(key)
+          if (c == null) counts.put(key, Array(f)) else c(0) += f
+          i += 1
+        }
+        w += 1
+      }
+      var bestPair: String = null
+      var bestKey: UTF8String = null
+      var bestCnt = 0L
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue()(0)
+        if (c > bestCnt) {
+          bestPair = e.getKey; bestKey = null; bestCnt = c
+        } else if (c == bestCnt && bestPair != null) {
+          if (bestKey == null) bestKey = UTF8String.fromString(bestPair)
+          val k = UTF8String.fromString(e.getKey)
+          if (k.compareTo(bestKey) < 0) { bestPair = e.getKey; bestKey = k }
+        }
+      }
+      if (bestPair == null || bestCnt < minPairCount) done = true
+      else {
+        val Array(l, r) = bestPair.split(Sep, 2)
+        val fused = l + r
+        merges += Merge(merges.length + 1, l, r, bestCnt)
+        var w2 = 0
+        while (w2 < syms.length) {
+          val s = syms(w2); val n = lens(w2)
+          var read = 0; var write = 0
+          while (read < n) {
+            if (read + 1 < n && s(read) == l && s(read + 1) == r) {
+              s(write) = fused; read += 2
+            } else { s(write) = s(read); read += 1 }
+            write += 1
+          }
+          lens(w2) = write
+          w2 += 1
+        }
+      }
+    }
+    merges.toSeq
+  }
+
   /** The learned merge list as a DataFrame — the persistable tokenizer
     * artifact (rank, left, right, merged, cnt), rank-ordered. */
   def mergeTable(docs: DataFrame, spark: org.apache.spark.sql.SparkSession,
@@ -127,14 +217,25 @@ object BpeTrainer {
 
   /** Apply learned merges to new text: adds `bpe_syms`
     * (array&lt;array&lt;string&gt;&gt;, one symbol array per
-    * pre-token). Map-only — the merge list compiles into a stack of
-    * `numMerges` codegen'd `regexp_replace`s over each word's padded
-    * symbol string, applied in rank order (BPE application order IS
-    * training order). Suits the bounded merge lists this engine
-    * trains; a production 32k-vocab tokenizer would compile merges
-    * into a trie and apply via a native expression instead — the
-    * plumbing (schema, per-word framing) is identical. */
+    * pre-token). Map-only — the native
+    * [[graft.functions.BpeApply]] expression applies each merge as one
+    * in-place array pass with a Zipf-exploiting word memo, replacing
+    * the earlier stack of `numMerges` interpreted `regexp_replace`s
+    * (the engine's slowest query before the switch; semantics pinned
+    * identical by BpeApplySpec against [[tokenizeWithRegex]]). */
   def tokenizeWith(docs: DataFrame, merges: Seq[Merge],
+      textCol: String = "text"): DataFrame =
+    docs.withColumn("bpe_syms",
+      graft.functions.BpeApply.bpeApply(
+        TextFunctions.tokens(col(textCol)),
+        merges.map(m => (m.left, m.right))))
+
+  /** The regex-tower reference implementation of [[tokenizeWith]] —
+    * kept as the executable specification the native expression is
+    * tested against (one codegen'd `regexp_replace` per merge over the
+    * U+0001-padded symbol string; see the class doc for why the
+    * lookahead gives textbook greedy left-to-right merge semantics). */
+  private[graft] def tokenizeWithRegex(docs: DataFrame, merges: Seq[Merge],
       textCol: String = "text"): DataFrame = {
     def applied(w: Column): Column = merges.foldLeft(padSyms(w)) {
       case (acc, m) =>

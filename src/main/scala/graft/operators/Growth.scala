@@ -20,9 +20,14 @@ import org.apache.spark.sql.functions._
 object Growth {
 
   /** `(d, dau, new_users, retained, resurrected, churned, net)` per
-    * active day. `churned` counts users active on d−1 but not d
-    * (attributed to d); `net` = new + resurrected − churned, which
-    * telescopes to the DAU delta between consecutive days. */
+    * CALENDAR day of the observed span (zero-filled spine, the
+    * fanoFactor recipe). `churned` counts users active on d−1 but not
+    * d (attributed to d); `net` = new + resurrected − churned, which
+    * telescopes to the DAU delta between consecutive days — including
+    * across fully-inactive days, where the zero-filled row carries
+    * `churned = prev_dau`, `net = −prev_dau` (without the spine those
+    * users were never counted as churned anywhere: the gap day had no
+    * row, and the next active day's d−1 lookup missed). */
   def accounting(events: DataFrame): DataFrame = {
     val ud = events
       .select(col("user_id"), to_date(col("ts")).as("d"))
@@ -38,11 +43,18 @@ object Growth {
         (col("__f") === col("d")).as("__new"),
         (col("__was").isNotNull && col("__f") =!= col("d")).as("__ret"),
         (col("__was").isNull && col("__f") < col("d")).as("__res"))
-    val active = flagged.groupBy("d").agg(
+    val activeRaw = flagged.groupBy("d").agg(
       count(lit(1)).as("dau"),
       sum(when(col("__new"), 1L).otherwise(0L)).as("new_users"),
       sum(when(col("__ret"), 1L).otherwise(0L)).as("retained"),
       sum(when(col("__res"), 1L).otherwise(0L)).as("resurrected"))
+    // zero-filled calendar spine: a day with no activity still gets a
+    // row, so the d−1 churn lookup below never skips over a gap
+    val spine = ud.agg(min("d").as("__lo"), max("d").as("__hi"))
+      .select(explode(expr("sequence(__lo, __hi, interval 1 day)"))
+        .as("d"))
+    val active = spine.join(activeRaw, Seq("d"), "left_outer")
+      .na.fill(0L, Seq("dau", "new_users", "retained", "resurrected"))
     // churned into day d = active on d−1 minus those retained on d
     val prevDau = active.select(date_add(col("d"), 1).as("d"),
       col("dau").as("__prev_dau"))
@@ -71,12 +83,22 @@ object Growth {
       |  JOIN fs ON ud.user_id = fs.user_id
       |  LEFT JOIN ud p ON p.user_id = ud.user_id
       |    AND p.d = ud.d - INTERVAL 1 DAY),
-      |act AS (
+      |act0 AS (
       |  SELECT d, COUNT(*) AS dau,
       |    SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS new_users,
       |    SUM(CASE WHEN is_ret THEN 1 ELSE 0 END) AS retained,
       |    SUM(CASE WHEN is_res THEN 1 ELSE 0 END) AS resurrected
-      |  FROM fl GROUP BY 1)
+      |  FROM fl GROUP BY 1),
+      |spine AS (
+      |  SELECT CAST(UNNEST(generate_series(
+      |    (SELECT MIN(d) FROM ud), (SELECT MAX(d) FROM ud),
+      |    INTERVAL 1 DAY)) AS DATE) AS d),
+      |act AS (
+      |  SELECT s.d, COALESCE(a.dau, 0) AS dau,
+      |    COALESCE(a.new_users, 0) AS new_users,
+      |    COALESCE(a.retained, 0) AS retained,
+      |    COALESCE(a.resurrected, 0) AS resurrected
+      |  FROM spine s LEFT JOIN act0 a ON a.d = s.d)
       |SELECT a.d, CAST(a.dau AS BIGINT) AS dau,
       |  CAST(a.new_users AS BIGINT) AS new_users,
       |  CAST(a.retained AS BIGINT) AS retained,

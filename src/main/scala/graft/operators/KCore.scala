@@ -32,7 +32,10 @@ object KCore {
     * directed edge list `(src, dst, …)`: `(page, core_degree)` —
     * the node's degree WITHIN the final core — ordered by page.
     * `maxRounds` is a safety valve; the fixpoint always lands first
-    * on finite graphs. */
+    * on finite graphs. If the valve DOES trip (possible only if
+    * maxRounds is set below the graph's peel depth), the result is a
+    * superset of the true k-core — that truncation is logged loudly
+    * rather than silently returned as converged. */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 60): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     var cur = edges
@@ -59,6 +62,11 @@ object KCore {
       edgeCount = nextCount
       round += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"kCore: maxRounds=$maxRounds reached WITHOUT convergence — " +
+          s"returning a partially-peeled superset of the true $k-core " +
+          s"($edgeCount edges remain); raise maxRounds")
     // an emptied graph falls through: the agg of an empty edge list
     // is an empty (page, core_degree) frame with the right schema
     cur.select(col("a").as("page"))

@@ -165,7 +165,7 @@ object Vocab {
     val corpus = st.groupBy("token").agg(sum("c").as("ct"))
     val totals = st.groupBy("source").agg(sum("c").as("n_tokens"))
     val grand = st.agg(sum("c").as("grand_n"))
-    st.join(corpus, "token")
+    val out = st.join(corpus, "token")
       .join(broadcast(totals), "source")
       .crossJoin(broadcast(grand))   // 1-row stat factor
       .withColumn("__p", col("c").cast("double") / col("n_tokens"))
@@ -175,6 +175,12 @@ object Vocab {
         round(sum(col("__p") * log2(col("__p") / col("__q"))), 6)
           .as("kl_bits"))
       .orderBy("source")
+      // the result is |sources| rows — materialize it eagerly so the
+      // working persist can be dropped HERE instead of leaking until
+      // some caller clears the cache (bench loops accumulated it)
+      .localCheckpoint(true)
+    st.unpersist()
+    out
   }
 
   /** DuckDB oracle for [[lexicalKl]]. */
@@ -242,7 +248,7 @@ object Vocab {
         sum("pa").as("__ma"), sum("pb").as("__mb"),
         count(lit(1)).as("n_shared"))
     val srcs = totals.select("source")
-    srcs.select(col("source").as("src_a"))
+    val out = srcs.select(col("source").as("src_a"))
       .crossJoin(srcs.select(col("source").as("src_b")))
       .where(col("src_a") < col("src_b"))   // |S|² pair grid
       .join(shared, Seq("src_a", "src_b"), "left_outer")
@@ -252,6 +258,11 @@ object Vocab {
         round(lit(0.5) * (col("__ka") + (lit(1.0) - col("__ma")) +
           col("__kb") + (lit(1.0) - col("__mb"))), 6).as("js_bits"))
       .orderBy("src_a", "src_b")
+      // |sources|² rows — eager-materialize, then drop the working
+      // persist here rather than leaking it to the caller's clearCache
+      .localCheckpoint(true)
+    d.unpersist()
+    out
   }
 
   /** DuckDB oracle for [[jsDivergenceMatrix]] on documents. */

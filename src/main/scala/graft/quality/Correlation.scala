@@ -31,7 +31,12 @@ object Correlation {
     import spark.implicits._
     var d = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
     cols.foreach { c =>
-      val freq = d.groupBy(col(c).as("__v"))
+      // ranks over NON-NULL values only, attached with a LEFT join: a
+      // row that is null in column c keeps its other columns and gets a
+      // null rank, so `corr` excludes it from exactly the pairs
+      // involving c — an inner equi-join here silently dropped any row
+      // with a null in ANY profiled column from ALL pair correlations
+      val freq = d.filter(col(c).isNotNull).groupBy(col(c).as("__v"))
         .agg(count(lit(1)).as("__c"))
       val wCum = Window.orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -40,7 +45,7 @@ object Correlation {
           coalesce(sum("__c").over(wCum), lit(0L)) +
             (col("__c") + 1.0) / 2.0)   // average rank over the tie run
         .select(col("__v").as(c), col("__rank").as(s"__r_$c"))
-      d = d.join(rk, Seq(c))
+      d = d.join(rk, Seq(c), "left")
     }
     val pairs = for {
       (a, i) <- cols.zipWithIndex; b <- cols.drop(i + 1)

@@ -91,6 +91,48 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("driver-side fit equals the distributed rounds merge-for-merge") {
+    val messy = corpus ++ Seq("tie tie pie pie", "ab ab ba ba")
+    val docs = messy.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val driver = BpeTrainer.fit(docs, "text", numMerges = 15,
+      minPairCount = 2)
+    val distributed = BpeTrainer.fit(docs, "text", numMerges = 15,
+      minPairCount = 2, maxDriverWords = 0L)
+    assert(driver == distributed,
+      s"\ndriver:      $driver\ndistributed: $distributed")
+  }
+
+  test("native bpe_apply is byte-identical to the regex-tower reference") {
+    // messy corpus: repeats (memo path), unicode incl. a surrogate
+    // pair, digits/punct, the stripped U+0001 separator, words that
+    // fuse </w>, runs that exercise greedy non-overlap, empty-ish docs
+    val messy = Seq(
+      "low lower lowest low low newest newest",
+      "aaaa aaa aa a",
+      "héllo héllo naïve 😀ab a😀b cœur",
+      "xy ab ",
+      "punct, punct, punct. 123 1234 12",
+      "   ", "singleword",
+      "newest newest newest widest widest low")
+    val docs = messy.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = BpeTrainer.fit(docs, "text", numMerges = 20,
+      minPairCount = 2)
+    assert(merges.nonEmpty)
+    val native = BpeTrainer.tokenizeWith(docs, merges)
+      .select($"doc_id", $"bpe_syms").as[(Long, Seq[Seq[String]])]
+      .collect().sortBy(_._1)
+    val regex = BpeTrainer.tokenizeWithRegex(docs, merges)
+      .select($"doc_id", $"bpe_syms").as[(Long, Seq[Seq[String]])]
+      .collect().sortBy(_._1)
+    assert(native.length == regex.length)
+    native.zip(regex).foreach { case ((id1, a), (id2, b)) =>
+      assert(id1 == id2)
+      assert(a == b, s"doc $id1: native $a != regex $b")
+    }
+  }
+
   test("merge application is greedy left-to-right on runs") {
     // 'aaaa' with the single merge (a,a) must become [aa, aa, </w>];
     // 'aaa' becomes [aa, a, </w>] — the consumed-boundary bug would

@@ -56,6 +56,30 @@ class GrowthSpec extends AnyFunSuite {
     }
   }
 
+  test("growth accounting: net telescopes across a fully-inactive day") {
+    // day1: u1, u2. day2: NOBODY. day3: u1 returns.
+    // The spine row for day2 must carry churned=2, net=-2; day3 then
+    // sees prev_dau=0 and books u1 as resurrected — net sums to the
+    // total DAU delta over ANY span, gap or not.
+    val e = frame(Seq(ev(1, 1, 1), ev(2, 2, 1), ev(3, 1, 3)))
+    val rows = Growth.accounting(e)
+      .select("d", "dau", "new_users", "retained", "resurrected",
+        "churned", "net")
+      .collect().sortBy(_.getDate(0).toString)
+    assert(rows.length == 3, "spine must include the silent day")
+    val byDay = rows.map(r => r.getDate(0).toString -> r).toMap
+    val gap = byDay("2024-04-02")
+    assert(gap.getLong(1) == 0L && gap.getLong(5) == 2L &&
+      gap.getLong(6) == -2L, s"gap day: $gap")
+    val back = byDay("2024-04-03")
+    assert(back.getLong(4) == 1L && back.getLong(6) == 1L,
+      s"return day: $back")
+    rows.sliding(2).foreach { p =>
+      assert(p(1).getLong(6) == p(1).getLong(1) - p(0).getLong(1),
+        "net = DAU delta must hold on EVERY consecutive spine pair")
+    }
+  }
+
   test("ses: closed-form window equals the textbook recursion") {
     val counts = Seq(4, 7, 2, 9, 5, 6)
     val e = frame(counts.zipWithIndex.flatMap { case (n, d) =>
