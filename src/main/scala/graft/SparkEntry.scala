@@ -140,8 +140,8 @@ object SparkEntry {
     //      monotone least-squares probability map a thresholding
     //      curation rule consumes (q137 displays the curve; this
     //      fixes it); bin agg distributed, PAVA on ≤64 driver rows.
-    //      Driver-sequential PAVA ⇒ rows-only; least-squares-monotone
-    //      semantics pinned by IsotonicSpec's brute-force referee ----
+    //      Oracled via the Barlow–Brunk min-max closed form (plain
+    //      prefix-sum SQL); IsotonicSpec keeps the brute-force referee ----
     "q285_isotonic" -> ((s, dir) =>
       graft.operators.QualityModel.isotonicCalibration(
         t(s, dir, "documents").select(
@@ -852,7 +852,8 @@ object SparkEntry {
 
     // ---- FFD no-split packing summary: per-bucket first-fit-
     //      decreasing inside flatMapGroups (token COUNTS shuffle,
-    //      never text); greedy order not SQL-expressible ⇒ rows-only,
+    //      never text); oracled via a recursive CTE carrying each
+    //      bucket's open-bin residual list, one step per doc;
     //      capacity/efficiency invariants in SequencePackSpec ----
     "q207_pack_ffd" -> ((s, dir) =>
       graft.operators.SequencePack.ffdSummary(
@@ -3523,6 +3524,15 @@ object SparkEntry {
 
     "q284_nb_fit" ->
       graft.operators.Anomaly.negativeBinomialOracleSql,
+
+    "q285_isotonic" ->
+      graft.operators.QualityModel.isotonicOracleSql,
+
+    "q278_kcore" ->
+      graft.operators.KCore.navigationKCoreOracleSql(k = 3),
+
+    "q207_pack_ffd" ->
+      graft.operators.SequencePack.ffdSummaryOracleSql(seqLen = 512),
 
     // weekday encodings differ (DuckDB Sun=0, Spark Sun=1) but the
     // association statistics depend only on the PARTITION, which is

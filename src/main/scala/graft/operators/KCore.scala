@@ -78,4 +78,42 @@ object KCore {
   /** k-core of the clickstream page graph. */
   def navigationKCore(events: DataFrame, k: Int): DataFrame =
     kCore(GraphRank.navigationEdges(events), k)
+
+  /** DuckDB oracle for [[navigationKCore]]: the round-wise peel
+    * UNROLLED to `rounds` static CTE pairs (degrees → surviving
+    * edges). Peeling is monotone — once the fixpoint lands, further
+    * rounds are identity — so any `rounds` ≥ the graph's peel depth
+    * replays the engine's fixpoint exactly (parity runs at both SFs
+    * are the witness; depth is single digits on these graphs, 24 is
+    * a wide margin). Avoids recursive-CTE aggregation limits
+    * entirely. */
+  def navigationKCoreOracleSql(k: Int = 3, rounds: Int = 24): String = {
+    val base =
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        |  FROM (
+        |    SELECT page AS src,
+        |      LEAD(page) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS dst
+        |    FROM (SELECT user_id, ts, event_id,
+        |        CAST(props->>'k' AS INTEGER) AS page FROM events)
+        |    WHERE page IS NOT NULL)
+        |  WHERE dst IS NOT NULL AND src <> dst)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""n$r AS MATERIALIZED (
+         |  SELECT page FROM (
+         |    SELECT a AS page FROM e${r - 1}
+         |    UNION ALL SELECT b FROM e${r - 1})
+         |  GROUP BY 1 HAVING COUNT(*) >= $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${r - 1} e
+         |  JOIN n$r x ON e.a = x.page
+         |  JOIN n$r y ON e.b = y.page)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$base$steps
+       |SELECT page, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+       |  SELECT a AS page FROM e$rounds
+       |  UNION ALL SELECT b FROM e$rounds)
+       |GROUP BY 1 ORDER BY page""".stripMargin
+  }
 }

@@ -204,10 +204,74 @@ object QualityModel {
         case -1 => 0
         case i  => i
       }
-      (b, n, math.rint(x / n * 1e6) / 1e6,
-        math.rint(stack(pi).rate * 1e6) / 1e6)
+      // HALF_UP like Spark's round() and DuckDB's ROUND — the fit is
+      // hash-oracled, so the boundary rule must match the oracle's
+      (b, n, round6(x / n), round6(stack(pi).rate))
     }
     rates.toSeq.toDF("bin", "n_docs", "raw_rate", "iso_rate")
       .orderBy("bin")
   }
+
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** DuckDB oracle for [[isotonicCalibration]] as registered on the
+    * documents table (quality-score bins vs the length label,
+    * nBins = 64). PAVA is replayed through its CLASSICAL closed form
+    * (Barlow–Brunk 1972): ŷᵢ = min_{j≥i} max_{k≤i} mean(k..j) over
+    * the weighted bin means — O(B³) over ≤64 non-empty bins, so plain
+    * prefix-sum joins, no recursion. Both engines divide the same
+    * exact-integer sums, so the doubles agree bit-for-bit. */
+  val isotonicOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, str_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS DOUBLE) AS n,
+      |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS sl,
+      |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+      |      ('the','a','of','and','to','in','is','on',
+      |       'der','die','das','und','ist','nicht','ein','zu',
+      |       'el','la','de','que','y','en','un','es',
+      |       'le','et','les','des','est','une') THEN 1 ELSE 0 END))
+      |      AS DOUBLE) AS st
+      |  FROM t),
+      |q AS (
+      |  SELECT doc_id, ROUND(
+      |    LEAST(n / 16.0, 1.0) * 0.4 +
+      |    (CASE WHEN sl / n BETWEEN 2.0 AND 9.0 THEN 1.0 ELSE 0.5 END) * 0.4 +
+      |    LEAST(st / n * 4.0, 1.0) * 0.2, 4) AS quality
+      |  FROM s),
+      |l AS (
+      |  SELECT q.quality,
+      |    CASE WHEN d.n_chars >= 300 THEN 1.0 ELSE 0.0 END AS lab
+      |  FROM q JOIN documents d USING (doc_id)),
+      |binned AS (
+      |  SELECT CAST(LEAST(CAST(floor(quality * 64) AS INTEGER), 63) + 1
+      |      AS INTEGER) AS bin,
+      |    COUNT(*) AS n, SUM(lab) AS x
+      |  FROM l GROUP BY 1),
+      |ord AS (
+      |  SELECT bin, n, x, ROW_NUMBER() OVER (ORDER BY bin) AS i
+      |  FROM binned),
+      |pre AS (
+      |  SELECT i, bin, n, x,
+      |    SUM(CAST(n AS DOUBLE)) OVER (ORDER BY i) AS cw,
+      |    SUM(CAST(x AS DOUBLE)) OVER (ORDER BY i) AS cx
+      |  FROM ord),
+      |seg AS (
+      |  SELECT k.i AS k, j.i AS j,
+      |    (j.cx - COALESCE(km.cx, 0)) / (j.cw - COALESCE(km.cw, 0)) AS m
+      |  FROM pre k JOIN pre j ON j.i >= k.i
+      |  LEFT JOIN pre km ON km.i = k.i - 1),
+      |upper AS (
+      |  SELECT p.i, seg.j, MAX(seg.m) AS mx
+      |  FROM pre p JOIN seg ON seg.k <= p.i AND seg.j >= p.i
+      |  GROUP BY 1, 2),
+      |iso AS (SELECT i, MIN(mx) AS iso FROM upper GROUP BY 1)
+      |SELECT o.bin, CAST(o.n AS BIGINT) AS n_docs,
+      |  ROUND(CAST(o.x AS DOUBLE) / o.n, 6) AS raw_rate,
+      |  ROUND(iso.iso, 6) AS iso_rate
+      |FROM ord o JOIN iso ON iso.i = o.i ORDER BY o.bin""".stripMargin
 }

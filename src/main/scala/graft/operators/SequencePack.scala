@@ -162,4 +162,66 @@ object SequencePack {
       .withColumn("efficiency",
         round(ceil(col("kept_tokens").cast("double") / seqLen) /
           col("n_bins").cast("double"), 6))
+
+  /** DuckDB oracle for [[ffdSummary]]: the per-bucket greedy
+    * first-fit-decreasing replayed as a recursive CTE whose carried
+    * state is each bucket's open-bin residual LIST — one recursion
+    * step per document in (tokens desc, doc_id) order, the first
+    * fitting bin found by a `list_filter` over the residuals (the
+    * fit index is inlined three times because a recursive term can't
+    * name a lateral intermediate). All-integer arithmetic, so parity
+    * with the engine's `flatMapGroups` pass is exact. */
+  def ffdSummaryOracleSql(seqLen: Int = 512,
+      bucketSize: Int = 4096): String = {
+    val fitIdx = "list_filter(range(1, len(p.residual) + 1), " +
+      s"ii -> p.residual[ii] >= o.kept)"
+    s"""WITH RECURSIVE d0 AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(str_split_regex(trim(text), '\\s+'),
+       |      x -> x <> '')) AS BIGINT) AS n,
+       |    CAST(doc_id // $bucketSize AS BIGINT) AS bucket
+       |  FROM documents),
+       |ordered AS (
+       |  SELECT bucket, doc_id, n, LEAST(n, $seqLen) AS kept,
+       |    ROW_NUMBER() OVER (PARTITION BY bucket
+       |      ORDER BY n DESC, doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY bucket) AS n_in_bucket
+       |  FROM d0),
+       |pack AS (
+       |  SELECT bucket, CAST(0 AS BIGINT) AS rn,
+       |    CAST([] AS BIGINT[]) AS residual, n_in_bucket
+       |  FROM (SELECT DISTINCT bucket, n_in_bucket FROM ordered)
+       |  UNION ALL
+       |  SELECT p.bucket, o.rn,
+       |    CASE WHEN len($fitIdx) = 0
+       |      THEN list_append(p.residual, $seqLen - o.kept)
+       |      ELSE list_concat(list_concat(
+       |             p.residual[1:$fitIdx[1] - 1],
+       |             [p.residual[$fitIdx[1]] - o.kept]),
+       |             p.residual[$fitIdx[1] + 1:])
+       |    END AS residual,
+       |    p.n_in_bucket
+       |  FROM pack p
+       |  JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1),
+       |final AS (
+       |  SELECT bucket, len(residual) AS bins
+       |  FROM pack WHERE rn = n_in_bucket),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs, SUM(n) AS n_tokens,
+       |    SUM(kept) AS kept_tokens,
+       |    SUM(CASE WHEN n > $seqLen THEN 1 ELSE 0 END) AS n_truncated
+       |  FROM ordered),
+       |binsum AS (SELECT SUM(bins) AS n_bins FROM final)
+       |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(kept_tokens AS BIGINT) AS kept_tokens,
+       |  CAST(n_tokens - kept_tokens AS BIGINT) AS dropped_tokens,
+       |  CAST(n_bins AS BIGINT) AS n_bins,
+       |  CAST(n_truncated AS BIGINT) AS n_truncated,
+       |  ROUND(CAST(kept_tokens AS DOUBLE) / (n_bins * $seqLen), 6)
+       |    AS fill_frac,
+       |  ROUND(ceil(CAST(kept_tokens AS DOUBLE) / $seqLen) / n_bins, 6)
+       |    AS efficiency
+       |FROM stats, binsum""".stripMargin
+  }
 }

@@ -104,7 +104,8 @@ class IsotonicSpec extends AnyFunSuite {
     }
     val got = run(rows, nBins = 8)
     val binsRef = got.map(r => (r._2.toDouble, r._3))
-    val ref = refPava(binsRef).map(v => math.rint(v * 1e6) / 1e6)
+    val ref = refPava(binsRef).map(v => BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(got.map(_._4).toSeq == ref.toSeq,
       s"engine ${got.map(_._4).toSeq} vs reference $ref")
   }
