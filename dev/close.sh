@@ -1,0 +1,88 @@
+#!/usr/bin/env bash
+# Mechanized round close — regenerates EVERY gate artifact from the
+# CURRENT tree (the round-8/round-10 failure mode was closing on
+# evidence older than the last commits). Usage:
+#
+#   dev/close.sh <label> [prev_close.json]
+#
+# e.g. dev/close.sh r11a dev/bench_r10f_close.json
+#
+# Writes dev/oracle_parity_sf0.01_<label>.txt,
+#        dev/oracle_parity_sf0.1_<label>.txt,
+#        dev/bench_<label>_close.json
+# and REFUSES to overwrite existing artifacts (pick a fresh label).
+# Steps: compile -> full test suite (SKIP_TESTS=1 to skip) ->
+# PlanAudit -> Verify+DuckDB parity at BOTH SFs -> bench at sf0.1 ->
+# query-count assertion (bench keys == verify dirs, zero failures) ->
+# gate-geomean / breach / regression report -> dirty-tree check.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+LABEL="${1:?usage: dev/close.sh <label> [prev_close.json]}"
+PREV="${2:-}"
+P001="dev/oracle_parity_sf0.01_${LABEL}.txt"
+P01="dev/oracle_parity_sf0.1_${LABEL}.txt"
+BENCH="dev/bench_${LABEL}_close.json"
+for f in "$P001" "$P01" "$BENCH"; do
+  [ -e "$f" ] && { echo "REFUSING: $f exists — pick a fresh label"; exit 1; }
+done
+
+echo "== [1/7] compile =="
+sbt -batch compile >/dev/null
+
+if [ "${SKIP_TESTS:-0}" != "1" ]; then
+  echo "== [2/7] full test suite =="
+  sbt -batch test 2>&1 | tail -3
+else
+  echo "== [2/7] tests SKIPPED by request =="
+fi
+
+echo "== [3/7] PlanAudit =="
+sbt -batch "runMain graft.PlanAudit" 2>&1 | grep -E "\[audit\]" | tail -1 \
+  | tee /tmp/close_audit.txt
+grep -q "flagged=0" /tmp/close_audit.txt || { echo "PlanAudit FLAGGED"; exit 1; }
+
+echo "== [4/7] oracle parity sf0.01 =="
+rm -rf /tmp/close_verify001
+SPARK_GRAFT_CPUS=32 sbt -batch \
+  "runMain graft.Verify /root/testdata/sf0.01 /tmp/close_verify001" \
+  > /dev/null 2>&1 || { echo "Verify sf0.01 crashed"; exit 1; }
+python3 dev/check_oracle.py /root/testdata/sf0.01 /tmp/close_verify001 \
+  | tee "$P001" | tail -3
+grep -q "FAILURES: 0" "$P001" || { echo "PARITY FAILURES at sf0.01"; exit 1; }
+[ "$(cat /tmp/close_verify001/_failures.json)" = "{}" ] \
+  || { echo "Verify recorded query failures"; exit 1; }
+
+echo "== [5/7] oracle parity sf0.1 =="
+rm -rf /tmp/close_verify01
+SPARK_GRAFT_CPUS=32 sbt -batch \
+  "runMain graft.Verify /root/testdata/sf0.1 /tmp/close_verify01" \
+  > /dev/null 2>&1 || { echo "Verify sf0.1 crashed"; exit 1; }
+python3 dev/check_oracle.py /root/testdata/sf0.1 /tmp/close_verify01 \
+  | tee "$P01" | tail -3
+grep -q "FAILURES: 0" "$P01" || { echo "PARITY FAILURES at sf0.1"; exit 1; }
+[ "$(cat /tmp/close_verify01/_failures.json)" = "{}" ] \
+  || { echo "Verify recorded query failures"; exit 1; }
+
+echo "== [6/7] close bench at sf0.1 =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench" > /tmp/close_bench.log 2>&1 \
+  || { echo "bench crashed"; tail -5 /tmp/close_bench.log; exit 1; }
+grep -o '{"metric".*' /tmp/close_bench.log > "$BENCH"
+
+echo "== [7/7] assertions + report =="
+N_BENCH=$(python3 -c "import json,sys; print(len(json.load(open('$BENCH'))['queries']))")
+N_VERIFY=$(find /tmp/close_verify01 -mindepth 1 -maxdepth 1 -type d | wc -l)
+echo "bench queries: $N_BENCH   verify dirs: $N_VERIFY"
+[ "$N_BENCH" = "$N_VERIFY" ] \
+  || { echo "COUNT MISMATCH: bench $N_BENCH != verify $N_VERIFY"; exit 1; }
+python3 dev/bench_report.py "$BENCH" ${PREV:+"$PREV"}
+
+if [ -n "$(git status --porcelain)" ]; then
+  echo "WARNING: tree is DIRTY — the artifacts above describe uncommitted"
+  echo "state; commit (including these artifacts) before calling the round"
+  echo "closed:"
+  git status --short
+  exit 1
+fi
+echo "CLOSE OK: $P001 $P01 $BENCH all regenerated from HEAD"
