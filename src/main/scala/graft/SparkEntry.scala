@@ -1528,6 +1528,31 @@ object SparkEntry {
     // ---- Multimodal: binary payload + stubbed decode plumbing ----
     "q24_multimodal_features" -> ((s, dir) => Multimodal.featureTable(s, dir)),
 
+    // ---- Multimodal image via the JDK's REAL compressed codec:
+    //      gradient assets PNG-encoded with javax.imageio, decoded
+    //      back by ImageIoDecoder, per-asset pixel statistics. The
+    //      oracle replays the closed-form gradient in SQL — hash
+    //      parity certifies the entire PNG encode→decode cycle
+    //      (projection sticks to exactly-reproducible features:
+    //      integer-sum channel means, pixel-identical luma min/max;
+    //      byte length and luma-mean are PNG-writer/sum-order
+    //      dependent and stay out) ----
+    "q289_png_features" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.featurize(Multimodal.pngFromDocuments(s, dir),
+          Multimodal.ImageIoDecoder)
+        .toDF()
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("int").as("width"),
+          element_at(col("features"), 2).cast("int").as("height"),
+          round(element_at(col("features"), 3), 6).as("mean_r"),
+          round(element_at(col("features"), 4), 6).as("mean_g"),
+          round(element_at(col("features"), 5), 6).as("mean_b"),
+          round(element_at(col("features"), 6), 6).as("luma_min"),
+          round(element_at(col("features"), 8), 6).as("luma_max"))
+        .orderBy("media_id")
+    }),
+
     // ---- Multimodal audio: REAL RIFF/WAVE chunk walk + 16-bit PCM
     //      signal features (rms/peak/zero-crossing rate) behind the
     //      same Decoder boundary (deterministic synthetic assets;
@@ -3533,6 +3558,37 @@ object SparkEntry {
 
     "q207_pack_ffd" ->
       graft.operators.SequencePack.ffdSummaryOracleSql(seqLen = 512),
+
+    // closed-form replay of Multimodal.generatePpm's gradient — the
+    // engine only reaches these numbers through a real PNG
+    // encode→decode round trip, so parity certifies the codec path
+    "q289_png_features" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id,
+        |    CAST(8 + doc_id % 8 AS INTEGER) AS w,
+        |    CAST(8 + doc_id % 5 AS INTEGER) AS h
+        |  FROM documents),
+        |xs AS (SELECT id, w, h, UNNEST(range(0, w)) AS x FROM ids),
+        |px AS (
+        |  SELECT id, w, h, x, UNNEST(range(0, h)) AS y FROM xs),
+        |rgb AS (
+        |  SELECT id, w, h,
+        |    CAST((x * 255) // greatest(1, w - 1) AS BIGINT) AS r,
+        |    CAST((y * 255) // greatest(1, h - 1) AS BIGINT) AS g,
+        |    CAST((x + y + id) % 256 AS BIGINT) AS b
+        |  FROM px),
+        |lum AS (
+        |  SELECT id, w, h, r, g, b,
+        |    CAST(0.299 AS DOUBLE) * r + CAST(0.587 AS DOUBLE) * g +
+        |      CAST(0.114 AS DOUBLE) * b AS luma
+        |  FROM rgb)
+        |SELECT id AS media_id, w AS width, h AS height,
+        |  ROUND(CAST(SUM(r) AS DOUBLE) / (w * h), 6) AS mean_r,
+        |  ROUND(CAST(SUM(g) AS DOUBLE) / (w * h), 6) AS mean_g,
+        |  ROUND(CAST(SUM(b) AS DOUBLE) / (w * h), 6) AS mean_b,
+        |  ROUND(MIN(luma), 6) AS luma_min,
+        |  ROUND(MAX(luma), 6) AS luma_max
+        |FROM lum GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
 
     // weekday encodings differ (DuckDB Sun=0, Spark Sun=1) but the
     // association statistics depend only on the PARTITION, which is

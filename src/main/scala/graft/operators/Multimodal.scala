@@ -6,11 +6,19 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition in batches.
   *
-  * The actual media decode is STUBBED (this environment has no image /
-  * audio libraries): `FakeDecoder` produces a deterministic feature
-  * vector from the bytes. Everything around it — schema, batch shape,
-  * partition sizing, the `mapPartitions` boundary where a real decoder
-  * (JNI/ffmpeg/JCodec) would slot in — is real and tested. At scale the
+  * Decode coverage is tiered by what a JVM can honestly do without
+  * native libraries:
+  *  - REAL decoders for P6 netpbm ([[PpmDecoder]]), PCM WAV
+  *    ([[WavDecoder]]) and the JDK's own compressed raster codecs —
+  *    PNG/BMP/GIF via `javax.imageio` ([[ImageIoDecoder]]) — plus real
+  *    pixel transforms (resize, frame sampling, perceptual hash);
+  *  - [[FakeDecoder]] remains ONLY as the stand-in for codecs that
+  *    genuinely need native bindings (mp3/flac/h264), producing a
+  *    deterministic feature vector from the bytes so the plumbing is
+  *    exercised end-to-end.
+  * Everything around the [[Decoder]] seam — schema, batch shape,
+  * partition sizing, the `mapPartitions` boundary where a JNI/ffmpeg
+  * codec would slot in — is identical across tiers. At scale the
   * binary payloads dominate partition size, so callers should set
   * `spark.sql.files.maxPartitionBytes` for the payload, not the row
   * count, and the decode runs embarrassingly parallel with no shuffle.
@@ -188,6 +196,121 @@ object Multimodal {
           nFrames.toDouble / rate, math.sqrt(sumSq / n), peak,
           crossings / n))
     }
+  }
+
+  /** REAL decoder for the JDK's own raster codecs (PNG, BMP, GIF —
+    * `javax.imageio` ships with the JVM, no native libs): decodes the
+    * actual compressed bytes to pixels and emits the SAME feature
+    * layout as [[PpmDecoder]] — `[width, height, meanR, meanG, meanB,
+    * lumaMin, lumaMean, lumaMax]` — so the two decoders are
+    * interchangeable behind the [[Decoder]] seam and a spec can pin
+    * PNG-decoded features equal to the uncompressed PPM twin's.
+    * Headless-safe (pure BufferedImage, no display pipeline);
+    * malformed payloads throw fail-fast like a codec would. */
+  object ImageIoDecoder extends Decoder {
+    def decode(row: MediaRow): MediaFeatures = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.payload))
+      require(img != null,
+        s"imageio could not decode media_id=${row.media_id} " +
+          s"(${row.payload.length} bytes)")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0.0, 0.0, 0.0)
+      var (lumMin, lumMax, lumSum) = (Double.MaxValue, Double.MinValue, 0.0)
+      var checksum = 1125899906842597L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          sr += r; sg += g; sb += b
+          val luma = 0.299 * r + 0.587 * g + 0.114 * b
+          if (luma < lumMin) lumMin = luma
+          if (luma > lumMax) lumMax = luma
+          lumSum += luma
+          checksum = 31 * (31 * (31 * checksum + r) + g) + b
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble
+      MediaFeatures(row.media_id, row.mime, row.payload.length.toLong,
+        checksum,
+        Array(w.toDouble, h.toDouble, sr / n, sg / n, sb / n,
+          lumMin, lumSum / n, lumMax))
+    }
+  }
+
+  /** Encode pixel bytes (P6 layout in → real PNG out) through the
+    * JDK's PNG writer: the twin generator that lets the ImageIO path
+    * run on GENUINELY compressed bytes while the expected features
+    * stay defined by the same pixels as the PPM asset. */
+  def encodePng(ppmPayload: Array[Byte]): Array[Byte] = {
+    val (w, h, maxVal, off) = PpmDecoder.parseHeader(ppmPayload)
+    require(maxVal < 256, "only 1-byte-per-sample ppm supported")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = off + 3 * (y * w + x)
+        img.setRGB(x, y, ((ppmPayload(p) & 0xff) << 16) |
+          ((ppmPayload(p + 1) & 0xff) << 8) | (ppmPayload(p + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos),
+      "JDK png writer unavailable")
+    bos.toByteArray
+  }
+
+  /** Nearest-neighbor resize of a PNG/BMP payload through the real
+    * decode→raster→re-encode cycle (mirrors [[resizePpm]]'s sampling
+    * arithmetic exactly, so the block-pattern fixtures survive a
+    * cross-codec resize with identical pixels). */
+  def resizeImageIo(payload: Array[Byte], outW: Int, outH: Int,
+      format: String = "png"): Array[Byte] = {
+    require(outW > 0 && outH > 0, "target geometry must be positive")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "imageio could not decode payload")
+    val out = new java.awt.image.BufferedImage(outW, outH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < outH) {
+      val srcY = y * img.getHeight / outH
+      var x = 0
+      while (x < outW) {
+        out.setRGB(x, y, img.getRGB(x * img.getWidth / outW, srcY))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(out, format, bos),
+      s"JDK $format writer unavailable")
+    bos.toByteArray
+  }
+
+  /** Demo media table of real PNG assets (same pixels as
+    * [[ppmFromDocuments]]'s gradients, genuinely PNG-compressed),
+    * payloads generated on-executor — no driver materialization, no
+    * shuffle. */
+  def pngFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = 8 + (id % 8).toInt
+        val h = 8 + (id % 5).toInt
+        MediaRow(id, "image/png", w, h, encodePng(generatePpm(w, h, id)))
+      }
   }
 
   /** Deterministic PCM WAV asset: seeded dual-tone sine (StrictMath —

@@ -203,6 +203,63 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+
+  test("ImageIoDecoder: PNG round trip reproduces the PPM twin exactly") {
+    // same pixels, two routes: raw P6 parse vs JDK PNG encode->decode.
+    // Every feature INCLUDING the pixel-rolling checksum must agree -
+    // the compression round trip is lossless or this fails.
+    Seq(5L, 12L, 999L).foreach { id =>
+      val ppm = Multimodal.generatePpm(13, 9, id)
+      val png = Multimodal.encodePng(ppm)
+      assert(png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47),
+        "payload must be a real PNG (magic bytes)")
+      val viaPpm = Multimodal.PpmDecoder.decode(
+        Multimodal.MediaRow(id, "image/x-portable-pixmap", 13, 9, ppm))
+      val viaPng = Multimodal.ImageIoDecoder.decode(
+        Multimodal.MediaRow(id, "image/png", 13, 9, png))
+      assert(viaPng.checksum == viaPpm.checksum, "pixel checksum")
+      assert(viaPng.features.toSeq == viaPpm.features.toSeq,
+        s"features: ${viaPng.features.toSeq} vs ${viaPpm.features.toSeq}")
+    }
+  }
+
+  test("ImageIoDecoder: BMP decodes through the same seam") {
+    val ppm = Multimodal.generatePpm(8, 8, 3L)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodePng(ppm)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bos))
+    val viaBmp = Multimodal.ImageIoDecoder.decode(
+      Multimodal.MediaRow(3L, "image/bmp", 8, 8, bos.toByteArray))
+    val viaPpm = Multimodal.PpmDecoder.decode(
+      Multimodal.MediaRow(3L, "image/x-portable-pixmap", 8, 8, ppm))
+    assert(viaBmp.features.toSeq == viaPpm.features.toSeq)
+  }
+
+  test("resizeImageIo matches resizePpm pixel-for-pixel") {
+    val ppm = Multimodal.generateBlockPpm(16, 16, 7L)
+    val viaIo = Multimodal.ImageIoDecoder.decode(Multimodal.MediaRow(
+      7L, "image/png", 24, 24,
+      Multimodal.resizeImageIo(Multimodal.encodePng(ppm), 24, 24)))
+    val viaPpm = Multimodal.PpmDecoder.decode(Multimodal.MediaRow(
+      7L, "image/x-portable-pixmap", 24, 24,
+      Multimodal.resizePpm(ppm, 24, 24)))
+    assert(viaIo.checksum == viaPpm.checksum)
+    assert(viaIo.features.toSeq == viaPpm.features.toSeq)
+  }
+
+  test("png decode runs distributed over generated assets") {
+    val feats = Multimodal.featurize(
+      Multimodal.pngFromDocuments(spark, "/root/testdata/sf0.001"),
+      Multimodal.ImageIoDecoder).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val (w, h) = (8 + (f.media_id % 8).toInt, 8 + (f.media_id % 5).toInt)
+      assert(f.features(0) == w.toDouble && f.features(1) == h.toDouble,
+        s"asset ${f.media_id}: geometry ${f.features.toSeq}")
+    }
+  }
+
   test("imageNearDups pairs each asset with exactly its resized copy") {
     val base = spark.range(0, 40).as[Long]
       .map(id => MediaRow(id, "image/x-portable-pixmap", 16, 16,
