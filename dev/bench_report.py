@@ -67,8 +67,8 @@ def main():
         sys.exit("bench recorded zero queries")
     print(f"queries: {len(qs)}  total: {sum(qs.values()):.1f}s")
 
-    gates = gate_times(os.path.dirname(os.path.abspath(sys.argv[1]))
-                       .removesuffix("/dev"))
+    gates = gate_times(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
     ratios = {q: t / gates[q] for q, t in qs.items()
               if q in gates and gates[q] > 0}
     if ratios:

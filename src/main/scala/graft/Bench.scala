@@ -9,6 +9,11 @@ object Bench {
     // session is never touched
     val swept = graft.util.TempDirs.sweepStale()
     if (swept > 0) System.err.println(s"[bench] swept $swept stale temp dirs")
+    // the session default (2min periodic driver GC, right for untimed
+    // Verify/test sessions) would land full-GC pauses INSIDE timed
+    // slots here; the bench drives ContextCleaner itself with the
+    // between-query System.gc() below, so park the periodic one
+    System.setProperty("spark.cleaner.periodicGC.interval", "120min")
     val spark = GraftSession.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/parquet-footer paths so the first measured

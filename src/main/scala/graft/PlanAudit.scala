@@ -135,7 +135,18 @@ object PlanAudit {
     // Mann–Kendall: the q236 calendar² pair cross + 1-row n/tie rows
     "q287_mann_kendall",
     // runs test: the exact-median row is a 1-row stat factor
-    "q288_runs_test")
+    "q288_runs_test",
+    // KW: the (N, ties) totals are a 1-row stat factor into the
+    // per-group rank sums (the MWU/q216 shape)
+    "q290_kruskal_wallis",
+    // Ljung–Box rides q213's ACF crosses + its own 1-row day count
+    "q291_ljung_box",
+    // UniMax: 1-row (L, B) totals + 1-row water level into the
+    // stratum-cardinality cap table
+    "q293_unimax_budget",
+    // AD: the (n_a, n_b, N) totals are a 1-row stat factor into the
+    // pooled value-frequency table (the KS/q178 shape)
+    "q295_ad_twosample")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

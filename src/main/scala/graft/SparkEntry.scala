@@ -116,6 +116,46 @@ object SparkEntry {
         col("user_id") % 2 === 1, col("x"), col("y"), col("user_id"))
     }),
 
+    // ---- Kruskal–Wallis H across ALL event types at once: the
+    //      k-group omnibus the pairwise MWU (q249) can't give without
+    //      multiplicity; pooled value-frequency ranks, H ~ χ²(k−1) ----
+    "q290_kruskal_wallis" -> ((s, dir) =>
+      graft.operators.Experiment.kruskalWallis(t(s, dir, "events"),
+        col("event_type"), col("value"))),
+
+    // ---- Ljung–Box portmanteau on the daily-count series: one Q
+    //      statistic over q213's per-lag ACF — "any autocorrelation
+    //      left at all?", Q ~ χ²(m) under white noise ----
+    "q291_ljung_box" -> ((s, dir) =>
+      graft.operators.Anomaly.ljungBox(t(s, dir, "events"))),
+
+    // ---- Page–Hinkley sequential change detector on daily revenue:
+    //      the cumulative-deviation alarm trace beside q224's CUSUM
+    //      (running-mean baseline instead of a frozen one) ----
+    "q292_page_hinkley" -> ((s, dir) =>
+      graft.operators.Anomaly.pageHinkley(t(s, dir, "events"))),
+
+    // ---- UniMax water-filling budget allocation across languages:
+    //      closed-form fair sampling under the 4-epoch cap — the
+    //      allocation q136's weighted plan only feasibility-checks;
+    //      budget = 2× corpus tokens exercises both regimes ----
+    "q293_unimax_budget" -> ((s, dir) =>
+      graft.operators.Curation.unimaxAllocation(t(s, dir, "documents"),
+        budgetTokensPerCorpus = 2.0)),
+
+    // ---- Rényi entropy profile per source (α = ½, 1, 2): the
+    //      tokenizer-efficiency spectrum (Zouhar ACL'23) beside the
+    //      Shannon-only q78; eff_vocab = 2^H beside raw vocab ----
+    "q294_renyi_entropy" -> ((s, dir) =>
+      graft.operators.Vocab.renyiProfile(t(s, dir, "documents"))),
+
+    // ---- Anderson–Darling 2-sample between weekday/weekend value
+    //      cohorts: the tail-weighted drift test beside KS (q178) —
+    //      tie-adjusted Scholz–Stephens statistic ----
+    "q295_ad_twosample" -> ((s, dir) =>
+      graft.operators.Drift.adTwoSample(t(s, dir, "events"),
+        dayofweek(col("ts")).isin(1, 7), col("value"))),
+
     // ---- Wald–Wolfowitz runs test on daily revenue around its
     //      median: regime-clustering vs oscillation vs random — the
     //      sign-pattern check DW's lag-1 correlation can miss ----
@@ -3602,6 +3642,25 @@ object SparkEntry {
 
     "q288_runs_test" ->
       graft.operators.Anomaly.runsTestOracleSql,
+
+    "q290_kruskal_wallis" ->
+      graft.operators.Experiment.kruskalWallisOracleSql,
+
+    "q291_ljung_box" ->
+      graft.operators.Anomaly.ljungBoxOracleSql(),
+
+    "q292_page_hinkley" ->
+      graft.operators.Anomaly.pageHinkleyOracleSql(),
+
+    "q293_unimax_budget" ->
+      graft.operators.Curation.unimaxOracleSql(
+        budgetTokensPerCorpus = 2.0),
+
+    "q294_renyi_entropy" ->
+      graft.operators.Vocab.renyiOracleSql,
+
+    "q295_ad_twosample" ->
+      graft.operators.Drift.adTwoSampleOracleSql,
 
     "q269_ols_trend" ->
       graft.operators.Regression.olsTrendOracleSql,

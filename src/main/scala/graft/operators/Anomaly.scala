@@ -890,4 +890,101 @@ object Anomaly {
        |JOIN lags ON TRUE
        |JOIN cent b ON b.d = a.d + lag
        |GROUP BY lag ORDER BY lag""".stripMargin
+
+  /** Ljung–Box portmanteau test (Ljung & Box, Biometrika 1978) on the
+    * daily-count series: Q = n(n+2)·Σ_{k≤m} ρ̂ₖ²/(n−k), the "is there
+    * ANY autocorrelation left" reading on top of [[dailyAcf]]'s
+    * per-lag view — Q ~ χ²(m) under white noise. One row:
+    * `(n_days, max_lag, q_stat)` (compare against the χ²(m) critical
+    * value, the q286/q290 convention). Built ON the [[dailyAcf]]
+    * output — including its 6-decimal rounding — so the two queries
+    * can never disagree about ρ̂ₖ.
+    *
+    * Calendar-cardinality dataflow end-to-end; the day count is a
+    * 1-row broadcast stat factor. */
+  def ljungBox(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val acf = dailyAcf(events, maxLag)
+    val nd = events
+      .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("__n"))
+    acf.crossJoin(broadcast(nd))   // 1-row stat factor
+      .agg(
+        first("__n").as("n_days"),
+        count(lit(1)).as("max_lag"),
+        sum(col("acf") * col("acf") /
+          (col("__n") - col("lag")).cast("double")).as("__s"))
+      .select(
+        col("n_days").cast("bigint").as("n_days"),
+        col("max_lag").cast("bigint").as("max_lag"),
+        round(col("n_days").cast("double") *
+          (col("n_days").cast("double") + 2.0) * col("__s"), 6)
+          .as("q_stat"))
+  }
+
+  /** DuckDB oracle for [[ljungBox]]. */
+  def ljungBoxOracleSql(maxLag: Int = 7): String =
+    s"""WITH acf AS (${acfOracleSql(maxLag).replace("\n", "\n  ")}),
+       |nd AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM (
+       |    SELECT CAST(ts AS DATE) AS d FROM events GROUP BY 1))
+       |SELECT CAST(n AS BIGINT) AS n_days,
+       |  CAST(COUNT(*) AS BIGINT) AS max_lag,
+       |  ROUND(n * (n + 2.0) * SUM(acf * acf / (n - lag)), 6) AS q_stat
+       |FROM acf, nd GROUP BY n""".stripMargin
+
+  /** Page–Hinkley change detector (Page, Biometrika 1954; the
+    * sequential drift monitor beside [[cusumReport]]'s shift chart) on
+    * the daily revenue series: mₜ = Σ_{i≤t}(xᵢ − x̄ᵢ − δ) with x̄ᵢ the
+    * RUNNING mean, alarm when mₜ − min_{i≤t} mᵢ > λ. Emits the full
+    * per-day trace `(d, x, run_mean, ph, ph_min, alert)` — the table a
+    * monitoring dashboard plots, with the alarm column the pipeline
+    * gates on.
+    *
+    * Calendar-cardinality: one grouped day agg, then three stacked
+    * cumulative windows over the same ordered spec (ordered+framed —
+    * NOT the two-partition-spec shape the q220 corruption note bans). */
+  def pageHinkley(events: DataFrame, delta: Double = 0.0,
+      lambda: Double = 1000.0): DataFrame = {
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum("value").as("x"))
+      .withColumn("run_mean", avg("x").over(w))
+      .withColumn("ph",
+        sum(col("x") - col("run_mean") - lit(delta)).over(w))
+      .withColumn("ph_min", min("ph").over(w))
+      .select(col("d"),
+        round(col("x"), 6).as("x"),
+        round(col("run_mean"), 6).as("run_mean"),
+        round(col("ph"), 6).as("ph"),
+        round(col("ph_min"), 6).as("ph_min"),
+        (col("ph") - col("ph_min") > lambda).as("alert"))
+      .orderBy("d")
+  }
+
+  /** DuckDB oracle for [[pageHinkley]]. */
+  def pageHinkleyOracleSql(delta: Double = 0.0,
+      lambda: Double = 1000.0): String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS d, SUM(value) AS x
+       |  FROM events GROUP BY 1),
+       |rm AS (
+       |  SELECT d, x, AVG(x) OVER (ORDER BY d
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_mean
+       |  FROM daily),
+       |ph AS (
+       |  SELECT d, x, run_mean,
+       |    SUM(x - run_mean - CAST($delta AS DOUBLE)) OVER (ORDER BY d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+       |  FROM rm),
+       |mm AS (
+       |  SELECT d, x, run_mean, m,
+       |    MIN(m) OVER (ORDER BY d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_min
+       |  FROM ph)
+       |SELECT d, ROUND(x, 6) AS x, ROUND(run_mean, 6) AS run_mean,
+       |  ROUND(m, 6) AS ph, ROUND(m_min, 6) AS ph_min,
+       |  m - m_min > CAST($lambda AS DOUBLE) AS alert
+       |FROM mm ORDER BY d""".stripMargin
 }

@@ -204,4 +204,116 @@ object Curation {
         round(col("n_distinct_texts").cast("double") / col("n_docs"), 4))
       .drop("__top_c")
   }
+
+  /** UniMax budget allocation (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023): spread a token budget as UNIFORMLY as
+    * possible across strata subject to a per-stratum epoch cap —
+    * the closed-form answer to the feasibility problem
+    * [[tokenBudgetPlan]] only reports on. The paper's sequential
+    * greedy (allocate the smallest language first, redistribute its
+    * unused share) is exactly water-filling, so the whole allocation
+    * is the standard closed form: sort capacities ascending; stratum
+    * i is CAPPED iff capᵢ·(L−i+1) ≤ B − Σ_{j<i} capⱼ (its cap fits
+    * under an equal split of what remains); everyone else gets the
+    * water level θ = (B − Σ_capped cap)/(L − n_capped).
+    *
+    * Output per stratum: `(stratum, avail_tokens, cap_tokens,
+    * alloc_tokens, epochs, capped)` — Σ alloc = min(B, Σ cap).
+    *
+    * Scale shape: one grouped token-count agg over the corpus
+    * (map-side partials), then stratum-cardinality windows and a
+    * 1-row stat factor. Budget rides as a fraction of the corpus so
+    * the fixture exercises both regimes at any SF. */
+  def unimaxAllocation(docs: DataFrame, budgetTokensPerCorpus: Double,
+      maxEpochs: Double = 4.0, strataCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokensPerCorpus > 0.0 && maxEpochs > 0.0,
+      "budget and epoch cap must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val nTokens = size(filter(
+      graft.functions.TextFunctions.tokens(col(textCol)), t => t =!= ""))
+    val caps = docs
+      .groupBy(col(strataCol).as("stratum"))
+      .agg(sum(nTokens.cast("long")).as("avail_tokens"))
+      .withColumn("cap",
+        col("avail_tokens").cast("double") * maxEpochs)
+    val wAsc = Window.orderBy(col("cap").asc, col("stratum").asc)
+    val pre = caps
+      .withColumn("__i", row_number().over(wAsc))
+      .withColumn("__prefix",
+        sum("cap").over(wAsc.rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = pre.agg(count(lit(1)).as("__L"),
+      (sum("avail_tokens") * budgetTokensPerCorpus).as("__B"))
+    val j = pre.crossJoin(broadcast(tot))   // 1-row stat factor
+      .withColumn("__capped",
+        col("cap") * (col("__L") - col("__i") + 1.0) <=
+          col("__B") - (col("__prefix") - col("cap")))
+    val level = j.agg(
+      sum(when(col("__capped"), 1L).otherwise(0L)).as("__nc"),
+      sum(when(col("__capped"), col("cap")).otherwise(lit(0.0)))
+        .as("__sc"),
+      first("__L").as("__L2"), first("__B").as("__B2"))
+      .withColumn("__theta",
+        when(col("__L2") > col("__nc"),
+          (col("__B2") - col("__sc")) /
+            (col("__L2") - col("__nc")).cast("double"))
+          .otherwise(lit(0.0)))
+    j.crossJoin(broadcast(level.select("__theta")))  // 1-row stat factor
+      .select(
+        col("stratum"),
+        col("avail_tokens"),
+        col("cap").cast("long").as("cap_tokens"),
+        round(when(col("__capped"), col("cap"))
+          .otherwise(col("__theta")), 2).as("alloc_tokens"),
+        round(when(col("__capped"), col("cap"))
+          .otherwise(col("__theta")) /
+          col("avail_tokens").cast("double"), 6).as("epochs"),
+        col("__capped").as("capped"))
+      .orderBy("stratum")
+  }
+
+  /** DuckDB oracle for [[unimaxAllocation]] on documents. */
+  def unimaxOracleSql(budgetTokensPerCorpus: Double,
+      maxEpochs: Double = 4.0): String =
+    s"""WITH caps AS (
+       |  SELECT lang AS stratum,
+       |    SUM(len(list_filter(str_split_regex(trim(text), '\\s+'),
+       |      x -> x <> ''))) AS avail_tokens
+       |  FROM documents GROUP BY 1),
+       |c2 AS (
+       |  SELECT stratum, avail_tokens,
+       |    CAST(avail_tokens AS DOUBLE) * CAST($maxEpochs AS DOUBLE)
+       |      AS cap
+       |  FROM caps),
+       |pre AS (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY cap, stratum) AS i,
+       |    SUM(cap) OVER (ORDER BY cap, stratum
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+       |  FROM c2),
+       |tot AS (
+       |  SELECT COUNT(*) AS l,
+       |    SUM(avail_tokens) * CAST($budgetTokensPerCorpus AS DOUBLE)
+       |      AS b
+       |  FROM pre),
+       |j AS (
+       |  SELECT pre.*, tot.l, tot.b,
+       |    cap * (tot.l - i + 1.0) <= tot.b - (prefix - cap) AS capped
+       |  FROM pre, tot),
+       |lvl AS (
+       |  SELECT SUM(CASE WHEN capped THEN 1 ELSE 0 END) AS nc,
+       |    SUM(CASE WHEN capped THEN cap ELSE 0.0 END) AS sc,
+       |    ANY_VALUE(l) AS l2, ANY_VALUE(b) AS b2
+       |  FROM j),
+       |theta AS (
+       |  SELECT CASE WHEN l2 > nc
+       |    THEN (b2 - sc) / CAST(l2 - nc AS DOUBLE) ELSE 0.0 END AS th
+       |  FROM lvl)
+       |SELECT stratum, CAST(avail_tokens AS BIGINT) AS avail_tokens,
+       |  CAST(cap AS BIGINT) AS cap_tokens,
+       |  ROUND(CASE WHEN capped THEN cap ELSE th END, 2) AS alloc_tokens,
+       |  ROUND((CASE WHEN capped THEN cap ELSE th END) /
+       |    CAST(avail_tokens AS DOUBLE), 6) AS epochs,
+       |  capped
+       |FROM j, theta ORDER BY stratum""".stripMargin
 }

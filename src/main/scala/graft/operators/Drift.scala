@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -743,4 +743,91 @@ object Drift {
        |  CAST(COUNT(*) OVER () - 1 AS BIGINT) AS dof
        |FROM r ORDER BY category""".stripMargin
   }
+
+  /** Anderson–Darling 2-sample test (tie-adjusted AₐₖN² of Scholz &
+    * Stephens, JASA 1987, eq. 7 with k = 2) between cohorts A/B of a
+    * metric: the tail-sensitive alternative to the KS distance —
+    * AD weights the CDF discrepancy by 1/(F(1−F)), so divergence in
+    * the distribution TAILS (exactly where training-data quality
+    * shifts hide) moves it far more than the sup-norm. One row:
+    * `(n_a, n_b, a2)`; under H₀, E[A²] ≈ 1 — values ≫ 1 reject.
+    *
+    * Dataflow: the pooled value-FREQUENCY table (value-cardinality,
+    * the mannWhitneyU recipe) with cumulative half-weight counts via
+    * ordered windows; the (n_a, n_b, N) totals are a 1-row broadcast
+    * stat factor. */
+  def adTwoSample(df: DataFrame, inB: Column, metric: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = df.select(inB.as("__b"), metric.cast("double").as("__m"))
+      .where(col("__b").isNotNull && col("__m").isNotNull)
+      .groupBy("__m")
+      .agg(sum(when(!col("__b"), 1L).otherwise(0L)).as("__la"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("__lb"))
+      .withColumn("__l", col("__la") + col("__lb"))
+    val wCum = Window.orderBy("__m")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = f
+      .withColumn("__Ba", sum("__l").over(wCum) - col("__l") / 2.0)
+      .withColumn("__Ma", sum("__la").over(wCum) - col("__la") / 2.0)
+      .withColumn("__Mb", sum("__lb").over(wCum) - col("__lb") / 2.0)
+    val tot = f.agg(sum("__la").as("__na"), sum("__lb").as("__nb"),
+      sum("__l").as("__N"))
+    val j = cum.crossJoin(broadcast(tot))   // 1-row stat factor
+    val nD = col("__N").cast("double")
+    val naD = col("__na").cast("double")
+    val nbD = col("__nb").cast("double")
+    val denom = col("__Ba") * (nD - col("__Ba")) - nD * col("__l") / 4.0
+    def term(m: Column, ni: Column): Column =
+      when(denom > 0.0,
+        col("__l") / nD *
+          ((nD * m - ni * col("__Ba")) * (nD * m - ni * col("__Ba"))) /
+          denom / ni).otherwise(lit(0.0))
+    j.agg(
+      first("__na").as("n_a"), first("__nb").as("n_b"),
+      first("__N").as("__N2"),
+      sum(term(col("__Ma"), naD) + term(col("__Mb"), nbD)).as("__s"))
+      .select(
+        col("n_a").cast("bigint").as("n_a"),
+        col("n_b").cast("bigint").as("n_b"),
+        round((col("__N2").cast("double") - 1.0) /
+          col("__N2").cast("double") * col("__s"), 6).as("a2"))
+  }
+
+  /** DuckDB oracle for the registered fixture: weekday vs weekend
+    * `value` cohorts (weekend label mirrored across the engines'
+    * dayofweek encodings — Spark Sun=1/Sat=7, DuckDB Sun=0/Sat=6). */
+  val adTwoSampleOracleSql: String =
+    """WITH f AS (
+      |  SELECT CAST(value AS DOUBLE) AS m,
+      |    SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 0 ELSE 1 END) AS la,
+      |    SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END) AS lb
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+      |c AS (
+      |  SELECT m, la, lb, la + lb AS l,
+      |    SUM(la + lb) OVER (ORDER BY m
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - (la + lb) / 2.0 AS ba,
+      |    SUM(la) OVER (ORDER BY m
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - la / 2.0 AS ma,
+      |    SUM(lb) OVER (ORDER BY m
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - lb / 2.0 AS mb
+      |  FROM f),
+      |tot AS (
+      |  SELECT CAST(SUM(la) AS DOUBLE) AS na,
+      |    CAST(SUM(lb) AS DOUBLE) AS nb,
+      |    CAST(SUM(la + lb) AS DOUBLE) AS nn
+      |  FROM f),
+      |terms AS (
+      |  SELECT c.*, tot.na, tot.nb, tot.nn,
+      |    c.ba * (tot.nn - c.ba) - tot.nn * c.l / 4.0 AS den
+      |  FROM c, tot)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  ROUND((nn - 1.0) / nn * SUM(
+      |    CASE WHEN den > 0.0 THEN
+      |      l / nn * ((nn * ma - na * ba) * (nn * ma - na * ba)) / den / na
+      |      + l / nn * ((nn * mb - nb * ba) * (nn * mb - nb * ba)) / den / nb
+      |    ELSE 0.0 END), 6) AS a2
+      |FROM terms GROUP BY na, nb, nn""".stripMargin
 }

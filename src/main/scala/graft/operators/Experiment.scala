@@ -1028,4 +1028,89 @@ object Experiment {
        |  abs(COALESCE((rb - ra) / sqrt(sea * sea + seb * seb), 0))
        |    > 1.96 AS sig_95
        |FROM f""".stripMargin
+
+  /** Kruskal–Wallis H test (Kruskal & Wallis, JASA 1952) — the
+    * k-group generalization of [[mannWhitneyU]]: are the metric
+    * distributions across ALL groups plausibly the same? One row:
+    * `(n, k_groups, h, h_tie_corrected, df)`; H ~ χ²(k−1) under H₀
+    * (compare h_tie_corrected against the χ² critical value for the
+    * chosen α — same convention as q286's chi²).
+    *
+    * Scale shape: the [[mannWhitneyU]] recipe — average ranks from
+    * the pooled value-FREQUENCY table (value-cardinality dataflow,
+    * never a row-level rank window), per-group rank sums from a
+    * (group, value)-cardinality join, one 1-row stat factor. */
+  def kruskalWallis(df: DataFrame, group: Column,
+      metric: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gv = df.select(group.as("__g"), metric.cast("double").as("__m"))
+      .where(col("__g").isNotNull && col("__m").isNotNull)
+    val cnt = gv.groupBy("__g", "__m").agg(count(lit(1)).as("__c"))
+    val vt = cnt.groupBy("__m").agg(sum("__c").as("__t"))
+    val wCum = Window.orderBy("__m")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vt.withColumn("__rank",
+      coalesce(sum("__t").over(wCum), lit(0L)) + (col("__t") + 1.0) / 2.0)
+    val byGroup = cnt.join(ranked.select("__m", "__rank"), "__m")
+      .groupBy("__g")
+      .agg(sum(col("__rank") * col("__c")).as("__r"),
+        sum("__c").as("__n"))
+    val tot = vt.agg(sum("__t").as("__tot"),
+      // t as DOUBLE before cubing (the mannWhitneyU ANSI lesson)
+      sum(col("__t").cast("double") * col("__t") * col("__t") -
+        col("__t")).as("__ties"))
+    val g = byGroup.crossJoin(broadcast(tot))   // 1-row stat factor
+      .agg(
+        first("__tot").as("n"),
+        count(lit(1)).as("k"),
+        sum(col("__r") * col("__r") / col("__n")).as("__s"),
+        first("__ties").as("__tt"))
+    val nD = col("n").cast("double")
+    val h = lit(12.0) / (nD * (nD + 1.0)) * col("__s") -
+      (nD + 1.0) * 3.0
+    val tieC = lit(1.0) - col("__tt") / (nD * nD * nD - nD)
+    g.select(
+      col("n").cast("bigint").as("n"),
+      col("k").cast("bigint").as("k_groups"),
+      round(h, 6).as("h"),
+      // fully-tied data degenerates the correction to 0: no evidence
+      // either way → 0, not NaN (the mannWhitneyU σ_U convention)
+      round(when(tieC > 0.0, h / tieC).otherwise(lit(0.0)), 6)
+        .as("h_tie_corrected"),
+      (col("k") - 1).cast("bigint").as("df"))
+  }
+
+  /** DuckDB oracle for the registered fixture: `value` across
+    * `event_type` groups. */
+  val kruskalWallisOracleSql: String =
+    """WITH gv AS (
+      |  SELECT event_type AS g, CAST(value AS DOUBLE) AS m
+      |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      |cnt AS (SELECT g, m, COUNT(*) AS c FROM gv GROUP BY 1, 2),
+      |vt AS (SELECT m, SUM(c) AS t FROM cnt GROUP BY 1),
+      |r AS (
+      |  SELECT m, COALESCE(SUM(t) OVER (ORDER BY m
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + (t + 1.0) / 2.0 AS rk
+      |  FROM vt),
+      |bg AS (
+      |  SELECT cnt.g, SUM(r.rk * cnt.c) AS rr, SUM(cnt.c) AS n
+      |  FROM cnt JOIN r ON cnt.m = r.m GROUP BY 1),
+      |tot AS (
+      |  SELECT SUM(t) AS nn,
+      |    SUM(CAST(t AS DOUBLE) * t * t - t) AS ties
+      |  FROM vt),
+      |g2 AS (
+      |  SELECT CAST((SELECT nn FROM tot) AS DOUBLE) AS nd,
+      |    COUNT(*) AS k, SUM(rr * rr / n) AS s,
+      |    (SELECT ties FROM tot) AS tt
+      |  FROM bg)
+      |SELECT CAST(nd AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+      |  ROUND(12.0 / (nd * (nd + 1.0)) * s - (nd + 1.0) * 3.0, 6) AS h,
+      |  ROUND(CASE WHEN 1.0 - tt / (nd * nd * nd - nd) > 0.0
+      |    THEN (12.0 / (nd * (nd + 1.0)) * s - (nd + 1.0) * 3.0) /
+      |      (1.0 - tt / (nd * nd * nd - nd))
+      |    ELSE 0.0 END, 6) AS h_tie_corrected,
+      |  CAST(k - 1 AS BIGINT) AS df
+      |FROM g2""".stripMargin
 }

@@ -549,4 +549,72 @@ object Vocab {
        |  ROUND(LN(CAST(cum_types AS DOUBLE)) /
        |        LN(CAST(cum_tokens AS DOUBLE)), 6) AS beta_pointwise
        |FROM c ORDER BY bucket""".stripMargin
+
+  /** Rényi entropy profile of each source's unigram distribution
+    * (Rényi 1961; the tokenizer-quality reading of Zouhar et al.,
+    * "Tokenization and the Noiseless Channel", ACL 2023, where
+    * α≈2.5 Rényi efficiency predicts downstream quality better than
+    * vocab size): H_α = log₂(Σ pᵅ)/(1−α), with the Shannon limit at
+    * α→1 and the collision entropy at α=2. Per source:
+    * `(source, n_tokens, vocab, h_shannon, h_renyi_05, h_renyi_2,
+    * eff_vocab)` where eff_vocab = 2^H_shannon — the "how many
+    * equally-likely tokens is this worth" number beside the raw
+    * vocabulary size.
+    *
+    * One explode → (source, token) hash-agg (map-side partials), then
+    * source-cardinality arithmetic. */
+  def renyiProfile(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val st = docs
+      .select(col("source"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val totals = st.groupBy("source").agg(sum("c").as("n_tokens"))
+    st.join(broadcast(totals), "source")
+      .withColumn("__p", col("c").cast("double") / col("n_tokens"))
+      .groupBy("source")
+      .agg(
+        first("n_tokens").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(-col("__p") * log2(col("__p"))).as("__h1"),
+        sum(sqrt(col("__p"))).as("__s05"),
+        sum(col("__p") * col("__p")).as("__s2"))
+      .select(
+        col("source"),
+        col("n_tokens").cast("bigint").as("n_tokens"),
+        col("vocab").cast("bigint").as("vocab"),
+        round(col("__h1"), 6).as("h_shannon"),
+        round(log2(col("__s05")) * 2.0, 6).as("h_renyi_05"),
+        round(-log2(col("__s2")), 6).as("h_renyi_2"),
+        round(pow(lit(2.0), col("__h1")), 6).as("eff_vocab"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[renyiProfile]] on documents. */
+  val renyiOracleSql: String =
+    """WITH t AS (
+      |  SELECT source, UNNEST(str_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |st AS (
+      |  SELECT source, token, COUNT(*) AS c
+      |  FROM t WHERE token <> '' GROUP BY 1, 2),
+      |tot AS (SELECT source, SUM(c) AS n_tokens FROM st GROUP BY 1),
+      |p AS (
+      |  SELECT st.source, CAST(st.c AS DOUBLE) / tot.n_tokens AS p,
+      |    tot.n_tokens
+      |  FROM st JOIN tot ON st.source = tot.source),
+      |g AS (
+      |  SELECT source, ANY_VALUE(n_tokens) AS n_tokens,
+      |    COUNT(*) AS vocab,
+      |    SUM(-p * log2(p)) AS h1,
+      |    SUM(sqrt(p)) AS s05,
+      |    SUM(p * p) AS s2
+      |  FROM p GROUP BY 1)
+      |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(vocab AS BIGINT) AS vocab,
+      |  ROUND(h1, 6) AS h_shannon,
+      |  ROUND(log2(s05) * 2.0, 6) AS h_renyi_05,
+      |  ROUND(-log2(s2), 6) AS h_renyi_2,
+      |  ROUND(pow(2.0, h1), 6) AS eff_vocab
+      |FROM g ORDER BY source""".stripMargin
 }

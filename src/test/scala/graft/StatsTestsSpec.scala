@@ -1,0 +1,188 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Anomaly, Curation, Drift, Experiment, Vocab}
+
+/** Independent in-memory references for the round-11 statistics tier:
+  * Kruskal–Wallis, Ljung–Box, Page–Hinkley, UniMax water-filling,
+  * Rényi entropies, Anderson–Darling 2-sample. */
+class StatsTestsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(id: Long, user: Long, day: Int, etype: String,
+      value: Double) =
+    (id, java.sql.Timestamp.valueOf(f"2024-04-$day%02d 12:00:00"),
+      user, etype, value, "{}")
+
+  private def events(rows: Seq[(Long, java.sql.Timestamp, Long, String,
+      Double, String)]) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("kruskal-wallis equals the textbook rank computation") {
+    // three groups with ties across groups
+    val data = Seq(
+      "a" -> 1.0, "a" -> 2.0, "a" -> 2.0, "a" -> 5.0,
+      "b" -> 2.0, "b" -> 6.0, "b" -> 7.0,
+      "c" -> 7.0, "c" -> 8.0, "c" -> 9.0, "c" -> 9.0)
+    val got = Experiment.kruskalWallis(
+      data.toDF("g", "m"), col("g"), col("m")).collect().head
+    // reference: average ranks
+    val sorted = data.map(_._2).sorted
+    val rank = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> (xs.map(_._2 + 1).sum.toDouble / xs.size) }
+    val n = data.size.toDouble
+    val byG = data.groupBy(_._1).map { case (g, xs) =>
+      (xs.map(x => rank(x._2)).sum, xs.size.toDouble) }
+    val h = 12.0 / (n * (n + 1.0)) *
+      byG.map { case (r, ni) => r * r / ni }.sum - 3.0 * (n + 1.0)
+    val ties = sorted.groupBy(identity).values
+      .map(t => math.pow(t.size, 3) - t.size).sum
+    val hTie = h / (1.0 - ties / (n * n * n - n))
+    assert(got.getLong(0) == 11L && got.getLong(1) == 3L)
+    assert(math.abs(got.getDouble(2) - h) < 1e-6, s"h: $got vs $h")
+    assert(math.abs(got.getDouble(3) - hTie) < 1e-6)
+    assert(got.getLong(4) == 2L)
+  }
+
+  test("ljung-box equals the direct Q formula on the daily series") {
+    // 12 days with varying counts
+    val counts = Seq(3, 5, 2, 8, 4, 6, 1, 7, 5, 3, 6, 2)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      (1 to c).map(k => ev(d * 100L + k, k.toLong, d + 1, "view", 1.0)) }
+    val got = Anomaly.ljungBox(events(rows), maxLag = 3).collect().head
+    val xs = counts.map(_.toDouble)
+    val mu = xs.sum / xs.size
+    val den = xs.map(x => (x - mu) * (x - mu)).sum
+    def acf(k: Int) = BigDecimal(
+      xs.dropRight(k).zip(xs.drop(k))
+        .map { case (a, b) => (a - mu) * (b - mu) }.sum / den)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nD = xs.size.toDouble
+    val q = nD * (nD + 2.0) *
+      (1 to 3).map(k => acf(k) * acf(k) / (nD - k)).sum
+    assert(got.getLong(0) == 12L && got.getLong(1) == 3L)
+    assert(math.abs(got.getDouble(2) - q) < 1e-5, s"q: $got vs $q")
+  }
+
+  test("page-hinkley: alarm trace on a planted level shift") {
+    // 6 quiet days then 4 shifted days; delta=0, default lambda high —
+    // use explicit lambda so the shift alarms
+    val rows = (1 to 6).map(d => ev(d.toLong, 1L, d, "buy", 10.0)) ++
+      (7 to 10).map(d => ev(d.toLong, 1L, d, "buy", 100.0))
+    val got = Anomaly.pageHinkley(events(rows), delta = 0.0,
+      lambda = 50.0).collect()
+    assert(got.length == 10)
+    // reference recursion
+    var (sum0, n0, m, mMin) = (0.0, 0, 0.0, Double.MaxValue)
+    val ref = (Seq.fill(6)(10.0) ++ Seq.fill(4)(100.0)).map { x =>
+      sum0 += x; n0 += 1
+      val mean = sum0 / n0
+      m += x - mean
+      mMin = math.min(mMin, m)
+      (m, mMin)
+    }
+    got.zip(ref).foreach { case (r, (em, emin)) =>
+      assert(math.abs(r.getDouble(3) - em) < 1e-6)
+      assert(math.abs(r.getDouble(4) - emin) < 1e-6)
+      assert(r.getBoolean(5) == (em - emin > 50.0))
+    }
+    assert(got.take(6).forall(!_.getBoolean(5)), "quiet days must not alarm")
+    assert(got.drop(6).exists(_.getBoolean(5)), "the shift must alarm")
+  }
+
+  test("unimax water-filling: hand case with both regimes") {
+    // strata token counts 1, 2, 25 at maxEpochs=4 → caps 4, 8, 100.
+    // budget = 2× corpus = 56: smallest two capped (4·3=12 ≤ 56;
+    // 8·2=16 ≤ 52), big one gets θ = (56−12)/1 = 44 → 1.76 epochs.
+    val docs = (
+      Seq((1L, "x", "aa")) ++
+      Seq((2L, "y", "b b")) ++
+      (3 to 7).map(i => (i.toLong, "z", "c c c c c"))
+    ).toDF("doc_id", "lang", "text")
+    val got = Curation.unimaxAllocation(docs, budgetTokensPerCorpus = 2.0,
+      maxEpochs = 4.0).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(got("x") == ((1L, 4L, 4.0, 4.0, true)))
+    assert(got("y") == ((2L, 8L, 8.0, 4.0, true)))
+    assert(got("z") == ((25L, 100L, 44.0, 1.76, false)))
+  }
+
+  test("unimax: budget above total caps leaves everyone capped") {
+    val docs = Seq((1L, "x", "a a"), (2L, "y", "b b b"))
+      .toDF("doc_id", "lang", "text")
+    val got = Curation.unimaxAllocation(docs, budgetTokensPerCorpus = 10.0,
+      maxEpochs = 2.0).collect()
+    got.foreach { r =>
+      assert(r.getBoolean(5), s"all capped: $r")
+      assert(r.getDouble(3) == r.getLong(2).toDouble)
+    }
+  }
+
+  test("renyi profile: uniform and degenerate distributions") {
+    // source u: 4 distinct tokens once each → every entropy = 2 bits,
+    // eff_vocab = 4. source d: one token ×8 → all zeros, eff_vocab 1.
+    val docs = Seq(
+      (1L, "u", "alpha beta gamma delta"),
+      (2L, "d", "same same same same same same same same"))
+      .toDF("doc_id", "source", "text")
+    val got = Vocab.renyiProfile(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val u = got("u")
+    assert(u.getLong(1) == 4L && u.getLong(2) == 4L)
+    assert(math.abs(u.getDouble(3) - 2.0) < 1e-9)
+    assert(math.abs(u.getDouble(4) - 2.0) < 1e-9)
+    assert(math.abs(u.getDouble(5) - 2.0) < 1e-9)
+    assert(math.abs(u.getDouble(6) - 4.0) < 1e-9)
+    val d = got("d")
+    assert(d.getDouble(3) == 0.0 && d.getDouble(4) == 0.0 &&
+      d.getDouble(5) == 0.0 && d.getDouble(6) == 1.0)
+    // Rényi ordering on a skewed distribution: H_½ ≥ H_1 ≥ H_2
+    val skew = Seq((1L, "s", "a a a a b b c d")).toDF("doc_id", "source", "text")
+    val s = Vocab.renyiProfile(skew).collect().head
+    assert(s.getDouble(4) >= s.getDouble(3) && s.getDouble(3) >= s.getDouble(5))
+  }
+
+  test("anderson-darling equals a direct reference implementation") {
+    def refA2(a: Seq[Double], b: Seq[Double]): Double = {
+      val na = a.size.toDouble; val nb = b.size.toDouble
+      val nn = na + nb
+      val zs = (a ++ b).distinct.sorted
+      var (ba, maA, maB) = (0.0, 0.0, 0.0)
+      var s = 0.0
+      zs.foreach { z =>
+        val la = a.count(_ == z).toDouble
+        val lb = b.count(_ == z).toDouble
+        val l = la + lb
+        val baj = ba + l / 2.0
+        val maj = maA + la / 2.0
+        val mbj = maB + lb / 2.0
+        val den = baj * (nn - baj) - nn * l / 4.0
+        if (den > 0.0) {
+          s += l / nn * math.pow(nn * maj - na * baj, 2) / den / na
+          s += l / nn * math.pow(nn * mbj - nb * baj, 2) / den / nb
+        }
+        ba += l; maA += la; maB += lb
+      }
+      (nn - 1.0) / nn * s
+    }
+    val a = Seq(1.0, 2.0, 2.0, 3.5, 4.0, 7.0, 8.0)
+    val b = Seq(2.0, 5.0, 6.0, 6.5, 9.0, 11.0)
+    val df = (a.map(false -> _) ++ b.map(true -> _)).toDF("b", "m")
+    val got = Drift.adTwoSample(df, col("b"), col("m")).collect().head
+    assert(got.getLong(0) == 7L && got.getLong(1) == 6L)
+    assert(math.abs(got.getDouble(2) - refA2(a, b)) < 1e-6,
+      s"a2: ${got.getDouble(2)} vs ${refA2(a, b)}")
+    // identical samples → A² near its null expectation, far below the
+    // rejection region; shifted samples → large
+    val same = Drift.adTwoSample(
+      (a.map(false -> _) ++ a.map(true -> _)).toDF("b", "m"),
+      col("b"), col("m")).collect().head.getDouble(2)
+    val shifted = Drift.adTwoSample(
+      (a.map(false -> _) ++ a.map(x => true -> (x + 50.0))).toDF("b", "m"),
+      col("b"), col("m")).collect().head.getDouble(2)
+    assert(shifted > same + 1.0, s"shift must dominate: $shifted vs $same")
+  }
+}
