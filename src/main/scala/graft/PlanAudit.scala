@@ -146,7 +146,10 @@ object PlanAudit {
     "q293_unimax_budget",
     // AD: the (n_a, n_b, N) totals are a 1-row stat factor into the
     // pooled value-frequency table (the KS/q178 shape)
-    "q295_ad_twosample")
+    "q295_ad_twosample",
+    // DoReMi tilt: 1-row corpus total + 1-row normalizer into the
+    // source-cardinality table
+    "q299_doremi_weights")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

@@ -116,6 +116,39 @@ object SparkEntry {
         col("user_id") % 2 === 1, col("x"), col("y"), col("user_id"))
     }),
 
+    // ---- Streaming Page–Hinkley: micro-batches fold into the
+    //      replay-safe daily revenue table (the q276 recipe), the
+    //      dashboard runs the q292 detector over it — stream ≡ batch
+    //      by construction, same oracle verbatim ----
+    "q296_stream_page_hinkley" -> ((s, dir) => {
+      val root = graft.util.TempDirs.create("graft_q296")
+      graft.streaming.TrendMonitor.monitor(s, dir,
+        "events.parquet", root.resolve("daily").toString,
+        root.resolve("ckpt").toString)
+      graft.streaming.TrendMonitor.pageHinkleyDashboard(s,
+        root.resolve("daily").toString)
+    }),
+
+    // ---- C4 filter-rule audit per source (Raffel et al. JMLR'20
+    //      §2.2): brace/lorem/javascript/policy-boilerplate/short-doc
+    //      flags + terminal-punctuation line share — map-only regex,
+    //      one grouped agg ----
+    "q297_c4_rules" -> ((s, dir) =>
+      graft.operators.CorpusFilters.c4Report(t(s, dir, "documents"))),
+
+    // ---- Gopher quality rules per source (Rae et al. '21 Table A1):
+    //      word count/mean word length/alpha share/stopword/top-bigram
+    //      gates, one map pass over the RepetitionProfile ----
+    "q298_gopher_rules" -> ((s, dir) =>
+      graft.operators.CorpusFilters.gopherReport(t(s, dir, "documents"))),
+
+    // ---- DoReMi-style exponential tilting of the source mix by mean
+    //      quality (fixed-score closed form of the multiplicative-
+    //      weights update): the reweighting step between q137's
+    //      calibration and q136's budget fill ----
+    "q299_doremi_weights" -> ((s, dir) =>
+      graft.operators.CorpusFilters.doremiTilt(t(s, dir, "documents"))),
+
     // ---- Kruskal–Wallis H across ALL event types at once: the
     //      k-group omnibus the pairwise MWU (q249) can't give without
     //      multiplicity; pooled value-frequency ranks, H ~ χ²(k−1) ----
@@ -3661,6 +3694,18 @@ object SparkEntry {
 
     "q295_ad_twosample" ->
       graft.operators.Drift.adTwoSampleOracleSql,
+
+    "q296_stream_page_hinkley" ->
+      graft.operators.Anomaly.pageHinkleyOracleSql(),
+
+    "q297_c4_rules" ->
+      graft.operators.CorpusFilters.c4OracleSql,
+
+    "q298_gopher_rules" ->
+      graft.operators.CorpusFilters.gopherOracleSql,
+
+    "q299_doremi_weights" ->
+      graft.operators.CorpusFilters.doremiOracleSql,
 
     "q269_ols_trend" ->
       graft.operators.Regression.olsTrendOracleSql,

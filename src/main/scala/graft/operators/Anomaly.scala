@@ -944,12 +944,20 @@ object Anomaly {
     * cumulative windows over the same ordered spec (ordered+framed —
     * NOT the two-partition-spec shape the q220 corruption note bans). */
   def pageHinkley(events: DataFrame, delta: Double = 0.0,
+      lambda: Double = 1000.0): DataFrame =
+    pageHinkleyFromDaily(
+      events.groupBy(to_date(col("ts")).as("d")).agg(sum("value").as("x")),
+      delta, lambda)
+
+  /** [[pageHinkley]] from an already-daily `(d, x)` frame — the entry
+    * the streaming monitor's replay-safe increment table feeds
+    * ([[graft.streaming.TrendMonitor]] recipe), so stream ≡ batch by
+    * construction and the same oracle pins both. */
+  def pageHinkleyFromDaily(daily: DataFrame, delta: Double = 0.0,
       lambda: Double = 1000.0): DataFrame = {
     val w = Window.orderBy("d")
       .rowsBetween(Window.unboundedPreceding, 0)
-    events
-      .groupBy(to_date(col("ts")).as("d"))
-      .agg(sum("value").as("x"))
+    daily
       .withColumn("run_mean", avg("x").over(w))
       .withColumn("ph",
         sum(col("x") - col("run_mean") - lit(delta)).over(w))

@@ -87,4 +87,16 @@ object TrendMonitor {
       TableLog.read(spark, dailyPath)
         .groupBy("event_type", "d").agg(sum("y").as("y")),
       alpha, beta)
+
+  /** Page–Hinkley change alarm over the same ingested daily table: the
+    * streaming face of [[graft.operators.Anomaly.pageHinkley]]. The
+    * increments collapse to TOTAL daily revenue before the detector
+    * runs — a day split across micro-batches re-aggregates to the row
+    * the batch query sees, so the q292 oracle applies verbatim. */
+  def pageHinkleyDashboard(spark: SparkSession, dailyPath: String,
+      delta: Double = 0.0, lambda: Double = 1000.0): DataFrame =
+    graft.operators.Anomaly.pageHinkleyFromDaily(
+      TableLog.read(spark, dailyPath)
+        .groupBy("d").agg(sum("y").as("x")),
+      delta, lambda)
 }
