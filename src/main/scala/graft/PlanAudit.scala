@@ -149,7 +149,15 @@ object PlanAudit {
     "q295_ad_twosample",
     // DoReMi tilt: 1-row corpus total + 1-row normalizer into the
     // source-cardinality table
-    "q299_doremi_weights")
+    "q299_doremi_weights",
+    // EWMA chart (batch + streaming face): 1-row μ/σ stat factor into
+    // the day table
+    "q300_ewma_chart",
+    "q306_stream_ewma",
+    // Kendall τ: bounded nation-grain entity self-cross (q176 shape)
+    "q301_kendall_tau",
+    // basket affinity: 1-row distinct-order total into the pair table
+    "q302_market_basket")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

@@ -149,6 +149,62 @@ object SparkEntry {
     "q299_doremi_weights" -> ((s, dir) =>
       graft.operators.CorpusFilters.doremiTilt(t(s, dir, "documents"))),
 
+    // ---- EWMA control chart on daily revenue (Roberts '59): the
+    //      small-persistent-shift dial between the 3σ rule and
+    //      CUSUM/Page-Hinkley; SES closed form, 1-row μ/σ factor ----
+    "q300_ewma_chart" -> ((s, dir) =>
+      graft.operators.Anomaly.ewmaChart(t(s, dir, "events"))),
+
+    // ---- Kendall τ-b between the nation league tables by revenue
+    //      and by order volume: bounded entity self-cross after the
+    //      corpus-scale aggregation ----
+    "q301_kendall_tau" -> ((s, dir) => {
+      val m = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("k"))
+        .agg(sum("o_totalprice").cast("double").as("x"),
+          count(lit(1)).cast("double").as("y"))
+      graft.quality.Correlation.kendallTau(m)
+    }),
+
+    // ---- Market-basket affinity: support/confidence/lift +
+    //      Adamic-Adar over co-ordered parts; pair blowup bounded by
+    //      basket size via the order-key self-join ----
+    "q302_market_basket" -> ((s, dir) =>
+      graft.operators.Basket.partAffinity(t(s, dir, "lineitem"))),
+
+    // ---- Cross-doc duplicate-line audit (CCNet/RefinedWeb line
+    //      dedup): exact trimmed lines in ≥3 docs, per-source line-
+    //      and char-mass removed ----
+    "q303_line_dedup" -> ((s, dir) =>
+      graft.operators.CorpusFilters.lineDedup(t(s, dir, "documents"))),
+
+    // ---- Gopher line-level rules (bullet-start / ellipsis-end
+    //      shares), map-only over the line array ----
+    "q304_line_rules" -> ((s, dir) =>
+      graft.operators.CorpusFilters.lineRules(t(s, dir, "documents"))),
+
+    // ---- Duplicate-aware soft weights: every exact-dup cluster of
+    //      size c contributes unit mass (1/c per copy); per-source
+    //      effective mass vs raw count ----
+    "q305_soft_dedup" -> ((s, dir) =>
+      graft.operators.CorpusFilters.softDedupWeights(
+        t(s, dir, "documents"))),
+
+    // ---- Streaming EWMA dashboard over the replay-safe daily table
+    //      (q296 recipe): stream ≡ batch, same oracle verbatim ----
+    "q306_stream_ewma" -> ((s, dir) => {
+      val root = graft.util.TempDirs.create("graft_q306")
+      graft.streaming.TrendMonitor.monitor(s, dir,
+        "events.parquet", root.resolve("daily").toString,
+        root.resolve("ckpt").toString)
+      graft.streaming.TrendMonitor.ewmaDashboard(s,
+        root.resolve("daily").toString)
+    }),
+
     // ---- Kruskal–Wallis H across ALL event types at once: the
     //      k-group omnibus the pairwise MWU (q249) can't give without
     //      multiplicity; pooled value-frequency ranks, H ~ χ²(k−1) ----
@@ -3706,6 +3762,27 @@ object SparkEntry {
 
     "q299_doremi_weights" ->
       graft.operators.CorpusFilters.doremiOracleSql,
+
+    "q300_ewma_chart" ->
+      graft.operators.Anomaly.ewmaOracleSql(),
+
+    "q301_kendall_tau" ->
+      graft.quality.Correlation.kendallNationOracleSql,
+
+    "q302_market_basket" ->
+      graft.operators.Basket.partAffinityOracleSql,
+
+    "q303_line_dedup" ->
+      graft.operators.CorpusFilters.lineDedupOracleSql,
+
+    "q304_line_rules" ->
+      graft.operators.CorpusFilters.lineRulesOracleSql,
+
+    "q305_soft_dedup" ->
+      graft.operators.CorpusFilters.softDedupOracleSql,
+
+    "q306_stream_ewma" ->
+      graft.operators.Anomaly.ewmaOracleSql(),
 
     "q269_ols_trend" ->
       graft.operators.Regression.olsTrendOracleSql,

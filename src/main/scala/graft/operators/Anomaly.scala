@@ -995,4 +995,82 @@ object Anomaly {
        |  ROUND(m, 6) AS ph, ROUND(m_min, 6) AS ph_min,
        |  m - m_min > CAST($lambda AS DOUBLE) AS alert
        |FROM mm ORDER BY d""".stripMargin
+
+  /** EWMA control chart over daily total revenue (Roberts 1959;
+    * Montgomery SPC ch. 9): zₜ = λ·xₜ + (1−λ)·zₜ₋₁ anchored at the
+    * process mean z₀ = μ̂, with the exact time-varying limits
+    * μ ± L·σ̂·sqrt(λ/(2−λ)·(1−(1−λ)^{2t})). Between the memoryless
+    * 3σ rule ([[robustDaily]] family) and the change-POINT detectors
+    * ([[cusumReport]]/[[pageHinkley]]), EWMA is the standard middle
+    * dial: small persistent shifts alarm fast, single spikes are
+    * damped, and the chart value itself is readable as a smoothed
+    * level.
+    *
+    * The recursion unrolls to the SES closed form (one cumulative
+    * window, [[Forecast.sesBacktest]] precedent):
+    * zₜ = b^t·μ + λ·Σ_{i≤t} b^{t−i}·xᵢ with b = 1−λ. μ̂/σ̂ are a
+    * 1-row stat factor (population moments over the full series —
+    * the textbook Phase-I estimate). Scale shape: one shuffle to the
+    * day table; day-cardinality windows after. */
+  def ewmaChart(events: DataFrame, lambda: Double = 0.2,
+      widthL: Double = 3.0): DataFrame =
+    ewmaFromDaily(
+      events.groupBy(to_date(col("ts")).as("d"))
+        .agg(sum("value").as("x")),
+      lambda, widthL)
+
+  /** [[ewmaChart]] from an already-daily `(d, x)` frame — the entry
+    * the streaming monitor's replay-safe table feeds, so stream ≡
+    * batch shares one oracle. */
+  def ewmaFromDaily(daily: DataFrame, lambda: Double = 0.2,
+      widthL: Double = 3.0): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, "lambda must be in (0,1)")
+    val b = 1.0 - lambda
+    val stats = daily.agg(avg("x").as("__mu"),
+      stddev_pop(col("x")).as("__sd"))
+    val wOrd = Window.orderBy("d")
+    val wCum = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withT = daily.crossJoin(broadcast(stats))   // 1-row stat factor
+      .withColumn("__t", row_number().over(wOrd).cast("double"))
+    val z = pow(lit(b), col("__t")) * (col("__mu") +
+      sum(lit(lambda) * pow(lit(b), -col("__t")) * col("x")).over(wCum))
+    val half = lit(widthL) * col("__sd") *
+      sqrt(lit(lambda / (2.0 - lambda)) *
+        (lit(1.0) - pow(lit(b), col("__t") * 2.0)))
+    withT
+      .withColumn("__z", z)
+      .withColumn("__h", half)
+      .select(col("d"), round(col("x"), 6).as("x"),
+        round(col("__z"), 6).as("ewma"),
+        round(col("__mu") + col("__h"), 6).as("ucl"),
+        round(col("__mu") - col("__h"), 6).as("lcl"),
+        (abs(col("__z") - col("__mu")) > col("__h")).as("alarm"))
+      .orderBy("d")
+  }
+
+  /** DuckDB oracle for [[ewmaChart]]. */
+  def ewmaOracleSql(lambda: Double = 0.2,
+      widthL: Double = 3.0): String = {
+    val b = 1.0 - lambda
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS d, SUM(value) AS x
+       |  FROM events GROUP BY 1),
+       |st AS (SELECT AVG(x) AS mu, stddev_pop(x) AS sd FROM daily),
+       |t AS (
+       |  SELECT d, x, mu, sd,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY d) AS DOUBLE) AS tt
+       |  FROM daily, st),
+       |z AS (
+       |  SELECT d, x, mu, sd, tt,
+       |    pow($b, tt) * (mu + SUM($lambda * pow($b, -tt) * x)
+       |      OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)) AS zz,
+       |    $widthL * sd * sqrt($lambda / ${2.0 - lambda} *
+       |      (1.0 - pow($b, tt * 2.0))) AS hh
+       |  FROM t)
+       |SELECT d, ROUND(x, 6) AS x, ROUND(zz, 6) AS ewma,
+       |  ROUND(mu + hh, 6) AS ucl, ROUND(mu - hh, 6) AS lcl,
+       |  abs(zz - mu) > hh AS alarm
+       |FROM z ORDER BY d""".stripMargin
+  }
 }

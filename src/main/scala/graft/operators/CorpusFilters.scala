@@ -183,6 +183,166 @@ object CorpusFilters {
       |    AND NOT f_stop AND NOT f_rep THEN 1 ELSE 0 END) AS n_pass
       |FROM fl GROUP BY source ORDER BY source""".stripMargin
 
+  /** Cross-document duplicate-LINE audit (the line-wise dedup pass of
+    * CCNet / RefinedWeb: headers, nav bars, and cookie banners repeat
+    * VERBATIM across pages of a site long before whole documents
+    * collide). A line is boilerplate when its exact trimmed text
+    * occurs in ≥ `minDocs` distinct documents; the report shows per
+    * source how much line- and character-mass that removes —
+    * complementary to [[graft.operators.SegmentDedup.boilerplateExcise]],
+    * which works at sub-line token-segment grain within one source.
+    *
+    * Scale shape: explode to lines, ONE distinct + group on the line
+    * key for document counts, one join back. At corpus scale the join
+    * key would be xxhash64(line) riding an 8-byte shuffle (the q130
+    * spill-mode precedent); the oracled form keys on the raw trimmed
+    * line so DuckDB replays it exactly. */
+  def lineDedup(docs: DataFrame, textCol: String = "text",
+      minDocs: Int = 3): DataFrame = {
+    val lines = docs
+      .select(col("source"), col("doc_id"),
+        explode(split(col(textCol), "\n")).as("__raw"))
+      .withColumn("__line", trim(col("__raw")))
+      .where(length(col("__line")) > 0)
+    val perLine = lines.select(col("__line"), col("doc_id")).distinct()
+      .groupBy("__line")
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col("__line"), lit(true).as("__boiler"))
+    lines
+      .join(perLine, Seq("__line"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__boiler"), 1L).otherwise(0L)).as("n_boiler_lines"),
+        sum(length(col("__line")).cast("bigint")).as("n_chars"),
+        sum(when(col("__boiler"), length(col("__line")).cast("bigint"))
+          .otherwise(0L)).as("__bc"))
+      .select(col("source"), col("n_lines"), col("n_boiler_lines"),
+        round(col("n_boiler_lines").cast("double") / col("n_lines"), 6)
+          .as("boiler_line_share"),
+        col("n_chars"),
+        round(col("__bc").cast("double") / col("n_chars"), 6)
+          .as("boiler_char_share"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[lineDedup]] on documents (minDocs = 3). */
+  val lineDedupOracleSql: String =
+    """WITH lines AS (
+      |  SELECT source, doc_id, trim(l) AS line
+      |  FROM (SELECT source, doc_id, unnest(str_split(text, chr(10)))
+      |    AS l FROM documents)
+      |  WHERE length(trim(l)) > 0),
+      |boiler AS (
+      |  SELECT line FROM (
+      |    SELECT line, COUNT(DISTINCT doc_id) AS nd
+      |    FROM lines GROUP BY 1)
+      |  WHERE nd >= 3)
+      |SELECT source, COUNT(*) AS n_lines,
+      |  SUM(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS n_boiler_lines,
+      |  ROUND(CAST(SUM(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*), 6) AS boiler_line_share,
+      |  SUM(length(lines.line)) AS n_chars,
+      |  ROUND(CAST(SUM(CASE WHEN b.line IS NOT NULL
+      |      THEN length(lines.line) ELSE 0 END) AS DOUBLE)
+      |    / SUM(length(lines.line)), 6) AS boiler_char_share
+      |FROM lines LEFT JOIN boiler b USING (line)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Gopher LINE-level rules (Rae et al. 2021 Table A1, the two rules
+    * [[gopherReport]]'s word-level pass can't see): drop a doc when
+    * ≥ 90% of its lines start with a bullet, or ≥ 30% end with an
+    * ellipsis. Reported per source with the mean shares, map-only. */
+  def lineRules(docs: DataFrame, textCol: String = "text",
+      maxBulletShare: Double = 0.9,
+      maxEllipsisShare: Double = 0.3): DataFrame = {
+    val lines = filter(
+      transform(split(col(textCol), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val nl = size(lines)
+    val bullet = size(filter(lines, l =>
+      l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+      .cast("double") / nl
+    val ellip = size(filter(lines, l => l.endsWith("...")))
+      .cast("double") / nl
+    val staged = docs
+      .withColumn("__bs", bullet).withColumn("__es", ellip)
+      .where(nl > 0)
+    val f = (c: org.apache.spark.sql.Column) =>
+      sum(when(c, 1L).otherwise(0L))
+    staged.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        f(col("__bs") >= maxBulletShare).as("fail_bullet"),
+        f(col("__es") >= maxEllipsisShare).as("fail_ellipsis"),
+        round(avg("__bs"), 6).as("mean_bullet_share"),
+        round(avg("__es"), 6).as("mean_ellipsis_share"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[lineRules]] on documents (defaults). */
+  val lineRulesOracleSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    list_filter(list_transform(str_split(text, chr(10)),
+      |      l -> trim(l)), l -> length(l) > 0) AS ls
+      |  FROM documents),
+      |s AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%'
+      |      OR l LIKE chr(8226) || '%')) AS DOUBLE) / len(ls) AS bs,
+      |    CAST(len(list_filter(ls, l -> l LIKE '%...')) AS DOUBLE)
+      |      / len(ls) AS es
+      |  FROM d WHERE len(ls) > 0)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  SUM(CASE WHEN bs >= 0.9 THEN 1 ELSE 0 END) AS fail_bullet,
+      |  SUM(CASE WHEN es >= 0.3 THEN 1 ELSE 0 END) AS fail_ellipsis,
+      |  ROUND(AVG(bs), 6) AS mean_bullet_share,
+      |  ROUND(AVG(es), 6) AS mean_ellipsis_share
+      |FROM s GROUP BY source ORDER BY source""".stripMargin
+
+  /** Duplicate-aware soft weighting (the SoftDeDup idea — He et al.
+    * 2024 — reduced to its exact-duplicate core): instead of DROPPING
+    * copies, every member of an exact-duplicate cluster of size c
+    * gets sampling weight 1/c, so each distinct text contributes unit
+    * mass. The per-source report shows raw count vs effective mass —
+    * the honest size of each feed after duplicate discounting, and
+    * the input the mix-rebalancer ([[doremiTilt]], q66 mix report)
+    * should consume instead of raw counts.
+    *
+    * The cluster key is the whitespace-normalized lowercased text
+    * (q14's exact-dedup normalization); one group + one join back,
+    * both on the normalized key. */
+  def softDedupWeights(docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val key = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val keyed = docs.select(col("source"), key.as("__k"))
+    val clusters = keyed.groupBy("__k")
+      .agg(count(lit(1)).as("__c"))
+    keyed.join(clusters, "__k")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(lit(1.0) / col("__c")), 6).as("effective_mass"))
+      .select(col("source"), col("n_docs"), col("effective_mass"),
+        round(lit(1.0) - col("effective_mass") /
+          col("n_docs").cast("double"), 6).as("dup_discount"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[softDedupWeights]] on documents. */
+  val softDedupOracleSql: String =
+    """WITH keyed AS (
+      |  SELECT source,
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k
+      |  FROM documents),
+      |cl AS (SELECT k, COUNT(*) AS c FROM keyed GROUP BY 1)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  ROUND(SUM(1.0 / c), 6) AS effective_mass,
+      |  ROUND(1.0 - SUM(1.0 / c) / COUNT(*), 6) AS dup_discount
+      |FROM keyed JOIN cl USING (k)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** DoReMi-style domain reweighting as one exponential-tilting step
     * (Xie et al., NeurIPS 2023 reduce to multiplicative weights over
     * per-domain excess loss; with a FIXED per-domain score the update

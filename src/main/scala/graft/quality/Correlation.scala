@@ -91,4 +91,72 @@ object Correlation {
        |$selects
        |) ORDER BY col_a, col_b""".stripMargin
   }
+
+  /** Kendall τ-b between two metrics over a BOUNDED entity frame
+    * `(k, x, y)` (Kendall 1938; tie correction per Agresti §2.1.2):
+    * τ_b = (C − D) / √((n₀−n₁)(n₀−n₂)) with n₁/n₂ the tied-pair
+    * counts in x/y. Completes the rank-association family next to
+    * Spearman ([[correlationMatrix]]) and RBO (top-k lists): τ reads
+    * directly as P(concordant) − P(discordant), the number an analyst
+    * quotes when two league tables disagree.
+    *
+    * Pair generation is an explicit self-cross of the ENTITY table —
+    * correct only because the caller aggregates to a bounded grain
+    * first (nations, stores, segments: the q176 audience-overlap
+    * precedent, PlanAudit-allowlisted). The corpus-scale work is
+    * whatever aggregation built `m`; this step is |m|² on a dimension-
+    * sized frame. One output row: `(n_pairs, concordant, discordant,
+    * ties_x, ties_y, tau_b)`. */
+  def kendallTau(m: DataFrame): DataFrame = {
+    val a = m.select(col("k").as("__ka"), col("x").as("__xa"),
+      col("y").as("__ya"))
+    val b = m.select(col("k").as("__kb"), col("x").as("__xb"),
+      col("y").as("__yb"))
+    val s = (col("__xa") - col("__xb")) * (col("__ya") - col("__yb"))
+    val cnt = (c: org.apache.spark.sql.Column) =>
+      sum(when(c, 1L).otherwise(0L))
+    a.crossJoin(b).where(col("__ka") < col("__kb"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        cnt(s > 0.0).as("concordant"),
+        cnt(s < 0.0).as("discordant"),
+        cnt(col("__xa") === col("__xb")).as("ties_x"),
+        cnt(col("__ya") === col("__yb")).as("ties_y"))
+      .select(col("n_pairs"), col("concordant"), col("discordant"),
+        col("ties_x"), col("ties_y"),
+        round((col("concordant") - col("discordant")).cast("double") /
+          sqrt((col("n_pairs") - col("ties_x")).cast("double") *
+            (col("n_pairs") - col("ties_y")).cast("double")), 6)
+          .as("tau_b"))
+  }
+
+  /** DuckDB oracle for [[kendallTau]] over the nation-grain
+    * revenue-vs-order-count league tables (the q301 registration). */
+  val kendallNationOracleSql: String =
+    """WITH m AS (
+      |  SELECT n_name AS k,
+      |    CAST(SUM(o_totalprice) AS DOUBLE) AS x,
+      |    CAST(COUNT(*) AS DOUBLE) AS y
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+      |  FROM m a JOIN m b ON a.k < b.k)
+      |SELECT COUNT(*) AS n_pairs,
+      |  SUM(CASE WHEN (xa-xb)*(ya-yb) > 0 THEN 1 ELSE 0 END)
+      |    AS concordant,
+      |  SUM(CASE WHEN (xa-xb)*(ya-yb) < 0 THEN 1 ELSE 0 END)
+      |    AS discordant,
+      |  SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS ties_x,
+      |  SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS ties_y,
+      |  ROUND(CAST(SUM(CASE WHEN (xa-xb)*(ya-yb) > 0 THEN 1 ELSE 0 END)
+      |      - SUM(CASE WHEN (xa-xb)*(ya-yb) < 0 THEN 1 ELSE 0 END)
+      |      AS DOUBLE) /
+      |    sqrt(CAST(COUNT(*) - SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END)
+      |        AS DOUBLE) *
+      |      CAST(COUNT(*) - SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END)
+      |        AS DOUBLE)), 6) AS tau_b
+      |FROM p""".stripMargin
 }

@@ -99,4 +99,15 @@ object TrendMonitor {
       TableLog.read(spark, dailyPath)
         .groupBy("d").agg(sum("y").as("x")),
       delta, lambda)
+
+  /** EWMA control chart over the same ingested daily table: the
+    * streaming face of [[graft.operators.Anomaly.ewmaChart]]. Same
+    * re-aggregation contract as [[pageHinkleyDashboard]], so the
+    * batch oracle applies verbatim. */
+  def ewmaDashboard(spark: SparkSession, dailyPath: String,
+      lambda: Double = 0.2, widthL: Double = 3.0): DataFrame =
+    graft.operators.Anomaly.ewmaFromDaily(
+      TableLog.read(spark, dailyPath)
+        .groupBy("d").agg(sum("y").as("x")),
+      lambda, widthL)
 }
