@@ -157,7 +157,11 @@ object PlanAudit {
     // Kendall τ: bounded nation-grain entity self-cross (q176 shape)
     "q301_kendall_tau",
     // basket affinity: 1-row distinct-order total into the pair table
-    "q302_market_basket")
+    "q302_market_basket",
+    // periodogram: 1-row μ/σ/n stat factor into the day table
+    "q308_periodogram",
+    // McNemar: 1-row span-midpoint stat factor into events
+    "q310_mcnemar")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

@@ -194,6 +194,37 @@ object SparkEntry {
       graft.operators.CorpusFilters.softDedupWeights(
         t(s, dir, "documents"))),
 
+    // ---- Seasonal Holt: classical dow-index adjustment in front of
+    //      the Holt fold, one-step forecast re-seasonalized with the
+    //      next calendar day's index ----
+    "q307_seasonal_holt" -> ((s, dir) =>
+      graft.operators.Forecast.seasonalHolt(t(s, dir, "events"))),
+
+    // ---- Periodogram scan: normalized DFT amplitude at day periods
+    //      2..14 of centered daily revenue — how the seasonal period
+    //      is DISCOVERED rather than assumed ----
+    "q308_periodogram" -> ((s, dir) =>
+      graft.operators.Spectral.periodogram(t(s, dir, "events"))),
+
+    // ---- Cochran-Armitage trend: does conversion RISE monotonically
+    //      through the week (ordered-group score test, k-row agg) ----
+    "q309_trend_proportions" -> ((s, dir) =>
+      graft.operators.Experiment.cochranArmitage(t(s, dir, "events"),
+        dayofweek(col("ts")), col("event_type") === "purchase")),
+
+    // ---- McNemar paired conversion across the span's two halves:
+    //      discordant-cell chi-square on the SAME users ----
+    "q310_mcnemar" -> ((s, dir) =>
+      graft.operators.Experiment.mcnemar(t(s, dir, "events"),
+        col("event_type") === "purchase")),
+
+    // ---- HHI / effective competitors / CR-5 of customer revenue
+    //      within each nation ----
+    "q311_concentration" -> ((s, dir) =>
+      graft.operators.Concentration.revenueConcentration(
+        t(s, dir, "orders"), t(s, dir, "customer"),
+        t(s, dir, "nation"))),
+
     // ---- Streaming EWMA dashboard over the replay-safe daily table
     //      (q296 recipe): stream ≡ batch, same oracle verbatim ----
     "q306_stream_ewma" -> ((s, dir) => {
@@ -3783,6 +3814,21 @@ object SparkEntry {
 
     "q306_stream_ewma" ->
       graft.operators.Anomaly.ewmaOracleSql(),
+
+    "q307_seasonal_holt" ->
+      graft.operators.Forecast.seasonalHoltOracleSql(),
+
+    "q308_periodogram" ->
+      graft.operators.Spectral.periodogramOracleSql(),
+
+    "q309_trend_proportions" ->
+      graft.operators.Experiment.cochranArmitageOracleSql,
+
+    "q310_mcnemar" ->
+      graft.operators.Experiment.mcnemarOracleSql,
+
+    "q311_concentration" ->
+      graft.operators.Concentration.revenueConcentrationOracleSql,
 
     "q269_ols_trend" ->
       graft.operators.Regression.olsTrendOracleSql,

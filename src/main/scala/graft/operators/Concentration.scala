@@ -129,4 +129,70 @@ object Concentration {
        |SELECT COUNT(*) AS k, ROUND(MIN(xmin), 2) AS xmin,
        |  ROUND(COUNT(*) / SUM(ln(x / xmin)), 6) AS alpha
        |FROM r CROSS JOIN xm WHERE rn <= $k""".stripMargin
+
+  /** Market-concentration report per segment: the Herfindahl–
+    * Hirschman index (Σ shareᵢ², the antitrust standard — 1/n for
+    * perfect competition, 1.0 for monopoly), its equivalent-
+    * competitor count 1/HHI, and the CR-k top-k concentration ratio
+    * of customer revenue within each nation. [[tokenGiniBySource]]
+    * measures inequality of the whole curve; HHI/CR-k are the
+    * square-weighted and top-mass summaries a revenue-risk review
+    * actually quotes ("how much walks if the top 5 accounts churn").
+    *
+    * Scale shape: one grouped agg to the (nation, customer) grain,
+    * per-nation totals as a grouped (not windowed-unpartitioned)
+    * stat table joined back, and a rank window PARTITIONED by nation
+    * — member-cardinality windows, never a global single-partition
+    * sort. Ties on revenue at the k boundary are broken by customer
+    * key so both engines pick the same k rows. */
+  def revenueConcentration(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, topK: Int = 5): DataFrame = {
+    val cust = orders
+      .join(broadcast(customer),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"))
+      .agg(sum("o_totalprice").as("__rev"))
+    val tot = cust.groupBy("n_name")
+      .agg(sum("__rev").as("__tot"), count(lit(1)).as("n_customers"))
+    val w = Window.partitionBy("n_name")
+      .orderBy(desc("__rev"), col("c_custkey"))
+    cust.withColumn("__rn", row_number().over(w))
+      .join(tot, "n_name")
+      .groupBy(col("n_name"), col("n_customers"))
+      .agg(
+        sum(pow(col("__rev") / col("__tot"), 2.0)).as("__hhi"),
+        sum(when(col("__rn") <= topK, col("__rev") / col("__tot"))
+          .otherwise(lit(0.0))).as("__crk"))
+      .select(col("n_name"), col("n_customers"),
+        round(col("__hhi"), 6).as("hhi"),
+        round(lit(1.0) / col("__hhi"), 6).as("effective_competitors"),
+        round(col("__crk"), 6).as(s"cr$topK"))
+      .orderBy("n_name")
+  }
+
+  /** DuckDB oracle for [[revenueConcentration]] (topK = 5). */
+  val revenueConcentrationOracleSql: String =
+    """WITH cust AS (
+      |  SELECT n_name, c_custkey, SUM(o_totalprice) AS rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT n_name, SUM(rev) AS tot, COUNT(*) AS n_customers
+      |  FROM cust GROUP BY 1),
+      |r AS (
+      |  SELECT cust.n_name, rev, tot, n_customers,
+      |    ROW_NUMBER() OVER (PARTITION BY cust.n_name
+      |      ORDER BY rev DESC, c_custkey) AS rn
+      |  FROM cust JOIN tot USING (n_name))
+      |SELECT n_name, n_customers,
+      |  ROUND(SUM(pow(rev / tot, 2)), 6) AS hhi,
+      |  ROUND(1.0 / SUM(pow(rev / tot, 2)), 6)
+      |    AS effective_competitors,
+      |  ROUND(SUM(CASE WHEN rn <= 5 THEN rev / tot ELSE 0.0 END), 6)
+      |    AS cr5
+      |FROM r GROUP BY 1, 2 ORDER BY 1""".stripMargin
 }

@@ -1113,4 +1113,162 @@ object Experiment {
       |    ELSE 0.0 END, 6) AS h_tie_corrected,
       |  CAST(k - 1 AS BIGINT) AS df
       |FROM g2""".stripMargin
+
+  /** Cochran–Armitage trend test (Cochran 1954; Armitage 1955) for a
+    * binary outcome across ORDERED groups — the question the k-group
+    * chi² (q286) cannot answer: not "do conversion rates differ by
+    * weekday" but "do they RISE monotonically through the week".
+    * Score-test form over the group table: with group scores wᵢ,
+    * successes n₁ᵢ of nᵢ, pooled p̄,
+    * z = Σwᵢ(n₁ᵢ − nᵢp̄) / √(p̄(1−p̄)(Σnᵢwᵢ² − (Σnᵢwᵢ)²/N)); z ~ N(0,1)
+    * under no trend.
+    *
+    * Scale shape: one grouped agg to the k-row (score, successes,
+    * total) table, then single-row arithmetic — the Kruskal–Wallis
+    * budget without the rank shuffle, because only the group
+    * CONVERSION counts matter. */
+  def cochranArmitage(events: DataFrame, score: Column,
+      success: Column): DataFrame = {
+    val g = events
+      .select(score.cast("double").as("__w"),
+        when(success, 1L).otherwise(0L).as("__y"))
+      .where(col("__w").isNotNull)
+      .groupBy("__w")
+      .agg(count(lit(1)).as("__n"), sum("__y").as("__n1"))
+    g.agg(
+        count(lit(1)).as("n_groups"),
+        sum("__n").as("n_total"),
+        sum("__n1").as("n_success"),
+        sum(col("__w") * col("__n1")).as("__sw1"),
+        sum(col("__w") * col("__n")).as("__swn"),
+        sum(col("__w") * col("__w") * col("__n")).as("__sw2n"))
+      .withColumn("__p",
+        col("n_success").cast("double") / col("n_total"))
+      .withColumn("__num",
+        col("__sw1") - col("__swn") * col("__p"))
+      .withColumn("__den",
+        sqrt(col("__p") * (lit(1.0) - col("__p")) *
+          (col("__sw2n") - col("__swn") * col("__swn") /
+            col("n_total"))))
+      .select(
+        col("n_groups"), col("n_total"), col("n_success"),
+        round(col("__p"), 6).as("p_pooled"),
+        // degenerate all-success/no-success table: no trend testable
+        round(when(col("__den") > 0.0, col("__num") / col("__den"))
+          .otherwise(0.0), 6).as("z_trend"),
+        when(col("__den") > 0.0,
+          abs(col("__num") / col("__den")) > 1.959964)
+          .otherwise(lit(false)).as("sig_95"))
+  }
+
+  /** DuckDB oracle for [[cochranArmitage]] with weekday score and
+    * 'purchase' success on events (the q309 registration). DuckDB
+    * `dayofweek` is Sunday = 0; Spark is Sunday = 1, hence +1. */
+  val cochranArmitageOracleSql: String =
+    """WITH g AS (
+      |  SELECT CAST(dayofweek(ts) + 1 AS DOUBLE) AS w,
+      |    COUNT(*) AS n,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS n1
+      |  FROM events GROUP BY 1),
+      |a AS (
+      |  SELECT COUNT(*) AS n_groups, SUM(n) AS n_total,
+      |    SUM(n1) AS n_success,
+      |    SUM(w * n1) AS sw1, SUM(w * n) AS swn,
+      |    SUM(w * w * n) AS sw2n
+      |  FROM g),
+      |b AS (
+      |  SELECT *, CAST(n_success AS DOUBLE) / n_total AS p,
+      |    sw1 - swn * (CAST(n_success AS DOUBLE) / n_total) AS num
+      |  FROM a),
+      |c AS (
+      |  SELECT *,
+      |    sqrt(p * (1.0 - p) * (sw2n - swn * swn / n_total)) AS den
+      |  FROM b)
+      |SELECT n_groups, n_total, n_success,
+      |  ROUND(p, 6) AS p_pooled,
+      |  ROUND(CASE WHEN den > 0 THEN num / den ELSE 0.0 END, 6)
+      |    AS z_trend,
+      |  CASE WHEN den > 0 THEN abs(num / den) > 1.959964
+      |    ELSE FALSE END AS sig_95
+      |FROM c""".stripMargin
+
+  /** McNemar's test (McNemar 1947) on PAIRED user conversion across
+    * the two halves of the observed span: each user contributes one
+    * (converted-in-H1, converted-in-H2) pair, and only the DISCORDANT
+    * cells carry information — χ² = (n₀₁ − n₁₀)²/(n₀₁ + n₁₀) ~ χ²(1).
+    * The paired complement to [[welchTTest]]/[[srmCheck]]'s
+    * independent-groups tests: week-over-week movement of the SAME
+    * users, immune to the user-mix shift that confounds an unpaired
+    * comparison of the halves.
+    *
+    * Scale shape: one grouped agg to user grain (two filtered
+    * max-flags), one count-by-cell agg; the span midpoint is a 1-row
+    * min/max stat factor. */
+  def mcnemar(events: DataFrame,
+      success: Column): DataFrame = {
+    val span = events.agg(
+      to_date(min(col("ts"))).as("__lo"),
+      to_date(max(col("ts"))).as("__hi"))
+      .withColumn("__mid",
+        date_add(col("__lo"),
+          floor(datediff(col("__hi"), col("__lo")) / 2).cast("int")))
+    val users = events.crossJoin(broadcast(span))   // 1-row stat factor
+      .groupBy("user_id")
+      .agg(
+        max(when(success && to_date(col("ts")) <= col("__mid"), 1L)
+          .otherwise(0L)).as("__c1"),
+        max(when(success && to_date(col("ts")) > col("__mid"), 1L)
+          .otherwise(0L)).as("__c2"))
+    val cells = users.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("__c1") === 0L && col("__c2") === 0L, 1L)
+        .otherwise(0L)).as("n_00"),
+      sum(when(col("__c1") === 0L && col("__c2") === 1L, 1L)
+        .otherwise(0L)).as("n_01"),
+      sum(when(col("__c1") === 1L && col("__c2") === 0L, 1L)
+        .otherwise(0L)).as("n_10"),
+      sum(when(col("__c1") === 1L && col("__c2") === 1L, 1L)
+        .otherwise(0L)).as("n_11"))
+    val disc = (col("n_01") + col("n_10")).cast("double")
+    val diff = (col("n_01") - col("n_10")).cast("double")
+    cells.select(
+      col("n_users"), col("n_00"), col("n_01"), col("n_10"),
+      col("n_11"),
+      round(when(disc > 0.0, diff * diff / disc).otherwise(0.0), 6)
+        .as("chi2"),
+      (when(disc > 0.0, diff * diff / disc).otherwise(0.0) >
+        3.841459).as("sig_95"))
+  }
+
+  /** DuckDB oracle for [[mcnemar]] with 'purchase' success on
+    * events. */
+  val mcnemarOracleSql: String =
+    """WITH span AS (
+      |  SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+      |  FROM events),
+      |mid AS (
+      |  SELECT lo + CAST((hi - lo) // 2 AS INTEGER) AS m FROM span),
+      |u AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'purchase'
+      |      AND CAST(ts AS DATE) <= m THEN 1 ELSE 0 END) AS c1,
+      |    MAX(CASE WHEN event_type = 'purchase'
+      |      AND CAST(ts AS DATE) > m THEN 1 ELSE 0 END) AS c2
+      |  FROM events, mid GROUP BY 1),
+      |cells AS (
+      |  SELECT COUNT(*) AS n_users,
+      |    SUM(CASE WHEN c1 = 0 AND c2 = 0 THEN 1 ELSE 0 END) AS n_00,
+      |    SUM(CASE WHEN c1 = 0 AND c2 = 1 THEN 1 ELSE 0 END) AS n_01,
+      |    SUM(CASE WHEN c1 = 1 AND c2 = 0 THEN 1 ELSE 0 END) AS n_10,
+      |    SUM(CASE WHEN c1 = 1 AND c2 = 1 THEN 1 ELSE 0 END) AS n_11
+      |  FROM u)
+      |SELECT n_users, n_00, n_01, n_10, n_11,
+      |  ROUND(CASE WHEN n_01 + n_10 > 0
+      |    THEN CAST(n_01 - n_10 AS DOUBLE) * (n_01 - n_10)
+      |      / (n_01 + n_10) ELSE 0.0 END, 6) AS chi2,
+      |  CASE WHEN n_01 + n_10 > 0
+      |    THEN CAST(n_01 - n_10 AS DOUBLE) * (n_01 - n_10)
+      |      / (n_01 + n_10) ELSE 0.0 END > 3.841459 AS sig_95
+      |FROM cells""".stripMargin
 }
