@@ -161,7 +161,11 @@ object PlanAudit {
     // periodogram: 1-row μ/σ/n stat factor into the day table
     "q308_periodogram",
     // McNemar: 1-row span-midpoint stat factor into events
-    "q310_mcnemar")
+    "q310_mcnemar",
+    // Nelson-Aalen: the q247 KM 1-row max-date/count stat factor
+    "q312_nelson_aalen",
+    // link prediction: 1-row span-midpoint stat factor into lineitem
+    "q316_link_prediction")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

@@ -319,7 +319,34 @@ object ScaleProbe {
       // per copy, so the prefix-filter join grows with the corpus,
       // not quadratically in it
       "allpairs_join" -> (d =>
-        graft.operators.AllPairsJoin.jaccardJoin(d, 0.5).count()))
+        graft.operators.AllPairsJoin.jaccardJoin(d, 0.5).count()),
+      // suffixed tokens make cross-copy lines disjoint: the duplicate-
+      // line table grows linearly, join-back stays key-local
+      "line_dedup" -> (d => graft.operators.CorpusFilters.lineDedup(
+        d.withColumn("source",
+          concat(lit("s"), pmod(col("doc_id"), lit(16))))).count()),
+      "soft_dedup" -> (d => graft.operators.CorpusFilters
+        .softDedupWeights(d.withColumn("source",
+          concat(lit("s"), pmod(col("doc_id"), lit(16))))).count()),
+      // map-only rule passes + one grouped agg; gopher carries the
+      // RepetitionProfile bigram pass
+      "c4_rules" -> (d => graft.operators.CorpusFilters.c4Report(
+        d.withColumn("source",
+          concat(lit("s"), pmod(col("doc_id"), lit(16))))).count()),
+      "gopher_rules" -> (d => graft.operators.CorpusFilters.gopherReport(
+        d.withColumn("source",
+          concat(lit("s"), pmod(col("doc_id"), lit(16))))).count()),
+      // synthetic 4-item baskets (order = doc, parts from leading
+      // tokens): pair blowup stays bounded by basket size while the
+      // basket COUNT scales with the corpus
+      "market_basket" -> { d =>
+        val items = d.select(col("doc_id").as("l_orderkey"),
+          explode(slice(split(col("text"), "\\s+"), 1, 4)).as("__t"))
+          .select(col("l_orderkey"),
+            pmod(xxhash64(col("__t")), lit(5000L)).as("l_partkey"))
+        graft.operators.Basket.partAffinity(items, minBoth = 2L,
+          topK = 100).count()
+      })
 
     // ---- embedding-input operators: amplified by cyclic coordinate
     // rotation per copy — rotations of distinct 64-dim vectors are

@@ -218,6 +218,36 @@ object SparkEntry {
       graft.operators.Experiment.mcnemar(t(s, dir, "events"),
         col("event_type") === "purchase")),
 
+    // ---- Link-prediction eval: H1 Adamic-Adar score vs H2 repeat
+    //      co-purchase label, ranked by the q202 AUC engine ----
+    "q316_link_prediction" -> ((s, dir) =>
+      graft.operators.Basket.linkPredictionEval(
+        t(s, dir, "lineitem"), t(s, dir, "orders"))),
+
+    // ---- Forecast tournament: naive / seasonal-naive / SES / Holt
+    //      one-step MAE on the common window, MASE-style ratios ----
+    "q315_forecast_tournament" -> ((s, dir) =>
+      graft.operators.Forecast.tournament(t(s, dir, "events"))),
+
+    // ---- PACF via Durbin-Levinson over the q213 ACF table: the
+    //      AR-order dial; O(K^2) driver recursion on the K-bounded
+    //      rounded ACF, identical inputs in both engines ----
+    "q314_pacf" -> ((s, dir) =>
+      graft.operators.Anomaly.pacfReport(t(s, dir, "events"))),
+
+    // ---- Nelson-Aalen cumulative hazard + Greenwood SE: the
+    //      confidence-band companion to the q247 KM curve, same
+    //      risk-table recipe ----
+    "q312_nelson_aalen" -> ((s, dir) =>
+      graft.operators.Survival.nelsonAalen(t(s, dir, "events"),
+        horizonDays = 1)),
+
+    // ---- Coarsened exact matching ATT: effect of seeing an error on
+    //      purchase value, matched exactly on active-day count;
+    //      naive diff reported beside it ----
+    "q313_cem_att" -> ((s, dir) =>
+      graft.operators.Matching.errorImpactAtt(t(s, dir, "events"))),
+
     // ---- HHI / effective competitors / CR-5 of customer revenue
     //      within each nation ----
     "q311_concentration" -> ((s, dir) =>
@@ -3829,6 +3859,21 @@ object SparkEntry {
 
     "q311_concentration" ->
       graft.operators.Concentration.revenueConcentrationOracleSql,
+
+    "q312_nelson_aalen" ->
+      graft.operators.Survival.nelsonAalenOracleSql(horizonDays = 1),
+
+    "q313_cem_att" ->
+      graft.operators.Matching.errorImpactOracleSql,
+
+    "q314_pacf" ->
+      graft.operators.Anomaly.pacfOracleSql(),
+
+    "q315_forecast_tournament" ->
+      graft.operators.Forecast.tournamentOracleSql(),
+
+    "q316_link_prediction" ->
+      graft.operators.Basket.linkPredictionOracleSql,
 
     "q269_ols_trend" ->
       graft.operators.Regression.olsTrendOracleSql,

@@ -156,6 +156,86 @@ object Anomaly {
       .orderBy("lag")
   }
 
+  /** Partial autocorrelation of the daily-count series via the
+    * Durbin–Levinson recursion (Durbin 1960; Box & Jenkins ch. 3) —
+    * the AR-order dial [[dailyAcf]] can't give: ρₖ conflates direct
+    * and propagated dependence, while PACF(k) is the correlation at
+    * lag k AFTER regressing out lags 1..k−1, so the lag where PACF
+    * cuts off is the AR(p) order. Built ON [[dailyAcf]]'s 6-decimal
+    * output exactly as [[ljungBox]] is, so the two engines run the
+    * recursion on bit-identical ρ̂ inputs, and each step's
+    * sum-then-subtract order matches the oracle's `list_sum` fold.
+    *
+    * Scale shape: the corpus-scale work IS [[dailyAcf]]; the
+    * recursion is O(K²) arithmetic on the collected K-row ACF table
+    * (K ≤ 10 — the Jacobi-on-driver precedent, lag-bounded, never
+    * corpus-bounded). */
+  def pacfReport(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val acfRows = dailyAcf(events, maxLag).collect()   // K-bounded
+    val rhos = acfRows.sortBy(_.getInt(0)).map(_.getDouble(2))
+    val pacf = new Array[Double](rhos.length)
+    var phi = Array.empty[Double]
+    for (k <- 1 to rhos.length) {
+      if (k == 1) { phi = Array(rhos(0)); pacf(0) = rhos(0) }
+      else {
+        var sn = 0.0; var sd = 0.0
+        for (j <- 1 until k) {
+          sn += phi(j - 1) * rhos(k - j - 1)
+          sd += phi(j - 1) * rhos(j - 1)
+        }
+        val num = rhos(k - 1) - sn
+        val den = 1.0 - sd
+        val pkk = if (den != 0.0) num / den else 0.0
+        phi = Array.tabulate(k - 1)(i => phi(i) - pkk * phi(k - 2 - i)) :+
+          pkk
+        pacf(k - 1) = pkk
+      }
+    }
+    rhos.indices.map { i =>
+      (i + 1, rhos(i),
+        BigDecimal(pacf(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }.toDF("lag", "acf", "pacf").orderBy("lag")
+  }
+
+  /** DuckDB oracle for [[pacfReport]] — the identical Durbin–Levinson
+    * recursion as a recursive CTE carrying the ρ and φ LISTS
+    * (comprehension-updated), over the same rounded [[acfOracleSql]]
+    * output. */
+  def pacfOracleSql(maxLag: Int = 7): String =
+    s"""WITH RECURSIVE acf AS (${acfOracleSql(maxLag)
+          .replace("\n", "\n  ")}),
+       |r AS (
+       |  SELECT 1 AS k,
+       |    [CAST(acf AS DOUBLE)] AS rhos,
+       |    [CAST(acf AS DOUBLE)] AS phi,
+       |    CAST(acf AS DOUBLE) AS pkk
+       |  FROM acf WHERE lag = 1
+       |  UNION ALL
+       |  SELECT k, rhos, list_append(
+       |      [phi[j] - pkk * phi[k - j] for j in range(1, k)], pkk),
+       |    pkk
+       |  FROM (
+       |    SELECT r.k + 1 AS k,
+       |      list_append(r.rhos, CAST(a.acf AS DOUBLE)) AS rhos,
+       |      r.phi AS phi,
+       |      CASE WHEN 1.0 - list_sum(
+       |          [r.phi[j] * r.rhos[j] for j in range(1, r.k + 1)])
+       |          <> 0.0
+       |        THEN (CAST(a.acf AS DOUBLE) - list_sum(
+       |          [r.phi[j] * r.rhos[r.k + 1 - j]
+       |            for j in range(1, r.k + 1)]))
+       |        / (1.0 - list_sum(
+       |          [r.phi[j] * r.rhos[j] for j in range(1, r.k + 1)]))
+       |        ELSE 0.0 END AS pkk
+       |    FROM r JOIN acf a ON a.lag = r.k + 1))
+       |SELECT CAST(r.k AS INTEGER) AS lag,
+       |  ROUND(r.rhos[r.k], 6) AS acf,
+       |  ROUND(r.pkk, 6) AS pacf
+       |FROM r ORDER BY lag""".stripMargin
+
   /** Hampel outlier flags over each key's daily-count series — the
     * robust complement to [[zScoreReport]]: mean/σ baselines are
     * dragged by the very outliers they're meant to flag (one 100×

@@ -296,4 +296,141 @@ object Forecast {
        |JOIN nx ON nx.event_type = r.event_type
        |ORDER BY r.event_type""".stripMargin
   }
+
+  /** Forecast-model tournament on daily total revenue: one-step-ahead
+    * MAE of naive (yₜ₋₁), seasonal-naive (yₜ₋₇ — Hyndman &
+    * Athanasopoulos §3.1's mandatory benchmarks), SES and Holt, all
+    * evaluated on the COMMON window t ≥ 8 (the first day every model
+    * has a forecast), plus each model's MASE-style ratio to naive —
+    * the honest "is the fancy model earning its keep" table that
+    * belongs next to the individual backtests (q259/q280).
+    *
+    * Scale shape: one shuffle to the day table; three lag/cumulative
+    * windows and one day-cardinality Holt fold; 4-row output. */
+  def tournament(events: DataFrame, alpha: Double = 0.3,
+      beta: Double = 0.1, season: Int = 7): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val b = 1.0 - alpha
+    val daily = events
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum("value").as("y"))
+    val wOrd = Window.orderBy("d")
+    val wCum = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val t = row_number().over(wOrd).cast("double")
+    val weight = when(col("__t") === 1.0, pow(lit(b), lit(-1.0)))
+      .otherwise(lit(alpha) * pow(lit(b), -col("__t")))
+    val start = (season + 1).toDouble
+    val staged = daily
+      .withColumn("__t", t)
+      .withColumn("__naive", lag("y", 1).over(wOrd))
+      .withColumn("__snaive", lag("y", season).over(wOrd))
+      .withColumn("__lvl", pow(lit(b), col("__t")) *
+        sum(weight * col("y")).over(wCum))
+      .withColumn("__ses", lag("__lvl", 1).over(wOrd))
+      .where(col("__t") >= start)
+    val flat = staged.agg(
+      count(lit(1)).as("__n"),
+      avg(abs(col("y") - col("__naive"))).as("__naive_mae"),
+      avg(abs(col("y") - col("__snaive"))).as("__snaive_mae"),
+      avg(abs(col("y") - col("__ses"))).as("__ses_mae"))
+    // Holt: same fold as holtFromDaily, sae restricted to the common
+    // window (forecast for step i+1 is made from state at step i)
+    val holt = daily
+      .groupBy()
+      .agg(collect_list(struct(col("d"), col("y"))).as("__pts"))
+      .withColumn("__st", expr(
+        s"""aggregate(
+           |  array_sort(__pts),
+           |  named_struct('i', 0L, 'l', 0D, 'b', 0D, 'sae', 0D),
+           |  (s, p) -> IF(s.i = 0L,
+           |    named_struct('i', 1L, 'l', p.y, 'b', 0D, 'sae', 0D),
+           |    named_struct('i', s.i + 1L,
+           |      'l', $alpha * p.y + ${1 - alpha} * (s.l + s.b),
+           |      'b', $beta * (($alpha * p.y + ${1 - alpha} *
+           |             (s.l + s.b)) - s.l) + ${1 - beta} * s.b,
+           |      'sae', IF(s.i + 1L >= ${season + 1}L,
+           |        s.sae + abs(p.y - (s.l + s.b)), s.sae))),
+           |  s -> s)""".stripMargin))
+      .select(col("__st.sae").as("__holt_sae"))
+    val row = flat.crossJoin(holt).collect()(0)   // two 1-row frames
+    val n = row.getAs[Long]("__n")
+    val naive = row.getAs[Double]("__naive_mae")
+    def out(model: String, mae: Double) =
+      (model, n,
+        BigDecimal(mae).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble,
+        BigDecimal(mae / naive)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    Seq(
+      out("holt", row.getAs[Double]("__holt_sae") / n),
+      out("naive", naive),
+      out("ses", row.getAs[Double]("__ses_mae")),
+      out("snaive", row.getAs[Double]("__snaive_mae")))
+      .toDF("model", "n_eval", "mae", "mase_vs_naive")
+      .orderBy("model")
+  }
+
+  /** DuckDB oracle for [[tournament]] (defaults). */
+  def tournamentOracleSql(alpha: Double = 0.3, beta: Double = 0.1,
+      season: Int = 7): String = {
+    val a = alpha; val na = 1 - alpha
+    val bb = beta; val nb = 1 - beta
+    val b = 1 - alpha
+    val start = season + 1
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT CAST(ts AS DATE) AS d, SUM(value) AS y
+       |  FROM events GROUP BY 1),
+       |tt AS (
+       |  SELECT d, y,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY d) AS DOUBLE) AS t
+       |  FROM daily),
+       |lv0 AS (
+       |  SELECT d, y, t,
+       |    pow($b, t) * SUM(CASE WHEN t = 1.0 THEN pow($b, -1.0)
+       |      ELSE $a * pow($b, -t) END * y) OVER (ORDER BY d
+       |      ROWS UNBOUNDED PRECEDING) AS lvl
+       |  FROM tt),
+       |lv AS (
+       |  SELECT d, y, t,
+       |    LAG(y, 1) OVER (ORDER BY d) AS nv,
+       |    LAG(y, $season) OVER (ORDER BY d) AS snv,
+       |    LAG(lvl, 1) OVER (ORDER BY d) AS ses
+       |  FROM lv0),
+       |flat AS (
+       |  SELECT COUNT(*) AS n,
+       |    AVG(abs(y - nv)) AS naive_mae,
+       |    AVG(abs(y - snv)) AS snaive_mae,
+       |    AVG(abs(y - ses)) AS ses_mae
+       |  FROM lv WHERE t >= $start),
+       |idx AS (
+       |  SELECT y, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily),
+       |r AS (
+       |  SELECT i, y AS l, CAST(0.0 AS DOUBLE) AS b,
+       |    CAST(0.0 AS DOUBLE) AS sae
+       |  FROM idx WHERE i = 1
+       |  UNION ALL
+       |  SELECT idx.i,
+       |    $a * idx.y + $na * (r.l + r.b),
+       |    $bb * (($a * idx.y + $na * (r.l + r.b)) - r.l) + $nb * r.b,
+       |    CASE WHEN idx.i >= $start
+       |      THEN r.sae + abs(idx.y - (r.l + r.b)) ELSE r.sae END
+       |  FROM r JOIN idx ON idx.i = r.i + 1),
+       |h AS (SELECT sae FROM r ORDER BY i DESC LIMIT 1),
+       |m AS (
+       |  SELECT 'naive' AS model, n, naive_mae AS mae,
+       |    naive_mae AS nmae FROM flat
+       |  UNION ALL
+       |  SELECT 'snaive', n, snaive_mae, naive_mae FROM flat
+       |  UNION ALL
+       |  SELECT 'ses', n, ses_mae, naive_mae FROM flat
+       |  UNION ALL
+       |  SELECT 'holt', n, (SELECT sae FROM h) / n, naive_mae
+       |  FROM flat)
+       |SELECT model, CAST(n AS BIGINT) AS n_eval,
+       |  ROUND(mae, 6) AS mae,
+       |  ROUND(mae / nmae, 6) AS mase_vs_naive
+       |FROM m ORDER BY model""".stripMargin
+  }
 }

@@ -207,4 +207,105 @@ object Survival {
        |  ROUND(CASE WHEN hit0 = 1 THEN 0.0 ELSE exp(lsum) END, 6)
        |    AS survival
        |FROM k ORDER BY t_days""".stripMargin
+
+  /** Nelson–Aalen cumulative hazard with the Greenwood standard
+    * error (Nelson 1972; Aalen 1978; Greenwood 1926) — the
+    * inferential companion to [[kaplanMeier]]: H(t) = Σ d/n is the
+    * additive hazard view (more stable than −log S in small risk
+    * sets), exp(−H) its survival estimate, and the Greenwood SE
+    * S·√(Σ d/(n(n−d))) is what turns the KM point curve into a
+    * confidence band. Same censoring convention and risk-table
+    * construction as [[kaplanMeier]]; same scale shape (one corpus
+    * pass, lifetime-cardinality windows).
+    *
+    * Rows where the full risk set exits (d = n) pin S to 0 and
+    * carry a NULL SE (the Greenwood term divides by n−d). */
+  def nelsonAalen(events: DataFrame, horizonDays: Int = 3): DataFrame = {
+    val per = events.groupBy("user_id").agg(
+      min(to_date(col("ts"))).as("__f"),
+      max(to_date(col("ts"))).as("__l"))
+    val mx = per.agg(max("__l").as("__mx"), count(lit(1)).as("__n"))
+    val obs = per.crossJoin(broadcast(mx))   // 1-row stat factor
+      .select(
+        datediff(col("__l"), col("__f")).cast("double").as("t"),
+        (datediff(col("__mx"), col("__l")) < horizonDays).as("__cens"),
+        col("__n"))
+    val tbl = obs.groupBy("t").agg(
+      sum(when(!col("__cens"), 1L).otherwise(0L)).as("d"),
+      count(lit(1)).as("__ended"),
+      first("__n").as("__n"))
+    val wBefore = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withRisk = tbl
+      .withColumn("n_risk",
+        col("__n") - coalesce(sum("__ended").over(wBefore), lit(0L)))
+      .where(col("d") > 0)
+    val dD = col("d").cast("double")
+    val nD = col("n_risk").cast("double")
+    val kmTerm = when(col("d") < col("n_risk"),
+      log(lit(1.0) - dD / nD))
+    val gTerm = when(col("d") < col("n_risk"),
+      dD / (nD * (nD - dD)))
+    withRisk
+      .withColumn("__h", sum(dD / nD).over(wCum))
+      .withColumn("__hit0", max(when(col("d") === col("n_risk"), 1)
+        .otherwise(0)).over(wCum))
+      .withColumn("__lsum", sum(kmTerm).over(wCum))
+      .withColumn("__g", sum(gTerm).over(wCum))
+      .select(col("t").cast("bigint").as("t_days"),
+        col("n_risk"), col("d").as("n_events"),
+        round(col("__h"), 6).as("cum_hazard"),
+        round(exp(-col("__h")), 6).as("survival_na"),
+        round(when(col("__hit0") === 1, lit(null).cast("double"))
+          .otherwise(exp(col("__lsum")) * sqrt(col("__g"))), 6)
+          .as("greenwood_se"))
+      .orderBy("t_days")
+  }
+
+  /** DuckDB oracle for [[nelsonAalen]] on events. */
+  def nelsonAalenOracleSql(horizonDays: Int = 3): String =
+    s"""WITH per AS (
+       |  SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+       |    MAX(CAST(ts AS DATE)) AS l
+       |  FROM events GROUP BY 1),
+       |mx AS (SELECT MAX(l) AS m, COUNT(*) AS n FROM per),
+       |obs AS (
+       |  SELECT CAST(date_diff('day', f, l) AS DOUBLE) AS t,
+       |    date_diff('day', l, (SELECT m FROM mx)) < $horizonDays
+       |      AS cens
+       |  FROM per),
+       |tbl AS (
+       |  SELECT t,
+       |    SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS d,
+       |    COUNT(*) AS ended
+       |  FROM obs GROUP BY 1),
+       |r AS (
+       |  SELECT t, d,
+       |    (SELECT n FROM mx) - COALESCE(SUM(ended) OVER (ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS n_risk
+       |  FROM tbl),
+       |k AS (
+       |  SELECT t, d, n_risk,
+       |    SUM(CAST(d AS DOUBLE) / n_risk) OVER (ORDER BY t
+       |      ROWS UNBOUNDED PRECEDING) AS h,
+       |    MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+       |      ROWS UNBOUNDED PRECEDING) AS hit0,
+       |    SUM(CASE WHEN d < n_risk
+       |      THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) END)
+       |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lsum,
+       |    SUM(CASE WHEN d < n_risk
+       |      THEN CAST(d AS DOUBLE) / (n_risk * (n_risk - d)) END)
+       |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS g
+       |  FROM r WHERE d > 0)
+       |SELECT CAST(t AS BIGINT) AS t_days,
+       |  CAST(n_risk AS BIGINT) AS n_risk,
+       |  CAST(d AS BIGINT) AS n_events,
+       |  ROUND(h, 6) AS cum_hazard,
+       |  ROUND(exp(-h), 6) AS survival_na,
+       |  ROUND(CASE WHEN hit0 = 1 THEN NULL
+       |    ELSE exp(lsum) * sqrt(g) END, 6) AS greenwood_se
+       |FROM k ORDER BY t_days""".stripMargin
 }

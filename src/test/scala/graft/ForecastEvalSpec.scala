@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Anomaly, Basket, Forecast, Matching, Survival}
+
+/** Nelson–Aalen/Greenwood, CEM ATT, forecast tournament, PACF, and
+  * link-prediction eval on hand-checkable fixtures. */
+class ForecastEvalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, String, Double)*) =
+    rows.map { case (u, t, e, v) =>
+      (u, java.sql.Timestamp.valueOf(t), e, v)
+    }.toDF("user_id", "ts", "event_type", "value")
+
+  test("nelson-aalen hazard, NA survival and greenwood SE by hand") {
+    val d = ev(
+      (1L, "2024-06-01 08:00:00", "view", 0), (1L, "2024-06-03 08:00:00", "view", 0),
+      (2L, "2024-06-01 08:00:00", "view", 0), (2L, "2024-06-05 08:00:00", "view", 0),
+      (3L, "2024-06-02 08:00:00", "view", 0), (3L, "2024-06-09 08:00:00", "view", 0),
+      (4L, "2024-06-10 08:00:00", "view", 0))
+    val r = Survival.nelsonAalen(d, horizonDays = 3)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(2L, 4L), "only uncensored-exit lifetimes")
+    assert(r(2L).getLong(1) == 3L && r(2L).getLong(2) == 1L)
+    assert(math.abs(r(2L).getDouble(3) - 1.0 / 3.0) < 1e-6)
+    assert(math.abs(r(2L).getDouble(4) - math.exp(-1.0 / 3.0)) < 1e-6)
+    assert(math.abs(r(2L).getDouble(5) -
+      2.0 / 3.0 * math.sqrt(1.0 / 6.0)) < 1e-6)
+    assert(math.abs(r(4L).getDouble(3) - (1.0 / 3.0 + 0.5)) < 1e-6)
+    assert(math.abs(r(4L).getDouble(5) -
+      1.0 / 3.0 * math.sqrt(1.0 / 6.0 + 0.5)) < 1e-6)
+  }
+
+  test("cem att weights matched strata by treated counts") {
+    // stratum = active days; treated = saw an error
+    val d = ev(
+      // s=1 treated: u1 y=10, u2 y=20; control: u3 y=5
+      (1L, "2024-06-01 08:00:00", "error", 0),
+      (1L, "2024-06-01 09:00:00", "purchase", 10),
+      (2L, "2024-06-02 08:00:00", "error", 0),
+      (2L, "2024-06-02 09:00:00", "purchase", 20),
+      (3L, "2024-06-03 08:00:00", "purchase", 5),
+      // s=2 treated only: u4 (unmatched)
+      (4L, "2024-06-01 08:00:00", "error", 0),
+      (4L, "2024-06-02 09:00:00", "purchase", 8))
+    val r = Matching.errorImpactAtt(d).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 1L)
+    assert(r.getLong(4) == 2L)
+    assert(math.abs(r.getDouble(5) - 10.0) < 1e-9, "att")
+    // naive: treated mean (10+20+8)/3, control mean 5
+    assert(math.abs(r.getDouble(6) - (38.0 / 3.0 - 5.0)) < 1e-6)
+  }
+
+  test("tournament: snaive wins on a perfectly 7-periodic series") {
+    val pattern = Seq(10.0, 40.0, 20.0, 50.0, 30.0, 60.0, 25.0)
+    val rows = (0 until 21).map { i =>
+      (i.toLong, f"2024-06-${i + 1}%02d 10:00:00", "view", pattern(i % 7))
+    }
+    val r = Forecast.tournament(ev(rows: _*))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("naive").getLong(1) == 14L, "common window = days 8..21")
+    assert(math.abs(r("naive").getDouble(3) - 1.0) < 1e-9)
+    assert(r("snaive").getDouble(2) == 0.0, "periodic → snaive exact")
+    assert(r("holt").getDouble(2) > 0.0 && r("ses").getDouble(2) > 0.0)
+  }
+
+  test("pacf lag-2 matches the closed form on its own acf") {
+    // dailyAcf runs on COUNTS per day — vary them (1..15 events/day)
+    val rows = (0 until 24).flatMap { i =>
+      (0 until (1 + i % 3 * 7 + i % 5)).map { j =>
+        ((i * 100 + j).toLong, f"2024-06-${i + 1}%02d 10:00:00", "view",
+          1.0)
+      }
+    }
+    val d = ev(rows: _*)
+    val acf = Anomaly.dailyAcf(d, maxLag = 4)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val p = Anomaly.pacfReport(d, maxLag = 4)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(math.abs(p(1) - acf(1)) < 1e-9)
+    val expected = (acf(2) - acf(1) * acf(1)) / (1.0 - acf(1) * acf(1))
+    assert(math.abs(p(2) - expected) < 1e-5)
+  }
+
+  test("link prediction: persistent pair outranks the one-off") {
+    def o(id: Long, date: String) = (id, java.sql.Date.valueOf(date))
+    val orders = Seq(
+      o(1, "2024-06-01"), o(2, "2024-06-03"), o(3, "2024-06-05"),
+      o(4, "2024-06-20"), o(5, "2024-06-25"))
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      (1L, 101L), (1L, 102L),          // H1: (101,102)
+      (2L, 101L), (2L, 102L),          // H1: (101,102) again → score 2/ln2
+      (3L, 103L), (3L, 104L),          // H1: (103,104) → score 1/ln2
+      (4L, 101L), (4L, 102L),          // H2: (101,102) repeats → pos
+      (5L, 103L), (5L, 105L))          // H2: (103,104) does not
+      .toDF("l_orderkey", "l_partkey")
+    val r = Basket.linkPredictionEval(li, orders).collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L)
+    assert(r.getDouble(3) == 1.0, "higher-scored pair is the one that persists")
+  }
+}
