@@ -165,7 +165,9 @@ object PlanAudit {
     // Nelson-Aalen: the q247 KM 1-row max-date/count stat factor
     "q312_nelson_aalen",
     // link prediction: 1-row span-midpoint stat factor into lineitem
-    "q316_link_prediction")
+    "q316_link_prediction",
+    // Davies-Bouldin: 1-row DB/SSW/SST stat factors composed at the end
+    "q318_davies_bouldin")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

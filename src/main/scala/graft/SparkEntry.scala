@@ -218,6 +218,20 @@ object SparkEntry {
       graft.operators.Experiment.mcnemar(t(s, dir, "events"),
         col("event_type") === "purchase")),
 
+    // ---- Simplified silhouette per label over embeddings: centroid
+    //      a/b distances via the sum-of-squares expansion, linear in
+    //      the corpus for fixed k,d ----
+    "q317_silhouette" -> ((s, dir) =>
+      graft.operators.ClusterQuality.silhouette(
+        t(s, dir, "embeddings"))),
+
+    // ---- Davies-Bouldin + Calinski-Harabasz whole-clustering
+    //      verdict: k-bounded centroid geometry after one corpus
+    //      pass ----
+    "q318_davies_bouldin" -> ((s, dir) =>
+      graft.operators.ClusterQuality.daviesBouldin(
+        t(s, dir, "embeddings"))),
+
     // ---- Link-prediction eval: H1 Adamic-Adar score vs H2 repeat
     //      co-purchase label, ranked by the q202 AUC engine ----
     "q316_link_prediction" -> ((s, dir) =>
@@ -3874,6 +3888,12 @@ object SparkEntry {
 
     "q316_link_prediction" ->
       graft.operators.Basket.linkPredictionOracleSql,
+
+    "q317_silhouette" ->
+      graft.operators.ClusterQuality.silhouetteOracleSql,
+
+    "q318_davies_bouldin" ->
+      graft.operators.ClusterQuality.daviesBouldinOracleSql,
 
     "q269_ols_trend" ->
       graft.operators.Regression.olsTrendOracleSql,
