@@ -167,7 +167,9 @@ object PlanAudit {
     // link prediction: 1-row span-midpoint stat factor into lineitem
     "q316_link_prediction",
     // Davies-Bouldin: 1-row DB/SSW/SST stat factors composed at the end
-    "q318_davies_bouldin")
+    "q318_davies_bouldin",
+    // SQ8 ANN: broadcast tiny query set x corpus (the q20 baseline shape)
+    "q320_sq8_ann")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

@@ -218,6 +218,20 @@ object SparkEntry {
       graft.operators.Experiment.mcnemar(t(s, dir, "events"),
         col("event_type") === "purchase")),
 
+    // ---- SQ8 scalar-quantized ANN: per-dim uniform grid, asymmetric
+    //      full-precision-query x dequantized-candidate search ----
+    "q320_sq8_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.ScalarQuantization.sq8TopK(e,
+        e.filter(col("vec_id") < 8), k = 5)
+    }),
+
+    // ---- Encoding-health audit: replacement chars, control-char
+    //      bleed, non-ASCII share per source; map-only regex ----
+    "q319_encoding_audit" -> ((s, dir) =>
+      graft.operators.CorpusFilters.encodingAudit(
+        t(s, dir, "documents"))),
+
     // ---- Simplified silhouette per label over embeddings: centroid
     //      a/b distances via the sum-of-squares expansion, linear in
     //      the corpus for fixed k,d ----
@@ -3894,6 +3908,12 @@ object SparkEntry {
 
     "q318_davies_bouldin" ->
       graft.operators.ClusterQuality.daviesBouldinOracleSql,
+
+    "q319_encoding_audit" ->
+      graft.operators.CorpusFilters.encodingAuditOracleSql,
+
+    "q320_sq8_ann" ->
+      graft.operators.ScalarQuantization.sq8OracleSql,
 
     "q269_ols_trend" ->
       graft.operators.Regression.olsTrendOracleSql,

@@ -302,6 +302,55 @@ object CorpusFilters {
       |  ROUND(AVG(es), 6) AS mean_ellipsis_share
       |FROM s GROUP BY source ORDER BY source""".stripMargin
 
+  /** Encoding-health audit per source (the mojibake pass every
+    * web-crawl pipeline runs before language ID — wrongly-decoded
+    * bytes poison tokenizers and n-gram stats silently): docs
+    * containing U+FFFD replacement characters (a decoder already
+    * gave up), docs with C0 control characters other than tab/
+    * newline/CR (binary bleed), and the mean non-ASCII character
+    * share (the dial that separates "French" from "double-decoded
+    * UTF-8"). Map-only regex + one grouped agg; patterns stay in the
+    * RE2 ∩ Java-regex common syntax so both engines match the same
+    * characters. */
+  def encodingAudit(docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nonAscii = length(regexp_replace(t, "[\\x00-\\x7F]", ""))
+    val f = (c: org.apache.spark.sql.Column) =>
+      sum(when(c, 1L).otherwise(0L))
+    docs
+      .withColumn("__repl", t.contains("�"))
+      .withColumn("__ctrl",
+        t.rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+      .withColumn("__nas",
+        when(length(t) > 0,
+          nonAscii.cast("double") / length(t)).otherwise(0.0))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        f(col("__repl")).as("n_replacement"),
+        f(col("__ctrl")).as("n_control"),
+        round(avg("__nas"), 6).as("mean_non_ascii_share"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[encodingAudit]] on documents. */
+  val encodingAuditOracleSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    contains(text, chr(65533)) AS repl,
+      |    regexp_matches(text,
+      |      '[\x00-\x08\x0B\x0C\x0E-\x1F]') AS ctrl,
+      |    CASE WHEN length(text) > 0
+      |      THEN CAST(length(regexp_replace(text, '[\x00-\x7F]', '',
+      |        'g')) AS DOUBLE) / length(text)
+      |      ELSE 0.0 END AS nas
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  SUM(CASE WHEN repl THEN 1 ELSE 0 END) AS n_replacement,
+      |  SUM(CASE WHEN ctrl THEN 1 ELSE 0 END) AS n_control,
+      |  ROUND(AVG(nas), 6) AS mean_non_ascii_share
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   /** Duplicate-aware soft weighting (the SoftDeDup idea — He et al.
     * 2024 — reduced to its exact-duplicate core): instead of DROPPING
     * copies, every member of an exact-duplicate cluster of size c
