@@ -169,7 +169,15 @@ object PlanAudit {
     // Davies-Bouldin: 1-row DB/SSW/SST stat factors composed at the end
     "q318_davies_bouldin",
     // SQ8 ANN: broadcast tiny query set x corpus (the q20 baseline shape)
-    "q320_sq8_ann")
+    "q320_sq8_ann",
+    // IND discovery: column-count-bounded pair grid (12x12 cross)
+    "q321_ind_discovery",
+    // truncated recall: q20 baseline shape per m (broadcast query set)
+    "q322_truncated_recall",
+    // Friedman: 1-row treatment-count + chi2 stat factors
+    "q325_friedman",
+    // Theil decomposition: 1-row total + identity stat factors
+    "q326_theil")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

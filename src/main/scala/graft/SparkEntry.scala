@@ -218,6 +218,62 @@ object SparkEntry {
       graft.operators.Experiment.mcnemar(t(s, dir, "events"),
         col("event_type") === "purchase")),
 
+    // ---- Inclusion-dependency (FK) discovery over the TPC-H key
+    //      columns: one tagged distinct-value table, one self
+    //      equi-join on value, p^2-bounded output ----
+    "q321_ind_discovery" -> ((s, dir) => {
+      val cols = Seq(
+        "customer.c_custkey" -> (t(s, dir, "customer"), "c_custkey"),
+        "customer.c_nationkey" -> (t(s, dir, "customer"), "c_nationkey"),
+        "lineitem.l_orderkey" -> (t(s, dir, "lineitem"), "l_orderkey"),
+        "lineitem.l_partkey" -> (t(s, dir, "lineitem"), "l_partkey"),
+        "lineitem.l_suppkey" -> (t(s, dir, "lineitem"), "l_suppkey"),
+        "nation.n_nationkey" -> (t(s, dir, "nation"), "n_nationkey"),
+        "nation.n_regionkey" -> (t(s, dir, "nation"), "n_regionkey"),
+        "orders.o_custkey" -> (t(s, dir, "orders"), "o_custkey"),
+        "orders.o_orderkey" -> (t(s, dir, "orders"), "o_orderkey"),
+        "region.r_regionkey" -> (t(s, dir, "region"), "r_regionkey"),
+        "supplier.s_nationkey" -> (t(s, dir, "supplier"), "s_nationkey"),
+        "supplier.s_suppkey" -> (t(s, dir, "supplier"), "s_suppkey"))
+      graft.quality.Inclusion.indReport(cols)
+    }),
+
+    // ---- Matryoshka truncated-dim recall curve: recall@10 of
+    //      first-m-dim retrieval vs full-dim ground truth ----
+    "q322_truncated_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.TruncatedRecall.recallCurve(e,
+        e.filter(col("vec_id") < 8), k = 10,
+        dims = Seq(8, 16, 32, 64))
+    }),
+
+    // ---- Lag-1 Granger causality between daily purchase revenue
+    //      and daily non-purchase traffic, both directions; closed-
+    //      form two-regressor OLS from pooled moments ----
+    "q323_granger" -> ((s, dir) =>
+      graft.operators.Causality.granger(t(s, dir, "events"))),
+
+    // ---- Brown-Forsythe variance-homogeneity test of order value
+    //      across priorities: ANOVA on |x - group median| ----
+    "q324_brown_forsythe" -> ((s, dir) =>
+      graft.operators.Homogeneity.brownForsythe(
+        t(s, dir, "orders"), col("o_orderpriority"),
+        col("o_totalprice"))),
+
+    // ---- Friedman rank test: does priority shift monthly revenue
+    //      with each month as its own block? ----
+    "q325_friedman" -> ((s, dir) =>
+      graft.operators.Homogeneity.friedman(
+        t(s, dir, "orders"),
+        date_trunc("month", col("o_orderdate")),
+        col("o_orderpriority"), col("o_totalprice"))),
+
+    // ---- Theil-T inequality decomposition of document length into
+    //      between-source + within-source terms (exact identity) ----
+    "q326_theil" -> ((s, dir) =>
+      graft.operators.Inequality.theilDecomposition(
+        t(s, dir, "documents"), col("source"), col("n_chars"))),
+
     // ---- SQ8 scalar-quantized ANN: per-dim uniform grid, asymmetric
     //      full-precision-query x dequantized-candidate search ----
     "q320_sq8_ann" -> ((s, dir) => {
@@ -3911,6 +3967,24 @@ object SparkEntry {
 
     "q319_encoding_audit" ->
       graft.operators.CorpusFilters.encodingAuditOracleSql,
+
+    "q321_ind_discovery" ->
+      graft.quality.Inclusion.indReportOracleSql,
+
+    "q322_truncated_recall" ->
+      graft.operators.TruncatedRecall.recallCurveOracleSql,
+
+    "q323_granger" ->
+      graft.operators.Causality.grangerOracleSql,
+
+    "q324_brown_forsythe" ->
+      graft.operators.Homogeneity.brownForsytheOracleSql,
+
+    "q325_friedman" ->
+      graft.operators.Homogeneity.friedmanOracleSql,
+
+    "q326_theil" ->
+      graft.operators.Inequality.theilOracleSql,
 
     "q320_sq8_ann" ->
       graft.operators.ScalarQuantization.sq8OracleSql,

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group-homogeneity tests the ANOVA tier was missing: Brown–Forsythe
+  * (Levene's test with the median center — Brown & Forsythe, JASA
+  * 1974), which asks whether group VARIANCES differ (the assumption
+  * every plain-F comparison quietly makes), and the Friedman rank test
+  * (Friedman, JASA 1937), the nonparametric k-treatment test over
+  * matched blocks — "does order priority shift monthly revenue, with
+  * each month serving as its own control?".
+  *
+  * Both are moment/rank reductions with no corpus-sized joins:
+  * Brown–Forsythe is two grouped aggregates (medians, then the
+  * one-way F over |x−med| — the [[Anova]] identity on a
+  * group-cardinality table); Friedman ranks a blocks×treatments cell
+  * table (calendar-bounded) inside block-partitioned windows.
+  */
+object Homogeneity {
+
+  /** Brown–Forsythe test of variance homogeneity across groups:
+    * one-way ANOVA on zᵢⱼ = |xᵢⱼ − medianⱼ|. One row
+    * `(n, k, f_stat, df1, df2)`; F is NULL when the within-spread is
+    * numerically zero. Median is the exact interpolated percentile in
+    * both engines.
+    *
+    * Scale shape: group medians via one grouped exact percentile
+    * (group-cardinality output, broadcast back), then the standard
+    * moment reduction — SST/SSW from per-group (n, Σz, Σz²). */
+  def brownForsythe(df: DataFrame, group: Column,
+      metric: Column): DataFrame = {
+    val gv = df.select(group.as("g"), metric.cast("double").as("x"))
+      .where(col("g").isNotNull && col("x").isNotNull)
+    val med = gv.groupBy("g").agg(median(col("x")).as("med"))
+    val z = gv.join(broadcast(med), Seq("g"))
+      .select(col("g"), abs(col("x") - col("med")).as("z"))
+    val perG = z.groupBy("g").agg(
+      count(lit(1)).as("n_g"), sum("z").as("sz"),
+      sum(col("z") * col("z")).as("szz"))
+    perG.agg(
+        sum("n_g").as("n"), count(lit(1)).as("k"),
+        sum("szz").as("__szz"), sum("sz").as("__sz"),
+        sum(col("szz") - col("sz") * col("sz") / col("n_g"))
+          .as("__ssw"))
+      .withColumn("__sst",
+        col("__szz") - col("__sz") * col("__sz") / col("n"))
+      .withColumn("__ssb", greatest(col("__sst") - col("__ssw"), lit(0.0)))
+      .select(
+        col("n").cast("bigint").as("n"),
+        col("k").cast("bigint").as("k"),
+        round(when(col("__ssw") > 0.0,
+          (col("__ssb") / (col("k") - 1)) /
+            (col("__ssw") / (col("n") - col("k")))), 6).as("f_stat"),
+        (col("k") - 1).cast("bigint").as("df1"),
+        (col("n") - col("k")).cast("bigint").as("df2"))
+  }
+
+  /** DuckDB oracle for [[brownForsythe]] on orders
+    * (group = o_orderpriority, metric = o_totalprice). */
+  val brownForsytheOracleSql: String =
+    """WITH gv AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(o_totalprice AS DOUBLE) AS x
+      |  FROM orders
+      |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+      |med AS (SELECT g, MEDIAN(x) AS med FROM gv GROUP BY 1),
+      |z AS (
+      |  SELECT gv.g, ABS(gv.x - med.med) AS z
+      |  FROM gv JOIN med ON gv.g = med.g),
+      |per_g AS (
+      |  SELECT g, COUNT(*) AS n_g, SUM(z) AS sz, SUM(z * z) AS szz
+      |  FROM z GROUP BY 1),
+      |tot AS (
+      |  SELECT SUM(n_g) AS n, COUNT(*) AS k,
+      |    SUM(szz) AS szz, SUM(sz) AS sz,
+      |    SUM(szz - sz * sz / n_g) AS ssw
+      |  FROM per_g),
+      |s AS (
+      |  SELECT n, k, ssw,
+      |    GREATEST(szz - sz * sz / n - ssw, 0.0) AS ssb
+      |  FROM tot)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+      |  ROUND(CASE WHEN ssw > 0 THEN
+      |    (ssb / (k - 1)) / (ssw / (n - k)) END, 6) AS f_stat,
+      |  CAST(k - 1 AS BIGINT) AS df1,
+      |  CAST(n - k AS BIGINT) AS df2
+      |FROM s""".stripMargin
+
+  /** Friedman rank test over complete blocks: cells are
+    * `round(SUM(metric), 2)` per (block, treatment); blocks missing
+    * any treatment are dropped (the test needs complete blocks);
+    * ranks 1..k within block ascend by (cell, treatment) — the
+    * treatment tie-break makes the rank assignment deterministic in
+    * both engines (ties in six-figure revenue sums are measure-zero,
+    * so the min-rank-vs-mean-rank distinction never binds). Output:
+    * one row per treatment `(treatment, n_blocks, rank_sum,
+    * mean_rank, chi2_f, df)` ordered by treatment, with the shared
+    * χ²_F = 12/(nk(k+1))·ΣRⱼ² − 3n(k+1) repeated per row.
+    *
+    * Scale shape: corpus → blocks×treatments grouped agg; every
+    * window after that is k-bounded per block. */
+  def friedman(df: DataFrame, block: Column, treatment: Column,
+      metric: Column): DataFrame = {
+    val cells = df
+      .select(block.as("b"), treatment.as("t"),
+        metric.cast("double").as("x"))
+      .where(col("b").isNotNull && col("t").isNotNull)
+      .groupBy("b", "t").agg(round(sum("x"), 2).as("cell"))
+    val k = cells.agg(countDistinct(col("t")).as("__k"))
+    val complete = cells
+      .withColumn("__nt", count(lit(1))
+        .over(Window.partitionBy("b")))
+      .crossJoin(broadcast(k))   // 1-row stat factor
+      .where(col("__nt") === col("__k"))
+    val ranked = complete.withColumn("r",
+      rank().over(Window.partitionBy("b")
+        .orderBy(col("cell"), col("t"))).cast("double"))
+    val perT = ranked.groupBy("t").agg(
+      count(lit(1)).as("n_blocks"), sum("r").as("rank_sum"),
+      first("__k").as("__k"))
+    val stat = perT.agg(
+      first("__k").cast("double").as("__kk"),
+      first("n_blocks").cast("double").as("__nn"),
+      sum(col("rank_sum") * col("rank_sum")).as("__sr2"))
+      .select((lit(12.0) / (col("__nn") * col("__kk") *
+          (col("__kk") + 1.0)) * col("__sr2") -
+          col("__nn") * (col("__kk") + 1.0) * 3.0).as("__chi2"),
+        (col("__kk") - 1.0).cast("bigint").as("df"))
+    perT.crossJoin(broadcast(stat))   // 1-row stat factor
+      .select(col("t").as("treatment"), col("n_blocks"),
+        round(col("rank_sum"), 1).as("rank_sum"),
+        round(col("rank_sum") / col("n_blocks"), 6).as("mean_rank"),
+        round(col("__chi2"), 6).as("chi2_f"), col("df"))
+      .orderBy("treatment")
+  }
+
+  /** DuckDB oracle for [[friedman]] on orders (block = order month,
+    * treatment = o_orderpriority, metric = o_totalprice). */
+  val friedmanOracleSql: String =
+    """WITH cells AS (
+      |  SELECT DATE_TRUNC('month', o_orderdate) AS b,
+      |    o_orderpriority AS t,
+      |    ROUND(SUM(CAST(o_totalprice AS DOUBLE)), 2) AS cell
+      |  FROM orders
+      |  WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+      |  GROUP BY 1, 2),
+      |k AS (SELECT COUNT(DISTINCT t) AS k FROM cells),
+      |complete AS (
+      |  SELECT b, t, cell FROM (
+      |    SELECT b, t, cell, COUNT(*) OVER (PARTITION BY b) AS nt
+      |    FROM cells) CROSS JOIN k WHERE nt = k.k),
+      |ranked AS (
+      |  SELECT t, CAST(RANK() OVER (PARTITION BY b
+      |    ORDER BY cell, t) AS DOUBLE) AS r
+      |  FROM complete),
+      |per_t AS (
+      |  SELECT t, COUNT(*) AS n_blocks, SUM(r) AS rank_sum
+      |  FROM ranked GROUP BY 1),
+      |stat AS (
+      |  SELECT 12.0 / (MAX(CAST(n_blocks AS DOUBLE)) *
+      |      (SELECT k FROM k) * ((SELECT k FROM k) + 1.0)) *
+      |      SUM(rank_sum * rank_sum) -
+      |      3.0 * MAX(CAST(n_blocks AS DOUBLE)) *
+      |      ((SELECT k FROM k) + 1.0) AS chi2,
+      |    (SELECT k FROM k) - 1 AS df
+      |  FROM per_t)
+      |SELECT t AS treatment, n_blocks,
+      |  ROUND(rank_sum, 1) AS rank_sum,
+      |  ROUND(rank_sum / n_blocks, 6) AS mean_rank,
+      |  ROUND(stat.chi2, 6) AS chi2_f,
+      |  CAST(stat.df AS BIGINT) AS df
+      |FROM per_t CROSS JOIN stat
+      |ORDER BY treatment""".stripMargin
+}
