@@ -218,6 +218,30 @@ object SparkEntry {
       graft.operators.Experiment.mcnemar(t(s, dir, "events"),
         col("event_type") === "purchase")),
 
+    // ---- Streaming encoding-health monitor: per-batch mojibake
+    //      increments folded replay-safe; dashboard re-aggregates,
+    //      so the q319 batch oracle applies verbatim ----
+    "q327_stream_encoding_audit" -> ((s, dir) => {
+      val root = graft.util.TempDirs.create("graft_q327")
+      graft.streaming.CorpusHealth.monitor(s, dir,
+        "documents.parquet", root.resolve("health").toString,
+        root.resolve("ckpt").toString)
+      graft.streaming.CorpusHealth.dashboard(s,
+        root.resolve("health").toString)
+    }),
+
+    // ---- Qini uplift curve at every score threshold: does the
+    //      engagement score find users the treatment MOVES, not just
+    //      users who convert? Score-cardinality-bounded windows ----
+    "q328_qini" -> ((s, dir) =>
+      graft.operators.Uplift.qiniFromEvents(t(s, dir, "events"))),
+
+    // ---- Watermarked stream-stream interval join: purchases
+    //      attributed to same-user views within 30 minutes, both
+    //      sides streamed; bounded state via watermark + range ----
+    "q329_stream_stream_join" -> ((s, dir) =>
+      graft.streaming.StreamJoin.viewPurchasePairs(s, dir)),
+
     // ---- Inclusion-dependency (FK) discovery over the TPC-H key
     //      columns: one tagged distinct-value table, one self
     //      equi-join on value, p^2-bounded output ----
@@ -3985,6 +4009,15 @@ object SparkEntry {
 
     "q326_theil" ->
       graft.operators.Inequality.theilOracleSql,
+
+    "q327_stream_encoding_audit" ->
+      graft.operators.CorpusFilters.encodingAuditOracleSql,
+
+    "q328_qini" ->
+      graft.operators.Uplift.qiniOracleSql,
+
+    "q329_stream_stream_join" ->
+      graft.streaming.StreamJoin.viewPurchasePairsOracleSql,
 
     "q320_sq8_ann" ->
       graft.operators.ScalarQuantization.sq8OracleSql,

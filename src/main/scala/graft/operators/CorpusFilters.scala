@@ -312,12 +312,14 @@ object CorpusFilters {
     * UTF-8"). Map-only regex + one grouped agg; patterns stay in the
     * RE2 ∩ Java-regex common syntax so both engines match the same
     * characters. */
-  def encodingAudit(docs: DataFrame,
+  /** Per-document mojibake flags — the map-only kernel shared by
+    * [[encodingAudit]] and the streaming corpus-health monitor
+    * ([[graft.streaming.CorpusHealth]]), so stream ≡ batch holds by
+    * construction. */
+  def encodingFlags(docs: DataFrame,
       textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val nonAscii = length(regexp_replace(t, "[\\x00-\\x7F]", ""))
-    val f = (c: org.apache.spark.sql.Column) =>
-      sum(when(c, 1L).otherwise(0L))
     docs
       .withColumn("__repl", t.contains("�"))
       .withColumn("__ctrl",
@@ -325,6 +327,13 @@ object CorpusFilters {
       .withColumn("__nas",
         when(length(t) > 0,
           nonAscii.cast("double") / length(t)).otherwise(0.0))
+  }
+
+  def encodingAudit(docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val f = (c: org.apache.spark.sql.Column) =>
+      sum(when(c, 1L).otherwise(0L))
+    encodingFlags(docs, textCol)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         f(col("__repl")).as("n_replacement"),
