@@ -177,7 +177,11 @@ object PlanAudit {
     // Friedman: 1-row treatment-count + chi2 stat factors
     "q325_friedman",
     // Theil decomposition: 1-row total + identity stat factors
-    "q326_theil")
+    "q326_theil",
+    // alignment/uniformity: two 1-row stat factors composed at the end
+    "q330_alignment_uniformity",
+    // kNN label noise: bounded probe sample x corpus (q20 shape)
+    "q332_knn_label_noise")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

@@ -218,6 +218,25 @@ object SparkEntry {
       graft.operators.Experiment.mcnemar(t(s, dir, "events"),
         col("event_type") === "purchase")),
 
+    // ---- Alignment/uniformity of the embedding space (Wang-Isola):
+    //      label-equi positive pairs + hash-bucketed pair sample ----
+    "q330_alignment_uniformity" -> ((s, dir) =>
+      graft.operators.EmbeddingAudit.alignmentUniformity(
+        t(s, dir, "embeddings"))),
+
+    // ---- Linear CKA between the two halves of the embedding:
+    //      redundancy-vs-complement of dimension blocks, from the
+    //      q241 centered covariance triangle ----
+    "q331_cka" -> ((s, dir) =>
+      graft.operators.EmbeddingAudit.cka(
+        t(s, dir, "embeddings"), split = 32)),
+
+    // ---- kNN label-noise audit: per-label neighborhood
+    //      disagreement over a deterministic probe sample ----
+    "q332_knn_label_noise" -> ((s, dir) =>
+      graft.operators.EmbeddingAudit.knnLabelNoise(
+        t(s, dir, "embeddings"))),
+
     // ---- Streaming encoding-health monitor: per-batch mojibake
     //      increments folded replay-safe; dashboard re-aggregates,
     //      so the q319 batch oracle applies verbatim ----
@@ -4018,6 +4037,15 @@ object SparkEntry {
 
     "q329_stream_stream_join" ->
       graft.streaming.StreamJoin.viewPurchasePairsOracleSql,
+
+    "q330_alignment_uniformity" ->
+      graft.operators.EmbeddingAudit.alignmentUniformityOracleSql,
+
+    "q331_cka" ->
+      graft.operators.EmbeddingAudit.ckaOracleSql,
+
+    "q332_knn_label_noise" ->
+      graft.operators.EmbeddingAudit.knnLabelNoiseOracleSql,
 
     "q320_sq8_ann" ->
       graft.operators.ScalarQuantization.sq8OracleSql,
