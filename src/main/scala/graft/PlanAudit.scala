@@ -181,7 +181,11 @@ object PlanAudit {
     // alignment/uniformity: two 1-row stat factors composed at the end
     "q330_alignment_uniformity",
     // kNN label noise: bounded probe sample x corpus (q20 shape)
-    "q332_knn_label_noise")
+    "q332_knn_label_noise",
+    // Cochran Q: k-bounded treatment grid + 1-row stat factors
+    "q334_cochran_q",
+    // spectral summary: the periodogram's 1-row stats factor
+    "q335_spectral_entropy")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

@@ -346,7 +346,16 @@ object ScaleProbe {
             pmod(xxhash64(col("__t")), lit(5000L)).as("l_partkey"))
         graft.operators.Basket.partAffinity(items, minBoth = 2L,
           topK = 100).count()
-      })
+      },
+      // map-only regex flags + one grouped agg — flattest shape
+      "encoding_audit" -> (d => graft.operators.CorpusFilters
+        .encodingAudit(d.withColumn("source",
+          concat(lit("s"), pmod(col("doc_id"), lit(16))))).count()),
+      // one grouped agg to source cardinality + two 1-row factors
+      "theil" -> (d => graft.operators.Inequality.theilDecomposition(
+        d.withColumn("source",
+          concat(lit("s"), pmod(col("doc_id"), lit(16)))),
+        col("source"), length(col("text"))).count()))
 
     // ---- embedding-input operators: amplified by cyclic coordinate
     // rotation per copy — rotations of distinct 64-dim vectors are
@@ -373,6 +382,9 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     embBig.count()
+    // which amplification does this shape carry? (for ops whose scale
+    // contract is a sampling knob ∝ N — buckets, probeMod)
+    def factorOf(d: DataFrame): Int = if (d eq embBig) factor else 1
 
     val embOps: Seq[(String, DataFrame => Long)] = Seq(
       // k ∝ N pins the expected cell size, so within-cell pair work,
@@ -417,7 +429,22 @@ object ScaleProbe {
       // explode to |labels|·d partial agg then a d-row reduction;
       // output is dimension-sized whatever the corpus
       "class_separation" -> (d => graft.operators.Anova
-        .classSeparation(d).count()))
+        .classSeparation(d).count()),
+      // buckets ∝ N holds the sampled-pair budget fixed (the
+      // operator's documented scale contract), so the probe times the
+      // bucket shuffle + a constant pair count
+      "alignment_uniformity" -> (d => graft.operators.EmbeddingAudit
+        .alignmentUniformity(d, buckets = 101 * factorOf(d)).count()),
+      // fixed broadcast query set (base ids < 8) x growing corpus
+      "sq8_ann" -> (d => graft.operators.ScalarQuantization
+        .sq8TopK(d, d.filter(col("vec_id") < 8), k = 5).count()),
+      "truncated_recall" -> (d => graft.operators.TruncatedRecall
+        .recallCurve(d, d.filter(col("vec_id") < 8), k = 10,
+          dims = Seq(16, 64)).count()),
+      // probeMod ∝ N pins the probe-sample SIZE (production passes a
+      // bounded probe set), so corpus growth is the only timed axis
+      "knn_label_noise" -> (d => graft.operators.EmbeddingAudit
+        .knnLabelNoise(d, k = 10, probeMod = 7 * factorOf(d)).count()))
 
     // ---- event-input operators: amplified by shifting user/event ids
     // per copy — copies are DISJOINT users, so per-user sequence
@@ -575,7 +602,21 @@ object ScaleProbe {
         graft.operators.Forecast.holtBacktest(d).count()),
       // q269's moment shape + one type-partitioned calendar window
       "durbin_watson" -> (d =>
-        graft.operators.Regression.durbinWatson(d).count()))
+        graft.operators.Regression.durbinWatson(d).count()),
+      // one daily grouped agg (the ∝N stage), one calendar lag
+      // window, one moment row
+      "granger" -> (d =>
+        graft.operators.Causality.granger(d).count()),
+      // per-user agg + score-cardinality cumulative windows
+      "qini" -> (d =>
+        graft.operators.Uplift.qiniFromEvents(d).count()),
+      // group medians (grouped exact percentile) + moment reduction
+      "brown_forsythe" -> (d => graft.operators.Homogeneity
+        .brownForsythe(d, col("event_type"), col("value")).count()),
+      // blocks = calendar days, treatments = event types: cell table
+      // is calendar x k; ranks run in k-bounded block windows
+      "friedman" -> (d => graft.operators.Homogeneity.friedman(d,
+        to_date(col("ts")), col("event_type"), col("value")).count()))
 
     (ops.map(o => (o._1, o._2, base, big)) ++
       embOps.map(o => (o._1, o._2, embBase, embBig)) ++

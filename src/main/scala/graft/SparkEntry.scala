@@ -218,6 +218,23 @@ object SparkEntry {
       graft.operators.Experiment.mcnemar(t(s, dir, "events"),
         col("event_type") === "purchase")),
 
+    // ---- Log-log price elasticity per brand: fact-dim join + one
+    //      moment agg at brand cardinality ----
+    "q333_elasticity" -> ((s, dir) =>
+      graft.operators.Elasticity.byBrand(
+        t(s, dir, "lineitem"), t(s, dir, "part"))),
+
+    // ---- Cochran's Q: do the k event types have equal per-user
+    //      participation rates? Exact integer moments ----
+    "q334_cochran_q" -> ((s, dir) =>
+      graft.operators.Homogeneity.cochranQ(
+        t(s, dir, "events"), col("user_id"), col("event_type"))),
+
+    // ---- Spectral entropy + Wiener flatness over the day-period
+    //      scan: one dominant cycle vs white noise ----
+    "q335_spectral_entropy" -> ((s, dir) =>
+      graft.operators.Spectral.spectralSummary(t(s, dir, "events"))),
+
     // ---- Alignment/uniformity of the embedding space (Wang-Isola):
     //      label-equi positive pairs + hash-bucketed pair sample ----
     "q330_alignment_uniformity" -> ((s, dir) =>
@@ -4046,6 +4063,15 @@ object SparkEntry {
 
     "q332_knn_label_noise" ->
       graft.operators.EmbeddingAudit.knnLabelNoiseOracleSql,
+
+    "q333_elasticity" ->
+      graft.operators.Elasticity.byBrandOracleSql,
+
+    "q334_cochran_q" ->
+      graft.operators.Homogeneity.cochranQOracleSql,
+
+    "q335_spectral_entropy" ->
+      graft.operators.Spectral.spectralSummaryOracleSql(),
 
     "q320_sq8_ann" ->
       graft.operators.ScalarQuantization.sq8OracleSql,

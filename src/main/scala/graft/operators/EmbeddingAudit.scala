@@ -33,21 +33,26 @@ object EmbeddingAudit {
     * alignment = E‖x̂−ŷ‖² over same-label pairs, with x̂ the
     * unit-normalized vector — on the unit sphere ‖x̂−ŷ‖² = 2−2cos,
     * so the raw-vector cosine computes it without materializing the
-    * normalization; uniformity = log E exp(−2‖x̂−ŷ‖²) over a
-    * deterministic 1/`buckets` pair sample (vec_id-hash bucket
-    * equi-join — the full N² is never materialized). */
+    * normalization; uniformity = log E exp(−2‖x̂−ŷ‖²) over all
+    * pairs. BOTH expectations run over a deterministic 1/`buckets`
+    * pair sample (vec_id-hash bucket equi-join — the full N², or the
+    * full class², is never materialized): pair counts scale as
+    * N²/buckets, so a caller holding the sampled-pair budget fixed
+    * sets `buckets ∝ N` — the knob IS the scale contract, same as
+    * the codebook-∝-N rule in [[Similarity.semDeDup]]. */
   def alignmentUniformity(emb: DataFrame, buckets: Int = 101,
       idCol: String = "vec_id", vecCol: String = "embedding",
       labelCol: String = "label"): DataFrame = {
     val u = emb.select(col(idCol).as("id"), col(labelCol).as("lbl"),
       col(vecCol).as("v"))
-    val pos = u.as("a").join(u.as("b"),
-        col("a.lbl") === col("b.lbl") && col("a.id") < col("b.id"))
+    val bu = u.withColumn("bkt", pmod(col("id"), lit(buckets)))
+    val pos = bu.as("a").join(bu.as("b"),
+        col("a.lbl") === col("b.lbl") &&
+          col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))
       .select((lit(2.0) - cosine(col("a.v"), col("b.v")) * 2.0)
         .as("sq"))
       .agg(count(lit(1)).as("n_pos_pairs"),
         avg("sq").as("__align"))
-    val bu = u.withColumn("bkt", pmod(col("id"), lit(buckets)))
     val unif = bu.as("a").join(bu.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))
       .select((lit(2.0) - cosine(col("a.v"), col("b.v")) * 2.0)
@@ -71,7 +76,8 @@ object EmbeddingAudit {
       |  SELECT COUNT(*) AS n_pos_pairs,
       |    AVG(2.0 - 2.0 * list_cosine_similarity(
       |      CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[]))) AS al
-      |  FROM u a JOIN u b ON a.lbl = b.lbl AND a.id < b.id),
+      |  FROM u a JOIN u b ON a.lbl = b.lbl
+      |    AND a.id % 101 = b.id % 101 AND a.id < b.id),
       |unif AS (
       |  SELECT COUNT(*) AS n_sample_pairs,
       |    LN(AVG(EXP(-2.0 * (2.0 - 2.0 * list_cosine_similarity(

@@ -173,4 +173,93 @@ object Homogeneity {
       |  CAST(stat.df AS BIGINT) AS df
       |FROM per_t CROSS JOIN stat
       |ORDER BY treatment""".stripMargin
+
+  /** Cochran's Q test (Cochran, Biometrika 1950) — the k-treatment
+    * generalization of McNemar (q310): across matched units (users),
+    * do k BINARY outcomes (did the user perform each event type?)
+    * have equal success rates? Q = k(k−1)·Σⱼ(Cⱼ−C̄)² /
+    * (k·ΣᵢRᵢ − ΣᵢRᵢ²), with Rᵢ the unit's row total and Cⱼ the
+    * treatment's column total; units with Rᵢ = 0 or k carry no
+    * information and drop out of the denominator naturally. Exact
+    * integer moments — parity is arithmetic identity.
+    *
+    * Output: one row per treatment `(treatment, n_units, successes,
+    * rate, q_stat, df)` with the shared Q repeated (the Friedman
+    * convention). Scale shape: one unit×treatment presence agg, one
+    * unit-cardinality row-total agg, k-row arithmetic. */
+  def cochranQ(df: DataFrame, unit: Column, treatment: Column):
+      DataFrame = {
+    val pres = df.select(unit.as("u"), treatment.as("t"))
+      .where(col("u").isNotNull && col("t").isNotNull)
+      .distinct()
+    val ts = pres.select("t").distinct()
+    // full unit x treatment grid (k-bounded broadcast), 0/1 presence
+    val grid = pres.select("u").distinct().crossJoin(broadcast(ts))
+    val cells = grid.join(pres.withColumn("x", lit(1L)),
+        Seq("u", "t"), "left")
+      .select(col("u"), col("t"), coalesce(col("x"), lit(0L)).as("x"))
+    val rows = cells.groupBy("u").agg(sum("x").as("r"))
+    val k = ts.agg(count(lit(1))).head().getLong(0).toDouble
+    val rAgg = rows.agg(
+      sum("r").cast("double").as("__sr"),
+      sum(col("r") * col("r")).cast("double").as("__sr2"),
+      count(lit(1)).as("__n_units"))
+    val cols = cells.groupBy("t").agg(sum("x").as("c"),
+      count(lit(1)).as("n_units"))
+    val stat = cols.crossJoin(broadcast(rAgg))   // 1-row stat factor
+      .agg(
+        first("__sr").as("__sr"), first("__sr2").as("__sr2"),
+        avg(col("c").cast("double")).as("__cbar"),
+        sum(col("c").cast("double") * col("c")).as("__sc2"),
+        count(lit(1)).cast("double").as("__k"))
+      .select(
+        round(when(col("__sr") * col("__k") - col("__sr2") > 0.0,
+          col("__k") * (col("__k") - 1.0) *
+            (col("__sc2") - col("__k") * col("__cbar") * col("__cbar")) /
+            (col("__k") * col("__sr") - col("__sr2"))), 6).as("q_stat"),
+        (col("__k") - 1.0).cast("bigint").as("df"))
+    cols.crossJoin(broadcast(stat))   // 1-row stat factor
+      .select(col("t").as("treatment"), col("n_units"),
+        col("c").as("successes"),
+        round(col("c").cast("double") / col("n_units"), 6).as("rate"),
+        col("q_stat"), col("df"))
+      .orderBy("treatment")
+  }
+
+  /** DuckDB oracle for [[cochranQ]] on events (unit = user_id,
+    * treatment = event_type). */
+  val cochranQOracleSql: String =
+    """WITH pres AS (
+      |  SELECT DISTINCT user_id AS u, event_type AS t FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      |us AS (SELECT DISTINCT u FROM pres),
+      |ts AS (SELECT DISTINCT t FROM pres),
+      |cells AS (
+      |  SELECT us.u, ts.t,
+      |    CASE WHEN pres.u IS NOT NULL THEN 1 ELSE 0 END AS x
+      |  FROM us CROSS JOIN ts
+      |  LEFT JOIN pres ON pres.u = us.u AND pres.t = ts.t),
+      |rws AS (SELECT u, SUM(x) AS r FROM cells GROUP BY 1),
+      |ra AS (
+      |  SELECT CAST(SUM(r) AS DOUBLE) AS sr,
+      |    CAST(SUM(r * r) AS DOUBLE) AS sr2
+      |  FROM rws),
+      |cl AS (
+      |  SELECT t, SUM(x) AS c, COUNT(*) AS n_units
+      |  FROM cells GROUP BY 1),
+      |st AS (
+      |  SELECT AVG(CAST(c AS DOUBLE)) AS cbar,
+      |    SUM(CAST(c AS DOUBLE) * c) AS sc2,
+      |    CAST(COUNT(*) AS DOUBLE) AS k
+      |  FROM cl),
+      |q AS (
+      |  SELECT ROUND(CASE WHEN k * ra.sr - ra.sr2 > 0 THEN
+      |    k * (k - 1.0) * (sc2 - k * cbar * cbar) /
+      |      (k * ra.sr - ra.sr2) END, 6) AS q_stat,
+      |    CAST(k - 1 AS BIGINT) AS df
+      |  FROM st CROSS JOIN ra)
+      |SELECT t AS treatment, n_units, c AS successes,
+      |  ROUND(CAST(c AS DOUBLE) / n_units, 6) AS rate,
+      |  q.q_stat, q.df
+      |FROM cl CROSS JOIN q ORDER BY treatment""".stripMargin
 }

@@ -87,4 +87,61 @@ object Spectral {
        |  ROUND((c * c + s * s) / (n * n * sd * sd), 6) AS power_share
        |FROM agg ORDER BY period""".stripMargin
   }
+
+  /** One-row whole-spectrum verdict over the [[periodogram]] grid:
+    * is the series' periodic energy CONCENTRATED (one dominant cycle
+    * — schedule a seasonal baseline) or FLAT (no cycle worth
+    * modeling)? `spectral_entropy` is the Shannon entropy of the
+    * normalized power distribution over periods, scaled to [0,1] by
+    * ln(K); `flatness` is the Wiener geometric-mean/arithmetic-mean
+    * ratio (1 = white, →0 = tonal). Both are computed from the
+    * 6-ROUNDED `power_share` column, so the two engines reduce
+    * identical inputs — parity by construction (the CKA rule).
+    * Output: `(n_periods, dominant_period, dominant_share,
+    * spectral_entropy, flatness)`; zero-power rows carry no entropy
+    * and are excluded from the geometric mean (standard convention).
+    * Scale shape: the periodogram's grouped agg, then arithmetic on
+    * a K-row frame. */
+  def spectralSummary(events: DataFrame, minP: Int = 2,
+      maxP: Int = 14): DataFrame = {
+    val pg = periodogram(events, minP, maxP)
+      .select(col("period"), col("power_share").as("p"))
+    val tot = pg.agg(sum("p").as("__tot"),
+      count(lit(1)).cast("double").as("__k"),
+      max(struct(col("p"), col("period"))).as("__dom"))
+    pg.crossJoin(broadcast(tot))   // 1-row stat factor
+      .withColumn("__q", col("p") / col("__tot"))
+      .agg(
+        first("__k").cast("bigint").as("n_periods"),
+        first(col("__dom.period")).as("dominant_period"),
+        round(first(col("__dom.p")) / first("__tot"), 6)
+          .as("dominant_share"),
+        round(-sum(when(col("__q") > 0.0,
+          col("__q") * log(col("__q"))).otherwise(0.0)) /
+          log(first("__k")), 6).as("spectral_entropy"),
+        round(
+          exp(avg(when(col("p") > 0.0, log(col("p"))))) /
+            avg(when(col("p") > 0.0, col("p"))), 6).as("flatness"))
+  }
+
+  /** DuckDB oracle for [[spectralSummary]] (defaults) — the
+    * periodogram oracle as a CTE, then the same K-row arithmetic. */
+  def spectralSummaryOracleSql(minP: Int = 2, maxP: Int = 14): String =
+    s"""WITH pg AS (${periodogramOracleSql(minP, maxP)}),
+       |p AS (SELECT period, power_share AS p FROM pg),
+       |tot AS (
+       |  SELECT SUM(p) AS tot, CAST(COUNT(*) AS DOUBLE) AS k FROM p),
+       |dom AS (
+       |  SELECT period AS dom_period, p AS dom_p FROM p
+       |  ORDER BY p DESC, period DESC LIMIT 1)
+       |SELECT CAST(tot.k AS BIGINT) AS n_periods,
+       |  dom.dom_period AS dominant_period,
+       |  ROUND(dom.dom_p / tot.tot, 6) AS dominant_share,
+       |  ROUND(-SUM(CASE WHEN p.p / tot.tot > 0
+       |    THEN (p.p / tot.tot) * LN(p.p / tot.tot) ELSE 0 END) /
+       |    LN(tot.k), 6) AS spectral_entropy,
+       |  ROUND(EXP(AVG(CASE WHEN p.p > 0 THEN LN(p.p) END)) /
+       |    AVG(CASE WHEN p.p > 0 THEN p.p END), 6) AS flatness
+       |FROM p CROSS JOIN tot CROSS JOIN dom
+       |GROUP BY tot.k, dom.dom_period, dom.dom_p, tot.tot""".stripMargin
 }

@@ -2,7 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Causality, Homogeneity, Inequality, TruncatedRecall}
+import graft.operators.{Causality, Elasticity, Homogeneity, Inequality,
+  Spectral, TruncatedRecall}
 import graft.quality.Inclusion
 
 /** Planted-case semantics for the r11 stats batch: Granger,
@@ -115,6 +116,51 @@ class HomogeneitySpec extends AnyFunSuite {
     assert(r(("b.k", "s.k")).getDouble(4) == 0.5)
     assert(r(("o.k", "b.k")).getLong(3) == 0L, "disjoint overlap 0")
     assert(r.size == 6, "full ordered pair grid")
+  }
+
+  test("elasticity: a planted log-log law is recovered exactly") {
+    // qty = 100 * price^(-2) exactly => elasticity -2, r2 = 1
+    val prices = Seq(1.0, 2.0, 4.0, 5.0, 8.0)
+    val li = prices.zipWithIndex.map { case (p, i) =>
+      val q = 100.0 * math.pow(p, -2.0)
+      // extendedprice = price * qty at zero discount
+      (i.toLong, q, p * q, 0.0)
+    }.toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val part = (0L until 5L).map(k => (k, "B1")).toDF("p_partkey", "p_brand")
+    val r = Elasticity.byBrand(li, part).collect()(0)
+    assert(math.abs(r.getDouble(2) - -2.0) < 1e-6, s"eps=${r.getDouble(2)}")
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("cochran q: identical participation gives 0, planted skew doesn't") {
+    // every user does all 3 types -> rows are saturated, Q guard NULL
+    // (denominator k*SR - SR2 = 0); balanced-but-unsaturated -> Q = 0
+    val balanced = (1L to 12L).flatMap(u =>
+      Seq("a", "b").map(t => (u, t)) ) // each user does a and b of 3
+      .toDF("u", "t")
+      .union(Seq((99L, "c"), (98L, "c")).toDF("u", "t"))
+    val skew = ((1L to 20L).map(u => (u, "a")) ++
+      (1L to 2L).map(u => (u, "b")))
+      .toDF("u", "t")
+    val rSkew = Homogeneity.cochranQ(skew, col("u"), col("t"))
+      .collect()
+    val q = rSkew(0).getDouble(4)
+    assert(q > 10.0, s"planted skew Q=$q")
+    assert(rSkew.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(rSkew(0).getLong(2) == 20L && rSkew(1).getLong(2) == 2L)
+  }
+
+  test("spectral summary: planted weekly cycle concentrates the spectrum") {
+    val rows = (0 until 84).map { d =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(d)
+      val v = 100.0 + 50.0 * math.sin(2 * math.Pi * (d % 7) / 7.0)
+      (java.sql.Timestamp.valueOf(day.atStartOfDay), "purchase", v)
+    }.toDF("ts", "event_type", "value")
+    val r = Spectral.spectralSummary(rows).collect()(0)
+    assert(r.getInt(1) == 7, s"dominant=${r.getInt(1)}")
+    assert(r.getDouble(2) > 0.8, "energy concentrates at period 7")
+    assert(r.getDouble(3) < 0.5, "low entropy for a tonal series")
+    assert(r.getDouble(4) < 0.2, "low flatness for a tonal series")
   }
 
   test("truncated recall: native dim recovers recall 1.0, prefix noise hurts") {
