@@ -40,6 +40,17 @@ object SparkEntry {
     ("o_orderstatus", false), ("o_totalprice", true),
     ("o_orderpriority", false))
 
+  /** (determinant, dependent) shortlist for the q336 g3 pass — the
+    * key column (exact FDs, g3 = 0) plus the near/violated pairs the
+    * q211 report surfaces; one list drives engine + oracle. */
+  val g3Pairs: Seq[(String, String)] = Seq(
+    ("o_orderkey", "o_orderstatus"),
+    ("o_custkey", "o_orderstatus"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderstatus", "o_orderpriority"),
+    ("o_orderpriority", "o_orderstatus"),
+    ("o_totalprice", "o_custkey"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -217,6 +228,13 @@ object SparkEntry {
     "q310_mcnemar" -> ((s, dir) =>
       graft.operators.Experiment.mcnemar(t(s, dir, "events"),
         col("event_type") === "purchase")),
+
+    // ---- g3 approximate-FD violation rate over the near-FD
+    //      shortlist: how CLOSE do the violated dependencies come to
+    //      holding? One grouped count + per-det max per pair ----
+    "q336_fd_violation_rate" -> ((s, dir) =>
+      graft.quality.Dependencies.g3Report(
+        t(s, dir, "orders"), g3Pairs)),
 
     // ---- Log-log price elasticity per brand: fact-dim join + one
     //      moment agg at brand cardinality ----
@@ -4072,6 +4090,9 @@ object SparkEntry {
 
     "q335_spectral_entropy" ->
       graft.operators.Spectral.spectralSummaryOracleSql(),
+
+    "q336_fd_violation_rate" ->
+      graft.quality.Dependencies.g3OracleSql("orders", g3Pairs),
 
     "q320_sq8_ann" ->
       graft.operators.ScalarQuantization.sq8OracleSql,

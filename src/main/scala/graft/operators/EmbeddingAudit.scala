@@ -111,7 +111,9 @@ object EmbeddingAudit {
       .agg(sum(col("w") * col("cov") * col("cov")).as("ss"))
     val one = s.groupBy()
       .pivot("blk", Seq("xx", "xy", "yy")).agg(first("ss"))
-    val dMax = cov.agg(max("j")).head().getLong(0)
+    // dimension from one row — NOT cov.agg(max), which would replay
+    // the whole covariance dataflow a second time
+    val dMax = emb.select(size(col(vecCol))).head().getInt(0).toLong
     one.select(
       lit(split.toLong).as("dims_x"), lit(dMax - split).as("dims_y"),
       round(col("xy"), 6).as("hsic_xy"),

@@ -246,4 +246,55 @@ object Dependencies {
        |$selects
        |) ORDER BY lhs, rhs""".stripMargin
   }
+
+  /** Approximate-FD violation rate — the g3 error measure (Kivinen &
+    * Mannila, TCS 1995; the metric HyFD-family profilers report for
+    * "almost holds"): g3(A→B) = the minimum fraction of rows that
+    * must be removed for A→B to hold exactly = (n − Σₐ maxᵦ c(a,b))/n.
+    * [[fdReport]] says WHETHER a dependency holds; g3 says how CLOSE
+    * a violated one is — the difference between "drop the rule" and
+    * "quarantine 0.2% of rows and keep it".
+    *
+    * NULLs group as ordinary values in both engines (GROUP BY
+    * semantics), so the rate is defined over ALL rows.
+    *
+    * Scale shape per pair: one grouped count at |A×B| cell
+    * cardinality, one per-A max reduction, one scalar row — the
+    * corpus is scanned once per pair, never joined. `pairs` is the
+    * caller's shortlist (the q211 near-FDs), not all p². */
+  def g3Report(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one (det, dep) pair")
+    pairs.map { case (a, b) =>
+      val cells = df.groupBy(col(a).as("__a"), col(b).as("__b"))
+        .agg(count(lit(1)).as("__c"))
+      val perA = cells.groupBy("__a").agg(max("__c").as("__m"),
+        sum("__c").as("__n"))
+      perA.agg(sum("__n").as("n"), sum("__m").as("__keep"))
+        .select(lit(a).as("det_col"), lit(b).as("dep_col"),
+          col("n"), (col("n") - col("__keep")).as("violations"),
+          round((col("n") - col("__keep")).cast("double") / col("n"), 6)
+            .as("g3_rate"),
+          (col("n") === col("__keep")).as("holds_exactly"))
+    }.reduce(_.unionByName(_)).orderBy("det_col", "dep_col")
+  }
+
+  /** DuckDB oracle for [[g3Report]]. */
+  def g3OracleSql(table: String, pairs: Seq[(String, String)]): String = {
+    val selects = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS det_col, '$b' AS dep_col,
+         |  CAST(SUM(n) AS BIGINT) AS n,
+         |  CAST(SUM(n) - SUM(m) AS BIGINT) AS violations,
+         |  ROUND(CAST(SUM(n) - SUM(m) AS DOUBLE) / SUM(n), 6)
+         |    AS g3_rate,
+         |  SUM(n) = SUM(m) AS holds_exactly
+         |FROM (
+         |  SELECT av, MAX(c) AS m, SUM(c) AS n FROM (
+         |    SELECT $a AS av, COUNT(*) AS c FROM $table
+         |    GROUP BY $a, $b) t
+         |  GROUP BY av) s""".stripMargin }
+      .mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (
+       |$selects
+       |) ORDER BY det_col, dep_col""".stripMargin
+  }
 }

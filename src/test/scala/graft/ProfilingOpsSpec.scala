@@ -28,6 +28,24 @@ class ProfilingOpsSpec extends AnyFunSuite {
     assert(got(("grp", "id")) == ((2L, false)))
   }
 
+  test("g3: violation rate is the minimal row-removal fraction") {
+    // grp 'a' -> v is clean; grp 'b' maps to {20, 20, 21}: removing
+    // the single 21 row fixes it -> g3 = 1/5
+    val df = Seq(
+      (1L, "a", 10), (2L, "a", 10), (3L, "b", 20), (4L, "b", 20),
+      (5L, "b", 21))
+      .toDF("id", "grp", "v")
+    val got = Dependencies.g3Report(df,
+      Seq(("grp", "v"), ("id", "v"), ("v", "grp")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val gv = got(("grp", "v"))
+    assert(gv.getLong(3) == 1L && gv.getDouble(4) == 0.2)
+    assert(!gv.getBoolean(5))
+    assert(got(("id", "v")).getDouble(4) == 0.0, "key: g3 = 0")
+    assert(got(("id", "v")).getBoolean(5))
+    assert(got(("v", "grp")).getDouble(4) == 0.0)
+  }
+
   test("fd: null field in rhs doesn't drop the pair row") {
     val df = Seq((1L, Some("x")), (2L, None), (3L, None))
       .toDF("id", "s")
