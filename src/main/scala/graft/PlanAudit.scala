@@ -185,7 +185,9 @@ object PlanAudit {
     // Cochran Q: k-bounded treatment grid + 1-row stat factors
     "q334_cochran_q",
     // spectral summary: the periodogram's 1-row stats factor
-    "q335_spectral_entropy")
+    "q335_spectral_entropy",
+    // LSH advisor: 8-row grid x 1-row measured-background factor
+    "q337_lsh_advisor")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

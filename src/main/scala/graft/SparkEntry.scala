@@ -229,6 +229,18 @@ object SparkEntry {
       graft.operators.Experiment.mcnemar(t(s, dir, "events"),
         col("event_type") === "purchase")),
 
+    // ---- LSH (bands, rows) advisor: S-curve separation between the
+    //      dup threshold and the MEASURED background similarity, per
+    //      factorization of the signature budget ----
+    "q337_lsh_advisor" -> ((s, dir) =>
+      graft.operators.LshAdvisor.advise(t(s, dir, "documents"))),
+
+    // ---- First/last/linear multi-touch attribution side-by-side
+    //      over pre-conversion journeys — the heuristics panel next
+    //      to Markov (q185) and Shapley (q283) ----
+    "q338_touch_attribution" -> ((s, dir) =>
+      graft.operators.Attribution.touchComparison(t(s, dir, "events"))),
+
     // ---- g3 approximate-FD violation rate over the near-FD
     //      shortlist: how CLOSE do the violated dependencies come to
     //      holding? One grouped count + per-det max per pair ----
@@ -4093,6 +4105,12 @@ object SparkEntry {
 
     "q336_fd_violation_rate" ->
       graft.quality.Dependencies.g3OracleSql("orders", g3Pairs),
+
+    "q337_lsh_advisor" ->
+      graft.operators.LshAdvisor.adviseOracleSql,
+
+    "q338_touch_attribution" ->
+      graft.operators.Attribution.touchComparisonOracleSql,
 
     "q320_sq8_ann" ->
       graft.operators.ScalarQuantization.sq8OracleSql,

@@ -30,6 +30,76 @@ import org.apache.spark.sql.expressions.Window
   * rows-only; hand-computed chains in AttributionSpec. */
 object Attribution {
 
+  /** Rule-based multi-touch attribution side-by-side — first-touch /
+    * last-touch / linear credit per channel over each converting
+    * user's PRE-conversion journey (all non-purchase events strictly
+    * before the user's first purchase). The heuristics panel next to
+    * the model-based [[removalEffects]] and q283's Shapley: when the
+    * three rules agree, attribution is robust; when they diverge, the
+    * journey ORDER matters and only the model-based numbers are
+    * trustworthy. Deterministic: journey position ties break on
+    * event_id.
+    *
+    * Output: `(channel, journeys, first_touch, last_touch, linear)`
+    * ordered by channel, credits rounded to 6.
+    *
+    * Scale shape: one per-user first-purchase agg, one user-keyed
+    * join + two user-partitioned windows, one channel-cardinality
+    * agg — the [[Sessionize]] shuffle budget. */
+  def touchComparison(events: DataFrame): DataFrame = {
+    val firstPurchase = events
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts").as("__pts"))
+    val pre = events
+      .where(col("event_type") =!= "purchase")
+      .join(firstPurchase, Seq("user_id"))
+      .where(col("ts") < col("__pts"))
+    val wAsc = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val wDesc = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val wAll = Window.partitionBy("user_id")
+    val credited = pre
+      .withColumn("__first",
+        when(row_number().over(wAsc) === 1, 1.0).otherwise(0.0))
+      .withColumn("__last",
+        when(row_number().over(wDesc) === 1, 1.0).otherwise(0.0))
+      .withColumn("__linear",
+        lit(1.0) / count(lit(1)).over(wAll))
+    credited.groupBy(col("event_type").as("channel"))
+      .agg(
+        countDistinct(col("user_id")).as("journeys"),
+        round(sum("__first"), 6).as("first_touch"),
+        round(sum("__last"), 6).as("last_touch"),
+        round(sum("__linear"), 6).as("linear"))
+      .orderBy("channel")
+  }
+
+  /** DuckDB oracle for [[touchComparison]]. */
+  val touchComparisonOracleSql: String =
+    """WITH fp AS (
+      |  SELECT user_id, MIN(ts) AS pts FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1),
+      |pre AS (
+      |  SELECT e.user_id, e.event_type, e.ts, e.event_id
+      |  FROM events e JOIN fp ON e.user_id = fp.user_id
+      |  WHERE e.event_type <> 'purchase' AND e.ts < fp.pts),
+      |c AS (
+      |  SELECT event_type,  user_id,
+      |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) = 1 THEN 1.0 ELSE 0.0 END AS f,
+      |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) = 1
+      |      THEN 1.0 ELSE 0.0 END AS l,
+      |    1.0 / COUNT(*) OVER (PARTITION BY user_id) AS lin
+      |  FROM pre)
+      |SELECT event_type AS channel,
+      |  COUNT(DISTINCT user_id) AS journeys,
+      |  ROUND(SUM(f), 6) AS first_touch,
+      |  ROUND(SUM(l), 6) AS last_touch,
+      |  ROUND(SUM(lin), 6) AS linear
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Corpus-wide transition counts `(src, dst, n)` over the journey
     * model; START/CONV/NULL are reserved state names. */
   def transitions(events: DataFrame,
