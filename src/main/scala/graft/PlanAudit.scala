@@ -187,7 +187,11 @@ object PlanAudit {
     // spectral summary: the periodogram's 1-row stats factor
     "q335_spectral_entropy",
     // LSH advisor: 8-row grid x 1-row measured-background factor
-    "q337_lsh_advisor")
+    "q337_lsh_advisor",
+    // Brier decomposition: 1-row base-rate factor over <=10 bins
+    "q339_brier",
+    // effective data: the q293 UniMax 1-row budget/theta factors
+    "q340_effective_data")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

@@ -229,6 +229,23 @@ object SparkEntry {
       graft.operators.Experiment.mcnemar(t(s, dir, "events"),
         col("event_type") === "purchase")),
 
+    // ---- Brier decomposition of the quality score vs the length
+    //      label: reliability - resolution + uncertainty, the one-row
+    //      verdict behind q137's reliability curve ----
+    "q339_brier" -> ((s, dir) =>
+      graft.operators.QualityModel.brierDecomposition(
+        t(s, dir, "documents").select(
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          (col("n_chars") >= 300).as("label")),
+        "quality", "label", nBins = 10)),
+
+    // ---- Data-constrained effective tokens (Muennighoff scaling)
+    //      over the q293 UniMax allocation: what repetition buys ----
+    "q340_effective_data" -> ((s, dir) =>
+      graft.operators.Curation.effectiveData(
+        graft.operators.Curation.unimaxAllocation(
+          t(s, dir, "documents"), budgetTokensPerCorpus = 2.0))),
+
     // ---- LSH (bands, rows) advisor: S-curve separation between the
     //      dup threshold and the MEASURED background similarity, per
     //      factorization of the signature budget ----
@@ -4108,6 +4125,35 @@ object SparkEntry {
 
     "q337_lsh_advisor" ->
       graft.operators.LshAdvisor.adviseOracleSql,
+
+    // (p, y) subquery = the q137 score/label fixture, verbatim
+    "q339_brier" -> graft.operators.QualityModel.brierOracleSql(
+      """SELECT q.quality AS p,
+        |    CASE WHEN d.n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y
+        |  FROM (
+        |    SELECT doc_id, ROUND(
+        |      LEAST(n / 16.0, 1.0) * 0.4 +
+        |      (CASE WHEN sl / n BETWEEN 2.0 AND 9.0
+        |        THEN 1.0 ELSE 0.5 END) * 0.4 +
+        |      LEAST(st / n * 4.0, 1.0) * 0.2, 4) AS quality
+        |    FROM (
+        |      SELECT doc_id,
+        |        CAST(len(toks) AS DOUBLE) AS n,
+        |        CAST(list_sum(list_transform(toks, x -> length(x)))
+        |          AS DOUBLE) AS sl,
+        |        CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+        |          ('the','a','of','and','to','in','is','on',
+        |           'der','die','das','und','ist','nicht','ein','zu',
+        |           'el','la','de','que','y','en','un','es',
+        |           'le','et','les','des','est','une')
+        |          THEN 1 ELSE 0 END)) AS DOUBLE) AS st
+        |      FROM (SELECT doc_id,
+        |          str_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents))) q
+        |  JOIN documents d USING (doc_id)""".stripMargin),
+
+    "q340_effective_data" ->
+      graft.operators.Curation.effectiveDataOracleSql(2.0),
 
     "q338_touch_attribution" ->
       graft.operators.Attribution.touchComparisonOracleSql,

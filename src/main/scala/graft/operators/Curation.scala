@@ -316,4 +316,56 @@ object Curation {
        |    CAST(avail_tokens AS DOUBLE), 6) AS epochs,
        |  capped
        |FROM j, theta ORDER BY stratum""".stripMargin
+
+  /** Data-constrained effective tokens (Muennighoff et al., NeurIPS
+    * 2023 "Scaling data-constrained language models"): repeating a
+    * corpus buys diminishing returns — the fitted decay gives
+    * effective tokens D′ = U·(1 + R*·(1−e^{−R/R*})) for R epochs of
+    * repetition beyond the first over U unique tokens, with
+    * R* ≈ 15.39 the paper's fitted half-life. Consumes an allocation
+    * table (the [[unimaxAllocation]] output): per stratum, how many
+    * of the allocated tokens are WORTH anything, and the efficiency
+    * ratio a mixture planner trades against fresh-data acquisition.
+    *
+    * Scale shape: map-only arithmetic on a stratum-cardinality frame.
+    * Output: `(stratum, avail_tokens, alloc_tokens, epochs,
+    * effective_tokens, efficiency)` ordered by stratum. */
+  def effectiveData(alloc: DataFrame,
+      rStar: Double = 15.39): DataFrame = {
+    val u = col("avail_tokens").cast("double")
+    val a = col("alloc_tokens").cast("double")
+    val ep = a / u
+    val r = ep - 1.0
+    val eff = when(ep <= 1.0, a).otherwise(
+      u * (lit(1.0) + (exp((r * -1.0) / rStar) * -1.0 + 1.0) * rStar))
+    alloc.select(col("stratum"), col("avail_tokens"),
+        col("alloc_tokens"),
+        round(ep, 6).as("epochs"),
+        round(eff, 2).as("effective_tokens"),
+        round(when(a > 0.0, eff / a), 6).as("efficiency"))
+      .orderBy("stratum")
+  }
+
+  /** DuckDB oracle for [[effectiveData]] over the q293 UniMax
+    * allocation. */
+  def effectiveDataOracleSql(budgetTokensPerCorpus: Double,
+      maxEpochs: Double = 4.0, rStar: Double = 15.39): String =
+    s"""WITH alloc AS (${unimaxOracleSql(budgetTokensPerCorpus, maxEpochs)}),
+       |e AS (
+       |  SELECT stratum, avail_tokens, alloc_tokens,
+       |    CAST(alloc_tokens AS DOUBLE) /
+       |      CAST(avail_tokens AS DOUBLE) AS ep
+       |  FROM alloc)
+       |SELECT stratum, avail_tokens, alloc_tokens,
+       |  ROUND(ep, 6) AS epochs,
+       |  ROUND(CASE WHEN ep <= 1.0 THEN CAST(alloc_tokens AS DOUBLE)
+       |    ELSE CAST(avail_tokens AS DOUBLE) * (1.0 + $rStar *
+       |      (1.0 - EXP(-(ep - 1.0) / $rStar))) END, 2)
+       |    AS effective_tokens,
+       |  ROUND(CASE WHEN alloc_tokens > 0 THEN
+       |    (CASE WHEN ep <= 1.0 THEN CAST(alloc_tokens AS DOUBLE)
+       |      ELSE CAST(avail_tokens AS DOUBLE) * (1.0 + $rStar *
+       |        (1.0 - EXP(-(ep - 1.0) / $rStar))) END) /
+       |    CAST(alloc_tokens AS DOUBLE) END, 6) AS efficiency
+       |FROM e ORDER BY stratum""".stripMargin
 }

@@ -154,6 +154,72 @@ object QualityModel {
       .orderBy("bin")
   }
 
+  /** Brier-score decomposition (Murphy, J. Appl. Meteorology 1973) —
+    * the one-row verdict behind [[calibration]]'s reliability curve:
+    * BS_binned = RELIABILITY − RESOLUTION + UNCERTAINTY, where
+    * reliability = Σ nₖ(p̄ₖ−ȳₖ)²/N (calibration error — want 0),
+    * resolution = Σ nₖ(ȳₖ−ȳ)²/N (how much the score separates
+    * outcomes — want large), uncertainty = ȳ(1−ȳ) (the data's
+    * irreducible floor). Also reports the raw unbinned Brier score.
+    * A score can be beautifully calibrated and still useless
+    * (resolution ≈ 0) — this is the readout that tells them apart.
+    *
+    * Scale shape: one corpus pass into ≤`nBins` groups + one 1-row
+    * base-rate factor; identity arithmetic on a bin-bounded frame. */
+  def brierDecomposition(df: DataFrame, scoreCol: String,
+      labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, "need at least one bin")
+    val bin = least(floor(col(scoreCol) * nBins).cast("int"),
+      lit(nBins - 1)) + 1
+    val y = col(labelCol).cast("double")
+    val bins = df.groupBy(bin.as("__bin"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        avg(col(scoreCol)).as("__p"), avg(y).as("__y"),
+        sum((col(scoreCol) - y) * (col(scoreCol) - y)).as("__se"))
+    val base = bins.agg(
+      (sum(col("__n") * col("__y")) / sum("__n")).as("__ybar"))
+    bins.crossJoin(broadcast(base))   // 1-row stat factor
+      .agg(
+        sum("__n").cast("bigint").as("n"),
+        round(sum("__se") / sum("__n"), 6).as("brier"),
+        round(sum(col("__n") * (col("__p") - col("__y")) *
+          (col("__p") - col("__y"))) / sum("__n"), 6).as("reliability"),
+        round(sum(col("__n") * (col("__y") - col("__ybar")) *
+          (col("__y") - col("__ybar"))) / sum("__n"), 6).as("resolution"),
+        round(first("__ybar") * (lit(1.0) - first("__ybar")), 6)
+          .as("uncertainty"))
+      .withColumn("brier_binned",
+        round(col("reliability") - col("resolution") +
+          col("uncertainty"), 6))
+  }
+
+  /** DuckDB oracle for [[brierDecomposition]]: `scQuery` is any SQL
+    * producing columns `(p, y)` — it must compute the SAME score
+    * expression the engine used. */
+  def brierOracleSql(scQuery: String, nBins: Int = 10): String =
+    s"""WITH sc AS ($scQuery),
+       |b AS (
+       |  SELECT LEAST(CAST(FLOOR(p * $nBins) AS INTEGER),
+       |      ${nBins - 1}) + 1 AS bin,
+       |    CAST(COUNT(*) AS DOUBLE) AS n, AVG(p) AS pb, AVG(y) AS yb,
+       |    SUM((p - y) * (p - y)) AS se
+       |  FROM sc GROUP BY 1),
+       |base AS (SELECT SUM(n * yb) / SUM(n) AS ybar FROM b)
+       |SELECT CAST(SUM(n) AS BIGINT) AS n,
+       |  ROUND(SUM(se) / SUM(n), 6) AS brier,
+       |  ROUND(SUM(n * (pb - yb) * (pb - yb)) / SUM(n), 6)
+       |    AS reliability,
+       |  ROUND(SUM(n * (yb - base.ybar) * (yb - base.ybar)) / SUM(n),
+       |    6) AS resolution,
+       |  ROUND(ANY_VALUE(base.ybar) * (1.0 - ANY_VALUE(base.ybar)), 6)
+       |    AS uncertainty,
+       |  ROUND(ROUND(SUM(n * (pb - yb) * (pb - yb)) / SUM(n), 6) -
+       |    ROUND(SUM(n * (yb - base.ybar) * (yb - base.ybar)) /
+       |      SUM(n), 6) +
+       |    ROUND(ANY_VALUE(base.ybar) * (1.0 - ANY_VALUE(base.ybar)),
+       |      6), 6) AS brier_binned
+       |FROM b CROSS JOIN base""".stripMargin
+
   /** Isotonic calibration by pool-adjacent-violators (Ayer et al.,
     * Ann. Math. Stat. 1955; the standard classifier-calibration map
     * of Zadrozny & Elkan, KDD 2002) — the proper tool where

@@ -34,6 +34,46 @@ class LshAdvisorSpec extends AnyFunSuite {
     assert(best.length == 1 && best(0).getLong(1) == 1L)
   }
 
+  test("brier: decomposition identity and the calibrated-vs-sharp split") {
+    import graft.operators.QualityModel
+    // perfectly calibrated but useless: every forecast = base rate
+    val flat = (0 until 100).map(i => (0.5, i % 2 == 0))
+      .toDF("p", "y")
+    val f = QualityModel.brierDecomposition(flat, "p", "y").collect()(0)
+    assert(f.getDouble(2) == 0.0, "reliability 0 (calibrated)")
+    assert(f.getDouble(3) == 0.0, "resolution 0 (useless)")
+    assert(f.getDouble(4) == 0.25, "uncertainty = 0.5*0.5")
+    assert(f.getDouble(5) == 0.25, "identity")
+    // sharp and right: p in {0.05, 0.95} matching labels
+    val sharp = (0 until 100).map(i =>
+      (if (i % 2 == 0) 0.95 else 0.05, i % 2 == 0)).toDF("p", "y")
+    val s = QualityModel.brierDecomposition(sharp, "p", "y").collect()(0)
+    assert(s.getDouble(3) == 0.25, "full resolution")
+    assert(s.getDouble(5) < 0.01, "binned brier near 0")
+    assert(math.abs(s.getDouble(5) -
+      (s.getDouble(2) - s.getDouble(3) + s.getDouble(4))) < 1e-9)
+  }
+
+  test("effective data: fresh tokens pass through, repeats decay") {
+    import graft.operators.Curation
+    val alloc = Seq(
+      ("fresh", 1000L, 800.0),    // under 1 epoch: D' = alloc
+      ("twice", 1000L, 2000.0),   // 2 epochs: R=1
+      ("heavy", 100L, 10000.0))   // 100 epochs: D' -> U*(1+R*)
+      .toDF("stratum", "avail_tokens", "alloc_tokens")
+    val r = Curation.effectiveData(alloc).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("fresh").getDouble(4) == 800.0)
+    assert(r("fresh").getDouble(5) == 1.0)
+    // 2 epochs: 1000*(1+15.39*(1-e^{-1/15.39})) ~ 1967 < 2000
+    val tw = r("twice").getDouble(4)
+    assert(tw > 1900 && tw < 2000, s"twice=$tw")
+    // 100 epochs saturates near U*(1+R*) = 1639 << 10000 allocated
+    val hv = r("heavy").getDouble(4)
+    assert(hv < 1700 && hv > 1500, s"heavy=$hv")
+    assert(r("heavy").getDouble(5) < 0.2, "repetition efficiency collapses")
+  }
+
   test("touch attribution: planted journeys split credit correctly") {
     def ts(m: Int) =
       java.sql.Timestamp.valueOf(f"2024-03-01 09:$m%02d:00")
