@@ -191,7 +191,11 @@ object PlanAudit {
     // Brier decomposition: 1-row base-rate factor over <=10 bins
     "q339_brier",
     // effective data: the q293 UniMax 1-row budget/theta factors
-    "q340_effective_data")
+    "q340_effective_data",
+    // competing risks: the KM 1-row cohort-size factor
+    "q341_competing_risks",
+    // RDD: cross of the two 1-row side fits
+    "q342_rdd")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

@@ -229,6 +229,17 @@ object SparkEntry {
       graft.operators.Experiment.mcnemar(t(s, dir, "events"),
         col("event_type") === "purchase")),
 
+    // ---- Aalen-Johansen cumulative incidence: first-purchase vs
+    //      first-error competing risks from journey start ----
+    "q341_competing_risks" -> ((s, dir) =>
+      graft.operators.Survival.competingRisks(t(s, dir, "events"))),
+
+    // ---- Sharp RDD at the zero-balance cutoff: local-linear jump
+    //      in per-customer order count ----
+    "q342_rdd" -> ((s, dir) =>
+      graft.operators.Regression.rddJump(
+        t(s, dir, "customer"), t(s, dir, "orders"))),
+
     // ---- Brier decomposition of the quality score vs the length
     //      label: reliability - resolution + uncertainty, the one-row
     //      verdict behind q137's reliability curve ----
@@ -4154,6 +4165,12 @@ object SparkEntry {
 
     "q340_effective_data" ->
       graft.operators.Curation.effectiveDataOracleSql(2.0),
+
+    "q341_competing_risks" ->
+      graft.operators.Survival.competingRisksOracleSql,
+
+    "q342_rdd" ->
+      graft.operators.Regression.rddOracleSql,
 
     "q338_touch_attribution" ->
       graft.operators.Attribution.touchComparisonOracleSql,

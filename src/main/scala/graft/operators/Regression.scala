@@ -279,6 +279,81 @@ object Regression {
       |FROM per_c CROSS JOIN pooled
       |ORDER BY f_stat DESC, split_x ASC LIMIT 1""".stripMargin
 
+  /** Sharp regression-discontinuity estimate (Thistlethwaite &
+    * Campbell 1960; Imbens & Lemieux, J. Econometrics 2008): the jump
+    * in an outcome at a cutoff of a running variable, from two local
+    * LINEAR fits inside a bandwidth — here, does crossing
+    * `c_acctbal = cutoff` discontinuously shift a customer's order
+    * count? The causal-inference panel's third leg next to DiD (q267)
+    * and CEM (q313): DiD needs time, matching needs covariates, RDD
+    * needs only the threshold rule.
+    *
+    * One row: `(n_left, n_right, slope_left, slope_right,
+    * intercept_left, intercept_right, jump)` where each intercept is
+    * the fit's value AT the cutoff and jump = right − left. Left side
+    * is x ∈ [cutoff−h, cutoff), right is [cutoff, cutoff+h]. NULL
+    * family when a side's variance is zero.
+    *
+    * Scale shape: one outcome agg per unit, one bandwidth filter, one
+    * 2-group moment agg — closed-form, no residual vectors. */
+  def rddJump(customer: DataFrame, orders: DataFrame,
+      cutoff: Double = 0.0, bandwidth: Double = 2000.0): DataFrame = {
+    val y = customer
+      .join(orders.groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("__y")), Seq("c_custkey"), "left")
+      .select(
+        (col("c_acctbal").cast("double") - cutoff).as("x"),
+        coalesce(col("__y"), lit(0L)).cast("double").as("y"))
+      .where(col("x") >= -bandwidth && col("x") <= bandwidth)
+      .withColumn("side", col("x") >= 0.0)
+    val m = y.groupBy("side").agg(
+      count(lit(1)).as("n"), avg("x").as("mx"), avg("y").as("my"),
+      var_pop(col("x")).as("vx"),
+      covar_pop(col("x"), col("y")).as("cxy"))
+    val slope = when(col("vx") > 0.0, col("cxy") / col("vx"))
+    val fit = m.select(col("side"), col("n"),
+      round(slope, 6).as("b"),
+      round(col("my") - slope * col("mx"), 6).as("a"))
+    val l = fit.where(!col("side"))
+      .select(col("n").as("n_left"), col("b").as("slope_left"),
+        col("a").as("intercept_left"))
+    val r = fit.where(col("side"))
+      .select(col("n").as("n_right"), col("b").as("slope_right"),
+        col("a").as("intercept_right"))
+    l.crossJoin(r)   // two 1-row fit factors
+      .select(col("n_left"), col("n_right"), col("slope_left"),
+        col("slope_right"), col("intercept_left"),
+        col("intercept_right"),
+        round(col("intercept_right") - col("intercept_left"), 6)
+          .as("jump"))
+  }
+
+  /** DuckDB oracle for [[rddJump]] (defaults). */
+  val rddOracleSql: String =
+    """WITH y AS (
+      |  SELECT CAST(c.c_acctbal AS DOUBLE) - 0.0 AS x,
+      |    CAST(COALESCE(o.n, 0) AS DOUBLE) AS y
+      |  FROM customer c LEFT JOIN (
+      |    SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1) o
+      |    ON c.c_custkey = o.o_custkey
+      |  WHERE CAST(c.c_acctbal AS DOUBLE) - 0.0 BETWEEN -2000 AND 2000),
+      |m AS (
+      |  SELECT x >= 0.0 AS side, COUNT(*) AS n, AVG(x) AS mx,
+      |    AVG(y) AS my, VAR_POP(x) AS vx, COVAR_POP(x, y) AS cxy
+      |  FROM y GROUP BY 1),
+      |fit AS (
+      |  SELECT side, n,
+      |    ROUND(CASE WHEN vx > 0 THEN cxy / vx END, 6) AS b,
+      |    ROUND(my - (CASE WHEN vx > 0 THEN cxy / vx END) * mx, 6)
+      |      AS a
+      |  FROM m)
+      |SELECT l.n AS n_left, r.n AS n_right,
+      |  l.b AS slope_left, r.b AS slope_right,
+      |  l.a AS intercept_left, r.a AS intercept_right,
+      |  ROUND(r.a - l.a, 6) AS jump
+      |FROM (SELECT * FROM fit WHERE NOT side) l
+      |CROSS JOIN (SELECT * FROM fit WHERE side) r""".stripMargin
+
   /** Empirical-Bayes shrinkage of per-user purchase-conversion rates
     * toward the corpus prior (beta-binomial method of moments): the
     * prior Beta(μM, (1−μ)M) has mean μ = global conversions/trials

@@ -59,6 +59,141 @@ object Survival {
       .orderBy("t_days")
   }
 
+  /** Aalen–Johansen cumulative incidence under competing risks
+    * (Aalen & Johansen, Scand. J. Stat. 1978): when two absorbing
+    * outcomes compete — here "first purchase" vs "first error" from a
+    * user's journey start — 1−KM per cause OVERSTATES both (it treats
+    * the competitor as censoring); the AJ estimator allocates each
+    * day's event-free mass S(t−) across causes:
+    * CIFₖ(t) = Σ_{s≤t} S(s−)·dₖ(s)/n(s). The standard churn-vs-convert
+    * readout (and the reason "1 − retention" dashboards double-count).
+    *
+    * Ties (both causes on the same day) resolve to purchase —
+    * deterministic in both engines. Users with neither outcome censor
+    * at their last observed day. Same dataflow as [[kaplanMeier]]:
+    * one per-user agg, then lifetime-cardinality risk-table windows.
+    * Output: `(t_days, n_risk, d_purchase, d_error, cif_purchase,
+    * cif_error)` at event days, ordered. */
+  def competingRisks(events: DataFrame,
+      cause1: String = "purchase", cause2: String = "error"): DataFrame = {
+    val per = events.groupBy("user_id").agg(
+      min(to_date(col("ts"))).as("__f"),
+      min(when(col("event_type") === cause1, to_date(col("ts"))))
+        .as("__p"),
+      min(when(col("event_type") === cause2, to_date(col("ts"))))
+        .as("__e"),
+      max(to_date(col("ts"))).as("__l"))
+    val n0 = per.agg(count(lit(1)).as("__n"))
+    val tp = datediff(col("__p"), col("__f")).cast("double")
+    val te = datediff(col("__e"), col("__f")).cast("double")
+    val obs = per.crossJoin(broadcast(n0))   // 1-row stat factor
+      .select(
+        when(col("__p").isNotNull &&
+            (col("__e").isNull || tp <= te), tp)
+          .when(col("__e").isNotNull, te)
+          .otherwise(datediff(col("__l"), col("__f")).cast("double"))
+          .as("t"),
+        when(col("__p").isNotNull &&
+            (col("__e").isNull || tp <= te), lit(1))
+          .when(col("__e").isNotNull, lit(2)).otherwise(lit(0))
+          .as("__cause"),
+        col("__n"))
+    val tbl = obs.groupBy("t").agg(
+      sum(when(col("__cause") === 1, 1L).otherwise(0L)).as("d1"),
+      sum(when(col("__cause") === 2, 1L).otherwise(0L)).as("d2"),
+      count(lit(1)).as("__ended"), first("__n").as("__n"))
+    val wBefore = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withRisk = tbl.withColumn("n_risk",
+      col("__n") - coalesce(sum("__ended").over(wBefore), lit(0L)))
+    val d = (col("d1") + col("d2")).cast("double")
+    val term = lit(1.0) - d / col("n_risk")
+    val enriched = withRisk
+      .withColumn("__dead0",
+        coalesce(max(when(col("d1") + col("d2") === col("n_risk"), 1)
+          .otherwise(0)).over(wBefore), lit(0)))
+      .withColumn("__sminus",
+        when(col("__dead0") === 1, lit(0.0)).otherwise(
+          exp(coalesce(sum(when(term > 0.0, log(term))
+            .otherwise(lit(0.0))).over(wBefore), lit(0.0)))))
+    enriched
+      .withColumn("cif_purchase", round(sum(
+        col("__sminus") * col("d1").cast("double") / col("n_risk"))
+        .over(wCum), 6))
+      .withColumn("cif_error", round(sum(
+        col("__sminus") * col("d2").cast("double") / col("n_risk"))
+        .over(wCum), 6))
+      .where(col("d1") + col("d2") > 0)
+      .select(col("t").cast("bigint").as("t_days"), col("n_risk"),
+        col("d1").as("d_purchase"), col("d2").as("d_error"),
+        col("cif_purchase"), col("cif_error"))
+      .orderBy("t_days")
+  }
+
+  /** DuckDB oracle for [[competingRisks]] (defaults). */
+  val competingRisksOracleSql: String =
+    """WITH per AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+      |    MIN(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(ts AS DATE) END) AS p,
+      |    MIN(CASE WHEN event_type = 'error'
+      |      THEN CAST(ts AS DATE) END) AS e,
+      |    MAX(CAST(ts AS DATE)) AS l
+      |  FROM events GROUP BY 1),
+      |n0 AS (SELECT COUNT(*) AS n FROM per),
+      |obs AS (
+      |  SELECT CASE
+      |      WHEN p IS NOT NULL AND (e IS NULL OR
+      |        CAST(p - f AS DOUBLE) <= CAST(e - f AS DOUBLE))
+      |        THEN CAST(p - f AS DOUBLE)
+      |      WHEN e IS NOT NULL THEN CAST(e - f AS DOUBLE)
+      |      ELSE CAST(l - f AS DOUBLE) END AS t,
+      |    CASE
+      |      WHEN p IS NOT NULL AND (e IS NULL OR
+      |        CAST(p - f AS DOUBLE) <= CAST(e - f AS DOUBLE)) THEN 1
+      |      WHEN e IS NOT NULL THEN 2 ELSE 0 END AS cause,
+      |    n0.n
+      |  FROM per CROSS JOIN n0),
+      |tbl AS (
+      |  SELECT t,
+      |    SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS d1,
+      |    SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS d2,
+      |    COUNT(*) AS ended, ANY_VALUE(n) AS n
+      |  FROM obs GROUP BY 1),
+      |risk AS (
+      |  SELECT *, n - COALESCE(SUM(ended) OVER (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS n_risk
+      |  FROM tbl),
+      |sm AS (
+      |  SELECT *,
+      |    COALESCE(MAX(CASE WHEN d1 + d2 = n_risk THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS dead0,
+      |    EXP(COALESCE(SUM(CASE WHEN
+      |        1.0 - CAST(d1 + d2 AS DOUBLE) / n_risk > 0
+      |      THEN LN(1.0 - CAST(d1 + d2 AS DOUBLE) / n_risk)
+      |      ELSE 0.0 END) OVER (ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0))
+      |      AS sexp
+      |  FROM risk),
+      |cif AS (
+      |  SELECT t, n_risk, d1, d2,
+      |    SUM((CASE WHEN dead0 = 1 THEN 0.0 ELSE sexp END) *
+      |      CAST(d1 AS DOUBLE) / n_risk) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+      |    SUM((CASE WHEN dead0 = 1 THEN 0.0 ELSE sexp END) *
+      |      CAST(d2 AS DOUBLE) / n_risk) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+      |  FROM sm)
+      |SELECT CAST(t AS BIGINT) AS t_days, n_risk,
+      |  d1 AS d_purchase, d2 AS d_error,
+      |  ROUND(c1, 6) AS cif_purchase, ROUND(c2, 6) AS cif_error
+      |FROM cif WHERE d1 + d2 > 0 ORDER BY t_days""".stripMargin
+
   /** Log-rank test between two cohorts' survival curves (Mantel
     * 1966) — the hypothesis test that belongs next to [[kaplanMeier]]
     * the way Welch belongs next to a mean: at every event time the

@@ -19,6 +19,49 @@ class SurvivalSpec extends AnyFunSuite {
       Double, String)]) =
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  test("aalen-johansen: hand-computed two-cause incidence") {
+    def ev(id: Long, eid: Long, day: Int, tpe: String) =
+      (eid, java.sql.Timestamp.valueOf(f"2024-06-$day%02d 09:00:00"),
+        id, tpe, 1.0, "{}")
+    // u1 purchases day+1, u2 errors day+1, u3 purchases day+2,
+    // u4 never resolves (censors at its last day, day+3)
+    val rows = Seq(
+      ev(1, 1, 1, "view"), ev(1, 2, 2, "purchase"),
+      ev(2, 3, 1, "view"), ev(2, 4, 2, "error"),
+      ev(3, 5, 1, "view"), ev(3, 6, 3, "purchase"),
+      ev(4, 7, 1, "view"), ev(4, 8, 4, "view"))
+    val r = Survival.competingRisks(events(rows)).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val t1 = r(0); val t2 = r(1)
+    // t=1: n=4, one purchase + one error: CIFs 0.25 / 0.25
+    assert(t1.getLong(1) == 4L)
+    assert(t1.getDouble(4) == 0.25 && t1.getDouble(5) == 0.25)
+    // t=2: S(1) = 0.5, n_risk=2, one purchase:
+    // CIF_p = 0.25 + 0.5 * 1/2 = 0.5; CIF_e unchanged
+    assert(t2.getLong(1) == 2L)
+    assert(t2.getDouble(4) == 0.5 && t2.getDouble(5) == 0.25)
+  }
+
+  test("rdd: a planted sharp jump is recovered exactly") {
+    import graft.operators.Regression
+    // y = 2 + 0.001x left of 0, y = 5 + 0.001x right: jump = 3.
+    // Encode y as order count per customer.
+    val xs = (-20 to 20).filter(_ != 0).map(_ * 50.0)   // +-1000
+    val cust = xs.zipWithIndex.map { case (x, i) =>
+      (i.toLong, x) }.toDF("c_custkey", "c_acctbal")
+    val orders = xs.zipWithIndex.flatMap { case (x, i) =>
+      val y = (if (x >= 0) 5 else 2) + (x / 1000.0).round.toInt.abs
+      (0 until y).map(j => (i.toLong * 1000 + j, i.toLong))
+    }.toDF("o_orderkey", "o_custkey")
+    val r = Regression.rddJump(cust, orders, cutoff = 0.0,
+      bandwidth = 2000.0).collect()(0)
+    assert(r.getLong(0) == 20L && r.getLong(1) == 20L)
+    // slopes recovered (|x|/1000 rounded makes a symmetric staircase
+    // around each side's mean; intercepts at 0 still differ by ~3)
+    val jump = r.getDouble(6)
+    assert(jump > 2.0 && jump < 4.0, s"jump=$jump")
+  }
+
   test("km: textbook curve with censoring between event times") {
     // max date = Jun 30 (u5, censored at horizon 3). Lifetimes:
     // u1: 5 (ends day 6, uncensored), u2: 5 (uncensored),
