@@ -195,7 +195,9 @@ object PlanAudit {
     // competing risks: the KM 1-row cohort-size factor
     "q341_competing_risks",
     // RDD: cross of the two 1-row side fits
-    "q342_rdd")
+    "q342_rdd",
+    // Simpson audit: 1-row pooled-diff factor
+    "q344_simpsons")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

@@ -229,6 +229,28 @@ object SparkEntry {
       graft.operators.Experiment.mcnemar(t(s, dir, "events"),
         col("event_type") === "purchase")),
 
+    // ---- Surgical decontamination: excise exactly the benchmark-
+    //      matching token spans, keep the rest of the document ----
+    "q343_decontaminate_excise" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontaminate.exciseContaminated(
+        docs.filter(col("doc_id") % 41 =!= 0),
+        docs.filter(col("doc_id") % 41 === 0), n = 4)
+    }),
+
+    // ---- Simpson's-paradox audit: pooled vs within-stratum sign of
+    //      the treated-control conversion difference ----
+    "q344_simpsons" -> ((s, dir) => {
+      val pu = t(s, dir, "events").groupBy("user_id").agg(
+        count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "purchase", 1.0)
+          .otherwise(0.0)).as("y"))
+      graft.operators.Simpsons.audit(pu,
+        when(col("n_ev") <= 62, "low")
+          .when(col("n_ev") <= 70, "mid").otherwise("high"),
+        col("user_id") % 2 === 1, col("y"))
+    }),
+
     // ---- Aalen-Johansen cumulative incidence: first-purchase vs
     //      first-error competing risks from journey start ----
     "q341_competing_risks" -> ((s, dir) =>
@@ -4171,6 +4193,12 @@ object SparkEntry {
 
     "q342_rdd" ->
       graft.operators.Regression.rddOracleSql,
+
+    "q343_decontaminate_excise" ->
+      graft.operators.Decontaminate.exciseOracleSql(4),
+
+    "q344_simpsons" ->
+      graft.operators.Simpsons.auditOracleSql,
 
     "q338_touch_attribution" ->
       graft.operators.Attribution.touchComparisonOracleSql,

@@ -89,6 +89,99 @@ object Decontaminate {
       .orderBy(col(idCol))
   }
 
+  /** Surgical decontamination — span EXCISION instead of document
+    * drop: where [[overlap]] flags a whole document for sharing
+    * benchmark n-grams, this removes exactly the contaminated token
+    * spans (every token covered by a matching n-gram) and keeps the
+    * rest — the right call for long documents that quote a benchmark
+    * once (dropping them wastes 99% clean tokens; keeping them leaks
+    * the quote). The span-joining convention follows the q91/q92
+    * repeated-span excision surface.
+    *
+    * Output (contaminated docs only, the [[overlap]] convention):
+    * `(doc_id, n_tokens, n_matches, tokens_removed, clean_text)`
+    * ordered by doc_id, with `clean_text` the surviving tokens joined
+    * by single spaces.
+    *
+    * Scale shape: positions explode to corpus-token rows but the
+    * BROADCAST benchmark join filters them immediately (q72's
+    * discipline); the rebuild joins match-lists (contaminated-doc
+    * cardinality) back on the id key, and the per-doc mask is
+    * O(n_tokens·matches) map work. */
+  def exciseContaminated(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 4, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, "n-gram order must be >= 1")
+    val benchGrams = docGrams(benchmark, n, idCol, textCol)
+      .select(col("gram")).distinct()
+    val toks = corpus
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= n)
+    val posGrams = toks.select(col(idCol),
+      explode(expr(
+        s"transform(sequence(1, size(__toks) - ${n - 1}), " +
+          s"i -> struct(i AS i, array_join(slice(__toks, i, $n), ' ') " +
+          "AS gram))")).as("pg"))
+      .select(col(idCol), col("pg.i").as("__i"), col("pg.gram").as("gram"))
+    val starts = posGrams.join(broadcast(benchGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("__i"))).as("__starts"),
+        count(lit(1)).as("n_matches"))
+    starts.join(toks, Seq(idCol))
+      .withColumn("__clean", expr(
+        s"filter(__toks, (x, j) -> NOT exists(__starts, " +
+          s"s -> j + 1 >= s AND j + 1 < s + $n))"))
+      .select(col(idCol),
+        size(col("__toks")).cast("bigint").as("n_tokens"),
+        col("n_matches"),
+        (size(col("__toks")) - size(col("__clean"))).cast("bigint")
+          .as("tokens_removed"),
+        array_join(col("__clean"), " ").as("clean_text"))
+      .orderBy(idCol)
+  }
+
+  /** DuckDB oracle for [[exciseContaminated]] with the q72 fixture
+    * split (corpus = doc_id % 41 ≠ 0, benchmark = % 41 = 0). */
+  def exciseOracleSql(n: Int = 4): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents WHERE doc_id % 41 <> 0),
+       |tok_ok AS (SELECT * FROM tok WHERE len(toks) >= $n),
+       |bench AS (
+       |  SELECT DISTINCT UNNEST(list_transform(
+       |      range(1, len(toks) - ${n - 2}),
+       |      i -> concat_ws(' ', list_slice(toks, i, i + ${n - 1}))))
+       |    AS gram
+       |  FROM (SELECT str_split_regex(trim(text), '\\s+') AS toks
+       |    FROM documents WHERE doc_id % 41 = 0)
+       |  WHERE len(toks) >= $n),
+       |pos AS (
+       |  SELECT doc_id, UNNEST(list_transform(
+       |      range(1, len(toks) - ${n - 2}),
+       |      i -> struct_pack(i := i,
+       |        gram := concat_ws(' ', list_slice(toks, i, i + ${n - 1})))))
+       |    AS pg
+       |  FROM tok_ok),
+       |m AS (
+       |  SELECT doc_id, pg.i AS i
+       |  FROM pos JOIN bench ON pg.gram = bench.gram),
+       |starts AS (
+       |  SELECT doc_id, list(DISTINCT i) AS ss,
+       |    COUNT(*) AS n_matches
+       |  FROM m GROUP BY 1),
+       |rebuilt AS (
+       |  SELECT s.doc_id, len(t.toks) AS n_tokens, s.n_matches,
+       |    list_filter(list_transform(t.toks, (x, j) -> CASE WHEN
+       |        len(list_filter(s.ss,
+       |          v -> j >= v AND j < v + $n)) = 0
+       |      THEN x END), x -> x IS NOT NULL) AS clean
+       |  FROM starts s JOIN tok_ok t ON s.doc_id = t.doc_id)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_matches AS BIGINT) AS n_matches,
+       |  CAST(n_tokens - len(clean) AS BIGINT) AS tokens_removed,
+       |  COALESCE(array_to_string(clean, ' '), '') AS clean_text
+       |FROM rebuilt ORDER BY doc_id""".stripMargin
+
   /** Semantic (embedding-space) decontamination: flag corpus rows whose
     * embedding is too close to ANY held-out benchmark embedding — the
     * vector analog of the n-gram gate above, catching paraphrased or
