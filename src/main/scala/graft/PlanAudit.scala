@@ -197,7 +197,13 @@ object PlanAudit {
     // RDD: cross of the two 1-row side fits
     "q342_rdd",
     // Simpson audit: 1-row pooled-diff factor
-    "q344_simpsons")
+    "q344_simpsons",
+    // Youden: the ROC's 1-row totals factor
+    "q345_youden",
+    // chi2 residuals: the q286 bounded marginal grid cross + 1-row N
+    "q346_chi2_residuals",
+    // Bland-Altman: 1-row moments factor recounted over diffs
+    "q347_bland_altman")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

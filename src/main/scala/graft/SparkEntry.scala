@@ -40,6 +40,52 @@ object SparkEntry {
     ("o_orderstatus", false), ("o_totalprice", true),
     ("o_orderpriority", false))
 
+  /** The q205 ROC oracle, extracted so q345's Youden oracle can wrap
+    * the SAME curve as a CTE — one definition drives both. */
+  private val rocOracleQ205: String =
+    """WITH t AS (
+      |  SELECT str_split_regex(trim(text), '\s+') AS toks, lang
+      |  FROM documents),
+      |s AS (
+      |  SELECT lang,
+      |    CAST(len(toks) AS DOUBLE) AS n,
+      |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+      |      AS sumlen,
+      |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+      |      ('the','a','of','and','to','in','is','on',
+      |       'der','die','das','und','ist','nicht','ein','zu',
+      |       'el','la','de','que','y','en','un','es',
+      |       'le','et','les','des','est','une') THEN 1 ELSE 0 END))
+      |      AS DOUBLE) AS stop_all
+      |  FROM t),
+      |q AS (
+      |  SELECT ROUND(
+      |      LEAST(n / 16.0, 1.0) * 0.4 +
+      |      (CASE WHEN sumlen / n BETWEEN 2.0 AND 9.0
+      |            THEN 1.0 ELSE 0.5 END) * 0.4 +
+      |      LEAST(stop_all / n * 4.0, 1.0) * 0.2, 4) AS score,
+      |    (lang = 'en') AS label
+      |  FROM s),
+      |bys AS (
+      |  SELECT score,
+      |    SUM(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+      |    SUM(CASE WHEN label THEN 0 ELSE 1 END) AS n_neg
+      |  FROM q GROUP BY score),
+      |acc AS (
+      |  SELECT score,
+      |    SUM(n_pos) OVER (ORDER BY score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+      |    SUM(n_neg) OVER (ORDER BY score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+      |  FROM bys),
+      |tot AS (
+      |  SELECT SUM(n_pos) AS p, SUM(n_neg) AS nn FROM bys)
+      |SELECT score,
+      |  ROUND(CAST(tp AS DOUBLE) / (SELECT p FROM tot), 6) AS tpr,
+      |  ROUND(CAST(fp AS DOUBLE) / (SELECT nn FROM tot), 6) AS fpr,
+      |  ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS prec
+      |FROM acc ORDER BY score DESC""".stripMargin
+
   /** (determinant, dependent) shortlist for the q336 g3 pass — the
     * key column (exact FDs, g3 = 0) plus the near/violated pairs the
     * q211 report surfaces; one list drives engine + oracle. */
@@ -228,6 +274,30 @@ object SparkEntry {
     "q310_mcnemar" -> ((s, dir) =>
       graft.operators.Experiment.mcnemar(t(s, dir, "events"),
         col("event_type") === "purchase")),
+
+    // ---- Youden-J optimal threshold over the q205 ROC: where to
+    //      actually set the cutoff ----
+    "q345_youden" -> ((s, dir) =>
+      graft.operators.ClassifierEval.youdenThreshold(
+        t(s, dir, "documents").select(
+          TextFunctions.qualityScore(col("text")).as("score"),
+          (col("lang") === "en").as("label")),
+        "score", "label")),
+
+    // ---- Per-cell chi-square residuals: WHICH cells drive the q286
+    //      dependence, with N(0,1)-scaled adjusted residuals ----
+    "q346_chi2_residuals" -> ((s, dir) =>
+      graft.quality.Dependencies.chi2Residuals(
+        t(s, dir, "orders"), col("o_orderpriority"),
+        col("o_orderstatus"))),
+
+    // ---- Bland-Altman agreement between the heuristic quality score
+    //      and a crude length-based proxy: bias + limits of
+    //      agreement, not correlation ----
+    "q347_bland_altman" -> ((s, dir) =>
+      graft.quality.Agreement.blandAltman(t(s, dir, "documents"),
+        TextFunctions.qualityScore(col("text")),
+        least(col("n_chars").cast("double") / 500.0, lit(1.0)))),
 
     // ---- Surgical decontamination: excise exactly the benchmark-
     //      matching token spans, keep the rest of the document ----
@@ -4200,6 +4270,36 @@ object SparkEntry {
     "q344_simpsons" ->
       graft.operators.Simpsons.auditOracleSql,
 
+    "q346_chi2_residuals" ->
+      graft.quality.Dependencies.chi2ResidualsOracleSql(
+        "orders", "o_orderpriority", "o_orderstatus"),
+
+    "q347_bland_altman" ->
+      graft.quality.Agreement.blandAltmanOracleSql(
+        """SELECT q.quality -
+          |    LEAST(CAST(d.n_chars AS DOUBLE) / 500.0, 1.0) AS diff
+          |  FROM (
+          |    SELECT doc_id, ROUND(
+          |      LEAST(n / 16.0, 1.0) * 0.4 +
+          |      (CASE WHEN sl / n BETWEEN 2.0 AND 9.0
+          |        THEN 1.0 ELSE 0.5 END) * 0.4 +
+          |      LEAST(st / n * 4.0, 1.0) * 0.2, 4) AS quality
+          |    FROM (
+          |      SELECT doc_id,
+          |        CAST(len(toks) AS DOUBLE) AS n,
+          |        CAST(list_sum(list_transform(toks, x -> length(x)))
+          |          AS DOUBLE) AS sl,
+          |        CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+          |          ('the','a','of','and','to','in','is','on',
+          |           'der','die','das','und','ist','nicht','ein','zu',
+          |           'el','la','de','que','y','en','un','es',
+          |           'le','et','les','des','est','une')
+          |          THEN 1 ELSE 0 END)) AS DOUBLE) AS st
+          |      FROM (SELECT doc_id,
+          |          str_split_regex(trim(text), '\s+') AS toks
+          |        FROM documents))) q
+          |  JOIN documents d USING (doc_id)""".stripMargin),
+
     "q338_touch_attribution" ->
       graft.operators.Attribution.touchComparisonOracleSql,
 
@@ -4389,49 +4489,16 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS batch_id
         |FROM summ, summb""".stripMargin,
 
-    "q205_roc_curve" ->
-      """WITH t AS (
-        |  SELECT str_split_regex(trim(text), '\s+') AS toks, lang
-        |  FROM documents),
-        |s AS (
-        |  SELECT lang,
-        |    CAST(len(toks) AS DOUBLE) AS n,
-        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-        |      AS sumlen,
-        |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
-        |      ('the','a','of','and','to','in','is','on',
-        |       'der','die','das','und','ist','nicht','ein','zu',
-        |       'el','la','de','que','y','en','un','es',
-        |       'le','et','les','des','est','une') THEN 1 ELSE 0 END))
-        |      AS DOUBLE) AS stop_all
-        |  FROM t),
-        |q AS (
-        |  SELECT ROUND(
-        |      LEAST(n / 16.0, 1.0) * 0.4 +
-        |      (CASE WHEN sumlen / n BETWEEN 2.0 AND 9.0
-        |            THEN 1.0 ELSE 0.5 END) * 0.4 +
-        |      LEAST(stop_all / n * 4.0, 1.0) * 0.2, 4) AS score,
-        |    (lang = 'en') AS label
-        |  FROM s),
-        |bys AS (
-        |  SELECT score,
-        |    SUM(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
-        |    SUM(CASE WHEN label THEN 0 ELSE 1 END) AS n_neg
-        |  FROM q GROUP BY score),
-        |acc AS (
-        |  SELECT score,
-        |    SUM(n_pos) OVER (ORDER BY score DESC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
-        |    SUM(n_neg) OVER (ORDER BY score DESC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
-        |  FROM bys),
-        |tot AS (
-        |  SELECT SUM(n_pos) AS p, SUM(n_neg) AS nn FROM bys)
-        |SELECT score,
-        |  ROUND(CAST(tp AS DOUBLE) / (SELECT p FROM tot), 6) AS tpr,
-        |  ROUND(CAST(fp AS DOUBLE) / (SELECT nn FROM tot), 6) AS fpr,
-        |  ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS prec
-        |FROM acc ORDER BY score DESC""".stripMargin,
+    "q205_roc_curve" -> rocOracleQ205,
+
+    // Youden J: the q205 curve as a CTE, one ordered limit
+    "q345_youden" ->
+      s"""WITH roc AS ($rocOracleQ205)
+         |SELECT score AS threshold, tpr, fpr, prec,
+         |  ROUND(tpr - fpr, 6) AS j_stat
+         |FROM roc
+         |ORDER BY ROUND(tpr - fpr, 6) DESC, threshold DESC
+         |LIMIT 1""".stripMargin,
 
     "q170_label_communities" -> graft.operators.Communities.oracleSql(),
 

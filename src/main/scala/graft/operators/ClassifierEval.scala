@@ -94,4 +94,22 @@ object ClassifierEval {
           (col("__tp") + col("__fp")).cast("double"), 6).as("prec"))
       .orderBy(col("score").desc)
   }
+
+  /** Youden-J optimal operating point (Youden, Cancer 1950): the
+    * score threshold maximizing J = TPR − FPR over the [[rocCurve]] —
+    * the one-row "where do I actually set the cutoff" answer the full
+    * curve defers. Ties in J (at the curve's 6-decimal resolution) go
+    * to the HIGHER threshold (fewer positives for the same J). One
+    * row: `(threshold, tpr, fpr, prec, j_stat)`.
+    *
+    * Scale shape: the ROC's score-cardinality table, one ordered
+    * limit. */
+  def youdenThreshold(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame =
+    rocCurve(scored, scoreCol, labelCol)
+      .withColumn("j_stat", round(col("tpr") - col("fpr"), 6))
+      .orderBy(col("j_stat").desc, col("score").desc)
+      .limit(1)
+      .select(col("score").as("threshold"), col("tpr"), col("fpr"),
+        col("prec"), col("j_stat"))
 }

@@ -89,4 +89,52 @@ object Agreement {
        |      ((n01 + n00) / CAST(n AS DOUBLE)) *
        |        ((n10 + n00) / CAST(n AS DOUBLE)))) END, 6) AS kappa
        |FROM m""".stripMargin
+
+  /** Bland–Altman agreement between two CONTINUOUS raters (Bland &
+    * Altman, Lancet 1986) — the companion to [[cohenKappa]]'s binary
+    * case: correlation flatters two scores that move together while
+    * disagreeing by a constant offset; what a swap decision needs is
+    * the difference's bias and its 95% limits of agreement
+    * (mean ± 1.96·σ). One row: `(n, mean_diff, sd_diff, loa_low,
+    * loa_high, pct_outside)`, with pct_outside the observed share
+    * beyond the limits (≈5% under normality — a fat-tailed excess
+    * means the limits understate the risk).
+    *
+    * Scale shape: one moment pass, one broadcast-limits recount. */
+  def blandAltman(df: DataFrame, raterA: Column,
+      raterB: Column): DataFrame = {
+    val d = df.select((raterA.cast("double") - raterB.cast("double"))
+      .as("diff")).where(col("diff").isNotNull)
+    val m = d.agg(count(lit(1)).as("n"), avg("diff").as("__mu"),
+      stddev_pop(col("diff")).as("__sd"))
+    d.crossJoin(broadcast(m))   // 1-row stat factor
+      .agg(
+        first("n").as("n"),
+        round(first("__mu"), 6).as("mean_diff"),
+        round(first("__sd"), 6).as("sd_diff"),
+        round(first("__mu") - first("__sd") * 1.96, 6).as("loa_low"),
+        round(first("__mu") + first("__sd") * 1.96, 6).as("loa_high"),
+        round(avg(when(
+          abs(col("diff") - col("__mu")) > col("__sd") * 1.96, 1.0)
+          .otherwise(0.0)), 6).as("pct_outside"))
+  }
+
+  /** DuckDB oracle for [[blandAltman]]: `diffQuery` is any SQL
+    * producing a `diff` column computed the same way as the engine's
+    * A−B. */
+  def blandAltmanOracleSql(diffQuery: String): String =
+    s"""WITH d AS ($diffQuery),
+       |d2 AS (SELECT diff FROM d WHERE diff IS NOT NULL),
+       |m AS (
+       |  SELECT COUNT(*) AS n, AVG(diff) AS mu,
+       |    STDDEV_POP(diff) AS sd
+       |  FROM d2)
+       |SELECT ANY_VALUE(m.n) AS n,
+       |  ROUND(ANY_VALUE(m.mu), 6) AS mean_diff,
+       |  ROUND(ANY_VALUE(m.sd), 6) AS sd_diff,
+       |  ROUND(ANY_VALUE(m.mu) - 1.96 * ANY_VALUE(m.sd), 6) AS loa_low,
+       |  ROUND(ANY_VALUE(m.mu) + 1.96 * ANY_VALUE(m.sd), 6) AS loa_high,
+       |  ROUND(AVG(CASE WHEN ABS(diff - m.mu) > 1.96 * m.sd
+       |    THEN 1.0 ELSE 0.0 END), 6) AS pct_outside
+       |FROM d2 CROSS JOIN m""".stripMargin
 }

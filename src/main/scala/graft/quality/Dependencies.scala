@@ -247,6 +247,73 @@ object Dependencies {
        |) ORDER BY lhs, rhs""".stripMargin
   }
 
+  /** Per-cell standardized and adjusted residuals of the contingency
+    * grid (Haberman, Biometrics 1973) — the drill-down behind
+    * [[association]]'s single χ²: WHICH (a, b) cells drive the
+    * dependence, and in which direction. The adjusted residual
+    * (n−e)/√(e(1−pₐ)(1−p_b)) is asymptotically N(0,1), so |z| > 2
+    * reads directly as "this cell is over/under-represented".
+    * Includes empty grid cells (they under-represent too — the χ²
+    * convention of [[association]]).
+    *
+    * Scale shape: one grouped count to the joint table, two marginal
+    * aggs, the |a|×|b|-bounded grid cross, scalar arithmetic. */
+  def chi2Residuals(df: DataFrame, aCol: org.apache.spark.sql.Column,
+      bCol: org.apache.spark.sql.Column): DataFrame = {
+    val joint = df
+      .where(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(aCol.as("a"), bCol.as("b"))
+      .agg(count(lit(1)).as("n"))
+    val aTot = joint.groupBy("a").agg(sum("n").as("__na"))
+    val bTot = joint.groupBy("b").agg(sum("n").as("__nb"))
+    val grand = joint.agg(sum("n").as("__nt"))
+    val cells = aTot.crossJoin(broadcast(bTot))
+      .join(joint, Seq("a", "b"), "left_outer")
+      .withColumn("__n0", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(grand))   // 1-row stat factor
+    val tot = col("__nt").cast("double")
+    val e = col("__na").cast("double") * col("__nb") / tot
+    val adjDen = sqrt(e * (lit(1.0) - col("__na") / tot) *
+      (lit(1.0) - col("__nb") / tot))
+    cells.select(col("a"), col("b"), col("__n0").as("n"),
+        round(e, 6).as("expected"),
+        round((col("__n0") - e) / sqrt(e), 6).as("std_residual"),
+        round(when(adjDen > 0.0, (col("__n0") - e) / adjDen), 6)
+          .as("adj_residual"))
+      .orderBy("a", "b")
+  }
+
+  /** DuckDB oracle for [[chi2Residuals]]. */
+  def chi2ResidualsOracleSql(table: String, aExpr: String,
+      bExpr: String): String =
+    s"""WITH joint AS (
+       |  SELECT $aExpr AS a, $bExpr AS b, COUNT(*) AS n
+       |  FROM $table
+       |  WHERE $aExpr IS NOT NULL AND $bExpr IS NOT NULL
+       |  GROUP BY 1, 2),
+       |at AS (SELECT a, SUM(n) AS na FROM joint GROUP BY 1),
+       |bt AS (SELECT b, SUM(n) AS nb FROM joint GROUP BY 1),
+       |g AS (SELECT SUM(n) AS nt FROM joint),
+       |cells AS (
+       |  SELECT at.a, bt.b, at.na, bt.nb,
+       |    COALESCE(joint.n, 0) AS n0, g.nt
+       |  FROM at CROSS JOIN bt
+       |  LEFT JOIN joint ON joint.a = at.a AND joint.b = bt.b
+       |  CROSS JOIN g),
+       |e AS (
+       |  SELECT a, b, n0,
+       |    CAST(na AS DOUBLE) * nb / nt AS e,
+       |    CAST(na AS DOUBLE) / nt AS pa,
+       |    CAST(nb AS DOUBLE) / nt AS pb
+       |  FROM cells)
+       |SELECT a, b, CAST(n0 AS BIGINT) AS n,
+       |  ROUND(e, 6) AS expected,
+       |  ROUND((n0 - e) / sqrt(e), 6) AS std_residual,
+       |  ROUND(CASE WHEN sqrt(e * (1 - pa) * (1 - pb)) > 0
+       |    THEN (n0 - e) / sqrt(e * (1 - pa) * (1 - pb)) END, 6)
+       |    AS adj_residual
+       |FROM e ORDER BY a, b""".stripMargin
+
   /** Approximate-FD violation rate — the g3 error measure (Kivinen &
     * Mannila, TCS 1995; the metric HyFD-family profilers report for
     * "almost holds"): g3(A→B) = the minimum fraction of rows that

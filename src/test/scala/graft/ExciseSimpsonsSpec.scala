@@ -2,7 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Decontaminate, Simpsons}
+import graft.operators.{ClassifierEval, Decontaminate, Simpsons}
+import graft.quality.{Agreement, Dependencies}
 
 /** Planted span-excision and Simpson-reversal cases. */
 class ExciseSimpsonsSpec extends AnyFunSuite {
@@ -31,6 +32,51 @@ class ExciseSimpsonsSpec extends AnyFunSuite {
     val d2 = r(2L)
     // matches at starts 1 and 5 cover everything
     assert(d2.getLong(3) == 8L && d2.getString(4) == "")
+  }
+
+  test("youden: a clean separator's threshold sits at the boundary") {
+    // scores: positives at >= 0.7, negatives at <= 0.3 -> perfect
+    // separation; threshold = lowest positive score (ties to higher)
+    val rows = (0 until 40).map { i =>
+      val pos = i % 2 == 0
+      (if (pos) 0.7 + (i % 5) * 0.05 else 0.1 + (i % 5) * 0.05, pos)
+    }.toDF("score", "label")
+    val r = ClassifierEval.youdenThreshold(rows, "score", "label")
+      .collect()(0)
+    assert(r.getDouble(4) == 1.0, "perfect separation: J = 1")
+    assert(r.getDouble(0) == 0.7, s"threshold=${r.getDouble(0)}")
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 0.0)
+  }
+
+  test("chi2 residuals: diagonal concentration shows signed cells") {
+    // a and b mostly agree on the diagonal -> diagonal cells over-
+    // represented (positive residual), off-diagonal under (negative)
+    val rows = (0 until 90).map { i =>
+      val a = s"g${i % 3}"
+      val b = if (i % 10 < 8) a else s"g${(i + 1) % 3}"
+      (a, b)
+    }.toDF("a", "b")
+    val r = Dependencies.chi2Residuals(rows, col("a"), col("b"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(r.size == 9, "full 3x3 grid incl. the empty cells")
+    (0 until 3).foreach { g =>
+      assert(r((s"g$g", s"g$g")).getDouble(4) > 0, "diagonal over")
+    }
+    assert(r(("g0", "g2")).getLong(2) == 0L, "empty cell reported")
+    assert(r(("g0", "g2")).getDouble(4) < 0, "empty cell under")
+  }
+
+  test("bland-altman: a constant offset is pure bias, zero spread") {
+    // exactly-representable quarters: diff is bit-identical 0.25
+    // everywhere, so sd is exactly 0 (0.01 steps leave FP residue
+    // that lands "outside" zero-width limits)
+    val rows = (0 until 50).map(i => (i * 0.25 + 0.25, i * 0.25))
+      .toDF("a", "b")
+    val r = Agreement.blandAltman(rows, col("a"), col("b"))
+      .collect()(0)
+    assert(math.abs(r.getDouble(1) - 0.25) < 1e-9, "bias = offset")
+    assert(r.getDouble(2) == 0.0, "no spread")
+    assert(r.getDouble(5) == 0.0, "nothing outside the limits")
   }
 
   test("simpsons: a planted composition reversal is flagged") {
