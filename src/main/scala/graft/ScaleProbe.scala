@@ -355,7 +355,27 @@ object ScaleProbe {
       "theil" -> (d => graft.operators.Inequality.theilDecomposition(
         d.withColumn("source",
           concat(lit("s"), pmod(col("doc_id"), lit(16)))),
-        col("source"), length(col("text"))).count()))
+        col("source"), length(col("text"))).count()),
+      // positions explode corpus tokens but the broadcast benchmark
+      // join (pinned to the BASE slice — benchmarks don't grow with
+      // the corpus) filters immediately; rebuild joins match-lists
+      "decontaminate_excise" -> (d => graft.operators.Decontaminate
+        .exciseContaminated(d.filter(col("doc_id") % 41 =!= 0),
+          base.filter(col("doc_id") % 41 === 0), n = 4).count()),
+      // one corpus pass into <=10 bins + 1-row base-rate factor
+      "brier" -> (d => graft.operators.QualityModel.brierDecomposition(
+        d.select(
+          graft.functions.TextFunctions.qualityScore(col("text"))
+            .as("quality"),
+          (length(col("text")) >= 300).as("label")),
+        "quality", "label").count()),
+      // score-cardinality ROC table + one ordered limit
+      "youden" -> (d => graft.operators.ClassifierEval.youdenThreshold(
+        d.select(
+          graft.functions.TextFunctions.qualityScore(col("text"))
+            .as("score"),
+          (pmod(col("doc_id"), lit(3)) === 0).as("label")),
+        "score", "label").count()))
 
     // ---- embedding-input operators: amplified by cyclic coordinate
     // rotation per copy — rotations of distinct 64-dim vectors are
@@ -616,7 +636,27 @@ object ScaleProbe {
       // blocks = calendar days, treatments = event types: cell table
       // is calendar x k; ranks run in k-bounded block windows
       "friedman" -> (d => graft.operators.Homogeneity.friedman(d,
-        to_date(col("ts")), col("event_type"), col("value")).count()))
+        to_date(col("ts")), col("event_type"), col("value")).count()),
+      // one first-purchase agg + user-keyed join + two user windows
+      "touch_attribution" -> (d =>
+        graft.operators.Attribution.touchComparison(d).count()),
+      // per-user agg + lifetime-cardinality risk windows
+      "competing_risks" -> (d =>
+        graft.operators.Survival.competingRisks(d).count()),
+      // per-unit agg + stratum rate table + 1-row pooled factor
+      "simpsons" -> { d =>
+        val pu = d.groupBy("user_id").agg(
+          count(lit(1)).as("n_ev"),
+          max(when(col("event_type") === "purchase", 1.0)
+            .otherwise(0.0)).as("y"))
+        graft.operators.Simpsons.audit(pu,
+          when(col("n_ev") <= 62, "low")
+            .when(col("n_ev") <= 70, "mid").otherwise("high"),
+          col("user_id") % 2 === 1, col("y")).count()
+      },
+      // one per-user agg + k-treatment presence grid + 1-row factors
+      "cochran_q" -> (d => graft.operators.Homogeneity.cochranQ(d,
+        col("user_id"), col("event_type")).count()))
 
     (ops.map(o => (o._1, o._2, base, big)) ++
       embOps.map(o => (o._1, o._2, embBase, embBig)) ++
