@@ -203,7 +203,9 @@ object PlanAudit {
     // chi2 residuals: the q286 bounded marginal grid cross + 1-row N
     "q346_chi2_residuals",
     // Bland-Altman: 1-row moments factor recounted over diffs
-    "q347_bland_altman")
+    "q347_bland_altman",
+    // Hurst: 1-row origin-date + |sizes|-row fit factors
+    "q349_hurst")
 
   final case class Audit(name: String, shuffles: Int,
       joins: Seq[(String, Int)], flagged: Boolean, error: Option[String])

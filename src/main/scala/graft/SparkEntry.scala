@@ -275,6 +275,21 @@ object SparkEntry {
       graft.operators.Experiment.mcnemar(t(s, dir, "events"),
         col("event_type") === "purchase")),
 
+    // ---- Cliff's delta effect size beside the q249 MWU p-value:
+    //      significant and useless vs significant and real ----
+    "q348_cliffs_delta" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(sum("value").as("m"))
+      graft.operators.Experiment.cliffsDelta(u,
+        col("user_id") % 2 === 1, col("m"))
+    }),
+
+    // ---- Rescaled-range Hurst exponent of daily revenue: random
+    //      walk vs persistent trend vs mean reversion ----
+    "q349_hurst" -> ((s, dir) =>
+      graft.operators.Hurst.rescaledRange(t(s, dir, "orders"))),
+
     // ---- Youden-J optimal threshold over the q205 ROC: where to
     //      actually set the cutoff ----
     "q345_youden" -> ((s, dir) =>
@@ -4273,6 +4288,12 @@ object SparkEntry {
     "q346_chi2_residuals" ->
       graft.quality.Dependencies.chi2ResidualsOracleSql(
         "orders", "o_orderpriority", "o_orderstatus"),
+
+    "q348_cliffs_delta" ->
+      graft.operators.Experiment.cliffsDeltaOracleSql,
+
+    "q349_hurst" ->
+      graft.operators.Hurst.rescaledRangeOracleSql,
 
     "q347_bland_altman" ->
       graft.quality.Agreement.blandAltmanOracleSql(

@@ -101,6 +101,48 @@ object Experiment {
       (abs(z) > 2.576).as("sig_99"))
   }
 
+  /** Cliff's delta effect size (Cliff, Psych. Bull. 1993) — the
+    * number the [[mannWhitneyU]] p-value lacks: δ = P(X_b > X_a) −
+    * P(X_a > X_b) = 2U_a/(n_a·n_b) − 1 (ties counting half in U, so
+    * they cancel), read against Romano et al. (2006) bands. A z of 8
+    * on a billion rows can mean δ = 0.01 — significant and useless;
+    * this is the column that says so. One row:
+    * `(n_a, n_b, u_a, z, cliffs_delta, magnitude)`.
+    *
+    * Same dataflow as [[mannWhitneyU]] (value-histogram ranks). */
+  def cliffsDelta(units: DataFrame, variant: Column,
+      metric: Column): DataFrame = {
+    val base = mannWhitneyU(units, variant, metric)
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    // U_a counts (a over b) pairs: the TREATMENT-centric delta is
+    // (U_b − U_a)/(n_a·n_b) = 1 − 2U_a/(n_a·n_b)
+    val d = round(lit(1.0) - col("u_a") * 2.0 / (na * nb), 6)
+    base.select(col("n_a"), col("n_b"), col("u_a"), col("z"),
+      d.as("cliffs_delta"),
+      when(abs(d) < 0.147, "negligible")
+        .when(abs(d) < 0.33, "small")
+        .when(abs(d) < 0.474, "medium")
+        .otherwise("large").as("magnitude"))
+  }
+
+  /** DuckDB oracle for [[cliffsDelta]]: wraps the MWU oracle (a def —
+    * `mannWhitneyOracleSql` is declared later in this object). */
+  def cliffsDeltaOracleSql: String =
+    s"""WITH mwu AS ($mannWhitneyOracleSql)
+       |SELECT n_a, n_b, u_a, z,
+       |  ROUND(1.0 - u_a * 2.0 / (CAST(n_a AS DOUBLE) * n_b), 6)
+       |    AS cliffs_delta,
+       |  CASE
+       |    WHEN ABS(ROUND(1.0 - u_a * 2.0 / (CAST(n_a AS DOUBLE)
+       |      * n_b), 6)) < 0.147 THEN 'negligible'
+       |    WHEN ABS(ROUND(1.0 - u_a * 2.0 / (CAST(n_a AS DOUBLE)
+       |      * n_b), 6)) < 0.33 THEN 'small'
+       |    WHEN ABS(ROUND(1.0 - u_a * 2.0 / (CAST(n_a AS DOUBLE)
+       |      * n_b), 6)) < 0.474 THEN 'medium'
+       |    ELSE 'large' END AS magnitude
+       |FROM mwu""".stripMargin
+
   /** Sample-ratio-mismatch check (Fabijan et al., ICSE-SEIP 2019 —
     * "the most useful A/B guardrail nobody runs"): a χ² test of the
     * OBSERVED variant assignment counts against the DESIGNED ratio.

@@ -79,6 +79,44 @@ class ExciseSimpsonsSpec extends AnyFunSuite {
     assert(r.getDouble(5) == 0.0, "nothing outside the limits")
   }
 
+  test("cliffs delta: dominance saturates at 1, overlap shrinks it") {
+    import graft.operators.Experiment
+    // complete separation: every b-value above every a-value
+    val sep = ((0 until 20).map(i => (false, i * 1.0)) ++
+      (0 until 20).map(i => (true, 100.0 + i))).toDF("b", "m")
+    val r1 = Experiment.cliffsDelta(sep, col("b"), col("m"))
+      .collect()(0)
+    assert(r1.getDouble(4) == 1.0 && r1.getString(5) == "large")
+    // identical distributions: delta 0
+    val same = ((0 until 20).map(i => (false, i * 1.0)) ++
+      (0 until 20).map(i => (true, i * 1.0))).toDF("b", "m")
+    val r2 = Experiment.cliffsDelta(same, col("b"), col("m"))
+      .collect()(0)
+    assert(r2.getDouble(4) == 0.0 && r2.getString(5) == "negligible")
+  }
+
+  test("hurst: a trending ramp reads persistent, alternation reads anti") {
+    import graft.operators.Hurst
+    def orders(xs: Seq[Double]) = xs.zipWithIndex.map { case (x, i) =>
+      (java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2020, 1, 1).plusDays(i).atStartOfDay),
+        x)
+    }.toDF("o_orderdate", "o_totalprice")
+    val sizes = Seq(4, 8, 16)
+    // monotone ramp: cumulative deviations grow with block size -> H ~ 1
+    val ramp = Hurst.rescaledRange(
+      orders((0 until 128).map(_.toDouble * 10 + 100)), sizes)
+      .collect()
+    assert(ramp.length == 3)
+    assert(ramp(0).getDouble(3) > 0.85, s"ramp H=${ramp(0).getDouble(3)}")
+    // strict alternation: deviations cancel immediately -> H well
+    // below the ramp (anti-persistent)
+    val alt = Hurst.rescaledRange(
+      orders((0 until 128).map(i => if (i % 2 == 0) 100.0 else 200.0)),
+      sizes).collect()
+    assert(alt(0).getDouble(3) < 0.3, s"alt H=${alt(0).getDouble(3)}")
+  }
+
   test("simpsons: a planted composition reversal is flagged") {
     // stratum A: treated 90% vs control 80% (treated better)
     // stratum B: treated 30% vs control 20% (treated better)
