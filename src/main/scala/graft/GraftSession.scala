@@ -33,7 +33,13 @@ object GraftSession {
       // query's shuffle files on local disk for its whole lifetime —
       // the observed driver-bench tail blowups were temp-I/O bound.
       // 2 min keeps local-dir growth bounded at negligible GC cost.
-      .config("spark.cleaner.periodicGC.interval", "2min")
+      // Overridable through the system property (Bench parks it at
+      // 120min because it drives ContextCleaner itself between timed
+      // slots): builder options are applied to the SparkConf AFTER
+      // system properties, so setting the key here unconditionally
+      // would silently win over any System.setProperty caller.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.props.getOrElse("spark.cleaner.periodicGC.interval", "2min"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)

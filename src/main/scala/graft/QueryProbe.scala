@@ -19,13 +19,20 @@ object QueryProbe {
     spark.sparkContext.setLogLevel("WARN")
     if (args.contains("explain"))
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    if (args.contains("schema")) name.split(",").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      println(s"[schema] $q " + df.schema.fields
+        .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", "))
+    }
     if (args.contains("show"))
       SparkEntry.queries(name)(spark, sfDir).show(50, truncate = false)
     // time construction + execution: operators may do eager work
     // (cache warm-up) at construction, like Bench measures. Repeat to
     // separate first-run overhead (codegen compile, file listing, JIT)
     // from steady-state cost.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val reps =
+      if (args.contains("schema")) 0
+      else sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     (1 to reps).foreach { r =>
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)

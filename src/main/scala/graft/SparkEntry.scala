@@ -191,7 +191,8 @@ object SparkEntry {
     //      flags + terminal-punctuation line share — map-only regex,
     //      one grouped agg ----
     "q297_c4_rules" -> ((s, dir) =>
-      graft.operators.CorpusFilters.c4Report(t(s, dir, "documents"))),
+      graft.util.Canon.microsify(
+        graft.operators.CorpusFilters.c4Report(t(s, dir, "documents")))),
 
     // ---- Gopher quality rules per source (Rae et al. '21 Table A1):
     //      word count/mean word length/alpha share/stopword/top-bigram
@@ -224,7 +225,7 @@ object SparkEntry {
         .groupBy(col("n_name").as("k"))
         .agg(sum("o_totalprice").cast("double").as("x"),
           count(lit(1)).cast("double").as("y"))
-      graft.quality.Correlation.kendallTau(m)
+      graft.util.Canon.microsify(graft.quality.Correlation.kendallTau(m))
     }),
 
     // ---- Market-basket affinity: support/confidence/lift +
@@ -237,12 +238,14 @@ object SparkEntry {
     //      dedup): exact trimmed lines in ≥3 docs, per-source line-
     //      and char-mass removed ----
     "q303_line_dedup" -> ((s, dir) =>
-      graft.operators.CorpusFilters.lineDedup(t(s, dir, "documents"))),
+      graft.util.Canon.microsify(
+        graft.operators.CorpusFilters.lineDedup(t(s, dir, "documents")))),
 
     // ---- Gopher line-level rules (bullet-start / ellipsis-end
     //      shares), map-only over the line array ----
     "q304_line_rules" -> ((s, dir) =>
-      graft.operators.CorpusFilters.lineRules(t(s, dir, "documents"))),
+      graft.util.Canon.microsify(
+        graft.operators.CorpusFilters.lineRules(t(s, dir, "documents")))),
 
     // ---- Duplicate-aware soft weights: every exact-dup cluster of
     //      size c contributes unit mass (1/c per copy); per-source
@@ -266,14 +269,16 @@ object SparkEntry {
     // ---- Cochran-Armitage trend: does conversion RISE monotonically
     //      through the week (ordered-group score test, k-row agg) ----
     "q309_trend_proportions" -> ((s, dir) =>
-      graft.operators.Experiment.cochranArmitage(t(s, dir, "events"),
-        dayofweek(col("ts")), col("event_type") === "purchase")),
+      graft.util.Canon.microsify(
+        graft.operators.Experiment.cochranArmitage(t(s, dir, "events"),
+          dayofweek(col("ts")), col("event_type") === "purchase"))),
 
     // ---- McNemar paired conversion across the span's two halves:
     //      discordant-cell chi-square on the SAME users ----
     "q310_mcnemar" -> ((s, dir) =>
-      graft.operators.Experiment.mcnemar(t(s, dir, "events"),
-        col("event_type") === "purchase")),
+      graft.util.Canon.microsify(
+        graft.operators.Experiment.mcnemar(t(s, dir, "events"),
+          col("event_type") === "purchase"))),
 
     // ---- Cliff's delta effect size beside the q249 MWU p-value:
     //      significant and useless vs significant and real ----
@@ -330,16 +335,17 @@ object SparkEntry {
         count(lit(1)).as("n_ev"),
         max(when(col("event_type") === "purchase", 1.0)
           .otherwise(0.0)).as("y"))
-      graft.operators.Simpsons.audit(pu,
+      graft.util.Canon.microsify(graft.operators.Simpsons.audit(pu,
         when(col("n_ev") <= 62, "low")
           .when(col("n_ev") <= 70, "mid").otherwise("high"),
-        col("user_id") % 2 === 1, col("y"))
+        col("user_id") % 2 === 1, col("y")))
     }),
 
     // ---- Aalen-Johansen cumulative incidence: first-purchase vs
     //      first-error competing risks from journey start ----
     "q341_competing_risks" -> ((s, dir) =>
-      graft.operators.Survival.competingRisks(t(s, dir, "events"))),
+      graft.util.Canon.microsify(
+        graft.operators.Survival.competingRisks(t(s, dir, "events")))),
 
     // ---- Sharp RDD at the zero-balance cutoff: local-linear jump
     //      in per-customer order count ----
@@ -392,8 +398,9 @@ object SparkEntry {
     // ---- Cochran's Q: do the k event types have equal per-user
     //      participation rates? Exact integer moments ----
     "q334_cochran_q" -> ((s, dir) =>
-      graft.operators.Homogeneity.cochranQ(
-        t(s, dir, "events"), col("user_id"), col("event_type"))),
+      graft.util.Canon.microsify(
+        graft.operators.Homogeneity.cochranQ(
+          t(s, dir, "events"), col("user_id"), col("event_type")))),
 
     // ---- Spectral entropy + Wiener flatness over the day-period
     //      scan: one dominant cycle vs white noise ----
@@ -427,15 +434,16 @@ object SparkEntry {
       graft.streaming.CorpusHealth.monitor(s, dir,
         "documents.parquet", root.resolve("health").toString,
         root.resolve("ckpt").toString)
-      graft.streaming.CorpusHealth.dashboard(s,
-        root.resolve("health").toString)
+      graft.util.Canon.microsify(graft.streaming.CorpusHealth.dashboard(s,
+        root.resolve("health").toString))
     }),
 
     // ---- Qini uplift curve at every score threshold: does the
     //      engagement score find users the treatment MOVES, not just
     //      users who convert? Score-cardinality-bounded windows ----
     "q328_qini" -> ((s, dir) =>
-      graft.operators.Uplift.qiniFromEvents(t(s, dir, "events"))),
+      graft.util.Canon.microsify(
+        graft.operators.Uplift.qiniFromEvents(t(s, dir, "events")))),
 
     // ---- Watermarked stream-stream interval join: purchases
     //      attributed to same-user views within 30 minutes, both
@@ -510,8 +518,9 @@ object SparkEntry {
     // ---- Encoding-health audit: replacement chars, control-char
     //      bleed, non-ASCII share per source; map-only regex ----
     "q319_encoding_audit" -> ((s, dir) =>
-      graft.operators.CorpusFilters.encodingAudit(
-        t(s, dir, "documents"))),
+      graft.util.Canon.microsify(
+        graft.operators.CorpusFilters.encodingAudit(
+          t(s, dir, "documents")))),
 
     // ---- Simplified silhouette per label over embeddings: centroid
     //      a/b distances via the sum-of-squares expansion, linear in
@@ -555,7 +564,8 @@ object SparkEntry {
     //      purchase value, matched exactly on active-day count;
     //      naive diff reported beside it ----
     "q313_cem_att" -> ((s, dir) =>
-      graft.operators.Matching.errorImpactAtt(t(s, dir, "events"))),
+      graft.util.Canon.microsify(
+        graft.operators.Matching.errorImpactAtt(t(s, dir, "events")))),
 
     // ---- HHI / effective competitors / CR-5 of customer revenue
     //      within each nation ----
@@ -1007,7 +1017,8 @@ object SparkEntry {
     //      scan exploding upper-triangle products into d(d+1)/2
     //      map-combined groups — no self-join of vectors ----
     "q241_embedding_covariance" -> ((s, dir) =>
-      graft.operators.Pca.covariance(t(s, dir, "embeddings"))),
+      graft.util.Canon.microsify(
+        graft.operators.Pca.covariance(t(s, dir, "embeddings")))),
 
     // ---- PCA eigen-spectrum + participation-ratio isotropy audit:
     //      distributed moment pass, driver Jacobi on the d×d matrix
@@ -3988,7 +3999,8 @@ object SparkEntry {
       graft.operators.Anomaly.fanoOracleSql,
 
     "q241_embedding_covariance" ->
-      graft.operators.Pca.covarianceOracleSql,
+      graft.util.Canon.microsifySql(graft.operators.Pca.covarianceOracleSql,
+        Seq("i#", "j#", "cov*")),
 
     "q243_correlation_matrix" ->
       graft.quality.Correlation.oracleSql("lineitem",
@@ -4125,10 +4137,12 @@ object SparkEntry {
       graft.operators.Anomaly.pageHinkleyOracleSql(),
 
     "q297_c4_rules" ->
-      graft.operators.CorpusFilters.c4OracleSql,
+      graft.util.Canon.microsifySql(graft.operators.CorpusFilters.c4OracleSql,
+        Seq("source", "n_docs#", "n_brace#", "n_lorem#", "n_js#", "n_policy#", "n_short#", "mean_line_term_share*", "n_keep#")),
 
     "q298_gopher_rules" ->
-      graft.operators.CorpusFilters.gopherOracleSql,
+      graft.util.Canon.microsifySql(graft.operators.CorpusFilters.gopherOracleSql,
+        Seq("source", "n_docs#", "fail_word_count#", "fail_mean_word_len#", "fail_alpha_share#", "fail_stopwords#", "fail_top_bigram#", "n_pass#")),
 
     "q299_doremi_weights" ->
       graft.operators.CorpusFilters.doremiOracleSql,
@@ -4137,16 +4151,19 @@ object SparkEntry {
       graft.operators.Anomaly.ewmaOracleSql(),
 
     "q301_kendall_tau" ->
-      graft.quality.Correlation.kendallNationOracleSql,
+      graft.util.Canon.microsifySql(graft.quality.Correlation.kendallNationOracleSql,
+        Seq("n_pairs#", "concordant#", "discordant#", "ties_x#", "ties_y#", "tau_b*")),
 
     "q302_market_basket" ->
       graft.operators.Basket.partAffinityOracleSql,
 
     "q303_line_dedup" ->
-      graft.operators.CorpusFilters.lineDedupOracleSql,
+      graft.util.Canon.microsifySql(graft.operators.CorpusFilters.lineDedupOracleSql,
+        Seq("source", "n_lines#", "n_boiler_lines#", "boiler_line_share*", "n_chars#", "boiler_char_share*")),
 
     "q304_line_rules" ->
-      graft.operators.CorpusFilters.lineRulesOracleSql,
+      graft.util.Canon.microsifySql(graft.operators.CorpusFilters.lineRulesOracleSql,
+        Seq("source", "n_docs#", "fail_bullet#", "fail_ellipsis#", "mean_bullet_share*", "mean_ellipsis_share*")),
 
     "q305_soft_dedup" ->
       graft.operators.CorpusFilters.softDedupOracleSql,
@@ -4161,10 +4178,12 @@ object SparkEntry {
       graft.operators.Spectral.periodogramOracleSql(),
 
     "q309_trend_proportions" ->
-      graft.operators.Experiment.cochranArmitageOracleSql,
+      graft.util.Canon.microsifySql(graft.operators.Experiment.cochranArmitageOracleSql,
+        Seq("n_groups#", "n_total#", "n_success#", "p_pooled*", "z_trend*", "sig_95")),
 
     "q310_mcnemar" ->
-      graft.operators.Experiment.mcnemarOracleSql,
+      graft.util.Canon.microsifySql(graft.operators.Experiment.mcnemarOracleSql,
+        Seq("n_users#", "n_00#", "n_01#", "n_10#", "n_11#", "chi2*", "sig_95")),
 
     "q311_concentration" ->
       graft.operators.Concentration.revenueConcentrationOracleSql,
@@ -4173,7 +4192,8 @@ object SparkEntry {
       graft.operators.Survival.nelsonAalenOracleSql(horizonDays = 1),
 
     "q313_cem_att" ->
-      graft.operators.Matching.errorImpactOracleSql,
+      graft.util.Canon.microsifySql(graft.operators.Matching.errorImpactOracleSql,
+        Seq("n_treated#", "n_control#", "n_strata#", "n_strata_matched#", "n_treated_matched#", "att*", "naive_diff*")),
 
     "q314_pacf" ->
       graft.operators.Anomaly.pacfOracleSql(),
@@ -4191,7 +4211,8 @@ object SparkEntry {
       graft.operators.ClusterQuality.daviesBouldinOracleSql,
 
     "q319_encoding_audit" ->
-      graft.operators.CorpusFilters.encodingAuditOracleSql,
+      graft.util.Canon.microsifySql(graft.operators.CorpusFilters.encodingAuditOracleSql,
+        Seq("source", "n_docs#", "n_replacement#", "n_control#", "mean_non_ascii_share*")),
 
     "q321_ind_discovery" ->
       graft.quality.Inclusion.indReportOracleSql,
@@ -4212,10 +4233,12 @@ object SparkEntry {
       graft.operators.Inequality.theilOracleSql,
 
     "q327_stream_encoding_audit" ->
-      graft.operators.CorpusFilters.encodingAuditOracleSql,
+      graft.util.Canon.microsifySql(graft.operators.CorpusFilters.encodingAuditOracleSql,
+        Seq("source", "n_docs#", "n_replacement#", "n_control#", "mean_non_ascii_share*")),
 
     "q328_qini" ->
-      graft.operators.Uplift.qiniOracleSql,
+      graft.util.Canon.microsifySql(graft.operators.Uplift.qiniOracleSql,
+        Seq("score_ge*", "n_t#", "n_c#", "conv_t#", "conv_c#", "uplift*", "qini*")),
 
     "q329_stream_stream_join" ->
       graft.streaming.StreamJoin.viewPurchasePairsOracleSql,
@@ -4233,7 +4256,8 @@ object SparkEntry {
       graft.operators.Elasticity.byBrandOracleSql,
 
     "q334_cochran_q" ->
-      graft.operators.Homogeneity.cochranQOracleSql,
+      graft.util.Canon.microsifySql(graft.operators.Homogeneity.cochranQOracleSql,
+        Seq("treatment", "n_units#", "successes#", "rate*", "q_stat*", "df#")),
 
     "q335_spectral_entropy" ->
       graft.operators.Spectral.spectralSummaryOracleSql(),
@@ -4274,7 +4298,8 @@ object SparkEntry {
       graft.operators.Curation.effectiveDataOracleSql(2.0),
 
     "q341_competing_risks" ->
-      graft.operators.Survival.competingRisksOracleSql,
+      graft.util.Canon.microsifySql(graft.operators.Survival.competingRisksOracleSql,
+        Seq("t_days#", "n_risk#", "d_purchase#", "d_error#", "cif_purchase*", "cif_error*")),
 
     "q342_rdd" ->
       graft.operators.Regression.rddOracleSql,
@@ -4283,7 +4308,8 @@ object SparkEntry {
       graft.operators.Decontaminate.exciseOracleSql(4),
 
     "q344_simpsons" ->
-      graft.operators.Simpsons.auditOracleSql,
+      graft.util.Canon.microsifySql(graft.operators.Simpsons.auditOracleSql,
+        Seq("stratum", "n_treated#", "n_control#", "rate_treated*", "rate_control*", "diff*", "agrees_with_pooled")),
 
     "q346_chi2_residuals" ->
       graft.quality.Dependencies.chi2ResidualsOracleSql(

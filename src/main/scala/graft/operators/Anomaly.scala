@@ -174,7 +174,13 @@ object Anomaly {
     val spark = events.sparkSession
     import spark.implicits._
     val acfRows = dailyAcf(events, maxLag).collect()   // K-bounded
-    val rhos = acfRows.sortBy(_.getInt(0)).map(_.getDouble(2))
+    // ρ indexed by LAG VALUE, truncated at the first gap: a daily
+    // series too short/sparse for some lag yields no pair rows there,
+    // and positional indexing would silently shift every later ρ
+    // while the oracle's recursive CTE (joined on a.lag = r.k + 1)
+    // stops at the gap — mirror the oracle and stop.
+    val byLag = acfRows.map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val rhos = Iterator.from(1).takeWhile(byLag.contains).map(byLag).toArray
     val pacf = new Array[Double](rhos.length)
     var phi = Array.empty[Double]
     for (k <- 1 to rhos.length) {

@@ -356,13 +356,19 @@ object Forecast {
       .select(col("__st.sae").as("__holt_sae"))
     val row = flat.crossJoin(holt).collect()(0)   // two 1-row frames
     val n = row.getAs[Long]("__n")
+    // shorter than the common window: no day every model can forecast
+    // — the MAE aggregates are all null. Empty table, not an NPE.
+    if (n == 0L)
+      return Seq.empty[(String, Long, Double, Option[Double])]
+        .toDF("model", "n_eval", "mae", "mase_vs_naive")
     val naive = row.getAs[Double]("__naive_mae")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // constant series: naive MAE is 0, the MASE ratio is undefined
+    // (NaN/Inf would blow up BigDecimal) — emit null, keep the MAEs
     def out(model: String, mae: Double) =
-      (model, n,
-        BigDecimal(mae).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-          .toDouble,
-        BigDecimal(mae / naive)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (model, n, r6(mae),
+        if (naive == 0.0) None else Some(r6(mae / naive)))
     Seq(
       out("holt", row.getAs[Double]("__holt_sae") / n),
       out("naive", naive),
@@ -430,7 +436,8 @@ object Forecast {
        |  FROM flat)
        |SELECT model, CAST(n AS BIGINT) AS n_eval,
        |  ROUND(mae, 6) AS mae,
-       |  ROUND(mae / nmae, 6) AS mase_vs_naive
+       |  CASE WHEN nmae = 0 THEN NULL
+       |    ELSE ROUND(mae / nmae, 6) END AS mase_vs_naive
        |FROM m ORDER BY model""".stripMargin
   }
 }

@@ -218,11 +218,17 @@ object Multimodal {
       var (sr, sg, sb) = (0.0, 0.0, 0.0)
       var (lumMin, lumMax, lumSum) = (Double.MaxValue, Double.MinValue, 0.0)
       var checksum = 1125899906842597L
+      // bulk row fetch: per-pixel getRGB(x, y) pays a ColorModel
+      // conversion PER CALL and made this the engine's slowest query;
+      // the row variant returns the identical ARGB ints (same
+      // checksum, same features) at ~10x the throughput
+      val rowBuf = new Array[Int](w)
       var y = 0
       while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
+          val rgb = rowBuf(x)
           val r = (rgb >> 16) & 0xff
           val g = (rgb >> 8) & 0xff
           val b = rgb & 0xff
@@ -282,14 +288,21 @@ object Multimodal {
     require(img != null, "imageio could not decode payload")
     val out = new java.awt.image.BufferedImage(outW, outH,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // bulk row get/set (same ARGB ints as the per-pixel calls, minus
+    // the per-call ColorModel conversion — the q289 lesson)
+    val srcW = img.getWidth
+    val srcBuf = new Array[Int](srcW)
+    val outBuf = new Array[Int](outW)
     var y = 0
     while (y < outH) {
       val srcY = y * img.getHeight / outH
+      img.getRGB(0, srcY, srcW, 1, srcBuf, 0, srcW)
       var x = 0
       while (x < outW) {
-        out.setRGB(x, y, img.getRGB(x * img.getWidth / outW, srcY))
+        outBuf(x) = srcBuf(x * srcW / outW)
         x += 1
       }
+      out.setRGB(0, y, outW, 1, outBuf, 0, outW)
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
