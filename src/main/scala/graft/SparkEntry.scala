@@ -97,8 +97,12 @@ object SparkEntry {
     ("o_orderpriority", "o_orderstatus"),
     ("o_totalprice", "o_custkey"))
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2 — RAW
+    * registrations. The public [[queries]] applies [[canonPlan]]'s
+    * hash-stable canonicalization on top; register here, and if the
+    * query is oracled and emits round()-produced doubles, add a
+    * [[canonPlan]] entry (PlanAudit fails the build otherwise). */
+  private[graft] def registered: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- Per-type OLS trend with inference: slope/intercept/r²/t on
     //      daily revenue vs day index — the parametric counterpart to
@@ -191,8 +195,7 @@ object SparkEntry {
     //      flags + terminal-punctuation line share — map-only regex,
     //      one grouped agg ----
     "q297_c4_rules" -> ((s, dir) =>
-      graft.util.Canon.microsify(
-        graft.operators.CorpusFilters.c4Report(t(s, dir, "documents")))),
+      graft.operators.CorpusFilters.c4Report(t(s, dir, "documents"))),
 
     // ---- Gopher quality rules per source (Rae et al. '21 Table A1):
     //      word count/mean word length/alpha share/stopword/top-bigram
@@ -225,7 +228,7 @@ object SparkEntry {
         .groupBy(col("n_name").as("k"))
         .agg(sum("o_totalprice").cast("double").as("x"),
           count(lit(1)).cast("double").as("y"))
-      graft.util.Canon.microsify(graft.quality.Correlation.kendallTau(m))
+      graft.quality.Correlation.kendallTau(m)
     }),
 
     // ---- Market-basket affinity: support/confidence/lift +
@@ -238,14 +241,12 @@ object SparkEntry {
     //      dedup): exact trimmed lines in ≥3 docs, per-source line-
     //      and char-mass removed ----
     "q303_line_dedup" -> ((s, dir) =>
-      graft.util.Canon.microsify(
-        graft.operators.CorpusFilters.lineDedup(t(s, dir, "documents")))),
+      graft.operators.CorpusFilters.lineDedup(t(s, dir, "documents"))),
 
     // ---- Gopher line-level rules (bullet-start / ellipsis-end
     //      shares), map-only over the line array ----
     "q304_line_rules" -> ((s, dir) =>
-      graft.util.Canon.microsify(
-        graft.operators.CorpusFilters.lineRules(t(s, dir, "documents")))),
+      graft.operators.CorpusFilters.lineRules(t(s, dir, "documents"))),
 
     // ---- Duplicate-aware soft weights: every exact-dup cluster of
     //      size c contributes unit mass (1/c per copy); per-source
@@ -269,16 +270,14 @@ object SparkEntry {
     // ---- Cochran-Armitage trend: does conversion RISE monotonically
     //      through the week (ordered-group score test, k-row agg) ----
     "q309_trend_proportions" -> ((s, dir) =>
-      graft.util.Canon.microsify(
-        graft.operators.Experiment.cochranArmitage(t(s, dir, "events"),
-          dayofweek(col("ts")), col("event_type") === "purchase"))),
+      graft.operators.Experiment.cochranArmitage(t(s, dir, "events"),
+        dayofweek(col("ts")), col("event_type") === "purchase")),
 
     // ---- McNemar paired conversion across the span's two halves:
     //      discordant-cell chi-square on the SAME users ----
     "q310_mcnemar" -> ((s, dir) =>
-      graft.util.Canon.microsify(
-        graft.operators.Experiment.mcnemar(t(s, dir, "events"),
-          col("event_type") === "purchase"))),
+      graft.operators.Experiment.mcnemar(t(s, dir, "events"),
+        col("event_type") === "purchase")),
 
     // ---- Cliff's delta effect size beside the q249 MWU p-value:
     //      significant and useless vs significant and real ----
@@ -335,17 +334,16 @@ object SparkEntry {
         count(lit(1)).as("n_ev"),
         max(when(col("event_type") === "purchase", 1.0)
           .otherwise(0.0)).as("y"))
-      graft.util.Canon.microsify(graft.operators.Simpsons.audit(pu,
+      graft.operators.Simpsons.audit(pu,
         when(col("n_ev") <= 62, "low")
           .when(col("n_ev") <= 70, "mid").otherwise("high"),
-        col("user_id") % 2 === 1, col("y")))
+        col("user_id") % 2 === 1, col("y"))
     }),
 
     // ---- Aalen-Johansen cumulative incidence: first-purchase vs
     //      first-error competing risks from journey start ----
     "q341_competing_risks" -> ((s, dir) =>
-      graft.util.Canon.microsify(
-        graft.operators.Survival.competingRisks(t(s, dir, "events")))),
+      graft.operators.Survival.competingRisks(t(s, dir, "events"))),
 
     // ---- Sharp RDD at the zero-balance cutoff: local-linear jump
     //      in per-customer order count ----
@@ -398,9 +396,8 @@ object SparkEntry {
     // ---- Cochran's Q: do the k event types have equal per-user
     //      participation rates? Exact integer moments ----
     "q334_cochran_q" -> ((s, dir) =>
-      graft.util.Canon.microsify(
-        graft.operators.Homogeneity.cochranQ(
-          t(s, dir, "events"), col("user_id"), col("event_type")))),
+      graft.operators.Homogeneity.cochranQ(
+        t(s, dir, "events"), col("user_id"), col("event_type"))),
 
     // ---- Spectral entropy + Wiener flatness over the day-period
     //      scan: one dominant cycle vs white noise ----
@@ -434,16 +431,15 @@ object SparkEntry {
       graft.streaming.CorpusHealth.monitor(s, dir,
         "documents.parquet", root.resolve("health").toString,
         root.resolve("ckpt").toString)
-      graft.util.Canon.microsify(graft.streaming.CorpusHealth.dashboard(s,
-        root.resolve("health").toString))
+      graft.streaming.CorpusHealth.dashboard(s,
+        root.resolve("health").toString)
     }),
 
     // ---- Qini uplift curve at every score threshold: does the
     //      engagement score find users the treatment MOVES, not just
     //      users who convert? Score-cardinality-bounded windows ----
     "q328_qini" -> ((s, dir) =>
-      graft.util.Canon.microsify(
-        graft.operators.Uplift.qiniFromEvents(t(s, dir, "events")))),
+      graft.operators.Uplift.qiniFromEvents(t(s, dir, "events"))),
 
     // ---- Watermarked stream-stream interval join: purchases
     //      attributed to same-user views within 30 minutes, both
@@ -518,9 +514,8 @@ object SparkEntry {
     // ---- Encoding-health audit: replacement chars, control-char
     //      bleed, non-ASCII share per source; map-only regex ----
     "q319_encoding_audit" -> ((s, dir) =>
-      graft.util.Canon.microsify(
-        graft.operators.CorpusFilters.encodingAudit(
-          t(s, dir, "documents")))),
+      graft.operators.CorpusFilters.encodingAudit(
+        t(s, dir, "documents"))),
 
     // ---- Simplified silhouette per label over embeddings: centroid
     //      a/b distances via the sum-of-squares expansion, linear in
@@ -564,8 +559,7 @@ object SparkEntry {
     //      purchase value, matched exactly on active-day count;
     //      naive diff reported beside it ----
     "q313_cem_att" -> ((s, dir) =>
-      graft.util.Canon.microsify(
-        graft.operators.Matching.errorImpactAtt(t(s, dir, "events")))),
+      graft.operators.Matching.errorImpactAtt(t(s, dir, "events"))),
 
     // ---- HHI / effective competitors / CR-5 of customer revenue
     //      within each nation ----
@@ -1017,8 +1011,7 @@ object SparkEntry {
     //      scan exploding upper-triangle products into d(d+1)/2
     //      map-combined groups — no self-join of vectors ----
     "q241_embedding_covariance" -> ((s, dir) =>
-      graft.util.Canon.microsify(
-        graft.operators.Pca.covariance(t(s, dir, "embeddings")))),
+      graft.operators.Pca.covariance(t(s, dir, "embeddings"))),
 
     // ---- PCA eigen-spectrum + participation-ratio isotropy audit:
     //      distributed moment pass, driver Jacobi on the d×d matrix
@@ -3857,8 +3850,9 @@ object SparkEntry {
     }),
   )
 
-  /** DuckDB oracle SQL per query (same tables, same column names). */
-  def oracleSql: Map[String, String] = Map(
+  /** DuckDB oracle SQL per query (same tables, same column names) —
+    * RAW form; the public [[oracleSql]] applies [[canonPlan]]. */
+  private[graft] def registeredOracleSql: Map[String, String] = Map(
 
     "q201_sequence_pack" ->
       """WITH d AS (
@@ -3999,8 +3993,7 @@ object SparkEntry {
       graft.operators.Anomaly.fanoOracleSql,
 
     "q241_embedding_covariance" ->
-      graft.util.Canon.microsifySql(graft.operators.Pca.covarianceOracleSql,
-        Seq("i#", "j#", "cov*")),
+      graft.operators.Pca.covarianceOracleSql,
 
     "q243_correlation_matrix" ->
       graft.quality.Correlation.oracleSql("lineitem",
@@ -4137,12 +4130,10 @@ object SparkEntry {
       graft.operators.Anomaly.pageHinkleyOracleSql(),
 
     "q297_c4_rules" ->
-      graft.util.Canon.microsifySql(graft.operators.CorpusFilters.c4OracleSql,
-        Seq("source", "n_docs#", "n_brace#", "n_lorem#", "n_js#", "n_policy#", "n_short#", "mean_line_term_share*", "n_keep#")),
+      graft.operators.CorpusFilters.c4OracleSql,
 
     "q298_gopher_rules" ->
-      graft.util.Canon.microsifySql(graft.operators.CorpusFilters.gopherOracleSql,
-        Seq("source", "n_docs#", "fail_word_count#", "fail_mean_word_len#", "fail_alpha_share#", "fail_stopwords#", "fail_top_bigram#", "n_pass#")),
+      graft.operators.CorpusFilters.gopherOracleSql,
 
     "q299_doremi_weights" ->
       graft.operators.CorpusFilters.doremiOracleSql,
@@ -4151,19 +4142,16 @@ object SparkEntry {
       graft.operators.Anomaly.ewmaOracleSql(),
 
     "q301_kendall_tau" ->
-      graft.util.Canon.microsifySql(graft.quality.Correlation.kendallNationOracleSql,
-        Seq("n_pairs#", "concordant#", "discordant#", "ties_x#", "ties_y#", "tau_b*")),
+      graft.quality.Correlation.kendallNationOracleSql,
 
     "q302_market_basket" ->
       graft.operators.Basket.partAffinityOracleSql,
 
     "q303_line_dedup" ->
-      graft.util.Canon.microsifySql(graft.operators.CorpusFilters.lineDedupOracleSql,
-        Seq("source", "n_lines#", "n_boiler_lines#", "boiler_line_share*", "n_chars#", "boiler_char_share*")),
+      graft.operators.CorpusFilters.lineDedupOracleSql,
 
     "q304_line_rules" ->
-      graft.util.Canon.microsifySql(graft.operators.CorpusFilters.lineRulesOracleSql,
-        Seq("source", "n_docs#", "fail_bullet#", "fail_ellipsis#", "mean_bullet_share*", "mean_ellipsis_share*")),
+      graft.operators.CorpusFilters.lineRulesOracleSql,
 
     "q305_soft_dedup" ->
       graft.operators.CorpusFilters.softDedupOracleSql,
@@ -4178,12 +4166,10 @@ object SparkEntry {
       graft.operators.Spectral.periodogramOracleSql(),
 
     "q309_trend_proportions" ->
-      graft.util.Canon.microsifySql(graft.operators.Experiment.cochranArmitageOracleSql,
-        Seq("n_groups#", "n_total#", "n_success#", "p_pooled*", "z_trend*", "sig_95")),
+      graft.operators.Experiment.cochranArmitageOracleSql,
 
     "q310_mcnemar" ->
-      graft.util.Canon.microsifySql(graft.operators.Experiment.mcnemarOracleSql,
-        Seq("n_users#", "n_00#", "n_01#", "n_10#", "n_11#", "chi2*", "sig_95")),
+      graft.operators.Experiment.mcnemarOracleSql,
 
     "q311_concentration" ->
       graft.operators.Concentration.revenueConcentrationOracleSql,
@@ -4192,8 +4178,7 @@ object SparkEntry {
       graft.operators.Survival.nelsonAalenOracleSql(horizonDays = 1),
 
     "q313_cem_att" ->
-      graft.util.Canon.microsifySql(graft.operators.Matching.errorImpactOracleSql,
-        Seq("n_treated#", "n_control#", "n_strata#", "n_strata_matched#", "n_treated_matched#", "att*", "naive_diff*")),
+      graft.operators.Matching.errorImpactOracleSql,
 
     "q314_pacf" ->
       graft.operators.Anomaly.pacfOracleSql(),
@@ -4211,8 +4196,7 @@ object SparkEntry {
       graft.operators.ClusterQuality.daviesBouldinOracleSql,
 
     "q319_encoding_audit" ->
-      graft.util.Canon.microsifySql(graft.operators.CorpusFilters.encodingAuditOracleSql,
-        Seq("source", "n_docs#", "n_replacement#", "n_control#", "mean_non_ascii_share*")),
+      graft.operators.CorpusFilters.encodingAuditOracleSql,
 
     "q321_ind_discovery" ->
       graft.quality.Inclusion.indReportOracleSql,
@@ -4233,12 +4217,10 @@ object SparkEntry {
       graft.operators.Inequality.theilOracleSql,
 
     "q327_stream_encoding_audit" ->
-      graft.util.Canon.microsifySql(graft.operators.CorpusFilters.encodingAuditOracleSql,
-        Seq("source", "n_docs#", "n_replacement#", "n_control#", "mean_non_ascii_share*")),
+      graft.operators.CorpusFilters.encodingAuditOracleSql,
 
     "q328_qini" ->
-      graft.util.Canon.microsifySql(graft.operators.Uplift.qiniOracleSql,
-        Seq("score_ge*", "n_t#", "n_c#", "conv_t#", "conv_c#", "uplift*", "qini*")),
+      graft.operators.Uplift.qiniOracleSql,
 
     "q329_stream_stream_join" ->
       graft.streaming.StreamJoin.viewPurchasePairsOracleSql,
@@ -4256,8 +4238,7 @@ object SparkEntry {
       graft.operators.Elasticity.byBrandOracleSql,
 
     "q334_cochran_q" ->
-      graft.util.Canon.microsifySql(graft.operators.Homogeneity.cochranQOracleSql,
-        Seq("treatment", "n_units#", "successes#", "rate*", "q_stat*", "df#")),
+      graft.operators.Homogeneity.cochranQOracleSql,
 
     "q335_spectral_entropy" ->
       graft.operators.Spectral.spectralSummaryOracleSql(),
@@ -4298,8 +4279,7 @@ object SparkEntry {
       graft.operators.Curation.effectiveDataOracleSql(2.0),
 
     "q341_competing_risks" ->
-      graft.util.Canon.microsifySql(graft.operators.Survival.competingRisksOracleSql,
-        Seq("t_days#", "n_risk#", "d_purchase#", "d_error#", "cif_purchase*", "cif_error*")),
+      graft.operators.Survival.competingRisksOracleSql,
 
     "q342_rdd" ->
       graft.operators.Regression.rddOracleSql,
@@ -4308,8 +4288,7 @@ object SparkEntry {
       graft.operators.Decontaminate.exciseOracleSql(4),
 
     "q344_simpsons" ->
-      graft.util.Canon.microsifySql(graft.operators.Simpsons.auditOracleSql,
-        Seq("stratum", "n_treated#", "n_control#", "rate_treated*", "rate_control*", "diff*", "agrees_with_pooled")),
+      graft.operators.Simpsons.auditOracleSql,
 
     "q346_chi2_residuals" ->
       graft.quality.Dependencies.chi2ResidualsOracleSql(
@@ -7053,4 +7032,78 @@ object SparkEntry {
         |FROM avail a JOIN w ON a.lang = w.lang
         |ORDER BY a.lang""".stripMargin,
   )
+
+  /** Hash-stable canonicalization plan, applied to BOTH sides of the
+    * oracle contract (see [[graft.util.Canon]] for why): per query,
+    * the ORDERED output-column list with markers — trailing `*` on a
+    * double to emit as a micro-unit bigint (renamed `_micros`),
+    * trailing `#` on an integer count the oracle must CAST to BIGINT
+    * (DuckDB SUM over ints returns HUGEINT, which pandas widens to
+    * float64 and the driver's bit-exact hash rejects). The list must
+    * match the raw registration's output schema exactly.
+    *
+    * Every oracled query whose output contains a round()-produced
+    * double MUST appear here: PlanAudit walks the final plans and
+    * fails the build on any raw rounded-double output column in an
+    * oracled query, so a new ratio-statistic query can't re-roll the
+    * round-11 hash-red dice. */
+  val canonPlan: Map[String, Seq[String]] = Map(
+    "q241_embedding_covariance" -> Seq("i#", "j#", "cov*"),
+    "q297_c4_rules" -> Seq("source", "n_docs#", "n_brace#", "n_lorem#",
+      "n_js#", "n_policy#", "n_short#", "mean_line_term_share*",
+      "n_keep#"),
+    "q298_gopher_rules" -> Seq("source", "n_docs#", "fail_word_count#",
+      "fail_mean_word_len#", "fail_alpha_share#", "fail_stopwords#",
+      "fail_top_bigram#", "n_pass#"),
+    "q301_kendall_tau" -> Seq("n_pairs#", "concordant#", "discordant#",
+      "ties_x#", "ties_y#", "tau_b*"),
+    "q303_line_dedup" -> Seq("source", "n_lines#", "n_boiler_lines#",
+      "boiler_line_share*", "n_chars#", "boiler_char_share*"),
+    "q304_line_rules" -> Seq("source", "n_docs#", "fail_bullet#",
+      "fail_ellipsis#", "mean_bullet_share*", "mean_ellipsis_share*"),
+    "q309_trend_proportions" -> Seq("n_groups#", "n_total#",
+      "n_success#", "p_pooled*", "z_trend*", "sig_95"),
+    "q310_mcnemar" -> Seq("n_users#", "n_00#", "n_01#", "n_10#",
+      "n_11#", "chi2*", "sig_95"),
+    "q313_cem_att" -> Seq("n_treated#", "n_control#", "n_strata#",
+      "n_strata_matched#", "n_treated_matched#", "att*",
+      "naive_diff*"),
+    "q319_encoding_audit" -> Seq("source", "n_docs#", "n_replacement#",
+      "n_control#", "mean_non_ascii_share*"),
+    "q327_stream_encoding_audit" -> Seq("source", "n_docs#",
+      "n_replacement#", "n_control#", "mean_non_ascii_share*"),
+    "q328_qini" -> Seq("score_ge*", "n_t#", "n_c#", "conv_t#",
+      "conv_c#", "uplift*", "qini*"),
+    "q334_cochran_q" -> Seq("treatment", "n_units#", "successes#",
+      "rate*", "q_stat*", "df#"),
+    "q341_competing_risks" -> Seq("t_days#", "n_risk#", "d_purchase#",
+      "d_error#", "cif_purchase*", "cif_error*"),
+    "q344_simpsons" -> Seq("stratum", "n_treated#", "n_control#",
+      "rate_treated*", "rate_control*", "diff*",
+      "agrees_with_pooled"),
+  )
+
+  /** The public query contract: [[registered]] with [[canonPlan]]'s
+    * canonicalization applied (queries without a plan entry pass
+    * through untouched). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registered.map { case (n, f) =>
+      canonPlan.get(n) match {
+        case None => n -> f
+        case Some(markers) =>
+          val stars =
+            markers.collect { case m if m.endsWith("*") => m.dropRight(1) }
+          if (stars.isEmpty) n -> f
+          else n -> { (s: SparkSession, d: String) =>
+            graft.util.Canon.microsify(f(s, d), stars: _*) }
+      }
+    }
+
+  /** The public oracle contract: [[registeredOracleSql]] with
+    * [[canonPlan]] mirrored onto the SQL side. */
+  def oracleSql: Map[String, String] =
+    registeredOracleSql.map { case (n, sql) =>
+      n -> canonPlan.get(n)
+        .map(m => graft.util.Canon.microsifySql(sql, m)).getOrElse(sql)
+    }
 }
