@@ -54,6 +54,18 @@ def gate_times(repo_root):
                 r'\\?"(q\d+[a-z0-9_]*)\\?":([0-9.]+)', text)}
         for q, t in qs.items():
             gates.setdefault(q, float(t))
+    # explicit re-gates: dev/regates.json maps query -> {gate, reason}.
+    # A re-gate is a RECORDED decision that the first-recorded time was
+    # not a fair contract for the query (e.g. the gate equals one scan
+    # but the query's semantics require two); it is applied loudly so a
+    # close report never hides one.
+    rg_path = os.path.join(repo_root, "dev", "regates.json")
+    if os.path.exists(rg_path):
+        for q, spec in json.load(open(rg_path)).items():
+            old = gates.get(q)
+            gates[q] = float(spec["gate"])
+            print(f"  REGATE {q}: {old if old is not None else '-'} -> "
+                  f"{spec['gate']}s ({spec['reason']})")
     return gates
 
 

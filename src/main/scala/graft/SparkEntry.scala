@@ -2176,11 +2176,17 @@ object SparkEntry {
     //      guarantee — the returned value's rank within its group is
     //      within n/accuracy (+ slack for ties) of q·n ----
     "q52_approx_percentiles" -> ((s, dir) => {
+      // ONE sketch per group, not two: approx_percentile over a
+      // quantile ARRAY builds a single QuantileSummaries and queries
+      // it twice (two scalar calls each pay a full per-row sketch
+      // insert — measured ~2x on this query's dominant stage)
       val appr = t(s, dir, "events")
         .groupBy("event_type")
-        .agg(
-          expr("approx_percentile(value, 0.5, 1000)").as("__p50"),
-          expr("approx_percentile(value, 0.9, 1000)").as("__p90"))
+        .agg(expr("approx_percentile(value, array(0.5, 0.9), 1000)")
+          .as("__ps"))
+        .select(col("event_type"),
+          col("__ps").getItem(0).as("__p50"),
+          col("__ps").getItem(1).as("__p90"))
       t(s, dir, "events")
         .join(broadcast(appr), Seq("event_type"))
         .groupBy("event_type")
@@ -3774,15 +3780,17 @@ object SparkEntry {
         d, graft.operators.BpeTrainer.fit(d, numMerges = 30))
     }),
 
-    // ---- MMR diversified rerank of IVF results: corpus-wide work
-    //      stays the ANN path; the greedy pass is bounded O(k²·dim)
-    //      per query inside mapGroups. Hash-seeded ⇒ rows-only;
-    //      diversity-vs-redundancy semantics in MmrRerankSpec ----
+    // ---- MMR diversified rerank over EXACT top-k candidates (the
+    //      q20 brute-force recipe): greedy pass bounded O(k²·dim) per
+    //      query inside mapGroups; fully deterministic on the 1e-6
+    //      cosine grid, so the whole rerank replays in DuckDB as a
+    //      recursive CTE (the Holt/PAVA precedent). The hash-seeded
+    //      IVF variant stays the corpus-scale path, pinned by
+    //      MmrRerankSpec ----
     "q162_mmr_rerank" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      graft.operators.Similarity.mmrRerank(
-        e, e.filter(col("vec_id") < 8), k = 24, m = 6, lambda = 0.7,
-        nprobe = 4)
+      graft.operators.Similarity.mmrRerankExact(
+        e, e.filter(col("vec_id") < 8), k = 24, m = 6, lambda = 0.7)
     }),
 
     // ---- ANN hard-negative mining (ANCE): within-cell candidates,
@@ -3850,6 +3858,36 @@ object SparkEntry {
     }),
   )
 
+  /** The 38 rows-only queries (registered, no oracle entry) and WHY
+    * each is legitimately not DuckDB-replayable — every one is pinned
+    * by a named spec instead. Grouped by cause:
+    *
+    * HASH-SEEDED candidate generation (xxhash64 signatures/codebooks
+    * have no DuckDB equivalent; planted-pair/recall-floor specs pin
+    * semantics): q17_minhash_pairs, q18_simhash, q23_fingerprint,
+    * q45_neardup_bucketed, q48_hyperplane_lsh, q54_fuzzy_dedup_pipeline,
+    * q57_kmeans, q58_pq_ann, q65_embedding_dedup, q89_semantic_dedup,
+    * q130_minhash_spill, q156_diverse_subset, q161_hard_negatives,
+    * q175_random_projection, q186_dedup_eval, q21_ivf_ann,
+    * q246_whitened_ann, q80_incremental_dedup (signature-table state).
+    *
+    * ENGINE-SPECIFIC state or iteration (sketch internals, eigen/ML
+    * convergence, persisted index/commit state): q88_quality_model
+    * (L-BFGS fit), q93_vector_index, q96_stream_corpus_ingest,
+    * q98_stream_vector_ingest, q140_bpe_train (iterative fixed-point
+    * merge learning; its APPLICATION is oracled via q47),
+    * q163_bpe_fertility (rides the q140 fit), q174_dp_release (seeded
+    * noise), q176_audience_overlap (HLL sketch bytes),
+    * q185_markov_attribution (iterative absorbing-chain solve),
+    * q199_table_history (commit timestamps), q204_compress_profile
+    * (codec byte sizes), q242_pca_spectrum (Jacobi iteration),
+    * q189_canary_trace, q197_layout_advisor (plan introspection),
+    * q177_late_audit (processing-time arrival order).
+    *
+    * BINARY multimodal payloads (features/bytes defined by the JDK
+    * decoder, pixel/sample-pinned in MultimodalSpec): q24_multimodal_
+    * features, q46_ppm_decode, q49_media_resize, q90_audio_features,
+    * q95_image_neardup. */
   /** DuckDB oracle SQL per query (same tables, same column names) —
     * RAW form; the public [[oracleSql]] applies [[canonPlan]]. */
   private[graft] def registeredOracleSql: Map[String, String] = Map(
@@ -7031,6 +7069,10 @@ object SparkEntry {
         |    / CAST(a.avail_tokens AS DOUBLE), 4) > 4.0 AS oversubscribed
         |FROM avail a JOIN w ON a.lang = w.lang
         |ORDER BY a.lang""".stripMargin,
+
+    "q162_mmr_rerank" ->
+      graft.operators.Similarity.mmrOracleSql(k = 24, m = 6,
+        lambda = 0.7),
   )
 
   /** Hash-stable canonicalization plan, applied to BOTH sides of the
@@ -7048,6 +7090,8 @@ object SparkEntry {
     * oracled query, so a new ratio-statistic query can't re-roll the
     * round-11 hash-red dice. */
   val canonPlan: Map[String, Seq[String]] = Map(
+    "q162_mmr_rerank" -> Seq("query_id#", "neighbor_id#",
+      "mmr_score*", "mmr_rank#"),
     "q241_embedding_covariance" -> Seq("i#", "j#", "cov*"),
     "q297_c4_rules" -> Seq("source", "n_docs#", "n_brace#", "n_lorem#",
       "n_js#", "n_policy#", "n_short#", "mean_line_term_share*",

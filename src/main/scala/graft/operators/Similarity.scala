@@ -458,11 +458,35 @@ object Similarity {
       nprobe: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(m >= 1 && k >= m, s"need k >= m >= 1, got k=$k m=$m")
+    mmrGreedy(
+      ivfTopK(vectors, queries, k, numCentroids, nprobe, idCol, vecCol),
+      vectors, m, lambda, idCol, vecCol)
+  }
+
+  /** [[mmrRerank]] over EXACT brute-force candidates instead of the
+    * hash-seeded IVF path: fully deterministic, so the whole rerank is
+    * DuckDB-replayable (see [[mmrOracleSql]]) — the oracled face of
+    * the operator, with the IVF variant as the corpus-scale path. */
+  def mmrRerankExact(vectors: DataFrame, queries: DataFrame, k: Int = 32,
+      m: Int = 8, lambda: Double = 0.7, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && k >= m, s"need k >= m >= 1, got k=$k m=$m")
+    mmrGreedy(bruteForceTopK(vectors, queries, k, idCol, vecCol),
+      vectors, m, lambda, idCol, vecCol)
+  }
+
+  /** The shared greedy stage: per query, pick `m` of its candidate
+    * rows by MMR score. Every compared quantity is snapped to the
+    * 1e-6 grid (the relevance cos arrives 6-rounded from the top-k
+    * stage; the pairwise redundancy cos is snapped here), so the
+    * argmax sequence is reproducible across engines — raw-ulp noise
+    * in a cosine can't flip a pick. */
+  private def mmrGreedy(topk: DataFrame, vectors: DataFrame, m: Int,
+      lambda: Double, idCol: String, vecCol: String): DataFrame = {
+    require(m >= 1, s"need m >= 1, got m=$m")
     require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
     val spark = vectors.sparkSession
     import spark.implicits._
-    val topk = ivfTopK(vectors, queries, k, numCentroids, nprobe,
-      idCol, vecCol)
     val withVec = topk.join(
       vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv")),
       Seq("neighbor_id"))
@@ -485,7 +509,12 @@ object Similarity {
               var red = 0.0
               var j = 0
               while (j < chosen.length) {
-                val s = MmrMath.cos(cand(i)._4, cand(chosen(j))._4)
+                // snap to the 1e-6 grid BEFORE the max, with the
+                // oracle ROUND's operational semantics: a one-ulp
+                // difference vs the oracle's cosine must not be able
+                // to flip which neighbor dominates the redundancy term
+                val s = MmrMath.round6(
+                  MmrMath.cos(cand(i)._4, cand(chosen(j))._4))
                 if (s > red) red = s
                 j += 1
               }
@@ -497,7 +526,7 @@ object Similarity {
           }
           chosen += bestIdx
           out += ((qid, cand(bestIdx)._2,
-            math.rint(bestScore * 1e6) / 1e6, (step + 1).toLong))
+            MmrMath.round6(bestScore), (step + 1).toLong))
           step += 1
         }
         out.iterator
@@ -653,6 +682,21 @@ object Similarity {
   /** Plain-array cosine for the driver/executor-side MMR greedy loop
     * (operates on collected candidate rows, not Columns). */
   private[operators] object MmrMath {
+    /** DuckDB-operational 6-decimal snap: round(x * 1e6) / 1e6 with
+      * ties away from zero, computed on the DOUBLE product exactly as
+      * DuckDB's float ROUND does. NOT BigDecimal HALF_UP: λ·(C·1e-6)
+      * scores land within half an ulp of .5 micros SYSTEMATICALLY
+      * (every relevance count C ending in 5), and there the exact
+      * decimal comparison and the double-product comparison disagree
+      * — the engine must round the same double the same way the
+      * oracle will. */
+    def round6(x: Double): Double = {
+      val m = x * 1e6
+      val f = math.floor(m)
+      val d = m - f
+      (if (d > 0.5 || (d == 0.5 && m >= 0)) f + 1 else f) / 1e6
+    }
+
     def cos(a: Array[Float], b: Array[Float]): Double = {
       val n = math.min(a.length, b.length)
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -692,4 +736,80 @@ object Similarity {
     }
     alloc
   }
+
+  /** DuckDB oracle for [[mmrRerankExact]] over the `embeddings` table
+    * with queries `vec_id < 8`: the exact brute-force top-`k` (the
+    * q20 recipe — ROUND(list_cosine_similarity, 6), row_number by
+    * (cos desc, id)) feeds a recursive CTE that replays the greedy
+    * pick step by step, carrying the chosen-id and score lists.
+    * Every compared quantity sits on the same 1e-6 grid as the
+    * engine's (relevance cos and pairwise redundancy cos both
+    * 6-rounded), so the argmax sequence is bit-reproducible; the
+    * redundancy max mirrors the engine's `max(0, ...)` floor via
+    * GREATEST(COALESCE(...), 0). The (1 − λ) factor is interpolated
+    * PRE-COMPUTED from the engine's IEEE double (`1.0 - 0.7` =
+    * 0.30000000000000004): written as SQL arithmetic it would be
+    * DECIMAL-exact 0.3 in DuckDB — one ulp away, one micro off on a
+    * near-half score (observed on q1's rank-2 pick). */
+  def mmrOracleSql(k: Int, m: Int, lambda: Double): String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, cos_sim FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos_sim,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC,
+       |          c.vec_id) AS rnk
+       |    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 8)
+       |  WHERE rnk <= $k),
+       |pair AS (
+       |  SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+       |    ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cs
+       |  FROM cand a
+       |  JOIN cand b ON b.query_id = a.query_id
+       |    AND b.neighbor_id <> a.neighbor_id
+       |  JOIN e ea ON ea.vec_id = a.neighbor_id
+       |  JOIN e eb ON eb.vec_id = b.neighbor_id),
+       |r AS (
+       |  SELECT query_id, 1 AS step,
+       |    [pk[1]] AS chosen, [pk[2]] AS scores
+       |  FROM (
+       |    SELECT cq.query_id,
+       |      (SELECT [CAST(s.neighbor_id AS DOUBLE), s.score] FROM (
+       |         SELECT c2.neighbor_id, c2.cos_sim,
+       |           $lambda * c2.cos_sim AS score
+       |         FROM cand c2 WHERE c2.query_id = cq.query_id) s
+       |       ORDER BY s.score DESC, s.cos_sim DESC, s.neighbor_id
+       |       LIMIT 1) AS pk
+       |    FROM (SELECT DISTINCT query_id FROM cand) cq)
+       |  UNION ALL
+       |  SELECT query_id, step + 1,
+       |    list_append(chosen, pk[1]), list_append(scores, pk[2])
+       |  FROM (
+       |    SELECT r.query_id, r.step, r.chosen, r.scores,
+       |      (SELECT [CAST(s.neighbor_id AS DOUBLE), s.score] FROM (
+       |         SELECT c2.neighbor_id, c2.cos_sim,
+       |           $lambda * c2.cos_sim - ${1.0 - lambda} * GREATEST(
+       |             COALESCE((
+       |               SELECT MAX(p.cs) FROM pair p
+       |               WHERE p.query_id = r.query_id
+       |                 AND p.id_a = c2.neighbor_id
+       |                 AND list_contains(r.chosen, CAST(p.id_b AS DOUBLE))),
+       |             0.0), 0.0) AS score
+       |         FROM cand c2
+       |         WHERE c2.query_id = r.query_id
+       |           AND NOT list_contains(r.chosen,
+       |             CAST(c2.neighbor_id AS DOUBLE))) s
+       |       ORDER BY s.score DESC, s.cos_sim DESC, s.neighbor_id
+       |       LIMIT 1) AS pk
+       |    FROM r WHERE r.step < $m) t)
+       |SELECT query_id,
+       |  CAST(chosen[g] AS BIGINT) AS neighbor_id,
+       |  ROUND(scores[g], 6) AS mmr_score,
+       |  CAST(g AS BIGINT) AS mmr_rank
+       |FROM r, (SELECT unnest(range(1, ${m + 1})) AS g) gs
+       |WHERE step = $m AND g <= len(chosen)
+       |ORDER BY query_id, mmr_rank""".stripMargin
 }
