@@ -54,6 +54,9 @@ object PlanAudit {
     "q237_js_divergence", "q238_session_pmi", "q240_burstiness",
     // whitened-ANN probe rides the q20 bounded brute-force harness
     "q246_whitened_ann",
+    // MMR exact rerank: candidates come from the q20 bounded
+    // brute-force harness (broadcast 8-query set x corpus)
+    "q162_mmr_rerank",
     // KM: the (max date, cohort size) pair is a 1-row stat factor;
     // log-rank adds the cohort-totals factor; CUPED's midpoint date
     // is the same 1-row shape

@@ -1597,9 +1597,10 @@ object SparkEntry {
 
     // ---- Markov removal-effect attribution: transition extraction
     //      is one user-key window shuffle; the chain solve is
-    //      |channels|²-sized driver math (bounded-state contract);
-    //      iterative solve ⇒ rows-only, hand-computed chains in
-    //      AttributionSpec ----
+    //      |channels|²-sized driver math (bounded-state contract).
+    //      The 200-sweep value iteration is deterministic, so the
+    //      oracle replays it as a recursive CTE over the same
+    //      transition table (state vector carried as a DOUBLE list) ----
     "q185_markov_attribution" -> ((s, dir) =>
       graft.operators.Attribution.removalEffects(s, t(s, dir, "events"))),
 
@@ -3772,8 +3773,9 @@ object SparkEntry {
 
     // ---- Tokenizer fertility per lang: train on the corpus, apply
     //      map-only, one grouped agg — the equity check a token-count
-    //      mixture plan needs beside it. Merge list is corpus-derived
-    //      (not SQL-replicable) ⇒ rows-only; math in FertilitySpec ----
+    //      mixture plan needs beside it. The whole TRAINING LOOP is
+    //      deterministic (tie-break count desc, pair binary asc), so
+    //      the oracle replays it round by round as a recursive CTE ----
     "q163_bpe_fertility" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       graft.operators.BpeTrainer.fertilityReport(
@@ -3858,7 +3860,7 @@ object SparkEntry {
     }),
   )
 
-  /** The 38 rows-only queries (registered, no oracle entry) and WHY
+  /** The 36 rows-only queries (registered, no oracle entry) and WHY
     * each is legitimately not DuckDB-replayable — every one is pinned
     * by a named spec instead. Grouped by cause:
     *
@@ -3875,10 +3877,12 @@ object SparkEntry {
     * convergence, persisted index/commit state): q88_quality_model
     * (L-BFGS fit), q93_vector_index, q96_stream_corpus_ingest,
     * q98_stream_vector_ingest, q140_bpe_train (iterative fixed-point
-    * merge learning; its APPLICATION is oracled via q47),
-    * q163_bpe_fertility (rides the q140 fit), q174_dp_release (seeded
+    * merge learning; its APPLICATION is oracled via q47 and its full
+    * train+apply loop via the q163 recursive-CTE replay — this query
+    * additionally reports the raw MERGE TABLE with corpus pair
+    * counts, a shape the q163 replay does not emit),
+    * q174_dp_release (seeded
     * noise), q176_audience_overlap (HLL sketch bytes),
-    * q185_markov_attribution (iterative absorbing-chain solve),
     * q199_table_history (commit timestamps), q204_compress_profile
     * (codec byte sizes), q242_pca_spectrum (Jacobi iteration),
     * q189_canary_trace, q197_layout_advisor (plan introspection),
@@ -7073,6 +7077,12 @@ object SparkEntry {
     "q162_mmr_rerank" ->
       graft.operators.Similarity.mmrOracleSql(k = 24, m = 6,
         lambda = 0.7),
+
+    "q163_bpe_fertility" ->
+      graft.operators.BpeTrainer.fertilityOracleSql(numMerges = 30),
+
+    "q185_markov_attribution" ->
+      graft.operators.Attribution.removalOracleSql,
   )
 
   /** Hash-stable canonicalization plan, applied to BOTH sides of the
@@ -7092,6 +7102,10 @@ object SparkEntry {
   val canonPlan: Map[String, Seq[String]] = Map(
     "q162_mmr_rerank" -> Seq("query_id#", "neighbor_id#",
       "mmr_score*", "mmr_rank#"),
+    "q163_bpe_fertility" -> Seq("lang", "n_words#", "n_bpe_tokens#",
+      "n_chars#", "fertility*", "chars_per_token*"),
+    "q185_markov_attribution" -> Seq("channel", "removal_effect*",
+      "attribution*"),
     "q241_embedding_covariance" -> Seq("i#", "j#", "cov*"),
     "q297_c4_rules" -> Seq("source", "n_docs#", "n_brace#", "n_lorem#",
       "n_js#", "n_policy#", "n_short#", "mean_line_term_share*",

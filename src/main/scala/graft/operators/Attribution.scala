@@ -170,9 +170,11 @@ object Attribution {
     }
     val totalEffect = effects.map(_._2).sum
     effects.map { case (c, e) =>
-      (c, math.rint(e * 1e6) / 1e6,
+      // Canon.snap6, not rint: the oracle ROUND's tie policy (see
+      // Canon.snap6's doc for why half-even diverges)
+      (c, graft.util.Canon.snap6(e),
         if (totalEffect == 0.0) 0.0
-        else math.rint(e / totalEffect * 1e6) / 1e6)
+        else graft.util.Canon.snap6(e / totalEffect))
     }.toDF("channel", "removal_effect", "attribution")
       .orderBy("channel")
   }
@@ -317,4 +319,101 @@ object Attribution {
        |FROM sh CROSS JOIN tot
        |ORDER BY channel""".stripMargin
   }
+
+  /** DuckDB oracle for [[removalEffects]] over the `events` table — a
+    * FULL replay: the transition extraction (purchase-segmented
+    * windows), then the 200-sweep value iteration as a recursive CTE
+    * carrying the per-variant state vector `v` as a DOUBLE list, one
+    * variant per removed channel plus the full chain. Sums fold in
+    * channel order exactly as the engine's `.sum` (list_reduce is the
+    * same left fold, and the first term is non-negative so the
+    * missing leading `0.0 +` cannot change a bit). TRAP captured
+    * here: the recursion anchor's `v` must be `CAST(0.0 AS DOUBLE)` —
+    * a bare `0.0` literal types the carried list DECIMAL(2,1) and the
+    * UNION ALL quantizes every later iteration to one decimal. */
+  def removalOracleSql: String =
+    s"""       |WITH RECURSIVE
+       |seg AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    COALESCE(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS segment
+       |  FROM events),
+       |steps AS (
+       |  SELECT *, LAG(event_type) OVER w AS prev, LEAD(event_type) OVER w AS nxt
+       |  FROM seg WINDOW w AS (PARTITION BY user_id, segment ORDER BY ts, event_id)),
+       |trans AS (
+       |  SELECT src, dst, COUNT(*) AS n FROM (
+       |    SELECT event_type AS src,
+       |      CASE WHEN nxt IS NULL THEN 'NULL'
+       |           WHEN nxt = 'purchase' THEN 'CONV' ELSE nxt END AS dst
+       |    FROM steps WHERE event_type <> 'purchase'
+       |    UNION ALL
+       |    SELECT 'START', event_type FROM steps
+       |    WHERE prev IS NULL AND event_type <> 'purchase')
+       |  GROUP BY src, dst),
+       |ch AS (
+       |  SELECT c AS chn, ROW_NUMBER() OVER (ORDER BY c) AS i FROM (
+       |    SELECT DISTINCT c FROM (
+       |      SELECT src AS c FROM trans UNION SELECT dst AS c FROM trans)
+       |    WHERE c NOT IN ('START','CONV','NULL'))),
+       |tot AS (SELECT src, CAST(SUM(n) AS DOUBLE) AS tt FROM trans GROUP BY src),
+       |p AS (SELECT t.src, t.dst, t.n / tot.tt AS pp FROM trans t JOIN tot USING (src)),
+       |vars AS (SELECT 0 AS rem UNION ALL SELECT i FROM ch),
+       |cells AS (
+       |  SELECT v.rem, a.i AS i, b.i AS j,
+       |    CASE WHEN b.i = v.rem THEN 0.0 ELSE COALESCE(pp.pp, 0.0) END AS pij
+       |  FROM vars v CROSS JOIN ch a CROSS JOIN ch b
+       |  LEFT JOIN p pp ON pp.src = a.chn AND pp.dst = b.chn),
+       |rows_ AS (SELECT rem, i, list(pij ORDER BY j) AS prow FROM cells GROUP BY rem, i),
+       |conv AS (
+       |  SELECT c.i, COALESCE(pp.pp, 0.0) AS pc
+       |  FROM ch c LEFT JOIN p pp ON pp.src = c.chn AND pp.dst = 'CONV'),
+       |pconv1 AS (SELECT list(pc ORDER BY i) AS pconv FROM conv),
+       |mats AS (
+       |  SELECT r.rem, (SELECT pconv FROM pconv1) AS pconv,
+       |    list(prow ORDER BY i) AS pmat
+       |  FROM rows_ r GROUP BY r.rem),
+       |it AS (
+       |  SELECT rem, 0 AS k, list_transform(pconv, x -> CAST(0.0 AS DOUBLE)) AS v, pconv, pmat
+       |  FROM mats
+       |  UNION ALL
+       |  SELECT rem, k + 1,
+       |    list_transform(range(1, len(v) + 1), i ->
+       |      pconv[i] + list_reduce(
+       |        list_transform(range(1, len(v) + 1), j -> pmat[i][j] * v[j]),
+       |        (a, b) -> a + b)),
+       |    pconv, pmat
+       |  FROM it WHERE k < 200),
+       |fin AS (SELECT rem, v FROM it WHERE k = 200),
+       |scells AS (
+       |  SELECT v.rem, c.i AS j,
+       |    CASE WHEN c.i = v.rem THEN 0.0 ELSE COALESCE(pp.pp, 0.0) END AS sj
+       |  FROM vars v CROSS JOIN ch c
+       |  LEFT JOIN p pp ON pp.src = 'START' AND pp.dst = c.chn),
+       |sconv1 AS (
+       |  SELECT COALESCE(MAX(pp), 0.0) AS sconv FROM p
+       |  WHERE src = 'START' AND dst = 'CONV'),
+       |sstart AS (
+       |  SELECT rem, list(sj ORDER BY j) AS svec,
+       |    (SELECT sconv FROM sconv1) AS sconv
+       |  FROM scells GROUP BY rem),
+       |res AS (
+       |  SELECT f.rem,
+       |    s.sconv + list_reduce(
+       |      list_transform(range(1, len(f.v) + 1), j -> s.svec[j] * f.v[j]),
+       |      (a, b) -> a + b) AS pstart
+       |  FROM fin f JOIN sstart s ON s.rem = f.rem),
+       |eff AS (
+       |  SELECT c.chn AS channel, c.i,
+       |    CASE WHEN (SELECT pstart FROM res WHERE rem = 0) = 0.0 THEN 0.0
+       |      ELSE ((SELECT pstart FROM res WHERE rem = 0) - r.pstart)
+       |        / (SELECT pstart FROM res WHERE rem = 0) END AS e
+       |  FROM ch c JOIN res r ON r.rem = c.i),
+       |tote AS (SELECT list_reduce(list(e ORDER BY i), (a, b) -> a + b) AS te FROM eff)
+       |SELECT channel,
+       |  ROUND(e, 6) AS removal_effect,
+       |  CASE WHEN (SELECT te FROM tote) = 0.0 THEN 0.0
+       |    ELSE ROUND(e / (SELECT te FROM tote), 6) END AS attribution
+       |FROM eff ORDER BY channel""".stripMargin
 }

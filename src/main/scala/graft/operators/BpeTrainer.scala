@@ -286,4 +286,92 @@ object BpeTrainer {
         round(sum("__nc").cast("double") / sum("__nt"), 4)
           .as("chars_per_token"))
       .orderBy(col(strataCol))
+
+  /** DuckDB oracle for [[fertilityReport]] over the `documents` table
+    * — a FULL replay of the training loop, not just the application:
+    * a recursive CTE carries the exploded (word, pos, sym) symbol
+    * table round by round; each round re-derives the best pair with
+    * the engine's exact tie-break (count desc, `l␁r` binary asc) and
+    * applies it with textbook greedy left-to-right semantics. The
+    * greedy fuse is window-expressible: positions where (sym, next) =
+    * (L, R) form runs, and exactly the odd-numbered members of each
+    * run fuse (a run arises only when L = R, where greedy takes every
+    * other occurrence). The stop conditions (round budget, min pair
+    * count) mirror [[fit]]. */
+  def fertilityOracleSql(numMerges: Int = 30,
+      minPairCount: Long = 2L): String =
+    s"""WITH RECURSIVE
+       |toks AS (
+       |  SELECT lang, unnest(list_filter(str_split_regex(trim(text),
+       |    '\\s+'), w -> w <> '')) AS word
+       |  FROM documents),
+       |words AS (
+       |  SELECT word, COUNT(*) AS freq FROM toks GROUP BY word),
+       |wsyms AS (
+       |  SELECT word, freq,
+       |    list_append(list_filter(string_split(word, ''),
+       |      c -> c <> '' AND c <> chr(1)), '</w>') AS syms
+       |  FROM words),
+       |init AS (
+       |  SELECT word, freq, i AS pos, syms[i] AS sym
+       |  FROM wsyms, UNNEST(range(1, len(syms) + 1)) t(i)),
+       |r AS (
+       |  SELECT 0 AS round, word, freq, pos, sym FROM init
+       |  UNION ALL
+       |  SELECT round + 1, word, freq, pos, sym FROM (
+       |    WITH cur AS (SELECT * FROM r),
+       |    best AS (
+       |      SELECT a.sym AS l, b.sym AS rr
+       |      FROM cur a JOIN cur b
+       |        ON b.word = a.word AND b.round = a.round
+       |        AND b.pos = a.pos + 1
+       |      GROUP BY a.sym, b.sym
+       |      HAVING SUM(a.freq) >= $minPairCount
+       |      ORDER BY SUM(a.freq) DESC, (a.sym || chr(1) || b.sym) ASC
+       |      LIMIT 1),
+       |    marked AS (
+       |      SELECT c.round, c.word, c.freq, c.pos, c.sym,
+       |        (c.sym = best.l AND LEAD(c.sym) OVER w = best.rr) AS m
+       |      FROM cur c, best
+       |      WINDOW w AS (PARTITION BY c.word ORDER BY c.pos)),
+       |    starts AS (
+       |      SELECT *, m AND (ROW_NUMBER() OVER
+       |          (PARTITION BY word, grp ORDER BY pos) % 2 = 1) AS fuse
+       |      FROM (
+       |        SELECT *, CASE WHEN m THEN pos - ROW_NUMBER() OVER
+       |            (PARTITION BY word, m ORDER BY pos) END AS grp
+       |        FROM marked) runs),
+       |    fused AS (
+       |      SELECT round, word, freq, pos,
+       |        CASE WHEN fuse THEN sym || nxt_sym ELSE sym END AS sym2,
+       |        LAG(fuse, 1, false) OVER (PARTITION BY word ORDER BY pos)
+       |          AS consumed
+       |      FROM (
+       |        SELECT s.*, LEAD(s.sym) OVER
+       |            (PARTITION BY s.word ORDER BY s.pos) AS nxt_sym
+       |        FROM starts s) t0)
+       |    SELECT f.round, f.word, f.freq,
+       |      ROW_NUMBER() OVER (PARTITION BY f.word ORDER BY f.pos) AS pos,
+       |      f.sym2 AS sym
+       |    FROM fused f
+       |    WHERE NOT f.consumed) nxt
+       |  WHERE round < $numMerges),
+       |fin AS (
+       |  SELECT word, pos, sym FROM r
+       |  WHERE round = (SELECT MAX(round) FROM r)),
+       |wstats AS (
+       |  SELECT word,
+       |    COUNT(*) FILTER (WHERE sym <> '</w>') AS nt,
+       |    SUM(length(replace(sym, '</w>', ''))) AS nc
+       |  FROM fin GROUP BY word),
+       |perlang AS (
+       |  SELECT t.lang, COUNT(*) AS n_words,
+       |    SUM(w.nt) AS n_bpe_tokens, SUM(w.nc) AS n_chars
+       |  FROM toks t JOIN wstats w ON w.word = t.word
+       |  GROUP BY t.lang)
+       |SELECT lang, n_words, n_bpe_tokens, n_chars,
+       |  ROUND(CAST(n_bpe_tokens AS DOUBLE) / n_words, 4) AS fertility,
+       |  ROUND(CAST(n_chars AS DOUBLE) / n_bpe_tokens, 4)
+       |    AS chars_per_token
+       |FROM perlang ORDER BY lang""".stripMargin
 }

@@ -690,12 +690,7 @@ object Similarity {
       * decimal comparison and the double-product comparison disagree
       * — the engine must round the same double the same way the
       * oracle will. */
-    def round6(x: Double): Double = {
-      val m = x * 1e6
-      val f = math.floor(m)
-      val d = m - f
-      (if (d > 0.5 || (d == 0.5 && m >= 0)) f + 1 else f) / 1e6
-    }
+    def round6(x: Double): Double = graft.util.Canon.snap6(x)
 
     def cos(a: Array[Float], b: Array[Float]): Double = {
       val n = math.min(a.length, b.length)

@@ -33,6 +33,23 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Canon {
 
+  /** Scala-side mirror of DuckDB's double `ROUND(x, 6)` — the
+    * OPERATIONAL semantics (round the double product `x * 1e6`, ties
+    * away from zero, divide back), not decimal-exact HALF_UP. The
+    * distinction bites when a statistic is a product of 1e-6-grid
+    * values (λ·(C·1e-6) lands within half an ulp of .5 micros for
+    * every C ending in 5): there the exact-decimal comparison and the
+    * double-product comparison disagree, so an engine that rounds the
+    * same double differently than the oracle will flips micros.
+    * Driver-side snapping for operators whose outputs replay in
+    * DuckDB (MMR scores, Markov removal effects). */
+  def snap6(x: Double): Double = {
+    val m = x * 1e6
+    val f = math.floor(m)
+    val d = m - f
+    (if (d > 0.5 || (d == 0.5 && m >= 0)) f + 1 else f) / 1e6
+  }
+
   /** Micro-unit bigint of a double column: `cast(round(c * 1e6) as
     * bigint)`. Spark's scale-0 `round` is HALF_UP (ties away from
     * zero), matching DuckDB's `ROUND` (`std::round`, ties away from
