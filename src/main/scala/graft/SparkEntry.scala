@@ -3569,9 +3569,10 @@ object SparkEntry {
 
     // ---- BPE tokenizer TRAINING on the corpus (Sennrich '16): merge
     //      rounds over the Zipf-bounded distinct-word table, never the
-    //      corpus. Iterative (driver-paced rounds) → no SQL oracle;
-    //      BpeSpec pins the algorithm against an independent in-memory
-    //      reference implementation merge-for-merge ----
+    //      corpus. Deterministic, so the oracle replays the whole
+    //      loop (shared recursive CTE with q163) and checks the merge
+    //      table rank-for-rank; BpeSpec additionally pins it against
+    //      an independent in-memory reference implementation ----
     "q140_bpe_train" -> ((s, dir) =>
       graft.operators.BpeTrainer.mergeTable(
         t(s, dir, "documents"), s, numMerges = 30)),
@@ -3860,7 +3861,7 @@ object SparkEntry {
     }),
   )
 
-  /** The 36 rows-only queries (registered, no oracle entry) and WHY
+  /** The 35 rows-only queries (registered, no oracle entry) and WHY
     * each is legitimately not DuckDB-replayable — every one is pinned
     * by a named spec instead. Grouped by cause:
     *
@@ -3876,12 +3877,7 @@ object SparkEntry {
     * ENGINE-SPECIFIC state or iteration (sketch internals, eigen/ML
     * convergence, persisted index/commit state): q88_quality_model
     * (L-BFGS fit), q93_vector_index, q96_stream_corpus_ingest,
-    * q98_stream_vector_ingest, q140_bpe_train (iterative fixed-point
-    * merge learning; its APPLICATION is oracled via q47 and its full
-    * train+apply loop via the q163 recursive-CTE replay — this query
-    * additionally reports the raw MERGE TABLE with corpus pair
-    * counts, a shape the q163 replay does not emit),
-    * q174_dp_release (seeded
+    * q98_stream_vector_ingest, q174_dp_release (seeded
     * noise), q176_audience_overlap (HLL sketch bytes),
     * q199_table_history (commit timestamps), q204_compress_profile
     * (codec byte sizes), q242_pca_spectrum (Jacobi iteration),
@@ -7083,6 +7079,9 @@ object SparkEntry {
 
     "q185_markov_attribution" ->
       graft.operators.Attribution.removalOracleSql,
+
+    "q140_bpe_train" ->
+      graft.operators.BpeTrainer.mergesOracleSql(numMerges = 30),
   )
 
   /** Hash-stable canonicalization plan, applied to BOTH sides of the
@@ -7100,6 +7099,8 @@ object SparkEntry {
     * oracled query, so a new ratio-statistic query can't re-roll the
     * round-11 hash-red dice. */
   val canonPlan: Map[String, Seq[String]] = Map(
+    "q140_bpe_train" -> Seq("rank#", "left", "right", "merged",
+      "cnt#"),
     "q162_mmr_rerank" -> Seq("query_id#", "neighbor_id#",
       "mmr_score*", "mmr_rank#"),
     "q163_bpe_fertility" -> Seq("lang", "n_words#", "n_bpe_tokens#",

@@ -287,19 +287,21 @@ object BpeTrainer {
           .as("chars_per_token"))
       .orderBy(col(strataCol))
 
-  /** DuckDB oracle for [[fertilityReport]] over the `documents` table
-    * — a FULL replay of the training loop, not just the application:
-    * a recursive CTE carries the exploded (word, pos, sym) symbol
-    * table round by round; each round re-derives the best pair with
-    * the engine's exact tie-break (count desc, `l␁r` binary asc) and
-    * applies it with textbook greedy left-to-right semantics. The
+  /** Shared DuckDB replay of the TRAINING loop (used by both
+    * oracles): a recursive CTE carries the exploded (word, pos, sym)
+    * symbol table round by round — plus the (ml, mr, mc) merge that
+    * produced each round — re-deriving the best pair with the
+    * engine's exact tie-break (count desc, `l␁r` binary asc) and
+    * applying it with textbook greedy left-to-right semantics. The
     * greedy fuse is window-expressible: positions where (sym, next) =
     * (L, R) form runs, and exactly the odd-numbered members of each
-    * run fuse (a run arises only when L = R, where greedy takes every
-    * other occurrence). The stop conditions (round budget, min pair
-    * count) mirror [[fit]]. */
-  def fertilityOracleSql(numMerges: Int = 30,
-      minPairCount: Long = 2L): String =
+    * run fuse (a run longer than one arises only when L = R, where
+    * greedy takes every other occurrence). Stop conditions (round
+    * budget, min pair count) mirror [[fit]]. DuckDB trap: the
+    * anchor's merge columns must be CAST(NULL AS ...) — untyped
+    * nulls, like bare numeric literals, would pin the recursion's
+    * carried types wrong. */
+  private def bpeReplayCte(numMerges: Int, minPairCount: Long): String =
     s"""WITH RECURSIVE
        |toks AS (
        |  SELECT lang, unnest(list_filter(str_split_regex(trim(text),
@@ -316,12 +318,16 @@ object BpeTrainer {
        |  SELECT word, freq, i AS pos, syms[i] AS sym
        |  FROM wsyms, UNNEST(range(1, len(syms) + 1)) t(i)),
        |r AS (
-       |  SELECT 0 AS round, word, freq, pos, sym FROM init
+       |  SELECT 0 AS round, word, freq, pos, sym,
+       |    CAST(NULL AS VARCHAR) AS ml, CAST(NULL AS VARCHAR) AS mr,
+       |    CAST(NULL AS BIGINT) AS mc
+       |  FROM init
        |  UNION ALL
-       |  SELECT round + 1, word, freq, pos, sym FROM (
+       |  SELECT round + 1, word, freq, pos, sym, ml, mr, mc FROM (
        |    WITH cur AS (SELECT * FROM r),
        |    best AS (
-       |      SELECT a.sym AS l, b.sym AS rr
+       |      SELECT a.sym AS l, b.sym AS rr,
+       |        CAST(SUM(a.freq) AS BIGINT) AS cnt
        |      FROM cur a JOIN cur b
        |        ON b.word = a.word AND b.round = a.round
        |        AND b.pos = a.pos + 1
@@ -331,7 +337,8 @@ object BpeTrainer {
        |      LIMIT 1),
        |    marked AS (
        |      SELECT c.round, c.word, c.freq, c.pos, c.sym,
-       |        (c.sym = best.l AND LEAD(c.sym) OVER w = best.rr) AS m
+       |        (c.sym = best.l AND LEAD(c.sym) OVER w = best.rr) AS m,
+       |        best.l AS bl, best.rr AS brr, best.cnt AS bcnt
        |      FROM cur c, best
        |      WINDOW w AS (PARTITION BY c.word ORDER BY c.pos)),
        |    starts AS (
@@ -345,17 +352,34 @@ object BpeTrainer {
        |      SELECT round, word, freq, pos,
        |        CASE WHEN fuse THEN sym || nxt_sym ELSE sym END AS sym2,
        |        LAG(fuse, 1, false) OVER (PARTITION BY word ORDER BY pos)
-       |          AS consumed
+       |          AS consumed,
+       |        bl, brr, bcnt
        |      FROM (
        |        SELECT s.*, LEAD(s.sym) OVER
        |            (PARTITION BY s.word ORDER BY s.pos) AS nxt_sym
        |        FROM starts s) t0)
        |    SELECT f.round, f.word, f.freq,
        |      ROW_NUMBER() OVER (PARTITION BY f.word ORDER BY f.pos) AS pos,
-       |      f.sym2 AS sym
+       |      f.sym2 AS sym, f.bl AS ml, f.brr AS mr, f.bcnt AS mc
        |    FROM fused f
        |    WHERE NOT f.consumed) nxt
-       |  WHERE round < $numMerges),
+       |  WHERE round < $numMerges)""".stripMargin
+
+  /** DuckDB oracle for [[fit]]'s merge table over `documents` — the
+    * per-round chosen pair straight out of [[bpeReplayCte]]. */
+  def mergesOracleSql(numMerges: Int = 30,
+      minPairCount: Long = 2L): String =
+    s"""${bpeReplayCte(numMerges, minPairCount)},
+       |m AS (SELECT DISTINCT round, ml, mr, mc FROM r WHERE round >= 1)
+       |SELECT round AS rank, ml AS "left", mr AS "right",
+       |  ml || mr AS merged, mc AS cnt
+       |FROM m ORDER BY rank""".stripMargin
+
+  /** DuckDB oracle for [[fertilityReport]] over `documents` — the
+    * per-lang fertility of [[bpeReplayCte]]'s final symbol table. */
+  def fertilityOracleSql(numMerges: Int = 30,
+      minPairCount: Long = 2L): String =
+    s"""${bpeReplayCte(numMerges, minPairCount)},
        |fin AS (
        |  SELECT word, pos, sym FROM r
        |  WHERE round = (SELECT MAX(round) FROM r)),
