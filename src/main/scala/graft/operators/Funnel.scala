@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Ordered multi-step funnel analysis: how many users performed step 1,
   * then step 2 STRICTLY AFTER their first step-1 event, then step 3
@@ -15,17 +16,20 @@ import org.apache.spark.sql.functions._
   * maximizes the number of downstream conversions (any later choice of
   * step-i time only shrinks the step-i+1 candidate window).
   *
-  * Scale shape: one filtered aggregate per step, each a map-side
-  * partial `min` shuffled on the user key only — no window over the
-  * whole event stream, no per-user event-list materialization. Each
-  * step's (user → first-conversion ts) frame is MATERIALIZED once
-  * (eager persist, same recipe as [[Dedup.minHashCandidates]]'s
-  * signature table) and the next step builds on the cached frame, so
-  * at 100 TB with N funnel steps the event stream is scanned exactly N
-  * times — each scan pre-filtered to one event type (the selective
-  * predicate reaches the parquet scan) — never the N(N+1)/2 a naive
-  * re-derivation would pay. The per-step frames stay
-  * join-broadcastable for deep funnels over niche steps.
+  * Scale shape, two tiers:
+  *  - [[funnel]] (counts only): ONE user-partitioned pass — chained
+  *    same-spec window mins, a single hash exchange of the event
+  *    stream, no caches;
+  *  - [[stepFrames]]/[[conversions]]/[[stepLatency]] (drill-down):
+  *    one filtered aggregate per step, each step's (user →
+  *    first-conversion ts) frame MATERIALIZED once (eager persist,
+  *    same recipe as [[Dedup.minHashCandidates]]'s signature table) so
+  *    the next step builds on the cached frame — at 100 TB with N
+  *    funnel steps the event stream is scanned exactly N times, each
+  *    scan pre-filtered to one event type (the selective predicate
+  *    reaches the parquet scan), never the N(N+1)/2 a naive
+  *    re-derivation would pay. The per-step frames stay
+  *    join-broadcastable for deep funnels over niche steps.
   */
 object Funnel {
 
@@ -64,18 +68,48 @@ object Funnel {
   }
 
   /** Per-step conversion counts for `steps` in order. Returns
-    * (step, event_type, users) — step is 1-based: a union of one
-    * single-row count per materialized [[stepFrames]] frame, so the
-    * final plan holds N cached-frame counts and zero event scans. */
+    * (step, event_type, users), step 1-based.
+    *
+    * ONE user-partitioned pass: step i+1's first-conversion time is a
+    * min-over-user window gated strictly after step i's — the chained
+    * windows share one partition spec, so the whole funnel costs a
+    * single shuffle of events plus a same-keyed per-user collapse
+    * (exchange reused), instead of the N filter-join-agg chains (plus
+    * N eager persists) [[stepFrames]] materializes for the drill-down
+    * tier. Same-spec chained windows are the SAFE shape per the
+    * round-9 Spark window finding (the corruption needs two DIFFERENT
+    * partition specs stacked). At 100 TB this is one hash exchange of
+    * (user, ts, type), nothing driver-side, no caches to manage. */
   def funnel(events: DataFrame, steps: Seq[String],
       userCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type"): DataFrame = {
-    stepFrames(events, steps, userCol, tsCol, typeCol)
-      .zipWithIndex.map { case (f, i) =>
-        f.agg(count(lit(1)).as("users"))
-          .select(lit(i + 1).as("step"), lit(steps(i)).as("event_type"),
-            col("users"))
-      }.reduce(_ unionByName _).orderBy("step")
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(col(userCol))
+    var df = events.select(col(userCol), col(tsCol), col(typeCol))
+    steps.zipWithIndex.foreach { case (s, i) =>
+      // null t_i propagates: ts > null is null, the when() yields
+      // null, min() ignores it — a user who never reached step i
+      // cannot reach step i+1
+      val gate =
+        if (i == 0) col(typeCol) === s
+        else col(typeCol) === s && col(tsCol) > col(s"__t$i")
+      df = df.withColumn(s"__t${i + 1}",
+        min(when(gate, col(tsCol))).over(w))
+    }
+    val perUser = df.groupBy(col(userCol)).agg(
+      steps.indices.map(i => max(col(s"__t${i + 1}")).as(s"__t${i + 1}")).head,
+      steps.indices.drop(1)
+        .map(i => max(col(s"__t${i + 1}")).as(s"__t${i + 1}")): _*)
+    val counts = perUser.agg(
+      steps.indices.map(i => count(col(s"__t${i + 1}")).as(s"__c${i + 1}")).head,
+      steps.indices.drop(1)
+        .map(i => count(col(s"__t${i + 1}")).as(s"__c${i + 1}")): _*)
+    counts.select(explode(array(steps.indices.map { i =>
+        struct(lit(i + 1).as("step"), lit(steps(i)).as("event_type"),
+          col(s"__c${i + 1}").as("users"))
+      }: _*)).as("__r"))
+      .select(col("__r.step"), col("__r.event_type"), col("__r.users"))
+      .orderBy("step")
   }
 
   /** The per-user conversion table for the FULL funnel: users who

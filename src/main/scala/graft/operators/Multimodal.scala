@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's DEFAULT image-stream cache is a TEMP FILE per
+  // encode/decode call — at 5k tiny assets that is 10k file
+  // create/write/delete cycles dwarfing the actual codec work (the
+  // q289 bench cost was this, not pixels). Memory-cache instead;
+  // executors flip the flag on first use of any codec path below.
+  private def ensureMemoryCachedImageIo(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) {
+      javax.imageio.ImageIO.setUseCache(false)
+    }
+
   /** One media asset: payload + typed metadata. */
   final case class MediaRow(
       media_id: Long,
@@ -209,6 +219,7 @@ object Multimodal {
     * malformed payloads throw fail-fast like a codec would. */
   object ImageIoDecoder extends Decoder {
     def decode(row: MediaRow): MediaFeatures = {
+      ensureMemoryCachedImageIo()
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(row.payload))
       require(img != null,
@@ -255,6 +266,7 @@ object Multimodal {
     * run on GENUINELY compressed bytes while the expected features
     * stay defined by the same pixels as the PPM asset. */
   def encodePng(ppmPayload: Array[Byte]): Array[Byte] = {
+    ensureMemoryCachedImageIo()
     val (w, h, maxVal, off) = PpmDecoder.parseHeader(ppmPayload)
     require(maxVal < 256, "only 1-byte-per-sample ppm supported")
     val img = new java.awt.image.BufferedImage(w, h,
@@ -283,6 +295,7 @@ object Multimodal {
   def resizeImageIo(payload: Array[Byte], outW: Int, outH: Int,
       format: String = "png"): Array[Byte] = {
     require(outW > 0 && outH > 0, "target geometry must be positive")
+    ensureMemoryCachedImageIo()
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
     require(img != null, "imageio could not decode payload")

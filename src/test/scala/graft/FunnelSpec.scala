@@ -146,7 +146,7 @@ class FunnelSpec extends AnyFunSuite {
       rows.map(r => (r._1, r._2) -> r._3).toMap
   }
 
-  test("funnel scans events once per step — N scans, not N(N+1)/2") {
+  test("funnel counts are ONE events pass; stepFrames scans once per step") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
@@ -169,25 +169,36 @@ class FunnelSpec extends AnyFunSuite {
         .exists(_.toString.contains("graft_funnel_scan")) => 1
       case _ => 0
     }
+    // count tier: the whole 3-step funnel is ONE events scan (chained
+    // same-spec window mins), zero caches to manage
     val out = Funnel.funnel(ev, Seq("view", "click", "purchase"))
-    // the READ plan never rescans events: three cached-frame counts
     val plan = out.queryExecution.executedPlan
-    val caches = {
+    assert(eventScans(plan) == 1,
+      "funnel counts must be a single events pass")
+    val countCaches = {
       val acc = scala.collection.mutable.ArrayBuffer.empty[InMemoryTableScanExec]
       walk(plan) { case m: InMemoryTableScanExec => acc += m; 1; case _ => 0 }
       acc.toSeq
     }
-    assert(caches.length == 3, "read plan is three cached-frame counts")
-    assert(eventScans(plan) == 0, "read plan never rescans events")
+    assert(countCaches.isEmpty, "funnel counts must not persist anything")
     assert(out.count() == 3)
-    // each step's materialization scans events exactly ONCE: inside
-    // each cached plan sits one events file scan, and the previous
-    // step arrives as a cache reference, not a re-derived subtree —
-    // so the whole computation graph holds N events scans (3 here),
-    // never the N(N+1)/2 of a prefix re-derivation.
-    caches.foreach { m =>
-      assert(eventScans(m.relation.cachedPlan) == 1,
+    // drill-down tier: each step's materialization scans events
+    // exactly ONCE, and the previous step arrives as a cache
+    // reference, not a re-derived subtree — N events scans total (3
+    // here), never the N(N+1)/2 of a prefix re-derivation
+    val frames = Funnel.stepFrames(ev, Seq("view", "click", "purchase"))
+    assert(frames.length == 3)
+    frames.foreach { f =>
+      val caches = {
+        val acc = scala.collection.mutable.ArrayBuffer.empty[InMemoryTableScanExec]
+        walk(f.queryExecution.executedPlan) {
+          case m: InMemoryTableScanExec => acc += m; 1; case _ => 0 }
+        acc.toSeq
+      }
+      assert(caches.length == 1, "each step frame reads its own cache")
+      assert(eventScans(caches.head.relation.cachedPlan) == 1,
         "each cached step frame holds exactly one events scan")
     }
+    spark.catalog.clearCache()
   }
 }
