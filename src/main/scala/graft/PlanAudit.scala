@@ -208,7 +208,19 @@ object PlanAudit {
     // Bland-Altman: 1-row moments factor recounted over diffs
     "q347_bland_altman",
     // Hurst: 1-row origin-date + |sizes|-row fit factors
-    "q349_hurst")
+    "q349_hurst",
+    // Cramér's V: the q346 bounded marginal grid cross + 1-row N
+    "q351_cramers_v",
+    // balanced sample: the min-class-count 1-row stat factor
+    "q353_balanced_sample",
+    // gain ratio: 1-row corpus-total factors into bounded cell tables
+    "q354_gain_ratio",
+    // TwoNN: bounded probe sample x corpus (q20/q332 shape) + two
+    // 1-row stat factors
+    "q355_intrinsic_dim",
+    // hubness: bounded query sample x corpus (q20 shape) + 1-row
+    // moment/zero-count factors
+    "q356_hubness")
 
   /** Oracled queries ALLOWED to emit round()-produced double output
     * columns — FROZEN at the round-12 inventory. Every one is proven

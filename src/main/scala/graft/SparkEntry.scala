@@ -104,6 +104,55 @@ object SparkEntry {
     * [[canonPlan]] entry (PlanAudit fails the build otherwise). */
   private[graft] def registered: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- Bartlett variance homogeneity: the parametric sibling of
+    //      q324's Brown-Forsythe — read the DISAGREEMENT (BF quiet +
+    //      Bartlett loud = kurtosis, not variance) ----
+    "q350_bartlett" -> ((s, dir) =>
+      graft.operators.Homogeneity.bartlett(t(s, dir, "orders"),
+        col("o_orderpriority"), col("o_totalprice"))),
+
+    // ---- Cramér's V (+ Bergsma bias correction): the effect size
+    //      behind q286/q346's chi-square significance ----
+    "q351_cramers_v" -> ((s, dir) =>
+      graft.quality.Dependencies.cramersV(t(s, dir, "orders"),
+        col("o_orderpriority"), col("o_orderstatus"))),
+
+    // ---- Participation ratio: linear effective dimension
+    //      (tr C)²/‖C‖²F from the q241 covariance triangle — no
+    //      eigensolve, exact parity by construction ----
+    "q352_participation_ratio" -> ((s, dir) =>
+      graft.operators.Dimensionality.participationRatio(
+        t(s, dir, "embeddings"))),
+
+    // ---- Balanced per-class downsample to the minority class, with
+    //      an id checksum pinning the EXACT kept set ----
+    "q353_balanced_sample" -> ((s, dir) =>
+      graft.operators.Sampling.balancedByClass(
+        t(s, dir, "documents"), "lang", "doc_id", "n_chars")),
+
+    // ---- C4.5 gain-ratio feature ranking: which cheap metadata
+    //      column predicts lang — what to stratify/route on before
+    //      paying for a classifier ----
+    "q354_gain_ratio" -> ((s, dir) =>
+      graft.operators.FeatureRank.gainRatio(t(s, dir, "documents"),
+        col("lang"), Seq(
+          ("digit_flag", col("text").rlike("[0-9]")),
+          ("len_bucket", when(col("n_chars") < 120, "xs")
+            .when(col("n_chars") < 300, "s")
+            .when(col("n_chars") < 800, "m").otherwise("l")),
+          ("source", col("source"))))),
+
+    // ---- TwoNN intrinsic dimension (Facco 2017): manifold dim from
+    //      exact 1st/2nd-NN distance ratios over the q332 probe
+    //      sample — read against q352's LINEAR dimension ----
+    "q355_intrinsic_dim" -> ((s, dir) =>
+      graft.operators.Dimensionality.twoNN(t(s, dir, "embeddings"))),
+
+    // ---- Hubness: skewness of the k-occurrence distribution — the
+    //      high-dim failure mode that silently poisons kNN dedup ----
+    "q356_hubness" -> ((s, dir) =>
+      graft.operators.Dimensionality.hubness(t(s, dir, "embeddings"))),
+
     // ---- Per-type OLS trend with inference: slope/intercept/r²/t on
     //      daily revenue vs day index — the parametric counterpart to
     //      q236's Theil–Sen; closed-form moments, never a residual
@@ -3892,6 +3941,28 @@ object SparkEntry {
     * RAW form; the public [[oracleSql]] applies [[canonPlan]]. */
   private[graft] def registeredOracleSql: Map[String, String] = Map(
 
+    "q350_bartlett" ->
+      graft.operators.Homogeneity.bartlettOracleSql,
+
+    "q351_cramers_v" ->
+      graft.quality.Dependencies.cramersVOracleSql(
+        "orders", "o_orderpriority", "o_orderstatus"),
+
+    "q352_participation_ratio" ->
+      graft.operators.Dimensionality.participationRatioOracleSql,
+
+    "q353_balanced_sample" ->
+      graft.operators.Sampling.balancedByClassOracleSql,
+
+    "q354_gain_ratio" ->
+      graft.operators.FeatureRank.gainRatioDocsOracleSql,
+
+    "q355_intrinsic_dim" ->
+      graft.operators.Dimensionality.twoNNOracleSql,
+
+    "q356_hubness" ->
+      graft.operators.Dimensionality.hubnessOracleSql,
+
     "q201_sequence_pack" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -7099,6 +7170,21 @@ object SparkEntry {
     * oracled query, so a new ratio-statistic query can't re-roll the
     * round-11 hash-red dice. */
   val canonPlan: Map[String, Seq[String]] = Map(
+    "q350_bartlett" -> Seq("n#", "k#", "pooled_var*", "chi2*",
+      "df#", "sig_95"),
+    "q351_cramers_v" -> Seq("n#", "r#", "c#", "chi2*",
+      "cramers_v*", "v_corrected*"),
+    "q352_participation_ratio" -> Seq("d#", "trace*", "frob_sq*",
+      "participation_ratio*", "pr_share*"),
+    "q353_balanced_sample" -> Seq("cls", "n_total#", "n_kept#",
+      "id_checksum#", "mean_kept_metric*"),
+    "q354_gain_ratio" -> Seq("feature", "n_values#", "h_label*",
+      "ig*", "split_info*", "gain_ratio*"),
+    "q355_intrinsic_dim" -> Seq("n_probes#", "n_used#",
+      "mean_log_mu*", "id_mle*"),
+    "q356_hubness" -> Seq("k#", "n_queries#", "n_points#",
+      "mean_occ*", "sd_occ*", "skew_occ*", "max_occ#",
+      "never_share*"),
     "q140_bpe_train" -> Seq("rank#", "left", "right", "merged",
       "cnt#"),
     "q162_mmr_rerank" -> Seq("query_id#", "neighbor_id#",

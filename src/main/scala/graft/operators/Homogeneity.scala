@@ -262,4 +262,109 @@ object Homogeneity {
       |  ROUND(CAST(c AS DOUBLE) / n_units, 6) AS rate,
       |  q.q_stat, q.df
       |FROM cl CROSS JOIN q ORDER BY treatment""".stripMargin
+
+  /** Bartlett's test of variance homogeneity (Bartlett, Proc. R.
+    * Soc. A 1937) — the PARAMETRIC sibling of [[brownForsythe]]:
+    * more powerful under normality, notoriously sensitive to
+    * heavy tails, which is why a profiler reports both and reads
+    * the disagreement ("BF quiet + Bartlett loud" = kurtosis, not
+    * variance). χ² = [(N−k)·ln S²ₚ − Σ(nᵢ−1)·ln S²ᵢ] / C with the
+    * Bartlett correction C = 1 + (Σ1/(nᵢ−1) − 1/(N−k))/(3(k−1)).
+    * One row `(n, k, pooled_var, chi2, df, sig_95)`; groups with
+    * nᵢ < 2 or zero variance are excluded (ln undefined), and the
+    * χ² is NULL when fewer than two groups survive.
+    *
+    * Scale shape: one grouped moment pass (n, Σx, Σx²) at group
+    * cardinality, then a k-row reduction — the corpus is never
+    * joined or re-scanned. sig_95 compares against the χ²₀.₉₅
+    * quantile for df ≤ 10 (Wilson–Hilferty beyond), a closed-form
+    * table both engines share. */
+  def bartlett(df: DataFrame, group: Column,
+      metric: Column): DataFrame = {
+    val gv = df.select(group.as("g"), metric.cast("double").as("x"))
+      .where(col("g").isNotNull && col("x").isNotNull)
+    val perG = gv.groupBy("g").agg(
+        count(lit(1)).as("n_g"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("v_g",
+        (col("sxx") - col("sx") * col("sx") / col("n_g")) /
+          (col("n_g") - 1.0))
+      .where(col("n_g") >= 2 && col("v_g") > 0.0)
+    val s = perG.agg(
+      sum("n_g").as("n"), count(lit(1)).as("k"),
+      sum((col("n_g") - 1.0) * col("v_g")).as("__sw"),
+      sum((col("n_g") - 1.0) * log(col("v_g"))).as("__slnv"),
+      sum(lit(1.0) / (col("n_g") - 1.0)).as("__sinv"))
+    val nk = (col("n") - col("k")).cast("double")
+    val sp2 = col("__sw") / nk
+    val c = lit(1.0) + (col("__sinv") - lit(1.0) / nk) /
+      (lit(3.0) * (col("k") - 1.0))
+    val chi2 = (nk * log(sp2) - col("__slnv")) / c
+    s.select(
+      col("n").cast("bigint").as("n"),
+      col("k").cast("bigint").as("k"),
+      round(sp2, 6).as("pooled_var"),
+      round(when(col("k") >= 2, chi2), 6).as("chi2"),
+      (col("k") - 1).cast("bigint").as("df"),
+      when(col("k") >= 2, chi2 > chi2Crit95(col("k") - 1))
+        .as("sig_95"))
+  }
+
+  /** χ²₀.₉₅ critical value as a Column of the df Column: exact table
+    * for df 1..10, Wilson–Hilferty cube approximation beyond —
+    * identical arithmetic on the oracle side. */
+  private def chi2Crit95(dfree: Column): Column = {
+    val wh = dfree.cast("double") *
+      pow(lit(1.0) - lit(2.0) / (dfree * 9.0) +
+        lit(1.6448536269514722) * sqrt(lit(2.0) / (dfree * 9.0)), 3)
+    when(dfree === 1, 3.841459).when(dfree === 2, 5.991465)
+      .when(dfree === 3, 7.814728).when(dfree === 4, 9.487729)
+      .when(dfree === 5, 11.070498).when(dfree === 6, 12.591587)
+      .when(dfree === 7, 14.067140).when(dfree === 8, 15.507313)
+      .when(dfree === 9, 16.918978).when(dfree === 10, 18.307038)
+      .otherwise(wh)
+  }
+
+  /** DuckDB oracle for [[bartlett]] on orders
+    * (group = o_orderpriority, metric = o_totalprice). */
+  val bartlettOracleSql: String =
+    """WITH gv AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(o_totalprice AS DOUBLE) AS x
+      |  FROM orders
+      |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+      |per_g AS (
+      |  SELECT g, COUNT(*) AS n_g, SUM(x) AS sx, SUM(x * x) AS sxx
+      |  FROM gv GROUP BY 1),
+      |vg AS (
+      |  SELECT n_g,
+      |    (sxx - sx * sx / n_g) / (n_g - 1.0) AS v_g
+      |  FROM per_g
+      |  WHERE n_g >= 2
+      |    AND (sxx - sx * sx / n_g) / (n_g - 1.0) > 0.0),
+      |s AS (
+      |  SELECT SUM(n_g) AS n, COUNT(*) AS k,
+      |    SUM((n_g - 1.0) * v_g) AS sw,
+      |    SUM((n_g - 1.0) * LN(v_g)) AS slnv,
+      |    SUM(1.0 / (n_g - 1.0)) AS sinv
+      |  FROM vg),
+      |f AS (
+      |  SELECT n, k, sw / (n - k) AS sp2,
+      |    ((n - k) * LN(sw / (n - k)) - slnv) /
+      |      (1.0 + (sinv - 1.0 / (n - k)) / (3.0 * (k - 1.0))) AS chi2
+      |  FROM s)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+      |  ROUND(sp2, 6) AS pooled_var,
+      |  ROUND(CASE WHEN k >= 2 THEN chi2 END, 6) AS chi2,
+      |  CAST(k - 1 AS BIGINT) AS df,
+      |  CASE WHEN k >= 2 THEN chi2 > (CASE CAST(k - 1 AS INT)
+      |    WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465
+      |    WHEN 3 THEN 7.814728 WHEN 4 THEN 9.487729
+      |    WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587
+      |    WHEN 7 THEN 14.067140 WHEN 8 THEN 15.507313
+      |    WHEN 9 THEN 16.918978 WHEN 10 THEN 18.307038
+      |    ELSE (k - 1) * POW(1.0 - 2.0 / (9.0 * (k - 1)) +
+      |      1.6448536269514722 * SQRT(2.0 / (9.0 * (k - 1))), 3)
+      |    END) END AS sig_95
+      |FROM f""".stripMargin
 }

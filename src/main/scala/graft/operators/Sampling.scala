@@ -550,4 +550,65 @@ object Sampling {
       |  CAST(MIN(CASE WHEN cw * 4 >= tot * 3 THEN v END) AS BIGINT)
       |    AS wp75
       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Balanced per-class downsample to the MINORITY class size — the
+    * classifier-training counterpart of [[stratifiedBySource]]
+    * (which preserves shares; this one equalizes them): every class
+    * keeps its first `m = min class count` rows in deterministic
+    * `orderCol` order. Returns the per-class audit `(cls, n_total,
+    * n_kept, id_checksum, mean_kept_metric)` rather than the kept
+    * rows themselves — the checksum (sum of kept ids) pins the
+    * EXACT selected set across engines, which is the point of the
+    * deterministic order.
+    *
+    * Scale shape: one grouped count (class cardinality, broadcast
+    * min), one per-class window capped at m — the window sorts
+    * within class partitions only, and at 100 TB the same contract
+    * holds by pre-bucketing on cls before the window. */
+  def balancedByClass(df: DataFrame, clsCol: String,
+      orderCol: String, metricCol: String): DataFrame = {
+    val counts = df.groupBy(col(clsCol).as("cls"))
+      .agg(count(lit(1)).as("n_total"))
+    val m = counts.agg(min("n_total").as("__m"))
+    val w = Window.partitionBy(col(clsCol))
+      .orderBy(col(orderCol))
+    val kept = df
+      .withColumn("__rn", row_number().over(w))
+      .crossJoin(broadcast(m))
+      .filter(col("__rn") <= col("__m"))
+      .groupBy(col(clsCol).as("cls"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col(orderCol)).as("id_checksum"),
+        round(avg(col(metricCol).cast("double")), 6)
+          .as("mean_kept_metric"))
+    counts.join(kept, Seq("cls"))
+      .select(col("cls"), col("n_total"), col("n_kept"),
+        col("id_checksum").cast("bigint").as("id_checksum"),
+        col("mean_kept_metric"))
+      .orderBy("cls")
+  }
+
+  /** DuckDB oracle for [[balancedByClass]] on documents
+    * (cls = lang, order = doc_id, metric = n_chars). */
+  val balancedByClassOracleSql: String =
+    """WITH c AS (
+      |  SELECT lang AS cls, COUNT(*) AS n_total
+      |  FROM documents GROUP BY 1),
+      |m AS (SELECT MIN(n_total) AS m FROM c),
+      |r AS (
+      |  SELECT lang AS cls, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id)
+      |      AS rn
+      |  FROM documents),
+      |kept AS (
+      |  SELECT cls, COUNT(*) AS n_kept,
+      |    SUM(doc_id) AS id_checksum,
+      |    ROUND(AVG(CAST(n_chars AS DOUBLE)), 6)
+      |      AS mean_kept_metric
+      |  FROM r CROSS JOIN m WHERE rn <= m.m GROUP BY 1)
+      |SELECT c.cls, c.n_total, kept.n_kept,
+      |  CAST(kept.id_checksum AS BIGINT) AS id_checksum,
+      |  kept.mean_kept_metric
+      |FROM c JOIN kept ON c.cls = kept.cls
+      |ORDER BY c.cls""".stripMargin
 }

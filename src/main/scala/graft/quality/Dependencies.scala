@@ -364,4 +364,100 @@ object Dependencies {
        |$selects
        |) ORDER BY det_col, dep_col""".stripMargin
   }
+
+  /** Cramér's V association strength for a categorical pair — the
+    * EFFECT SIZE the [[chi2Residuals]] significance readout lacks
+    * (Cramér 1946 §21.9), with the Bergsma (J. Korean Stat. Soc.
+    * 2013) bias correction that keeps small-table V from reading
+    * spurious association: φ² = χ²/n; φ²₊ = max(0, φ² −
+    * (r−1)(c−1)/(n−1)); Ṽ = √(φ²₊ / min(r₊−1, c₊−1)) with r₊ = r −
+    * (r−1)²/(n−1). One row `(n, r, c, chi2, cramers_v,
+    * v_corrected)`.
+    *
+    * Scale shape: the [[chi2Residuals]] dataflow collapsed to one
+    * scalar — a grouped count at cell cardinality, margin
+    * reductions, a broadcast-assembled r×c frame, one row out. */
+  def cramersV(df: DataFrame, aCol: org.apache.spark.sql.Column,
+      bCol: org.apache.spark.sql.Column): DataFrame = {
+    val joint = df
+      .where(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(aCol.as("a"), bCol.as("b"))
+      .agg(count(lit(1)).as("n"))
+    val aTot = joint.groupBy("a").agg(sum("n").as("__na"))
+    val bTot = joint.groupBy("b").agg(sum("n").as("__nb"))
+    val grand = joint.agg(sum("n").as("__nt"),
+      countDistinct("a").as("__r"), countDistinct("b").as("__c"))
+    val cells = aTot.crossJoin(broadcast(bTot))
+      .join(joint, Seq("a", "b"), "left_outer")
+      .withColumn("__n0", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(grand))
+    val tot = col("__nt").cast("double")
+    val e = col("__na").cast("double") * col("__nb") / tot
+    val s = cells
+      .agg(first("__nt").as("__nt"), first("__r").as("__r"),
+        first("__c").as("__c"),
+        sum(pow(col("__n0") - e, 2) / e).as("__chi2"))
+    val n = col("__nt").cast("double")
+    val r = col("__r").cast("double")
+    val c = col("__c").cast("double")
+    val phi2 = col("__chi2") / n
+    val phi2p = greatest(
+      phi2 - (r - 1.0) * (c - 1.0) / (n - 1.0), lit(0.0))
+    val rp = r - pow(r - 1.0, 2) / (n - 1.0)
+    val cp = c - pow(c - 1.0, 2) / (n - 1.0)
+    val minDf = least(r, c) - 1.0
+    val minDfP = least(rp, cp) - 1.0
+    s.select(
+      col("__nt").cast("bigint").as("n"),
+      col("__r").cast("bigint").as("r"),
+      col("__c").cast("bigint").as("c"),
+      round(col("__chi2"), 6).as("chi2"),
+      round(when(minDf > 0.0, sqrt(phi2 / minDf)), 6)
+        .as("cramers_v"),
+      round(when(minDfP > 0.0, sqrt(phi2p / minDfP)), 6)
+        .as("v_corrected"))
+  }
+
+  /** DuckDB oracle for [[cramersV]]. */
+  def cramersVOracleSql(table: String, aExpr: String,
+      bExpr: String): String =
+    s"""WITH joint AS (
+       |  SELECT $aExpr AS a, $bExpr AS b, COUNT(*) AS n
+       |  FROM $table
+       |  WHERE $aExpr IS NOT NULL AND $bExpr IS NOT NULL
+       |  GROUP BY 1, 2),
+       |at AS (SELECT a, SUM(n) AS na FROM joint GROUP BY 1),
+       |bt AS (SELECT b, SUM(n) AS nb FROM joint GROUP BY 1),
+       |g AS (SELECT SUM(n) AS nt, COUNT(DISTINCT a) AS r,
+       |  COUNT(DISTINCT b) AS c FROM joint),
+       |cells AS (
+       |  SELECT at.na, bt.nb, COALESCE(joint.n, 0) AS n0, g.nt,
+       |    g.r, g.c
+       |  FROM at CROSS JOIN bt
+       |  LEFT JOIN joint ON joint.a = at.a AND joint.b = bt.b
+       |  CROSS JOIN g),
+       |s AS (
+       |  SELECT ANY_VALUE(nt) AS nt, ANY_VALUE(r) AS r,
+       |    ANY_VALUE(c) AS c,
+       |    SUM(POW(n0 - CAST(na AS DOUBLE) * nb / nt, 2) /
+       |      (CAST(na AS DOUBLE) * nb / nt)) AS chi2
+       |  FROM cells),
+       |f AS (
+       |  SELECT nt, r, c, chi2,
+       |    chi2 / nt AS phi2,
+       |    GREATEST(chi2 / nt -
+       |      (r - 1.0) * (c - 1.0) / (nt - 1.0), 0.0) AS phi2p,
+       |    r - POW(r - 1.0, 2) / (nt - 1.0) AS rp,
+       |    c - POW(c - 1.0, 2) / (nt - 1.0) AS cp
+       |  FROM s)
+       |SELECT CAST(nt AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+       |  CAST(c AS BIGINT) AS c,
+       |  ROUND(chi2, 6) AS chi2,
+       |  ROUND(CASE WHEN LEAST(r, c) - 1.0 > 0
+       |    THEN SQRT(phi2 / (LEAST(r, c) - 1.0)) END, 6)
+       |    AS cramers_v,
+       |  ROUND(CASE WHEN LEAST(rp, cp) - 1.0 > 0
+       |    THEN SQRT(phi2p / (LEAST(rp, cp) - 1.0)) END, 6)
+       |    AS v_corrected
+       |FROM f""".stripMargin
 }
