@@ -220,7 +220,18 @@ object PlanAudit {
     "q355_intrinsic_dim",
     // hubness: bounded query sample x corpus (q20 shape) + 1-row
     // moment/zero-count factors
-    "q356_hubness")
+    "q356_hubness",
+    // Fisher exact: margin-bounded support spine + 1-row norm/obs
+    // stat factors
+    "q357_fisher_exact",
+    // signed rank: the q310 span-midpoint factor + two 1-row stat
+    // frames composed at the end
+    "q358_signed_rank",
+    // Jonckheere: bounded value-histogram pair cross + 1-row
+    // moment factors
+    "q359_jonckheere",
+    // HITS: per-iteration 1-row L1-normalizer factors (q150 shape)
+    "q360_hits")
 
   /** Oracled queries ALLOWED to emit round()-produced double output
     * columns — FROZEN at the round-12 inventory. Every one is proven

@@ -153,6 +153,40 @@ object SparkEntry {
     "q356_hubness" -> ((s, dir) =>
       graft.operators.Dimensionality.hubness(t(s, dir, "embeddings"))),
 
+    // ---- Fisher's exact 2×2 (log-ratio recurrence, no lgamma):
+    //      the small-cell regime where q351's chi-square is invalid ----
+    "q357_fisher_exact" -> ((s, dir) =>
+      graft.operators.ExactTests.fisherExact(t(s, dir, "customer"),
+        col("c_acctbal") < 0, col("c_mktsegment") === "BUILDING")),
+
+    // ---- Wilcoxon signed-rank + sign test on paired per-user half
+    //      counts: the continuous-magnitude sibling of q310's
+    //      McNemar, integer-exact by construction ----
+    "q358_signed_rank" -> ((s, dir) =>
+      graft.operators.PairedTests.signedRankHalves(
+        t(s, dir, "events"))),
+
+    // ---- Jonckheere-Terpstra ordered trend: does order count RISE
+    //      with balance band — the directional question q290's
+    //      Kruskal-Wallis can't ask ----
+    "q359_jonckheere" -> ((s, dir) => {
+      val pc = t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_custkey"),
+          when(col("c_acctbal") < 0, 0)
+            .when(col("c_acctbal") < 5000, 1).otherwise(2).as("g"))
+        .agg(count(col("o_orderkey")).as("v"))
+      graft.operators.Homogeneity.jonckheere(pc, col("g"), col("v"))
+    }),
+
+    // ---- HITS hubs/authorities over the q150 navigation graph:
+    //      router pages vs destination pages, the two-sided
+    //      importance PageRank collapses ----
+    "q360_hits" -> ((s, dir) =>
+      graft.operators.GraphRank.navigationHits(s,
+        t(s, dir, "events"))),
+
     // ---- Per-type OLS trend with inference: slope/intercept/r²/t on
     //      daily revenue vs day index — the parametric counterpart to
     //      q236's Theil–Sen; closed-form moments, never a residual
@@ -3963,6 +3997,18 @@ object SparkEntry {
     "q356_hubness" ->
       graft.operators.Dimensionality.hubnessOracleSql,
 
+    "q357_fisher_exact" ->
+      graft.operators.ExactTests.fisherExactOracleSql,
+
+    "q358_signed_rank" ->
+      graft.operators.PairedTests.signedRankOracleSql,
+
+    "q359_jonckheere" ->
+      graft.operators.Homogeneity.jonckheereOracleSql,
+
+    "q360_hits" ->
+      graft.operators.GraphRank.hitsOracleSql(),
+
     "q201_sequence_pack" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -7185,6 +7231,15 @@ object SparkEntry {
     "q356_hubness" -> Seq("k#", "n_queries#", "n_points#",
       "mean_occ*", "sd_occ*", "skew_occ*", "max_occ#",
       "never_share*"),
+    "q357_fisher_exact" -> Seq("n11#", "n10#", "n01#", "n00#",
+      "odds_ratio*", "p_obs*", "p_left*", "p_right*",
+      "p_two_sided*"),
+    "q358_signed_rank" -> Seq("n_pairs#", "n_zero#", "n_pos#",
+      "n_neg#", "w_plus*", "z_wilcoxon*", "z_sign*",
+      "sig_95_wilcoxon", "sig_95_sign"),
+    "q359_jonckheere" -> Seq("n#", "k#", "jt_stat*", "e_jt*",
+      "var_jt*", "z*", "sig_95"),
+    "q360_hits" -> Seq("page#", "hub*", "auth*"),
     "q140_bpe_train" -> Seq("rank#", "left", "right", "merged",
       "cnt#"),
     "q162_mmr_rerank" -> Seq("query_id#", "neighbor_id#",

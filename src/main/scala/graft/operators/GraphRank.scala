@@ -347,4 +347,123 @@ object GraphRank {
        |SELECT page, ROUND(rank, 6) AS rank FROM r$iterations
        |ORDER BY page""".stripMargin
   }
+
+  /** HITS hubs and authorities (Kleinberg, JACM 1999) over the
+    * weighted navigation graph — the two-sided importance PageRank
+    * collapses: a hub POINTS AT good pages, an authority IS one. On
+    * a navigation graph: "router" pages users pass through vs
+    * "destination" pages users travel to. Weighted mutual
+    * reinforcement with L1 normalization per half-step (sum = 1,
+    * SQL-friendly — the spectral norm only changes scale), fixed
+    * iteration count, per-step 9-rounding so cross-engine drift
+    * can't compound (the [[pagerank]] discipline, including the
+    * eager localCheckpoint lineage truncation per step).
+    *
+    * Scale shape per iteration: two edge-table equi-joins grouped on
+    * the opposite endpoint + a 1-row normalizer factor — the same
+    * Pregel dataflow as [[pagerank]]; edges partition once and only
+    * the score tables move. */
+  def hits(spark: SparkSession, edges: DataFrame,
+      iterations: Int = 6): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+        col("w").cast("double").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("page"))
+      .union(e.select(col("dst").as("page")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count().toDouble
+
+    var hub = nodes.withColumn("hub", lit(1.0 / n))
+      .localCheckpoint(true)
+    var auth = nodes.withColumn("auth", lit(1.0 / n))
+      .localCheckpoint(true)
+
+    for (_ <- 1 to iterations) {
+      val aRaw = e.join(hub, e("src") === hub("page"))
+        .groupBy(col("dst").as("page"))
+        .agg(sum(col("w") * col("hub")).as("__a"))
+      val aNorm = aRaw.agg(sum("__a").as("__s"))
+      auth = nodes.join(aRaw, Seq("page"), "left_outer")
+        .crossJoin(broadcast(aNorm))   // 1-row normalizer factor
+        .withColumn("auth",
+          round(coalesce(col("__a"), lit(0.0)) / col("__s"), 9))
+        .select("page", "auth")
+        .localCheckpoint(true)
+      val hRaw = e.join(auth, e("dst") === auth("page"))
+        .groupBy(col("src").as("page"))
+        .agg(sum(col("w") * col("auth")).as("__h"))
+      val hNorm = hRaw.agg(sum("__h").as("__s"))
+      hub = nodes.join(hRaw, Seq("page"), "left_outer")
+        .crossJoin(broadcast(hNorm))   // 1-row normalizer factor
+        .withColumn("hub",
+          round(coalesce(col("__h"), lit(0.0)) / col("__s"), 9))
+        .select("page", "hub")
+        .localCheckpoint(true)
+    }
+
+    val out = nodes.join(hub, Seq("page")).join(auth, Seq("page"))
+      .select(col("page"),
+        round(col("hub"), 6).as("hub"),
+        round(col("auth"), 6).as("auth"))
+      .orderBy("page")
+    e.unpersist(); nodes.unpersist()
+    out
+  }
+
+  /** The registered query: navigation HITS over `events`. */
+  def navigationHits(spark: SparkSession, events: DataFrame,
+      iterations: Int = 6): DataFrame =
+    hits(spark, navigationEdges(events), iterations)
+
+  /** DuckDB oracle for [[navigationHits]]: the [[oracleSql]] edge
+    * CTEs with the mutual-reinforcement steps unrolled per
+    * iteration, 9-rounded per step like the engine. */
+  def hitsOracleSql(iterations: Int = 6): String = {
+    // e/nodes are MATERIALIZED: the unrolled iterations reference
+    // them ~5x each, and every inlined reference re-opens the
+    // parquet view — enough to hit the process fd limit
+    val base =
+      s"""WITH seq AS MATERIALIZED (
+         |  SELECT page, LEAD(page) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id) AS next
+         |  FROM (SELECT CAST(props->>'k' AS INTEGER) AS page,
+         |          user_id, ts, event_id FROM events)
+         |  WHERE page IS NOT NULL),
+         |e AS MATERIALIZED (
+         |  SELECT page AS src, next AS dst,
+         |    CAST(COUNT(*) AS DOUBLE) AS w
+         |  FROM seq WHERE next IS NOT NULL
+         |  GROUP BY 1, 2),
+         |nodes AS MATERIALIZED (
+         |  SELECT src AS page FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         |h0 AS (SELECT page, 1.0 / (SELECT n FROM nn) AS hub
+         |  FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      val ph = s"h${i - 1}"
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT e.dst AS page, SUM(e.w * h.hub) AS a
+         |  FROM e JOIN $ph h ON e.src = h.page GROUP BY 1),
+         |a$i AS MATERIALIZED (
+         |  SELECT nodes.page, ROUND(
+         |    COALESCE(ar$i.a, 0.0) / (SELECT SUM(a) FROM ar$i), 9)
+         |    AS auth
+         |  FROM nodes LEFT JOIN ar$i ON nodes.page = ar$i.page),
+         |hr$i AS MATERIALIZED (
+         |  SELECT e.src AS page, SUM(e.w * a.auth) AS h
+         |  FROM e JOIN a$i a ON e.dst = a.page GROUP BY 1),
+         |h$i AS MATERIALIZED (
+         |  SELECT nodes.page, ROUND(
+         |    COALESCE(hr$i.h, 0.0) / (SELECT SUM(h) FROM hr$i), 9)
+         |    AS hub
+         |  FROM nodes LEFT JOIN hr$i ON nodes.page = hr$i.page)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT h.page, ROUND(h.hub, 6) AS hub,
+       |  ROUND(a.auth, 6) AS auth
+       |FROM h$iterations h JOIN a$iterations a ON h.page = a.page
+       |ORDER BY h.page""".stripMargin
+  }
 }

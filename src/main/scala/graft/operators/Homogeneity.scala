@@ -367,4 +367,130 @@ object Homogeneity {
       |      1.6448536269514722 * SQRT(2.0 / (9.0 * (k - 1))), 3)
       |    END) END AS sig_95
       |FROM f""".stripMargin
+
+  /** Jonckheere–Terpstra ordered-alternative test (Jonckheere,
+    * Biometrika 1954): against Kruskal–Wallis's "some group
+    * differs", JT tests the DIRECTIONAL hypothesis that the metric
+    * RISES along the given group order — the question a monotone
+    * hypothesis ("higher balance ⇒ more orders") actually asks, with
+    * far more power than KW when the order is right. JT = Σᵢ<ⱼ Uᵢⱼ
+    * with ties counting half; normal approximation with the
+    * Hollander–Wolfe tie-corrected null variance. One row `(n, k,
+    * jt_stat, e_jt, var_jt, z, sig_95)`.
+    *
+    * Scale shape: metric must be DISCRETE (counts, buckets) — pair
+    * counts come from joining the per-group VALUE HISTOGRAMS (|V|²·k²
+    * bounded, never row pairs), the Kendall/MWU histogram recipe.
+    * Tie counts reduce from the combined value histogram. */
+  def jonckheere(df: DataFrame, groupOrd: Column,
+      metric: Column): DataFrame = {
+    val gv = df.select(groupOrd.cast("int").as("g"),
+        metric.cast("long").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val hist = gv.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // U_ij over ordered pairs i<j from the histogram cross:
+    // full pairs where the lower-order group's value is smaller,
+    // half for equal values
+    val u = hist.as("a").join(hist.as("b"),
+        col("a.g") < col("b.g"))
+      .agg(sum(
+        when(col("a.v") < col("b.v"),
+          (col("a.c") * col("b.c")).cast("double"))
+          .when(col("a.v") === col("b.v"),
+            (col("a.c") * col("b.c")) / 2.0)
+          .otherwise(0.0)).as("__jt"))
+    val perG = hist.groupBy("g").agg(sum("c").as("ng"))
+      .agg(sum("ng").as("n"), count(lit(1)).as("k"),
+        sum(col("ng") * (col("ng") - 1) * (col("ng") * 2 + 5))
+          .as("__g25"),
+        sum(col("ng") * (col("ng") - 1)).as("__g2"),
+        sum(col("ng") * (col("ng") - 1) * (col("ng") - 2))
+          .as("__g3"),
+        sum(col("ng") * col("ng")).as("__gsq"))
+    val ties = hist.groupBy("v").agg(sum("c").as("t"))
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5))
+        .as("__t25"),
+        sum(col("t") * (col("t") - 1)).as("__t2"),
+        sum(col("t") * (col("t") - 1) * (col("t") - 2)).as("__t3"))
+    val one = u.crossJoin(perG).crossJoin(ties)   // 1-row factors
+    val n = col("n").cast("double")
+    val e = (n * n - col("__gsq")) / 4.0
+    val v1 = (n * (n - 1.0) * (n * 2.0 + 5.0) -
+      col("__g25") - col("__t25")) / 72.0
+    // factors multiply in DOUBLE: the long product overflows at
+    // scale (g3·t3 ~ n³·t³), and since each factor is < 2^53 the
+    // double·double product rounds the exact value to the same
+    // nearest double as DuckDB's HUGEINT-product-then-cast
+    val v2 = (col("__g3").cast("double") *
+        col("__t3").cast("double")) /
+      (n * (n - 1.0) * (n - 2.0) * 36.0)
+    val v3 = (col("__g2").cast("double") *
+        col("__t2").cast("double")) /
+      (n * (n - 1.0) * 8.0)
+    val vr = v1 + v2 + v3
+    val z = (col("__jt") - e) / sqrt(vr)
+    one.select(
+      col("n").cast("bigint").as("n"),
+      col("k").cast("bigint").as("k"),
+      round(col("__jt"), 6).as("jt_stat"),
+      round(e, 6).as("e_jt"),
+      round(vr, 6).as("var_jt"),
+      round(when(vr > 0.0, z), 6).as("z"),
+      when(vr > 0.0, abs(z) > 1.96).otherwise(lit(false))
+        .as("sig_95"))
+  }
+
+  /** DuckDB oracle for [[jonckheere]] on the customer balance-band
+    * → per-customer order-count fixture (bands: <0, <5000, rest;
+    * customers without orders count 0). */
+  val jonckheereOracleSql: String =
+    """WITH gv AS (
+      |  SELECT CASE WHEN c.c_acctbal < 0 THEN 0
+      |           WHEN c.c_acctbal < 5000 THEN 1 ELSE 2 END AS g,
+      |    COUNT(o.o_orderkey) AS v
+      |  FROM customer c LEFT JOIN orders o
+      |    ON o.o_custkey = c.c_custkey
+      |  GROUP BY c.c_custkey, 1),
+      |hist AS (
+      |  SELECT g, v, COUNT(*) AS c FROM gv GROUP BY 1, 2),
+      |u AS (
+      |  SELECT SUM(CASE
+      |      WHEN a.v < b.v THEN CAST(a.c * b.c AS DOUBLE)
+      |      WHEN a.v = b.v THEN (a.c * b.c) / 2.0
+      |      ELSE 0.0 END) AS jt
+      |  FROM hist a JOIN hist b ON a.g < b.g),
+      |pg AS (
+      |  SELECT SUM(ng) AS n, COUNT(*) AS k,
+      |    SUM(ng * (ng - 1) * (ng * 2 + 5)) AS g25,
+      |    SUM(ng * (ng - 1)) AS g2,
+      |    SUM(ng * (ng - 1) * (ng - 2)) AS g3,
+      |    SUM(ng * ng) AS gsq
+      |  FROM (SELECT g, SUM(c) AS ng FROM hist GROUP BY 1)),
+      |tt AS (
+      |  SELECT SUM(t * (t - 1) * (t * 2 + 5)) AS t25,
+      |    SUM(t * (t - 1)) AS t2,
+      |    SUM(t * (t - 1) * (t - 2)) AS t3
+      |  FROM (SELECT v, SUM(c) AS t FROM hist GROUP BY 1)),
+      |f AS (
+      |  SELECT u.jt, pg.*, tt.*,
+      |    CAST(pg.n AS DOUBLE) AS nd
+      |  FROM u CROSS JOIN pg CROSS JOIN tt),
+      |s AS (
+      |  SELECT *,
+      |    (nd * nd - gsq) / 4.0 AS e,
+      |    (nd * (nd - 1.0) * (nd * 2.0 + 5.0) - g25 - t25) / 72.0 +
+      |      CAST(g3 * t3 AS DOUBLE) /
+      |        (nd * (nd - 1.0) * (nd - 2.0) * 36.0) +
+      |      CAST(g2 * t2 AS DOUBLE) / (nd * (nd - 1.0) * 8.0) AS vr
+      |  FROM f)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+      |  ROUND(jt, 6) AS jt_stat,
+      |  ROUND(e, 6) AS e_jt,
+      |  ROUND(vr, 6) AS var_jt,
+      |  ROUND(CASE WHEN vr > 0 THEN (jt - e) / SQRT(vr) END, 6)
+      |    AS z,
+      |  CASE WHEN vr > 0 THEN ABS((jt - e) / SQRT(vr)) > 1.96
+      |    ELSE FALSE END AS sig_95
+      |FROM s""".stripMargin
 }
