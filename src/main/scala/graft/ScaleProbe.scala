@@ -464,7 +464,19 @@ object ScaleProbe {
       // probeMod ∝ N pins the probe-sample SIZE (production passes a
       // bounded probe set), so corpus growth is the only timed axis
       "knn_label_noise" -> (d => graft.operators.EmbeddingAudit
-        .knnLabelNoise(d, k = 10, probeMod = 7 * factorOf(d)).count()))
+        .knnLabelNoise(d, k = 10, probeMod = 7 * factorOf(d)).count()),
+      // the q241 covariance scan reduced to two trace sums — the
+      // pca_covariance shape with a 1-row tail
+      "participation" -> (d => graft.operators.Dimensionality
+        .participationRatio(d).count()),
+      // probeMod ∝ N pins the probe count (the knn_label_noise
+      // contract); timed axis = the broadcast N×|probes| dot pass
+      "twonn" -> (d => graft.operators.Dimensionality
+        .twoNN(d, probeMod = 7 * factorOf(d)).count()),
+      // queryMod ∝ N pins the query count; occurrence join + moment
+      // tail are corpus-linear
+      "hubness" -> (d => graft.operators.Dimensionality
+        .hubness(d, k = 10, queryMod = 5 * factorOf(d)).count()))
 
     // ---- event-input operators: amplified by shifting user/event ids
     // per copy — copies are DISJOINT users, so per-user sequence
@@ -656,7 +668,21 @@ object ScaleProbe {
       },
       // one per-user agg + k-treatment presence grid + 1-row factors
       "cochran_q" -> (d => graft.operators.Homogeneity.cochranQ(d,
-        col("user_id"), col("event_type")).count()))
+        col("user_id"), col("event_type")).count()),
+      // one per-user half-count agg + value-cardinality rank table
+      "signed_rank" -> (d => graft.operators.PairedTests
+        .signedRankHalves(d).count()),
+      // the pagerank Pregel shape with two half-steps per iteration;
+      // page universe is fixed, so only the edge build scales
+      "hits" -> (d => graft.operators.GraphRank
+        .navigationHits(spark, d).count()),
+      // one |units x items| grouped count + item/unit moment tails
+      "cronbach" -> (d => graft.operators.Reliability
+        .cronbachAlpha(d, col("user_id"), col("event_type")).count()),
+      // corpus work is one grouped daily count; the DP is
+      // calendar-bounded on the driver
+      "dtw" -> (d => graft.operators.TimeWarp
+        .dtwDaily(d, "view", "click").count()))
 
     (ops.map(o => (o._1, o._2, base, big)) ++
       embOps.map(o => (o._1, o._2, embBase, embBig)) ++

@@ -187,6 +187,39 @@ object SparkEntry {
       graft.operators.GraphRank.navigationHits(s,
         t(s, dir, "events"))),
 
+    // ---- Banded DTW between the view/click daily-count series:
+    //      elastic alignment distance where q228's CCF only sees
+    //      fixed lags; integer-exact DP, oracle replays it with one
+    //      materialized CTE per anti-diagonal ----
+    "q361_dtw" -> ((s, dir) =>
+      graft.operators.TimeWarp.dtwDaily(t(s, dir, "events"),
+        "view", "click")),
+
+    // ---- TOST equivalence: the "is B the SAME as A within ±10%"
+    //      verdict q248's non-significant t cannot give ----
+    "q362_tost" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(sum("value").as("m"))
+      graft.operators.Experiment.tostEquivalence(u,
+        col("user_id") % 2 === 1, col("m"))
+    }),
+
+    // ---- First-order partial correlation: price↔quantity with
+    //      discount held constant — the confounder check q243's
+    //      pairwise matrix can't make ----
+    "q363_partial_corr" -> ((s, dir) =>
+      graft.quality.Correlation.partialCorrelation(
+        t(s, dir, "lineitem"),
+        "l_extendedprice", "l_quantity", "l_discount")),
+
+    // ---- Cronbach's alpha over per-user event-type counts: is
+    //      "engagement" one trait — the justification behind q69's
+    //      composite profiles ----
+    "q364_cronbach_alpha" -> ((s, dir) =>
+      graft.operators.Reliability.cronbachAlpha(
+        t(s, dir, "events"), col("user_id"), col("event_type"))),
+
     // ---- Per-type OLS trend with inference: slope/intercept/r²/t on
     //      daily revenue vs day index — the parametric counterpart to
     //      q236's Theil–Sen; closed-form moments, never a residual
@@ -4009,6 +4042,19 @@ object SparkEntry {
     "q360_hits" ->
       graft.operators.GraphRank.hitsOracleSql(),
 
+    "q361_dtw" ->
+      graft.operators.TimeWarp.dtwOracleSql("view", "click"),
+
+    "q362_tost" ->
+      graft.operators.Experiment.tostOracleSql,
+
+    "q363_partial_corr" ->
+      graft.quality.Correlation.partialCorrelationOracleSql(
+        "lineitem", "l_extendedprice", "l_quantity", "l_discount"),
+
+    "q364_cronbach_alpha" ->
+      graft.operators.Reliability.cronbachOracleSql,
+
     "q201_sequence_pack" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -7240,6 +7286,14 @@ object SparkEntry {
     "q359_jonckheere" -> Seq("n#", "k#", "jt_stat*", "e_jt*",
       "var_jt*", "z*", "sig_95"),
     "q360_hits" -> Seq("page#", "hub*", "auth*"),
+    "q361_dtw" -> Seq("n_days#", "band#", "dtw_distance#",
+      "dtw_per_day*"),
+    "q362_tost" -> Seq("n_a#", "n_b#", "mean_a*", "mean_b*",
+      "lift*", "margin*", "t_lower*", "t_upper*", "equivalent"),
+    "q363_partial_corr" -> Seq("n#", "r_xy*", "r_xz*", "r_yz*",
+      "r_xy_z*"),
+    "q364_cronbach_alpha" -> Seq("n_units#", "k_items#",
+      "sum_item_var*", "total_var*", "alpha*"),
     "q140_bpe_train" -> Seq("rank#", "left", "right", "merged",
       "cnt#"),
     "q162_mmr_rerank" -> Seq("query_id#", "neighbor_id#",

@@ -1313,4 +1313,76 @@ object Experiment {
       |    THEN CAST(n_01 - n_10 AS DOUBLE) * (n_01 - n_10)
       |      / (n_01 + n_10) ELSE 0.0 END > 3.841459 AS sig_95
       |FROM cells""".stripMargin
+
+  /** TOST equivalence test (Schuirmann, J. Pharmacokinet. 1987) —
+    * the question [[welchTTest]] CANNOT answer: "is B the same as A
+    * within ±margin?" A non-significant t is NOT evidence of
+    * equivalence (absence of evidence); TOST runs two one-sided
+    * tests against the margin bounds and declares equivalence only
+    * when BOTH reject — the standard A/B guardrail for "the refactor
+    * changed nothing". Margin δ = `marginFrac`·|mean_a| (relative,
+    * the practical convention); Welch standard error; normal
+    * critical value 1.6449 (z approximation, same regime as the
+    * panel's other large-n tests). One row `(n_a, n_b, mean_a,
+    * mean_b, lift, margin, t_lower, t_upper, equivalent)`.
+    *
+    * Same single-pass moment dataflow as [[welchTTest]]. */
+  def tostEquivalence(units: DataFrame, variant: Column,
+      metric: Column, marginFrac: Double = 0.1): DataFrame = {
+    val g = units.select(variant.as("__b"), metric.cast("double").as("__m"))
+      .where(col("__b").isNotNull && col("__m").isNotNull)
+      .groupBy()
+      .agg(
+        sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"),
+        avg(when(!col("__b"), col("__m"))).as("__ma"),
+        avg(when(col("__b"), col("__m"))).as("__mb"),
+        var_samp(when(!col("__b"), col("__m"))).as("__va"),
+        var_samp(when(col("__b"), col("__m"))).as("__vb"))
+    val se = sqrt(col("__va") / col("n_a") + col("__vb") / col("n_b"))
+    val diff = col("__mb") - col("__ma")
+    val margin = abs(col("__ma")) * marginFrac
+    val tl = (diff + margin) / se
+    val tu = (margin - diff) / se
+    g.select(
+      col("n_a"), col("n_b"),
+      round(col("__ma"), 6).as("mean_a"),
+      round(col("__mb"), 6).as("mean_b"),
+      round(diff, 6).as("lift"),
+      round(margin, 6).as("margin"),
+      round(tl, 6).as("t_lower"),
+      round(tu, 6).as("t_upper"),
+      (tl > 1.6448536269514722 && tu > 1.6448536269514722)
+        .as("equivalent"))
+  }
+
+  /** DuckDB oracle for [[tostEquivalence]] on the q248 per-user
+    * purchase-value fixture (variant = odd user id, margin 10%). */
+  val tostOracleSql: String =
+    """WITH u AS (
+      |  SELECT user_id % 2 = 1 AS b, SUM(value) AS m
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id),
+      |g AS (
+      |  SELECT
+      |    SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS n_a,
+      |    SUM(CASE WHEN b THEN 1 ELSE 0 END) AS n_b,
+      |    AVG(CASE WHEN NOT b THEN m END) AS ma,
+      |    AVG(CASE WHEN b THEN m END) AS mb,
+      |    VAR_SAMP(CASE WHEN NOT b THEN m END) AS va,
+      |    VAR_SAMP(CASE WHEN b THEN m END) AS vb
+      |  FROM u),
+      |f AS (
+      |  SELECT *, SQRT(va / n_a + vb / n_b) AS se,
+      |    mb - ma AS diff, ABS(ma) * 0.1 AS margin
+      |  FROM g)
+      |SELECT CAST(n_a AS BIGINT) AS n_a,
+      |  CAST(n_b AS BIGINT) AS n_b,
+      |  ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+      |  ROUND(diff, 6) AS lift, ROUND(margin, 6) AS margin,
+      |  ROUND((diff + margin) / se, 6) AS t_lower,
+      |  ROUND((margin - diff) / se, 6) AS t_upper,
+      |  (diff + margin) / se > 1.6448536269514722 AND
+      |    (margin - diff) / se > 1.6448536269514722 AS equivalent
+      |FROM f""".stripMargin
 }

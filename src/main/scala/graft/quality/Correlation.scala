@@ -159,4 +159,71 @@ object Correlation {
       |      CAST(COUNT(*) - SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END)
       |        AS DOUBLE)), 6) AS tau_b
       |FROM p""".stripMargin
+
+  /** First-order partial correlation r_xy·z (Fisher's recursion) —
+    * the association between x and y with z HELD CONSTANT:
+    * r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)). The
+    * confounder check the q243 pairwise matrix can't make: quantity
+    * and revenue may correlate only because discount drives both;
+    * this is the single number that says so. One row `(n, r_xy,
+    * r_xz, r_yz, r_xy_z)`, NULL when either conditioning leg is
+    * (numerically) perfect.
+    *
+    * Scale shape: rows with a NULL in any leg drop once (listwise,
+    * the textbook convention), then ONE aggregate pass computing the
+    * three `corr`s — no ranks, no joins. */
+  def partialCorrelation(df: DataFrame, x: String, y: String,
+      z: String): DataFrame = {
+    val d = df
+      .select(col(x).cast("double").as("__x"),
+        col(y).cast("double").as("__y"),
+        col(z).cast("double").as("__z"))
+      .where(col("__x").isNotNull && col("__y").isNotNull &&
+        col("__z").isNotNull)
+    // the recursion runs on the 6-ROUNDED legs: the q243 gate proves
+    // the rounded corrs match across engines, so deriving from them
+    // keeps the output bit-stable (unrounded corr accumulators are
+    // each engine's own streaming-moment implementation)
+    val g = d.agg(
+      count(lit(1)).as("n"),
+      round(corr(col("__x"), col("__y")), 6).as("__rxy"),
+      round(corr(col("__x"), col("__z")), 6).as("__rxz"),
+      round(corr(col("__y"), col("__z")), 6).as("__ryz"))
+    val den = sqrt((lit(1.0) - col("__rxz") * col("__rxz")) *
+      (lit(1.0) - col("__ryz") * col("__ryz")))
+    g.select(
+      col("n"),
+      col("__rxy").as("r_xy"),
+      col("__rxz").as("r_xz"),
+      col("__ryz").as("r_yz"),
+      round(when(den > 0.0,
+        (col("__rxy") - col("__rxz") * col("__ryz")) / den), 6)
+        .as("r_xy_z"))
+  }
+
+  /** DuckDB oracle for [[partialCorrelation]] on a named table. */
+  def partialCorrelationOracleSql(table: String, x: String,
+      y: String, z: String): String =
+    s"""WITH d AS (
+       |  SELECT CAST($x AS DOUBLE) AS x, CAST($y AS DOUBLE) AS y,
+       |    CAST($z AS DOUBLE) AS z
+       |  FROM $table
+       |  WHERE $x IS NOT NULL AND $y IS NOT NULL
+       |    AND $z IS NOT NULL),
+       |g AS (
+       |  SELECT COUNT(*) AS n,
+       |    ROUND(corr(x, y), 6) AS rxy,
+       |    ROUND(corr(x, z), 6) AS rxz,
+       |    ROUND(corr(y, z), 6) AS ryz
+       |  FROM d)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  rxy AS r_xy,
+       |  rxz AS r_xz,
+       |  ryz AS r_yz,
+       |  ROUND(CASE WHEN SQRT((1.0 - rxz * rxz) *
+       |      (1.0 - ryz * ryz)) > 0
+       |    THEN (rxy - rxz * ryz) /
+       |      SQRT((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) END, 6)
+       |    AS r_xy_z
+       |FROM g""".stripMargin
 }
