@@ -233,9 +233,11 @@ object PlanAudit {
     // HITS: per-iteration 1-row L1-normalizer factors (q150 shape)
     "q360_hits",
     // TOST: the q248 1-row moment frame (no joins, but the margin
-    // rides the same single-agg shape); cronbach: item-count and
-    // unit-count 1-row stat factors
-    "q362_tost", "q364_cronbach_alpha")
+    // rides the same single-agg shape); cronbach (batch + stream
+    // face): item-count and unit-count 1-row stat factors
+    "q362_tost", "q364_cronbach_alpha", "q365_stream_cronbach",
+    // Mood's median: the grand-median and totals 1-row stat factors
+    "q366_mood_median")
 
   /** Oracled queries ALLOWED to emit round()-produced double output
     * columns — FROZEN at the round-12 inventory. Every one is proven

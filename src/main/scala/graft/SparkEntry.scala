@@ -220,6 +220,41 @@ object SparkEntry {
       graft.operators.Reliability.cronbachAlpha(
         t(s, dir, "events"), col("user_id"), col("event_type"))),
 
+    // ---- Streaming engagement-reliability monitor: per-batch
+    //      (user, type) cell increments folded replay-safe; additive
+    //      cells, so the q364 batch oracle applies verbatim ----
+    "q365_stream_cronbach" -> ((s, dir) => {
+      val root = graft.util.TempDirs.create("graft_q365")
+      graft.streaming.EngagementMatrix.monitor(s, dir,
+        "events.parquet", root.resolve("matrix").toString,
+        root.resolve("ckpt").toString)
+      graft.streaming.EngagementMatrix.dashboard(s,
+        root.resolve("matrix").toString)
+    }),
+
+    // ---- Mood's median test: the outlier-proof k-sample location
+    //      check beside q290's Kruskal-Wallis ----
+    "q366_mood_median" -> ((s, dir) =>
+      graft.operators.Homogeneity.moodMedian(t(s, dir, "orders"),
+        col("o_orderpriority"), col("o_totalprice"))),
+
+    // ---- Cohen's h on per-user conversion: effect size in
+    //      power-analysis units beside q255's SRM chi-square ----
+    "q367_cohens_h" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg((max(when(col("event_type") === "purchase", 1)
+          .otherwise(0)) === 1).as("s"))
+      graft.operators.Experiment.cohensH(u,
+        col("user_id") % 2 === 1, col("s"))
+    }),
+
+    // ---- Jarque-Bera normality: the one-row audit behind every
+    //      ±1.96σ readout the monitoring tier emits ----
+    "q368_jarque_bera" -> ((s, dir) =>
+      graft.operators.Normality.jarqueBera(t(s, dir, "orders"),
+        col("o_totalprice"))),
+
     // ---- Per-type OLS trend with inference: slope/intercept/r²/t on
     //      daily revenue vs day index — the parametric counterpart to
     //      q236's Theil–Sen; closed-form moments, never a residual
@@ -4055,6 +4090,21 @@ object SparkEntry {
     "q364_cronbach_alpha" ->
       graft.operators.Reliability.cronbachOracleSql,
 
+    // additive cells: the stream dashboard re-aggregates to exactly
+    // the batch input, so the q364 oracle applies verbatim
+    "q365_stream_cronbach" ->
+      graft.operators.Reliability.cronbachOracleSql,
+
+    "q366_mood_median" ->
+      graft.operators.Homogeneity.moodMedianOracleSql,
+
+    "q367_cohens_h" ->
+      graft.operators.Experiment.cohensHOracleSql,
+
+    "q368_jarque_bera" ->
+      graft.operators.Normality.jarqueBeraOracleSql(
+        "orders", "o_totalprice"),
+
     "q201_sequence_pack" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -7294,6 +7344,14 @@ object SparkEntry {
       "r_xy_z*"),
     "q364_cronbach_alpha" -> Seq("n_units#", "k_items#",
       "sum_item_var*", "total_var*", "alpha*"),
+    "q365_stream_cronbach" -> Seq("n_units#", "k_items#",
+      "sum_item_var*", "total_var*", "alpha*"),
+    "q366_mood_median" -> Seq("n#", "k#", "n_above#", "chi2*",
+      "df#", "sig_95"),
+    "q367_cohens_h" -> Seq("n_a#", "n_b#", "conv_a#", "conv_b#",
+      "p_a*", "p_b*", "h*", "magnitude"),
+    "q368_jarque_bera" -> Seq("n#", "mean*", "skewness*",
+      "kurtosis*", "jb*", "sig_95"),
     "q140_bpe_train" -> Seq("rank#", "left", "right", "merged",
       "cnt#"),
     "q162_mmr_rerank" -> Seq("query_id#", "neighbor_id#",

@@ -1356,6 +1356,75 @@ object Experiment {
         .as("equivalent"))
   }
 
+  /** Cohen's h effect size for two proportions (Cohen, "Statistical
+    * Power Analysis" 1988 §6.2): h = 2·arcsin√p₁ − 2·arcsin√p₂ on
+    * the variance-stabilizing arcsine scale — the number that makes
+    * 1% vs 2% (huge) and 50% vs 51% (negligible) commensurable,
+    * which a raw difference never is. The proportions panel's
+    * counterpart of Cliff's δ (q348): q255's SRM χ² says WHETHER the
+    * split is off, h says HOW MUCH in power-analysis units, read
+    * against Cohen's 0.2/0.5/0.8 bands. One row `(n_a, n_b, conv_a,
+    * conv_b, p_a, p_b, h, magnitude)`.
+    *
+    * ONE grouped count pass; everything else is closed-form. */
+  def cohensH(units: DataFrame, variant: Column,
+      success: Column): DataFrame = {
+    val g = units.select(variant.as("__b"), success.as("__s"))
+      .where(col("__b").isNotNull && col("__s").isNotNull)
+      .agg(
+        sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("__b") && col("__s"), 1L).otherwise(0L))
+          .as("conv_a"),
+        sum(when(col("__b") && col("__s"), 1L).otherwise(0L))
+          .as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val h = asin(sqrt(pa)) * 2.0 - asin(sqrt(pb)) * 2.0
+    g.select(
+      col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      round(pa, 6).as("p_a"),
+      round(pb, 6).as("p_b"),
+      round(h, 6).as("h"),
+      when(abs(h) < 0.2, "negligible")
+        .when(abs(h) < 0.5, "small")
+        .when(abs(h) < 0.8, "medium")
+        .otherwise("large").as("magnitude"))
+  }
+
+  /** DuckDB oracle for [[cohensH]] on per-user purchase conversion
+    * (variant = odd user id). */
+  val cohensHOracleSql: String =
+    """WITH u AS (
+      |  SELECT user_id % 2 = 1 AS b,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      = 1 AS s
+      |  FROM events GROUP BY user_id),
+      |g AS (
+      |  SELECT
+      |    SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS n_a,
+      |    SUM(CASE WHEN b THEN 1 ELSE 0 END) AS n_b,
+      |    SUM(CASE WHEN NOT b AND s THEN 1 ELSE 0 END) AS conv_a,
+      |    SUM(CASE WHEN b AND s THEN 1 ELSE 0 END) AS conv_b
+      |  FROM u),
+      |f AS (
+      |  SELECT *, CAST(conv_a AS DOUBLE) / n_a AS pa,
+      |    CAST(conv_b AS DOUBLE) / n_b AS pb
+      |  FROM g),
+      |h AS (
+      |  SELECT *, ASIN(SQRT(pa)) * 2.0 - ASIN(SQRT(pb)) * 2.0 AS hh
+      |  FROM f)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(conv_a AS BIGINT) AS conv_a,
+      |  CAST(conv_b AS BIGINT) AS conv_b,
+      |  ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
+      |  ROUND(hh, 6) AS h,
+      |  CASE WHEN ABS(hh) < 0.2 THEN 'negligible'
+      |    WHEN ABS(hh) < 0.5 THEN 'small'
+      |    WHEN ABS(hh) < 0.8 THEN 'medium'
+      |    ELSE 'large' END AS magnitude
+      |FROM h""".stripMargin
+
   /** DuckDB oracle for [[tostEquivalence]] on the q248 per-user
     * purchase-value fixture (variant = odd user id, margin 10%). */
   val tostOracleSql: String =

@@ -368,6 +368,87 @@ object Homogeneity {
       |    END) END AS sig_95
       |FROM f""".stripMargin
 
+  /** Mood's median test (Mood, "Introduction to the Theory of
+    * Statistics" 1950 §16.4): a χ² on the k×2 table of
+    * above-grand-median counts — the BLUNTEST k-sample location test,
+    * which is exactly its use: it survives arbitrary outliers and
+    * wildly unequal variances that bias Kruskal–Wallis's rank sums
+    * (KW assumes similar shapes; this assumes nothing but the
+    * median). One row `(n, k, n_above, chi2, df, sig_95)`.
+    *
+    * Scale shape: one exact grouped median (broadcast 1-row factor),
+    * one grouped above/below count, a k-row χ² reduction. Both
+    * engines compute the SAME interpolated median (the
+    * [[brownForsythe]] precedent), so the above/≤ classification is
+    * identical. */
+  def moodMedian(df: DataFrame, group: Column,
+      metric: Column): DataFrame = {
+    val gv = df.select(group.as("g"), metric.cast("double").as("x"))
+      .where(col("g").isNotNull && col("x").isNotNull)
+    val med = gv.agg(median(col("x")).as("__med"))
+    val perG = gv.crossJoin(broadcast(med))   // 1-row stat factor
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_g"),
+        sum(when(col("x") > col("__med"), 1L).otherwise(0L))
+          .as("a_g"))
+    val tot = perG.agg(sum("n_g").as("__n"), sum("a_g").as("__a"))
+    val cells = perG.crossJoin(broadcast(tot))   // 1-row stat factor
+    val p = col("__a").cast("double") / col("__n")
+    val ea = col("n_g") * p
+    val eb = col("n_g") * (lit(1.0) - p)
+    val term = pow(col("a_g") - ea, 2) / ea +
+      pow((col("n_g") - col("a_g")) - eb, 2) / eb
+    val s = cells.agg(first("__n").as("__n"), first("__a").as("__a"),
+      count(lit(1)).as("k"), sum(term).as("__chi2"))
+    s.select(
+      col("__n").cast("bigint").as("n"),
+      col("k").cast("bigint").as("k"),
+      col("__a").cast("bigint").as("n_above"),
+      round(col("__chi2"), 6).as("chi2"),
+      (col("k") - 1).cast("bigint").as("df"),
+      when(col("k") >= 2,
+        col("__chi2") > chi2Crit95(col("k") - 1))
+        .otherwise(lit(false)).as("sig_95"))
+  }
+
+  /** DuckDB oracle for [[moodMedian]] on orders
+    * (group = o_orderpriority, metric = o_totalprice). */
+  val moodMedianOracleSql: String =
+    """WITH gv AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(o_totalprice AS DOUBLE) AS x
+      |  FROM orders
+      |  WHERE o_orderpriority IS NOT NULL
+      |    AND o_totalprice IS NOT NULL),
+      |med AS (SELECT MEDIAN(x) AS med FROM gv),
+      |per_g AS (
+      |  SELECT g, COUNT(*) AS n_g,
+      |    SUM(CASE WHEN x > med THEN 1 ELSE 0 END) AS a_g
+      |  FROM gv CROSS JOIN med GROUP BY 1),
+      |tot AS (SELECT SUM(n_g) AS n, SUM(a_g) AS a FROM per_g),
+      |s AS (
+      |  SELECT ANY_VALUE(n) AS n, ANY_VALUE(a) AS a,
+      |    COUNT(*) AS k,
+      |    SUM(POW(a_g - n_g * (CAST(a AS DOUBLE) / n), 2) /
+      |        (n_g * (CAST(a AS DOUBLE) / n)) +
+      |      POW((n_g - a_g) - n_g * (1.0 - CAST(a AS DOUBLE) / n), 2)
+      |        / (n_g * (1.0 - CAST(a AS DOUBLE) / n))) AS chi2
+      |  FROM per_g CROSS JOIN tot)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+      |  CAST(a AS BIGINT) AS n_above,
+      |  ROUND(chi2, 6) AS chi2,
+      |  CAST(k - 1 AS BIGINT) AS df,
+      |  CASE WHEN k >= 2 THEN chi2 > (CASE CAST(k - 1 AS INT)
+      |    WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465
+      |    WHEN 3 THEN 7.814728 WHEN 4 THEN 9.487729
+      |    WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587
+      |    WHEN 7 THEN 14.067140 WHEN 8 THEN 15.507313
+      |    WHEN 9 THEN 16.918978 WHEN 10 THEN 18.307038
+      |    ELSE (k - 1) * POW(1.0 - 2.0 / (9.0 * (k - 1)) +
+      |      1.6448536269514722 * SQRT(2.0 / (9.0 * (k - 1))), 3)
+      |    END) ELSE FALSE END AS sig_95
+      |FROM s""".stripMargin
+
   /** Jonckheere–Terpstra ordered-alternative test (Jonckheere,
     * Biometrika 1954): against Kruskal–Wallis's "some group
     * differs", JT tests the DIRECTIONAL hypothesis that the metric

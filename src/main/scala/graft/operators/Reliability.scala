@@ -30,11 +30,19 @@ object Reliability {
     * exact integer moments. α is NULL for k < 2 or zero total
     * variance. */
   def cronbachAlpha(df: DataFrame, unit: Column,
-      item: Column): DataFrame = {
-    val cells = df
+      item: Column): DataFrame =
+    cronbachFromCells(df
       .where(unit.isNotNull && item.isNotNull)
       .groupBy(unit.as("u"), item.as("i"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
+
+  /** [[cronbachAlpha]] from a pre-aggregated `(u, i, c)` cell frame —
+    * the entry point the STREAMING face re-aggregates into (cell
+    * counts are additive across micro-batches, so the incremental
+    * table replays to exactly this input and the batch oracle
+    * applies verbatim). */
+  def cronbachFromCells(cellsIn: DataFrame): DataFrame = {
+    val cells = cellsIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nUnits = cells.select(countDistinct("u").as("n"))
     // per-item moments over the OBSERVED cells; absent = 0 adds
