@@ -403,7 +403,7 @@ object GraphRank {
     }
 
     val out = nodes.join(hub, Seq("page")).join(auth, Seq("page"))
-      .select(col("page"),
+      .select(col("page").cast("bigint").as("page"),
         round(col("hub"), 6).as("hub"),
         round(col("auth"), 6).as("auth"))
       .orderBy("page")

@@ -95,13 +95,13 @@ class PairedTestsSpec extends AnyFunSuite {
     val edges = Seq((1, 5, 10L), (2, 5, 10L), (3, 5, 10L),
       (4, 5, 10L), (5, 6, 1L)).toDF("src", "dst", "w")
     val r = GraphRank.hits(spark, edges).collect()
-      .map(x => x.getInt(0) -> (x.getDouble(1), x.getDouble(2)))
+      .map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2)))
       .toMap
     val maxAuth = r.maxBy(_._2._2)
-    assert(maxAuth._1 == 5, s"authority should be 5: $r")
+    assert(maxAuth._1 == 5L, s"authority should be 5: $r")
     // spokes are (equal) top hubs
     val hubs = r.filter(_._2._1 == r.values.map(_._1).max).keySet
-    assert(hubs == Set(1, 2, 3, 4), s"hubs=$hubs")
+    assert(hubs == Set(1L, 2L, 3L, 4L), s"hubs=$hubs")
     // L1 normalization: scores sum to ~1 on each side
     assert(math.abs(r.values.map(_._1).sum - 1.0) < 1e-3)
     assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-3)
