@@ -255,6 +255,39 @@ object SparkEntry {
       graft.operators.Normality.jarqueBera(t(s, dir, "orders"),
         col("o_totalprice"))),
 
+    // ---- Wald IV estimator: intent-to-treat lift rescaled by the
+    //      first stage — the causal number when exposure (clicking)
+    //      is self-selected but assignment is the instrument ----
+    "q369_iv_wald" -> ((s, dir) => {
+      val u = t(s, dir, "events").groupBy("user_id").agg(
+        max(when(col("event_type") === "click", 1).otherwise(0))
+          .cast("double").as("x"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          col("value"))), lit(0.0)).as("y"))
+      graft.operators.CausalPanel.ivWald(u,
+        col("user_id") % 2 === 1, col("x"), col("y"))
+    }),
+
+    // ---- Cox proportional hazards (binary covariate, Breslow
+    //      ties): the hazard RATIO q251's log-rank only tests;
+    //      Newton replayed step-for-step by the oracle ----
+    "q370_cox_ph" -> ((s, dir) =>
+      graft.operators.CoxPh.fit(t(s, dir, "events"))),
+
+    // ---- Mantel-Haenszel pooled OR + CMH chi-square over the q344
+    //      strata: after Simpson's paradox is flagged, the
+    //      within-stratum effect ----
+    "q371_mantel_haenszel" -> ((s, dir) => {
+      val pu = t(s, dir, "events").groupBy("user_id").agg(
+        count(lit(1)).as("n_ev"),
+        (max(when(col("event_type") === "purchase", 1)
+          .otherwise(0)) === 1).as("y"))
+      graft.operators.CausalPanel.mantelHaenszel(pu,
+        when(col("n_ev") <= 62, "low")
+          .when(col("n_ev") <= 70, "mid").otherwise("high"),
+        col("user_id") % 2 === 1, col("y"))
+    }),
+
     // ---- Per-type OLS trend with inference: slope/intercept/r²/t on
     //      daily revenue vs day index — the parametric counterpart to
     //      q236's Theil–Sen; closed-form moments, never a residual
@@ -4105,6 +4138,15 @@ object SparkEntry {
       graft.operators.Normality.jarqueBeraOracleSql(
         "orders", "o_totalprice"),
 
+    "q369_iv_wald" ->
+      graft.operators.CausalPanel.ivWaldOracleSql,
+
+    "q370_cox_ph" ->
+      graft.operators.CoxPh.oracleSql,
+
+    "q371_mantel_haenszel" ->
+      graft.operators.CausalPanel.mantelHaenszelOracleSql,
+
     "q201_sequence_pack" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -7352,6 +7394,12 @@ object SparkEntry {
       "p_a*", "p_b*", "h*", "magnitude"),
     "q368_jarque_bera" -> Seq("n#", "mean*", "skewness*",
       "kurtosis*", "jb*", "sig_95"),
+    "q369_iv_wald" -> Seq("n_z0#", "n_z1#", "itt*", "first_stage*",
+      "late*"),
+    "q370_cox_ph" -> Seq("n#", "n_events#", "n_treated#", "beta*",
+      "hazard_ratio*", "se*", "z*", "sig_95"),
+    "q371_mantel_haenszel" -> Seq("n#", "k_strata#", "or_mh*",
+      "cmh_chi2*", "sig_95"),
     "q140_bpe_train" -> Seq("rank#", "left", "right", "merged",
       "cnt#"),
     "q162_mmr_rerank" -> Seq("query_id#", "neighbor_id#",
