@@ -237,7 +237,9 @@ object PlanAudit {
     // face): item-count and unit-count 1-row stat factors
     "q362_tost", "q364_cronbach_alpha", "q365_stream_cronbach",
     // Mood's median: the grand-median and totals 1-row stat factors
-    "q366_mood_median")
+    "q366_mood_median",
+    // modularity: the total-edge-weight 1-row stat factor
+    "q372_modularity")
 
   /** Oracled queries ALLOWED to emit round()-produced double output
     * columns — FROZEN at the round-12 inventory. Every one is proven

@@ -288,6 +288,22 @@ object SparkEntry {
         col("user_id") % 2 === 1, col("y"))
     }),
 
+    // ---- Newman modularity of the page-section partition: do users
+    //      navigate within sections — the coherence check behind the
+    //      whole graph tier ----
+    "q372_modularity" -> ((s, dir) =>
+      graft.operators.GraphAudit.modularity(t(s, dir, "events"))),
+
+    // ---- Degree assortativity: hub-to-hub vs hub-to-leaf wiring of
+    //      the navigation graph ----
+    "q373_assortativity" -> ((s, dir) =>
+      graft.operators.GraphAudit.assortativity(t(s, dir, "events"))),
+
+    // ---- Edge/weight reciprocity: back-and-forth navigation vs
+    //      one-way funnels ----
+    "q374_reciprocity" -> ((s, dir) =>
+      graft.operators.GraphAudit.reciprocity(t(s, dir, "events"))),
+
     // ---- Per-type OLS trend with inference: slope/intercept/r²/t on
     //      daily revenue vs day index — the parametric counterpart to
     //      q236's Theil–Sen; closed-form moments, never a residual
@@ -4147,6 +4163,15 @@ object SparkEntry {
     "q371_mantel_haenszel" ->
       graft.operators.CausalPanel.mantelHaenszelOracleSql,
 
+    "q372_modularity" ->
+      graft.operators.GraphAudit.modularityOracleSql,
+
+    "q373_assortativity" ->
+      graft.operators.GraphAudit.assortativityOracleSql,
+
+    "q374_reciprocity" ->
+      graft.operators.GraphAudit.reciprocityOracleSql,
+
     "q201_sequence_pack" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -7400,6 +7425,13 @@ object SparkEntry {
       "hazard_ratio*", "se*", "z*", "sig_95"),
     "q371_mantel_haenszel" -> Seq("n#", "k_strata#", "or_mh*",
       "cmh_chi2*", "sig_95"),
+    "q372_modularity" -> Seq("n_nodes#", "n_communities#",
+      "m_weight*", "within_share*", "modularity*"),
+    "q373_assortativity" -> Seq("n_edges#", "r_assortativity*",
+      "mean_src_deg*", "mean_dst_deg*"),
+    "q374_reciprocity" -> Seq("n_edges#", "n_reciprocated#",
+      "w_total*", "w_reciprocated*", "edge_reciprocity*",
+      "weight_reciprocity*"),
     "q140_bpe_train" -> Seq("rank#", "left", "right", "merged",
       "cnt#"),
     "q162_mmr_rerank" -> Seq("query_id#", "neighbor_id#",
