@@ -239,7 +239,9 @@ object PlanAudit {
     // Mood's median: the grand-median and totals 1-row stat factors
     "q366_mood_median",
     // modularity: the total-edge-weight 1-row stat factor
-    "q372_modularity")
+    "q372_modularity",
+    // Lilliefors: the 1-row moment factor into the ECDF value table
+    "q375_lilliefors")
 
   /** Oracled queries ALLOWED to emit round()-produced double output
     * columns — FROZEN at the round-12 inventory. Every one is proven

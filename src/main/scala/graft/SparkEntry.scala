@@ -304,6 +304,23 @@ object SparkEntry {
     "q374_reciprocity" -> ((s, dir) =>
       graft.operators.GraphAudit.reciprocity(t(s, dir, "events"))),
 
+    // ---- Lilliefors ECDF normality: the whole-CDF complement of
+    //      q368's moment-based Jarque-Bera; Φ via the A&S 26.2.17
+    //      polynomial shared verbatim with the oracle ----
+    "q375_lilliefors" -> ((s, dir) =>
+      graft.operators.Normality.lilliefors(t(s, dir, "orders"),
+        col("o_totalprice"))),
+
+    // ---- Cohen's d / Hedges' g on the q248 fixture: the effect
+    //      size in pooled-SD units the Welch t-stat lacks ----
+    "q376_cohens_d" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(sum("value").as("m"))
+      graft.operators.Experiment.cohensD(u,
+        col("user_id") % 2 === 1, col("m"))
+    }),
+
     // ---- Per-type OLS trend with inference: slope/intercept/r²/t on
     //      daily revenue vs day index — the parametric counterpart to
     //      q236's Theil–Sen; closed-form moments, never a residual
@@ -4172,6 +4189,13 @@ object SparkEntry {
     "q374_reciprocity" ->
       graft.operators.GraphAudit.reciprocityOracleSql,
 
+    "q375_lilliefors" ->
+      graft.operators.Normality.lillieforsOracleSql(
+        "orders", "o_totalprice"),
+
+    "q376_cohens_d" ->
+      graft.operators.Experiment.cohensDOracleSql,
+
     "q201_sequence_pack" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -7432,6 +7456,10 @@ object SparkEntry {
     "q374_reciprocity" -> Seq("n_edges#", "n_reciprocated#",
       "w_total*", "w_reciprocated*", "edge_reciprocity*",
       "weight_reciprocity*"),
+    "q375_lilliefors" -> Seq("n#", "mean*", "sd*", "d_stat*",
+      "d_crit_95*", "sig_95"),
+    "q376_cohens_d" -> Seq("n_a#", "n_b#", "mean_a*", "mean_b*",
+      "pooled_sd*", "cohens_d*", "hedges_g*", "magnitude"),
     "q140_bpe_train" -> Seq("rank#", "left", "right", "merged",
       "cnt#"),
     "q162_mmr_rerank" -> Seq("query_id#", "neighbor_id#",

@@ -1356,6 +1356,88 @@ object Experiment {
         .as("equivalent"))
   }
 
+  /** Cohen's d standardized mean difference (Cohen 1988 §2.2) with
+    * Hedges' g small-sample correction (Hedges, J. Educ. Stat.
+    * 1981): the continuous-metric effect size beside [[cohensH]]
+    * (proportions) and Cliff's δ (ordinal) — [[welchTTest]] says the
+    * means differ, d says by how many pooled standard deviations,
+    * the unit meta-analyses and power calculations actually use.
+    * One row `(n_a, n_b, mean_a, mean_b, pooled_sd, cohens_d,
+    * hedges_g, magnitude)`.
+    *
+    * Same single-pass moment dataflow as [[welchTTest]]. */
+  def cohensD(units: DataFrame, variant: Column,
+      metric: Column): DataFrame = {
+    val g = units.select(variant.as("__b"), metric.cast("double").as("__m"))
+      .where(col("__b").isNotNull && col("__m").isNotNull)
+      .groupBy()
+      .agg(
+        sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"),
+        avg(when(!col("__b"), col("__m"))).as("__ma"),
+        avg(when(col("__b"), col("__m"))).as("__mb"),
+        var_samp(when(!col("__b"), col("__m"))).as("__va"),
+        var_samp(when(col("__b"), col("__m"))).as("__vb"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val sp = sqrt(((na - 1.0) * col("__va") + (nb - 1.0) *
+      col("__vb")) / (na + nb - 2.0))
+    val d = (col("__mb") - col("__ma")) / sp
+    val corr = lit(1.0) - lit(3.0) / ((na + nb) * 4.0 - 9.0)
+    g.select(
+      col("n_a"), col("n_b"),
+      round(col("__ma"), 6).as("mean_a"),
+      round(col("__mb"), 6).as("mean_b"),
+      round(sp, 6).as("pooled_sd"),
+      round(when(sp > 0.0, d), 6).as("cohens_d"),
+      round(when(sp > 0.0, d * corr), 6).as("hedges_g"),
+      when(abs(d) < 0.2, "negligible")
+        .when(abs(d) < 0.5, "small")
+        .when(abs(d) < 0.8, "medium")
+        .otherwise("large").as("magnitude"))
+  }
+
+  /** DuckDB oracle for [[cohensD]] on the q248 per-user
+    * purchase-value fixture (variant = odd user id). */
+  val cohensDOracleSql: String =
+    """WITH u AS (
+      |  SELECT user_id % 2 = 1 AS b, SUM(value) AS m
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id),
+      |g AS (
+      |  SELECT
+      |    SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS n_a,
+      |    SUM(CASE WHEN b THEN 1 ELSE 0 END) AS n_b,
+      |    AVG(CASE WHEN NOT b THEN m END) AS ma,
+      |    AVG(CASE WHEN b THEN m END) AS mb,
+      |    VAR_SAMP(CASE WHEN NOT b THEN m END) AS va,
+      |    VAR_SAMP(CASE WHEN b THEN m END) AS vb
+      |  FROM u),
+      |f AS (
+      |  SELECT *, CAST(n_a AS DOUBLE) AS na,
+      |    CAST(n_b AS DOUBLE) AS nb
+      |  FROM g),
+      |s AS (
+      |  SELECT *,
+      |    SQRT(((na - 1.0) * va + (nb - 1.0) * vb) /
+      |      (na + nb - 2.0)) AS sp
+      |  FROM f),
+      |d AS (
+      |  SELECT *, (mb - ma) / sp AS dd,
+      |    1.0 - 3.0 / ((na + nb) * 4.0 - 9.0) AS corr
+      |  FROM s)
+      |SELECT CAST(n_a AS BIGINT) AS n_a,
+      |  CAST(n_b AS BIGINT) AS n_b,
+      |  ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+      |  ROUND(sp, 6) AS pooled_sd,
+      |  ROUND(CASE WHEN sp > 0 THEN dd END, 6) AS cohens_d,
+      |  ROUND(CASE WHEN sp > 0 THEN dd * corr END, 6) AS hedges_g,
+      |  CASE WHEN ABS(dd) < 0.2 THEN 'negligible'
+      |    WHEN ABS(dd) < 0.5 THEN 'small'
+      |    WHEN ABS(dd) < 0.8 THEN 'medium'
+      |    ELSE 'large' END AS magnitude
+      |FROM d""".stripMargin
+
   /** Cohen's h effect size for two proportions (Cohen, "Statistical
     * Power Analysis" 1988 §6.2): h = 2·arcsin√p₁ − 2·arcsin√p₂ on
     * the variance-stabilizing arcsine scale — the number that makes

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Jarque–Bera normality test (Jarque & Bera, Economics Letters
@@ -45,6 +46,115 @@ object Normality {
       when(m2 > 0.0, jb > 5.991465).otherwise(lit(false))
         .as("sig_95"))
   }
+
+  /** Abramowitz & Stegun 26.2.17 standard-normal CDF as a Column —
+    * |error| < 7.5e-8, IDENTICAL polynomial on the oracle side, so
+    * both engines compute the same Φ to the last ulp-or-two. */
+  private def normCdf(z: Column): Column = {
+    val az = abs(z)
+    val t = lit(1.0) / (lit(1.0) + az * 0.2316419)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) +
+        t * lit(1.330274429)))))
+    val upper = exp(az * az * -0.5) * 0.3989422804014327 * poly
+    when(z >= 0.0, lit(1.0) - upper).otherwise(upper)
+  }
+
+  /** Lilliefors-style ECDF normality test (Lilliefors, JASA 1967):
+    * D = sup|ECDF(x) − Φ((x−x̄)/s)| with mean and sd ESTIMATED from
+    * the data — the composite-hypothesis case where the plain KS
+    * critical values are wrong, compared against Lilliefors'
+    * large-n 5% approximation 0.886/√n. The ECDF-based complement
+    * of [[jarqueBera]]: JB sees tails through moments (one outlier
+    * moves it), D sees the whole CDF shape. One row
+    * `(n, mean, sd, d_stat, d_crit_95, sig_95)`.
+    *
+    * Scale shape: one moment pass, then the sup over the VALUE-
+    * FREQUENCY table (distinct values, cumulative counts — the
+    * q178 KS recipe; both D⁺ and D⁻ corners of the step function).
+    * Φ via a fixed polynomial shared verbatim with the oracle. */
+  def lilliefors(df: DataFrame, metric: Column): DataFrame = {
+    val vals = df.select(metric.cast("double").as("x"))
+      .where(col("x").isNotNull)
+    val m = vals.agg(count(lit(1)).as("__n"), avg("x").as("__mu"),
+      stddev_samp(col("x")).as("__sd"))
+    val freq = vals.groupBy("x").agg(count(lit(1)).as("__c"))
+    val wCum = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ecdf = freq.withColumn("__cum", sum("__c").over(wCum))
+      .crossJoin(broadcast(m))   // 1-row moment factor
+    val n = col("__n").cast("double")
+    val phi = normCdf((col("x") - col("__mu")) / col("__sd"))
+    val dPlus = col("__cum") / n - phi
+    val dMinus = phi - (col("__cum") - col("__c")) / n
+    val s = ecdf.agg(first("__n").as("__n"), first("__mu").as("__mu"),
+      first("__sd").as("__sd"),
+      max(greatest(dPlus, dMinus)).as("__d"))
+    val crit = lit(0.886) / sqrt(col("__n").cast("double"))
+    s.select(
+      col("__n").cast("bigint").as("n"),
+      round(col("__mu"), 6).as("mean"),
+      round(col("__sd"), 6).as("sd"),
+      round(col("__d"), 6).as("d_stat"),
+      round(crit, 6).as("d_crit_95"),
+      (col("__d") > crit).as("sig_95"))
+  }
+
+  /** DuckDB oracle for [[lilliefors]] on a named table/metric. */
+  def lillieforsOracleSql(table: String, metric: String): String =
+    s"""WITH vals AS (
+       |  SELECT CAST($metric AS DOUBLE) AS x FROM $table
+       |  WHERE $metric IS NOT NULL),
+       |m AS (
+       |  SELECT COUNT(*) AS n, AVG(x) AS mu, STDDEV_SAMP(x) AS sd
+       |  FROM vals),
+       |freq AS (
+       |  SELECT x, COUNT(*) AS c FROM vals GROUP BY 1),
+       |ecdf AS (
+       |  SELECT x, c, SUM(c) OVER (ORDER BY x
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM freq),
+       |phi AS (
+       |  SELECT ecdf.*, m.n, m.mu, m.sd,
+       |    CASE WHEN (x - mu) / sd >= 0
+       |      THEN 1.0 - EXP(ABS((x - mu) / sd) *
+       |          ABS((x - mu) / sd) * -0.5) * 0.3989422804014327 *
+       |        ((1.0 / (1.0 + ABS((x - mu) / sd) * 0.2316419)) *
+       |         (0.319381530 +
+       |          (1.0 / (1.0 + ABS((x - mu) / sd) * 0.2316419)) *
+       |          (-0.356563782 +
+       |           (1.0 / (1.0 + ABS((x - mu) / sd) * 0.2316419)) *
+       |           (1.781477937 +
+       |            (1.0 / (1.0 + ABS((x - mu) / sd) * 0.2316419)) *
+       |            (-1.821255978 +
+       |             (1.0 / (1.0 + ABS((x - mu) / sd) * 0.2316419)) *
+       |             1.330274429)))))
+       |      ELSE EXP(ABS((x - mu) / sd) *
+       |          ABS((x - mu) / sd) * -0.5) * 0.3989422804014327 *
+       |        ((1.0 / (1.0 + ABS((x - mu) / sd) * 0.2316419)) *
+       |         (0.319381530 +
+       |          (1.0 / (1.0 + ABS((x - mu) / sd) * 0.2316419)) *
+       |          (-0.356563782 +
+       |           (1.0 / (1.0 + ABS((x - mu) / sd) * 0.2316419)) *
+       |           (1.781477937 +
+       |            (1.0 / (1.0 + ABS((x - mu) / sd) * 0.2316419)) *
+       |            (-1.821255978 +
+       |             (1.0 / (1.0 + ABS((x - mu) / sd) * 0.2316419)) *
+       |             1.330274429)))))
+       |      END AS p
+       |  FROM ecdf CROSS JOIN m),
+       |s AS (
+       |  SELECT ANY_VALUE(n) AS n, ANY_VALUE(mu) AS mu,
+       |    ANY_VALUE(sd) AS sd,
+       |    MAX(GREATEST(cum / CAST(n AS DOUBLE) - p,
+       |      p - (cum - c) / CAST(n AS DOUBLE))) AS d
+       |  FROM phi)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  ROUND(mu, 6) AS mean, ROUND(sd, 6) AS sd,
+       |  ROUND(d, 6) AS d_stat,
+       |  ROUND(0.886 / SQRT(CAST(n AS DOUBLE)), 6) AS d_crit_95,
+       |  d > 0.886 / SQRT(CAST(n AS DOUBLE)) AS sig_95
+       |FROM s""".stripMargin
 
   /** DuckDB oracle for [[jarqueBera]] on a named table/metric. */
   def jarqueBeraOracleSql(table: String, metric: String): String =

@@ -58,6 +58,40 @@ class NormalitySpec extends AnyFunSuite {
       s"sum12 jb=${rN.getDouble(4)} uniform jb=${rU.getDouble(4)}")
   }
 
+  test("lilliefors: uniform data is far from normal, sum-of-12 is close") {
+    def u(i: Int, s: Int) = {
+      var v = i.toLong * 2654435761L + s * -7046029254386353131L
+      v ^= v >>> 13; v *= 1274126177L; v ^= v >>> 16
+      (((v % 1000L) + 1000L) % 1000L) / 1000.0
+    }
+    val uniform = (0 until 2000).map(i => u(i, 1)).toDF("x")
+    val sum12 = (0 until 2000)
+      .map(i => (0 until 12).map(s => u(i, s)).sum - 6.0).toDF("x")
+    val rU = Normality.lilliefors(uniform, col("x")).collect()(0)
+    val rN = Normality.lilliefors(sum12, col("x")).collect()(0)
+    assert(rU.getBoolean(5), s"uniform D=${rU.getDouble(3)}")
+    assert(rN.getDouble(3) < rU.getDouble(3) / 2,
+      s"sum12 D=${rN.getDouble(3)} uniform D=${rU.getDouble(3)}")
+  }
+
+  test("cohens d: a one-pooled-sd shift reads d ~ 1") {
+    def units(shift: Double) = (0 until 800).map { i =>
+      val noise = (i % 41 - 20) / 20.0 * 1.732   // sd ~ 1
+      (i % 2 == 1, 10.0 + noise + (if (i % 2 == 1) shift else 0.0))
+    }
+    val d1 = Experiment.cohensD(units(1.0).toDF("b", "m"),
+      col("b"), col("m")).collect()(0)
+    val d0 = Experiment.cohensD(units(0.0).toDF("b", "m"),
+      col("b"), col("m")).collect()(0)
+    assert(math.abs(d1.getDouble(5) - 1.0) < 0.1,
+      s"d=${d1.getDouble(5)}")
+    assert(d1.getString(7) == "large")
+    assert(d0.getString(7) == "negligible")
+    // Hedges g only shrinks
+    assert(math.abs(d1.getDouble(6)) <=
+      math.abs(d1.getDouble(5)) + 1e-12)
+  }
+
   test("stream cronbach: two-batch fold equals the batch statistic") {
     val rows = (0 until 120).flatMap { u =>
       Seq("a", "b", "c").flatMap(it =>
