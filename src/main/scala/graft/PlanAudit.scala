@@ -59,8 +59,17 @@ object PlanAudit {
     "q162_mmr_rerank",
     // KM: the (max date, cohort size) pair is a 1-row stat factor;
     // log-rank adds the cohort-totals factor; CUPED's midpoint date
-    // is the same 1-row shape
+    // is the same 1-row shape; RMST and Gehan ride the identical
+    // risk-table construction (max-date/cohort-totals/area-total
+    // 1-row factors)
     "q247_kaplan_meier", "q251_log_rank", "q252_cuped", "q267_did",
+    "q379_rmst", "q380_gehan_wilcoxon",
+    // CvM: the (n_a, n_b, N) totals are the q178 KS-shape 1-row
+    // stat factor into the cumulative-ECDF table
+    "q378_cvm_twosample",
+    // Breusch–Pagan: the min-date origin is the q269/q281 1-row
+    // calendar factor (the OLS-diagnostics shared shape)
+    "q382_breusch_pagan",
     // segment lift: BH family-size 1-row factor (ksBySliceFdr shape);
     // quantile lift: |levels|-row broadcast quantile table
     "q256_segment_lift", "q257_quantile_lift",

@@ -321,6 +321,68 @@ object SparkEntry {
         col("user_id") % 2 === 1, col("m"))
     }),
 
+    // ---- Classic one-way ANOVA on order totals by priority: the
+    //      means-comparison member of the k-sample shelf (KW q290
+    //      ranks, Mood q366 medians, Brown–Forsythe q324 spreads) ----
+    "q377_oneway_anova" -> ((s, dir) =>
+      graft.operators.Anova.onewayF(t(s, dir, "orders"),
+        col("o_orderpriority"), col("o_totalprice"))),
+
+    // ---- Cramér–von Mises 2-sample on the q295 weekday/weekend
+    //      cohorts: integrated-squared-ECDF-gap drift, the mid-curve
+    //      complement to KS's sup-norm and AD's tail weighting ----
+    "q378_cvm_twosample" -> ((s, dir) =>
+      graft.operators.Drift.cvmTwoSample(t(s, dir, "events"),
+        dayofweek(col("ts")).isin(1, 7), col("value"))),
+
+    // ---- Restricted mean survival time: area under the q247 KM
+    //      curve to the last event day, with the Klein–Moeschberger
+    //      variance — expected active days per user ----
+    "q379_rmst" -> ((s, dir) =>
+      graft.operators.Survival.rmst(t(s, dir, "events"),
+        horizonDays = 1)),
+
+    // ---- Gehan–Breslow weighted log-rank on the q251 cohorts:
+    //      early-divergence-sensitive survival comparison ----
+    "q380_gehan_wilcoxon" -> ((s, dir) =>
+      graft.operators.Survival.gehanWilcoxon(t(s, dir, "events"),
+        col("user_id") % 2 === 1, horizonDays = 1)),
+
+    // ---- Atkinson inequality (ε = 0.5/1/2) of per-customer spend:
+    //      the welfare-weighted index beside Gini (q311) and
+    //      Theil (q326), each ε dialing tail sensitivity ----
+    "q381_atkinson" -> ((s, dir) =>
+      graft.operators.Inequality.atkinson(
+        t(s, dir, "orders").groupBy("o_custkey")
+          .agg(sum("o_totalprice").as("x")),
+        col("x"))),
+
+    // ---- Breusch–Pagan (Koenker) heteroskedasticity on the q269
+    //      per-type OLS residuals: the variance-constancy leg of the
+    //      OLS diagnostics (q281 DW covers independence) ----
+    "q382_breusch_pagan" -> ((s, dir) =>
+      graft.operators.Regression.breuschPagan(t(s, dir, "events"))),
+
+    // ---- D'Agostino–Pearson K² omnibus on order totals: the
+    //      finite-n refinement of q368's Jarque–Bera (Johnson-SU +
+    //      Anscombe–Glynn z-transforms before the χ²) ----
+    "q383_dagostino_k2" -> ((s, dir) =>
+      graft.operators.Normality.dagostinoK2(t(s, dir, "orders"),
+        col("o_totalprice"))),
+
+    // ---- Page's L ordered-alternative trend across weekdays within
+    //      event-type blocks: the ordered counterpart of q325's
+    //      Friedman ----
+    "q384_page_trend" -> ((s, dir) =>
+      graft.operators.Homogeneity.pageTrend(t(s, dir, "events"),
+        col("event_type"), dayofweek(col("ts")), col("value"))),
+
+    // ---- Sample entropy of the daily count series: the regularity
+    //      dial beside spectral entropy (q335) and ACF (q213);
+    //      tolerance snapped to the 6-decimal grid pre-comparison ----
+    "q385_sample_entropy" -> ((s, dir) =>
+      graft.operators.Anomaly.sampleEntropy(t(s, dir, "events"))),
+
     // ---- Per-type OLS trend with inference: slope/intercept/r²/t on
     //      daily revenue vs day index — the parametric counterpart to
     //      q236's Theil–Sen; closed-form moments, never a residual
@@ -4196,6 +4258,34 @@ object SparkEntry {
     "q376_cohens_d" ->
       graft.operators.Experiment.cohensDOracleSql,
 
+    "q377_oneway_anova" ->
+      graft.operators.Anova.onewayOracleSql,
+
+    "q378_cvm_twosample" ->
+      graft.operators.Drift.cvmTwoSampleOracleSql,
+
+    "q379_rmst" ->
+      graft.operators.Survival.rmstOracleSql(horizonDays = 1),
+
+    "q380_gehan_wilcoxon" ->
+      graft.operators.Survival.gehanOracleSql(horizonDays = 1),
+
+    "q381_atkinson" ->
+      graft.operators.Inequality.atkinsonOracleSql,
+
+    "q382_breusch_pagan" ->
+      graft.operators.Regression.breuschPaganOracleSql,
+
+    "q383_dagostino_k2" ->
+      graft.operators.Normality.dagostinoOracleSql(
+        "orders", "o_totalprice"),
+
+    "q384_page_trend" ->
+      graft.operators.Homogeneity.pageTrendOracleSql,
+
+    "q385_sample_entropy" ->
+      graft.operators.Anomaly.sampleEntropyOracleSql,
+
     "q201_sequence_pack" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -7460,6 +7550,22 @@ object SparkEntry {
       "d_crit_95*", "sig_95"),
     "q376_cohens_d" -> Seq("n_a#", "n_b#", "mean_a*", "mean_b*",
       "pooled_sd*", "cohens_d*", "hedges_g*", "magnitude"),
+    "q377_oneway_anova" -> Seq("n#", "k#", "df_between#",
+      "df_within#", "f_stat*", "eta_sq*", "omega_sq*", "sig_95"),
+    "q378_cvm_twosample" -> Seq("n_a#", "n_b#", "t_stat*", "sig_95"),
+    "q379_rmst" -> Seq("tau_days#", "n_steps#", "rmst*", "rmst_se*"),
+    "q380_gehan_wilcoxon" -> Seq("n_times#", "o1#", "w_diff*",
+      "w_var*", "chi_sq*", "sig_95", "sig_99"),
+    "q381_atkinson" -> Seq("n#", "mean_x*", "a_half*", "a_one*",
+      "a_two*"),
+    "q382_breusch_pagan" -> Seq("event_type", "n_days#", "lm_stat*",
+      "sig_95"),
+    "q383_dagostino_k2" -> Seq("n#", "skewness*", "kurtosis*",
+      "z_skew*", "z_kurt*", "k2*", "sig_95"),
+    "q384_page_trend" -> Seq("n_blocks#", "k#", "l_stat*", "e_l*",
+      "z*", "sig_95"),
+    "q385_sample_entropy" -> Seq("n_days#", "r_tol*", "b_count#",
+      "a_count#", "sampen*"),
     "q140_bpe_train" -> Seq("rank#", "left", "right", "merged",
       "cnt#"),
     "q162_mmr_rerank" -> Seq("query_id#", "neighbor_id#",

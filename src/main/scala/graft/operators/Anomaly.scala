@@ -242,6 +242,103 @@ object Anomaly {
        |  ROUND(r.pkk, 6) AS pacf
        |FROM r ORDER BY lag""".stripMargin
 
+  /** Sample entropy of the daily event-count series (Richman &
+    * Moorman, Am. J. Physiol. 2000) — the regularity dial the
+    * spectral/ACF tier can't read: SampEn(m, r) = −ln(A/B) where B
+    * counts length-m template pairs matching within tolerance r and
+    * A the same at length m+1. A perfectly periodic series repeats
+    * its templates (A≈B, SampEn→0); an uncorrelated one loses most
+    * matches when the window grows (SampEn large). Unlike
+    * approximate entropy it excludes self-matches, so it is unbiased
+    * in short series — exactly the daily-series regime.
+    *
+    * r = round(rFactor·σ, 6), snapped to the 6-decimal grid BEFORE
+    * the template comparisons so both engines classify every pair
+    * identically (the [[pacfReport]] rounded-input precedent).
+    *
+    * Scale shape: the corpus-scale work is ONE grouped agg to the
+    * daily-count table; the O(days²) template count runs on the
+    * collected calendar-bounded series (the Jacobi-on-driver
+    * precedent — day-bounded, never corpus-bounded). One row
+    * `(n_days, r_tol, b_count, a_count, sampen)`; NULL sampen when
+    * either count is 0. */
+  def sampleEntropy(events: DataFrame, m: Int = 2,
+      rFactor: Double = 0.2): DataFrame = {
+    require(m >= 1, "template length must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ys = events
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .orderBy("d")
+      .select("c").collect().map(_.getDouble(0))   // calendar-bounded
+    val n = ys.length
+    val mu = ys.sum / n
+    val sg = math.sqrt(ys.map(y => y * y).sum / n - mu * mu)
+    val r = graft.util.Canon.snap6(rFactor * sg)
+    def templatePairs(w: Int): Long = {
+      var cnt = 0L
+      var i = 0
+      while (i <= n - w) {
+        var j = i + 1
+        while (j <= n - w) {
+          var ok = true; var t = 0
+          while (ok && t < w) {
+            if (math.abs(ys(i + t) - ys(j + t)) > r) ok = false
+            t += 1
+          }
+          if (ok) cnt += 1
+          j += 1
+        }
+        i += 1
+      }
+      cnt
+    }
+    val b = templatePairs(m)
+    val a = templatePairs(m + 1)
+    val se: Option[Double] =
+      if (a > 0 && b > 0)
+        Some(graft.util.Canon.snap6(-math.log(a.toDouble / b)))
+      else None
+    Seq((n.toLong, r, b, a, se))
+      .toDF("n_days", "r_tol", "b_count", "a_count", "sampen")
+  }
+
+  /** DuckDB oracle for [[sampleEntropy]] (m = 2, rFactor = 0.2) —
+    * the same snapped tolerance, the same i<j unordered template
+    * pairs via a day-indexed self-join. */
+  val sampleEntropyOracleSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS c
+      |  FROM events GROUP BY 1),
+      |st AS (
+      |  SELECT COUNT(*) AS n,
+      |    ROUND(0.2 * SQRT(AVG(c * c) - AVG(c) * AVG(c)), 6) AS r
+      |  FROM daily),
+      |ser AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, c,
+      |    LEAD(c, 1) OVER (ORDER BY d) AS c1,
+      |    LEAD(c, 2) OVER (ORDER BY d) AS c2
+      |  FROM daily),
+      |b2 AS (
+      |  SELECT COUNT(*) AS b_cnt
+      |  FROM ser p JOIN ser q ON p.i < q.i CROSS JOIN st
+      |  WHERE p.c1 IS NOT NULL AND q.c1 IS NOT NULL
+      |    AND ABS(p.c - q.c) <= st.r AND ABS(p.c1 - q.c1) <= st.r),
+      |a3 AS (
+      |  SELECT COUNT(*) AS a_cnt
+      |  FROM ser p JOIN ser q ON p.i < q.i CROSS JOIN st
+      |  WHERE p.c2 IS NOT NULL AND q.c2 IS NOT NULL
+      |    AND ABS(p.c - q.c) <= st.r AND ABS(p.c1 - q.c1) <= st.r
+      |    AND ABS(p.c2 - q.c2) <= st.r)
+      |SELECT CAST(st.n AS BIGINT) AS n_days, st.r AS r_tol,
+      |  CAST(b2.b_cnt AS BIGINT) AS b_count,
+      |  CAST(a3.a_cnt AS BIGINT) AS a_count,
+      |  CASE WHEN a3.a_cnt > 0 AND b2.b_cnt > 0
+      |    THEN ROUND(-LN(CAST(a3.a_cnt AS DOUBLE) / b2.b_cnt), 6)
+      |    END AS sampen
+      |FROM st, b2, a3""".stripMargin
+
   /** Hampel outlier flags over each key's daily-count series — the
     * robust complement to [[zScoreReport]]: mean/σ baselines are
     * dragged by the very outliers they're meant to flag (one 100×

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Per-dimension one-way ANOVA over a labeled embedding column — the
@@ -82,4 +82,99 @@ object Anova {
       |    (sxx - sx * sx / n - ssw) / (sxx - sx * sx / n)
       |    ELSE NULL END, 6) AS eta_sq
       |FROM agg ORDER BY dim""".stripMargin
+
+  /** Classic one-way ANOVA on a SCALAR metric (Fisher 1925) — the
+    * k-group generalization of the two-sample t that completes the
+    * k-sample test shelf: Kruskal–Wallis (q290) compares rank sums,
+    * Mood's median (q366) compares above-median counts, this compares
+    * MEANS under equal-variance normality, with the two standard
+    * effect sizes (η² biased-up, ω² the unbiased companion —
+    * Hays 1963). Significance is judged against the large-within-df
+    * limit ((k−1)·F → χ²(k−1)), the same closed-form χ² table/WH
+    * approximation every χ² test in this engine shares — exact-F
+    * tables need an incomplete-beta the oracle can't replay, and at
+    * n−k in the thousands the two are indistinguishable.
+    *
+    * One row `(n, k, df_between, df_within, f_stat, eta_sq, omega_sq,
+    * sig_95)`. Scale shape: one grouped moment agg (map-side
+    * partials) to k rows, then a k-row reduction — the corpus is
+    * touched once, nothing reaches the driver. */
+  def onewayF(df: DataFrame, group: Column, metric: Column): DataFrame = {
+    val gv = df.select(group.as("g"), metric.cast("double").as("x"))
+      .where(col("g").isNotNull && col("x").isNotNull)
+    val perG = gv.groupBy("g").agg(
+      count(lit(1)).as("n_g"),
+      sum("x").as("sx_g"),
+      sum(col("x") * col("x")).as("sxx_g"))
+    val s = perG.agg(
+      sum("n_g").as("n"), count(lit(1)).as("k"),
+      sum("sx_g").as("sx"), sum("sxx_g").as("sxx"),
+      sum(col("sx_g") * col("sx_g") / col("n_g")).as("sgg"))
+    val ssb = col("sgg") - col("sx") * col("sx") / col("n")
+    val ssw = col("sxx") - col("sgg")
+    val sst = col("sxx") - col("sx") * col("sx") / col("n")
+    val dfb = (col("k") - 1).cast("double")
+    val dfw = (col("n") - col("k")).cast("double")
+    val msw = ssw / dfw
+    val f = when(col("k") >= 2 && col("n") > col("k") && ssw > 0.0,
+      (ssb / dfb) / msw)
+    s.select(
+      col("n").cast("bigint").as("n"),
+      col("k").cast("bigint").as("k"),
+      (col("k") - 1).cast("bigint").as("df_between"),
+      (col("n") - col("k")).cast("bigint").as("df_within"),
+      round(f, 6).as("f_stat"),
+      round(when(sst > 0.0, ssb / sst), 6).as("eta_sq"),
+      round(when(sst > 0.0 && ssw > 0.0,
+        (ssb - dfb * msw) / (sst + msw)), 6).as("omega_sq"),
+      (f * dfb > Homogeneity.chi2Crit95(col("k") - 1)).as("sig_95"))
+  }
+
+  /** DuckDB oracle for [[onewayF]] on orders
+    * (group = o_orderpriority, metric = o_totalprice). */
+  val onewayOracleSql: String =
+    """WITH gv AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(o_totalprice AS DOUBLE) AS x
+      |  FROM orders
+      |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+      |per_g AS (
+      |  SELECT g, COUNT(*) AS n_g, SUM(x) AS sx_g,
+      |    SUM(x * x) AS sxx_g
+      |  FROM gv GROUP BY 1),
+      |s AS (
+      |  SELECT SUM(n_g) AS n, COUNT(*) AS k,
+      |    SUM(sx_g) AS sx, SUM(sxx_g) AS sxx,
+      |    SUM(sx_g * sx_g / n_g) AS sgg
+      |  FROM per_g),
+      |f AS (
+      |  SELECT n, k,
+      |    sgg - sx * sx / n AS ssb,
+      |    sxx - sgg AS ssw,
+      |    sxx - sx * sx / n AS sst,
+      |    CAST(k - 1 AS DOUBLE) AS dfb,
+      |    CAST(n - k AS DOUBLE) AS dfw
+      |  FROM s),
+      |g AS (
+      |  SELECT *, ssw / dfw AS msw,
+      |    CASE WHEN k >= 2 AND n > k AND ssw > 0.0
+      |      THEN (ssb / dfb) / (ssw / dfw) END AS fs
+      |  FROM f)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+      |  CAST(k - 1 AS BIGINT) AS df_between,
+      |  CAST(n - k AS BIGINT) AS df_within,
+      |  ROUND(fs, 6) AS f_stat,
+      |  ROUND(CASE WHEN sst > 0.0 THEN ssb / sst END, 6) AS eta_sq,
+      |  ROUND(CASE WHEN sst > 0.0 AND ssw > 0.0
+      |    THEN (ssb - dfb * msw) / (sst + msw) END, 6) AS omega_sq,
+      |  fs * dfb > (CASE CAST(k - 1 AS INT)
+      |    WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465
+      |    WHEN 3 THEN 7.814728 WHEN 4 THEN 9.487729
+      |    WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587
+      |    WHEN 7 THEN 14.067140 WHEN 8 THEN 15.507313
+      |    WHEN 9 THEN 16.918978 WHEN 10 THEN 18.307038
+      |    ELSE (k - 1) * POW(1.0 - 2.0 / (9.0 * (k - 1)) +
+      |      1.6448536269514722 * SQRT(2.0 / (9.0 * (k - 1))), 3)
+      |    END) AS sig_95
+      |FROM g""".stripMargin
 }

@@ -830,4 +830,80 @@ object Drift {
       |      + l / nn * ((nn * mb - nb * ba) * (nn * mb - nb * ba)) / den / nb
       |    ELSE 0.0 END), 6) AS a2
       |FROM terms GROUP BY na, nb, nn""".stripMargin
+
+  /** Cramér–von Mises 2-sample test (Anderson, Ann. Math. Stat.
+    * 1962) between cohorts A/B of a metric — the WHOLE-CURVE member
+    * of the two-sample shelf: KS (q178) reads only the single worst
+    * ECDF gap, [[adTwoSample]] re-weights toward the tails; CvM
+    * integrates the SQUARED gap uniformly over the pooled sample,
+    * T = (n·m/N²)·Σ_pooled [F_n(z) − G_m(z)]², so it reacts to broad
+    * mid-distribution shifts both of those can under-read. Asymptotic
+    * 5% critical value 0.461 (the ω² limit distribution).
+    *
+    * Dataflow: the same pooled value-FREQUENCY table as
+    * [[adTwoSample]] (value-cardinality, one shuffle) with plain
+    * cumulative ECDF windows; one row `(n_a, n_b, t_stat, sig_95)`. */
+  def cvmTwoSample(df: DataFrame, inB: Column, metric: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = df.select(inB.as("__b"), metric.cast("double").as("__m"))
+      .where(col("__b").isNotNull && col("__m").isNotNull)
+      .groupBy("__m")
+      .agg(sum(when(!col("__b"), 1L).otherwise(0L)).as("__la"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("__lb"))
+      .withColumn("__l", col("__la") + col("__lb"))
+    val wCum = Window.orderBy("__m")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = f
+      .withColumn("__A", sum("__la").over(wCum))
+      .withColumn("__B", sum("__lb").over(wCum))
+    val tot = f.agg(sum("__la").as("__na"), sum("__lb").as("__nb"),
+      sum("__l").as("__N"))
+    val naD = col("__na").cast("double")
+    val nbD = col("__nb").cast("double")
+    val nD = col("__N").cast("double")
+    val gap = col("__A").cast("double") / naD -
+      col("__B").cast("double") / nbD
+    val j = cum.crossJoin(broadcast(tot))   // 1-row stat factor
+      .agg(first("__na").as("n_a"), first("__nb").as("n_b"),
+        first("__N").as("__N2"),
+        sum(col("__l").cast("double") * gap * gap).as("__s"))
+    val nD2 = col("__N2").cast("double")
+    val t = col("n_a").cast("double") * col("n_b").cast("double") /
+      (nD2 * nD2) * col("__s")
+    j.select(
+      col("n_a").cast("bigint").as("n_a"),
+      col("n_b").cast("bigint").as("n_b"),
+      round(t, 6).as("t_stat"),
+      (t > 0.461).as("sig_95"))
+  }
+
+  /** DuckDB oracle for the registered fixture: weekday vs weekend
+    * `value` cohorts (same cohorts as [[adTwoSampleOracleSql]], so
+    * the two tail-weightings are directly comparable). */
+  val cvmTwoSampleOracleSql: String =
+    """WITH f AS (
+      |  SELECT CAST(value AS DOUBLE) AS m,
+      |    SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 0 ELSE 1 END) AS la,
+      |    SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END) AS lb
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+      |c AS (
+      |  SELECT m, la, lb, la + lb AS l,
+      |    SUM(la) OVER (ORDER BY m
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a,
+      |    SUM(lb) OVER (ORDER BY m
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b
+      |  FROM f),
+      |tot AS (
+      |  SELECT CAST(SUM(la) AS DOUBLE) AS na,
+      |    CAST(SUM(lb) AS DOUBLE) AS nb,
+      |    CAST(SUM(la + lb) AS DOUBLE) AS nn
+      |  FROM f),
+      |s AS (
+      |  SELECT tot.na, tot.nb, tot.nn,
+      |    SUM(c.l * POW(c.a / tot.na - c.b / tot.nb, 2)) AS sq
+      |  FROM c, tot GROUP BY 1, 2, 3)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  ROUND(na * nb / (nn * nn) * sq, 6) AS t_stat,
+      |  na * nb / (nn * nn) * sq > 0.461 AS sig_95
+      |FROM s""".stripMargin
 }

@@ -313,7 +313,7 @@ object Homogeneity {
   /** χ²₀.₉₅ critical value as a Column of the df Column: exact table
     * for df 1..10, Wilson–Hilferty cube approximation beyond —
     * identical arithmetic on the oracle side. */
-  private def chi2Crit95(dfree: Column): Column = {
+  private[operators] def chi2Crit95(dfree: Column): Column = {
     val wh = dfree.cast("double") *
       pow(lit(1.0) - lit(2.0) / (dfree * 9.0) +
         lit(1.6448536269514722) * sqrt(lit(2.0) / (dfree * 9.0)), 3)
@@ -574,4 +574,102 @@ object Homogeneity {
       |  CASE WHEN vr > 0 THEN ABS((jt - e) / SQRT(vr)) > 1.96
       |    ELSE FALSE END AS sig_95
       |FROM s""".stripMargin
+
+  /** Page's L test for ordered alternatives in a complete block
+    * design (Page, JASA 1963) — the ORDERED counterpart of
+    * [[friedman]]: Friedman asks "do the treatments differ at all
+    * across blocks"; Page asks "do they increase IN A SPECIFIED
+    * ORDER" (here: does the per-block metric trend across ordered
+    * treatment levels), which has far more power when the order is
+    * the hypothesis. L = Σⱼ j·Rⱼ over within-block average ranks,
+    * z = (L − b·k(k+1)²/4) / √(b·k²(k+1)(k²−1)/144), two-sided 5%
+    * against 1.959964.
+    *
+    * Treatment levels are densified to 1..k by their natural order
+    * (so callers can pass e.g. weekday codes with gaps). Blocks
+    * missing any level are dropped — the statistic requires complete
+    * blocks. Ranks use the average-rank tie convention (min-rank +
+    * (ties−1)/2), identical in both engines.
+    *
+    * Scale shape: one corpus-scale grouped agg to (block, level)
+    * cells, then every window/join runs at b·k cell cardinality. One
+    * row `(n_blocks, k, l_stat, e_l, z, sig_95)`. */
+  def pageTrend(df: DataFrame, block: Column, treatOrd: Column,
+      metric: Column): DataFrame = {
+    val cell = df.select(block.as("b"), treatOrd.cast("long").as("j"),
+        metric.cast("double").as("x"))
+      .where(col("b").isNotNull && col("j").isNotNull &&
+        col("x").isNotNull)
+      .groupBy("b", "j").agg(sum("x").as("v"))
+    val kf = cell.agg(countDistinct("j").as("__k"))   // 1-row factor
+    val bc = cell.groupBy("b").agg(count(lit(1)).as("__cnt"))
+    val full = cell.join(bc, "b").crossJoin(broadcast(kf))
+      .where(col("__cnt") === col("__k"))
+    val wJ = Window.orderBy("j")
+    val wRank = Window.partitionBy("b").orderBy("v")
+    val wTie = Window.partitionBy("b", "v")
+    val ranked = full
+      .withColumn("__jo", dense_rank().over(wJ).cast("double"))
+      .withColumn("__minr", rank().over(wRank))
+      .withColumn("__eq", count(lit(1)).over(wTie))
+      .withColumn("__r", col("__minr") + (col("__eq") - 1) / 2.0)
+    val s = ranked.agg(
+      countDistinct("b").as("n_blocks"),
+      first("__k").as("k"),
+      sum(col("__jo") * col("__r")).as("__l"))
+    val bD = col("n_blocks").cast("double")
+    val kD = col("k").cast("double")
+    val eL = bD * kD * (kD + 1.0) * (kD + 1.0) / 4.0
+    val vL = bD * kD * kD * (kD + 1.0) * (kD * kD - 1.0) / 144.0
+    val z = when(vL > 0.0, (col("__l") - eL) / sqrt(vL))
+    s.select(
+      col("n_blocks").cast("bigint").as("n_blocks"),
+      col("k").cast("bigint").as("k"),
+      round(col("__l"), 6).as("l_stat"),
+      round(eL, 6).as("e_l"),
+      round(z, 6).as("z"),
+      when(z.isNotNull, abs(z) > 1.959964).otherwise(lit(false))
+        .as("sig_95"))
+  }
+
+  /** DuckDB oracle for the registered Page fixture: blocks =
+    * event_type, ordered levels = weekday, metric = total value
+    * (Spark dayofweek Sun=1..Sat=7 mirrored as DuckDB
+    * dayofweek + 1). */
+  val pageTrendOracleSql: String =
+    """WITH cell AS (
+      |  SELECT event_type AS b, dayofweek(ts) + 1 AS j,
+      |    SUM(CAST(value AS DOUBLE)) AS v
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1, 2),
+      |kf AS (SELECT COUNT(DISTINCT j) AS k FROM cell),
+      |bc AS (SELECT b, COUNT(*) AS cnt FROM cell GROUP BY 1),
+      |fl AS (
+      |  SELECT cell.b, cell.j, cell.v
+      |  FROM cell JOIN bc ON cell.b = bc.b CROSS JOIN kf
+      |  WHERE bc.cnt = kf.k),
+      |r AS (
+      |  SELECT b, v,
+      |    CAST(DENSE_RANK() OVER (ORDER BY j) AS DOUBLE) AS jo,
+      |    RANK() OVER (PARTITION BY b ORDER BY v) AS minr,
+      |    COUNT(*) OVER (PARTITION BY b, v) AS eq
+      |  FROM fl),
+      |s AS (
+      |  SELECT COUNT(DISTINCT b) AS nb, (SELECT k FROM kf) AS k,
+      |    SUM(jo * (minr + (eq - 1) / 2.0)) AS l
+      |  FROM r),
+      |f AS (
+      |  SELECT nb, k, l,
+      |    nb * k * (k + 1.0) * (k + 1.0) / 4.0 AS e_l,
+      |    nb * k * k * (k + 1.0) * (k * k - 1.0) / 144.0 AS v_l
+      |  FROM s)
+      |SELECT CAST(nb AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+      |  ROUND(l, 6) AS l_stat, ROUND(e_l, 6) AS e_l,
+      |  ROUND(CASE WHEN v_l > 0 THEN (l - e_l) / SQRT(v_l) END, 6)
+      |    AS z,
+      |  CASE WHEN v_l > 0
+      |    THEN ABS((l - e_l) / SQRT(v_l)) > 1.959964
+      |    ELSE FALSE END AS sig_95
+      |FROM f""".stripMargin
 }

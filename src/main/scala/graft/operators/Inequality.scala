@@ -93,4 +93,52 @@ object Inequality {
       |  ROUND(agg.tw, 6) AS t_within
       |FROM rows_ CROSS JOIN agg
       |ORDER BY g""".stripMargin
+
+  /** Atkinson inequality index at the three canonical aversion
+    * levels ε ∈ {0.5, 1, 2} (Atkinson, J. Econ. Theory 1970) — the
+    * WELFARE-weighted complement to Gini/Theil: A_ε is "the share of
+    * total metric society would give up to equalize", and ε dials
+    * which end of the distribution drives it (ε→0 top-sensitive,
+    * ε large bottom-sensitive). A_ε = 1 − M_{1−ε}/μ with M the
+    * (1−ε)-power mean — so ε=0.5 uses the square-root mean, ε=1 the
+    * geometric mean, ε=2 the harmonic mean, ALL single-pass
+    * map-side-combinable aggregates: one corpus scan, one row
+    * `(n, mean_x, a_half, a_one, a_two)`. Rows with x ≤ 0 are
+    * excluded (the index needs positive support, like Theil). */
+  def atkinson(df: DataFrame, metric: Column): DataFrame = {
+    val x = df.select(metric.cast("double").as("x"))
+      .where(col("x") > 0.0)
+    val s = x.agg(
+      count(lit(1)).as("n"),
+      avg("x").as("mu"),
+      avg(sqrt(col("x"))).as("m_half"),
+      avg(log(col("x"))).as("m_log"),
+      avg(lit(1.0) / col("x")).as("m_inv"))
+    s.select(
+      col("n").cast("bigint").as("n"),
+      round(col("mu"), 6).as("mean_x"),
+      round(lit(1.0) - col("m_half") * col("m_half") / col("mu"), 6)
+        .as("a_half"),
+      round(lit(1.0) - exp(col("m_log")) / col("mu"), 6).as("a_one"),
+      round(lit(1.0) - (lit(1.0) / col("m_inv")) / col("mu"), 6)
+        .as("a_two"))
+  }
+
+  /** DuckDB oracle for [[atkinson]] over per-customer total spend. */
+  val atkinsonOracleSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey, SUM(o_totalprice) AS x
+      |  FROM orders GROUP BY 1),
+      |v AS (SELECT CAST(x AS DOUBLE) AS x FROM per WHERE x > 0.0),
+      |s AS (
+      |  SELECT COUNT(*) AS n, AVG(x) AS mu,
+      |    AVG(SQRT(x)) AS m_half, AVG(LN(x)) AS m_log,
+      |    AVG(1.0 / x) AS m_inv
+      |  FROM v)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  ROUND(mu, 6) AS mean_x,
+      |  ROUND(1.0 - m_half * m_half / mu, 6) AS a_half,
+      |  ROUND(1.0 - EXP(m_log) / mu, 6) AS a_one,
+      |  ROUND(1.0 - (1.0 / m_inv) / mu, 6) AS a_two
+      |FROM s""".stripMargin
 }

@@ -156,6 +156,148 @@ object Normality {
        |  d > 0.886 / SQRT(CAST(n AS DOUBLE)) AS sig_95
        |FROM s""".stripMargin
 
+  /** D'Agostino–Pearson K² omnibus normality test (D'Agostino,
+    * Biometrika 1970; Anscombe & Glynn 1983; D'Agostino, Belanger &
+    * D'Agostino Jr., Am. Stat. 1990) — the FINITE-n refinement of
+    * [[jarqueBera]]: JB compares raw S²/K² against their asymptotic
+    * normal limits, which is badly anticonservative below n ≈ 2000;
+    * K² first NORMALIZES skewness through the Johnson-SU transform
+    * and kurtosis through the Anscombe–Glynn cube-root transform
+    * (both exact closed forms in n), then sums the two z² — χ²(2)
+    * holding at practical sample sizes. All constants and transforms
+    * are replayed verbatim on the oracle side.
+    *
+    * Same scale shape as JB: ONE Σx..Σx⁴ aggregate pass, scalar
+    * arithmetic on the 1-row result. One row `(n, skewness,
+    * kurtosis, z_skew, z_kurt, k2, sig_95)`; NULL family when n ≤ 8
+    * (the transforms' validity floor) or the variance degenerates. */
+  def dagostinoK2(df: DataFrame, metric: Column): DataFrame = {
+    val g = df.select(metric.cast("double").as("x"))
+      .where(col("x").isNotNull)
+      .agg(count(lit(1)).as("n"), sum("x").as("__s1"),
+        sum(col("x") * col("x")).as("__s2"),
+        sum(col("x") * col("x") * col("x")).as("__s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("__s4"))
+    val n = col("n").cast("double")
+    val mu = col("__s1") / n
+    val m2 = col("__s2") / n - mu * mu
+    val m3 = col("__s3") / n - mu * (col("__s2") / n) * 3.0 +
+      mu * mu * mu * 2.0
+    val m4 = col("__s4") / n - mu * (col("__s3") / n) * 4.0 +
+      mu * mu * (col("__s2") / n) * 6.0 - mu * mu * mu * mu * 3.0
+    val g1 = m3 / pow(m2, 1.5)
+    val b2 = m4 / (m2 * m2)
+    // skewness z (Johnson SU, D'Agostino 1970)
+    val y = g1 * sqrt((n + 1.0) * (n + 3.0) / ((n - 2.0) * 6.0))
+    val beta2 = lit(3.0) * (n * n + n * 27.0 - 70.0) * (n + 1.0) *
+      (n + 3.0) / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0))
+    val w2 = sqrt((beta2 - 1.0) * 2.0) - 1.0
+    val dlt = lit(1.0) / sqrt(log(sqrt(w2)))
+    val alp = sqrt(lit(2.0) / (w2 - 1.0))
+    val z1 = dlt * log(y / alp + sqrt((y / alp) * (y / alp) + 1.0))
+    // kurtosis z (Anscombe–Glynn 1983)
+    val eb2 = lit(3.0) * (n - 1.0) / (n + 1.0)
+    val vb2 = lit(24.0) * n * (n - 2.0) * (n - 3.0) /
+      ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0))
+    val xx = (b2 - eb2) / sqrt(vb2)
+    val sb1 = lit(6.0) * (n * n - n * 5.0 + 2.0) /
+      ((n + 7.0) * (n + 9.0)) *
+      sqrt(lit(6.0) * (n + 3.0) * (n + 5.0) /
+        (n * (n - 2.0) * (n - 3.0)))
+    val aa = lit(6.0) + lit(8.0) / sb1 *
+      (lit(2.0) / sb1 + sqrt(lit(1.0) + lit(4.0) / (sb1 * sb1)))
+    val z2 = ((lit(1.0) - lit(2.0) / (aa * 9.0)) -
+      cbrt((lit(1.0) - lit(2.0) / aa) /
+        (lit(1.0) + xx * sqrt(lit(2.0) / (aa - 4.0))))) /
+      sqrt(lit(2.0) / (aa * 9.0))
+    val ok = m2 > 0.0 && col("n") > 8
+    val k2 = z1 * z1 + z2 * z2
+    g.select(
+      col("n"),
+      round(when(ok, g1), 6).as("skewness"),
+      round(when(ok, b2), 6).as("kurtosis"),
+      round(when(ok, z1), 6).as("z_skew"),
+      round(when(ok, z2), 6).as("z_kurt"),
+      round(when(ok, k2), 6).as("k2"),
+      when(ok, k2 > 5.991465).otherwise(lit(false)).as("sig_95"))
+  }
+
+  /** DuckDB oracle for [[dagostinoK2]] on a named table/metric. */
+  def dagostinoOracleSql(table: String, metric: String): String =
+    s"""WITH g AS (
+       |  SELECT COUNT(*) AS n, SUM(x) AS s1, SUM(x * x) AS s2,
+       |    SUM(x * x * x) AS s3, SUM(x * x * x * x) AS s4
+       |  FROM (SELECT CAST($metric AS DOUBLE) AS x FROM $table
+       |        WHERE $metric IS NOT NULL)),
+       |f AS (
+       |  SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+       |    s1, s2, s3, s4, s1 / n AS mu
+       |  FROM g),
+       |m AS (
+       |  SELECT n, nd, mu,
+       |    s2 / nd - mu * mu AS m2,
+       |    s3 / nd - mu * (s2 / nd) * 3.0 + mu * mu * mu * 2.0
+       |      AS m3,
+       |    s4 / nd - mu * (s3 / nd) * 4.0 +
+       |      mu * mu * (s2 / nd) * 6.0 - mu * mu * mu * mu * 3.0
+       |      AS m4
+       |  FROM f),
+       |s AS (
+       |  SELECT n, nd, m2,
+       |    m3 / POW(m2, 1.5) AS g1,
+       |    m4 / (m2 * m2) AS b2
+       |  FROM m),
+       |zs AS (
+       |  SELECT *,
+       |    g1 * SQRT((nd + 1.0) * (nd + 3.0) / (6.0 * (nd - 2.0)))
+       |      AS y,
+       |    SQRT((3.0 * (nd * nd + nd * 27.0 - 70.0) * (nd + 1.0) *
+       |      (nd + 3.0) / ((nd - 2.0) * (nd + 5.0) * (nd + 7.0) *
+       |      (nd + 9.0)) - 1.0) * 2.0) - 1.0 AS w2
+       |  FROM s),
+       |z1c AS (
+       |  SELECT *,
+       |    (1.0 / SQRT(LN(SQRT(w2)))) *
+       |      LN(y / SQRT(2.0 / (w2 - 1.0)) +
+       |        SQRT((y / SQRT(2.0 / (w2 - 1.0))) *
+       |          (y / SQRT(2.0 / (w2 - 1.0))) + 1.0)) AS z1
+       |  FROM zs),
+       |z2p AS (
+       |  SELECT *,
+       |    (b2 - 3.0 * (nd - 1.0) / (nd + 1.0)) /
+       |      SQRT(24.0 * nd * (nd - 2.0) * (nd - 3.0) /
+       |        ((nd + 1.0) * (nd + 1.0) * (nd + 3.0) * (nd + 5.0)))
+       |      AS xx,
+       |    6.0 * (nd * nd - nd * 5.0 + 2.0) /
+       |      ((nd + 7.0) * (nd + 9.0)) *
+       |      SQRT(6.0 * (nd + 3.0) * (nd + 5.0) /
+       |        (nd * (nd - 2.0) * (nd - 3.0))) AS sb1
+       |  FROM z1c),
+       |z2c AS (
+       |  SELECT *,
+       |    6.0 + 8.0 / sb1 *
+       |      (2.0 / sb1 + SQRT(1.0 + 4.0 / (sb1 * sb1))) AS aa
+       |  FROM z2p),
+       |z2f AS (
+       |  SELECT *,
+       |    ((1.0 - 2.0 / (aa * 9.0)) -
+       |      CBRT((1.0 - 2.0 / aa) /
+       |        (1.0 + xx * SQRT(2.0 / (aa - 4.0))))) /
+       |      SQRT(2.0 / (aa * 9.0)) AS z2
+       |  FROM z2c),
+       |k AS (
+       |  SELECT *, z1 * z1 + z2 * z2 AS k2,
+       |    m2 > 0 AND n > 8 AS ok
+       |  FROM z2f)
+       |SELECT n,
+       |  ROUND(CASE WHEN ok THEN g1 END, 6) AS skewness,
+       |  ROUND(CASE WHEN ok THEN b2 END, 6) AS kurtosis,
+       |  ROUND(CASE WHEN ok THEN z1 END, 6) AS z_skew,
+       |  ROUND(CASE WHEN ok THEN z2 END, 6) AS z_kurt,
+       |  ROUND(CASE WHEN ok THEN k2 END, 6) AS k2,
+       |  CASE WHEN ok THEN k2 > 5.991465 ELSE FALSE END AS sig_95
+       |FROM k""".stripMargin
+
   /** DuckDB oracle for [[jarqueBera]] on a named table/metric. */
   def jarqueBeraOracleSql(table: String, metric: String): String =
     s"""WITH g AS (

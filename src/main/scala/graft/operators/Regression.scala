@@ -184,6 +184,94 @@ object Regression {
       |    AS rho1
       |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Breusch–Pagan heteroskedasticity test in Koenker's studentized
+    * form (Breusch & Pagan, Econometrica 1979; Koenker, J. Econom.
+    * 1981) — the third leg of the OLS diagnostics stool: q269 reports
+    * the fit, q281 (Durbin–Watson) checks residual INDEPENDENCE, this
+    * checks residual VARIANCE CONSTANCY. The auxiliary regression of
+    * e² on x gives LM = n·R²_aux ~ χ²(1); fan-shaped daily residuals
+    * (variance growing with the trend — the usual shape when revenue
+    * scales with traffic) reject, and then q269's homoskedastic
+    * standard errors are understated.
+    *
+    * Same dataflow as [[durbinWatson]]: type-cardinality fit moments
+    * broadcast onto the calendar×type table, residuals squared in
+    * place, one more grouped moment agg — two corpus-free passes over
+    * a calendar-bounded frame. `(event_type, n_days, lm_stat,
+    * sig_95)` ordered by type; LM is NULL when the aux moments
+    * degenerate (constant e² or a single day). */
+  def breuschPagan(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum("value").as("y"))
+    val d0 = daily.agg(min("d").as("__d0"))
+    val xy = daily.crossJoin(broadcast(d0))   // 1-row stat factor
+      .select(col("event_type"),
+        datediff(col("d"), col("__d0")).cast("double").as("x"),
+        col("y"))
+    val m = xy.groupBy("event_type").agg(
+      avg("x").as("__mx"), avg("y").as("__my"),
+      var_pop(col("x")).as("__vx"),
+      covar_pop(col("x"), col("y")).as("__cxy"))
+    val fit = m.select(col("event_type"),
+      when(col("__vx") > 0.0, col("__cxy") / col("__vx")).as("__slope"),
+      (col("__my") - when(col("__vx") > 0.0,
+        col("__cxy") / col("__vx")) * col("__mx")).as("__icept"))
+    val aux = xy.join(broadcast(fit), Seq("event_type"))
+      .withColumn("__e2",
+        pow(col("y") - (col("__icept") + col("__slope") * col("x")), 2))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        var_pop(col("__e2")).as("__ve"),
+        var_pop(col("x")).as("__vx"),
+        covar_pop(col("__e2"), col("x")).as("__cex"))
+    val lm = when(col("__ve") > 0.0 && col("__vx") > 0.0 &&
+        col("n_days") > 2,
+      col("n_days") * col("__cex") * col("__cex") /
+        (col("__ve") * col("__vx")))
+    aux.select(
+        col("event_type"), col("n_days"),
+        round(lm, 6).as("lm_stat"),
+        (lm > 3.841459).as("sig_95"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[breuschPagan]]. */
+  val breuschPaganOracleSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, SUM(value) AS y
+      |  FROM events GROUP BY 1, 2),
+      |xy AS (
+      |  SELECT event_type,
+      |    CAST(d - (SELECT MIN(d) FROM daily) AS DOUBLE) AS x, y
+      |  FROM daily),
+      |m AS (
+      |  SELECT event_type, AVG(x) AS mx, AVG(y) AS my,
+      |    VAR_POP(x) AS vx, COVAR_POP(x, y) AS cxy
+      |  FROM xy GROUP BY 1),
+      |fit AS (
+      |  SELECT event_type,
+      |    CASE WHEN vx > 0 THEN cxy / vx END AS slope,
+      |    my - (CASE WHEN vx > 0 THEN cxy / vx END) * mx AS icept
+      |  FROM m),
+      |e AS (
+      |  SELECT xy.event_type, xy.x,
+      |    POW(xy.y - (fit.icept + fit.slope * xy.x), 2) AS e2
+      |  FROM xy JOIN fit ON xy.event_type = fit.event_type),
+      |a AS (
+      |  SELECT event_type, COUNT(*) AS n_days,
+      |    VAR_POP(e2) AS ve, VAR_POP(x) AS vx,
+      |    COVAR_POP(e2, x) AS cex
+      |  FROM e GROUP BY 1),
+      |s AS (
+      |  SELECT event_type, n_days,
+      |    CASE WHEN ve > 0 AND vx > 0 AND n_days > 2
+      |      THEN n_days * cex * cex / (ve * vx) END AS lm
+      |  FROM a)
+      |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+      |  ROUND(lm, 6) AS lm_stat, lm > 3.841459 AS sig_95
+      |FROM s ORDER BY event_type""".stripMargin
+
   /** Optimal single structural break in the total daily-revenue
     * series: fit one line (pooled) vs two lines split at candidate
     * day c (left x < c, right x ≥ c), pick the c minimizing the

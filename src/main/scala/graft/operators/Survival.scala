@@ -343,6 +343,247 @@ object Survival {
        |    AS survival
        |FROM k ORDER BY t_days""".stripMargin
 
+  /** Restricted mean survival time (Irwin 1949; Royston & Parmar,
+    * Stat. Med. 2011) — the AREA under the [[kaplanMeier]] curve up
+    * to τ = the last observed event time: "expected active days per
+    * user within the observation window", the single-number summary
+    * a median-survival readout can't give when the curve never
+    * crosses 0.5. The variance is the standard Klein–Moeschberger
+    * §4.5 form Var = Σᵢ Aᵢ²·dᵢ/(nᵢ(nᵢ−dᵢ)) with Aᵢ the area from tᵢ
+    * to τ (rows where the whole risk set exits contribute 0 — their
+    * Aᵢ is 0 anyway).
+    *
+    * Same dataflow as [[kaplanMeier]]: one corpus pass to per-user
+    * lifetimes, then every integral/variance term is an ordered
+    * window over the lifetime-cardinality risk table. One row
+    * `(tau_days, n_steps, rmst, rmst_se)`. */
+  def rmst(events: DataFrame, horizonDays: Int = 3): DataFrame = {
+    val per = events.groupBy("user_id").agg(
+      min(to_date(col("ts"))).as("__f"),
+      max(to_date(col("ts"))).as("__l"))
+    val mx = per.agg(max("__l").as("__mx"), count(lit(1)).as("__n"))
+    val obs = per.crossJoin(broadcast(mx))   // 1-row stat factor
+      .select(
+        datediff(col("__l"), col("__f")).cast("double").as("t"),
+        (datediff(col("__mx"), col("__l")) < horizonDays).as("__cens"),
+        col("__n"))
+    val tbl = obs.groupBy("t").agg(
+      sum(when(!col("__cens"), 1L).otherwise(0L)).as("d"),
+      count(lit(1)).as("__ended"),
+      first("__n").as("__n"))
+    val wBefore = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wOrd = Window.orderBy("t")
+    val withRisk = tbl
+      .withColumn("n_risk",
+        col("__n") - coalesce(sum("__ended").over(wBefore), lit(0L)))
+      .where(col("d") > 0)
+    val term = lit(1.0) - col("d").cast("double") / col("n_risk")
+    val steps = withRisk
+      .withColumn("__hit0", max(when(col("d") === col("n_risk"), 1)
+        .otherwise(0)).over(wCum))
+      .withColumn("__s", when(col("__hit0") === 1, lit(0.0))
+        .otherwise(exp(sum(log(term)).over(wCum))))
+      .withColumn("__sprev", coalesce(lag("__s", 1).over(wOrd), lit(1.0)))
+      .withColumn("__tprev", coalesce(lag("t", 1).over(wOrd), lit(0.0)))
+      .withColumn("__seg", col("__sprev") * (col("t") - col("__tprev")))
+      .withColumn("__cum", sum("__seg").over(wCum))
+    val tot = steps.agg(max("t").as("__tau"),
+      count(lit(1)).as("__k"), sum("__seg").as("__rmst"))
+    val nD = col("n_risk").cast("double")
+    val dD = col("d").cast("double")
+    steps.crossJoin(broadcast(tot))   // 1-row stat factor
+      .agg(
+        first("__tau").as("__tau2"), first("__k").as("__k2"),
+        first("__rmst").as("__r2"),
+        sum(when(col("d") < col("n_risk"),
+          pow(col("__rmst") - col("__cum"), 2) * dD /
+            (nD * (nD - dD))).otherwise(lit(0.0))).as("__var"))
+      .select(
+        col("__tau2").cast("bigint").as("tau_days"),
+        col("__k2").cast("bigint").as("n_steps"),
+        round(col("__r2"), 6).as("rmst"),
+        round(sqrt(col("__var")), 6).as("rmst_se"))
+  }
+
+  /** DuckDB oracle for [[rmst]] on events. */
+  def rmstOracleSql(horizonDays: Int = 3): String =
+    s"""WITH per AS (
+       |  SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+       |    MAX(CAST(ts AS DATE)) AS l
+       |  FROM events GROUP BY 1),
+       |mx AS (SELECT MAX(l) AS m, COUNT(*) AS n FROM per),
+       |obs AS (
+       |  SELECT CAST(date_diff('day', f, l) AS DOUBLE) AS t,
+       |    date_diff('day', l, (SELECT m FROM mx)) < $horizonDays
+       |      AS cens
+       |  FROM per),
+       |tbl AS (
+       |  SELECT t,
+       |    SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS d,
+       |    COUNT(*) AS ended
+       |  FROM obs GROUP BY 1),
+       |r AS (
+       |  SELECT t, d,
+       |    (SELECT n FROM mx) - COALESCE(SUM(ended) OVER (ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS n_risk
+       |  FROM tbl),
+       |k AS (
+       |  SELECT t, d, n_risk,
+       |    MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+       |      ROWS UNBOUNDED PRECEDING) AS hit0,
+       |    SUM(ln(1.0 - CAST(d AS DOUBLE) / n_risk)) OVER (ORDER BY t
+       |      ROWS UNBOUNDED PRECEDING) AS lsum
+       |  FROM r WHERE d > 0),
+       |s AS (
+       |  SELECT t, d, n_risk,
+       |    CASE WHEN hit0 = 1 THEN 0.0 ELSE exp(lsum) END AS surv
+       |  FROM k),
+       |st AS (
+       |  SELECT *, COALESCE(LAG(surv) OVER (ORDER BY t), 1.0) AS sprev,
+       |    COALESCE(LAG(t) OVER (ORDER BY t), 0.0) AS tprev
+       |  FROM s),
+       |seg AS (
+       |  SELECT *, sprev * (t - tprev) AS seg,
+       |    SUM(sprev * (t - tprev)) OVER (ORDER BY t
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM st),
+       |tot AS (SELECT MAX(t) AS tau, COUNT(*) AS k2,
+       |  SUM(seg) AS rm FROM seg)
+       |SELECT CAST(tau AS BIGINT) AS tau_days,
+       |  CAST(k2 AS BIGINT) AS n_steps,
+       |  ROUND(rm, 6) AS rmst,
+       |  ROUND(SQRT(SUM(CASE WHEN d < n_risk
+       |    THEN POW(rm - cum, 2) * d /
+       |      (CAST(n_risk AS DOUBLE) * (n_risk - d))
+       |    ELSE 0.0 END)), 6) AS rmst_se
+       |FROM seg, tot GROUP BY tau, k2, rm""".stripMargin
+
+  /** Gehan–Breslow generalized Wilcoxon test (Gehan, Biometrika
+    * 1965; Breslow 1970) — the weighted [[logRank]]: each event
+    * time's (O−E) and variance are weighted by the NORMALIZED risk
+    * count n/N, so EARLY divergence between the cohorts' survival
+    * curves (where most users are still at risk) moves the statistic
+    * far more than late-tail divergence. Log-rank answers "do the
+    * curves differ anywhere"; this answers "do they differ early" —
+    * the onboarding-cohort question. χ² is scale-invariant in the
+    * weights, so the n/N normalization changes nothing statistically
+    * while keeping the reported sums O(1).
+    *
+    * Same single corpus pass + lifetime-cardinality risk-table
+    * windows as [[logRank]]. One row `(n_times, o1, w_diff, w_var,
+    * chi_sq, sig_95, sig_99)`. */
+  def gehanWilcoxon(events: DataFrame,
+      cohort: org.apache.spark.sql.Column,
+      horizonDays: Int = 3): DataFrame = {
+    val per = events.groupBy("user_id").agg(
+      min(to_date(col("ts"))).as("__f"),
+      max(to_date(col("ts"))).as("__l"),
+      first(cohort).as("__g"))
+    val mx = per.agg(max("__l").as("__mx"))
+    val obs = per.crossJoin(broadcast(mx))
+      .select(
+        datediff(col("__l"), col("__f")).cast("double").as("t"),
+        (datediff(col("__mx"), col("__l")) < horizonDays).as("__cens"),
+        col("__g").cast("boolean").as("__g"))
+    val tbl = obs.groupBy("t").agg(
+      sum(when(!col("__cens") && col("__g"), 1L).otherwise(0L)).as("d1"),
+      sum(when(!col("__cens"), 1L).otherwise(0L)).as("d"),
+      sum(when(col("__g"), 1L).otherwise(0L)).as("__end1"),
+      count(lit(1)).as("__end"))
+    val tot = obs.agg(
+      sum(when(col("__g"), 1L).otherwise(0L)).as("__n1all"),
+      count(lit(1)).as("__nall"))
+    val wBefore = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = tbl.crossJoin(broadcast(tot))
+      .withColumn("n",
+        col("__nall") - coalesce(sum("__end").over(wBefore), lit(0L)))
+      .withColumn("n1",
+        col("__n1all") - coalesce(sum("__end1").over(wBefore), lit(0L)))
+      .where(col("d") > 0)
+    val dD = col("d").cast("double")
+    val nD = col("n").cast("double")
+    val n1D = col("n1").cast("double")
+    val w = nD / col("__nall").cast("double")
+    val e1 = dD * n1D / nD
+    val v = when(col("n") > 1,
+      dD * (n1D / nD) * (lit(1.0) - n1D / nD) * (nD - dD) / (nD - 1.0))
+      .otherwise(lit(0.0))
+    val g = risk.agg(
+      sum("d1").cast("bigint").as("o1"),
+      sum(w * (col("d1").cast("double") - e1)).as("__woe"),
+      sum(w * w * v).as("__wv"),
+      count(lit(1)).as("n_times"))
+    val chi = when(col("__wv") > 0.0,
+      pow(col("__woe"), 2) / col("__wv")).otherwise(lit(0.0))
+    g.select(
+      col("n_times"), col("o1"),
+      round(col("__woe"), 6).as("w_diff"),
+      round(col("__wv"), 6).as("w_var"),
+      round(chi, 6).as("chi_sq"),
+      (chi > 3.841).as("sig_95"),
+      (chi > 6.635).as("sig_99"))
+  }
+
+  /** DuckDB oracle for the registered Gehan–Wilcoxon fixture
+    * (cohort = user-id parity, the [[logRankOracleSql]] fixture). */
+  def gehanOracleSql(horizonDays: Int = 3): String =
+    s"""WITH per AS (
+       |  SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+       |    MAX(CAST(ts AS DATE)) AS l, user_id % 2 = 1 AS g
+       |  FROM events GROUP BY 1, 4),
+       |mx AS (SELECT MAX(l) AS m FROM per),
+       |obs AS (
+       |  SELECT CAST(date_diff('day', f, l) AS DOUBLE) AS t,
+       |    date_diff('day', l, (SELECT m FROM mx)) < $horizonDays
+       |      AS cens, g
+       |  FROM per),
+       |tbl AS (
+       |  SELECT t,
+       |    SUM(CASE WHEN NOT cens AND g THEN 1 ELSE 0 END) AS d1,
+       |    SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS d,
+       |    SUM(CASE WHEN g THEN 1 ELSE 0 END) AS end1,
+       |    COUNT(*) AS ended
+       |  FROM obs GROUP BY 1),
+       |tot AS (
+       |  SELECT SUM(CASE WHEN g THEN 1 ELSE 0 END) AS n1all,
+       |    COUNT(*) AS nall
+       |  FROM obs),
+       |r AS (
+       |  SELECT t, d1, d, (SELECT nall FROM tot) AS nall,
+       |    (SELECT nall FROM tot) - COALESCE(SUM(ended) OVER (
+       |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |      1 PRECEDING), 0) AS n,
+       |    (SELECT n1all FROM tot) - COALESCE(SUM(end1) OVER (
+       |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |      1 PRECEDING), 0) AS n1
+       |  FROM tbl),
+       |k AS (
+       |  SELECT COUNT(*) AS n_times, SUM(d1) AS o1,
+       |    SUM((CAST(n AS DOUBLE) / nall) *
+       |      (d1 - CAST(d AS DOUBLE) * n1 / n)) AS woe,
+       |    SUM(POW(CAST(n AS DOUBLE) / nall, 2) *
+       |      (CASE WHEN n > 1 THEN CAST(d AS DOUBLE) *
+       |        (CAST(n1 AS DOUBLE) / n) *
+       |        (1.0 - CAST(n1 AS DOUBLE) / n)
+       |        * (n - d) / (n - 1.0) ELSE 0.0 END)) AS wv
+       |  FROM r WHERE d > 0)
+       |SELECT CAST(n_times AS BIGINT) AS n_times,
+       |  CAST(o1 AS BIGINT) AS o1,
+       |  ROUND(woe, 6) AS w_diff,
+       |  ROUND(wv, 6) AS w_var,
+       |  ROUND(CASE WHEN wv > 0 THEN pow(woe, 2) / wv ELSE 0.0 END, 6)
+       |    AS chi_sq,
+       |  CASE WHEN wv > 0 THEN pow(woe, 2) / wv ELSE 0.0 END > 3.841
+       |    AS sig_95,
+       |  CASE WHEN wv > 0 THEN pow(woe, 2) / wv ELSE 0.0 END > 6.635
+       |    AS sig_99
+       |FROM k""".stripMargin
+
   /** Nelson–Aalen cumulative hazard with the Greenwood standard
     * error (Nelson 1972; Aalen 1978; Greenwood 1926) — the
     * inferential companion to [[kaplanMeier]]: H(t) = Σ d/n is the

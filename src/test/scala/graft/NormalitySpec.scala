@@ -116,4 +116,69 @@ class NormalitySpec extends AnyFunSuite {
     assert(stream.getDouble(4) == batch.getDouble(4),
       s"stream=${stream.getDouble(4)} batch=${batch.getDouble(4)}")
   }
+
+  test("dagostino k2 equals the published-transform recomputation") {
+    // an asymmetric sample large enough for the transforms (n = 60)
+    val xs = (0 until 60).map(i => math.pow(1.0 + i % 12, 1.7))
+    val got = Normality.dagostinoK2(xs.toDF("x"), col("x"))
+      .collect().head
+    // independent Scala replay of D'Agostino 1970 / Anscombe–Glynn
+    val n = xs.size.toDouble
+    val mu = xs.sum / n
+    val m2 = xs.map(x => math.pow(x - mu, 2)).sum / n
+    val m3 = xs.map(x => math.pow(x - mu, 3)).sum / n
+    val m4 = xs.map(x => math.pow(x - mu, 4)).sum / n
+    val g1 = m3 / math.pow(m2, 1.5); val b2 = m4 / (m2 * m2)
+    val y = g1 * math.sqrt((n + 1) * (n + 3) / (6 * (n - 2)))
+    val beta2 = 3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3) /
+      ((n - 2) * (n + 5) * (n + 7) * (n + 9))
+    val w2 = math.sqrt(2 * (beta2 - 1)) - 1
+    val dlt = 1.0 / math.sqrt(math.log(math.sqrt(w2)))
+    val alp = math.sqrt(2.0 / (w2 - 1))
+    val z1 = dlt * math.log(y / alp + math.sqrt(y / alp * (y / alp) + 1))
+    val eb2 = 3 * (n - 1) / (n + 1)
+    val vb2 = 24 * n * (n - 2) * (n - 3) /
+      ((n + 1) * (n + 1) * (n + 3) * (n + 5))
+    val xx = (b2 - eb2) / math.sqrt(vb2)
+    val sb1 = 6 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9)) *
+      math.sqrt(6 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3)))
+    val aa = 6 + 8 / sb1 * (2 / sb1 + math.sqrt(1 + 4 / (sb1 * sb1)))
+    val z2 = ((1 - 2 / (9 * aa)) -
+      math.cbrt((1 - 2 / aa) / (1 + xx * math.sqrt(2 / (aa - 4))))) /
+      math.sqrt(2 / (9 * aa))
+    assert(got.getLong(0) == 60L)
+    assert(math.abs(got.getDouble(3) - z1) < 1e-5, s"z1 ${got.getDouble(3)} vs $z1")
+    assert(math.abs(got.getDouble(4) - z2) < 1e-5, s"z2 ${got.getDouble(4)} vs $z2")
+    assert(math.abs(got.getDouble(5) - (z1 * z1 + z2 * z2)) < 1e-4)
+    // heavily skewed data rejects normality
+    assert(got.getBoolean(6))
+    // degenerate guard: constant sample yields the NULL family
+    val flat = Normality.dagostinoK2(
+      Seq.fill(40)(5.0).toDF("x"), col("x")).collect().head
+    assert(flat.isNullAt(5) && !flat.getBoolean(6))
+  }
+
+  test("page trend: monotone blocks give the exact maximal L") {
+    // 3 blocks, 5 levels, strictly increasing metric in level order:
+    // every within-block rank equals the level index → L = b·Σj²
+    val rows = for (b <- 1 to 3; j <- 1 to 5)
+      yield (s"b$b", j.toLong, j * 10.0 + b)
+    val r = Homogeneity.pageTrend(rows.toDF("b", "j", "x"),
+      col("b"), col("j"), col("x")).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 3.0 * (1 + 4 + 9 + 16 + 25))
+    assert(r.getDouble(3) == 3.0 * 5 * 36 / 4.0)
+    assert(r.getBoolean(5), s"z=${r.getDouble(4)}")
+    // all-tied blocks: average ranks make L = E exactly → z = 0
+    val flat = (for (b <- 1 to 3; j <- 1 to 5)
+      yield (s"b$b", j.toLong, 7.0)).toDF("b", "j", "x")
+    val r0 = Homogeneity.pageTrend(flat, col("b"), col("j"), col("x"))
+      .collect().head
+    assert(r0.getDouble(4) == 0.0 && !r0.getBoolean(5))
+    // an incomplete block is dropped, not mis-ranked
+    val partial = rows.filterNot(t => t._1 == "b3" && t._2 > 3)
+    val rp = Homogeneity.pageTrend(partial.toDF("b", "j", "x"),
+      col("b"), col("j"), col("x")).collect().head
+    assert(rp.getLong(0) == 2L)
+  }
 }

@@ -233,4 +233,42 @@ class RegressionSpec extends AnyFunSuite {
         "shrinking toward your own mean is a no-op")
     }
   }
+
+  test("breusch-pagan: exact fit is NULL, fanning residuals reject") {
+    // perfect line: residuals identically 0 → var(e²) = 0 → LM NULL
+    val exact = frame(
+      (1 to 12).map(d => ev(d.toLong, d, "a", 100.0 + 7.0 * (d - 1))))
+    val r0 = Regression.breuschPagan(exact).collect().head
+    assert(r0.isNullAt(2) && r0.isNullAt(3))
+    // fan shape: y = x ± 0.5x alternating — residual² grows with x
+    val fan = frame((1 to 20).map { d =>
+      val x = (d - 1).toDouble
+      val amp = if (d % 2 == 0) 0.5 else -0.5
+      ev(d.toLong, d, "a", x + amp * x)
+    })
+    val r1 = Regression.breuschPagan(fan).collect().head
+    // independent recomputation of Koenker's LM from the raw series
+    val xs = (0 until 20).map(_.toDouble)
+    val ys = (1 to 20).map { d =>
+      val x = (d - 1).toDouble
+      x + (if (d % 2 == 0) 0.5 else -0.5) * x
+    }
+    val n = xs.size.toDouble
+    val mx = xs.sum / n; val my = ys.sum / n
+    val vx = xs.map(x => (x - mx) * (x - mx)).sum / n
+    val cxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }
+      .sum / n
+    val b = cxy / vx; val a = my - b * mx
+    val e2 = xs.zip(ys).map { case (x, y) =>
+      val e = y - (a + b * x); e * e }
+    val me = e2.sum / n
+    val ve = e2.map(e => (e - me) * (e - me)).sum / n
+    val cex = e2.zip(xs).map { case (e, x) => (e - me) * (x - mx) }
+      .sum / n
+    val lm = n * cex * cex / (ve * vx)
+    assert(r1.getLong(1) == 20L)
+    assert(math.abs(r1.getDouble(2) - lm) < 1e-5,
+      s"lm: ${r1.getDouble(2)} vs $lm")
+    assert(r1.getBoolean(3) == (lm > 3.841459))
+  }
 }

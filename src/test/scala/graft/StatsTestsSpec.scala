@@ -185,4 +185,91 @@ class StatsTestsSpec extends AnyFunSuite {
       col("b"), col("m")).collect().head.getDouble(2)
     assert(shifted > same + 1.0, s"shift must dominate: $shifted vs $same")
   }
+
+  test("cramer-von mises: hand case, zero on identical, shift dominates") {
+    // A={1,2}, B={3,4}: cumulative ECDF gaps 0.5, 1, 0.5, 0 →
+    // Σ l·gap² = 1.5, T = (2·2/4²)·1.5 = 0.375
+    val df = (Seq(1.0, 2.0).map(false -> _) ++
+      Seq(3.0, 4.0).map(true -> _)).toDF("b", "m")
+    val got = Drift.cvmTwoSample(df, col("b"), col("m")).collect().head
+    assert(got.getLong(0) == 2L && got.getLong(1) == 2L)
+    assert(math.abs(got.getDouble(2) - 0.375) < 1e-9)
+    // identical samples: every cumulative gap is 0 → T = 0
+    val a = Seq(1.0, 2.0, 2.0, 3.5, 4.0, 7.0, 8.0)
+    val same = Drift.cvmTwoSample(
+      (a.map(false -> _) ++ a.map(true -> _)).toDF("b", "m"),
+      col("b"), col("m")).collect().head
+    assert(same.getDouble(2) == 0.0 && !same.getBoolean(3))
+    val shifted = Drift.cvmTwoSample(
+      (a.map(false -> _) ++ a.map(x => true -> (x + 50.0))).toDF("b", "m"),
+      col("b"), col("m")).collect().head
+    assert(shifted.getDouble(2) > 0.461 && shifted.getBoolean(3))
+  }
+
+  test("one-way anova equals the textbook sums-of-squares computation") {
+    // groups A=(1,2,3), B=(4,5,6): SSB = 13.5, SSW = 4, MSW = 1,
+    // F = 13.5, eta² = 13.5/17.5, omega² = (13.5−1)/(17.5+1)
+    val df = (Seq(1.0, 2.0, 3.0).map("a" -> _) ++
+      Seq(4.0, 5.0, 6.0).map("b" -> _)).toDF("g", "x")
+    val r = graft.operators.Anova.onewayF(df, col("g"), col("x"))
+      .collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 4L)
+    assert(math.abs(r.getDouble(4) - 13.5) < 1e-6)
+    assert(math.abs(r.getDouble(5) - 13.5 / 17.5) < 1e-6)
+    assert(math.abs(r.getDouble(6) - 12.5 / 18.5) < 1e-6)
+    // (k−1)·F = 13.5 > 3.841459
+    assert(r.getBoolean(7))
+    // equal group means → F = 0, not significant
+    val flat = (Seq(1.0, 3.0).map("a" -> _) ++ Seq(1.0, 3.0).map("b" -> _))
+      .toDF("g", "x")
+    val f = graft.operators.Anova.onewayF(flat, col("g"), col("x"))
+      .collect().head
+    assert(f.getDouble(4) == 0.0 && !f.getBoolean(7))
+  }
+
+  test("sample entropy: constant-series counts are exact combinatorics") {
+    // constant daily counts: σ=0 → r=0, every template matches.
+    // n=6 days → B = C(5,2) = 10, A = C(4,2) = 6, SampEn = −ln(0.6)
+    val rows = (1 to 6).flatMap(d =>
+      (1 to 3).map(k => ev(d * 10L + k, k.toLong, d, "view", 1.0)))
+    val r = Anomaly.sampleEntropy(events(rows)).collect().head
+    assert(r.getLong(0) == 6L && r.getDouble(1) == 0.0)
+    assert(r.getLong(2) == 10L && r.getLong(3) == 6L)
+    assert(math.abs(r.getDouble(4) - -math.log(0.6)) < 1e-6)
+    // an irregular series keeps fewer long templates than a periodic
+    // one of the same values → higher SampEn
+    val periodic = (1 to 12).flatMap(d =>
+      (1 to (if (d % 2 == 0) 8 else 2)).map(k =>
+        ev(d * 100L + k, k.toLong, d, "view", 1.0)))
+    val irregular = Seq(2, 8, 2, 2, 8, 8, 2, 8, 8, 2, 2, 8)
+      .zipWithIndex.flatMap { case (c, d0) =>
+        (1 to c).map(k => ev((d0 + 1) * 100L + k, k.toLong,
+          d0 + 1, "view", 1.0)) }
+    val sp = Anomaly.sampleEntropy(events(periodic)).collect()
+      .head.getDouble(4)
+    val si = Anomaly.sampleEntropy(events(irregular)).collect()
+      .head.getDouble(4)
+    assert(sp < si, s"periodic $sp must read more regular than $si")
+  }
+
+  test("atkinson: zero on equal values, hand case on {1,3}") {
+    import graft.operators.Inequality
+    val eq = Inequality.atkinson(Seq(5.0, 5.0, 5.0).toDF("x"), col("x"))
+      .collect().head
+    assert(eq.getDouble(2) == 0.0 && eq.getDouble(3) == 0.0 &&
+      eq.getDouble(4) == 0.0)
+    // {1,3}: mean 2; A½ = 1 − ((1+√3)/2)²/2; A₁ = 1 − √3/2;
+    // A₂ = 1 − 1.5/2 (harmonic mean 1.5)
+    val r = Inequality.atkinson(Seq(1.0, 3.0).toDF("x"), col("x"))
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getDouble(1) == 2.0)
+    val mh = (1.0 + math.sqrt(3.0)) / 2.0
+    assert(math.abs(r.getDouble(2) - (1.0 - mh * mh / 2.0)) < 1e-6)
+    assert(math.abs(r.getDouble(3) - (1.0 - math.sqrt(3.0) / 2.0)) < 1e-6)
+    assert(math.abs(r.getDouble(4) - 0.25) < 1e-9)
+    // ordering: higher ε is more bottom-sensitive → A½ < A₁ < A₂
+    assert(r.getDouble(2) < r.getDouble(3) &&
+      r.getDouble(3) < r.getDouble(4))
+  }
 }

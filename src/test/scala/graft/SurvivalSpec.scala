@@ -343,4 +343,48 @@ class SurvivalSpec extends AnyFunSuite {
       .select("lift", "sig_95").collect().head
     assert(math.abs(r.getDouble(0)) < 0.5 && !r.getBoolean(1))
   }
+
+  test("rmst: hand-computed area and Klein–Moeschberger variance") {
+    // lifetimes 1,1,2,2 all uncensored (horizonDays = 0): KM is
+    // S(1)=0.5, S(2)=0; RMST = 1·1 + 0.5·1 = 1.5, τ = 2.
+    // Var: t=1 → A = 1.5−1 = 0.5, term 0.5²·2/(4·2) = 0.0625;
+    // t=2 → d=n skipped. SE = 0.25.
+    val rows = Seq(user(1, 1, 2), user(2, 1, 2), user(3, 1, 3),
+      user(4, 1, 3)).flatten
+    val r = Survival.rmst(events(rows), horizonDays = 0).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 1.5)
+    assert(r.getDouble(3) == 0.25)
+  }
+
+  test("rmst: everyone-survives-to-the-end gives area = tau") {
+    // all four users share lifetime 3, all uncensored → single step
+    // where the whole risk set exits: S jumps 1 → 0 at t=3, so the
+    // area is 1·3 = 3 and the variance term is skipped (d = n).
+    val rows = Seq(user(1, 1, 4), user(2, 1, 4), user(3, 1, 4),
+      user(4, 1, 4)).flatten
+    val r = Survival.rmst(events(rows), horizonDays = 0).collect().head
+    assert(r.getLong(0) == 3L && r.getDouble(2) == 3.0)
+    assert(r.getDouble(3) == 0.0)
+  }
+
+  test("gehan-wilcoxon: identical cohorts read zero, separated reject") {
+    // parity cohorts with identical lifetime multisets → every event
+    // time has d1 = d·n1/n exactly → w_diff = 0, chi = 0
+    val same = Seq(user(1, 1, 2), user(2, 1, 2), user(3, 1, 4),
+      user(4, 1, 4), user(5, 1, 6), user(6, 1, 6)).flatten
+    val r0 = Survival.gehanWilcoxon(events(same),
+      col("user_id") % 2 === 1, horizonDays = 0).collect().head
+    assert(r0.getDouble(2) == 0.0 && r0.getDouble(4) == 0.0)
+    assert(!r0.getBoolean(5))
+    // odd users all die day 1, even users all at day 9: maximal
+    // early separation → chi well past 3.841
+    val sep = (1L to 16L).map(i =>
+      user(i, 1, if (i % 2 == 1) 2 else 10)).flatten
+    val r1 = Survival.gehanWilcoxon(events(sep),
+      col("user_id") % 2 === 1, horizonDays = 0).collect().head
+    assert(r1.getBoolean(5), s"chi=${r1.getDouble(4)}")
+    // weights are normalized: w_var stays O(1)
+    assert(r1.getDouble(3) < 10.0)
+  }
 }
