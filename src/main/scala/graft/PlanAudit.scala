@@ -70,6 +70,16 @@ object PlanAudit {
     // Breusch–Pagan: the min-date origin is the q269/q281 1-row
     // calendar factor (the OLS-diagnostics shared shape)
     "q382_breusch_pagan",
+    // average precision: the (P, N) class totals are the q205
+    // ROC-shape 1-row stat factor
+    "q386_avg_precision",
+    // Hodges–Lehmann: the days² pair grid is a deliberate
+    // calendar-bounded cross (the Theil–Sen shape) plus two 1-row
+    // cohort-count factors
+    "q388_hodges_lehmann",
+    // Kendall W: the k-distinct-levels and n-blocks totals are 1-row
+    // stat factors into cell-cardinality frames (the Page shape)
+    "q389_kendall_w",
     // segment lift: BH family-size 1-row factor (ksBySliceFdr shape);
     // quantile lift: |levels|-row broadcast quantile table
     "q256_segment_lift", "q257_quantile_lift",

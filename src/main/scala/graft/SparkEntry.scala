@@ -86,6 +86,55 @@ object SparkEntry {
       |  ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS prec
       |FROM acc ORDER BY score DESC""".stripMargin
 
+  /** DuckDB oracle for q386 — the [[rocOracleQ205]] score/label CTEs
+    * reduced to the one-row step-interpolated average precision. */
+  private val apOracleQ386: String =
+    """WITH t AS (
+      |  SELECT str_split_regex(trim(text), '\s+') AS toks, lang
+      |  FROM documents),
+      |s AS (
+      |  SELECT lang,
+      |    CAST(len(toks) AS DOUBLE) AS n,
+      |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+      |      AS sumlen,
+      |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+      |      ('the','a','of','and','to','in','is','on',
+      |       'der','die','das','und','ist','nicht','ein','zu',
+      |       'el','la','de','que','y','en','un','es',
+      |       'le','et','les','des','est','une') THEN 1 ELSE 0 END))
+      |      AS DOUBLE) AS stop_all
+      |  FROM t),
+      |q AS (
+      |  SELECT ROUND(
+      |      LEAST(n / 16.0, 1.0) * 0.4 +
+      |      (CASE WHEN sumlen / n BETWEEN 2.0 AND 9.0
+      |            THEN 1.0 ELSE 0.5 END) * 0.4 +
+      |      LEAST(stop_all / n * 4.0, 1.0) * 0.2, 4) AS score,
+      |    (lang = 'en') AS label
+      |  FROM s),
+      |bys AS (
+      |  SELECT score,
+      |    SUM(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+      |    SUM(CASE WHEN label THEN 0 ELSE 1 END) AS n_neg
+      |  FROM q GROUP BY score),
+      |acc AS (
+      |  SELECT score, n_pos,
+      |    SUM(n_pos) OVER (ORDER BY score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+      |    SUM(n_neg) OVER (ORDER BY score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+      |  FROM bys),
+      |tot AS (
+      |  SELECT SUM(n_pos) AS p, SUM(n_neg) AS nn FROM bys)
+      |SELECT (SELECT CAST(p AS BIGINT) FROM tot) AS n_pos,
+      |  (SELECT CAST(nn AS BIGINT) FROM tot) AS n_neg,
+      |  CAST(COUNT(*) AS BIGINT) AS n_scores,
+      |  ROUND(CASE WHEN (SELECT p FROM tot) > 0 THEN
+      |    SUM(CAST(n_pos AS DOUBLE) *
+      |      (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))) /
+      |    (SELECT CAST(p AS DOUBLE) FROM tot) END, 6) AS avg_prec
+      |FROM acc""".stripMargin
+
   /** (determinant, dependent) shortlist for the q336 g3 pass — the
     * key column (exact FDs, g3 = 0) plus the near/violated pairs the
     * q211 report surfaces; one list drives engine + oracle. */
@@ -382,6 +431,48 @@ object SparkEntry {
     //      tolerance snapped to the 6-decimal grid pre-comparison ----
     "q385_sample_entropy" -> ((s, dir) =>
       graft.operators.Anomaly.sampleEntropy(t(s, dir, "events"))),
+
+    // ---- Average precision (step-interpolated PR-curve area) on the
+    //      q205 quality-score fixture: the imbalance-honest summary
+    //      beside ROC AUC (q202) ----
+    "q386_avg_precision" -> ((s, dir) =>
+      graft.operators.ClassifierEval.averagePrecision(
+        t(s, dir, "documents").select(
+          TextFunctions.qualityScore(col("text")).as("score"),
+          (col("lang") === "en").as("label")),
+        "score", "label")),
+
+    // ---- Wilson score intervals for per-weekday purchase share:
+    //      the [0,1]-safe rate CI the Wald interval isn't ----
+    "q387_wilson_intervals" -> ((s, dir) =>
+      graft.operators.Experiment.wilsonIntervals(t(s, dir, "events"),
+        dayofweek(col("ts")).cast("long"),
+        col("event_type") === "purchase")),
+
+    // ---- Hodges–Lehmann shift between weekend/weekday daily
+    //      revenue: the robust effect size beside Mann–Whitney
+    //      (q249); days² pair grid, calendar-bounded ----
+    "q388_hodges_lehmann" -> ((s, dir) =>
+      graft.operators.Experiment.hodgesLehmann(t(s, dir, "events"),
+        dayofweek(col("ts")).isin(1, 7))),
+
+    // ---- Kendall's W concordance of weekday orderings across
+    //      event-type blocks: the effect size for q325's Friedman ----
+    "q389_kendall_w" -> ((s, dir) =>
+      graft.operators.Homogeneity.kendallW(t(s, dir, "events"),
+        col("event_type"), dayofweek(col("ts")), col("value"))),
+
+    // ---- ICC(1) of order totals within customers: the clustering /
+    //      design-effect dial behind every per-row standard error ----
+    "q390_icc" -> ((s, dir) =>
+      graft.operators.Anova.icc1(t(s, dir, "orders"),
+        col("o_custkey"), col("o_totalprice"))),
+
+    // ---- Exact all-pairs BFS over the page graph: per-page
+    //      eccentricity/reach/mean distance (diameter = max ecc) —
+    //      the geometry audit beside modularity (q372) ----
+    "q391_graph_distances" -> ((s, dir) =>
+      graft.operators.GraphAudit.bfsDistances(t(s, dir, "events"))),
 
     // ---- Per-type OLS trend with inference: slope/intercept/r²/t on
     //      daily revenue vs day index — the parametric counterpart to
@@ -4286,6 +4377,23 @@ object SparkEntry {
     "q385_sample_entropy" ->
       graft.operators.Anomaly.sampleEntropyOracleSql,
 
+    "q386_avg_precision" -> apOracleQ386,
+
+    "q387_wilson_intervals" ->
+      graft.operators.Experiment.wilsonOracleSql,
+
+    "q388_hodges_lehmann" ->
+      graft.operators.Experiment.hodgesLehmannOracleSql,
+
+    "q389_kendall_w" ->
+      graft.operators.Homogeneity.kendallWOracleSql,
+
+    "q390_icc" ->
+      graft.operators.Anova.iccOracleSql,
+
+    "q391_graph_distances" ->
+      graft.operators.GraphAudit.bfsDistancesOracleSql,
+
     "q201_sequence_pack" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -7566,6 +7674,17 @@ object SparkEntry {
       "z*", "sig_95"),
     "q385_sample_entropy" -> Seq("n_days#", "r_tol*", "b_count#",
       "a_count#", "sampen*"),
+    "q386_avg_precision" -> Seq("n_pos#", "n_neg#", "n_scores#",
+      "avg_prec*"),
+    "q387_wilson_intervals" -> Seq("slice#", "n#", "conv#", "p_hat*",
+      "ci_lo*", "ci_hi*"),
+    "q388_hodges_lehmann" -> Seq("n_a#", "n_b#", "n_pairs#",
+      "hl_shift*"),
+    "q389_kendall_w" -> Seq("n_blocks#", "k#", "w_stat*", "chi2*",
+      "df#", "sig_95"),
+    "q390_icc" -> Seq("n#", "k#", "n0*", "f_ratio*", "icc*"),
+    "q391_graph_distances" -> Seq("page#", "n_reach#", "ecc#",
+      "sum_dist#", "avg_dist*"),
     "q140_bpe_train" -> Seq("rank#", "left", "right", "merged",
       "cnt#"),
     "q162_mmr_rerank" -> Seq("query_id#", "neighbor_id#",

@@ -130,6 +130,92 @@ object Anova {
       (f * dfb > Homogeneity.chi2Crit95(col("k") - 1)).as("sig_95"))
   }
 
+  /** One-way random-effects intraclass correlation ICC(1) (Fisher
+    * 1925 §39; Shrout & Fleiss, Psych. Bull. 1979 case 1) — the
+    * CLUSTERING dial [[onewayF]]'s hypothesis test doesn't give:
+    * what share of the metric's variance lives BETWEEN groups rather
+    * than within them. ICC ≈ 0 means group identity is irrelevant
+    * (rows are exchangeable — simple random sampling is fine);
+    * ICC ≫ 0 means rows cluster, and any per-row standard error that
+    * ignores the grouping (experiment units, shard sampling,
+    * bootstrap resampling) is understated by the design effect
+    * 1 + (n̄−1)·ICC. Unbalanced groups use the standard
+    * n₀ = (N − Σn_g²/N)/(k−1) average group size.
+    *
+    * Same single grouped-moment pass as [[onewayF]] plus the Σn_g²
+    * term. One row `(n, k, n0, f_ratio, icc)` — the mean squares are
+    * reported as their RATIO MSB/MSW rather than raw values: the raw
+    * mean squares scale with the metric² (~10¹⁰ here), where the
+    * 6-decimal canonical grid sits below one double ulp and the
+    * bit-exact hash cannot be honored; the ratio and ICC are O(1).
+    * NULL family when the design degenerates (k < 2, n ≤ k, or zero
+    * within variance). */
+  def icc1(df: DataFrame, group: Column, metric: Column): DataFrame = {
+    val gv = df.select(group.as("g"), metric.cast("double").as("x"))
+      .where(col("g").isNotNull && col("x").isNotNull)
+    val perG = gv.groupBy("g").agg(
+      count(lit(1)).as("n_g"),
+      sum("x").as("sx_g"),
+      sum(col("x") * col("x")).as("sxx_g"))
+    val s = perG.agg(
+      sum("n_g").as("n"), count(lit(1)).as("k"),
+      sum("sx_g").as("sx"), sum("sxx_g").as("sxx"),
+      sum(col("sx_g") * col("sx_g") / col("n_g")).as("sgg"),
+      sum(col("n_g") * col("n_g")).as("sn2"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val ssb = col("sgg") - col("sx") * col("sx") / nD
+    val ssw = col("sxx") - col("sgg")
+    val n0 = (nD - col("sn2").cast("double") / nD) / (kD - 1.0)
+    val msb = ssb / (kD - 1.0)
+    val msw = ssw / (nD - kD)
+    val ok = col("k") >= 2 && col("n") > col("k") && ssw > 0.0
+    val icc = (msb - msw) / (msb + (n0 - 1.0) * msw)
+    s.select(
+      col("n").cast("bigint").as("n"),
+      col("k").cast("bigint").as("k"),
+      round(when(ok, n0), 6).as("n0"),
+      round(when(ok, msb / msw), 6).as("f_ratio"),
+      round(when(ok, icc), 6).as("icc"))
+  }
+
+  /** DuckDB oracle for [[icc1]] on orders
+    * (group = o_custkey, metric = o_totalprice). */
+  val iccOracleSql: String =
+    """WITH gv AS (
+      |  SELECT o_custkey AS g, CAST(o_totalprice AS DOUBLE) AS x
+      |  FROM orders
+      |  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL),
+      |per_g AS (
+      |  SELECT g, COUNT(*) AS n_g, SUM(x) AS sx_g,
+      |    SUM(x * x) AS sxx_g
+      |  FROM gv GROUP BY 1),
+      |s AS (
+      |  SELECT SUM(n_g) AS n, COUNT(*) AS k,
+      |    SUM(sx_g) AS sx, SUM(sxx_g) AS sxx,
+      |    SUM(sx_g * sx_g / n_g) AS sgg,
+      |    SUM(n_g * n_g) AS sn2
+      |  FROM per_g),
+      |f AS (
+      |  SELECT n, k,
+      |    sgg - sx * sx / n AS ssb,
+      |    sxx - sgg AS ssw,
+      |    (CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE) / n) /
+      |      (CAST(k AS DOUBLE) - 1.0) AS n0,
+      |    k >= 2 AND n > k AND (sxx - sgg) > 0.0 AS ok
+      |  FROM s),
+      |g AS (
+      |  SELECT n, k, n0, ok,
+      |    ssb / (CAST(k AS DOUBLE) - 1.0) AS msb,
+      |    ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS msw
+      |  FROM f)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+      |  ROUND(CASE WHEN ok THEN n0 END, 6) AS n0,
+      |  ROUND(CASE WHEN ok THEN msb / msw END, 6) AS f_ratio,
+      |  ROUND(CASE WHEN ok THEN (msb - msw) /
+      |    (msb + (n0 - 1.0) * msw) END, 6) AS icc
+      |FROM g""".stripMargin
+
   /** DuckDB oracle for [[onewayF]] on orders
     * (group = o_orderpriority, metric = o_totalprice). */
   val onewayOracleSql: String =

@@ -95,6 +95,40 @@ object ClassifierEval {
       .orderBy(col("score").desc)
   }
 
+  /** Average precision (the area under the precision–recall curve in
+    * its standard step-interpolated form, as in the TREC/IR and
+    * object-detection literature): AP = Σ_s Δrecall(s)·precision(s)
+    * over descending score thresholds. The class-imbalance-honest
+    * companion to [[aucSummary]]: ROC AUC is blind to the
+    * positive:negative ratio (a 1:10⁴ corpus can post AUC 0.99 while
+    * every alert is noise); AP is anchored to precision, so it
+    * collapses exactly when the alert queue would. One row
+    * `(n_pos, n_neg, n_scores, avg_prec)`; NULL AP with no
+    * positives. Same two-agg distinct-score dataflow as
+    * [[rocCurve]]. */
+  def averagePrecision(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val byScore = scoreTable(scored, scoreCol, labelCol)
+    val wGe = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = byScore.agg(sum("n_pos").as("__p"),
+      sum("n_neg").as("__n"))
+    byScore
+      .withColumn("__tp", sum("n_pos").over(wGe))
+      .withColumn("__fp", sum("n_neg").over(wGe))
+      .crossJoin(broadcast(totals))  // 1-row stat factor
+      .agg(
+        first("__p").as("n_pos"), first("__n").as("n_neg"),
+        count(lit(1)).as("n_scores"),
+        sum(col("n_pos").cast("double") *
+          (col("__tp").cast("double") /
+            (col("__tp") + col("__fp")).cast("double"))).as("__s"))
+      .select(
+        col("n_pos"), col("n_neg"), col("n_scores"),
+        round(when(col("n_pos") > 0,
+          col("__s") / col("n_pos").cast("double")), 6).as("avg_prec"))
+  }
+
   /** Youden-J optimal operating point (Youden, Cancer 1950): the
     * score threshold maximizing J = TPR − FPR over the [[rocCurve]] —
     * the one-row "where do I actually set the cutoff" answer the full

@@ -1536,4 +1536,117 @@ object Experiment {
       |  (diff + margin) / se > 1.6448536269514722 AND
       |    (margin - diff) / se > 1.6448536269514722 AS equivalent
       |FROM f""".stripMargin
+
+  /** Wilson score intervals (Wilson, JASA 1927) for a per-slice
+    * conversion proportion — the interval every rate LEADERBOARD
+    * should carry instead of the Wald ±z√(p(1−p)/n) it usually does:
+    * Wald collapses to zero width at p̂ ∈ {0,1} and escapes [0,1] at
+    * small n, exactly the slices a leaderboard sorts to the top;
+    * Wilson inverts the score test instead, staying inside [0,1]
+    * with correct coverage at any n. Per-slice row
+    * `(slice, n, conv, p_hat, ci_lo, ci_hi)`, ordered.
+    *
+    * Scale shape: ONE grouped conditional count to slice cardinality,
+    * then closed-form scalar arithmetic per row. */
+  def wilsonIntervals(df: DataFrame, slice: Column,
+      success: Column): DataFrame = {
+    val z = 1.959964
+    val g = df.select(slice.as("slice"), success.cast("boolean").as("__s"))
+      .where(col("slice").isNotNull && col("__s").isNotNull)
+      .groupBy("slice")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__s"), 1L).otherwise(0L)).as("conv"))
+    val nD = col("n").cast("double")
+    val p = col("conv").cast("double") / nD
+    val denom = lit(1.0) + lit(z * z) / nD
+    val center = (p + lit(z * z) / (nD * 2.0)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      lit(z * z) / (nD * nD * 4.0)) / denom
+    g.select(
+        col("slice"), col("n"), col("conv"),
+        round(p, 6).as("p_hat"),
+        round(center - half, 6).as("ci_lo"),
+        round(center + half, 6).as("ci_hi"))
+      .orderBy("slice")
+  }
+
+  /** DuckDB oracle for the registered Wilson fixture: per-weekday
+    * purchase share (Spark dayofweek Sun=1 mirrored as DuckDB
+    * dayofweek + 1). */
+  val wilsonOracleSql: String =
+    """WITH g AS (
+      |  SELECT dayofweek(ts) + 1 AS slice, COUNT(*) AS n,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS conv
+      |  FROM events GROUP BY 1),
+      |f AS (
+      |  SELECT slice, n, conv,
+      |    CAST(conv AS DOUBLE) / n AS p,
+      |    1.0 + 1.959964 * 1.959964 / n AS den
+      |  FROM g)
+      |SELECT CAST(slice AS BIGINT) AS slice, CAST(n AS BIGINT) AS n,
+      |  CAST(conv AS BIGINT) AS conv,
+      |  ROUND(p, 6) AS p_hat,
+      |  ROUND((p + 1.959964 * 1.959964 / (CAST(n AS DOUBLE) * 2.0))
+      |      / den
+      |    - 1.959964 * SQRT(p * (1.0 - p) / n +
+      |        1.959964 * 1.959964 /
+      |        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 4.0)) / den,
+      |    6) AS ci_lo,
+      |  ROUND((p + 1.959964 * 1.959964 / (CAST(n AS DOUBLE) * 2.0))
+      |      / den
+      |    + 1.959964 * SQRT(p * (1.0 - p) / n +
+      |        1.959964 * 1.959964 /
+      |        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 4.0)) / den,
+      |    6) AS ci_hi
+      |FROM f ORDER BY slice""".stripMargin
+
+  /** Hodges–Lehmann shift estimator (Hodges & Lehmann, Ann. Math.
+    * Stat. 1963) between two cohorts' DAILY revenue series — the
+    * robust "how big is the shift" companion to Mann–Whitney's "is
+    * there one" (q249): the median of all cross-pair differences
+    * B − A estimates the location shift with 50% breakdown-free
+    * efficiency ~0.955 vs the mean under normality, and unlike
+    * mean_B − mean_A one whale day cannot move it.
+    *
+    * Scale shape: the pair grid is DAYS², calendar-bounded forever
+    * (the Theil–Sen precedent) — the corpus is touched once by the
+    * daily agg. Exact interpolated median over the pair table, the
+    * same convention both engines share (brownForsythe precedent).
+    * One row `(n_a, n_b, n_pairs, hl_shift)`. */
+  def hodgesLehmann(events: DataFrame, inB: Column): DataFrame = {
+    val daily = events
+      .select(to_date(col("ts")).as("d"), col("value"),
+        inB.as("__b"))
+      .groupBy("d", "__b").agg(sum("value").as("y"))
+    val a = daily.where(!col("__b")).select(col("y").as("ya"))
+    val b = daily.where(col("__b")).select(col("y").as("yb"))
+    val na = a.agg(count(lit(1)).as("n_a"))
+    val nb = b.agg(count(lit(1)).as("n_b"))
+    val pairs = a.crossJoin(b)   // days² — calendar-bounded
+      .select((col("yb") - col("ya")).as("diff"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(diff, 0.5)").as("__hl"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("n_a"), col("n_b"), col("n_pairs"),
+        round(col("__hl"), 6).as("hl_shift"))
+  }
+
+  /** DuckDB oracle for the registered H–L fixture: weekend vs
+    * weekday daily revenue (the q295/q378 cohort split at day
+    * grain). DuckDB's `quantile_cont(0.5)` interpolates identically
+    * to Spark's exact `percentile`. */
+  val hodgesLehmannOracleSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d,
+      |    dayofweek(ts) IN (0, 6) AS b, SUM(value) AS y
+      |  FROM events GROUP BY 1, 2),
+      |a AS (SELECT y AS ya FROM daily WHERE NOT b),
+      |bb AS (SELECT y AS yb FROM daily WHERE b),
+      |p AS (SELECT yb - ya AS diff FROM a CROSS JOIN bb)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM bb) AS n_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  ROUND(quantile_cont(diff, 0.5), 6) AS hl_shift
+      |FROM p""".stripMargin
 }

@@ -237,4 +237,91 @@ object GraphAudit {
       |  ROUND(SUM(CASE WHEN has_rev THEN w ELSE 0 END) / SUM(w), 6)
       |    AS weight_reciprocity
       |FROM marked""".stripMargin
+
+  /** Exact all-pairs BFS distances over the simple undirected
+    * navigation graph, summarized per node: `(page, n_reach, ecc,
+    * sum_dist, avg_dist)` — eccentricity (max distance), reach count
+    * (including self at d = 0), and mean distance to the reachable
+    * others. MAX(ecc) across rows is the graph diameter; the numbers
+    * say whether the page web the graph tier ranks (q150/q360) is one
+    * tight ball or a chain of corridors.
+    *
+    * Distances are computed to `maxHops` — EXACT BFS whenever the
+    * true diameter is below the cap (both engines share the cap, so
+    * the comparison is well-defined either way; pairs beyond the cap
+    * are excluded in both).
+    *
+    * Scale shape: the page vocabulary is BOUNDED (the props.k id
+    * space), so the dist table is at most pages² — never
+    * corpus-sized. Each hop is one join + min-d reduce on that
+    * table, with an EAGER localCheckpoint per hop to truncate the
+    * iterative lineage (the q150 PageRank discipline). The corpus is
+    * touched exactly once, by the edge extraction. */
+  def bfsDistances(events: DataFrame, maxHops: Int = 6): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val e = GraphRank.navigationEdges(events)
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val sym = e.unionByName(
+      e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)   // graph-sized, reused every hop
+    val nodes = sym.select(col("a").as("node")).distinct()
+    var dist = nodes
+      .select(col("node").as("src"), col("node"), lit(0).as("d"))
+      .localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      val next = dist.join(sym, dist("node") === sym("a"))
+        .select(dist("src"), sym("b").as("node"),
+          (dist("d") + 1).as("d"))
+      dist = dist.unionByName(next)
+        .groupBy("src", "node").agg(min("d").as("d"))
+        .localCheckpoint(true)   // truncate iterative lineage
+    }
+    dist.groupBy("src").agg(
+        count(lit(1)).as("n_reach"),
+        max("d").cast("bigint").as("ecc"),
+        sum("d").cast("bigint").as("sum_dist"))
+      .select(
+        col("src").cast("bigint").as("page"),
+        col("n_reach"),
+        col("ecc"),
+        col("sum_dist"),
+        round(when(col("n_reach") > 1,
+          col("sum_dist").cast("double") /
+            (col("n_reach") - 1).cast("double")), 6).as("avg_dist"))
+      .orderBy("page")
+  }
+
+  /** DuckDB oracle for [[bfsDistances]] (maxHops = 6): the same
+    * capped-depth recursive enumeration reduced by MIN(d) — the
+    * UNION-distinct working set stays ≤ pages² per level. */
+  val bfsDistancesOracleSql: String =
+    """WITH RECURSIVE seq AS MATERIALIZED (
+      |  SELECT page, LEAD(page) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS next
+      |  FROM (SELECT CAST(props->>'k' AS INTEGER) AS page,
+      |          user_id, ts, event_id FROM events)
+      |  WHERE page IS NOT NULL),
+      |u AS (
+      |  SELECT DISTINCT LEAST(page, next) AS a, GREATEST(page, next) AS b
+      |  FROM seq WHERE next IS NOT NULL AND page <> next),
+      |sym AS MATERIALIZED (
+      |  SELECT a, b FROM u UNION ALL SELECT b, a FROM u),
+      |nodes AS (SELECT DISTINCT a AS node FROM sym),
+      |r AS (
+      |  SELECT node AS src, node, 0 AS d FROM nodes
+      |  UNION
+      |  SELECT r.src, sym.b AS node, r.d + 1 AS d
+      |  FROM r JOIN sym ON r.node = sym.a WHERE r.d < 6),
+      |m AS (SELECT src, node, MIN(d) AS d FROM r GROUP BY 1, 2)
+      |SELECT CAST(src AS BIGINT) AS page,
+      |  CAST(COUNT(*) AS BIGINT) AS n_reach,
+      |  CAST(MAX(d) AS BIGINT) AS ecc,
+      |  CAST(SUM(d) AS BIGINT) AS sum_dist,
+      |  ROUND(CASE WHEN COUNT(*) > 1
+      |    THEN CAST(SUM(d) AS DOUBLE) / (COUNT(*) - 1) END, 6)
+      |    AS avg_dist
+      |FROM m GROUP BY src ORDER BY page""".stripMargin
 }

@@ -632,6 +632,124 @@ object Homogeneity {
         .as("sig_95"))
   }
 
+  /** Kendall's coefficient of concordance W (Kendall & Babington
+    * Smith, Ann. Math. Stat. 1939), tie-corrected — the EFFECT SIZE
+    * for [[friedman]]'s hypothesis test: χ² says whether the blocks
+    * rank the treatments consistently; W ∈ [0,1] says HOW consistent
+    * (1 = every block produces the identical ordering, 0 = orderings
+    * are uncorrelated), comparable across studies the χ² never is.
+    * W = 12·S / (b²k(k²−1) − b·ΣT_b) over the within-block
+    * average-rank sums, T_b = Σ(t³−t) the per-block tie term;
+    * χ² = b(k−1)W against k−1 df.
+    *
+    * Same complete-block cell construction as [[pageTrend]]; all
+    * windows at b·k cell cardinality. One row `(n_blocks, k, w_stat,
+    * chi2, df, sig_95)`. */
+  def kendallW(df: DataFrame, block: Column, treat: Column,
+      metric: Column): DataFrame = {
+    val cell = df.select(block.as("b"), treat.cast("long").as("j"),
+        metric.cast("double").as("x"))
+      .where(col("b").isNotNull && col("j").isNotNull &&
+        col("x").isNotNull)
+      .groupBy("b", "j").agg(sum("x").as("v"))
+    val kf = cell.agg(countDistinct("j").as("__k"))   // 1-row factor
+    val bc = cell.groupBy("b").agg(count(lit(1)).as("__cnt"))
+    val full = cell.join(bc, "b").crossJoin(broadcast(kf))
+      .where(col("__cnt") === col("__k"))
+    val wRank = Window.partitionBy("b").orderBy("v")
+    val wTie = Window.partitionBy("b", "v")
+    val ranked = full
+      .withColumn("__minr", rank().over(wRank))
+      .withColumn("__eq", count(lit(1)).over(wTie))
+      .withColumn("__r", col("__minr") + (col("__eq") - 1) / 2.0)
+    // per-block tie term: each tie group of size t contributes t³−t,
+    // counted once (the group's cells each see __eq = t)
+    val tieT = ranked
+      .groupBy("b", "v").agg(first("__eq").as("__t"))
+      .agg(coalesce(sum(col("__t") * col("__t") * col("__t") -
+        col("__t")), lit(0L)).as("__T"))
+    val perTreat = ranked.groupBy("j")
+      .agg(sum("__r").as("__rj"), first("__k").as("__k2"))
+    val nbF = ranked.agg(countDistinct("b").as("__nb"))
+    val s = perTreat.crossJoin(broadcast(nbF))
+      .select(col("__rj"), col("__k2"), col("__nb"),
+        pow(col("__rj") - col("__nb").cast("double") *
+          (col("__k2").cast("double") + 1.0) / 2.0, 2).as("__dev"))
+      .agg(first("__k2").as("k"), first("__nb").as("n_blocks"),
+        sum("__dev").as("__S"))
+    val bD = col("n_blocks").cast("double")
+    val kD = col("k").cast("double")
+    val denom = bD * bD * kD * (kD * kD - 1.0) - bD * col("__T")
+    val w = when(denom > 0.0, col("__S") * 12.0 / denom)
+    val chi2 = bD * (kD - 1.0) * w
+    s.crossJoin(broadcast(tieT))
+      .select(
+        col("n_blocks").cast("bigint").as("n_blocks"),
+        col("k").cast("bigint").as("k"),
+        round(w, 6).as("w_stat"),
+        round(chi2, 6).as("chi2"),
+        (col("k") - 1).cast("bigint").as("df"),
+        when(chi2.isNotNull,
+          chi2 > chi2Crit95(col("k") - 1)).otherwise(lit(false))
+          .as("sig_95"))
+  }
+
+  /** DuckDB oracle for the registered Kendall-W fixture (same
+    * cells as [[pageTrendOracleSql]]). */
+  val kendallWOracleSql: String =
+    """WITH cell AS (
+      |  SELECT event_type AS b, dayofweek(ts) + 1 AS j,
+      |    SUM(CAST(value AS DOUBLE)) AS v
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1, 2),
+      |kf AS (SELECT COUNT(DISTINCT j) AS k FROM cell),
+      |bc AS (SELECT b, COUNT(*) AS cnt FROM cell GROUP BY 1),
+      |fl AS (
+      |  SELECT cell.b, cell.j, cell.v
+      |  FROM cell JOIN bc ON cell.b = bc.b CROSS JOIN kf
+      |  WHERE bc.cnt = kf.k),
+      |r AS (
+      |  SELECT b, j, v,
+      |    RANK() OVER (PARTITION BY b ORDER BY v) +
+      |      (COUNT(*) OVER (PARTITION BY b, v) - 1) / 2.0 AS rr
+      |  FROM fl),
+      |tt AS (
+      |  SELECT COALESCE(SUM(t * t * t - t), 0) AS tsum FROM (
+      |    SELECT b, v, COUNT(*) AS t FROM fl GROUP BY 1, 2)),
+      |nb AS (SELECT COUNT(DISTINCT b) AS nb FROM r),
+      |rj AS (
+      |  SELECT j, SUM(rr) AS rjs FROM r GROUP BY 1),
+      |s AS (
+      |  SELECT SUM(POW(rjs - (SELECT nb FROM nb) *
+      |    ((SELECT k FROM kf) + 1.0) / 2.0, 2)) AS ss
+      |  FROM rj),
+      |f AS (
+      |  SELECT (SELECT nb FROM nb) AS b2, (SELECT k FROM kf) AS k,
+      |    ss, (SELECT tsum FROM tt) AS tsum
+      |  FROM s),
+      |g AS (
+      |  SELECT b2, k, CASE WHEN
+      |      b2 * b2 * k * (k * k - 1.0) - b2 * tsum > 0
+      |    THEN ss * 12.0 / (b2 * b2 * k * (k * k - 1.0) - b2 * tsum)
+      |    END AS w
+      |  FROM f)
+      |SELECT CAST(b2 AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+      |  ROUND(w, 6) AS w_stat,
+      |  ROUND(b2 * (k - 1.0) * w, 6) AS chi2,
+      |  CAST(k - 1 AS BIGINT) AS df,
+      |  CASE WHEN w IS NOT NULL THEN
+      |    b2 * (k - 1.0) * w > (CASE CAST(k - 1 AS INT)
+      |      WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465
+      |      WHEN 3 THEN 7.814728 WHEN 4 THEN 9.487729
+      |      WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587
+      |      WHEN 7 THEN 14.067140 WHEN 8 THEN 15.507313
+      |      WHEN 9 THEN 16.918978 WHEN 10 THEN 18.307038
+      |      ELSE (k - 1) * POW(1.0 - 2.0 / (9.0 * (k - 1)) +
+      |        1.6448536269514722 * SQRT(2.0 / (9.0 * (k - 1))), 3)
+      |      END) ELSE FALSE END AS sig_95
+      |FROM g""".stripMargin
+
   /** DuckDB oracle for the registered Page fixture: blocks =
     * event_type, ordered levels = weekday, metric = total value
     * (Spark dayofweek Sun=1..Sat=7 mirrored as DuckDB

@@ -69,4 +69,20 @@ class ClassifierEvalSpec extends AnyFunSuite {
     val a = auc(rows)
     assert(math.abs(area - a) < 1e-4)  // both rounded to 6 decimals
   }
+
+  test("average precision: hand case, perfect ranking, no positives") {
+    def ap(rows: Seq[(Double, Boolean)]) =
+      ClassifierEval.averagePrecision(rows.toDF("score", "label"),
+        "score", "label").collect().head
+    // pos@0.9 (prec 1), neg@0.8, pos@0.7 (prec 2/3):
+    // AP = ½·1 + ½·⅔ = 5/6
+    val r = ap(Seq((0.9, true), (0.8, false), (0.7, true)))
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L && r.getLong(2) == 3L)
+    assert(math.abs(r.getDouble(3) - 5.0 / 6.0) < 1e-6)
+    // every positive above every negative → AP = 1
+    val perfect = ap(Seq((0.9, true), (0.8, true), (0.2, false)))
+    assert(perfect.getDouble(3) == 1.0)
+    // all-negative corpus → NULL, not NaN
+    assert(ap(Seq((0.9, false), (0.1, false))).isNullAt(3))
+  }
 }

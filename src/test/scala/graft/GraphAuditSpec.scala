@@ -68,4 +68,23 @@ class GraphAuditSpec extends AnyFunSuite {
     val r = GraphAudit.reciprocity(g).collect()(0)
     assert(r.getLong(0) == 1L && r.getLong(1) == 0L)
   }
+
+  test("bfs distances: exact on a path graph, capped by maxHops") {
+    // path 1—2—3—4: ecc(1)=3, sum(1)=1+2+3=6; ecc(2)=2, sum(2)=4
+    val g = hops(Seq((1, 2), (2, 3), (3, 4)))
+    val r = GraphAudit.bfsDistances(g).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.size == 4)
+    assert(r(1L).getLong(1) == 4L && r(1L).getLong(2) == 3L &&
+      r(1L).getLong(3) == 6L)
+    assert(r(2L).getLong(2) == 2L && r(2L).getLong(3) == 4L)
+    assert(math.abs(r(2L).getDouble(4) - 4.0 / 3.0) < 1e-6)
+    // diameter = max ecc = 3; symmetric ends agree
+    assert(r.values.map(_.getLong(2)).max == 3L)
+    assert(r(4L).getLong(3) == 6L)
+    // cap: with maxHops = 1 node 1 reaches only itself and 2
+    val c = GraphAudit.bfsDistances(g, maxHops = 1).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(c(1L).getLong(1) == 2L && c(1L).getLong(2) == 1L)
+  }
 }

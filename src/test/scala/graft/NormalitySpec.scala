@@ -181,4 +181,31 @@ class NormalitySpec extends AnyFunSuite {
       col("b"), col("j"), col("x")).collect().head
     assert(rp.getLong(0) == 2L)
   }
+
+  test("kendall w: perfect concordance is 1, all-tied blocks are 0") {
+    // 3 blocks × 4 levels, every block ranks levels identically
+    val rows = for (b <- 1 to 3; j <- 1 to 4)
+      yield (s"b$b", j.toLong, j * 10.0 + b)
+    val r = Homogeneity.kendallW(rows.toDF("b", "j", "x"),
+      col("b"), col("j"), col("x")).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 1.0)
+    // chi2 = b(k−1)W = 9 > chi2_crit(3) = 7.814728
+    assert(r.getDouble(3) == 9.0 && r.getBoolean(5))
+    // consistent orderings WITH consistent mid-ties: the tie-corrected
+    // denominator keeps W exactly 1 (uncorrected would read < 1)
+    val tied = (for (b <- 1 to 3; j <- 1 to 4)
+      yield (s"b$b", j.toLong,
+        Seq(1.0, 2.0, 2.0, 4.0)(j - 1) + b * 100.0)).toDF("b", "j", "x")
+    val rt = Homogeneity.kendallW(tied, col("b"), col("j"), col("x"))
+      .collect().head
+    assert(rt.getDouble(2) == 1.0 && rt.getBoolean(5))
+    // ALL values tied in every block: the tie term removes the whole
+    // variance budget — W is undefined (0/0), reported NULL
+    val flat = (for (b <- 1 to 3; j <- 1 to 4)
+      yield (s"b$b", j.toLong, 7.0)).toDF("b", "j", "x")
+    val r0 = Homogeneity.kendallW(flat, col("b"), col("j"), col("x"))
+      .collect().head
+    assert(r0.isNullAt(2) && !r0.getBoolean(5))
+  }
 }

@@ -253,6 +253,64 @@ class StatsTestsSpec extends AnyFunSuite {
     assert(sp < si, s"periodic $sp must read more regular than $si")
   }
 
+  test("wilson intervals: boundary exactness and a replayed midcase") {
+    import graft.operators.Experiment
+    val df = (Seq.fill(5)(("a", false)) ++       // 0/5
+      Seq.fill(4)(("b", true)) ++                 // 4/4
+      (Seq.fill(2)(("c", true)) ++ Seq.fill(6)(("c", false))))  // 2/8
+      .toDF("s", "ok")
+    val r = Experiment.wilsonIntervals(df, col("s"), col("ok"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    // p̂ = 0: the Wilson lower bound is EXACTLY 0 (Wald would be too,
+    // but with zero width — here the upper bound stays informative)
+    assert(r("a").getDouble(4) == 0.0 && r("a").getDouble(5) > 0.2)
+    // p̂ = 1: upper bound exactly 1
+    assert(r("b").getDouble(5) == 1.0 && r("b").getDouble(4) < 0.8)
+    // p̂ = 0.25, n = 8: replay the closed form
+    val z = 1.959964; val n = 8.0; val p = 0.25
+    val den = 1.0 + z * z / n
+    val c = (p + z * z / (2 * n)) / den
+    val h = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / den
+    assert(math.abs(r("c").getDouble(4) - (c - h)) < 1e-6)
+    assert(math.abs(r("c").getDouble(5) - (c + h)) < 1e-6)
+  }
+
+  test("hodges-lehmann: median of cross-pair differences, exactly") {
+    import graft.operators.Experiment
+    // cohort A days sum 1,2,3; cohort B days sum 11,12,13 →
+    // 9 pairwise differences with median 10
+    val rows = (1 to 3).map(d => ev(d.toLong, 1L, d, "view", d.toDouble)) ++
+      (1 to 3).map(d => ev((10 + d).toLong, 2L, d, "view", d + 10.0))
+    val r = Experiment.hodgesLehmann(events(rows),
+      col("user_id") === 2L).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L && r.getLong(2) == 9L)
+    assert(r.getDouble(3) == 10.0)
+    // outlier immunity: one whale day in B moves the mean, not HL
+    val whale = rows.map { case t @ (id, ts, u, e, v, p) =>
+      if (id == 13L) (id, ts, u, e, 1000.0, p) else t }
+    val rw = Experiment.hodgesLehmann(events(whale),
+      col("user_id") === 2L).collect().head
+    assert(rw.getDouble(3) == 10.0, s"hl moved: ${rw.getDouble(3)}")
+  }
+
+  test("icc(1): hand-computed unbalanced case and degenerate guard") {
+    import graft.operators.Anova
+    // groups A={1,3}, B={7,9}: SSB=36, SSW=4, MSB=36, MSW=2, n0=2 →
+    // ICC = 34/38
+    val r = Anova.icc1(
+      Seq(("a", 1.0), ("a", 3.0), ("b", 7.0), ("b", 9.0)).toDF("g", "x"),
+      col("g"), col("x")).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 2.0)
+    assert(r.getDouble(3) == 18.0, "F ratio MSB/MSW = 36/2")
+    assert(math.abs(r.getDouble(4) - 34.0 / 38.0) < 1e-6)
+    // constant-within groups: zero within variance → NULL family
+    val flat = Anova.icc1(
+      Seq(("a", 5.0), ("a", 5.0), ("b", 9.0), ("b", 9.0)).toDF("g", "x"),
+      col("g"), col("x")).collect().head
+    assert(flat.isNullAt(4))
+  }
+
   test("atkinson: zero on equal values, hand case on {1,3}") {
     import graft.operators.Inequality
     val eq = Inequality.atkinson(Seq(5.0, 5.0, 5.0).toDF("x"), col("x"))
