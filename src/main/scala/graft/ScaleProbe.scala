@@ -375,7 +375,15 @@ object ScaleProbe {
           graft.functions.TextFunctions.qualityScore(col("text"))
             .as("score"),
           (pmod(col("doc_id"), lit(3)) === 0).as("label")),
-        "score", "label").count()))
+        "score", "label").count()),
+      // same score-cardinality table as youden, one-row reduction
+      "avg_precision" -> (d =>
+        graft.operators.ClassifierEval.averagePrecision(
+          d.select(
+            graft.functions.TextFunctions.qualityScore(col("text"))
+              .as("score"),
+            (pmod(col("doc_id"), lit(3)) === 0).as("label")),
+          "score", "label").count()))
 
     // ---- embedding-input operators: amplified by cyclic coordinate
     // rotation per copy — rotations of distinct 64-dim vectors are
@@ -682,7 +690,49 @@ object ScaleProbe {
       // corpus work is one grouped daily count; the DP is
       // calendar-bounded on the driver
       "dtw" -> (d => graft.operators.TimeWarp
-        .dtwDaily(d, "view", "click").count()))
+        .dtwDaily(d, "view", "click").count()),
+      // one grouped moment agg to k rows + a k-row reduction
+      "oneway_anova" -> (d => graft.operators.Anova.onewayF(d,
+        col("event_type"), col("value")).count()),
+      // value-frequency table + cumulative ECDF windows (the AD shape)
+      "cvm" -> (d => graft.operators.Drift.cvmTwoSample(d,
+        dayofweek(col("ts")).isin(1, 7), col("value")).count()),
+      // per-user lifetime agg + lifetime-cardinality risk windows
+      "rmst" -> (d => graft.operators.Survival
+        .rmst(d, horizonDays = 1).count()),
+      "gehan" -> (d => graft.operators.Survival.gehanWilcoxon(d,
+        col("user_id") % 2 === 1, horizonDays = 1).count()),
+      // per-user spend agg + one power-mean moment row
+      "atkinson" -> (d => graft.operators.Inequality.atkinson(
+        d.groupBy("user_id").agg(sum("value").as("x")),
+        col("x")).count()),
+      // daily agg + calendar-bounded aux-regression moments
+      "breusch_pagan" -> (d =>
+        graft.operators.Regression.breuschPagan(d).count()),
+      // one Σx..Σx⁴ pass + scalar transforms
+      "dagostino" -> (d => graft.operators.Normality
+        .dagostinoK2(d, col("value")).count()),
+      // (type × weekday) cells + cell-cardinality rank windows
+      "page_trend" -> (d => graft.operators.Homogeneity.pageTrend(d,
+        col("event_type"), dayofweek(col("ts")), col("value")).count()),
+      "kendall_w" -> (d => graft.operators.Homogeneity.kendallW(d,
+        col("event_type"), dayofweek(col("ts")), col("value")).count()),
+      // corpus work is one daily agg; O(days²) templates on the driver
+      "sample_entropy" -> (d =>
+        graft.operators.Anomaly.sampleEntropy(d).count()),
+      // one per-slice conditional count + closed-form CI arithmetic
+      "wilson" -> (d => graft.operators.Experiment.wilsonIntervals(d,
+        dayofweek(col("ts")).cast("long"),
+        col("event_type") === "purchase").count()),
+      // daily agg + deliberate days² pair cross (calendar-bounded)
+      "hodges_lehmann" -> (d => graft.operators.Experiment
+        .hodgesLehmann(d, dayofweek(col("ts")).isin(1, 7)).count()),
+      // edge extraction ∝ corpus; BFS on the bounded pages² table
+      "bfs_distances" -> (d =>
+        graft.operators.GraphAudit.bfsDistances(d).count()),
+      // per-user groups scale with the corpus; k-row moment reduce
+      "icc" -> (d => graft.operators.Anova.icc1(d,
+        col("user_id"), col("value")).count()))
 
     (ops.map(o => (o._1, o._2, base, big)) ++
       embOps.map(o => (o._1, o._2, embBase, embBig)) ++
