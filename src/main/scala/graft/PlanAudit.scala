@@ -80,6 +80,11 @@ object PlanAudit {
     // Kendall W: the k-distinct-levels and n-blocks totals are 1-row
     // stat factors into cell-cardinality frames (the Page shape)
     "q389_kendall_w",
+    // keyness/collocations: corpus token totals are 1-row broadcast
+    // stat factors into the vocab-bounded count tables (the q234
+    // lexical-KL shape); collocations adds the (N_bi × N_uni) 1-row
+    // totals pair
+    "q392_dunning_llr", "q393_fightin_words", "q394_collocations",
     // segment lift: BH family-size 1-row factor (ksBySliceFdr shape);
     // quantile lift: |levels|-row broadcast quantile table
     "q256_segment_lift", "q257_quantile_lift",

@@ -474,6 +474,31 @@ object SparkEntry {
     "q391_graph_distances" -> ((s, dir) =>
       graft.operators.GraphAudit.bfsDistances(t(s, dir, "events"))),
 
+    // ---- Dunning G² keyness: per-token log-likelihood ratio between
+    //      the English slice and the rest — the word-level answer to
+    //      q234's corpus-level lexical KL ----
+    "q392_dunning_llr" -> ((s, dir) =>
+      graft.operators.Keyness.dunningLlr(t(s, dir, "documents"),
+        col("lang") === "en")),
+
+    // ---- Monroe–Colaresi–Quinn shrunken log-odds ("Fightin'
+    //      Words"): Dirichlet-prior z-scores that don't explode on
+    //      rare words the way raw log-odds (and G² ranks) can ----
+    "q393_fightin_words" -> ((s, dir) =>
+      graft.operators.Keyness.monroeLogOdds(t(s, dir, "documents"),
+        col("lang") === "en")),
+
+    // ---- Bigram collocations: PMI strength + t-score confidence,
+    //      the phrase-vocabulary builder beside BPE (q140) ----
+    "q394_collocations" -> ((s, dir) =>
+      graft.operators.Keyness.collocations(t(s, dir, "documents"))),
+
+    // ---- IPW ATT beside q313's CEM: odds-weighted controls on the
+    //      same stratum/outcome design, treatment = heavy error
+    //      exposure (fixed cutoff) — the estimator robustness pair ----
+    "q395_ipw_att" -> ((s, dir) =>
+      graft.operators.Matching.errorImpactIpw(t(s, dir, "events"))),
+
     // ---- Per-type OLS trend with inference: slope/intercept/r²/t on
     //      daily revenue vs day index — the parametric counterpart to
     //      q236's Theil–Sen; closed-form moments, never a residual
@@ -4394,6 +4419,18 @@ object SparkEntry {
     "q391_graph_distances" ->
       graft.operators.GraphAudit.bfsDistancesOracleSql,
 
+    "q392_dunning_llr" ->
+      graft.operators.Keyness.dunningOracleSql(),
+
+    "q393_fightin_words" ->
+      graft.operators.Keyness.monroeOracleSql(),
+
+    "q394_collocations" ->
+      graft.operators.Keyness.collocationsOracleSql(),
+
+    "q395_ipw_att" ->
+      graft.operators.Matching.errorImpactIpwOracleSql,
+
     "q201_sequence_pack" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -7685,6 +7722,14 @@ object SparkEntry {
     "q390_icc" -> Seq("n#", "k#", "n0*", "f_ratio*", "icc*"),
     "q391_graph_distances" -> Seq("page#", "n_reach#", "ecc#",
       "sum_dist#", "avg_dist*"),
+    "q392_dunning_llr" -> Seq("token", "cnt_a#", "cnt_b#", "llr*",
+      "enriched_in_a"),
+    "q393_fightin_words" -> Seq("token", "cnt_a#", "cnt_b#",
+      "delta*", "z*"),
+    "q394_collocations" -> Seq("w1", "w2", "cnt#", "pmi*",
+      "t_score*"),
+    "q395_ipw_att" -> Seq("n_treated#", "n_control#", "n_strata#",
+      "n_strata_matched#", "att_ipw*", "naive_diff*"),
     "q140_bpe_train" -> Seq("rank#", "left", "right", "merged",
       "cnt#"),
     "q162_mmr_rerank" -> Seq("query_id#", "neighbor_id#",

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Keyness, Matching}
+
+/** Hand-computed keyness/collocation cases and the IPW-vs-CEM
+  * estimator identity on a balanced design. */
+class KeynessSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dunning llr: shibboleth token tops the list with the exact G2") {
+    // A says "x" often, B never; shared filler "f" is uninformative
+    val docs = (Seq.fill(6)((true, "x f f f")) ++
+      Seq.fill(6)((false, "y f f f")))
+      .zipWithIndex.map { case ((a, t), i) =>
+        (i.toLong, t, if (a) "en" else "de", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Keyness.dunningLlr(docs, col("lang") === "en",
+      minCount = 5L).collect()
+    // filler 'f' has identical rates → G² = 0; 'x' is A-exclusive
+    val byTok = r.map(x => x.getString(0) -> x).toMap
+    assert(byTok("f").getDouble(3) == 0.0)
+    val x = byTok("x")
+    assert(x.getLong(1) == 6L && x.getLong(2) == 0L &&
+      x.getBoolean(4))
+    // exact G² for the 2x2 (6,0) vs totals (24,24): both cells at
+    // expectation 3 → 2·6·ln2
+    assert(math.abs(x.getDouble(3) - 2.0 * 6.0 * math.log(2.0)) < 1e-6)
+    // ranking: the shibboleths outrank the filler
+    assert(r.head.getString(0) == "x" || r.head.getString(0) == "y")
+  }
+
+  test("fightin words: shrinkage keeps rare-word z below common-word z") {
+    // 'common' is 40-vs-0, 'rare' is 2-vs-0 (below minCount=5 when
+    // filtered; use minCount=1 to expose the shrinkage ordering)
+    val aText = (Seq.fill(40)("common") ++ Seq.fill(2)("rare") ++
+      Seq.fill(40)("f")).mkString(" ")
+    val bText = (Seq.fill(40)("bword") ++ Seq.fill(2)("brare") ++
+      Seq.fill(40)("f")).mkString(" ")
+    val docs = Seq((1L, aText, "en", "s", 1L), (2L, bText, "de", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Keyness.monroeLogOdds(docs, col("lang") === "en",
+      minCount = 1L).collect().map(x => x.getString(0) -> x).toMap
+    assert(r("common").getDouble(4) > r("rare").getDouble(4),
+      "the prior must shrink the hapax-ish z below the common word's")
+    assert(r("common").getDouble(4) > 0.0 && r("rare").getDouble(4) > 0.0)
+    // symmetric token reads ~0
+    assert(math.abs(r("f").getDouble(4)) < 1.0)
+  }
+
+  test("collocations: a planted fixed phrase tops PMI with exact count") {
+    // "alpha beta" always adjacent (8 times); fillers vary
+    val docs = (1 to 8).map(i =>
+      (i.toLong, s"alpha beta w$i v$i alpha beta x$i", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Keyness.collocations(docs, minCount = 5L).collect()
+    assert(r.nonEmpty)
+    val top = r.head
+    assert(top.getString(0) == "alpha" && top.getString(1) == "beta")
+    assert(top.getLong(2) == 16L)
+    assert(top.getDouble(4) > 3.0, s"t=${top.getDouble(4)}")
+  }
+
+  test("ipw att equals cem att on a design with balanced strata") {
+    // one stratum, so both estimators reduce to the same difference
+    // of means: treated {10, 14}, control {1, 3} → ATT = 10
+    val units = Seq(
+      (1L, true, 10.0), (2L, true, 14.0),
+      (3L, false, 1.0), (4L, false, 3.0)).toDF("u", "t", "y")
+    val ipw = Matching.ipwAtt(units, lit(1), col("t"), col("y"))
+      .collect().head
+    val cem = Matching.cemAtt(units, lit(1), col("t"), col("y"))
+      .collect().head
+    assert(ipw.getDouble(4) == 10.0 && cem.getDouble(5) == 10.0)
+    // unmatched strata drop: add a treated-only stratum — ATT from
+    // the matched stratum only
+    val extra = units.union(Seq((5L, true, 99.0)).toDF("u", "t", "y")
+      .select(col("u"), col("t"), col("y")))
+    val ipw2 = Matching.ipwAtt(extra,
+      when(col("u") === 5L, 2).otherwise(1), col("t"), col("y"))
+      .collect().head
+    assert(ipw2.getLong(3) == 1L && ipw2.getDouble(4) == 10.0)
+  }
+}
