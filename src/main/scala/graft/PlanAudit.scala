@@ -85,6 +85,12 @@ object PlanAudit {
     // lexical-KL shape); collocations adds the (N_bi × N_uni) 1-row
     // totals pair
     "q392_dunning_llr", "q393_fightin_words", "q394_collocations",
+    // Burrows: the |S|·top-k complete cell grid is a deliberate
+    // bounded cross (sources × 30 words); energy/dCor: the days²
+    // V-statistic pair grids are the Theil–Sen calendar² shape with
+    // 1-row cohort/grand-mean factors
+    "q396_burrows_delta", "q398_energy_distance",
+    "q399_distance_correlation",
     // segment lift: BH family-size 1-row factor (ksBySliceFdr shape);
     // quantile lift: |levels|-row broadcast quantile table
     "q256_segment_lift", "q257_quantile_lift",

@@ -499,6 +499,32 @@ object SparkEntry {
     "q395_ipw_att" -> ((s, dir) =>
       graft.operators.Matching.errorImpactIpw(t(s, dir, "events"))),
 
+    // ---- Burrows' Delta stylometry: source-pair style distance on
+    //      z-scored top-word frequencies — the template/boilerplate
+    //      audit beside content keyness (q392) ----
+    "q396_burrows_delta" -> ((s, dir) =>
+      graft.operators.Keyness.burrowsDelta(t(s, dir, "documents"))),
+
+    // ---- Lexical richness battery: Yule's K / Honoré R / Sichel S
+    //      from the frequency spectrum — size-invariant repetition
+    //      fingerprints beside Zipf (q117) and Heaps (q172) ----
+    "q397_lexical_richness" -> ((s, dir) =>
+      graft.operators.Vocab.lexicalRichness(t(s, dir, "documents"))),
+
+    // ---- Energy distance between weekend/weekday daily revenue:
+    //      the metric-geometry two-sample test beside KS/CvM/AD;
+    //      days² V-statistic pair grids ----
+    "q398_energy_distance" -> ((s, dir) =>
+      graft.operators.Drift.energyDistance(t(s, dir, "events"),
+        dayofweek(col("ts")).isin(1, 7))),
+
+    // ---- Distance correlation between daily traffic and purchase
+    //      revenue: zero iff independent — catches the nonlinear
+    //      coupling Pearson (q243) and Granger (q323) can miss ----
+    "q399_distance_correlation" -> ((s, dir) =>
+      graft.operators.Causality.distanceCorrelation(
+        t(s, dir, "events"))),
+
     // ---- Per-type OLS trend with inference: slope/intercept/r²/t on
     //      daily revenue vs day index — the parametric counterpart to
     //      q236's Theil–Sen; closed-form moments, never a residual
@@ -4431,6 +4457,18 @@ object SparkEntry {
     "q395_ipw_att" ->
       graft.operators.Matching.errorImpactIpwOracleSql,
 
+    "q396_burrows_delta" ->
+      graft.operators.Keyness.burrowsOracleSql(),
+
+    "q397_lexical_richness" ->
+      graft.operators.Vocab.lexicalRichnessOracleSql,
+
+    "q398_energy_distance" ->
+      graft.operators.Drift.energyDistanceOracleSql,
+
+    "q399_distance_correlation" ->
+      graft.operators.Causality.distanceCorrelationOracleSql,
+
     "q201_sequence_pack" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -7730,6 +7768,15 @@ object SparkEntry {
       "t_score*"),
     "q395_ipw_att" -> Seq("n_treated#", "n_control#", "n_strata#",
       "n_strata_matched#", "att_ipw*", "naive_diff*"),
+    "q396_burrows_delta" -> Seq("src_a", "src_b", "n_words#",
+      "delta*"),
+    "q397_lexical_richness" -> Seq("n_tokens#", "v_types#",
+      "v1_hapax#", "v2_dis#", "ttr*", "hapax_share*", "yules_k*",
+      "sichel_s*", "honore_r*"),
+    "q398_energy_distance" -> Seq("n_a#", "n_b#", "e_stat*",
+      "t_stat*"),
+    "q399_distance_correlation" -> Seq("n_days#", "dcov2*",
+      "dvarx2*", "dvary2*", "dcor*"),
     "q140_bpe_train" -> Seq("rank#", "left", "right", "merged",
       "cnt#"),
     "q162_mmr_rerank" -> Seq("query_id#", "neighbor_id#",

@@ -142,4 +142,99 @@ object Causality {
       |    THEN (sse_r - sse_u) / (sse_u / (n - 3.0)) END, 6)
       |    AS f_stat
       |FROM f ORDER BY direction""".stripMargin
+
+  /** Distance correlation between the two daily series (Székely,
+    * Rizzo & Bakirov, Ann. Stat. 2007) — the dependence measure that
+    * is ZERO exactly when the series are independent: Pearson (q243)
+    * reads only linear coupling and Spearman only monotone; dCor
+    * responds to ANY functional dependence (V-shaped, periodic,
+    * heteroskedastic), which is what "does purchase volume depend on
+    * traffic at all" actually asks. Double-centered pairwise-distance
+    * matrices; dCor² = dCov²/√(dVarₓ²·dVarᵧ²).
+    *
+    * Scale shape: the corpus collapses to the daily (x, y) table in
+    * one grouped agg; the day² pair grid, its row/column means, and
+    * the centered products are all calendar²-bounded (the Theil–Sen
+    * precedent — a decade of days is 3.6k², forever tiny). One row
+    * `(n_days, dcov2, dvarx2, dvary2, dcor)`; NULL when either
+    * marginal distance variance degenerates (constant series). */
+  def distanceCorrelation(events: DataFrame,
+      yFilter: Column = col("event_type") === "purchase",
+      xFilter: Column = col("event_type") =!= "purchase"): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(
+        coalesce(sum(when(yFilter, col("value"))), lit(0.0)).as("y"),
+        sum(when(xFilter, 1.0).otherwise(0.0)).as("x"))
+    val l = daily.select(col("d").as("di"), col("x").as("xi"),
+      col("y").as("yi"))
+    val r = daily.select(col("d").as("dj"), col("x").as("xj"),
+      col("y").as("yj"))
+    val pairs = l.crossJoin(r)   // days² — calendar-bounded
+      .select(col("di"), col("dj"),
+        abs(col("xi") - col("xj")).as("a"),
+        abs(col("yi") - col("yj")).as("b"))
+    val rowM = pairs.groupBy("di")
+      .agg(avg("a").as("ra"), avg("b").as("rb"))
+    val colM = pairs.groupBy("dj")
+      .agg(avg("a").as("ca"), avg("b").as("cb"))
+    val grand = pairs.agg(avg("a").as("ga"), avg("b").as("gb"),
+      countDistinct("di").as("__n"))
+    val centered = pairs
+      .join(rowM, "di").join(colM, "dj")
+      .crossJoin(broadcast(grand))   // 1-row stat factor
+      .select(
+        (col("a") - col("ra") - col("ca") + col("ga")).as("ac"),
+        (col("b") - col("rb") - col("cb") + col("gb")).as("bc"),
+        col("__n"))
+    val s = centered.agg(
+      first("__n").as("n_days"),
+      avg(col("ac") * col("bc")).as("__dcov2"),
+      avg(col("ac") * col("ac")).as("__dvx2"),
+      avg(col("bc") * col("bc")).as("__dvy2"))
+    val ok = col("__dvx2") > 0.0 && col("__dvy2") > 0.0
+    s.select(
+      col("n_days").cast("bigint").as("n_days"),
+      round(col("__dcov2"), 6).as("dcov2"),
+      round(col("__dvx2"), 6).as("dvarx2"),
+      round(col("__dvy2"), 6).as("dvary2"),
+      round(when(ok, sqrt(
+        greatest(col("__dcov2"), lit(0.0)) /
+          sqrt(col("__dvx2") * col("__dvy2")))), 6).as("dcor"))
+  }
+
+  /** DuckDB oracle for [[distanceCorrelation]] (defaults). */
+  val distanceCorrelationOracleSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d,
+      |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN value END), 0.0) AS y,
+      |    SUM(CASE WHEN event_type <> 'purchase'
+      |      THEN 1.0 ELSE 0.0 END) AS x
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT i.d AS di, j.d AS dj,
+      |    ABS(i.x - j.x) AS a, ABS(i.y - j.y) AS b
+      |  FROM daily i CROSS JOIN daily j),
+      |rm AS (SELECT di, AVG(a) AS ra, AVG(b) AS rb FROM p GROUP BY 1),
+      |cm AS (SELECT dj, AVG(a) AS ca, AVG(b) AS cb FROM p GROUP BY 1),
+      |g AS (SELECT AVG(a) AS ga, AVG(b) AS gb,
+      |  COUNT(DISTINCT di) AS n FROM p),
+      |c AS (
+      |  SELECT p.a - rm.ra - cm.ca + g.ga AS ac,
+      |    p.b - rm.rb - cm.cb + g.gb AS bc, g.n
+      |  FROM p JOIN rm ON p.di = rm.di JOIN cm ON p.dj = cm.dj
+      |  CROSS JOIN g),
+      |s AS (
+      |  SELECT ANY_VALUE(n) AS n, AVG(ac * bc) AS dcov2,
+      |    AVG(ac * ac) AS dvx2, AVG(bc * bc) AS dvy2
+      |  FROM c)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  ROUND(dcov2, 6) AS dcov2,
+      |  ROUND(dvx2, 6) AS dvarx2,
+      |  ROUND(dvy2, 6) AS dvary2,
+      |  ROUND(CASE WHEN dvx2 > 0 AND dvy2 > 0
+      |    THEN SQRT(GREATEST(dcov2, 0.0) / SQRT(dvx2 * dvy2)) END, 6)
+      |    AS dcor
+      |FROM s""".stripMargin
 }

@@ -906,4 +906,64 @@ object Drift {
       |  ROUND(na * nb / (nn * nn) * sq, 6) AS t_stat,
       |  na * nb / (nn * nn) * sq > 0.461 AS sig_95
       |FROM s""".stripMargin
+
+  /** Energy distance between two cohorts' DAILY metric series
+    * (Székely & Rizzo, InterStat 2004): e = 2·E|X−Y| − E|X−X'| −
+    * E|Y−Y'| over the V-statistic pair averages — zero exactly when
+    * the distributions coincide, and consistent against EVERY
+    * alternative (KS/CvM/AD read the ECDF gap; energy reads the
+    * metric geometry, so it also powers the multivariate case).
+    * T = (nm/(n+m))·e is the rescaled test statistic.
+    *
+    * Scale shape: the corpus collapses to the daily table in one
+    * grouped agg; the three pair grids are days² calendar-bounded
+    * crosses (the Theil–Sen/H–L precedent). One row
+    * `(n_a, n_b, e_stat, t_stat)`. */
+  def energyDistance(events: DataFrame, inB: Column): DataFrame = {
+    val daily = events
+      .select(to_date(col("ts")).as("d"), col("value"), inB.as("__b"))
+      .groupBy("d", "__b").agg(sum("value").as("y"))
+    val a = daily.where(!col("__b")).select(col("y").as("ya"))
+    val b = daily.where(col("__b")).select(col("y").as("yb"))
+    val axy = a.crossJoin(b)
+      .agg(avg(abs(col("ya") - col("yb"))).as("__axy"),
+        count(lit(1)).as("__nm"))
+    val axx = a.crossJoin(a.select(col("ya").as("ya2")))
+      .agg(avg(abs(col("ya") - col("ya2"))).as("__axx"))
+    val ayy = b.crossJoin(b.select(col("yb").as("yb2")))
+      .agg(avg(abs(col("yb") - col("yb2"))).as("__ayy"))
+    val na = a.agg(count(lit(1)).as("n_a"))
+    val nb = b.agg(count(lit(1)).as("n_b"))
+    val e = col("__axy") * 2.0 - col("__axx") - col("__ayy")
+    axy.crossJoin(broadcast(axx)).crossJoin(broadcast(ayy))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("n_a"), col("n_b"),
+        round(e, 6).as("e_stat"),
+        round(col("n_a").cast("double") * col("n_b").cast("double") /
+          (col("n_a") + col("n_b")).cast("double") * e, 6)
+          .as("t_stat"))
+  }
+
+  /** DuckDB oracle for the registered fixture: weekend vs weekday
+    * daily revenue (the [[cvmTwoSampleOracleSql]] cohorts at day
+    * grain). */
+  val energyDistanceOracleSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d,
+      |    dayofweek(ts) IN (0, 6) AS b, SUM(value) AS y
+      |  FROM events GROUP BY 1, 2),
+      |a AS (SELECT y AS ya FROM daily WHERE NOT b),
+      |bb AS (SELECT y AS yb FROM daily WHERE b),
+      |axy AS (SELECT AVG(ABS(ya - yb)) AS v FROM a CROSS JOIN bb),
+      |axx AS (SELECT AVG(ABS(i.ya - j.ya)) AS v
+      |  FROM a i CROSS JOIN a j),
+      |ayy AS (SELECT AVG(ABS(i.yb - j.yb)) AS v
+      |  FROM bb i CROSS JOIN bb j),
+      |n AS (SELECT (SELECT COUNT(*) FROM a) AS na,
+      |  (SELECT COUNT(*) FROM bb) AS nb)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  ROUND(2.0 * axy.v - axx.v - ayy.v, 6) AS e_stat,
+      |  ROUND(CAST(na AS DOUBLE) * nb / (na + nb) *
+      |    (2.0 * axy.v - axx.v - ayy.v), 6) AS t_stat
+      |FROM axy, axx, ayy, n""".stripMargin
 }

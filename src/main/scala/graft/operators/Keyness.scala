@@ -253,4 +253,88 @@ object Keyness {
        |  ROUND(pmi, 6) AS pmi, ROUND(ts, 6) AS t_score
        |FROM g ORDER BY ROUND(pmi, 6) DESC, w1, w2
        |LIMIT $topK""".stripMargin
+
+  /** Burrows' Delta stylometric distance between every source pair
+    * (Burrows, LLC 2002; Argamon's probabilistic reading, LLC 2008):
+    * z-score each of the `topKWords` most frequent words' relative
+    * frequencies ACROSS sources, then Delta(s₁,s₂) = mean |z₁ − z₂|.
+    * The standard authorship/style distance — two sources scraped
+    * from the same template read near-0 even when their topics (and
+    * hence [[dunningLlr]] keyness) differ; the mixture-audit
+    * complement to content divergence. Word selection is by integer
+    * total count with a token tiebreak — no float in the cut.
+    *
+    * Scale shape: one (source × token) grouped count, a vocab-bounded
+    * top-k, the COMPLETE |S|·k cell grid (missing cells are true
+    * zeros, not dropped rows), per-word moment rows, and the |S|²
+    * pair join — everything after the first agg is source/vocab
+    * cardinality. Rows `(src_a, src_b, n_words, delta)` for
+    * src_a < src_b, ordered. */
+  def burrowsDelta(docs: DataFrame, topKWords: Int = 30): DataFrame = {
+    val cnt = docs
+      .select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val perSrc = cnt.groupBy("source").agg(sum("c").as("n_s"))
+    val topWords = cnt.groupBy("token").agg(sum("c").as("__tot"))
+      .orderBy(col("__tot").desc, col("token"))
+      .limit(topKWords).select("token")
+    val grid = perSrc.crossJoin(broadcast(topWords))   // |S|·k cells
+      .join(cnt, Seq("source", "token"), "left_outer")
+      .select(col("source"), col("token"),
+        (coalesce(col("c"), lit(0L)).cast("double") / col("n_s"))
+          .as("f"))
+    val wStats = grid.groupBy("token").agg(
+      avg("f").as("__mu"), stddev_pop(col("f")).as("__sd"))
+    val z = grid.join(wStats, "token")
+      .where(col("__sd") > 0.0)
+      .select(col("source"), col("token"),
+        ((col("f") - col("__mu")) / col("__sd")).as("z"))
+    val l = z.select(col("source").as("src_a"), col("token"),
+      col("z").as("za"))
+    val r = z.select(col("source").as("src_b"), col("token"),
+      col("z").as("zb"))
+    l.join(r, "token")
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_words"),
+        round(avg(abs(col("za") - col("zb"))), 6).as("delta"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** DuckDB oracle for [[burrowsDelta]] over documents. */
+  def burrowsOracleSql(topKWords: Int = 30): String =
+    s"""WITH tok AS (
+       |  SELECT source,
+       |    unnest(str_split_regex(trim(text), '\\s+')) AS token
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT source, token, COUNT(*) AS c
+       |  FROM tok WHERE token <> '' GROUP BY 1, 2),
+       |per_src AS (
+       |  SELECT source, SUM(c) AS n_s FROM cnt GROUP BY 1),
+       |topw AS (
+       |  SELECT token FROM (
+       |    SELECT token, SUM(c) AS tot FROM cnt GROUP BY 1)
+       |  ORDER BY tot DESC, token LIMIT $topKWords),
+       |grid AS (
+       |  SELECT p.source, t.token,
+       |    COALESCE(cnt.c, 0) / CAST(p.n_s AS DOUBLE) AS f
+       |  FROM per_src p CROSS JOIN topw t
+       |  LEFT JOIN cnt ON cnt.source = p.source
+       |    AND cnt.token = t.token),
+       |ws AS (
+       |  SELECT token, AVG(f) AS mu, STDDEV_POP(f) AS sd
+       |  FROM grid GROUP BY 1),
+       |z AS (
+       |  SELECT g.source, g.token, (g.f - ws.mu) / ws.sd AS z
+       |  FROM grid g JOIN ws ON g.token = ws.token
+       |  WHERE ws.sd > 0.0)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  ROUND(AVG(ABS(a.z - b.z)), 6) AS delta
+       |FROM z a JOIN z b ON a.token = b.token
+       |  AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

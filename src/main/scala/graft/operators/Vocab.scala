@@ -617,4 +617,80 @@ object Vocab {
       |  ROUND(-log2(s2), 6) AS h_renyi_2,
       |  ROUND(pow(2.0, h1), 6) AS eff_vocab
       |FROM g ORDER BY source""".stripMargin
+
+  /** Lexical-richness battery from the frequency-of-frequencies
+    * spectrum — the vocabulary-quality numbers a raw TTR can't give
+    * because TTR falls mechanically with corpus size: Yule's K
+    * (Yule, "The Statistical Study of Literary Vocabulary" 1944;
+    * size-invariant repeat-rate — HIGH K = repetitive/templated
+    * text), Honoré's R (1979; hapax-driven richness), and Sichel's S
+    * (1975; dis-legomena share, the most size-stable of the three).
+    * Boilerplate-heavy scrapes move K an order of magnitude before
+    * any dedup fires — the one-row corpus fingerprint beside the
+    * Zipf fit (q117) and Heaps curve (q172).
+    *
+    * K = 10⁴·(Σ m²·V(m) − N)/N² over the spectrum V(m) = #types
+    * occurring m times; R = 100·ln N/(1 − V₁/V); S = V₂/V.
+    *
+    * Scale shape: one explode into token counts (vocab-bounded), one
+    * spectrum agg (≤ max-count rows), one scalar row. NULL Honoré
+    * when every type is a hapax (V₁ = V). */
+  def lexicalRichness(docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val m = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("m"))
+    val spec = m.groupBy("m").agg(count(lit(1)).as("vm"))
+    val s = spec.agg(
+      sum(col("m") * col("vm")).as("n"),
+      sum("vm").as("v"),
+      sum(when(col("m") === 1L, col("vm")).otherwise(0L)).as("v1"),
+      sum(when(col("m") === 2L, col("vm")).otherwise(0L)).as("v2"),
+      sum(col("m") * col("m") * col("vm")).as("__m2v"))
+    val nD = col("n").cast("double")
+    val vD = col("v").cast("double")
+    val v1D = col("v1").cast("double")
+    s.select(
+      col("n").cast("bigint").as("n_tokens"),
+      col("v").cast("bigint").as("v_types"),
+      col("v1").cast("bigint").as("v1_hapax"),
+      col("v2").cast("bigint").as("v2_dis"),
+      round(vD / nD, 6).as("ttr"),
+      round(v1D / vD, 6).as("hapax_share"),
+      round(lit(1e4) * (col("__m2v").cast("double") - nD) / (nD * nD),
+        6).as("yules_k"),
+      round(col("v2").cast("double") / vD, 6).as("sichel_s"),
+      round(when(col("v1") < col("v"),
+        lit(100.0) * log(nD) / (lit(1.0) - v1D / vD)), 6)
+        .as("honore_r"))
+  }
+
+  /** DuckDB oracle for [[lexicalRichness]] over documents. */
+  val lexicalRichnessOracleSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(str_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |m AS (
+      |  SELECT token, COUNT(*) AS m FROM tok
+      |  WHERE token <> '' GROUP BY 1),
+      |spec AS (SELECT m, COUNT(*) AS vm FROM m GROUP BY 1),
+      |s AS (
+      |  SELECT SUM(m * vm) AS n, SUM(vm) AS v,
+      |    SUM(CASE WHEN m = 1 THEN vm ELSE 0 END) AS v1,
+      |    SUM(CASE WHEN m = 2 THEN vm ELSE 0 END) AS v2,
+      |    SUM(m * m * vm) AS m2v
+      |  FROM spec)
+      |SELECT CAST(n AS BIGINT) AS n_tokens,
+      |  CAST(v AS BIGINT) AS v_types,
+      |  CAST(v1 AS BIGINT) AS v1_hapax,
+      |  CAST(v2 AS BIGINT) AS v2_dis,
+      |  ROUND(CAST(v AS DOUBLE) / n, 6) AS ttr,
+      |  ROUND(CAST(v1 AS DOUBLE) / v, 6) AS hapax_share,
+      |  ROUND(1e4 * (CAST(m2v AS DOUBLE) - n) /
+      |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS yules_k,
+      |  ROUND(CAST(v2 AS DOUBLE) / v, 6) AS sichel_s,
+      |  ROUND(CASE WHEN v1 < v THEN 100.0 * LN(CAST(n AS DOUBLE)) /
+      |    (1.0 - CAST(v1 AS DOUBLE) / v) END, 6) AS honore_r
+      |FROM s""".stripMargin
 }

@@ -63,6 +63,53 @@ class KeynessSpec extends AnyFunSuite {
     assert(top.getDouble(4) > 3.0, s"t=${top.getDouble(4)}")
   }
 
+  test("burrows delta: template twins read closer than a stranger") {
+    // A and B share the same word profile; C inverts it
+    def doc(id: Long, src: String, t: String) =
+      (id, t, "en", src, t.length.toLong)
+    val docs = Seq(
+      doc(1, "A", "the the the of of and cat"),
+      doc(2, "A", "the the the of of and dog"),
+      doc(3, "B", "the the the of of and fox"),
+      doc(4, "B", "the the the of of and owl"),
+      doc(5, "C", "cat cat cat dog dog fox the"),
+      doc(6, "C", "owl owl owl fox fox dog the"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Keyness.burrowsDelta(docs, topKWords = 5).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getDouble(3))
+      .toMap
+    assert(r(("A", "B")) < r(("A", "C")),
+      s"AB=${r(("A", "B"))} AC=${r(("A", "C"))}")
+    assert(r(("A", "B")) < r(("B", "C")))
+  }
+
+  test("lexical richness: exact spectrum arithmetic on a hand corpus") {
+    import graft.operators.Vocab
+    // tokens: a a a b b c → N=6 V=3 V1=1 V2=1, Σm²V = 14
+    val docs = Seq((1L, "a a a b b c", "en", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Vocab.lexicalRichness(docs).collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 1L)
+    assert(r.getDouble(4) == 0.5)
+    assert(math.abs(r.getDouble(6) - 1e4 * 8.0 / 36.0) < 1e-4)
+    assert(math.abs(r.getDouble(7) - 1.0 / 3.0) < 1e-6)
+    assert(math.abs(r.getDouble(8) -
+      100.0 * math.log(6.0) / (1.0 - 1.0 / 3.0)) < 1e-4)
+    // all-hapax corpus: Honoré undefined → NULL
+    val hap = Vocab.lexicalRichness(
+      Seq((1L, "p q r s", "en", "s", 7L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect().head
+    assert(hap.isNullAt(8))
+    // Yule's K reads repetition: templated text ≫ diverse text
+    val rep = Vocab.lexicalRichness(
+      Seq((1L, Seq.fill(50)("tmpl").mkString(" ") + " x y", "en", "s", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect().head
+    assert(rep.getDouble(6) > r.getDouble(6))
+  }
+
   test("ipw att equals cem att on a design with balanced strata") {
     // one stratum, so both estimators reduce to the same difference
     // of means: treated {10, 14}, control {1, 3} → ATT = 10

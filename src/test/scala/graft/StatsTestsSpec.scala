@@ -253,6 +253,43 @@ class StatsTestsSpec extends AnyFunSuite {
     assert(sp < si, s"periodic $sp must read more regular than $si")
   }
 
+  test("energy distance: zero on identical cohorts, exact on separated") {
+    // identical daily multisets → e = 0
+    val same = (1 to 3).map(d =>
+      ev(d.toLong, 1L, d, "view", 5.0 + d)) ++
+      (1 to 3).map(d => ev((10 + d).toLong, 2L, d, "view", 5.0 + d))
+    val r0 = Drift.energyDistance(events(same), col("user_id") === 2L)
+      .collect().head
+    assert(r0.getDouble(2) == 0.0)
+    // A days sum {0,0}, B days {10,10}: E|X−Y|=10, within = 0 →
+    // e = 20, T = (2·2/4)·20 = 20
+    val sep = Seq(ev(1, 1, 1, "view", 0.0), ev(2, 1, 2, "view", 0.0),
+      ev(3, 2, 1, "view", 10.0), ev(4, 2, 2, "view", 10.0))
+    val r1 = Drift.energyDistance(events(sep), col("user_id") === 2L)
+      .collect().head
+    assert(r1.getLong(0) == 2L && r1.getLong(1) == 2L)
+    assert(r1.getDouble(2) == 20.0 && r1.getDouble(3) == 20.0)
+  }
+
+  test("distance correlation: exact 1 on a perfect linear law") {
+    import graft.operators.Causality
+    // day d: d views (x = d) and one purchase of value 2d (y = 2d) —
+    // b-matrix = 2·a-matrix, so dCor is exactly 1
+    val rows = (1 to 8).flatMap { d =>
+      (1 to d).map(k => ev(d * 100L + k, k.toLong, d, "view", 1.0)) :+
+        ev(d * 100L + 99, 1L, d, "purchase", 2.0 * d)
+    }
+    val r = Causality.distanceCorrelation(events(rows)).collect().head
+    assert(r.getLong(0) == 8L)
+    assert(r.getDouble(4) == 1.0, s"dcor=${r.getDouble(4)}")
+    // constant traffic series → NULL (zero distance variance)
+    val flat = (1 to 5).flatMap(d => Seq(
+      ev(d * 10L, 1L, d, "view", 1.0),
+      ev(d * 10L + 1, 1L, d, "purchase", d.toDouble)))
+    val rf = Causality.distanceCorrelation(events(flat)).collect().head
+    assert(rf.isNullAt(4))
+  }
+
   test("wilson intervals: boundary exactness and a replayed midcase") {
     import graft.operators.Experiment
     val df = (Seq.fill(5)(("a", false)) ++       // 0/5
