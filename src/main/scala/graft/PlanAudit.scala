@@ -91,6 +91,8 @@ object PlanAudit {
     // 1-row cohort/grand-mean factors
     "q396_burrows_delta", "q398_energy_distance",
     "q399_distance_correlation",
+    // Kuiper: the hour-histogram total is the KS-shape 1-row factor
+    "q400_kuiper_uniformity",
     // segment lift: BH family-size 1-row factor (ksBySliceFdr shape);
     // quantile lift: |levels|-row broadcast quantile table
     "q256_segment_lift", "q257_quantile_lift",

@@ -383,7 +383,23 @@ object ScaleProbe {
             graft.functions.TextFunctions.qualityScore(col("text"))
               .as("score"),
             (pmod(col("doc_id"), lit(3)) === 0).as("label")),
-          "score", "label").count()))
+          "score", "label").count()),
+      // explode → vocab-bounded counts + 1-row totals + top-k limit
+      "dunning_llr" -> (d => graft.operators.Keyness.dunningLlr(d,
+        pmod(col("doc_id"), lit(2)) === 0).count()),
+      "fightin_words" -> (d => graft.operators.Keyness.monroeLogOdds(d,
+        pmod(col("doc_id"), lit(2)) === 0).count()),
+      // staged-array bigram explode + vocab-keyed joins + top-k
+      "collocations" -> (d =>
+        graft.operators.Keyness.collocations(d).count()),
+      // (source × token) counts; the |S|·30 grid and pair join are
+      // source-bounded — probe sources via doc_id buckets
+      "burrows_delta" -> (d => graft.operators.Keyness.burrowsDelta(
+        d.withColumn("source",
+          concat(lit("s"), pmod(col("doc_id"), lit(10))))).count()),
+      // explode → vocab counts → max-count-bounded spectrum → 1 row
+      "lexical_richness" -> (d =>
+        graft.operators.Vocab.lexicalRichness(d).count()))
 
     // ---- embedding-input operators: amplified by cyclic coordinate
     // rotation per copy — rotations of distinct 64-dim vectors are
@@ -732,7 +748,19 @@ object ScaleProbe {
         graft.operators.GraphAudit.bfsDistances(d).count()),
       // per-user groups scale with the corpus; k-row moment reduce
       "icc" -> (d => graft.operators.Anova.icc1(d,
-        col("user_id"), col("value")).count()))
+        col("user_id"), col("value")).count()),
+      // per-user strata agg + stratum-cardinality weight reduce
+      "ipw_att" -> (d =>
+        graft.operators.Matching.errorImpactIpw(d).count()),
+      // daily agg + three days² V-statistic pair crosses
+      "energy_distance" -> (d => graft.operators.Drift.energyDistance(
+        d, dayofweek(col("ts")).isin(1, 7)).count()),
+      // daily agg + days² double-centered distance matrices
+      "dcor" -> (d =>
+        graft.operators.Causality.distanceCorrelation(d).count()),
+      // 24-row hour histogram + ordered windows over it
+      "kuiper" -> (d =>
+        graft.operators.Drift.kuiperUniformity(d).count()))
 
     (ops.map(o => (o._1, o._2, base, big)) ++
       embOps.map(o => (o._1, o._2, embBase, embBig)) ++

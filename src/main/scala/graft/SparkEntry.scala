@@ -525,6 +525,12 @@ object SparkEntry {
       graft.operators.Causality.distanceCorrelation(
         t(s, dir, "events"))),
 
+    // ---- Kuiper's circular uniformity of hour-of-day: the
+    //      rotation-invariant KS the diurnal question needs (a
+    //      midnight-straddling bump halves a plain KS D) ----
+    "q400_kuiper_uniformity" -> ((s, dir) =>
+      graft.operators.Drift.kuiperUniformity(t(s, dir, "events"))),
+
     // ---- Per-type OLS trend with inference: slope/intercept/r²/t on
     //      daily revenue vs day index — the parametric counterpart to
     //      q236's Theil–Sen; closed-form moments, never a residual
@@ -4469,6 +4475,9 @@ object SparkEntry {
     "q399_distance_correlation" ->
       graft.operators.Causality.distanceCorrelationOracleSql,
 
+    "q400_kuiper_uniformity" ->
+      graft.operators.Drift.kuiperOracleSql,
+
     "q201_sequence_pack" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -7777,6 +7786,8 @@ object SparkEntry {
       "t_stat*"),
     "q399_distance_correlation" -> Seq("n_days#", "dcov2*",
       "dvarx2*", "dvary2*", "dcor*"),
+    "q400_kuiper_uniformity" -> Seq("n#", "d_plus*", "d_minus*",
+      "v_stat*", "sig_95"),
     "q140_bpe_train" -> Seq("rank#", "left", "right", "merged",
       "cnt#"),
     "q162_mmr_rerank" -> Seq("query_id#", "neighbor_id#",

@@ -907,6 +907,69 @@ object Drift {
       |  na * nb / (nn * nn) * sq > 0.461 AS sig_95
       |FROM s""".stripMargin
 
+  /** Kuiper's test of hour-of-day uniformity (Kuiper, Proc. KNAW
+    * 1960): V = D⁺ + D⁻ against the uniform CDF over the 24 hour
+    * bins. The CIRCULAR analog of Kolmogorov–Smirnov — KS's sup-gap
+    * depends on where the cycle is cut (a 23:00–01:00 usage bump
+    * halves if midnight splits it); V is rotation-invariant, which is
+    * the right property for any time-of-day/day-of-week uniformity
+    * question. Significance by the standard large-n approximation
+    * V·(√n + 0.155 + 0.24/√n) > 1.747 at 5%.
+    *
+    * Scale shape: one grouped count to 24 rows, ordered windows over
+    * those 24, a 1-row total factor. One row
+    * `(n, d_plus, d_minus, v_stat, sig_95)`. */
+  def kuiperUniformity(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = events.select(hour(col("ts")).as("h"))
+      .where(col("h").isNotNull)
+      .groupBy("h").agg(count(lit(1)).as("c"))
+    val tot = h.agg(sum("c").as("__n"))
+    val wCum = Window.orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ecdf = h.withColumn("__cum", sum("c").over(wCum))
+      .crossJoin(broadcast(tot))   // 1-row stat factor
+    val nD = col("__n").cast("double")
+    val fU = (col("h") + 1).cast("double") / 24.0
+    val fUPrev = col("h").cast("double") / 24.0
+    val dPlus = col("__cum") / nD - fUPrev
+    val dMinus = fU - (col("__cum") - col("c")) / nD
+    val s = ecdf.agg(first("__n").as("n"),
+      max(dPlus).as("__dp"), max(dMinus).as("__dm"))
+    val v = col("__dp") + col("__dm")
+    val crit = v * (sqrt(col("n").cast("double")) + 0.155 +
+      lit(0.24) / sqrt(col("n").cast("double")))
+    s.select(
+      col("n").cast("bigint").as("n"),
+      round(col("__dp"), 6).as("d_plus"),
+      round(col("__dm"), 6).as("d_minus"),
+      round(v, 6).as("v_stat"),
+      (crit > 1.747).as("sig_95"))
+  }
+
+  /** DuckDB oracle for [[kuiperUniformity]] on events. */
+  val kuiperOracleSql: String =
+    """WITH h AS (
+      |  SELECT hour(ts) AS h, COUNT(*) AS c
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      |tot AS (SELECT SUM(c) AS n FROM h),
+      |e AS (
+      |  SELECT h, c,
+      |    SUM(c) OVER (ORDER BY h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM h),
+      |s AS (
+      |  SELECT ANY_VALUE(n) AS n,
+      |    MAX(CAST(cum AS DOUBLE) / n - h / 24.0) AS dp,
+      |    MAX((h + 1) / 24.0 - CAST(cum - c AS DOUBLE) / n) AS dm
+      |  FROM e CROSS JOIN tot)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  ROUND(dp, 6) AS d_plus, ROUND(dm, 6) AS d_minus,
+      |  ROUND(dp + dm, 6) AS v_stat,
+      |  (dp + dm) * (SQRT(CAST(n AS DOUBLE)) + 0.155 +
+      |    0.24 / SQRT(CAST(n AS DOUBLE))) > 1.747 AS sig_95
+      |FROM s""".stripMargin
+
   /** Energy distance between two cohorts' DAILY metric series
     * (Székely & Rizzo, InterStat 2004): e = 2·E|X−Y| − E|X−X'| −
     * E|Y−Y'| over the V-statistic pair averages — zero exactly when

@@ -290,6 +290,25 @@ class StatsTestsSpec extends AnyFunSuite {
     assert(rf.isNullAt(4))
   }
 
+  test("kuiper: uniform hours accept, a single-hour spike rejects") {
+    // perfectly uniform over all 24 hours: every ECDF step sits on
+    // the uniform line → D⁺ = D⁻ = 1/24 step conventions cancel to
+    // V small; a point mass at hour 12 drives V toward 1+
+    def at(h: Int, k: Int, id0: Long) = (0 until k).map(i =>
+      (id0 + i, java.sql.Timestamp.valueOf(f"2024-04-05 $h%02d:00:00"),
+        1L, "view", 1.0, "{}"))
+    val uni = (0 until 24).flatMap(h => at(h, 10, h * 100L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rU = Drift.kuiperUniformity(uni).collect().head
+    assert(rU.getLong(0) == 240L && !rU.getBoolean(4),
+      s"v=${rU.getDouble(3)}")
+    assert(math.abs(rU.getDouble(3) - 2.0 / 24.0) < 1e-6)
+    val spike = at(12, 240, 0L)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rS = Drift.kuiperUniformity(spike).collect().head
+    assert(rS.getBoolean(4) && rS.getDouble(3) > 0.9)
+  }
+
   test("wilson intervals: boundary exactness and a replayed midcase") {
     import graft.operators.Experiment
     val df = (Seq.fill(5)(("a", false)) ++       // 0/5
