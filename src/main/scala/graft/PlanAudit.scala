@@ -93,6 +93,13 @@ object PlanAudit {
     "q399_distance_correlation",
     // Kuiper: the hour-histogram total is the KS-shape 1-row factor
     "q400_kuiper_uniformity",
+    // seasonal MK: the per-season day-pair cross is the q287 shape
+    // partitioned by weekday, plus the 1-row variance-total factor;
+    // Bartels: 1-row rank-mean factor; Watson: the Kuiper 1-row
+    // total; weighted kappa: the k×k marginal grid is a deliberate
+    // bounded cross with the 1-row n/span factor
+    "q401_seasonal_mann_kendall", "q402_bartels_rank",
+    "q403_watson_u2", "q404_weighted_kappa",
     // segment lift: BH family-size 1-row factor (ksBySliceFdr shape);
     // quantile lift: |levels|-row broadcast quantile table
     "q256_segment_lift", "q257_quantile_lift",

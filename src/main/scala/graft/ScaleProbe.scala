@@ -760,7 +760,21 @@ object ScaleProbe {
         graft.operators.Causality.distanceCorrelation(d).count()),
       // 24-row hour histogram + ordered windows over it
       "kuiper" -> (d =>
-        graft.operators.Drift.kuiperUniformity(d).count()))
+        graft.operators.Drift.kuiperUniformity(d).count()),
+      // per-season day-pair cross (calendar²/7) + tie tables
+      "seasonal_mk" -> (d =>
+        graft.operators.Anomaly.seasonalMannKendall(d).count()),
+      // calendar rank windows + 1-row mean factor
+      "bartels" -> (d =>
+        graft.operators.Anomaly.bartelsRank(d).count()),
+      // 24-row histogram + closed-form stair sums
+      "watson_u2" -> (d =>
+        graft.operators.Drift.watsonU2(d).count()),
+      // k×k cell grid from one corpus-scale grouped count
+      "weighted_kappa" -> (d =>
+        graft.quality.Agreement.weightedKappa(d,
+          pmod(col("user_id"), lit(3)),
+          pmod(col("event_id"), lit(3))).count()))
 
     (ops.map(o => (o._1, o._2, base, big)) ++
       embOps.map(o => (o._1, o._2, embBase, embBig)) ++

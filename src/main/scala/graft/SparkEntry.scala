@@ -531,6 +531,36 @@ object SparkEntry {
     "q400_kuiper_uniformity" -> ((s, dir) =>
       graft.operators.Drift.kuiperUniformity(t(s, dir, "events"))),
 
+    // ---- Seasonal Mann–Kendall (Hirsch–Slack): q287's trend test
+    //      within each weekday season — the weekly cycle q213 finds
+    //      would otherwise inflate MK's variance ----
+    "q401_seasonal_mann_kendall" -> ((s, dir) =>
+      graft.operators.Anomaly.seasonalMannKendall(t(s, dir, "events"))),
+
+    // ---- Bartels rank (von Neumann ratio on ranks): serial
+    //      randomness beside the sign-only runs test (q288) and the
+    //      model-bound Durbin–Watson (q281) ----
+    "q402_bartels_rank" -> ((s, dir) =>
+      graft.operators.Anomaly.bartelsRank(t(s, dir, "events"))),
+
+    // ---- Watson U² circular uniformity: the quadratic companion to
+    //      Kuiper (q400) — integrates deviation around the cycle via
+    //      closed-form rank-stair sums per hour bin ----
+    "q403_watson_u2" -> ((s, dir) =>
+      graft.operators.Drift.watsonU2(t(s, dir, "events"))),
+
+    // ---- Quadratic-weighted Cohen's κ on ordinal length tertiles:
+    //      the ordered-scale agreement q239's binary κ can't read ----
+    "q404_weighted_kappa" -> ((s, dir) => {
+      val toks = size(filter(
+        graft.functions.TextFunctions.tokens(col("text")),
+        x => x =!= ""))
+      graft.quality.Agreement.weightedKappa(t(s, dir, "documents"),
+        when(col("n_chars") < 220, 0L).when(col("n_chars") < 380, 1L)
+          .otherwise(2L),
+        when(toks < 40, 0L).when(toks < 70, 1L).otherwise(2L))
+    }),
+
     // ---- Per-type OLS trend with inference: slope/intercept/r²/t on
     //      daily revenue vs day index — the parametric counterpart to
     //      q236's Theil–Sen; closed-form moments, never a residual
@@ -4478,6 +4508,18 @@ object SparkEntry {
     "q400_kuiper_uniformity" ->
       graft.operators.Drift.kuiperOracleSql,
 
+    "q401_seasonal_mann_kendall" ->
+      graft.operators.Anomaly.seasonalMannKendallOracleSql,
+
+    "q402_bartels_rank" ->
+      graft.operators.Anomaly.bartelsOracleSql,
+
+    "q403_watson_u2" ->
+      graft.operators.Drift.watsonOracleSql,
+
+    "q404_weighted_kappa" ->
+      graft.quality.Agreement.weightedKappaOracleSql,
+
     "q201_sequence_pack" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -7788,6 +7830,13 @@ object SparkEntry {
       "dvarx2*", "dvary2*", "dcor*"),
     "q400_kuiper_uniformity" -> Seq("n#", "d_plus*", "d_minus*",
       "v_stat*", "sig_95"),
+    "q401_seasonal_mann_kendall" -> Seq("n_days#", "k_seasons#",
+      "s_stat#", "var_s*", "z*", "trend"),
+    "q402_bartels_rank" -> Seq("n_days#", "rvn*", "z*", "sig_95",
+      "reading"),
+    "q403_watson_u2" -> Seq("n#", "w2*", "u2*", "sig_95"),
+    "q404_weighted_kappa" -> Seq("n#", "k#", "d_obs*", "d_exp*",
+      "kappa_w*"),
     "q140_bpe_train" -> Seq("rank#", "left", "right", "merged",
       "cnt#"),
     "q162_mmr_rerank" -> Seq("query_id#", "neighbor_id#",

@@ -821,6 +821,177 @@ object Anomaly {
       |    ELSE 'none' END AS trend
       |FROM z""".stripMargin
 
+  /** Seasonal Mann–Kendall trend test (Hirsch & Slack, Water Resour.
+    * Res. 1984) — [[mannKendall]] computed WITHIN each weekday season
+    * and summed: a strong weekly cycle (q213's lag-7 spike) inflates
+    * plain MK's variance and can mask or fake a trend; comparing only
+    * Mondays to Mondays removes the cycle before asking "is there
+    * drift". S' = Σ_g S_g, Var' = Σ_g Var_g (tie-corrected per
+    * season), continuity-corrected z on the totals.
+    *
+    * Scale shape: the day-pair cross is PER-SEASON calendar²/7 (the
+    * q287 deliberate-cross shape, partitioned); tie tables at
+    * (season × distinct-count) cardinality. One corpus-touching agg. */
+  def seasonalMannKendall(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .withColumn("g", dayofweek(col("d")))
+    val s = daily.as("a").join(daily.as("b"),
+        col("a.g") === col("b.g") && col("a.d") < col("b.d"))
+      .agg(coalesce(sum(signum(col("b.c") - col("a.c"))), lit(0.0))
+        .as("__s"))
+    val tieG = daily.groupBy("g", "c").agg(count(lit(1)).as("__t"))
+      .groupBy("g").agg(coalesce(sum(col("__t") * (col("__t") - 1L) *
+        (col("__t") * 2L + 5L)), lit(0L)).cast("double").as("__tcg"))
+    val ng = col("__ng")
+    val v = daily.groupBy("g")
+      .agg(count(lit(1)).cast("double").as("__ng"))
+      .join(tieG, Seq("g"), "left_outer")
+      .agg(
+        sum((ng * (ng - 1.0) * (ng * 2.0 + 5.0) -
+          coalesce(col("__tcg"), lit(0.0))) / 18.0).as("__var"),
+        count(lit(1)).as("__k"),
+        sum(ng).as("__n"))
+    val z = when(col("__var") > 0.0 && col("__s") > 0.0,
+        (col("__s") - 1.0) / sqrt(col("__var")))
+      .when(col("__var") > 0.0 && col("__s") < 0.0,
+        (col("__s") + 1.0) / sqrt(col("__var")))
+      .otherwise(lit(0.0))
+    s.crossJoin(broadcast(v))   // 1-row stat factors
+      .select(
+        col("__n").cast("bigint").as("n_days"),
+        col("__k").cast("bigint").as("k_seasons"),
+        col("__s").cast("bigint").as("s_stat"),
+        round(col("__var"), 6).as("var_s"),
+        round(z, 6).as("z"),
+        when(z > 1.959964, lit("up"))
+          .when(z < -1.959964, lit("down"))
+          .otherwise(lit("none")).as("trend"))
+  }
+
+  /** DuckDB oracle for [[seasonalMannKendall]]. */
+  val seasonalMannKendallOracleSql: String =
+    """WITH daily AS (
+      |  SELECT d, c, dayofweek(d) AS g FROM (
+      |    SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS c
+      |    FROM events GROUP BY 1)),
+      |s AS (
+      |  SELECT COALESCE(SUM(SIGN(b.c - a.c)), 0.0) AS s
+      |  FROM daily a JOIN daily b ON a.g = b.g AND a.d < b.d),
+      |tg AS (
+      |  SELECT g, CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+      |    AS DOUBLE) AS tcg
+      |  FROM (SELECT g, c, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |v AS (
+      |  SELECT SUM((ng * (ng - 1.0) * (2.0 * ng + 5.0)
+      |      - COALESCE(tcg, 0.0)) / 18.0) AS var_s,
+      |    COUNT(*) AS k, SUM(ng) AS n
+      |  FROM (SELECT g, CAST(COUNT(*) AS DOUBLE) AS ng FROM daily
+      |        GROUP BY 1) pg
+      |  LEFT JOIN tg USING (g)),
+      |z AS (
+      |  SELECT s.s, v.var_s, v.k, v.n, CASE
+      |    WHEN v.var_s > 0 AND s.s > 0 THEN (s.s - 1.0) / sqrt(v.var_s)
+      |    WHEN v.var_s > 0 AND s.s < 0 THEN (s.s + 1.0) / sqrt(v.var_s)
+      |    ELSE 0.0 END AS zv
+      |  FROM s CROSS JOIN v)
+      |SELECT CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS k_seasons,
+      |  CAST(s AS BIGINT) AS s_stat,
+      |  ROUND(var_s, 6) AS var_s, ROUND(zv, 6) AS z,
+      |  CASE WHEN zv > 1.959964 THEN 'up'
+      |    WHEN zv < -1.959964 THEN 'down'
+      |    ELSE 'none' END AS trend
+      |FROM z""".stripMargin
+
+  /** Bartels rank test of serial randomness (Bartels, JASA 1982) —
+    * the rank-based von Neumann ratio over the daily revenue series:
+    * RVN = Σ(rᵢ − rᵢ₊₁)² / Σ(rᵢ − r̄)² on average ranks. The
+    * distribution-free complement to [[runsTest]] (which reads only
+    * the sign pattern around the median) and to the q281
+    * Durbin–Watson (which assumes the OLS residual model): RVN ≪ 2 =
+    * trending/sticky, ≫ 2 = oscillating. z via Bartels' exact
+    * variance 4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²), two-sided 5%.
+    *
+    * Scale shape: one corpus agg to the calendar table, ranks via the
+    * value-frequency convention (min-rank + (ties−1)/2), one ordered
+    * lag window, scalar arithmetic. */
+  def bartelsRank(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum("value").as("y"))
+    val wRank = Window.orderBy("y")
+    val wTie = Window.partitionBy("y")
+    val wOrd = Window.orderBy("d")
+    val ranked = daily
+      .withColumn("__minr", rank().over(wRank))
+      .withColumn("__eq", count(lit(1)).over(wTie))
+      .withColumn("__r", col("__minr") + (col("__eq") - 1) / 2.0)
+      .withColumn("__rn", lead("__r", 1).over(wOrd))
+    val s = ranked.agg(
+      count(lit(1)).cast("double").as("__n"),
+      avg("__r").as("__rb"),
+      sum(when(col("__rn").isNotNull,
+        pow(col("__r") - col("__rn"), 2))).as("__num"))
+    val dev = ranked.crossJoin(broadcast(s))   // 1-row mean factor
+      .agg(first("__n").as("__n2"), first("__num").as("__num2"),
+        sum(pow(col("__r") - col("__rb"), 2)).as("__den"))
+    val n = col("__n2")
+    val rvn = when(col("__den") > 0.0, col("__num2") / col("__den"))
+    val varR = (n - 2.0) * 4.0 * (n * n * 5.0 - n * 2.0 - 9.0) /
+      (n * 5.0 * (n + 1.0) * (n - 1.0) * (n - 1.0))
+    val z = when(rvn.isNotNull && varR > 0.0,
+      (rvn - 2.0) / sqrt(varR))
+    dev.select(
+      n.cast("bigint").as("n_days"),
+      round(rvn, 6).as("rvn"),
+      round(z, 6).as("z"),
+      when(z.isNotNull, abs(z) > 1.959964).otherwise(lit(false))
+        .as("sig_95"),
+      when(z.isNotNull && z < -1.959964, lit("trending"))
+        .when(z.isNotNull && z > 1.959964, lit("oscillating"))
+        .otherwise(lit("random")).as("reading"))
+  }
+
+  /** DuckDB oracle for [[bartelsRank]]. */
+  val bartelsOracleSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, SUM(value) AS y
+      |  FROM events GROUP BY 1),
+      |r AS (
+      |  SELECT d,
+      |    RANK() OVER (ORDER BY y) +
+      |      (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS rr
+      |  FROM daily),
+      |l AS (
+      |  SELECT rr, LEAD(rr) OVER (ORDER BY d) AS rn FROM r),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(rr) AS rb,
+      |    SUM(CASE WHEN rn IS NOT NULL
+      |      THEN POW(rr - rn, 2) END) AS num
+      |  FROM l),
+      |f AS (
+      |  SELECT s.n, s.num, SUM(POW(l.rr - s.rb, 2)) AS den
+      |  FROM l CROSS JOIN s GROUP BY 1, 2),
+      |g AS (
+      |  SELECT n, CASE WHEN den > 0 THEN num / den END AS rvn,
+      |    4.0 * (n - 2.0) * (5.0 * n * n - 2.0 * n - 9.0) /
+      |      (5.0 * n * (n + 1.0) * (n - 1.0) * (n - 1.0)) AS vr
+      |  FROM f)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  ROUND(rvn, 6) AS rvn,
+      |  ROUND(CASE WHEN rvn IS NOT NULL AND vr > 0
+      |    THEN (rvn - 2.0) / SQRT(vr) END, 6) AS z,
+      |  CASE WHEN rvn IS NOT NULL AND vr > 0
+      |    THEN ABS((rvn - 2.0) / SQRT(vr)) > 1.959964
+      |    ELSE FALSE END AS sig_95,
+      |  CASE WHEN rvn IS NOT NULL AND vr > 0
+      |      AND (rvn - 2.0) / SQRT(vr) < -1.959964 THEN 'trending'
+      |    WHEN rvn IS NOT NULL AND vr > 0
+      |      AND (rvn - 2.0) / SQRT(vr) > 1.959964 THEN 'oscillating'
+      |    ELSE 'random' END AS reading
+      |FROM g""".stripMargin
   /** Wald–Wolfowitz runs test on the daily-revenue series around its
     * median (Wald & Wolfowitz, Ann. Math. Stat. 1940) — the
     * randomness check that catches what [[mannKendall]] (monotone

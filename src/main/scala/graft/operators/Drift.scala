@@ -970,6 +970,99 @@ object Drift {
       |    0.24 / SQRT(CAST(n AS DOUBLE))) > 1.747 AS sig_95
       |FROM s""".stripMargin
 
+  /** Watson's U² circular goodness-of-fit against hour-of-day
+    * uniformity (Watson, Biometrika 1961) — the QUADRATIC companion
+    * to [[kuiperUniformity]]'s sup-norm: Kuiper reads the one worst
+    * gap; U² integrates squared deviation around the whole cycle, so
+    * diffuse multi-bump non-uniformity moves it first. Computed by
+    * the classical order-statistic formula W² = Σᵢ(uᵢ − (2i−1)/2n)²
+    * + 1/12n with the tied observations of hour bin h all at the
+    * midpoint uₕ = (h+0.5)/24, each bin's Σᵢ over its rank stair in
+    * CLOSED FORM (so the corpus never materializes per-row ranks);
+    * U² = W² − n(ū − ½)², the rotation-invariant correction.
+    * Asymptotic 5% critical value 0.187.
+    *
+    * Scale shape: one grouped count to 24 rows, one cumulative
+    * window over them, per-bin closed-form stair sums, a 1-row
+    * reduction. One row `(n, w2, u2, sig_95)`. */
+  def watsonU2(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = events.select(hour(col("ts")).as("h"))
+      .where(col("h").isNotNull)
+      .groupBy("h").agg(count(lit(1)).as("c"))
+    val tot = h.agg(sum("c").as("__n"))
+    val wCum = Window.orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val nD = col("__n").cast("double")
+    val cD = col("c").cast("double")
+    val u = (col("h").cast("double") + 0.5) / 24.0
+    val b = col("__cum").cast("double")          // stair end rank
+    val a0 = (col("__cum") - col("c")).cast("double")   // a − 1
+    // Σ_{i=a}^{b}(2i−1) and Σ(2i−1)² via triangular/pyramidal sums
+    val s1 = b * (b + 1.0) / 2.0 - a0 * (a0 + 1.0) / 2.0
+    val s2 = b * (b + 1.0) * (b * 2.0 + 1.0) / 6.0 -
+      a0 * (a0 + 1.0) * (a0 * 2.0 + 1.0) / 6.0
+    val sumOdd = b * b - a0 * a0
+    val sumOddSq = s2 * 4.0 - s1 * 4.0 + cD
+    val ecdf = h.withColumn("__cum", sum("c").over(wCum))
+      .crossJoin(broadcast(tot))   // 1-row stat factor
+      .select(col("__n"),
+        (cD * u * u - u * sumOdd / nD +
+          sumOddSq / (nD * nD * 4.0)).as("__term"),
+        (cD * u / nD).as("__uw"))
+    val s = ecdf.agg(first("__n").as("n"),
+      sum("__term").as("__w"), sum("__uw").as("__ubar"))
+    val nD2 = col("n").cast("double")
+    val w2 = col("__w") + lit(1.0) / (nD2 * 12.0)
+    val u2 = w2 - nD2 * (col("__ubar") - 0.5) * (col("__ubar") - 0.5)
+    s.select(
+      col("n").cast("bigint").as("n"),
+      round(w2, 6).as("w2"),
+      round(u2, 6).as("u2"),
+      (u2 > 0.187).as("sig_95"))
+  }
+
+  /** DuckDB oracle for [[watsonU2]] on events — the same per-bin
+    * closed-form stair sums. */
+  val watsonOracleSql: String =
+    """WITH h AS (
+      |  SELECT hour(ts) AS h, COUNT(*) AS c
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM h),
+      |e AS (
+      |  SELECT h, c, tot.n,
+      |    (h + 0.5) / 24.0 AS u,
+      |    CAST(SUM(c) OVER (ORDER BY h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS DOUBLE) AS b,
+      |    CAST(SUM(c) OVER (ORDER BY h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+      |      AS DOUBLE) AS a0
+      |  FROM h CROSS JOIN tot),
+      |t AS (
+      |  SELECT n, u, c,
+      |    b * b - a0 * a0 AS sum_odd,
+      |    4.0 * (b * (b + 1.0) * (2.0 * b + 1.0) / 6.0 -
+      |           a0 * (a0 + 1.0) * (2.0 * a0 + 1.0) / 6.0) -
+      |    4.0 * (b * (b + 1.0) / 2.0 - a0 * (a0 + 1.0) / 2.0) + c
+      |      AS sum_odd_sq
+      |  FROM e),
+      |s AS (
+      |  SELECT ANY_VALUE(n) AS n,
+      |    SUM(c * u * u - u * sum_odd / n +
+      |      sum_odd_sq / (4.0 * n * n)) AS w,
+      |    SUM(c * u / n) AS ubar
+      |  FROM t),
+      |f AS (
+      |  SELECT n, w + 1.0 / (12.0 * n) AS w2,
+      |    w + 1.0 / (12.0 * n) - n * (ubar - 0.5) * (ubar - 0.5)
+      |      AS u2
+      |  FROM s)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  ROUND(w2, 6) AS w2, ROUND(u2, 6) AS u2,
+      |  u2 > 0.187 AS sig_95
+      |FROM f""".stripMargin
+
   /** Energy distance between two cohorts' DAILY metric series
     * (Székely & Rizzo, InterStat 2004): e = 2·E|X−Y| − E|X−X'| −
     * E|Y−Y'| over the V-statistic pair averages — zero exactly when

@@ -137,4 +137,95 @@ object Agreement {
        |  ROUND(AVG(CASE WHEN ABS(diff - m.mu) > 1.96 * m.sd
        |    THEN 1.0 ELSE 0.0 END), 6) AS pct_outside
        |FROM d2 CROSS JOIN m""".stripMargin
+
+
+  /** Quadratic-weighted Cohen's κ for ORDINAL labels (Cohen, Psych.
+    * Bull. 1968) — [[cohenKappa]] treats "off by one bucket" and
+    * "off by the whole scale" as the same disagreement, which is
+    * wrong for any ordered rating (quality tiers, length buckets,
+    * star ratings); weighted κ charges disagreement v_ij =
+    * ((i−j)/(k−1))², the standard quadratic scheme, making it
+    * interpretable as an ICC analog. κ_w = 1 − Σv·o / Σv·e over the
+    * observed and chance (outer-product marginal) cell tables.
+    *
+    * One grouped count to the k×k cell table, marginal joins at k
+    * rows, scalar reduction. One row `(n, k, d_obs, d_exp,
+    * kappa_w)`; NULL κ when chance disagreement is 0 (both raters
+    * constant). */
+  def weightedKappa(df: DataFrame, raterA: Column,
+      raterB: Column): DataFrame = {
+    val pairs = df.select(raterA.cast("long").as("i"),
+        raterB.cast("long").as("j"))
+      .where(col("i").isNotNull && col("j").isNotNull)
+    val cells = pairs.groupBy("i", "j").agg(count(lit(1)).as("o"))
+    val ra = pairs.groupBy("i").agg(count(lit(1)).as("ri"))
+    val rb = pairs.groupBy("j").agg(count(lit(1)).as("cj"))
+    val tot = pairs.agg(count(lit(1)).as("__n"),
+      (greatest(max("i"), max("j")) - least(min("i"), min("j")))
+        .cast("double").as("__span"))
+    // the complete k×k chance grid (missing observed cells are 0)
+    val grid = ra.crossJoin(rb).crossJoin(broadcast(tot))
+      .join(cells, Seq("i", "j"), "left_outer")
+      .na.fill(0L, Seq("o"))
+    val nD = col("__n").cast("double")
+    val v = when(col("__span") > 0.0,
+      pow((col("i") - col("j")).cast("double") / col("__span"), 2))
+      .otherwise(lit(0.0))
+    val s = grid.agg(
+      first("__n").as("n"),
+      countDistinct(col("i")).as("k"),
+      sum(v * col("o").cast("double") / nD).as("__do"),
+      sum(v * (col("ri").cast("double") / nD) *
+        (col("cj").cast("double") / nD)).as("__de"))
+    s.select(
+      col("n"), col("k").cast("bigint").as("k"),
+      round(col("__do"), 6).as("d_obs"),
+      round(col("__de"), 6).as("d_exp"),
+      round(when(col("__de") > 0.0,
+        lit(1.0) - col("__do") / col("__de")), 6).as("kappa_w"))
+  }
+
+  /** DuckDB oracle for the registered ordinal fixture: rater A =
+    * n_chars tertile buckets (220/380), rater B = token-count
+    * tertiles (40/70). */
+  val weightedKappaOracleSql: String =
+    """WITH p AS (
+      |  SELECT
+      |    CASE WHEN n_chars < 220 THEN 0
+      |      WHEN n_chars < 380 THEN 1 ELSE 2 END AS i,
+      |    CASE WHEN len(list_filter(str_split_regex(trim(text),
+      |        '\s+'), x -> x <> '')) < 40 THEN 0
+      |      WHEN len(list_filter(str_split_regex(trim(text),
+      |        '\s+'), x -> x <> '')) < 70 THEN 1 ELSE 2 END AS j
+      |  FROM documents),
+      |cells AS (SELECT i, j, COUNT(*) AS o FROM p GROUP BY 1, 2),
+      |ra AS (SELECT i, COUNT(*) AS ri FROM p GROUP BY 1),
+      |rb AS (SELECT j, COUNT(*) AS cj FROM p GROUP BY 1),
+      |tot AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(GREATEST(MAX(i), MAX(j)) -
+      |      LEAST(MIN(i), MIN(j)) AS DOUBLE) AS span
+      |  FROM p),
+      |grid AS (
+      |  SELECT ra.i, rb.j, ra.ri, rb.cj, tot.n, tot.span,
+      |    COALESCE(cells.o, 0) AS o
+      |  FROM ra CROSS JOIN rb CROSS JOIN tot
+      |  LEFT JOIN cells ON cells.i = ra.i AND cells.j = rb.j),
+      |s AS (
+      |  SELECT ANY_VALUE(n) AS n, COUNT(DISTINCT i) AS k,
+      |    SUM((CASE WHEN span > 0
+      |        THEN POW((i - j) / span, 2) ELSE 0.0 END) *
+      |      CAST(o AS DOUBLE) / n) AS dobs,
+      |    SUM((CASE WHEN span > 0
+      |        THEN POW((i - j) / span, 2) ELSE 0.0 END) *
+      |      (CAST(ri AS DOUBLE) / n) * (CAST(cj AS DOUBLE) / n))
+      |      AS dexp
+      |  FROM grid)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+      |  ROUND(dobs, 6) AS d_obs,
+      |  ROUND(dexp, 6) AS d_exp,
+      |  ROUND(CASE WHEN dexp > 0 THEN 1.0 - dobs / dexp END, 6)
+      |    AS kappa_w
+      |FROM s""".stripMargin
+
 }

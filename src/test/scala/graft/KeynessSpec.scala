@@ -110,6 +110,28 @@ class KeynessSpec extends AnyFunSuite {
     assert(rep.getDouble(6) > r.getDouble(6))
   }
 
+  test("weighted kappa: perfect agreement 1, off-by-scale worse than off-by-one") {
+    import graft.quality.Agreement
+    def df(pairs: Seq[(Long, Long)]) = pairs.toDF("a", "b")
+    val perfect = Agreement.weightedKappa(
+      df(Seq((0L, 0L), (1L, 1L), (2L, 2L), (0L, 0L), (1L, 1L))),
+      col("a"), col("b")).collect().head
+    assert(perfect.getDouble(4) == 1.0)
+    // same marginals, different disagreement DISTANCE: off-by-one
+    // beats off-by-two under quadratic weights
+    val offOne = Agreement.weightedKappa(
+      df(Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (0L, 0L),
+        (2L, 2L))), col("a"), col("b")).collect().head
+    val offTwo = Agreement.weightedKappa(
+      df(Seq((0L, 2L), (2L, 0L), (1L, 1L), (1L, 1L), (0L, 0L),
+        (2L, 2L))), col("a"), col("b")).collect().head
+    assert(offOne.getDouble(4) > offTwo.getDouble(4))
+    // constant raters: chance disagreement 0 → NULL
+    val const = Agreement.weightedKappa(
+      df(Seq((1L, 1L), (1L, 1L))), col("a"), col("b")).collect().head
+    assert(const.isNullAt(4))
+  }
+
   test("ipw att equals cem att on a design with balanced strata") {
     // one stratum, so both estimators reduce to the same difference
     // of means: treated {10, 14}, control {1, 3} → ATT = 10

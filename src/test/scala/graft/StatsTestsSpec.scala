@@ -290,6 +290,73 @@ class StatsTestsSpec extends AnyFunSuite {
     assert(rf.isNullAt(4))
   }
 
+  test("seasonal mann-kendall: within-weekday drift found, pure cycle not") {
+    import graft.operators.Anomaly
+    // 4 weeks: counts = weekday level only (pure cycle, no drift) →
+    // every within-season pair ties, S = 0
+    val cyc = (0 until 28).flatMap { i =>
+      val lvl = (i % 7) + 1
+      (1 to lvl * 2).map(k =>
+        ev(i * 100L + k, k.toLong, i + 1, "view", 1.0))
+    }
+    // (April has 30 days — days 1..28 span exactly 4 weeks)
+    val r0 = Anomaly.seasonalMannKendall(events(cyc)).collect().head
+    assert(r0.getLong(2) == 0L && r0.getString(5) == "none")
+    // cycle PLUS within-weekday growth: every within-season pair
+    // increases → S = k_seasons · C(4,2) = 7 · 6 = 42
+    val grow = (0 until 28).flatMap { i =>
+      val lvl = (i % 7) + 1 + (i / 7) * 10
+      (1 to lvl).map(k =>
+        ev(i * 100L + k, k.toLong, i + 1, "view", 1.0))
+    }
+    val r1 = Anomaly.seasonalMannKendall(events(grow)).collect().head
+    assert(r1.getLong(1) == 7L && r1.getLong(2) == 42L)
+    assert(r1.getString(5) == "up", s"z=${r1.getDouble(4)}")
+  }
+
+  test("bartels rank: monotone series reads trending, alternating oscillates") {
+    import graft.operators.Anomaly
+    def series(ys: Seq[Double]) = events(ys.zipWithIndex.map {
+      case (y, i) => ev(i * 10L + 1, 1L, i + 1, "view", y) })
+    // strictly increasing daily revenue: successive rank diffs all 1
+    // → RVN = (n−1)/Σ(r−r̄)² · ... far below 2 → trending
+    val up = Anomaly.bartelsRank(series((1 to 20).map(_.toDouble)))
+      .collect().head
+    assert(up.getString(4) == "trending", s"rvn=${up.getDouble(1)}")
+    // RVN exact for 1..n ranks: num = n−1, den = n(n²−1)/12
+    val n = 20.0
+    assert(math.abs(up.getDouble(1) -
+      (n - 1.0) / (n * (n * n - 1.0) / 12.0)) < 1e-6)
+    // alternating high/low: rank jumps maximal → RVN ≫ 2
+    val alt = Anomaly.bartelsRank(series(
+      (1 to 20).map(i => if (i % 2 == 0) i.toDouble else 100.0 + i)))
+      .collect().head
+    assert(alt.getString(4) == "oscillating", s"rvn=${alt.getDouble(1)}")
+  }
+
+  test("watson u2: uniform hours accept, a spike rejects, rotation-invariant") {
+    def at(h: Int, k: Int, id0: Long) = (0 until k).map(i =>
+      (id0 + i, java.sql.Timestamp.valueOf(f"2024-04-05 $h%02d:00:00"),
+        1L, "view", 1.0, "{}"))
+    def run(rows: Seq[(Long, java.sql.Timestamp, Long, String,
+        Double, String)]) =
+      Drift.watsonU2(rows.toDF("event_id", "ts", "user_id",
+        "event_type", "value", "props")).collect().head
+    val uni = (0 until 24).flatMap(h => at(h, 10, h * 100L))
+    val rU = run(uni)
+    assert(!rU.getBoolean(3), s"u2=${rU.getDouble(2)}")
+    val spike = at(12, 240, 0L)
+    assert(run(spike).getBoolean(3))
+    // rotation invariance: the same bump at hour 0 and at hour 12
+    // reads the SAME U² (this is the property Kuiper/W² have and a
+    // plain CvM against the cut circle does not)
+    def bump(at0: Int) = (0 until 24).flatMap(h =>
+      at(h, if (h == at0) 100 else 10, h * 100L))
+    val u0 = run(bump(0)).getDouble(2)
+    val u12 = run(bump(12)).getDouble(2)
+    assert(math.abs(u0 - u12) < 1e-6, s"u0=$u0 u12=$u12")
+  }
+
   test("kuiper: uniform hours accept, a single-hour spike rejects") {
     // perfectly uniform over all 24 hours: every ECDF step sits on
     // the uniform line → D⁺ = D⁻ = 1/24 step conventions cancel to
