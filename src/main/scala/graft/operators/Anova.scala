@@ -127,7 +127,10 @@ object Anova {
       round(when(sst > 0.0, ssb / sst), 6).as("eta_sq"),
       round(when(sst > 0.0 && ssw > 0.0,
         (ssb - dfb * msw) / (sst + msw)), 6).as("omega_sq"),
-      (f * dfb > Homogeneity.chi2Crit95(col("k") - 1)).as("sig_95"))
+      // degenerate designs read as "not significant", not NULL —
+      // the house convention (pageTrend, kendallW, bartelsRank)
+      coalesce(f * dfb > Homogeneity.chi2Crit95(col("k") - 1),
+        lit(false)).as("sig_95"))
   }
 
   /** One-way random-effects intraclass correlation ICC(1) (Fisher
@@ -253,7 +256,7 @@ object Anova {
       |  ROUND(CASE WHEN sst > 0.0 THEN ssb / sst END, 6) AS eta_sq,
       |  ROUND(CASE WHEN sst > 0.0 AND ssw > 0.0
       |    THEN (ssb - dfb * msw) / (sst + msw) END, 6) AS omega_sq,
-      |  fs * dfb > (CASE CAST(k - 1 AS INT)
+      |  COALESCE(fs * dfb > (CASE CAST(k - 1 AS INT)
       |    WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465
       |    WHEN 3 THEN 7.814728 WHEN 4 THEN 9.487729
       |    WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587
@@ -261,6 +264,6 @@ object Anova {
       |    WHEN 9 THEN 16.918978 WHEN 10 THEN 18.307038
       |    ELSE (k - 1) * POW(1.0 - 2.0 / (9.0 * (k - 1)) +
       |      1.6448536269514722 * SQRT(2.0 / (9.0 * (k - 1))), 3)
-      |    END) AS sig_95
+      |    END), FALSE) AS sig_95
       |FROM g""".stripMargin
 }

@@ -801,7 +801,8 @@ object Drift {
       |  SELECT CAST(value AS DOUBLE) AS m,
       |    SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 0 ELSE 1 END) AS la,
       |    SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END) AS lb
-      |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+      |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY 1),
       |c AS (
       |  SELECT m, la, lb, la + lb AS l,
       |    SUM(la + lb) OVER (ORDER BY m
@@ -885,7 +886,8 @@ object Drift {
       |  SELECT CAST(value AS DOUBLE) AS m,
       |    SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 0 ELSE 1 END) AS la,
       |    SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END) AS lb
-      |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+      |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY 1),
       |c AS (
       |  SELECT m, la, lb, la + lb AS l,
       |    SUM(la) OVER (ORDER BY m
@@ -913,8 +915,12 @@ object Drift {
     * depends on where the cycle is cut (a 23:00–01:00 usage bump
     * halves if midnight splits it); V is rotation-invariant, which is
     * the right property for any time-of-day/day-of-week uniformity
-    * question. Significance by the standard large-n approximation
-    * V·(√n + 0.155 + 0.24/√n) > 1.747 at 5%.
+    * question. The comparison is against the DISCRETE 24-point
+    * uniform — both D⁺ and D⁻ measure cum/n against the same lattice
+    * CDF (h+1)/24, so an exactly flat hour histogram yields V = 0
+    * (the naive mixed-edge convention would yield V = 2/24 on flat
+    * data and auto-reject for n ≳ 435). Significance by the standard
+    * large-n approximation V·(√n + 0.155 + 0.24/√n) > 1.747 at 5%.
     *
     * Scale shape: one grouped count to 24 rows, ordered windows over
     * those 24, a 1-row total factor. One row
@@ -931,9 +937,15 @@ object Drift {
       .crossJoin(broadcast(tot))   // 1-row stat factor
     val nD = col("__n").cast("double")
     val fU = (col("h") + 1).cast("double") / 24.0
-    val fUPrev = col("h").cast("double") / 24.0
-    val dPlus = col("__cum") / nD - fUPrev
-    val dMinus = fU - (col("__cum") - col("c")) / nD
+    val dPlus = col("__cum") / nD - fU
+    // empty hour bins never reach the grouped table, so each present
+    // bin's D⁻ candidate also covers the flat-ECDF run of missing
+    // bins before it via its pre-step point h/24 − cumPrev/n (the
+    // lattice max over any gap sits at the gap's right edge); on a
+    // fully-present flat histogram both candidates are exactly 0
+    val dMinus = greatest(fU - col("__cum") / nD,
+      col("h").cast("double") / 24.0 -
+        (col("__cum") - col("c")) / nD)
     val s = ecdf.agg(first("__n").as("n"),
       max(dPlus).as("__dp"), max(dMinus).as("__dm"))
     val v = col("__dp") + col("__dm")
@@ -960,8 +972,9 @@ object Drift {
       |  FROM h),
       |s AS (
       |  SELECT ANY_VALUE(n) AS n,
-      |    MAX(CAST(cum AS DOUBLE) / n - h / 24.0) AS dp,
-      |    MAX((h + 1) / 24.0 - CAST(cum - c AS DOUBLE) / n) AS dm
+      |    MAX(CAST(cum AS DOUBLE) / n - (h + 1) / 24.0) AS dp,
+      |    MAX(GREATEST((h + 1) / 24.0 - CAST(cum AS DOUBLE) / n,
+      |      h / 24.0 - CAST(cum - c AS DOUBLE) / n)) AS dm
       |  FROM e CROSS JOIN tot)
       |SELECT CAST(n AS BIGINT) AS n,
       |  ROUND(dp, 6) AS d_plus, ROUND(dm, 6) AS d_minus,
@@ -979,8 +992,14 @@ object Drift {
     * + 1/12n with the tied observations of hour bin h all at the
     * midpoint uₕ = (h+0.5)/24, each bin's Σᵢ over its rank stair in
     * CLOSED FORM (so the corpus never materializes per-row ranks);
-    * U² = W² − n(ū − ½)², the rotation-invariant correction.
-    * Asymptotic 5% critical value 0.187.
+    * U² = W² − n(ū − ½)², the rotation-invariant correction, MINUS
+    * the grouped-data term n/(12·24²): binning all mass at the 24
+    * midpoints contributes exactly n/6912 of pure discretization
+    * mass to the naive U², which would exceed the 0.187 critical
+    * value for n ≳ 1300 even under perfectly uniform hours — the
+    * subtraction centers U² at its grouped-data expectation so the
+    * accept region stays meaningful at corpus n. Asymptotic 5%
+    * critical value 0.187.
     *
     * Scale shape: one grouped count to 24 rows, one cumulative
     * window over them, per-bin closed-form stair sums, a 1-row
@@ -1014,7 +1033,8 @@ object Drift {
       sum("__term").as("__w"), sum("__uw").as("__ubar"))
     val nD2 = col("n").cast("double")
     val w2 = col("__w") + lit(1.0) / (nD2 * 12.0)
-    val u2 = w2 - nD2 * (col("__ubar") - 0.5) * (col("__ubar") - 0.5)
+    val u2 = w2 - nD2 * (col("__ubar") - 0.5) * (col("__ubar") - 0.5) -
+      nD2 / (12.0 * 24.0 * 24.0)
     s.select(
       col("n").cast("bigint").as("n"),
       round(w2, 6).as("w2"),
@@ -1056,7 +1076,7 @@ object Drift {
       |f AS (
       |  SELECT n, w + 1.0 / (12.0 * n) AS w2,
       |    w + 1.0 / (12.0 * n) - n * (ubar - 0.5) * (ubar - 0.5)
-      |      AS u2
+      |      - n / (12.0 * 24.0 * 24.0) AS u2
       |  FROM s)
       |SELECT CAST(n AS BIGINT) AS n,
       |  ROUND(w2, 6) AS w2, ROUND(u2, 6) AS u2,

@@ -155,9 +155,11 @@ object Matching {
       .select(
         col("n_treated"), col("n_control"), col("n_strata"),
         col("n_strata_matched"),
+        // fully degenerate designs (no matched stratum) are NULL,
+        // not a confident 0.0 effect — mirrors naive_diff below
         round(when(col("__ntm") > 0L && col("__wn") > 0.0,
           col("__sytm") / col("__ntm").cast("double") -
-            col("__wyc") / col("__wn")).otherwise(0.0), 6)
+            col("__wyc") / col("__wn")), 6)
           .as("att_ipw"),
         // one-armed designs (every unit treated, or none) have no
         // naive contrast — NULL, mirroring cemAtt's null propagation
@@ -221,7 +223,7 @@ object Matching {
       |  CAST(n_strata AS BIGINT) AS n_strata,
       |  CAST(n_strata_matched AS BIGINT) AS n_strata_matched,
       |  ROUND(CASE WHEN ntm > 0 AND wn > 0
-      |    THEN sytm / ntm - wyc / wn ELSE 0.0 END, 6) AS att_ipw,
+      |    THEN sytm / ntm - wyc / wn END, 6) AS att_ipw,
       |  ROUND(CASE WHEN n_treated > 0 AND n_control > 0
       |    THEN CAST(asyt AS DOUBLE) / n_treated
       |      - CAST(asyc AS DOUBLE) / n_control END, 6) AS naive_diff

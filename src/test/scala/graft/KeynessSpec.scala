@@ -151,5 +151,13 @@ class KeynessSpec extends AnyFunSuite {
       when(col("u") === 5L, 2).otherwise(1), col("t"), col("y"))
       .collect().head
     assert(ipw2.getLong(3) == 1L && ipw2.getDouble(4) == 10.0)
+    // fully degenerate design — every stratum one-armed, so zero
+    // matched strata: att_ipw is NULL (undefined), not a confident
+    // 0.0 effect, matching naive_diff's null propagation
+    val oneArmed = Seq((1L, true, 10.0), (2L, true, 14.0))
+      .toDF("u", "t", "y")
+    val ipw3 = Matching.ipwAtt(oneArmed, lit(1), col("t"), col("y"))
+      .collect().head
+    assert(ipw3.getLong(3) == 0L && ipw3.isNullAt(4) && ipw3.isNullAt(5))
   }
 }

@@ -226,6 +226,12 @@ class StatsTestsSpec extends AnyFunSuite {
     val f = graft.operators.Anova.onewayF(flat, col("g"), col("x"))
       .collect().head
     assert(f.getDouble(4) == 0.0 && !f.getBoolean(7))
+    // degenerate design (k = 1): F undefined but sig_95 coalesces to
+    // FALSE, the house convention (pageTrend/kendallW/bartelsRank)
+    val solo = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "x")
+    val d = graft.operators.Anova.onewayF(solo, col("g"), col("x"))
+      .collect().head
+    assert(d.isNullAt(4) && !d.isNullAt(7) && !d.getBoolean(7))
   }
 
   test("sample entropy: constant-series counts are exact combinatorics") {
@@ -345,6 +351,14 @@ class StatsTestsSpec extends AnyFunSuite {
     val uni = (0 until 24).flatMap(h => at(h, 10, h * 100L))
     val rU = run(uni)
     assert(!rU.getBoolean(3), s"u2=${rU.getDouble(2)}")
+    // grouped-data correction: a flat histogram's only U² mass is
+    // the n/(12·24²) discretization term, which is subtracted — so
+    // flat reads ≈ 0 and stays an ACCEPT at any n (the uncorrected
+    // statistic crossed 0.187 at n ≳ 1300 on perfectly flat data)
+    assert(math.abs(rU.getDouble(2)) < 1e-6, s"u2=${rU.getDouble(2)}")
+    val bigUni = (0 until 24).flatMap(h => at(h, 200, h * 1000L))
+    val rBig = run(bigUni)   // n = 4800, past the old false-reject n
+    assert(!rBig.getBoolean(3), s"u2=${rBig.getDouble(2)}")
     val spike = at(12, 240, 0L)
     assert(run(spike).getBoolean(3))
     // rotation invariance: the same bump at hour 0 and at hour 12
@@ -358,9 +372,11 @@ class StatsTestsSpec extends AnyFunSuite {
   }
 
   test("kuiper: uniform hours accept, a single-hour spike rejects") {
-    // perfectly uniform over all 24 hours: every ECDF step sits on
-    // the uniform line → D⁺ = D⁻ = 1/24 step conventions cancel to
-    // V small; a point mass at hour 12 drives V toward 1+
+    // perfectly uniform over all 24 hours: both D⁺ and D⁻ compare
+    // cum/n against the same discrete lattice CDF (h+1)/24, so an
+    // exactly flat histogram yields V = 0 (the mixed-edge convention
+    // read V = 2/24 on flat data and auto-rejected for n ≳ 435); a
+    // point mass at hour 12 drives V toward 1+
     def at(h: Int, k: Int, id0: Long) = (0 until k).map(i =>
       (id0 + i, java.sql.Timestamp.valueOf(f"2024-04-05 $h%02d:00:00"),
         1L, "view", 1.0, "{}"))
@@ -369,7 +385,15 @@ class StatsTestsSpec extends AnyFunSuite {
     val rU = Drift.kuiperUniformity(uni).collect().head
     assert(rU.getLong(0) == 240L && !rU.getBoolean(4),
       s"v=${rU.getDouble(3)}")
-    assert(math.abs(rU.getDouble(3) - 2.0 / 24.0) < 1e-6)
+    assert(rU.getDouble(1) == 0.0 && rU.getDouble(2) == 0.0 &&
+      rU.getDouble(3) == 0.0)
+    // the n-regression the mixed-edge bug had: flat at n = 2400
+    // (past the old n ≳ 435 auto-reject ceiling) still accepts
+    val big = (0 until 24).flatMap(h => at(h, 100, h * 1000L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rB = Drift.kuiperUniformity(big).collect().head
+    assert(rB.getLong(0) == 2400L && !rB.getBoolean(4),
+      s"v=${rB.getDouble(3)}")
     val spike = at(12, 240, 0L)
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val rS = Drift.kuiperUniformity(spike).collect().head
