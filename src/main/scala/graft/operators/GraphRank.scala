@@ -356,17 +356,32 @@ object GraphRank {
     * reinforcement with L1 normalization per half-step (sum = 1,
     * SQL-friendly — the spectral norm only changes scale), fixed
     * iteration count, per-step 9-rounding so cross-engine drift
-    * can't compound (the [[pagerank]] discipline, including the
-    * eager localCheckpoint lineage truncation per step).
+    * can't compound (the [[pagerank]] discipline).
     *
     * Scale shape per iteration: two edge-table equi-joins grouped on
     * the opposite endpoint + a 1-row normalizer factor — the same
     * Pregel dataflow as [[pagerank]]; edges partition once and only
-    * the score tables move. */
+    * the score tables move. Lineage is truncated by ONE eager
+    * checkpoint barrier per iteration carrying (hub, auth) in a
+    * single frame — a per-half-step barrier doubles the job count
+    * for no correctness gain (measured ~2x on the q360 fixture); the
+    * mid-iteration auth table is persisted (not checkpointed) so its
+    * two consumers — the hub half-step and the iteration-end join —
+    * share one computation inside the barrier job. */
   def hits(spark: SparkSession, edges: DataFrame,
       iterations: Int = 6): DataFrame = {
-    val e = edges.select(col("src"), col("dst"),
+    val e0 = edges.select(col("src"), col("dst"),
         col("w").cast("double").as("w"))
+    // partition the edge table ONCE per join direction and cache the
+    // partitioned layout: each iteration's src-side and dst-side
+    // equi-joins then reuse the cached hash partitioning (the
+    // exchange planner sees it through InMemoryTableScan) and only
+    // the node-sized score tables shuffle per step — the edge corpus
+    // never moves again, which is the property that survives a
+    // 100 TB edge list
+    val e = e0.repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eByDst = e0.repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("page"))
       .union(e.select(col("dst").as("page")))
@@ -374,40 +389,52 @@ object GraphRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count().toDouble
 
-    var hub = nodes.withColumn("hub", lit(1.0 / n))
-      .localCheckpoint(true)
-    var auth = nodes.withColumn("auth", lit(1.0 / n))
+    var scores = nodes.withColumn("hub", lit(1.0 / n))
+      .withColumn("auth", lit(1.0 / n))
       .localCheckpoint(true)
 
     for (_ <- 1 to iterations) {
-      val aRaw = e.join(hub, e("src") === hub("page"))
+      // persist the node-sized message tables: each has TWO
+      // consumers (its broadcast normalizer subplan and the main
+      // left join), and an unpersisted broadcast subtree re-runs
+      // the edge join+agg — 4 edge joins per iteration instead of 2
+      val aRaw = e.join(
+          scores.select(col("page").as("__hp"), col("hub")),
+          e("src") === col("__hp"))
         .groupBy(col("dst").as("page"))
         .agg(sum(col("w") * col("hub")).as("__a"))
-      val aNorm = aRaw.agg(sum("__a").as("__s"))
-      auth = nodes.join(aRaw, Seq("page"), "left_outer")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val aNorm = aRaw.agg(sum("__a").as("__sa"))
+      val auth = nodes.join(aRaw, Seq("page"), "left_outer")
         .crossJoin(broadcast(aNorm))   // 1-row normalizer factor
-        .withColumn("auth",
-          round(coalesce(col("__a"), lit(0.0)) / col("__s"), 9))
-        .select("page", "auth")
-        .localCheckpoint(true)
-      val hRaw = e.join(auth, e("dst") === auth("page"))
+        .select(col("page"),
+          round(coalesce(col("__a"), lit(0.0)) / col("__sa"), 9)
+            .as("auth"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val hRaw = eByDst.join(
+          auth.select(col("page").as("__ap"), col("auth")),
+          eByDst("dst") === col("__ap"))
         .groupBy(col("src").as("page"))
         .agg(sum(col("w") * col("auth")).as("__h"))
-      val hNorm = hRaw.agg(sum("__h").as("__s"))
-      hub = nodes.join(hRaw, Seq("page"), "left_outer")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val hNorm = hRaw.agg(sum("__h").as("__sh"))
+      val hub = nodes.join(hRaw, Seq("page"), "left_outer")
         .crossJoin(broadcast(hNorm))   // 1-row normalizer factor
-        .withColumn("hub",
-          round(coalesce(col("__h"), lit(0.0)) / col("__s"), 9))
-        .select("page", "hub")
-        .localCheckpoint(true)
+        .select(col("page"),
+          round(coalesce(col("__h"), lit(0.0)) / col("__sh"), 9)
+            .as("hub"))
+      scores = hub.join(auth, Seq("page"))
+        .select("page", "hub", "auth")
+        .localCheckpoint(true)   // the ONE barrier per iteration
+      aRaw.unpersist(); hRaw.unpersist(); auth.unpersist()
     }
 
-    val out = nodes.join(hub, Seq("page")).join(auth, Seq("page"))
+    val out = scores
       .select(col("page").cast("bigint").as("page"),
         round(col("hub"), 6).as("hub"),
         round(col("auth"), 6).as("auth"))
       .orderBy("page")
-    e.unpersist(); nodes.unpersist()
+    e.unpersist(); eByDst.unpersist(); nodes.unpersist()
     out
   }
 
