@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Checkpoints.TruncateOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -202,7 +203,7 @@ object AllPairsJoin {
       .select(col("id_a"), col("id_b"),
         round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
-      .localCheckpoint(true)   // pin results before the index mutates
+      .truncateLineage()   // pin results before the index mutates
 
     if (!alreadyIndexed) {
       TableLog.commitAppend(spark, s"$storePath/grams", newGrams, action)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Checkpoints.TruncateOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -102,7 +103,7 @@ object BpeTrainer {
   def fit(docs: DataFrame, textCol: String = "text", numMerges: Int = 50,
       minPairCount: Long = 2L, maxDriverWords: Long = 1L << 21): Seq[Merge] = {
     require(numMerges >= 1, "need at least one merge round")
-    var words = wordTable(docs, textCol).localCheckpoint(true)
+    var words = wordTable(docs, textCol).truncateLineage()
     if (words.count() <= maxDriverWords) {
       val collected = words.collect().map(r => (r.getString(0), r.getLong(1)))
       words.unpersist()
@@ -126,7 +127,7 @@ object BpeTrainer {
               quote(Sep + l + Sep + r) + "(?=" + quote(Sep) + ")",
               java.util.regex.Matcher.quoteReplacement(Sep + l + r))
               .as("syms"), col("freq"))
-            .localCheckpoint(true)
+            .truncateLineage()
           prev.unpersist()
       }
     }

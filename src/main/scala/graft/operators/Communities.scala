@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Checkpoints.TruncateOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -70,7 +71,7 @@ object Communities {
     // Catalyst never re-analyzes the unrolled k-iteration tree (the
     // GraphRank fix — see its scaladoc for the measured cost)
     var labels = nodes.withColumn("label", col("page"))
-      .localCheckpoint(true)
+      .truncateLineage()
 
     for (_ <- 1 to iterations) {
       val votes = e.join(labels, e("src") === labels("page"))
@@ -85,7 +86,7 @@ object Communities {
         .withColumn("__rn", row_number().over(top))
         .where(col("__rn") === 1)
         .select(col("vpage").as("page"), col("label"))
-        .localCheckpoint(true)
+        .truncateLineage()
     }
 
     val sizes = labels.groupBy(col("label"))

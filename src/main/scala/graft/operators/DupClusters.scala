@@ -48,7 +48,7 @@ object DupClusters {
     * identical labeling (property-tested against each other). */
   def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
       dstCol: String = "id_b", maxIter: Int = 25,
-      checkpointer: DataFrame => DataFrame = _.localCheckpoint(true),
+      checkpointer: DataFrame => DataFrame = graft.util.Checkpoints.truncate,
       smallGraphEdges: Long = 500000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._

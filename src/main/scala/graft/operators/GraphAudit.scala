@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Checkpoints.TruncateOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -266,18 +267,18 @@ object GraphAudit {
       .distinct()
     val sym = e.unionByName(
       e.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true)   // graph-sized, reused every hop
+      .truncateLineage()   // graph-sized, reused every hop
     val nodes = sym.select(col("a").as("node")).distinct()
     var dist = nodes
       .select(col("node").as("src"), col("node"), lit(0).as("d"))
-      .localCheckpoint(true)
+      .truncateLineage()
     for (_ <- 1 to maxHops) {
       val next = dist.join(sym, dist("node") === sym("a"))
         .select(dist("src"), sym("b").as("node"),
           (dist("d") + 1).as("d"))
       dist = dist.unionByName(next)
         .groupBy("src", "node").agg(min("d").as("d"))
-        .localCheckpoint(true)   // truncate iterative lineage
+        .truncateLineage()   // truncate iterative lineage
     }
     dist.groupBy("src").agg(
         count(lit(1)).as("n_reach"),

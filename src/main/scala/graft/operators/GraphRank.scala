@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Checkpoints.TruncateOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -90,7 +91,7 @@ object GraphRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-      .localCheckpoint(true)
+      .truncateLineage()
 
     for (_ <- 1 to iterations) {
       val dangling = ranks.join(outNodes, Seq("page"), "left_anti")
@@ -106,7 +107,7 @@ object GraphRank {
             lit(damping) * (coalesce(col("__c"), lit(0.0)) +
               col("__dm") / lit(n)), 9))
         .select("page", "rank")
-        .localCheckpoint(true)
+        .truncateLineage()
     }
 
     val out = ranks
@@ -166,7 +167,7 @@ object GraphRank {
     var ranks = withSeedFlag(nodes)
       .withColumn("rank", when(isSeed, lit(1.0 / s)).otherwise(lit(0.0)))
       .select("page", "rank")
-      .localCheckpoint(true)
+      .truncateLineage()
 
     for (_ <- 1 to iterations) {
       val dangling = ranks.join(outNodes, Seq("page"), "left_anti")
@@ -182,7 +183,7 @@ object GraphRank {
             lit(damping) * col("__dm") / lit(s)).otherwise(lit(0.0)) +
             lit(damping) * coalesce(col("__c"), lit(0.0)), 9))
         .select("page", "rank")
-        .localCheckpoint(true)
+        .truncateLineage()
     }
     val out = ranks
       .withColumn("rank", round(col("rank"), 6))
@@ -391,7 +392,7 @@ object GraphRank {
 
     var scores = nodes.withColumn("hub", lit(1.0 / n))
       .withColumn("auth", lit(1.0 / n))
-      .localCheckpoint(true)
+      .truncateLineage()
 
     for (_ <- 1 to iterations) {
       // persist the node-sized message tables: each has TWO
@@ -425,7 +426,7 @@ object GraphRank {
             .as("hub"))
       scores = hub.join(auth, Seq("page"))
         .select("page", "hub", "auth")
-        .localCheckpoint(true)   // the ONE barrier per iteration
+        .truncateLineage()   // the ONE barrier per iteration
       aRaw.unpersist(); hRaw.unpersist(); auth.unpersist()
     }
 

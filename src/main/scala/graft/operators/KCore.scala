@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Checkpoints.TruncateOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -43,7 +44,7 @@ object KCore {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint(true)
+      .truncateLineage()
     var edgeCount = cur.count()
     var round = 0
     var converged = edgeCount == 0L
@@ -55,7 +56,7 @@ object KCore {
       val next = cur
         .join(keep.withColumnRenamed("page", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("page", "b"), Seq("b"), "left_semi")
-        .localCheckpoint(true)
+        .truncateLineage()
       val nextCount = next.count()
       converged = nextCount == edgeCount
       cur = next

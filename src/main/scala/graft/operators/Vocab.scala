@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Checkpoints.TruncateOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -178,7 +179,7 @@ object Vocab {
       // the result is |sources| rows — materialize it eagerly so the
       // working persist can be dropped HERE instead of leaking until
       // some caller clears the cache (bench loops accumulated it)
-      .localCheckpoint(true)
+      .truncateLineage()
     st.unpersist()
     out
   }
@@ -260,7 +261,7 @@ object Vocab {
       .orderBy("src_a", "src_b")
       // |sources|² rows — eager-materialize, then drop the working
       // persist here rather than leaking it to the caller's clearCache
-      .localCheckpoint(true)
+      .truncateLineage()
     d.unpersist()
     out
   }

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.util.Checkpoints
+
+/** The `graft.checkpoint.dir` session conf flips every iterative
+  * operator's per-iteration lineage barrier from executor-local
+  * `localCheckpoint` (fast, dies with an executor) to RELIABLE
+  * `checkpoint()` into the named directory (survives executor loss —
+  * the fault-tolerance mode a multi-hour 1000-executor iteration
+  * runs in). This spec drives both modes through the shared helper
+  * and through a real iterative operator. */
+class CheckpointsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("default mode: local checkpoint, nothing written to any dir") {
+    spark.conf.unset(Checkpoints.ConfKey)
+    val df = (1 to 100).toDF("x").withColumn("y", col("x") * 2)
+    val t = Checkpoints.truncate(df)
+    assert(t.count() == 100L)
+    assert(t.agg(sum("y")).head.getLong(0) == 10100L)
+    // lineage is actually cut: the truncated plan is a scan, not
+    // the original project over a range
+    assert(t.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.nodeName.contains("LogicalRDD")))
+  }
+
+  test("reliable mode: checkpoint files land in graft.checkpoint.dir") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toString
+    spark.conf.set(Checkpoints.ConfKey, dir)
+    try {
+      val df = (1 to 50).toDF("x").withColumn("y", col("x") + 1)
+      val t = Checkpoints.truncate(df)
+      assert(t.count() == 50L)
+      assert(t.agg(sum("y")).head.getLong(0) == (2 to 51).sum.toLong)
+      // the reliable dir now holds RDD checkpoint data
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .toArray.map(_.toString)
+      assert(files.exists(_.contains("rdd-")),
+        s"no rdd checkpoint under $dir: ${files.take(5).mkString(",")}")
+    } finally spark.conf.unset(Checkpoints.ConfKey)
+  }
+
+  test("an iterative operator runs correctly under reliable mode") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_pr").toString
+    // a 4-node cycle with a dangling node: 1->2->3->1, 3->4
+    val edges = Seq((1, 2, 1L), (2, 3, 1L), (3, 1, 1L), (3, 4, 1L))
+      .toDF("src", "dst", "w")
+    val local = graft.operators.GraphRank
+      .pagerank(spark, edges, iterations = 3).collect()
+    spark.conf.set(Checkpoints.ConfKey, dir)
+    try {
+      val reliable = graft.operators.GraphRank
+        .pagerank(spark, edges, iterations = 3).collect()
+      // identical fixpoint regardless of checkpoint mode
+      assert(local.map(_.toString).toSeq ==
+        reliable.map(_.toString).toSeq)
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .toArray.map(_.toString)
+      assert(files.exists(_.contains("rdd-")), s"no rdd data under $dir")
+    } finally spark.conf.unset(Checkpoints.ConfKey)
+  }
+}
