@@ -149,4 +149,89 @@ class TableLogStressSpec extends AnyFunSuite {
     assert(finalSnap.size == 1 + batches * rowsPerBatch)
     orphanCheck(path)
   }
+
+  test("crash mid-commit: a writer killed after data + tmp-manifest " +
+    "write but before the atomic publish is invisible forever") {
+    val path = freshPath()
+    TableLog.commitAppend(spark, path, Seq((1L, "v1")).toDF("id", "v"))
+    TableLog.commitAppend(spark, path, Seq((2L, "v2")).toDF("id", "v"))
+    val before = rows(TableLog.read(spark, path))
+    assert(before == Set((1L, "v1"), (2L, "v2")))
+
+    // manufacture EXACTLY what a crashed writer leaves behind when it
+    // dies between writing the manifest to its temp name and the
+    // atomic hard-link publish: (a) a fully-written data dir, (b) a
+    // complete manifest under a `.tmp-` name that references it —
+    // same byte layout writeManifest produces (action line, data-dir
+    // lines, #t timestamp)
+    val crashDir = "data/c00000003-deadbeef"
+    Seq((3L, "crashed")).toDF("id", "v")
+      .write.parquet(s"$path/$crashDir")
+    val logDir = java.nio.file.Paths.get(path, "_graft_log")
+    val tmpManifest = logDir.resolve(".tmp-cafef00d")
+    java.nio.file.Files.write(tmpManifest,
+      (Seq("append", crashDir, "data/c00000002-00000000",
+        "data/c00000001-00000000") ++
+        Seq("#t\t" + System.currentTimeMillis()))
+        .mkString("\n").getBytes("UTF-8"))
+
+    // the reader must see the OLD snapshot: version list, rows, and
+    // history all unchanged — the unpublished manifest does not exist
+    // as far as the log protocol is concerned
+    assert(TableLog.latestVersion(spark, path).contains(2))
+    assert(rows(TableLog.read(spark, path)) == before)
+    assert(TableLog.history(spark, path).map(_.version) == Seq(1, 2))
+    assert(!rows(TableLog.read(spark, path)).exists(_._2 == "crashed"))
+
+    // recovery: the next LIVE writer takes version 3 normally (the
+    // orphan tmp neither blocks nor collides), and the crashed
+    // writer's rows stay invisible in the new snapshot and all
+    // historical ones
+    val c3 = TableLog.commitAppend(spark, path,
+      Seq((4L, "v3")).toDF("id", "v"))
+    assert(c3.version == 3)
+    assert(rows(TableLog.read(spark, path)) ==
+      Set((1L, "v1"), (2L, "v2"), (4L, "v3")))
+    (1 to 3).foreach { v =>
+      assert(!rows(TableLog.read(spark, path, Some(v)))
+        .exists(_._2 == "crashed"), s"crashed rows leaked into v$v")
+    }
+    // the leftovers are still on disk (vacuum's job, not read's) —
+    // pin that so this test is honestly exercising the dirty state
+    assert(java.nio.file.Files.exists(tmpManifest))
+    assert(new java.io.File(s"$path/$crashDir").exists())
+  }
+
+  test("crash mid-commit, hard-link variant: a PUBLISHED manifest whose " +
+    "writer died before returning is a complete, readable commit") {
+    // the other side of the crash window: the hard link landed (the
+    // commit IS durable) but the writer process died before acking —
+    // a reader must see the new version as a normal commit, because
+    // the publish is the linearization point
+    val path = freshPath()
+    TableLog.commitAppend(spark, path, Seq((1L, "v1")).toDF("id", "v"))
+    val crashDir = "data/c00000002-feedface"
+    Seq((2L, "acked-late")).toDF("id", "v")
+      .write.parquet(s"$path/$crashDir")
+    val prevDir = TableLog.history(spark, path).last.dirs.head
+    val logDir = java.nio.file.Paths.get(path, "_graft_log")
+    val tmp = logDir.resolve(".tmp-0badc0de")
+    java.nio.file.Files.write(tmp,
+      (Seq("append", crashDir, prevDir) ++
+        Seq("#t\t" + System.currentTimeMillis()))
+        .mkString("\n").getBytes("UTF-8"))
+    // the atomic publish, exactly as writeManifest does it on file:
+    java.nio.file.Files.createLink(
+      logDir.resolve("v00000002.manifest"), tmp)
+
+    assert(TableLog.latestVersion(spark, path).contains(2))
+    assert(rows(TableLog.read(spark, path)) ==
+      Set((1L, "v1"), (2L, "acked-late")))
+    // and the NEXT writer sees it and builds on top, not over it
+    val c3 = TableLog.commitAppend(spark, path,
+      Seq((3L, "v3")).toDF("id", "v"))
+    assert(c3.version == 3)
+    assert(rows(TableLog.read(spark, path)) ==
+      Set((1L, "v1"), (2L, "acked-late"), (3L, "v3")))
+  }
 }
