@@ -100,6 +100,29 @@ object PlanAudit {
     // bounded cross with the 1-row n/span factor
     "q401_seasonal_mann_kendall", "q402_bartels_rank",
     "q403_watson_u2", "q404_weighted_kappa",
+    // Cucconi/Lepage/Conover: the pooled-totals are the q378 CvM
+    // 1-row stat factor into the value-frequency table; Conover
+    // adds the 2-value cohort-means factor
+    "q405_cucconi", "q406_lepage", "q407_conover_sqranks",
+    // ordinal association: the 25-cell contingency self-pairing is
+    // the q176 postcard-grid shape plus 1-row margin factors
+    "q408_ordinal_assoc",
+    // Fleiss: the item-count/P̄ totals are a 1-row stat factor into
+    // the category-marginal table; partition agreement: three 1-row
+    // comb-sum factors combined scalar-wise
+    "q410_fleiss_kappa", "q411_partition_agreement",
+    // daily-series randomness panel: the (n, h) totals are 1-row
+    // stat factors into calendar-sized tables (the Bartels shape)
+    "q413_cox_stuart", "q416_perm_entropy",
+    // AD normality: the 1-row moment factor into the value-frequency
+    // table (the q375 Lilliefors shape)
+    "q417_ad_normality",
+    // control charts: 1-row center-line factors into calendar
+    // tables; histogram distances: 1-row totals into the 50-bin grid
+    "q418_imr_chart", "q419_p_chart", "q420_hist_distances",
+    // Allan deviation: the 1-row (n, mean) factor into the calendar
+    // table before its block-mean windows
+    "q422_allan_deviation",
     // segment lift: BH family-size 1-row factor (ksBySliceFdr shape);
     // quantile lift: |levels|-row broadcast quantile table
     "q256_segment_lift", "q257_quantile_lift",

@@ -774,7 +774,43 @@ object ScaleProbe {
       "weighted_kappa" -> (d =>
         graft.quality.Agreement.weightedKappa(d,
           pmod(col("user_id"), lit(3)),
-          pmod(col("event_id"), lit(3))).count()))
+          pmod(col("event_id"), lit(3))).count()),
+      // value-frequency table + midrank windows + 1-row factors
+      // (all three share the pooled-frequency dataflow)
+      "cucconi" -> (d => graft.operators.TwoSampleRank.cucconi(d,
+        dayofweek(col("ts")).isin(1, 7), col("value")).count()),
+      "lepage" -> (d => graft.operators.TwoSampleRank.lepage(d,
+        dayofweek(col("ts")).isin(1, 7), col("value")).count()),
+      "conover_sqranks" -> (d => graft.operators.TwoSampleRank
+        .conoverSquaredRanks(d, dayofweek(col("ts")).isin(1, 7),
+          col("value")).count()),
+      // per-user first-5 window + (item, category) grouped counts
+      "fleiss_kappa" -> (d =>
+        graft.quality.Agreement.firstEventsFleiss(d).count()),
+      // calendar lag windows + scalar reduces (the Bartels shape)
+      "turning_points" -> (d =>
+        graft.operators.SeriesTests.turningPoints(d).count()),
+      "cox_stuart" -> (d =>
+        graft.operators.SeriesTests.coxStuart(d).count()),
+      "records_test" -> (d =>
+        graft.operators.SeriesTests.recordsTest(d).count()),
+      "hjorth" -> (d =>
+        graft.operators.SeriesTests.hjorth(d).count()),
+      "perm_entropy" -> (d =>
+        graft.operators.SeriesTests.permutationEntropy(d).count()),
+      "dispersion_index" -> (d =>
+        graft.operators.SeriesTests.dispersionIndex(d).count()),
+      "allan_deviation" -> (d =>
+        graft.operators.SeriesTests.allanDeviation(d).count()),
+      // calendar table + 1-row center-line factors
+      "imr_chart" -> (d =>
+        graft.operators.ControlCharts.imrChart(d).count()),
+      "p_chart" -> (d =>
+        graft.operators.ControlCharts.pChart(d).count()),
+      // 50-bin two-cohort histogram + 1-row totals factor
+      "hist_distances" -> (d =>
+        graft.operators.Drift.histogramDistances(d,
+          dayofweek(col("ts")).isin(1, 7), col("value")).count()))
 
     (ops.map(o => (o._1, o._2, base, big)) ++
       embOps.map(o => (o._1, o._2, embBase, embBig)) ++

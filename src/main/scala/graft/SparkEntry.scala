@@ -86,6 +86,60 @@ object SparkEntry {
       |  ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS prec
       |FROM acc ORDER BY score DESC""".stripMargin
 
+  /** DuckDB oracle for q409 — the [[rocOracleQ205]] score/label CTEs
+    * reduced to the 4-cell confusion at threshold 0.5, with MCC and
+    * companions (margins cast to DOUBLE before multiplying, matching
+    * the engine's float path — the integer product overflows i64). */
+  private val mccOracleQ409: String =
+    """WITH t AS (
+      |  SELECT str_split_regex(trim(text), '\s+') AS toks, lang
+      |  FROM documents),
+      |s AS (
+      |  SELECT lang,
+      |    CAST(len(toks) AS DOUBLE) AS n,
+      |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+      |      AS sumlen,
+      |    CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN
+      |      ('the','a','of','and','to','in','is','on',
+      |       'der','die','das','und','ist','nicht','ein','zu',
+      |       'el','la','de','que','y','en','un','es',
+      |       'le','et','les','des','est','une') THEN 1 ELSE 0 END))
+      |      AS DOUBLE) AS stop_all
+      |  FROM t),
+      |q AS (
+      |  SELECT ROUND(
+      |      LEAST(n / 16.0, 1.0) * 0.4 +
+      |      (CASE WHEN sumlen / n BETWEEN 2.0 AND 9.0
+      |            THEN 1.0 ELSE 0.5 END) * 0.4 +
+      |      LEAST(stop_all / n * 4.0, 1.0) * 0.2, 4) AS score,
+      |    (lang = 'en') AS label
+      |  FROM s),
+      |m AS (
+      |  SELECT
+      |    SUM(CASE WHEN score >= 0.5 AND label THEN 1 ELSE 0 END) AS tp,
+      |    SUM(CASE WHEN score >= 0.5 AND NOT label THEN 1 ELSE 0 END) AS fp,
+      |    SUM(CASE WHEN score < 0.5 AND NOT label THEN 1 ELSE 0 END) AS tn,
+      |    SUM(CASE WHEN score < 0.5 AND label THEN 1 ELSE 0 END) AS fn
+      |  FROM q),
+      |d AS (
+      |  SELECT CAST(tp AS DOUBLE) AS tp, CAST(fp AS DOUBLE) AS fp,
+      |    CAST(tn AS DOUBLE) AS tn, CAST(fn AS DOUBLE) AS fn
+      |  FROM m)
+      |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |  CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+      |  ROUND(CASE WHEN (tp+fp)*(tp+fn)*(tn+fp)*(tn+fn) > 0 THEN
+      |    (tp*tn - fp*fn) /
+      |    SQRT((tp+fp)*(tp+fn)*(tn+fp)*(tn+fn)) END, 6) AS mcc,
+      |  ROUND(CASE WHEN 2*tp+fp+fn > 0
+      |    THEN 2*tp/(2*tp+fp+fn) ELSE 0.0 END, 6) AS f1,
+      |  ROUND(((CASE WHEN tp+fn > 0 THEN tp/(tp+fn) ELSE 0.0 END) +
+      |    (CASE WHEN tn+fp > 0 THEN tn/(tn+fp) ELSE 0.0 END)) / 2.0,
+      |    6) AS balanced_acc,
+      |  ROUND((CASE WHEN tp+fn > 0 THEN tp/(tp+fn) ELSE 0.0 END) +
+      |    (CASE WHEN tn+fp > 0 THEN tn/(tn+fp) ELSE 0.0 END) - 1.0,
+      |    6) AS informedness
+      |FROM d""".stripMargin
+
   /** DuckDB oracle for q386 — the [[rocOracleQ205]] score/label CTEs
     * reduced to the one-row step-interpolated average precision. */
   private val apOracleQ386: String =
@@ -548,6 +602,116 @@ object SparkEntry {
     //      closed-form rank-stair sums per hour bin ----
     "q403_watson_u2" -> ((s, dir) =>
       graft.operators.Drift.watsonU2(t(s, dir, "events"))),
+
+    // ---- Cucconi location-scale test on weekday/weekend value
+    //      cohorts: one statistic for "did the mean OR the spread
+    //      move" — squared ranks + squared contra-ranks, asymptotic
+    //      exponential null ----
+    "q405_cucconi" -> ((s, dir) =>
+      graft.operators.TwoSampleRank.cucconi(t(s, dir, "events"),
+        dayofweek(col("ts")).isin(1, 7), col("value"))),
+
+    // ---- Lepage location-scale test, same cohorts: Wilcoxon² +
+    //      Ansari-Bradley² with exact finite-sampling moments over
+    //      the realized tied scores; χ²(2) null ----
+    "q406_lepage" -> ((s, dir) =>
+      graft.operators.TwoSampleRank.lepage(t(s, dir, "events"),
+        dayofweek(col("ts")).isin(1, 7), col("value"))),
+
+    // ---- Conover squared-ranks pure-SCALE test, same cohorts:
+    //      ranks of |x − cohort mean| squared, so a location shift
+    //      can't masquerade as a spread change ----
+    "q407_conover_sqranks" -> ((s, dir) =>
+      graft.operators.TwoSampleRank.conoverSquaredRanks(
+        t(s, dir, "events"),
+        dayofweek(col("ts")).isin(1, 7), col("value"))),
+
+    // ---- Ordinal association (Goodman-Kruskal γ, Somers' d, λ):
+    //      priority rank × fixed price band — concordance over the
+    //      25-cell contingency, never a row-pair join ----
+    "q408_ordinal_assoc" -> ((s, dir) =>
+      graft.operators.Ordinal.priceUrgencyAssociation(
+        t(s, dir, "orders"))),
+
+    // ---- Thresholded confusion at the deployed cutoff (0.5 on the
+    //      q205 quality/lang fixture): MCC, F1, balanced accuracy,
+    //      informedness — one corpus agg to a 4-cell confusion ----
+    "q409_mcc_confusion" -> ((s, dir) =>
+      graft.operators.ClassifierEval.confusionSummary(
+        t(s, dir, "documents").select(
+          TextFunctions.qualityScore(col("text")).as("score"),
+          (col("lang") === "en").as("label")),
+        "score", "label", threshold = 0.5)),
+
+    // ---- Fleiss' κ: multi-rater chance-corrected agreement, items
+    //      = users, raters = each user's first 5 events (by ts) ----
+    "q410_fleiss_kappa" -> ((s, dir) =>
+      graft.quality.Agreement.firstEventsFleiss(t(s, dir, "events"))),
+
+    // ---- Partition agreement (Rand / ARI / Fowlkes-Mallows):
+    //      documents lang vs source as two corpus partitionings —
+    //      pair-counting in closed form from the contingency ----
+    "q411_partition_agreement" -> ((s, dir) =>
+      graft.operators.ClusterQuality.partitionAgreement(
+        t(s, dir, "documents"), col("lang"), col("source"))),
+
+    // ---- Serial-randomness panel over daily revenue: each member
+    //      reads a different departure (local-extremum rate, half-
+    //      series level shift, record arrival rate, spectral-shape
+    //      moments, ordinal-pattern diversity) ----
+    "q412_turning_points" -> ((s, dir) =>
+      graft.operators.SeriesTests.turningPoints(t(s, dir, "events"))),
+    "q413_cox_stuart" -> ((s, dir) =>
+      graft.operators.SeriesTests.coxStuart(t(s, dir, "events"))),
+    "q414_records_test" -> ((s, dir) =>
+      graft.operators.SeriesTests.recordsTest(t(s, dir, "events"))),
+    "q415_hjorth" -> ((s, dir) =>
+      graft.operators.SeriesTests.hjorth(t(s, dir, "events"))),
+    "q416_perm_entropy" -> ((s, dir) =>
+      graft.operators.SeriesTests.permutationEntropy(
+        t(s, dir, "events"))),
+
+    // ---- Anderson-Darling normality (estimated params, Stephens
+    //      case 3): the tail-weighted member beside JB (q368,
+    //      moments) and Lilliefors (q375, sup-gap); rank-stair
+    //      closed forms over the value-frequency table ----
+    "q417_ad_normality" -> ((s, dir) =>
+      graft.operators.Normality.adNormality(t(s, dir, "orders"),
+        col("o_totalprice"))),
+
+    // ---- ImR chart on daily revenue: sigma from the MOVING RANGE
+    //      (short-term variation), not the drift-inflated global
+    //      stddev — the no-subgroup Shewhart chart beside q300's
+    //      EWMA ----
+    "q418_imr_chart" -> ((s, dir) =>
+      graft.operators.ControlCharts.imrChart(t(s, dir, "events"))),
+
+    // ---- p-chart on the daily error share with per-day varying
+    //      binomial limits: small days need wilder proportions to
+    //      signal than big ones ----
+    "q419_p_chart" -> ((s, dir) =>
+      graft.operators.ControlCharts.pChart(t(s, dir, "events"))),
+
+    // ---- f-divergence distance panel (TV, Bhattacharyya,
+    //      Hellinger) between weekday/weekend value histograms:
+    //      the bounded-metric drift numbers beside chi2/KL/JS ----
+    "q420_hist_distances" -> ((s, dir) =>
+      graft.operators.Drift.histogramDistances(t(s, dir, "events"),
+        dayofweek(col("ts")).isin(1, 7), col("value"))),
+
+    // ---- Index of dispersion of daily event counts: Poisson D = 1,
+    //      bursty ≫ 1, scheduler-regular ≪ 1; Wilson-Hilferty χ²
+    //      normal approximation shared verbatim with the oracle ----
+    "q421_dispersion_index" -> ((s, dir) =>
+      graft.operators.SeriesTests.dispersionIndex(
+        t(s, dir, "events"))),
+
+    // ---- Overlapping Allan deviation at τ = 1/2/4 days: does
+    //      averaging more days actually stabilize revenue (white
+    //      noise: slope −½) or is there drift (flat) ----
+    "q422_allan_deviation" -> ((s, dir) =>
+      graft.operators.SeriesTests.allanDeviation(
+        t(s, dir, "events"))),
 
     // ---- Quadratic-weighted Cohen's κ on ordinal length tertiles:
     //      the ordered-scale agreement q239's binary κ can't read ----
@@ -4520,6 +4684,60 @@ object SparkEntry {
     "q404_weighted_kappa" ->
       graft.quality.Agreement.weightedKappaOracleSql,
 
+    "q405_cucconi" ->
+      graft.operators.TwoSampleRank.cucconiOracleSql,
+
+    "q406_lepage" ->
+      graft.operators.TwoSampleRank.lepageOracleSql,
+
+    "q407_conover_sqranks" ->
+      graft.operators.TwoSampleRank.conoverOracleSql,
+
+    "q408_ordinal_assoc" ->
+      graft.operators.Ordinal.ordinalAssocOracleSql,
+
+    "q409_mcc_confusion" -> mccOracleQ409,
+
+    "q410_fleiss_kappa" ->
+      graft.quality.Agreement.fleissOracleSql,
+
+    "q411_partition_agreement" ->
+      graft.operators.ClusterQuality.partitionAgreementOracleSql,
+
+    "q412_turning_points" ->
+      graft.operators.SeriesTests.turningPointsOracleSql,
+
+    "q413_cox_stuart" ->
+      graft.operators.SeriesTests.coxStuartOracleSql,
+
+    "q414_records_test" ->
+      graft.operators.SeriesTests.recordsOracleSql,
+
+    "q415_hjorth" ->
+      graft.operators.SeriesTests.hjorthOracleSql,
+
+    "q416_perm_entropy" ->
+      graft.operators.SeriesTests.permEntropyOracleSql,
+
+    "q417_ad_normality" ->
+      graft.operators.Normality.adNormalityOracleSql(
+        "orders", "o_totalprice"),
+
+    "q418_imr_chart" ->
+      graft.operators.ControlCharts.imrOracleSql,
+
+    "q419_p_chart" ->
+      graft.operators.ControlCharts.pChartOracleSql,
+
+    "q420_hist_distances" ->
+      graft.operators.Drift.histDistancesOracleSql,
+
+    "q421_dispersion_index" ->
+      graft.operators.SeriesTests.dispersionOracleSql,
+
+    "q422_allan_deviation" ->
+      graft.operators.SeriesTests.allanOracleSql,
+
     "q201_sequence_pack" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -7837,6 +8055,42 @@ object SparkEntry {
     "q403_watson_u2" -> Seq("n#", "w2*", "u2*", "sig_95"),
     "q404_weighted_kappa" -> Seq("n#", "k#", "d_obs*", "d_exp*",
       "kappa_w*"),
+    "q405_cucconi" -> Seq("n_a#", "n_b#", "u*", "v*", "c_stat*",
+      "sig_95"),
+    "q406_lepage" -> Seq("n_a#", "n_b#", "z_w*", "z_a*", "l_stat*",
+      "sig_95"),
+    "q407_conover_sqranks" -> Seq("n_a#", "n_b#", "t_ratio*", "z*",
+      "sig_95"),
+    "q408_ordinal_assoc" -> Seq("n#", "c_pairs#", "d_pairs#",
+      "gamma*", "somers_d*", "lambda*"),
+    "q409_mcc_confusion" -> Seq("tp#", "fp#", "tn#", "fn#", "mcc*",
+      "f1*", "balanced_acc*", "informedness*"),
+    "q410_fleiss_kappa" -> Seq("n_items#", "m_raters#", "k_cats#",
+      "p_bar*", "p_exp*", "kappa*"),
+    "q411_partition_agreement" -> Seq("n#", "k_a#", "k_b#", "rand*",
+      "ari*", "fowlkes_mallows*"),
+    "q412_turning_points" -> Seq("n_days#", "t_points#", "e_t*",
+      "z*", "sig_95", "reading"),
+    "q413_cox_stuart" -> Seq("n_days#", "n_pairs#", "s_plus#", "z*",
+      "sig_95", "trend"),
+    "q414_records_test" -> Seq("n_days#", "n_records#",
+      "e_records*", "z*", "sig_95"),
+    "q415_hjorth" -> Seq("n_days#", "cv*", "mobility*",
+      "complexity*"),
+    "q416_perm_entropy" -> Seq("n_triples#", "k_patterns#", "h*",
+      "h_norm*"),
+    "q417_ad_normality" -> Seq("n#", "mean*", "sd*", "a2*",
+      "a2_star*", "sig_95"),
+    "q418_imr_chart" -> Seq("n_days#", "mean_x*", "mr_bar*", "ucl*",
+      "lcl*", "x_violations#", "mr_violations#"),
+    "q419_p_chart" -> Seq("n_days#", "p_bar*", "total_events#",
+      "violations_hi#", "violations_lo#"),
+    "q420_hist_distances" -> Seq("n_a#", "n_b#", "k_bins#", "tv*",
+      "bhattacharyya*", "hellinger*"),
+    "q421_dispersion_index" -> Seq("n_days#", "mean_count*", "vmr*",
+      "z*", "sig_95", "reading"),
+    "q422_allan_deviation" -> Seq("n_days#", "adev_rel_1*",
+      "adev_rel_2*", "adev_rel_4*", "tau_slope*"),
     "q140_bpe_train" -> Seq("rank#", "left", "right", "merged",
       "cnt#"),
     "q162_mmr_rerank" -> Seq("query_id#", "neighbor_id#",

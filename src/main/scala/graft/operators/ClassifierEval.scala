@@ -146,4 +146,47 @@ object ClassifierEval {
       .limit(1)
       .select(col("score").as("threshold"), col("tpr"), col("fpr"),
         col("prec"), col("j_stat"))
+
+  /** Thresholded confusion summary — the DEPLOYED-cutoff verdict the
+    * threshold-free shelf (AUC q202, ROC q205, AP q386, Youden q345)
+    * defers: Matthews correlation (Matthews, BBA 1975 — the
+    * imbalance-honest single number: the Pearson correlation of the
+    * binary prediction/label pair, 0 for any constant classifier
+    * however skewed the base rate), F1, balanced accuracy, and
+    * informedness (= Youden's J at THIS threshold) for the rule
+    * "predict positive when score ≥ threshold".
+    *
+    * Degenerate margins (a constant classifier or a single-class
+    * corpus) make MCC 0/0 — reported NULL (undefined correlation),
+    * while F1/balanced-accuracy/informedness coalesce their empty
+    * ratios to 0 (no retrieval, no skill — their natural floors).
+    *
+    * Scale shape: ONE corpus aggregate to the 4-cell confusion —
+    * map-side partial, no shuffle beyond the 1-row reduce. One row
+    * `(tp, fp, tn, fn, mcc, f1, balanced_acc, informedness)`. */
+  def confusionSummary(scored: DataFrame, scoreCol: String,
+      labelCol: String, threshold: Double): DataFrame = {
+    val pred = col(scoreCol).cast("double") >= threshold
+    val y = col(labelCol)
+    val m = scored.agg(
+      sum(when(pred && y, 1L).otherwise(0L)).as("__tp"),
+      sum(when(pred && !y, 1L).otherwise(0L)).as("__fp"),
+      sum(when(!pred && !y, 1L).otherwise(0L)).as("__tn"),
+      sum(when(!pred && y, 1L).otherwise(0L)).as("__fn"))
+    val tp = col("__tp").cast("double"); val fp = col("__fp").cast("double")
+    val tn = col("__tn").cast("double"); val fn = col("__fn").cast("double")
+    val mccDen = sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    val tpr = when(tp + fn > 0.0, tp / (tp + fn)).otherwise(lit(0.0))
+    val tnr = when(tn + fp > 0.0, tn / (tn + fp)).otherwise(lit(0.0))
+    m.select(
+      col("__tp").as("tp"), col("__fp").as("fp"),
+      col("__tn").as("tn"), col("__fn").as("fn"),
+      round(when(mccDen > 0.0,
+        (tp * tn - fp * fn) / mccDen), 6).as("mcc"),
+      round(when(tp * 2.0 + fp + fn > 0.0,
+        tp * 2.0 / (tp * 2.0 + fp + fn)).otherwise(lit(0.0)), 6)
+        .as("f1"),
+      round((tpr + tnr) / 2.0, 6).as("balanced_acc"),
+      round(tpr + tnr - 1.0, 6).as("informedness"))
+  }
 }

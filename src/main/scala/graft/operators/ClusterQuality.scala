@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Internal cluster-validity indices over the LABELED embedding
@@ -187,4 +187,88 @@ object ClusterQuality {
       |  ROUND(((sst - ssw) / (k - 1)) / (ssw / (n - k)), 6)
       |    AS calinski_harabasz
       |FROM db, sw, sst""".stripMargin
+
+  /** Partition agreement: adjusted Rand index (Hubert & Arabie,
+    * J. Classif. 1985), Fowlkes–Mallows (JASA 1983) and the raw Rand
+    * index between two labelings of the same rows — "do two
+    * partitionings of the corpus tell the same story", the
+    * external-validity companion to [[silhouette]]'s internal
+    * geometry. All three are pair-counting measures computed in
+    * CLOSED FORM from the contingency table: TP = Σᵢⱼ C(nᵢⱼ,2),
+    * row/column comb sums a, b, and C(n,2) — never a row-pair join.
+    * ARI is the chance-corrected one (0 expected under independent
+    * labelings, 1 iff identical partitions).
+    *
+    * Scale shape: one grouped count to the |A|×|B| contingency, two
+    * marginal reductions, a scalar combine. One row `(n, k_a, k_b,
+    * rand, ari, fowlkes_mallows)`; ARI NULL when the chance
+    * correction degenerates (either side a single cluster). */
+  def partitionAgreement(df: DataFrame, labelA: Column,
+      labelB: Column): DataFrame = {
+    val pairs = df.select(labelA.as("__a"), labelB.as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+    val cells = pairs.groupBy("__a", "__b")
+      .agg(count(lit(1)).as("__nij"))
+    def comb(c: Column): Column =
+      c.cast("double") * (c.cast("double") - 1.0) / 2.0
+    val tp = cells.agg(
+      sum("__nij").as("__n"),
+      countDistinct("__a").as("__ka"),
+      countDistinct("__b").as("__kb"),
+      sum(comb(col("__nij"))).as("__tp"))
+    val am = cells.groupBy("__a").agg(sum("__nij").as("__ai"))
+      .agg(sum(comb(col("__ai"))).as("__acomb"))
+    val bm = cells.groupBy("__b").agg(sum("__nij").as("__bj"))
+      .agg(sum(comb(col("__bj"))).as("__bcomb"))
+    val j = tp.crossJoin(broadcast(am)).crossJoin(broadcast(bm))
+    val nD = col("__n").cast("double")
+    val total = nD * (nD - 1.0) / 2.0
+    val exp = col("__acomb") * col("__bcomb") / total
+    val ariDen = (col("__acomb") + col("__bcomb")) / 2.0 - exp
+    j.select(
+      col("__n").cast("bigint").as("n"),
+      col("__ka").cast("bigint").as("k_a"),
+      col("__kb").cast("bigint").as("k_b"),
+      round((total + col("__tp") * 2.0 - col("__acomb") -
+        col("__bcomb")) / total, 6).as("rand"),
+      round(when(abs(ariDen) > 1e-12,
+        (col("__tp") - exp) / ariDen), 6).as("ari"),
+      round(when(col("__acomb") * col("__bcomb") > 0.0,
+        col("__tp") / sqrt(col("__acomb") * col("__bcomb"))), 6)
+        .as("fowlkes_mallows"))
+  }
+
+  /** DuckDB oracle for the q411 registration: documents `lang`
+    * (clustering A) vs `source` (clustering B). */
+  val partitionAgreementOracleSql: String =
+    """WITH cells AS (
+      |  SELECT lang AS a, source AS b, COUNT(*) AS nij
+      |  FROM documents GROUP BY 1, 2),
+      |tp AS (
+      |  SELECT CAST(SUM(nij) AS DOUBLE) AS n,
+      |    COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb,
+      |    SUM(nij * (nij - 1.0) / 2.0) AS tp
+      |  FROM cells),
+      |am AS (
+      |  SELECT SUM(ai * (ai - 1.0) / 2.0) AS acomb FROM (
+      |    SELECT CAST(SUM(nij) AS DOUBLE) AS ai FROM cells
+      |    GROUP BY a)),
+      |bm AS (
+      |  SELECT SUM(bj * (bj - 1.0) / 2.0) AS bcomb FROM (
+      |    SELECT CAST(SUM(nij) AS DOUBLE) AS bj FROM cells
+      |    GROUP BY b)),
+      |f AS (
+      |  SELECT n, ka, kb, tp, acomb, bcomb,
+      |    n * (n - 1.0) / 2.0 AS total,
+      |    acomb * bcomb / (n * (n - 1.0) / 2.0) AS ex
+      |  FROM tp, am, bm)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(ka AS BIGINT) AS k_a,
+      |  CAST(kb AS BIGINT) AS k_b,
+      |  ROUND((total + 2.0 * tp - acomb - bcomb) / total, 6) AS rand,
+      |  ROUND(CASE WHEN ABS((acomb + bcomb) / 2.0 - ex) > 1e-12
+      |    THEN (tp - ex) / ((acomb + bcomb) / 2.0 - ex) END, 6)
+      |    AS ari,
+      |  ROUND(CASE WHEN acomb * bcomb > 0
+      |    THEN tp / SQRT(acomb * bcomb) END, 6) AS fowlkes_mallows
+      |FROM f""".stripMargin
 }

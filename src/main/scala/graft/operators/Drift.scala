@@ -1142,4 +1142,74 @@ object Drift {
       |  ROUND(CAST(na AS DOUBLE) * nb / (na + nb) *
       |    (2.0 * axy.v - axx.v - ayy.v), 6) AS t_stat
       |FROM axy, axx, ayy, n""".stripMargin
+
+  /** The f-divergence distance panel between two binned cohort
+    * histograms: total variation (½Σ|p−q| — the "how much probability
+    * mass moved" number, the metric PSI approximates), Bhattacharyya
+    * coefficient BC = Σ√(pq) and Hellinger distance √(1−BC) (the
+    * bounded-metric pair; Hellinger² ≤ TV ≤ Hellinger·√2 — reporting
+    * both shows WHERE in that band the drift sits, mass-moved vs
+    * overlap-lost). Complements [[chi2Drift]] (unbounded, sensitive
+    * to small-expected cells) and the KL/JS family (q118) with the
+    * metric members. Fixed equi-width bins (width 10 over [0, 500),
+    * top-clamped) — fixed cutoffs, no computed quantile to diverge
+    * between engines.
+    *
+    * One corpus pass to the ≤50-bin two-cohort histogram, a 1-row
+    * totals factor, a scalar reduce. One row `(n_a, n_b, k_bins,
+    * tv, bhattacharyya, hellinger)`. */
+  def histogramDistances(df: DataFrame, inB: Column,
+      metric: Column): DataFrame = {
+    val b = df.select(inB.as("__b"), metric.cast("double").as("__m"))
+      .where(col("__b").isNotNull && col("__m").isNotNull)
+      .groupBy(least(floor(col("__m") / 10.0), lit(49.0)).as("__bin"))
+      .agg(sum(when(!col("__b"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("__cb"))
+    val tot = b.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+    val j = b.crossJoin(broadcast(tot))   // 1-row totals factor
+    val p = col("__ca").cast("double") / col("__na").cast("double")
+    val q = col("__cb").cast("double") / col("__nb").cast("double")
+    val s = j.agg(
+      first("__na").as("n_a"), first("__nb").as("n_b"),
+      count(lit(1)).as("k_bins"),
+      (sum(abs(p - q)) / 2.0).as("__tv"),
+      sum(sqrt(p * q)).as("__bc"))
+    s.select(
+      col("n_a").cast("bigint").as("n_a"),
+      col("n_b").cast("bigint").as("n_b"),
+      col("k_bins").cast("bigint").as("k_bins"),
+      round(col("__tv"), 6).as("tv"),
+      round(col("__bc"), 6).as("bhattacharyya"),
+      round(sqrt(greatest(lit(1.0) - col("__bc"), lit(0.0))), 6)
+        .as("hellinger"))
+  }
+
+  /** DuckDB oracle for the q420 registration: weekday/weekend value
+    * cohorts (the q295/q378/q405 fixture). */
+  val histDistancesOracleSql: String =
+    """WITH base AS (
+      |  SELECT CAST(value AS DOUBLE) AS m,
+      |    dayofweek(ts) IN (0, 6) AS b
+      |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+      |h AS (
+      |  SELECT LEAST(FLOOR(m / 10.0), 49.0) AS bin,
+      |    SUM(CASE WHEN b THEN 0 ELSE 1 END) AS ca,
+      |    SUM(CASE WHEN b THEN 1 ELSE 0 END) AS cb
+      |  FROM base GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(ca) AS DOUBLE) AS na,
+      |    CAST(SUM(cb) AS DOUBLE) AS nb
+      |  FROM h),
+      |s AS (
+      |  SELECT ANY_VALUE(na) AS na, ANY_VALUE(nb) AS nb,
+      |    COUNT(*) AS k,
+      |    SUM(ABS(ca / na - cb / nb)) / 2.0 AS tv,
+      |    SUM(SQRT((ca / na) * (cb / nb))) AS bc
+      |  FROM h CROSS JOIN tot)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  CAST(k AS BIGINT) AS k_bins,
+      |  ROUND(tv, 6) AS tv,
+      |  ROUND(bc, 6) AS bhattacharyya,
+      |  ROUND(SQRT(GREATEST(1.0 - bc, 0.0)), 6) AS hellinger
+      |FROM s""".stripMargin
 }

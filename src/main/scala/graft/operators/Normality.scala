@@ -334,4 +334,112 @@ object Normality {
        |  CASE WHEN m2 > 0 THEN jb > 5.991465 ELSE FALSE END
        |    AS sig_95
        |FROM j""".stripMargin
+
+  /** Anderson–Darling one-sample normality test with estimated
+    * parameters (Anderson & Darling, Ann. Math. Stat. 1952;
+    * Stephens, JASA 1974 case 3): A² = −n − (1/n)·Σᵢ(2i−1)·
+    * [ln Φ(z₍ᵢ₎) + ln(1−Φ(z₍ₙ₊₁₋ᵢ₎))] — the TAIL-WEIGHTED member of
+    * the normality shelf: [[jarqueBera]] reads 4 moments,
+    * [[lilliefors]] reads the one worst CDF gap, A² integrates the
+    * squared gap weighted by 1/(Φ(1−Φ)), so heavy tails move it
+    * first. Small-sample correction A²* = A²(1 + 0.75/n + 2.25/n²);
+    * 5% critical value 0.752.
+    *
+    * The order-statistic sum is computed per DISTINCT value via the
+    * rank-stair closed forms (the watsonU2 trick): a tie run ending
+    * at cumulative rank b with count c contributes S₁ = b² − a₀² to
+    * Σ(2i−1) and S₂ = 2cn − S₁ to the reflected sum — so the corpus
+    * is touched once and the test runs over the value-frequency
+    * table. Φ by the same shared A&S 26.2.17 polynomial as
+    * [[lilliefors]], clamped away from {0,1} before the log (both
+    * engines identically). One row
+    * `(n, mean, sd, a2, a2_star, sig_95)`. */
+  def adNormality(df: DataFrame, metric: Column): DataFrame = {
+    val vals = df.select(metric.cast("double").as("x"))
+      .where(col("x").isNotNull)
+    val m = vals.agg(count(lit(1)).as("__n"), avg("x").as("__mu"),
+      stddev_samp(col("x")).as("__sd"))
+    val freq = vals.groupBy("x").agg(count(lit(1)).as("__c"))
+    val wCum = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ecdf = freq.withColumn("__cum", sum("__c").over(wCum))
+      .crossJoin(broadcast(m))   // 1-row moment factor
+    val n = col("__n").cast("double")
+    val b = col("__cum").cast("double")
+    val a0 = (col("__cum") - col("__c")).cast("double")
+    val cD = col("__c").cast("double")
+    val s1 = b * b - a0 * a0
+    val s2 = cD * n * 2.0 - s1
+    val phi = greatest(least(
+      normCdf((col("x") - col("__mu")) / col("__sd")),
+      lit(1.0 - 1e-15)), lit(1e-15))
+    val s = ecdf.agg(
+      first("__n").as("__n"), first("__mu").as("__mu"),
+      first("__sd").as("__sd"),
+      sum(s1 * log(phi) + s2 * log(lit(1.0) - phi)).as("__t"))
+    val nn = col("__n").cast("double")
+    val a2 = -nn - col("__t") / nn
+    val a2s = a2 * (lit(1.0) + lit(0.75) / nn +
+      lit(2.25) / (nn * nn))
+    s.select(
+      col("__n").cast("bigint").as("n"),
+      round(col("__mu"), 6).as("mean"),
+      round(col("__sd"), 6).as("sd"),
+      round(a2, 6).as("a2"),
+      round(a2s, 6).as("a2_star"),
+      (a2s > 0.752).as("sig_95"))
+  }
+
+  /** DuckDB oracle for [[adNormality]] — the Φ polynomial staged
+    * through CTE columns (t, upper) with the exact operation order
+    * of the engine's [[normCdf]]. */
+  def adNormalityOracleSql(table: String, metric: String): String =
+    s"""WITH vals AS (
+       |  SELECT CAST($metric AS DOUBLE) AS x FROM $table
+       |  WHERE $metric IS NOT NULL),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(x) AS mu,
+       |    STDDEV_SAMP(x) AS sd
+       |  FROM vals),
+       |freq AS (
+       |  SELECT x, CAST(COUNT(*) AS DOUBLE) AS c FROM vals
+       |  GROUP BY 1),
+       |ecdf AS (
+       |  SELECT x, c, CAST(SUM(c) OVER (ORDER BY x
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS DOUBLE) AS b
+       |  FROM freq),
+       |z AS (
+       |  SELECT ecdf.*, m.n, m.mu, m.sd,
+       |    (x - mu) / sd AS zz
+       |  FROM ecdf CROSS JOIN m),
+       |p1 AS (
+       |  SELECT *, 1.0 / (1.0 + ABS(zz) * 0.2316419) AS t FROM z),
+       |p2 AS (
+       |  SELECT *, EXP(ABS(zz) * ABS(zz) * -0.5) *
+       |    0.3989422804014327 *
+       |    (t * (0.319381530 + t * (-0.356563782 +
+       |      t * (1.781477937 + t * (-1.821255978 +
+       |        t * 1.330274429))))) AS up
+       |  FROM p1),
+       |p3 AS (
+       |  SELECT *, GREATEST(LEAST(
+       |    CASE WHEN zz >= 0 THEN 1.0 - up ELSE up END,
+       |    1.0 - 1e-15), 1e-15) AS phi
+       |  FROM p2),
+       |s AS (
+       |  SELECT ANY_VALUE(n) AS n, ANY_VALUE(mu) AS mu,
+       |    ANY_VALUE(sd) AS sd,
+       |    SUM((b * b - (b - c) * (b - c)) * LN(phi) +
+       |      (2.0 * c * n - (b * b - (b - c) * (b - c))) *
+       |      LN(1.0 - phi)) AS t
+       |  FROM p3),
+       |f AS (
+       |  SELECT n, mu, sd, -n - t / n AS a2 FROM s)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  ROUND(mu, 6) AS mean, ROUND(sd, 6) AS sd,
+       |  ROUND(a2, 6) AS a2,
+       |  ROUND(a2 * (1.0 + 0.75 / n + 2.25 / (n * n)), 6) AS a2_star,
+       |  a2 * (1.0 + 0.75 / n + 2.25 / (n * n)) > 0.752 AS sig_95
+       |FROM f""".stripMargin
 }

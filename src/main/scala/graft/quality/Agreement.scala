@@ -228,4 +228,100 @@ object Agreement {
       |    AS kappa_w
       |FROM s""".stripMargin
 
+  /** Fleiss' κ (Fleiss, Psych. Bull. 1971): chance-corrected
+    * agreement for m RATERS per item — the multi-rater member of the
+    * kappa family ([[cohenKappa]] reads exactly two raters,
+    * [[weightedKappa]] two ordinal ones). Items with a different
+    * rating count are dropped (the fixed-m design Fleiss assumes).
+    * P_i = (Σ_j n_ij² − m)/(m(m−1)) per item, P̄ vs the chance rate
+    * P̄_e = Σ_j p_j², κ = (P̄ − P̄_e)/(1 − P̄_e).
+    *
+    * Scale shape: one grouped count to the (item, category) table,
+    * two grouped reductions — never an item×item or rater×rater
+    * pair. One row `(n_items, m_raters, k_cats, p_bar, p_exp,
+    * kappa)`; NULL κ when P̄_e = 1 (all raters constant). */
+  def fleissKappa(df: DataFrame, item: Column, category: Column,
+      m: Int): DataFrame = {
+    require(m >= 2, s"need >= 2 raters per item, got $m")
+    val mD = m.toDouble
+    val cell = df.select(item.as("__i"), category.as("__c"))
+      .where(col("__i").isNotNull && col("__c").isNotNull)
+      .groupBy("__i", "__c").agg(count(lit(1)).as("__nij"))
+    // keep only complete items (exactly m ratings)
+    val full = cell.groupBy("__i")
+      .agg(sum("__nij").as("__mi"),
+        sum(col("__nij") * col("__nij")).as("__sq"))
+      .where(col("__mi") === m.toLong)
+    val items = full.agg(
+      count(lit(1)).as("__n"),
+      avg((col("__sq").cast("double") - mD) / (mD * (mD - 1.0)))
+        .as("__pbar"))
+    val cats = cell.join(full.select("__i"), Seq("__i"))
+      .groupBy("__c").agg(sum("__nij").as("__cj"))
+      .crossJoin(broadcast(items))   // 1-row stat factor
+      .agg(
+        first("__n").as("n_items"),
+        count(lit(1)).as("k_cats"),
+        first("__pbar").as("__pb"),
+        sum(pow(col("__cj").cast("double") /
+          (col("__n").cast("double") * mD), 2)).as("__pe"))
+    cats.select(
+      col("n_items").cast("bigint").as("n_items"),
+      lit(m.toLong).as("m_raters"),
+      col("k_cats").cast("bigint").as("k_cats"),
+      round(col("__pb"), 6).as("p_bar"),
+      round(col("__pe"), 6).as("p_exp"),
+      round(when(col("__pe") < 1.0,
+        (col("__pb") - col("__pe")) / (lit(1.0) - col("__pe"))), 6)
+        .as("kappa"))
+  }
+
+  /** The q410 registration: items = users, ratings = the event
+    * types of each user's FIRST 5 events (by ts, event_id — a
+    * deterministic, oracle-replayable rater panel); users with
+    * fewer than 5 events drop. "Do a user's first five actions
+    * agree on what kind of user this is?" */
+  def firstEventsFleiss(events: DataFrame, m: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"),
+      col("event_id"))
+    val first5 = events
+      .where(col("ts").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= m)
+    fleissKappa(first5, col("user_id"), col("event_type"), m)
+  }
+
+  /** DuckDB oracle for [[firstEventsFleiss]] on events. */
+  val fleissOracleSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE ts IS NOT NULL),
+      |cell AS (
+      |  SELECT user_id, event_type, COUNT(*) AS nij
+      |  FROM r WHERE rn <= 5 GROUP BY 1, 2),
+      |full_items AS (
+      |  SELECT user_id, SUM(nij) AS mi, SUM(nij * nij) AS sq
+      |  FROM cell GROUP BY 1 HAVING SUM(nij) = 5),
+      |it AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    AVG((sq - 5.0) / 20.0) AS pbar
+      |  FROM full_items),
+      |catsum AS (
+      |  SELECT c.event_type, SUM(c.nij) AS cj
+      |  FROM cell c JOIN full_items f ON c.user_id = f.user_id
+      |  GROUP BY 1),
+      |cats AS (
+      |  SELECT COUNT(*) AS k,
+      |    SUM(POW(cj / (it.n * 5.0), 2)) AS pe
+      |  FROM catsum CROSS JOIN it)
+      |SELECT CAST(it.n AS BIGINT) AS n_items,
+      |  CAST(5 AS BIGINT) AS m_raters,
+      |  CAST(cats.k AS BIGINT) AS k_cats,
+      |  ROUND(it.pbar, 6) AS p_bar, ROUND(cats.pe, 6) AS p_exp,
+      |  ROUND(CASE WHEN cats.pe < 1.0
+      |    THEN (it.pbar - cats.pe) / (1.0 - cats.pe) END, 6) AS kappa
+      |FROM cats CROSS JOIN it""".stripMargin
 }

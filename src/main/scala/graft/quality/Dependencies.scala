@@ -13,13 +13,19 @@ import org.apache.spark.sql.functions._
   * consistency expectations, join-key candidates, and normalization
   * hints ("o_orderkey determines everything" = it's the key).
   *
-  * Scale shape: ONE aggregate pass computing every |distinct(col)| and
-  * |distinct(lhs, rhs)| — Catalyst plans multi-distinct aggregates via
-  * expand (×(p + p²) row multiplication for p profiled columns), which
-  * is the exact-count price; at 100 TB swap `approx = true` to run the
-  * same pass on HLL sketches (`approx_count_distinct`, 2% default
-  * error) and treat near-equality as "holds" — the standard profiling
-  * trade. Output is p·(p−1) rows whatever the corpus size.
+  * Scale shape (exact path): one DISTINCT branch per profiled column
+  * set, all p + p·(p−1) branches unioned into a single job — each
+  * branch is a 2-column pruned scan whose shuffle carries only the
+  * set's distinct values (map-side partial dedup), so total shuffle
+  * volume is Σ|distinct(set)|, bounded by the data's actual
+  * cardinalities. The tempting alternative — ONE agg with every
+  * countDistinct — plans through Catalyst's EXPAND, multiplying the
+  * corpus ×(p + p²) before the shuffle: measured 14× at a 10× scale
+  * step (r13 heavy probe) from exactly that spill, which is why this
+  * is branch-per-set. At 100 TB swap `approx = true` for one
+  * HLL-sketch pass (`approx_count_distinct`, 2% default error, no
+  * EXPAND) and treat near-equality as "holds" — the standard
+  * profiling trade. Output is p·(p−1) rows whatever the corpus size.
   */
 object Dependencies {
 
@@ -32,26 +38,47 @@ object Dependencies {
     require(cols.size >= 2, "need at least two columns to profile")
     val spark = df.sparkSession
     import spark.implicits._
-    // pairs count via a STRUCT so a null field doesn't drop the row
-    // (DuckDB's COUNT(DISTINCT (a,b)) row semantics); bare-column
-    // singles skip nulls in both engines
-    def cd(c: Seq[String]): org.apache.spark.sql.Column = {
-      val e = if (c.size == 1) col(c.head) else struct(c.map(col): _*)
-      if (approx) approx_count_distinct(e) else countDistinct(e)
-    }
-
-    val singles = cols.map(c => cd(Seq(c)).as(s"__d_$c"))
     val pairs = for {
       a <- cols; b <- cols if a != b
     } yield (a, b)
-    val pairAggs = pairs.map { case (a, b) =>
-      cd(Seq(a, b)).as(s"__d_${a}__$b") }
-    val one = df.agg((singles ++ pairAggs).head,
-      (singles ++ pairAggs).tail: _*).collect()(0)
+    // distinct-count column sets: singles + unordered pairs (the
+    // (a,b) and (b,a) FDs share one pair count)
+    val sets: Seq[(String, Seq[String])] =
+      cols.map(c => s"__d_$c" -> Seq(c)) ++
+        (for { a <- cols; b <- cols if a < b }
+          yield s"__d_${a}__$b" -> Seq(a, b))
+    val counts: Map[String, Long] =
+      if (approx) {
+        // HLL sketches aggregate in one pass without EXPAND — the
+        // 100 TB path
+        def cd(c: Seq[String]) = approx_count_distinct(
+          if (c.size == 1) col(c.head) else struct(c.map(col): _*))
+        val aggs = sets.map { case (n, c) => cd(c).as(n) }
+        val one = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        sets.map { case (n, _) => n -> one.getAs[Long](n) }.toMap
+      } else {
+        // exact path: one DISTINCT branch per set, one union job.
+        // Pair branches keep null-field combinations (DuckDB's
+        // COUNT(DISTINCT (a,b)) row semantics); single-column
+        // branches skip nulls, like COUNT(DISTINCT a) in both
+        // engines.
+        val branches = sets.map { case (n, c) =>
+          val base =
+            if (c.size == 1) df.select(col(c.head)).where(col(c.head).isNotNull)
+            else df.select(c.map(col): _*)
+          base.distinct()
+            .agg(count(lit(1)).as("__n"))
+            .select(lit(n).as("__k"), col("__n"))
+        }
+        branches.reduce(_ unionByName _).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
 
+    def pairKey(a: String, b: String) =
+      if (a < b) s"__d_${a}__$b" else s"__d_${b}__$a"
     val rows = pairs.map { case (a, b) =>
-      val nl = one.getAs[Long](s"__d_$a")
-      val np = one.getAs[Long](s"__d_${a}__$b")
+      val nl = counts(s"__d_$a")
+      val np = counts(pairKey(a, b))
       (a, b, nl, np, np - nl, np == nl)
     }
     rows.toDF("lhs", "rhs", "n_lhs", "n_pairs", "violations", "holds")

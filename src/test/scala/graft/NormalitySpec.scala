@@ -208,4 +208,68 @@ class NormalitySpec extends AnyFunSuite {
       .collect().head
     assert(r0.isNullAt(2) && !r0.getBoolean(5))
   }
+
+  test("ad normality: near-normal accepts, uniform rejects, ties " +
+    "match the untied order-statistic sum") {
+    import graft.operators.Normality
+    // a deterministic normal-ish sample via the probit of a uniform
+    // grid (inverse-CDF sampling without randomness): accept
+    val grid = (1 to 400).map(i => (i - 0.5) / 400.0)
+    def probit(p: Double): Double = {   // Acklam, plenty for a fixture
+      val a = Seq(-3.969683028665376e+01, 2.209460984245205e+02,
+        -2.759285104469687e+02, 1.383577518672690e+02,
+        -3.066479806614716e+01, 2.506628277459239e+00)
+      val b = Seq(-5.447609879822406e+01, 1.615858368580409e+02,
+        -1.556989798598866e+02, 6.680131188771972e+01,
+        -1.328068155288572e+01)
+      val c = Seq(-7.784894002430293e-03, -3.223964580411365e-01,
+        -2.400758277161838e+00, -2.549732539343734e+00,
+        4.374664141464968e+00, 2.938163982698783e+00)
+      val d = Seq(7.784695709041462e-03, 3.224671290700398e-01,
+        2.445134137142996e+00, 3.754408661907416e+00)
+      if (p < 0.02425) {
+        val q = math.sqrt(-2 * math.log(p))
+        (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q +
+          c(5)) / ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+      } else if (p > 0.97575) -probit(1 - p)
+      else {
+        val q = p - 0.5; val r = q * q
+        (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r +
+          a(5)) * q /
+          (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+      }
+    }
+    val normal = grid.map(probit).toDF("x")
+    val rN = Normality.adNormality(normal, col("x")).collect().head
+    assert(rN.getLong(0) == 400L)
+    assert(!rN.getBoolean(5), s"a2*=${rN.getDouble(4)}")
+    // uniform data: tails far too light — strong reject
+    val rU = Normality.adNormality((1 to 400).map(_.toDouble).toDF("x"),
+      col("x")).collect().head
+    assert(rU.getBoolean(5), s"a2*=${rU.getDouble(4)}")
+    // tie correctness: duplicating every point is the same ORDER
+    // STATISTIC pattern computed through the stair sums — A² must
+    // equal the direct i-indexed formula on the expanded sample
+    val base = Seq(1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 5.0, 8.0)
+    val rT = Normality.adNormality(base.toDF("x"), col("x"))
+      .collect().head
+    val n = base.size
+    val mu = base.sum / n
+    val sd = math.sqrt(base.map(v => (v - mu) * (v - mu)).sum / (n - 1))
+    def cdf(z0: Double): Double = {
+      val az = math.abs(z0)
+      val t = 1.0 / (1.0 + az * 0.2316419)
+      val poly = t * (0.319381530 + t * (-0.356563782 +
+        t * (1.781477937 + t * (-1.821255978 + t * 1.330274429))))
+      val up = math.exp(az * az * -0.5) * 0.3989422804014327 * poly
+      val p = if (z0 >= 0) 1.0 - up else up
+      math.max(1e-15, math.min(1.0 - 1e-15, p))
+    }
+    val zs = base.sorted.map(v => cdf((v - mu) / sd))
+    val direct = -n - (1.0 / n) * (1 to n).map(i =>
+      (2 * i - 1) * (math.log(zs(i - 1)) +
+        math.log(1.0 - zs(n - i)))).sum
+    assert(math.abs(rT.getDouble(3) - direct) < 1e-6,
+      s"a2=${rT.getDouble(3)} direct=$direct")
+  }
 }

@@ -1,0 +1,132 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SeriesTests
+
+class SeriesTestsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // one event per day with the given value → the daily series IS the
+  // value sequence
+  private def series(xs: Seq[Double]) = {
+    xs.zipWithIndex.map { case (v, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-03-${i + 1}%02d 12:00:00"), 1L, "view", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("turning points: alternating series maximal, monotone has zero") {
+    // 1,5,2,6,3,7,4 — every interior point is a turning point (5)
+    val alt = SeriesTests.turningPoints(
+      series(Seq(1, 5, 2, 6, 3, 7, 4).map(_.toDouble))).collect().head
+    assert(alt.getLong(0) == 7L && alt.getLong(1) == 5L)
+    // E[T] = 2(7−2)/3 = 10/3; Var = (112−29)/90
+    assert(math.abs(alt.getDouble(2) - 10.0 / 3) < 1e-6)
+    val z = (5 - 10.0 / 3) / math.sqrt(83.0 / 90)
+    assert(math.abs(alt.getDouble(3) - z) < 1e-6)
+    val mono = SeriesTests.turningPoints(
+      series((1 to 30).map(_.toDouble))).collect().head
+    assert(mono.getLong(1) == 0L && mono.getString(5) == "smooth" &&
+      mono.getBoolean(4))
+  }
+
+  test("cox-stuart: a step series reads up, a flat one reads none") {
+    // 10 days: 1..5 then 11..15 — every pair (i, i+5) rises
+    val step = SeriesTests.coxStuart(series(
+      (1 to 5).map(_.toDouble) ++ (11 to 15).map(_.toDouble)))
+      .collect().head
+    assert(step.getLong(0) == 10L && step.getLong(1) == 5L &&
+      step.getLong(2) == 5L)
+    // z = (5 − 2.5)/sqrt(1.25)
+    assert(math.abs(step.getDouble(3) - 2.5 / math.sqrt(1.25)) < 1e-6)
+    assert(step.getBoolean(4) && step.getString(5) == "up")
+    // constant series: every pair ties → n' = 0 → NULL z, not sig
+    val flat = SeriesTests.coxStuart(series(Seq.fill(8)(3.0)))
+      .collect().head
+    assert(flat.getLong(1) == 0L && flat.isNullAt(3) &&
+      !flat.getBoolean(4))
+  }
+
+  test("records test: a strictly rising series is all records") {
+    val up = SeriesTests.recordsTest(series((1 to 10).map(_.toDouble)))
+      .collect().head
+    assert(up.getLong(0) == 10L && up.getLong(1) == 10L)
+    // E = H_10, Var = H_10 − H_10^(2)
+    val h1 = (1 to 10).map(1.0 / _).sum
+    val h2 = (1 to 10).map(k => 1.0 / (k.toLong * k)).sum
+    assert(math.abs(up.getDouble(2) - h1) < 1e-6)
+    assert(math.abs(up.getDouble(3) - (10 - h1) / math.sqrt(h1 - h2))
+      < 1e-6)
+    assert(up.getBoolean(4))
+    // a falling series has exactly one record (the first point)
+    val down = SeriesTests.recordsTest(
+      series((1 to 10).reverse.map(_.toDouble))).collect().head
+    assert(down.getLong(1) == 1L)
+  }
+
+  test("hjorth: an alternating ±1 series replays closed-form moments") {
+    // x = +1,−1,+1,… (n=12): var(x) = 1, d1 alternates ∓2 over 11
+    // points (mean −2/11, not exactly 0 — the odd count), d2 = ±4 →
+    // mobility ≈ 2 and complexity ≈ 1 up to those small-sample
+    // mean offsets
+    val xs = (0 until 12).map(i => if (i % 2 == 0) 1.0 else -1.0)
+    val r = SeriesTests.hjorth(series(xs)).collect().head
+    assert(r.getLong(0) == 12L)
+    assert(math.abs(r.getDouble(2) - 2.0) < 0.02,
+      s"mobility=${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - 1.0) < 0.02,
+      s"complexity=${r.getDouble(3)}")
+    // cv of a zero-mean series is undefined — mean is exactly 0 here
+    assert(r.isNullAt(1))
+  }
+
+  test("permutation entropy: monotone collapses to one pattern") {
+    val mono = SeriesTests.permutationEntropy(
+      series((1 to 20).map(_.toDouble))).collect().head
+    assert(mono.getLong(0) == 18L && mono.getLong(1) == 1L)
+    assert(mono.getDouble(2) == 0.0 && mono.getDouble(3) == 0.0)
+    // a series visiting several ordinal patterns has H > 0
+    val mixed = SeriesTests.permutationEntropy(
+      series(Seq(1, 3, 2, 6, 4, 8, 5, 9, 7, 10).map(_.toDouble)))
+      .collect().head
+    assert(mixed.getLong(1) > 1L && mixed.getDouble(3) > 0.3)
+  }
+
+  // daily COUNT fixture: k_d events on day d
+  private def counts(ks: Seq[Int]) =
+    ks.zipWithIndex.flatMap { case (k, d) =>
+      (1 to k).map(j => ((d * 100 + j).toLong,
+        java.sql.Timestamp.valueOf(f"2024-03-${d + 1}%02d 12:00:00"),
+        1L, "view", 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("dispersion index: constant counts underdispersed, bursts over") {
+    // perfectly constant daily counts: VMR = 0 → underdispersed
+    val flat = SeriesTests.dispersionIndex(counts(Seq.fill(20)(5)))
+      .collect().head
+    assert(flat.getLong(0) == 20L && flat.getDouble(1) == 5.0)
+    assert(flat.getDouble(2) == 0.0 &&
+      flat.getString(5) == "underdispersed")
+    // one huge burst day among quiet days: VMR ≫ 1
+    val burst = SeriesTests.dispersionIndex(
+      counts(Seq.fill(19)(5) :+ 200)).collect().head
+    assert(burst.getDouble(2) > 10.0 &&
+      burst.getString(5) == "overdispersed")
+  }
+
+  test("allan deviation: hand-computed tau=1 and flat series") {
+    // constant series: every avar is 0, slope NULL
+    val flat = SeriesTests.allanDeviation(series(Seq.fill(12)(7.0)))
+      .collect().head
+    assert(flat.getDouble(1) == 0.0 && flat.getDouble(2) == 0.0 &&
+      flat.getDouble(3) == 0.0 && flat.isNullAt(4))
+    // alternating 4, 6: mean 5; d1 = ±2 (11 pairs) → avar1 = 2,
+    // adev1 = sqrt(2)/5. τ=2 block means all 5 → avar2 = 0.
+    val alt = SeriesTests.allanDeviation(series(
+      (0 until 12).map(i => if (i % 2 == 0) 4.0 else 6.0)))
+      .collect().head
+    assert(math.abs(alt.getDouble(1) - math.sqrt(2.0) / 5) < 1e-6)
+    assert(alt.getDouble(2) == 0.0)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TwoSampleRank
+
+class TwoSampleRankSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // A = {1,3,5}, B = {2,4,6}: N = 6, no ties, midranks 1..6,
+  // B holds ranks {2,4,6} — every constant below is hand-computed
+  private def interleaved =
+    (Seq(1.0, 3.0, 5.0).map(false -> _) ++
+      Seq(2.0, 4.0, 6.0).map(true -> _)).toDF("b", "m")
+
+  test("cucconi replays the hand-computed no-ties case") {
+    val r = TwoSampleRank.cucconi(interleaved, col("b"), col("m"))
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    // S2 = 4+16+36 = 56; den = sqrt(9*7*13*59/5); U = 63/den
+    val den = math.sqrt(9.0 * 7 * 13 * 59 / 5)
+    assert(math.abs(r.getDouble(2) - 63.0 / den) < 1e-6)
+    assert(math.abs(r.getDouble(3) - -63.0 / den) < 1e-6)
+    // rho = 64/767 - 1; C = (U²+V²-2ρUV)/(2(1-ρ²))
+    val u = 63.0 / den; val rho = 64.0 / 767 - 1
+    val c = (2 * u * u - 2 * rho * (-u * u)) / (2 * (1 - rho * rho))
+    assert(math.abs(r.getDouble(4) - c) < 1e-6)
+    assert(!r.getBoolean(5))
+  }
+
+  test("cucconi under ties: identical cohorts give U = V, tiny C") {
+    val df = (Seq(1.0, 2.0, 3.0).map(false -> _) ++
+      Seq(1.0, 2.0, 3.0).map(true -> _)).toDF("b", "m")
+    val r = TwoSampleRank.cucconi(df, col("b"), col("m"))
+      .collect().head
+    // midranks 1.5/3.5/5.5 on both sides: S2 = 44.75, U = -4.5/den
+    val den = math.sqrt(9.0 * 7 * 13 * 59 / 5)
+    assert(math.abs(r.getDouble(2) - -4.5 / den) < 1e-6)
+    assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-9)
+    // C = u²/(1+ρ) with u = −4.5/den — tiny relative to the 2.9957
+    // critical value
+    assert(r.getDouble(4) < 0.05 && !r.getBoolean(5))
+  }
+
+  test("cucconi flags a joint location+scale shift a large sample") {
+    // B = 3·A + 40: mean and spread both move
+    val a = (1 to 200).map(_.toDouble)
+    val df = (a.map(false -> _) ++ a.map(x => true -> (x * 3 + 40)))
+      .toDF("b", "m")
+    val r = TwoSampleRank.cucconi(df, col("b"), col("m"))
+      .collect().head
+    assert(r.getBoolean(5), s"c=${r.getDouble(4)}")
+  }
+
+  test("lepage replays the hand-computed case and the chi2 gate") {
+    val r = TwoSampleRank.lepage(interleaved, col("b"), col("m"))
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    // W = 12, E = 10.5, Var = 9/5 * (91/6 - 12.25) = 5.25
+    assert(math.abs(r.getDouble(2) - 1.5 / math.sqrt(5.25)) < 1e-6)
+    // AB scores (1,2,3,3,2,1): A-stat = 6 = E → z_a = 0
+    assert(math.abs(r.getDouble(3)) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 1.5 * 1.5 / 5.25) < 1e-6)
+    assert(!r.getBoolean(5))
+    // pure scale change (same center): Lepage must reject where a
+    // pure location test would sleep
+    val sym = (-100 to 100).map(_.toDouble / 10)
+    val scale = (sym.map(false -> _) ++ sym.map(x => true -> (x * 5)))
+      .toDF("b", "m")
+    val rs = TwoSampleRank.lepage(scale, col("b"), col("m"))
+      .collect().head
+    assert(math.abs(rs.getDouble(2)) < 0.2, "location z should be ~0")
+    assert(rs.getBoolean(5), s"l=${rs.getDouble(4)}")
+  }
+
+  test("conover squared ranks: symmetric deviations give the exact null") {
+    // A = {1,3,5} (mean 3, |dev| {2,0,2}), B = {2,4,6} (mean 4,
+    // |dev| {2,0,2}): identical deviation multisets → T = E[T]
+    val r = TwoSampleRank.conoverSquaredRanks(interleaved,
+      col("b"), col("m")).collect().head
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)   // t_ratio = 1
+    assert(math.abs(r.getDouble(3)) < 1e-9 && !r.getBoolean(4))
+    // a genuine spread change rejects even with equal means
+    val sym = (-100 to 100).map(_.toDouble / 10)
+    val scale = (sym.map(false -> _) ++ sym.map(x => true -> (x * 4)))
+      .toDF("b", "m")
+    val rs = TwoSampleRank.conoverSquaredRanks(scale,
+      col("b"), col("m")).collect().head
+    assert(rs.getBoolean(4) && rs.getDouble(2) > 1.0,
+      s"ratio=${rs.getDouble(2)} z=${rs.getDouble(3)}")
+    // and a pure location shift does NOT (deviations unchanged)
+    val shift = (sym.map(false -> _) ++ sym.map(x => true -> (x + 50)))
+      .toDF("b", "m")
+    val rl = TwoSampleRank.conoverSquaredRanks(shift,
+      col("b"), col("m")).collect().head
+    assert(!rl.getBoolean(4), s"z=${rl.getDouble(3)}")
+  }
+}
