@@ -123,6 +123,9 @@ object PlanAudit {
     // Allan deviation: the 1-row (n, mean) factor into the calendar
     // table before its block-mean windows
     "q422_allan_deviation",
+    // nominal association: entropy/second-moment 1-row factors into
+    // the contingency; Cressie-Read: the 1-row margins factor
+    "q423_nominal_assoc", "q424_cressie_read",
     // segment lift: BH family-size 1-row factor (ksBySliceFdr shape);
     // quantile lift: |levels|-row broadcast quantile table
     "q256_segment_lift", "q257_quantile_lift",

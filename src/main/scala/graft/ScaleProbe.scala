@@ -810,7 +810,20 @@ object ScaleProbe {
       // 50-bin two-cohort histogram + 1-row totals factor
       "hist_distances" -> (d =>
         graft.operators.Drift.histogramDistances(d,
-          dayofweek(col("ts")).isin(1, 7), col("value")).count()))
+          dayofweek(col("ts")).isin(1, 7), col("value")).count()),
+      // contingency + entropy/second-moment 1-row factors
+      "nominal_assoc" -> (d =>
+        graft.operators.Ordinal.nominalAssociation(d,
+          col("event_type"), dayofweek(col("ts"))).count()),
+      // 2xk cohort-category table + 1-row margins factor
+      "cressie_read" -> (d =>
+        graft.operators.Drift.cressieRead(d,
+          dayofweek(col("ts")).isin(1, 7), col("event_type")).count()),
+      // one (count, distinct-day) agg per cohort, scalar combine
+      "poisson_rate" -> (d =>
+        graft.operators.Drift.poissonRateRatio(
+          d.where(col("event_type") === "error"),
+          dayofweek(col("ts")).isin(1, 7)).count()))
 
     (ops.map(o => (o._1, o._2, base, big)) ++
       embOps.map(o => (o._1, o._2, embBase, embBig)) ++

@@ -713,6 +713,27 @@ object SparkEntry {
       graft.operators.SeriesTests.allanDeviation(
         t(s, dir, "events"))),
 
+    // ---- Nominal association panel (Theil's U, Goodman-Kruskal τ,
+    //      both directions): does source leak lang, or lang leak
+    //      source — the asymmetric metadata-audit numbers ----
+    "q423_nominal_assoc" -> ((s, dir) =>
+      graft.operators.Ordinal.nominalAssociation(
+        t(s, dir, "documents"), col("source"), col("lang"))),
+
+    // ---- Cressie-Read power divergence (λ=2/3) on the weekday/
+    //      weekend event-type mix: the compromise member between
+    //      Pearson χ² and the G-test ----
+    "q424_cressie_read" -> ((s, dir) =>
+      graft.operators.Drift.cressieRead(t(s, dir, "events"),
+        dayofweek(col("ts")).isin(1, 7), col("event_type"))),
+
+    // ---- Poisson rate-ratio test on weekday/weekend ERROR arrival
+    //      rates per day of exposure (conditional binomial frame) ----
+    "q425_poisson_rate" -> ((s, dir) =>
+      graft.operators.Drift.poissonRateRatio(
+        t(s, dir, "events").where(col("event_type") === "error"),
+        dayofweek(col("ts")).isin(1, 7))),
+
     // ---- Quadratic-weighted Cohen's κ on ordinal length tertiles:
     //      the ordered-scale agreement q239's binary κ can't read ----
     "q404_weighted_kappa" -> ((s, dir) => {
@@ -4738,6 +4759,15 @@ object SparkEntry {
     "q422_allan_deviation" ->
       graft.operators.SeriesTests.allanOracleSql,
 
+    "q423_nominal_assoc" ->
+      graft.operators.Ordinal.nominalAssocOracleSql,
+
+    "q424_cressie_read" ->
+      graft.operators.Drift.cressieReadOracleSql,
+
+    "q425_poisson_rate" ->
+      graft.operators.Drift.poissonRateOracleSql,
+
     "q201_sequence_pack" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -8091,6 +8121,12 @@ object SparkEntry {
       "z*", "sig_95", "reading"),
     "q422_allan_deviation" -> Seq("n_days#", "adev_rel_1*",
       "adev_rel_2*", "adev_rel_4*", "tau_slope*"),
+    "q423_nominal_assoc" -> Seq("n#", "u_yx*", "u_xy*", "tau_yx*",
+      "tau_xy*"),
+    "q424_cressie_read" -> Seq("k#", "n_a#", "n_b#", "cr_stat*",
+      "sig_95"),
+    "q425_poisson_rate" -> Seq("n_a#", "n_b#", "days_a#", "days_b#",
+      "rate_a*", "rate_b*", "rate_ratio*", "z*", "sig_95"),
     "q140_bpe_train" -> Seq("rank#", "left", "right", "merged",
       "cnt#"),
     "q162_mmr_rerank" -> Seq("query_id#", "neighbor_id#",

@@ -1184,6 +1184,170 @@ object Drift {
         .as("hellinger"))
   }
 
+  /** Cressie–Read power-divergence homogeneity test at λ = 2/3
+    * (Cressie & Read, JRSS B 1984 — their recommended member, the
+    * compromise between Pearson χ² (λ=1, small-cell-noisy) and the
+    * G-test (λ→0, sparse-cell-fragile)): CR = 2/(λ(λ+1)) ·
+    * ΣΣ O_ij[(O_ij/E_ij)^λ − 1] over the 2×k cohort-by-category
+    * table with the usual independence expectations; asymptotically
+    * χ²(k−1). A different member of the same family as [[chi2Drift]]
+    * — when they disagree, small expected cells are driving the
+    * verdict, which is itself worth knowing.
+    *
+    * One corpus pass to the 2×k table, marginal factors, scalar
+    * reduce. One row `(k, n_a, n_b, cr_stat, sig_95)`. Zero observed
+    * cells contribute their −E term... exactly: O[(O/E)^λ − 1] = 0
+    * for O = 0 (the λ > 0 branch), matching the oracle verbatim. */
+  def cressieRead(df: DataFrame, inB: Column, category: Column,
+      lambda: Double = 2.0 / 3.0): DataFrame = {
+    require(lambda > 0.0, "this form needs lambda > 0")
+    val cells = df.select(inB.as("__b"), category.as("__c"))
+      .where(col("__b").isNotNull && col("__c").isNotNull)
+      .groupBy("__c")
+      .agg(sum(when(!col("__b"), 1L).otherwise(0L)).as("__oa"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("__ob"))
+    val tot = cells.agg(sum("__oa").as("__na"), sum("__ob").as("__nb"))
+    val j = cells.crossJoin(broadcast(tot))   // 1-row margins factor
+    val naD = col("__na").cast("double")
+    val nbD = col("__nb").cast("double")
+    val nD = naD + nbD
+    val rowT = (col("__oa") + col("__ob")).cast("double")
+    val ea = rowT * naD / nD
+    val eb = rowT * nbD / nD
+    def term(o: Column, e: Column) = {
+      val oD = o.cast("double")
+      when(oD > 0.0, oD * (pow(oD / e, lambda) - 1.0)).otherwise(0.0)
+    }
+    val s = j.agg(
+      count(lit(1)).as("k"),
+      first("__na").as("n_a"), first("__nb").as("n_b"),
+      ((sum(term(col("__oa"), ea) + term(col("__ob"), eb))) *
+        (2.0 / (lambda * (lambda + 1.0)))).as("__cr"))
+    s.select(
+      col("k").cast("bigint").as("k"),
+      col("n_a").cast("bigint").as("n_a"),
+      col("n_b").cast("bigint").as("n_b"),
+      round(col("__cr"), 6).as("cr_stat"),
+      (col("__cr") > Homogeneity.chi2Crit95(col("k") - 1))
+        .as("sig_95"))
+  }
+
+  /** DuckDB oracle for the q424 registration: weekday/weekend
+    * event_type mix, λ = 2/3. */
+  val cressieReadOracleSql: String =
+    """WITH cells AS (
+      |  SELECT event_type AS c,
+      |    SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 0 ELSE 1 END)
+      |      AS oa,
+      |    SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END)
+      |      AS ob
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(oa) AS DOUBLE) AS na,
+      |    CAST(SUM(ob) AS DOUBLE) AS nb
+      |  FROM cells),
+      |t AS (
+      |  SELECT COUNT(*) AS k, ANY_VALUE(na) AS na,
+      |    ANY_VALUE(nb) AS nb,
+      |    (2.0 / ((2.0 / 3.0) * (2.0 / 3.0 + 1.0))) * SUM(
+      |      (CASE WHEN oa > 0 THEN oa *
+      |        (POW(oa / ((oa + ob) * na / (na + nb)), 2.0 / 3.0)
+      |          - 1.0) ELSE 0.0 END) +
+      |      (CASE WHEN ob > 0 THEN ob *
+      |        (POW(ob / ((oa + ob) * nb / (na + nb)), 2.0 / 3.0)
+      |          - 1.0) ELSE 0.0 END)) AS cr
+      |  FROM cells CROSS JOIN tot)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(na AS BIGINT) AS n_a,
+      |  CAST(nb AS BIGINT) AS n_b,
+      |  ROUND(cr, 6) AS cr_stat,
+      |  cr > (CASE CAST(k - 1 AS INT)
+      |    WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465
+      |    WHEN 3 THEN 7.814728 WHEN 4 THEN 9.487729
+      |    WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587
+      |    WHEN 7 THEN 14.067140 WHEN 8 THEN 15.507313
+      |    WHEN 9 THEN 16.918978 WHEN 10 THEN 18.307038
+      |    ELSE (k - 1) * POW(1.0 - 2.0 / (9.0 * (k - 1)) +
+      |      1.6448536269514722 * SQRT(2.0 / (9.0 * (k - 1))), 3)
+      |    END) AS sig_95
+      |FROM t""".stripMargin
+
+  /** Poisson rate-ratio test between two cohorts' event arrivals
+    * (the conditional/binomial exact-test frame, Lehmann TSH §4.5,
+    * in its normal approximation): given the combined count
+    * N = n_a + n_b, under equal RATES n_a ~ Bin(N, d_a/(d_a+d_b))
+    * with d = the cohort's exposure in days — so differing cohort
+    * sizes are handled by design, not by assumption. The question a
+    * weekday/weekend error-rate comparison actually asks ("is the
+    * per-day incident rate different?"), which the proportion tests
+    * (per-event shares) do not.
+    *
+    * One corpus pass to (count, distinct-day) per cohort, scalar
+    * combine. One row `(n_a, n_b, days_a, days_b, rate_a, rate_b,
+    * rate_ratio, z, sig_95)`. */
+  def poissonRateRatio(df: DataFrame, inB: Column): DataFrame = {
+    val s = df.select(inB.as("__b"), to_date(col("ts")).as("__d"))
+      .where(col("__b").isNotNull)
+      .agg(
+        sum(when(!col("__b"), 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("__nb"),
+        countDistinct(when(!col("__b"), col("__d"))).as("__da"),
+        countDistinct(when(col("__b"), col("__d"))).as("__db"))
+    val naD = col("__na").cast("double")
+    val nbD = col("__nb").cast("double")
+    val daD = col("__da").cast("double")
+    val dbD = col("__db").cast("double")
+    val nD = naD + nbD
+    val p0 = daD / (daD + dbD)
+    val z = when(nD > 0.0 && p0 > 0.0 && p0 < 1.0,
+      (naD - nD * p0) / sqrt(nD * p0 * (lit(1.0) - p0)))
+    val ra = when(daD > 0.0, naD / daD)
+    val rb = when(dbD > 0.0, nbD / dbD)
+    s.select(
+      col("__na").cast("bigint").as("n_a"),
+      col("__nb").cast("bigint").as("n_b"),
+      col("__da").cast("bigint").as("days_a"),
+      col("__db").cast("bigint").as("days_b"),
+      round(ra, 6).as("rate_a"),
+      round(rb, 6).as("rate_b"),
+      round(when(rb > 0.0, ra / rb), 6).as("rate_ratio"),
+      round(z, 6).as("z"),
+      coalesce(abs(z) > 1.959964, lit(false)).as("sig_95"))
+  }
+
+  /** DuckDB oracle for the q425 registration: weekday vs weekend
+    * ERROR-event arrival rates per day of exposure. */
+  val poissonRateOracleSql: String =
+    """WITH base AS (
+      |  SELECT dayofweek(ts) IN (0, 6) AS b, CAST(ts AS DATE) AS d
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type = 'error'),
+      |s AS (
+      |  SELECT
+      |    SUM(CASE WHEN b THEN 0 ELSE 1 END) AS na,
+      |    SUM(CASE WHEN b THEN 1 ELSE 0 END) AS nb,
+      |    COUNT(DISTINCT CASE WHEN NOT b THEN d END) AS da,
+      |    COUNT(DISTINCT CASE WHEN b THEN d END) AS db
+      |  FROM base),
+      |g AS (
+      |  SELECT CAST(na AS DOUBLE) AS na, CAST(nb AS DOUBLE) AS nb,
+      |    CAST(da AS DOUBLE) AS da, CAST(db AS DOUBLE) AS db,
+      |    CAST(da AS DOUBLE) / (da + db) AS p0
+      |  FROM s),
+      |z AS (
+      |  SELECT *, CASE WHEN na + nb > 0 AND p0 > 0 AND p0 < 1 THEN
+      |    (na - (na + nb) * p0) /
+      |      SQRT((na + nb) * p0 * (1.0 - p0)) END AS zv
+      |  FROM g)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  CAST(da AS BIGINT) AS days_a, CAST(db AS BIGINT) AS days_b,
+      |  ROUND(CASE WHEN da > 0 THEN na / da END, 6) AS rate_a,
+      |  ROUND(CASE WHEN db > 0 THEN nb / db END, 6) AS rate_b,
+      |  ROUND(CASE WHEN db > 0 AND nb > 0 AND da > 0
+      |    THEN (na / da) / (nb / db) END, 6) AS rate_ratio,
+      |  ROUND(zv, 6) AS z,
+      |  COALESCE(ABS(zv) > 1.959964, FALSE) AS sig_95
+      |FROM z""".stripMargin
+
   /** DuckDB oracle for the q420 registration: weekday/weekend value
     * cohorts (the q295/q378/q405 fixture). */
   val histDistancesOracleSql: String =

@@ -111,4 +111,108 @@ object Ordinal {
       |    (tot.nn * (tot.nn - 1.0) / 2.0 - tx.t), 6) AS somers_d,
       |  ROUND((rm.summx - ym.maxy) / (tot.nn - ym.maxy), 6) AS lambda
       |FROM p, tot, tx, ym, rm""".stripMargin
+
+  /** NOMINAL association panel: Theil's uncertainty coefficient
+    * U(Y|X) = I(X;Y)/H(Y) (Theil, Statistical Decomposition Analysis
+    * 1972) and Goodman–Kruskal τ(Y|X) (JASA 1954) in both
+    * directions — the order-free companions to
+    * [[ordinalAssociation]]: U reads "what fraction of Y's entropy
+    * does X explain", τ the proportional reduction in
+    * proportional-prediction error. Both are ASYMMETRIC by design
+    * (U(lang|source) ≠ U(source|lang) — which way the leakage runs
+    * is the point for a metadata audit).
+    *
+    * One grouped count to the |X|×|Y| contingency, marginal
+    * reductions, scalar combine. One row `(n, u_yx, u_xy, tau_yx,
+    * tau_xy)`; NULLs when the conditioned-on side is constant
+    * (zero entropy / zero baseline error). */
+  def nominalAssociation(df: DataFrame, x: Column, y: Column)
+      : DataFrame = {
+    val cells = df.select(x.as("__x"), y.as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy("__x", "__y").agg(count(lit(1)).as("__n"))
+    val tot = cells.agg(sum("__n").as("__nn"))
+    val xm = cells.groupBy("__x").agg(sum("__n").as("__nx"))
+    val ym = cells.groupBy("__y").agg(sum("__n").as("__ny"))
+    val nD = col("__nn").cast("double")
+    // entropies from the marginals (1-row factors)
+    def entropy(m: DataFrame, c: String, out: String) =
+      m.crossJoin(broadcast(tot)).agg(
+        (-sum((col(c).cast("double") / nD) *
+          log(col(c).cast("double") / nD))).as(out))
+    val hx = entropy(xm, "__nx", "__hx")
+    val hy = entropy(ym, "__ny", "__hy")
+    // joint terms: MI and the two tau numerators need per-cell work
+    // joined with BOTH marginals (category-cardinality joins)
+    val j = cells
+      .join(xm, Seq("__x")).join(ym, Seq("__y"))
+      .crossJoin(broadcast(tot))
+    val pxy = col("__n").cast("double") / nD
+    val px = col("__nx").cast("double") / nD
+    val py = col("__ny").cast("double") / nD
+    val s = j.agg(
+      first("__nn").as("n"),
+      sum(pxy * log(pxy / (px * py))).as("__mi"),
+      sum(pxy * pxy / px).as("__txnum"),
+      sum(pxy * pxy / py).as("__tynum"))
+    val m2 = (mm: DataFrame, c: String, out: String) =>
+      mm.crossJoin(broadcast(tot)).agg(
+        sum((col(c).cast("double") / nD) *
+          (col(c).cast("double") / nD)).as(out))
+    val sx2 = m2(xm, "__nx", "__sx2")
+    val sy2 = m2(ym, "__ny", "__sy2")
+    val out = s.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .crossJoin(broadcast(sx2)).crossJoin(broadcast(sy2))
+    out.select(
+      col("n").cast("bigint").as("n"),
+      round(when(col("__hy") > 0.0, col("__mi") / col("__hy")), 6)
+        .as("u_yx"),
+      round(when(col("__hx") > 0.0, col("__mi") / col("__hx")), 6)
+        .as("u_xy"),
+      // τ(Y|X) predicts Y from X: numerator Σ p_xy²/p_x against the
+      // no-information baseline Σ p_y² (and symmetrically for τ(X|Y))
+      round(when(col("__sy2") < 1.0,
+        (col("__txnum") - col("__sy2")) / (lit(1.0) - col("__sy2"))),
+        6).as("tau_yx"),
+      round(when(col("__sx2") < 1.0,
+        (col("__tynum") - col("__sx2")) / (lit(1.0) - col("__sx2"))),
+        6).as("tau_xy"))
+  }
+
+  /** DuckDB oracle for the q423 registration: X = documents.source,
+    * Y = documents.lang. */
+  val nominalAssocOracleSql: String =
+    """WITH cells AS (
+      |  SELECT source AS x, lang AS y, COUNT(*) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM cells),
+      |xm AS (SELECT x, SUM(n) AS nx FROM cells GROUP BY 1),
+      |ym AS (SELECT y, SUM(n) AS ny FROM cells GROUP BY 1),
+      |hx AS (SELECT -SUM((nx / nn) * LN(nx / nn)) AS h
+      |  FROM xm CROSS JOIN tot),
+      |hy AS (SELECT -SUM((ny / nn) * LN(ny / nn)) AS h
+      |  FROM ym CROSS JOIN tot),
+      |sx2 AS (SELECT SUM((nx / nn) * (nx / nn)) AS s
+      |  FROM xm CROSS JOIN tot),
+      |sy2 AS (SELECT SUM((ny / nn) * (ny / nn)) AS s
+      |  FROM ym CROSS JOIN tot),
+      |s AS (
+      |  SELECT ANY_VALUE(tot.nn) AS n,
+      |    SUM((c.n / tot.nn) * LN((c.n / tot.nn) /
+      |      ((xm.nx / tot.nn) * (ym.ny / tot.nn)))) AS mi,
+      |    SUM((c.n / tot.nn) * (c.n / tot.nn) / (xm.nx / tot.nn))
+      |      AS txnum,
+      |    SUM((c.n / tot.nn) * (c.n / tot.nn) / (ym.ny / tot.nn))
+      |      AS tynum
+      |  FROM cells c
+      |  JOIN xm ON c.x = xm.x JOIN ym ON c.y = ym.y
+      |  CROSS JOIN tot)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  ROUND(CASE WHEN hy.h > 0 THEN mi / hy.h END, 6) AS u_yx,
+      |  ROUND(CASE WHEN hx.h > 0 THEN mi / hx.h END, 6) AS u_xy,
+      |  ROUND(CASE WHEN sy2.s < 1.0
+      |    THEN (txnum - sy2.s) / (1.0 - sy2.s) END, 6) AS tau_yx,
+      |  ROUND(CASE WHEN sx2.s < 1.0
+      |    THEN (tynum - sx2.s) / (1.0 - sx2.s) END, 6) AS tau_xy
+      |FROM s, hx, hy, sx2, sy2""".stripMargin
 }

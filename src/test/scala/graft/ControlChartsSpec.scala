@@ -77,4 +77,66 @@ class ControlChartsSpec extends AnyFunSuite {
       .collect().head
     assert(rc.getLong(2) == 1L && rc.getDouble(3) == 0.0)
   }
+
+  test("cressie-read: identical mixes accept, a shifted mix rejects, " +
+    "and lambda=1 reduces to pearson chi2") {
+    // identical category mixes in both cohorts → CR = 0 exactly
+    val same = (for (b <- Seq(false, true); c <- Seq("x", "y", "z");
+      _ <- 1 to 10) yield (b, c)).toDF("b", "c")
+    val r0 = Drift.cressieRead(same, col("b"), col("c"))
+      .collect().head
+    assert(r0.getLong(0) == 3L && r0.getDouble(3) == 0.0 &&
+      !r0.getBoolean(4))
+    // strongly shifted mix rejects
+    val shift = ((1 to 90).map(_ => (false, "x")) ++
+      (1 to 10).map(_ => (false, "y")) ++
+      (1 to 10).map(_ => (true, "x")) ++
+      (1 to 90).map(_ => (true, "y"))).toDF("b", "c")
+    val r1 = Drift.cressieRead(shift, col("b"), col("c"))
+      .collect().head
+    assert(r1.getBoolean(4), s"cr=${r1.getDouble(3)}")
+    // λ = 1 IS Pearson's χ²: replay a hand 2x2 — cells a=30,b=10 /
+    // c=10,d=30: chi2 = n(ad−bc)²/(r1 r2 c1 c2) = 80·(800)²/40⁴
+    val hand = ((1 to 30).map(_ => (false, "x")) ++
+      (1 to 10).map(_ => (false, "y")) ++
+      (1 to 10).map(_ => (true, "x")) ++
+      (1 to 30).map(_ => (true, "y"))).toDF("b", "c")
+    val chi2 = 80.0 * math.pow(30.0 * 30 - 10.0 * 10, 2) /
+      (40.0 * 40 * 40 * 40)
+    val rP = Drift.cressieRead(hand, col("b"), col("c"), lambda = 1.0)
+      .collect().head
+    assert(math.abs(rP.getDouble(3) - chi2) < 1e-6,
+      s"cr=${rP.getDouble(3)} chi2=$chi2")
+  }
+
+  test("poisson rate ratio: equal rates accept, a 3x rate rejects") {
+    def ev(day: Int, weekend: Boolean, k: Int, id0: Long) = {
+      // weekend flag realized through the actual date: 2024-03-02/03
+      // are Sat/Sun; 2024-03-04..08 are weekdays
+      val dates = if (weekend) Seq(2, 3) else Seq(4, 5, 6, 7, 8)
+      val d = dates(day % dates.size)
+      (0 until k).map(i => (id0 + i, java.sql.Timestamp.valueOf(
+        f"2024-03-$d%02d 10:00:00"), 1L, "error", 1.0, "{}"))
+    }
+    import graft.operators.Drift
+    // 5 weekday days × 20/day vs 2 weekend days × 20/day: same rate
+    val eq = ((0 until 5).flatMap(d => ev(d, weekend = false, 20,
+      d * 1000L)) ++ (0 until 2).flatMap(d => ev(d, weekend = true,
+      20, 100000L + d * 1000L)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r0 = Drift.poissonRateRatio(eq,
+      dayofweek(col("ts")).isin(1, 7)).collect().head
+    assert(r0.getLong(2) == 5L && r0.getLong(3) == 2L)
+    assert(r0.getDouble(4) == 20.0 && r0.getDouble(5) == 20.0)
+    assert(r0.getDouble(6) == 1.0 && !r0.getBoolean(8))
+    // weekend rate 3x: 60/day on 2 weekend days
+    val hot = ((0 until 5).flatMap(d => ev(d, weekend = false, 20,
+      d * 1000L)) ++ (0 until 2).flatMap(d => ev(d, weekend = true,
+      60, 100000L + d * 1000L)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r1 = Drift.poissonRateRatio(hot,
+      dayofweek(col("ts")).isin(1, 7)).collect().head
+    assert(math.abs(r1.getDouble(6) - 20.0 / 60) < 1e-6)
+    assert(r1.getBoolean(8), s"z=${r1.getDouble(7)}")
+  }
 }

@@ -49,6 +49,54 @@ class OrdinalSpec extends AnyFunSuite {
     assert(r.getDouble(5) == 0.0)
   }
 
+  test("theil's U and GK tau replay hand-computed tables") {
+    // perfect determination X→Y (but not Y→X):
+    // X=1→Y=a (2), X=2→Y=a (2), X=3→Y=b (2): knowing X fixes Y
+    // partially — build a FULLY determining one instead:
+    // X∈{1,2}, Y=f(X): U(Y|X)=1, tau(Y|X)=1
+    val det = (Seq.fill(2)((1, "a")) ++ Seq.fill(3)((2, "b")))
+      .toDF("x", "y")
+    val r = Ordinal.nominalAssociation(det, col("x"), col("y"))
+      .collect().head
+    assert(r.getLong(0) == 5L)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)   // u_yx
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)   // tau_yx
+    // symmetric here (bijective) — both directions 1
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    // independence: uniform 2x2 → everything 0
+    val ind = (for (x <- 1 to 2; y <- Seq("a", "b"); _ <- 1 to 3)
+      yield (x, y)).toDF("x", "y")
+    val ri = Ordinal.nominalAssociation(ind, col("x"), col("y"))
+      .collect().head
+    assert(math.abs(ri.getDouble(1)) < 1e-9 &&
+      math.abs(ri.getDouble(3)) < 1e-9)
+    // constant Y: H(Y) = 0 and baseline error 0 → NULLs in the
+    // Y-direction, 0 in the X-direction (Y explains nothing of X)
+    val cy = Seq((1, "a"), (2, "a"), (3, "a")).toDF("x", "y")
+    val rc = Ordinal.nominalAssociation(cy, col("x"), col("y"))
+      .collect().head
+    assert(rc.isNullAt(1) && rc.isNullAt(3))
+    assert(rc.getDouble(2) == 0.0 && rc.getDouble(4) == 0.0)
+    // hand-replay of an ASYMMETRIC table: X=1→a only; X=2→{a,b}
+    // cells: (1,a)=2, (2,a)=1, (2,b)=1; n=4
+    val asym = (Seq.fill(2)((1, "a")) ++ Seq((2, "a"), (2, "b")))
+      .toDF("x", "y")
+    val ra = Ordinal.nominalAssociation(asym, col("x"), col("y"))
+      .collect().head
+    // H(Y): p_a=3/4, p_b=1/4; MI = Σ p ln(p/(px py))
+    def ln(d: Double) = math.log(d)
+    val hy = -(0.75 * ln(0.75) + 0.25 * ln(0.25))
+    val hx = -(0.5 * ln(0.5) + 0.5 * ln(0.5))
+    val mi = 0.5 * ln(0.5 / (0.5 * 0.75)) +
+      0.25 * ln(0.25 / (0.5 * 0.75)) +
+      0.25 * ln(0.25 / (0.5 * 0.25))
+    assert(math.abs(ra.getDouble(1) - mi / hy) < 1e-6)
+    assert(math.abs(ra.getDouble(2) - mi / hx) < 1e-6)
+    // tau(Y|X): Σ p_xy²/p_x = .25/.5 + .0625/.5 + .0625/.5 = 0.75;
+    // baseline Σ p_y² = 0.625 → (0.75−0.625)/0.375 = 1/3
+    assert(math.abs(ra.getDouble(3) - 1.0 / 3) < 1e-6)
+  }
+
   test("the registered fixture is sane on sf0.001") {
     val orders = graft.io.Sources.table(spark,
       "/root/testdata/sf0.001", "orders")
