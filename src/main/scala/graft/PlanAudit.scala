@@ -126,6 +126,8 @@ object PlanAudit {
     // nominal association: entropy/second-moment 1-row factors into
     // the contingency; Cressie-Read: the 1-row margins factor
     "q423_nominal_assoc", "q424_cressie_read",
+    // Grubbs: the 1-row moment factor into the calendar table
+    "q426_grubbs",
     // segment lift: BH family-size 1-row factor (ksBySliceFdr shape);
     // quantile lift: |levels|-row broadcast quantile table
     "q256_segment_lift", "q257_quantile_lift",

@@ -823,7 +823,10 @@ object ScaleProbe {
       "poisson_rate" -> (d =>
         graft.operators.Drift.poissonRateRatio(
           d.where(col("event_type") === "error"),
-          dayofweek(col("ts")).isin(1, 7)).count()))
+          dayofweek(col("ts")).isin(1, 7)).count()),
+      // calendar table + 1-row moment factor + ordered limit; the
+      // quantile chain is pure scalar arithmetic
+      "grubbs" -> (d => graft.operators.Outliers.grubbs(d).count()))
 
     (ops.map(o => (o._1, o._2, base, big)) ++
       embOps.map(o => (o._1, o._2, embBase, embBig)) ++

