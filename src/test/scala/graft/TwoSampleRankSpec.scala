@@ -74,6 +74,64 @@ class TwoSampleRankSpec extends AnyFunSuite {
     assert(rs.getBoolean(5), s"l=${rs.getDouble(4)}")
   }
 
+  test("differential: lepage moments equal brute-force enumeration " +
+    "on tied data") {
+    // deterministic tie-heavy sample: values k % 7 in cohorts by k % 2
+    val rows = (0 until 60).map(k => ((k % 2) == 1, (k % 7).toDouble))
+    val r = TwoSampleRank.lepage(rows.toDF("b", "m"), col("b"),
+      col("m")).collect().head
+    // brute force: midranks by sorting, exact hypergeometric moments
+    val xs = rows.map(_._2)
+    val sorted = xs.sorted
+    val midrank: Map[Double, Double] = xs.distinct.map { v =>
+      val idx = sorted.zipWithIndex.filter(_._1 == v).map(_._2 + 1)
+      v -> idx.sum.toDouble / idx.size
+    }.toMap
+    val n = xs.size.toDouble
+    def moments(score: Double => Double) = {
+      val all = xs.map(score)
+      val b = rows.filter(_._1).map(x => score(x._2))
+      val mean = all.sum / n
+      val v = all.map(s => s * s).sum / n - mean * mean
+      val t = b.sum
+      val nb = b.size.toDouble
+      (t - nb * mean) / math.sqrt(nb * (n - nb) / (n - 1) * v)
+    }
+    val zW = moments(v => midrank(v))
+    val zA = moments(v => math.min(midrank(v), n + 1 - midrank(v)))
+    assert(math.abs(r.getDouble(2) - zW) < 1e-6,
+      s"z_w=${r.getDouble(2)} brute=$zW")
+    assert(math.abs(r.getDouble(3) - zA) < 1e-6,
+      s"z_a=${r.getDouble(3)} brute=$zA")
+    assert(math.abs(r.getDouble(4) - (zW * zW + zA * zA)) < 1e-5)
+  }
+
+  test("differential: cucconi U/V equal brute-force rank sums " +
+    "on tied data") {
+    val rows = (0 until 50).map(k => ((k % 2) == 1, (k % 5).toDouble))
+    val r = TwoSampleRank.cucconi(rows.toDF("b", "m"), col("b"),
+      col("m")).collect().head
+    val xs = rows.map(_._2)
+    val sorted = xs.sorted
+    val midrank: Map[Double, Double] = xs.distinct.map { v =>
+      val idx = sorted.zipWithIndex.filter(_._1 == v).map(_._2 + 1)
+      v -> idx.sum.toDouble / idx.size
+    }.toMap
+    val n = xs.size.toDouble
+    val bR = rows.filter(_._1).map(x => midrank(x._2))
+    val nb = bR.size.toDouble; val na = n - nb
+    val s2 = bR.map(x => x * x).sum
+    val s2c = bR.map(x => (n + 1 - x) * (n + 1 - x)).sum
+    val den = math.sqrt(na * nb * (n + 1) * (2 * n + 1) *
+      (8 * n + 11) / 5)
+    val u = (6 * s2 - nb * (n + 1) * (2 * n + 1)) / den
+    val v = (6 * s2c - nb * (n + 1) * (2 * n + 1)) / den
+    assert(math.abs(r.getDouble(2) - u) < 1e-6,
+      s"u=${r.getDouble(2)} brute=$u")
+    assert(math.abs(r.getDouble(3) - v) < 1e-6,
+      s"v=${r.getDouble(3)} brute=$v")
+  }
+
   test("conover squared ranks: symmetric deviations give the exact null") {
     // A = {1,3,5} (mean 3, |dev| {2,0,2}), B = {2,4,6} (mean 4,
     // |dev| {2,0,2}): identical deviation multisets → T = E[T]
