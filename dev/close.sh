@@ -12,9 +12,12 @@
 #        dev/bench_<label>_close.json
 # and REFUSES to overwrite existing artifacts (pick a fresh label).
 # Steps: compile -> full test suite (SKIP_TESTS=1 to skip) ->
-# PlanAudit -> Verify+DuckDB parity at BOTH SFs -> bench at sf0.1 ->
-# query-count assertion (bench keys == verify dirs, zero failures) ->
-# gate-geomean / breach / regression report -> dirty-tree check.
+# PlanAudit -> Verify+DuckDB parity at BOTH SFs -> bench at sf0.1,
+# PER-QUERY MIN ACROSS BENCH_PASSES RUNS (default 3 — shared-box
+# contention swings single passes up to 4x; the min is the honest
+# steady state) -> query-count assertion (bench keys == verify dirs,
+# zero failures) -> gate-geomean / breach / regression report ->
+# dirty-tree check.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
