@@ -126,8 +126,9 @@ object PlanAudit {
     // nominal association: entropy/second-moment 1-row factors into
     // the contingency; Cressie-Read: the 1-row margins factor
     "q423_nominal_assoc", "q424_cressie_read",
-    // Grubbs: the 1-row moment factor into the calendar table
-    "q426_grubbs",
+    // Grubbs: the 1-row moment factor into the calendar table;
+    // GESD: the same factor once per remove-argmax round (k = 3)
+    "q426_grubbs", "q427_gesd",
     // segment lift: BH family-size 1-row factor (ksBySliceFdr shape);
     // quantile lift: |levels|-row broadcast quantile table
     "q256_segment_lift", "q257_quantile_lift",

@@ -741,6 +741,13 @@ object SparkEntry {
     "q426_grubbs" -> ((s, dir) =>
       graft.operators.Outliers.grubbs(t(s, dir, "events"))),
 
+    // ---- Generalized ESD (Rosner 1983, k = 3 unrolled): moments
+    //      re-estimated after each remove-argmax round, so paired
+    //      outliers can't mask each other the way they mask Grubbs;
+    //      flagged = every round up to the LAST significant one ----
+    "q427_gesd" -> ((s, dir) =>
+      graft.operators.Outliers.gesd(t(s, dir, "events"))),
+
     // ---- Quadratic-weighted Cohen's κ on ordinal length tertiles:
     //      the ordered-scale agreement q239's binary κ can't read ----
     "q404_weighted_kappa" -> ((s, dir) => {
@@ -4778,6 +4785,9 @@ object SparkEntry {
     "q426_grubbs" ->
       graft.operators.Outliers.grubbsOracleSql,
 
+    "q427_gesd" ->
+      graft.operators.Outliers.gesdOracleSql,
+
     "q201_sequence_pack" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -8139,6 +8149,8 @@ object SparkEntry {
       "rate_a*", "rate_b*", "rate_ratio*", "z*", "sig_95"),
     "q426_grubbs" -> Seq("n_days#", "mean*", "sd*", "g_stat*",
       "g_crit_95*", "sig_95", "worst_day"),
+    "q427_gesd" -> Seq("round#", "n_days#", "g_stat*",
+      "g_crit_95*", "worst_day", "flagged"),
     "q140_bpe_train" -> Seq("rank#", "left", "right", "merged",
       "cnt#"),
     "q162_mmr_rerank" -> Seq("query_id#", "neighbor_id#",

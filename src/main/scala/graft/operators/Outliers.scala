@@ -57,9 +57,23 @@ object Outliers {
         (nu * nu * nu * nu * 92160.0)
   }
 
+  /** Acklam's upper-tail rational needs p > 0.97575 and the
+    * Cornish–Fisher truncation bound is established for ν ≥ 19; with
+    * the n ≥ 21 output gate both hold for any α ≤ 0.1, so the domain
+    * is enforced here rather than silently mis-evaluated. */
+  private def requireAlphaInDomain(alpha: Double): Unit =
+    require(alpha > 0.0 && alpha <= 0.1,
+      s"alpha=$alpha outside (0, 0.1]: the Acklam upper-tail branch " +
+        "and the Cornish-Fisher nu>=19 accuracy bound only cover " +
+        "small tail probabilities")
+
   def grubbs(events: DataFrame, alpha: Double = 0.05): DataFrame = {
+    requireAlphaInDomain(alpha)
+    // calendar-bounded (one row per day) — persisted so the moment
+    // pass and the argmax pass share ONE scan of events
     val daily = events.groupBy(to_date(col("ts")).as("d"))
       .agg(sum("value").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = daily.agg(count(lit(1)).as("__n"), avg("y").as("__mu"),
       stddev_samp(col("y")).as("__sd"))
     val worst = daily.crossJoin(broadcast(m))   // 1-row moment factor
@@ -138,4 +152,154 @@ object Outliers {
       |  COALESCE(n >= 21 AND gs > gcrit, FALSE) AS sig_95,
       |  d AS worst_day
       |FROM g""".stripMargin
+
+  /** Generalized ESD (Rosner, Technometrics 1983), k = 3 rounds
+    * unrolled, on the daily revenue series. Fixes Grubbs' masking
+    * failure: two comparable outliers inflate s enough that neither
+    * clears the single-test critical value, while ESD re-estimates
+    * the moments after removing each round's argmax, so round i is
+    * exactly Grubbs applied to the n−i+1 surviving days (λ_i with
+    * n→n_i is algebraically Rosner's (n−i)·t/√((n−i−1+t²)(n−i+1))).
+    * The GESD decision rule — the outlier count is the LARGEST i with
+    * R_i > λ_i, not the first — is what defeats masking, and is
+    * emitted as `flagged` = (round ≤ last significant round).
+    *
+    * The daily table is calendar-bounded; it is persisted once, so
+    * events is scanned a single time and each round's moment/argmax
+    * passes are in-memory re-reads. Per-round critical values reuse
+    * the q426 Acklam + Cornish–Fisher chain verbatim (oracle-shared).
+    * One row per round `(round, n_days, g_stat, g_crit_95, worst_day,
+    * flagged)`, ordered by round. */
+  def gesd(events: DataFrame, alpha: Double = 0.05): DataFrame = {
+    requireAlphaInDomain(alpha)
+    val daily = events.groupBy(to_date(col("ts")).as("d"))
+      .agg(sum("value").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def worstOf(df: DataFrame, roundNo: Int): DataFrame = {
+      val m = df.agg(count(lit(1)).as("__n"), avg("y").as("__mu"),
+        stddev_samp(col("y")).as("__sd"))
+      df.crossJoin(broadcast(m))   // 1-row moment factor
+        .withColumn("__dev", abs(col("y") - col("__mu")))
+        .orderBy(col("__dev").desc, col("d").asc)
+        .limit(1)
+        .withColumn("__round", lit(roundNo))
+    }
+    val w1 = worstOf(daily, 1)
+    val d2 = daily.join(broadcast(w1.select(col("d"))), Seq("d"),
+      "left_anti")
+    val w2 = worstOf(d2, 2)
+    val d3 = d2.join(broadcast(w2.select(col("d"))), Seq("d"),
+      "left_anti")
+    val w3 = worstOf(d3, 3)
+    val rounds = w1.unionByName(w2).unionByName(w3)
+    val n = col("__n").cast("double")
+    val p = lit(1.0) - lit(alpha) / (n * 2.0)
+    val t = tFromZ(qnormUpper(p), n - 2.0)
+    val gCrit = (n - 1.0) / sqrt(n) *
+      sqrt(t * t / (n - 2.0 + t * t))
+    val g = when(col("__sd") > 0.0, col("__dev") / col("__sd"))
+    val flg = coalesce(col("__n") >= 21L && g > gCrit, lit(false))
+    val base = rounds.select(
+      col("__round").cast("bigint").as("round"),
+      col("__n").cast("bigint").as("n_days"),
+      round(g, 6).as("g_stat"),
+      round(when(col("__n") >= 21L, gCrit), 6).as("g_crit_95"),
+      col("d").cast("date").as("worst_day"),
+      flg.as("__flg"))
+    // GESD rule over the 3-row frame: flagged through the LAST
+    // significant round, even if an earlier round (masked) was not
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    base
+      .withColumn("__last",
+        max(when(col("__flg"), col("round"))).over(frame))
+      .select(col("round"), col("n_days"), col("g_stat"),
+        col("g_crit_95"), col("worst_day"),
+        coalesce(col("round") <= col("__last"), lit(false))
+          .as("flagged"))
+      .orderBy("round")
+  }
+
+  /** DuckDB oracle for [[gesd]] — three chained remove-argmax CTEs,
+    * then the identical Acklam + Cornish–Fisher chain applied to the
+    * unioned 3-row set with per-round n, and the last-significant-
+    * round GESD decision. */
+  val gesdOracleSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, SUM(value) AS y
+      |  FROM events GROUP BY 1),
+      |m1 AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(y) AS mu,
+      |    STDDEV_SAMP(y) AS sd FROM daily),
+      |w1 AS (
+      |  SELECT 1 AS r, daily.d, m1.n, m1.sd,
+      |    ABS(daily.y - m1.mu) AS dev
+      |  FROM daily CROSS JOIN m1
+      |  ORDER BY dev DESC, d ASC LIMIT 1),
+      |d2 AS (
+      |  SELECT * FROM daily WHERE d NOT IN (SELECT d FROM w1)),
+      |m2 AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(y) AS mu,
+      |    STDDEV_SAMP(y) AS sd FROM d2),
+      |w2 AS (
+      |  SELECT 2 AS r, d2.d, m2.n, m2.sd,
+      |    ABS(d2.y - m2.mu) AS dev
+      |  FROM d2 CROSS JOIN m2
+      |  ORDER BY dev DESC, d ASC LIMIT 1),
+      |d3 AS (
+      |  SELECT * FROM d2 WHERE d NOT IN (SELECT d FROM w2)),
+      |m3 AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(y) AS mu,
+      |    STDDEV_SAMP(y) AS sd FROM d3),
+      |w3 AS (
+      |  SELECT 3 AS r, d3.d, m3.n, m3.sd,
+      |    ABS(d3.y - m3.mu) AS dev
+      |  FROM d3 CROSS JOIN m3
+      |  ORDER BY dev DESC, d ASC LIMIT 1),
+      |rounds AS (
+      |  SELECT * FROM w1 UNION ALL SELECT * FROM w2
+      |  UNION ALL SELECT * FROM w3),
+      |qn AS (
+      |  SELECT *, SQRT(-2.0 * LN(1.0 - (1.0 - 0.05 / (2.0 * n))))
+      |    AS q
+      |  FROM rounds),
+      |zc AS (
+      |  SELECT *,
+      |    ((((((q * -7.784894002430293e-3 +
+      |      -0.3223964580411365) * q + -2.400758277161838) * q +
+      |      -2.549732539343734) * q + 4.374664141464968) * q +
+      |      2.938163982698783) /
+      |     ((((q * 7.784695709041462e-3 + 0.3224671290700398) * q +
+      |      2.445134137142996) * q + 3.754408661907416) * q + 1.0))
+      |      * -1.0 AS z
+      |  FROM qn),
+      |tc AS (
+      |  SELECT *,
+      |    z + (z * z * z + z) / ((n - 2.0) * 4.0) +
+      |    (5.0 * z * z * z * z * z + 16.0 * z * z * z + 3.0 * z) /
+      |      ((n - 2.0) * (n - 2.0) * 96.0) +
+      |    (3.0 * POW(z, 7) + 19.0 * POW(z, 5) + 17.0 * z * z * z -
+      |      15.0 * z) / (POW(n - 2.0, 3) * 384.0) +
+      |    (79.0 * POW(z, 9) + 776.0 * POW(z, 7) +
+      |      1482.0 * POW(z, 5) - 1920.0 * z * z * z - 945.0 * z) /
+      |      (POW(n - 2.0, 4) * 92160.0) AS t
+      |  FROM zc),
+      |g AS (
+      |  SELECT *,
+      |    (n - 1.0) / SQRT(n) * SQRT(t * t / (n - 2.0 + t * t))
+      |      AS gcrit,
+      |    CASE WHEN sd > 0 THEN dev / sd END AS gs
+      |  FROM tc),
+      |f AS (
+      |  SELECT *, COALESCE(n >= 21 AND gs > gcrit, FALSE) AS flg
+      |  FROM g),
+      |mx AS (
+      |  SELECT MAX(CASE WHEN flg THEN r END) AS lastflag FROM f)
+      |SELECT CAST(r AS BIGINT) AS round,
+      |  CAST(n AS BIGINT) AS n_days,
+      |  ROUND(gs, 6) AS g_stat,
+      |  ROUND(CASE WHEN n >= 21 THEN gcrit END, 6) AS g_crit_95,
+      |  d AS worst_day,
+      |  COALESCE(r <= (SELECT lastflag FROM mx), FALSE) AS flagged
+      |FROM f ORDER BY round""".stripMargin
 }
