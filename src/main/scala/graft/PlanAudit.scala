@@ -110,7 +110,9 @@ object PlanAudit {
     // Fleiss: the item-count/P̄ totals are a 1-row stat factor into
     // the category-marginal table; partition agreement: three 1-row
     // comb-sum factors combined scalar-wise
+    // Krippendorff α rides the same shape with variable raters
     "q410_fleiss_kappa", "q411_partition_agreement",
+    "q428_krippendorff_alpha",
     // daily-series randomness panel: the (n, h) totals are 1-row
     // stat factors into calendar-sized tables (the Bartels shape)
     "q413_cox_stuart", "q416_perm_entropy",

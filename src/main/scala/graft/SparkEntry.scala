@@ -648,6 +648,13 @@ object SparkEntry {
     "q410_fleiss_kappa" -> ((s, dir) =>
       graft.quality.Agreement.firstEventsFleiss(t(s, dir, "events"))),
 
+    // ---- Krippendorff's α (nominal): the q410 panel WITHOUT the
+    //      complete-item filter — variable raters per item, which
+    //      Fleiss' fixed-m design cannot read ----
+    "q428_krippendorff_alpha" -> ((s, dir) =>
+      graft.quality.Agreement.firstEventsKrippendorff(
+        t(s, dir, "events"))),
+
     // ---- Partition agreement (Rand / ARI / Fowlkes-Mallows):
     //      documents lang vs source as two corpus partitionings —
     //      pair-counting in closed form from the contingency ----
@@ -4736,6 +4743,9 @@ object SparkEntry {
     "q410_fleiss_kappa" ->
       graft.quality.Agreement.fleissOracleSql,
 
+    "q428_krippendorff_alpha" ->
+      graft.quality.Agreement.krippendorffOracleSql,
+
     "q411_partition_agreement" ->
       graft.operators.ClusterQuality.partitionAgreementOracleSql,
 
@@ -8117,6 +8127,8 @@ object SparkEntry {
       "f1*", "balanced_acc*", "informedness*"),
     "q410_fleiss_kappa" -> Seq("n_items#", "m_raters#", "k_cats#",
       "p_bar*", "p_exp*", "kappa*"),
+    "q428_krippendorff_alpha" -> Seq("n_items#", "n_ratings#",
+      "k_cats#", "d_obs*", "d_exp*", "alpha*"),
     "q411_partition_agreement" -> Seq("n#", "k_a#", "k_b#", "rand*",
       "ari*", "fowlkes_mallows*"),
     "q412_turning_points" -> Seq("n_days#", "t_points#", "e_t*",

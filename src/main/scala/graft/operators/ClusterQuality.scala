@@ -243,7 +243,9 @@ object ClusterQuality {
   val partitionAgreementOracleSql: String =
     """WITH cells AS (
       |  SELECT lang AS a, source AS b, COUNT(*) AS nij
-      |  FROM documents GROUP BY 1, 2),
+      |  FROM documents
+      |  WHERE lang IS NOT NULL AND source IS NOT NULL
+      |  GROUP BY 1, 2),
       |tp AS (
       |  SELECT CAST(SUM(nij) AS DOUBLE) AS n,
       |    COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb,

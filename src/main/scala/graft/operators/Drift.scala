@@ -1241,7 +1241,9 @@ object Drift {
       |      AS oa,
       |    SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END)
       |      AS ob
-      |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1),
       |tot AS (
       |  SELECT CAST(SUM(oa) AS DOUBLE) AS na,
       |    CAST(SUM(ob) AS DOUBLE) AS nb

@@ -184,7 +184,9 @@ object Ordinal {
   val nominalAssocOracleSql: String =
     """WITH cells AS (
       |  SELECT source AS x, lang AS y, COUNT(*) AS n
-      |  FROM documents GROUP BY 1, 2),
+      |  FROM documents
+      |  WHERE source IS NOT NULL AND lang IS NOT NULL
+      |  GROUP BY 1, 2),
       |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM cells),
       |xm AS (SELECT x, SUM(n) AS nx FROM cells GROUP BY 1),
       |ym AS (SELECT y, SUM(n) AS ny FROM cells GROUP BY 1),

@@ -301,7 +301,10 @@ object Agreement {
       |  FROM events WHERE ts IS NOT NULL),
       |cell AS (
       |  SELECT user_id, event_type, COUNT(*) AS nij
-      |  FROM r WHERE rn <= 5 GROUP BY 1, 2),
+      |  FROM r
+      |  WHERE rn <= 5 AND user_id IS NOT NULL
+      |    AND event_type IS NOT NULL
+      |  GROUP BY 1, 2),
       |full_items AS (
       |  SELECT user_id, SUM(nij) AS mi, SUM(nij * nij) AS sq
       |  FROM cell GROUP BY 1 HAVING SUM(nij) = 5),
@@ -324,4 +327,119 @@ object Agreement {
       |  ROUND(CASE WHEN cats.pe < 1.0
       |    THEN (it.pbar - cats.pe) / (1.0 - cats.pe) END, 6) AS kappa
       |FROM cats CROSS JOIN it""".stripMargin
+
+  /** Krippendorff's α, nominal metric (Krippendorff, Content
+    * Analysis, ch. 12): chance-corrected agreement that — unlike
+    * [[fleissKappa]]'s fixed-m design — accepts a VARIABLE number of
+    * raters per item; items with a single rating are excluded (they
+    * carry no pairable information), everything else contributes.
+    *
+    * Computed in the coincidence-matrix closed form without
+    * materializing the matrix: with n_uc the count of category c in
+    * item u and m_u = Σ_c n_uc,
+    *   Σ_c o_cc = Σ_u (Σ_c n_uc² − m_u)/(m_u − 1)   (pairable agreement)
+    *   n_c      = Σ_u n_uc,  n = Σ_c n_c
+    *   D_o = 1 − (Σ_c o_cc)/n
+    *   D_e = 1 − Σ_c n_c(n_c − 1)/(n(n − 1))
+    *   α   = 1 − D_o/D_e          (NULL when D_e = 0: one category)
+    *
+    * Scale shape (identical to Fleiss): one grouped count to the
+    * (item, category) table, an item-level reduction, a category-
+    * level reduction over included items, 1-row stat factor. One row
+    * `(n_items, n_ratings, k_cats, d_obs, d_exp, alpha)`. */
+  def krippendorffAlpha(df: DataFrame, item: Column,
+      category: Column): DataFrame = {
+    val cell = df.select(item.as("__i"), category.as("__c"))
+      .where(col("__i").isNotNull && col("__c").isNotNull)
+      .groupBy("__i", "__c").agg(count(lit(1)).as("__nij"))
+    // pairable items: at least two ratings (m need NOT be constant)
+    val full = cell.groupBy("__i")
+      .agg(sum("__nij").as("__mu"),
+        sum(col("__nij") * col("__nij")).as("__sq"))
+      .where(col("__mu") >= 2L)
+    val items = full.agg(
+      count(lit(1)).as("__nitems"),
+      sum("__mu").as("__n"),
+      sum((col("__sq") - col("__mu")).cast("double") /
+        (col("__mu").cast("double") - 1.0)).as("__agree"))
+    val cats = cell.join(full.select("__i"), Seq("__i"))
+      .groupBy("__c").agg(sum("__nij").as("__cj"))
+      .crossJoin(broadcast(items))   // 1-row stat factor
+      .agg(
+        first("__nitems").as("n_items"),
+        first("__n").as("__nr"),
+        count(lit(1)).as("k_cats"),
+        first("__agree").as("__ag"),
+        sum(col("__cj").cast("double") *
+          (col("__cj").cast("double") - 1.0)).as("__pairs"))
+    val nD = col("__nr").cast("double")
+    val dObs = lit(1.0) - col("__ag") / nD
+    val dExp = lit(1.0) - col("__pairs") / (nD * (nD - 1.0))
+    cats.select(
+      col("n_items").cast("bigint").as("n_items"),
+      col("__nr").cast("bigint").as("n_ratings"),
+      col("k_cats").cast("bigint").as("k_cats"),
+      round(dObs, 6).as("d_obs"),
+      round(dExp, 6).as("d_exp"),
+      round(when(dExp > 0.0, lit(1.0) - dObs / dExp), 6)
+        .as("alpha"))
+  }
+
+  /** The q428 registration: the q410 first-5-events panel WITHOUT
+    * the complete-item filter — users contribute their first ≤ 5
+    * event types however many they have (α handles the variable
+    * panel; single-event users drop as unpairable). */
+  def firstEventsKrippendorff(events: DataFrame,
+      m: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"),
+      col("event_id"))
+    val firstM = events
+      .where(col("ts").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= m)
+    krippendorffAlpha(firstM, col("user_id"), col("event_type"))
+  }
+
+  /** DuckDB oracle for [[firstEventsKrippendorff]] on events. */
+  val krippendorffOracleSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE ts IS NOT NULL),
+      |cell AS (
+      |  SELECT user_id, event_type, COUNT(*) AS nij
+      |  FROM r
+      |  WHERE rn <= 5 AND user_id IS NOT NULL
+      |    AND event_type IS NOT NULL
+      |  GROUP BY 1, 2),
+      |full_items AS (
+      |  SELECT user_id, SUM(nij) AS mi, SUM(nij * nij) AS sq
+      |  FROM cell GROUP BY 1 HAVING SUM(nij) >= 2),
+      |it AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_items,
+      |    CAST(SUM(mi) AS DOUBLE) AS n,
+      |    SUM((sq - mi) / (mi - 1.0)) AS agree
+      |  FROM full_items),
+      |catsum AS (
+      |  SELECT c.event_type, CAST(SUM(c.nij) AS DOUBLE) AS cj
+      |  FROM cell c JOIN full_items f ON c.user_id = f.user_id
+      |  GROUP BY 1),
+      |cats AS (
+      |  SELECT COUNT(*) AS k, SUM(cj * (cj - 1.0)) AS pairs
+      |  FROM catsum),
+      |fin AS (
+      |  SELECT it.n_items, it.n, cats.k,
+      |    1.0 - it.agree / it.n AS dobs,
+      |    1.0 - cats.pairs / (it.n * (it.n - 1.0)) AS dexp
+      |  FROM cats CROSS JOIN it)
+      |SELECT CAST(n_items AS BIGINT) AS n_items,
+      |  CAST(n AS BIGINT) AS n_ratings,
+      |  CAST(k AS BIGINT) AS k_cats,
+      |  ROUND(dobs, 6) AS d_obs,
+      |  ROUND(dexp, 6) AS d_exp,
+      |  ROUND(CASE WHEN dexp > 0 THEN 1.0 - dobs / dexp END, 6)
+      |    AS alpha
+      |FROM fin""".stripMargin
 }

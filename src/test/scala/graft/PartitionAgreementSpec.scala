@@ -111,4 +111,67 @@ class PartitionAgreementSpec extends AnyFunSuite {
       col("cat"), m = 2).collect().head
     assert(rs.isNullAt(5))
   }
+
+  test("krippendorff alpha replays a hand-computed variable-rater panel") {
+    // A:{a,a,b} B:{a,a} C:{b,b,b,c} D:{c} (unpairable, drops)
+    // agree: A (4+1−3)/2 = 1, B (4−2)/1 = 2, C (9+1−4)/3 = 2 → 5
+    // n = 9, D_o = 1 − 5/9 = 4/9
+    // n_a = 4, n_b = 4, n_c = 1 → D_e = 1 − 24/72 = 2/3
+    // α = 1 − (4/9)/(2/3) = 1/3
+    val df = Seq(("A", "a"), ("A", "a"), ("A", "b"),
+      ("B", "a"), ("B", "a"),
+      ("C", "b"), ("C", "b"), ("C", "b"), ("C", "c"),
+      ("D", "c")).toDF("item", "cat")
+    val r = graft.quality.Agreement.krippendorffAlpha(df,
+      col("item"), col("cat")).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 9L &&
+      r.getLong(2) == 3L)
+    assert(math.abs(r.getDouble(3) - 4.0 / 9) < 1e-6)
+    assert(math.abs(r.getDouble(4) - 2.0 / 3) < 1e-6)
+    assert(math.abs(r.getDouble(5) - 1.0 / 3) < 1e-6)
+    // perfect agreement across two categories: D_o = 0, α = 1
+    val perfect = Seq(("x", "a"), ("x", "a"), ("y", "b"), ("y", "b"))
+      .toDF("item", "cat")
+    val rp = graft.quality.Agreement.krippendorffAlpha(perfect,
+      col("item"), col("cat")).collect().head
+    assert(rp.getDouble(3) == 0.0 && rp.getDouble(5) == 1.0)
+    // a single category everywhere: D_e = 0 → NULL alpha
+    val one = Seq(("x", "a"), ("x", "a"), ("y", "a"), ("y", "a"))
+      .toDF("item", "cat")
+    val ro = graft.quality.Agreement.krippendorffAlpha(one,
+      col("item"), col("cat")).collect().head
+    assert(ro.isNullAt(5))
+  }
+
+  test("krippendorff alpha agrees with a brute coincidence-matrix computation") {
+    // deterministic pseudo-random panel: 40 items, 1..4 raters each
+    val ratings = for {
+      i <- 0 until 40
+      j <- 0 to i % 4
+    } yield (s"item$i", ("abcde" ((i * 7 + j * 13) % 5)).toString)
+    // independent implementation: explicit o_ck coincidence matrix
+    val byItem = ratings.groupBy(_._1).filter(_._2.size >= 2)
+    val cats = byItem.values.flatten.map(_._2).toSeq
+    val n = cats.size.toDouble
+    val catSet = cats.distinct
+    var diag = 0.0
+    for ((_, rs) <- byItem) {
+      val vs = rs.map(_._2)
+      val mu = vs.size
+      for (a <- vs.indices; b <- vs.indices if a != b && vs(a) == vs(b))
+        diag += 1.0 / (mu - 1)
+    }
+    val dObs = 1.0 - diag / n
+    val dExp = 1.0 - catSet.map(c => cats.count(_ == c).toDouble)
+      .map(x => x * (x - 1.0)).sum / (n * (n - 1.0))
+    val alpha = 1.0 - dObs / dExp
+    val r = graft.quality.Agreement.krippendorffAlpha(
+      ratings.toDF("item", "cat"), col("item"), col("cat"))
+      .collect().head
+    assert(r.getLong(0) == 30L, "items with >= 2 ratings")
+    assert(r.getLong(1).toDouble == n)
+    assert(math.abs(r.getDouble(3) - dObs) < 1.1e-6, s"d_obs $dObs")
+    assert(math.abs(r.getDouble(4) - dExp) < 1.1e-6, s"d_exp $dExp")
+    assert(math.abs(r.getDouble(5) - alpha) < 1.1e-6, s"alpha $alpha")
+  }
 }
