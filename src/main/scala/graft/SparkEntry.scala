@@ -655,6 +655,15 @@ object SparkEntry {
       graft.quality.Agreement.firstEventsKrippendorff(
         t(s, dir, "events"))),
 
+    // ---- Format-contract round-trips: the S5 CSV sink / S1 CSV scan
+    //      and the JSON-lines sink / S2 scan, audited against the
+    //      parquet source by an identical aggregate — quote escaping,
+    //      micros timestamps, and double formatting all pinned ----
+    "q429_csv_roundtrip" -> ((s, dir) =>
+      graft.io.RoundTrip.csvEvents(s, dir)),
+    "q430_jsonl_roundtrip" -> ((s, dir) =>
+      graft.io.RoundTrip.jsonlEvents(s, dir)),
+
     // ---- Partition agreement (Rand / ARI / Fowlkes-Mallows):
     //      documents lang vs source as two corpus partitionings —
     //      pair-counting in closed form from the contingency ----
@@ -4746,6 +4755,12 @@ object SparkEntry {
     "q428_krippendorff_alpha" ->
       graft.quality.Agreement.krippendorffOracleSql,
 
+    "q429_csv_roundtrip" ->
+      graft.io.RoundTrip.eventsSummaryOracleSql,
+
+    "q430_jsonl_roundtrip" ->
+      graft.io.RoundTrip.eventsSummaryOracleSql,
+
     "q411_partition_agreement" ->
       graft.operators.ClusterQuality.partitionAgreementOracleSql,
 
@@ -8129,6 +8144,10 @@ object SparkEntry {
       "p_bar*", "p_exp*", "kappa*"),
     "q428_krippendorff_alpha" -> Seq("n_items#", "n_ratings#",
       "k_cats#", "d_obs*", "d_exp*", "alpha*"),
+    "q429_csv_roundtrip" -> Seq("event_type", "n#", "users#",
+      "avg_value*", "props_chars#", "ts_min_us#", "ts_max_us#"),
+    "q430_jsonl_roundtrip" -> Seq("event_type", "n#", "users#",
+      "avg_value*", "props_chars#", "ts_min_us#", "ts_max_us#"),
     "q411_partition_agreement" -> Seq("n#", "k_a#", "k_b#", "rand*",
       "ari*", "fowlkes_mallows*"),
     "q412_turning_points" -> Seq("n_days#", "t_points#", "e_t*",

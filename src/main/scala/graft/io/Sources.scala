@@ -151,18 +151,21 @@ object Sources {
   /** Header CSV scan with enforced schema (S1; reference
     * `local_runner.py:52`). `mode=FAILFAST` makes malformed rows loud,
     * matching the reference's fail-on-violation posture. */
-  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      options: Map[String, String] = Map.empty): DataFrame =
     spark.read
       .option("header", "true")
       .option("mode", "FAILFAST")
+      .options(options)
       .schema(schema)
       .csv(path)
 
   /** JSON-lines scan (S2; reference `local_runner.py:49-51`). Line-
     * delimited is Spark's default JSON format, and an explicit schema
     * avoids the extra schema-inference pass over the data. */
-  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).json(path)
+  def jsonLines(spark: SparkSession, path: String, schema: StructType,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.options(options).schema(schema).json(path)
 
   /** Permissive CSV scan with a dead-letter column: rows that fail the
     * schema land in `_corrupt_record` (raw line preserved) instead of

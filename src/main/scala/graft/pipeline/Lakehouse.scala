@@ -179,7 +179,8 @@ object Lakehouse {
   /** CSV sink; complex columns (the web_events metadata map) are
     * JSON-encoded at the boundary, matching how the reference's pandas
     * writer stringifies dicts. */
-  def writeCsv(df: DataFrame, path: String): Unit = {
+  def writeCsv(df: DataFrame, path: String,
+      options: Map[String, String] = Map.empty): Unit = {
     val flat = df.schema.fields.foldLeft(df) { (acc, f) =>
       f.dataType match {
         case _: MapType | _: StructType | _: ArrayType =>
@@ -187,7 +188,8 @@ object Lakehouse {
         case _ => acc
       }
     }
-    flat.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+    flat.coalesce(1).write.mode("overwrite").option("header", "true")
+      .options(options).csv(path)
   }
 
   /** Expectation suite the merged fact snapshot must satisfy BEFORE a
