@@ -247,8 +247,9 @@ object PlanAudit {
     "q321_ind_discovery",
     // truncated recall: q20 baseline shape per m (broadcast query set)
     "q322_truncated_recall",
-    // Friedman: 1-row treatment-count + chi2 stat factors
-    "q325_friedman",
+    // Friedman: 1-row treatment-count + chi2 stat factors; Quade
+    // adds the month-bounded block-range-rank broadcast + F factor
+    "q325_friedman", "q431_quade",
     // Theil decomposition: 1-row total + identity stat factors
     "q326_theil",
     // alignment/uniformity: two 1-row stat factors composed at the end

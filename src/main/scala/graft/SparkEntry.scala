@@ -1169,6 +1169,15 @@ object SparkEntry {
         date_trunc("month", col("o_orderdate")),
         col("o_orderpriority"), col("o_totalprice"))),
 
+    // ---- Quade test: Friedman's block-weighted sibling — months
+    //      with a wider treatment spread carry more weight; exact
+    //      F statistic + dfs (quantile gate documented out) ----
+    "q431_quade" -> ((s, dir) =>
+      graft.operators.Homogeneity.quade(
+        t(s, dir, "orders"),
+        date_trunc("month", col("o_orderdate")),
+        col("o_orderpriority"), col("o_totalprice"))),
+
     // ---- Theil-T inequality decomposition of document length into
     //      between-source + within-source terms (exact identity) ----
     "q326_theil" -> ((s, dir) =>
@@ -5172,6 +5181,9 @@ object SparkEntry {
     "q325_friedman" ->
       graft.operators.Homogeneity.friedmanOracleSql,
 
+    "q431_quade" ->
+      graft.operators.Homogeneity.quadeOracleSql,
+
     "q326_theil" ->
       graft.operators.Inequality.theilOracleSql,
 
@@ -8218,6 +8230,8 @@ object SparkEntry {
       "conv_c#", "uplift*", "qini*"),
     "q334_cochran_q" -> Seq("treatment", "n_units#", "successes#",
       "rate*", "q_stat*", "df#"),
+    "q431_quade" -> Seq("treatment", "n_blocks#", "s_j*",
+      "f_stat*", "df1#", "df2#"),
     "q341_competing_risks" -> Seq("t_days#", "n_risk#", "d_purchase#",
       "d_error#", "cif_purchase*", "cif_error*"),
     "q344_simpsons" -> Seq("stratum", "n_treated#", "n_control#",

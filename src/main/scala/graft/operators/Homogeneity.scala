@@ -174,6 +174,137 @@ object Homogeneity {
       |FROM per_t CROSS JOIN stat
       |ORDER BY treatment""".stripMargin
 
+  /** Quade test (Quade, JASA 1979): the block-weighted sibling of
+    * [[friedman]] — blocks are ranked by their within-block RANGE, so
+    * months where treatments actually differ carry more weight than
+    * flat months (Friedman weights every complete block equally).
+    * Same (block, treatment, cell) design as q325: complete blocks
+    * only, ranks tie-broken by treatment.
+    *
+    * With Q_i the rank of block i's range among blocks (tie-broken by
+    * block), r_ij the within-block rank, S_ij = Q_i·(r_ij − (k+1)/2),
+    * S_j = Σ_i S_ij, A = Σ S_ij², B = (Σ_j S_j²)/b:
+    *   F = (b−1)·B / (A − B),  df = (k−1, (b−1)(k−1)).
+    * All S terms are integer/half-integer-valued, so the statistic is
+    * exact arithmetic on both engines.
+    *
+    * The 0.95 significance gate is deliberately OMITTED: no shared
+    * closed-form F quantile meets the accuracy bar — the Paulson/
+    * Wilson–Hilferty inversion was measured at |err| ≈ 7e-3 in the
+    * critical value at these df (exact incomplete-beta reference),
+    * 70× the 1e-4 bound this engine holds shared quantile machinery
+    * to (cf. the Acklam+Cornish–Fisher chain at 2e-6). The exact
+    * statistic plus its dfs is the [[anovaOneWay]] convention.
+    *
+    * Output: one row per treatment `(treatment, n_blocks, s_j,
+    * f_stat, df1, df2)` ordered by treatment, stat repeated per row
+    * (the Friedman convention); NULL F when A = B (perfect
+    * separation — significant at any level).
+    *
+    * Scale shape: corpus → blocks×treatments grouped agg; block
+    * table is month-bounded, so its global range-rank window is a
+    * bounded single-partition sort, and everything after is k- or
+    * b-bounded. */
+  def quade(df: DataFrame, block: Column, treatment: Column,
+      metric: Column): DataFrame = {
+    val cells = df
+      .select(block.as("b"), treatment.as("t"),
+        metric.cast("double").as("x"))
+      .where(col("b").isNotNull && col("t").isNotNull)
+      .groupBy("b", "t").agg(round(sum("x"), 2).as("cell"))
+    val k = cells.agg(countDistinct(col("t")).as("__k"))
+    val complete = cells
+      .withColumn("__nt", count(lit(1))
+        .over(Window.partitionBy("b")))
+      .crossJoin(broadcast(k))   // 1-row stat factor
+      .where(col("__nt") === col("__k"))
+    val ranked = complete.withColumn("r",
+      rank().over(Window.partitionBy("b")
+        .orderBy(col("cell"), col("t"))).cast("double"))
+    // month-bounded block table: range rank across blocks
+    val blocks = complete.groupBy("b")
+      .agg((max("cell") - min("cell")).as("__rng"))
+      .withColumn("q", rank()
+        .over(Window.orderBy(col("__rng"), col("b")))
+        .cast("double"))
+    val sij = ranked
+      .join(broadcast(blocks.select("b", "q")), Seq("b"))
+      .withColumn("s", col("q") *
+        (col("r") - (col("__k").cast("double") + 1.0) / 2.0))
+    val perT = sij.groupBy("t").agg(
+      count(lit(1)).as("n_blocks"), sum("s").as("s_j"),
+      first("__k").as("__k"))
+    val tot = sij.agg(sum(col("s") * col("s")).as("__A"))
+    val stat = perT.agg(
+        first("__k").cast("double").as("__kk"),
+        first("n_blocks").cast("double").as("__bb"),
+        sum(col("s_j") * col("s_j")).as("__sb2"))
+      .crossJoin(broadcast(tot))   // 1-row stat factor
+      .select(col("__kk"), col("__bb"),
+        (col("__sb2") / col("__bb")).as("__B"), col("__A"))
+      .select(
+        round(when(col("__A") > col("__B"),
+          (col("__bb") - 1.0) * col("__B") /
+            (col("__A") - col("__B"))), 6).as("f_stat"),
+        (col("__kk") - 1.0).cast("bigint").as("df1"),
+        ((col("__bb") - 1.0) * (col("__kk") - 1.0)).cast("bigint")
+          .as("df2"))
+    perT.crossJoin(broadcast(stat))   // 1-row stat factor
+      .select(col("t").as("treatment"), col("n_blocks"),
+        round(col("s_j"), 1).as("s_j"),
+        col("f_stat"), col("df1"), col("df2"))
+      .orderBy("treatment")
+  }
+
+  /** DuckDB oracle for [[quade]] on orders (block = order month,
+    * treatment = o_orderpriority, metric = o_totalprice). */
+  val quadeOracleSql: String =
+    """WITH cells AS (
+      |  SELECT DATE_TRUNC('month', o_orderdate) AS b,
+      |    o_orderpriority AS t,
+      |    ROUND(SUM(CAST(o_totalprice AS DOUBLE)), 2) AS cell
+      |  FROM orders
+      |  WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+      |  GROUP BY 1, 2),
+      |k AS (SELECT COUNT(DISTINCT t) AS k FROM cells),
+      |complete AS (
+      |  SELECT b, t, cell FROM (
+      |    SELECT b, t, cell, COUNT(*) OVER (PARTITION BY b) AS nt
+      |    FROM cells) CROSS JOIN k WHERE nt = k.k),
+      |ranked AS (
+      |  SELECT b, t, CAST(RANK() OVER (PARTITION BY b
+      |    ORDER BY cell, t) AS DOUBLE) AS r
+      |  FROM complete),
+      |blocks AS (
+      |  SELECT b, CAST(RANK() OVER (ORDER BY rng, b) AS DOUBLE) AS q
+      |  FROM (
+      |    SELECT b, MAX(cell) - MIN(cell) AS rng
+      |    FROM complete GROUP BY 1)),
+      |sij AS (
+      |  SELECT ranked.t,
+      |    blocks.q * (ranked.r -
+      |      ((SELECT k FROM k) + 1.0) / 2.0) AS s
+      |  FROM ranked JOIN blocks ON ranked.b = blocks.b),
+      |per_t AS (
+      |  SELECT t, COUNT(*) AS n_blocks, SUM(s) AS s_j
+      |  FROM sij GROUP BY 1),
+      |tot AS (SELECT SUM(s * s) AS a FROM sij),
+      |stat AS (
+      |  SELECT (SELECT k FROM k) AS kk,
+      |    MAX(CAST(n_blocks AS DOUBLE)) AS bb,
+      |    SUM(s_j * s_j) / MAX(CAST(n_blocks AS DOUBLE)) AS bq,
+      |    (SELECT a FROM tot) AS a
+      |  FROM per_t)
+      |SELECT per_t.t AS treatment, per_t.n_blocks,
+      |  ROUND(per_t.s_j, 1) AS s_j,
+      |  ROUND(CASE WHEN stat.a > stat.bq THEN
+      |    (stat.bb - 1.0) * stat.bq / (stat.a - stat.bq) END, 6)
+      |    AS f_stat,
+      |  CAST(stat.kk - 1 AS BIGINT) AS df1,
+      |  CAST((stat.bb - 1.0) * (stat.kk - 1.0) AS BIGINT) AS df2
+      |FROM per_t CROSS JOIN stat
+      |ORDER BY treatment""".stripMargin
+
   /** Cochran's Q test (Cochran, Biometrika 1950) — the k-treatment
     * generalization of McNemar (q310): across matched units (users),
     * do k BINARY outcomes (did the user perform each event type?)

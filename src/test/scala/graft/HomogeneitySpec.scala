@@ -83,6 +83,38 @@ class HomogeneitySpec extends AnyFunSuite {
     assert(r2.forall(_.getLong(1) == 12L), "hole block dropped")
   }
 
+  test("quade replays a hand-computed 5x3 panel with tied block ranges") {
+    // blocks (by date) x treatments a/b/c; ranges 2,8,1,15,8 — the
+    // tie between blocks 2 and 5 pins the (range, block) tie-break.
+    // Hand computation: S = (-15, 15, 0), A = 110, B = 90,
+    // F = (b-1)B/(A-B) = 4*90/20 = 18, df = (2, 8).
+    val rows = Seq(
+      ("2024-01-01", "a", 10.0), ("2024-01-01", "b", 12.0),
+      ("2024-01-01", "c", 11.0),
+      ("2024-02-01", "a", 20.0), ("2024-02-01", "b", 28.0),
+      ("2024-02-01", "c", 24.0),
+      ("2024-03-01", "a", 5.0), ("2024-03-01", "b", 6.0),
+      ("2024-03-01", "c", 5.5),
+      ("2024-04-01", "a", 30.0), ("2024-04-01", "b", 45.0),
+      ("2024-04-01", "c", 33.0),
+      ("2024-05-01", "a", 1.0), ("2024-05-01", "b", 9.0),
+      ("2024-05-01", "c", 2.0)).toDF("b", "t", "x")
+    val r = Homogeneity.quade(rows, col("b"), col("t"), col("x"))
+      .collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(r.forall(_.getLong(1) == 5L))
+    assert(r.map(_.getDouble(2)).toSeq == Seq(-15.0, 15.0, 0.0))
+    assert(r.forall(x => math.abs(x.getDouble(3) - 18.0) < 1e-9))
+    assert(r.forall(x => x.getLong(4) == 2L && x.getLong(5) == 8L))
+    // single block: A = B identically (Cauchy-Schwarz equality at
+    // b = 1) and df2 = 0 → NULL F
+    val sep = Seq(("2024-01-01", "a", 1.0), ("2024-01-01", "b", 2.0))
+      .toDF("b", "t", "x")
+    val rs = Homogeneity.quade(sep, col("b"), col("t"), col("x"))
+      .collect()
+    assert(rs.forall(x => x.isNullAt(3) && x.getLong(5) == 0L))
+  }
+
   test("theil: identity holds and equal values give zero") {
     val docs = Seq(("a", 100L), ("a", 200L), ("a", 400L),
       ("b", 1000L), ("b", 2000L), ("b", 4000L))
