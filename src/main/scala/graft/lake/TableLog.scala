@@ -19,11 +19,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, St
   * NEVER see a half-written commit (data lands fully before the
   * manifest appears), concurrent readers of version v are untouched by
   * later commits, and time travel is "read an older manifest".
-  * Commit = write data dirs → write manifest to a temp name → atomic
-  * `rename` into the log. Rename-if-absent is the optimistic
-  * concurrency check: on HDFS/local rename is atomic; on S3-class
-  * stores swap in a conditional-put (documented contract, same as
-  * delta-on-S3 needing a lock client).
+  * Commit = write data dirs → publish the manifest through the
+  * scheme's atomic create-if-absent primitive: hard link on `file:`,
+  * tmp + rename-if-absent on HDFS-like stores (the NameNode refuses
+  * an existing destination atomically), and a conditional full-object
+  * put (S3 If-None-Match) on object stores — where rename is a
+  * non-atomic COPY that on some stores overwrites, so it can never be
+  * the linearization point (the contract TableLogStressSpec's mock-S3
+  * shim pins).
   *
   * This solves the non-atomicity the overwrite-based writers accept:
   * dynamic partition overwrite commits partition-by-partition, but a
@@ -580,9 +583,15 @@ object TableLog {
     * the concurrent-appenders spec). On `file:` the atomic primitive
     * is a hard link (fails with FileAlreadyExistsException if the
     * destination exists); on HDFS-like stores rename itself refuses an
-    * existing destination atomically at the NameNode. S3-class stores
-    * need a conditional put / lock client — same contract as
-    * delta-on-S3, documented in the class scaladoc. */
+    * existing destination atomically at the NameNode. On S3-class
+    * stores rename is a non-atomic server-side COPY + DELETE (and the
+    * copy overwrites), so the manifest is published as ONE conditional
+    * full-object put instead: create-if-absent of the destination
+    * directly, no tmp — object stores expose whole objects atomically
+    * at completion, so no reader sees a partial manifest, and the
+    * store's If-None-Match check (which may surface at create or at
+    * close) picks exactly one winner. TableLogStressSpec's mock-S3
+    * shim pins this contract under an injected concurrent committer. */
   private def writeManifest(spark: SparkSession, path: String, v: Int,
       action: String, dirs: Seq[String],
       stats: Seq[TableStats.FileStats] = Seq.empty,
@@ -592,10 +601,7 @@ object TableLog {
       inputs: Seq[InputRef] = Seq.empty): Boolean = {
     val f = fs(spark, path)
     f.mkdirs(logDir(path))
-    val tmp = new Path(logDir(path),
-      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = f.create(tmp, false)
-    try out.write(((action +: dirs) ++
+    val bytes = ((action +: dirs) ++
         Seq("#t\t" + tsMs) ++
         activeRunId.value.map(r =>
           "#r\t" + java.net.URLEncoder.encode(r, "UTF-8")).toSeq ++
@@ -606,25 +612,50 @@ object TableLog {
         constraints.map(k => "#k\t" + k.name + "\t" +
           java.net.URLEncoder.encode(k.expr, "UTF-8")) ++
         TableStats.toLines(stats))
-      .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+      .mkString("\n").getBytes("UTF-8")
     val dest = manifestPath(path, v)
-    val won =
-      if (f.getScheme == "file") {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(dest.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      } else {
-        !f.exists(dest) && f.rename(tmp, dest)
+    if (conditionalPutSchemes(f.getScheme)) {
+      // Object store: no tmp — one conditional full-object put. A
+      // failed conditional put leaves nothing behind, and the check
+      // may surface at create OR at close (S3 checks If-None-Match
+      // when the upload completes).
+      try {
+        val out = f.create(dest, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
       }
-    if (f.getScheme == "file" || !won) f.delete(tmp, false)
-    won
+    } else {
+      val tmp = new Path(logDir(path),
+        s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = f.create(tmp, false)
+      try out.write(bytes) finally out.close()
+      val won =
+        if (f.getScheme == "file") {
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(dest.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        } else {
+          !f.exists(dest) && f.rename(tmp, dest)
+        }
+      if (f.getScheme == "file" || !won) f.delete(tmp, false)
+      won
+    }
   }
+
+  /** Stores whose `rename` is a non-atomic copy (possibly
+    * overwriting): the manifest publish must go through a conditional
+    * full-object put instead of tmp + rename. */
+  private val conditionalPutSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "oss", "cos",
+    "wasb", "wasbs", "abfs", "abfss")
 
   /** Commit retry budget: each loss re-reads the log and retries on the
     * next version, so the budget bounds tolerated writer contention,

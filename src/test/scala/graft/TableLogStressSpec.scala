@@ -234,4 +234,72 @@ class TableLogStressSpec extends AnyFunSuite {
     assert(rows(TableLog.read(spark, path)) ==
       Set((1L, "v1"), (2L, "acked-late"), (3L, "v3")))
   }
+
+  test("s3 semantics contract: on a store whose rename is an overwriting " +
+    "copy, the conditional-put publish picks one winner and the loser " +
+    "retries cleanly on the next version") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.impl", "graft.MockS3FileSystem")
+    val localBase =
+      Files.createTempDirectory("graft_mocks3").resolve("t").toString
+    val path = s"s3a://mockbucket$localBase"
+
+    // pin the hazard being modeled: rename on this store really is a
+    // non-atomic overwriting copy, so an exists-then-rename publish
+    // would silently destroy a concurrent winner
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(conf)
+    assert(f.isInstanceOf[MockS3FileSystem])
+    val hazardA = new org.apache.hadoop.fs.Path(path, "hazard_a")
+    val hazardB = new org.apache.hadoop.fs.Path(path, "hazard_b")
+    for ((p, s) <- Seq((hazardA, "a"), (hazardB, "b"))) {
+      val o = f.create(p, true); o.write(s.getBytes); o.close()
+    }
+    assert(f.rename(hazardA, hazardB), "overwriting-copy rename")
+    val got = new String(org.apache.hadoop.io.IOUtils
+      .readFullyToByteArray(f.open(hazardB)))
+    assert(got == "a", "rename silently overwrote the destination")
+
+    TableLog.commitAppend(spark, path,
+      Seq((1L, "v1")).toDF("id", "v"))
+
+    // inject a concurrent committer INSIDE writer A's conditional-put
+    // window (between its create of v2's manifest and its close): B
+    // commits v2 first, so A's If-None-Match check must fail at close
+    @volatile var fired = false
+    MockS3FileSystem.conditionalPutHook = _ =>
+      if (!fired) {
+        fired = true
+        TableLog.commitAppend(spark, path,
+          Seq((2L, "winner")).toDF("id", "v"))
+      }
+    val cA =
+      try TableLog.commitAppend(spark, path,
+        Seq((3L, "loser-retried")).toDF("id", "v"))
+      finally MockS3FileSystem.conditionalPutHook = _ => ()
+    assert(fired, "hook must have injected the concurrent committer")
+    // A lost version 2 to the injected winner and retried on v3
+    assert(cA.version == 3)
+
+    // the winner's snapshot is intact and the loser's abort leaked
+    // nothing into it
+    assert(rows(TableLog.read(spark, path, Some(2))) ==
+      Set((1L, "v1"), (2L, "winner")))
+    // the retried commit landed on top of the winner's snapshot
+    assert(rows(TableLog.read(spark, path)) ==
+      Set((1L, "v1"), (2L, "winner"), (3L, "loser-retried")))
+    assert(TableLog.history(spark, path).map(_.version) == Seq(1, 2, 3))
+
+    // loser left no tmp manifests and no orphaned data dirs
+    val logFiles = new java.io.File(s"$localBase/_graft_log")
+      .listFiles().map(_.getName).toSet
+    assert(logFiles == Set("v00000001.manifest", "v00000002.manifest",
+      "v00000003.manifest"), s"stray log files: $logFiles")
+    val dataDirs = new java.io.File(s"$localBase/data")
+      .listFiles().map(_.getName).toSet
+    val referenced = TableLog.history(spark, path)
+      .flatMap(_.dirs).map(_.stripPrefix("data/")).toSet
+    assert(dataDirs == referenced,
+      s"orphaned dirs: ${dataDirs.diff(referenced)}")
+  }
 }
