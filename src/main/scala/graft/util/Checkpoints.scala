@@ -26,6 +26,16 @@ import org.apache.spark.sql.DataFrame
   * The conf is read per call, so a session can flip modes between
   * queries; the SparkContext-level dir, once set, is reused unless
   * the conf names a different path.
+  *
+  * Retention: Spark does NOT delete reliable checkpoint data when the
+  * frame is garbage-collected unless
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` — a
+  * long-running session that checkpoints every iteration otherwise
+  * accumulates data under the directory without bound. Set the
+  * cleaner conf alongside [[ConfKey]] (or point [[ConfKey]] at a
+  * per-run directory and remove it when the run ends, which also
+  * covers data orphaned by a crashed driver — the cleaner only runs
+  * in a live JVM).
   */
 object Checkpoints {
 
@@ -39,10 +49,18 @@ object Checkpoints {
     spark.conf.getOption(ConfKey).map(_.trim).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        // install / switch the context dir only when needed — the
-        // resolved dir is fs-qualified, so compare by suffix
-        if (!sc.getCheckpointDir.exists(_.contains(dir)))
-          sc.setCheckpointDir(dir)
+        // install / switch the context dir only when needed.
+        // setCheckpointDir installs <dir>/<uuid> fs-qualified, so the
+        // installed dir matches iff it IS the qualified conf dir or
+        // sits directly under it — a path-boundary prefix test, not a
+        // substring test (".../ckpt" must not match ".../ckpt-a/uuid")
+        val hp = new org.apache.hadoop.fs.Path(dir)
+        val qualified = hp
+          .getFileSystem(sc.hadoopConfiguration)
+          .makeQualified(hp).toString
+        val installed = sc.getCheckpointDir.exists(d =>
+          d == qualified || d.startsWith(qualified + "/"))
+        if (!installed) sc.setCheckpointDir(dir)
         df.checkpoint(eager = true)
       case None =>
         df.localCheckpoint(eager = true)

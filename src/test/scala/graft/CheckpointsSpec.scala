@@ -44,6 +44,35 @@ class CheckpointsSpec extends AnyFunSuite {
     } finally spark.conf.unset(Checkpoints.ConfKey)
   }
 
+  test("switching to a dir that is a SUBSTRING of the installed one " +
+    "really switches (no substring-match false positive)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_sw").toString
+    val longDir = s"$base/ckpt-a"   // installed first
+    val shortDir = s"$base/ckpt"    // a substring of longDir
+    spark.conf.set(Checkpoints.ConfKey, longDir)
+    try {
+      Checkpoints.truncate((1 to 10).toDF("x")).count()
+      val afterLong = spark.sparkContext.getCheckpointDir.get
+      assert(afterLong.contains("ckpt-a"))
+      // flip the conf to the substring dir: data must now land THERE
+      spark.conf.set(Checkpoints.ConfKey, shortDir)
+      Checkpoints.truncate((1 to 10).toDF("x")).count()
+      val afterShort = spark.sparkContext.getCheckpointDir.get
+      assert(afterShort != afterLong &&
+        !afterShort.contains("ckpt-a") && afterShort.contains("ckpt"),
+        s"checkpoint dir did not switch: $afterShort")
+      val files = java.nio.file.Files
+        .walk(java.nio.file.Paths.get(shortDir))
+        .toArray.map(_.toString)
+      assert(files.exists(_.contains("rdd-")),
+        s"no rdd data under the switched dir $shortDir")
+      // and the same dir re-set is NOT reinstalled (uuid unchanged)
+      Checkpoints.truncate((1 to 10).toDF("x")).count()
+      assert(spark.sparkContext.getCheckpointDir.get == afterShort)
+    } finally spark.conf.unset(Checkpoints.ConfKey)
+  }
+
   test("an iterative operator runs correctly under reliable mode") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_ckpt_pr").toString
