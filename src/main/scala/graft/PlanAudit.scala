@@ -248,8 +248,9 @@ object PlanAudit {
     // truncated recall: q20 baseline shape per m (broadcast query set)
     "q322_truncated_recall",
     // Friedman: 1-row treatment-count + chi2 stat factors; Quade
-    // adds the month-bounded block-range-rank broadcast + F factor
-    "q325_friedman", "q431_quade",
+    // adds the month-bounded block-range-rank broadcast + F factor;
+    // Conover-Iman adds the k²-bounded pair grid + t-crit factor
+    "q325_friedman", "q431_quade", "q432_conover_iman",
     // Theil decomposition: 1-row total + identity stat factors
     "q326_theil",
     // alignment/uniformity: two 1-row stat factors composed at the end

@@ -1178,6 +1178,15 @@ object SparkEntry {
         date_trunc("month", col("o_orderdate")),
         col("o_orderpriority"), col("o_totalprice"))),
 
+    // ---- Conover-Iman post-hoc: WHICH priority pairs differ once
+    //      q325's Friedman omnibus fires — Bonferroni-per-pair t
+    //      gate on the shared Acklam+Cornish-Fisher chain ----
+    "q432_conover_iman" -> ((s, dir) =>
+      graft.operators.Homogeneity.conoverIman(
+        t(s, dir, "orders"),
+        date_trunc("month", col("o_orderdate")),
+        col("o_orderpriority"), col("o_totalprice"))),
+
     // ---- Theil-T inequality decomposition of document length into
     //      between-source + within-source terms (exact identity) ----
     "q326_theil" -> ((s, dir) =>
@@ -5184,6 +5193,9 @@ object SparkEntry {
     "q431_quade" ->
       graft.operators.Homogeneity.quadeOracleSql,
 
+    "q432_conover_iman" ->
+      graft.operators.Homogeneity.conoverImanOracleSql,
+
     "q326_theil" ->
       graft.operators.Inequality.theilOracleSql,
 
@@ -8232,6 +8244,8 @@ object SparkEntry {
       "rate*", "q_stat*", "df#"),
     "q431_quade" -> Seq("treatment", "n_blocks#", "s_j*",
       "f_stat*", "df1#", "df2#"),
+    "q432_conover_iman" -> Seq("t_a", "t_b", "r_a*", "r_b*",
+      "t_stat*", "t_crit*", "sig_bonf", "df#"),
     "q341_competing_risks" -> Seq("t_days#", "n_risk#", "d_purchase#",
       "d_error#", "cif_purchase*", "cif_error*"),
     "q344_simpsons" -> Seq("stratum", "n_treated#", "n_control#",

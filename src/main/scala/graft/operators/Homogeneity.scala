@@ -101,22 +101,30 @@ object Homogeneity {
     *
     * Scale shape: corpus → blocks×treatments grouped agg; every
     * window after that is k-bounded per block. */
-  def friedman(df: DataFrame, block: Column, treatment: Column,
-      metric: Column): DataFrame = {
+  /** Complete-block cells with within-block ranks — the shared front
+    * half of [[friedman]], [[quade]] and [[conoverIman]]: columns
+    * `(b, t, cell, __k, r)`, blocks missing any treatment dropped,
+    * ranks tie-broken by treatment. */
+  private def rankedCells(df: DataFrame, block: Column,
+      treatment: Column, metric: Column): DataFrame = {
     val cells = df
       .select(block.as("b"), treatment.as("t"),
         metric.cast("double").as("x"))
       .where(col("b").isNotNull && col("t").isNotNull)
       .groupBy("b", "t").agg(round(sum("x"), 2).as("cell"))
     val k = cells.agg(countDistinct(col("t")).as("__k"))
-    val complete = cells
+    cells
       .withColumn("__nt", count(lit(1))
         .over(Window.partitionBy("b")))
       .crossJoin(broadcast(k))   // 1-row stat factor
       .where(col("__nt") === col("__k"))
-    val ranked = complete.withColumn("r",
-      rank().over(Window.partitionBy("b")
+      .withColumn("r", rank().over(Window.partitionBy("b")
         .orderBy(col("cell"), col("t"))).cast("double"))
+  }
+
+  def friedman(df: DataFrame, block: Column, treatment: Column,
+      metric: Column): DataFrame = {
+    val ranked = rankedCells(df, block, treatment, metric)
     val perT = ranked.groupBy("t").agg(
       count(lit(1)).as("n_blocks"), sum("r").as("rank_sum"),
       first("__k").as("__k"))
@@ -207,22 +215,9 @@ object Homogeneity {
     * b-bounded. */
   def quade(df: DataFrame, block: Column, treatment: Column,
       metric: Column): DataFrame = {
-    val cells = df
-      .select(block.as("b"), treatment.as("t"),
-        metric.cast("double").as("x"))
-      .where(col("b").isNotNull && col("t").isNotNull)
-      .groupBy("b", "t").agg(round(sum("x"), 2).as("cell"))
-    val k = cells.agg(countDistinct(col("t")).as("__k"))
-    val complete = cells
-      .withColumn("__nt", count(lit(1))
-        .over(Window.partitionBy("b")))
-      .crossJoin(broadcast(k))   // 1-row stat factor
-      .where(col("__nt") === col("__k"))
-    val ranked = complete.withColumn("r",
-      rank().over(Window.partitionBy("b")
-        .orderBy(col("cell"), col("t"))).cast("double"))
+    val ranked = rankedCells(df, block, treatment, metric)
     // month-bounded block table: range rank across blocks
-    val blocks = complete.groupBy("b")
+    val blocks = ranked.groupBy("b")
       .agg((max("cell") - min("cell")).as("__rng"))
       .withColumn("q", rank()
         .over(Window.orderBy(col("__rng"), col("b")))
@@ -304,6 +299,148 @@ object Homogeneity {
       |  CAST((stat.bb - 1.0) * (stat.kk - 1.0) AS BIGINT) AS df2
       |FROM per_t CROSS JOIN stat
       |ORDER BY treatment""".stripMargin
+
+  /** Conover–Iman post-hoc for the Friedman design (Conover, Practical
+    * Nonparametric Statistics 3e, §5.8): WHICH treatment pairs differ
+    * once q325's omnibus fires. For pair (j,l):
+    *   t = |R_j − R_l| / √(2b(A − B)/((b−1)(k−1))),
+    * with A = Σ r², B = ΣR_j²/b, referred to Student's t at
+    * df = (b−1)(k−1). The per-pair level is Bonferroni-corrected to
+    * α/m over the m = k(k−1)/2 pairs — which is also what keeps the
+    * shared Acklam chain in its p > 0.97575 upper-tail domain
+    * (1 − α/(2m) ≥ 0.9875 for m ≥ 2); the critical value is NULL
+    * below the m ≥ 2 / df ≥ 19 accuracy floor, mirroring q426. When
+    * A = B (perfectly consistent rankings, se = 0) every unequal
+    * rank-sum pair differs at any level — Conover's convention.
+    *
+    * Output: one row per unordered pair `(t_a, t_b, r_a, r_b, t_stat,
+    * t_crit, sig_bonf)` ordered by (t_a, t_b). Scale shape: the
+    * [[rankedCells]] front half, then k-row reductions and a
+    * k²-bounded pair grid. */
+  def conoverIman(df: DataFrame, block: Column, treatment: Column,
+      metric: Column, alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0.0 && alpha <= 0.1,
+      s"alpha=$alpha outside (0, 0.1]")
+    val ranked = rankedCells(df, block, treatment, metric)
+    val perT = ranked.groupBy("t").agg(
+      count(lit(1)).as("n_blocks"), sum("r").as("r_j"),
+      first("__k").as("__k"))
+    val tot = ranked.agg(sum(col("r") * col("r")).as("__A"))
+    val stat = perT.agg(
+        first("__k").cast("double").as("__kk"),
+        first("n_blocks").cast("double").as("__bb"),
+        sum(col("r_j") * col("r_j")).as("__sr2"))
+      .crossJoin(broadcast(tot))   // 1-row stat factor
+      .select(col("__kk"), col("__bb"), col("__A"),
+        (col("__sr2") / col("__bb")).as("__B"))
+      .select(
+        (col("__bb") * 2.0 * (col("__A") - col("__B")) /
+          ((col("__bb") - 1.0) * (col("__kk") - 1.0))).as("__se2"),
+        ((col("__bb") - 1.0) * (col("__kk") - 1.0)).as("__df"),
+        (col("__kk") * (col("__kk") - 1.0) / 2.0).as("__m"))
+    val p = lit(1.0) - lit(alpha) / (col("__m") * 2.0)
+    val tq = Outliers.tFromZ(Outliers.qnormUpper(p), col("__df"))
+    val statC = stat.select(col("__se2"),
+      col("__df").cast("bigint").as("df"),
+      when(col("__m") >= 2.0 && col("__df") >= 19.0, tq)
+        .as("__crit"))
+    val pairs = perT.as("a")
+      .join(perT.as("b"), col("a.t") < col("b.t"))   // k²-bounded grid
+      .select(col("a.t").as("t_a"), col("b.t").as("t_b"),
+        col("a.r_j").as("__ra"), col("b.r_j").as("__rb"))
+      .crossJoin(broadcast(statC))   // 1-row stat factor
+    val tstat = when(col("__se2") > 0.0,
+      abs(col("__ra") - col("__rb")) / sqrt(col("__se2")))
+    pairs.select(
+        col("t_a"), col("t_b"),
+        round(col("__ra"), 1).as("r_a"),
+        round(col("__rb"), 1).as("r_b"),
+        round(tstat, 6).as("t_stat"),
+        round(col("__crit"), 6).as("t_crit"),
+        when(col("__se2") === 0.0, col("__ra") =!= col("__rb"))
+          .otherwise(coalesce(tstat > col("__crit"), lit(false)))
+          .as("sig_bonf"),
+        col("df"))
+      .orderBy("t_a", "t_b")
+  }
+
+  /** DuckDB oracle for [[conoverIman]] on the q325 design. */
+  val conoverImanOracleSql: String =
+    """WITH cells AS (
+      |  SELECT DATE_TRUNC('month', o_orderdate) AS b,
+      |    o_orderpriority AS t,
+      |    ROUND(SUM(CAST(o_totalprice AS DOUBLE)), 2) AS cell
+      |  FROM orders
+      |  WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+      |  GROUP BY 1, 2),
+      |k AS (SELECT COUNT(DISTINCT t) AS k FROM cells),
+      |complete AS (
+      |  SELECT b, t, cell FROM (
+      |    SELECT b, t, cell, COUNT(*) OVER (PARTITION BY b) AS nt
+      |    FROM cells) CROSS JOIN k WHERE nt = k.k),
+      |ranked AS (
+      |  SELECT b, t, CAST(RANK() OVER (PARTITION BY b
+      |    ORDER BY cell, t) AS DOUBLE) AS r
+      |  FROM complete),
+      |per_t AS (
+      |  SELECT t, COUNT(*) AS n_blocks, SUM(r) AS r_j
+      |  FROM ranked GROUP BY 1),
+      |tot AS (SELECT SUM(r * r) AS a FROM ranked),
+      |st AS (
+      |  SELECT (SELECT k FROM k) AS kk,
+      |    MAX(CAST(n_blocks AS DOUBLE)) AS bb,
+      |    (SELECT a FROM tot) AS a,
+      |    SUM(r_j * r_j) / MAX(CAST(n_blocks AS DOUBLE)) AS bq
+      |  FROM per_t),
+      |se AS (
+      |  SELECT
+      |    bb * 2.0 * (a - bq) / ((bb - 1.0) * (kk - 1.0)) AS se2,
+      |    (bb - 1.0) * (kk - 1.0) AS df,
+      |    kk * (kk - 1.0) / 2.0 AS m
+      |  FROM st),
+      |qn AS (
+      |  SELECT *,
+      |    SQRT(-2.0 * LN(1.0 - (1.0 - 0.05 / (2.0 * m)))) AS q
+      |  FROM se),
+      |zc AS (
+      |  SELECT *,
+      |    ((((((q * -7.784894002430293e-3 +
+      |      -0.3223964580411365) * q + -2.400758277161838) * q +
+      |      -2.549732539343734) * q + 4.374664141464968) * q +
+      |      2.938163982698783) /
+      |     ((((q * 7.784695709041462e-3 + 0.3224671290700398) * q +
+      |      2.445134137142996) * q + 3.754408661907416) * q + 1.0))
+      |      * -1.0 AS z
+      |  FROM qn),
+      |tc AS (
+      |  SELECT *,
+      |    z + (z * z * z + z) / (df * 4.0) +
+      |    (5.0 * z * z * z * z * z + 16.0 * z * z * z + 3.0 * z) /
+      |      (df * df * 96.0) +
+      |    (3.0 * POW(z, 7) + 19.0 * POW(z, 5) + 17.0 * z * z * z -
+      |      15.0 * z) / (POW(df, 3) * 384.0) +
+      |    (79.0 * POW(z, 9) + 776.0 * POW(z, 7) +
+      |      1482.0 * POW(z, 5) - 1920.0 * z * z * z - 945.0 * z) /
+      |      (POW(df, 4) * 92160.0) AS tq
+      |  FROM zc),
+      |cr AS (
+      |  SELECT se2, CAST(df AS BIGINT) AS df,
+      |    CASE WHEN m >= 2 AND df >= 19 THEN tq END AS crit
+      |  FROM tc),
+      |pairs AS (
+      |  SELECT a.t AS t_a, b.t AS t_b, a.r_j AS ra, b.r_j AS rb
+      |  FROM per_t a JOIN per_t b ON a.t < b.t)
+      |SELECT t_a, t_b,
+      |  ROUND(ra, 1) AS r_a, ROUND(rb, 1) AS r_b,
+      |  ROUND(CASE WHEN se2 > 0 THEN ABS(ra - rb) / SQRT(se2) END, 6)
+      |    AS t_stat,
+      |  ROUND(crit, 6) AS t_crit,
+      |  CASE WHEN se2 = 0 THEN ra <> rb
+      |    ELSE COALESCE(ABS(ra - rb) / SQRT(se2) > crit, FALSE) END
+      |    AS sig_bonf,
+      |  df
+      |FROM pairs CROSS JOIN cr
+      |ORDER BY t_a, t_b""".stripMargin
 
   /** Cochran's Q test (Cochran, Biometrika 1950) — the k-treatment
     * generalization of McNemar (q310): across matched units (users),

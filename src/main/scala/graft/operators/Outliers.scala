@@ -28,8 +28,9 @@ import org.apache.spark.sql.functions._
 object Outliers {
 
   /** Acklam's inverse normal CDF, UPPER-TAIL branch only (valid for
-    * p > 0.97575): z = −r(q), q = √(−2·ln(1−p)). */
-  private def qnormUpper(p: Column): Column = {
+    * p > 0.97575): z = −r(q), q = √(−2·ln(1−p)). Shared with the
+    * Conover–Iman post-hoc ([[Homogeneity.conoverIman]]). */
+  private[operators] def qnormUpper(p: Column): Column = {
     val q = sqrt(log(lit(1.0) - p) * -2.0)
     val num = ((((q * -7.784894002430293e-3 +
       lit(-0.3223964580411365)) * q + lit(-2.400758277161838)) * q +
@@ -45,7 +46,7 @@ object Outliers {
 
   /** Cornish–Fisher t quantile from the normal quantile z at ν df
     * (Fisher & Cornish, Technometrics 1960, terms to ν⁻⁴). */
-  private def tFromZ(z: Column, nu: Column): Column = {
+  private[operators] def tFromZ(z: Column, nu: Column): Column = {
     val z2 = z * z
     z + (z * z2 + z) / (nu * 4.0) +
       (z * z2 * z2 * 5.0 + z * z2 * 16.0 + z * 3.0) /

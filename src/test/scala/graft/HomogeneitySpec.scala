@@ -115,6 +115,42 @@ class HomogeneitySpec extends AnyFunSuite {
     assert(rs.forall(x => x.isNullAt(3) && x.getLong(5) == 0L))
   }
 
+  test("conover-iman post-hoc separates planted pairs and spares the tied pair") {
+    // 25 blocks, 4 treatments: t0/t1 swap order block-by-block (rank
+    // sums 37 vs 38 — indistinguishable), t2/t3 always rank 3rd/4th.
+    // Hand computation: A = 750, B = 737.52, se² = 8.6667, df = 72,
+    // m = 6 → Bonferroni level 1 − 0.05/12, crit = 2.713108;
+    // t(0,1) = 1/2.9439 = 0.3397 (ns), every other pair ≥ 8.49 (sig).
+    val rows = for {
+      i <- 0 until 25
+      (t, x) <- Seq(
+        ("t0", if (i % 2 == 1) 0.1 else 0.0),
+        ("t1", if (i % 2 == 1) 0.0 else 0.1),
+        ("t2", 2.0), ("t3", 3.0))
+    } yield (f"2020-${i / 28 + 1}%02d-${i % 28 + 1}%02d", t, x)
+    val r = Homogeneity.conoverIman(rows.toDF("b", "t", "x"),
+      col("b"), col("t"), col("x")).collect()
+    assert(r.length == 6)
+    val byPair = r.map(x =>
+      (x.getString(0), x.getString(1)) -> x).toMap
+    assert(r.forall(_.getLong(7) == 72L))
+    assert(math.abs(byPair(("t0", "t1")).getDouble(5) - 2.713108) < 1e-4,
+      s"crit=${byPair(("t0", "t1")).getDouble(5)}")
+    assert(math.abs(byPair(("t0", "t1")).getDouble(4) - 0.339683) < 1e-4)
+    assert(!byPair(("t0", "t1")).getBoolean(6), "tied pair must be ns")
+    assert(r.filterNot(x => x.getString(0) == "t0" &&
+      x.getString(1) == "t1").forall(_.getBoolean(6)),
+      "planted pairs must all be significant")
+    // perfectly consistent rankings: se = 0 → NULL stat, unequal
+    // rank sums still read as different (Conover's convention)
+    val consistent = (1 to 25).flatMap(b =>
+      (1 to 4).map(t => (s"b$b%02d", s"t$t", t * 10.0)))
+      .toDF("b", "t", "x")
+    val rc = Homogeneity.conoverIman(consistent, col("b"), col("t"),
+      col("x")).collect()
+    assert(rc.forall(x => x.isNullAt(4) && x.getBoolean(6)))
+  }
+
   test("theil: identity holds and equal values give zero") {
     val docs = Seq(("a", 100L), ("a", 200L), ("a", 400L),
       ("b", 1000L), ("b", 2000L), ("b", 4000L))
