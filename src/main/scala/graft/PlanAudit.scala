@@ -104,6 +104,8 @@ object PlanAudit {
     // 1-row stat factor into the value-frequency table; Conover
     // adds the 2-value cohort-means factor
     "q405_cucconi", "q406_lepage", "q407_conover_sqranks",
+    // BWS: the 1-row cohort-counts factor into the ranked corpus
+    "q433_bws",
     // ordinal association: the 25-cell contingency self-pairing is
     // the q176 postcard-grid shape plus 1-row margin factors
     "q408_ordinal_assoc",

@@ -1187,6 +1187,14 @@ object SparkEntry {
         date_trunc("month", col("o_orderdate")),
         col("o_orderpriority"), col("o_totalprice"))),
 
+    // ---- Baumgartner-Weiss-Schindler two-sample: variance-weighted
+    //      rank discrepancy (tail-sensitive where KS/CvM are blind),
+    //      urgent vs non-urgent order values ----
+    "q433_bws" -> ((s, dir) =>
+      graft.operators.TwoSampleRank.bws(t(s, dir, "orders"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        col("o_totalprice"), col("o_orderkey"))),
+
     // ---- Theil-T inequality decomposition of document length into
     //      between-source + within-source terms (exact identity) ----
     "q326_theil" -> ((s, dir) =>
@@ -5196,6 +5204,9 @@ object SparkEntry {
     "q432_conover_iman" ->
       graft.operators.Homogeneity.conoverImanOracleSql,
 
+    "q433_bws" ->
+      graft.operators.TwoSampleRank.bwsOracleSql,
+
     "q326_theil" ->
       graft.operators.Inequality.theilOracleSql,
 
@@ -8246,6 +8257,8 @@ object SparkEntry {
       "f_stat*", "df1#", "df2#"),
     "q432_conover_iman" -> Seq("t_a", "t_b", "r_a*", "r_b*",
       "t_stat*", "t_crit*", "sig_bonf", "df#"),
+    "q433_bws" -> Seq("n_a#", "n_b#", "b_a*", "b_b*", "b_stat*",
+      "sig_95"),
     "q341_competing_risks" -> Seq("t_days#", "n_risk#", "d_purchase#",
       "d_error#", "cif_purchase*", "cif_error*"),
     "q344_simpsons" -> Seq("stratum", "n_treated#", "n_control#",

@@ -305,4 +305,107 @@ object TwoSampleRank {
       |  ROUND(t / (nb * ms), 6) AS t_ratio, ROUND(z, 6) AS z,
       |  ABS(z) > 1.959964 AS sig_95
       |FROM z""".stripMargin
+
+  /** Baumgartner–Weiß–Schindler two-sample test (Baumgartner, Weiß &
+    * Schindler, Biometrics 54, 1998): the rank analogue of
+    * Anderson–Darling — each ordered observation's squared rank
+    * discrepancy is weighted by the inverse of its null variance, so
+    * the TAILS carry full weight where KS/CvM-style statistics go
+    * blind. For the sample of size n against the other of size m,
+    * with R_(i) the i-th ordered combined rank:
+    *   B_X = (1/n) Σ_i (R_(i) − ((m+n)/n)·i)² /
+    *           [ (i/(n+1))(1 − i/(n+1)) · m(m+n)/n ]
+    * B = (B_X + B_Y)/2; the asymptotic null is the published B*
+    * distribution with 5% point 2.493 (their Table 1 / eq. 2.6).
+    * Continuity is assumed; ties resolve by the shared
+    * (metric, cohort, key) order so both engines rank identically —
+    * a documented arbitrary-but-deterministic convention, fair
+    * because tied swaps perturb B by O(1/n).
+    *
+    * One row `(n_a, n_b, b_a, b_b, b_stat, sig_95)`. Scale shape:
+    * two ordered rank windows over the corpus (global sort — the
+    * q295/q378 pattern), then one map + one reduction; the count
+    * pair is a 1-row broadcast factor. */
+  def bws(df: DataFrame, inB: Column, metric: Column,
+      key: Column): DataFrame = {
+    val base = df.select(inB.as("__b"),
+        metric.cast("double").as("__x"), key.as("__k"))
+      .where(col("__b").isNotNull && col("__x").isNotNull)
+    val ranked = base
+      .withColumn("__rk", row_number()
+        .over(Window.orderBy(col("__x"), col("__b"), col("__k")))
+        .cast("double"))
+      .withColumn("__i", row_number()
+        .over(Window.partitionBy("__b")
+          .orderBy(col("__x"), col("__k")))
+        .cast("double"))
+    val counts = ranked.agg(
+      sum(when(!col("__b"), 1L).otherwise(0L)).as("__na"),
+      sum(when(col("__b"), 1L).otherwise(0L)).as("__nb"))
+    val wn = ranked.crossJoin(broadcast(counts))   // 1-row factor
+    val naD = col("__na").cast("double")
+    val nbD = col("__nb").cast("double")
+    val nOwn = when(col("__b"), nbD).otherwise(naD)
+    val mOth = when(col("__b"), naD).otherwise(nbD)
+    val nTot = naD + nbD
+    val d = col("__rk") - nTot / nOwn * col("__i")
+    val f = col("__i") / (nOwn + 1.0)
+    val v = d * d / (f * (lit(1.0) - f) * mOth * nTot / nOwn)
+    val agg = wn.agg(
+      first("__na").as("__na"), first("__nb").as("__nb"),
+      avg(when(!col("__b"), v)).as("__ba"),
+      avg(when(col("__b"), v)).as("__bb"))
+    val b = (col("__ba") + col("__bb")) / 2.0
+    agg.select(
+      col("__na").cast("bigint").as("n_a"),
+      col("__nb").cast("bigint").as("n_b"),
+      round(col("__ba"), 6).as("b_a"),
+      round(col("__bb"), 6).as("b_b"),
+      round(b, 6).as("b_stat"),
+      coalesce(b > 2.493, lit(false)).as("sig_95"))
+  }
+
+  /** DuckDB oracle for the q433 registration: orders totalprice,
+    * urgent (1-URGENT / 2-HIGH) vs the rest, o_orderkey tie-break. */
+  val bwsOracleSql: String =
+    """WITH base AS (
+      |  SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS b,
+      |    CAST(o_totalprice AS DOUBLE) AS x, o_orderkey AS k
+      |  FROM orders
+      |  WHERE o_orderpriority IS NOT NULL
+      |    AND o_totalprice IS NOT NULL),
+      |rk AS (
+      |  SELECT b,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY x, b, k) AS DOUBLE) AS r,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY b ORDER BY x, k)
+      |      AS DOUBLE) AS i
+      |  FROM base),
+      |cnt AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN b THEN 0 ELSE 1 END) AS DOUBLE) AS na,
+      |    CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS DOUBLE) AS nb
+      |  FROM rk),
+      |term AS (
+      |  SELECT b,
+      |    r - (na + nb) / (CASE WHEN b THEN nb ELSE na END) * i AS d,
+      |    i / ((CASE WHEN b THEN nb ELSE na END) + 1.0) AS f,
+      |    CASE WHEN b THEN na ELSE nb END AS m,
+      |    na + nb AS nt,
+      |    CASE WHEN b THEN nb ELSE na END AS nown
+      |  FROM rk CROSS JOIN cnt),
+      |tv AS (
+      |  SELECT b,
+      |    d * d / (f * (1.0 - f) * m * nt / nown) AS v
+      |  FROM term),
+      |agg AS (
+      |  SELECT (SELECT na FROM cnt) AS na,
+      |    (SELECT nb FROM cnt) AS nb,
+      |    AVG(CASE WHEN b THEN NULL ELSE v END) AS ba,
+      |    AVG(CASE WHEN b THEN v END) AS bb
+      |  FROM tv)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  ROUND(ba, 6) AS b_a, ROUND(bb, 6) AS b_b,
+      |  ROUND((ba + bb) / 2.0, 6) AS b_stat,
+      |  COALESCE((ba + bb) / 2.0 > 2.493, FALSE) AS sig_95
+      |FROM agg""".stripMargin
 }

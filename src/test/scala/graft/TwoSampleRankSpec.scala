@@ -154,4 +154,56 @@ class TwoSampleRankSpec extends AnyFunSuite {
       col("b"), col("m")).collect().head
     assert(!rl.getBoolean(4), s"z=${rl.getDouble(3)}")
   }
+
+  /** Independent BWS computation: explicit ordered-rank double loop
+    * over a materialized sample, same tie conventions. */
+  private def bruteBws(
+      xs: Seq[(Boolean, Double, Long)]): (Double, Double) = {
+    val ranked = xs.sortBy(t => (t._2, t._1, t._3)).zipWithIndex
+      .map { case ((b, x, k), idx) => (b, x, k, idx + 1.0) }
+    def side(flag: Boolean): Double = {
+      val own = ranked.filter(_._1 == flag)
+        .sortBy(t => (t._2, t._3)).zipWithIndex
+        .map { case ((_, _, _, r), i0) => (r, i0 + 1.0) }
+      val n = own.size.toDouble
+      val m = ranked.size - n
+      val nt = n + m
+      own.map { case (r, i) =>
+        val d = r - nt / n * i
+        val f = i / (n + 1.0)
+        d * d / (f * (1.0 - f) * m * nt / n)
+      }.sum / n
+    }
+    (side(false), side(true))
+  }
+
+  test("bws agrees with a brute ordered-rank computation and gates sanely") {
+    // deterministic uneven panel: 30 vs 23 observations, values from
+    // two different deterministic sequences with a mild shift
+    val xs = (0 until 30).map(i =>
+      (false, math.sin(i * 1.3) * 10 + i * 0.7, i.toLong)) ++
+      (0 until 23).map(i =>
+        (true, math.cos(i * 1.7) * 10 + i * 0.9 + 2.0, (100 + i).toLong))
+    val (ba, bb) = bruteBws(xs)
+    val r = TwoSampleRank.bws(xs.toDF("b", "m", "k"),
+      col("b"), col("m"), col("k")).collect().head
+    assert(r.getLong(0) == 30L && r.getLong(1) == 23L)
+    assert(math.abs(r.getDouble(2) - ba) < 1.1e-6, s"b_a $ba")
+    assert(math.abs(r.getDouble(3) - bb) < 1.1e-6, s"b_b $bb")
+    assert(math.abs(r.getDouble(4) - (ba + bb) / 2) < 1.1e-6)
+    // complete separation: B far above the 2.493 asymptotic 5% point
+    val sep = ((1 to 50).map(i => (false, i.toDouble, i.toLong)) ++
+      (1 to 50).map(i => (true, i + 100.0, (200 + i).toLong)))
+      .toDF("b", "m", "k")
+    val rs = TwoSampleRank.bws(sep, col("b"), col("m"), col("k"))
+      .collect().head
+    assert(rs.getBoolean(5), s"separated B=${rs.getDouble(4)}")
+    // identical samples interleaved: B stays near its null mean ~1
+    val same = ((1 to 50).map(i => (false, i * 2.0, i.toLong)) ++
+      (1 to 50).map(i => (true, i * 2.0 + 1.0, (200 + i).toLong)))
+      .toDF("b", "m", "k")
+    val rn = TwoSampleRank.bws(same, col("b"), col("m"), col("k"))
+      .collect().head
+    assert(!rn.getBoolean(5), s"null-ish B=${rn.getDouble(4)}")
+  }
 }
