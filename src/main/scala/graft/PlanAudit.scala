@@ -116,8 +116,9 @@ object PlanAudit {
     "q410_fleiss_kappa", "q411_partition_agreement",
     "q428_krippendorff_alpha",
     // daily-series randomness panel: the (n, h) totals are 1-row
-    // stat factors into calendar-sized tables (the Bartels shape)
-    "q413_cox_stuart", "q416_perm_entropy",
+    // stat factors into calendar-sized tables (the Bartels shape);
+    // Pettitt rides the same shape for its U_t cumulative
+    "q413_cox_stuart", "q416_perm_entropy", "q434_pettitt",
     // AD normality: the 1-row moment factor into the value-frequency
     // table (the q375 Lilliefors shape)
     "q417_ad_normality",

@@ -681,6 +681,12 @@ object SparkEntry {
       graft.operators.SeriesTests.coxStuart(t(s, dir, "events"))),
     "q414_records_test" -> ((s, dir) =>
       graft.operators.SeriesTests.recordsTest(t(s, dir, "events"))),
+
+    // ---- Pettitt changepoint: where does the rank mass split —
+    //      the retrospective nonparametric single-changepoint
+    //      locator (CUSUM/Page-Hinkley's batch sibling) ----
+    "q434_pettitt" -> ((s, dir) =>
+      graft.operators.SeriesTests.pettitt(t(s, dir, "events"))),
     "q415_hjorth" -> ((s, dir) =>
       graft.operators.SeriesTests.hjorth(t(s, dir, "events"))),
     "q416_perm_entropy" -> ((s, dir) =>
@@ -4796,6 +4802,9 @@ object SparkEntry {
     "q413_cox_stuart" ->
       graft.operators.SeriesTests.coxStuartOracleSql,
 
+    "q434_pettitt" ->
+      graft.operators.SeriesTests.pettittOracleSql,
+
     "q414_records_test" ->
       graft.operators.SeriesTests.recordsOracleSql,
 
@@ -8259,6 +8268,8 @@ object SparkEntry {
       "t_stat*", "t_crit*", "sig_bonf", "df#"),
     "q433_bws" -> Seq("n_a#", "n_b#", "b_a*", "b_b*", "b_stat*",
       "sig_95"),
+    "q434_pettitt" -> Seq("n_days#", "k_stat#", "change_day",
+      "p_approx*", "sig_95"),
     "q341_competing_risks" -> Seq("t_days#", "n_risk#", "d_purchase#",
       "d_error#", "cif_purchase*", "cif_error*"),
     "q344_simpsons" -> Seq("stratum", "n_treated#", "n_control#",

@@ -274,6 +274,84 @@ object SeriesTests {
       round(slope, 6).as("tau_slope"))
   }
 
+  /** Pettitt changepoint test (Pettitt, Appl. Statist. 28, 1979):
+    * the nonparametric single-changepoint locator — completes the
+    * changepoint shelf (CUSUM/Page–Hinkley stream forward, q270
+    * breakpoint fits a parametric two-segment mean; Pettitt asks
+    * WHERE the Mann–Whitney-style rank mass splits, distribution-
+    * free). U_t = Σ_{i≤t, j>t} sgn(x_i − x_j) telescopes through
+    * ranks: with R_i the full-series ranks, U_t = 2·Σ_{i≤t}R_i −
+    * t(n+1), so ONE rank window + ONE cumulative window computes
+    * every U_t. K = max_{t<n} |U_t| (argmax day = last day of the
+    * pre-change regime, earliest-date tie-break), approximate
+    * two-sided p = 2·exp(−6K²/(n³+n²)) (Pettitt eq. 8; accurate for
+    * p ≤ 0.5, capped at 1). Ranks tie-break by date — revenue ties
+    * are measure-zero, so the plain-rank (vs midrank) distinction
+    * never binds.
+    *
+    * One row `(n_days, k_stat, change_day, p_approx, sig_95)`.
+    * Scale shape: one corpus agg to the calendar table, ordered
+    * windows over THAT, 1-row count factor. */
+  def pettitt(events: DataFrame): DataFrame = {
+    val ranked = daily(events).withColumn("__r",
+      rank().over(Window.orderBy(col("y"), col("d"))).cast("double"))
+    val tot = ranked.agg(count(lit(1)).as("__n"))
+    val nD = col("__n").cast("double")
+    val u = ranked
+      .withColumn("__t",
+        row_number().over(Window.orderBy("d")).cast("double"))
+      .withColumn("__cum", sum("__r").over(Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot))   // 1-row stat factor
+      .withColumn("__u", col("__cum") * 2.0 - col("__t") * (nD + 1.0))
+    // t = n has U_n = 0 by construction; a change must leave a tail
+    val best = u.where(col("__t") < nD)
+      .orderBy(abs(col("__u")).desc, col("d").asc)
+      .limit(1)
+    val k = abs(col("__u"))
+    val p = least(lit(1.0),
+      exp(k * k * -6.0 / (nD * nD * nD + nD * nD)) * 2.0)
+    best.select(
+      col("__n").cast("bigint").as("n_days"),
+      k.cast("bigint").as("k_stat"),
+      col("d").cast("date").as("change_day"),
+      round(p, 6).as("p_approx"),
+      (p < 0.05).as("sig_95"))
+  }
+
+  /** DuckDB oracle for [[pettitt]]. */
+  val pettittOracleSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, SUM(value) AS y
+      |  FROM events GROUP BY 1),
+      |rk AS (
+      |  SELECT d, CAST(RANK() OVER (ORDER BY y, d) AS DOUBLE) AS r
+      |  FROM daily),
+      |cu AS (
+      |  SELECT d,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY d) AS DOUBLE) AS t,
+      |    SUM(r) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM rk),
+      |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM daily),
+      |u AS (
+      |  SELECT d, t, nn.n,
+      |    cum * 2.0 - t * (nn.n + 1.0) AS u
+      |  FROM cu CROSS JOIN nn),
+      |best AS (
+      |  SELECT * FROM u WHERE t < n
+      |  ORDER BY ABS(u) DESC, d ASC LIMIT 1)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  CAST(ABS(u) AS BIGINT) AS k_stat,
+      |  d AS change_day,
+      |  ROUND(LEAST(1.0,
+      |    EXP(ABS(u) * ABS(u) * -6.0 / (n * n * n + n * n)) * 2.0),
+      |    6) AS p_approx,
+      |  LEAST(1.0,
+      |    EXP(ABS(u) * ABS(u) * -6.0 / (n * n * n + n * n)) * 2.0)
+      |    < 0.05 AS sig_95
+      |FROM best""".stripMargin
+
   private val dailyCte =
     """WITH daily AS (
       |  SELECT CAST(ts AS DATE) AS d, SUM(value) AS y

@@ -31,6 +31,26 @@ class SeriesTestsSpec extends AnyFunSuite {
       mono.getBoolean(4))
   }
 
+  test("pettitt: a planted level shift is located and dated; wiggle is not") {
+    // 15 days around 100 then 15 around 200: U_15 = -225 (every
+    // early-late pair ranks low-high), K = 225, change day = the
+    // last pre-shift day, p = 2·exp(-6·225²/(27000+900)) = 3.74e-5
+    val shift = SeriesTests.pettitt(series(
+      (0 until 30).map(i =>
+        (if (i < 15) 100.0 else 200.0) + (i % 5)))).collect().head
+    assert(shift.getLong(0) == 30L)
+    assert(shift.getLong(1) == 225L, s"K=${shift.getLong(1)}")
+    assert(shift.getDate(2).toString == "2024-03-15")
+    assert(math.abs(shift.getDouble(3) - 3.7e-5) < 1e-5)
+    assert(shift.getBoolean(4))
+    // stationary wiggle: K small, p capped at 1, not significant
+    val nul = SeriesTests.pettitt(series(
+      (0 until 30).map(i => 100.0 + (i % 7) * 3 - (i % 3))))
+      .collect().head
+    assert(nul.getLong(1) == 47L, s"K=${nul.getLong(1)}")
+    assert(nul.getDouble(3) == 1.0 && !nul.getBoolean(4))
+  }
+
   test("cox-stuart: a step series reads up, a flat one reads none") {
     // 10 days: 1..5 then 11..15 — every pair (i, i+5) rises
     val step = SeriesTests.coxStuart(series(
