@@ -117,8 +117,11 @@ object PlanAudit {
     "q428_krippendorff_alpha",
     // daily-series randomness panel: the (n, h) totals are 1-row
     // stat factors into calendar-sized tables (the Bartels shape);
-    // Pettitt rides the same shape for its U_t cumulative
+    // Pettitt rides the same shape for its U_t cumulative; KPSS
+    // adds the bounded calendar self-lag (lag <= l) range join and
+    // Dickey-Fuller the 1-row OLS moment factor
     "q413_cox_stuart", "q416_perm_entropy", "q434_pettitt",
+    "q435_kpss", "q436_dickey_fuller",
     // AD normality: the 1-row moment factor into the value-frequency
     // table (the q375 Lilliefors shape)
     "q417_ad_normality",

@@ -687,6 +687,15 @@ object SparkEntry {
     //      locator (CUSUM/Page-Hinkley's batch sibling) ----
     "q434_pettitt" -> ((s, dir) =>
       graft.operators.SeriesTests.pettitt(t(s, dir, "events"))),
+
+    // ---- Stationarity pair on daily revenue: KPSS (null =
+    //      stationary; Bartlett long-run variance) and un-augmented
+    //      Dickey-Fuller (null = unit root) — together they split
+    //      stationary / unit-root / ambiguous ----
+    "q435_kpss" -> ((s, dir) =>
+      graft.operators.Stationarity.kpss(t(s, dir, "events"))),
+    "q436_dickey_fuller" -> ((s, dir) =>
+      graft.operators.Stationarity.dickeyFuller(t(s, dir, "events"))),
     "q415_hjorth" -> ((s, dir) =>
       graft.operators.SeriesTests.hjorth(t(s, dir, "events"))),
     "q416_perm_entropy" -> ((s, dir) =>
@@ -4805,6 +4814,12 @@ object SparkEntry {
     "q434_pettitt" ->
       graft.operators.SeriesTests.pettittOracleSql,
 
+    "q435_kpss" ->
+      graft.operators.Stationarity.kpssOracleSql,
+
+    "q436_dickey_fuller" ->
+      graft.operators.Stationarity.dickeyFullerOracleSql,
+
     "q414_records_test" ->
       graft.operators.SeriesTests.recordsOracleSql,
 
@@ -8270,6 +8285,8 @@ object SparkEntry {
       "sig_95"),
     "q434_pettitt" -> Seq("n_days#", "k_stat#", "change_day",
       "p_approx*", "sig_95"),
+    "q435_kpss" -> Seq("n_days#", "lag_l#", "eta*", "sig_95"),
+    "q436_dickey_fuller" -> Seq("n_obs#", "beta*", "tau*", "sig_95"),
     "q341_competing_risks" -> Seq("t_days#", "n_risk#", "d_purchase#",
       "d_error#", "cif_purchase*", "cif_error*"),
     "q344_simpsons" -> Seq("stratum", "n_treated#", "n_control#",
