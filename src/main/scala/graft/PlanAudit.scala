@@ -121,7 +121,7 @@ object PlanAudit {
     // adds the bounded calendar self-lag (lag <= l) range join and
     // Dickey-Fuller the 1-row OLS moment factor
     "q413_cox_stuart", "q416_perm_entropy", "q434_pettitt",
-    "q435_kpss", "q436_dickey_fuller",
+    "q435_kpss", "q436_dickey_fuller", "q437_lmoments",
     // AD normality: the 1-row moment factor into the value-frequency
     // table (the q375 Lilliefors shape)
     "q417_ad_normality",

@@ -688,6 +688,12 @@ object SparkEntry {
     "q434_pettitt" -> ((s, dir) =>
       graft.operators.SeriesTests.pettitt(t(s, dir, "events"))),
 
+    // ---- L-moment profile of daily revenue: bounded, outlier-
+    //      resistant CV/skew/kurtosis from order statistics (the
+    //      robust sibling of q100's classical moment profile) ----
+    "q437_lmoments" -> ((s, dir) =>
+      graft.operators.SeriesTests.lMoments(t(s, dir, "events"))),
+
     // ---- Stationarity pair on daily revenue: KPSS (null =
     //      stationary; Bartlett long-run variance) and un-augmented
     //      Dickey-Fuller (null = unit root) — together they split
@@ -4817,6 +4823,9 @@ object SparkEntry {
     "q435_kpss" ->
       graft.operators.Stationarity.kpssOracleSql,
 
+    "q437_lmoments" ->
+      graft.operators.SeriesTests.lMomentsOracleSql,
+
     "q436_dickey_fuller" ->
       graft.operators.Stationarity.dickeyFullerOracleSql,
 
@@ -8287,6 +8296,8 @@ object SparkEntry {
       "p_approx*", "sig_95"),
     "q435_kpss" -> Seq("n_days#", "lag_l#", "eta*", "sig_95"),
     "q436_dickey_fuller" -> Seq("n_obs#", "beta*", "tau*", "sig_95"),
+    "q437_lmoments" -> Seq("n_days#", "l1*", "l2*", "l_cv*",
+      "l_skew*", "l_kurt*"),
     "q341_competing_risks" -> Seq("t_days#", "n_risk#", "d_purchase#",
       "d_error#", "cif_purchase*", "cif_error*"),
     "q344_simpsons" -> Seq("stratum", "n_treated#", "n_control#",

@@ -51,6 +51,38 @@ class SeriesTestsSpec extends AnyFunSuite {
     assert(nul.getDouble(3) == 1.0 && !nul.getBoolean(4))
   }
 
+  test("l-moments agree with a brute order-statistics computation") {
+    def brute(xs: Seq[Double]): (Double, Double, Double, Double) = {
+      val s = xs.sorted
+      val n = s.size.toDouble
+      def b(r: Int): Double = s.zipWithIndex.map { case (x, i0) =>
+        val i = i0 + 1.0
+        x * (1 to r).map(k => (i - k) / (n - k)).product
+      }.sum / n
+      val (b0, b1, b2, b3) = (b(0), b(1), b(2), b(3))
+      (b0, 2 * b1 - b0, 6 * b2 - 6 * b1 + b0,
+        20 * b3 - 30 * b2 + 12 * b1 - b0)
+    }
+    // deterministic right-skewed sample (quadratic growth)
+    val xs = (0 until 30).map(i => 10.0 + i * i * 0.5)
+    val (l1, l2, l3, l4) = brute(xs)
+    val r = SeriesTests.lMoments(series(xs)).collect().head
+    assert(r.getLong(0) == 30L)
+    assert(math.abs(r.getDouble(1) - l1) < 1.1e-6)
+    assert(math.abs(r.getDouble(2) - l2) < 1.1e-6)
+    assert(math.abs(r.getDouble(3) - l2 / l1) < 1.1e-6)
+    assert(math.abs(r.getDouble(4) - l3 / l2) < 1.1e-6)
+    assert(math.abs(r.getDouble(5) - l4 / l2) < 1.1e-6)
+    assert(r.getDouble(4) > 0.2, "quadratic growth is right-skewed")
+    // symmetric sample: L-skewness exactly 0; uniform L-CV known:
+    // for x = 1..n, tau2 = (n+1)/(3... (brute-checked instead)
+    val sym = (1 to 29).map(_.toDouble)
+    val rs = SeriesTests.lMoments(series(sym)).collect().head
+    assert(math.abs(rs.getDouble(4)) < 1e-9, "symmetric -> l_skew 0")
+    val (s1, s2, _, _) = brute(sym)
+    assert(math.abs(rs.getDouble(3) - s2 / s1) < 1.1e-6)
+  }
+
   test("cox-stuart: a step series reads up, a flat one reads none") {
     // 10 days: 1..5 then 11..15 — every pair (i, i+5) rises
     val step = SeriesTests.coxStuart(series(
