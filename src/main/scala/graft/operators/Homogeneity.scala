@@ -338,12 +338,16 @@ object Homogeneity {
           ((col("__bb") - 1.0) * (col("__kk") - 1.0))).as("__se2"),
         ((col("__bb") - 1.0) * (col("__kk") - 1.0)).as("__df"),
         (col("__kk") * (col("__kk") - 1.0) / 2.0).as("__m"))
-    val p = lit(1.0) - lit(alpha) / (col("__m") * 2.0)
-    val tq = Outliers.tFromZ(Outliers.qnormUpper(p), col("__df"))
+    // 1-row tail: the quantile chain runs as a scalar UDF (identical
+    // operation order, bit-equal to the staged-CTE oracle) — the
+    // inlined Column form blew the plan to a multi-MB task binary
+    val tqU = udf((m: Double, df: Double) =>
+      Outliers.tFromZD(
+        Outliers.qnormUpperD(1.0 - alpha / (m * 2.0)), df))
     val statC = stat.select(col("__se2"),
       col("__df").cast("bigint").as("df"),
-      when(col("__m") >= 2.0 && col("__df") >= 19.0, tq)
-        .as("__crit"))
+      when(col("__m") >= 2.0 && col("__df") >= 19.0,
+        tqU(col("__m"), col("__df"))).as("__crit"))
     val pairs = perT.as("a")
       .join(perT.as("b"), col("a.t") < col("b.t"))   // k²-bounded grid
       .select(col("a.t").as("t_a"), col("b.t").as("t_b"),

@@ -29,24 +29,36 @@ object Outliers {
 
   /** Acklam's inverse normal CDF, UPPER-TAIL branch only (valid for
     * p > 0.97575): z = −r(q), q = √(−2·ln(1−p)). Shared with the
-    * Conover–Iman post-hoc ([[Homogeneity.conoverIman]]). */
-  private[operators] def qnormUpper(p: Column): Column = {
-    val q = sqrt(log(lit(1.0) - p) * -2.0)
+    * Conover–Iman post-hoc ([[Homogeneity.conoverIman]]).
+    *
+    * SCALAR (JVM) form, wrapped in a deterministic UDF at the call
+    * sites: these quantiles only ever evaluate on 1-row stat tails,
+    * and the fully-inlined Column form of the chain (z appears 9×
+    * in the Cornish–Fisher polynomial, each copy re-expanding the
+    * whole Acklam rational) blew the plan to a multi-MB task binary
+    * costing ~3 s of per-run plan/codegen overhead — measured on
+    * q426 at bench scale, vs ~0.5 s for its non-quantile siblings.
+    * IEEE arithmetic is deterministic, so the scalar twin with the
+    * IDENTICAL operation order is bit-identical to both the old
+    * Column form and the oracle's staged-CTE SQL. */
+  private[operators] def qnormUpperD(p: Double): Double = {
+    val q = math.sqrt(math.log(1.0 - p) * -2.0)
     val num = ((((q * -7.784894002430293e-3 +
-      lit(-0.3223964580411365)) * q + lit(-2.400758277161838)) * q +
-      lit(-2.549732539343734)) * q + lit(4.374664141464968)) * q +
-      lit(2.938163982698783)
+      -0.3223964580411365) * q + -2.400758277161838) * q +
+      -2.549732539343734) * q + 4.374664141464968) * q +
+      2.938163982698783
     val den = (((q * 7.784695709041462e-3 +
-      lit(0.3224671290700398)) * q + lit(2.445134137142996)) * q +
-      lit(3.754408661907416)) * q + lit(1.0)
+      0.3224671290700398) * q + 2.445134137142996) * q +
+      3.754408661907416) * q + 1.0
     // the lower-tail rational is negative; the upper tail is its
     // reflection
     (num / den) * -1.0
   }
 
   /** Cornish–Fisher t quantile from the normal quantile z at ν df
-    * (Fisher & Cornish, Technometrics 1960, terms to ν⁻⁴). */
-  private[operators] def tFromZ(z: Column, nu: Column): Column = {
+    * (Fisher & Cornish, Technometrics 1960, terms to ν⁻⁴) — scalar
+    * twin, operation order identical to the oracle SQL. */
+  private[operators] def tFromZD(z: Double, nu: Double): Double = {
     val z2 = z * z
     z + (z * z2 + z) / (nu * 4.0) +
       (z * z2 * z2 * 5.0 + z * z2 * 16.0 + z * 3.0) /
@@ -56,6 +68,15 @@ object Outliers {
       (z * z2 * z2 * z2 * z2 * 79.0 + z * z2 * z2 * z2 * 776.0 +
         z * z2 * z2 * 1482.0 - z * z2 * 1920.0 - z * 945.0) /
         (nu * nu * nu * nu * 92160.0)
+  }
+
+  /** Grubbs/GESD critical value at per-observation level α/(2n),
+    * ν = n−2 — the scalar chain the q426/q427 oracles stage through
+    * CTE columns. */
+  private[operators] def gCritD(n: Double, alpha: Double): Double = {
+    val p = 1.0 - alpha / (n * 2.0)
+    val t = tFromZD(qnormUpperD(p), n - 2.0)
+    (n - 1.0) / math.sqrt(n) * math.sqrt(t * t / (n - 2.0 + t * t))
   }
 
   /** Acklam's upper-tail rational needs p > 0.97575 and the
@@ -68,24 +89,49 @@ object Outliers {
         "and the Cornish-Fisher nu>=19 accuracy bound only cover " +
         "small tail probabilities")
 
+  /** One-pass moments + argmax: |y − μ| is maximized at the max or
+    * the min of y, so ONE aggregation emitting (n, μ, s, argmax-y,
+    * argmin-y) replaces the moment-factor-broadcast + ordered-limit
+    * two-job plan (measured 3.5 s → sub-second at bench scale). Day
+    * keys ride inside the extreme structs with the sign arranged so
+    * ties resolve to the EARLIEST day — bit-identical to the
+    * oracle's `ORDER BY dev DESC, d ASC LIMIT 1`. Emits the 1-row
+    * frame `(d, y, __n, __mu, __sd, __dev)`; empty input → 0 rows
+    * (the LIMIT-1-on-empty convention). */
+  private def worstDay(daily: DataFrame): DataFrame = {
+    val dk = datediff(col("d"), lit("1970-01-01").cast("date"))
+    val agg = daily
+      .select(col("d"), col("y"), dk.as("__dk"))
+      .agg(
+        count(lit(1)).as("__n"), avg("y").as("__mu"),
+        stddev_samp(col("y")).as("__sd"),
+        max(struct(col("y"), (col("__dk") * -1).as("__nk")))
+          .as("__hi"),
+        min(struct(col("y"), col("__dk"))).as("__lo"))
+      .where(col("__n") > 0L)
+    val dHi = date_add(lit("1970-01-01").cast("date"),
+      col("__hi.__nk") * -1)
+    val dLo = date_add(lit("1970-01-01").cast("date"),
+      col("__lo.__dk"))
+    val devHi = col("__hi.y") - col("__mu")
+    val devLo = col("__mu") - col("__lo.y")
+    val pickHi = devHi > devLo ||
+      (devHi === devLo && dHi <= dLo)
+    agg.select(
+      when(pickHi, dHi).otherwise(dLo).as("d"),
+      when(pickHi, col("__hi.y")).otherwise(col("__lo.y")).as("y"),
+      col("__n"), col("__mu"), col("__sd"),
+      when(pickHi, devHi).otherwise(devLo).as("__dev"))
+  }
+
   def grubbs(events: DataFrame, alpha: Double = 0.05): DataFrame = {
     requireAlphaInDomain(alpha)
-    // calendar-bounded (one row per day) — persisted so the moment
-    // pass and the argmax pass share ONE scan of events
     val daily = events.groupBy(to_date(col("ts")).as("d"))
       .agg(sum("value").as("y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val m = daily.agg(count(lit(1)).as("__n"), avg("y").as("__mu"),
-      stddev_samp(col("y")).as("__sd"))
-    val worst = daily.crossJoin(broadcast(m))   // 1-row moment factor
-      .withColumn("__dev", abs(col("y") - col("__mu")))
-      .orderBy(col("__dev").desc, col("d").asc)
-      .limit(1)
+    val worst = worstDay(daily)
     val n = col("__n").cast("double")
-    val p = lit(1.0) - lit(alpha) / (n * 2.0)
-    val t = tFromZ(qnormUpper(p), n - 2.0)
-    val gCrit = (n - 1.0) / sqrt(n) *
-      sqrt(t * t / (n - 2.0 + t * t))
+    val critU = udf((nn: Double) => gCritD(nn, alpha))
+    val gCrit = critU(n)
     val g = when(col("__sd") > 0.0, col("__dev") / col("__sd"))
     worst.select(
       col("__n").cast("bigint").as("n_days"),
@@ -176,15 +222,8 @@ object Outliers {
     val daily = events.groupBy(to_date(col("ts")).as("d"))
       .agg(sum("value").as("y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def worstOf(df: DataFrame, roundNo: Int): DataFrame = {
-      val m = df.agg(count(lit(1)).as("__n"), avg("y").as("__mu"),
-        stddev_samp(col("y")).as("__sd"))
-      df.crossJoin(broadcast(m))   // 1-row moment factor
-        .withColumn("__dev", abs(col("y") - col("__mu")))
-        .orderBy(col("__dev").desc, col("d").asc)
-        .limit(1)
-        .withColumn("__round", lit(roundNo))
-    }
+    def worstOf(df: DataFrame, roundNo: Int): DataFrame =
+      worstDay(df).withColumn("__round", lit(roundNo))
     val w1 = worstOf(daily, 1)
     val d2 = daily.join(broadcast(w1.select(col("d"))), Seq("d"),
       "left_anti")
@@ -194,10 +233,8 @@ object Outliers {
     val w3 = worstOf(d3, 3)
     val rounds = w1.unionByName(w2).unionByName(w3)
     val n = col("__n").cast("double")
-    val p = lit(1.0) - lit(alpha) / (n * 2.0)
-    val t = tFromZ(qnormUpper(p), n - 2.0)
-    val gCrit = (n - 1.0) / sqrt(n) *
-      sqrt(t * t / (n - 2.0 + t * t))
+    val critU = udf((nn: Double) => gCritD(nn, alpha))
+    val gCrit = critU(n)
     val g = when(col("__sd") > 0.0, col("__dev") / col("__sd"))
     val flg = coalesce(col("__n") >= 21L && g > gCrit, lit(false))
     val base = rounds.select(
