@@ -137,6 +137,18 @@ object PlanAudit {
     // Grubbs: the 1-row moment factor into the calendar table;
     // GESD: the same factor once per remove-argmax round (k = 3)
     "q426_grubbs", "q427_gesd",
+    // theta: the 1-row slope/level factor into the calendar table
+    // (the Grubbs moment-factor shape, second tiny pass for the
+    // inside-abs drift MAE)
+    "q438_theta",
+    // c/u/WECO charts: 1-row center-line/sigma factors into
+    // calendar tables (the q418/q419 shape)
+    "q440_c_chart", "q441_u_chart", "q443_weco_rules",
+    // Jonckheere-Terpstra: each order fans out to its 4 group pairs
+    // via a broadcast 5-row priority-list inequality join (bounded
+    // ×(k−1) expansion, NOT a pair grid over rows), plus the 1-row
+    // (J, group-sizes) stat factors
+    "q445_jonckheere",
     // segment lift: BH family-size 1-row factor (ksBySliceFdr shape);
     // quantile lift: |levels|-row broadcast quantile table
     "q256_segment_lift", "q257_quantile_lift",

@@ -694,6 +694,52 @@ object SparkEntry {
     "q437_lmoments" -> ((s, dir) =>
       graft.operators.SeriesTests.lMoments(t(s, dir, "events"))),
 
+    // ---- Theta-method forecast (Hyndman-Billah reduction: SES +
+    //      half the OLS slope) with the honest SES-vs-theta MAE
+    //      delta on the shared backtest window ----
+    "q438_theta" -> ((s, dir) =>
+      graft.operators.Forecast.theta(t(s, dir, "events"))),
+
+    // ---- Croston + SBA on the INTERMITTENT big-urgent-order
+    //      series over the full calendar spine: SES chases zeros,
+    //      Croston smooths sizes and intervals separately ----
+    "q439_croston" -> ((s, dir) =>
+      graft.operators.Forecast.croston(t(s, dir, "orders"))),
+
+    // ---- c-chart on daily error counts: Poisson +/-3*sqrt(cbar)
+    //      limits, LCL floored at 0 ----
+    "q440_c_chart" -> ((s, dir) =>
+      graft.operators.ControlCharts.cChart(t(s, dir, "events"))),
+
+    // ---- u-chart on errors per active user with per-day varying
+    //      exposure limits: quiet days need wilder rates to signal ----
+    "q441_u_chart" -> ((s, dir) =>
+      graft.operators.ControlCharts.uChart(t(s, dir, "events"))),
+
+    // ---- trend/seasonal strength (Wang-Smith-Hyndman F_T/F_S):
+    //      the two-number triage summary of the classical
+    //      decomposition q-series (seasonalDecompose) reports in full ----
+    "q442_seasonal_strength" -> ((s, dir) =>
+      graft.operators.SeriesTests.seasonalStrength(t(s, dir, "events"))),
+
+    // ---- Western Electric run rules 1-4 on the ImR individuals
+    //      chart: runs of moderate deviations signal, not just
+    //      single +/-3 sigma points ----
+    "q443_weco_rules" -> ((s, dir) =>
+      graft.operators.ControlCharts.wecoRules(t(s, dir, "events"))),
+
+    // ---- damped-trend Holt per event type (Gardner-McKenzie):
+    //      undamped Holt extrapolates a line forever; phi flattens
+    //      toward the finite asymptote l + b*phi/(1-phi) ----
+    "q444_damped_holt" -> ((s, dir) =>
+      graft.operators.Forecast.dampedHolt(t(s, dir, "events"))),
+
+    // ---- Jonckheere-Terpstra ordered-alternative test: do order
+    //      values shift MONOTONICALLY across priority classes
+    //      (exact integer doubled-midrank pair arithmetic) ----
+    "q445_jonckheere" -> ((s, dir) =>
+      graft.operators.Ordinal.jonckheereTerpstra(t(s, dir, "orders"))),
+
     // ---- Stationarity pair on daily revenue: KPSS (null =
     //      stationary; Bartlett long-run variance) and un-augmented
     //      Dickey-Fuller (null = unit root) — together they split
@@ -4826,6 +4872,30 @@ object SparkEntry {
     "q437_lmoments" ->
       graft.operators.SeriesTests.lMomentsOracleSql,
 
+    "q438_theta" ->
+      graft.operators.Forecast.thetaOracleSql(),
+
+    "q439_croston" ->
+      graft.operators.Forecast.crostonOracleSql(),
+
+    "q440_c_chart" ->
+      graft.operators.ControlCharts.cChartOracleSql,
+
+    "q441_u_chart" ->
+      graft.operators.ControlCharts.uChartOracleSql,
+
+    "q442_seasonal_strength" ->
+      graft.operators.SeriesTests.seasonalStrengthOracleSql,
+
+    "q443_weco_rules" ->
+      graft.operators.ControlCharts.wecoOracleSql,
+
+    "q444_damped_holt" ->
+      graft.operators.Forecast.dampedHoltOracleSql(),
+
+    "q445_jonckheere" ->
+      graft.operators.Ordinal.jonckheereOracleSql,
+
     "q436_dickey_fuller" ->
       graft.operators.Stationarity.dickeyFullerOracleSql,
 
@@ -8298,6 +8368,22 @@ object SparkEntry {
     "q436_dickey_fuller" -> Seq("n_obs#", "beta*", "tau*", "sig_95"),
     "q437_lmoments" -> Seq("n_days#", "l1*", "l2*", "l_cv*",
       "l_skew*", "l_kurt*"),
+    "q438_theta" -> Seq("n_days#", "ols_slope*", "ses_level*",
+      "forecast_ses*", "forecast_theta*", "mae_ses*", "mae_theta*"),
+    "q439_croston" -> Seq("n_days#", "n_demand_days#", "zero_share*",
+      "z_hat*", "p_hat*", "forecast*", "forecast_sba*"),
+    "q440_c_chart" -> Seq("n_days#", "c_bar*", "ucl*", "lcl*",
+      "violations_hi#", "violations_lo#"),
+    "q441_u_chart" -> Seq("n_days#", "u_bar*", "total_errors#",
+      "violations_hi#", "violations_lo#"),
+    "q442_seasonal_strength" -> Seq("n_used#", "f_trend*",
+      "f_seasonal*", "dominant"),
+    "q443_weco_rules" -> Seq("n_days#", "x_bar*", "sigma_hat*",
+      "r1_days#", "r2_days#", "r3_days#", "r4_days#"),
+    "q444_damped_holt" -> Seq("event_type", "n_days#", "level*",
+      "trend*", "forecast_next*", "forecast_inf*", "mae_backtest*"),
+    "q445_jonckheere" -> Seq("n#", "k_groups#", "j_stat*", "mu*",
+      "sigma*", "z*", "sig_95"),
     "q341_competing_risks" -> Seq("t_days#", "n_risk#", "d_purchase#",
       "d_error#", "cif_purchase*", "cif_error*"),
     "q344_simpsons" -> Seq("stratum", "n_treated#", "n_control#",

@@ -440,4 +440,328 @@ object Forecast {
        |    ELSE ROUND(mae / nmae, 6) END AS mase_vs_naive
        |FROM m ORDER BY model""".stripMargin
   }
+
+  /** Theta-method forecast of daily total revenue (Assimakopoulos &
+    * Nikolopoulos, IJF 2000) via the Hyndman–Billah 2003 reduction:
+    * the classical two-theta-line method (θ = 0 linear trend, θ = 2
+    * curve smoothed by SES, forecasts averaged) is EXACTLY simple
+    * exponential smoothing plus half the fitted OLS slope per step —
+    * so the engine computes the closed-form SES level ([[sesBacktest]]'s
+    * one cumulative window) and the closed-form OLS slope of y on the
+    * day index, and reports forecast = level + slope/2. The backtest
+    * column is honest about being in-sample: the slope is fitted on
+    * the full series (the method's own convention — the θ-lines are a
+    * decomposition of the observed series, not a causal model), while
+    * the SES component is strictly one-step-ahead.
+    *
+    * One row `(n_days, ols_slope, ses_level, forecast_ses,
+    * forecast_theta, mae_ses, mae_theta)`; the two MAEs share the
+    * t ≥ 2 window, so the delta isolates what the drift term buys.
+    * Scale shape: one corpus agg to the calendar table, two ordered
+    * day-windows, a 1-row finishing agg. */
+  def theta(events: DataFrame, alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0,1)")
+    val b = 1.0 - alpha
+    val daily = events
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum("value").as("y"))
+    val wOrd = Window.orderBy("d")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val t = row_number().over(wOrd).cast("double")
+    val weight = when(col("__t") === 1.0, pow(lit(b), lit(-1.0)))
+      .otherwise(lit(alpha) * pow(lit(b), -col("__t")))
+    val staged = daily
+      .withColumn("__t", t)
+      .withColumn("__lvl", pow(lit(b), col("__t")) *
+        sum(weight * col("y")).over(wCum))
+      .withColumn("__ses", lag("__lvl", 1).over(wOrd))
+    val flat = staged.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(col("__t") * col("y")).as("__sty"),
+      sum("__t").as("__st"), sum("y").as("__sy"),
+      sum(col("__t") * col("__t")).as("__stt"),
+      max(when(col("__ses").isNotNull,
+        struct(col("__t"), col("__lvl")))).as("__last"),
+      avg(abs(col("y") - col("__ses"))).as("__mae_ses"))
+    // E|y − ses − s/2| ≠ E|y−ses| − s/2 in general, so the theta MAE
+    // needs the slope INSIDE the abs: second tiny pass over the
+    // day-cardinality staged frame with the 1-row slope factor.
+    val slopeF = flat.select(
+      col("__n"),
+      when(col("__n") * col("__stt") - col("__st") * col("__st") > 0.0,
+        (col("__n") * col("__sty") - col("__st") * col("__sy")) /
+          (col("__n") * col("__stt") - col("__st") * col("__st")))
+        .otherwise(lit(0.0)).as("__slope"),
+      col("__last").getField("__lvl").as("__lvl_last"),
+      col("__mae_ses"))
+    staged.crossJoin(broadcast(slopeF))   // 1-row stat factor
+      .agg(
+        first("__n").as("__n2"), first("__slope").as("__b"),
+        first("__lvl_last").as("__l"), first("__mae_ses").as("__ms"),
+        avg(abs(col("y") - col("__ses") - col("__slope") / 2.0))
+          .as("__mt"))
+      .select(
+        col("__n2").cast("bigint").as("n_days"),
+        round(col("__b"), 6).as("ols_slope"),
+        round(col("__l"), 6).as("ses_level"),
+        round(col("__l"), 6).as("forecast_ses"),
+        round(col("__l") + col("__b") / 2.0, 6).as("forecast_theta"),
+        round(col("__ms"), 6).as("mae_ses"),
+        round(col("__mt"), 6).as("mae_theta"))
+  }
+
+  /** DuckDB oracle for [[theta]] (defaults). */
+  def thetaOracleSql(alpha: Double = 0.3): String = {
+    val b = 1 - alpha
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS d, SUM(value) AS y
+       |  FROM events GROUP BY 1),
+       |tt AS (
+       |  SELECT d, y,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY d) AS DOUBLE) AS t
+       |  FROM daily),
+       |lv AS (
+       |  SELECT d, y, t,
+       |    pow($b, t) * SUM(CASE WHEN t = 1.0 THEN pow($b, -1.0)
+       |      ELSE $alpha * pow($b, -t) END * y) OVER (ORDER BY d
+       |      ROWS UNBOUNDED PRECEDING) AS lvl
+       |  FROM tt),
+       |st AS (
+       |  SELECT d, y, t, lvl,
+       |    LAG(lvl) OVER (ORDER BY d) AS ses
+       |  FROM lv),
+       |flat AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    SUM(t * y) AS sty, SUM(t) AS stt1, SUM(y) AS sy,
+       |    SUM(t * t) AS stt2,
+       |    MAX(CASE WHEN ses IS NOT NULL THEN t END) AS tl,
+       |    AVG(ABS(y - ses)) AS mae_ses
+       |  FROM st),
+       |sl AS (
+       |  SELECT n,
+       |    CASE WHEN n * stt2 - stt1 * stt1 > 0.0
+       |      THEN (n * sty - stt1 * sy) / (n * stt2 - stt1 * stt1)
+       |      ELSE 0.0 END AS slope,
+       |    (SELECT lvl FROM st WHERE t = flat.tl) AS lvl_last,
+       |    mae_ses
+       |  FROM flat)
+       |SELECT CAST(sl.n AS BIGINT) AS n_days,
+       |  ROUND(sl.slope, 6) AS ols_slope,
+       |  ROUND(sl.lvl_last, 6) AS ses_level,
+       |  ROUND(sl.lvl_last, 6) AS forecast_ses,
+       |  ROUND(sl.lvl_last + sl.slope / 2.0, 6) AS forecast_theta,
+       |  ROUND(sl.mae_ses, 6) AS mae_ses,
+       |  ROUND(AVG(ABS(st.y - st.ses - sl.slope / 2.0)), 6)
+       |    AS mae_theta
+       |FROM st CROSS JOIN sl
+       |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+  }
+
+  /** Damped-trend Holt per event type (Gardner & McKenzie,
+    * Management Science 1985) — [[holtFromDaily]]'s recursion with
+    * the trend damped by φ each step (ℓₜ = α·yₜ + (1−α)(ℓₜ₋₁+φbₜ₋₁);
+    * bₜ = β(ℓₜ−ℓₜ₋₁) + (1−β)φbₜ₋₁), the single most robust default
+    * in the M-competitions: undamped Holt extrapolates a straight
+    * line forever, damped flattens toward the finite asymptote
+    * ℓ + b·φ/(1−φ). Same fold-over-calendar-array dataflow and the
+    * same (ℓ₁ = y₁, b₁ = 0) initialization; the oracle replays the
+    * recursion as a recursive CTE.
+    *
+    * One row per type: `(event_type, n_days, level, trend,
+    * forecast_next, forecast_inf, mae_backtest)` — forecast_next is
+    * the one-step ℓ+φb, forecast_inf the h→∞ asymptote. */
+  def dampedHolt(events: DataFrame, alpha: Double = 0.3,
+      beta: Double = 0.1, phi: Double = 0.9): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0,1)")
+    require(beta > 0.0 && beta < 1.0, "beta must be in (0,1)")
+    require(phi > 0.0 && phi < 1.0, "phi must be in (0,1)")
+    val folded = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .groupBy("event_type")
+      .agg(collect_list(struct(col("d"), col("y"))).as("__pts"))
+      .withColumn("__s", expr(
+        s"""aggregate(
+           |  array_sort(__pts),
+           |  named_struct('i', 0L, 'l', 0D, 'b', 0D, 'sae', 0D),
+           |  (s, p) -> IF(s.i = 0L,
+           |    named_struct('i', 1L, 'l', p.y, 'b', 0D, 'sae', 0D),
+           |    named_struct('i', s.i + 1L,
+           |      'l', $alpha * p.y + ${1 - alpha} *
+           |             (s.l + $phi * s.b),
+           |      'b', $beta * (($alpha * p.y + ${1 - alpha} *
+           |             (s.l + $phi * s.b)) - s.l) +
+           |           ${1 - beta} * $phi * s.b,
+           |      'sae', s.sae + abs(p.y - (s.l + $phi * s.b)))),
+           |  s -> s)""".stripMargin))
+    folded.select(
+        col("event_type"),
+        col("__s.i").as("n_days"),
+        round(col("__s.l"), 6).as("level"),
+        round(col("__s.b"), 6).as("trend"),
+        round(col("__s.l") + col("__s.b") * phi, 6)
+          .as("forecast_next"),
+        round(col("__s.l") + col("__s.b") * (phi / (1 - phi)), 6)
+          .as("forecast_inf"),
+        round(when(col("__s.i") > 1L,
+          col("__s.sae") / (col("__s.i") - 1L)), 6).as("mae_backtest"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[dampedHolt]] (defaults). */
+  def dampedHoltOracleSql(alpha: Double = 0.3, beta: Double = 0.1,
+      phi: Double = 0.9): String = {
+    val a = alpha; val na = 1 - alpha; val b = beta; val nb = 1 - beta
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS d,
+       |    CAST(COUNT(*) AS DOUBLE) AS y
+       |  FROM events GROUP BY 1, 2),
+       |idx AS (
+       |  SELECT event_type, y,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i
+       |  FROM daily),
+       |r AS (
+       |  SELECT event_type, i, y AS l,
+       |    CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS sae
+       |  FROM idx WHERE i = 1
+       |  UNION ALL
+       |  SELECT idx.event_type, idx.i,
+       |    $a * idx.y + $na * (r.l + $phi * r.b),
+       |    $b * (($a * idx.y + $na * (r.l + $phi * r.b)) - r.l) +
+       |      $nb * $phi * r.b,
+       |    r.sae + abs(idx.y - (r.l + $phi * r.b))
+       |  FROM r JOIN idx ON idx.event_type = r.event_type
+       |    AND idx.i = r.i + 1),
+       |last AS (
+       |  SELECT event_type, MAX(i) AS n FROM idx GROUP BY 1)
+       |SELECT r.event_type, CAST(r.i AS BIGINT) AS n_days,
+       |  ROUND(r.l, 6) AS level,
+       |  ROUND(r.b, 6) AS trend,
+       |  ROUND(r.l + r.b * $phi, 6) AS forecast_next,
+       |  ROUND(r.l + r.b * (${phi / (1 - phi)}), 6) AS forecast_inf,
+       |  ROUND(CASE WHEN r.i > 1 THEN r.sae / (r.i - 1) END, 6)
+       |    AS mae_backtest
+       |FROM r JOIN last ON r.event_type = last.event_type
+       |  AND r.i = last.n
+       |ORDER BY r.event_type""".stripMargin
+  }
+
+  /** Croston's method with the Syntetos–Boylan correction on the
+    * INTERMITTENT series of big urgent orders per day (Croston, Opl
+    * Res Q 1972; Syntetos & Boylan, IJF 2005): SES on a
+    * mostly-zero series chases zeros down between demands — Croston
+    * smooths the nonzero demand SIZES (z) and the inter-demand
+    * INTERVALS (p) separately and forecasts the rate z/p, updating
+    * only on demand days; SBA multiplies by (1 − α/2) to undo
+    * Croston's documented positive bias. The series is the daily
+    * count of `1-URGENT` orders above 450k on the FULL calendar
+    * spine between the first and last order date (the zeros are the
+    * signal — dropping empty days would destroy the intervals).
+    * Initialization: the first demand sets z = y and p = its own
+    * 1-based day index (the first observed interval).
+    *
+    * One row `(n_days, n_demand_days, zero_share, z_hat, p_hat,
+    * forecast, forecast_sba)`. Scale shape: one corpus agg to the
+    * order-date table, a calendar-spine left join (day cardinality),
+    * one fold over the sorted day array — the [[holtFromDaily]]
+    * budget. */
+  def croston(orders: DataFrame, cut: Double = 450000.0,
+      alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0,1)")
+    val dd = orders
+      .where(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > cut)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).cast("double").as("y"))
+    val span = orders.agg(
+      to_date(min("o_orderdate")).as("__d0"),
+      to_date(max("o_orderdate")).as("__d1"))
+    val spine = span.select(
+      explode(sequence(col("__d0"), col("__d1"))).as("d"))
+    val series = spine.join(dd, Seq("d"), "left")
+      .select(col("d"), coalesce(col("y"), lit(0.0)).as("y"))
+    val folded = series
+      .groupBy()
+      .agg(collect_list(struct(col("d"), col("y"))).as("__pts"))
+      .withColumn("__s", expr(
+        s"""aggregate(
+           |  array_sort(__pts),
+           |  named_struct('i', 0L, 'nd', 0L, 'q', 1D,
+           |    'z', CAST(NULL AS DOUBLE), 'p', CAST(NULL AS DOUBLE)),
+           |  (s, pt) -> named_struct(
+           |    'i', s.i + 1L,
+           |    'nd', IF(pt.y > 0D, s.nd + 1L, s.nd),
+           |    'q', IF(pt.y > 0D, 1D, s.q + 1D),
+           |    'z', IF(pt.y > 0D,
+           |      IF(s.z IS NULL, pt.y,
+           |        $alpha * pt.y + ${1 - alpha} * s.z), s.z),
+           |    'p', IF(pt.y > 0D,
+           |      IF(s.p IS NULL, CAST(s.i + 1L AS DOUBLE),
+           |        $alpha * s.q + ${1 - alpha} * s.p), s.p)),
+           |  s -> s)""".stripMargin))
+    folded.select(
+      col("__s.i").as("n_days"),
+      col("__s.nd").as("n_demand_days"),
+      round((col("__s.i") - col("__s.nd")).cast("double") /
+        col("__s.i"), 6).as("zero_share"),
+      round(col("__s.z"), 6).as("z_hat"),
+      round(col("__s.p"), 6).as("p_hat"),
+      round(col("__s.z") / col("__s.p"), 6).as("forecast"),
+      round(col("__s.z") / col("__s.p") * (1.0 - alpha / 2.0), 6)
+        .as("forecast_sba"))
+  }
+
+  /** DuckDB oracle for [[croston]] (defaults) — the identical
+    * state machine as a recursive CTE over the calendar spine. */
+  def crostonOracleSql(cut: Double = 450000.0,
+      alpha: Double = 0.1): String = {
+    val na = 1 - alpha
+    s"""WITH RECURSIVE span AS (
+       |  SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+       |    CAST(MAX(o_orderdate) AS DATE) AS d1
+       |  FROM orders),
+       |spine AS (
+       |  SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+       |    AS d
+       |  FROM span),
+       |dd AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(COUNT(*) AS DOUBLE) AS y
+       |  FROM orders
+       |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > $cut
+       |  GROUP BY 1),
+       |series AS (
+       |  SELECT spine.d, COALESCE(dd.y, 0.0) AS y,
+       |    ROW_NUMBER() OVER (ORDER BY spine.d) AS i
+       |  FROM spine LEFT JOIN dd ON spine.d = dd.d),
+       |r AS (
+       |  SELECT i, y,
+       |    CASE WHEN y > 0 THEN 1 ELSE 0 END AS nd,
+       |    CAST(CASE WHEN y > 0 THEN 1.0 ELSE 2.0 END AS DOUBLE)
+       |      AS q,
+       |    CASE WHEN y > 0 THEN y END AS z,
+       |    CAST(CASE WHEN y > 0 THEN 1.0 END AS DOUBLE) AS p
+       |  FROM series WHERE i = 1
+       |  UNION ALL
+       |  SELECT s.i, s.y,
+       |    CASE WHEN s.y > 0 THEN r.nd + 1 ELSE r.nd END,
+       |    CASE WHEN s.y > 0 THEN 1.0 ELSE r.q + 1.0 END,
+       |    CASE WHEN s.y > 0 THEN
+       |      CASE WHEN r.z IS NULL THEN s.y
+       |        ELSE $alpha * s.y + $na * r.z END
+       |      ELSE r.z END,
+       |    CASE WHEN s.y > 0 THEN
+       |      CASE WHEN r.p IS NULL THEN CAST(s.i AS DOUBLE)
+       |        ELSE $alpha * r.q + $na * r.p END
+       |      ELSE r.p END
+       |  FROM r JOIN series s ON s.i = r.i + 1)
+       |SELECT CAST(i AS BIGINT) AS n_days,
+       |  CAST(nd AS BIGINT) AS n_demand_days,
+       |  ROUND(CAST(i - nd AS DOUBLE) / i, 6) AS zero_share,
+       |  ROUND(z, 6) AS z_hat,
+       |  ROUND(p, 6) AS p_hat,
+       |  ROUND(z / p, 6) AS forecast,
+       |  ROUND(z / p * ${1 - alpha / 2.0}, 6) AS forecast_sba
+       |FROM r ORDER BY i DESC LIMIT 1""".stripMargin
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordinal-by-ordinal association: Goodman–Kruskal γ, Somers' D and
@@ -217,4 +218,122 @@ object Ordinal {
       |  ROUND(CASE WHEN sx2.s < 1.0
       |    THEN (tynum - sx2.s) / (1.0 - sx2.s) END, 6) AS tau_xy
       |FROM s, hx, hy, sx2, sy2""".stripMargin
+
+  /** Jonckheere–Terpstra test for an ORDERED alternative in order
+    * value across the five priority classes (Jonckheere, Biometrika
+    * 1954; Terpstra 1952): where Kruskal–Wallis asks "do the groups
+    * differ at all", J–T asks "do values MONOTONICALLY shift with
+    * priority" — J = Σ_{i<j} U_ij over the ordered group pairs
+    * (priority strings sort naturally: `1-URGENT` < … < `5-LOW`),
+    * each U_ij the Mann–Whitney count with ties at ½. Under H₀,
+    * μ = (N² − Σnᵢ²)/4 and σ² = [N²(2N+3) − Σnᵢ²(2nᵢ+3)]/72 (tie
+    * correction omitted: prices are near-continuous, and both
+    * engines share the identical formula either way); z two-sided.
+    *
+    * All pair arithmetic is EXACT: U_ij comes from the integer
+    * doubled midrank 2·rank + tiecount − 1 (so no float midrank
+    * sums whose accumulation order could move the 6th decimal), and
+    * every intermediate stays below 2⁵³.
+    *
+    * One row `(n, k_groups, j_stat, mu, sigma, z, sig_95)`.
+    * Scale shape: each order row fans out to its k−1 = 4 group
+    * pairs, then ONE window job partitioned by pair — k(k−1)/2
+    * partition-local sorts of O(n) rows each (the q249 Mann–Whitney
+    * cost shape, ×4 rows). At 1000× the per-pair sort is the
+    * bottleneck; range-bucketed pre-partitioning of the value column
+    * is the scale path, same as any global-rank statistic here. */
+  def jonckheereTerpstra(orders: DataFrame): DataFrame = {
+    val pri = orders.select(col("o_orderpriority").as("__o")).distinct()
+    val ex = orders
+      .select(col("o_orderpriority").as("__p"),
+        col("o_totalprice").as("__v"))
+      .join(broadcast(pri), col("__p") =!= col("__o"))
+      .select(
+        least(col("__p"), col("__o")).as("__pa"),
+        greatest(col("__p"), col("__o")).as("__pb"),
+        (col("__p") === greatest(col("__p"), col("__o"))).as("__hi"),
+        col("__v"))
+    val wPair = Window.partitionBy("__pa", "__pb").orderBy("__v")
+    val wTie = Window.partitionBy("__pa", "__pb", "__v")
+    val mid2 = rank().over(wPair).cast("bigint") * 2L +
+      count(lit(1)).over(wTie) - 1L
+    val perPair = ex
+      .withColumn("__m2", mid2)
+      .groupBy("__pa", "__pb")
+      .agg(
+        sum(when(col("__hi"), col("__m2"))).as("__s2"),
+        sum(when(col("__hi"), 1L).otherwise(0L)).as("__nhi"))
+      // U2 = 2·U: still integer-exact
+      .select((col("__s2") - col("__nhi") * (col("__nhi") + 1L))
+        .as("__u2"))
+    val jStat = perPair.agg(
+      (sum("__u2").cast("double") / 2.0).as("__j"))
+    val sizes = orders.groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("double").as("__ni"))
+    val f = sizes.agg(
+      sum("__ni").as("__n"), count(lit(1)).as("__k"),
+      sum(col("__ni") * col("__ni")).as("__sn2"),
+      sum(col("__ni") * col("__ni") *
+        (col("__ni") * 2.0 + 3.0)).as("__sn23"))
+    val nD = col("__n")
+    val mu = (nD * nD - col("__sn2")) / 4.0
+    val vr = (nD * nD * (nD * 2.0 + 3.0) - col("__sn23")) / 72.0
+    val z = when(vr > 0.0, (col("__j") - mu) / sqrt(vr))
+    jStat.crossJoin(broadcast(f))   // two 1-row stat factors
+      .select(
+        nD.cast("bigint").as("n"),
+        col("__k").cast("bigint").as("k_groups"),
+        round(col("__j"), 6).as("j_stat"),
+        round(mu, 6).as("mu"),
+        round(sqrt(vr), 6).as("sigma"),
+        round(z, 6).as("z"),
+        coalesce(abs(z) > 1.959964, lit(false)).as("sig_95"))
+  }
+
+  /** DuckDB oracle for [[jonckheereTerpstra]]. */
+  val jonckheereOracleSql: String =
+    """WITH pri AS (
+      |  SELECT DISTINCT o_orderpriority AS o FROM orders),
+      |ex AS (
+      |  SELECT LEAST(t.o_orderpriority, pri.o) AS pa,
+      |    GREATEST(t.o_orderpriority, pri.o) AS pb,
+      |    t.o_orderpriority =
+      |      GREATEST(t.o_orderpriority, pri.o) AS hi,
+      |    t.o_totalprice AS v
+      |  FROM orders t JOIN pri ON pri.o <> t.o_orderpriority),
+      |mid AS (
+      |  SELECT pa, pb, hi,
+      |    RANK() OVER (PARTITION BY pa, pb ORDER BY v) * 2 +
+      |      COUNT(*) OVER (PARTITION BY pa, pb, v) - 1 AS m2
+      |  FROM ex),
+      |u AS (
+      |  SELECT pa, pb,
+      |    SUM(CASE WHEN hi THEN m2 END) -
+      |      SUM(CASE WHEN hi THEN 1 ELSE 0 END) *
+      |      (SUM(CASE WHEN hi THEN 1 ELSE 0 END) + 1) AS u2
+      |  FROM mid GROUP BY 1, 2),
+      |j AS (SELECT CAST(SUM(u2) AS DOUBLE) / 2.0 AS jstat FROM u),
+      |g AS (
+      |  SELECT o_orderpriority, CAST(COUNT(*) AS DOUBLE) AS ni
+      |  FROM orders GROUP BY 1),
+      |f AS (
+      |  SELECT SUM(ni) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+      |    SUM(ni * ni) AS sn2,
+      |    SUM(ni * ni * (ni * 2.0 + 3.0)) AS sn23
+      |  FROM g)
+      |SELECT CAST(n AS BIGINT) AS n, k AS k_groups,
+      |  ROUND(jstat, 6) AS j_stat,
+      |  ROUND((n * n - sn2) / 4.0, 6) AS mu,
+      |  ROUND(SQRT((n * n * (n * 2.0 + 3.0) - sn23) / 72.0), 6)
+      |    AS sigma,
+      |  ROUND(CASE WHEN (n * n * (n * 2.0 + 3.0) - sn23) / 72.0 > 0.0
+      |    THEN (jstat - (n * n - sn2) / 4.0) /
+      |      SQRT((n * n * (n * 2.0 + 3.0) - sn23) / 72.0) END, 6)
+      |    AS z,
+      |  COALESCE(ABS(CASE WHEN
+      |      (n * n * (n * 2.0 + 3.0) - sn23) / 72.0 > 0.0
+      |    THEN (jstat - (n * n - sn2) / 4.0) /
+      |      SQRT((n * n * (n * 2.0 + 3.0) - sn23) / 72.0) END)
+      |    > 1.959964, FALSE) AS sig_95
+      |FROM j CROSS JOIN f""".stripMargin
 }

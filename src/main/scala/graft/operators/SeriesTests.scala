@@ -648,4 +648,91 @@ object SeriesTests {
       |  CAST(k AS BIGINT) AS k_patterns,
       |  ROUND(hh, 6) AS h, ROUND(hh / LN(6.0), 6) AS h_norm
       |FROM h""".stripMargin
+
+  /** Trend and seasonal STRENGTH of daily revenue (Wang, Smith &
+    * Hyndman, Data Min Knowl Disc 2006; the `feasts` diagnostic):
+    * classical additive decomposition — centered MA-7 trend,
+    * per-weekday mean of the detrended series as the seasonal
+    * component, the rest is remainder — then
+    *   F_T = max(0, 1 − Var(R)/Var(T+R))  (trend strength),
+    *   F_S = max(0, 1 − Var(R)/Var(S+R))  (seasonal strength),
+    * both in [0, 1]: "how much variance does removing this
+    * component explain". The q304-adjacent [[graft.operators.Anomaly.seasonalDecompose]]
+    * reports the component SERIES; this collapses them to the
+    * two-number summary a 10,000-series triage actually scans.
+    * Edge days without a full 7-day window are excluded from BOTH
+    * the seasonal means and the variances (the standard trimmed
+    * convention). Variances are sample variances; only O(1) ratios
+    * are emitted (raw revenue² magnitudes would sit below double
+    * ulp at the 6-decimal canon).
+    *
+    * One row `(n_used, f_trend, f_seasonal, dominant)`. Scale
+    * shape: one corpus agg to the calendar table; centered window,
+    * 7-row broadcast seasonal join, 1-row finishing agg. */
+  def seasonalStrength(events: DataFrame): DataFrame = {
+    val w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    val dd = daily(events)
+      .withColumn("__c7", count(lit(1)).over(w7))
+      .withColumn("__tr", avg("y").over(w7))
+      .where(col("__c7") === 7L)
+      .withColumn("__detr", col("y") - col("__tr"))
+      .withColumn("__dow", dayofweek(col("d")))
+    val seas = dd.groupBy("__dow").agg(avg("__detr").as("__s"))
+    val j = dd.join(broadcast(seas), "__dow")
+      .withColumn("__rem", col("__detr") - col("__s"))
+    val vr = var_samp(col("__rem"))
+    val vtr = var_samp(col("y") - col("__s"))     // trend + remainder
+    val vsr = var_samp(col("__detr"))             // seasonal + remainder
+    val ft = when(vtr > 0.0,
+      greatest(lit(0.0), lit(1.0) - vr / vtr)).otherwise(lit(0.0))
+    val fs = when(vsr > 0.0,
+      greatest(lit(0.0), lit(1.0) - vr / vsr)).otherwise(lit(0.0))
+    j.agg(
+      count(lit(1)).cast("bigint").as("n_used"),
+      round(ft, 6).as("f_trend"),
+      round(fs, 6).as("f_seasonal"),
+      when(fs > ft, lit("seasonal")).otherwise(lit("trend"))
+        .as("dominant"))
+  }
+
+  /** DuckDB oracle for [[seasonalStrength]]. DuckDB's dayofweek is
+    * Sunday = 0 (Spark: Sunday = 1) — the key is join-internal, so
+    * no shift is needed. */
+  val seasonalStrengthOracleSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, SUM(value) AS y
+      |  FROM events GROUP BY 1),
+      |tr AS (
+      |  SELECT d, y,
+      |    COUNT(*) OVER w7 AS c7, AVG(y) OVER w7 AS t
+      |  FROM daily
+      |  WINDOW w7 AS (ORDER BY d
+      |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |dt AS (
+      |  SELECT d, y, t, y - t AS detr, dayofweek(d) AS dow
+      |  FROM tr WHERE c7 = 7),
+      |seas AS (
+      |  SELECT dow, AVG(detr) AS s FROM dt GROUP BY 1),
+      |j AS (
+      |  SELECT dt.y, dt.detr, seas.s, dt.detr - seas.s AS rem
+      |  FROM dt JOIN seas ON dt.dow = seas.dow),
+      |v AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    VAR_SAMP(rem) AS vr,
+      |    VAR_SAMP(y - s) AS vtr,
+      |    VAR_SAMP(detr) AS vsr
+      |  FROM j)
+      |SELECT n AS n_used,
+      |  ROUND(CASE WHEN vtr > 0.0
+      |    THEN GREATEST(0.0, 1.0 - vr / vtr) ELSE 0.0 END, 6)
+      |    AS f_trend,
+      |  ROUND(CASE WHEN vsr > 0.0
+      |    THEN GREATEST(0.0, 1.0 - vr / vsr) ELSE 0.0 END, 6)
+      |    AS f_seasonal,
+      |  CASE WHEN (CASE WHEN vsr > 0.0
+      |      THEN GREATEST(0.0, 1.0 - vr / vsr) ELSE 0.0 END) >
+      |    (CASE WHEN vtr > 0.0
+      |      THEN GREATEST(0.0, 1.0 - vr / vtr) ELSE 0.0 END)
+      |    THEN 'seasonal' ELSE 'trend' END AS dominant
+      |FROM v""".stripMargin
 }

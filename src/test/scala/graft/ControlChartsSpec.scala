@@ -139,4 +139,90 @@ class ControlChartsSpec extends AnyFunSuite {
     assert(math.abs(r1.getDouble(6) - 20.0 / 60) < 1e-6)
     assert(r1.getBoolean(8), s"z=${r1.getDouble(7)}")
   }
+
+  test("c chart: spike out high, LCL floored at zero") {
+    // 9 days × 4 errors + 1 day × 16: c̄ = 5.2, UCL ≈ 12.04 —
+    // day 10 out; LCL = max(0, 5.2 − 6.84) = 0, nothing below
+    val rows = (1 to 9).flatMap(d => (1 to 4).map(_ =>
+      (d, "error", 1.0)) :+ (d, "view", 1.0)) ++
+      ((1 to 16).map(_ => (10, "error", 1.0)) :+ (10, "view", 1.0))
+    val r = ControlCharts.cChart(events(rows)).collect().head
+    assert(r.getLong(0) == 10L)
+    assert(math.abs(r.getDouble(1) - 5.2) < 1e-9)
+    assert(r.getDouble(3) == 0.0, "LCL floored at 0")
+    assert(r.getLong(4) == 1L && r.getLong(5) == 0L)
+    // big center: LCL > 0 and a quiet day drops below it
+    // (9 days × 16 + 1 day × 1: c̄ = 14.5, LCL ≈ 3.08)
+    val rows2 = (1 to 9).flatMap(d => (1 to 16).map(_ =>
+      (d, "error", 1.0))) :+ ((10, "error", 1.0))
+    val r2 = ControlCharts.cChart(events(rows2)).collect().head
+    assert(math.abs(r2.getDouble(1) - 14.5) < 1e-9)
+    assert(r2.getDouble(3) > 0.0)
+    assert(r2.getLong(4) == 0L && r2.getLong(5) == 1L)
+  }
+
+  test("u chart: varying exposure — the small day needs a wild rate") {
+    // days 1-5: 10 users / 1 error; day 6: 2 users / 3 errors.
+    // ū = 8/52; day-6 limit ≈ 0.154 + 3·√(ū/2) ≈ 0.986 < 1.5
+    def ev(d: Int, u: Long, et: String) = (u,
+      java.sql.Timestamp.valueOf(f"2024-03-$d%02d 12:00:00"), et, 1.0)
+    val rows =
+      (1 to 5).flatMap { d =>
+        (1L to 10L).map(u => ev(d, u, "view")) :+ ev(d, 1L, "error")
+      } ++ (1L to 2L).map(u => ev(6, u, "view")) ++
+        Seq(ev(6, 1L, "error"), ev(6, 2L, "error"), ev(6, 1L, "error"))
+    val df = rows.toDF("user_id", "ts", "event_type", "value")
+    val r = ControlCharts.uChart(df).collect().head
+    assert(r.getLong(0) == 6L)
+    assert(math.abs(r.getDouble(1) - 8.0 / 52) < 1e-6)
+    assert(r.getLong(2) == 8L)
+    assert(r.getLong(3) == 1L && r.getLong(4) == 0L)
+  }
+
+  private def wecoBrute(ys: Seq[Double]):
+      (Double, Double, Long, Long, Long, Long) = {
+    val n = ys.length
+    val xbar = ys.sum / n
+    val mrs = ys.sliding(2).map(p => math.abs(p(1) - p(0))).toSeq
+    val sig = mrs.sum / mrs.size / 1.128
+    val zs = ys.map(y => (y - xbar) / sig)
+    def fires(t: Int, w: Int, k: Double, need: Int) = {
+      if (t < w - 1) false
+      else {
+        val win = zs.slice(t - w + 1, t + 1)
+        win.count(_ > k) >= need || win.count(-_ > k) >= need
+      }
+    }
+    val r1 = zs.count(z => math.abs(z) > 3.0).toLong
+    val r2 = zs.indices.count(fires(_, 3, 2.0, 2)).toLong
+    val r3 = zs.indices.count(fires(_, 5, 1.0, 4)).toLong
+    val r4 = zs.indices.count(fires(_, 8, 0.0, 8)).toLong
+    (xbar, sig, r1, r2, r3, r4)
+  }
+
+  test("weco rules: planted run-of-8 fires rule 4, brute-force agrees") {
+    // 8 alternating days around 11, then 8 days alternating around
+    // 17 — a sustained shift no single point pushes past 3σ
+    val ys = Seq(10.0, 12, 10, 12, 10, 12, 10, 12,
+      16.0, 18, 16, 18, 16, 18, 16, 18)
+    val df = events(ys.zipWithIndex.map { case (v, i) =>
+      (i + 1, "view", v) })
+    val r = ControlCharts.wecoRules(df).collect().head
+    val (xbar, sig, r1, r2, r3, r4) = wecoBrute(ys)
+    assert(r.getLong(0) == 16L)
+    assert(math.abs(r.getDouble(1) - xbar) < 1e-6)
+    assert(math.abs(r.getDouble(2) - sig) < 1e-6)
+    assert(r.getLong(3) == r1 && r.getLong(4) == r2 &&
+      r.getLong(5) == r3 && r.getLong(6) == r4)
+    assert(r4 >= 1L, "the sustained shift must fire rule 4")
+    assert(r1 == 0L, "no single point is a 3-sigma outlier")
+    // a stable alternating series fires nothing
+    val calm = Seq.fill(8)(Seq(10.0, 12)).flatten
+    val rc = ControlCharts.wecoRules(events(calm.zipWithIndex.map {
+      case (v, i) => (i + 1, "view", v) })).collect().head
+    val (_, _, c1, c2, c3, c4) = wecoBrute(calm)
+    assert(rc.getLong(3) == c1 && rc.getLong(4) == c2 &&
+      rc.getLong(5) == c3 && rc.getLong(6) == c4)
+    assert(c1 == 0L && c2 == 0L && c3 == 0L && c4 == 0L)
+  }
 }

@@ -103,4 +103,83 @@ class ForecastEvalSpec extends AnyFunSuite {
     assert(r.getLong(0) == 1L && r.getLong(1) == 1L)
     assert(r.getDouble(3) == 1.0, "higher-scored pair is the one that persists")
   }
+
+  private def daysDf(ys: Seq[Double]) =
+    ys.zipWithIndex.map { case (v, i) =>
+      (1L, f"2024-03-${i + 1}%02d 12:00:00", "view", v)
+    }.map { case (u, t, e, v) =>
+      (u, java.sql.Timestamp.valueOf(t), e, v)
+    }.toDF("user_id", "ts", "event_type", "value")
+
+  test("theta: SES-plus-half-slope replays the recursions by hand") {
+    // trending series with pseudo-noise: the drift term must help
+    val ys = (1 to 20).map(t => 2.0 * t + (t * 7 % 5)).toSeq
+    val r = Forecast.theta(daysDf(ys)).collect().head
+    // brute SES recursion (α = 0.3)
+    val lvl = ys.tail.scanLeft(ys.head)((s, y) => 0.3 * y + 0.7 * s)
+    val n = ys.length
+    val ts = (1 to n).map(_.toDouble)
+    val slope = (n * ts.zip(ys).map { case (a, b) => a * b }.sum -
+      ts.sum * ys.sum) / (n * ts.map(t => t * t).sum - ts.sum * ts.sum)
+    val maeSes = ys.tail.zip(lvl).map { case (y, f) =>
+      math.abs(y - f) }.sum / (n - 1)
+    val maeTheta = ys.tail.zip(lvl).map { case (y, f) =>
+      math.abs(y - f - slope / 2) }.sum / (n - 1)
+    assert(r.getLong(0) == n.toLong)
+    assert(math.abs(r.getDouble(1) - slope) < 1e-6)
+    assert(math.abs(r.getDouble(2) - lvl.last) < 1e-6)
+    assert(math.abs(r.getDouble(4) - (lvl.last + slope / 2)) < 1e-6)
+    assert(math.abs(r.getDouble(5) - maeSes) < 1e-6)
+    assert(math.abs(r.getDouble(6) - maeTheta) < 1e-6)
+    assert(maeTheta < maeSes, "drift term must beat plain SES here")
+  }
+
+  test("damped holt replays the phi recursion by hand") {
+    // dampedHolt smooths daily event COUNTS — plant k_t events/day
+    val ys = Seq(3.0, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8)
+    val df = ys.zipWithIndex.flatMap { case (k, i) =>
+      (1 to k.toInt).map(j => (j.toLong, java.sql.Timestamp.valueOf(
+        f"2024-03-${i + 1}%02d 12:00:00"), "view", 1.0))
+    }.toDF("user_id", "ts", "event_type", "value")
+    val (a, b, phi) = (0.3, 0.1, 0.9)
+    var l = ys.head; var tr = 0.0; var sae = 0.0
+    ys.tail.foreach { y =>
+      val f = l + phi * tr
+      sae += math.abs(y - f)
+      val l2 = a * y + (1 - a) * f
+      tr = b * (l2 - l) + (1 - b) * phi * tr
+      l = l2
+    }
+    val r = Forecast.dampedHolt(df).collect().head
+    assert(r.getString(0) == "view" && r.getLong(1) == 12L)
+    assert(math.abs(r.getDouble(2) - l) < 1e-6)
+    assert(math.abs(r.getDouble(3) - tr) < 1e-6)
+    assert(math.abs(r.getDouble(4) - (l + phi * tr)) < 1e-6)
+    assert(math.abs(r.getDouble(5) - (l + tr * (phi / (1 - phi))))
+      < 1e-6)
+    assert(math.abs(r.getDouble(6) - sae / 11) < 1e-6)
+  }
+
+  test("croston: hand-traced intermittent state machine") {
+    // spine days 1..7 pinned by cheap orders; demands (urgent,
+    // > 450k) on day 2 (×2) and day 5 (×1). α = 0.1:
+    //   d2 first demand: z = 2, p = 2 (its own day index)
+    //   d5: z = .1·1 + .9·2 = 1.9; p = .1·3 + .9·2 = 2.1
+    def o(d: Int, pri: String, price: Double) =
+      (java.sql.Timestamp.valueOf(f"2024-03-$d%02d 00:00:00"), pri,
+        price)
+    val orders = Seq(
+      o(1, "5-LOW", 100.0), o(7, "5-LOW", 100.0),
+      o(2, "1-URGENT", 500000.0), o(2, "1-URGENT", 460000.0),
+      o(5, "1-URGENT", 470000.0),
+      o(3, "1-URGENT", 100.0)   // urgent but small: not a demand
+    ).toDF("o_orderdate", "o_orderpriority", "o_totalprice")
+    val r = Forecast.croston(orders).collect().head
+    assert(r.getLong(0) == 7L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 5.0 / 7) < 1e-6)
+    assert(math.abs(r.getDouble(3) - 1.9) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 2.1) < 1e-9)
+    assert(math.abs(r.getDouble(5) - 1.9 / 2.1) < 1e-6)
+    assert(math.abs(r.getDouble(6) - 1.9 / 2.1 * 0.95) < 1e-6)
+  }
 }

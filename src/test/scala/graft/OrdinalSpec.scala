@@ -106,4 +106,28 @@ class OrdinalSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(4)) <= 1.0)
     assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
   }
+
+  test("jonckheere-terpstra replays a hand-counted 3-group table") {
+    // a:[1,2,2] b:[2,3,4] c:[4,5,6] — U_ab = 3+2.5+2.5 = 8 (ties
+    // at ½), U_ac = 9, U_bc = 3+3+2.5 = 8.5 → J = 25.5;
+    // μ = (81−27)/4 = 13.5, σ² = (81·21 − 3·81)/72 = 20.25
+    val rows = Seq("a" -> 1.0, "a" -> 2.0, "a" -> 2.0,
+      "b" -> 2.0, "b" -> 3.0, "b" -> 4.0,
+      "c" -> 4.0, "c" -> 5.0, "c" -> 6.0)
+      .toDF("o_orderpriority", "o_totalprice")
+    val r = Ordinal.jonckheereTerpstra(rows).collect().head
+    assert(r.getLong(0) == 9L && r.getLong(1) == 3L)
+    assert(math.abs(r.getDouble(2) - 25.5) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 13.5) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 4.5) < 1e-9)
+    assert(math.abs(r.getDouble(5) - 12.0 / 4.5) < 1e-6)
+    assert(r.getBoolean(6), "monotone shift is significant")
+    // a reversed ordering flips the sign of z
+    val rev = Seq("a" -> 6.0, "a" -> 5.0, "a" -> 4.0,
+      "b" -> 4.0, "b" -> 3.0, "b" -> 2.0,
+      "c" -> 2.0, "c" -> 2.0, "c" -> 1.0)
+      .toDF("o_orderpriority", "o_totalprice")
+    val rr = Ordinal.jonckheereTerpstra(rev).collect().head
+    assert(rr.getDouble(5) < 0.0)
+  }
 }

@@ -181,4 +181,21 @@ class SeriesTestsSpec extends AnyFunSuite {
     assert(math.abs(alt.getDouble(1) - math.sqrt(2.0) / 5) < 1e-6)
     assert(alt.getDouble(2) == 0.0)
   }
+
+  test("seasonal strength: pure weekly cycle reads F_S=1, pure trend F_T=1") {
+    // exact weekly pattern, flat trend: MA-7 = 40 everywhere, the
+    // dow means reproduce the pattern exactly → remainder ≡ 0
+    val cycle = Seq.fill(4)(Seq(10.0, 20, 30, 40, 50, 60, 70)).flatten
+    val rc = SeriesTests.seasonalStrength(series(cycle)).collect().head
+    assert(rc.getLong(0) == 22L, "28 days − 6 edge days")
+    assert(rc.getDouble(1) == 0.0, "Var(T+R) = 0 → guarded to 0")
+    assert(math.abs(rc.getDouble(2) - 1.0) < 1e-9)
+    assert(rc.getString(3) == "seasonal")
+    // exact linear trend: MA-7 reproduces it, detrended ≡ 0
+    val trend = (1 to 28).map(t => 3.0 * t).toSeq
+    val rt = SeriesTests.seasonalStrength(series(trend)).collect().head
+    assert(math.abs(rt.getDouble(1) - 1.0) < 1e-9)
+    assert(rt.getDouble(2) == 0.0, "Var(S+R) = 0 → guarded to 0")
+    assert(rt.getString(3) == "trend")
+  }
 }
