@@ -149,6 +149,9 @@ object PlanAudit {
     // ×(k−1) expansion, NOT a pair grid over rows), plus the 1-row
     // (J, group-sizes) stat factors
     "q445_jonckheere",
+    // Engle-Granger: the 1-row OLS factor into the calendar table
+    // for step-2 residuals (the Grubbs moment-factor shape)
+    "q448_engle_granger",
     // segment lift: BH family-size 1-row factor (ksBySliceFdr shape);
     // quantile lift: |levels|-row broadcast quantile table
     "q256_segment_lift", "q257_quantile_lift",

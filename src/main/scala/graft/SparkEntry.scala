@@ -740,6 +740,22 @@ object SparkEntry {
     "q445_jonckheere" -> ((s, dir) =>
       graft.operators.Ordinal.jonckheereTerpstra(t(s, dir, "orders"))),
 
+    // ---- Diebold-Mariano: is the SES-vs-seasonal-naive MAE gap
+    //      (q259's tournament) distinguishable from noise ----
+    "q446_diebold_mariano" -> ((s, dir) =>
+      graft.operators.Forecast.dieboldMariano(t(s, dir, "events"))),
+
+    // ---- Trigg tracking signal: smoothed error over smoothed |error|
+    //      of the SES backtest — the forecast-bias monitor MAE hides ----
+    "q447_tracking_signal" -> ((s, dir) =>
+      graft.operators.Forecast.trackingSignal(t(s, dir, "events"))),
+
+    // ---- Engle-Granger cointegration: is revenue-per-event a valid
+    //      long-run statement while both levels drift (OLS + DF on
+    //      residuals, MacKinnon N=2 gate) ----
+    "q448_engle_granger" -> ((s, dir) =>
+      graft.operators.Stationarity.engleGranger(t(s, dir, "events"))),
+
     // ---- Stationarity pair on daily revenue: KPSS (null =
     //      stationary; Bartlett long-run variance) and un-augmented
     //      Dickey-Fuller (null = unit root) — together they split
@@ -4896,6 +4912,15 @@ object SparkEntry {
     "q445_jonckheere" ->
       graft.operators.Ordinal.jonckheereOracleSql,
 
+    "q446_diebold_mariano" ->
+      graft.operators.Forecast.dieboldMarianoOracleSql(),
+
+    "q447_tracking_signal" ->
+      graft.operators.Forecast.trackingSignalOracleSql(),
+
+    "q448_engle_granger" ->
+      graft.operators.Stationarity.engleGrangerOracleSql,
+
     "q436_dickey_fuller" ->
       graft.operators.Stationarity.dickeyFullerOracleSql,
 
@@ -8384,6 +8409,12 @@ object SparkEntry {
       "trend*", "forecast_next*", "forecast_inf*", "mae_backtest*"),
     "q445_jonckheere" -> Seq("n#", "k_groups#", "j_stat*", "mu*",
       "sigma*", "z*", "sig_95"),
+    "q446_diebold_mariano" -> Seq("n_eval#", "mae_ses*",
+      "mae_snaive*", "d_bar*", "dm_stat*", "dm_hln*", "sig_95"),
+    "q447_tracking_signal" -> Seq("n_days#", "n_eval#", "e_smooth*",
+      "mad_smooth*", "tracking_signal*", "alarm_days#"),
+    "q448_engle_granger" -> Seq("n_days#", "ols_alpha*", "ols_beta*",
+      "r2*", "eg_rho*", "tau*", "cointegrated"),
     "q341_competing_risks" -> Seq("t_days#", "n_risk#", "d_purchase#",
       "d_error#", "cif_purchase*", "cif_error*"),
     "q344_simpsons" -> Seq("stratum", "n_treated#", "n_control#",

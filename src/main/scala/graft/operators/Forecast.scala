@@ -557,6 +557,206 @@ object Forecast {
        |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
   }
 
+  /** Diebold–Mariano equal-accuracy test between the SES and
+    * seasonal-naive one-step forecasts of daily revenue (Diebold &
+    * Mariano, JBES 1995; Harvey–Leybourne–Newbold correction 1997):
+    * the [[tournament]] reports WHICH model's MAE is lower; DM asks
+    * whether the gap is distinguishable from noise. Loss differential
+    * d_t = |e_ses| − |e_snaive| on the common window t ≥ 8;
+    * DM = d̄ / √(γ̂₀/n) with γ̂₀ the population variance of d (at
+    * horizon h = 1 the long-run variance needs no autocovariance
+    * terms); dm_hln applies the HLN factor √((n−1)/n). Negative DM =
+    * SES more accurate. Two-sided normal gate at 5% on the plain DM
+    * (the published convention for h = 1).
+    *
+    * One row `(n_eval, mae_ses, mae_snaive, d_bar, dm_stat, dm_hln,
+    * sig_95)`. Scale shape: one corpus agg to the calendar table,
+    * the SES cumulative + two lag windows, ONE finishing agg (the
+    * variance needs no second pass — var_pop carries it). */
+  def dieboldMariano(events: DataFrame, alpha: Double = 0.3,
+      season: Int = 7): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0,1)")
+    val b = 1.0 - alpha
+    val daily = events
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum("value").as("y"))
+    val wOrd = Window.orderBy("d")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val t = row_number().over(wOrd).cast("double")
+    val weight = when(col("__t") === 1.0, pow(lit(b), lit(-1.0)))
+      .otherwise(lit(alpha) * pow(lit(b), -col("__t")))
+    val staged = daily
+      .withColumn("__t", t)
+      .withColumn("__lvl", pow(lit(b), col("__t")) *
+        sum(weight * col("y")).over(wCum))
+      .withColumn("__ses", lag("__lvl", 1).over(wOrd))
+      .withColumn("__snv", lag("y", season).over(wOrd))
+      .where(col("__t") >= (season + 1).toDouble)
+      .withColumn("__dl",
+        abs(col("y") - col("__ses")) - abs(col("y") - col("__snv")))
+    val a = staged.agg(
+      count(lit(1)).cast("double").as("__n"),
+      avg(abs(col("y") - col("__ses"))).as("__ms"),
+      avg(abs(col("y") - col("__snv"))).as("__mn"),
+      avg("__dl").as("__db"),
+      var_pop(col("__dl")).as("__g0"))
+    val nD = col("__n")
+    val dm = when(col("__g0") > 0.0,
+      col("__db") / sqrt(col("__g0") / nD))
+    a.select(
+      nD.cast("bigint").as("n_eval"),
+      round(col("__ms"), 6).as("mae_ses"),
+      round(col("__mn"), 6).as("mae_snaive"),
+      round(col("__db"), 6).as("d_bar"),
+      round(dm, 6).as("dm_stat"),
+      round(dm * sqrt((nD - 1.0) / nD), 6).as("dm_hln"),
+      coalesce(abs(dm) > 1.959964, lit(false)).as("sig_95"))
+  }
+
+  /** DuckDB oracle for [[dieboldMariano]] (defaults). */
+  def dieboldMarianoOracleSql(alpha: Double = 0.3,
+      season: Int = 7): String = {
+    val b = 1 - alpha
+    val start = season + 1
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS d, SUM(value) AS y
+       |  FROM events GROUP BY 1),
+       |tt AS (
+       |  SELECT d, y,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY d) AS DOUBLE) AS t
+       |  FROM daily),
+       |lv AS (
+       |  SELECT d, y, t,
+       |    pow($b, t) * SUM(CASE WHEN t = 1.0 THEN pow($b, -1.0)
+       |      ELSE $alpha * pow($b, -t) END * y) OVER (ORDER BY d
+       |      ROWS UNBOUNDED PRECEDING) AS lvl
+       |  FROM tt),
+       |st AS (
+       |  SELECT d, y, t,
+       |    LAG(lvl) OVER (ORDER BY d) AS ses,
+       |    LAG(y, $season) OVER (ORDER BY d) AS snv
+       |  FROM lv
+       |  QUALIFY t >= $start),
+       |dl AS (
+       |  SELECT ABS(y - ses) - ABS(y - snv) AS dl,
+       |    ABS(y - ses) AS es, ABS(y - snv) AS en
+       |  FROM st),
+       |a AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    AVG(es) AS ms, AVG(en) AS mn,
+       |    AVG(dl) AS db, VAR_POP(dl) AS g0
+       |  FROM dl)
+       |SELECT CAST(n AS BIGINT) AS n_eval,
+       |  ROUND(ms, 6) AS mae_ses,
+       |  ROUND(mn, 6) AS mae_snaive,
+       |  ROUND(db, 6) AS d_bar,
+       |  ROUND(CASE WHEN g0 > 0 THEN db / SQRT(g0 / n) END, 6)
+       |    AS dm_stat,
+       |  ROUND(CASE WHEN g0 > 0 THEN db / SQRT(g0 / n) END *
+       |    SQRT((n - 1.0) / n), 6) AS dm_hln,
+       |  COALESCE(ABS(CASE WHEN g0 > 0 THEN db / SQRT(g0 / n) END)
+       |    > 1.959964, FALSE) AS sig_95
+       |FROM a""".stripMargin
+  }
+
+  /** Trigg's tracking signal over the SES one-step forecast errors
+    * (Trigg, OR Quarterly 1964): the forecast-monitoring chart — the
+    * smoothed error E_t = β·e_t + (1−β)E_{t−1} over the smoothed
+    * absolute error M_t keeps TS = E/M in [−1, 1]; a persistent
+    * one-sided bias (the thing MAE hides) drives |TS| toward 1. E
+    * decays from 0 at the first error (E₁ = β·e₁ — no prior-bias
+    * assumption) while M level-initializes at |e₁| (a zero M would
+    * make TS undefined, and an e₁/|e₁| joint init would force an
+    * always-alarm |TS| = 1 on day 2); alarm days are |E| > 0.51·M —
+    * multiplication, not division, so the degenerate M = 0 day
+    * cannot fault — with 0.51 the conventional 95% limit tabulated
+    * for β = 0.1 (Trigg 1964, Table 1).
+    *
+    * One row `(n_days, n_eval, e_smooth, mad_smooth,
+    * tracking_signal, alarm_days)`. Scale shape: one corpus agg,
+    * one fold over the sorted day array ([[holtFromDaily]]'s
+    * budget); the oracle replays the joint (level, E, M) state as a
+    * recursive CTE. */
+  def trackingSignal(events: DataFrame, alpha: Double = 0.3,
+      beta: Double = 0.1): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0,1)")
+    require(beta > 0.0 && beta < 1.0, "beta must be in (0,1)")
+    val folded = events
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum("value").as("y"))
+      .groupBy()
+      .agg(collect_list(struct(col("d"), col("y"))).as("__pts"))
+      .withColumn("__s", expr(
+        s"""aggregate(
+           |  array_sort(__pts),
+           |  named_struct('i', 0L, 's', 0D,
+           |    'ee', CAST(NULL AS DOUBLE), 'mm', CAST(NULL AS DOUBLE),
+           |    'al', 0L),
+           |  (s, p) -> IF(s.i = 0L,
+           |    named_struct('i', 1L, 's', p.y,
+           |      'ee', CAST(NULL AS DOUBLE), 'mm', CAST(NULL AS DOUBLE),
+           |      'al', 0L),
+           |    named_struct('i', s.i + 1L,
+           |      's', $alpha * p.y + ${1 - alpha} * s.s,
+           |      'ee', IF(s.ee IS NULL, $beta * (p.y - s.s),
+           |        $beta * (p.y - s.s) + ${1 - beta} * s.ee),
+           |      'mm', IF(s.mm IS NULL, abs(p.y - s.s),
+           |        $beta * abs(p.y - s.s) + ${1 - beta} * s.mm),
+           |      'al', s.al + IF(
+           |        abs(IF(s.ee IS NULL, $beta * (p.y - s.s),
+           |          $beta * (p.y - s.s) + ${1 - beta} * s.ee)) >
+           |        0.51 * IF(s.mm IS NULL, abs(p.y - s.s),
+           |          $beta * abs(p.y - s.s) + ${1 - beta} * s.mm),
+           |        1L, 0L))),
+           |  s -> s)""".stripMargin))
+    val ts = when(col("__s.mm") > 0.0, col("__s.ee") / col("__s.mm"))
+    folded.select(
+      col("__s.i").as("n_days"),
+      (col("__s.i") - 1L).as("n_eval"),
+      round(col("__s.ee"), 6).as("e_smooth"),
+      round(col("__s.mm"), 6).as("mad_smooth"),
+      round(ts, 6).as("tracking_signal"),
+      col("__s.al").as("alarm_days"))
+  }
+
+  /** DuckDB oracle for [[trackingSignal]] (defaults) — the joint
+    * (level, E, M, alarms) state as a recursive CTE. */
+  def trackingSignalOracleSql(alpha: Double = 0.3,
+      beta: Double = 0.1): String = {
+    val na = 1 - alpha; val nb = 1 - beta
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT CAST(ts AS DATE) AS d, SUM(value) AS y
+       |  FROM events GROUP BY 1),
+       |idx AS (
+       |  SELECT y, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily),
+       |r AS (
+       |  SELECT i, y AS s, CAST(NULL AS DOUBLE) AS ee,
+       |    CAST(NULL AS DOUBLE) AS mm, 0 AS al
+       |  FROM idx WHERE i = 1
+       |  UNION ALL
+       |  SELECT x.i,
+       |    $alpha * x.y + $na * r.s,
+       |    CASE WHEN r.ee IS NULL THEN $beta * (x.y - r.s)
+       |      ELSE $beta * (x.y - r.s) + $nb * r.ee END,
+       |    CASE WHEN r.mm IS NULL THEN ABS(x.y - r.s)
+       |      ELSE $beta * ABS(x.y - r.s) + $nb * r.mm END,
+       |    r.al + CASE WHEN
+       |      ABS(CASE WHEN r.ee IS NULL THEN $beta * (x.y - r.s)
+       |        ELSE $beta * (x.y - r.s) + $nb * r.ee END) >
+       |      0.51 * (CASE WHEN r.mm IS NULL THEN ABS(x.y - r.s)
+       |        ELSE $beta * ABS(x.y - r.s) + $nb * r.mm END)
+       |      THEN 1 ELSE 0 END
+       |  FROM r JOIN idx x ON x.i = r.i + 1)
+       |SELECT CAST(i AS BIGINT) AS n_days,
+       |  CAST(i - 1 AS BIGINT) AS n_eval,
+       |  ROUND(ee, 6) AS e_smooth,
+       |  ROUND(mm, 6) AS mad_smooth,
+       |  ROUND(CASE WHEN mm > 0 THEN ee / mm END, 6)
+       |    AS tracking_signal,
+       |  CAST(al AS BIGINT) AS alarm_days
+       |FROM r ORDER BY i DESC LIMIT 1""".stripMargin
+  }
+
   /** Damped-trend Holt per event type (Gardner & McKenzie,
     * Management Science 1985) — [[holtFromDaily]]'s recursion with
     * the trend damped by φ each step (ℓₜ = α·yₜ + (1−α)(ℓₜ₋₁+φbₜ₋₁);

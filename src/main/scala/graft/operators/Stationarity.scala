@@ -199,4 +199,129 @@ object Stationarity {
       |  ROUND(tau, 6) AS tau,
       |  COALESCE(tau < -2.8621, FALSE) AS sig_95
       |FROM t""".stripMargin
+
+  /** Engle–Granger two-step cointegration test between daily revenue
+    * and daily event volume (Engle & Granger, Econometrica 1987):
+    * two individually wandering series are COINTEGRATED when some
+    * linear combination is stationary — the property that makes
+    * "revenue per event is stable" a valid long-run statement even
+    * while both levels drift. Step 1: OLS of revenue on volume with
+    * constant (closed-form moments). Step 2: un-augmented
+    * Dickey–Fuller on the residuals WITHOUT a constant (the
+    * residuals are mean-zero by construction — the textbook EG
+    * step-2 regression Δr_t = ρ·r_{t−1} + u_t). The τ gate is
+    * MacKinnon's (2010) asymptotic 5% value for N = 2 variables
+    * with a constant in the cointegrating regression, −3.3377 —
+    * NOT the plain DF −2.8621 ([[dickeyFuller]]), because step 2
+    * tests an ESTIMATED residual.
+    *
+    * One row `(n_days, ols_alpha, ols_beta, r2, eg_rho, tau,
+    * cointegrated)`. Scale shape: one corpus agg to the calendar
+    * table, a 1-row OLS factor joined back for residuals, one lag
+    * window, 1-row finishing agg. */
+  def engleGranger(events: DataFrame): DataFrame = {
+    val both = events.groupBy(to_date(col("ts")).as("d"))
+      .agg(sum("value").as("y"),
+        count(lit(1)).cast("double").as("x"))
+    val mom = both.agg(
+      count(lit(1)).cast("double").as("__n"),
+      avg("y").as("__my"), avg("x").as("__mx"),
+      sum(col("x") * col("y")).as("__sxy0"),
+      sum(col("x") * col("x")).as("__sxx0"),
+      sum(col("y") * col("y")).as("__syy0"))
+    val nD = col("__n")
+    val sxy = col("__sxy0") - nD * col("__mx") * col("__my")
+    val sxx = col("__sxx0") - nD * col("__mx") * col("__mx")
+    val syy = col("__syy0") - nD * col("__my") * col("__my")
+    val ols = mom.select(
+      col("__n"),
+      when(sxx > 0.0, sxy / sxx).as("__b"),
+      (col("__my") - when(sxx > 0.0, sxy / sxx) * col("__mx"))
+        .as("__a"),
+      when(sxx > 0.0 && syy > 0.0, sxy * sxy / (sxx * syy))
+        .as("__r2"))
+    val resid = both.crossJoin(broadcast(ols))   // 1-row OLS factor
+      .withColumn("__r", col("y") - col("__a") - col("__b") * col("x"))
+      .withColumn("__rl", lag("__r", 1).over(Window.orderBy("d")))
+      .where(col("__rl").isNotNull)
+    val s = resid.agg(
+      first("__n").as("__nd"), first("__a").as("__af"),
+      first("__b").as("__bf"), first("__r2").as("__r2f"),
+      count(lit(1)).cast("double").as("__m"),
+      sum(col("__rl") * (col("__r") - col("__rl"))).as("__srd"),
+      sum(col("__rl") * col("__rl")).as("__srr"),
+      sum((col("__r") - col("__rl")) * (col("__r") - col("__rl")))
+        .as("__sdd"))
+    val mD = col("__m")
+    val rho = when(col("__srr") > 0.0, col("__srd") / col("__srr"))
+    val s2 = (col("__sdd") - rho * col("__srd")) / (mD - 1.0)
+    val tau = when(mD >= 2.0 && s2 > 0.0,
+      rho / sqrt(s2 / col("__srr")))
+    s.select(
+      col("__nd").cast("bigint").as("n_days"),
+      round(col("__af"), 6).as("ols_alpha"),
+      round(col("__bf"), 6).as("ols_beta"),
+      round(col("__r2f"), 6).as("r2"),
+      round(rho, 6).as("eg_rho"),
+      round(tau, 6).as("tau"),
+      coalesce(tau < -3.3377, lit(false)).as("cointegrated"))
+  }
+
+  /** DuckDB oracle for [[engleGranger]]. */
+  val engleGrangerOracleSql: String =
+    """WITH both_d AS (
+      |  SELECT CAST(ts AS DATE) AS d, SUM(value) AS y,
+      |    CAST(COUNT(*) AS DOUBLE) AS x
+      |  FROM events GROUP BY 1),
+      |mom AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    AVG(y) AS my, AVG(x) AS mx,
+      |    SUM(x * y) AS sxy0, SUM(x * x) AS sxx0, SUM(y * y) AS syy0
+      |  FROM both_d),
+      |ols AS (
+      |  SELECT n,
+      |    CASE WHEN sxx0 - n * mx * mx > 0
+      |      THEN (sxy0 - n * mx * my) / (sxx0 - n * mx * mx) END AS b,
+      |    my - CASE WHEN sxx0 - n * mx * mx > 0
+      |      THEN (sxy0 - n * mx * my) / (sxx0 - n * mx * mx) END * mx
+      |      AS a,
+      |    CASE WHEN sxx0 - n * mx * mx > 0 AND syy0 - n * my * my > 0
+      |      THEN (sxy0 - n * mx * my) * (sxy0 - n * mx * my) /
+      |        ((sxx0 - n * mx * mx) * (syy0 - n * my * my)) END AS r2
+      |  FROM mom),
+      |res AS (
+      |  SELECT d, y - ols.a - ols.b * x AS r, ols.n, ols.a AS af,
+      |    ols.b AS bf, ols.r2 AS r2f
+      |  FROM both_d CROSS JOIN ols),
+      |p AS (
+      |  SELECT n, af, bf, r2f, r,
+      |    LAG(r) OVER (ORDER BY d) AS rl
+      |  FROM res
+      |  QUALIFY rl IS NOT NULL),
+      |s AS (
+      |  SELECT ANY_VALUE(n) AS nd, ANY_VALUE(af) AS af,
+      |    ANY_VALUE(bf) AS bf, ANY_VALUE(r2f) AS r2f,
+      |    CAST(COUNT(*) AS DOUBLE) AS m,
+      |    SUM(rl * (r - rl)) AS srd,
+      |    SUM(rl * rl) AS srr,
+      |    SUM((r - rl) * (r - rl)) AS sdd
+      |  FROM p),
+      |f AS (
+      |  SELECT nd, af, bf, r2f, m, srd, srr, sdd,
+      |    CASE WHEN srr > 0 THEN srd / srr END AS rho
+      |  FROM s),
+      |t AS (
+      |  SELECT nd, af, bf, r2f, rho,
+      |    CASE WHEN m >= 2 AND (sdd - rho * srd) / (m - 1.0) > 0
+      |      THEN rho / SQRT(((sdd - rho * srd) / (m - 1.0)) / srr)
+      |      END AS tau
+      |  FROM f)
+      |SELECT CAST(nd AS BIGINT) AS n_days,
+      |  ROUND(af, 6) AS ols_alpha,
+      |  ROUND(bf, 6) AS ols_beta,
+      |  ROUND(r2f, 6) AS r2,
+      |  ROUND(rho, 6) AS eg_rho,
+      |  ROUND(tau, 6) AS tau,
+      |  COALESCE(tau < -3.3377, FALSE) AS cointegrated
+      |FROM t""".stripMargin
 }

@@ -160,6 +160,66 @@ class ForecastEvalSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(6) - sae / 11) < 1e-6)
   }
 
+  test("diebold-mariano replays the loss-differential arithmetic") {
+    // periodic pattern + drift: snaive error is a constant 3.5,
+    // SES lags the cycle — d_t = |e_ses| − 3.5 varies
+    val ys = (1 to 21).map(t => (t % 7) * 10.0 + t * 0.5).toSeq
+    val r = Forecast.dieboldMariano(daysDf(ys)).collect().head
+    val lvl = ys.tail.scanLeft(ys.head)((s, y) => 0.3 * y + 0.7 * s)
+    val win = (8 to 21).map { t =>
+      val y = ys(t - 1)
+      (math.abs(y - lvl(t - 2)), math.abs(y - ys(t - 8)))
+    }
+    val n = win.size.toDouble
+    val ds = win.map { case (a, b) => a - b }
+    val dbar = ds.sum / n
+    val g0 = ds.map(d => (d - dbar) * (d - dbar)).sum / n
+    val dm = dbar / math.sqrt(g0 / n)
+    assert(r.getLong(0) == 14L)
+    assert(math.abs(r.getDouble(1) - win.map(_._1).sum / n) < 1e-6)
+    assert(math.abs(r.getDouble(2) - win.map(_._2).sum / n) < 1e-6)
+    assert(math.abs(r.getDouble(3) - dbar) < 1e-6)
+    assert(math.abs(r.getDouble(4) - dm) < 1e-6)
+    assert(math.abs(r.getDouble(5) - dm * math.sqrt((n - 1) / n))
+      < 1e-6)
+  }
+
+  test("tracking signal: persistent bias saturates, brute agrees") {
+    def brute(ys: Seq[Double]): (Double, Double, Double, Long) = {
+      var s = ys.head
+      var e = Option.empty[Double]; var m = Option.empty[Double]
+      var al = 0L
+      ys.tail.foreach { y =>
+        val err = y - s
+        val e2 = e.fold(0.1 * err)(p => 0.1 * err + 0.9 * p)
+        val m2 = m.fold(math.abs(err))(p =>
+          0.1 * math.abs(err) + 0.9 * p)
+        if (math.abs(e2) > 0.51 * m2) al += 1
+        e = Some(e2); m = Some(m2)
+        s = 0.3 * y + 0.7 * s
+      }
+      (e.get, m.get, e.get / m.get, al)
+    }
+    // steadily rising series: SES lags below, every error positive —
+    // TS climbs toward 1 and alarms fire once E outruns 0.51·M
+    val rising = (1 to 15).map(t => t * 10.0).toSeq
+    val r = Forecast.trackingSignal(daysDf(rising)).collect().head
+    val (e, m, ts, al) = brute(rising)
+    assert(r.getLong(0) == 15L && r.getLong(1) == 14L)
+    assert(math.abs(r.getDouble(2) - e) < 1e-6)
+    assert(math.abs(r.getDouble(3) - m) < 1e-6)
+    assert(math.abs(r.getDouble(4) - ts) < 1e-6)
+    assert(r.getLong(5) == al)
+    assert(ts > 0.9 && al > 5L, s"bias must saturate: ts=$ts al=$al")
+    // alternating series: errors flip sign, E stays near 0
+    val alt = Seq.fill(8)(Seq(10.0, 20)).flatten
+    val r2 = Forecast.trackingSignal(daysDf(alt)).collect().head
+    val (_, _, ts2, al2) = brute(alt)
+    assert(math.abs(r2.getDouble(4) - ts2) < 1e-6)
+    assert(r2.getLong(5) == al2)
+    assert(math.abs(ts2) < 0.5, s"no persistent bias: ts=$ts2")
+  }
+
   test("croston: hand-traced intermittent state machine") {
     // spine days 1..7 pinned by cheap orders; demands (urgent,
     // > 450k) on day 2 (×2) and day 5 (×1). α = 0.1:

@@ -54,4 +54,52 @@ class StationaritySpec extends AnyFunSuite {
       .collect().head
     assert(alt.isNullAt(2) && !alt.getBoolean(3))
   }
+
+  /** Day t carries `t` events summing to y_t, so the daily frame is
+    * (x = t, y = y_t) — the two-series fixture engleGranger needs. */
+  private def twoSeries(ys: Seq[Double]) =
+    ys.zipWithIndex.flatMap { case (y, i) =>
+      val t = i + 1
+      (1 to t).map(j => ((i * 100 + j).toLong,
+        java.sql.Timestamp.valueOf(f"2024-03-${t}%02d 12:00:00"),
+        1L, "view", y / t, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("engle-granger: alternating residual cointegrates, exact fit nulls") {
+    // y = 2x + (±1 alternating): the residual flips sign every day —
+    // maximally mean-reverting → step-2 tau far past −3.3377
+    val n = 12
+    val es = (1 to n).map(t => if (t % 2 == 0) 1.0 else -1.0)
+    val ys = (1 to n).map(t => 2.0 * t + es(t - 1))
+    val r = Stationarity.engleGranger(twoSeries(ys)).collect().head
+    // brute replay of the two closed-form steps
+    val xs = (1 to n).map(_.toDouble)
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+    val sxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val syy = ys.map(y => (y - my) * (y - my)).sum
+    val b = sxy / sxx; val a = my - b * mx
+    val res = xs.zip(ys).map { case (x, y) => y - a - b * x }
+    val (rl, rc) = (res.dropRight(1), res.tail)
+    val srd = rl.zip(rc).map { case (l, c) => l * (c - l) }.sum
+    val srr = rl.map(l => l * l).sum
+    val sdd = rl.zip(rc).map { case (l, c) =>
+      (c - l) * (c - l) }.sum
+    val rho = srd / srr
+    val tau = rho / math.sqrt(
+      ((sdd - rho * srd) / (n - 2.0)) / srr)
+    assert(r.getLong(0) == n.toLong)
+    assert(math.abs(r.getDouble(1) - a) < 1e-6)
+    assert(math.abs(r.getDouble(2) - b) < 1e-6)
+    assert(math.abs(r.getDouble(3) - sxy * sxy / (sxx * syy)) < 1e-6)
+    assert(math.abs(r.getDouble(4) - rho) < 1e-6)
+    assert(math.abs(r.getDouble(5) - tau) < 1e-6)
+    assert(r.getBoolean(6), s"tau=$tau must clear -3.3377")
+    assert(rho < -1.0, "alternating residual over-corrects past -1")
+    // exact fit y = 3x: residuals identically 0 → step 2 undefined
+    val exact = Stationarity.engleGranger(
+      twoSeries((1 to n).map(t => 3.0 * t))).collect().head
+    assert(exact.isNullAt(4) && exact.isNullAt(5) &&
+      !exact.getBoolean(6))
+  }
 }
