@@ -152,6 +152,9 @@ object PlanAudit {
     // Engle-Granger: the 1-row OLS factor into the calendar table
     // for step-2 residuals (the Grubbs moment-factor shape)
     "q448_engle_granger",
+    // HAC trend: the KPSS shape — 1-row OLS factor into the calendar
+    // table, bounded self-lag range join for the Bartlett sum
+    "q449_hac_trend",
     // segment lift: BH family-size 1-row factor (ksBySliceFdr shape);
     // quantile lift: |levels|-row broadcast quantile table
     "q256_segment_lift", "q257_quantile_lift",

@@ -756,6 +756,18 @@ object SparkEntry {
     "q448_engle_granger" -> ((s, dir) =>
       graft.operators.Stationarity.engleGranger(t(s, dir, "events"))),
 
+    // ---- Newey-West HAC trend inference: the serial-correlation-
+    //      honest se beside q269's naive OLS t (same Bartlett lag
+    //      rule as KPSS) ----
+    "q449_hac_trend" -> ((s, dir) =>
+      graft.operators.Regression.hacTrend(t(s, dir, "events"))),
+
+    // ---- within-doc duplicated-5-gram share (Gopher dup_ngram
+    //      family): the looping-generator tell, map-only per doc ----
+    "q450_intradoc_repetition" -> ((s, dir) =>
+      graft.operators.CorpusFilters.intradocRepetition(
+        t(s, dir, "documents"))),
+
     // ---- Stationarity pair on daily revenue: KPSS (null =
     //      stationary; Bartlett long-run variance) and un-augmented
     //      Dickey-Fuller (null = unit root) — together they split
@@ -4921,6 +4933,12 @@ object SparkEntry {
     "q448_engle_granger" ->
       graft.operators.Stationarity.engleGrangerOracleSql,
 
+    "q449_hac_trend" ->
+      graft.operators.Regression.hacTrendOracleSql,
+
+    "q450_intradoc_repetition" ->
+      graft.operators.CorpusFilters.intradocRepetitionOracleSql,
+
     "q436_dickey_fuller" ->
       graft.operators.Stationarity.dickeyFullerOracleSql,
 
@@ -8415,6 +8433,10 @@ object SparkEntry {
       "mad_smooth*", "tracking_signal*", "alarm_days#"),
     "q448_engle_granger" -> Seq("n_days#", "ols_alpha*", "ols_beta*",
       "r2*", "eg_rho*", "tau*", "cointegrated"),
+    "q449_hac_trend" -> Seq("n_days#", "lag_l#", "slope*", "se_ols*",
+      "se_nw*", "t_ols*", "t_nw*", "sig_95"),
+    "q450_intradoc_repetition" -> Seq("source", "n_docs#",
+      "mean_dup5_share*", "max_dup5_share*", "n_fail#"),
     "q341_competing_risks" -> Seq("t_days#", "n_risk#", "d_purchase#",
       "d_error#", "cif_purchase*", "cif_error*"),
     "q344_simpsons" -> Seq("stratum", "n_treated#", "n_control#",

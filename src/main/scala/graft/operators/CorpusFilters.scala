@@ -478,4 +478,66 @@ object CorpusFilters {
       |  ROUND(raw / z.zz, 6) AS weight,
       |  ROUND(raw / z.zz / share, 6) AS uplift
       |FROM tilted, z ORDER BY source""".stripMargin
+
+  /** WITHIN-document n-gram repetition audit (the `dup_5gram` member
+    * of Gopher's repetition-filter family, Rae et al. 2021 §A1.1 —
+    * distinct from [[gopherReport]]'s TOP-bigram mass, which catches
+    * one dominating phrase, and from [[lineDedup]]'s CROSS-document
+    * boilerplate): a looping generator or scraped spam repeats whole
+    * 5-grams inside one document, so the duplicated-5-gram share
+    * 1 − |distinct 5-grams|/|5-grams| is the cheap per-doc tell.
+    * Token-share variant of the paper's character-fraction metric
+    * (documented choice: char-weighting needs per-occurrence
+    * attribution; the token share is the same signal map-side).
+    *
+    * One row per source: `(source, n_docs, mean_dup5_share,
+    * max_dup5_share, n_fail)` over docs with ≥ 5 tokens, fail at
+    * share > 0.15. Scale shape: MAP-ONLY per doc (array ops, no
+    * explode, no shuffle beyond the |sources|-row final group) — the
+    * cheapest possible plan for a corpus-wide filter. */
+  def intradocRepetition(docs: DataFrame, textCol: String = "text",
+      maxDupShare: Double = 0.15): DataFrame = {
+    val staged = docs
+      .withColumn("__toks",
+        filter(TextFunctions.tokens(col(textCol)), t => t =!= ""))
+      .where(size(col("__toks")) >= 5)
+      .withColumn("__grams", expr(
+        "transform(sequence(1, size(__toks) - 4), " +
+          "i -> concat_ws(' ', slice(__toks, i, 5)))"))
+      .withColumn("__share", lit(1.0) -
+        size(array_distinct(col("__grams"))).cast("double") /
+          size(col("__grams")).cast("double"))
+    staged.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("__share"), 6).as("mean_dup5_share"),
+        round(max("__share"), 6).as("max_dup5_share"),
+        sum(when(col("__share") > maxDupShare, 1L).otherwise(0L))
+          .as("n_fail"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[intradocRepetition]] (default threshold). */
+  val intradocRepetitionOracleSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    list_filter(str_split_regex(trim(text), '\s+'), x -> x <> '')
+      |      AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT source,
+      |    list_transform(range(1, len(toks) - 3),
+      |      i -> array_to_string(toks[i:i+4], ' ')) AS grams
+      |  FROM t WHERE len(toks) >= 5),
+      |d AS (
+      |  SELECT source,
+      |    1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+      |      AS share
+      |  FROM g)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  ROUND(AVG(share), 6) AS mean_dup5_share,
+      |  ROUND(MAX(share), 6) AS max_dup5_share,
+      |  CAST(SUM(CASE WHEN share > 0.15 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_fail
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
 }

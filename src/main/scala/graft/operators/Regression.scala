@@ -503,4 +503,149 @@ object Regression {
        |  ROUND(AVG((x + mu * m) / (n + m)), 6) AS avg_shrunk
        |FROM pp CROSS JOIN pm
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** HAC-robust (Newey & West, Econometrica 1987) trend inference on
+    * total daily revenue: [[olsTrend]]'s t-stat assumes independent
+    * errors, and q271's Durbin–Watson row documents exactly when that
+    * lies — this query completes the loop by re-computing the slope's
+    * standard error from the Bartlett-weighted long-run variance of
+    * the score hₜ = (xₜ−x̄)·uₜ (the same kernel and lag rule
+    * l = ⌊4(n/100)^¼⌋ as the KPSS long-run variance):
+    * Var(β̂) = Σ_{|j|≤l} w_j·Γ_j / S_xx², w_j = 1−|j|/(l+1). Both
+    * t's are reported side by side — the GAP between them is the
+    * serial-correlation penalty. Asymptotic normal gate on t_nw.
+    *
+    * One row `(n_days, lag_l, slope, se_ols, se_nw, t_ols, t_nw,
+    * sig_95)`. Scale shape: one corpus agg to the calendar table, a
+    * 1-row OLS factor joined back for scores, the KPSS-style bounded
+    * self-lag join (calendar×(l+1) rows), 1-row finish. */
+  def hacTrend(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("d"))
+      .agg(sum("value").as("y"))
+    val mom = daily.agg(
+      count(lit(1)).cast("double").as("__n"),
+      avg("y").as("__my"),
+      min("d").as("__d0"))
+    val xy = daily.crossJoin(broadcast(mom))   // 1-row stat factor
+      .withColumn("__t", row_number()
+        .over(org.apache.spark.sql.expressions.Window.orderBy("d"))
+        .cast("double"))
+      .withColumn("__x", datediff(col("d"), col("__d0")).cast("double"))
+    val m2 = xy.agg(
+      first("__n").as("__n"), first("__my").as("__my2"),
+      avg("__x").as("__mx"),
+      sum(col("__x") * col("__x")).as("__sxx0"),
+      sum(col("__x") * col("y")).as("__sxy0"),
+      sum(col("y") * col("y")).as("__syy0"))
+    val nD = col("__n")
+    val sxx = col("__sxx0") - nD * col("__mx") * col("__mx")
+    val sxy = col("__sxy0") - nD * col("__mx") * col("__my2")
+    val syy = col("__syy0") - nD * col("__my2") * col("__my2")
+    val slope = when(sxx > 0.0, sxy / sxx)
+    val ols = m2.select(
+      col("__n"), col("__mx"),
+      slope.as("__b"),
+      (col("__my2") - slope * col("__mx")).as("__a"),
+      sxx.as("__sxx"),
+      when(nD > 2.0 && sxx > 0.0,
+        sqrt(greatest(syy - slope * sxy, lit(0.0)) /
+          (nD - 2.0) / sxx)).as("__se_ols"),
+      floor(pow(nD / 100.0, 0.25) * 4.0).cast("double").as("__l"))
+    val h = xy.select(col("__t"), col("__x"), col("y"))
+      .crossJoin(broadcast(ols))   // 1-row OLS factor
+      .withColumn("__h", (col("__x") - col("__mx")) *
+        (col("y") - col("__a") - col("__b") * col("__x")))
+    val gam = h.as("a").join(h.as("b"),
+        col("b.__t") >= col("a.__t") &&
+          col("b.__t") <= col("a.__t") + col("a.__l"))
+      .select((col("b.__t") - col("a.__t")).as("__j"),
+        (col("a.__h") * col("b.__h")).as("__p"))
+      .groupBy("__j").agg(sum("__p").as("__g"))
+    val fin = gam.crossJoin(broadcast(ols))   // 1-row factor
+      .agg(
+        first("__n").as("__nf"), first("__l").as("__lf"),
+        first("__b").as("__bf"), first("__se_ols").as("__seof"),
+        first("__sxx").as("__sxxf"),
+        sum(when(col("__j") === 0.0, col("__g"))
+          .otherwise(col("__g") * 2.0 *
+            (lit(1.0) - col("__j") / (col("__l") + 1.0))))
+          .as("__s"))
+    val seNw = when(col("__s") > 0.0 && col("__sxxf") > 0.0,
+      sqrt(col("__s")) / col("__sxxf"))
+    fin.select(
+      col("__nf").cast("bigint").as("n_days"),
+      col("__lf").cast("bigint").as("lag_l"),
+      round(col("__bf"), 6).as("slope"),
+      round(col("__seof"), 6).as("se_ols"),
+      round(seNw, 6).as("se_nw"),
+      round(when(col("__seof") > 0.0, col("__bf") / col("__seof")), 6)
+        .as("t_ols"),
+      round(when(seNw > 0.0, col("__bf") / seNw), 6).as("t_nw"),
+      coalesce(abs(when(seNw > 0.0, col("__bf") / seNw)) > 1.959964,
+        lit(false)).as("sig_95"))
+  }
+
+  /** DuckDB oracle for [[hacTrend]]. */
+  val hacTrendOracleSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, SUM(value) AS y
+      |  FROM events GROUP BY 1),
+      |mom AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(y) AS my,
+      |    MIN(d) AS d0
+      |  FROM daily),
+      |xy AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS DOUBLE) AS t,
+      |    CAST(d - mom.d0 AS DOUBLE) AS x, y, mom.n, mom.my
+      |  FROM daily CROSS JOIN mom),
+      |m2 AS (
+      |  SELECT ANY_VALUE(n) AS n, ANY_VALUE(my) AS my, AVG(x) AS mx,
+      |    SUM(x * x) AS sxx0, SUM(x * y) AS sxy0, SUM(y * y) AS syy0
+      |  FROM xy),
+      |ols AS (
+      |  SELECT n, mx,
+      |    CASE WHEN sxx0 - n * mx * mx > 0
+      |      THEN (sxy0 - n * mx * my) / (sxx0 - n * mx * mx) END AS b,
+      |    my - CASE WHEN sxx0 - n * mx * mx > 0
+      |      THEN (sxy0 - n * mx * my) / (sxx0 - n * mx * mx) END * mx
+      |      AS a,
+      |    sxx0 - n * mx * mx AS sxx,
+      |    CASE WHEN n > 2 AND sxx0 - n * mx * mx > 0
+      |      THEN SQRT(GREATEST(
+      |        (syy0 - n * my * my) -
+      |        (sxy0 - n * mx * my) / (sxx0 - n * mx * mx) *
+      |          (sxy0 - n * mx * my), 0.0) /
+      |        (n - 2.0) / (sxx0 - n * mx * mx)) END AS se_ols,
+      |    FLOOR(POW(n / 100.0, 0.25) * 4.0) AS l
+      |  FROM m2),
+      |h AS (
+      |  SELECT t, (x - ols.mx) * (y - ols.a - ols.b * x) AS h,
+      |    ols.n, ols.l, ols.b, ols.se_ols, ols.sxx
+      |  FROM xy CROSS JOIN ols),
+      |gam AS (
+      |  SELECT b.t - a.t AS j, SUM(a.h * b.h) AS g
+      |  FROM h a JOIN h b
+      |    ON b.t >= a.t AND b.t <= a.t + a.l
+      |  GROUP BY 1),
+      |fin AS (
+      |  SELECT ols.n AS n, ols.l AS l, ols.b AS b,
+      |    ols.se_ols AS se_ols, ols.sxx AS sxx,
+      |    SUM(CASE WHEN j = 0 THEN g
+      |      ELSE g * 2.0 * (1.0 - j / (ols.l + 1.0)) END) AS s
+      |  FROM gam CROSS JOIN ols
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |fe AS (
+      |  SELECT n, l, b, se_ols,
+      |    CASE WHEN s > 0 AND sxx > 0 THEN SQRT(s) / sxx END AS se_nw
+      |  FROM fin)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  CAST(l AS BIGINT) AS lag_l,
+      |  ROUND(b, 6) AS slope,
+      |  ROUND(se_ols, 6) AS se_ols,
+      |  ROUND(se_nw, 6) AS se_nw,
+      |  ROUND(CASE WHEN se_ols > 0 THEN b / se_ols END, 6) AS t_ols,
+      |  ROUND(CASE WHEN se_nw > 0 THEN b / se_nw END, 6) AS t_nw,
+      |  COALESCE(ABS(CASE WHEN se_nw > 0 THEN b / se_nw END)
+      |    > 1.959964, FALSE) AS sig_95
+      |FROM fe""".stripMargin
 }

@@ -121,4 +121,23 @@ class CorpusFiltersSpec extends AnyFunSuite {
       "stream must equal batch row-for-row")
     assert(streamed.exists(_.getBoolean(5)), "the level shift must alarm")
   }
+
+  test("intradoc repetition: a looped phrase fails, clean prose doesn't") {
+    val d = docs(
+      (1L, "s", "a b c d e f g h i j"),            // 6 grams, distinct
+      // "x y z w v" ×3 → 11 grams cycling with period 5 → 5 distinct
+      (2L, "s", "x y z w v x y z w v x y z w v"),
+      (3L, "s", "too short here now"),             // 4 tokens: excluded
+      (4L, "t", "p q r s t u"))
+    val r = CorpusFilters.intradocRepetition(d).collect()
+    assert(r.length == 2)
+    val s = r.find(_.getString(0) == "s").get
+    assert(s.getLong(1) == 2L)
+    assert(math.abs(s.getDouble(2) - (0.0 + (1.0 - 5.0 / 11)) / 2)
+      < 1e-6)
+    assert(math.abs(s.getDouble(3) - (1.0 - 5.0 / 11)) < 1e-6)
+    assert(s.getLong(4) == 1L, "only the looped doc fails")
+    val t = r.find(_.getString(0) == "t").get
+    assert(t.getDouble(2) == 0.0 && t.getLong(4) == 0L)
+  }
 }

@@ -271,4 +271,28 @@ class RegressionSpec extends AnyFunSuite {
       s"lm: ${r1.getDouble(2)} vs $lm")
     assert(r1.getBoolean(3) == (lm > 3.841459))
   }
+
+  test("hac trend: NW se widens under positive serial correlation") {
+    // y = 5t + 40·square-wave(period 12): residuals are sticky
+    // blocks → brute (offline): slope 5.0, se_ols 0.427856,
+    // se_nw 0.570044, t_ols 11.686182, t_nw 8.771249 at l = 2
+    val ys = (1 to 30).map(t => 5.0 * t + 40.0 * (((t - 1) / 6) % 2))
+    val df = frame(ys.zipWithIndex.map { case (v, i) =>
+      ev(i.toLong, i + 1, "view", v) })
+    val r = Regression.hacTrend(df).collect().head
+    assert(r.getLong(0) == 30L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 5.0) < 1e-6)
+    assert(math.abs(r.getDouble(3) - 0.427856) < 1e-5)
+    assert(math.abs(r.getDouble(4) - 0.570044) < 1e-5)
+    assert(math.abs(r.getDouble(5) - 11.686182) < 1e-4)
+    assert(math.abs(r.getDouble(6) - 8.771249) < 1e-4)
+    assert(r.getDouble(4) > r.getDouble(3),
+      "positive autocorrelation must WIDEN the robust se")
+    assert(r.getBoolean(7))
+    // an exact line: zero residuals → se_nw degenerates to NULL
+    val exact = Regression.hacTrend(frame((1 to 30).map(t =>
+      ev(t.toLong, t, "view", 3.0 * t)))).collect().head
+    assert(exact.isNullAt(4) && exact.isNullAt(6) &&
+      !exact.getBoolean(7))
+  }
 }
