@@ -768,6 +768,12 @@ object SparkEntry {
       graft.operators.CorpusFilters.intradocRepetition(
         t(s, dir, "documents"))),
 
+    // ---- full additive Holt-Winters: the 3-state recursion with
+    //      LEARNED day-of-week slots (q-seasonalHolt's fixed index
+    //      can't track a drifting weekly shape) ----
+    "q451_holt_winters" -> ((s, dir) =>
+      graft.operators.Forecast.holtWinters(t(s, dir, "events"))),
+
     // ---- Stationarity pair on daily revenue: KPSS (null =
     //      stationary; Bartlett long-run variance) and un-augmented
     //      Dickey-Fuller (null = unit root) — together they split
@@ -4939,6 +4945,9 @@ object SparkEntry {
     "q450_intradoc_repetition" ->
       graft.operators.CorpusFilters.intradocRepetitionOracleSql,
 
+    "q451_holt_winters" ->
+      graft.operators.Forecast.holtWintersOracleSql(),
+
     "q436_dickey_fuller" ->
       graft.operators.Stationarity.dickeyFullerOracleSql,
 
@@ -8437,6 +8446,9 @@ object SparkEntry {
       "se_nw*", "t_ols*", "t_nw*", "sig_95"),
     "q450_intradoc_repetition" -> Seq("source", "n_docs#",
       "mean_dup5_share*", "max_dup5_share*", "n_fail#"),
+    "q451_holt_winters" -> Seq("n_days#", "n_eval#", "level*",
+      "trend*", "seas_next*", "seas_spread*", "forecast_next*",
+      "mae_backtest*"),
     "q341_competing_risks" -> Seq("t_days#", "n_risk#", "d_purchase#",
       "d_error#", "cif_purchase*", "cif_error*"),
     "q344_simpsons" -> Seq("stratum", "n_treated#", "n_control#",

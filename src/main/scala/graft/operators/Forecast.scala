@@ -846,6 +846,147 @@ object Forecast {
        |ORDER BY r.event_type""".stripMargin
   }
 
+  /** Full additive Holt–Winters on daily total revenue (Winters,
+    * Management Science 1960; Hyndman & Athanasopoulos §8.3) — the
+    * canonical 3-state recursion the fixed-index [[seasonalHolt]]
+    * deliberately sidesteps: here the 7 day-of-week seasonal slots
+    * are LEARNED jointly with level and trend,
+    *   ℓₜ = α(yₜ − s_{dow}) + (1−α)(ℓₜ₋₁+bₜ₋₁)
+    *   bₜ = β(ℓₜ−ℓₜ₋₁) + (1−β)bₜ₋₁
+    *   s_{dow} ← γ(yₜ − ℓₜ) + (1−γ)s_{dow},
+    * so a drifting weekly shape (what a FIXED index cannot track) is
+    * followed. Initialization is the fully-determined streaming
+    * convention: ℓ₁ = y₁, b₁ = 0, all seasonal slots 0 — the early
+    * season absorbs into the slots within the first cycles, and the
+    * backtest MAE starts at day 8 (after one full week) so the
+    * seed-absorption days don't pollute it. The oracle replays the
+    * identical 10-field state as a recursive CTE with the seasonal
+    * array unrolled to 7 columns.
+    *
+    * One row `(n_days, n_eval, level, trend, seas_next, seas_spread,
+    * forecast_next, mae_backtest)`; seas_spread = max−min slot (the
+    * learned weekly amplitude). Scale shape: one corpus agg, one
+    * fold over the sorted day array ([[holtFromDaily]]'s budget). */
+  def holtWinters(events: DataFrame, alpha: Double = 0.3,
+      beta: Double = 0.1, gamma: Double = 0.2): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0,1)")
+    require(beta > 0.0 && beta < 1.0, "beta must be in (0,1)")
+    require(gamma > 0.0 && gamma < 1.0, "gamma must be in (0,1)")
+    val a = alpha; val g = gamma
+    // the new level, inlined wherever the recursion references it
+    // (string-level duplication parses once — not the Column-chain
+    // blowup the r14 scalar-tail fix was about)
+    val lnew = s"($a * (p.y - element_at(st.s, dayofweek(p.d))) + " +
+      s"${1 - a} * (st.l + st.b))"
+    val folded = events
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum("value").as("y"))
+      .groupBy()
+      .agg(collect_list(struct(col("d"), col("y"))).as("__pts"))
+      .withColumn("__s", expr(
+        s"""aggregate(
+           |  array_sort(__pts),
+           |  named_struct('i', 0L, 'l', 0D, 'b', 0D,
+           |    's', array_repeat(0D, 7), 'ld', CAST(NULL AS DATE),
+           |    'sae', 0D),
+           |  (st, p) -> IF(st.i = 0L,
+           |    named_struct('i', 1L, 'l', p.y, 'b', 0D,
+           |      's', array_repeat(0D, 7), 'ld', p.d, 'sae', 0D),
+           |    named_struct(
+           |      'i', st.i + 1L,
+           |      'l', $lnew,
+           |      'b', $beta * ($lnew - st.l) + ${1 - beta} * st.b,
+           |      's', transform(st.s, (v, ix) ->
+           |        IF(ix = dayofweek(p.d) - 1,
+           |          $g * (p.y - $lnew) + ${1 - g} * v, v)),
+           |      'ld', p.d,
+           |      'sae', IF(st.i + 1L >= 8L,
+           |        st.sae + abs(p.y - (st.l + st.b +
+           |          element_at(st.s, dayofweek(p.d)))), st.sae))),
+           |  st -> st)""".stripMargin))
+    val seasNext = element_at(col("__s.s"),
+      dayofweek(date_add(col("__s.ld"), 1)))
+    folded.select(
+      col("__s.i").as("n_days"),
+      greatest(col("__s.i") - 7L, lit(0L)).as("n_eval"),
+      round(col("__s.l"), 6).as("level"),
+      round(col("__s.b"), 6).as("trend"),
+      round(seasNext, 6).as("seas_next"),
+      round(array_max(col("__s.s")) - array_min(col("__s.s")), 6)
+        .as("seas_spread"),
+      round(col("__s.l") + col("__s.b") + seasNext, 6)
+        .as("forecast_next"),
+      round(when(col("__s.i") > 7L,
+        col("__s.sae") / (col("__s.i") - 7L)), 6).as("mae_backtest"))
+  }
+
+  /** DuckDB oracle for [[holtWinters]] (defaults) — the 7 seasonal
+    * slots unrolled to columns; dow labels shifted +1 so both
+    * engines index the same Sunday = 1 slots. */
+  def holtWintersOracleSql(alpha: Double = 0.3, beta: Double = 0.1,
+      gamma: Double = 0.2): String = {
+    val a = alpha; val na = 1 - alpha
+    val be = beta; val nb = 1 - beta
+    val g = gamma; val ng = 1 - gamma
+    val sCols = (1 to 7).map(j => s"s$j").mkString(", ")
+    val sUpd = (1 to 7).map(j =>
+      s"CASE WHEN z.dw = $j THEN $g * (z.y - z.ln) + $ng * z.s$j " +
+        s"ELSE z.s$j END").mkString(",\n       |    ")
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT CAST(ts AS DATE) AS d, SUM(value) AS y
+       |  FROM events GROUP BY 1),
+       |idx AS (
+       |  SELECT d, y, dayofweek(d) + 1 AS dw,
+       |    ROW_NUMBER() OVER (ORDER BY d) AS i
+       |  FROM daily),
+       |r AS (
+       |  SELECT i, d, y AS l, CAST(0.0 AS DOUBLE) AS b,
+       |    CAST(0.0 AS DOUBLE) AS s1, CAST(0.0 AS DOUBLE) AS s2,
+       |    CAST(0.0 AS DOUBLE) AS s3, CAST(0.0 AS DOUBLE) AS s4,
+       |    CAST(0.0 AS DOUBLE) AS s5, CAST(0.0 AS DOUBLE) AS s6,
+       |    CAST(0.0 AS DOUBLE) AS s7, CAST(0.0 AS DOUBLE) AS sae
+       |  FROM idx WHERE i = 1
+       |  UNION ALL
+       |  SELECT z.i, z.d,
+       |    z.ln,
+       |    $be * (z.ln - z.l) + $nb * z.b,
+       |    $sUpd,
+       |    CASE WHEN z.i >= 8 THEN z.sae +
+       |      ABS(z.y - (z.l + z.b + z.sdw)) ELSE z.sae END
+       |  FROM (
+       |    SELECT y2.i, y2.d, y2.y, y2.dw, y2.l, y2.b, y2.sdw,
+       |      $a * (y2.y - y2.sdw) + $na * (y2.l + y2.b) AS ln,
+       |      y2.s1, y2.s2, y2.s3, y2.s4, y2.s5, y2.s6, y2.s7,
+       |      y2.sae
+       |    FROM (
+       |      SELECT x.i, x.d, x.y, x.dw, r.l, r.b,
+       |        CASE x.dw WHEN 1 THEN r.s1 WHEN 2 THEN r.s2
+       |          WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5
+       |          WHEN 6 THEN r.s6 ELSE r.s7 END AS sdw,
+       |        r.s1, r.s2, r.s3, r.s4, r.s5, r.s6, r.s7, r.sae
+       |      FROM r JOIN idx x ON x.i = r.i + 1) y2) z),
+       |last AS (SELECT MAX(i) AS n FROM idx),
+       |f AS (
+       |  SELECT r.*, last.n,
+       |    dayofweek(r.d + 1) + 1 AS dwn
+       |  FROM r JOIN last ON r.i = last.n)
+       |SELECT CAST(n AS BIGINT) AS n_days,
+       |  CAST(GREATEST(n - 7, 0) AS BIGINT) AS n_eval,
+       |  ROUND(l, 6) AS level,
+       |  ROUND(b, 6) AS trend,
+       |  ROUND(CASE dwn WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3
+       |    WHEN 4 THEN s4 WHEN 5 THEN s5 WHEN 6 THEN s6 ELSE s7 END,
+       |    6) AS seas_next,
+       |  ROUND(GREATEST(s1, s2, s3, s4, s5, s6, s7) -
+       |    LEAST(s1, s2, s3, s4, s5, s6, s7), 6) AS seas_spread,
+       |  ROUND(l + b + CASE dwn WHEN 1 THEN s1 WHEN 2 THEN s2
+       |    WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5 WHEN 6 THEN s6
+       |    ELSE s7 END, 6) AS forecast_next,
+       |  ROUND(CASE WHEN n > 7 THEN sae / (n - 7) END, 6)
+       |    AS mae_backtest
+       |FROM f""".stripMargin
+  }
+
   /** Croston's method with the Syntetos–Boylan correction on the
     * INTERMITTENT series of big urgent orders per day (Croston, Opl
     * Res Q 1972; Syntetos & Boylan, IJF 2005): SES on a

@@ -106,9 +106,8 @@ class ForecastEvalSpec extends AnyFunSuite {
 
   private def daysDf(ys: Seq[Double]) =
     ys.zipWithIndex.map { case (v, i) =>
-      (1L, f"2024-03-${i + 1}%02d 12:00:00", "view", v)
-    }.map { case (u, t, e, v) =>
-      (u, java.sql.Timestamp.valueOf(t), e, v)
+      val d = java.time.LocalDate.of(2024, 3, 1).plusDays(i)
+      (1L, java.sql.Timestamp.valueOf(d.atTime(12, 0)), "view", v)
     }.toDF("user_id", "ts", "event_type", "value")
 
   test("theta: SES-plus-half-slope replays the recursions by hand") {
@@ -218,6 +217,44 @@ class ForecastEvalSpec extends AnyFunSuite {
     assert(math.abs(r2.getDouble(4) - ts2) < 1e-6)
     assert(r2.getLong(5) == al2)
     assert(math.abs(ts2) < 0.5, s"no persistent bias: ts=$ts2")
+  }
+
+  test("holt-winters replays the 3-state recursion and learns the week") {
+    // 6 weeks of trend + strong weekly shape
+    val pat = Seq(0.0, 10, 20, 30, 40, 50, 60)
+    val ys = (1 to 42).map(t => 100.0 + t + pat((t - 1) % 7)).toSeq
+    val df = daysDf(ys)
+    // brute replay with dow slots keyed the same way (March 1 2024
+    // is a Friday → Spark dayofweek = 6)
+    val (a, be, g) = (0.3, 0.1, 0.2)
+    val dows = (1 to 42).map(t =>
+      java.time.LocalDate.of(2024, 3, 1).plusDays(t - 1)
+        .getDayOfWeek.getValue % 7 + 1)   // Sunday = 1, like Spark
+    var l = ys.head; var b = 0.0; var sae = 0.0
+    val s = Array.fill(8)(0.0)   // 1-based slots
+    (2 to 42).foreach { t =>
+      val y = ys(t - 1); val dw = dows(t - 1)
+      if (t >= 8) sae += math.abs(y - (l + b + s(dw)))
+      val l2 = a * (y - s(dw)) + (1 - a) * (l + b)
+      b = be * (l2 - l) + (1 - be) * b
+      s(dw) = g * (y - l2) + (1 - g) * s(dw)
+      l = l2
+    }
+    val dwn = dows.head match { case _ =>
+      java.time.LocalDate.of(2024, 3, 1).plusDays(42)
+        .getDayOfWeek.getValue % 7 + 1 }
+    val r = Forecast.holtWinters(df).collect().head
+    assert(r.getLong(0) == 42L && r.getLong(1) == 35L)
+    assert(math.abs(r.getDouble(2) - l) < 1e-6)
+    assert(math.abs(r.getDouble(3) - b) < 1e-6)
+    assert(math.abs(r.getDouble(4) - s(dwn)) < 1e-6)
+    assert(math.abs(r.getDouble(5) - (s.drop(1).max - s.drop(1).min))
+      < 1e-6)
+    assert(math.abs(r.getDouble(6) - (l + b + s(dwn))) < 1e-6)
+    assert(math.abs(r.getDouble(7) - sae / 35) < 1e-6)
+    // after 6 weeks the learned amplitude must approach the true 60
+    assert(r.getDouble(5) > 30.0,
+      s"weekly shape must be learned: spread=${r.getDouble(5)}")
   }
 
   test("croston: hand-traced intermittent state machine") {
