@@ -13,15 +13,17 @@ import org.apache.spark.sql.functions._
   * embedding operators ([[Similarity]], [[ProductQuantization]]) with
   * the second-order statistics they implicitly assume.
   *
-  * Scale shape: the ONLY corpus-size work is one scan that explodes
-  * each vector's upper-triangle products to (i, j, xi·xj) with
-  * map-side partial aggregation into d(d+1)/2 groups — no self-join,
-  * no shuffle of raw vectors. Everything after (Jacobi eigensolve,
-  * projection-matrix build) is driver arithmetic on a d×d matrix
-  * (d = 64 here; bounded by EMBEDDING dimension, never corpus size),
-  * exactly the bounded-driver-state pattern of
-  * [[Similarity.fitCentroids]]. Whitening re-enters the cluster as a
-  * broadcast matrix multiply per row.
+  * Scale shape: the ONLY corpus-size work is one scan per moment pass
+  * (means, then centered products) that folds each partition into a
+  * d(d+1)/2 accumulator array — the classic distributed-Gramian
+  * dataflow: per-partition state is d²-bounded, the merge moves one
+  * such array per partition, no self-join, no shuffle of raw vectors.
+  * Everything after (Jacobi eigensolve, projection-matrix build) is
+  * driver arithmetic on a d×d matrix (d = 64 here; bounded by
+  * EMBEDDING dimension, never corpus size), exactly the
+  * bounded-driver-state pattern of [[Similarity.fitCentroids]].
+  * Whitening re-enters the cluster as a broadcast matrix multiply per
+  * row.
   */
 object Pca {
 
@@ -48,24 +50,74 @@ object Pca {
   /** [[covariance]] without the 6-decimal display rounding — what
     * [[fit]] eigensolves (rounding is an oracle concern; feeding it
     * into the whitening scale shows up as ~1e-5 variance error). */
-  private def covarianceRaw(emb: DataFrame, vecCol: String): DataFrame = {
-    val mu = dimMeans(emb, vecCol)
-    val pairs = expr(
-      """flatten(transform(__c, (xi, i) ->
-        |  transform(slice(__c, i + 1, size(__c) - i),
-        |    (xj, jj) -> struct(i AS i, i + jj AS j, xi * xj AS p))))"""
-        .stripMargin)
-    emb
-      .withColumn("__mu", array(mu.map(lit).toIndexedSeq: _*))
-      .withColumn("__c",
-        expr(s"zip_with($vecCol, __mu, (x, m) -> CAST(x AS DOUBLE) - m)"))
-      .select(explode(pairs).as("pr"))
-      .groupBy(col("pr.i").as("i"), col("pr.j").as("j"))
-      .agg(sum("pr.p").as("__sc"), count(lit(1)).as("__n"))
-      .select(
-        (col("i") + 1).cast("bigint").as("i"),
-        (col("j") + 1).cast("bigint").as("j"),
-        (col("__sc") / col("__n")).as("cov"))
+  private def covarianceRaw(emb: DataFrame, vecCol: String): DataFrame =
+    covRowsDf(emb, covMoments(emb, vecCol, dimMeans(emb, vecCol)))
+
+  /** Centered upper-triangle moment rows `(i, j, cov)` (1-based,
+    * i ≤ j, unrounded) via one distributed pass: each partition folds
+    * its rows into a d(d+1)/2 sum/count accumulator pair, and the
+    * per-partition accumulators (32 × ~2080 doubles here — bounded by
+    * cores × d², never corpus size) merge on the driver in PARTITION
+    * INDEX order, so the float summation order is reproducible
+    * run-to-run. This replaced the explode-2080-structs-per-row form:
+    * the nested transform/slice lambdas are non-codegen interpreted
+    * expressions allocating d(d+1)/2 structs per vector (guide §4 —
+    * eliminate non-codegen expressions in the hot path); the array
+    * fold does the identical centered products in primitive loops.
+    * Per-pair counts (not one global n) keep ragged/null vectors
+    * contributing to exactly the pairs they cover, like explode did. */
+  private def covMoments(emb: DataFrame, vecCol: String,
+      mu: Array[Double]): Seq[(Long, Long, Double)] = {
+    val spark = emb.sparkSession
+    val muB = spark.sparkContext.broadcast(mu)
+    val parts = emb.select(col(vecCol))
+      .where(col(vecCol).isNotNull)
+      .rdd.mapPartitionsWithIndex { (pid, it) =>
+        val m = muB.value
+        val d = m.length
+        val len = d * (d + 1) / 2
+        val s = new Array[Double](len)
+        val c = new Array[Long](len)
+        it.foreach { row =>
+          val v = row.getSeq[Float](0)
+          val n = math.min(v.length, d)
+          val cent = new Array[Double](n)
+          var i = 0
+          while (i < n) { cent(i) = v(i).toDouble - m(i); i += 1 }
+          i = 0
+          while (i < n) {
+            // flattened upper-triangle offset of row i: i*d - i(i-1)/2
+            var idx = i * d - i * (i - 1) / 2
+            val ci = cent(i)
+            var j = i
+            while (j < n) { s(idx) += ci * cent(j); c(idx) += 1L; idx += 1; j += 1 }
+            i += 1
+          }
+        }
+        Iterator.single((pid, s, c))
+      }.collect()   // bounded: one (d², d²) accumulator pair per partition
+    val d = mu.length
+    val len = d * (d + 1) / 2
+    val sum = new Array[Double](len)
+    val cnt = new Array[Long](len)
+    parts.sortBy(_._1).foreach { case (_, s, c) =>
+      var t = 0
+      while (t < len) { sum(t) += s(t); cnt(t) += c(t); t += 1 }
+    }
+    for {
+      i <- 0 until d
+      j <- i until d
+      idx = i * d - i * (i - 1) / 2 + (j - i)
+      if cnt(idx) > 0L   // ragged corpora: a never-seen pair has no row
+    } yield ((i + 1).toLong, (j + 1).toLong, sum(idx) / cnt(idx))
+  }
+
+  /** The moment rows as a DataFrame with [[covariance]]'s schema. */
+  private def covRowsDf(emb: DataFrame,
+      rows: Seq[(Long, Long, Double)]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    rows.toDF("i", "j", "cov")
   }
 
   /** Per-dimension means of the vector column, index order — a
@@ -96,16 +148,18 @@ object Pca {
     * sums (the [[covariance]] dataflow plus the mean), then a driver
     * Jacobi eigensolve on the d×d matrix. */
   def fit(emb: DataFrame, vecCol: String = "embedding"): PcaModel = {
-    val covRows = covarianceRaw(emb, vecCol)
-      .collect()   // bounded: d(d+1)/2 rows, dimension- not corpus-sized
-    val d = covRows.iterator.map(_.getLong(1)).max.toInt
+    // ONE means pass shared between centering and the model (the old
+    // form ran dimMeans twice: once inside the covariance pass and
+    // again for PcaModel.mean — a full extra scan for nothing)
+    val mean = dimMeans(emb, vecCol)
+    val covRows = covMoments(emb, vecCol, mean)
+      // bounded: d(d+1)/2 rows, dimension- not corpus-sized
+    val d = covRows.iterator.map(_._2).max.toInt
     val a = Array.ofDim[Double](d, d)
-    covRows.foreach { r =>
-      val (i, j, c) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1,
-        r.getDouble(2))
+    covRows.foreach { case (i0, j0, c) =>
+      val (i, j) = (i0.toInt - 1, j0.toInt - 1)
       a(i)(j) = c; a(j)(i) = c
     }
-    val mean = dimMeans(emb, vecCol)
     val (evals, evecs) = jacobiEigen(a)
     PcaModel(mean, evals, evecs)
   }
