@@ -254,10 +254,19 @@ object GraphAudit {
     *
     * Scale shape: the page vocabulary is BOUNDED (the props.k id
     * space), so the dist table is at most pages² — never
-    * corpus-sized. Each hop is one join + min-d reduce on that
-    * table, with an EAGER localCheckpoint per hop to truncate the
-    * iterative lineage (the q150 PageRank discipline). The corpus is
-    * touched exactly once, by the edge extraction. */
+    * corpus-sized. The expansion is FRONTIER BFS: each hop joins only
+    * the pairs DISCOVERED LAST HOP against the (once-partitioned)
+    * edge table and anti-joins the accumulated set, so a hop's cost
+    * is frontier-sized, not pairs²-sized — the old form joined the
+    * full accumulated table every hop, paying pairs²·degree long
+    * after the graph was saturated (the driver graph saturates at
+    * hop 1). An empty frontier exits early: BFS is monotone, so no
+    * later hop can discover a pair (both engines still agree — the
+    * oracle's recursive UNION fixpoints the same way). Each frontier
+    * is EAGERLY localCheckpointed to truncate iterative lineage (the
+    * q150 PageRank discipline); the accumulated set stays a shallow
+    * union of checkpointed levels and is never re-materialized. The
+    * corpus is touched exactly once, by the edge extraction. */
   def bfsDistances(events: DataFrame, maxHops: Int = 6): DataFrame = {
     require(maxHops >= 1, "maxHops must be >= 1")
     val e = GraphRank.navigationEdges(events)
@@ -267,18 +276,28 @@ object GraphAudit {
       .distinct()
     val sym = e.unionByName(
       e.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a"))   // partition ONCE; every hop's join reuses it
       .truncateLineage()   // graph-sized, reused every hop
     val nodes = sym.select(col("a").as("node")).distinct()
     var dist = nodes
       .select(col("node").as("src"), col("node"), lit(0).as("d"))
       .truncateLineage()
-    for (_ <- 1 to maxHops) {
-      val next = dist.join(sym, dist("node") === sym("a"))
-        .select(dist("src"), sym("b").as("node"),
-          (dist("d") + 1).as("d"))
-      dist = dist.unionByName(next)
-        .groupBy("src", "node").agg(min("d").as("d"))
+    var frontier = dist
+    var hop = 0
+    var done = false
+    while (hop < maxHops && !done) {
+      hop += 1
+      val cand = frontier.join(sym, frontier("node") === sym("a"))
+        .select(frontier("src"), sym("b").as("node"),
+          (frontier("d") + 1).as("d"))
+        .dropDuplicates("src", "node")   // many paths, one pair per hop
+      val fresh = cand.join(dist, Seq("src", "node"), "left_anti")
         .truncateLineage()   // truncate iterative lineage
+      if (fresh.isEmpty) done = true
+      else {
+        dist = dist.unionByName(fresh)   // shallow union of checkpointed levels
+        frontier = fresh
+      }
     }
     dist.groupBy("src").agg(
         count(lit(1)).as("n_reach"),
