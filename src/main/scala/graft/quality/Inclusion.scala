@@ -27,11 +27,17 @@ object Inclusion {
     * `is_ind` is exact containment = 1. */
   def indReport(cols: Seq[(String, (DataFrame, String))]): DataFrame = {
     require(cols.nonEmpty, "at least one column to profile")
+    // persist the tagged distinct-value table: it anchors FIVE plan
+    // branches (sizes, both self-join sides, both grid sides) and
+    // unpersisted each branch replayed all p column scans + distincts
+    // (measured: 96 parquet scans / 108 exchanges in the q321 plan;
+    // 12 scans with the cache)
     val tagged = cols.map { case (label, (df, c)) =>
       df.select(col(c).cast("bigint").as("v"))
         .where(col("v").isNotNull).distinct()
         .select(lit(label).as("tag"), col("v"))
     }.reduce(_.unionByName(_))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = tagged.groupBy("tag").agg(count(lit(1)).as("n_from"))
     val overlap = tagged.as("a")
       .join(tagged.as("b"), col("a.v") === col("b.v"))
