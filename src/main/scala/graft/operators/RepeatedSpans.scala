@@ -45,10 +45,20 @@ object RepeatedSpans {
     // one hash per window start, 1-based to mirror SQL slice semantics
     val wins = toks
       .filter(col("__n") >= w)
+      // hash each TOKEN once, then hash the w-slice of token hashes:
+      // gram identity is unchanged (tokens are \\s+-split, so the old
+      // space-joined string was injective on token sequences) but the
+      // per-position work drops from an O(w)-char string build + string
+      // hash to an 8-long slice + fixed-width hash — no allocation
+      .withColumn("__th", transform(col("__t"), t => xxhash64(t)))
       .select(col(idCol), posexplode(
         transform(sequence(lit(1), col("__n") - w + 1),
-          i => xxhash64(concat_ws(" ", slice(col("__t"), i, lit(w)))))))
+          i => xxhash64(slice(col("__th"), i, lit(w))))))
       .select(col(idCol), (col("pos") + 1).as("__start"), col("col").as("__gh"))
+      // tokenize+hash ONCE: the window table anchors both the
+      // repetition aggregate and the rejoin probe side — unpersisted,
+      // the per-position slice/concat/xxhash Generate pass runs twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // cross-document repetition: distinct-doc count per window hash
     val repeated = wins
       .groupBy("__gh")
@@ -111,10 +121,18 @@ object RepeatedSpans {
       .withColumn("__n", size(col("__t")))
     val wins = toks
       .filter(col("__n") >= w)
+      // hash each TOKEN once, then hash the w-slice of token hashes:
+      // gram identity is unchanged (tokens are \\s+-split, so the old
+      // space-joined string was injective on token sequences) but the
+      // per-position work drops from an O(w)-char string build + string
+      // hash to an 8-long slice + fixed-width hash — no allocation
+      .withColumn("__th", transform(col("__t"), t => xxhash64(t)))
       .select(col(idCol), posexplode(
         transform(sequence(lit(1), col("__n") - w + 1),
-          i => xxhash64(concat_ws(" ", slice(col("__t"), i, lit(w)))))))
+          i => xxhash64(slice(col("__th"), i, lit(w))))))
       .select(col(idCol), (col("pos") + 1).as("__start"), col("col").as("__gh"))
+      // tokenize+hash ONCE (same two-consumer shape as [[report]])
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // repeated grams, each with its keep-first witness occurrence
     // (min over (doc, start) structs — field order IS the ordering)
     val repeated = wins
