@@ -3488,6 +3488,9 @@ object SparkEntry {
       val mv = root.resolve("mv").toString
       val ev = t(s, dir, "events")
         .select(to_date(col("ts")).as("dt"), col("value"))
+        // three consumers (two value-split commits + the exact ranked
+        // pass) — persist, or each replays the scan + date projection
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mvSpec = MaterializedAgg.AggSpec(Seq("dt"),
         histCols = Seq(MaterializedAgg.Hist("value", 0.0, 500.0, 100)))
       TableLog.commitAppend(s, src, ev.filter(col("value") < 50.0))
@@ -3500,19 +3503,28 @@ object SparkEntry {
       // value order — identical semantics in both engines, unlike
       // cont-interpolation conventions). The estimate's bin CONTAINS
       // that value, so |midpoint − exact| ≤ width/2 is guaranteed.
+      // BOTH quantiles resolve from ONE ranked pass (conditional agg
+      // over the two ⌈q·n⌉ rows — rn is unique per dt, so each max()
+      // sees exactly its quantile row); the old per-quantile frames
+      // re-ran the full two-window pass per quantile.
       val wRank = org.apache.spark.sql.expressions.Window
         .partitionBy("dt").orderBy("value")
       val wAll = org.apache.spark.sql.expressions.Window.partitionBy("dt")
       val ranked = ev
         .withColumn("rn", row_number().over(wRank))
         .withColumn("n", count(lit(1)).over(wAll))
-      def disc(q: Double, name: String) =
-        ranked.filter(col("rn") === ceil(col("n") * q))
-          .select(col("dt"), round(col("value"), 4).as(name),
-            col("n").as(s"__n_$name"))
+      val exact = ranked
+        .filter(col("rn") === ceil(col("n") * 0.5) ||
+          col("rn") === ceil(col("n") * 0.95))
+        .groupBy("dt")
+        .agg(
+          max(when(col("rn") === ceil(col("n") * 0.5),
+            round(col("value"), 4))).as("p50_exact"),
+          max(when(col("rn") === ceil(col("n") * 0.95),
+            round(col("value"), 4))).as("p95_exact"),
+          max(col("n")).as("__n_p50_exact"))
       approx
-        .join(disc(0.5, "p50_exact"), Seq("dt"))
-        .join(disc(0.95, "p95_exact"), Seq("dt"))
+        .join(exact, Seq("dt"))
         .select(col("dt"), col("__n_p50_exact").as("n_events"),
           col("p50_exact"), col("p95_exact"),
           (abs(col("p50_value") - col("p50_exact")) <= 2.51)
