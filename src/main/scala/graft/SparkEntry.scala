@@ -4353,7 +4353,10 @@ object SparkEntry {
     //      quantified case for q135's cluster-keyed assignment ----
     "q138_split_leakage" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // three consumers (cluster building + both straddle audits):
+      // persist, or the affix self-join replays per consumer
       val pairs = DupClusters.affixPairs(docs, n = 40)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val splits = Seq(("train", 0.90), ("val", 0.07), ("test", 0.03))
       val byDoc = graft.operators.Sampling.hashSplit(docs, splits)
         .select(col("doc_id"), col("split"))

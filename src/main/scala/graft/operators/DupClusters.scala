@@ -59,6 +59,11 @@ object DupClusters {
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
+      // two consumers before the first star round (the convergence
+      // fingerprint, then either the small-graph collect or the first
+      // symmetrize) — persist, or the caller's whole edge-generation
+      // plan (e.g. the affix self-join) replays per consumer
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def fingerprint(d: DataFrame): (Long, Long) = {
       val r = d.agg(
@@ -70,8 +75,11 @@ object DupClusters {
 
     var fp = fingerprint(e)
 
-    if (fp._1 <= smallGraphEdges)
-      return unionFind(spark, e.as[(Long, Long)].collect())
+    if (fp._1 <= smallGraphEdges) {
+      val collected = e.as[(Long, Long)].collect()
+      e.unpersist()
+      return unionFind(spark, collected)
+    }
 
     var it = 0
     var converged = fp._1 == 0L
