@@ -45,12 +45,16 @@ object AllPairsJoin {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold in (0, 1], got $threshold")
+    // shingle ONCE: grams anchors the posting explode and both
+    // verification joins — unpersisted, the tokenize + shingle-hash
+    // pass replays per consumer
     val grams = docs
       .select(col(idCol).as("id"),
         array_distinct(ShingleHashes.shingleHashes(
           TextFunctions.tokens(col(textCol)), k)).as("g"))
       .where(size(col("g")) > 0)
       .select(col("id"), col("g"), size(col("g")).cast("long").as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val exploded = grams.select(col("id"), col("n"),
       explode(col("g")).as("h"))
@@ -64,6 +68,8 @@ object AllPairsJoin {
       .withColumn("__r", row_number().over(w))
       .where(col("__r") <= prefixLen)
       .select(col("id"), col("n"), col("h"))
+      // both sides of the candidate self-join read this posting table
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val cand = prefix.as("a")
       .join(prefix.as("b"),
@@ -194,6 +200,9 @@ object AllPairsJoin {
     val allGrams =
       (if (alreadyIndexed) oldGrams else oldGrams.unionByName(newGrams))
         .dropDuplicates("id")
+        // both verification joins (id_a side, id_b side) read this —
+        // persist, or the union + dedup shuffle replays per side
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = cand
       .join(allGrams.select(col("id").as("id_a"), col("g").as("__ga")), "id_a")
       .join(allGrams.select(col("id").as("id_b"), col("g").as("__gb")), "id_b")
