@@ -35,6 +35,10 @@ object GraphAudit {
     require(sectionSize >= 1, "sectionSize must be >= 1")
     val e = GraphRank.navigationEdges(events)
       .select(col("src"), col("dst"), col("w").cast("double").as("w"))
+      // four consumers (total weight, both degree branches, the
+      // within-community agg) — persist the graph-sized edge table so
+      // the corpus-scale edge extraction runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = e.agg(sum("w").as("__m"),
       countDistinct(col("src")).as("__ns"))
     // weighted degree per node on the symmetrized graph: out + in
@@ -112,6 +116,9 @@ object GraphAudit {
   def assortativity(events: DataFrame): DataFrame = {
     val e = GraphRank.navigationEdges(events)
       .select(col("src"), col("dst"), col("w").cast("double").as("w"))
+      // three consumers (both degree branches + the edge join) —
+      // persist so the edge extraction runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(col("src").as("page"), col("w"))
       .unionByName(e.select(col("dst").as("page"), col("w")))
       .groupBy("page").agg(sum("w").as("d"))
@@ -191,6 +198,8 @@ object GraphAudit {
     val e = GraphRank.navigationEdges(events)
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), col("w").cast("double").as("w"))
+      // probe + reversed sides both read this — one edge extraction
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rev = e.select(col("dst").as("src"), col("src").as("dst"),
       lit(true).as("__has_rev"))
     val marked = e.join(rev.dropDuplicates("src", "dst"),

@@ -262,6 +262,8 @@ object GraphRank {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      // both degree branches read this — one edge extraction
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val degrees = u.select(col("a").as("page"))
       .union(u.select(col("b").as("page")))
       .groupBy("page").agg(count(lit(1)).as("degree"))
