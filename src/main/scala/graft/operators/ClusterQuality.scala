@@ -23,13 +23,18 @@ object ClusterQuality {
   /** Per-point distance table `(id, own label g0, candidate label g,
     * dist)` — shared stage of both indices. */
   private def distances(emb: DataFrame, vecCol: String,
-      labelCol: String): (DataFrame, DataFrame) = {
+      labelCol: String): (DataFrame, DataFrame, DataFrame) = {
+    // pts anchors three branches here (means, ssq, dots) plus the
+    // callers' pooled-scatter passes, and mu two more (mu2, dots) —
+    // persist both, or every branch replays the explode/mean pass
     val pts = emb.select(col("vec_id").as("id"),
         col(labelCol).as("g0"),
         posexplode(col(vecCol)).as(Seq("d", "x")))
       .withColumn("x", col("x").cast("double"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mu = pts.groupBy(col("g0").as("g"), col("d"))
       .agg((sum("x") / count(lit(1))).as("mu"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mu2 = mu.groupBy("g").agg(sum(col("mu") * col("mu")).as("mu2"))
     val ssq = pts.groupBy("id", "g0")
       .agg(sum(col("x") * col("x")).as("ssq"))
@@ -40,7 +45,7 @@ object ClusterQuality {
       .select(col("id"), col("g0"), col("g"),
         sqrt(greatest(col("ssq") - col("dot") * 2.0 + col("mu2"),
           lit(0.0))).as("dist"))
-    (dist, mu)
+    (dist, mu, pts)
   }
 
   /** Simplified silhouette per label: `(label, n, mean_a, mean_b,
@@ -48,7 +53,7 @@ object ClusterQuality {
     * to the nearest OTHER centroid, s = (b−a)/max(a,b). */
   def silhouette(emb: DataFrame, vecCol: String = "embedding",
       labelCol: String = "label"): DataFrame = {
-    val (dist, _) = distances(emb, vecCol, labelCol)
+    val (dist, _, _) = distances(emb, vecCol, labelCol)
     val perPoint = dist.groupBy("id", "g0").agg(
       sum(when(col("g") === col("g0"), col("dist"))).as("a"),
       min(when(col("g") =!= col("g0"), col("dist"))).as("b"))
@@ -71,10 +76,13 @@ object ClusterQuality {
     * (higher better), both from the same centroid geometry. */
   def daviesBouldin(emb: DataFrame, vecCol: String = "embedding",
       labelCol: String = "label"): DataFrame = {
-    val (dist, mu) = distances(emb, vecCol, labelCol)
+    val (dist, mu, pts0) = distances(emb, vecCol, labelCol)
     val own = dist.where(col("g") === col("g0"))
+    // k-row table with a heavy lineage (the point-to-centroid join),
+    // read by three branches (both r sides + the pooled ssw)
     val sG = own.groupBy("g").agg(avg("dist").as("s"),
       count(lit(1)).as("n_g"), sum(col("dist") * col("dist")).as("ssw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val muA = mu.select(col("g").as("ga"), col("d"), col("mu").as("ma"))
     val muB = mu.select(col("g").as("gb"), col("d"), col("mu").as("mb"))
     val cDist = muA.join(muB, "d")
@@ -89,9 +97,7 @@ object ClusterQuality {
       .agg(max((col("sa") + col("sb")) / col("cd")).as("rmax"))
     val db = r.agg(avg("rmax").as("__db"), count(lit(1)).as("k"))
     // CH from the pooled scatter: SST via the global centroid
-    val pts = emb.select(col("vec_id").as("id"),
-        posexplode(col(vecCol)).as(Seq("d", "x")))
-      .withColumn("x", col("x").cast("double"))
+    val pts = pts0.select(col("id"), col("d"), col("x"))   // cached above
     val gmu = pts.groupBy("d")
       .agg((sum("x") / count(lit(1))).as("gm"))
     val sst = pts.join(gmu, "d")

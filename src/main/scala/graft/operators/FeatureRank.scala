@@ -26,10 +26,14 @@ object FeatureRank {
       features: Seq[(String, Column)]): DataFrame = {
     require(features.nonEmpty, "need at least one feature")
     features.map { case (name, f) =>
+      // cell-cardinality table with a corpus-scan lineage (the
+      // feature expression may be a per-row regex), read by four
+      // branches (total, label margin, feature margin, per-value H)
       val cells = df
         .where(label.isNotNull && f.isNotNull)
         .groupBy(f.as("__f"), label.as("__l"))
         .agg(count(lit(1)).as("__c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tot = cells.agg(sum("__c").as("__n"))
       val n = col("__n").cast("double")
       // H(label): entropy of the label margin, in bits

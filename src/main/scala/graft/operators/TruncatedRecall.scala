@@ -27,9 +27,12 @@ object TruncatedRecall {
   def recallCurve(candidates: DataFrame, queries: DataFrame, k: Int,
       dims: Seq[Int], idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // the full-dim ground truth joins EVERY truncated-dim branch —
+    // persist, or the heaviest brute-force pass replays once per dim
     val full = Similarity.bruteForceTopK(candidates, queries, k,
       idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nq = queries.select(col(idCol)).distinct().count()
     dims.map { m =>
       def sliced(df: DataFrame) =
