@@ -25,13 +25,12 @@ object Basket {
     * least `minBoth` orders, ties broken by the pair key. */
   def partAffinity(lineitem: DataFrame, minBoth: Long = 3L,
       topK: Int = 50): DataFrame = {
-    // basket-ize ONCE: items anchors five plan branches (order sizes,
-    // part counts, the 1-row total, and both self-join sides) — each
-    // replayed the corpus scan + distinct when unpersisted
+    // items anchors five plan branches; an r14o1 persist here REGRESSED
+    // the close bench 0.83x (cache write + InMemoryTableScan read cost
+    // more than replaying the scan+distinct at this size) — reverted
     val items = lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val orderSize = items.groupBy("ok")
       .agg(count(lit(1)).as("__sz"))
     val partN = items.groupBy("pk").agg(count(lit(1)).as("__n"))
@@ -93,10 +92,9 @@ object Basket {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
         (col("__od") <= col("__mid")).as("h1"))
       .distinct()
-      // half-split baskets anchor both halves' pair self-joins and the
-      // H1 size table — persist, or each branch replays scan + join +
-      // distinct
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // NOTE: an r14o1 persist of this table regressed the close bench
+      // 0.80x (materialization outweighed branch-replay savings) —
+      // reverted, the branches replay the scan+join+distinct instead
     def pairs(half: DataFrame) = {
       val a = half.select(col("ok"), col("pk").as("part_a"))
       val b = half.select(col("ok"), col("pk").as("part_b"))

@@ -24,17 +24,15 @@ object ClusterQuality {
     * dist)` — shared stage of both indices. */
   private def distances(emb: DataFrame, vecCol: String,
       labelCol: String): (DataFrame, DataFrame, DataFrame) = {
-    // pts anchors three branches here (means, ssq, dots) plus the
-    // callers' pooled-scatter passes, and mu two more (mu2, dots) —
-    // persist both, or every branch replays the explode/mean pass
+    // NOTE: r14o1 persisted pts and mu here; the close bench regressed
+    // 0.77x/0.67x (q317/q318) — caching the exploded point table cost
+    // more than replaying the explode/mean branches. Reverted.
     val pts = emb.select(col("vec_id").as("id"),
         col(labelCol).as("g0"),
         posexplode(col(vecCol)).as(Seq("d", "x")))
       .withColumn("x", col("x").cast("double"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mu = pts.groupBy(col("g0").as("g"), col("d"))
       .agg((sum("x") / count(lit(1))).as("mu"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mu2 = mu.groupBy("g").agg(sum(col("mu") * col("mu")).as("mu2"))
     val ssq = pts.groupBy("id", "g0")
       .agg(sum(col("x") * col("x")).as("ssq"))
@@ -78,11 +76,10 @@ object ClusterQuality {
       labelCol: String = "label"): DataFrame = {
     val (dist, mu, pts0) = distances(emb, vecCol, labelCol)
     val own = dist.where(col("g") === col("g0"))
-    // k-row table with a heavy lineage (the point-to-centroid join),
-    // read by three branches (both r sides + the pooled ssw)
+    // k-row table read by three branches; the r14o1 persist regressed
+    // the close bench (q318 0.67x) — reverted
     val sG = own.groupBy("g").agg(avg("dist").as("s"),
       count(lit(1)).as("n_g"), sum(col("dist") * col("dist")).as("ssw"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val muA = mu.select(col("g").as("ga"), col("d"), col("mu").as("ma"))
     val muB = mu.select(col("g").as("gb"), col("d"), col("mu").as("mb"))
     val cDist = muA.join(muB, "d")

@@ -26,14 +26,14 @@ object FeatureRank {
       features: Seq[(String, Column)]): DataFrame = {
     require(features.nonEmpty, "need at least one feature")
     features.map { case (name, f) =>
-      // cell-cardinality table with a corpus-scan lineage (the
-      // feature expression may be a per-row regex), read by four
-      // branches (total, label margin, feature margin, per-value H)
+      // cell-cardinality table read by four branches; the r14o1
+      // persist here regressed the close bench 0.77x and pushed q354
+      // over its 2x perf gate — reverted (replaying the cheap cell
+      // aggregate beats the cache write + InMemoryTableScan read)
       val cells = df
         .where(label.isNotNull && f.isNotNull)
         .groupBy(f.as("__f"), label.as("__l"))
         .agg(count(lit(1)).as("__c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tot = cells.agg(sum("__c").as("__n"))
       val n = col("__n").cast("double")
       // H(label): entropy of the label margin, in bits

@@ -116,9 +116,8 @@ object GraphAudit {
   def assortativity(events: DataFrame): DataFrame = {
     val e = GraphRank.navigationEdges(events)
       .select(col("src"), col("dst"), col("w").cast("double").as("w"))
-      // three consumers (both degree branches + the edge join) —
-      // persist so the edge extraction runs once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // NOTE: an r14o1 persist here regressed the close bench 0.61x —
+      // reverted; the three branches replay the edge extraction
     val deg = e.select(col("src").as("page"), col("w"))
       .unionByName(e.select(col("dst").as("page"), col("w")))
       .groupBy("page").agg(sum("w").as("d"))

@@ -262,8 +262,8 @@ object GraphRank {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      // both degree branches read this — one edge extraction
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // NOTE: an r14o1 persist here regressed the close bench 0.67x —
+      // reverted; both degree branches replay the edge extraction
     val degrees = u.select(col("a").as("page"))
       .union(u.select(col("b").as("page")))
       .groupBy("page").agg(count(lit(1)).as("degree"))

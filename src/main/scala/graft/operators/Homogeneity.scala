@@ -107,16 +107,16 @@ object Homogeneity {
     * ranks tie-broken by treatment. */
   private def rankedCells(df: DataFrame, block: Column,
       treatment: Column, metric: Column): DataFrame = {
-    // block×treatment cell table with a corpus-scan lineage; its k
-    // branch and the main ranking branch — and every caller's 2-4
-    // downstream reductions — would each replay the corpus aggregate
-    // unpersisted. Both frames are block-cardinality, never corpus.
+    // NOTE: r14o1 persisted both the cell table and the ranked frame;
+    // the close bench regressed all three consumers (q325 0.74x, q431
+    // 0.54x, q432 0.64x) — the cache write + blocked codegen across the
+    // InMemoryTableScan boundary cost more than replaying the cheap
+    // block-cardinality aggregate. Reverted.
     val cells = df
       .select(block.as("b"), treatment.as("t"),
         metric.cast("double").as("x"))
       .where(col("b").isNotNull && col("t").isNotNull)
       .groupBy("b", "t").agg(round(sum("x"), 2).as("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = cells.agg(countDistinct(col("t")).as("__k"))
     cells
       .withColumn("__nt", count(lit(1))
@@ -125,7 +125,6 @@ object Homogeneity {
       .where(col("__nt") === col("__k"))
       .withColumn("r", rank().over(Window.partitionBy("b")
         .orderBy(col("cell"), col("t"))).cast("double"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   def friedman(df: DataFrame, block: Column, treatment: Column,

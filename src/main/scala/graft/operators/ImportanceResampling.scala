@@ -55,10 +55,10 @@ object ImportanceResampling {
   def selectTopK(corpus: DataFrame, target: DataFrame, k: Int,
       numBuckets: Int = 4096, alpha: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // the corpus bucket table anchors the marginal AND the per-doc
-    // weight join — persist, or the tokenize+hash pass runs twice
+    // NOTE: an r14o1 persist of cb (and of scored below) regressed the
+    // close bench 0.70x (q153) — reverted; the tokenize+hash pass
+    // replays rather than paying the cache round-trip
     val cb = docBuckets(corpus, numBuckets, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tb = docBuckets(target, numBuckets, idCol, textCol)
 
     val cs = cb.groupBy("b").agg(sum("c").as("cs"))
@@ -84,8 +84,6 @@ object ImportanceResampling {
       .join(w, Seq(idCol), "left_outer")
       .select(col(idCol),
         coalesce(col("li_weight"), lit(0.0)).as("li_weight"))
-      // threshold pass + final projection both read this
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // k-th largest ROUNDED weight: bounded k-row collect shape, no
     // global row_number; comparing rounded-to-rounded keeps the flag
