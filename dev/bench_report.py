@@ -3,11 +3,15 @@
 the FIRST driver-bench time each query ever got, scanned across
 BENCH_r*.json in round order — and (b) the previous close bench.
 
-Usage: bench_report.py <close_bench.json_or_log> [prev_close.json]
+Usage: bench_report.py <close_bench.json_or_log> [prev_close.json] [--strict]
 
 Prints the gate geomean, every >2x gate breach, and every >1.5x
 round-over-round regression. Exits nonzero if the bench log contains
-errors or recorded no queries.
+errors or recorded no queries. With --strict (the close.sh default
+when a prev close is supplied) it ALSO exits nonzero on any NEW gate
+breach (one the prev close did not already have) or any >1.5x
+regression vs the prev close — the r14o1 failure mode was a close
+that printed both and shipped anyway.
 """
 import glob
 import json
@@ -70,7 +74,9 @@ def gate_times(repo_root):
 
 
 def main():
-    bench = extract_json(sys.argv[1])
+    strict = "--strict" in sys.argv
+    argv = [a for a in sys.argv if a != "--strict"]
+    bench = extract_json(argv[1])
     qs = {k: float(v) for k, v in bench.get("queries", {}).items()}
     errs = bench.get("errors", {})
     if errs:
@@ -83,6 +89,7 @@ def main():
         os.path.dirname(os.path.abspath(__file__))))
     ratios = {q: t / gates[q] for q, t in qs.items()
               if q in gates and gates[q] > 0}
+    breaches = {}
     if ratios:
         gm = math.exp(sum(math.log(r) for r in ratios.values())
                       / len(ratios))
@@ -99,8 +106,18 @@ def main():
               f"(new this round): {', '.join(ungated[:12])}"
               + (" ..." if len(ungated) > 12 else ""))
 
-    if len(sys.argv) > 2:
-        prev = extract_json(sys.argv[2]).get("queries", {})
+    new_breaches, regs = {}, {}
+    if len(argv) > 2:
+        prev = extract_json(argv[2]).get("queries", {})
+        # a breach the prev close ALREADY had is inherited state, not
+        # this round's doing; a NEW one is a hard stop under --strict
+        prev_breaches = {q for q, t in prev.items()
+                         if q in gates and gates[q] > 0
+                         and float(t) / gates[q] > 2.0}
+        new_breaches = {q: r for q, r in breaches.items()
+                        if q not in prev_breaches}
+        for q in sorted(new_breaches):
+            print(f"  NEW gate breach this round: {q}")
         common = {q: qs[q] / float(prev[q]) for q in qs
                   if q in prev and float(prev[q]) > 0}
         if common:
@@ -115,6 +132,11 @@ def main():
                       f"{qs[q]:.2f}s ({r:.1f}x)")
             if not regs:
                 print("  zero >1.5x regressions (above 0.5s)")
+    if strict and (new_breaches or regs):
+        print(f"STRICT FAIL: {len(new_breaches)} new gate breach(es), "
+              f"{len(regs)} >1.5x regression(s) — fix or revert before "
+              f"closing the round")
+        sys.exit(1)
     sys.exit(1 if errs else 0)
 
 

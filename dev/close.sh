@@ -102,7 +102,12 @@ N_VERIFY=$(find /tmp/close_verify01 -mindepth 1 -maxdepth 1 -type d | wc -l)
 echo "bench queries: $N_BENCH   verify dirs: $N_VERIFY"
 [ "$N_BENCH" = "$N_VERIFY" ] \
   || { echo "COUNT MISMATCH: bench $N_BENCH != verify $N_VERIFY"; exit 1; }
-python3 dev/bench_report.py "$BENCH" ${PREV:+"$PREV"}
+# --strict: a NEW gate breach or any >1.5x regression vs the prev
+# close FAILS the close (the r14o1 lesson: the report printed both and
+# the round shipped anyway). Keep BENCH_PASSES identical between the
+# before and after closes of an optimization round — min-of-7 vs
+# min-of-5 made the r14 comparison needlessly arguable.
+python3 dev/bench_report.py "$BENCH" ${PREV:+"$PREV" --strict}
 
 if [ -n "$(git status --porcelain)" ]; then
   echo "WARNING: tree is DIRTY — the artifacts above describe uncommitted"

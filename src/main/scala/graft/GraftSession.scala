@@ -25,6 +25,18 @@ object GraftSession {
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing keeps the Spark default parallelismFirst=true.
+      // parallelismFirst=false (respect the 64 MB advisory size, the
+      // setting Spark's docs suggest for busy clusters) was A/B'd in
+      // r15 across 22 queries at sf0.1/32 cores and LOST: geomean ~1.2x
+      // slower (q302 2.79→6.57 s, q316 5.00→7.59, q243 5.12→6.72,
+      // q360 10.8→12.7; only q321/q317 improved) — collapsing few-MB
+      // shuffles to one 64 MB-target partition serializes real compute
+      // work at this SF. Env-parameterised so a cluster deployment can
+      // flip it where reducers genuinely drown in small tasks:
+      // GRAFT_AQE_PARALLELISM_FIRST=false.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("GRAFT_AQE_PARALLELISM_FIRST", "true"))
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       // ContextCleaner only reclaims shuffle/broadcast files when the

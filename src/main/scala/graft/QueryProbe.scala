@@ -41,23 +41,33 @@ object QueryProbe {
       if (args.exists(Set("schema", "explain", "show"))) 0
       else sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     names.foreach { q =>
-      val times = (1 to reps).map { r =>
+      val times = (1 to reps).flatMap { r =>
         val t0 = System.nanoTime()
         // construction + execution, like Bench measures (operators may
         // do eager work — index builds, cache warm-up — at construction)
-        try SparkEntry.queries(q)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          println(s"[probe] $q rep=$r FAILED: ${e.getClass.getSimpleName}: " +
-            String.valueOf(e.getMessage).take(200))
-        }
+        val ok =
+          try {
+            SparkEntry.queries(q)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            println(s"[probe] $q rep=$r FAILED: ${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(200))
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        println(f"[probe] $q rep=$r time=$dt%.3fs")
-        dt
+        println(f"[probe] $q rep=$r time=$dt%.3fs" +
+          (if (ok) "" else " (FAILED — excluded from min)"))
+        // a failed rep's (typically tiny) elapsed time must never win
+        // the min and report a fast failure as the steady state
+        if (ok) Some(dt) else None
       }
       if (times.nonEmpty)
-        println(f"[probe] $q min=${times.min}%.3fs reps=$reps")
+        println(f"[probe] $q min=${times.min}%.3fs reps=$reps " +
+          f"ok=${times.size}")
+      else if (reps > 0)
+        println(s"[probe] $q ALL $reps reps FAILED — no min")
     }
     spark.stop()
   }

@@ -54,7 +54,7 @@ object DupClusters {
     import spark.implicits._
 
     // Canonical (hi → lo) direction; self-loops contribute nothing.
-    var e = edges
+    val e0 = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
@@ -64,6 +64,7 @@ object DupClusters {
       // symmetrize) — persist, or the caller's whole edge-generation
       // plan (e.g. the affix self-join) replays per consumer
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var e = e0
 
     def fingerprint(d: DataFrame): (Long, Long) = {
       val r = d.agg(
@@ -77,7 +78,7 @@ object DupClusters {
 
     if (fp._1 <= smallGraphEdges) {
       val collected = e.as[(Long, Long)].collect()
-      e.unpersist()
+      e0.unpersist()
       return unionFind(spark, collected)
     }
 
@@ -110,6 +111,10 @@ object DupClusters {
         .distinct()
 
       e = checkpointer(ss)
+      // the initial cached edge set is consumed for the last time by
+      // this round's sym/star reads — release it once e has moved on
+      // (it used to stay resident until the caller's clearCache)
+      if (it == 0) e0.unpersist()
       val nfp = fingerprint(e)
       converged = nfp == fp
       fp = nfp

@@ -64,8 +64,13 @@ object Pca {
     * expressions allocating d(d+1)/2 structs per vector (guide §4 —
     * eliminate non-codegen expressions in the hot path); the array
     * fold does the identical centered products in primitive loops.
-    * Per-pair counts (not one global n) keep ragged/null vectors
-    * contributing to exactly the pairs they cover, like explode did. */
+    * Per-pair counts are COVERING-ROW counts: a pair (i,j) counts only
+    * rows where both elements exist and are non-null — a deliberate
+    * correction of the old zip_with form, whose count(lit(1)) also
+    * counted the null-padded rows of ragged vectors (null-inflated
+    * denominators), and exactly the covar_pop null semantics of the
+    * DuckDB oracle. Elements are read as Number (any numeric array
+    * type works, not just float), nulls skipped per element. */
   private def covMoments(emb: DataFrame, vecCol: String,
       mu: Array[Double]): Seq[(Long, Long, Double)] = {
     val spark = emb.sparkSession
@@ -79,18 +84,28 @@ object Pca {
         val s = new Array[Double](len)
         val c = new Array[Long](len)
         it.foreach { row =>
-          val v = row.getSeq[Float](0)
+          val v = row.getSeq[Number](0)
           val n = math.min(v.length, d)
           val cent = new Array[Double](n)
+          val ok = new Array[Boolean](n)
           var i = 0
-          while (i < n) { cent(i) = v(i).toDouble - m(i); i += 1 }
+          while (i < n) {
+            val x = v(i)
+            if (x != null) { cent(i) = x.doubleValue - m(i); ok(i) = true }
+            i += 1
+          }
           i = 0
           while (i < n) {
-            // flattened upper-triangle offset of row i: i*d - i(i-1)/2
-            var idx = i * d - i * (i - 1) / 2
-            val ci = cent(i)
-            var j = i
-            while (j < n) { s(idx) += ci * cent(j); c(idx) += 1L; idx += 1; j += 1 }
+            if (ok(i)) {
+              // flattened upper-triangle offset of row i: i*d - i(i-1)/2
+              var idx = i * d - i * (i - 1) / 2
+              val ci = cent(i)
+              var j = i
+              while (j < n) {
+                if (ok(j)) { s(idx) += ci * cent(j); c(idx) += 1L }
+                idx += 1; j += 1
+              }
+            }
             i += 1
           }
         }

@@ -37,7 +37,16 @@ object Streams {
   private[streaming] val counter =
     new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Shuffle-partition count for the local verification/bench runs. */
+  /** Shuffle-partition count for the local verification/bench runs.
+    * Every stateful operator keeps one state store (and pays one
+    * commit) per shuffle partition per micro-batch, so this should
+    * track STATE VOLUME, not core count. 4 is right for the ≤600k-row
+    * local verification backlog; a production deployment sizes it via
+    * `graft.stream.statePartitions` on the parent session (e.g. keys ×
+    * executors / target-keys-per-store). NOTE: the partition count is
+    * baked into a stream's checkpoint at first start — change it only
+    * for fresh checkpoints (all queries here use fresh per-run
+    * checkpoints, which is why the conf is safe to honor). */
   val StreamShufflePartitions = 4
 
   /** Fork a session for one streaming run: `newSession()` shares the
@@ -49,7 +58,10 @@ object Streams {
   private[streaming] def streamSession(spark: SparkSession,
       shufflePartitions: Int = StreamShufflePartitions): SparkSession = {
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    val n = spark.conf.getOption("graft.stream.statePartitions")
+      .map(_.trim.toInt).getOrElse(shufflePartitions)
+    require(n >= 1, s"graft.stream.statePartitions must be >= 1, got $n")
+    ss.conf.set("spark.sql.shuffle.partitions", n.toString)
     ss
   }
 

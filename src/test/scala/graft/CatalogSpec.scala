@@ -186,17 +186,27 @@ class CatalogSpec extends AnyFunSuite {
         java.nio.file.Files.write(m, kept.mkString("\n").getBytes("UTF-8"))
       }
     }
+    // job-group-scoped counting: the status store is fed by an ASYNC
+    // listener bus, so a global before/after count races with late-
+    // posting jobs from earlier tests (the r14 driver-run flake). A
+    // job group is thread-local: any scan job the build launched from
+    // this thread lands in the group, earlier tests' jobs never do.
     val tracker = spark.sparkContext.statusTracker
-    val before = tracker.getJobIdsForGroup(null).length
-    val got = Catalog.build(spark, Map("old" -> s"$base/old"))
-      .collect()   // LocalTableScan: driver-side, no job
-    // barrier job: the status store is fed asynchronously but in
-    // order, so once THIS job is visible any earlier one would be too
-    spark.sparkContext.parallelize(1 to 2, 1).count()
+    val group = s"graft_catmeta_${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(group, "catalog metadata-only check")
+    val got =
+      try {
+        val rows = Catalog.build(spark, Map("old" -> s"$base/old"))
+          .collect()   // LocalTableScan: driver-side, no job
+        // barrier job: posted in order, so once THIS job is visible in
+        // the group, any earlier build job would be too
+        spark.sparkContext.parallelize(1 to 2, 1).count()
+        rows
+      } finally spark.sparkContext.clearJobGroup()
     val deadline = System.currentTimeMillis() + 10000
-    while (tracker.getJobIdsForGroup(null).length < before + 1 &&
+    while (tracker.getJobIdsForGroup(group).length < 1 &&
       System.currentTimeMillis() < deadline) Thread.sleep(50)
-    assert(tracker.getJobIdsForGroup(null).length == before + 1,
+    assert(tracker.getJobIdsForGroup(group).length == 1,
       "catalog build over a stats-less table must not launch a scan job")
     assert(got.length == 1)
     assert(got(0).isNullAt(3) && got(0).isNullAt(4))   // n_columns, row_count
