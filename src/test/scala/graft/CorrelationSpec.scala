@@ -41,6 +41,25 @@ class CorrelationSpec extends AnyFunSuite {
     assert(r == 0.948683, s"avg-rank spearman expected 0.948683, got $r")
   }
 
+  test("correlation: the two-phase rank path equals the small-input path") {
+    // tied values + a null + anti-monotone pair: every rank edge case.
+    // Forcing twoPhaseMinBytes=0 routes the SAME data through the
+    // range-partitioned prefix-sum path; both paths must agree exactly
+    // (the ranks are exact integers + n/2, so equality is bitwise).
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 8.0), (2.0, 7.0), (2.0, 7.0), (3.0, 5.0), (3.0, null),
+      (4.0, 2.0), (5.0, 2.0), (5.0, 1.0), (6.0, 0.5))
+      .toDF("x", "y")
+    val small = Correlation.correlationMatrix(df, Seq("x", "y")).collect()
+    spark.conf.set("graft.rank.twoPhaseMinBytes", "0")
+    try {
+      val twoPhase = Correlation.correlationMatrix(df, Seq("x", "y"))
+        .collect()
+      assert(twoPhase.toSeq == small.toSeq,
+        s"paths disagree: $small vs $twoPhase")
+    } finally spark.conf.unset("graft.rank.twoPhaseMinBytes")
+  }
+
   test("anova: separated classes score huge F; shuffled labels score ~0") {
     // dim 1 separates the classes cleanly; dim 2 is label-blind
     val emb = Seq(
